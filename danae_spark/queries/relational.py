@@ -1,0 +1,495 @@
+"""B-block: relational/analytics core over the TPC-H-ish lake tables.
+
+These prove the engine's join/agg/window machinery and anchor the bench.
+Every query is declarative DataFrame/SQL (Catalyst handles pushdown,
+pruning, join strategy); doubles are rounded identically on both the
+Spark and the DuckDB-oracle side so order-insensitive value hashes match.
+
+Scale notes (100 TB): facts (lineitem/orders/events) shuffle at most once
+on their join key; all dims (region/nation/supplier/customer at TPC-H
+ratios) are broadcast. Window queries partition by high-cardinality keys
+(user_id/custkey) so state per partition stays small. AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from danae_spark.catalog import load_table
+from danae_spark.queries import register
+
+# ---------------------------------------------------------------- B1: TPC-H Q1
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------- B2: TPC-H Q3
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("orderkey", "revenue", "orderdate")
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- B3: TPC-H Q5
+
+
+@register(
+    "q5_local_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC
+    """,
+)
+def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # dims are broadcast; the only big shuffle is lineitem⋈orders on orderkey
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+# ---------------------------------------------------------------- B4: window top-N
+
+
+@register(
+    "top_n_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rank_in_brand
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rank_in_brand
+      FROM part
+    )
+    WHERE rank_in_brand <= 3
+    ORDER BY p_brand, rank_in_brand
+    """,
+)
+def top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rank_in_brand", F.row_number().over(w))
+        .filter(F.col("rank_in_brand") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rank_in_brand")
+        .orderBy("p_brand", "rank_in_brand")
+    )
+
+
+# ---------------------------------------------------------------- B5: running totals
+
+
+@register(
+    "running_totals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_spend,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS moving_avg_3
+    FROM orders
+    WHERE o_custkey <= 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias(
+                "running_spend"
+            ),
+            F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg_3"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------- B6: rollup
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice), 2) AS total_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("total_price"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "total_price",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# ---------------------------------------------------------------- B7: pivot
+
+
+@register(
+    "pivot_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_o,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_o"),
+            F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_f"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------- B8: sessionization
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           round(sum(value), 4) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min timeout): lag → new-session flag →
+    running sum = session id. One shuffle on user_id; both windows and the
+    final groupBy reuse that partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = e.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0))
+    )
+    sessions = flagged.withColumn(
+        "session_seq", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# ---------------------------------------------------------------- B9: as-of join
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH tagged AS (
+      SELECT o_custkey AS user_id, o_orderdate AS ts, o_orderkey,
+             NULL::BIGINT AS event_id, NULL::VARCHAR AS event_type
+      FROM orders
+      UNION ALL
+      SELECT user_id, ts, NULL::BIGINT AS o_orderkey, event_id, event_type
+      FROM events
+    ), filled AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(o_orderkey IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, o_orderkey NULLS LAST
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_orderkey
+      FROM tagged
+    )
+    SELECT event_id, user_id, event_type, last_orderkey
+    FROM filled
+    WHERE event_id IS NOT NULL
+    ORDER BY event_id
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the most recent order (by date) of the
+    same user at-or-before its timestamp.
+
+    Scalable pattern: tag + union both streams, single window per key with
+    last(ignorenulls) — one shuffle total, no per-row range probe, no
+    row explosion (vs. the naive join-then-max which is quadratic per key).
+    Reference parity: danae has no as-of, but its temporal-column semantics
+    (content_search.py:152 epoch ordering) motivate it; mandated temporal op.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        "event_id",
+        "event_type",
+    )
+    # orders sort before events at identical ts (orderkey NULLS LAST ties out)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("o_orderkey").asc_nulls_last())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = o.unionByName(e).withColumn(
+        "last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+    )
+    return (
+        filled.filter(F.col("event_id").isNotNull())
+        .select("event_id", "user_id", "event_type", "last_orderkey")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------- B10: range join
+
+
+@register(
+    "range_join_events",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           count(b.event_id) AS n_preceding_hour,
+           round(coalesce(sum(b.value), 0), 4) AS preceding_value
+    FROM events p
+    LEFT JOIN events b
+      ON b.user_id = p.user_id
+     AND b.event_type IN ('click', 'view')
+     AND b.ts >= p.ts - INTERVAL 1 HOUR
+     AND b.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    ORDER BY p.event_id
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key + time-range self-join: for each purchase, the click/view
+    activity of the same user in the preceding hour (attribution window).
+    The equi condition on user_id keeps this a hash join with a range
+    residual (not a cartesian); at 100 TB both sides shuffle once on the
+    key and AQE splits skewed users."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    b = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("b_id"), F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"), "value"
+    )
+    cond = (
+        (b.b_user == p.p_user)
+        & (b.b_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (b.b_ts < p.p_ts)
+    )
+    return (
+        p.join(b, cond, "left")
+        .groupBy("purchase_id")
+        .agg(
+            F.count("b_id").alias("n_preceding_hour"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias("preceding_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# ---------------------------------------------------------------- B11: semi/anti join
+
+
+@register(
+    "semi_anti_join",
+    oracle="""
+    SELECT 'never_ordered_parts' AS segment, count(*) AS n
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    UNION ALL
+    SELECT 'active_customers' AS segment, count(*) AS n
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY segment
+    """,
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    never = (
+        p.join(l, p.p_partkey == l.l_partkey, "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("never_ordered_parts").alias("segment"), "n")
+    )
+    active = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("active_customers").alias("segment"), "n")
+    )
+    return never.unionByName(active).orderBy("segment")
+
+
+# ---------------------------------------------------------------- B12: JSON extraction
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k.cast("double")), 4).alias("avg_k"),
+            F.max(k.cast("bigint")).alias("max_k"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )

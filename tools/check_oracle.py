@@ -1,0 +1,103 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB at the given sf_dir, compare
+row count, column names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from danae_spark.catalog import TABLES, table_path  # noqa: E402
+from danae_spark.queries import load_all  # noqa: E402
+from danae_spark.session import get_spark  # noqa: E402
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    registry = load_all()
+    spark = get_spark("oracle-check")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+
+    failures = 0
+    for name, qd in sorted(registry.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = qd.fn(spark, sf_dir)
+            s_cols = list(sdf.columns)
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures += 1
+            continue
+        if qd.oracle is None:
+            print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(qd.oracle)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as exc:
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+
+        ok = True
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"FAIL  {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            ok = False
+        elif len(s_rows) != len(d_rows):
+            print(f"FAIL  {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+            ok = False
+        else:
+            cs, cd = canon(s_rows, s_cols), canon(d_rows, d_cols)
+            if cs != cd:
+                diffs = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
+                print(f"FAIL  {name}: value mismatch, first diffs: {diffs}")
+                ok = False
+        if ok:
+            print(f"OK    {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+        else:
+            failures += 1
+
+    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
