@@ -1,0 +1,231 @@
+"""Distributed column profiler.
+
+Reference parity: `ingest/profiling/profiler.py` computes per-column
+stats (via pandas-profiling, one dataset at a time on the driver) and
+`filters.py:128 quantiles` adds {5,25,50,75,95}% quantiles; the content
+index consumes the 7-point signature [min,5%,25%,50%,75%,95%,max]
+(`search/content_search.py:129 __prepare_num`, `:152 __prepare_date`).
+
+Spark-first redesign: ONE aggregate pass per table computes every
+column's stats simultaneously (map-side partial aggregation — no
+driver-side loops, no per-column scans), then `stack()` reshapes the
+single result row to long format. At 100 TB the only change is
+`count_distinct` → `approx_count_distinct` and `percentile` →
+`percentile_approx` (both switched by the `exact` flag).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from danae_spark.catalog import load_table
+from danae_spark.profiling.types import NUMERIC, columns_of_class
+
+# lake tables with at least one numeric column worth profiling
+NUMERIC_PROFILE_TABLES = ("lineitem", "orders", "customer", "supplier", "part", "events")
+
+_STATS = ("n", "n_null", "n_distinct", "min_v", "max_v", "avg_v", "std_v")
+
+
+def _numeric_cols(df: DataFrame) -> list[str]:
+    return columns_of_class(df.schema, NUMERIC)
+
+
+def profile_table_numeric(df: DataFrame, table: str, exact: bool = True) -> DataFrame:
+    """One row per numeric column: count/nulls/distinct/min/max/mean/std."""
+    cols = _numeric_cols(df)
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        distinct = F.count_distinct(col) if exact else F.approx_count_distinct(col)
+        aggs += [
+            F.count(col).alias(f"{c}__n"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__n_null"),
+            distinct.alias(f"{c}__n_distinct"),
+            F.min(col).cast("double").alias(f"{c}__min_v"),
+            F.max(col).cast("double").alias(f"{c}__max_v"),
+            F.round(F.avg(col), 4).alias(f"{c}__avg_v"),
+            F.round(F.stddev(col), 4).alias(f"{c}__std_v"),
+        ]
+    one = df.agg(*aggs)
+    groups = ", ".join(
+        "'{c}', {fields}".format(c=c, fields=", ".join(f"`{c}__{s}`" for s in _STATS))
+        for c in cols
+    )
+    stacked = one.select(
+        F.expr(
+            f"stack({len(cols)}, {groups}) AS (column_name, n, n_null, n_distinct,"
+            " min_v, max_v, avg_v, std_v)"
+        )
+    )
+    return stacked.select(F.lit(table).alias("table_name"), "*")
+
+
+def numeric_profile(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = NUMERIC_PROFILE_TABLES
+) -> DataFrame:
+    parts = [
+        profile_table_numeric(load_table(spark, sf_dir, t), t) for t in tables
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name", "column_name")
+
+
+# ------------------------------------------------------------------ quantiles
+
+SIGNATURE_PS = (0.0, 0.05, 0.25, 0.50, 0.75, 0.95, 1.0)
+SIGNATURE_NAMES = ("min_v", "p5", "p25", "p50", "p75", "p95", "max_v")
+
+
+def quantile_signatures(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = NUMERIC_PROFILE_TABLES,
+    exact: bool = True,
+    rounding: int | None = 4,
+) -> DataFrame:
+    """7-point quantile signature per numeric column (the content-index
+    vector of content_search.py:129). One pass per table; exact
+    interpolated percentiles for oracle parity, percentile_approx at scale."""
+    parts = []
+    for t in tables:
+        df = load_table(spark, sf_dir, t)
+        cols = _numeric_cols(df)
+        aggs = []
+        for c in cols:
+            col = F.col(c).cast("double")
+            if exact:
+                q = F.percentile(col, F.lit(list(SIGNATURE_PS)))
+            else:
+                q = F.percentile_approx(col, F.lit(list(SIGNATURE_PS)), F.lit(10000))
+            aggs.append(q.alias(f"{c}__q"))
+        one = df.agg(*aggs)
+        groups = ", ".join(
+            "'{c}', {fields}".format(
+                c=c,
+                fields=", ".join(f"`{c}__q`[{i}]" for i in range(len(SIGNATURE_PS))),
+            )
+            for c in cols
+        )
+        stacked = one.select(
+            F.expr(
+                f"stack({len(cols)}, {groups}) AS (column_name, {', '.join(SIGNATURE_NAMES)})"
+            )
+        ).select(F.lit(t).alias("table_name"), "*")
+        parts.append(stacked)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if rounding is not None:
+        out = out.select(
+            "table_name",
+            "column_name",
+            *[F.round(F.col(n), rounding).alias(n) for n in SIGNATURE_NAMES],
+        )
+    return out.orderBy("table_name", "column_name")
+
+
+# ------------------------------------------------------------------ temporal
+
+TEMPORAL_COLS = (("orders", "o_orderdate"), ("lineitem", "l_shipdate"), ("events", "ts"))
+
+
+def temporal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal columns as epoch-second quantile signatures
+    (content_search.py:152 __prepare_date: quantiles of seconds-since-epoch)."""
+    parts = []
+    for t, c in TEMPORAL_COLS:
+        df = load_table(spark, sf_dir, t)
+        # NTZ timestamps can't cast straight to long; go via TZ timestamp
+        # (session tz is UTC, matching DuckDB's naive epoch())
+        epoch = F.col(c).cast("timestamp").cast("long").cast("double")
+        q = F.percentile(epoch, F.lit(list(SIGNATURE_PS)))
+        parts.append(
+            df.agg(q.alias("q")).select(
+                F.lit(t).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                *[F.round(F.col("q")[i], 4).alias(n) for i, n in enumerate(SIGNATURE_NAMES)],
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name", "column_name")
+
+
+# --------------------------------------------------------- oracle generators
+
+
+def numeric_profile_oracle(tables: tuple[str, ...] = NUMERIC_PROFILE_TABLES) -> str:
+    """DuckDB SQL equivalent of numeric_profile (generated: one UNION ALL
+    branch per (table, column))."""
+    branches = []
+    for t, cols in _ORACLE_NUMERIC_COLS.items():
+        if t not in tables:
+            continue
+        for c in cols:
+            branches.append(
+                f"""
+    SELECT '{t}' AS table_name, '{c}' AS column_name,
+           count({c}) AS n,
+           sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS DOUBLE) AS min_v,
+           CAST(max({c}) AS DOUBLE) AS max_v,
+           round(avg({c}), 4) AS avg_v,
+           round(stddev_samp({c}), 4) AS std_v
+    FROM {t}"""
+            )
+    return " UNION ALL ".join(branches) + " ORDER BY table_name, column_name"
+
+
+def quantile_signatures_oracle(tables: tuple[str, ...] = NUMERIC_PROFILE_TABLES) -> str:
+    branches = []
+    for t, cols in _ORACLE_NUMERIC_COLS.items():
+        if t not in tables:
+            continue
+        for c in cols:
+            qs = ", ".join(
+                f"round(quantile_cont(CAST({c} AS DOUBLE), {p}), 4) AS {n}"
+                for p, n in zip(SIGNATURE_PS, SIGNATURE_NAMES)
+            )
+            branches.append(
+                f"SELECT '{t}' AS table_name, '{c}' AS column_name, {qs} FROM {t}"
+            )
+    return " UNION ALL ".join(branches) + " ORDER BY table_name, column_name"
+
+
+def temporal_profile_oracle() -> str:
+    branches = []
+    for t, c in TEMPORAL_COLS:
+        qs = ", ".join(
+            f"round(quantile_cont(CAST(floor(epoch({c})) AS DOUBLE), {p}), 4) AS {n}"
+            for p, n in zip(SIGNATURE_PS, SIGNATURE_NAMES)
+        )
+        branches.append(
+            f"SELECT '{t}' AS table_name, '{c}' AS column_name, {qs} FROM {t}"
+        )
+    return " UNION ALL ".join(branches) + " ORDER BY table_name, column_name"
+
+
+# numeric columns per table, mirrored for the oracle (testdata schema is fixed)
+_ORACLE_NUMERIC_COLS = {
+    "lineitem": [
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    ],
+    "orders": ["o_orderkey", "o_custkey", "o_totalprice"],
+    "customer": ["c_custkey", "c_nationkey", "c_acctbal"],
+    "supplier": ["s_suppkey", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_size", "p_retailprice"],
+    "events": ["event_id", "user_id", "value"],
+}

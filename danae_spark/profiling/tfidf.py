@@ -1,0 +1,163 @@
+"""Term frequency / TF-IDF extraction.
+
+Reference parity: `ingest/profiling/filters.py:137 fetch_top_k` pulls
+per-column term vectors from Elasticsearch and keeps the top-k terms by
+raw term frequency (tf=True) or by `(term_freq / ttf) * ln(N / doc_freq)`
+(tf=False), where ttf is the corpus-wide total frequency of the term and
+N the number of documents. `profiler.py:122` builds the per-column text
+by concatenating all values of a categorical column.
+
+Spark-first redesign: tokenization is `explode(split(...))` (JVM-side,
+codegen), term stats are two groupBy aggregates (doc-level tf, corpus-level
+ttf/df) joined back — the df/ttf side is tiny (vocabulary-sized) and
+broadcast. N comes from a broadcast scalar, never a driver round-trip.
+Skew note (100 TB): stop-word-grade terms concentrate in the corpus agg;
+partial aggregation absorbs them map-side, and the final top-k per doc is
+a bounded window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from danae_spark.catalog import load_table
+
+# categorical columns profiled for top-k terms (reference: profile['columns'])
+CATEGORICAL_PROFILE_COLS = (
+    ("customer", "c_mktsegment"),
+    ("orders", "o_orderpriority"),
+    ("part", "p_type"),
+    ("events", "event_type"),
+    ("documents", "lang"),
+    ("documents", "source"),
+)
+
+
+def tokenize(df: DataFrame, text_col: str) -> DataFrame:
+    """Lowercased whitespace/non-alpha tokenization → one row per token."""
+    return (
+        df.select(
+            "*",
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def categorical_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    cols: tuple[tuple[str, str], ...] = CATEGORICAL_PROFILE_COLS,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k most frequent terms per categorical column (fetch_top_k tf=True)."""
+    parts = []
+    for t, c in cols:
+        df = load_table(spark, sf_dir, t).select(F.col(c).alias("val"))
+        toks = tokenize(df, "val").select(
+            F.lit(t).alias("table_name"), F.lit(c).alias("column_name"), "term"
+        )
+        parts.append(toks)
+    all_toks = parts[0]
+    for p in parts[1:]:
+        all_toks = all_toks.unionByName(p)
+    counts = all_toks.groupBy("table_name", "column_name", "term").agg(
+        F.count("*").alias("freq")
+    )
+    w = W.partitionBy("table_name", "column_name").orderBy(F.desc("freq"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("table_name", "column_name", "rank")
+    )
+
+
+def categorical_topk_oracle(
+    cols: tuple[tuple[str, str], ...] = CATEGORICAL_PROFILE_COLS, k: int = 10
+) -> str:
+    branches = [
+        f"""
+    SELECT '{t}' AS table_name, '{c}' AS column_name, term
+    FROM (SELECT unnest(string_split_regex(lower({c}), '[^a-z0-9]+')) AS term FROM {t})
+    WHERE term <> ''"""
+        for t, c in cols
+    ]
+    union = " UNION ALL ".join(branches)
+    return f"""
+    WITH toks AS ({union}),
+    counts AS (
+      SELECT table_name, column_name, term, count(*) AS freq
+      FROM toks GROUP BY table_name, column_name, term
+    )
+    SELECT table_name, column_name, term, freq, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY table_name, column_name
+                                   ORDER BY freq DESC, term) AS rank
+      FROM counts
+    ) WHERE rank <= {k}
+    ORDER BY table_name, column_name, rank
+    """
+
+
+def tfidf_topk(
+    spark: SparkSession, sf_dir: str, k: int = 5, rounding: int = 6
+) -> DataFrame:
+    """Top-k terms per document by tf-idf over the `documents` corpus.
+
+    Formula per filters.py:152: (term_freq / ttf) * ln(N / doc_freq).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokenize(docs, "text").select("doc_id", "term")
+
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    corpus = tf.groupBy("term").agg(
+        F.sum("tf").alias("ttf"), F.count("*").alias("df")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+
+    scored = (
+        tf.join(F.broadcast(corpus), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tf") / F.col("ttf")) * F.log(F.col("n_docs") / F.col("df")),
+                rounding,
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def tfidf_topk_oracle(k: int = 5, rounding: int = 6) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ), toks_f AS (
+      SELECT doc_id, term FROM toks WHERE term <> ''
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks_f GROUP BY doc_id, term
+    ), corpus AS (
+      SELECT term, sum(tf) AS ttf, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round((tf.tf / ttf) * ln(n_docs / df), {rounding}) AS tfidf
+      FROM tf JOIN corpus USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    ORDER BY doc_id, rank
+    """

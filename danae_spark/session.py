@@ -28,7 +28,9 @@ def get_spark(app_name: str = "danae_spark", shuffle_partitions: int | None = No
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # NOTE: large heaps (≥48g) triple per-stage latency in this
+        # container (GC region sizing); 16g is the measured sweet spot.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
