@@ -1,0 +1,35 @@
+"""Vector column expressions — all JVM-side (zip_with / aggregate inside
+whole-stage codegen), no Python UDFs in the hot path.
+
+Used by ANN / embedding-dedup operators over `array<float>` embedding
+columns. Arithmetic is forced to double so results are deterministic and
+match the DuckDB oracle bit-for-bit (both fold left-to-right).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def euclidean(a: Column | str, b: Column | str) -> Column:
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    diff = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+    return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v))

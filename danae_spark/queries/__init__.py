@@ -22,7 +22,18 @@ REGISTRY: dict[str, QueryDef] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QueryDef(name, fn, oracle)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # make danae_spark importable on Spark Python workers (pandas
+            # UDF closures pickle by module reference) — no-op after the
+            # first call per session
+            from danae_spark.shipping import ensure_shipped
+
+            ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = QueryDef(name, wrapped, oracle)
         return fn
 
     return deco

@@ -11,6 +11,7 @@ from danae_spark import catalog
 from danae_spark.catalog import TABLES
 from danae_spark.profiling import profiler, tfidf
 from danae_spark.queries import register
+from danae_spark.search import combined, knn, matching, metadata
 
 # ------------------------------------------------------------ A1: catalog
 
@@ -71,3 +72,110 @@ def profile_categorical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("tfidf_topk_terms", oracle=tfidf.tfidf_topk_oracle())
 def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf.tfidf_topk(spark, sf_dir)
+
+
+# ------------------------------------------------------------ A6: spatial bbox
+
+_SPATIAL_ORACLE = """
+    WITH geo AS (
+      SELECT n.n_name AS nation,
+             ((s.s_suppkey * 7919) % 36000) / 100.0 - 180.0 AS lon,
+             ((s.s_suppkey * 104729) % 18000) / 100.0 - 90.0 AS lat
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT nation,
+           round(min(lon), 4) AS x_min, round(max(lon), 4) AS x_max,
+           round(min(lat), 4) AS y_min, round(max(lat), 4) AS y_max,
+           count(*) AS n_points
+    FROM geo GROUP BY nation ORDER BY nation
+    """
+
+
+@register("profile_spatial_bbox", oracle=_SPATIAL_ORACLE)
+def profile_spatial_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial profile: bounding box per group (reference:
+    profiler.py:90-111 lat/long detection + filters.py:132
+    add_spatial_stats [x_min,x_max,y_min,y_max]). The testdata has no
+    geo columns, so deterministic synthetic coordinates are derived from
+    supplier keys — the operator under test is the distributed bbox
+    aggregation itself."""
+    from pyspark.sql import functions as F
+
+    from danae_spark.catalog import load_table
+
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    geo = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        (((F.col("s_suppkey") * 7919) % 36000) / 100.0 - 180.0).alias("lon"),
+        (((F.col("s_suppkey") * 104729) % 18000) / 100.0 - 90.0).alias("lat"),
+    )
+    return (
+        geo.groupBy("nation")
+        .agg(
+            F.round(F.min("lon"), 4).alias("x_min"),
+            F.round(F.max("lon"), 4).alias("x_max"),
+            F.round(F.min("lat"), 4).alias("y_min"),
+            F.round(F.max("lat"), 4).alias("y_max"),
+            F.count("*").alias("n_points"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ------------------------------------------------- A8-A12: search operators
+
+
+@register("column_signature_knn", oracle=knn.signature_knn_oracle())
+def column_signature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn.signature_knn(spark, sf_dir)
+
+
+@register("content_similarity_score", oracle=knn.content_similarity_oracle())
+def content_similarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn.content_similarity(spark, sf_dir)
+
+
+@register("dataset_matching_score", oracle=None)  # bipartite matching: non-SQL
+def dataset_matching_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return matching.dataset_matching_scores(spark, sf_dir)
+
+
+@register("metadata_search_bm25", oracle=metadata.bm25_search_oracle())
+def metadata_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metadata.bm25_search(spark, sf_dir)
+
+
+@register("combined_topk", oracle=combined.combined_topk_oracle())
+def combined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return combined.combined_topk(spark, sf_dir)
+
+
+# ------------------------------------------------------ A13: column embedding
+
+
+@register("column_embedding", oracle=None)  # deterministic fake embeddings
+def column_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean word-vector per categorical column (word_aggregator.py:13
+    transform_sentence: average embedding of the column's top-k terms).
+    The container has no GloVe vectors, so an 8-dim deterministic
+    hash-derived embedding stands in for the lookup table; the Spark-side
+    semantics (top-k terms → per-term vector join → mean) are real."""
+    from pyspark.sql import functions as F
+
+    topk = tfidf.categorical_topk(spark, sf_dir)
+    dims = [
+        (F.pmod(F.xxhash64(F.col("term"), F.lit(i)), F.lit(2000)) / 1000.0 - 1.0).alias(
+            f"e{i}"
+        )
+        for i in range(8)
+    ]
+    with_vecs = topk.select("table_name", "column_name", "term", *dims)
+    return (
+        with_vecs.groupBy("table_name", "column_name")
+        .agg(
+            F.count("*").alias("n_terms"),
+            *[F.round(F.avg(f"e{i}"), 6).alias(f"e{i}") for i in range(8)],
+        )
+        .orderBy("table_name", "column_name")
+    )

@@ -1,0 +1,82 @@
+"""Dataset-to-dataset matching score.
+
+Reference parity: `search/content_search.py:323-345` — for a candidate
+dataset S, build the bipartite graph between the query dataset's columns
+and S's columns with similarity-weighted edges, take the max-weight
+matching (networkx), and score S as the sum of matched edge weights.
+
+Spark-first redesign: the per-pair graphs are tiny (≤ #columns² edges),
+so matching runs as an Arrow-batched `applyInPandas` per
+(query_table, candidate_table) group — thousands of pairs match in
+parallel across executors, vs the reference's sequential driver loop.
+The matching itself is an exact max-weight bipartite matching via
+bitmask DP (O(n·2^m) with m = candidate columns, m ≤ ~16), not a greedy
+approximation — same optimum networkx finds.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from danae_spark.search.knn import content_similarity
+
+
+def _max_weight_matching(qcols: list, ccols: list, weights: dict) -> tuple[float, int]:
+    """Exact max-weight bipartite matching by DP over candidate bitmask."""
+    m = len(ccols)
+    w = [[weights.get((q, c), 0.0) for c in ccols] for q in qcols]
+    memo: dict[tuple[int, int], tuple[float, int]] = {}
+
+    def f(i: int, mask: int) -> tuple[float, int]:
+        if i == len(qcols):
+            return (0.0, 0)
+        key = (i, mask)
+        if key in memo:
+            return memo[key]
+        best = f(i + 1, mask)  # leave query column i unmatched
+        for j in range(m):
+            if mask & (1 << j) or w[i][j] <= 0.0:
+                continue
+            score, cnt = f(i + 1, mask | (1 << j))
+            cand = (score + w[i][j], cnt + 1)
+            if cand[0] > best[0]:
+                best = cand
+        memo[key] = best
+        return best
+
+    return f(0, 0)
+
+
+def dataset_matching_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every (query_table, candidate_table) pair by max-weight
+    matching over their column similarities."""
+    sims = content_similarity(spark, sf_dir).select(
+        "q_table", "q_column", "cand_table", "cand_column", "sim"
+    )
+
+    def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        qcols = sorted(pdf["q_column"].unique())
+        ccols = sorted(pdf["cand_column"].unique())
+        weights = {
+            (r.q_column, r.cand_column): float(r.sim) for r in pdf.itertuples()
+        }
+        score, n = _max_weight_matching(qcols, ccols, weights)
+        return pd.DataFrame(
+            {
+                "q_table": [pdf["q_table"].iloc[0]],
+                "cand_table": [pdf["cand_table"].iloc[0]],
+                "match_score": [round(score, 6)],
+                "n_matched": [n],
+            }
+        )
+
+    return (
+        sims.groupBy("q_table", "cand_table")
+        .applyInPandas(
+            match_group,
+            schema="q_table string, cand_table string, match_score double, n_matched int",
+        )
+        .orderBy("q_table", "cand_table")
+    )
