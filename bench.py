@@ -27,6 +27,12 @@ HEADLINE = [
     "range_join_events",
     "top_n_per_group",
     "json_extract_events",
+    "tfidf_topk_terms",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "metadata_search_bm25",
+    "profile_numeric",
 ]
 
 

@@ -1,0 +1,122 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+- `ann_cosine_topk`: brute-force cosine top-k — the correctness baseline.
+  All vector math is JVM-side (`zip_with`/`aggregate`); the candidate set
+  is a broadcast join, ranking is one window.
+- `ann_lsh_bucketed`: random-hyperplane LSH — the 100 TB path. Each
+  vector gets a bucket id from the sign pattern of H hyperplane
+  projections; search is brute force *within* a bucket only, so pairwise
+  work drops from O(N²) to O(Σ bucket²). Hyperplanes are derived from a
+  fixed seed (deterministic across runs/engines); recall is tunable via
+  H (fewer planes → bigger buckets → higher recall, more compute).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from danae_spark.catalog import load_table
+from danae_spark.functions import vectors
+
+N_QUERIES = 20  # vec_id < N_QUERIES are the query vectors
+TOP_K = 5
+N_PLANES = 4
+DIM = 64
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    cos = vectors.pair_cosine_udf()
+    pairs = (
+        q.join(F.broadcast(c), F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", F.round(cos("q_emb", "c_emb"), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_cosine_topk_oracle(k: int = TOP_K) -> str:
+    cos = (
+        "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /"
+        " (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *"
+        "  sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))"
+    )
+    return f"""
+    SELECT query_id, cand_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round({cos}, 6) AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY round({cos}, 6) DESC, c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+def _hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a fixed seed (sha256
+    counter mode) — reproducible everywhere, no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        coeffs = []
+        for i in range(dim):
+            digest = hashlib.sha256(f"danae-lsh-{p}-{i}".encode()).digest()
+            (v,) = struct.unpack(">q", digest[:8])
+            coeffs.append((v % 2001 - 1000) / 1000.0)
+        planes.append(coeffs)
+    return planes
+
+
+def lsh_bucket_col(emb_col: str, planes: list[list[float]]) -> F.Column:
+    bucket = F.lit(0)
+    for p, coeffs in enumerate(planes):
+        plane = F.array(*[F.lit(c) for c in coeffs])
+        proj = F.aggregate(
+            F.zip_with(F.col(emb_col), plane, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Top-k cosine neighbors restricted to the query's LSH bucket."""
+    planes = _hyperplanes()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", lsh_bucket_col("embedding", planes).alias("bucket")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    cos = vectors.pair_cosine_udf()
+    pairs = (
+        q.join(c, "bucket")  # bucket equi-join: pairwise work stays in-bucket
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", F.round(cos("q_emb", "c_emb"), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "bucket", "cand_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,321 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, all expressed as declarative DataFrame plans:
+
+- exact: normalize → hash-groupBy, keep-first (one shuffle on the text
+  hash; at 100 TB group on `xxhash64(norm_text)` so the shuffle key is
+  8 bytes, not the document).
+- n-gram Jaccard: token-shingle inverted-index self-join (candidate pairs
+  share ≥1 shingle) + exact Jaccard verify. Shuffle is on the shingle;
+  stop-shingle skew is the known hazard — the LSH variant is the scale
+  path, and AQE skew-split covers the rest.
+- MinHash+LSH: k minhash values per doc, banded into buckets; only
+  same-bucket pairs are verified with exact Jaccard. Candidate count is
+  ~linear in corpus size for reasonable (bands, rows) — this is the
+  100 TB dedup path.
+- SimHash: 48-bit signed-projection signature; near-dup = small hamming
+  distance, candidates via 12-bit band join.
+- Embedding cosine: semantic near-dup via vector similarity (brute-force
+  pairs here; the LSH-bucketed ANN operator is the scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from danae_spark.catalog import load_table
+from danae_spark.functions import vectors
+
+# ------------------------------------------------------------------ C1: exact
+
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every doc mapped to the canonical (smallest) doc_id of its
+    normalized-text group."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_NORM).alias("norm_text")
+    )
+    w = W.partitionBy("norm_text")
+    return (
+        docs.withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .withColumn(
+            "is_duplicate", (F.col("doc_id") != F.col("canonical_id")).cast("int")
+        )
+        .select("doc_id", "canonical_id", "group_size", "is_duplicate")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_EXACT_ORACLE = f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS norm_text FROM documents)
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY norm_text) AS canonical_id,
+           count(*) OVER (PARTITION BY norm_text) AS group_size,
+           CAST(doc_id <> min(doc_id) OVER (PARTITION BY norm_text) AS INT)
+             AS is_duplicate
+    FROM d ORDER BY doc_id
+    """
+
+# ------------------------------------------------------- C2: n-gram Jaccard
+
+JACCARD_TAU = 0.2
+
+
+def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc — built JVM-side with
+    transform/sequence over the token array (no Python in the loop)."""
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')").alias("t"),
+    ).filter(F.size("t") >= n)
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {n}),"
+                    f" i -> concat_ws(' ', slice(t, i + 1, {n})))"
+                )
+            ).alias("shingle"),
+        )
+        .filter(F.expr(f"size(split(shingle, ' ')) = {n}"))
+        .distinct()
+    )
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("d1", "d2", "inter", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+DEDUP_NGRAM_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term,
+             generate_subscripts(string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS pos
+      FROM documents
+    ), w AS (SELECT doc_id, term, pos FROM toks WHERE term <> ''),
+    rn AS (
+      SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+      FROM w
+    ),
+    sh0 AS (
+      SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+      FROM rn a JOIN rn b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                JOIN rn c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+    ), s AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, inter,
+           round(inter * 1.0 / (s1.n_sh + s2.n_sh - inter), 4) AS jaccard
+    FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE round(inter * 1.0 / (s1.n_sh + s2.n_sh - inter), 4) >= {JACCARD_TAU}
+    ORDER BY d1, d2
+    """
+
+# --------------------------------------------------------- C3: MinHash + LSH
+
+MINHASH_K = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
+) -> DataFrame:
+    """LSH candidate generation + exact Jaccard verify on candidates only.
+
+    Deterministic (xxhash64 is seed-stable), so the result is reproducible;
+    non-SQL-expressible → rows-only correctness check.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _doc_shingles(docs)
+
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    rows_per_band = MINHASH_K // LSH_BANDS
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(LSH_BANDS)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    bands_long = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+    l = bands_long.select(F.col("doc_id").alias("d1"), "band", "key")
+    r = bands_long.select(F.col("doc_id").alias("d2"), "band", "key")
+    candidates = (
+        l.join(r, ["band", "key"]).filter(F.col("d1") < F.col("d2")).select("d1", "d2").distinct()
+    )
+
+    # exact verify restricted to candidates (the at-scale pattern)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .join(candidates, ["d1", "d2"], "left_semi")
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+# --------------------------------------------------------------- C4: SimHash
+
+SIMHASH_BITS = 48
+HAMMING_MAX = 6
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """48-bit SimHash per doc: token-frequency-weighted signed projection.
+    48 bits (not 64) keeps the packed value inside a signed long under
+    ANSI arithmetic."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")).alias(
+            "term"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    h = F.xxhash64("term")
+    bit_sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("tf")
+                * (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    packed = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    )
+    return bit_sums.select("doc_id", packed.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= HAMMING_MAX, candidates via
+    four 12-bit band joins."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = simhash_signatures(docs)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 12)
+                        .bitwiseAND(F.lit(0xFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    l = bands.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "band", "key")
+    r = bands.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"), "band", "key")
+    pairs = (
+        l.join(r, ["band", "key"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "h1", "h2")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+    return pairs.select("d1", "d2", "hamming").orderBy("d1", "d2")
+
+
+# ---------------------------------------------------- C5: embedding cosine
+
+COSINE_TAU = 0.4
+
+
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, tau: float = COSINE_TAU
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    cos = vectors.pair_cosine_udf()
+    return (
+        a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
+        .withColumn("cosine", F.round(cos("e1", "e2"), 6))
+        .filter(F.col("cosine") >= tau)
+        .select("v1", "v2", "cosine")
+        .orderBy("v1", "v2")
+    )
+
+
+DEDUP_EMBEDDING_ORACLE = f"""
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                6) >= {COSINE_TAU}
+    ORDER BY v1, v2
+    """

@@ -1,0 +1,222 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All built-in-function expressions (whole-stage
+codegen) except the fingerprint bottom-k, which is a window over hashed
+grams — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from danae_spark.catalog import load_table
+
+# ------------------------------------------------------------- C8: language ID
+
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "fr": ("le", "la", "de", "et", "un", "que", "pour", "dans", "sur", "avec"),
+}
+LANG_ORDER = ("en", "es", "fr")  # deterministic tie-break preference
+
+
+def _hits(lang: str) -> F.Column:
+    terms = ", ".join(f"'{t}'" for t in STOPWORDS[lang])
+    return F.expr(
+        f"size(filter(split(lower(text), '[^a-z0-9]+'), t -> t in ({terms})))"
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword-heuristic language ID. Predicted = language with
+    the most stopword hits (ties broken en > es > fr, 'und' if none)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_hits(lang).alias(f"{lang}_hits") for lang in LANG_ORDER],
+    )
+    best = F.greatest(*[F.col(f"{lang}_hits") for lang in LANG_ORDER])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        pred = pred.when(F.col(f"{lang}_hits") == best, F.lit(lang))
+    return scored.withColumn("predicted", pred).select(
+        "doc_id",
+        "en_hits",
+        "es_hits",
+        "fr_hits",
+        "predicted",
+        (F.col("predicted") == F.col("lang")).cast("int").alias("agrees_with_label"),
+    ).orderBy("doc_id")
+
+
+def lang_id_oracle() -> str:
+    hits = {
+        lang: "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+        f" t -> t IN ({', '.join(repr(t) for t in STOPWORDS[lang])})))"
+        for lang in LANG_ORDER
+    }
+    best = f"greatest({hits['en']}, {hits['es']}, {hits['fr']})"
+    return f"""
+    SELECT doc_id,
+           {hits['en']} AS en_hits,
+           {hits['es']} AS es_hits,
+           {hits['fr']} AS fr_hits,
+           CASE WHEN {best} = 0 THEN 'und'
+                WHEN {hits['en']} = {best} THEN 'en'
+                WHEN {hits['es']} = {best} THEN 'es'
+                ELSE 'fr' END AS predicted,
+           CAST((CASE WHEN {best} = 0 THEN 'und'
+                WHEN {hits['en']} = {best} THEN 'en'
+                WHEN {hits['es']} = {best} THEN 'es'
+                ELSE 'fr' END) = lang AS INT) AS agrees_with_label
+    FROM documents ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------- C9: quality score
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punctuation/stopword-ratio quality metrics + composite score
+    (the heuristics pre-training pipelines use for corpus filtering)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_chars = F.length("text")
+    toks = F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+    n_tokens = F.size(toks)
+    en = ", ".join(f"'{t}'" for t in STOPWORDS["en"])
+    stop_hits = F.expr(
+        f"size(filter(split(lower(text), '[^a-z0-9]+'), t -> t in ({en})))"
+    )
+    punct = n_chars - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    digits = n_chars - F.length(F.regexp_replace("text", "[0-9]", ""))
+    # score is computed from the RAW ratios (not the display-rounded ones):
+    # rounded inputs like 0.106383 make weighted sums land on exact decimal
+    # halves where engines' round() implementations disagree
+    punct_raw = punct / n_chars
+    stop_raw = stop_hits / n_tokens
+    score = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4
+        + (1 - F.least(F.col("punct_raw") * 10, F.lit(1.0))) * 0.3
+        + F.least(F.col("stop_raw") * 5, F.lit(1.0)) * 0.3
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_chars.alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            F.round(
+                F.length(
+                    F.concat_ws("", F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"))
+                )
+                / n_tokens,
+                4,
+            ).alias("avg_token_len"),
+            F.round(punct / n_chars, 6).alias("punct_ratio"),
+            F.round(digits / n_chars, 6).alias("digit_ratio"),
+            F.round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
+            punct_raw.alias("punct_raw"),
+            stop_raw.alias("stop_raw"),
+        )
+        .withColumn("quality_score", F.round(score, 6))
+        .drop("punct_raw", "stop_raw")
+        .orderBy("doc_id")
+    )
+
+
+def text_quality_oracle() -> str:
+    en = ", ".join(repr(t) for t in STOPWORDS["en"])
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    stop = (
+        f"len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+        f" t -> t IN ({en})))"
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len({toks}) AS n_tokens,
+             round(length(array_to_string({toks}, '')) * 1.0 / len({toks}), 4)
+               AS avg_token_len,
+             round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                   * 1.0 / length(text), 6) AS punct_ratio,
+             round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                   * 1.0 / length(text), 6) AS digit_ratio,
+             round({stop} * 1.0 / len({toks}), 6) AS stopword_ratio,
+             (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                   * 1.0 / length(text) AS punct_raw,
+             {stop} * 1.0 / len({toks}) AS stop_raw
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens, avg_token_len, punct_ratio, digit_ratio,
+           stopword_ratio,
+           round(least(n_tokens / 100.0, 1.0) * 0.4
+                 + (1 - least(punct_raw * 10, 1.0)) * 0.3
+                 + least(stop_raw * 5, 1.0) * 0.3, 6) AS quality_score
+    FROM m ORDER BY doc_id
+    """
+
+
+# ----------------------------------------------------------- C10: token count
+
+_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr("filter(split(text, ' +'), t -> t <> '')")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), F.lit(0))).alias(
+            "bpe_tokens"
+        ),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+def token_count_oracle() -> str:
+    return f"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, ' +'), t -> t <> '')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS bpe_tokens,
+           length(text) AS n_chars
+    FROM documents ORDER BY doc_id
+    """
+
+
+# ------------------------------------------------------- C11: doc fingerprint
+
+GRAM_CHARS = 8
+BOTTOM_K = 4
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sketch of rolling char-8-gram hashes (winnowing-style
+    fingerprint; two docs sharing fingerprint values share content
+    regions). xxhash64-based → deterministic, rows-only check."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {GRAM_CHARS} + 1),"
+                f" i -> substring(text, i, {GRAM_CHARS}))"
+            )
+        ).alias("gram"),
+    ).filter(F.length("text") >= GRAM_CHARS)
+    hashed = grams.select("doc_id", F.xxhash64("gram").alias("h")).distinct()
+    w = W.partitionBy("doc_id").orderBy("h")
+    bottom = hashed.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= BOTTOM_K)
+    return (
+        bottom.groupBy("doc_id")
+        .pivot("rk", list(range(1, BOTTOM_K + 1)))
+        .agg(F.first("h"))
+        .select(
+            "doc_id",
+            *[F.col(str(i)).alias(f"fp{i}") for i in range(1, BOTTOM_K + 1)],
+        )
+        .orderBy("doc_id")
+    )
