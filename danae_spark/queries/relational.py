@@ -466,6 +466,24 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return never.unionByName(active).orderBy("segment")
 
 
+# ------------------------------------------------- B13: stream window parity
+
+
+def _register_stream_window():
+    from danae_spark.queries import register
+    from danae_spark.streaming import events as sev
+
+    @register("stream_window_counts", oracle=sev.WINDOWED_COUNTS_ORACLE)
+    def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batch-parity version of the streaming tumbling-window rollup
+        (danae_spark/streaming/events.py:windowed_counts); identical
+        grouping logic runs under readStream with a watermark."""
+        return sev.windowed_counts_batch(spark, sf_dir)
+
+
+_register_stream_window()
+
+
 # ---------------------------------------------------------------- B12: JSON extraction
 
 

@@ -1,0 +1,124 @@
+"""Structured Streaming over the events stream.
+
+The engine's streaming surface: file-source `readStream` → watermarked
+event-time transformations → sink. Three operators:
+
+- `windowed_counts`: tumbling-window aggregation per event_type with a
+  late-data watermark — the canonical streaming rollup. Incremental
+  state is bounded by (watermark horizon / window size) × #event_types.
+- `sessionized`: native session windows (gap timeout) per user via
+  `F.session_window` — Spark's built-in stateful session operator, which
+  replaces the hand-rolled lag+cumsum batch pattern in streaming mode.
+- `run_available_now`: drives any of the above to completion over the
+  current file set (used by tests and backfills; the same query with a
+  processing-time trigger is the production streaming deployment).
+
+Batch/stream parity: `windowed_counts_batch` computes the identical
+result with a batch read — its `queries()` entry gives the streaming
+semantics oracle coverage (`stream_window_counts`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from danae_spark.catalog import load_table, table_path
+
+
+def events_schema(spark: SparkSession, sf_dir: str):
+    return spark.read.parquet(table_path(sf_dir, "events")).schema
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table. The nanosecond `ts` column
+    arrives as bigint (nanosAsLong) and is truncated to µs timestamps,
+    matching the batch loader."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    schema = events_schema(spark, sf_dir)
+    # the file source requires a directory: stream the sf dir with a glob
+    # pinned to the events table file(s)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def windowed_counts(events: DataFrame, window: str = "10 minutes", watermark: str = "1 hour") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain the stream over all currently-available files into an
+    in-memory table; returns the result as a batch DataFrame."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+# --------------------------------------------------- batch parity + oracle
+
+
+def windowed_counts_batch(spark: SparkSession, sf_dir: str, window: str = "10 minutes") -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+WINDOWED_COUNTS_ORACLE = """
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """
