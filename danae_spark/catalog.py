@@ -58,6 +58,41 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def publish_dataset(
+    df: DataFrame,
+    path: str,
+    title: str,
+    keywords: str = "",
+    description: str = "",
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Publish a dataset into the lake: partitioned parquet write + a
+    catalog entry.
+
+    Reference parity: `ingest/publishing/publishing_api.py` /
+    `eodp_publisher.py` — a catalog record `{title, path, type, keywords,
+    description, profile.status}` per dataset. Spark-first: the payload
+    is written as (optionally partitioned) parquet — the lake's native
+    format — and the catalog entry is returned for appending to the
+    catalog table; profiling then runs distributed over the written files
+    rather than via a pending/polling worker loop.
+    """
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return {
+        "title": title,
+        "path": path,
+        "type": "TABULAR",
+        "keywords": keywords,
+        "description": description,
+        "num_columns": len(df.columns),
+        "num_keywords": len([k for k in keywords.split(",") if k.strip()]),
+        "profile_status": "pending",
+    }
+
+
 def catalog_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset registry: one row per lake table with basic shape metadata.
 

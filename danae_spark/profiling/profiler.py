@@ -33,33 +33,50 @@ def _numeric_cols(df: DataFrame) -> list[str]:
 
 
 def profile_table_numeric(df: DataFrame, table: str, exact: bool = True) -> DataFrame:
-    """One row per numeric column: count/nulls/distinct/min/max/mean/std."""
+    """One row per numeric column: count/nulls/distinct/min/max/mean/std.
+
+    Plan shape: the plain stats are ONE single-pass aggregate (map-side
+    partial, no shuffle of data rows). Exact distinct counts avoid
+    Spark's multi-distinct Expand (n_cols× row blowup through the whole
+    aggregate — measured 6× slower) by melting to narrow (column, value)
+    pairs and aggregating those; partial aggregation collapses each
+    partition to its distinct values before the shuffle. With
+    exact=False, approx_count_distinct folds into the single-pass
+    aggregate — that is the 100 TB path.
+    """
     cols = _numeric_cols(df)
     aggs = []
     for c in cols:
         col = F.col(c)
-        distinct = F.count_distinct(col) if exact else F.approx_count_distinct(col)
         aggs += [
             F.count(col).alias(f"{c}__n"),
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__n_null"),
-            distinct.alias(f"{c}__n_distinct"),
             F.min(col).cast("double").alias(f"{c}__min_v"),
             F.max(col).cast("double").alias(f"{c}__max_v"),
             F.round(F.avg(col), 4).alias(f"{c}__avg_v"),
             F.round(F.stddev(col), 4).alias(f"{c}__std_v"),
         ]
+        if not exact:
+            aggs.append(F.approx_count_distinct(col).alias(f"{c}__n_distinct"))
     one = df.agg(*aggs)
+    stats = _STATS if not exact else tuple(s for s in _STATS if s != "n_distinct")
     groups = ", ".join(
-        "'{c}', {fields}".format(c=c, fields=", ".join(f"`{c}__{s}`" for s in _STATS))
+        "'{c}', {fields}".format(c=c, fields=", ".join(f"`{c}__{s}`" for s in stats))
         for c in cols
     )
     stacked = one.select(
-        F.expr(
-            f"stack({len(cols)}, {groups}) AS (column_name, n, n_null, n_distinct,"
-            " min_v, max_v, avg_v, std_v)"
-        )
+        F.expr(f"stack({len(cols)}, {groups}) AS (column_name, {', '.join(stats)})")
     )
-    return stacked.select(F.lit(table).alias("table_name"), "*")
+    if exact:
+        melt_groups = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+        melted = df.select(
+            F.expr(f"stack({len(cols)}, {melt_groups}) AS (column_name, v)")
+        )
+        nd = melted.groupBy("column_name").agg(F.count_distinct("v").alias("n_distinct"))
+        stacked = stacked.join(nd, "column_name")
+    return stacked.select(
+        F.lit(table).alias("table_name"), "column_name", *(F.col(s) for s in _STATS)
+    )
 
 
 def numeric_profile(

@@ -1,0 +1,29 @@
+"""Catalog: publish sink roundtrip + dataset registry."""
+
+from __future__ import annotations
+
+from danae_spark import catalog
+
+
+def test_publish_roundtrip(spark, sf_dir, tmp_path):
+    df = catalog.load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "published")
+    entry = catalog.publish_dataset(
+        df, out, title="nations", keywords="geo,reference", partition_by=["n_regionkey"]
+    )
+    assert entry["num_columns"] == 3
+    assert entry["num_keywords"] == 2
+    assert entry["profile_status"] == "pending"
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+    # partitioned layout on disk
+    import os
+
+    assert any(d.startswith("n_regionkey=") for d in os.listdir(out))
+
+
+def test_catalog_lists_all_tables(spark, sf_dir):
+    rows = {r["dataset"]: r for r in catalog.catalog_datasets(spark, sf_dir).collect()}
+    assert set(rows) == set(catalog.TABLES)
+    assert rows["lineitem"]["num_rows"] > 0

@@ -1,0 +1,64 @@
+"""Plan-quality regression tests: pushdown, pruning, broadcast joins.
+
+These lock in the physical-plan properties that matter at 100 TB; a
+change that silently degrades a plan (drops a pushed filter, turns a
+broadcast join into sort-merge) fails here.
+"""
+
+from __future__ import annotations
+
+from danae_spark.plans import audit
+from danae_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def test_q1_filter_pushed_and_pruned(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    audit.assert_pushed_filter(df, "l_shipdate")
+    lineitem_cols = {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    }
+    audit.assert_read_columns_at_most(
+        df,
+        lineitem_cols,
+        {"l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax", "l_shipdate"},
+    )
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    df = REGISTRY["q3_shipping_priority"].fn(spark, sf_dir)
+    strategies = audit.join_strategies(df)
+    assert "BroadcastHashJoin" in strategies, strategies
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir):
+    df = REGISTRY["q5_local_volume"].fn(spark, sf_dir)
+    strategies = audit.join_strategies(df)
+    # dims (customer/supplier/nation/region) broadcast; no cartesian
+    assert strategies.count("BroadcastHashJoin") >= 3, strategies
+    audit.assert_no_cartesian(df)
+
+
+def test_q5_orderdate_pushed(spark, sf_dir):
+    df = REGISTRY["q5_local_volume"].fn(spark, sf_dir)
+    audit.assert_pushed_filter(df, "o_orderdate")
+
+
+def test_tfidf_has_codegen(spark, sf_dir):
+    df = REGISTRY["tfidf_topk_terms"].fn(spark, sf_dir)
+    df.collect()  # AQE: codegen annotations appear in the final executed plan
+    assert audit.codegen_stage_count(df) >= 2
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    df = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+    audit.assert_no_cartesian(df)
+
+
+def test_range_join_is_hash_not_cartesian(spark, sf_dir):
+    df = REGISTRY["range_join_events"].fn(spark, sf_dir)
+    audit.assert_no_cartesian(df)
