@@ -22,6 +22,7 @@ from pyspark.sql import Window as W
 
 from danae_spark.catalog import load_table
 from danae_spark.functions import vectors
+from danae_spark.functions.rounding import rnd
 
 N_QUERIES = 20  # vec_id < N_QUERIES are the query vectors
 TOP_K = 5
@@ -38,7 +39,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFra
     cos = vectors.pair_cosine_udf()
     pairs = (
         q.join(F.broadcast(c), F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", F.round(cos("q_emb", "c_emb"), 6))
+        .withColumn("cosine", rnd(cos("q_emb", "c_emb"), 6))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -58,9 +59,9 @@ def ann_cosine_topk_oracle(k: int = TOP_K) -> str:
     return f"""
     SELECT query_id, cand_id, cosine, rank FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-             round({cos}, 6) AS cosine,
+             floor(({cos}) * power(10, 6) + 0.5001) / power(10, 6) AS cosine,
              row_number() OVER (PARTITION BY q.vec_id
-                                ORDER BY round({cos}, 6) DESC, c.vec_id) AS rank
+                                ORDER BY floor(({cos}) * power(10, 6) + 0.5001) / power(10, 6) DESC, c.vec_id) AS rank
       FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
       WHERE q.vec_id < {N_QUERIES}
     ) WHERE rank <= {k}
@@ -111,7 +112,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFr
     pairs = (
         q.join(c, "bucket")  # bucket equi-join: pairwise work stays in-bucket
         .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", F.round(cos("q_emb", "c_emb"), 6))
+        .withColumn("cosine", rnd(cos("q_emb", "c_emb"), 6))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (

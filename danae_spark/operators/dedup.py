@@ -27,6 +27,7 @@ from pyspark.sql import Window as W
 
 from danae_spark.catalog import load_table
 from danae_spark.functions import vectors
+from danae_spark.functions.rounding import rnd
 
 # ------------------------------------------------------------------ C1: exact
 
@@ -107,7 +108,7 @@ def dedup_ngram_jaccard(
         .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
         .withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4),
+            rnd(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4),
         )
         .filter(F.col("jaccard") >= tau)
         .select("d1", "d2", "inter", "jaccard")
@@ -137,9 +138,9 @@ DEDUP_NGRAM_ORACLE = f"""
       GROUP BY 1, 2
     )
     SELECT d1, d2, inter,
-           round(inter * 1.0 / (s1.n_sh + s2.n_sh - inter), 4) AS jaccard
+           floor((inter * 1.0 / (s1.n_sh + s2.n_sh - inter)) * power(10, 4) + 0.5001) / power(10, 4) AS jaccard
     FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-    WHERE round(inter * 1.0 / (s1.n_sh + s2.n_sh - inter), 4) >= {JACCARD_TAU}
+    WHERE floor((inter * 1.0 / (s1.n_sh + s2.n_sh - inter)) * power(10, 4) + 0.5001) / power(10, 4) >= {JACCARD_TAU}
     ORDER BY d1, d2
     """
 
@@ -208,7 +209,7 @@ def dedup_minhash_lsh(
         .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
         .withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4),
+            rnd(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4),
         )
         .filter(F.col("jaccard") >= tau)
         .select("d1", "d2", "jaccard")
@@ -299,7 +300,7 @@ def dedup_embedding_cosine(
     cos = vectors.pair_cosine_udf()
     return (
         a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
-        .withColumn("cosine", F.round(cos("e1", "e2"), 6))
+        .withColumn("cosine", rnd(cos("e1", "e2"), 6))
         .filter(F.col("cosine") >= tau)
         .select("v1", "v2", "cosine")
         .orderBy("v1", "v2")
@@ -308,14 +309,12 @@ def dedup_embedding_cosine(
 
 DEDUP_EMBEDDING_ORACLE = f"""
     SELECT a.vec_id AS v1, b.vec_id AS v2,
-           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+           floor((list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
                  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                 6) AS cosine
+                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) * power(10, 6) + 0.5001) / power(10, 6) AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+    WHERE floor((list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                 sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                6) >= {COSINE_TAU}
+                 sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) * power(10, 6) + 0.5001) / power(10, 6) >= {COSINE_TAU}
     ORDER BY v1, v2
     """

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from danae_spark.catalog import load_table
+from danae_spark.functions.rounding import rnd
 
 # ------------------------------------------------------------- C8: language ID
 
@@ -107,20 +108,20 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             n_chars.alias("n_chars"),
             n_tokens.alias("n_tokens"),
-            F.round(
+            rnd(
                 F.length(
                     F.concat_ws("", F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"))
                 )
                 / n_tokens,
                 4,
             ).alias("avg_token_len"),
-            F.round(punct / n_chars, 6).alias("punct_ratio"),
-            F.round(digits / n_chars, 6).alias("digit_ratio"),
-            F.round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
+            rnd(punct / n_chars, 6).alias("punct_ratio"),
+            rnd(digits / n_chars, 6).alias("digit_ratio"),
+            rnd(stop_hits / n_tokens, 6).alias("stopword_ratio"),
             punct_raw.alias("punct_raw"),
             stop_raw.alias("stop_raw"),
         )
-        .withColumn("quality_score", F.round(score, 6))
+        .withColumn("quality_score", rnd(score, 6))
         .drop("punct_raw", "stop_raw")
         .orderBy("doc_id")
     )
@@ -138,13 +139,13 @@ def text_quality_oracle() -> str:
       SELECT doc_id,
              length(text) AS n_chars,
              len({toks}) AS n_tokens,
-             round(length(array_to_string({toks}, '')) * 1.0 / len({toks}), 4)
+             floor((length(array_to_string({toks}, '')) * 1.0 / len({toks})) * power(10, 4) + 0.5001) / power(10, 4)
                AS avg_token_len,
-             round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
-                   * 1.0 / length(text), 6) AS punct_ratio,
-             round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-                   * 1.0 / length(text), 6) AS digit_ratio,
-             round({stop} * 1.0 / len({toks}), 6) AS stopword_ratio,
+             floor(((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                   * 1.0 / length(text)) * power(10, 6) + 0.5001) / power(10, 6) AS punct_ratio,
+             floor(((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                   * 1.0 / length(text)) * power(10, 6) + 0.5001) / power(10, 6) AS digit_ratio,
+             floor(({stop} * 1.0 / len({toks})) * power(10, 6) + 0.5001) / power(10, 6) AS stopword_ratio,
              (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
                    * 1.0 / length(text) AS punct_raw,
              {stop} * 1.0 / len({toks}) AS stop_raw
@@ -152,9 +153,9 @@ def text_quality_oracle() -> str:
     )
     SELECT doc_id, n_chars, n_tokens, avg_token_len, punct_ratio, digit_ratio,
            stopword_ratio,
-           round(least(n_tokens / 100.0, 1.0) * 0.4
+           floor((least(n_tokens / 100.0, 1.0) * 0.4
                  + (1 - least(punct_raw * 10, 1.0)) * 0.3
-                 + least(stop_raw * 5, 1.0) * 0.3, 6) AS quality_score
+                 + least(stop_raw * 5, 1.0) * 0.3) * power(10, 6) + 0.5001) / power(10, 6) AS quality_score
     FROM m ORDER BY doc_id
     """
 

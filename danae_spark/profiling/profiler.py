@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from danae_spark.catalog import load_table
 from danae_spark.profiling.types import NUMERIC, columns_of_class
+from danae_spark.functions.rounding import rnd
 
 # lake tables with at least one numeric column worth profiling
 NUMERIC_PROFILE_TABLES = ("lineitem", "orders", "customer", "supplier", "part", "events")
@@ -53,8 +54,8 @@ def profile_table_numeric(df: DataFrame, table: str, exact: bool = True) -> Data
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__n_null"),
             F.min(col).cast("double").alias(f"{c}__min_v"),
             F.max(col).cast("double").alias(f"{c}__max_v"),
-            F.round(F.avg(col), 4).alias(f"{c}__avg_v"),
-            F.round(F.stddev(col), 4).alias(f"{c}__std_v"),
+            rnd(F.avg(col), 4).alias(f"{c}__avg_v"),
+            rnd(F.stddev(col), 4).alias(f"{c}__std_v"),
         ]
         if not exact:
             aggs.append(F.approx_count_distinct(col).alias(f"{c}__n_distinct"))
@@ -140,7 +141,7 @@ def quantile_signatures(
         out = out.select(
             "table_name",
             "column_name",
-            *[F.round(F.col(n), rounding).alias(n) for n in SIGNATURE_NAMES],
+            *[rnd(F.col(n), rounding).alias(n) for n in SIGNATURE_NAMES],
         )
     return out.orderBy("table_name", "column_name")
 
@@ -164,7 +165,7 @@ def temporal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.agg(q.alias("q")).select(
                 F.lit(t).alias("table_name"),
                 F.lit(c).alias("column_name"),
-                *[F.round(F.col("q")[i], 4).alias(n) for i, n in enumerate(SIGNATURE_NAMES)],
+                *[rnd(F.col("q")[i], 4).alias(n) for i, n in enumerate(SIGNATURE_NAMES)],
             )
         )
     out = parts[0]
@@ -192,8 +193,8 @@ def numeric_profile_oracle(tables: tuple[str, ...] = NUMERIC_PROFILE_TABLES) -> 
            count(DISTINCT {c}) AS n_distinct,
            CAST(min({c}) AS DOUBLE) AS min_v,
            CAST(max({c}) AS DOUBLE) AS max_v,
-           round(avg({c}), 4) AS avg_v,
-           round(stddev_samp({c}), 4) AS std_v
+           floor((avg({c})) * power(10, 4) + 0.5001) / power(10, 4) AS avg_v,
+           floor((stddev_samp({c})) * power(10, 4) + 0.5001) / power(10, 4) AS std_v
     FROM {t}"""
             )
     return " UNION ALL ".join(branches) + " ORDER BY table_name, column_name"
@@ -206,7 +207,7 @@ def quantile_signatures_oracle(tables: tuple[str, ...] = NUMERIC_PROFILE_TABLES)
             continue
         for c in cols:
             qs = ", ".join(
-                f"round(quantile_cont(CAST({c} AS DOUBLE), {p}), 4) AS {n}"
+                f"floor((quantile_cont(CAST({c} AS DOUBLE), {p})) * power(10, 4) + 0.5001) / power(10, 4) AS {n}"
                 for p, n in zip(SIGNATURE_PS, SIGNATURE_NAMES)
             )
             branches.append(
@@ -219,7 +220,7 @@ def temporal_profile_oracle() -> str:
     branches = []
     for t, c in TEMPORAL_COLS:
         qs = ", ".join(
-            f"round(quantile_cont(CAST(floor(epoch({c})) AS DOUBLE), {p}), 4) AS {n}"
+            f"floor((quantile_cont(CAST(floor(epoch({c})) AS DOUBLE), {p})) * power(10, 4) + 0.5001) / power(10, 4) AS {n}"
             for p, n in zip(SIGNATURE_PS, SIGNATURE_NAMES)
         )
         branches.append(

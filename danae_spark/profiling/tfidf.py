@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from danae_spark.catalog import load_table
+from danae_spark.functions.rounding import rnd
 
 # categorical columns profiled for top-k terms (reference: profile['columns'])
 CATEGORICAL_PROFILE_COLS = (
@@ -121,7 +122,7 @@ def tfidf_topk(
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.round(
+            rnd(
                 (F.col("tf") / F.col("ttf")) * F.log(F.col("n_docs") / F.col("df")),
                 rounding,
             ),
@@ -151,7 +152,7 @@ def tfidf_topk_oracle(k: int = 5, rounding: int = 6) -> str:
       SELECT count(*) AS n_docs FROM documents
     ), scored AS (
       SELECT tf.doc_id, tf.term, tf.tf,
-             round((tf.tf / ttf) * ln(n_docs / df), {rounding}) AS tfidf
+             floor(((tf.tf / ttf) * ln(n_docs / df)) * power(10, {rounding}) + 0.5001) / power(10, {rounding}) AS tfidf
       FROM tf JOIN corpus USING (term) CROSS JOIN n
     )
     SELECT doc_id, term, tf, tfidf, rank FROM (

@@ -12,6 +12,7 @@ from danae_spark.catalog import TABLES
 from danae_spark.profiling import profiler, tfidf
 from danae_spark.queries import register
 from danae_spark.search import combined, knn, matching, metadata
+from danae_spark.functions.rounding import rnd
 
 # ------------------------------------------------------------ A1: catalog
 
@@ -84,8 +85,8 @@ _SPATIAL_ORACLE = """
       FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
     )
     SELECT nation,
-           round(min(lon), 4) AS x_min, round(max(lon), 4) AS x_max,
-           round(min(lat), 4) AS y_min, round(max(lat), 4) AS y_max,
+           floor((min(lon)) * power(10, 4) + 0.5001) / power(10, 4) AS x_min, floor((max(lon)) * power(10, 4) + 0.5001) / power(10, 4) AS x_max,
+           floor((min(lat)) * power(10, 4) + 0.5001) / power(10, 4) AS y_min, floor((max(lat)) * power(10, 4) + 0.5001) / power(10, 4) AS y_max,
            count(*) AS n_points
     FROM geo GROUP BY nation ORDER BY nation
     """
@@ -113,10 +114,10 @@ def profile_spatial_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         geo.groupBy("nation")
         .agg(
-            F.round(F.min("lon"), 4).alias("x_min"),
-            F.round(F.max("lon"), 4).alias("x_max"),
-            F.round(F.min("lat"), 4).alias("y_min"),
-            F.round(F.max("lat"), 4).alias("y_max"),
+            rnd(F.min("lon"), 4).alias("x_min"),
+            rnd(F.max("lon"), 4).alias("x_max"),
+            rnd(F.min("lat"), 4).alias("y_min"),
+            rnd(F.max("lat"), 4).alias("y_max"),
             F.count("*").alias("n_points"),
         )
         .orderBy("nation")
@@ -175,7 +176,7 @@ def column_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_vecs.groupBy("table_name", "column_name")
         .agg(
             F.count("*").alias("n_terms"),
-            *[F.round(F.avg(f"e{i}"), 6).alias(f"e{i}") for i in range(8)],
+            *[rnd(F.avg(f"e{i}"), 6).alias(f"e{i}") for i in range(8)],
         )
         .orderBy("table_name", "column_name")
     )

@@ -19,6 +19,7 @@ from pyspark.sql import Window as W
 
 from danae_spark.catalog import load_table
 from danae_spark.queries import register
+from danae_spark.functions.rounding import rnd
 
 # ---------------------------------------------------------------- B1: TPC-H Q1
 
@@ -27,13 +28,13 @@ from danae_spark.queries import register
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
+           floor((sum(l_quantity)) * power(10, 2) + 0.5001) / power(10, 2)                                        AS sum_qty,
+           floor((sum(l_extendedprice)) * power(10, 2) + 0.5001) / power(10, 2)                                   AS sum_base_price,
+           floor((sum(l_extendedprice * (1 - l_discount))) * power(10, 2) + 0.5001) / power(10, 2)                AS sum_disc_price,
+           floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * power(10, 2) + 0.5001) / power(10, 2)  AS sum_charge,
+           floor((avg(l_quantity)) * power(10, 4) + 0.5001) / power(10, 4)                                        AS avg_qty,
+           floor((avg(l_extendedprice)) * power(10, 4) + 0.5001) / power(10, 4)                                   AS avg_price,
+           floor((avg(l_discount)) * power(10, 4) + 0.5001) / power(10, 4)                                        AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -48,13 +49,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rnd(F.sum(disc_price), 2).alias("sum_disc_price"),
+            rnd(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+            rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            rnd(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -68,7 +69,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey AS orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * power(10, 2) + 0.5001) / power(10, 2) AS revenue,
            o.o_orderdate AS orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -90,7 +91,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
         .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("orderkey", "revenue", "orderdate")
         .orderBy(F.desc("revenue"), "orderkey")
         .limit(10)
@@ -104,7 +105,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_volume",
     oracle="""
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * power(10, 2) + 0.5001) / power(10, 2) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -136,7 +137,7 @@ def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"))
     )
 
@@ -176,13 +177,13 @@ def top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_totals",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           floor((sum(o_totalprice) OVER (PARTITION BY o_custkey
                                          ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * power(10, 2) + 0.5001) / power(10, 2)
              AS running_spend,
-           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+           floor((avg(o_totalprice) OVER (PARTITION BY o_custkey
                                          ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * power(10, 4) + 0.5001) / power(10, 4)
              AS moving_avg_3
     FROM orders
     WHERE o_custkey <= 100
@@ -196,10 +197,10 @@ def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias(
+            rnd(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias(
                 "running_spend"
             ),
-            F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg_3"),
+            rnd(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg_3"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -213,7 +214,7 @@ def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(l_extendedprice), 2) AS total_price,
+           floor((sum(l_extendedprice)) * power(10, 2) + 0.5001) / power(10, 2) AS total_price,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -224,7 +225,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("total_price"), F.count("*").alias("n"))
+        .agg(rnd(F.sum("l_extendedprice"), 2).alias("total_price"), F.count("*").alias("n"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -242,8 +243,8 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_returnflag",
     oracle="""
     SELECT l_returnflag,
-           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_o,
-           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_f
+           floor((sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END)) * power(10, 2) + 0.5001) / power(10, 2) AS qty_o,
+           floor((sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END)) * power(10, 2) + 0.5001) / power(10, 2) AS qty_f
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -257,8 +258,8 @@ def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity"))
         .select(
             "l_returnflag",
-            F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_o"),
-            F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_f"),
+            rnd(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_o"),
+            rnd(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_f"),
         )
         .orderBy("l_returnflag")
     )
@@ -286,7 +287,7 @@ def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_seq, count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end,
-           round(sum(value), 4) AS session_value
+           floor((sum(value)) * power(10, 4) + 0.5001) / power(10, 4) AS session_value
     FROM sessions
     GROUP BY user_id, session_seq
     ORDER BY user_id, session_seq
@@ -311,7 +312,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 4).alias("session_value"),
+            rnd(F.sum("value"), 4).alias("session_value"),
         )
         .orderBy("user_id", "session_seq")
     )
@@ -391,7 +392,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.event_id AS purchase_id,
            count(b.event_id) AS n_preceding_hour,
-           round(coalesce(sum(b.value), 0), 4) AS preceding_value
+           floor((coalesce(sum(b.value), 0)) * power(10, 4) + 0.5001) / power(10, 4) AS preceding_value
     FROM events p
     LEFT JOIN events b
       ON b.user_id = p.user_id
@@ -426,7 +427,7 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("purchase_id")
         .agg(
             F.count("b_id").alias("n_preceding_hour"),
-            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias("preceding_value"),
+            rnd(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias("preceding_value"),
         )
         .orderBy("purchase_id")
     )
@@ -466,6 +467,89 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return never.unionByName(active).orderBy("segment")
 
 
+# ------------------------------------------------ B14: TPC-H Q10 analogue
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * power(10, 2) + 0.5001) / power(10, 2) AS revenue,
+           floor((c.c_acctbal) * power(10, 2) + 0.5001) / power(10, 2) AS acctbal
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 adapted to the lake schema: top customers by revenue
+    lost to returned items in a quarter."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal")
+        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "nation", "revenue", rnd("c_acctbal", 2).alias("acctbal")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ------------------------------------------------ B15: TPC-H Q14 analogue
+
+
+@register(
+    "q14_promo_share",
+    oracle="""
+    SELECT floor((100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount))) * power(10, 4) + 0.5001) / power(10, 4) AS promo_revenue_pct,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotional revenue share for one month."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            rnd(
+                100.0
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 # ------------------------------------------------- B13: stream window parity
 
 
@@ -491,7 +575,7 @@ _register_stream_window()
     "json_extract_events",
     oracle="""
     SELECT event_type,
-           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+           floor((avg(CAST(json_extract_string(props, '$.k') AS DOUBLE))) * power(10, 4) + 0.5001) / power(10, 4) AS avg_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
            count(*) AS n
     FROM events
@@ -505,7 +589,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("event_type")
         .agg(
-            F.round(F.avg(k.cast("double")), 4).alias("avg_k"),
+            rnd(F.avg(k.cast("double")), 4).alias("avg_k"),
             F.max(k.cast("bigint")).alias("max_k"),
             F.count("*").alias("n"),
         )

@@ -24,6 +24,7 @@ from pyspark.sql import Window as W
 from danae_spark.catalog import load_table
 from danae_spark.functions import vectors
 from danae_spark.search.metadata import DEFAULT_QUERY, bm25_search, bm25_search_oracle
+from danae_spark.functions.rounding import rnd
 
 W_CONTENT = 0.6
 W_METADATA = 0.4
@@ -42,7 +43,7 @@ def embedding_content_scores(
         .crossJoin(F.broadcast(qvec))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(vectors.cosine("embedding", "q_embedding"), 6).alias("content_score"),
+            rnd(vectors.cosine("embedding", "q_embedding"), 6).alias("content_score"),
         )
     )
 
@@ -66,7 +67,7 @@ def combined_topk(
         )
         .withColumn(
             "overall_score",
-            F.round(
+            rnd(
                 F.lit(W_CONTENT) * F.col("content_score")
                 + F.lit(W_METADATA) * F.col("metadata_score"),
                 6,
@@ -88,11 +89,9 @@ def combined_topk_oracle(query: str = DEFAULT_QUERY, k: int = 10) -> str:
     WITH meta AS ({bm25}),
     content AS (
       SELECT e.vec_id AS doc_id,
-             round(
-               list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+             floor((list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
                / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
-             6) AS content_score
+                  * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))) * power(10, 6) + 0.5001) / power(10, 6) AS content_score
       FROM embeddings e, embeddings q
       WHERE q.vec_id = {QUERY_VEC_ID} AND e.vec_id <> {QUERY_VEC_ID}
     ),
@@ -103,12 +102,12 @@ def combined_topk_oracle(query: str = DEFAULT_QUERY, k: int = 10) -> str:
       FROM content c FULL OUTER JOIN meta m ON c.doc_id = m.doc_id
     )
     SELECT doc_id, content_score, metadata_score,
-           round({W_CONTENT} * content_score + {W_METADATA} * metadata_score, 6)
+           floor(({W_CONTENT} * content_score + {W_METADATA} * metadata_score) * power(10, 6) + 0.5001) / power(10, 6)
              AS overall_score,
            rank
     FROM (
       SELECT *, row_number() OVER (
-        ORDER BY round({W_CONTENT} * content_score + {W_METADATA} * metadata_score, 6) DESC,
+        ORDER BY floor(({W_CONTENT} * content_score + {W_METADATA} * metadata_score) * power(10, 6) + 0.5001) / power(10, 6) DESC,
                  doc_id) AS rank
       FROM joined
     ) WHERE rank <= {k}

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from danae_spark.functions.rounding import rnd
 from danae_spark.profiling.profiler import (
     SIGNATURE_NAMES,
     quantile_signatures,
@@ -51,7 +52,7 @@ def _pair_distances(sigs: DataFrame) -> DataFrame:
     )
     return (
         q.join(F.broadcast(c), F.col("q_table") != F.col("cand_table"))
-        .withColumn("dist", F.round(F.sqrt(sq), 4))
+        .withColumn("dist", rnd(F.sqrt(sq), 4))
     )
 
 
@@ -95,7 +96,7 @@ def content_similarity(
     )
     return (
         with_kth.withColumn(
-            "sim", F.round(F.exp(-F.lit(DECAY) * F.col("dist") / F.col("kth")), 6)
+            "sim", rnd(F.exp(-F.lit(DECAY) * F.col("dist") / F.col("kth")), 6)
         )
         .select("q_table", "q_column", "cand_table", "cand_column", "dist", "sim", "rank")
         .orderBy("q_table", "q_column", "rank")
@@ -115,7 +116,7 @@ def _pairs_cte() -> str:
     pairs AS (
       SELECT q.table_name AS q_table, q.column_name AS q_column,
              c.table_name AS cand_table, c.column_name AS cand_column,
-             round(sqrt({sq}), 4) AS dist
+             floor((sqrt({sq})) * power(10, 4) + 0.5001) / power(10, 4) AS dist
       FROM sigs q JOIN sigs c ON q.table_name <> c.table_name
     )"""
 
@@ -148,9 +149,9 @@ def content_similarity_oracle(L: int = 5, M: int = 10) -> str:
       FROM ranked
     )
     SELECT q_table, q_column, cand_table, cand_column, dist,
-           round(exp(-{DECAY} * dist /
+           floor((exp(-{DECAY} * dist /
                  (CASE WHEN kth_l > 0 THEN kth_l
-                       ELSE coalesce(min_nonzero, 1e-12) END)), 6) AS sim,
+                       ELSE coalesce(min_nonzero, 1e-12) END))) * power(10, 6) + 0.5001) / power(10, 6) AS sim,
            rank
     FROM with_kth
     ORDER BY q_table, q_column, rank

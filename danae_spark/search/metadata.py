@@ -25,6 +25,7 @@ from pyspark.sql import Window as W
 
 from danae_spark.catalog import load_table
 from danae_spark.profiling.tfidf import tokenize
+from danae_spark.functions.rounding import rnd
 
 K1 = 1.2
 B = 0.75
@@ -59,12 +60,12 @@ def bm25_search(
             / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
         )
         .groupBy("doc_id")
-        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+        .agg(rnd(F.sum("term_score"), 6).alias("score"))
     )
     wall = W.partitionBy()
     return (
         scored.withColumn("max_score", F.max("score").over(wall))
-        .withColumn("norm_score", F.round(F.col("score") / F.col("max_score"), 6))
+        .withColumn("norm_score", rnd(F.col("score") / F.col("max_score"), 6))
         .withColumn(
             "rank",
             F.row_number().over(W.partitionBy().orderBy(F.desc("score"), F.asc("doc_id"))),
@@ -96,11 +97,11 @@ def bm25_search_oracle(query: str = DEFAULT_QUERY, k: int = 20) -> str:
       WHERE term IN ({term_list}) GROUP BY term
     ), scored AS (
       SELECT tf.doc_id,
-             round(sum(
+             floor((sum(
                ln(1 + (n_docs - df + 0.5) / (df + 0.5))
                * (tf * ({K1} + 1))
                / (tf + {K1} * (1 - {B} + {B} * dl.dl / avgdl))
-             ), 6) AS score
+             )) * power(10, 6) + 0.5001) / power(10, 6) AS score
       FROM tf
       JOIN dft USING (term)
       JOIN dl ON tf.doc_id = dl.doc_id
@@ -108,7 +109,7 @@ def bm25_search_oracle(query: str = DEFAULT_QUERY, k: int = 20) -> str:
       GROUP BY tf.doc_id
     )
     SELECT doc_id, score,
-           round(score / max(score) OVER (), 6) AS norm_score,
+           floor((score / max(score) OVER ()) * power(10, 6) + 0.5001) / power(10, 6) AS norm_score,
            rank
     FROM (
       SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from danae_spark.catalog import load_table, table_path
+from danae_spark.functions.rounding import rnd
 
 
 def events_schema(spark: SparkSession, sf_dir: str):
@@ -55,7 +56,7 @@ def windowed_counts(events: DataFrame, window: str = "10 minutes", watermark: st
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), rnd(F.sum("value"), 4).alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -69,7 +70,7 @@ def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        .agg(F.count("*").alias("n_events"), rnd(F.sum("value"), 4).alias("session_value"))
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
@@ -102,7 +103,7 @@ def windowed_counts_batch(spark: SparkSession, sf_dir: str, window: str = "10 mi
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), rnd(F.sum("value"), 4).alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -117,7 +118,7 @@ WINDOWED_COUNTS_ORACLE = """
     SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 4) AS total_value
+           floor((sum(value)) * power(10, 4) + 0.5001) / power(10, 4) AS total_value
     FROM events
     GROUP BY 1, 2
     ORDER BY window_start, event_type
