@@ -96,6 +96,62 @@ def lsh_bucket_col(emb_col: str, planes: list[list[float]]) -> F.Column:
     return bucket
 
 
+def ann_ivf(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, nprobe: int = 2, stride: int = 100
+) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (every `stride`-th
+    vector is a centroid) partitions vectors into inverted lists; a query
+    probes its `nprobe` nearest centroids' lists and brute-forces only
+    those. The 100 TB shape: centroid count ~ sqrt(N) keeps both the
+    assignment broadcast and the per-list scan bounded; lists are
+    hash-partitioned by centroid id so probe joins are equi-joins."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter((F.col("vec_id") % stride) == 7).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    cos = vectors.pair_cosine_udf()
+
+    def assign(df: DataFrame, id_col: str, emb_col: str, n: int) -> DataFrame:
+        """n nearest centroids per vector (n=1 : list assignment)."""
+        scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+            "c_cos", F.round(cos(emb_col, "c_emb"), 6)
+        )
+        w = W.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("c_rank", F.row_number().over(w))
+            .filter(F.col("c_rank") <= n)
+            .drop("c_emb", "c_cos", "c_rank")
+        )
+
+    lists = assign(
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_vec")),
+        "cand_id",
+        "c_vec",
+        1,
+    )
+    queries = assign(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        ),
+        "query_id",
+        "q_emb",
+        nprobe,
+    )
+    pairs = (
+        queries.join(lists, "centroid_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", F.round(cos("q_emb", "c_vec"), 6))
+        .select("query_id", "cand_id", "cosine")
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """Top-k cosine neighbors restricted to the query's LSH bucket."""
     planes = _hyperplanes()

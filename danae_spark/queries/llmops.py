@@ -51,6 +51,11 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_lsh_bucketed(spark, sf_dir)
 
 
+@register("ann_ivf", oracle=None)  # probe recall is approximate
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.ann_ivf(spark, sf_dir)
+
+
 # ------------------------------------------------------------ text analysis
 
 
