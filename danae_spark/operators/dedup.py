@@ -194,6 +194,67 @@ def dedup_minhash_lsh(
     )
 
     # exact verify restricted to candidates (the at-scale pattern)
+    return _verify_jaccard(sh, candidates, tau).select("d1", "d2", "jaccard").orderBy("d1", "d2")
+
+
+# ------------------------------------------- C3b: MinHash + LSH (md5, oracle)
+
+MD5_MINHASH_K = 8
+MD5_LSH_BANDS = 4  # 4 bands x 2 rows
+
+
+def _md5_hash(i: int) -> F.Column:
+    """Portable 32-bit hash of a shingle: first 8 hex digits of
+    md5(shingle + '#' + i) — identical in Spark (conv base16) and DuckDB
+    (('0x'||hex)::BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, 8), 16, 10
+    ).cast("long")
+
+
+def dedup_minhash_md5(
+    spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
+) -> DataFrame:
+    """Oracle-checkable MinHash+LSH: same banded-candidates + exact-verify
+    plan as dedup_minhash_lsh but with portable md5-derived hashes, so
+    the ENTIRE approximate pipeline (signatures → bands → candidates →
+    verified pairs) is reproduced by the DuckDB oracle. xxhash64 variant
+    remains the faster scale path."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _doc_shingles(docs)
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(_md5_hash(i)).alias(f"mh{i}") for i in range(MD5_MINHASH_K)]
+    )
+    rows_per_band = MD5_MINHASH_K // MD5_LSH_BANDS
+    bands_long = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(MD5_LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    l = bands_long.select(F.col("doc_id").alias("d1"), "band", "key")
+    r = bands_long.select(F.col("doc_id").alias("d2"), "band", "key")
+    candidates = (
+        l.join(r, ["band", "key"]).filter(F.col("d1") < F.col("d2")).select("d1", "d2").distinct()
+    )
+    return _verify_jaccard(sh, candidates, tau).select("d1", "d2", "jaccard").orderBy("d1", "d2")
+
+
+def _verify_jaccard(sh: DataFrame, candidates: DataFrame, tau: float) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("d1"), "shingle")
     b = sh.select(F.col("doc_id").alias("d2"), "shingle")
@@ -212,9 +273,59 @@ def dedup_minhash_lsh(
             rnd(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4),
         )
         .filter(F.col("jaccard") >= tau)
-        .select("d1", "d2", "jaccard")
-        .orderBy("d1", "d2")
     )
+
+
+_SHINGLE_CTE = """
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term,
+             generate_subscripts(string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS pos
+      FROM documents
+    ), w AS (SELECT doc_id, term, pos FROM toks WHERE term <> ''),
+    rn AS (
+      SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+      FROM w
+    ),
+    sh0 AS (
+      SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+      FROM rn a JOIN rn b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                JOIN rn c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+    ), s AS (SELECT DISTINCT doc_id, shingle FROM sh0)
+"""
+
+DEDUP_MINHASH_MD5_ORACLE = f"""
+    WITH {_SHINGLE_CTE},
+    hashed AS (
+      SELECT doc_id, t.i,
+             ('0x' || substr(md5(shingle || '#' || t.i), 1, 8))::BIGINT AS h
+      FROM s, range({MD5_MINHASH_K}) t(i)
+    ),
+    sig AS (SELECT doc_id, i, min(h) AS mh FROM hashed GROUP BY doc_id, i),
+    bands AS (
+      SELECT doc_id, i // 2 AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS key
+      FROM sig GROUP BY doc_id, i // 2
+    ),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN candidates c ON c.d1 = a.doc_id AND c.d2 = b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           floor((inter * 1.0 / (s1.n_sh + s2.n_sh - inter)) * power(10, 4) + 0.5001)
+             / power(10, 4) AS jaccard
+    FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE floor((inter * 1.0 / (s1.n_sh + s2.n_sh - inter)) * power(10, 4) + 0.5001)
+             / power(10, 4) >= {JACCARD_TAU}
+    ORDER BY d1, d2
+    """
 
 
 # --------------------------------------------------------------- C4: SimHash

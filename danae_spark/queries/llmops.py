@@ -28,6 +28,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_minhash_lsh(spark, sf_dir)
 
 
+@register("dedup_minhash_md5", oracle=dedup.DEDUP_MINHASH_MD5_ORACLE)
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_minhash_md5(spark, sf_dir)
+
+
 @register("dedup_simhash", oracle=None)  # xxhash64-based, rows-only
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_simhash(spark, sf_dir)
