@@ -114,7 +114,7 @@ def ann_ivf(
     def assign(df: DataFrame, id_col: str, emb_col: str, n: int) -> DataFrame:
         """n nearest centroids per vector (n=1 : list assignment)."""
         scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-            "c_cos", F.round(cos(emb_col, "c_emb"), 6)
+            "c_cos", rnd(cos(emb_col, "c_emb"), 6)
         )
         w = W.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
         return (
@@ -140,7 +140,7 @@ def ann_ivf(
     pairs = (
         queries.join(lists, "centroid_id")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", F.round(cos("q_emb", "c_vec"), 6))
+        .withColumn("cosine", rnd(cos("q_emb", "c_vec"), 6))
         .select("query_id", "cand_id", "cosine")
         .distinct()
     )
@@ -150,6 +150,81 @@ def ann_ivf(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def _cos6_sql(a: str, b: str) -> str:
+    cos = (
+        f"list_dot_product({a}.embedding::DOUBLE[], {b}.embedding::DOUBLE[]) /"
+        f" (sqrt(list_dot_product({a}.embedding::DOUBLE[], {a}.embedding::DOUBLE[])) *"
+        f"  sqrt(list_dot_product({b}.embedding::DOUBLE[], {b}.embedding::DOUBLE[])))"
+    )
+    return f"floor(({cos}) * 1000000.0 + 0.5001) / 1000000.0"
+
+
+def ann_ivf_oracle(k: int = TOP_K, nprobe: int = 2, stride: int = 100) -> str:
+    """DuckDB reproduction of the full IVF pipeline (quantizer →
+    inverted lists → probes → in-list top-k)."""
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding FROM embeddings
+      WHERE vec_id % {stride} = 7
+    ),
+    cand_assign AS (
+      SELECT e.vec_id AS cand_id, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_cos6_sql('e', 'c')} DESC, c.centroid_id) AS rk
+      FROM embeddings e, cents c
+    ),
+    lists AS (SELECT cand_id, centroid_id FROM cand_assign WHERE rk = 1),
+    probes AS (
+      SELECT q.vec_id AS query_id, c.centroid_id,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_cos6_sql('q', 'c')} DESC, c.centroid_id) AS rk
+      FROM embeddings q, cents c WHERE q.vec_id < {N_QUERIES}
+    ),
+    pairs AS (
+      SELECT DISTINCT p.query_id, l.cand_id, {_cos6_sql('qe', 'ce')} AS cosine
+      FROM probes p
+      JOIN lists l USING (centroid_id)
+      JOIN embeddings qe ON qe.vec_id = p.query_id
+      JOIN embeddings ce ON ce.vec_id = l.cand_id
+      WHERE p.rk <= {nprobe} AND p.query_id <> l.cand_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rank
+      FROM pairs
+    ) WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+def ann_lsh_oracle(k: int = TOP_K) -> str:
+    """DuckDB reproduction of the hyperplane-LSH pipeline; the fixed-seed
+    planes are inlined as literal arrays."""
+    planes = _hyperplanes()
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e.embedding::DOUBLE[],"
+        f" {coeffs}::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, coeffs in enumerate(planes)
+    )
+    return f"""
+    WITH buckets AS (
+      SELECT e.vec_id, e.embedding, {bucket_terms} AS bucket FROM embeddings e
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS cand_id,
+             {_cos6_sql('q', 'c')} AS cosine
+      FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, bucket, cand_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rank
+      FROM pairs
+    ) WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
 
 
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:

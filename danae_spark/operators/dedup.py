@@ -337,7 +337,9 @@ HAMMING_MAX = 6
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """48-bit SimHash per doc: token-frequency-weighted signed projection.
     48 bits (not 64) keeps the packed value inside a signed long under
-    ANSI arithmetic."""
+    ANSI arithmetic. The term hash is a portable md5 prefix (12 hex
+    chars = 48 bits) so the DuckDB oracle reproduces signatures exactly;
+    switch to xxhash64 for raw throughput at scale."""
     toks = docs.select(
         "doc_id",
         F.explode(F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")).alias(
@@ -345,7 +347,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         ),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    h = F.xxhash64("term")
+    h = F.conv(F.substring(F.md5("term"), 1, 12), 16, 10).cast("long")
     bit_sums = tf.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -395,6 +397,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_MAX)
     )
     return pairs.select("d1", "d2", "hamming").orderBy("d1", "d2")
+
+
+DEDUP_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+      GROUP BY doc_id, term
+    ),
+    hashed AS (
+      SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 12))::BIGINT AS h FROM tf
+    ),
+    bit_sums AS (
+      SELECT doc_id, b.i AS bit,
+             sum(tf * (((h >> b.i::INT) & 1) * 2 - 1)) AS s
+      FROM hashed, range({SIMHASH_BITS}) b(i)
+      GROUP BY doc_id, b.i
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN power(2, bit) ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM bit_sums GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, simhash, b.i AS band,
+             (simhash >> (b.i::INT * 12)) & 4095 AS key
+      FROM sigs, range(4) b(i)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             a.simhash AS h1, b.simhash AS h2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2, bit_count(xor(h1, h2)) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(h1, h2)) <= {HAMMING_MAX}
+    ORDER BY d1, d2
+    """
 
 
 # ---------------------------------------------------- C5: embedding cosine

@@ -197,7 +197,9 @@ BOTTOM_K = 4
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k sketch of rolling char-8-gram hashes (winnowing-style
     fingerprint; two docs sharing fingerprint values share content
-    regions). xxhash64-based → deterministic, rows-only check."""
+    regions). Hashes are portable md5-prefix ints so the DuckDB oracle
+    reproduces the sketch exactly; swap in xxhash64 for raw speed at
+    scale (same plan shape)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     grams = docs.select(
         "doc_id",
@@ -208,7 +210,8 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     ).filter(F.length("text") >= GRAM_CHARS)
-    hashed = grams.select("doc_id", F.xxhash64("gram").alias("h")).distinct()
+    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+    hashed = grams.select("doc_id", h.alias("h")).distinct()
     w = W.partitionBy("doc_id").orderBy("h")
     bottom = hashed.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= BOTTOM_K)
     return (
@@ -221,3 +224,27 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def doc_fingerprint_oracle() -> str:
+    return f"""
+    WITH grams AS (
+      -- fixed-bound position table (docs cap out well under 4096 chars);
+      -- duckdb's range() can't take lateral column bounds
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(substr(text, t.i::INT, {GRAM_CHARS})), 1, 8))::BIGINT AS h
+      FROM documents, range(1, 4096) t(i)
+      WHERE length(text) >= {GRAM_CHARS}
+        AND t.i <= length(text) - {GRAM_CHARS} + 1
+    ), ranked AS (
+      SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rk
+      FROM grams
+    )
+    SELECT doc_id,
+           max(CASE WHEN rk = 1 THEN h END) AS fp1,
+           max(CASE WHEN rk = 2 THEN h END) AS fp2,
+           max(CASE WHEN rk = 3 THEN h END) AS fp3,
+           max(CASE WHEN rk = 4 THEN h END) AS fp4
+    FROM ranked WHERE rk <= {BOTTOM_K}
+    GROUP BY doc_id ORDER BY doc_id
+    """

@@ -33,7 +33,7 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_minhash_md5(spark, sf_dir)
 
 
-@register("dedup_simhash", oracle=None)  # xxhash64-based, rows-only
+@register("dedup_simhash", oracle=dedup.DEDUP_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_simhash(spark, sf_dir)
 
@@ -51,12 +51,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_cosine_topk(spark, sf_dir)
 
 
-@register("ann_lsh_bucketed", oracle=None)  # bucket recall is approximate
+@register("ann_lsh_bucketed", oracle=ann.ann_lsh_oracle())
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_lsh_bucketed(spark, sf_dir)
 
 
-@register("ann_ivf", oracle=None)  # probe recall is approximate
+@register("ann_ivf", oracle=ann.ann_ivf_oracle())
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_ivf(spark, sf_dir)
 
@@ -79,7 +79,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_count(spark, sf_dir)
 
 
-@register("doc_fingerprint", oracle=None)  # xxhash64-based, rows-only
+@register("doc_fingerprint", oracle=textstats.doc_fingerprint_oracle())
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.doc_fingerprint(spark, sf_dir)
 
