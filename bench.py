@@ -33,6 +33,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "metadata_search_bm25",
     "profile_numeric",
+    "funnel_conversion",
+    "retention_cohorts",
+    "dedup_minhash_md5",
+    "ann_ivf",
 ]
 
 

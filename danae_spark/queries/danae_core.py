@@ -142,6 +142,16 @@ def dataset_matching_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matching.dataset_matching_scores(spark, sf_dir)
 
 
+@register("dataset_search_topk", oracle=None)  # contains bipartite matching
+def dataset_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end combined dataset search (search/engine.py): the
+    reference's CombinedSearcher.search answered for every lake dataset
+    in one batch plan."""
+    from danae_spark.search import engine
+
+    return engine.dataset_search(spark, sf_dir)
+
+
 @register("metadata_search_bm25", oracle=metadata.bm25_search_oracle())
 def metadata_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metadata.bm25_search(spark, sf_dir)

@@ -705,6 +705,96 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- B20: funnel conversion
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
+           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS step_click,
+           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    AND t_purchase > t_click THEN 1 ELSE 0 END) AS step_purchase
+    FROM steps
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase: per-user earliest step times in
+    one conditional aggregation (no self-joins), then ordered-progression
+    counts. One shuffle on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    first = F.min
+    steps = e.groupBy("user_id").agg(
+        first(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        first(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        first(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & (F.col("t_click") > F.col("t_view"))
+    reached_purchase = reached_click & (F.col("t_purchase") > F.col("t_click"))
+    return steps.agg(
+        F.count("*").alias("n_users"),
+        F.sum(reached_view.cast("int")).alias("step_view"),
+        F.sum(reached_click.cast("int")).alias("step_click"),
+        F.sum(reached_purchase.cast("int")).alias("step_purchase"),
+    )
+
+
+# ------------------------------------------------- B21: retention cohorts
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(time_bucket(INTERVAL 1 DAY, ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, time_bucket(INTERVAL 1 DAY, e.ts))
+               AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, day_offset, count(*) AS n_active
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-cohort retention: users grouped by first-seen day, counted
+    on each subsequent active day (first week). The firsts table is
+    user-count-sized → broadcast back onto events."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 # ------------------------------------------------- B13: stream window parity
 
 

@@ -1,0 +1,112 @@
+"""End-to-end dataset similarity search — the engine's headline API.
+
+Reference parity: `search/main_flask.py` (train once, then
+`CombinedSearcher.search(ids, k, L, M)` → ranked similar datasets with
+content/metadata/overall scores and per-column matchings). Re-expressed
+as one batch plan over the lake:
+
+1. ingest: per-column signatures for every table (numeric + temporal
+   quantile vectors — profiling pass, computed once).
+2. content: per query column, M nearest candidate columns across the
+   lake, `exp(-decay·dist/kth)` similarity (knn.py), then per candidate
+   dataset an exact max-weight bipartite matching score (matching.py).
+3. metadata: BM25 relevance of candidate catalog text (dataset name +
+   column names standing in for title/keywords) against the query
+   dataset's text.
+4. combined: `w_c·content + w_m·metadata`, top-k.
+
+The reference answers one query dataset at a time against an in-memory
+R-tree + Elasticsearch; here the same search for EVERY query dataset is
+a single DataFrame job (signatures are tiny — they scale with schema
+count, not data volume — so at 100 TB this stays a broadcast-sized
+problem fed by one profiling pass over the data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from danae_spark.functions.rounding import rnd
+from danae_spark.search.knn import content_similarity
+from danae_spark.search.matching import dataset_matching_scores
+
+W_CONTENT = 0.6
+W_METADATA = 0.4
+
+
+def _catalog_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata text per dataset: name + column names (the lake tables
+    carry no title/keywords; schema text is the equivalent searchable
+    surface)."""
+    from danae_spark.catalog import TABLES, load_table
+
+    rows = []
+    for t in TABLES:
+        cols = load_table(spark, sf_dir, t).columns
+        rows.append((t, t + " " + " ".join(cols)))
+    return spark.createDataFrame(rows, "dataset string, meta_text string")
+
+
+def _metadata_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise token-overlap (Jaccard) of catalog text — the
+    metadata-relevance component normalized to [0,1] like the
+    reference's score/max_score (metadata_search.py:46)."""
+    cat = _catalog_text(spark, sf_dir).select(
+        "dataset",
+        F.expr(
+            "filter(array_distinct(split(lower(meta_text), '[^a-z0-9]+')), t -> t <> '')"
+        ).alias("toks"),
+    )
+    a = cat.select(F.col("dataset").alias("q_table"), F.col("toks").alias("q_toks"))
+    b = cat.select(F.col("dataset").alias("cand_table"), F.col("toks").alias("c_toks"))
+    inter = F.size(F.array_intersect("q_toks", "c_toks"))
+    union = F.size(F.array_union("q_toks", "c_toks"))
+    return (
+        a.join(F.broadcast(b), F.col("q_table") != F.col("cand_table"))
+        .select(
+            "q_table",
+            "cand_table",
+            rnd(inter / union, 6).alias("metadata_score"),
+        )
+    )
+
+
+def dataset_search(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    w_content: float = W_CONTENT,
+    w_metadata: float = W_METADATA,
+) -> DataFrame:
+    """Top-k similar datasets for EVERY dataset in the lake, with
+    content/metadata/overall scores (CombinedSearcher.search for all
+    queries at once)."""
+    content = dataset_matching_scores(spark, sf_dir).select(
+        "q_table", "cand_table", F.col("match_score").alias("content_score")
+    )
+    meta = _metadata_scores(spark, sf_dir)
+    scored = (
+        content.join(meta, ["q_table", "cand_table"], "full_outer")
+        .select(
+            "q_table",
+            "cand_table",
+            F.coalesce("content_score", F.lit(0.0)).alias("content_score"),
+            F.coalesce("metadata_score", F.lit(0.0)).alias("metadata_score"),
+        )
+        .withColumn(
+            "overall_score",
+            rnd(
+                F.lit(w_content) * F.col("content_score")
+                + F.lit(w_metadata) * F.col("metadata_score"),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("q_table").orderBy(F.desc("overall_score"), F.asc("cand_table"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("q_table", "rank")
+    )

@@ -1,0 +1,46 @@
+"""Multimodal plumbing: batch shapes, schemas, determinism of the
+stubbed decode pipeline."""
+
+from __future__ import annotations
+
+import pytest
+
+from danae_spark.multimodal import transforms
+from danae_spark.multimodal.binary import decode_image
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        transforms._require_codecs()
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_resize_schema_and_determinism(spark, sf_dir):
+    p = transforms.document_payloads(spark, sf_dir)
+    out1 = {r["doc_id"]: r["content_hash"] for r in transforms.resize_images(p).collect()}
+    out2 = {r["doc_id"]: r["content_hash"] for r in transforms.resize_images(p).collect()}
+    assert out1 == out2
+    assert len(out1) == p.count()
+
+
+def test_frame_sampling_explodes_rows(spark, sf_dir):
+    p = transforms.document_payloads(spark, sf_dir)
+    n = p.count()
+    frames = transforms.sample_frames(p, n_frames=4)
+    assert frames.count() == 4 * n
+    one = frames.filter("doc_id = 0").collect()
+    assert sorted(r["frame_index"] for r in one) == [0, 1, 2, 3]
+    offs = [r["frame_offset_bytes"] for r in sorted(one, key=lambda r: r["frame_index"])]
+    assert offs == sorted(offs)
+
+
+def test_features_normalized(spark, sf_dir):
+    p = transforms.document_payloads(spark, sf_dir)
+    feats = transforms.extract_features(p).collect()
+    by_doc = {}
+    for r in feats:
+        by_doc.setdefault(r["doc_id"], 0.0)
+        by_doc[r["doc_id"]] += r["feature"]
+    for doc, total in by_doc.items():
+        assert total == pytest.approx(1.0, abs=1e-3)

@@ -1,0 +1,86 @@
+"""Cross-engine parity fuzzing: the primitives every oracle relies on
+(tokenization regex, canonical rounding, md5-prefix hashing) must agree
+between Spark and DuckDB on adversarial inputs — not just on the
+testdata distribution."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from danae_spark.functions.rounding import rnd
+
+
+def _fuzz_strings(n=300):
+    rng = random.Random(7)
+    alphabet = "abc XYZ 012.,;:!?-_#@\t\né中 "
+    out = ["", " ", "a", "...", "a b  c", "1a2b", "中文 text"]
+    while len(out) < n:
+        out.append("".join(rng.choice(alphabet) for _ in range(rng.randint(1, 40))))
+    return out
+
+
+def test_tokenizer_parity_fuzz(spark):
+    strings = _fuzz_strings()
+    sdf = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "id int, s string")
+    spark_toks = {
+        r["id"]: r["toks"]
+        for r in sdf.select(
+            "id",
+            F.expr("filter(split(lower(s), '[^a-z0-9]+'), t -> t <> '')").alias("toks"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    duck_toks = {}
+    for i, s in enumerate(strings):
+        (toks,) = con.execute(
+            "SELECT list_filter(string_split_regex(lower(?), '[^a-z0-9]+'), t -> t <> '')",
+            [s],
+        ).fetchone()
+        duck_toks[i] = toks
+    assert spark_toks == duck_toks
+
+
+def test_rounding_parity_fuzz(spark):
+    rng = random.Random(11)
+    # adversarial values: exact decimal ties at every rounding digit
+    values = [307843.595, 0.5, -0.5, 2.675, 1.0005, 0.1063835, -17.025]
+    values += [round(rng.uniform(-1e6, 1e6), rng.randint(0, 6)) for _ in range(200)]
+    for d in (2, 4, 6):
+        sdf = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "id int, v double")
+        s_out = {
+            r["id"]: r["r"] for r in sdf.select("id", rnd(F.col("v"), d).alias("r")).collect()
+        }
+        con = duckdb.connect()
+        scale = float(10**d)
+        d_out = {}
+        for i, v in enumerate(values):
+            (r,) = con.execute(
+                f"SELECT floor(? * {scale} + 0.5001) / {scale}", [v]
+            ).fetchone()
+            d_out[i] = r
+        for i in s_out:
+            assert s_out[i] == d_out[i] or (
+                math.isnan(s_out[i]) and math.isnan(d_out[i])
+            ), (i, values[i], d, s_out[i], d_out[i])
+
+
+def test_md5_prefix_hash_parity_fuzz(spark):
+    strings = [s for s in _fuzz_strings(100) if s]
+    sdf = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "id int, s string")
+    s_out = {
+        r["id"]: r["h"]
+        for r in sdf.select(
+            "id",
+            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(strings):
+        (h,) = con.execute("SELECT ('0x' || substr(md5(?), 1, 8))::BIGINT", [s]).fetchone()
+        assert s_out[i] == h, (s, s_out[i], h)
