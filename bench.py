@@ -53,10 +53,14 @@ def main() -> None:
     for name in HEADLINE:
         if name not in registry:
             continue
-        t0 = time.time()
-        df = registry[name].fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _ in range(2):  # min-of-2: absorbs codegen warm-up + host noise
+            t0 = time.time()
+            df = registry[name].fn(spark, sf_dir)
+            n = df.count()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

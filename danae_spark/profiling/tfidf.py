@@ -101,6 +101,74 @@ def categorical_topk_oracle(
     """
 
 
+def categorical_topk_tfidf(
+    spark: SparkSession,
+    sf_dir: str,
+    cols: tuple[tuple[str, str], ...] = CATEGORICAL_PROFILE_COLS,
+    k: int = 10,
+    rounding: int = 6,
+) -> DataFrame:
+    """Top-k terms per categorical column by tf-idf (fetch_top_k tf=False:
+    `(term_freq / ttf) * ln(N / doc_freq)` where each COLUMN is a
+    document and the lake's profiled columns are the corpus)."""
+    parts = []
+    for t, c in cols:
+        df = load_table(spark, sf_dir, t).select(F.col(c).alias("val"))
+        toks = tokenize(df, "val").select(
+            F.concat_ws(".", F.lit(t), F.lit(c)).alias("col_id"), "term"
+        )
+        parts.append(toks)
+    all_toks = parts[0]
+    for p in parts[1:]:
+        all_toks = all_toks.unionByName(p)
+    tf = all_toks.groupBy("col_id", "term").agg(F.count("*").alias("tf"))
+    corpus = tf.groupBy("term").agg(F.sum("tf").alias("ttf"), F.count("*").alias("df"))
+    n_cols = F.lit(len(cols))
+    scored = tf.join(F.broadcast(corpus), "term").withColumn(
+        "tfidf",
+        rnd((F.col("tf") / F.col("ttf")) * F.log(n_cols / F.col("df")), rounding),
+    )
+    w = W.partitionBy("col_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("col_id", "term", "tf", "tfidf", "rank")
+        .orderBy("col_id", "rank")
+    )
+
+
+def categorical_topk_tfidf_oracle(
+    cols: tuple[tuple[str, str], ...] = CATEGORICAL_PROFILE_COLS,
+    k: int = 10,
+    rounding: int = 6,
+) -> str:
+    branches = [
+        f"""
+    SELECT '{t}.{c}' AS col_id, term
+    FROM (SELECT unnest(string_split_regex(lower({c}), '[^a-z0-9]+')) AS term FROM {t})
+    WHERE term <> ''"""
+        for t, c in cols
+    ]
+    union = " UNION ALL ".join(branches)
+    return f"""
+    WITH toks AS ({union}),
+    tf AS (SELECT col_id, term, count(*) AS tf FROM toks GROUP BY col_id, term),
+    corpus AS (SELECT term, sum(tf) AS ttf, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT col_id, term, tf,
+             floor(((tf * 1.0 / ttf) * ln({len(cols)} * 1.0 / df)) * power(10, {rounding})
+                   + 0.5001) / power(10, {rounding}) AS tfidf
+      FROM tf JOIN corpus USING (term)
+    )
+    SELECT col_id, term, tf, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY col_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    ORDER BY col_id, rank
+    """
+
+
 def tfidf_topk(
     spark: SparkSession, sf_dir: str, k: int = 5, rounding: int = 6
 ) -> DataFrame:

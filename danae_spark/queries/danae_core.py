@@ -162,6 +162,61 @@ def combined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return combined.combined_topk(spark, sf_dir)
 
 
+# --------------------------------------------- A5b: tf-idf column top-k
+
+
+@register("profile_categorical_topk_tfidf", oracle=tfidf.categorical_topk_tfidf_oracle())
+def profile_categorical_topk_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fetch_top_k tf=False mode (filters.py:152): column top-k terms by
+    corpus tf-idf instead of raw frequency."""
+    return tfidf.categorical_topk_tfidf(spark, sf_dir)
+
+
+# ------------------------------------------------ A15: similarity graph
+
+_SIM_GRAPH_TAU = 0.35
+
+_SIM_GRAPH_ORACLE = f"""
+    WITH cos AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    edges AS (
+      SELECT v1, v2 FROM cos
+      WHERE floor(c * power(10, 6) + 0.5001) / power(10, 6) >= {_SIM_GRAPH_TAU}
+    ),
+    degree AS (
+      SELECT v, count(*) AS degree FROM (
+        SELECT v1 AS v FROM edges UNION ALL SELECT v2 AS v FROM edges
+      ) GROUP BY v
+    )
+    SELECT degree, count(*) AS n_nodes
+    FROM degree GROUP BY degree ORDER BY degree
+    """
+
+
+@register("similarity_graph_degree", oracle=_SIM_GRAPH_ORACLE)
+def similarity_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-graph shape (ui/dataset_graph.py renders the dataset
+    similarity graph; this computes its degree distribution over the
+    embedding-cosine edge set — the engine-side analytics behind it)."""
+    from pyspark.sql import functions as F
+
+    from danae_spark.operators import dedup
+
+    edges = dedup.dedup_embedding_cosine(spark, sf_dir, tau=_SIM_GRAPH_TAU)
+    nodes = edges.select(F.col("v1").alias("v")).unionAll(
+        edges.select(F.col("v2").alias("v"))
+    )
+    deg = nodes.groupBy("v").agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy("degree").agg(F.count("*").alias("n_nodes")).orderBy("degree")
+    )
+
+
 # ------------------------------------------------------ A13: column embedding
 
 
