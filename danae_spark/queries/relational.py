@@ -705,6 +705,101 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- B22: cube aggregation
+
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           floor((sum(l_quantity)) * power(10, 2) + 0.5001) / power(10, 2) AS total_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(rnd(F.sum("l_quantity"), 2).alias("total_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "total_qty",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# ---------------------------------------------- B23: time-range window frame
+
+
+@register(
+    "sliding_hour_user_value",
+    oracle="""
+    SELECT event_id, user_id,
+           floor((sum(value) OVER (
+             PARTITION BY user_id ORDER BY floor(epoch(ts))
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           )) * power(10, 4) + 0.5001) / power(10, 4) AS hour_value,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY floor(epoch(ts))
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS hour_events
+    FROM events
+    WHERE user_id <= 20
+    ORDER BY event_id
+    """,
+)
+def sliding_hour_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frame: per event, the trailing-hour sum and
+    count for that user — a range frame over epoch seconds, not a row
+    frame, so simultaneous events share a frame."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.floor(F.col("ts").cast("double")).cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            rnd(F.sum("value").over(w), 4).alias("hour_value"),
+            F.count("*").over(w).alias("hour_events"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------- B24: fuzzy string matching
+
+
+@register(
+    "fuzzy_name_match",
+    oracle="""
+    SELECT c_custkey, c_name,
+           levenshtein(c_name, 'Customer#000000042') AS edit_dist
+    FROM customer
+    WHERE levenshtein(c_name, 'Customer#000000042') <= 2
+    ORDER BY edit_dist, c_custkey
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (entity-resolution building block)."""
+    c = load_table(spark, sf_dir, "customer")
+    dist = F.levenshtein(F.col("c_name"), F.lit("Customer#000000042"))
+    return (
+        c.select("c_custkey", "c_name", dist.alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 2)
+        .orderBy("edit_dist", "c_custkey")
+    )
+
+
 # ------------------------------------------------- B20: funnel conversion
 
 
