@@ -60,6 +60,9 @@ def _extract_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payloads (UTF-8 document bytes standing in for media blobs)
     → metadata extraction via mapInPandas."""
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )

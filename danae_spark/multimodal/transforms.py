@@ -115,6 +115,9 @@ def document_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTF-8 document bytes standing in for media blobs, repartitioned by
     payload hash so decode work spreads evenly regardless of source
     file layout."""
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )

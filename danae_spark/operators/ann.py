@@ -31,6 +31,9 @@ DIM = 64
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -105,6 +108,9 @@ def ann_ivf(
     those. The 100 TB shape: centroid count ~ sqrt(N) keeps both the
     assignment broadcast and the per-list scan bounded; lists are
     hash-partitioned by centroid id so probe joins are equi-joins."""
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids = emb.filter((F.col("vec_id") % stride) == 7).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
@@ -229,6 +235,9 @@ def ann_lsh_oracle(k: int = TOP_K) -> str:
 
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """Top-k cosine neighbors restricted to the query's LSH bucket."""
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     planes = _hyperplanes()
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", lsh_bucket_col("embedding", planes).alias("bucket")

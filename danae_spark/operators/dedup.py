@@ -449,6 +449,9 @@ COSINE_TAU = 0.4
 def dedup_embedding_cosine(
     spark: SparkSession, sf_dir: str, tau: float = COSINE_TAU
 ) -> DataFrame:
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
     b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))

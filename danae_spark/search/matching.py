@@ -52,6 +52,9 @@ def _max_weight_matching(qcols: list, ccols: list, weights: dict) -> tuple[float
 def dataset_matching_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score every (query_table, candidate_table) pair by max-weight
     matching over their column similarities."""
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)  # pandas-UDF closure needs the package on workers
     sims = content_similarity(spark, sf_dir).select(
         "q_table", "q_column", "cand_table", "cand_column", "sim"
     )
