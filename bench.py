@@ -35,8 +35,8 @@ HEADLINE = [
     "profile_numeric",
     "funnel_conversion",
     "retention_cohorts",
-    "dedup_minhash_md5",
     "ann_ivf",
+    "dq_checks",
 ]
 
 

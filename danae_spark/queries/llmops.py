@@ -84,6 +84,97 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.doc_fingerprint(spark, sf_dir)
 
 
+# ----------------------------------------------------- deterministic sampling
+
+_SAMPLE_ORACLE = """
+    SELECT source, count(*) AS n_sampled,
+           floor((avg(n_chars)) * power(10, 4) + 0.5001) / power(10, 4) AS avg_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 10 = 0
+    GROUP BY source ORDER BY source
+    """
+
+
+@register("deterministic_sample", oracle=_SAMPLE_ORACLE)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash sampling (~10%): the training-data-pipeline sampling
+    primitive — reproducible across runs/engines/cluster sizes because
+    membership depends only on content, never on partitioning or RNG
+    state (unlike df.sample)."""
+    from pyspark.sql import functions as F
+
+    from danae_spark.catalog import load_table
+    from danae_spark.functions.rounding import rnd
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 10
+    return (
+        docs.filter(bucket == 0)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            rnd(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------- data-quality checks
+
+_DQ_ORACLE = """
+    SELECT 'orders_orphan_custkey' AS check_name, count(*) AS n_bad
+    FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey', count(*)
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_orphan_partkey', count(*)
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem_null_qty', count(*) FROM lineitem WHERE l_quantity IS NULL
+    UNION ALL
+    SELECT 'orders_negative_price', count(*) FROM orders WHERE o_totalprice < 0
+    ORDER BY check_name
+    """
+
+
+@register("dq_checks", oracle=_DQ_ORACLE)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline data-quality gate: referential-integrity and constraint
+    violations across the star schema, each an anti-join or filter count
+    (dims broadcast; one pass per fact table)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from danae_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+
+    def count_df(name, df):
+        return df.agg(F.count("*").alias("n_bad")).select(
+            F.lit(name).alias("check_name"), "n_bad"
+        )
+
+    checks = [
+        count_df(
+            "orders_orphan_custkey", o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        ),
+        count_df(
+            "lineitem_orphan_orderkey", l.join(o, l.l_orderkey == o.o_orderkey, "left_anti")
+        ),
+        count_df(
+            "lineitem_orphan_partkey", l.join(p, l.l_partkey == p.p_partkey, "left_anti")
+        ),
+        count_df("lineitem_null_qty", l.filter(F.col("l_quantity").isNull())),
+        count_df("orders_negative_price", o.filter(F.col("o_totalprice") < 0)),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), checks).orderBy("check_name")
+
+
 # --------------------------------------------------------------- multimodal
 
 
