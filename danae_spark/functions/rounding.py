@@ -37,3 +37,93 @@ def rnd(col: Column | str, d: int) -> Column:
 def rnd_sql(expr: str, d: int) -> str:
     scale = float(10**d)
     return f"floor(({expr}) * {scale} + {0.5 + EPS}) / {scale}"
+
+
+# --------------------------------------------------------------------------
+# Exact (order-independent) aggregate sums.
+#
+# The 1e-4 epsilon above absorbs fp noise ONLY while the accumulated
+# summation error stays below 1e-4 in the scaled domain. For sums of
+# non-integer doubles over ~1e5+ rows that no longer holds: Spark's
+# partial-aggregation order varies run to run (and differs from DuckDB's),
+# so a sum whose exact value lands a half-tie can round differently per
+# run — exactly the driver-hash flakiness seen on profile_numeric.
+#
+# Fix: sum in DECIMAL. Each input double is cast to DECIMAL(28,6) — a
+# deterministic nearest-rounding both engines perform identically (exact
+# decimal half-ties are not representable as doubles, so ties never
+# occur) — and decimal addition is exact and associative, so the sum is
+# bit-identical regardless of partition order and engine. The final
+# cast back to double and any divisions are single IEEE operations on
+# identical inputs → identical everywhere.
+#
+# Scale note (100 TB): decimal aggregation costs ~2× a double sum; it is
+# the determinism/oracle mode. The throughput path keeps plain double
+# sums and reports to looser precision.
+# --------------------------------------------------------------------------
+
+DSCALE = 6  # decimal digits kept from each input value
+
+
+def dsum(col: Column | str, agg=None) -> Column:
+    """Order-independent sum: decimal(28,6)-exact, returned as double.
+
+    `agg` lets callers use the same cast under a window spec:
+    ``dsum("x", lambda c: F.sum(c).over(w))``.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    agg = agg if agg is not None else F.sum
+    return agg(col.cast(f"decimal(28,{DSCALE})")).cast("double")
+
+
+def dsum_sql(expr: str, over: str = "") -> str:
+    return f"CAST(sum(CAST(({expr}) AS DECIMAL(28,{DSCALE}))) {over} AS DOUBLE)"
+
+
+def davg(col: Column | str) -> Column:
+    """Order-independent mean: exact decimal sum, one double division."""
+    col = F.col(col) if isinstance(col, str) else col
+    return dsum(col) / F.count(col)
+
+
+def davg_sql(expr: str) -> str:
+    return f"({dsum_sql(expr)} / count({expr}))"
+
+
+def dsumsq(col: Column | str) -> Column:
+    """Order-independent sum of squares (for variance/stddev).
+
+    Squares are formed in decimal so they stay exact: decimal(18,6) ×
+    decimal(18,6) → decimal(37,12) lossless in Spark, decimal(36,12) in
+    DuckDB — identical values, exact associative sums. Requires
+    |value| < 1e12."""
+    col = F.col(col) if isinstance(col, str) else col
+    c6 = col.cast(f"decimal(18,{DSCALE})")
+    return F.sum(c6 * c6).cast("double")
+
+
+def dsumsq_sql(expr: str) -> str:
+    # DuckDB stores DECIMAL(18) in int64, so the square must be formed at
+    # int128 width: (28,6)×(28,6) → DECIMAL(38,12), exact. Spark instead
+    # needs (18,6)×(18,6) → (37,12) to stay ≤38 digits without scale
+    # truncation. Same 6-dp inputs, both exact → identical sums.
+    c6 = f"CAST(({expr}) AS DECIMAL(28,{DSCALE}))"
+    return f"CAST(sum({c6} * {c6}) AS DOUBLE)"
+
+
+def dstd(col: Column | str) -> Column:
+    """Order-independent sample stddev from exact decimal sums:
+    sqrt((Σx² − (Σx)²/n) / (n−1)) — every double op is a single IEEE
+    operation on engine-identical inputs."""
+    col = F.col(col) if isinstance(col, str) else col
+    n = F.count(col)
+    s1 = dsum(col)
+    var = (dsumsq(col) - s1 * s1 / n) / (n - F.lit(1))
+    return F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
+
+
+def dstd_sql(expr: str) -> str:
+    n = f"count({expr})"
+    s1 = dsum_sql(expr)
+    var = f"(({dsumsq_sql(expr)} - {s1} * {s1} / {n}) / ({n} - 1))"
+    return f"CASE WHEN {n} > 1 THEN sqrt(greatest({var}, 0.0)) END"

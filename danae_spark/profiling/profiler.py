@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from danae_spark.catalog import load_table
 from danae_spark.profiling.types import NUMERIC, columns_of_class
-from danae_spark.functions.rounding import rnd
+from danae_spark.functions.rounding import davg, davg_sql, dstd, dstd_sql, rnd, rnd_sql
 
 # lake tables with at least one numeric column worth profiling
 NUMERIC_PROFILE_TABLES = ("lineitem", "orders", "customer", "supplier", "part", "events")
@@ -54,8 +54,13 @@ def profile_table_numeric(df: DataFrame, table: str, exact: bool = True) -> Data
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__n_null"),
             F.min(col).cast("double").alias(f"{c}__min_v"),
             F.max(col).cast("double").alias(f"{c}__max_v"),
-            rnd(F.avg(col), 4).alias(f"{c}__avg_v"),
-            rnd(F.stddev(col), 4).alias(f"{c}__std_v"),
+            # avg/std from EXACT decimal sums: plain double aggregation is
+            # order-dependent (Spark's partial-agg order varies run to run),
+            # and a value within accumulated-error of the floor(+0.5001)
+            # boundary flips the last digit under the driver's value hash —
+            # the r1 profile_numeric failure mode. See rounding.dsum.
+            rnd(davg(col), 4).alias(f"{c}__avg_v"),
+            rnd(dstd(col), 4).alias(f"{c}__std_v"),
         ]
         if not exact:
             aggs.append(F.approx_count_distinct(col).alias(f"{c}__n_distinct"))
@@ -193,8 +198,8 @@ def numeric_profile_oracle(tables: tuple[str, ...] = NUMERIC_PROFILE_TABLES) -> 
            count(DISTINCT {c}) AS n_distinct,
            CAST(min({c}) AS DOUBLE) AS min_v,
            CAST(max({c}) AS DOUBLE) AS max_v,
-           floor((avg({c})) * power(10, 4) + 0.5001) / power(10, 4) AS avg_v,
-           floor((stddev_samp({c})) * power(10, 4) + 0.5001) / power(10, 4) AS std_v
+           {rnd_sql(davg_sql(c), 4)} AS avg_v,
+           {rnd_sql(dstd_sql(c), 4)} AS std_v
     FROM {t}"""
             )
     return " UNION ALL ".join(branches) + " ORDER BY table_name, column_name"

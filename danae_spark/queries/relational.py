@@ -19,23 +19,34 @@ from pyspark.sql import Window as W
 
 from danae_spark.catalog import load_table
 from danae_spark.queries import register
-from danae_spark.functions.rounding import rnd
+from danae_spark.functions.rounding import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    rnd,
+    rnd_sql,
+)
 
 # ---------------------------------------------------------------- B1: TPC-H Q1
 
 
+_Q1_DISC = "l_extendedprice * (1 - l_discount)"
+_Q1_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+
 @register(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           floor((sum(l_quantity)) * power(10, 2) + 0.5001) / power(10, 2)                                        AS sum_qty,
-           floor((sum(l_extendedprice)) * power(10, 2) + 0.5001) / power(10, 2)                                   AS sum_base_price,
-           floor((sum(l_extendedprice * (1 - l_discount))) * power(10, 2) + 0.5001) / power(10, 2)                AS sum_disc_price,
-           floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * power(10, 2) + 0.5001) / power(10, 2)  AS sum_charge,
-           floor((avg(l_quantity)) * power(10, 4) + 0.5001) / power(10, 4)                                        AS avg_qty,
-           floor((avg(l_extendedprice)) * power(10, 4) + 0.5001) / power(10, 4)                                   AS avg_price,
-           floor((avg(l_discount)) * power(10, 4) + 0.5001) / power(10, 4)                                        AS avg_disc,
-           count(*)                                                         AS count_order
+           {rnd_sql(dsum_sql('l_quantity'), 2)}       AS sum_qty,
+           {rnd_sql(dsum_sql('l_extendedprice'), 2)}  AS sum_base_price,
+           {rnd_sql(dsum_sql(_Q1_DISC), 2)}           AS sum_disc_price,
+           {rnd_sql(dsum_sql(_Q1_CHARGE), 2)}         AS sum_charge,
+           {rnd_sql(davg_sql('l_quantity'), 4)}       AS avg_qty,
+           {rnd_sql(davg_sql('l_extendedprice'), 4)}  AS avg_price,
+           {rnd_sql(davg_sql('l_discount'), 4)}       AS avg_disc,
+           count(*)                                   AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -43,19 +54,23 @@ from danae_spark.functions.rounding import rnd
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1. Sums/avgs go through exact decimal accumulation (see
+    rounding.dsum) so the rounded result is independent of partition
+    order — double sums at this row count carry enough fp noise to flip
+    the 0.5001-floor boundary between runs/engines."""
     l = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
-            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            rnd(F.sum(disc_price), 2).alias("sum_disc_price"),
-            rnd(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
-            rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            rnd(F.avg("l_discount"), 4).alias("avg_disc"),
+            rnd(dsum("l_quantity"), 2).alias("sum_qty"),
+            rnd(dsum("l_extendedprice"), 2).alias("sum_base_price"),
+            rnd(dsum(disc_price), 2).alias("sum_disc_price"),
+            rnd(dsum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            rnd(davg("l_quantity"), 4).alias("avg_qty"),
+            rnd(davg("l_extendedprice"), 4).alias("avg_price"),
+            rnd(davg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -67,9 +82,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT l.l_orderkey AS orderkey,
-           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * power(10, 2) + 0.5001) / power(10, 2) AS revenue,
+           {rnd_sql(dsum_sql('l.l_extendedprice * (1 - l.l_discount)'), 2)} AS revenue,
            o.o_orderdate AS orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -91,7 +106,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
         .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
-        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(rnd(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("orderkey", "revenue", "orderdate")
         .orderBy(F.desc("revenue"), "orderkey")
         .limit(10)
@@ -103,9 +118,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_local_volume",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name AS nation,
-           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * power(10, 2) + 0.5001) / power(10, 2) AS revenue
+           {rnd_sql(dsum_sql('l.l_extendedprice * (1 - l.l_discount)'), 2)} AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -137,7 +152,7 @@ def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(rnd(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"))
     )
 
@@ -173,17 +188,24 @@ def top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- B5: running totals
 
 
+_RT_FRAME_RUN = (
+    "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+)
+_RT_FRAME_3 = (
+    "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"
+)
+
+
 @register(
     "running_totals",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, o_orderkey,
-           floor((sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * power(10, 2) + 0.5001) / power(10, 2)
+           {rnd_sql(dsum_sql('o_totalprice', f'OVER ({_RT_FRAME_RUN})'), 2)}
              AS running_spend,
-           floor((avg(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * power(10, 4) + 0.5001) / power(10, 4)
+           {rnd_sql(dsum_sql('o_totalprice', f'OVER ({_RT_FRAME_3})')
+                    + f' / count(*) OVER ({_RT_FRAME_3})', 4)}
              AS moving_avg_3
     FROM orders
     WHERE o_custkey <= 100
@@ -191,16 +213,25 @@ def top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running/moving window aggregates. Window sums accumulate in exact
+    decimal (engine window implementations associate sums differently —
+    running fold vs segment tree — so double sums are not engine-stable)."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(W.unboundedPreceding, 0)
+    w3 = w.rowsBetween(-2, 0)
     return (
         o.select(
             "o_custkey",
             "o_orderkey",
-            rnd(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias(
+            rnd(dsum("o_totalprice", lambda c: F.sum(c).over(w_run)), 2).alias(
                 "running_spend"
             ),
-            rnd(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg_3"),
+            rnd(
+                dsum("o_totalprice", lambda c: F.sum(c).over(w3))
+                / F.count("*").over(w3),
+                4,
+            ).alias("moving_avg_3"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -211,10 +242,10 @@ def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rollup_agg",
-    oracle="""
+    oracle=f"""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           floor((sum(l_extendedprice)) * power(10, 2) + 0.5001) / power(10, 2) AS total_price,
+           {rnd_sql(dsum_sql('l_extendedprice'), 2)} AS total_price,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -225,7 +256,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.rollup("l_returnflag", "l_linestatus")
-        .agg(rnd(F.sum("l_extendedprice"), 2).alias("total_price"), F.count("*").alias("n"))
+        .agg(rnd(dsum("l_extendedprice"), 2).alias("total_price"), F.count("*").alias("n"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -241,10 +272,10 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pivot_returnflag",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           floor((sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END)) * power(10, 2) + 0.5001) / power(10, 2) AS qty_o,
-           floor((sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END)) * power(10, 2) + 0.5001) / power(10, 2) AS qty_f
+           {rnd_sql("coalesce(" + dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END") + ", 0.0)", 2)} AS qty_o,
+           {rnd_sql("coalesce(" + dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END") + ", 0.0)", 2)} AS qty_f
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -255,7 +286,7 @@ def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum("l_quantity"))
+        .agg(dsum("l_quantity"))
         .select(
             "l_returnflag",
             rnd(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_o"),
@@ -268,26 +299,32 @@ def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- B8: sessionization
 
 
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
 @register(
     "sessionize_events",
-    oracle="""
-    WITH flagged AS (
-      SELECT user_id, ts, value,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
-                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value, event_id
+      FROM events
+    ), flagged AS (
+      SELECT user_id, us, value,
+             CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                       > {_SESSION_GAP_US}
+                  OR lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new,
              event_id
-      FROM events
+      FROM e
     ), sessions AS (
-      SELECT user_id, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      SELECT user_id, us, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
       FROM flagged
     )
     SELECT user_id, session_seq, count(*) AS n_events,
-           min(ts) AS session_start, max(ts) AS session_end,
-           floor((sum(value)) * power(10, 4) + 0.5001) / power(10, 4) AS session_value
+           min(us) AS session_start_us, max(us) AS session_end_us,
+           {rnd_sql(dsum_sql('value'), 4)} AS session_value
     FROM sessions
     GROUP BY user_id, session_seq
     ORDER BY user_id, session_seq
@@ -296,12 +333,22 @@ def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min timeout): lag → new-session flag →
     running sum = session id. One shuffle on user_id; both windows and the
-    final groupBy reuse that partitioning."""
-    e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    final groupBy reuse that partitioning.
+
+    Hash-stability (r1 driver failure): the source timestamps are
+    nanosecond parquet values; both engines floor them to microseconds on
+    read (catalog.load_table / DuckDB's ns→µs cast), so ALL session math
+    and ALL emitted values are epoch-microsecond BIGINTs — the gap
+    comparison happens at identical precision on both sides and no raw
+    timestamp ever reaches the serialized result."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us"), "value", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
     flagged = e.withColumn(
-        "is_new", F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0))
+        "is_new",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_US), F.lit(1)).otherwise(F.lit(0)),
     )
     sessions = flagged.withColumn(
         "session_seq", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0))
@@ -310,9 +357,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions.groupBy("user_id", "session_seq")
         .agg(
             F.count("*").alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-            rnd(F.sum("value"), 4).alias("session_value"),
+            F.min("us").alias("session_start_us"),
+            F.max("us").alias("session_end_us"),
+            rnd(dsum("value"), 4).alias("session_value"),
         )
         .orderBy("user_id", "session_seq")
     )
@@ -472,10 +519,10 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * power(10, 2) + 0.5001) / power(10, 2) AS revenue,
-           floor((c.c_acctbal) * power(10, 2) + 0.5001) / power(10, 2) AS acctbal
+           {rnd_sql(dsum_sql('l.l_extendedprice * (1 - l.l_discount)'), 2)} AS revenue,
+           {rnd_sql('c.c_acctbal', 2)} AS acctbal
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -503,7 +550,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal")
-        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(rnd(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select(
             "c_custkey", "c_name", "nation", "revenue", rnd("c_acctbal", 2).alias("acctbal")
         )
@@ -515,13 +562,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ B15: TPC-H Q14 analogue
 
 
+_Q14_REV = "l.l_extendedprice * (1 - l.l_discount)"
+
+
 @register(
     "q14_promo_share",
-    oracle="""
-    SELECT floor((100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
-                              THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount))) * power(10, 4) + 0.5001) / power(10, 4) AS promo_revenue_pct,
+    oracle=f"""
+    SELECT {rnd_sql(
+        "100.0 * coalesce(" + dsum_sql(f"CASE WHEN p.p_type LIKE 'PROMO%' THEN {_Q14_REV} END") + ", 0.0)"
+        " / " + dsum_sql(_Q14_REV), 4)} AS promo_revenue_pct,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -536,13 +585,12 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev)
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
             rnd(
-                100.0
-                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
-                / F.sum(rev),
+                100.0 * F.coalesce(dsum(promo), F.lit(0.0)) / dsum(rev),
                 4,
             ).alias("promo_revenue_pct"),
             F.count("*").alias("n_items"),
@@ -710,10 +758,10 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cube_agg",
-    oracle="""
+    oracle=f"""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           floor((sum(l_quantity)) * power(10, 2) + 0.5001) / power(10, 2) AS total_qty,
+           {rnd_sql(dsum_sql('l_quantity'), 2)} AS total_qty,
            count(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -724,7 +772,7 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.cube("l_returnflag", "l_linestatus")
-        .agg(rnd(F.sum("l_quantity"), 2).alias("total_qty"), F.count("*").alias("n"))
+        .agg(rnd(dsum("l_quantity"), 2).alias("total_qty"), F.count("*").alias("n"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -869,14 +917,19 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-cohort retention: users grouped by first-seen day, counted
-    on each subsequent active day (first week). The firsts table is
-    user-count-sized → broadcast back onto events."""
+    on each subsequent active day (first week).
+
+    Join strategy: NO broadcast hint — `firsts` has one row per user and
+    grows linearly with the data (an unbounded broadcast would OOM at
+    scale). Both sides are keyed on user_id, so the shuffle from the
+    groupBy is reused by the sort-merge join; AQE still picks a broadcast
+    at small SFs where firsts is actually tiny."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("day", "ts").alias("day")
     )
     firsts = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
-        e.join(F.broadcast(firsts), "user_id")
+        e.join(firsts, "user_id")
         .select(
             "user_id",
             "cohort_day",

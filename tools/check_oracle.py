@@ -22,16 +22,24 @@ from danae_spark.session import get_spark  # noqa: E402
 
 
 def norm_cell(v):
+    """STRICT canonicalization — mirrors the driver's exact value hash.
+
+    Floats compare at FULL precision (repr), not %.9g: the driver hashes
+    exact serialized values, so a last-ulp divergence that %.9g hides IS
+    a driver failure (the r1 profile_numeric lesson). Timestamps compare
+    via str(), which preserves sub-second digits — a ns-vs-µs read
+    difference between engines shows up here instead of at the driver.
+    """
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return str(v).lower()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.9g}"
-    if isinstance(v, bool):
-        return str(v).lower()
+        return repr(v)
     return str(v)
 
 
