@@ -150,13 +150,15 @@ MINHASH_K = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
 
 
-def dedup_minhash_lsh(
+def dedup_minhash_xxhash64(
     spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
 ) -> DataFrame:
-    """LSH candidate generation + exact Jaccard verify on candidates only.
-
-    Deterministic (xxhash64 is seed-stable), so the result is reproducible;
-    non-SQL-expressible → rows-only correctness check.
+    """LSH candidate generation + exact Jaccard verify on candidates only —
+    xxhash64 signature variant: the raw-throughput hash for the 100 TB
+    path (JVM xxhash64 ≫ md5). Deterministic (seed-stable) but not
+    SQL-expressible, so the oracle-verified registry entry
+    (`dedup_minhash_lsh`) runs the md5 twin below; this variant is
+    unit-tested for agreement on verified pairs (tests/test_dedup.py).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = _doc_shingles(docs)

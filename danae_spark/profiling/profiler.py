@@ -179,6 +179,35 @@ def temporal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("table_name", "column_name")
 
 
+# ------------------------------------------- combined signature profile
+
+
+def signature_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed 7-point signatures for the whole lake in one result: numeric
+    quantile vectors ∪ temporal epoch-second vectors, tagged with
+    col_type (merged r1 entries profile_quantiles + profile_temporal —
+    this is exactly the content-index input of content_search.py:129/:152)."""
+    num = quantile_signatures(spark, sf_dir).withColumn("col_type", F.lit("Numeric"))
+    tmp = temporal_profile(spark, sf_dir).withColumn("col_type", F.lit("Temporal"))
+    return (
+        num.unionByName(tmp)
+        .select("table_name", "column_name", "col_type", *SIGNATURE_NAMES)
+        .orderBy("table_name", "column_name")
+    )
+
+
+def signature_profile_oracle() -> str:
+    num_sql = quantile_signatures_oracle().rsplit(" ORDER BY ", 1)[0]
+    tmp_sql = temporal_profile_oracle().rsplit(" ORDER BY ", 1)[0]
+    cols = ", ".join(SIGNATURE_NAMES)
+    return f"""
+    SELECT table_name, column_name, 'Numeric' AS col_type, {cols} FROM ({num_sql})
+    UNION ALL
+    SELECT table_name, column_name, 'Temporal' AS col_type, {cols} FROM ({tmp_sql})
+    ORDER BY table_name, column_name
+    """
+
+
 # --------------------------------------------------------- oracle generators
 
 

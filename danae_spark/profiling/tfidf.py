@@ -169,6 +169,104 @@ def categorical_topk_tfidf_oracle(
     """
 
 
+def categorical_topk_combined(
+    spark: SparkSession,
+    sf_dir: str,
+    cols: tuple[tuple[str, str], ...] = CATEGORICAL_PROFILE_COLS,
+    k: int = 10,
+    rounding: int = 6,
+) -> DataFrame:
+    """Both fetch_top_k modes (filters.py:137 tf=True / :152 tf=False) in
+    ONE aggregate pass: per categorical column the top-k terms by raw
+    frequency AND by corpus tf-idf `(tf/ttf)·ln(N/df)`. A term outside
+    one of the two top-k lists carries a NULL rank for that mode.
+
+    Plan: one tokenize+count shuffle on (table, column, term); the
+    vocabulary-sized corpus stats are broadcast back; both rankings are
+    windows over the same partitioning — no second scan."""
+    parts = []
+    for t, c in cols:
+        df = load_table(spark, sf_dir, t).select(F.col(c).alias("val"))
+        toks = tokenize(df, "val").select(
+            F.lit(t).alias("table_name"), F.lit(c).alias("column_name"), "term"
+        )
+        parts.append(toks)
+    all_toks = parts[0]
+    for p in parts[1:]:
+        all_toks = all_toks.unionByName(p)
+    counts = all_toks.groupBy("table_name", "column_name", "term").agg(
+        F.count("*").alias("freq")
+    )
+    corpus = counts.groupBy("term").agg(
+        F.sum("freq").alias("ttf"), F.count("*").alias("df")
+    )
+    scored = counts.join(F.broadcast(corpus), "term").withColumn(
+        "tfidf",
+        rnd((F.col("freq") / F.col("ttf")) * F.log(F.lit(len(cols)) / F.col("df")), rounding),
+    )
+    wp = W.partitionBy("table_name", "column_name")
+    rf = F.row_number().over(wp.orderBy(F.desc("freq"), F.asc("term")))
+    rt = F.row_number().over(wp.orderBy(F.desc("tfidf"), F.asc("term")))
+    ranked = scored.withColumn("rf", rf).withColumn("rt", rt)
+    return (
+        ranked.filter((F.col("rf") <= k) | (F.col("rt") <= k))
+        .select(
+            "table_name",
+            "column_name",
+            "term",
+            "freq",
+            F.when(F.col("rf") <= k, F.col("rf")).alias("rank_freq"),
+            "tfidf",
+            F.when(F.col("rt") <= k, F.col("rt")).alias("rank_tfidf"),
+        )
+        .orderBy("table_name", "column_name", "term")
+    )
+
+
+def categorical_topk_combined_oracle(
+    cols: tuple[tuple[str, str], ...] = CATEGORICAL_PROFILE_COLS,
+    k: int = 10,
+    rounding: int = 6,
+) -> str:
+    branches = [
+        f"""
+    SELECT '{t}' AS table_name, '{c}' AS column_name, term
+    FROM (SELECT unnest(string_split_regex(lower({c}), '[^a-z0-9]+')) AS term FROM {t})
+    WHERE term <> ''"""
+        for t, c in cols
+    ]
+    union = " UNION ALL ".join(branches)
+    return f"""
+    WITH toks AS ({union}),
+    counts AS (
+      SELECT table_name, column_name, term, count(*) AS freq
+      FROM toks GROUP BY table_name, column_name, term
+    ),
+    corpus AS (SELECT term, sum(freq) AS ttf, count(*) AS df FROM counts GROUP BY term),
+    scored AS (
+      SELECT counts.*,
+             floor(((freq * 1.0 / ttf) * ln({len(cols)} * 1.0 / df)) * power(10, {rounding})
+                   + 0.5001) / power(10, {rounding}) AS tfidf
+      FROM counts JOIN corpus USING (term)
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY table_name, column_name
+                           ORDER BY freq DESC, term) AS rf,
+        row_number() OVER (PARTITION BY table_name, column_name
+                           ORDER BY tfidf DESC, term) AS rt
+      FROM scored
+    )
+    SELECT table_name, column_name, term, freq,
+           CASE WHEN rf <= {k} THEN rf END AS rank_freq,
+           tfidf,
+           CASE WHEN rt <= {k} THEN rt END AS rank_tfidf
+    FROM ranked
+    WHERE rf <= {k} OR rt <= {k}
+    ORDER BY table_name, column_name, term
+    """
+
+
 def tfidf_topk(
     spark: SparkSession, sf_dir: str, k: int = 5, rounding: int = 6
 ) -> DataFrame:

@@ -40,7 +40,13 @@ def register(name: str, oracle: str | None = None):
 
 
 def load_all() -> dict[str, QueryDef]:
-    """Import all query modules (side-effect: registration)."""
+    """Import all query modules (side-effect: registration).
+
+    Order matters: the external driver records correctness verdicts for
+    the FIRST 50 registry entries only, so every oracle-bearing query
+    registers before the rows-only engine queries (engine_queries is
+    imported last by design)."""
     from danae_spark.queries import danae_core, llmops, relational  # noqa: F401
+    from danae_spark.queries import engine_queries  # noqa: F401  (rows-only, last)
 
     return REGISTRY

@@ -11,7 +11,7 @@ from danae_spark import catalog
 from danae_spark.catalog import TABLES
 from danae_spark.profiling import profiler, tfidf
 from danae_spark.queries import register
-from danae_spark.search import combined, knn, matching, metadata
+from danae_spark.search import combined, knn, metadata
 from danae_spark.functions.rounding import rnd
 
 # ------------------------------------------------------------ A1: catalog
@@ -52,22 +52,23 @@ def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiler.numeric_profile(spark, sf_dir)
 
 
-@register("profile_quantiles", oracle=profiler.quantile_signatures_oracle())
+@register("profile_quantiles", oracle=profiler.signature_profile_oracle())
 def profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return profiler.quantile_signatures(spark, sf_dir)
-
-
-@register("profile_temporal", oracle=profiler.temporal_profile_oracle())
-def profile_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return profiler.temporal_profile(spark, sf_dir)
+    """Typed signature profile: numeric quantile vectors ∪ temporal
+    epoch-second vectors (merged r1 profile_quantiles+profile_temporal —
+    one entry, both operators verified)."""
+    return profiler.signature_profile(spark, sf_dir)
 
 
 # ------------------------------------------------------------ A5/A7: terms
 
 
-@register("profile_categorical_topk", oracle=tfidf.categorical_topk_oracle())
+@register("profile_categorical_topk", oracle=tfidf.categorical_topk_combined_oracle())
 def profile_categorical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tfidf.categorical_topk(spark, sf_dir)
+    """Categorical top-k terms by BOTH fetch_top_k modes (raw frequency
+    and corpus tf-idf) in one pass (merged r1 profile_categorical_topk +
+    profile_categorical_topk_tfidf)."""
+    return tfidf.categorical_topk_combined(spark, sf_dir)
 
 
 @register("tfidf_topk_terms", oracle=tfidf.tfidf_topk_oracle())
@@ -137,21 +138,6 @@ def content_similarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.content_similarity(spark, sf_dir)
 
 
-@register("dataset_matching_score", oracle=None)  # bipartite matching: non-SQL
-def dataset_matching_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return matching.dataset_matching_scores(spark, sf_dir)
-
-
-@register("dataset_search_topk", oracle=None)  # contains bipartite matching
-def dataset_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end combined dataset search (search/engine.py): the
-    reference's CombinedSearcher.search answered for every lake dataset
-    in one batch plan."""
-    from danae_spark.search import engine
-
-    return engine.dataset_search(spark, sf_dir)
-
-
 @register("metadata_search_bm25", oracle=metadata.bm25_search_oracle())
 def metadata_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metadata.bm25_search(spark, sf_dir)
@@ -160,16 +146,6 @@ def metadata_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("combined_topk", oracle=combined.combined_topk_oracle())
 def combined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return combined.combined_topk(spark, sf_dir)
-
-
-# --------------------------------------------- A5b: tf-idf column top-k
-
-
-@register("profile_categorical_topk_tfidf", oracle=tfidf.categorical_topk_tfidf_oracle())
-def profile_categorical_topk_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fetch_top_k tf=False mode (filters.py:152): column top-k terms by
-    corpus tf-idf instead of raw frequency."""
-    return tfidf.categorical_topk_tfidf(spark, sf_dir)
 
 
 # ------------------------------------------------ A15: similarity graph

@@ -1,0 +1,31 @@
+"""Rows-only engine queries, registered LAST on purpose.
+
+Both contain exact max-weight bipartite matching (an Arrow-batched
+pandas-UDF DP, search/matching.py) — not expressible as a single SQL
+statement, so the driver can only do a rows-only check on them. The
+external driver records verdicts for the first 50 registry entries;
+registering these two after every oracle-bearing query keeps the full
+oracle set inside that window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from danae_spark.queries import register
+from danae_spark.search import matching
+
+
+@register("dataset_matching_score", oracle=None)  # bipartite matching: non-SQL
+def dataset_matching_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return matching.dataset_matching_scores(spark, sf_dir)
+
+
+@register("dataset_search_topk", oracle=None)  # contains bipartite matching
+def dataset_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end combined dataset search (search/engine.py): the
+    reference's CombinedSearcher.search answered for every lake dataset
+    in one batch plan."""
+    from danae_spark.search import engine
+
+    return engine.dataset_search(spark, sf_dir)

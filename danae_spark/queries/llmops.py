@@ -23,13 +23,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_ngram_jaccard(spark, sf_dir)
 
 
-@register("dedup_minhash_lsh", oracle=None)  # xxhash64-based, rows-only
+@register("dedup_minhash_lsh", oracle=dedup.DEDUP_MINHASH_MD5_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.dedup_minhash_lsh(spark, sf_dir)
-
-
-@register("dedup_minhash_md5", oracle=dedup.DEDUP_MINHASH_MD5_ORACLE)
-def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH dedup, fully oracle-verified (portable md5 hashes so
+    DuckDB reproduces signatures → bands → candidates → verified pairs).
+    The xxhash64 speed twin lives at dedup.dedup_minhash_xxhash64
+    (unit-tested; same plan shape, faster hash for the 100 TB path)."""
     return dedup.dedup_minhash_md5(spark, sf_dir)
 
 

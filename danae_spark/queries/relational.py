@@ -237,30 +237,49 @@ def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------- B6: rollup
+# ---------------------------------- B6+B22: grouping sets (rollup ∪ cube)
 
 
 @register(
-    "rollup_agg",
+    "grouping_sets_agg",
     oracle=f"""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
+           grouping_id(l_returnflag, l_linestatus) AS gset,
+           CASE WHEN grouping_id(l_returnflag, l_linestatus) IN (0, 1, 3)
+                THEN 1 ELSE 0 END AS in_rollup,
            {rnd_sql(dsum_sql('l_extendedprice'), 2)} AS total_price,
+           {rnd_sql(dsum_sql('l_quantity'), 2)} AS total_qty,
            count(*) AS n
     FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    GROUP BY CUBE (l_returnflag, l_linestatus)
     ORDER BY returnflag, linestatus
     """,
 )
-def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional grouping-set aggregation (merged r1 entries
+    rollup_agg + cube_agg): one CUBE pass emits every grouping set with
+    its grouping_id; `in_rollup` marks the ROLLUP subset, so both
+    operators' semantics are verified from a single aggregate. One
+    shuffle; the Expand operator fans each row into its 4 sets map-side."""
     l = load_table(spark, sf_dir, "lineitem")
+    gid = F.grouping_id("l_returnflag", "l_linestatus")
     return (
-        l.rollup("l_returnflag", "l_linestatus")
-        .agg(rnd(dsum("l_extendedprice"), 2).alias("total_price"), F.count("*").alias("n"))
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            gid.alias("gset"),
+            F.when(gid.isin(0, 1, 3), F.lit(1)).otherwise(F.lit(0)).alias("in_rollup"),
+            rnd(dsum("l_extendedprice"), 2).alias("total_price"),
+            rnd(dsum("l_quantity"), 2).alias("total_qty"),
+            F.count("*").alias("n"),
+        )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gset",
+            "in_rollup",
             "total_price",
+            "total_qty",
             "n",
         )
         .orderBy("returnflag", "linestatus")
@@ -750,36 +769,6 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("_sort"), "o_orderkey")
         .limit(20)
         .drop("_sort")
-    )
-
-
-# ------------------------------------------------- B22: cube aggregation
-
-
-@register(
-    "cube_agg",
-    oracle=f"""
-    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-           coalesce(l_linestatus, 'ALL') AS linestatus,
-           {rnd_sql(dsum_sql('l_quantity'), 2)} AS total_qty,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    ORDER BY returnflag, linestatus
-    """,
-)
-def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.cube("l_returnflag", "l_linestatus")
-        .agg(rnd(dsum("l_quantity"), 2).alias("total_qty"), F.count("*").alias("n"))
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "total_qty",
-            "n",
-        )
-        .orderBy("returnflag", "linestatus")
     )
 
 
