@@ -99,56 +99,92 @@ def lsh_bucket_col(emb_col: str, planes: list[list[float]]) -> F.Column:
     return bucket
 
 
+def _ivf_stride(n: int) -> int:
+    """stride = floor(sqrt(N)) → centroid count C ≈ √N (the standard IVF
+    sizing: assignment work N·C = N^1.5, per-list scan N/C = √N)."""
+    import math
+
+    return max(1, int(math.floor(math.sqrt(n))))
+
+
 def ann_ivf(
-    spark: SparkSession, sf_dir: str, k: int = TOP_K, nprobe: int = 2, stride: int = 100
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, nprobe: int = 2
 ) -> DataFrame:
     """IVF-style ANN: a deterministic coarse quantizer (every `stride`-th
-    vector is a centroid) partitions vectors into inverted lists; a query
-    probes its `nprobe` nearest centroids' lists and brute-forces only
-    those. The 100 TB shape: centroid count ~ sqrt(N) keeps both the
-    assignment broadcast and the per-list scan bounded; lists are
-    hash-partitioned by centroid id so probe joins are equi-joins."""
+    vector, stride = ⌊√N⌋) partitions vectors into C ≈ √N inverted lists;
+    a query probes its `nprobe` nearest centroids' lists and brute-forces
+    only those.
+
+    100 TB shape (r1 rewrite — the old quantizer crossJoined every vector
+    with C = N/100 centroids and ranked N²/100 window rows): the centroid
+    codebook is a bounded √N-sized array (≈8 MB at N = 10⁹) broadcast to
+    executors, and list assignment is ONE Arrow-batched matmul per batch
+    inside mapInPandas — no N×C row materialization, no window, no
+    shuffle beyond the final per-list aggregation. Ties and rounding
+    reproduce the DuckDB oracle: cosines are rounded to 6dp before
+    argmax, ties break to the smallest centroid_id.
+    """
+    import numpy as np
+    import pandas as pd
+
     from danae_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_total = emb.count()  # parquet footer metadata, no scan
+    stride = _ivf_stride(n_total)
     centroids = emb.filter((F.col("vec_id") % stride) == 7).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )
+    cent_rows = centroids.orderBy("centroid_id").collect()  # C ≈ √N — bounded codebook
+    cent_ids = np.array([r.centroid_id for r in cent_rows], dtype=np.int64)
+    cent_mat = np.stack([np.asarray(r.c_emb, dtype=np.float64) for r in cent_rows])
+    cent_norm = np.linalg.norm(cent_mat, axis=1)
+
+    def assign_batches(batches):
+        for pdf in batches:
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            # dot/(|a|·|b|) in the same shape as pair_cosine_udf/the oracle
+            dots = vecs @ cent_mat.T
+            cos = dots / (np.linalg.norm(vecs, axis=1, keepdims=True) * cent_norm)
+            cos6 = np.floor(cos * 1e6 + 0.5001) / 1e6
+            best = np.argmax(cos6, axis=1)  # first max → smallest centroid_id
+            yield pd.DataFrame(
+                {
+                    "cand_id": pdf["vec_id"].to_numpy(),
+                    "centroid_id": cent_ids[best],
+                    "c_emb": pdf["embedding"],
+                }
+            )
+
+    lists = emb.mapInPandas(
+        assign_batches, schema="cand_id long, centroid_id long, c_emb array<float>"
+    )
+
+    # query-side: nprobe nearest centroids for the N_QUERIES query vectors —
+    # a tiny crossJoin (20 × C) ranked per query
     cos = vectors.pair_cosine_udf()
-
-    def assign(df: DataFrame, id_col: str, emb_col: str, n: int) -> DataFrame:
-        """n nearest centroids per vector (n=1 : list assignment)."""
-        scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-            "c_cos", rnd(cos(emb_col, "c_emb"), 6)
-        )
-        w = W.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
-        return (
-            scored.withColumn("c_rank", F.row_number().over(w))
-            .filter(F.col("c_rank") <= n)
-            .drop("c_emb", "c_cos", "c_rank")
-        )
-
-    lists = assign(
-        emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_vec")),
-        "cand_id",
-        "c_vec",
-        1,
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    queries = assign(
-        emb.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-        ),
-        "query_id",
-        "q_emb",
-        nprobe,
+    wq = W.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("c_cos", rnd(cos("q_emb", "c_emb"), 6))
+        .withColumn("c_rank", F.row_number().over(wq))
+        .filter(F.col("c_rank") <= nprobe)
+        .select("query_id", "q_emb", "centroid_id")
     )
+
+    # each candidate lives in exactly one list and probe lists are distinct
+    # centroids, so (query_id, cand_id) pairs are unique — no distinct()
     pairs = (
-        queries.join(lists, "centroid_id")
+        probes.join(lists, "centroid_id")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", rnd(cos("q_emb", "c_vec"), 6))
+        .withColumn("cosine", rnd(cos("q_emb", "c_emb"), 6))
         .select("query_id", "cand_id", "cosine")
-        .distinct()
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -167,13 +203,18 @@ def _cos6_sql(a: str, b: str) -> str:
     return f"floor(({cos}) * 1000000.0 + 0.5001) / 1000000.0"
 
 
-def ann_ivf_oracle(k: int = TOP_K, nprobe: int = 2, stride: int = 100) -> str:
-    """DuckDB reproduction of the full IVF pipeline (quantizer →
-    inverted lists → probes → in-list top-k)."""
+def ann_ivf_oracle(k: int = TOP_K, nprobe: int = 2) -> str:
+    """DuckDB reproduction of the full IVF pipeline (√N quantizer →
+    inverted lists → probes → in-list top-k). stride = ⌊√N⌋ is computed
+    from the data so the oracle tracks the Spark side at any SF."""
     return f"""
-    WITH cents AS (
-      SELECT vec_id AS centroid_id, embedding FROM embeddings
-      WHERE vec_id % {stride} = 7
+    WITH params AS (
+      SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS centroid_id, embedding FROM embeddings, params
+      WHERE vec_id % stride = 7
     ),
     cand_assign AS (
       SELECT e.vec_id AS cand_id, c.centroid_id,
@@ -189,7 +230,7 @@ def ann_ivf_oracle(k: int = TOP_K, nprobe: int = 2, stride: int = 100) -> str:
       FROM embeddings q, cents c WHERE q.vec_id < {N_QUERIES}
     ),
     pairs AS (
-      SELECT DISTINCT p.query_id, l.cand_id, {_cos6_sql('qe', 'ce')} AS cosine
+      SELECT p.query_id, l.cand_id, {_cos6_sql('qe', 'ce')} AS cosine
       FROM probes p
       JOIN lists l USING (centroid_id)
       JOIN embeddings qe ON qe.vec_id = p.query_id

@@ -140,38 +140,61 @@ _DQ_ORACLE = """
 @register("dq_checks", oracle=_DQ_ORACLE)
 def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline data-quality gate: referential-integrity and constraint
-    violations across the star schema, each an anti-join or filter count
-    (dims broadcast; one pass per fact table)."""
-    from functools import reduce
+    violations across the star schema.
 
+    Plan shape (r1 scanned lineitem three times through unhinted
+    anti-joins — 30 s at sf0.1): each fact table is scanned ONCE —
+    left-join the keys-only dim projections, then fold every per-fact
+    constraint into a single aggregate. customer/part key sets are
+    broadcast (keys-only projections, dim-sized relative to the facts;
+    at extreme SF drop the hint and AQE keeps them shuffle joins);
+    lineitem⋈orders stays a shuffle join on the natural key. The final
+    5-row reshape is a stack over two 1-row aggregates."""
     from pyspark.sql import functions as F
 
     from danae_spark.catalog import load_table
 
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    c = load_table(spark, sf_dir, "customer")
-    p = load_table(spark, sf_dir, "part")
+    c_keys = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k_cust"), F.lit(1).alias("has_c")
+    )
+    p_keys = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k_part"), F.lit(1).alias("has_p")
+    )
+    o_keys = o.select(F.col("o_orderkey").alias("k_ord"), F.lit(1).alias("has_o"))
 
-    def count_df(name, df):
-        return df.agg(F.count("*").alias("n_bad")).select(
-            F.lit(name).alias("check_name"), "n_bad"
+    l_agg = (
+        l.select("l_orderkey", "l_partkey", "l_quantity")
+        .join(o_keys, F.col("l_orderkey") == F.col("k_ord"), "left")
+        .join(F.broadcast(p_keys), F.col("l_partkey") == F.col("k_part"), "left")
+        .agg(
+            F.sum(F.col("has_o").isNull().cast("long")).alias("lineitem_orphan_orderkey"),
+            F.sum(F.col("has_p").isNull().cast("long")).alias("lineitem_orphan_partkey"),
+            F.sum(F.col("l_quantity").isNull().cast("long")).alias("lineitem_null_qty"),
         )
-
-    checks = [
-        count_df(
-            "orders_orphan_custkey", o.join(c, o.o_custkey == c.c_custkey, "left_anti")
-        ),
-        count_df(
-            "lineitem_orphan_orderkey", l.join(o, l.l_orderkey == o.o_orderkey, "left_anti")
-        ),
-        count_df(
-            "lineitem_orphan_partkey", l.join(p, l.l_partkey == p.p_partkey, "left_anti")
-        ),
-        count_df("lineitem_null_qty", l.filter(F.col("l_quantity").isNull())),
-        count_df("orders_negative_price", o.filter(F.col("o_totalprice") < 0)),
-    ]
-    return reduce(lambda a, b: a.unionByName(b), checks).orderBy("check_name")
+    )
+    o_agg = (
+        o.select("o_custkey", "o_totalprice")
+        .join(F.broadcast(c_keys), F.col("o_custkey") == F.col("k_cust"), "left")
+        .agg(
+            F.sum(F.col("has_c").isNull().cast("long")).alias("orders_orphan_custkey"),
+            F.sum((F.col("o_totalprice") < 0).cast("long")).alias("orders_negative_price"),
+        )
+    )
+    checks = (
+        "orders_orphan_custkey",
+        "lineitem_orphan_orderkey",
+        "lineitem_orphan_partkey",
+        "lineitem_null_qty",
+        "orders_negative_price",
+    )
+    stacked = ", ".join(f"'{name}', `{name}`" for name in checks)
+    return (
+        l_agg.crossJoin(o_agg)  # two 1-row aggregates
+        .select(F.expr(f"stack({len(checks)}, {stacked}) AS (check_name, n_bad)"))
+        .orderBy("check_name")
+    )
 
 
 # --------------------------------------------------------------- multimodal
