@@ -246,15 +246,21 @@ def ann_ivf_oracle(k: int = TOP_K, nprobe: int = 2) -> str:
     """
 
 
-def ann_lsh_oracle(k: int = TOP_K) -> str:
-    """DuckDB reproduction of the hyperplane-LSH pipeline; the fixed-seed
-    planes are inlined as literal arrays."""
+def lsh_bucket_sql(alias: str = "e") -> str:
+    """DuckDB expression computing the same hyperplane-LSH bucket id as
+    `lsh_bucket_col` (fixed-seed planes inlined as literal arrays)."""
     planes = _hyperplanes()
-    bucket_terms = " + ".join(
-        f"(CASE WHEN list_dot_product(e.embedding::DOUBLE[],"
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({alias}.embedding::DOUBLE[],"
         f" {coeffs}::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END)"
         for p, coeffs in enumerate(planes)
     )
+
+
+def ann_lsh_oracle(k: int = TOP_K) -> str:
+    """DuckDB reproduction of the hyperplane-LSH pipeline; the fixed-seed
+    planes are inlined as literal arrays."""
+    bucket_terms = lsh_bucket_sql("e")
     return f"""
     WITH buckets AS (
       SELECT e.vec_id, e.embedding, {bucket_terms} AS bucket FROM embeddings e

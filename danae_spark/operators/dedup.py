@@ -257,9 +257,22 @@ def dedup_minhash_md5(
 
 
 def _verify_jaccard(sh: DataFrame, candidates: DataFrame, tau: float) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs.
+
+    Order matters at scale: the candidate doc ids are semi-joined into
+    the shingle table BEFORE the shingle self-join, so the (potentially
+    corpus-sized) inverted-index join runs only over docs that appear in
+    some candidate pair — verify cost is proportional to the candidate
+    set, not the corpus (the r1 plan joined the full shingle index first
+    and filtered after, costing the same as exact all-pairs). A second,
+    pair-level semi-join then drops same-bucket-coincidence pairs."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    a = sh.join(
+        candidates.select(F.col("d1").alias("doc_id")).distinct(), "doc_id", "left_semi"
+    ).select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.join(
+        candidates.select(F.col("d2").alias("doc_id")).distinct(), "doc_id", "left_semi"
+    ).select(F.col("doc_id").alias("d2"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("d1") < F.col("d2"))

@@ -152,13 +152,20 @@ def combined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIM_GRAPH_TAU = 0.35
 
-_SIM_GRAPH_ORACLE = f"""
-    WITH cos AS (
+
+def _sim_graph_oracle() -> str:
+    from danae_spark.operators.ann import lsh_bucket_sql
+
+    return f"""
+    WITH buckets AS (
+      SELECT e.vec_id, e.embedding, {lsh_bucket_sql('e')} AS bucket FROM embeddings e
+    ),
+    cos AS (
       SELECT a.vec_id AS v1, b.vec_id AS v2,
              list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
              (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
               sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     ),
     edges AS (
       SELECT v1, v2 FROM cos
@@ -174,16 +181,38 @@ _SIM_GRAPH_ORACLE = f"""
     """
 
 
-@register("similarity_graph_degree", oracle=_SIM_GRAPH_ORACLE)
+@register("similarity_graph_degree", oracle=_sim_graph_oracle())
 def similarity_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity-graph shape (ui/dataset_graph.py renders the dataset
     similarity graph; this computes its degree distribution over the
-    embedding-cosine edge set — the engine-side analytics behind it)."""
+    similarity edge set — the engine-side analytics behind it).
+
+    Edge source (r1 fix): edges come from the LSH-BUCKETED pair set
+    (same hyperplane buckets as ann_lsh_bucketed) instead of the
+    all-pairs broadcast cosine join — pairwise work is Σ bucket², the
+    shape that survives 100×. The oracle mirrors the bucket restriction."""
     from pyspark.sql import functions as F
 
-    from danae_spark.operators import dedup
+    from danae_spark.catalog import load_table
+    from danae_spark.functions import vectors
+    from danae_spark.functions.rounding import rnd
+    from danae_spark.operators.ann import _hyperplanes, lsh_bucket_col
+    from danae_spark.shipping import ensure_shipped
 
-    edges = dedup.dedup_embedding_cosine(spark, sf_dir, tau=_SIM_GRAPH_TAU)
+    ensure_shipped(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", lsh_bucket_col("embedding", _hyperplanes()).alias("bucket")
+    )
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), "bucket")
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"), "bucket")
+    cos = vectors.pair_cosine_udf()
+    edges = (
+        a.join(b, "bucket")  # bucket equi-join: in-bucket pairs only
+        .filter(F.col("v1") < F.col("v2"))
+        .withColumn("cosine", rnd(cos("e1", "e2"), 6))
+        .filter(F.col("cosine") >= _SIM_GRAPH_TAU)
+        .select("v1", "v2")
+    )
     nodes = edges.select(F.col("v1").alias("v")).unionAll(
         edges.select(F.col("v2").alias("v"))
     )

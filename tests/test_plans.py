@@ -59,6 +59,17 @@ def test_minhash_no_cartesian(spark, sf_dir):
     audit.assert_no_cartesian(df)
 
 
+def test_minhash_verify_prefilters_candidates(spark, sf_dir):
+    """The exact-Jaccard verify must semi-join candidate doc ids into the
+    shingle table BELOW the shingle self-join — otherwise verify costs the
+    same as exact all-pairs and LSH candidate generation is pointless.
+    Locked by counting LeftSemi joins in the optimized plan: 2 doc-level
+    prefilters + 1 pair-level filter per variant."""
+    df = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftSemi") >= 3, plan
+
+
 def test_range_join_is_hash_not_cartesian(spark, sf_dir):
     df = REGISTRY["range_join_events"].fn(spark, sf_dir)
     audit.assert_no_cartesian(df)
