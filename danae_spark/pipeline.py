@@ -97,7 +97,7 @@ def ingest_pipeline(workspace: str) -> Pipeline:
     p = Pipeline(workspace)
     p.add("catalog", lambda s, d, i: cat.catalog_datasets(s, d))
     p.add("profiles", lambda s, d, i: profiler.numeric_profile(s, d))
-    p.add("signatures", lambda s, d, i: knn.typed_signatures(s, d))
+    p.add("signatures", lambda s, d, i: profiler.signature_profile(s, d))
     p.add("column_terms", lambda s, d, i: tfidf.categorical_topk(s, d))
     p.add(
         "column_similarity",

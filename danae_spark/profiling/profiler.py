@@ -179,6 +179,60 @@ def temporal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("table_name", "column_name")
 
 
+# ------------------------------------------------- spatial bbox signatures
+
+# synthetic deterministic geo per table (the lake has no real geo columns;
+# the operator under test is bbox signature indexing + search): the key
+# column maps to lon/lat exactly as profile_spatial_bbox derives them.
+SPATIAL_SIG_TABLES = (("supplier", "s_suppkey"), ("customer", "c_custkey"), ("part", "p_partkey"))
+
+
+def spatial_bboxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One 4-number bbox signature [x_min, y_min, x_max, y_max] per
+    table's synthetic geo column — the spatTree insert vector of the
+    reference (content_search.py:34 RTree('spat', 2, flat), :146
+    __prepare_spat key order)."""
+    parts = []
+    for t, key in SPATIAL_SIG_TABLES:
+        df = load_table(spark, sf_dir, t)
+        lon = ((F.col(key) * 7919) % 36000) / 100.0 - 180.0
+        lat = ((F.col(key) * 104729) % 18000) / 100.0 - 90.0
+        parts.append(
+            df.agg(
+                rnd(F.min(lon), 4).alias("x_min"),
+                rnd(F.min(lat), 4).alias("y_min"),
+                rnd(F.max(lon), 4).alias("x_max"),
+                rnd(F.max(lat), 4).alias("y_max"),
+            ).select(
+                F.lit(t).alias("table_name"), F.lit("geo").alias("column_name"), "*"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
+SPATIAL_BBOX_NAMES = ("x_min", "y_min", "x_max", "y_max")
+
+
+def spatial_bboxes_oracle() -> str:
+    branches = []
+    for t, key in SPATIAL_SIG_TABLES:
+        lon = f"(({key} * 7919) % 36000) / 100.0 - 180.0"
+        lat = f"(({key} * 104729) % 18000) / 100.0 - 90.0"
+        branches.append(
+            f"""
+    SELECT '{t}' AS table_name, 'geo' AS column_name,
+           floor((min({lon})) * power(10, 4) + 0.5001) / power(10, 4) AS x_min,
+           floor((min({lat})) * power(10, 4) + 0.5001) / power(10, 4) AS y_min,
+           floor((max({lon})) * power(10, 4) + 0.5001) / power(10, 4) AS x_max,
+           floor((max({lat})) * power(10, 4) + 0.5001) / power(10, 4) AS y_max
+    FROM {t}"""
+        )
+    return " UNION ALL ".join(branches) + " ORDER BY table_name"
+
+
 # ------------------------------------------- combined signature profile
 
 

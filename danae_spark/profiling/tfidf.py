@@ -267,6 +267,65 @@ def categorical_topk_combined_oracle(
     """
 
 
+# ------------------------------------------- categorical column embeddings
+
+EMB_DIMS = 8
+
+
+def categorical_column_embeddings(
+    spark: SparkSession, sf_dir: str, dims: int = EMB_DIMS
+) -> DataFrame:
+    """Mean word-vector per categorical column (word_aggregator.py:13
+    transform_sentence: average embedding of the column's top-k terms).
+    The container has no GloVe vectors, so an `dims`-dim deterministic
+    md5-derived embedding stands in for the lookup table (portable →
+    oracle-checked); the Spark-side semantics (top-k terms → per-term
+    vector join → mean) are the real operator. Feeds both the
+    column_embedding query and the Categorical branch of the search
+    index (content_search.py:33 catTree)."""
+    from danae_spark.functions.rounding import rnd
+
+    topk = categorical_topk(spark, sf_dir)
+    dim_cols = [
+        (
+            F.conv(F.substring(F.md5(F.concat(F.col("term"), F.lit(f"#d{i}"))), 1, 8), 16, 10)
+            .cast("long")
+            % 2000
+            / 1000.0
+            - 1.0
+        ).alias(f"e{i}")
+        for i in range(dims)
+    ]
+    with_vecs = topk.select("table_name", "column_name", "term", *dim_cols)
+    return (
+        with_vecs.groupBy("table_name", "column_name")
+        .agg(
+            F.count("*").alias("n_terms"),
+            *[rnd(F.avg(f"e{i}"), 6).alias(f"e{i}") for i in range(dims)],
+        )
+        .orderBy("table_name", "column_name")
+    )
+
+
+def categorical_column_embeddings_oracle(dims: int = EMB_DIMS) -> str:
+    topk_sql = categorical_topk_oracle().rsplit(" ORDER BY ", 1)[0].replace(
+        "SELECT table_name, column_name, term, freq, rank FROM (",
+        "SELECT table_name, column_name, term FROM (",
+        1,
+    )
+    dim_exprs = ", ".join(
+        f"floor((avg(('0x' || substr(md5(term || '#d{i}'), 1, 8))::BIGINT % 2000"
+        f" / 1000.0 - 1.0)) * power(10, 6) + 0.5001) / power(10, 6) AS e{i}"
+        for i in range(dims)
+    )
+    return f"""
+    WITH topk AS ({topk_sql})
+    SELECT table_name, column_name, count(*) AS n_terms, {dim_exprs}
+    FROM topk GROUP BY table_name, column_name
+    ORDER BY table_name, column_name
+    """
+
+
 def tfidf_topk(
     spark: SparkSession, sf_dir: str, k: int = 5, rounding: int = 6
 ) -> DataFrame:

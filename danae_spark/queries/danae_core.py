@@ -225,55 +225,9 @@ def similarity_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------ A13: column embedding
 
 
-_EMB_DIMS = 8
-
-
-def _col_embedding_oracle() -> str:
-    topk_sql = tfidf.categorical_topk_oracle().rsplit(" ORDER BY ", 1)[0].replace(
-        "SELECT table_name, column_name, term, freq, rank FROM (",
-        "SELECT table_name, column_name, term FROM (",
-        1,
-    )
-    dim_exprs = ", ".join(
-        f"floor((avg(('0x' || substr(md5(term || '#d{i}'), 1, 8))::BIGINT % 2000"
-        f" / 1000.0 - 1.0)) * power(10, 6) + 0.5001) / power(10, 6) AS e{i}"
-        for i in range(_EMB_DIMS)
-    )
-    return f"""
-    WITH topk AS ({topk_sql})
-    SELECT table_name, column_name, count(*) AS n_terms, {dim_exprs}
-    FROM topk GROUP BY table_name, column_name
-    ORDER BY table_name, column_name
-    """
-
-
-@register("column_embedding", oracle=_col_embedding_oracle())
+@register("column_embedding", oracle=tfidf.categorical_column_embeddings_oracle())
 def column_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean word-vector per categorical column (word_aggregator.py:13
-    transform_sentence: average embedding of the column's top-k terms).
-    The container has no GloVe vectors, so an 8-dim deterministic
-    md5-derived embedding stands in for the lookup table (portable →
-    oracle-checked); the Spark-side semantics (top-k terms → per-term
-    vector join → mean) are the real operator."""
-    from pyspark.sql import functions as F
-
-    topk = tfidf.categorical_topk(spark, sf_dir)
-    dims = [
-        (
-            F.conv(F.substring(F.md5(F.concat(F.col("term"), F.lit(f"#d{i}"))), 1, 8), 16, 10)
-            .cast("long")
-            % 2000
-            / 1000.0
-            - 1.0
-        ).alias(f"e{i}")
-        for i in range(_EMB_DIMS)
-    ]
-    with_vecs = topk.select("table_name", "column_name", "term", *dims)
-    return (
-        with_vecs.groupBy("table_name", "column_name")
-        .agg(
-            F.count("*").alias("n_terms"),
-            *[rnd(F.avg(f"e{i}"), 6).alias(f"e{i}") for i in range(_EMB_DIMS)],
-        )
-        .orderBy("table_name", "column_name")
-    )
+    """Mean word-vector per categorical column — now ALSO the Categorical
+    branch of the search index (see tfidf.categorical_column_embeddings
+    for semantics and the GloVe-stand-in declaration)."""
+    return tfidf.categorical_column_embeddings(spark, sf_dir)

@@ -36,40 +36,34 @@ W_CONTENT = 0.6
 W_METADATA = 0.4
 
 
-def _catalog_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata text per dataset: name + column names (the lake tables
-    carry no title/keywords; schema text is the equivalent searchable
-    surface)."""
+def _catalog_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form metadata fields per dataset — title / keywords /
+    description, the three boosted fields of the reference's metadata
+    search (metadata_search.py:14-31). The lake tables carry no authored
+    metadata, so the fields derive deterministically from the schema:
+    title = dataset name, keywords = column names, description = a
+    sentence over both (publish_dataset emits the same fields for
+    published datasets)."""
     from danae_spark.catalog import TABLES, load_table
 
     rows = []
     for t in TABLES:
-        cols = load_table(spark, sf_dir, t).columns
-        rows.append((t, t + " " + " ".join(cols)))
-    return spark.createDataFrame(rows, "dataset string, meta_text string")
+        cols = " ".join(load_table(spark, sf_dir, t).columns)
+        rows.append((t, "title", t))
+        rows.append((t, "keywords", cols))
+        rows.append((t, "description", f"{t} lake table containing columns {cols}"))
+    return spark.createDataFrame(rows, "dataset string, field string, field_text string")
 
 
 def _metadata_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise token-overlap (Jaccard) of catalog text — the
-    metadata-relevance component normalized to [0,1] like the
-    reference's score/max_score (metadata_search.py:46)."""
-    cat = _catalog_text(spark, sf_dir).select(
-        "dataset",
-        F.expr(
-            "filter(array_distinct(split(lower(meta_text), '[^a-z0-9]+')), t -> t <> '')"
-        ).alias("toks"),
-    )
-    a = cat.select(F.col("dataset").alias("q_table"), F.col("toks").alias("q_toks"))
-    b = cat.select(F.col("dataset").alias("cand_table"), F.col("toks").alias("c_toks"))
-    inter = F.size(F.array_intersect("q_toks", "c_toks"))
-    union = F.size(F.array_union("q_toks", "c_toks"))
-    return (
-        a.join(F.broadcast(b), F.col("q_table") != F.col("cand_table"))
-        .select(
-            "q_table",
-            "cand_table",
-            rnd(inter / union, 6).alias("metadata_score"),
-        )
+    """Pairwise boosted multi-field BM25 over the catalog metadata —
+    the metadata-relevance component, normalized per query by max_score
+    (metadata_search.py:46). Replaces the r1 token-Jaccard stand-in."""
+    from danae_spark.search.metadata import pairwise_dataset_bm25
+
+    return pairwise_dataset_bm25(
+        _catalog_fields(spark, sf_dir),
+        boosts={"title": 2.0, "keywords": 1.5, "description": 1.0},
     )
 
 
@@ -79,11 +73,13 @@ def dataset_search(
     k: int = 3,
     w_content: float = W_CONTENT,
     w_metadata: float = W_METADATA,
+    type_weights: dict[str, float] | None = None,
 ) -> DataFrame:
     """Top-k similar datasets for EVERY dataset in the lake, with
     content/metadata/overall scores (CombinedSearcher.search for all
-    queries at once)."""
-    content = dataset_matching_scores(spark, sf_dir).select(
+    queries at once). `type_weights` forwards the per-type w·sim edge
+    weights to the bipartite matcher."""
+    content = dataset_matching_scores(spark, sf_dir, type_weights).select(
         "q_table", "cand_table", F.col("match_score").alias("content_score")
     )
     meta = _metadata_scores(spark, sf_dir)

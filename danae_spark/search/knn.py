@@ -1,18 +1,27 @@
-"""Column-signature kNN and content similarity scoring.
+"""Column-signature kNN and content similarity scoring — ALL four column
+types of the reference's content index.
 
-Reference parity: `search/index.py` (R-tree per column type, kNN via
-`nearest`) and `search/content_search.py:72 __search_item` — for a query
-column, take the M nearest candidate columns by euclidean distance over
-the 7-point quantile signature, derive `kth` = the L-th smallest distance
-(skipping leading zeros, content_search.py:88-95), and score each
-candidate `sim = w * exp(-decay * dist / kth)` (content_search.py:104).
+Reference parity: `search/index.py` keeps one R-tree per column type and
+`search/content_search.py` searches them per query column:
 
-Spark-first redesign: signatures live in a DataFrame of #columns rows
-(tiny even at 100 TB of *data* — the signature count scales with schema
-count, not row count), so kNN is a broadcast self-join + window ranking
-instead of an R-tree: Catalyst broadcasts the signature table and the
-whole search for EVERY query column happens in one shuffle-free pass —
-the reference answers one query column at a time.
+- Numeric  → 7-point quantile signature        (numTree,  :33, :129)
+- Temporal → 7-point epoch-second signature    (dateTree, :30, :152)
+- Categorical → mean word-embedding of top-k terms (catTree, :33, :138;
+  8-dim md5 stand-in for GloVe — declared in tfidf.py)
+- Spatial  → flat bbox [x_min, y_min, x_max, y_max] (spatTree, :34, :146)
+
+For a query column, take the M nearest same-type candidate columns by
+euclidean distance, derive `kth` = the L-th smallest distance (skipping
+leading zeros, content_search.py:88-95), and score each candidate
+`sim = exp(-decay * dist / kth)` (content_search.py:104); per-column
+weights are applied downstream by the matcher (w·sim, :321).
+
+Spark-first redesign: signatures live in DataFrames of #columns rows
+(tiny even at 100 TB of *data* — signature count scales with schema
+count, not row count), so kNN is a broadcast join + window ranking per
+type instead of four R-trees: the whole search for EVERY query column
+happens in one shuffle-free pass — the reference answers one query
+column at a time.
 
 Distances are rounded to 4dp before ranking so ordering is stable across
 engines (ranking on raw doubles would be sensitive to last-ulp noise).
@@ -27,78 +36,105 @@ from pyspark.sql import Window as W
 from danae_spark.functions.rounding import rnd
 from danae_spark.profiling.profiler import (
     SIGNATURE_NAMES,
+    SPATIAL_BBOX_NAMES,
     quantile_signatures,
     quantile_signatures_oracle,
+    spatial_bboxes,
+    spatial_bboxes_oracle,
     temporal_profile,
     temporal_profile_oracle,
+)
+from danae_spark.profiling.tfidf import (
+    EMB_DIMS,
+    categorical_column_embeddings,
+    categorical_column_embeddings_oracle,
 )
 
 DECAY = 0.01
 
+CATEGORICAL_NAMES = tuple(f"e{i}" for i in range(EMB_DIMS))
 
-def typed_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All column signatures with their type class — the reference keeps
-    one index per type (index.py: numTree/dateTree/...); here it's one
-    DataFrame with a `col_type` column and per-type join predicates."""
-    num = quantile_signatures(spark, sf_dir).withColumn("col_type", F.lit("Numeric"))
-    tmp = temporal_profile(spark, sf_dir).withColumn("col_type", F.lit("Temporal"))
-    return num.unionByName(tmp)
+# default per-type weights for the matcher (reference: per-column weights
+# from fields[col_name], content_search.py:200; surfaced here per type
+# with all-1 defaults so unweighted behavior is unchanged)
+TYPE_WEIGHTS = {"Numeric": 1.0, "Temporal": 1.0, "Categorical": 1.0, "Spatial": 1.0}
 
 
-def _pair_distances(sigs: DataFrame) -> DataFrame:
-    """Cross-table SAME-TYPE column pairs with euclidean signature
-    distance (the reference only compares columns within one type's
-    index — content_search.py:72)."""
+def typed_signatures(spark: SparkSession, sf_dir: str) -> list[tuple[DataFrame, tuple[str, ...], str]]:
+    """One signature DataFrame per column type (the four type indexes)."""
+    return [
+        (quantile_signatures(spark, sf_dir), SIGNATURE_NAMES, "Numeric"),
+        (temporal_profile(spark, sf_dir), SIGNATURE_NAMES, "Temporal"),
+        (
+            categorical_column_embeddings(spark, sf_dir).drop("n_terms"),
+            CATEGORICAL_NAMES,
+            "Categorical",
+        ),
+        (spatial_bboxes(spark, sf_dir), SPATIAL_BBOX_NAMES, "Spatial"),
+    ]
+
+
+def _sig_pairs(sigs: DataFrame, names: tuple[str, ...], col_type: str) -> DataFrame:
+    """Cross-table column pairs within ONE type index, with euclidean
+    signature distance (the reference only compares columns inside one
+    type's tree — content_search.py:72)."""
     q = sigs.select(
         F.col("table_name").alias("q_table"),
         F.col("column_name").alias("q_column"),
-        F.col("col_type").alias("q_type"),
-        *[F.col(n).alias(f"q_{n}") for n in SIGNATURE_NAMES],
+        *[F.col(n).alias(f"q_{n}") for n in names],
     )
     c = sigs.select(
         F.col("table_name").alias("cand_table"),
         F.col("column_name").alias("cand_column"),
-        F.col("col_type").alias("c_type"),
-        *[F.col(n).alias(f"c_{n}") for n in SIGNATURE_NAMES],
+        *[F.col(n).alias(f"c_{n}") for n in names],
     )
     sq = sum(
         (F.col(f"q_{n}") - F.col(f"c_{n}")) * (F.col(f"q_{n}") - F.col(f"c_{n}"))
-        for n in SIGNATURE_NAMES
+        for n in names
     )
     return (
-        q.join(
-            F.broadcast(c),
-            (F.col("q_table") != F.col("cand_table"))
-            & (F.col("q_type") == F.col("c_type")),
-        )
+        q.join(F.broadcast(c), F.col("q_table") != F.col("cand_table"))
         .withColumn("dist", rnd(F.sqrt(sq), 4))
-        .withColumn("col_type", F.col("q_type"))
+        .withColumn("col_type", F.lit(col_type))
+        .select("q_table", "q_column", "col_type", "cand_table", "cand_column", "dist")
     )
+
+
+def all_pair_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        _sig_pairs(sigs, names, t) for sigs, names, t in typed_signatures(spark, sf_dir)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def signature_knn(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    """k nearest same-type columns (other tables) per query column."""
-    sigs = typed_signatures(spark, sf_dir)
-    pairs = _pair_distances(sigs)
-    w = W.partitionBy("q_table", "q_column").orderBy(
+    """k nearest same-type columns (other tables) per query column —
+    across all four type indexes."""
+    pairs = all_pair_distances(spark, sf_dir)
+    w = W.partitionBy("q_table", "q_column", "col_type").orderBy(
         "dist", "cand_table", "cand_column"
     )
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_table", "q_column", "col_type", "cand_table", "cand_column", "dist", "rank")
-        .orderBy("q_table", "q_column", "rank")
+        .orderBy("q_table", "q_column", "col_type", "rank")
     )
 
 
 def content_similarity(
     spark: SparkSession, sf_dir: str, L: int = 5, M: int = 10
 ) -> DataFrame:
-    """Ranked candidate columns with `exp(-decay·dist/kth)` similarity."""
-    sigs = typed_signatures(spark, sf_dir)
-    pairs = _pair_distances(sigs)
-    w = W.partitionBy("q_table", "q_column").orderBy("dist", "cand_table", "cand_column")
-    wq = W.partitionBy("q_table", "q_column")
+    """Ranked candidate columns with `exp(-decay·dist/kth)` similarity,
+    for every query column of every type."""
+    pairs = all_pair_distances(spark, sf_dir)
+    w = W.partitionBy("q_table", "q_column", "col_type").orderBy(
+        "dist", "cand_table", "cand_column"
+    )
+    wq = W.partitionBy("q_table", "q_column", "col_type")
     ranked = pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= M)
     # kth per content_search.py:88-95: min(L, list-length)-th smallest,
     # skipping leading zeros; all-zero ranked list → epsilon
@@ -124,71 +160,79 @@ def content_similarity(
         with_kth.withColumn(
             "sim", rnd(F.exp(-F.lit(DECAY) * F.col("dist") / F.col("kth")), 6)
         )
-        .select("q_table", "q_column", "cand_table", "cand_column", "dist", "sim", "rank")
-        .orderBy("q_table", "q_column", "rank")
+        .select(
+            "q_table", "q_column", "col_type", "cand_table", "cand_column",
+            "dist", "sim", "rank",
+        )
+        .orderBy("q_table", "q_column", "col_type", "rank")
     )
 
 
 # --------------------------------------------------------- oracle generators
 
 
-def _pairs_cte() -> str:
-    num_sql = quantile_signatures_oracle().rsplit(" ORDER BY ", 1)[0]
-    tmp_sql = temporal_profile_oracle().rsplit(" ORDER BY ", 1)[0]
-    sq = " + ".join(
-        f"(q.{n} - c.{n}) * (q.{n} - c.{n})" for n in SIGNATURE_NAMES
-    )
-    return f"""
-    WITH sigs AS (
-      SELECT *, 'Numeric' AS col_type FROM ({num_sql})
-      UNION ALL
-      SELECT *, 'Temporal' AS col_type FROM ({tmp_sql})
-    ),
-    pairs AS (
+def _typed_pairs_sql() -> str:
+    """UNION of per-type cross-table pair CTE bodies (one branch per type
+    index, each with its own signature width)."""
+
+    def pair_branch(src_sql: str, names: tuple[str, ...], col_type: str) -> str:
+        sq = " + ".join(f"(q.{n} - c.{n}) * (q.{n} - c.{n})" for n in names)
+        return f"""
       SELECT q.table_name AS q_table, q.column_name AS q_column,
-             q.col_type AS col_type,
+             '{col_type}' AS col_type,
              c.table_name AS cand_table, c.column_name AS cand_column,
              floor((sqrt({sq})) * power(10, 4) + 0.5001) / power(10, 4) AS dist
-      FROM sigs q JOIN sigs c
-        ON q.table_name <> c.table_name AND q.col_type = c.col_type
-    )"""
+      FROM ({src_sql}) q JOIN ({src_sql}) c
+        ON q.table_name <> c.table_name"""
+
+    num_sql = quantile_signatures_oracle().rsplit(" ORDER BY ", 1)[0]
+    tmp_sql = temporal_profile_oracle().rsplit(" ORDER BY ", 1)[0]
+    cat_sql = categorical_column_embeddings_oracle().rsplit(" ORDER BY ", 1)[0]
+    spat_sql = spatial_bboxes_oracle().rsplit(" ORDER BY ", 1)[0]
+    branches = [
+        pair_branch(num_sql, SIGNATURE_NAMES, "Numeric"),
+        pair_branch(tmp_sql, SIGNATURE_NAMES, "Temporal"),
+        pair_branch(cat_sql, CATEGORICAL_NAMES, "Categorical"),
+        pair_branch(spat_sql, SPATIAL_BBOX_NAMES, "Spatial"),
+    ]
+    return "WITH pairs AS (" + " UNION ALL ".join(branches) + ")"
 
 
 def signature_knn_oracle(k: int = 3) -> str:
-    return f"""{_pairs_cte()}
+    return f"""{_typed_pairs_sql()}
     SELECT q_table, q_column, col_type, cand_table, cand_column, dist, rank FROM (
-      SELECT *, row_number() OVER (PARTITION BY q_table, q_column
+      SELECT *, row_number() OVER (PARTITION BY q_table, q_column, col_type
                                    ORDER BY dist, cand_table, cand_column) AS rank
       FROM pairs
     ) WHERE rank <= {k}
-    ORDER BY q_table, q_column, rank
+    ORDER BY q_table, q_column, col_type, rank
     """
 
 
 def content_similarity_oracle(L: int = 5, M: int = 10) -> str:
-    return f"""{_pairs_cte()},
+    return f"""{_typed_pairs_sql()},
     ranked AS (
       SELECT * FROM (
-        SELECT *, row_number() OVER (PARTITION BY q_table, q_column
+        SELECT *, row_number() OVER (PARTITION BY q_table, q_column, col_type
                                      ORDER BY dist, cand_table, cand_column) AS rank
         FROM pairs
       ) WHERE rank <= {M}
     ), counted AS (
-      SELECT *, count(*) OVER (PARTITION BY q_table, q_column) AS n_cand
+      SELECT *, count(*) OVER (PARTITION BY q_table, q_column, col_type) AS n_cand
       FROM ranked
     ), with_kth AS (
       SELECT *,
         max(CASE WHEN rank = least({L}, n_cand) THEN dist END)
-          OVER (PARTITION BY q_table, q_column) AS kth_l,
+          OVER (PARTITION BY q_table, q_column, col_type) AS kth_l,
         min(CASE WHEN dist > 0 THEN dist END)
-          OVER (PARTITION BY q_table, q_column) AS min_nonzero
+          OVER (PARTITION BY q_table, q_column, col_type) AS min_nonzero
       FROM counted
     )
-    SELECT q_table, q_column, cand_table, cand_column, dist,
+    SELECT q_table, q_column, col_type, cand_table, cand_column, dist,
            floor((exp(-{DECAY} * dist /
                  (CASE WHEN kth_l > 0 THEN kth_l
                        ELSE coalesce(min_nonzero, 1e-12) END))) * power(10, 6) + 0.5001) / power(10, 6) AS sim,
            rank
     FROM with_kth
-    ORDER BY q_table, q_column, rank
+    ORDER BY q_table, q_column, col_type, rank
     """

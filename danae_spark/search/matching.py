@@ -20,7 +20,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
-from danae_spark.search.knn import content_similarity
+from danae_spark.search.knn import TYPE_WEIGHTS, content_similarity
 
 
 def _max_weight_matching(qcols: list, ccols: list, weights: dict) -> tuple[float, int]:
@@ -49,22 +49,31 @@ def _max_weight_matching(qcols: list, ccols: list, weights: dict) -> tuple[float
     return f(0, 0)
 
 
-def dataset_matching_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Score every (query_table, candidate_table) pair by max-weight
-    matching over their column similarities."""
-    from danae_spark.shipping import ensure_shipped
+def matching_scores_from_sims(
+    sims: DataFrame, type_weights: dict[str, float] | None = None
+) -> DataFrame:
+    """Max-weight bipartite matching per (q_table, cand_table) group over
+    a (q_table, q_column, col_type, cand_table, cand_column, sim) frame.
 
-    ensure_shipped(spark)  # pandas-UDF closure needs the package on workers
-    sims = content_similarity(spark, sf_dir).select(
-        "q_table", "q_column", "cand_table", "cand_column", "sim"
-    )
+    Edge weights follow the reference: each edge carries `w·sim` where w
+    is the per-type/per-column weight of the QUERY column producing the
+    ranked list (content_search.py:311 `w = weights[no]`, :321
+    `edges.append((.., w*sim, sim))`), and a candidate dataset scores the
+    sum of matched WEIGHTED edges (:345). All-1 defaults reproduce the
+    unweighted behavior."""
+    tw = dict(TYPE_WEIGHTS if type_weights is None else type_weights)
 
     def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        qcols = sorted(pdf["q_column"].unique())
-        ccols = sorted(pdf["cand_column"].unique())
-        weights = {
-            (r.q_column, r.cand_column): float(r.sim) for r in pdf.itertuples()
-        }
+        # disambiguate columns by (name, type) — a table may expose the
+        # same column name in two type indexes
+        qcols = sorted(set(zip(pdf["q_column"], pdf["col_type"])))
+        ccols = sorted(set(pdf["cand_column"]))
+        weights = {}
+        for r in pdf.itertuples():
+            key = ((r.q_column, r.col_type), r.cand_column)
+            w = float(tw.get(r.col_type, 1.0)) * float(r.sim)
+            if w > weights.get(key, 0.0):
+                weights[key] = w
         score, n = _max_weight_matching(qcols, ccols, weights)
         return pd.DataFrame(
             {
@@ -83,3 +92,17 @@ def dataset_matching_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_table", "cand_table")
     )
+
+
+def dataset_matching_scores(
+    spark: SparkSession, sf_dir: str, type_weights: dict[str, float] | None = None
+) -> DataFrame:
+    """Score every (query_table, candidate_table) pair by max-weight
+    matching over their column similarities (all four column types)."""
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)  # pandas-UDF closure needs the package on workers
+    sims = content_similarity(spark, sf_dir).select(
+        "q_table", "q_column", "col_type", "cand_table", "cand_column", "sim"
+    )
+    return matching_scores_from_sims(sims, type_weights)

@@ -39,3 +39,47 @@ def test_matching_matches_bruteforce():
 
 def test_matching_empty():
     assert _max_weight_matching(["q0"], ["c0"], {}) == (0.0, 0)
+
+
+def test_type_weighted_matching_parity(spark):
+    """Per-type weights change the optimum exactly as the reference's
+    w·sim edges do (content_search.py:311,321) — hand-computed case:
+
+    unweighted sims: (a1,b1)=0.9 (a1,b2)=0.8 [Numeric],
+                     (a2,b1)=0.85 (a2,b2)=0.1 [Categorical]
+    all-1 weights   → match a1→b2(0.8) + a2→b1(0.85) = 1.65
+    Categorical w=5 → edges a2,* become 4.25/0.5;
+                      optimum a1→b1? 0.9+0.5=1.4 vs a1→b2+a2→b1 0.8+4.25
+                      = 5.05 (same pairing, weighted) — but with
+                      (a2,b1)=0.1,(a2,b2)=0.85 flipped the pairing DOES
+                      flip, so use that layout to prove the weight drives
+                      assignment.
+    """
+    from danae_spark.search.matching import matching_scores_from_sims
+
+    rows = [
+        ("A", "a1", "Numeric", "B", "b1", 0.9),
+        ("A", "a1", "Numeric", "B", "b2", 0.8),
+        ("A", "a2", "Categorical", "B", "b1", 0.1),
+        ("A", "a2", "Categorical", "B", "b2", 0.85),
+    ]
+    sims = spark.createDataFrame(
+        rows, "q_table string, q_column string, col_type string,"
+        " cand_table string, cand_column string, sim double"
+    )
+    # all-1: a1→b1 (0.9) + a2→b2 (0.85) = 1.75
+    out = matching_scores_from_sims(sims).collect()[0]
+    assert abs(out.match_score - 1.75) < 1e-9 and out.n_matched == 2
+    # Numeric weight 10: a1's edges dominate → a1→b1 (9.0) + a2→b2 (0.85)
+    out = matching_scores_from_sims(sims, {"Numeric": 10.0, "Categorical": 1.0}).collect()[0]
+    assert abs(out.match_score - 9.85) < 1e-9
+    # Categorical weight 10, but force the conflict: drop b2 so both query
+    # columns compete for b1 — the weighted edge wins the node
+    conflict = spark.createDataFrame(
+        [r for r in rows if r[4] == "b1"],
+        "q_table string, q_column string, col_type string,"
+        " cand_table string, cand_column string, sim double",
+    )
+    out = matching_scores_from_sims(conflict, {"Numeric": 1.0, "Categorical": 100.0}).collect()[0]
+    # a2→b1 (100·0.1 = 10.0) beats a1→b1 (0.9)
+    assert abs(out.match_score - 10.0) < 1e-9 and out.n_matched == 1

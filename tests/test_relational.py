@@ -32,5 +32,5 @@ def test_sessionize_monotonic(spark, sf_dir):
     df = REGISTRY["sessionize_events"].fn(spark, sf_dir)
     sample = df.filter("user_id = 0").collect()
     for r in sample:
-        assert r["session_start"] <= r["session_end"]
+        assert r["session_start_us"] <= r["session_end_us"]
         assert r["n_events"] >= 1
