@@ -456,6 +456,62 @@ DEDUP_SIMHASH_ORACLE = f"""
     """
 
 
+# ----------------------------------------- eval-set decontamination check
+
+CONTAM_NGRAM = 7
+BENCH_MOD = 50  # doc_id % 50 == 0 → stand-in benchmark/eval set
+
+
+def contamination_ngram(
+    spark: SparkSession, sf_dir: str, n: int = CONTAM_NGRAM
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any word
+    n-gram with the eval/benchmark set (the contamination check every
+    pre-training pipeline runs before training — RefinedWeb/GPT-style
+    13-gram overlap, sized down to 7 for the testdata's short docs).
+
+    The benchmark set is a deterministic stand-in (doc_id % 50 == 0);
+    in production it is the actual eval corpus. Plan: inverted-index
+    equi-join on the shingle — the benchmark side is tiny relative to
+    the corpus and broadcasts; output is per contaminated corpus doc
+    with the shared-gram and benchmark-doc counts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _doc_shingles(docs, n=n)
+    bench = sh.filter((F.col("doc_id") % BENCH_MOD) == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corpus = sh.filter((F.col("doc_id") % BENCH_MOD) != 0)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_shared_grams"),
+            F.count_distinct("bench_id").alias("n_benchmark_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def contamination_ngram_oracle(n: int = CONTAM_NGRAM) -> str:
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    return f"""
+    WITH d AS (SELECT doc_id, {toks} AS lt FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(lt, t.i, t.i + {n - 1}), ' ') AS shingle
+      FROM d, range(1, 8192) t(i)
+      WHERE len(lt) >= {n} AND t.i <= len(lt) - {n - 1}
+    ),
+    bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+    corpus AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0)
+    SELECT c.doc_id,
+           count(DISTINCT c.shingle) AS n_shared_grams,
+           count(DISTINCT b.bench_id) AS n_benchmark_docs
+    FROM corpus c JOIN bench b USING (shingle)
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """
+
+
 # ---------------------------------------------------- C5: embedding cosine
 
 COSINE_TAU = 0.4

@@ -33,68 +33,66 @@ def _numeric_cols(df: DataFrame) -> list[str]:
     return columns_of_class(df.schema, NUMERIC)
 
 
-def profile_table_numeric(df: DataFrame, table: str, exact: bool = True) -> DataFrame:
-    """One row per numeric column: count/nulls/distinct/min/max/mean/std.
-
-    Plan shape: the plain stats are ONE single-pass aggregate (map-side
-    partial, no shuffle of data rows). Exact distinct counts avoid
-    Spark's multi-distinct Expand (n_cols× row blowup through the whole
-    aggregate — measured 6× slower) by melting to narrow (column, value)
-    pairs and aggregating those; partial aggregation collapses each
-    partition to its distinct values before the shuffle. With
-    exact=False, approx_count_distinct folds into the single-pass
-    aggregate — that is the 100 TB path.
-    """
+def _melt_numeric(df: DataFrame, table: str) -> DataFrame:
+    """Long-form (table_name, column_name, v double) over the numeric
+    columns — stack() is a map-side Expand, no shuffle."""
     cols = _numeric_cols(df)
-    aggs = []
-    for c in cols:
-        col = F.col(c)
-        aggs += [
-            F.count(col).alias(f"{c}__n"),
-            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__n_null"),
-            F.min(col).cast("double").alias(f"{c}__min_v"),
-            F.max(col).cast("double").alias(f"{c}__max_v"),
-            # avg/std from EXACT decimal sums: plain double aggregation is
-            # order-dependent (Spark's partial-agg order varies run to run),
-            # and a value within accumulated-error of the floor(+0.5001)
-            # boundary flips the last digit under the driver's value hash —
-            # the r1 profile_numeric failure mode. See rounding.dsum.
-            rnd(davg(col), 4).alias(f"{c}__avg_v"),
-            rnd(dstd(col), 4).alias(f"{c}__std_v"),
-        ]
-        if not exact:
-            aggs.append(F.approx_count_distinct(col).alias(f"{c}__n_distinct"))
-    one = df.agg(*aggs)
-    stats = _STATS if not exact else tuple(s for s in _STATS if s != "n_distinct")
-    groups = ", ".join(
-        "'{c}', {fields}".format(c=c, fields=", ".join(f"`{c}__{s}`" for s in stats))
-        for c in cols
+    melt_groups = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+    return df.select(
+        F.lit(table).alias("table_name"),
+        F.expr(f"stack({len(cols)}, {melt_groups}) AS (column_name, v)"),
     )
-    stacked = one.select(
-        F.expr(f"stack({len(cols)}, {groups}) AS (column_name, {', '.join(stats)})")
-    )
+
+
+def profile_table_numeric(df: DataFrame, table: str, exact: bool = True) -> DataFrame:
+    """One row per numeric column: count/nulls/distinct/min/max/mean/std
+    for a single table (see numeric_profile for the multi-table pass)."""
+    return _profile_melted(_melt_numeric(df, table), exact)
+
+
+def _profile_melted(melted: DataFrame, exact: bool = True) -> DataFrame:
+    """ONE aggregation over the long-form frame computes every column's
+    stats for every table simultaneously — one shuffle total, keyed on
+    (table, column); partial aggregation collapses everything map-side
+    (the distinct branch shuffles only per-partition-distinct values).
+
+    avg/std come from EXACT decimal sums: plain double aggregation is
+    order-dependent (Spark's partial-agg order varies run to run), and a
+    value within accumulated-error of the floor(+0.5001) boundary flips
+    the last digit under the driver's value hash — the r1 failure mode.
+    With exact=False, approx_count_distinct replaces the exact distinct
+    and plain double sums replace decimal — that is the 100 TB path."""
+    v = F.col("v")
+    nd = (
+        F.count_distinct(v) if exact else F.approx_count_distinct(v)
+    ).alias("n_distinct")
     if exact:
-        melt_groups = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
-        melted = df.select(
-            F.expr(f"stack({len(cols)}, {melt_groups}) AS (column_name, v)")
+        avg_v, std_v = davg(v), dstd(v)
+    else:
+        avg_v, std_v = F.avg(v), F.stddev(v)
+    return (
+        melted.groupBy("table_name", "column_name")
+        .agg(
+            F.count(v).alias("n"),
+            F.sum(v.isNull().cast("long")).alias("n_null"),
+            nd,
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+            rnd(avg_v, 4).alias("avg_v"),
+            rnd(std_v, 4).alias("std_v"),
         )
-        nd = melted.groupBy("column_name").agg(F.count_distinct("v").alias("n_distinct"))
-        stacked = stacked.join(nd, "column_name")
-    return stacked.select(
-        F.lit(table).alias("table_name"), "column_name", *(F.col(s) for s in _STATS)
+        .select("table_name", "column_name", *(F.col(s) for s in _STATS))
     )
 
 
 def numeric_profile(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = NUMERIC_PROFILE_TABLES
 ) -> DataFrame:
-    parts = [
-        profile_table_numeric(load_table(spark, sf_dir, t), t) for t in tables
-    ]
-    out = parts[0]
+    parts = [_melt_numeric(load_table(spark, sf_dir, t), t) for t in tables]
+    melted = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("table_name", "column_name")
+        melted = melted.unionByName(p)
+    return _profile_melted(melted).orderBy("table_name", "column_name")
 
 
 # ------------------------------------------------------------------ quantiles

@@ -63,19 +63,22 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------ text analysis
 
 
-@register("lang_id_ngram", oracle=textstats.lang_id_oracle())
-def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.lang_id(spark, sf_dir)
+@register("text_stats", oracle=textstats.text_stats_oracle())
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID + quality metrics + token counts in one scan (merged
+    r1 entries lang_id_ngram / text_quality_score / token_count — all
+    row-wise codegen expressions, so one table scan instead of three)."""
+    return textstats.text_stats(spark, sf_dir)
 
 
-@register("text_quality_score", oracle=textstats.text_quality_oracle())
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.text_quality(spark, sf_dir)
+@register("text_repetition_filter", oracle=textstats.text_repetition_oracle())
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.text_repetition(spark, sf_dir)
 
 
-@register("token_count", oracle=textstats.token_count_oracle())
-def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.token_count(spark, sf_dir)
+@register("contamination_ngram", oracle=dedup.contamination_ngram_oracle())
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.contamination_ngram(spark, sf_dir)
 
 
 @register("doc_fingerprint", oracle=textstats.doc_fingerprint_oracle())
@@ -85,34 +88,55 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------- deterministic sampling
 
-_SAMPLE_ORACLE = """
-    SELECT source, count(*) AS n_sampled,
-           floor((avg(n_chars)) * power(10, 4) + 0.5001) / power(10, 4) AS avg_chars
-    FROM documents
-    WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 10 = 0
+_STRATUM_CAP = 30
+
+_SAMPLE_ORACLE = f"""
+    WITH eligible AS (
+      SELECT source, doc_id, n_chars, md5(text) AS h
+      FROM documents
+      WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 10 = 0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+      FROM eligible
+    )
+    SELECT source,
+           count(*) AS n_eligible,
+           sum(CASE WHEN rk <= {_STRATUM_CAP} THEN 1 ELSE 0 END) AS n_sampled,
+           floor((avg(CASE WHEN rk <= {_STRATUM_CAP} THEN n_chars END)) * power(10, 4) + 0.5001) / power(10, 4) AS avg_chars
+    FROM ranked
     GROUP BY source ORDER BY source
     """
 
 
 @register("deterministic_sample", oracle=_SAMPLE_ORACLE)
 def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-hash sampling (~10%): the training-data-pipeline sampling
-    primitive — reproducible across runs/engines/cluster sizes because
-    membership depends only on content, never on partitioning or RNG
-    state (unlike df.sample)."""
+    """Deterministic STRATIFIED sampling: content-hash bucket membership
+    (~10%) plus a per-stratum cap — within each source, the cap keeps
+    the docs with the smallest content hash (priority sampling), so the
+    selection is reproducible across runs/engines/cluster sizes AND
+    balanced across strata (membership and priority depend only on
+    content, never on partitioning or RNG state, unlike df.sample).
+    One shuffle on source; the rank window and the aggregate reuse it."""
     from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
 
     from danae_spark.catalog import load_table
     from danae_spark.functions.rounding import rnd
 
     docs = load_table(spark, sf_dir, "documents")
     bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 10
+    w = W.partitionBy("source").orderBy(F.md5("text"), "doc_id")
     return (
         docs.filter(bucket == 0)
+        .withColumn("rk", F.row_number().over(w))
         .groupBy("source")
         .agg(
-            F.count("*").alias("n_sampled"),
-            rnd(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.count("*").alias("n_eligible"),
+            F.sum((F.col("rk") <= _STRATUM_CAP).cast("long")).alias("n_sampled"),
+            rnd(F.avg(F.when(F.col("rk") <= _STRATUM_CAP, F.col("n_chars"))), 4).alias(
+                "avg_chars"
+            ),
         )
         .orderBy("source")
     )
