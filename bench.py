@@ -37,6 +37,17 @@ HEADLINE = [
     "retention_cohorts",
     "ann_ivf",
     "dq_checks",
+    # round-2 additions: wider operator coverage in the headline set
+    "grouping_sets_agg",
+    "profile_quantiles",
+    "dedup_simhash",
+    "ann_lsh_bucketed",
+    "text_stats",
+    "text_repetition_filter",
+    "contamination_ngram",
+    "deterministic_sample",
+    "similarity_graph_degree",
+    "dataset_search_topk",
 ]
 
 

@@ -109,43 +109,31 @@ def quantile_signatures(
     rounding: int | None = 4,
 ) -> DataFrame:
     """7-point quantile signature per numeric column (the content-index
-    vector of content_search.py:129). One pass per table; exact
-    interpolated percentiles for oracle parity, percentile_approx at scale."""
-    parts = []
-    for t in tables:
-        df = load_table(spark, sf_dir, t)
-        cols = _numeric_cols(df)
-        aggs = []
-        for c in cols:
-            col = F.col(c).cast("double")
-            if exact:
-                q = F.percentile(col, F.lit(list(SIGNATURE_PS)))
-            else:
-                q = F.percentile_approx(col, F.lit(list(SIGNATURE_PS)), F.lit(10000))
-            aggs.append(q.alias(f"{c}__q"))
-        one = df.agg(*aggs)
-        groups = ", ".join(
-            "'{c}', {fields}".format(
-                c=c,
-                fields=", ".join(f"`{c}__q`[{i}]" for i in range(len(SIGNATURE_PS))),
-            )
-            for c in cols
-        )
-        stacked = one.select(
-            F.expr(
-                f"stack({len(cols)}, {groups}) AS (column_name, {', '.join(SIGNATURE_NAMES)})"
-            )
-        ).select(F.lit(t).alias("table_name"), "*")
-        parts.append(stacked)
-    out = parts[0]
+    vector of content_search.py:129). One union-melt aggregation over
+    every table — a single shuffle keyed on (table, column); exact
+    interpolated percentiles for oracle parity (order-independent:
+    percentile sorts its buffer), percentile_approx at scale."""
+    parts = [_melt_numeric(load_table(spark, sf_dir, t), t) for t in tables]
+    melted = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    if rounding is not None:
-        out = out.select(
+        melted = melted.unionByName(p)
+    v = F.col("v")
+    if exact:
+        q = F.percentile(v, F.lit(list(SIGNATURE_PS)))
+    else:
+        q = F.percentile_approx(v, F.lit(list(SIGNATURE_PS)), F.lit(10000))
+    out = (
+        melted.groupBy("table_name", "column_name")
+        .agg(q.alias("q"))
+        .select(
             "table_name",
             "column_name",
-            *[rnd(F.col(n), rounding).alias(n) for n in SIGNATURE_NAMES],
+            *[
+                (rnd(F.col("q")[i], rounding) if rounding is not None else F.col("q")[i]).alias(n)
+                for i, n in enumerate(SIGNATURE_NAMES)
+            ],
         )
+    )
     return out.orderBy("table_name", "column_name")
 
 

@@ -61,16 +61,26 @@ TYPE_WEIGHTS = {"Numeric": 1.0, "Temporal": 1.0, "Categorical": 1.0, "Spatial": 
 
 
 def typed_signatures(spark: SparkSession, sf_dir: str) -> list[tuple[DataFrame, tuple[str, ...], str]]:
-    """One signature DataFrame per column type (the four type indexes)."""
+    """One signature DataFrame per column type (the four type indexes).
+
+    Each frame is `.cache()`d — the reference has an explicit train()
+    step that builds its R-trees once (content_search.py:219); the cache
+    is the same index artifact. The frames are schema-sized (one row per
+    column — tiny at ANY data scale) but expensive to produce (a full
+    profiling pass), and every search joins them on BOTH sides; the
+    cache fills on first execution and the session's cache manager
+    dedupes by canonicalized plan, so later searches (and the second
+    join branch, once populated) read the materialized index instead of
+    re-profiling the lake."""
     return [
-        (quantile_signatures(spark, sf_dir), SIGNATURE_NAMES, "Numeric"),
-        (temporal_profile(spark, sf_dir), SIGNATURE_NAMES, "Temporal"),
+        (quantile_signatures(spark, sf_dir).cache(), SIGNATURE_NAMES, "Numeric"),
+        (temporal_profile(spark, sf_dir).cache(), SIGNATURE_NAMES, "Temporal"),
         (
-            categorical_column_embeddings(spark, sf_dir).drop("n_terms"),
+            categorical_column_embeddings(spark, sf_dir).drop("n_terms").cache(),
             CATEGORICAL_NAMES,
             "Categorical",
         ),
-        (spatial_bboxes(spark, sf_dir), SPATIAL_BBOX_NAMES, "Spatial"),
+        (spatial_bboxes(spark, sf_dir).cache(), SPATIAL_BBOX_NAMES, "Spatial"),
     ]
 
 
