@@ -195,14 +195,51 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID + quality metrics + token counts in ONE scan of
     `documents` (merged r2 registry entry: every column is a row-wise
     built-in expression, so fusing the three operators removes two full
-    table scans; whole-stage codegen keeps it a single pipelined stage).
+    table scans; whole-stage codegen keeps it a single pipelined stage —
+    no joins, no shuffle until the final sort).
     Column semantics identical to lang_id / text_quality / token_count."""
-    lid = lang_id(spark, sf_dir).drop("lang")
-    tq = text_quality(spark, sf_dir)
-    tc = token_count(spark, sf_dir).drop("n_chars")
-    return (
-        lid.join(tq, "doc_id").join(tc, "doc_id").orderBy("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    # language ID columns
+    best = F.greatest(*[_hits(lang) for lang in LANG_ORDER])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        pred = pred.when(_hits(lang) == best, F.lit(lang))
+
+    # quality columns (raw ratios feed the score — see text_quality)
+    n_chars = F.length("text")
+    toks = F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+    n_tokens = F.size(toks)
+    en = ", ".join(f"'{t}'" for t in STOPWORDS["en"])
+    stop_hits = F.expr(
+        f"size(filter(split(lower(text), '[^a-z0-9]+'), t -> t in ({en})))"
     )
+    punct = n_chars - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    digits = n_chars - F.length(F.regexp_replace("text", "[0-9]", ""))
+    punct_raw = punct / n_chars
+    stop_raw = stop_hits / n_tokens
+    score = (
+        F.least(n_tokens / 100.0, F.lit(1.0)) * 0.4
+        + (1 - F.least(punct_raw * 10, F.lit(1.0))) * 0.3
+        + F.least(stop_raw * 5, F.lit(1.0)) * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        *[_hits(lang).alias(f"{lang}_hits") for lang in LANG_ORDER],
+        pred.alias("predicted"),
+        (pred == F.col("lang")).cast("int").alias("agrees_with_label"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        rnd(F.length(F.concat_ws("", toks)) / n_tokens, 4).alias("avg_token_len"),
+        rnd(punct / n_chars, 6).alias("punct_ratio"),
+        rnd(digits / n_chars, 6).alias("digit_ratio"),
+        rnd(stop_hits / n_tokens, 6).alias("stopword_ratio"),
+        rnd(score, 6).alias("quality_score"),
+        F.size(F.expr("filter(split(text, ' +'), t -> t <> '')")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), F.lit(0))).alias(
+            "bpe_tokens"
+        ),
+    ).orderBy("doc_id")
 
 
 def text_stats_oracle() -> str:

@@ -81,6 +81,19 @@ def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 
     )
 
 
+def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop re-delivered events by event_id within
+    the watermark horizon (`dropDuplicatesWithinWatermark` keeps dedup
+    state bounded — old keys are evicted once the watermark passes, so
+    state size tracks the event rate × horizon, not the full history; at
+    100 TB/day this is the only dedup shape that survives). At-least-once
+    sources (Kafka redeliveries, file re-lists) collapse to exactly-once
+    semantics downstream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain the stream over all currently-available files into an
     in-memory table; returns the result as a batch DataFrame."""

@@ -39,3 +39,26 @@ def test_session_totals_match_batch_events(spark, sf_dir, stream_df):
 
     n_events_total = load_table(spark, sf_dir, "events").count()
     assert result.agg({"n_events": "sum"}).collect()[0][0] == n_events_total
+
+
+def test_deduped_stream_collapses_redelivery(spark, sf_dir):
+    """At-least-once delivery simulated by unioning the file stream with
+    itself: dropDuplicatesWithinWatermark must collapse the doubled
+    stream back to the batch row count."""
+    from danae_spark.catalog import load_table
+
+    a = sev.read_events_stream(spark, sf_dir)
+    b = sev.read_events_stream(spark, sf_dir)
+    doubled = a.unionByName(b)
+    out = sev.deduped_stream(doubled)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_stream = spark.table("t_dedup_stream").count()
+    n_batch = load_table(spark, sf_dir, "events").count()
+    assert n_stream == n_batch
