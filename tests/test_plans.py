@@ -73,3 +73,23 @@ def test_minhash_verify_prefilters_candidates(spark, sf_dir):
 def test_range_join_is_hash_not_cartesian(spark, sf_dir):
     df = REGISTRY["range_join_events"].fn(spark, sf_dir)
     audit.assert_no_cartesian(df)
+
+
+def test_dq_checks_scans_each_fact_once(spark, sf_dir):
+    """The data-quality gate must scan lineitem exactly once (r1 scanned
+    it three times through separate anti-joins)."""
+    df = REGISTRY["dq_checks"].fn(spark, sf_dir)
+    li_scans = [
+        s for s in audit.scans(df) if any(c.startswith("l_") for c in s["read_columns"])
+    ]
+    assert len(li_scans) == 1, li_scans
+
+
+def test_profile_numeric_single_aggregation(spark, sf_dir):
+    """The numeric profiler is one union-melt aggregation: every table
+    scanned once, no join in the plan."""
+    df = REGISTRY["profile_numeric"].fn(spark, sf_dir)
+    plan = audit.physical_plan(df)
+    assert "Join" not in plan, plan
+    # one scan per profiled table
+    assert len(audit.scans(df)) == 6, audit.scans(df)
