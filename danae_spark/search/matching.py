@@ -23,8 +23,13 @@ from pyspark.sql import DataFrame, SparkSession
 from danae_spark.search.knn import TYPE_WEIGHTS, content_similarity
 
 
-def _max_weight_matching(qcols: list, ccols: list, weights: dict) -> tuple[float, int]:
-    """Exact max-weight bipartite matching by DP over candidate bitmask."""
+def _max_weight_matching(
+    qcols: list, ccols: list, weights: dict
+) -> tuple[float, int, list[tuple]]:
+    """Exact max-weight bipartite matching by DP over candidate bitmask.
+    Returns (score, n_matched, [(q, c, w), ...]) — the edge list is what
+    the reference stores per candidate for its UI (content_search.py:333
+    self.matchings[S]['edges'])."""
     m = len(ccols)
     w = [[weights.get((q, c), 0.0) for c in ccols] for q in qcols]
     memo: dict[tuple[int, int], tuple[float, int]] = {}
@@ -46,7 +51,27 @@ def _max_weight_matching(qcols: list, ccols: list, weights: dict) -> tuple[float
         memo[key] = best
         return best
 
-    return f(0, 0)
+    total, n = f(0, 0)
+    # reconstruct one optimal assignment by replaying the DP decisions
+    pairs: list[tuple] = []
+    i, mask, remaining = 0, 0, total
+    while i < len(qcols):
+        skip = f(i + 1, mask)
+        if abs(skip[0] - remaining) < 1e-12:
+            i += 1
+            remaining = skip[0]
+            continue
+        for j in range(m):
+            if mask & (1 << j) or w[i][j] <= 0.0:
+                continue
+            sub = f(i + 1, mask | (1 << j))
+            if abs(sub[0] + w[i][j] - remaining) < 1e-12:
+                pairs.append((qcols[i], ccols[j], w[i][j]))
+                mask |= 1 << j
+                remaining = sub[0]
+                break
+        i += 1
+    return total, n, pairs
 
 
 def matching_scores_from_sims(
@@ -74,13 +99,17 @@ def matching_scores_from_sims(
             w = float(tw.get(r.col_type, 1.0)) * float(r.sim)
             if w > weights.get(key, 0.0):
                 weights[key] = w
-        score, n = _max_weight_matching(qcols, ccols, weights)
+        score, _, pairs = _max_weight_matching(qcols, ccols, weights)
+        matching = ";".join(
+            f"{q[0]}~{c}@{w:.6f}" for (q, c, w) in sorted(pairs)
+        )
         return pd.DataFrame(
             {
                 "q_table": [pdf["q_table"].iloc[0]],
                 "cand_table": [pdf["cand_table"].iloc[0]],
                 "match_score": [round(score, 6)],
-                "n_matched": [n],
+                "n_matched": [len(pairs)],
+                "matching": [matching],
             }
         )
 
@@ -88,7 +117,8 @@ def matching_scores_from_sims(
         sims.groupBy("q_table", "cand_table")
         .applyInPandas(
             match_group,
-            schema="q_table string, cand_table string, match_score double, n_matched int",
+            schema="q_table string, cand_table string, match_score double,"
+            " n_matched int, matching string",
         )
         .orderBy("q_table", "cand_table")
     )

@@ -31,14 +31,19 @@ def test_matching_matches_bruteforce():
             for c in ccols
             if rng.random() > 0.3
         }
-        dp_score, n = _max_weight_matching(qcols, ccols, weights)
+        dp_score, n, pairs = _max_weight_matching(qcols, ccols, weights)
         bf_score = brute_force(qcols, ccols, weights)
         assert abs(dp_score - bf_score) < 1e-9, (qcols, ccols, weights)
         assert 0 <= n <= min(nq, nc)
+        # the reconstructed edge list is a valid matching achieving the score
+        assert len(pairs) == n
+        assert len({q for q, _, _ in pairs}) == len(pairs)
+        assert len({c for _, c, _ in pairs}) == len(pairs)
+        assert abs(sum(w for _, _, w in pairs) - dp_score) < 1e-9
 
 
 def test_matching_empty():
-    assert _max_weight_matching(["q0"], ["c0"], {}) == (0.0, 0)
+    assert _max_weight_matching(["q0"], ["c0"], {}) == (0.0, 0, [])
 
 
 def test_type_weighted_matching_parity(spark):
