@@ -7,6 +7,11 @@ merge associatively, and final stats (mean, sample std) derive from the
 merged state. This mirrors how Spark's own partial aggregation works,
 lifted to a persistable table so refreshes are O(new data).
 
+Sums accumulate in EXACT DECIMAL (rounding.dsum semantics): decimal
+addition is associative and exact, so any slicing/merge order yields the
+same state and finalize() reproduces the one-shot profiler BIT-FOR-BIT
+— incremental refreshes can never drift from a full re-profile.
+
 The reference re-runs its whole pandas-profiling pass per dataset on
 every change (`ingest/profiling/profiler.py` polling loop); this module
 is the incremental replacement.
@@ -34,8 +39,10 @@ def partial_state(df: DataFrame, table: str) -> DataFrame:
         aggs += [
             F.count(col).alias(f"{c}__n"),
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__n_null"),
-            F.sum(col).alias(f"{c}__s"),
-            F.sum(col * col).alias(f"{c}__s2"),
+            F.sum(col.cast("decimal(28,6)")).alias(f"{c}__s"),
+            F.sum(col.cast("decimal(18,6)") * col.cast("decimal(18,6)")).alias(
+                f"{c}__s2"
+            ),
             F.min(col).alias(f"{c}__min_v"),
             F.max(col).alias(f"{c}__max_v"),
         ]
@@ -65,8 +72,10 @@ def merge_states(states: list[DataFrame]) -> DataFrame:
 
 
 def finalize(state: DataFrame) -> DataFrame:
-    """Derive display stats from merged state."""
-    n, s, s2 = F.col("n"), F.col("s"), F.col("s2")
+    """Derive display stats from merged state (identical IEEE double ops
+    to profiler._profile_melted, so outputs match it exactly)."""
+    n = F.col("n")
+    s, s2 = F.col("s").cast("double"), F.col("s2").cast("double")
     var = (s2 - s * s / n) / (n - 1)
     return state.select(
         "table_name",
