@@ -26,8 +26,14 @@ def register(name: str, oracle: str | None = None):
             # make danae_spark importable on Spark Python workers (pandas
             # UDF closures pickle by module reference) — no-op after the
             # first call per session
+            from danae_spark.session import tune_for_session
             from danae_spark.shipping import ensure_shipped
 
+            # the external driver hands us ITS session: force the confs
+            # correctness depends on (UTC session TZ — temporal results
+            # must match the oracle's naive-UTC semantics — plus AQE);
+            # idempotent, runtime-settable confs only
+            tune_for_session(spark)
             ensure_shipped(spark)
             return fn(spark, sf_dir)
 
