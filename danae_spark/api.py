@@ -1,0 +1,120 @@
+"""User-facing engine facade.
+
+The reference exposes its functionality as services (`search/main_flask.py`
+POST endpoint, `ingest/publishing/publishing_api.py` publish API, worker
+loops for profiling). This class is the Spark-native equivalent surface: a
+user of the reference switches by constructing one object over their lake
+directory and calling the same verbs.
+
+Every method returns a DataFrame (lazy — compose further or collect), and
+delegates to the operator modules, so this file adds no logic of its own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from danae_spark import catalog as _catalog
+from danae_spark.operators import ann as _ann
+from danae_spark.operators import dedup as _dedup
+from danae_spark.operators import textstats as _textstats
+from danae_spark.profiling import profiler as _profiler
+from danae_spark.profiling import tfidf as _tfidf
+from danae_spark.search import engine as _engine
+from danae_spark.search import knn as _knn
+from danae_spark.search import matching as _matching
+from danae_spark.search import metadata as _metadata
+from danae_spark.session import tune_for_session
+
+
+class DataLakeEngine:
+    """One handle over a lake directory: catalog, profile, search,
+    dedup/ANN, text analysis, publish."""
+
+    def __init__(self, spark: SparkSession, lake_dir: str):
+        self.spark = tune_for_session(spark)
+        self.lake_dir = lake_dir
+
+    # ---------------------------------------------------------- catalog
+    def catalog(self) -> DataFrame:
+        return _catalog.catalog_datasets(self.spark, self.lake_dir)
+
+    def table(self, name: str) -> DataFrame:
+        return _catalog.load_table(self.spark, self.lake_dir, name)
+
+    def publish(self, df: DataFrame, path: str, title: str, **meta) -> dict:
+        return _catalog.publish_dataset(df, path, title, **meta)
+
+    # -------------------------------------------------------- profiling
+    def profile(self) -> DataFrame:
+        return _profiler.numeric_profile(self.spark, self.lake_dir)
+
+    def signatures(self) -> DataFrame:
+        return _profiler.signature_profile(self.spark, self.lake_dir)
+
+    def top_terms(self, k: int = 10) -> DataFrame:
+        return _tfidf.categorical_topk_combined(self.spark, self.lake_dir, k=k)
+
+    # ----------------------------------------------------------- search
+    def similar_columns(self, k: int = 3) -> DataFrame:
+        return _knn.signature_knn(self.spark, self.lake_dir, k=k)
+
+    def column_similarities(self, L: int = 5, M: int = 10) -> DataFrame:
+        return _knn.content_similarity(self.spark, self.lake_dir, L=L, M=M)
+
+    def matching_scores(self, type_weights: dict[str, float] | None = None) -> DataFrame:
+        return _matching.dataset_matching_scores(self.spark, self.lake_dir, type_weights)
+
+    def search(
+        self,
+        dataset: str | None = None,
+        k: int = 3,
+        w_content: float = _engine.W_CONTENT,
+        w_metadata: float = _engine.W_METADATA,
+        type_weights: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """Combined content+metadata dataset search — for one query
+        dataset (the reference's POST /search) or the whole lake."""
+        out = _engine.dataset_search(
+            self.spark, self.lake_dir, k=k,
+            w_content=w_content, w_metadata=w_metadata,
+            type_weights=type_weights,
+        )
+        if dataset is not None:
+            from pyspark.sql import functions as F
+
+            out = out.filter(F.col("q_table") == dataset)
+        return out
+
+    def metadata_search(self, query: str, k: int = 20) -> DataFrame:
+        return _metadata.bm25_search(self.spark, self.lake_dir, query=query, k=k)
+
+    # ------------------------------------------------------ dedup / ANN
+    def dedup(self, method: str = "minhash", **kw) -> DataFrame:
+        fns = {
+            "exact": _dedup.dedup_exact,
+            "ngram": _dedup.dedup_ngram_jaccard,
+            "minhash": _dedup.dedup_minhash_md5,
+            "minhash_fast": _dedup.dedup_minhash_xxhash64,
+            "simhash": _dedup.dedup_simhash,
+            "embedding": _dedup.dedup_embedding_cosine,
+        }
+        return fns[method](self.spark, self.lake_dir, **kw)
+
+    def decontaminate(self, n: int = _dedup.CONTAM_NGRAM) -> DataFrame:
+        return _dedup.contamination_ngram(self.spark, self.lake_dir, n=n)
+
+    def ann(self, method: str = "lsh", **kw) -> DataFrame:
+        fns = {
+            "brute": _ann.ann_cosine_topk,
+            "lsh": _ann.ann_lsh_bucketed,
+            "ivf": _ann.ann_ivf,
+        }
+        return fns[method](self.spark, self.lake_dir, **kw)
+
+    # ---------------------------------------------------- text analysis
+    def text_stats(self) -> DataFrame:
+        return _textstats.text_stats(self.spark, self.lake_dir)
+
+    def repetition_signals(self) -> DataFrame:
+        return _textstats.text_repetition(self.spark, self.lake_dir)
