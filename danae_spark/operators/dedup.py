@@ -204,28 +204,40 @@ def dedup_minhash_xxhash64(
 MD5_MINHASH_K = 8
 MD5_LSH_BANDS = 4  # 4 bands x 2 rows
 
+# universal-hash family over one base hash: h_i = (a_i·h + b_i) mod P.
+# ONE md5 per shingle instead of K (the standard MinHash construction) —
+# the permutations are cheap JVM-side integer ops reproduced verbatim by
+# the oracle. a_i < 2^30 keeps a·h < 2^62 inside signed-64 arithmetic.
+MERSENNE_P = (1 << 61) - 1
+_MH_COEFFS = [
+    ((i * 2654435761 + 40503) % (1 << 30) | 1, (i * 97531 + 12345) % MERSENNE_P)
+    for i in range(1, MD5_MINHASH_K + 1)
+]
 
-def _md5_hash(i: int) -> F.Column:
-    """Portable 32-bit hash of a shingle: first 8 hex digits of
-    md5(shingle + '#' + i) — identical in Spark (conv base16) and DuckDB
+
+def _md5_base_hash() -> F.Column:
+    """Portable 32-bit base hash of a shingle: first 8 hex digits of
+    md5(shingle) — identical in Spark (conv base16) and DuckDB
     (('0x'||hex)::BIGINT)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, 8), 16, 10
-    ).cast("long")
+    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
 
 
 def dedup_minhash_md5(
     spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
 ) -> DataFrame:
     """Oracle-checkable MinHash+LSH: same banded-candidates + exact-verify
-    plan as dedup_minhash_lsh but with portable md5-derived hashes, so
-    the ENTIRE approximate pipeline (signatures → bands → candidates →
-    verified pairs) is reproduced by the DuckDB oracle. xxhash64 variant
-    remains the faster scale path."""
+    plan as the xxhash64 variant but with a portable md5-derived hash
+    family, so the ENTIRE approximate pipeline (signatures → bands →
+    candidates → verified pairs) is reproduced by the DuckDB oracle.
+    xxhash64 variant remains the faster scale path."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = _doc_shingles(docs)
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(_md5_hash(i)).alias(f"mh{i}") for i in range(MD5_MINHASH_K)]
+    h = _md5_base_hash()
+    sig = sh.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_MH_COEFFS)
+        ]
     )
     rows_per_band = MD5_MINHASH_K // MD5_LSH_BANDS
     bands_long = sig.select(
@@ -308,12 +320,17 @@ _SHINGLE_CTE = """
     ), s AS (SELECT DISTINCT doc_id, shingle FROM sh0)
 """
 
+_COEFF_ROWS = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MH_COEFFS))
+
 DEDUP_MINHASH_MD5_ORACLE = f"""
     WITH {_SHINGLE_CTE},
+    base AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM s
+    ),
+    coeffs(i, a, b) AS (VALUES {_COEFF_ROWS}),
     hashed AS (
-      SELECT doc_id, t.i,
-             ('0x' || substr(md5(shingle || '#' || t.i), 1, 8))::BIGINT AS h
-      FROM s, range({MD5_MINHASH_K}) t(i)
+      SELECT doc_id, i, (a * h + b) % {MERSENNE_P} AS h
+      FROM base, coeffs
     ),
     sig AS (SELECT doc_id, i, min(h) AS mh FROM hashed GROUP BY doc_id, i),
     bands AS (
