@@ -473,6 +473,90 @@ DEDUP_SIMHASH_ORACLE = f"""
     """
 
 
+# -------------------------------- dup-pair clustering (connected components)
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc in a
+    dup pair gets its component's minimum doc_id as cluster_id — the
+    canonical keeper — plus the cluster size. This is the step that turns
+    pairwise dedup output into an actionable keep/drop decision.
+
+    Algorithm: iterative min-label propagation on DataFrames (the
+    GraphFrames/large-star idea without the library): each round every
+    node takes the min label among itself and its neighbors; converges in
+    O(component diameter) rounds. Near-dup components are short chains in
+    practice, so a handful of rounds; each round is one shuffle-join, the
+    frame is localCheckpoint'ed to cut lineage, and convergence is
+    detected by the monotone label sum — no per-row driver compare."""
+    if pairs is None:
+        pairs = dedup_minhash_md5(spark, sf_dir)
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).unionAll(
+        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(50):  # diameter bound; near-dup chains converge in a few
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("label")).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("label")).cast("int").alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_clusters_oracle() -> str:
+    """DuckDB reproduction via a recursive min-root closure over the
+    SAME minhash pair pipeline."""
+    pairs_sql = DEDUP_MINHASH_MD5_ORACLE.rsplit(" ORDER BY ", 1)[0]
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION ALL SELECT d2, d1 FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS v FROM edges),
+    cc(v, r) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT e.dst, cc.r FROM cc JOIN edges e ON cc.v = e.src
+    ),
+    lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM cc GROUP BY v),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+    SELECT l.doc_id, l.cluster_id, s.cluster_size,
+           CAST(l.doc_id = l.cluster_id AS INT) AS is_keeper
+    FROM lab l JOIN sizes s USING (cluster_id)
+    ORDER BY l.doc_id
+    """
+
+
 # ----------------------------------------- eval-set decontamination check
 
 CONTAM_NGRAM = 7

@@ -26,3 +26,27 @@ def test_minhash_xxhash_agrees_with_md5_and_exact(spark, sf_dir):
     # recall sanity: both hash families find the high-similarity mass
     strong = {k for k, j in exact.items() if j >= 0.5}
     assert strong <= set(md5) and strong <= set(xx)
+
+
+def test_dedup_clusters_match_recursive_oracle(spark, sf_dir):
+    """Spark label-propagation connected components == DuckDB recursive
+    min-root closure over the same minhash pair pipeline."""
+    import duckdb
+
+    from danae_spark.catalog import TABLES, table_path
+
+    out = dedup.dedup_clusters(spark, sf_dir)
+    s_rows = sorted(tuple(r) for r in out.collect())
+
+    con = duckdb.connect()
+    import os
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf, t)}'")
+    d_rows = sorted(tuple(r) for r in con.execute(dedup.dedup_clusters_oracle()).fetchall())
+    con.close()
+    assert len(s_rows) > 0
+    assert s_rows == d_rows
+    # keepers are exactly the cluster ids
+    keepers = {r[0] for r in s_rows if r[3] == 1}
+    assert keepers == {r[1] for r in s_rows}
