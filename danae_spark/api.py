@@ -101,6 +101,11 @@ class DataLakeEngine:
         }
         return fns[method](self.spark, self.lake_dir, **kw)
 
+    def dedup_clusters(self, pairs: DataFrame | None = None) -> DataFrame:
+        """Connected-component cluster ids + keeper flags over dup pairs
+        (defaults to the MinHash-LSH pair set)."""
+        return _dedup.dedup_clusters(self.spark, self.lake_dir, pairs=pairs)
+
     def decontaminate(self, n: int = _dedup.CONTAM_NGRAM) -> DataFrame:
         return _dedup.contamination_ngram(self.spark, self.lake_dir, n=n)
 
