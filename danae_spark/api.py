@@ -117,6 +117,12 @@ class DataLakeEngine:
         }
         return fns[method](self.spark, self.lake_dir, **kw)
 
+    def mix(self, budgets: dict[str, int] | None = None) -> DataFrame:
+        """Token-budget data mixing (per-source deterministic selection)."""
+        from danae_spark.operators import sampling as _sampling
+
+        return _sampling.token_budget_mix(self.spark, self.lake_dir, budgets)
+
     # ---------------------------------------------------- text analysis
     def text_stats(self) -> DataFrame:
         return _textstats.text_stats(self.spark, self.lake_dir)

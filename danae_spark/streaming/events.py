@@ -81,6 +81,45 @@ def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 
     )
 
 
+def attribution_join_stream(
+    purchases: DataFrame, behavior: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's click/view events in the preceding hour (the streaming twin
+    of the batch `range_join_events` attribution query).
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both sides, so Spark can EXPIRE buffered state — the requirement
+    for an unbounded stream-stream join to run with bounded memory."""
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    b = (
+        behavior.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("event_id").alias("b_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+            F.col("value").alias("b_value"),
+        )
+        .withWatermark("b_ts", watermark)
+    )
+    cond = (
+        (p.p_user == b.b_user)
+        & (b.b_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (b.b_ts < p.p_ts)
+    )
+    return p.join(b, cond, "inner").select(
+        "purchase_id", "p_user", "b_id", "b_ts", "b_value"
+    )
+
+
 def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: drop re-delivered events by event_id within
     the watermark horizon (`dropDuplicatesWithinWatermark` keeps dedup

@@ -62,3 +62,52 @@ def test_deduped_stream_collapses_redelivery(spark, sf_dir):
     n_stream = spark.table("t_dedup_stream").count()
     n_batch = load_table(spark, sf_dir, "events").count()
     assert n_stream == n_batch
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join drained with availableNow == the batch
+    inner interval join over the same data."""
+    from pyspark.sql import functions as F
+
+    from danae_spark.catalog import load_table
+
+    out = sev.attribution_join_stream(
+        sev.read_events_stream(spark, sf_dir), sev.read_events_stream(spark, sf_dir)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_attr_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {tuple(r) for r in spark.table("t_attr_join").collect()}
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    b = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("value").alias("b_value"),
+    )
+    cond = (
+        (p.p_user == b.b_user)
+        & (b.b_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (b.b_ts < p.p_ts)
+    )
+    batch = {
+        tuple(r)
+        for r in p.join(b, cond, "inner")
+        .select("purchase_id", "p_user", "b_id", "b_ts", "b_value")
+        .collect()
+    }
+    assert len(batch) > 0
+    # availableNow drains everything; watermark expiry can only drop
+    # results for late data, and a single ordered drain has none
+    assert streamed == batch
