@@ -122,3 +122,48 @@ def document_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return docs.repartition(F.xxhash64("payload"))
+
+
+def media_near_dup(
+    spark: SparkSession, sf_dir: str, dim: int = 8, tau: float = 0.999
+) -> DataFrame:
+    """End-to-end media near-dup: payload → feature vector →
+    hyperplane-LSH bucket → in-bucket cosine pairs ≥ tau.
+
+    This is the full multimodal dedup pipeline shape a training-data lake
+    runs on images/audio (decode + embed via mapInPandas, then the SAME
+    bucketed ANN path used for text embeddings) — the deterministic
+    byte-histogram feature stands in for a real encoder (codec libs are
+    unavailable here; the Spark-side plumbing is the operator under
+    test). Byte histograms of same-language text are highly aligned, so
+    tau sits close to 1."""
+    from danae_spark.functions import vectors
+    from danae_spark.functions.rounding import rnd
+    from danae_spark.operators.ann import _hyperplanes, lsh_bucket_col
+
+    feats = extract_features(document_payloads(spark, sf_dir), dim=dim)
+    vecs = feats.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "feature"))
+        ).alias("df_pairs")
+    ).select(
+        "doc_id",
+        F.expr("transform(df_pairs, p -> p.feature)").alias("vec"),
+    )
+    planes = _hyperplanes(n_planes=4, dim=dim)
+    bucketed = vecs.withColumn("bucket", lsh_bucket_col("vec", planes))
+    a = bucketed.select(
+        F.col("doc_id").alias("d1"), F.col("vec").alias("v1"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("doc_id").alias("d2"), F.col("vec").alias("v2"), "bucket"
+    )
+    cos = vectors.pair_cosine_udf()
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn("cosine", rnd(cos("v1", "v2"), 6))
+        .filter(F.col("cosine") >= tau)
+        .select("d1", "d2", "cosine")
+        .orderBy("d1", "d2")
+    )

@@ -44,3 +44,42 @@ def test_features_normalized(spark, sf_dir):
         by_doc[r["doc_id"]] += r["feature"]
     for doc, total in by_doc.items():
         assert total == pytest.approx(1.0, abs=1e-3)
+
+
+def test_media_near_dup_end_to_end(spark, sf_dir):
+    """payload → features → LSH bucket → cosine pairs: sound vs a
+    brute-force numpy check, and catches the exact-duplicate docs."""
+    import numpy as np
+
+    from danae_spark.multimodal import transforms
+
+
+    out = {(r["d1"], r["d2"]): r["cosine"] for r in
+           transforms.media_near_dup(spark, sf_dir).collect()}
+    assert out, "no near-dup media pairs found"
+
+    # brute force over the same features
+    feats = transforms.extract_features(
+        transforms.document_payloads(spark, sf_dir)
+    ).collect()
+    vecs = {}
+    for r in feats:
+        vecs.setdefault(r["doc_id"], [0.0] * 8)[r["dim"]] = r["feature"]
+    ids = sorted(vecs)
+    mat = np.array([vecs[i] for i in ids])
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    brute = {}
+    for i_idx, i in enumerate(ids):
+        for j_idx in range(i_idx + 1, len(ids)):
+            c = np.floor(sims[i_idx, j_idx] * 1e6 + 0.5001) / 1e6
+            if c >= 0.999:
+                brute[(i, ids[j_idx])] = c
+    # LSH output is a subset of brute force with identical cosines
+    for k, c in out.items():
+        assert k in brute and abs(brute[k] - c) < 1e-9
+    # identical feature vectors share a bucket by construction, so every
+    # brute-force pair at cosine 1.0 MUST be recalled by the LSH path
+    for k, c in brute.items():
+        if c >= 1.0:
+            assert k in out, k
