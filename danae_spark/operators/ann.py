@@ -308,3 +308,43 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFr
         .select("query_id", "bucket", "cand_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def ann_recall(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Recall@k of each approximate ANN path against the brute-force
+    ground truth — the tuning signal for plane count / nprobe (run it
+    after changing LSH/IVF parameters; at scale, on a sampled query set).
+    One row per method with mean recall over the query vectors."""
+    truth = ann_cosine_topk(spark, sf_dir, k=k).select(
+        "query_id", F.col("cand_id").alias("true_id")
+    )
+    out = []
+    for name, fn in (("lsh", ann_lsh_bucketed), ("ivf", ann_ivf)):
+        approx = fn(spark, sf_dir, k=k).select("query_id", "cand_id")
+        hits = truth.join(
+            approx,
+            (truth.query_id == approx.query_id) & (truth.true_id == approx.cand_id),
+            "left_semi",
+        )
+        per_q = (
+            truth.groupBy("query_id").agg(F.count("*").alias("n_true"))
+            .join(
+                hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+                "query_id",
+                "left",
+            )
+            .select(
+                (F.coalesce("n_hit", F.lit(0)) / F.col("n_true")).alias("recall")
+            )
+        )
+        out.append(
+            per_q.agg(
+                F.lit(name).alias("method"),
+                F.round(F.avg("recall"), 4).alias("recall_at_k"),
+                F.lit(k).alias("k"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("method")
