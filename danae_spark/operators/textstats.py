@@ -354,7 +354,9 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.join(top, "doc_id", "left")
         .select(
             "doc_id",
-            "n_2grams",
+            # size() yields int32; the oracle (and a 100 TB corpus) needs
+            # int64 — match types exactly so the driver's Arrow hash agrees
+            F.col("n_2grams").cast("long").alias("n_2grams"),
             frac(F.col("n_2grams") - F.col("distinct_2grams"), F.col("n_2grams")).alias(
                 "dup_2gram_frac"
             ),
@@ -397,7 +399,7 @@ def text_repetition_oracle() -> str:
     ),
     base AS (
       SELECT d.doc_id,
-             coalesce(g.n_2grams, 0) AS n_2grams,
+             CAST(coalesce(g.n_2grams, 0) AS BIGINT) AS n_2grams,
              coalesce(g.distinct_2grams, 0) AS distinct_2grams,
              coalesce(g.top_2gram_cnt, 0) AS top_2gram_cnt,
              len(ls) AS n_sents,

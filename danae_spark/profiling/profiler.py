@@ -263,7 +263,7 @@ def numeric_profile_oracle(tables: tuple[str, ...] = NUMERIC_PROFILE_TABLES) -> 
                 f"""
     SELECT '{t}' AS table_name, '{c}' AS column_name,
            count({c}) AS n,
-           sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            count(DISTINCT {c}) AS n_distinct,
            CAST(min({c}) AS DOUBLE) AS min_v,
            CAST(max({c}) AS DOUBLE) AS max_v,

@@ -102,7 +102,7 @@ _SAMPLE_ORACLE = f"""
     )
     SELECT source,
            count(*) AS n_eligible,
-           sum(CASE WHEN rk <= {_STRATUM_CAP} THEN 1 ELSE 0 END) AS n_sampled,
+           CAST(sum(CASE WHEN rk <= {_STRATUM_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
            floor((avg(CASE WHEN rk <= {_STRATUM_CAP} THEN n_chars END)) * power(10, 4) + 0.5001) / power(10, 4) AS avg_chars
     FROM ranked
     GROUP BY source ORDER BY source

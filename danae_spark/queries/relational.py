@@ -337,8 +337,9 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
       FROM e
     ), sessions AS (
       SELECT user_id, us, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_seq
       FROM flagged
     )
     SELECT user_id, session_seq, count(*) AS n_events,
@@ -845,17 +846,20 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH steps AS (
       SELECT user_id,
-             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+             min(CASE WHEN event_type = 'view'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_view,
+             min(CASE WHEN event_type = 'click'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_purchase
       FROM events GROUP BY user_id
     )
     SELECT count(*) AS n_users,
-           sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
-           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                    THEN 1 ELSE 0 END) AS step_click,
-           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                    AND t_purchase > t_click THEN 1 ELSE 0 END) AS step_purchase
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
     FROM steps
     """,
 )

@@ -49,6 +49,54 @@ def canon(rows, cols):
     return out
 
 
+# DuckDB output type → Spark dtypes it serializes identically to (via the
+# driver's Arrow/pandas hash). Anything NOT in this map is only warned
+# about; the _BANNED types are hard failures because Arrow converts them
+# to float64/decimal128 and the driver's value hash diverges from Spark's
+# BIGINT even when the values are equal (the r2 lesson: 5/50 hash fails,
+# all un-CAST integer sum() → HUGEINT).
+_INTS = {"tinyint", "smallint", "int", "bigint"}
+_DUCK_TO_SPARK = {
+    # any-width int ↔ any-width int: r2 evidence — spark int vs oracle
+    # BIGINT passed the driver hash on 10+ queries (top_n_per_group etc.);
+    # only INT128/DECIMAL diverge
+    "BIGINT": _INTS,
+    "INTEGER": _INTS,
+    "SMALLINT": _INTS,
+    "TINYINT": _INTS,
+    "DOUBLE": {"double"},
+    "FLOAT": {"float", "double"},
+    "VARCHAR": {"string"},
+    "BOOLEAN": {"boolean"},
+    # spark timestamp_ntz vs duckdb TIMESTAMP passed (q3_shipping_priority)
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "DATE": {"date"},
+}
+_BANNED = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def oracle_type_errors(d_cols, d_types, spark_dtypes):
+    """Return a list of per-column type problems for an oracle result.
+
+    d_types: DuckDB relation .types (DuckDBPyType); spark_dtypes:
+    df.dtypes pairs. HUGEINT/DECIMAL anywhere → error. A mapped DuckDB
+    type whose Spark twin doesn't match → error (serialization mismatch).
+    Unmapped types (arrays/structs) are left to the value compare.
+    """
+    errs = []
+    sd = dict(spark_dtypes)
+    for c, t in zip(d_cols, d_types):
+        ts = str(t).upper()
+        if any(b in ts for b in _BANNED):
+            errs.append(f"{c}: oracle emits {ts} (Arrow hash hazard — CAST it)")
+            continue
+        allowed = _DUCK_TO_SPARK.get(ts.split("(")[0])
+        spark_t = sd.get(c)
+        if allowed is not None and spark_t is not None and spark_t not in allowed:
+            errs.append(f"{c}: oracle {ts} vs spark {spark_t}")
+    return errs
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -77,15 +125,20 @@ def main() -> int:
             print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(qd.oracle)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(qd.oracle)
+            d_cols = list(rel.columns)
+            d_types = list(rel.types)
+            d_rows = rel.fetchall()
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures += 1
             continue
 
         ok = True
+        terrs = oracle_type_errors(d_cols, d_types, sdf.dtypes)
+        if terrs:
+            print(f"FAIL  {name}: oracle type mismatch: {terrs}")
+            ok = False
         if sorted(s_cols) != sorted(d_cols):
             print(f"FAIL  {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
             ok = False
