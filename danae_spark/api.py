@@ -97,7 +97,10 @@ class DataLakeEngine:
             "minhash": _dedup.dedup_minhash_md5,
             "minhash_fast": _dedup.dedup_minhash_xxhash64,
             "simhash": _dedup.dedup_simhash,
-            "embedding": _dedup.dedup_embedding_cosine,
+            # "embedding" is the LSH-bucketed scale path; the exact O(N²)
+            # broadcast twin is opt-in and row-count-guarded
+            "embedding": _dedup.dedup_embedding_lsh,
+            "embedding_exact": _dedup.dedup_embedding_cosine,
         }
         return fns[method](self.spark, self.lake_dir, **kw)
 

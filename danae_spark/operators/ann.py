@@ -28,6 +28,8 @@ N_QUERIES = 20  # vec_id < N_QUERIES are the query vectors
 TOP_K = 5
 N_PLANES = 4
 DIM = 64
+# hard cap on the collected+broadcast IVF codebook (C·dim·8 bytes)
+IVF_CODEBOOK_BUDGET_BYTES = 100 * 1024 * 1024
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
@@ -107,6 +109,21 @@ def _ivf_stride(n: int) -> int:
     return max(1, int(math.floor(math.sqrt(n))))
 
 
+def _ivf_budgeted_stride(n: int, dim: int) -> int:
+    """√N stride, widened so the collected codebook (C·dim·8 bytes,
+    C = N/stride) never exceeds IVF_CODEBOOK_BUDGET_BYTES. √N sizing is
+    ~8 MB at N=10⁹ for dim=64 but ~200 MB at dim=768 — the cap keeps the
+    driver collect + executor broadcast bounded at any (N, dim). Only
+    binds beyond the oracle's test scale, so DuckDB parity holds."""
+    import math
+
+    stride = _ivf_stride(n)
+    max_c = max(1, IVF_CODEBOOK_BUDGET_BYTES // (dim * 8))
+    if n // stride > max_c:
+        stride = math.ceil(n / max_c)
+    return stride
+
+
 def ann_ivf(
     spark: SparkSession, sf_dir: str, k: int = TOP_K, nprobe: int = 2
 ) -> DataFrame:
@@ -132,11 +149,19 @@ def ann_ivf(
     ensure_shipped(spark)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n_total = emb.count()  # parquet footer metadata, no scan
-    stride = _ivf_stride(n_total)
-    centroids = emb.filter((F.col("vec_id") % stride) == 7).select(
+    first = emb.select("embedding").head(1)
+    if not first:  # empty table → brute force degenerates to empty result
+        return ann_cosine_topk(spark, sf_dir, k=k)
+    dim = len(first[0].embedding)
+    stride = _ivf_budgeted_stride(n_total, dim)
+    # offset 7 matches nothing when stride <= 7 (vec_id % stride < stride);
+    # 7 % stride always selects a real residue — mirrored in the oracle
+    centroids = emb.filter((F.col("vec_id") % stride) == 7 % stride).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )
     cent_rows = centroids.orderBy("centroid_id").collect()  # C ≈ √N — bounded codebook
+    if not cent_rows:  # degenerate residue set (can't happen post-fix; belt)
+        return ann_cosine_topk(spark, sf_dir, k=k)
     cent_ids = np.array([r.centroid_id for r in cent_rows], dtype=np.int64)
     cent_mat = np.stack([np.asarray(r.c_emb, dtype=np.float64) for r in cent_rows])
     cent_norm = np.linalg.norm(cent_mat, axis=1)
@@ -214,7 +239,7 @@ def ann_ivf_oracle(k: int = TOP_K, nprobe: int = 2) -> str:
     ),
     cents AS (
       SELECT vec_id AS centroid_id, embedding FROM embeddings, params
-      WHERE vec_id % stride = 7
+      WHERE vec_id % stride = 7 % stride
     ),
     cand_assign AS (
       SELECT e.vec_id AS cand_id, c.centroid_id,

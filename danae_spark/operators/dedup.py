@@ -617,19 +617,117 @@ def contamination_ngram_oracle(n: int = CONTAM_NGRAM) -> str:
 
 COSINE_TAU = 0.4
 
+# dedup_embedding_cosine broadcasts the full vector table (all-pairs):
+# exact by definition, O(N²) by construction. Refuse past this many
+# vectors so the exact twin can't be pointed at a big table by accident —
+# the LSH-bucketed path below is the scale default.
+EXACT_COSINE_MAX_ROWS = 200_000
+
 
 def dedup_embedding_cosine(
-    spark: SparkSession, sf_dir: str, tau: float = COSINE_TAU
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = COSINE_TAU,
+    max_rows: int = EXACT_COSINE_MAX_ROWS,
 ) -> DataFrame:
+    """EXACT τ-threshold near-dup pairs — all-pairs broadcast, O(N²).
+
+    This is the correctness twin (oracle-checked); it row-count-guards
+    itself because the broadcast is an OOM at 100 TB scale. The default
+    engine path is `dedup_embedding_lsh`.
+    """
     from danae_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if max_rows is not None:
+        n = emb.count()  # parquet metadata count — cheap
+        if n > max_rows:
+            raise ValueError(
+                f"dedup_embedding_cosine is the exact O(N²) twin and refuses "
+                f"{n} vectors (> {max_rows}); use dedup_embedding_lsh (the "
+                f"bucketed scale path) or pass max_rows=None to override"
+            )
     a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
     b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
     cos = vectors.pair_cosine_udf()
     return (
         a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
+        .withColumn("cosine", rnd(cos("e1", "e2"), 6))
+        .filter(F.col("cosine") >= tau)
+        .select("v1", "v2", "cosine")
+        .orderBy("v1", "v2")
+    )
+
+
+EMB_LSH_BANDS = 8
+EMB_LSH_PLANES_PER_BAND = 3
+
+
+def dedup_embedding_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = COSINE_TAU,
+    bands: int = EMB_LSH_BANDS,
+    planes_per_band: int = EMB_LSH_PLANES_PER_BAND,
+) -> DataFrame:
+    """Embedding near-dup pairs via banded random-hyperplane LSH — the
+    100 TB path (default for `DataLakeEngine.dedup('embedding')`).
+
+    Each vector hashes into `bands` bucket ids (sign pattern of
+    `planes_per_band` hyperplane projections per band); candidate pairs
+    share ≥1 (band, bucket); candidates are deduped then verified with
+    the exact cosine. Pairwise work is Σ bucket² per band instead of N²,
+    and every join is a (band, bucket) equi-join — no broadcast of the
+    vector table, no cross join. Recall: P(candidate) =
+    1-(1-(1-θ/π)^P)^B ≈ .997 at cos=.9 with B=8, P=3.
+    """
+    from danae_spark.operators.ann import _hyperplanes, lsh_bucket_col
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    all_planes = _hyperplanes(bands * planes_per_band)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        lsh_bucket_col(
+                            "embedding",
+                            all_planes[b * planes_per_band : (b + 1) * planes_per_band],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "embedding", "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"), "band", "bucket"
+    )
+    # candidate ids first, dedup across bands, THEN re-attach vectors and
+    # score once per pair — the cosine UDF runs on |unique candidates|,
+    # not |band collisions|
+    cand = (
+        a.select("v1", "band", "bucket")
+        .join(b.select("v2", "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2")
+        .distinct()
+    )
+    e1 = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    e2 = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    cos = vectors.pair_cosine_udf()
+    return (
+        cand.join(e1, "v1")
+        .join(e2, "v2")
         .withColumn("cosine", rnd(cos("e1", "e2"), 6))
         .filter(F.col("cosine") >= tau)
         .select("v1", "v2", "cosine")

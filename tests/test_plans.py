@@ -93,3 +93,15 @@ def test_profile_numeric_single_aggregation(spark, sf_dir):
     assert "Join" not in plan, plan
     # one scan per profiled table
     assert len(audit.scans(df)) == 6, audit.scans(df)
+
+
+def test_embedding_lsh_no_broadcast_of_vector_table(spark, sf_dir):
+    """The default embedding near-dup path must be (band, bucket)
+    equi-joins — no cross join, no broadcast nested loop over the vector
+    table (the r2 scale-weak finding on the exact twin)."""
+    from danae_spark.operators import dedup
+
+    df = dedup.dedup_embedding_lsh(spark, sf_dir)
+    audit.assert_no_cartesian(df)
+    plan = audit.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
