@@ -31,9 +31,19 @@ class DataLakeEngine:
     """One handle over a lake directory: catalog, profile, search,
     dedup/ANN, text analysis, publish."""
 
-    def __init__(self, spark: SparkSession, lake_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        lake_dir: str,
+        embeddings: "DataFrame | None" = None,
+    ):
+        """`embeddings`: optional term→vector lookup table
+        (`term string, vector array<double-ish>`, e.g. GloVe-50d read
+        from its published text file) used by the Categorical search
+        index; defaults to the built-in deterministic stand-in."""
         self.spark = tune_for_session(spark)
         self.lake_dir = lake_dir
+        self.embeddings = embeddings
 
     # ---------------------------------------------------------- catalog
     def catalog(self) -> DataFrame:
@@ -57,10 +67,14 @@ class DataLakeEngine:
 
     # ----------------------------------------------------------- search
     def similar_columns(self, k: int = 3) -> DataFrame:
-        return _knn.signature_knn(self.spark, self.lake_dir, k=k)
+        return _knn.signature_knn(
+            self.spark, self.lake_dir, k=k, embeddings=self.embeddings
+        )
 
     def column_similarities(self, L: int = 5, M: int = 10) -> DataFrame:
-        return _knn.content_similarity(self.spark, self.lake_dir, L=L, M=M)
+        return _knn.content_similarity(
+            self.spark, self.lake_dir, L=L, M=M, embeddings=self.embeddings
+        )
 
     def matching_scores(self, type_weights: dict[str, float] | None = None) -> DataFrame:
         return _matching.dataset_matching_scores(self.spark, self.lake_dir, type_weights)

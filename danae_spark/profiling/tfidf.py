@@ -273,19 +273,44 @@ EMB_DIMS = 8
 
 
 def categorical_column_embeddings(
-    spark: SparkSession, sf_dir: str, dims: int = EMB_DIMS
+    spark: SparkSession,
+    sf_dir: str,
+    dims: int = EMB_DIMS,
+    embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """Mean word-vector per categorical column (word_aggregator.py:13
     transform_sentence: average embedding of the column's top-k terms).
-    The container has no GloVe vectors, so an `dims`-dim deterministic
-    md5-derived embedding stands in for the lookup table (portable →
-    oracle-checked); the Spark-side semantics (top-k terms → per-term
-    vector join → mean) are the real operator. Feeds both the
-    column_embedding query and the Categorical branch of the search
-    index (content_search.py:33 catTree)."""
+
+    `embeddings` is the pluggable term→vector lookup table
+    (`term string, vector array<double-ish>`, e.g. GloVe-50d loaded
+    from its published text file): top-k terms inner-join the vocab
+    (OOV terms are skipped, as the reference's KeyedVectors lookup
+    does) and the column vector is the per-dimension mean. The vocab is
+    bounded (≈400k rows for GloVe) so it broadcasts; `dims` must match
+    the vector length.
+
+    With `embeddings=None` (default — this container ships no embedding
+    file), a `dims`-dim deterministic md5-derived vector stands in for
+    the lookup (portable → oracle-checked); the Spark-side semantics
+    (top-k terms → per-term vector join → mean) are identical. Feeds
+    both the column_embedding query and the Categorical branch of the
+    search index (content_search.py:33 catTree)."""
     from danae_spark.functions.rounding import rnd
 
     topk = categorical_topk(spark, sf_dir)
+    if embeddings is not None:
+        vecs = topk.join(F.broadcast(embeddings), "term")
+        return (
+            vecs.groupBy("table_name", "column_name")
+            .agg(
+                F.count("*").alias("n_terms"),
+                *[
+                    rnd(F.avg(F.col("vector")[i].cast("double")), 6).alias(f"e{i}")
+                    for i in range(dims)
+                ],
+            )
+            .orderBy("table_name", "column_name")
+        )
     dim_cols = [
         (
             F.conv(F.substring(F.md5(F.concat(F.col("term"), F.lit(f"#d{i}"))), 1, 8), 16, 10)

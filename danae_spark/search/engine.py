@@ -35,6 +35,10 @@ from danae_spark.search.matching import dataset_matching_scores
 W_CONTENT = 0.6
 W_METADATA = 0.4
 
+# session-scoped memo for the schema-derived metadata fields (one
+# schema-footer read per table per session instead of per search call)
+_FIELDS_INDEX: dict[tuple, DataFrame] = {}
+
 
 def _catalog_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form metadata fields per dataset — title / keywords /
@@ -46,13 +50,23 @@ def _catalog_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     published datasets)."""
     from danae_spark.catalog import TABLES, load_table
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _FIELDS_INDEX.get(key)
+    if hit is not None:
+        return hit
     rows = []
     for t in TABLES:
         cols = " ".join(load_table(spark, sf_dir, t).columns)
         rows.append((t, "title", t))
         rows.append((t, "keywords", cols))
         rows.append((t, "description", f"{t} lake table containing columns {cols}"))
-    return spark.createDataFrame(rows, "dataset string, field string, field_text string")
+    # coalesce(1): 30 rows — parallelize's default 32 slices make every
+    # BM25 stage schedule 32 near-empty tasks
+    out = spark.createDataFrame(
+        rows, "dataset string, field string, field_text string"
+    ).coalesce(1).cache()
+    _FIELDS_INDEX[key] = out
+    return out
 
 
 def _metadata_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,9 +59,25 @@ CATEGORICAL_NAMES = tuple(f"e{i}" for i in range(EMB_DIMS))
 # with all-1 defaults so unweighted behavior is unchanged)
 TYPE_WEIGHTS = {"Numeric": 1.0, "Temporal": 1.0, "Categorical": 1.0, "Spatial": 1.0}
 
+# session-scoped signature index: (applicationId, sf_dir, embeddings-id) →
+# the four cached signature frames. The reference trains its R-trees once
+# (content_search.py:219 train()) and serves every query from them; this
+# memo is that artifact — without it every search call rebuilds the plan
+# objects and re-fills the cache entries from parquet.
+_SIG_INDEX: dict[tuple, list] = {}
 
-def typed_signatures(spark: SparkSession, sf_dir: str) -> list[tuple[DataFrame, tuple[str, ...], str]]:
+
+def typed_signatures(
+    spark: SparkSession,
+    sf_dir: str,
+    embeddings: DataFrame | None = None,
+    emb_dims: int | None = None,
+) -> list[tuple[DataFrame, tuple[str, ...], str]]:
     """One signature DataFrame per column type (the four type indexes).
+
+    `embeddings` plugs a real term→vector table (e.g. GloVe-50d) into
+    the Categorical index in place of the md5 stand-in; `emb_dims` is
+    its vector length (inferred from the first row when omitted).
 
     Each frame is `.cache()`d — the reference has an explicit train()
     step that builds its R-trees once (content_search.py:219); the cache
@@ -72,16 +88,37 @@ def typed_signatures(spark: SparkSession, sf_dir: str) -> list[tuple[DataFrame, 
     dedupes by canonicalized plan, so later searches (and the second
     join branch, once populated) read the materialized index instead of
     re-profiling the lake."""
-    return [
-        (quantile_signatures(spark, sf_dir).cache(), SIGNATURE_NAMES, "Numeric"),
-        (temporal_profile(spark, sf_dir).cache(), SIGNATURE_NAMES, "Temporal"),
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        id(embeddings) if embeddings is not None else None,
+    )
+    hit = _SIG_INDEX.get(key)
+    if hit is not None:
+        return hit
+    if embeddings is not None and emb_dims is None:
+        emb_dims = len(embeddings.select("vector").head().vector)
+    dims = emb_dims if embeddings is not None else EMB_DIMS
+    cat_names = tuple(f"e{i}" for i in range(dims))
+    # .coalesce(1): these frames are schema-sized (one row per column) —
+    # leaving them at scan parallelism makes every downstream window /
+    # join stage schedule 32 near-empty tasks, which is most of the
+    # dataset_search wall-clock
+    sigs = [
+        (quantile_signatures(spark, sf_dir).coalesce(1).cache(), SIGNATURE_NAMES, "Numeric"),
+        (temporal_profile(spark, sf_dir).coalesce(1).cache(), SIGNATURE_NAMES, "Temporal"),
         (
-            categorical_column_embeddings(spark, sf_dir).drop("n_terms").cache(),
-            CATEGORICAL_NAMES,
+            categorical_column_embeddings(spark, sf_dir, dims=dims, embeddings=embeddings)
+            .drop("n_terms")
+            .coalesce(1)
+            .cache(),
+            cat_names,
             "Categorical",
         ),
-        (spatial_bboxes(spark, sf_dir).cache(), SPATIAL_BBOX_NAMES, "Spatial"),
+        (spatial_bboxes(spark, sf_dir).coalesce(1).cache(), SPATIAL_BBOX_NAMES, "Spatial"),
     ]
+    _SIG_INDEX[key] = sigs
+    return sigs
 
 
 def _sig_pairs(sigs: DataFrame, names: tuple[str, ...], col_type: str) -> DataFrame:
@@ -110,9 +147,12 @@ def _sig_pairs(sigs: DataFrame, names: tuple[str, ...], col_type: str) -> DataFr
     )
 
 
-def all_pair_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+def all_pair_distances(
+    spark: SparkSession, sf_dir: str, embeddings: DataFrame | None = None
+) -> DataFrame:
     parts = [
-        _sig_pairs(sigs, names, t) for sigs, names, t in typed_signatures(spark, sf_dir)
+        _sig_pairs(sigs, names, t)
+        for sigs, names, t in typed_signatures(spark, sf_dir, embeddings=embeddings)
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -120,10 +160,15 @@ def all_pair_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def signature_knn(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+def signature_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    embeddings: DataFrame | None = None,
+) -> DataFrame:
     """k nearest same-type columns (other tables) per query column —
     across all four type indexes."""
-    pairs = all_pair_distances(spark, sf_dir)
+    pairs = all_pair_distances(spark, sf_dir, embeddings=embeddings)
     w = W.partitionBy("q_table", "q_column", "col_type").orderBy(
         "dist", "cand_table", "cand_column"
     )
@@ -136,11 +181,15 @@ def signature_knn(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
 
 def content_similarity(
-    spark: SparkSession, sf_dir: str, L: int = 5, M: int = 10
+    spark: SparkSession,
+    sf_dir: str,
+    L: int = 5,
+    M: int = 10,
+    embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """Ranked candidate columns with `exp(-decay·dist/kth)` similarity,
     for every query column of every type."""
-    pairs = all_pair_distances(spark, sf_dir)
+    pairs = all_pair_distances(spark, sf_dir, embeddings=embeddings)
     w = W.partitionBy("q_table", "q_column", "col_type").orderBy(
         "dist", "cand_table", "cand_column"
     )
