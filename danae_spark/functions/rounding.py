@@ -95,10 +95,15 @@ def dsumsq(col: Column | str) -> Column:
 
     Squares are formed in decimal so they stay exact: decimal(18,6) ×
     decimal(18,6) → decimal(37,12) lossless in Spark, decimal(36,12) in
-    DuckDB — identical values, exact associative sums. Requires
-    |value| < 1e12."""
+    DuckDB — identical values, exact associative sums. Domain
+    |value| < 1e12 (12 integer digits): out-of-range values are skipped
+    via a per-row guard — under ANSI (Spark 4 default) the bare cast
+    would THROW, and with ANSI off it silently NULLed, making dstd wrong;
+    dstd detects the out-of-range case via max|v| and switches to the
+    double path instead of trusting this sum."""
     col = F.col(col) if isinstance(col, str) else col
-    c6 = col.cast(f"decimal(18,{DSCALE})")
+    cd = col.cast("double")
+    c6 = F.when(F.abs(cd) < F.lit(DSUMSQ_MAX_ABS), col.cast(f"decimal(18,{DSCALE})"))
     return F.sum(c6 * c6).cast("double")
 
 
@@ -111,15 +116,59 @@ def dsumsq_sql(expr: str) -> str:
     return f"CAST(sum({c6} * {c6}) AS DOUBLE)"
 
 
+# decimal(18,6) keeps 12 integer digits: |v| >= 1e12 (epoch-micros/nanos
+# stored as numbers, say) overflows the dsumsq cast, which with ANSI off
+# silently becomes NULL and VANISHES from the sum while count(v) still
+# counts it — a wrong (not NULL) stddev
+DSUMSQ_MAX_ABS = 1e12
+
+
 def dstd(col: Column | str) -> Column:
     """Order-independent sample stddev from exact decimal sums:
     sqrt((Σx² − (Σx)²/n) / (n−1)) — every double op is a single IEEE
-    operation on engine-identical inputs."""
+    operation on engine-identical inputs.
+
+    Domain guard: when max|v| ≥ 1e12 the decimal(18,6) square would
+    silently drop values (see DSUMSQ_MAX_ABS), so those columns fall
+    back to the plain double stddev — approximately right rather than
+    exactly wrong. (The DuckDB oracle has no such hazard: its decimal
+    overflow is a hard error, which is why dstd_sql stays unguarded.)"""
     col = F.col(col) if isinstance(col, str) else col
     n = F.count(col)
     s1 = dsum(col)
     var = (dsumsq(col) - s1 * s1 / n) / (n - F.lit(1))
-    return F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
+    dec_std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    cd = col.cast("double")
+    s1d = F.sum(cd)
+    var_d = (F.sum(cd * cd) - s1d * s1d / n) / (n - F.lit(1))
+    dbl_std = F.sqrt(F.greatest(var_d, F.lit(0.0)))
+    return F.when(
+        n > 1,
+        F.when(F.max(F.abs(cd)) < F.lit(DSUMSQ_MAX_ABS), dec_std).otherwise(dbl_std),
+    )
+
+
+def dmoment_sum(col: Column | str, p: int) -> Column:
+    """Order-independent Σ vᵖ for higher moments (skewness/kurtosis).
+
+    The power is formed in DOUBLE (each IEEE multiply is exact-rounded →
+    per-row identical on every engine), cast to decimal(38,6) (a
+    deterministic nearest-rounding; exact half-ties are unrepresentable
+    as doubles), then summed exactly — so the total is bit-identical
+    regardless of partition order. Unlike dsumsq's all-decimal squares
+    the per-row power carries double rounding, fine for the 4dp-rounded
+    moment stats. Domain: |vᵖ| < 1e32."""
+    cd = (F.col(col) if isinstance(col, str) else col).cast("double")
+    prod = cd
+    for _ in range(p - 1):
+        prod = prod * cd
+    return F.sum(prod.cast("decimal(38,6)")).cast("double")
+
+
+def dmoment_sum_sql(expr: str, p: int) -> str:
+    x = f"CAST(({expr}) AS DOUBLE)"
+    prod = " * ".join([x] * p)
+    return f"CAST(sum(CAST(({prod}) AS DECIMAL(38,6))) AS DOUBLE)"
 
 
 def dstd_sql(expr: str) -> str:

