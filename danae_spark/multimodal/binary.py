@@ -31,10 +31,77 @@ META_SCHEMA = (
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real codec decode — NOT IMPLEMENTED in this container (no PIL/
-    ffmpeg). The deterministic fake below stands in so the distributed
-    plumbing is exercised."""
-    raise NotImplementedError("image codecs unavailable; use fake_decode_meta")
+    """Real PIXEL decode — NOT IMPLEMENTED in this container (no PIL/
+    ffmpeg). Header-level metadata (dimensions/format/channels) IS
+    implemented for PNG/JPEG/GIF via stdlib parsing — see
+    parse_image_header; only pixel access needs a codec library."""
+    raise NotImplementedError(
+        "image pixel codecs unavailable; parse_image_header handles metadata"
+    )
+
+
+# PNG color type → sample channels (spec: greyscale, RGB, palette,
+# greyscale+alpha, RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG SOF markers carrying frame headers (all except DHT C4, DAC CC,
+# and the RST/other non-frame FFCx codes)
+_JPEG_SOF = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF
+}
+
+
+def parse_image_header(payload: bytes) -> dict | None:
+    """Stdlib-only image HEADER decode: real format/width/height/channels
+    for PNG (IHDR), JPEG (SOF segment walk), and GIF (screen descriptor).
+    Returns None for anything unrecognized (the caller falls back to the
+    declared fake path). Pure bytes→dict, so it runs inside the Arrow
+    mapInPandas batches with zero extra dependencies."""
+    import struct
+
+    if len(payload) >= 33 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # first chunk must be IHDR: length(4) type(4) at offset 8
+        if payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            bit_depth, color_type = payload[24], payload[25]
+            return {
+                "format": "png",
+                "width": w,
+                "height": h,
+                "channels": _PNG_CHANNELS.get(color_type, 3),
+                "bit_depth": bit_depth,
+            }
+        return None
+    if len(payload) >= 4 and payload[:3] == b"\xff\xd8\xff":
+        # walk marker segments to the first SOF frame header
+        i = 2
+        n = len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                i += 2  # standalone markers, no length field
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF:
+                if i + 9 > n:
+                    return None
+                precision = payload[i + 4]
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                channels = payload[i + 9] if i + 9 < n else 3
+                return {
+                    "format": "jpeg",
+                    "width": w,
+                    "height": h,
+                    "channels": channels,
+                    "bit_depth": precision,
+                }
+            i += 2 + seg_len
+        return None
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"format": "gif", "width": w, "height": h, "channels": 3, "bit_depth": 8}
+    return None
 
 
 def fake_decode_meta(payload: bytes) -> dict:
@@ -49,9 +116,24 @@ def fake_decode_meta(payload: bytes) -> dict:
     }
 
 
+def _decode_meta(payload: bytes) -> dict:
+    """Header parse for genuine image payloads; deterministic fake for
+    everything else (keeps the text-payload test tables oracle-stable)."""
+    hdr = parse_image_header(payload)
+    if hdr is not None:
+        return {
+            "byte_size": len(payload),
+            "sha256": hashlib.sha256(payload).hexdigest(),
+            "width": hdr["width"],
+            "height": hdr["height"],
+            "channels": hdr["channels"],
+        }
+    return fake_decode_meta(payload)
+
+
 def _extract_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        metas = [fake_decode_meta(p) for p in pdf["payload"]]
+        metas = [_decode_meta(p) for p in pdf["payload"]]
         out = pd.DataFrame(metas)
         out.insert(0, "doc_id", pdf["doc_id"].values)
         yield out

@@ -501,7 +501,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, pairs: DataFrame | None = N
         .localCheckpoint()
     )
     prev_sum = None
-    for _ in range(50):  # diameter bound; near-dup chains converge in a few
+    converged = False
+    max_rounds = 50  # diameter bound; near-dup chains converge in a few
+    for _ in range(max_rounds):
         nbr = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -517,8 +519,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, pairs: DataFrame | None = N
         )
         cur = labels.agg(F.sum("label")).collect()[0][0]
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # a silent break here would return labels that LOOK valid but
+        # disagree with the transitive closure (r2 ADVICE): fail loudly
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge within "
+            f"{max_rounds} rounds — a component has diameter > {max_rounds} "
+            f"(e.g. a long chain of templated near-identical docs); raise "
+            f"max_rounds or pre-split the pair set"
+        )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "label")

@@ -52,16 +52,48 @@ def compact(
     tmp = path.rstrip("/") + "__compacting"
     out.write.mode("overwrite").parquet(tmp)
 
-    bak = path.rstrip("/") + "__pre_compact"
+    # validate the rewrite BEFORE touching the live table: a row-count
+    # mismatch means the rewrite is corrupt — abort with the source intact
+    src_count = df.count()
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    tmp_count = spark.read.parquet(tmp).count()
+    if tmp_count != src_count:
+        fs.delete(tmp_p, True)
+        raise RuntimeError(
+            f"compact: rewrite of {path} has {tmp_count} rows, source has "
+            f"{src_count} — aborting before swap (source untouched)"
+        )
+
+    bak = path.rstrip("/") + "__pre_compact"
     bak_p = jvm.org.apache.hadoop.fs.Path(bak)
     if fs.exists(bak_p):
         fs.delete(bak_p, True)
-    fs.rename(src, bak_p)
-    fs.rename(tmp_p, src)
-    fs.delete(bak_p, True)
+    # rename-based swap: there is an unavoidable instant where the live
+    # path is absent; a failure inside it now restores the backup instead
+    # of stranding readers (r2 ADVICE)
+    if not fs.rename(src, bak_p):
+        raise RuntimeError(f"compact: could not move {path} aside — aborting")
+    try:
+        if not fs.rename(tmp_p, src):
+            raise RuntimeError(f"compact: swap rename into {path} failed")
+    except Exception:
+        fs.rename(bak_p, src)  # roll the live table back
+        raise
 
-    after_files = len(spark.read.parquet(path).inputFiles())
+    # verification read of the swapped-in files BEFORE forfeiting rollback
+    try:
+        after_files = len(spark.read.parquet(path).inputFiles())
+        after_count = spark.read.parquet(path).count()
+        if after_count != src_count:
+            raise RuntimeError(
+                f"compact: post-swap {path} has {after_count} rows, expected "
+                f"{src_count}"
+            )
+    except Exception:
+        fs.delete(src, True)
+        fs.rename(bak_p, src)
+        raise
+    fs.delete(bak_p, True)
     return {
         "path": path,
         "total_bytes": total,
