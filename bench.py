@@ -48,7 +48,17 @@ HEADLINE = [
     "deterministic_sample",
     "similarity_graph_degree",
     "dataset_search_topk",
+    # round-3 additions
+    "profile_numeric_extended",
 ]
+
+
+# not in the driver registry (library functions) but benchmarked the same
+# way: name → callable(spark, sf_dir) -> DataFrame
+def _extra_headline():
+    from danae_spark.operators.dedup import dedup_embedding_lsh
+
+    return {"dedup_embedding_lsh": dedup_embedding_lsh}
 
 
 def main() -> None:
@@ -60,14 +70,16 @@ def main() -> None:
     # JVM warmup on a trivial job so q1 doesn't pay startup costs
     spark.range(1000).count()
 
+    runnables = {
+        name: registry[name].fn for name in HEADLINE if name in registry
+    }
+    runnables.update(_extra_headline())
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in registry:
-            continue
+    for name, fn in runnables.items():
         best, n = None, 0
         for _ in range(2):  # min-of-2: absorbs codegen warm-up + host noise
             t0 = time.time()
-            df = registry[name].fn(spark, sf_dir)
+            df = fn(spark, sf_dir)
             n = df.count()
             el = time.time() - t0
             best = el if best is None else min(best, el)

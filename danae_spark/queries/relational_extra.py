@@ -202,10 +202,162 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     return df, oracle
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    """TPC-H Q8: a nation's market share of PROMO-part volume inside one
+    region by order year — the widest join in the suite (7 tables:
+    lineitem·part·orders·customer·nation·region·supplier·nation). Facts
+    shuffle once on their join keys; every dim broadcasts; the share is
+    a conditional-sum / sum ratio over exact decimal sums."""
+    nation, region = "NATION_5", "ASIA"
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    cn = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("c_nk")
+    )
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    df = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            rnd(
+                dsum(F.when(F.col("supp_nation") == nation, vol).otherwise(F.lit(0.0)))
+                / dsum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+    num = dsum_sql(
+        f"CASE WHEN sn.n_name = '{nation}' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END"
+    )
+    den = dsum_sql("l.l_extendedprice * (1 - l.l_discount)")
+    oracle = f"""
+    SELECT year(o.o_orderdate) AS o_year,
+           {rnd_sql(f"({num} / {den})", 6)} AS mkt_share
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN region r   ON cn.n_regionkey = r.r_regionkey AND r.r_name = '{region}'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    GROUP BY year(o.o_orderdate)
+    ORDER BY o_year
+    """
+    return df, oracle
+
+
+def q12_late_shipping(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    """TPC-H Q12 analogue: the lake lineitem has no shipmode/commit/
+    receipt dates, so the 'late shipping' class derives from
+    shipdate − orderdate (> 90 days = SLOW), keeping Q12's plan shape:
+    one fact join + CASE-bucketed conditional counts per class."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    cls = F.when(delay > 90, F.lit("SLOW")).otherwise(F.lit("FAST"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    df = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(cls.alias("ship_class"))
+        .agg(
+            F.sum(hi.cast("long")).alias("high_line_count"),
+            F.sum((~hi).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+    oracle = """
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY ship_class
+    """
+    return df, oracle
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    """TPC-H Q21 analogue (suppliers who kept orders waiting): the lake
+    lineitem has no commit/receipt dates, so the blocker condition is
+    'this supplier's line shipped strictly later than every other
+    supplier's line in a multi-supplier order'. Keeps Q21's signature
+    shape — correlated EXISTS + NOT EXISTS against the same fact —
+    expressed as one left-semi and one left-anti hash join on
+    l_orderkey with residual non-equi conditions."""
+    nation = "NATION_3"
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == nation)
+    others = l.select(
+        F.col("l_orderkey").alias("o_ok"),
+        F.col("l_suppkey").alias("o_sk"),
+        F.col("l_shipdate").alias("o_ship"),
+    )
+    l1 = (
+        l.join(
+            others,
+            (F.col("l_orderkey") == F.col("o_ok")) & (F.col("l_suppkey") != F.col("o_sk")),
+            "left_semi",
+        )
+        .join(
+            others,
+            (F.col("l_orderkey") == F.col("o_ok"))
+            & (F.col("l_suppkey") != F.col("o_sk"))
+            & (F.col("o_ship") > F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    df = (
+        l1.join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+    oracle = f"""
+    SELECT s.s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey AND n.n_name = '{nation}'
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """
+    return df, oracle
+
+
 EXTRA_QUERIES = {
     "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
+    "q12_late_shipping": q12_late_shipping,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity": q17_small_quantity,
     "q19_disjunctive": q19_disjunctive,
+    "q21_waiting_supplier": q21_waiting_supplier,
     "q22_global_sales": q22_global_sales,
 }
