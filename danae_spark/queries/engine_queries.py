@@ -44,3 +44,13 @@ def profile_numeric_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-breadth profile: + skewness/kurtosis/CV/missing-pct
     (pandas-profiling minimal=True parity, filters.py:92-96)."""
     return _profiler.numeric_profile_extended(spark, sf_dir)
+
+
+from danae_spark.operators import quantize as _quantize  # noqa: E402
+
+
+@register("quantized_ann_topk", oracle=_quantize.quantized_ann_oracle())
+def quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force ANN over int8-quantized codes (4x memory cut; cosine
+    is scale-invariant so similarity runs directly on the codes)."""
+    return _quantize.quantized_ann_topk(spark, sf_dir)
