@@ -127,12 +127,22 @@ class DataLakeEngine:
         return _dedup.contamination_ngram(self.spark, self.lake_dir, n=n)
 
     def ann(self, method: str = "lsh", **kw) -> DataFrame:
+        from danae_spark.operators import quantize as _quantize
+
         fns = {
             "brute": _ann.ann_cosine_topk,
             "lsh": _ann.ann_lsh_bucketed,
             "ivf": _ann.ann_ivf,
+            "quantized": _quantize.quantized_ann_topk,
         }
         return fns[method](self.spark, self.lake_dir, **kw)
+
+    def quantize_embeddings(self) -> DataFrame:
+        """Int8-quantize the embeddings table (4× memory; cosine runs
+        directly on the codes — see operators/quantize.py)."""
+        from danae_spark.operators import quantize as _quantize
+
+        return _quantize.quantize_embeddings(self.spark, self.lake_dir)
 
     def mix(self, budgets: dict[str, int] | None = None) -> DataFrame:
         """Token-budget data mixing (per-source deterministic selection)."""
