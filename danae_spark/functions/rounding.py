@@ -148,27 +148,53 @@ def dstd(col: Column | str) -> Column:
     )
 
 
+# per-column regime split for moment sums: |v| < 100 → "fine" scale-12
+# sums (v⁴ ≤ 1e8, quantized at 1e-12 — small-magnitude columns like
+# rates/fractions keep ~1e-10 relative accuracy; scale-6 here cost
+# kurtosis ~0.1 of error on l_discount); |v| ≥ 100 → "coarse"
+# scale-(12−3p) sums (quantization ≤ 1e-8 RELATIVE because each power is
+# ≥ 100ᵖ, with 26+3p integer digits of Σ headroom). Selection by max|v|
+# is identical on both engines, so parity holds either way.
+MOMENT_SPLIT = 100.0
+
+
 def dmoment_sum(col: Column | str, p: int) -> Column:
     """Order-independent Σ vᵖ for higher moments (skewness/kurtosis).
 
     The power is formed in DOUBLE (each IEEE multiply is exact-rounded →
-    per-row identical on every engine), cast to decimal(38,6) (a
-    deterministic nearest-rounding; exact half-ties are unrepresentable
-    as doubles), then summed exactly — so the total is bit-identical
-    regardless of partition order. Unlike dsumsq's all-decimal squares
-    the per-row power carries double rounding, fine for the 4dp-rounded
-    moment stats. Domain: |vᵖ| < 1e32."""
+    per-row identical on every engine), cast to decimal (deterministic
+    nearest-rounding; exact half-ties are unrepresentable as doubles),
+    then summed exactly — bit-identical regardless of partition order.
+    Two regimes per MOMENT_SPLIT (see above); out-of-range elements
+    (|vᵖ| beyond the coarse decimal) raise a loud ANSI/DuckDB overflow
+    on BOTH engines, never a silent wrong value."""
     cd = (F.col(col) if isinstance(col, str) else col).cast("double")
     prod = cd
     for _ in range(p - 1):
         prod = prod * cd
-    return F.sum(prod.cast("decimal(38,6)")).cast("double")
+    if p == 1:
+        # Σv at scale 12 holds |Σ| < 1e26 — no split needed
+        return F.sum(prod.cast("decimal(38,12)")).cast("double")
+    fine = F.sum(
+        F.when(F.abs(cd) < F.lit(MOMENT_SPLIT), prod.cast("decimal(38,12)"))
+    )
+    coarse = F.sum(prod.cast(f"decimal(38,{12 - 3 * p})"))
+    return F.when(
+        F.max(F.abs(cd)) < F.lit(MOMENT_SPLIT), fine.cast("double")
+    ).otherwise(coarse.cast("double"))
 
 
 def dmoment_sum_sql(expr: str, p: int) -> str:
     x = f"CAST(({expr}) AS DOUBLE)"
     prod = " * ".join([x] * p)
-    return f"CAST(sum(CAST(({prod}) AS DECIMAL(38,6))) AS DOUBLE)"
+    if p == 1:
+        return f"CAST(sum(CAST(({prod}) AS DECIMAL(38,12))) AS DOUBLE)"
+    fine = f"sum(CASE WHEN abs({x}) < {MOMENT_SPLIT} THEN CAST(({prod}) AS DECIMAL(38,12)) END)"
+    coarse = f"sum(CAST(({prod}) AS DECIMAL(38,{12 - 3 * p})))"
+    return (
+        f"(CASE WHEN max(abs({x})) < {MOMENT_SPLIT}"
+        f" THEN CAST({fine} AS DOUBLE) ELSE CAST({coarse} AS DOUBLE) END)"
+    )
 
 
 def dstd_sql(expr: str) -> str:

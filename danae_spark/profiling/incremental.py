@@ -27,22 +27,66 @@ from pyspark.sql import functions as F
 from danae_spark.functions.rounding import rnd
 from danae_spark.profiling.types import NUMERIC, columns_of_class
 
-STATE_COLS = ("n", "n_null", "s", "s2", "min_v", "max_v")
+STATE_COLS = (
+    "n", "n_null", "s", "s2",
+    "q2f", "q2c", "q3f", "q3c", "q4f", "q4c",
+    "amax", "min_v", "max_v",
+)
+
+# decimal(18,6) square domain (see rounding.DSUMSQ_MAX_ABS): out-of-range
+# values are excluded from s2 per-row (the bare cast THROWS under ANSI);
+# finalize uses `amax` to detect the case and refuse a wrong stddev
+_S2_MAX_ABS = 1e12
+# moment sums mirror rounding.dmoment_sum's two regimes: "fine"
+# decimal(38,12) for |v| < MOMENT_SPLIT (small-magnitude accuracy) and
+# "coarse" decimal(38, 12-3p) for bigger values, selected by amax at
+# finalize time. Values beyond _Q_MAX_ABS are excluded per-row (the cast
+# would throw under ANSI) and finalize_extended refuses skewness /
+# kurtosis for such columns (NULL, never wrong or thrown).
+_Q_MAX_ABS = 1e6
+
+
+def _moment_pair(col, p: int, c: str, name: str):
+    """Fine + coarse mergeable moment sums for one power (see
+    rounding.dmoment_sum — same casts, so finalize_extended reproduces
+    the one-shot extended profile exactly)."""
+    from danae_spark.functions.rounding import MOMENT_SPLIT
+
+    prod = col
+    for _ in range(p - 1):
+        prod = prod * col
+    fine = F.sum(
+        F.when(F.abs(col) < MOMENT_SPLIT, prod.cast("decimal(38,12)"))
+    ).alias(f"{c}__{name}f")
+    coarse = F.sum(
+        F.when(F.abs(col) < _Q_MAX_ABS, prod.cast(f"decimal(38,{12 - 3 * p})"))
+    ).alias(f"{c}__{name}c")
+    return [fine, coarse]
 
 
 def partial_state(df: DataFrame, table: str) -> DataFrame:
-    """Mergeable per-column state for one slice of a table."""
+    """Mergeable per-column state for one slice of a table.
+
+    s/s2 are the exact-decimal sums the base profiler uses; q2..q4 are
+    moment-style sums (power formed in double, decimal(38,12)-cast, exact
+    sum — rounding.dmoment_sum semantics) feeding skewness/kurtosis in
+    finalize_extended. All are commutative monoids under +/min/max."""
     cols = columns_of_class(df.schema, NUMERIC)
     aggs = []
     for c in cols:
         col = F.col(c).cast("double")
+        c6 = F.when(F.abs(col) < _S2_MAX_ABS, col.cast("decimal(18,6)"))
         aggs += [
             F.count(col).alias(f"{c}__n"),
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__n_null"),
             F.sum(col.cast("decimal(28,6)")).alias(f"{c}__s"),
-            F.sum(col.cast("decimal(18,6)") * col.cast("decimal(18,6)")).alias(
-                f"{c}__s2"
-            ),
+            F.sum(c6 * c6).alias(f"{c}__s2"),
+            *[
+                agg
+                for pw, name in ((2, "q2"), (3, "q3"), (4, "q4"))
+                for agg in _moment_pair(col, pw, c, name)
+            ],
+            F.max(F.abs(col)).alias(f"{c}__amax"),
             F.min(col).alias(f"{c}__min_v"),
             F.max(col).alias(f"{c}__max_v"),
         ]
@@ -66,6 +110,13 @@ def merge_states(states: list[DataFrame]) -> DataFrame:
         F.sum("n_null").alias("n_null"),
         F.sum("s").alias("s"),
         F.sum("s2").alias("s2"),
+        F.sum("q2f").alias("q2f"),
+        F.sum("q2c").alias("q2c"),
+        F.sum("q3f").alias("q3f"),
+        F.sum("q3c").alias("q3c"),
+        F.sum("q4f").alias("q4f"),
+        F.sum("q4c").alias("q4c"),
+        F.max("amax").alias("amax"),
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
     )
@@ -73,10 +124,17 @@ def merge_states(states: list[DataFrame]) -> DataFrame:
 
 def finalize(state: DataFrame) -> DataFrame:
     """Derive display stats from merged state (identical IEEE double ops
-    to profiler._profile_melted, so outputs match it exactly)."""
+    to profiler._profile_melted, so outputs match it exactly).
+
+    std_v is NULLed when max|v| is outside the decimal-square domain —
+    the state can't hold those squares exactly, and NULL beats wrong."""
     n = F.col("n")
     s, s2 = F.col("s").cast("double"), F.col("s2").cast("double")
     var = (s2 - s * s / n) / (n - 1)
+    std = F.when(
+        F.col("amax") < _S2_MAX_ABS,
+        rnd(F.sqrt(F.greatest(var, F.lit(0.0))), 4),
+    )
     return state.select(
         "table_name",
         "column_name",
@@ -85,5 +143,63 @@ def finalize(state: DataFrame) -> DataFrame:
         "min_v",
         "max_v",
         rnd(s / n, 4).alias("avg_v"),
-        rnd(F.sqrt(F.greatest(var, F.lit(0.0))), 4).alias("std_v"),
+        std.alias("std_v"),
+    ).orderBy("table_name", "column_name")
+
+
+def finalize_extended(state: DataFrame) -> DataFrame:
+    """Extended stats from the SAME merged state — the incremental twin
+    of profiler.numeric_profile_extended (identical moment formulas on
+    identical exact sums, so outputs match the one-shot pass exactly
+    for in-domain columns)."""
+    n = F.col("n")
+    nn = F.col("n_null")
+    nd = n.cast("double")
+    from danae_spark.functions.rounding import MOMENT_SPLIT
+
+    s1 = F.col("s").cast("double")
+    fine = F.col("amax") < MOMENT_SPLIT
+    q2, q3, q4 = (
+        F.when(fine, F.col(f"{c}f").cast("double")).otherwise(
+            F.col(f"{c}c").cast("double")
+        )
+        for c in ("q2", "q3", "q4")
+    )
+    mean = s1 / nd
+    m2 = q2 / nd - mean * mean
+    m3 = q3 / nd - F.lit(3.0) * mean * (q2 / nd) + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        q4 / nd
+        - F.lit(4.0) * mean * (q3 / nd)
+        + F.lit(6.0) * mean * mean * (q2 / nd)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    skew = (m3 / (F.sqrt(m2) * m2)) * F.sqrt(nd * (nd - F.lit(1.0))) / (nd - F.lit(2.0))
+    kurt = (
+        ((nd + F.lit(1.0)) * (m4 / (m2 * m2) - F.lit(3.0)) + F.lit(6.0))
+        * (nd - F.lit(1.0))
+        / ((nd - F.lit(2.0)) * (nd - F.lit(3.0)))
+    )
+    s2 = F.col("s2").cast("double")
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    std = F.when(
+        (F.col("amax") < _S2_MAX_ABS) & (n > 1),
+        F.sqrt(F.greatest(var, F.lit(0.0))),
+    )
+    mean_x = s1 / n
+    return state.select(
+        "table_name",
+        "column_name",
+        "n",
+        "n_null",
+        rnd(nn.cast("double") * F.lit(100.0) / (n + nn), 4).alias("missing_pct"),
+        rnd(mean_x, 4).alias("avg_v"),
+        rnd(std, 4).alias("std_v"),
+        F.when(mean_x != 0, rnd(std / mean_x, 4)).alias("cv"),
+        F.when(
+            (n > 2) & (m2 > 0) & (F.col("amax") < _Q_MAX_ABS), rnd(skew, 4)
+        ).alias("skewness"),
+        F.when(
+            (n > 3) & (m2 > 0) & (F.col("amax") < _Q_MAX_ABS), rnd(kurt, 4)
+        ).alias("kurtosis"),
     ).orderBy("table_name", "column_name")

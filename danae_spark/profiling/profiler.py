@@ -112,7 +112,10 @@ EXTENDED_STATS = (
 
 
 def numeric_profile_extended(
-    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = NUMERIC_PROFILE_TABLES
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = NUMERIC_PROFILE_TABLES,
+    exact: bool = True,
 ) -> DataFrame:
     """Reference-breadth numeric profile: pandas-profiling(minimal=True)
     also emits skewness / kurtosis / CV / missing-percent per column
@@ -122,7 +125,11 @@ def numeric_profile_extended(
     (Σv..Σv⁴, functions/rounding.py dmoment_sum).
 
     Definitions match pandas: sample (Fisher-Pearson adjusted) skewness
-    g1·√(n(n−1))/(n−2) and sample excess kurtosis; cv = std/mean."""
+    g1·√(n(n−1))/(n−2) and sample excess kurtosis; cv = std/mean.
+
+    `exact=False` is the 100 TB mode: plain double sums replace the
+    exact decimal ones (≈2× cheaper, order-dependent in the last ulp —
+    fine when no oracle hash is at stake), same formulas."""
     parts = [_melt_numeric(load_table(spark, sf_dir, t), t) for t in tables]
     melted = parts[0]
     for p in parts[1:]:
@@ -132,7 +139,14 @@ def numeric_profile_extended(
     n = F.count(v)
     nn = F.sum(v.isNull().cast("long"))
     nd = n.cast("double")
-    s1, s2, s3, s4 = (dmoment_sum(v, p) for p in (1, 2, 3, 4))
+    if exact:
+        s1, s2, s3, s4 = (dmoment_sum(v, p) for p in (1, 2, 3, 4))
+    else:
+        cd = v.cast("double")
+        s1 = F.sum(cd)
+        s2 = F.sum(cd * cd)
+        s3 = F.sum(cd * cd * cd)
+        s4 = F.sum(cd * cd * cd * cd)
     mean = s1 / nd
     m2 = s2 / nd - mean * mean
     m3 = s3 / nd - F.lit(3.0) * mean * (s2 / nd) + F.lit(2.0) * mean * mean * mean
@@ -148,8 +162,8 @@ def numeric_profile_extended(
         * (nd - F.lit(1.0))
         / ((nd - F.lit(2.0)) * (nd - F.lit(3.0)))
     )
-    mean_x = davg(v)
-    std_x = dstd(v)
+    mean_x = davg(v) if exact else F.avg(v)
+    std_x = dstd(v) if exact else F.stddev(v)
     return (
         melted.groupBy("table_name", "column_name")
         .agg(

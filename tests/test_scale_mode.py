@@ -61,3 +61,30 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
                 assert av is None
                 continue
             assert exact[k][lo] - 1e-9 <= av <= exact[k][hi] + 1e-9, (k, name, ev, av)
+
+
+def test_extended_profile_approx_mode_close_to_exact(spark, sf_dir):
+    """exact=False (the 100 TB switch: plain double sums) stays within
+    rounding distance of the exact-decimal extended profile."""
+    from danae_spark.profiling import profiler
+
+    exact = {
+        (r.table_name, r.column_name): r
+        for r in profiler.numeric_profile_extended(
+            spark, sf_dir, tables=("lineitem",)
+        ).collect()
+    }
+    approx = {
+        (r.table_name, r.column_name): r
+        for r in profiler.numeric_profile_extended(
+            spark, sf_dir, tables=("lineitem",), exact=False
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        for f in ("missing_pct", "avg_v", "std_v", "cv", "skewness", "kurtosis"):
+            a, b = exact[k][f], approx[k][f]
+            if a is None or b is None:
+                assert a == b, (k, f)
+            else:
+                assert abs(a - b) <= 2e-4 * max(1.0, abs(a)), (k, f, a, b)
