@@ -351,7 +351,268 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, s
     return df, oracle
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    """TPC-H Q2 analogue (minimum-cost supplier): the lake has no
+    partsupp, so the supply relation derives from lineitem — supplier s
+    supplies part p at unit cost min(l_extendedprice / l_quantity).
+    Keeps Q2's signature shape: a correlated `cost = min(cost) per
+    part` subquery (here a window-min over the supply aggregate — one
+    shuffle on partkey, no second scan), part filtered by size/type,
+    supplier joined through nation→region, ordered by account balance.
+    Reference parity target: TPC-H Q2 plan shape on the lake schema."""
+    region, size = "ASIA", 25
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == size) & (F.col("p_type") == "PROMO")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    rn = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("n_name")
+    )
+    supply = (
+        l.groupBy(F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey"))
+        .agg(rnd(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("ps_cost"))
+    )
+    eligible = (
+        supply.join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(F.broadcast(rn), s.s_nationkey == F.col("nk"))
+    )
+    wmin = W.partitionBy("ps_partkey")
+    df = (
+        eligible.withColumn("min_cost", F.min("ps_cost").over(wmin))
+        .filter(F.col("ps_cost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_cost"
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+    oracle = f"""
+    WITH supply AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             {rnd_sql('min(l_extendedprice / l_quantity)', 4)} AS ps_cost
+      FROM lineitem GROUP BY 1, 2
+    ), eligible AS (
+      SELECT ps.*, s.s_acctbal, s.s_name, n.n_name
+      FROM supply ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = '{region}'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type, e.ps_cost
+    FROM eligible e
+    JOIN part p ON e.ps_partkey = p.p_partkey
+               AND p.p_size = {size} AND p.p_type = 'PROMO'
+    WHERE e.ps_cost = (SELECT min(e2.ps_cost) FROM eligible e2
+                       WHERE e2.ps_partkey = e.ps_partkey)
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """
+    return df, oracle
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    """TPC-H Q9 analogue (product-type profit by nation and year): the
+    lake has no ps_supplycost, so cost per line is the deterministic
+    stand-in 0.6 · p_retailprice · l_quantity. Keeps Q9's plan shape —
+    lineitem joined to part (filtered by name pattern), orders,
+    supplier, nation; profit grouped by (supp nation, order year). The
+    fact shuffles once on its join keys; all dims broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    df = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(rnd(dsum(amount), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+    amt = (
+        "l.l_extendedprice * (1 - l.l_discount)"
+        " - 0.6 * p.p_retailprice * l.l_quantity"
+    )
+    oracle = f"""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           {rnd_sql(dsum_sql(amt), 2)} AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name, year(o.o_orderdate)
+    ORDER BY nation, o_year DESC
+    """
+    return df, oracle
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    """TPC-H Q11 analogue (important stock identification): part value
+    held by one nation's suppliers — Σ l_extendedprice·(1−l_discount)
+    per part — kept when it exceeds FRACTION of the nation's total.
+    Keeps Q11's signature shape: GROUP BY + HAVING against a global
+    scalar aggregate of the same relation. The scalar is a window-agg
+    over the per-part aggregate (one shuffle on partkey, no second
+    scan; at 100 TB the window-over-empty-partitioning collapses to a
+    1-row exchange, equivalent to a broadcast scalar). TPC-H's
+    sum-share cut (0.0001/SF) is scale-DEPENDENT, so the analogue keeps
+    parts above MULT× the mean part value — same shape, SF-stable."""
+    nation, mult = "NATION_8", 2.0
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == nation)
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(rnd(dsum(val), 2).alias("part_value"))
+    )
+    wall = W.partitionBy()
+    df = (
+        per_part.withColumn(
+            "avg_value",
+            # part_value is a 2dp double — aggregate exactly in decimal
+            # so the global scalar is partition-order independent (double
+            # summation could flip a borderline HAVING comparison)
+            F.sum(F.col("part_value").cast("decimal(28,6)"))
+            .over(wall)
+            .cast("double")
+            / F.count(F.lit(1)).over(wall),
+        )
+        .filter(F.col("part_value") > F.lit(mult) * F.col("avg_value"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+    oracle = f"""
+    WITH per_part AS (
+      SELECT l.l_partkey AS ps_partkey,
+             {rnd_sql(dsum_sql('l.l_extendedprice * (1 - l.l_discount)'), 2)} AS part_value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey AND n.n_name = '{nation}'
+      GROUP BY l.l_partkey
+    )
+    SELECT ps_partkey, part_value
+    FROM per_part
+    WHERE part_value > {mult} * (SELECT CAST(sum(CAST(part_value AS DECIMAL(28,6))) AS DOUBLE) / count(*) FROM per_part)
+    ORDER BY part_value DESC, ps_partkey
+    """
+    return df, oracle
+
+
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    """TPC-H Q16 analogue (parts/supplier relationship count): distinct
+    suppliers per (brand, type, size) bucket, for parts NOT of an
+    excluded brand/type, excluding 'complaint' suppliers (stand-in:
+    negative account balance — the lake has no comment text). Keeps
+    Q16's shape: supply relation distinct-joined to part, NOT-IN
+    supplier subquery (broadcast anti-join), count(DISTINCT suppkey)."""
+    ex_brand, sizes = "Brand#1", (1, 7, 13, 19, 25, 31, 37, 43)
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != ex_brand)
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(*sizes))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    supply = l.select(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).distinct()
+    df = (
+        supply.join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .join(
+            F.broadcast(bad),
+            F.col("ps_suppkey") == bad.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+    sizes_sql = ", ".join(str(x) for x in sizes)
+    oracle = f"""
+    WITH supply AS (
+      SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM lineitem
+    )
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM supply ps
+    JOIN part p ON ps.ps_partkey = p.p_partkey
+    WHERE p.p_brand <> '{ex_brand}'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN ({sizes_sql})
+      AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """
+    return df, oracle
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    """TPC-H Q20 analogue (potential part promotion): suppliers in one
+    nation who shipped a meaningful volume (> threshold units in one
+    year) of parts matching a name pattern. The lake has no
+    ps_availqty, so the inner 'availqty > ½ shipped' predicate becomes
+    a shipped-quantity threshold on the same aggregate. Keeps Q20's
+    signature shape: supplier ← semi-join ← (per-(supp,part) aggregate
+    over a year, part-pattern semi-join) — two nested semi-joins, the
+    part filter broadcast."""
+    nation, pattern, year, min_qty = "NATION_8", "red%", 1995, 10
+    l = load_table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == year)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like(pattern))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == nation)
+    shipped = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > min_qty)
+    )
+    df = (
+        s.join(
+            shipped.select(F.col("l_suppkey").alias("sk")).distinct(),
+            s.s_suppkey == F.col("sk"),
+            "left_semi",
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+    oracle = f"""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = '{nation}'
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '{pattern}')
+        AND year(l.l_shipdate) = {year}
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING sum(l.l_quantity) > {min_qty}
+    )
+    ORDER BY s.s_name
+    """
+    return df, oracle
+
+
 EXTRA_QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_stock": q11_important_stock,
+    "q16_supplier_relationship": q16_supplier_relationship,
+    "q20_potential_promotion": q20_potential_promotion,
     "q7_nation_volume": q7_nation_volume,
     "q8_market_share": q8_market_share,
     "q12_late_shipping": q12_late_shipping,
