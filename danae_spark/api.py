@@ -18,6 +18,7 @@ from danae_spark import catalog as _catalog
 from danae_spark.operators import ann as _ann
 from danae_spark.operators import dedup as _dedup
 from danae_spark.operators import textstats as _textstats
+from danae_spark.profiling import incremental as _incremental
 from danae_spark.profiling import profiler as _profiler
 from danae_spark.profiling import tfidf as _tfidf
 from danae_spark.search import engine as _engine
@@ -58,6 +59,30 @@ class DataLakeEngine:
     # -------------------------------------------------------- profiling
     def profile(self) -> DataFrame:
         return _profiler.numeric_profile(self.spark, self.lake_dir)
+
+    def profile_extended(self, exact: bool = True) -> DataFrame:
+        """Reference-breadth numeric profile (+ skewness/kurtosis/CV/
+        missing-pct). `exact=False` is the 100 TB mode: plain double
+        sums, ~2x cheaper, last-ulp order dependence."""
+        return _profiler.numeric_profile_extended(
+            self.spark, self.lake_dir, exact=exact
+        )
+
+    def profile_state(self, df: DataFrame, table: str) -> DataFrame:
+        """Mergeable per-column profile state for one slice of a table
+        (incremental profiling: state frames from independent slices /
+        days / partitions merge with `merge_profile_states`)."""
+        return _incremental.partial_state(df, table)
+
+    @staticmethod
+    def merge_profile_states(states: list[DataFrame], extended: bool = False) -> DataFrame:
+        """Merge slice states and finalize display stats; `extended=True`
+        adds skewness/kurtosis/CV/missing-pct (bit-identical to the
+        one-shot profile_extended for in-domain columns)."""
+        merged = _incremental.merge_states(states)
+        if extended:
+            return _incremental.finalize_extended(merged)
+        return _incremental.finalize(merged)
 
     def signatures(self) -> DataFrame:
         return _profiler.signature_profile(self.spark, self.lake_dir)

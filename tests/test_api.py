@@ -18,3 +18,34 @@ def test_engine_facade_verbs(spark, sf_dir):
     assert 0 < len(one) <= 2
     assert all(r["q_table"] == "orders" for r in one)
     assert eng.metadata_search("spark join", k=5).count() <= 5
+
+
+def test_engine_facade_profiling_paths(spark, sf_dir):
+    """profile_extended (both modes) and the incremental state verbs
+    agree with each other on the facade."""
+    from pyspark.sql import functions as F
+
+    eng = DataLakeEngine(spark, sf_dir)
+    ext = eng.profile_extended()
+    assert {"skewness", "kurtosis", "cv", "missing_pct"} <= set(ext.columns)
+    n_ext = ext.count()
+    assert n_ext > 0
+    assert eng.profile_extended(exact=False).count() == n_ext
+
+    li = eng.table("lineitem")
+    states = [
+        eng.profile_state(li.filter(F.col("l_orderkey") % 2 == i), "lineitem")
+        for i in range(2)
+    ]
+    inc = {
+        r["column_name"]: r
+        for r in DataLakeEngine.merge_profile_states(states, extended=True).collect()
+    }
+    one = {
+        r["column_name"]: r
+        for r in ext.filter(F.col("table_name") == "lineitem").collect()
+    }
+    assert set(one) <= set(inc)
+    for c in one:
+        assert inc[c]["skewness"] == one[c]["skewness"], c
+        assert inc[c]["avg_v"] == one[c]["avg_v"], c
