@@ -105,3 +105,42 @@ def test_embedding_lsh_no_broadcast_of_vector_table(spark, sf_dir):
     audit.assert_no_cartesian(df)
     plan = audit.physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q9_dims_broadcast_no_cartesian(spark, sf_dir):
+    """Q9's five-table join: part/supplier/nation broadcast; the only
+    shuffle joins are fact-to-fact (lineitem-orders)."""
+    from danae_spark.queries.relational_extra import EXTRA_QUERIES
+
+    df, _ = EXTRA_QUERIES["q9_product_profit"](spark, sf_dir)
+    strategies = audit.join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") >= 3, strategies
+    audit.assert_no_cartesian(df)
+
+
+def test_q2_single_shuffle_supply_aggregate(spark, sf_dir):
+    """Q2's correlated-min is a window over the supply aggregate —
+    partitioned on the same key as the groupBy, so the min adds no
+    second shuffle of the supply relation, and supplier/nation/region/
+    part all broadcast."""
+    from danae_spark.queries.relational_extra import EXTRA_QUERIES
+
+    df, _ = EXTRA_QUERIES["q2_min_cost_supplier"](spark, sf_dir)
+    audit.assert_no_cartesian(df)
+    plan = audit.physical_plan(df)
+    # one exchange for the (partkey, suppkey) aggregate; the window's
+    # partitionBy(ps_partkey) requirement is satisfied by it (prefix),
+    # so no hashpartitioning exchange on ps_partkey alone should appear
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_q20_part_filter_broadcast_semi(spark, sf_dir):
+    """Q20's inner part-pattern filter must reach lineitem as a
+    broadcast left-semi join (never a shuffle of the fact on partkey
+    just to filter it)."""
+    from danae_spark.queries.relational_extra import EXTRA_QUERIES
+
+    df, _ = EXTRA_QUERIES["q20_potential_promotion"](spark, sf_dir)
+    plan = audit.physical_plan(df)
+    assert "LeftSemi, BuildRight" in plan or "BroadcastHashJoin" in plan, plan
+    audit.assert_no_cartesian(df)
