@@ -1,0 +1,84 @@
+"""Streaming profile maintenance: the state table built by the stream
+(micro-batch partial states, idempotent per-batch overwrite) finalizes
+to EXACTLY the one-shot batch profile of the same rows, regardless of
+how the stream was micro-batched."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from danae_spark.catalog import load_table
+from danae_spark.profiling import incremental
+from danae_spark.streaming import profile_stream as ps
+
+
+def test_streamed_profile_matches_batch(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "events_src")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ps.run_profile_stream(stream, "events", state_dir, ckpt)
+
+    # multiple micro-batches actually happened (the merge is exercised)
+    batch_parts = [d for d in os.listdir(state_dir) if d.startswith("batch_id=")]
+    assert len(batch_parts) >= 2, batch_parts
+
+    streamed = {
+        r["column_name"]: r for r in ps.streamed_profile(spark, state_dir).collect()
+    }
+    one_shot = {
+        r["column_name"]: r
+        for r in incremental.finalize(
+            incremental.merge_states(
+                [incremental.partial_state(spark.read.parquet(src), "events")]
+            )
+        ).collect()
+    }
+    assert set(streamed) == set(one_shot) and len(one_shot) > 0
+    for c in one_shot:
+        for f in ("n", "n_null", "min_v", "max_v", "avg_v", "std_v"):
+            assert streamed[c][f] == one_shot[c][f], (c, f)
+
+    ext = {
+        r["column_name"]: r
+        for r in ps.streamed_profile(spark, state_dir, extended=True).collect()
+    }
+    assert set(ext) == set(one_shot)
+    value = ext["value"]
+    assert value["skewness"] is not None and value["kurtosis"] is not None
+
+
+def test_profile_stream_batch_overwrite_is_idempotent(spark, sf_dir, tmp_path):
+    """A replayed micro-batch (at-least-once foreachBatch) must not
+    double-count: the per-batch dynamic partition overwrite makes the
+    state table idempotent by batch id."""
+    state_dir = str(tmp_path / "state2")
+    events = load_table(spark, sf_dir, "events").limit(100)
+
+    def write(batch_id: int) -> None:
+        (
+            incremental.partial_state(events, "events")
+            .withColumn("batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state_dir)
+        )
+
+    write(0)
+    write(0)  # replay of the same batch
+    out = {
+        r["column_name"]: r for r in ps.streamed_profile(spark, state_dir).collect()
+    }
+    assert out["value"]["n"] == 100
