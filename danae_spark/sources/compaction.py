@@ -17,7 +17,58 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# bits per dimension of the z-order key; 2 dims × 12 bits = a 24-bit
+# key — plenty of resolution for file-level (not row-level) clustering
+ZORDER_BITS = 12
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS):
+    """Interleaved-bit (Morton / Z-order) sort key over `cols`.
+
+    Each column is linearly bucketed into 2^bits cells between its
+    global min and max (one tiny distributed agg; no global sort), and
+    the cell ids' bits are interleaved so the key preserves locality in
+    EVERY dimension at once. Clustering a table by this key keeps
+    parquet file/row-group min-max statistics selective for filters on
+    ANY of the dimensions — unlike a lexicographic sort, which skips
+    well only on its leading column. All expressions are built-in
+    (width_bucket / shift / bitwiseOR): whole-stage codegen, no UDF.
+
+    Returns a Column; NULLs land in cell 0 (sort first)."""
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"{c}__min") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"{c}__max") for c in cols],
+    ).collect()[0]
+    n_cells = 2**bits
+    buckets = []
+    for c in cols:
+        lo, hi = stats[f"{c}__min"], stats[f"{c}__max"]
+        if lo is None or hi is None or hi <= lo:
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        b = F.width_bucket(
+            F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_cells)
+        )
+        # width_bucket: 0 below, n+1 above; clamp into [0, n_cells-1]
+        buckets.append(
+            F.coalesce(
+                F.greatest(F.least(b - 1, F.lit(n_cells - 1)), F.lit(0)),
+                F.lit(0),
+            ).cast("long")
+        )
+    key = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, bucket in enumerate(buckets):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),
+                    bit * len(buckets) + i,
+                )
+            )
+    return key
 
 
 def _dir_bytes(spark: SparkSession, path: str) -> int:
@@ -28,13 +79,23 @@ def _dir_bytes(spark: SparkSession, path: str) -> int:
 
 
 def compact(
-    spark: SparkSession, path: str, target_mb: int = 128, sort_by: list[str] | None = None
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Rewrite the parquet dataset at `path` into ~target_mb files.
 
     `sort_by` optionally clusters rows (sortWithinPartitions) so min/max
     parquet statistics stay selective after the rewrite — the layout step
-    that keeps predicate pushdown effective post-compaction."""
+    that keeps predicate pushdown effective post-compaction.
+
+    `zorder_by` (mutually exclusive with sort_by) range-partitions and
+    sorts by an interleaved-bit key over SEVERAL columns instead, so
+    data skipping stays effective for filters on any of them."""
+    if sort_by and zorder_by:
+        raise ValueError("compact: pass sort_by or zorder_by, not both")
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     src = jvm.org.apache.hadoop.fs.Path(path)
@@ -45,9 +106,19 @@ def compact(
     df = spark.read.parquet(path)
     before_files = len(df.inputFiles())
 
-    out = df.repartition(n_files)
-    if sort_by:
-        out = out.sortWithinPartitions(*sort_by)
+    if zorder_by:
+        # range-partition on the z key so each FILE covers a compact
+        # z-range (file-level skipping), then sort inside for row groups
+        out = (
+            df.withColumn("__zkey", zorder_key(df, zorder_by))
+            .repartitionByRange(n_files, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+    else:
+        out = df.repartition(n_files)
+        if sort_by:
+            out = out.sortWithinPartitions(*sort_by)
 
     tmp = path.rstrip("/") + "__compacting"
     out.write.mode("overwrite").parquet(tmp)
