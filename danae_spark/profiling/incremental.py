@@ -147,6 +147,93 @@ def finalize(state: DataFrame) -> DataFrame:
     ).orderBy("table_name", "column_name")
 
 
+def quantile_sample_state(
+    df: DataFrame, table: str, key_cols: list[str], k: int = 1024
+) -> DataFrame:
+    """Mergeable quantile state: the k rows with the SMALLEST md5 hash
+    of (row key, column name), per numeric column.
+
+    A bottom-k-by-hash sample is a uniform sample that is exactly
+    mergeable (bottom-k of a union == bottom-k of the parts' bottom-ks)
+    and deterministic (no RNG, no partition-order dependence) — so
+    incremental quantile/signature refreshes are reproducible and
+    slice-order independent, unlike reservoir sampling. Quantiles from
+    the sample carry ~1/√k rank error (k=1024 → ~1.5 pp at the median).
+
+    Two-level selection keeps it scalable: a per-input-partition
+    bottom-k first (parallel window over (column, partition id)), then
+    the global bottom-k over the ≤ k×P survivors — the full data is
+    never shuffled into one reducer per column.
+
+    `key_cols` must identify rows (a primary key); rows sharing a key
+    hash identically, which biases the sample."""
+    from pyspark.sql import Window as W
+
+    cols = columns_of_class(df.schema, NUMERIC)
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    groups = ", ".join(
+        f"'{c}', md5(concat(__key, '\x1f', '{c}')), CAST(`{c}` AS DOUBLE)"
+        for c in cols
+    )
+    melted = (
+        df.withColumn("__key", key)
+        .select(
+            F.expr(f"stack({len(cols)}, {groups}) AS (column_name, h, v)"),
+            F.spark_partition_id().alias("__pid"),
+        )
+        .filter(F.col("v").isNotNull())
+    )
+    w_local = W.partitionBy("column_name", "__pid").orderBy("h", "v")
+    local = (
+        melted.withColumn("__rn", F.row_number().over(w_local))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__pid")
+    )
+    w_global = W.partitionBy("column_name").orderBy("h", "v")
+    return (
+        local.withColumn("__rn", F.row_number().over(w_global))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .select(F.lit(table).alias("table_name"), "column_name", "h", "v")
+    )
+
+
+def merge_quantile_samples(states: list[DataFrame], k: int = 1024) -> DataFrame:
+    """Associative merge: union, keep the k smallest hashes per column."""
+    from pyspark.sql import Window as W
+
+    unioned = reduce(lambda a, b: a.unionByName(b), states)
+    w = W.partitionBy("table_name", "column_name").orderBy("h", "v")
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def finalize_quantile_signature(state: DataFrame, rounding: int | None = 4) -> DataFrame:
+    """7-point quantile signature (profiler.SIGNATURE_PS) estimated from
+    the merged sample — the incrementally-maintained twin of
+    profiler.quantile_signatures, feeding the content search index
+    without re-profiling unchanged data."""
+    from danae_spark.profiling.profiler import SIGNATURE_NAMES, SIGNATURE_PS
+
+    q = F.percentile(F.col("v"), F.lit(list(SIGNATURE_PS)))
+    out = (
+        state.groupBy("table_name", "column_name")
+        .agg(q.alias("q"))
+        .select(
+            "table_name",
+            "column_name",
+            *[
+                (rnd(F.col("q")[i], rounding) if rounding is not None else F.col("q")[i]).alias(n)
+                for i, n in enumerate(SIGNATURE_NAMES)
+            ],
+        )
+    )
+    return out.orderBy("table_name", "column_name")
+
+
 def finalize_extended(state: DataFrame) -> DataFrame:
     """Extended stats from the SAME merged state — the incremental twin
     of profiler.numeric_profile_extended (identical moment formulas on

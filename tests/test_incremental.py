@@ -88,6 +88,58 @@ def test_incremental_extended_matches_one_shot(spark, sf_dir):
             assert inc[c][f] == one[c][f], (c, f, inc[c][f], one[c][f])
 
 
+def test_quantile_sample_exactly_mergeable(spark, sf_dir):
+    """bottom-k-by-hash is EXACTLY mergeable: merged slice samples ==
+    the one-shot sample, row for row (deterministic, no RNG)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = ["l_orderkey", "l_linenumber"]
+    slices = [li.filter(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    merged = incremental.merge_quantile_samples(
+        [incremental.quantile_sample_state(s, "lineitem", key, k=256) for s in slices],
+        k=256,
+    )
+    one = incremental.quantile_sample_state(li, "lineitem", key, k=256)
+    m = sorted(map(tuple, merged.collect()))
+    o = sorted(map(tuple, one.collect()))
+    assert m == o and len(o) > 0
+
+
+def test_quantile_sample_signature_close_to_exact(spark, sf_dir):
+    """Sample-estimated signature quantiles sit within ±3 rank points of
+    the exact ones (k=1024 → ~1.5 pp standard rank error)."""
+    from danae_spark.profiling.profiler import SIGNATURE_NAMES, SIGNATURE_PS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    state = incremental.quantile_sample_state(
+        li, "lineitem", ["l_orderkey", "l_linenumber"], k=1024
+    )
+    est = {
+        r["column_name"]: r
+        for r in incremental.finalize_quantile_signature(state, rounding=None).collect()
+    }
+    delta = 0.03
+    lo_ps = [max(0.0, p - delta) for p in SIGNATURE_PS]
+    hi_ps = [min(1.0, p + delta) for p in SIGNATURE_PS]
+    from danae_spark.profiling.profiler import _melt_numeric
+
+    bounds = (
+        _melt_numeric(li, "lineitem")
+        .groupBy("column_name")
+        .agg(
+            F.percentile("v", F.lit(lo_ps)).alias("lo"),
+            F.percentile("v", F.lit(hi_ps)).alias("hi"),
+        )
+        .collect()
+    )
+    assert set(est) == {r["column_name"] for r in bounds}
+    for r in bounds:
+        e = est[r["column_name"]]
+        for i, name in enumerate(SIGNATURE_NAMES):
+            assert r["lo"][i] - 1e-9 <= e[name] <= r["hi"][i] + 1e-9, (
+                r["column_name"], name, e[name], r["lo"][i], r["hi"][i],
+            )
+
+
 def test_incremental_large_magnitude_refuses_std(spark):
     """Out-of-decimal-domain columns get NULL std (never a wrong one)."""
     import pandas as pd
