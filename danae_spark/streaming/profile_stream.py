@@ -88,3 +88,47 @@ def streamed_profile(
     if extended:
         return incremental.finalize_extended(merged)
     return incremental.finalize(merged)
+
+
+def compact_profile_state(spark: SparkSession, state_dir: str) -> dict:
+    """Fold all accumulated per-batch state partitions into one BASE
+    partition (`batch_id=-1`).
+
+    A long-running stream appends one partition per micro-batch; after
+    ~10⁵ batches the state read is dominated by file listing, not data.
+    Because the state is an exact-decimal monoid, pre-merging batches
+    is lossless: the folded base row set finalizes to the identical
+    profile. New micro-batches keep landing in their own partitions
+    (batch ids are non-negative, so the base never collides) and the
+    next compaction folds them in. Safe with a concurrent stream: only
+    partitions visible at read time are folded and then deleted."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = root.getFileSystem(conf)
+    seen = [
+        s.getPath().getName()
+        for s in fs.listStatus(root)
+        if s.getPath().getName().startswith("batch_id=")
+    ]
+    if len(seen) <= 1:
+        return {"folded": 0, "partitions_before": len(seen)}
+    state = spark.read.parquet(
+        *[f"{state_dir.rstrip('/')}/{p}" for p in seen]
+    )
+    merged = incremental.merge_states([state]).withColumn(
+        "batch_id", F.lit(-1)
+    )
+    # write the new base under a batch id no stream will ever use,
+    # then drop the folded partitions (base overwrite is last-wins)
+    (
+        merged.coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(state_dir)
+    )
+    for p in seen:
+        if p != "batch_id=-1":
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_dir.rstrip('/')}/{p}"), True)
+    return {"folded": len(seen), "partitions_before": len(seen)}

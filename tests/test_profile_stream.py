@@ -58,6 +58,33 @@ def test_streamed_profile_matches_batch(spark, sf_dir, tmp_path):
     assert value["skewness"] is not None and value["kurtosis"] is not None
 
 
+def test_compact_profile_state_is_lossless(spark, sf_dir, tmp_path):
+    """Folding all batch partitions into the base partition leaves the
+    finalized profile IDENTICAL (exact-decimal monoid state)."""
+    src = str(tmp_path / "events_src")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ps.run_profile_stream(stream, "events", state_dir, ckpt)
+
+    before = sorted(map(tuple, ps.streamed_profile(spark, state_dir, extended=True).collect()))
+    stats = ps.compact_profile_state(spark, state_dir)
+    assert stats["folded"] >= 2
+    parts = [d for d in os.listdir(state_dir) if d.startswith("batch_id=")]
+    assert parts == ["batch_id=-1"], parts
+    after = sorted(map(tuple, ps.streamed_profile(spark, state_dir, extended=True).collect()))
+    assert before == after
+
+    # a second compaction is a no-op
+    assert ps.compact_profile_state(spark, state_dir)["folded"] == 0
+
+
 def test_profile_stream_batch_overwrite_is_idempotent(spark, sf_dir, tmp_path):
     """A replayed micro-batch (at-least-once foreachBatch) must not
     double-count: the per-batch dynamic partition overwrite makes the
