@@ -50,6 +50,7 @@ HEADLINE = [
     "dataset_search_topk",
     # round-3 additions
     "profile_numeric_extended",
+    "quantized_ann_topk",
 ]
 
 
@@ -57,8 +58,13 @@ HEADLINE = [
 # way: name → callable(spark, sf_dir) -> DataFrame
 def _extra_headline():
     from danae_spark.operators.dedup import dedup_embedding_lsh
+    from danae_spark.queries.relational_extra import EXTRA_QUERIES
 
-    return {"dedup_embedding_lsh": dedup_embedding_lsh}
+    def q9(spark, sf_dir):
+        df, _ = EXTRA_QUERIES["q9_product_profit"](spark, sf_dir)
+        return df
+
+    return {"dedup_embedding_lsh": dedup_embedding_lsh, "q9_product_profit": q9}
 
 
 def main() -> None:
