@@ -32,29 +32,51 @@ from pyspark.sql import functions as F
 from danae_spark.profiling import incremental
 
 
+def quantile_state_dir(state_dir: str) -> str:
+    """Sibling directory for the quantile-sample state (kept OUTSIDE
+    `state_dir` — the moment state's recursive parquet read must not
+    see the differently-schemed sample rows)."""
+    return state_dir.rstrip("/") + "_quantiles"
+
+
 def profile_state_sink(
     stream: DataFrame,
     table: str,
     state_dir: str,
     checkpoint_dir: str,
     query_name: str = "profile_stream",
+    quantile_key_cols: list[str] | None = None,
+    k: int = 1024,
 ):
     """writeStream handle that maintains the profile state table for
     `stream`. Start with `.start()`; use `trigger(availableNow=True)`
     (set here) for drain-and-stop, or swap the trigger for a continuous
-    deployment."""
+    deployment.
+
+    With `quantile_key_cols` (a row key), each batch also lands its
+    bottom-k-by-hash quantile sample in the sibling
+    `quantile_state_dir(state_dir)` table, so the 7-point search-index
+    signature is streamed too (`streamed_signature`)."""
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        state = incremental.partial_state(batch_df, table).withColumn(
-            "batch_id", F.lit(int(batch_id))
-        )
-        (
-            state.coalesce(1)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(state_dir)
-        )
+        def _land(df: DataFrame, where: str) -> None:
+            (
+                df.withColumn("batch_id", F.lit(int(batch_id)))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(where)
+            )
+
+        _land(incremental.partial_state(batch_df, table), state_dir)
+        if quantile_key_cols:
+            _land(
+                incremental.quantile_sample_state(
+                    batch_df, table, quantile_key_cols, k=k
+                ),
+                quantile_state_dir(state_dir),
+            )
 
     return (
         stream.writeStream.foreachBatch(_write_batch)
@@ -70,10 +92,13 @@ def run_profile_stream(
     state_dir: str,
     checkpoint_dir: str,
     query_name: str = "profile_stream",
+    quantile_key_cols: list[str] | None = None,
+    k: int = 1024,
 ) -> None:
     """Drain all currently-available stream input into the state table."""
     q = profile_state_sink(
-        stream, table, state_dir, checkpoint_dir, query_name
+        stream, table, state_dir, checkpoint_dir, query_name,
+        quantile_key_cols=quantile_key_cols, k=k,
     ).start()
     q.awaitTermination()
 
@@ -88,6 +113,16 @@ def streamed_profile(
     if extended:
         return incremental.finalize_extended(merged)
     return incremental.finalize(merged)
+
+
+def streamed_signature(
+    spark: SparkSession, state_dir: str, k: int = 1024, rounding: int | None = 4
+) -> DataFrame:
+    """The live 7-point quantile signature from the accumulated sample
+    state (requires the sink to have run with `quantile_key_cols`)."""
+    state = spark.read.parquet(quantile_state_dir(state_dir)).drop("batch_id")
+    merged = incremental.merge_quantile_samples([state], k=k)
+    return incremental.finalize_quantile_signature(merged, rounding=rounding)
 
 
 def compact_profile_state(spark: SparkSession, state_dir: str) -> dict:

@@ -58,6 +58,40 @@ def test_streamed_profile_matches_batch(spark, sf_dir, tmp_path):
     assert value["skewness"] is not None and value["kurtosis"] is not None
 
 
+def test_streamed_signature_matches_one_shot_sample(spark, sf_dir, tmp_path):
+    """With a row key, the stream also maintains the quantile sample;
+    merged per-batch bottom-k samples equal the one-shot sample exactly
+    (bottom-k of a union == bottom-k of the parts' bottom-ks), so the
+    streamed signature is identical to the batch one."""
+    src = str(tmp_path / "events_src")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ps.run_profile_stream(
+        stream, "events", state_dir, ckpt, quantile_key_cols=["event_id"], k=256
+    )
+    streamed = sorted(
+        map(tuple, ps.streamed_signature(spark, state_dir, k=256).collect())
+    )
+    one = sorted(
+        map(
+            tuple,
+            incremental.finalize_quantile_signature(
+                incremental.quantile_sample_state(
+                    spark.read.parquet(src), "events", ["event_id"], k=256
+                )
+            ).collect(),
+        )
+    )
+    assert streamed == one and len(one) > 0
+
+
 def test_compact_profile_state_is_lossless(spark, sf_dir, tmp_path):
     """Folding all batch partitions into the base partition leaves the
     finalized profile IDENTICAL (exact-decimal monoid state)."""
