@@ -2,10 +2,13 @@
 
 At 100 TB you never re-profile the whole lake when a partition lands:
 each partition contributes a PARTIAL state of algebraic aggregates
-(n, n_null, sum, sum_sq, min, max — all commutative monoids), states
-merge associatively, and final stats (mean, sample std) derive from the
-merged state. This mirrors how Spark's own partial aggregation works,
-lifted to a persistable table so refreshes are O(new data).
+(n, n_null, sum, sum_sq, higher-moment sums, min, max, a DataSketches
+HLL sketch for distinct counts, and a bottom-k-by-hash quantile sample
+— all commutative monoids), states merge associatively, and final
+stats (mean, sample std, skewness/kurtosis, approx distinct, quantile
+signatures) derive from the merged state. This mirrors how Spark's own
+partial aggregation works, lifted to a persistable table so refreshes
+are O(new data).
 
 Sums accumulate in EXACT DECIMAL (rounding.dsum semantics): decimal
 addition is associative and exact, so any slicing/merge order yields the
@@ -30,7 +33,7 @@ from danae_spark.profiling.types import NUMERIC, columns_of_class
 STATE_COLS = (
     "n", "n_null", "s", "s2",
     "q2f", "q2c", "q3f", "q3c", "q4f", "q4c",
-    "amax", "min_v", "max_v",
+    "amax", "min_v", "max_v", "hll",
 )
 
 # decimal(18,6) square domain (see rounding.DSUMSQ_MAX_ABS): out-of-range
@@ -89,6 +92,13 @@ def partial_state(df: DataFrame, table: str) -> DataFrame:
             F.max(F.abs(col)).alias(f"{c}__amax"),
             F.min(col).alias(f"{c}__min_v"),
             F.max(col).alias(f"{c}__max_v"),
+            # DataSketches HLL: register state is max-based, so unions
+            # merge losslessly (estimates drift ≤1 from the union's
+            # HLL_4→HLL_8 re-encoding) — distinct counts stay mergeable
+            # across slices and streams.
+            # The sketch takes int/string/binary only: feed the double's
+            # canonical string (injective, deterministic per value)
+            F.hll_sketch_agg(col.cast("string")).alias(f"{c}__hll"),
         ]
     one = df.agg(*aggs)
     groups = ", ".join(
@@ -119,6 +129,7 @@ def merge_states(states: list[DataFrame]) -> DataFrame:
         F.max("amax").alias("amax"),
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
+        F.hll_union_agg("hll").alias("hll"),
     )
 
 
@@ -140,6 +151,7 @@ def finalize(state: DataFrame) -> DataFrame:
         "column_name",
         "n",
         "n_null",
+        F.hll_sketch_estimate("hll").alias("n_distinct_approx"),
         "min_v",
         "max_v",
         rnd(s / n, 4).alias("avg_v"),
@@ -279,6 +291,7 @@ def finalize_extended(state: DataFrame) -> DataFrame:
         "column_name",
         "n",
         "n_null",
+        F.hll_sketch_estimate("hll").alias("n_distinct_approx"),
         rnd(nn.cast("double") * F.lit(100.0) / (n + nn), 4).alias("missing_pct"),
         rnd(mean_x, 4).alias("avg_v"),
         rnd(std, 4).alias("std_v"),

@@ -88,6 +88,38 @@ def test_incremental_extended_matches_one_shot(spark, sf_dir):
             assert inc[c][f] == one[c][f], (c, f, inc[c][f], one[c][f])
 
 
+def test_hll_distinct_mergeable_and_accurate(spark, sf_dir):
+    """Merged slice sketches estimate within a whisker of the one-shot
+    sketch (the union re-encodes HLL_4 → HLL_8, so estimates can drift
+    by ±1 — the registers themselves merge losslessly); the estimate
+    tracks the exact distinct count within HLL error (lgK=12 → ~1.6% σ)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    slices = [li.filter(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    merged = {
+        r["column_name"]: r["n_distinct_approx"]
+        for r in incremental.finalize(
+            incremental.merge_states(
+                [incremental.partial_state(s, "lineitem") for s in slices]
+            )
+        ).collect()
+    }
+    one = {
+        r["column_name"]: r["n_distinct_approx"]
+        for r in incremental.finalize(
+            incremental.merge_states([incremental.partial_state(li, "lineitem")])
+        ).collect()
+    }
+    assert set(merged) == set(one)
+    for c in one:
+        assert abs(merged[c] - one[c]) <= max(2, 0.005 * one[c]), (c, merged[c], one[c])
+    exact = {
+        c: li.select(F.count_distinct(c)).collect()[0][0]
+        for c in ("l_quantity", "l_extendedprice", "l_orderkey")
+    }
+    for c, ex in exact.items():
+        assert abs(merged[c] - ex) <= max(2, 0.05 * ex), (c, merged[c], ex)
+
+
 def test_quantile_sample_exactly_mergeable(spark, sf_dir):
     """bottom-k-by-hash is EXACTLY mergeable: merged slice samples ==
     the one-shot sample, row for row (deterministic, no RNG)."""
