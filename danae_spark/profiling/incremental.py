@@ -223,6 +223,71 @@ def merge_quantile_samples(states: list[DataFrame], k: int = 1024) -> DataFrame:
     )
 
 
+def term_count_state(
+    df: DataFrame,
+    table: str,
+    cols: list[str] | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Mergeable term-count state for categorical columns (the
+    incremental input to the reference's fetch_top_k / top-k terms).
+
+    Tokenization is identical to profiling/tfidf.tokenize, so merged
+    states finalize to EXACTLY the one-shot categorical_topk. State
+    size is the slice's distinct-term count per column — fine for
+    enum-like columns; for unbounded vocabularies pass `min_count > 1`
+    to drop per-slice rare terms (lossy counting: a merged count
+    under-reads by at most (min_count−1) × #slices, and only terms
+    below that bound can be missed)."""
+    from danae_spark.profiling.tfidf import tokenize
+
+    if cols is None:
+        from danae_spark.profiling.types import CATEGORICAL
+
+        cols = columns_of_class(df.schema, CATEGORICAL)
+    parts = []
+    for c in cols:
+        toks = tokenize(df.select(F.col(c).cast("string").alias("val")), "val")
+        parts.append(
+            toks.select(
+                F.lit(table).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                "term",
+            )
+        )
+    unioned = reduce(lambda a, b: a.unionByName(b), parts)
+    counts = unioned.groupBy("table_name", "column_name", "term").agg(
+        F.count("*").alias("cnt")
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("cnt") >= min_count)
+    return counts
+
+
+def merge_term_counts(states: list[DataFrame]) -> DataFrame:
+    """Associative merge: counts are a sum monoid per (column, term)."""
+    unioned = reduce(lambda a, b: a.unionByName(b), states)
+    return unioned.groupBy("table_name", "column_name", "term").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def finalize_topk_terms(state: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k terms per column from merged term counts — same ranking
+    (freq desc, term asc) and columns as tfidf.categorical_topk."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("table_name", "column_name").orderBy(
+        F.desc("freq"), F.asc("term")
+    )
+    return (
+        state.withColumnRenamed("cnt", "freq")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("table_name", "column_name", "rank")
+    )
+
+
 def finalize_quantile_signature(state: DataFrame, rounding: int | None = 4) -> DataFrame:
     """7-point quantile signature (profiler.SIGNATURE_PS) estimated from
     the merged sample — the incrementally-maintained twin of

@@ -172,6 +172,60 @@ def test_quantile_sample_signature_close_to_exact(spark, sf_dir):
             )
 
 
+def test_term_counts_mergeable_match_one_shot_topk(spark, sf_dir):
+    """Merged per-slice term counts finalize to EXACTLY the one-shot
+    categorical_topk (same tokenization, counts are a sum monoid)."""
+    from danae_spark.profiling import tfidf
+
+    orders = load_table(spark, sf_dir, "orders")
+    slices = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    merged = incremental.merge_term_counts(
+        [
+            incremental.term_count_state(s, "orders", cols=["o_orderpriority"])
+            for s in slices
+        ]
+    )
+    inc = [tuple(r) for r in incremental.finalize_topk_terms(merged, k=5).collect()]
+    one = [
+        tuple(r)
+        for r in tfidf.categorical_topk(
+            spark, sf_dir, cols=(("orders", "o_orderpriority"),), k=5
+        ).collect()
+    ]
+    assert inc == one and len(one) > 0
+
+
+def test_term_counts_min_count_bounds_loss(spark, sf_dir):
+    """min_count > 1 only drops terms whose merged count is below
+    (min_count-1) x n_slices + 1 — frequent terms are never lost."""
+    orders = load_table(spark, sf_dir, "orders")
+    slices = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    exact = {
+        (r["term"],): r["cnt"]
+        for r in incremental.merge_term_counts(
+            [
+                incremental.term_count_state(s, "orders", cols=["o_orderpriority"])
+                for s in slices
+            ]
+        ).collect()
+    }
+    lossy = {
+        (r["term"],): r["cnt"]
+        for r in incremental.merge_term_counts(
+            [
+                incremental.term_count_state(
+                    s, "orders", cols=["o_orderpriority"], min_count=3
+                )
+                for s in slices
+            ]
+        ).collect()
+    }
+    bound = (3 - 1) * 2
+    for t, cnt in exact.items():
+        if cnt > bound:
+            assert t in lossy and exact[t] - lossy[t] <= bound
+
+
 def test_incremental_large_magnitude_refuses_std(spark):
     """Out-of-decimal-domain columns get NULL std (never a wrong one)."""
     import pandas as pd
