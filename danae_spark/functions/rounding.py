@@ -158,13 +158,48 @@ def dstd(col: Column | str) -> Column:
 MOMENT_SPLIT = 100.0
 
 
+def moment_dec(prod: Column, scale: int) -> Column:
+    """Engine-stable double→decimal conversion for moment terms.
+
+    A bare double→decimal cast DIVERGES between engines when the
+    double's shortest decimal rendering ties exactly at the target
+    scale (e.g. …0905 at scale 12): Spark rounds the SHORTEST STRING
+    half-up, DuckDB rounds the BINARY value to nearest — found by the
+    dmoment fuzz (tests/test_parity_fuzz.py). Both engines print
+    shortest-round-trip strings and both round string→decimal half-up,
+    so routing the cast through a string is bit-identical on both.
+    Only needed where the input has more decimal digits than the scale
+    (powers of data values); dsum/dsumsq inputs (raw ≤6dp data and
+    their pairwise products) convert exactly and skip the detour.
+    Domain note: non-finite inputs (|v|ᵖ overflowing double) error on
+    DuckDB and NULL on Spark — out of the declared |vᵖ|<1e26 domain."""
+    return prod.cast("string").cast(f"decimal(38,{scale})")
+
+
+def moment_dec_sql(prod: str, scale: int) -> str:
+    return f"CAST(CAST(({prod}) AS VARCHAR) AS DECIMAL(38,{scale}))"
+
+
+def dec_to_double(dec: Column) -> Column:
+    """Engine-stable decimal→double: DuckDB converts a wide decimal by
+    int128→double then ÷10^scale (TWO roundings, off-by-ulp vs Spark's
+    correctly-rounded BigDecimal conversion). The decimal's string is
+    exact digits and string→double is correctly rounded on both —
+    identical results."""
+    return dec.cast("string").cast("double")
+
+
+def dec_to_double_sql(dec: str) -> str:
+    return f"CAST(CAST(({dec}) AS VARCHAR) AS DOUBLE)"
+
+
 def dmoment_sum(col: Column | str, p: int) -> Column:
     """Order-independent Σ vᵖ for higher moments (skewness/kurtosis).
 
     The power is formed in DOUBLE (each IEEE multiply is exact-rounded →
-    per-row identical on every engine), cast to decimal (deterministic
-    nearest-rounding; exact half-ties are unrepresentable as doubles),
-    then summed exactly — bit-identical regardless of partition order.
+    per-row identical on every engine), converted to decimal via the
+    engine-stable string route (moment_dec), then summed exactly —
+    bit-identical regardless of partition order AND engine.
     Two regimes per MOMENT_SPLIT (see above); out-of-range elements
     (|vᵖ| beyond the coarse decimal) raise a loud ANSI/DuckDB overflow
     on BOTH engines, never a silent wrong value."""
@@ -174,26 +209,26 @@ def dmoment_sum(col: Column | str, p: int) -> Column:
         prod = prod * cd
     if p == 1:
         # Σv at scale 12 holds |Σ| < 1e26 — no split needed
-        return F.sum(prod.cast("decimal(38,12)")).cast("double")
+        return dec_to_double(F.sum(moment_dec(prod, 12)))
     fine = F.sum(
-        F.when(F.abs(cd) < F.lit(MOMENT_SPLIT), prod.cast("decimal(38,12)"))
+        F.when(F.abs(cd) < F.lit(MOMENT_SPLIT), moment_dec(prod, 12))
     )
-    coarse = F.sum(prod.cast(f"decimal(38,{12 - 3 * p})"))
+    coarse = F.sum(moment_dec(prod, 12 - 3 * p))
     return F.when(
-        F.max(F.abs(cd)) < F.lit(MOMENT_SPLIT), fine.cast("double")
-    ).otherwise(coarse.cast("double"))
+        F.max(F.abs(cd)) < F.lit(MOMENT_SPLIT), dec_to_double(fine)
+    ).otherwise(dec_to_double(coarse))
 
 
 def dmoment_sum_sql(expr: str, p: int) -> str:
     x = f"CAST(({expr}) AS DOUBLE)"
     prod = " * ".join([x] * p)
     if p == 1:
-        return f"CAST(sum(CAST(({prod}) AS DECIMAL(38,12))) AS DOUBLE)"
-    fine = f"sum(CASE WHEN abs({x}) < {MOMENT_SPLIT} THEN CAST(({prod}) AS DECIMAL(38,12)) END)"
-    coarse = f"sum(CAST(({prod}) AS DECIMAL(38,{12 - 3 * p})))"
+        return dec_to_double_sql(f"sum({moment_dec_sql(prod, 12)})")
+    fine = f"sum(CASE WHEN abs({x}) < {MOMENT_SPLIT} THEN {moment_dec_sql(prod, 12)} END)"
+    coarse = f"sum({moment_dec_sql(prod, 12 - 3 * p)})"
     return (
         f"(CASE WHEN max(abs({x})) < {MOMENT_SPLIT}"
-        f" THEN CAST({fine} AS DOUBLE) ELSE CAST({coarse} AS DOUBLE) END)"
+        f" THEN {dec_to_double_sql(fine)} ELSE {dec_to_double_sql(coarse)} END)"
     )
 
 

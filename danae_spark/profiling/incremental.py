@@ -51,18 +51,19 @@ _Q_MAX_ABS = 1e6
 
 def _moment_pair(col, p: int, c: str, name: str):
     """Fine + coarse mergeable moment sums for one power (see
-    rounding.dmoment_sum — same casts, so finalize_extended reproduces
-    the one-shot extended profile exactly)."""
-    from danae_spark.functions.rounding import MOMENT_SPLIT
+    rounding.dmoment_sum — same engine-stable string-route conversion,
+    so finalize_extended reproduces the one-shot extended profile
+    exactly)."""
+    from danae_spark.functions.rounding import MOMENT_SPLIT, moment_dec
 
     prod = col
     for _ in range(p - 1):
         prod = prod * col
     fine = F.sum(
-        F.when(F.abs(col) < MOMENT_SPLIT, prod.cast("decimal(38,12)"))
+        F.when(F.abs(col) < MOMENT_SPLIT, moment_dec(prod, 12))
     ).alias(f"{c}__{name}f")
     coarse = F.sum(
-        F.when(F.abs(col) < _Q_MAX_ABS, prod.cast(f"decimal(38,{12 - 3 * p})"))
+        F.when(F.abs(col) < _Q_MAX_ABS, moment_dec(prod, 12 - 3 * p))
     ).alias(f"{c}__{name}c")
     return [fine, coarse]
 

@@ -70,6 +70,35 @@ def test_rounding_parity_fuzz(spark):
             ), (i, values[i], d, s_out[i], d_out[i])
 
 
+def test_dmoment_sum_parity_fuzz(spark):
+    """Dual-regime moment sums (fine scale-12 / coarse scale-(12-3p),
+    selected by max|v|) agree bit-for-bit between Spark and DuckDB on
+    adversarial column mixes: values straddling the MOMENT_SPLIT=100
+    boundary, all-fine, all-coarse, negatives, and tiny fractions."""
+    from danae_spark.functions.rounding import dmoment_sum, dmoment_sum_sql
+
+    rng = random.Random(23)
+    columns = {
+        "fine_only": [rng.uniform(-99.9, 99.9) for _ in range(300)],
+        "coarse_only": [rng.uniform(100.5, 9e5) for _ in range(300)],
+        "straddle": [rng.choice([rng.uniform(0, 99), rng.uniform(100, 1e5)]) for _ in range(300)],
+        "boundary": [99.999999, 100.0, 100.000001, -100.0, -99.999999] * 10,
+        "fractions": [rng.uniform(-0.11, 0.11) for _ in range(300)],
+    }
+    con = duckdb.connect()
+    for name, vals in columns.items():
+        sdf = spark.createDataFrame([(v,) for v in vals], "v double")
+        con.execute("DROP TABLE IF EXISTS t")
+        con.execute("CREATE TABLE t(v DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+        for p in (1, 2, 3, 4):
+            (s_val,) = sdf.agg(dmoment_sum(F.col("v"), p)).collect()[0]
+            (d_val,) = con.execute(
+                f"SELECT {dmoment_sum_sql('v', p)} FROM t"
+            ).fetchone()
+            assert s_val == d_val, (name, p, s_val, d_val)
+
+
 def test_md5_prefix_hash_parity_fuzz(spark):
     strings = [s for s in _fuzz_strings(100) if s]
     sdf = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "id int, s string")
