@@ -361,24 +361,20 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ALL emitted values are epoch-microsecond BIGINTs — the gap
     comparison happens at identical precision on both sides and no raw
     timestamp ever reaches the serialized result."""
+    from danae_spark.operators.temporal import sessionize
+
     e = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros(F.col("ts")).alias("us"), "value", "event_id"
+        "user_id", "ts", "value", "event_id"
     )
-    w = W.partitionBy("user_id").orderBy("us", "event_id")
-    gap = F.col("us") - F.lag("us").over(w)
-    flagged = e.withColumn(
-        "is_new",
-        F.when(gap.isNull() | (gap > _SESSION_GAP_US), F.lit(1)).otherwise(F.lit(0)),
-    )
-    sessions = flagged.withColumn(
-        "session_seq", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    sessions = sessionize(
+        e, "ts", ["user_id"], gap_us=_SESSION_GAP_US, tiebreak=["event_id"]
     )
     return (
         sessions.groupBy("user_id", "session_seq")
         .agg(
             F.count("*").alias("n_events"),
-            F.min("us").alias("session_start_us"),
-            F.max("us").alias("session_end_us"),
+            F.min("__us").alias("session_start_us"),
+            F.max("__us").alias("session_end_us"),
             rnd(dsum("value"), 4).alias("session_value"),
         )
         .orderBy("user_id", "session_seq")
@@ -421,32 +417,27 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: danae has no as-of, but its temporal-column semantics
     (content_search.py:152 epoch ordering) motivate it; mandated temporal op.
     """
+    from danae_spark.operators.temporal import asof_join
+
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"),
         F.col("o_orderdate").alias("ts"),
         "o_orderkey",
-        F.lit(None).cast("bigint").alias("event_id"),
-        F.lit(None).cast("string").alias("event_type"),
     )
     e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        F.lit(None).cast("bigint").alias("o_orderkey"),
-        "event_id",
-        "event_type",
+        "user_id", "ts", "event_id", "event_type"
     )
-    # orders sort before events at identical ts (orderkey NULLS LAST ties out)
-    w = (
-        W.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("o_orderkey").asc_nulls_last())
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    filled = o.unionByName(e).withColumn(
-        "last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+    joined = asof_join(
+        e, o, on="ts", by=["user_id"], values=["o_orderkey"],
+        right_order=["o_orderkey"],
     )
     return (
-        filled.filter(F.col("event_id").isNotNull())
-        .select("event_id", "user_id", "event_type", "last_orderkey")
+        joined.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("asof_o_orderkey").alias("last_orderkey"),
+        )
         .orderBy("event_id")
     )
 
@@ -484,13 +475,13 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.filter(F.col("event_type").isin("click", "view")).select(
         F.col("event_id").alias("b_id"), F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"), "value"
     )
-    cond = (
-        (b.b_user == p.p_user)
-        & (b.b_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
-        & (b.b_ts < p.p_ts)
-    )
+    from danae_spark.operators.temporal import range_join
+
     return (
-        p.join(b, cond, "left")
+        range_join(
+            p, b, by=[("p_user", "b_user")], on=("p_ts", "b_ts"),
+            lower=F.expr("INTERVAL -1 HOUR"), upper=F.expr("INTERVAL 0 SECOND"),
+        )
         .groupBy("purchase_id")
         .agg(
             F.count("b_id").alias("n_preceding_hour"),

@@ -1,0 +1,88 @@
+"""Generic temporal operators (operators/temporal.py) on synthetic
+frames — edge semantics the events-table oracle queries can't pin
+down. The events/orders paths are covered by the driver oracle gate
+(sessionize_events / asof_join_events / range_join_events delegate
+here)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from danae_spark.operators import temporal
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a", "a", "a", "b"], "t": [5, 10, 20, 5], "lid": [1, 2, 3, 4]}
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a", "a", "a", "b"], "t": [4, 10, 15, 9], "price": [1.0, 2.0, 3.0, 9.0]}
+        )
+    )
+    out = {
+        r["lid"]: r["asof_price"]
+        for r in temporal.asof_join(
+            left, right, on="t", by=["k"], values=["price"]
+        ).collect()
+    }
+    assert out[1] == 1.0      # t=5 sees right t=4
+    assert out[2] == 2.0      # tie at t=10 is inclusive
+    assert out[3] == 3.0      # t=20 sees latest right t=15
+    assert out[4] is None     # b@5: no right row at-or-before
+
+
+def test_asof_join_tie_among_right_rows(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": ["a"], "t": [10], "lid": [1]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"], "t": [10, 10], "v": [7, 3], "ordc": [1, 2]})
+    )
+    (row,) = temporal.asof_join(
+        left, right, on="t", by=["k"], values=["v"], right_order=["ordc"]
+    ).collect()
+    assert row["asof_v"] == 3  # last by right_order wins
+
+
+def test_asof_join_name_clash_raises(spark):
+    df = spark.createDataFrame(pd.DataFrame({"k": ["a"], "t": [1], "v": [1]}))
+    try:
+        temporal.asof_join(df, df, on="t", by=["k"], values=["v"])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_range_join_window_bounds(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": ["a"], "t": [100], "lid": [1]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 4, "rt": [89, 90, 99, 100], "rid": [1, 2, 3, 4]})
+    )
+    out = (
+        temporal.range_join(
+            left, right, by=[("k", "k")], on=("t", "rt"),
+            lower=F.lit(-10), upper=F.lit(0),
+        )
+        .select("rid")
+        .collect()
+    )
+    got = sorted(r["rid"] for r in out)
+    # [t-10, t) → 90 and 99 in; 89 below; 100 excluded (strict upper)
+    assert got == [2, 3]
+
+
+def test_sessionize_numeric_ts(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a"] * 4 + ["b"], "t": [0, 10, 1000, 1005, 0], "i": [1, 2, 3, 4, 5]}
+        )
+    )
+    out = {
+        r["i"]: r["session_seq"]
+        for r in temporal.sessionize(df, "t", ["k"], gap_us=100, tiebreak=["i"]).collect()
+    }
+    assert out[1] == 1 and out[2] == 1    # gap 10 ≤ 100
+    assert out[3] == 2 and out[4] == 2    # gap 990 > 100 → new session
+    assert out[5] == 1                    # independent key
