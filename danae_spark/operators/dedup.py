@@ -34,15 +34,14 @@ from danae_spark.functions.rounding import rnd
 _NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
 
 
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every doc mapped to the canonical (smallest) doc_id of its
-    normalized-text group."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_NORM).alias("norm_text")
-    )
-    w = W.partitionBy("norm_text")
+def exact_dedup(df: DataFrame, id_col: str, key) -> DataFrame:
+    """Generic exact dedup: every row mapped to the canonical (smallest
+    id) of its key group. `key` is any Column (e.g. a normalized-text
+    expression or a composite hash); one hash-key shuffle."""
+    tagged = df.select(F.col(id_col).alias("doc_id"), key.alias("__key"))
+    w = W.partitionBy("__key")
     return (
-        docs.withColumn("canonical_id", F.min("doc_id").over(w))
+        tagged.withColumn("canonical_id", F.min("doc_id").over(w))
         .withColumn("group_size", F.count("*").over(w))
         .withColumn(
             "is_duplicate", (F.col("doc_id") != F.col("canonical_id")).cast("int")
@@ -50,6 +49,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "canonical_id", "group_size", "is_duplicate")
         .orderBy("doc_id")
     )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every doc mapped to the canonical (smallest) doc_id of its
+    normalized-text group (delegates to the generic exact_dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", F.expr(_NORM))
 
 
 DEDUP_EXACT_ORACLE = f"""
@@ -150,17 +156,21 @@ MINHASH_K = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
 
 
-def dedup_minhash_xxhash64(
-    spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
+def minhash_pairs(
+    docs: DataFrame,
+    tau: float = JACCARD_TAU,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
-    """LSH candidate generation + exact Jaccard verify on candidates only —
+    """Generic MinHash+LSH near-dup pairs over any (id, text) frame —
+    LSH candidate generation + exact Jaccard verify on candidates only,
     xxhash64 signature variant: the raw-throughput hash for the 100 TB
     path (JVM xxhash64 ≫ md5). Deterministic (seed-stable) but not
     SQL-expressible, so the oracle-verified registry entry
     (`dedup_minhash_lsh`) runs the md5 twin below; this variant is
     unit-tested for agreement on verified pairs (tests/test_dedup.py).
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     sh = _doc_shingles(docs)
 
     sig = sh.groupBy("doc_id").agg(
@@ -197,6 +207,13 @@ def dedup_minhash_xxhash64(
 
     # exact verify restricted to candidates (the at-scale pattern)
     return _verify_jaccard(sh, candidates, tau).select("d1", "d2", "jaccard").orderBy("d1", "d2")
+
+
+def dedup_minhash_xxhash64(
+    spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
+) -> DataFrame:
+    """The documents-table entry point of `minhash_pairs`."""
+    return minhash_pairs(load_table(spark, sf_dir, "documents"), tau)
 
 
 # ------------------------------------------- C3b: MinHash + LSH (md5, oracle)
@@ -396,10 +413,16 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return bit_sums.select("doc_id", packed.alias("simhash"))
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= HAMMING_MAX, candidates via
-    four 12-bit band joins."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hamming_max: int = HAMMING_MAX,
+) -> DataFrame:
+    """Generic SimHash near-dup pairs over any (id, text) frame:
+    hamming(simhash) <= hamming_max, candidates via four 12-bit band
+    joins."""
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     sigs = simhash_signatures(docs)
     bands = sigs.select(
         "doc_id",
@@ -426,9 +449,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", "h1", "h2")
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
-        .filter(F.col("hamming") <= HAMMING_MAX)
+        .filter(F.col("hamming") <= hamming_max)
     )
     return pairs.select("d1", "d2", "hamming").orderBy("d1", "d2")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents-table entry point of `simhash_pairs`."""
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
 DEDUP_SIMHASH_ORACLE = f"""
@@ -676,15 +704,17 @@ EMB_LSH_BANDS = 8
 EMB_LSH_PLANES_PER_BAND = 3
 
 
-def dedup_embedding_lsh(
-    spark: SparkSession,
-    sf_dir: str,
+def embedding_lsh_pairs(
+    emb: DataFrame,
     tau: float = COSINE_TAU,
     bands: int = EMB_LSH_BANDS,
     planes_per_band: int = EMB_LSH_PLANES_PER_BAND,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding near-dup pairs via banded random-hyperplane LSH — the
-    100 TB path (default for `DataLakeEngine.dedup('embedding')`).
+    """Generic embedding near-dup pairs over any (id, vector) frame via
+    banded random-hyperplane LSH — the 100 TB path (default for
+    `DataLakeEngine.dedup('embedding')`).
 
     Each vector hashes into `bands` bucket ids (sign pattern of
     `planes_per_band` hyperplane projections per band); candidate pairs
@@ -697,9 +727,11 @@ def dedup_embedding_lsh(
     from danae_spark.operators.ann import _hyperplanes, lsh_bucket_col
     from danae_spark.shipping import ensure_shipped
 
-    ensure_shipped(spark)
+    ensure_shipped(emb.sparkSession)
     all_planes = _hyperplanes(bands * planes_per_band)
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
     banded = emb.select(
         "vec_id",
         "embedding",
@@ -744,6 +776,19 @@ def dedup_embedding_lsh(
         .filter(F.col("cosine") >= tau)
         .select("v1", "v2", "cosine")
         .orderBy("v1", "v2")
+    )
+
+
+def dedup_embedding_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = COSINE_TAU,
+    bands: int = EMB_LSH_BANDS,
+    planes_per_band: int = EMB_LSH_PLANES_PER_BAND,
+) -> DataFrame:
+    """The embeddings-table entry point of `embedding_lsh_pairs`."""
+    return embedding_lsh_pairs(
+        load_table(spark, sf_dir, "embeddings"), tau, bands, planes_per_band
     )
 
 

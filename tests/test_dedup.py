@@ -77,3 +77,48 @@ def test_embedding_exact_refuses_big_tables(spark, sf_dir):
 
     with pytest.raises(ValueError, match="dedup_embedding_lsh"):
         dedup.dedup_embedding_cosine(spark, sf_dir, max_rows=5)
+
+
+def test_generic_dedup_apis_accept_custom_columns(spark):
+    """The generic DataFrame-first forms work on arbitrary id/text
+    column names and find the planted duplicates."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 2, 3, 4],
+            "body": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over a lazy dog today",
+                "completely different content about spark engines",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    ex = dedup.exact_dedup(df, "k", F.lower(F.col("body")))
+    got = {r["doc_id"]: r["canonical_id"] for r in ex.collect()}
+    assert got[2] == 1 and got[1] == 1 and got[3] == 3
+
+    mh = dedup.minhash_pairs(df, tau=0.3, id_col="k", text_col="body").collect()
+    assert any((r["d1"], r["d2"]) == (1, 2) for r in mh)
+
+    sh = dedup.simhash_pairs(df, id_col="k", text_col="body").collect()
+    assert any((r["d1"], r["d2"]) == (1, 2) for r in sh)
+
+
+def test_generic_embedding_lsh_custom_columns(spark):
+    import pandas as pd
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["eid", "vec"]))
+    pairs = dedup.embedding_lsh_pairs(
+        df, tau=0.9, id_col="eid", vec_col="vec"
+    ).collect()
+    assert [(r["v1"], r["v2"]) for r in pairs] == [(1, 2)]
