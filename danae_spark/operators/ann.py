@@ -32,19 +32,39 @@ DIM = 64
 IVF_CODEBOOK_BUDGET_BYTES = 100 * 1024 * 1024
 
 
-def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = TOP_K,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    cand_id: str = "vec_id",
+    cand_vec: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Generic brute-force exact top-k cosine neighbors of each query
+    among the candidates — the similarity-search baseline any ANN
+    variant is measured against (tools/ann_recall).
+
+    The QUERY side broadcasts (queries are the small side in retrieval;
+    the candidate corpus streams partition-parallel, each task scoring
+    its candidates against every query — no shuffle of the corpus).
+    Set broadcast_queries=False only when the query set is itself huge,
+    and prefer the LSH/IVF/quantized variants there instead."""
     from danae_spark.shipping import ensure_shipped
 
-    ensure_shipped(spark)
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    ensure_shipped(queries.sparkSession)
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("q_emb")
     )
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    c = candidates.select(
+        F.col(cand_id).alias("cand_id"), F.col(cand_vec).alias("c_emb")
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
     cos = vectors.pair_cosine_udf()
-    pairs = (
-        q.join(F.broadcast(c), F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", rnd(cos("q_emb", "c_emb"), 6))
+    pairs = c.join(q, F.col("query_id") != F.col("cand_id")).withColumn(
+        "cosine", rnd(cos("q_emb", "c_emb"), 6)
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -53,6 +73,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFra
         .select("query_id", "cand_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Embeddings-table entry point of `cosine_topk` (first N_QUERIES
+    vectors as the query set)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cosine_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb, k)
 
 
 def ann_cosine_topk_oracle(k: int = TOP_K) -> str:
