@@ -7,8 +7,12 @@ Five strategies, all expressed as declarative DataFrame plans:
   8 bytes, not the document).
 - n-gram Jaccard: token-shingle inverted-index self-join (candidate pairs
   share ≥1 shingle) + exact Jaccard verify. Shuffle is on the shingle;
-  stop-shingle skew is the known hazard — the LSH variant is the scale
-  path, and AQE skew-split covers the rest.
+  stop-shingle skew (one boilerplate shingle in k docs → k² join rows) is
+  bounded by a document-frequency cap: shingles with df > NGRAM_DF_CAP are
+  dropped from every shingle representation before any self-join (standard
+  in RefinedWeb-class pipelines — a shingle that common carries no dedup
+  signal), so join fan-out per shingle is ≤ cap². The cap is mirrored in
+  every DuckDB oracle.
 - MinHash+LSH: k minhash values per doc, banded into buckets; only
   same-bucket pairs are verified with exact Jaccard. Candidate count is
   ~linear in corpus size for reasonable (bands, rows) — this is the
@@ -72,6 +76,34 @@ DEDUP_EXACT_ORACLE = f"""
 
 JACCARD_TAU = 0.2
 
+# Document-frequency cap for shingles: any shingle appearing in more docs
+# than this is boilerplate ("terms of service …") and is dropped from the
+# shingle representation BEFORE any inverted-index self-join — the join
+# output for one shingle is df², so the cap bounds per-shingle fan-out at
+# cap² no matter how pathological the corpus. Accuracy-neutral for dedup:
+# a shingle shared by >1000 docs distinguishes nothing. Mirrored verbatim
+# in the DuckDB oracles so the registered entries stay value-checked.
+NGRAM_DF_CAP = 1000
+
+
+def _cap_shingles(sh: DataFrame, df_cap: int | None) -> DataFrame:
+    """Drop shingles whose document frequency exceeds df_cap.
+
+    `sh` is distinct (doc_id, shingle), so count(*) per shingle IS the df.
+    The hot set is tiny by construction (only shingles over the cap), so
+    it broadcasts and the removal is a broadcast anti-join — no extra
+    shuffle of the shingle table beyond the df aggregation itself (which
+    is map-side combined on the shingle key)."""
+    if df_cap is None:
+        return sh
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
 
 def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc — built JVM-side with
@@ -95,11 +127,21 @@ def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    tau: float = JACCARD_TAU,
+    n: int = 3,
+    df_cap: int | None = NGRAM_DF_CAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = _doc_shingles(docs)
+    """Generic exact n-gram-Jaccard near-dup pairs over any (id, text)
+    frame. Shingles over the df cap are dropped from BOTH the
+    intersection and the per-doc sizes (Jaccard over the capped shingle
+    sets), so the inverted-index self-join's per-shingle fan-out is
+    bounded by cap²."""
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    sh = _cap_shingles(_doc_shingles(docs, n=n), df_cap)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("d1"), "shingle")
     b = sh.select(F.col("doc_id").alias("d2"), "shingle")
@@ -122,6 +164,15 @@ def dedup_ngram_jaccard(
     )
 
 
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
+) -> DataFrame:
+    """The documents-table entry point of `ngram_jaccard_pairs`."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), tau
+    )
+
+
 DEDUP_NGRAM_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term,
@@ -136,7 +187,11 @@ DEDUP_NGRAM_ORACLE = f"""
       SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
       FROM rn a JOIN rn b ON a.doc_id = b.doc_id AND b.p = a.p + 1
                 JOIN rn c ON a.doc_id = c.doc_id AND c.p = a.p + 2
-    ), s AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+    ), s_all AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+    s AS (
+      SELECT * FROM s_all WHERE shingle NOT IN (
+        SELECT shingle FROM s_all GROUP BY shingle HAVING count(*) > {NGRAM_DF_CAP})
+    ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
@@ -161,6 +216,7 @@ def minhash_pairs(
     tau: float = JACCARD_TAU,
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_cap: int | None = NGRAM_DF_CAP,
 ) -> DataFrame:
     """Generic MinHash+LSH near-dup pairs over any (id, text) frame —
     LSH candidate generation + exact Jaccard verify on candidates only,
@@ -171,7 +227,9 @@ def minhash_pairs(
     unit-tested for agreement on verified pairs (tests/test_dedup.py).
     """
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    sh = _doc_shingles(docs)
+    # the cap protects BOTH the signature agg (hot-key groupBy fan-in) and
+    # the verify's intersection self-join downstream
+    sh = _cap_shingles(_doc_shingles(docs), df_cap)
 
     sig = sh.groupBy("doc_id").agg(
         *[
@@ -240,15 +298,18 @@ def _md5_base_hash() -> F.Column:
 
 
 def dedup_minhash_md5(
-    spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = JACCARD_TAU,
+    df_cap: int | None = NGRAM_DF_CAP,
 ) -> DataFrame:
     """Oracle-checkable MinHash+LSH: same banded-candidates + exact-verify
     plan as the xxhash64 variant but with a portable md5-derived hash
-    family, so the ENTIRE approximate pipeline (signatures → bands →
-    candidates → verified pairs) is reproduced by the DuckDB oracle.
-    xxhash64 variant remains the faster scale path."""
+    family, so the ENTIRE approximate pipeline (df cap → signatures →
+    bands → candidates → verified pairs) is reproduced by the DuckDB
+    oracle. xxhash64 variant remains the faster scale path."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = _doc_shingles(docs)
+    sh = _cap_shingles(_doc_shingles(docs), df_cap)
     h = _md5_base_hash()
     sig = sh.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
         *[
@@ -320,7 +381,7 @@ def _verify_jaccard(sh: DataFrame, candidates: DataFrame, tau: float) -> DataFra
     )
 
 
-_SHINGLE_CTE = """
+_SHINGLE_CTE = f"""
     toks AS (
       SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term,
              generate_subscripts(string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS pos
@@ -334,7 +395,11 @@ _SHINGLE_CTE = """
       SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
       FROM rn a JOIN rn b ON a.doc_id = b.doc_id AND b.p = a.p + 1
                 JOIN rn c ON a.doc_id = c.doc_id AND c.p = a.p + 2
-    ), s AS (SELECT DISTINCT doc_id, shingle FROM sh0)
+    ), s_all AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+    s AS (
+      SELECT * FROM s_all WHERE shingle NOT IN (
+        SELECT shingle FROM s_all GROUP BY shingle HAVING count(*) > {NGRAM_DF_CAP})
+    )
 """
 
 _COEFF_ROWS = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MH_COEFFS))
@@ -617,7 +682,9 @@ def contamination_ngram(
     the corpus and broadcasts; output is per contaminated corpus doc
     with the shared-gram and benchmark-doc counts."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = _doc_shingles(docs, n=n)
+    # df cap before the split: a gram common to >cap docs is boilerplate,
+    # not contamination signal, and would fan out |corpus_df|×|bench_df|
+    sh = _cap_shingles(_doc_shingles(docs, n=n), NGRAM_DF_CAP)
     bench = sh.filter((F.col("doc_id") % BENCH_MOD) == 0).select(
         F.col("doc_id").alias("bench_id"), "shingle"
     )
@@ -637,11 +704,15 @@ def contamination_ngram_oracle(n: int = CONTAM_NGRAM) -> str:
     toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
     return f"""
     WITH d AS (SELECT doc_id, {toks} AS lt FROM documents),
-    sh AS (
+    sh_all AS (
       SELECT DISTINCT doc_id,
              array_to_string(list_slice(lt, t.i, t.i + {n - 1}), ' ') AS shingle
       FROM d, range(1, 8192) t(i)
       WHERE len(lt) >= {n} AND t.i <= len(lt) - {n - 1}
+    ),
+    sh AS (
+      SELECT * FROM sh_all WHERE shingle NOT IN (
+        SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) > {NGRAM_DF_CAP})
     ),
     bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
     corpus AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0)
