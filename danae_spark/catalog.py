@@ -33,22 +33,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a lake table, normalizing nanosecond parquet timestamps.
+def normalize_temporal(df: DataFrame) -> DataFrame:
+    """Normalize lake temporal columns to session-timezone TIMESTAMP.
 
-    `events.ts` is written as TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; with `nanosAsLong` it reads as bigint nanos and we
-    truncate to microseconds (matching DuckDB's ns→µs conversion).
-    """
+    Two generator variants exist in the wild: TIMESTAMP(NANOS) (read as
+    bigint nanos under `nanosAsLong`, truncated to µs — matching DuckDB's
+    ns→µs conversion) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (read
+    as TIMESTAMP_NTZ under Spark's default NTZ inference). Both are cast
+    to plain TIMESTAMP: with the engine's UTC session timezone the NTZ →
+    LTZ cast is value-identical, and downstream epoch-µs arithmetic
+    (`F.unix_micros`) only accepts LTZ."""
+    for field in df.schema.fields:
+        st = field.dataType.simpleString()
+        if field.name == "ts" and st == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif st == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a lake table, normalizing temporal columns (see
+    `normalize_temporal`)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    df = spark.read.parquet(table_path(sf_dir, name))
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_temporal(spark.read.parquet(table_path(sf_dir, name)))
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
