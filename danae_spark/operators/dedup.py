@@ -569,61 +569,104 @@ DEDUP_SIMHASH_ORACLE = f"""
 # -------------------------------- dup-pair clustering (connected components)
 
 
+def _closed_nbr_min(adj: DataFrame) -> DataFrame:
+    """(u, m) where m = min over u's CLOSED neighborhood (neighbors ∪ u).
+
+    `adj` holds both directions of every edge, so one groupBy(u) sees the
+    full neighborhood — a single map-side-combined shuffle on u."""
+    return adj.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Connected components over an undirected (d1, d2) pair frame via
+    alternating large-star / small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — the standard O(log n)
+    DataFrame-only formulation; no GraphFrames dependency).
+
+    Per round, with m(u) = min of u's closed neighborhood:
+      large-star: every neighbor v > u is re-attached to m(u);
+      small-star: every neighbor v ≤ u, and u itself, attach to m(u).
+    The fixed point is the edge set {(member, component_min)} — pure
+    stars — detected by an order-insensitive set fingerprint (count +
+    summed per-edge xxhash64) staying unchanged across a round; no
+    per-row driver compare. 2^max_rounds-node components converge — a
+    long chain of templated docs needs log₂(n) rounds, not diameter
+    rounds (the r3 min-label version raised on diameter > 50).
+
+    Returns (doc_id, label) for every node that appears in a pair."""
+    edges = (
+        pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    converged = False
+    for _ in range(max_rounds):
+        # ---- large-star: emit (v, m(u)) for every neighbor v > u
+        adj = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = _closed_nbr_min(adj)
+        edges = (
+            adj.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: emit (v, m(u)) for v ≤ u, plus (u, m(u))
+        adj = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = _closed_nbr_min(adj)
+        small = (
+            adj.filter(F.col("v") < F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(mins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        edges = small.localCheckpoint()
+        sig = tuple(
+            edges.agg(
+                F.count("*"),
+                # decimal(38,0) sum: 64-bit hashes summed over any
+                # realistic edge count without ANSI long overflow
+                F.coalesce(
+                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+                ),
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        # a silent break here would return labels that LOOK valid but
+        # disagree with the transitive closure (r2 ADVICE): fail loudly
+        raise RuntimeError(
+            f"connected_components: star-contraction did not converge within "
+            f"{max_rounds} rounds (components of up to ~2^{max_rounds} nodes "
+            f"converge — this indicates a bug or an adversarial edge set); "
+            f"raise max_rounds"
+        )
+    # fixed point: every edge is (root, member) in both directions; a node's
+    # closed-neighborhood min IS its component min (the root's own min is
+    # itself since all members are larger).
+    adj = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return _closed_nbr_min(adj).select(F.col("u").alias("doc_id"), F.col("m").alias("label"))
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None) -> DataFrame:
     """Connected components over the near-dup pair graph: every doc in a
     dup pair gets its component's minimum doc_id as cluster_id — the
     canonical keeper — plus the cluster size. This is the step that turns
     pairwise dedup output into an actionable keep/drop decision.
 
-    Algorithm: iterative min-label propagation on DataFrames (the
-    GraphFrames/large-star idea without the library): each round every
-    node takes the min label among itself and its neighbors; converges in
-    O(component diameter) rounds. Near-dup components are short chains in
-    practice, so a handful of rounds; each round is one shuffle-join, the
-    frame is localCheckpoint'ed to cut lineage, and convergence is
-    detected by the monotone label sum — no per-row driver compare."""
+    Delegates to `connected_components` (large-star/small-star, O(log n)
+    rounds — see its docstring); this wrapper adds cluster sizes and the
+    keep/drop flag."""
     if pairs is None:
         pairs = dedup_minhash_md5(spark, sf_dir)
-    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).unionAll(
-        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
-    )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    prev_sum = None
-    converged = False
-    max_rounds = 50  # diameter bound; near-dup chains converge in a few
-    for _ in range(max_rounds):
-        nbr = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        labels = (
-            labels.join(nbr, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        cur = labels.agg(F.sum("label")).collect()[0][0]
-        if cur == prev_sum:
-            converged = True
-            break
-        prev_sum = cur
-    if not converged:
-        # a silent break here would return labels that LOOK valid but
-        # disagree with the transitive closure (r2 ADVICE): fail loudly
-        raise RuntimeError(
-            f"dedup_clusters: min-label propagation did not converge within "
-            f"{max_rounds} rounds — a component has diameter > {max_rounds} "
-            f"(e.g. a long chain of templated near-identical docs); raise "
-            f"max_rounds or pre-split the pair set"
-        )
+    labels = connected_components(pairs)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "label")
@@ -668,35 +711,64 @@ CONTAM_NGRAM = 7
 BENCH_MOD = 50  # doc_id % 50 == 0 → stand-in benchmark/eval set
 
 
-def contamination_ngram(
-    spark: SparkSession, sf_dir: str, n: int = CONTAM_NGRAM
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = CONTAM_NGRAM,
+    df_cap: int | None = NGRAM_DF_CAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
-    """Benchmark decontamination: corpus documents sharing any word
-    n-gram with the eval/benchmark set (the contamination check every
-    pre-training pipeline runs before training — RefinedWeb/GPT-style
-    13-gram overlap, sized down to 7 for the testdata's short docs).
+    """Benchmark decontamination over CALLER-SUPPLIED frames: corpus
+    documents sharing any word n-gram with the eval/benchmark frame (the
+    contamination check every pre-training pipeline runs before training —
+    RefinedWeb/GPT-style 13-gram overlap; real eval sets are their own
+    DataFrames, not lake tables, so both sides are parameters).
 
-    The benchmark set is a deterministic stand-in (doc_id % 50 == 0);
-    in production it is the actual eval corpus. Plan: inverted-index
-    equi-join on the shingle — the benchmark side is tiny relative to
-    the corpus and broadcasts; output is per contaminated corpus doc
-    with the shared-gram and benchmark-doc counts."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # df cap before the split: a gram common to >cap docs is boilerplate,
-    # not contamination signal, and would fan out |corpus_df|×|bench_df|
-    sh = _cap_shingles(_doc_shingles(docs, n=n), NGRAM_DF_CAP)
-    bench = sh.filter((F.col("doc_id") % BENCH_MOD) == 0).select(
+    Plan: inverted-index equi-join on the shingle — eval sets are tiny
+    relative to a pre-training corpus, so the benchmark side broadcasts
+    by default (set broadcast_benchmark=False for a huge holdout). The
+    df cap is computed over corpus ∪ benchmark: a gram common to >cap
+    docs is boilerplate, not contamination signal, and would fan out
+    |corpus| × |benchmark| in the join."""
+    corpus = corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    benchmark = benchmark.select(
+        F.col(bench_id_col).alias("doc_id"), F.col(bench_text_col).alias("text")
+    )
+    corpus_sh = _doc_shingles(corpus, n=n).withColumn("is_bench", F.lit(0))
+    bench_sh = _doc_shingles(benchmark, n=n).withColumn("is_bench", F.lit(1))
+    sh = _cap_shingles(corpus_sh.unionAll(bench_sh), df_cap)
+    bench = sh.filter(F.col("is_bench") == 1).select(
         F.col("doc_id").alias("bench_id"), "shingle"
     )
-    corpus = sh.filter((F.col("doc_id") % BENCH_MOD) != 0)
+    corp = sh.filter(F.col("is_bench") == 0).select("doc_id", "shingle")
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
     return (
-        corpus.join(F.broadcast(bench), "shingle")
+        corp.join(bench, "shingle")
         .groupBy("doc_id")
         .agg(
             F.count_distinct("shingle").alias("n_shared_grams"),
             F.count_distinct("bench_id").alias("n_benchmark_docs"),
         )
         .orderBy("doc_id")
+    )
+
+
+def contamination_ngram(
+    spark: SparkSession, sf_dir: str, n: int = CONTAM_NGRAM
+) -> DataFrame:
+    """The documents-table entry point of `contamination_check`: the
+    benchmark set is a deterministic stand-in slice (doc_id % 50 == 0)
+    of the same table; in production pass the actual eval corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return contamination_check(
+        docs.filter((F.col("doc_id") % BENCH_MOD) != 0),
+        docs.filter((F.col("doc_id") % BENCH_MOD) == 0),
+        n=n,
     )
 
 

@@ -165,3 +165,35 @@ def test_hot_shingle_df_cap_bounds_candidates(spark):
     mh_keys = {(r["d1"], r["d2"]) for r in mh}
     assert mh_keys <= {(1000, 1001)}
     assert (1000, 1001) in mh_keys
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 200-node path graph (diameter 199) — the shape that made the r3
+    O(diameter) min-label propagation raise at 50 rounds — converges in
+    O(log n) star-contraction rounds and labels every node with the
+    chain's minimum id."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["d1", "d2"]
+    )
+    labels = {r["doc_id"]: r["label"] for r in dedup.connected_components(pairs).collect()}
+    assert len(labels) == 201
+    assert set(labels.values()) == {0}
+
+
+def test_connected_components_multi_component_and_edge_cases(spark):
+    """Several components of mixed shape (chain, triangle, star, isolated
+    pair, self-loop noise) resolve to per-component minima."""
+    edges = (
+        [(i, i + 1) for i in range(10, 15)]          # chain 10..15
+        + [(20, 21), (21, 22), (22, 20)]             # triangle
+        + [(30, 31), (30, 32), (30, 33)]             # star centered at 30
+        + [(40, 41)]                                 # pair
+        + [(50, 50)]                                 # self-loop only → dropped
+    )
+    pairs = spark.createDataFrame(edges, ["d1", "d2"])
+    labels = {r["doc_id"]: r["label"] for r in dedup.connected_components(pairs).collect()}
+    assert {labels[i] for i in range(10, 16)} == {10}
+    assert {labels[i] for i in (20, 21, 22)} == {20}
+    assert {labels[i] for i in (30, 31, 32, 33)} == {30}
+    assert {labels[i] for i in (40, 41)} == {40}
+    assert 50 not in labels  # self-loop carries no connectivity
