@@ -30,22 +30,27 @@ DEFAULT_BUDGETS = {
 }
 
 
-def token_budget_mix(
-    spark: SparkSession,
-    sf_dir: str,
-    budgets: dict[str, int] | None = None,
+def token_budget_mix_frame(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
 ) -> DataFrame:
-    """Select docs per source until the source's token budget is hit.
+    """Select docs per source until the source's token budget is hit,
+    over ANY (id, source, text) frame.
 
     A doc is selected if the budget was not yet exhausted when its turn
     came (running token sum BEFORE the doc < budget) — so the budget can
     be overshot by at most one document, and the cut point is identical
     on any engine. Sources without a budget entry get 0 (excluded).
     Returns per-doc decisions; aggregate for the mix summary."""
-    budgets = dict(DEFAULT_BUDGETS if budgets is None else budgets)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text",
-        F.size(F.expr("filter(split(text, ' +'), t -> t <> '')")).alias("tokens"),
+    text = F.col(text_col)
+    docs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        text.alias("text"),
+        F.size(F.expr(f"filter(split({text_col}, ' +'), t -> t <> '')")).alias("tokens"),
     )
     w = W.partitionBy("source").orderBy(F.md5("text"), "doc_id")
     budget = F.coalesce(
@@ -61,6 +66,16 @@ def token_budget_mix(
         .select("doc_id", "source", "tokens", "tokens_before", "selected")
         .orderBy("doc_id")
     )
+
+
+def token_budget_mix(
+    spark: SparkSession,
+    sf_dir: str,
+    budgets: dict[str, int] | None = None,
+) -> DataFrame:
+    """The documents-table entry point of `token_budget_mix_frame`."""
+    budgets = dict(DEFAULT_BUDGETS if budgets is None else budgets)
+    return token_budget_mix_frame(load_table(spark, sf_dir, "documents"), budgets)
 
 
 def token_budget_mix_oracle(budgets: dict[str, int] | None = None) -> str:

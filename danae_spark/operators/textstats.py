@@ -191,14 +191,24 @@ def token_count_oracle() -> str:
 # ------------------------------------- C8+C9+C10: combined per-doc text stats
 
 
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID + quality metrics + token counts in ONE scan of
-    `documents` (merged r2 registry entry: every column is a row-wise
-    built-in expression, so fusing the three operators removes two full
-    table scans; whole-stage codegen keeps it a single pipelined stage —
-    no joins, no shuffle until the final sort).
+def text_stats_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Language ID + quality metrics + token counts over ANY (id, text[,
+    lang]) frame in ONE scan (merged r2 registry entry: every column is a
+    row-wise built-in expression, so fusing the three operators removes
+    two full table scans; whole-stage codegen keeps it a single pipelined
+    stage — no joins, no shuffle until the final sort). When `lang_col`
+    is None (no ground-truth labels — the common production case) the
+    `agrees_with_label` column is null.
     Column semantics identical to lang_id / text_quality / token_count."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
+    if lang_col is not None:
+        cols.append(F.col(lang_col).alias("lang"))
+    docs = docs.select(*cols)
 
     # language ID columns
     best = F.greatest(*[_hits(lang) for lang in LANG_ORDER])
@@ -223,11 +233,16 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (1 - F.least(punct_raw * 10, F.lit(1.0))) * 0.3
         + F.least(stop_raw * 5, F.lit(1.0)) * 0.3
     )
+    agrees = (
+        (pred == F.col("lang")).cast("int")
+        if lang_col is not None
+        else F.lit(None).cast("int")
+    )
     return docs.select(
         "doc_id",
         *[_hits(lang).alias(f"{lang}_hits") for lang in LANG_ORDER],
         pred.alias("predicted"),
-        (pred == F.col("lang")).cast("int").alias("agrees_with_label"),
+        agrees.alias("agrees_with_label"),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         rnd(F.length(F.concat_ws("", toks)) / n_tokens, 4).alias("avg_token_len"),
@@ -240,6 +255,11 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bpe_tokens"
         ),
     ).orderBy("doc_id")
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents-table entry point of `text_stats_frame`."""
+    return text_stats_frame(load_table(spark, sf_dir, "documents"))
 
 
 def text_stats_oracle() -> str:
@@ -300,9 +320,12 @@ DUP_2GRAM_MAX = 0.20
 TOP_2GRAM_MAX = 0.30
 
 
-def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repetition-based quality signals (the Gopher/RefinedWeb-style
-    repetitious-text filters a pre-training pipeline runs corpus-wide):
+def text_repetition_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition-based quality signals over ANY (id, text) frame (the
+    Gopher/RefinedWeb-style repetitious-text filters a pre-training
+    pipeline runs corpus-wide):
 
     - dup_2gram_frac: fraction of word-2-gram occurrences that are
       repeats (1 − distinct/total),
@@ -315,7 +338,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the per-doc total/distinct counts are row-wise array
     expressions (no shuffle); only the top-2-gram needs an explode +
     (doc, gram) aggregation — one shuffle, map-side combined."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
     grams = (
         f"transform(sequence(0, size({toks}) - 2),"
@@ -379,6 +402,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents-table entry point of `text_repetition_frame`."""
+    return text_repetition_frame(load_table(spark, sf_dir, "documents"))
+
+
 def text_repetition_oracle() -> str:
     toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
     sents = "list_filter(list_transform(string_split_regex(text, '[.!?]+'), s -> trim(s)), s -> s <> '')"
@@ -425,13 +453,15 @@ GRAM_CHARS = 8
 BOTTOM_K = 4
 
 
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bottom-k sketch of rolling char-8-gram hashes (winnowing-style
-    fingerprint; two docs sharing fingerprint values share content
-    regions). Hashes are portable md5-prefix ints so the DuckDB oracle
-    reproduces the sketch exactly; swap in xxhash64 for raw speed at
-    scale (same plan shape)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def doc_fingerprint_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bottom-k sketch of rolling char-8-gram hashes over ANY (id, text)
+    frame (winnowing-style fingerprint; two docs sharing fingerprint
+    values share content regions). Hashes are portable md5-prefix ints so
+    the DuckDB oracle reproduces the sketch exactly; swap in xxhash64 for
+    raw speed at scale (same plan shape)."""
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     grams = docs.select(
         "doc_id",
         F.explode(
@@ -455,6 +485,11 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents-table entry point of `doc_fingerprint_frame`."""
+    return doc_fingerprint_frame(load_table(spark, sf_dir, "documents"))
 
 
 def doc_fingerprint_oracle() -> str:

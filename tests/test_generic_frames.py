@@ -1,0 +1,132 @@
+"""DataFrame-first generality: every text/sampling/decontamination
+operator accepts caller-supplied frames with arbitrary column names —
+a real pipeline's eval sets and corpora are not lake tables.
+
+(The dedup/temporal generic APIs grew in r3/r4 and are covered in
+tests/test_dedup.py / test_temporal_ops.py; these are the r5 additions
+per the r3 VERDICT directive #3.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from danae_spark.operators import dedup, sampling, textstats
+
+
+def test_text_stats_frame_custom_columns_no_lang(spark):
+    df = spark.createDataFrame(
+        [(7, "the quick brown fox and the lazy dog"), (8, "el perro y el gato")],
+        ["id", "body"],
+    )
+    out = textstats.text_stats_frame(df, id_col="id", text_col="body", lang_col=None)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {7, 8}
+    assert rows[7]["predicted"] == "en"
+    assert rows[8]["predicted"] == "es"
+    # no ground-truth labels → agreement column exists but is null
+    assert rows[7]["agrees_with_label"] is None
+    assert rows[7]["n_tokens"] == 8
+
+
+def test_text_stats_frame_matches_registered_entry(spark, sf_dir):
+    from danae_spark.catalog import load_table
+
+    registered = textstats.text_stats(spark, sf_dir).collect()
+    generic = textstats.text_stats_frame(
+        load_table(spark, sf_dir, "documents")
+        .withColumnRenamed("doc_id", "k")
+        .withColumnRenamed("text", "body"),
+        id_col="k",
+        text_col="body",
+    ).collect()
+    assert registered == generic
+
+
+def test_text_repetition_frame_custom_columns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "each word here is fully distinct today"),
+        ],
+        ["k", "body"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textstats.text_repetition_frame(df, id_col="k", text_col="body").collect()
+    }
+    assert rows[1]["keep"] == 0 and rows[1]["dup_2gram_frac"] > 0.5
+    assert rows[2]["keep"] == 1 and rows[2]["dup_2gram_frac"] == 0.0
+
+
+def test_doc_fingerprint_frame_detects_shared_content(spark):
+    shared = "a long shared paragraph of content that both documents contain"
+    df = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, "completely different text with no overlap at all")],
+        ["k", "body"],
+    )
+    out = textstats.doc_fingerprint_frame(df, id_col="k", text_col="body").collect()
+    fp = {r["doc_id"]: (r["fp1"], r["fp2"], r["fp3"], r["fp4"]) for r in out}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_contamination_check_caller_frames(spark):
+    leak = "one two three four five six seven eight nine"
+    corpus = spark.createDataFrame(
+        [
+            (100, f"prefix {leak} suffix words beyond", "x"),
+            (101, "totally clean document with no benchmark overlap here at all", "x"),
+        ],
+        ["cid", "body", "junk"],
+    )
+    benchmark = spark.createDataFrame(
+        [(1, f"question: {leak} answer: ten")], ["qid", "question"]
+    )
+    out = dedup.contamination_check(
+        corpus,
+        benchmark,
+        n=7,
+        id_col="cid",
+        text_col="body",
+        bench_id_col="qid",
+        bench_text_col="question",
+    ).collect()
+    assert [r["doc_id"] for r in out] == [100]
+    assert out[0]["n_shared_grams"] >= 1 and out[0]["n_benchmark_docs"] == 1
+
+
+def test_contamination_registered_entry_matches_split_frames(spark, sf_dir):
+    """The lake entry point is exactly the generic check over the %50
+    split — the refactor kept the oracle-checked plan identical."""
+    from danae_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    via_entry = dedup.contamination_ngram(spark, sf_dir).collect()
+    via_generic = dedup.contamination_check(
+        docs.filter((F.col("doc_id") % dedup.BENCH_MOD) != 0),
+        docs.filter((F.col("doc_id") % dedup.BENCH_MOD) == 0),
+    ).collect()
+    assert via_entry == via_generic
+    assert len(via_entry) > 0
+
+
+def test_token_budget_mix_frame_custom_columns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "web", "five words in this doc"),
+            (2, "web", "another five word document here"),
+            (3, "web", "a third document of words"),
+            (4, "books", "book text"),
+        ],
+        ["k", "origin", "body"],
+    )
+    out = sampling.token_budget_mix_frame(
+        df, {"web": 8}, id_col="k", source_col="origin", text_col="body"
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    # budget 8 tokens: first doc (5 tokens) selected, second starts at 5<8
+    # → selected, third starts at 10 ≥ 8 → cut; books has no budget
+    assert sum(r["selected"] for r in rows.values()) == 2
+    assert rows[4]["selected"] == 0
+    assert all(r["tokens"] == 5 for k, r in rows.items() if k in (1, 2, 3))
