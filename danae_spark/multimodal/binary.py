@@ -104,6 +104,115 @@ def parse_image_header(payload: bytes) -> dict | None:
     return None
 
 
+# MPEG audio frame-header tables (ISO/IEC 11172-3): bitrate kbps by
+# (version-group, layer) and sample rate by version — index 0xF/0x3 are
+# invalid and rejected.
+_MP3_BITRATES_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_BITRATES_V2_L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def parse_audio_header(payload: bytes) -> dict | None:
+    """Stdlib-only audio HEADER decode: real sample-rate/channels/
+    duration for WAV (RIFF fmt chunk walk) and MP3 (ID3v2 skip + MPEG
+    frame-header sync). Returns None for anything unrecognized. Pure
+    bytes→dict — runs inside the Arrow mapInPandas batches with zero
+    extra dependencies, same pattern as parse_image_header."""
+    import struct
+
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        i, n = 12, len(payload)
+        fmt = None
+        data_size = None
+        while i + 8 <= n:
+            cid = payload[i : i + 4]
+            csize = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 24 <= n:
+                _audio_fmt, channels, sample_rate, byte_rate, _ba, bits = struct.unpack(
+                    "<HHIIHH", payload[i + 8 : i + 24]
+                )
+                fmt = (channels, sample_rate, byte_rate, bits)
+            elif cid == b"data":
+                data_size = csize
+            i += 8 + csize + (csize % 2)  # chunks are word-aligned
+        if fmt is None:
+            return None
+        channels, sample_rate, byte_rate, bits = fmt
+        duration_ms = (
+            int(data_size * 1000 / byte_rate) if data_size and byte_rate else None
+        )
+        return {
+            "format": "wav",
+            "sample_rate": sample_rate,
+            "channels": channels,
+            "bit_depth": bits,
+            "duration_ms": duration_ms,
+            "bitrate_kbps": byte_rate * 8 // 1000 if byte_rate else None,
+        }
+    i = 0
+    if len(payload) >= 10 and payload[:3] == b"ID3":
+        # ID3v2 size is a 4-byte syncsafe int after version+flags
+        ss = payload[6:10]
+        i = 10 + ((ss[0] & 0x7F) << 21 | (ss[1] & 0x7F) << 14 | (ss[2] & 0x7F) << 7 | (ss[3] & 0x7F))
+    if len(payload) >= i + 4 and payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0:
+        b1, b2, b3 = payload[i + 1], payload[i + 2], payload[i + 3]
+        version = (b1 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 0x3  # 1=Layer III, 2=II, 3=I
+        bitrate_idx = (b2 >> 4) & 0xF
+        rate_idx = (b2 >> 2) & 0x3
+        if version == 1 or layer == 0 or bitrate_idx in (0, 0xF) or rate_idx == 3:
+            return None
+        table = _MP3_BITRATES_V1_L3 if version == 3 else _MP3_BITRATES_V2_L3
+        channel_mode = (b3 >> 6) & 0x3
+        return {
+            "format": "mp3",
+            "sample_rate": _MP3_RATES[version][rate_idx],
+            "channels": 1 if channel_mode == 3 else 2,
+            "bit_depth": None,  # lossy codec: no PCM bit depth
+            "duration_ms": None,  # needs a full frame walk / Xing header
+            # the kbps tables are per-layer; only Layer III is tabled here
+            "bitrate_kbps": table[bitrate_idx] if layer == 1 else None,
+        }
+    return None
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id bigint, byte_size int, sha256 string, format string, "
+    "sample_rate int, channels int, bit_depth int, duration_ms bigint, "
+    "bitrate_kbps int"
+)
+
+
+def _audio_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [
+        "format", "sample_rate", "channels", "bit_depth", "duration_ms", "bitrate_kbps"
+    ]
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            hdr = parse_audio_header(p) or {}
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "byte_size": len(p),
+                    "sha256": hashlib.sha256(p).hexdigest(),
+                    **{c: hdr.get(c) for c in cols},
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+def audio_meta_frame(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Audio metadata extraction over ANY (id, binary payload) frame —
+    the same Arrow-batched mapInPandas plumbing as multimodal_meta, with
+    real WAV/MP3 header decode (parse_audio_header). Unrecognized
+    payloads keep size/hash and null audio fields."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_audio_meta_batches, schema=AUDIO_META_SCHEMA)
+
+
 def fake_decode_meta(payload: bytes) -> dict:
     """Deterministic stand-in for decode: metadata derived from bytes."""
     size = len(payload)

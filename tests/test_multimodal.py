@@ -158,3 +158,68 @@ def test_meta_pipeline_uses_real_headers(spark):
     # text payload keeps the deterministic fake metadata
     fake = binary.fake_decode_meta(b"plain text payload")
     assert (out[3].width, out[3].height) == (fake["width"], fake["height"])
+
+
+def _wav_payload(sample_rate=16000, channels=1, bits=16, n_samples=16000):
+    import struct
+
+    byte_rate = sample_rate * channels * bits // 8
+    data = b"\x00" * (n_samples * channels * bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      channels * bits // 8, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _mp3_payload(with_id3=False):
+    # 0xFF 0xFB: sync + MPEG1 + Layer III; 0x90: bitrate idx 9 (128 kbps),
+    # 44100 Hz; 0x00: stereo
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 64
+    if with_id3:
+        import struct as _s
+        tag_body = b"\x00" * 37  # syncsafe size 37 fits in one byte
+        return b"ID3\x04\x00\x00" + bytes([0, 0, 0, len(tag_body)]) + tag_body + frame
+    return frame
+
+
+def test_parse_audio_headers():
+    from danae_spark.multimodal.binary import parse_audio_header
+
+    wav = parse_audio_header(_wav_payload())
+    assert wav == {
+        "format": "wav", "sample_rate": 16000, "channels": 1, "bit_depth": 16,
+        "duration_ms": 1000, "bitrate_kbps": 256,
+    }
+    stereo = parse_audio_header(_wav_payload(sample_rate=44100, channels=2, n_samples=44100))
+    assert stereo["channels"] == 2 and stereo["duration_ms"] == 1000
+
+    mp3 = parse_audio_header(_mp3_payload())
+    assert mp3["format"] == "mp3" and mp3["sample_rate"] == 44100
+    assert mp3["bitrate_kbps"] == 128 and mp3["channels"] == 2
+
+    # ID3v2-tagged stream: the tag is skipped to the first frame sync
+    tagged = parse_audio_header(_mp3_payload(with_id3=True))
+    assert tagged is not None and tagged["sample_rate"] == 44100
+
+    assert parse_audio_header(b"not audio at all") is None
+    assert parse_audio_header(b"RIFF\x00\x00\x00\x00WAVEjunk") is None
+
+
+def test_audio_meta_frame_over_spark(spark):
+    from danae_spark.multimodal.binary import audio_meta_frame
+
+    rows = [
+        (1, bytearray(_wav_payload())),
+        (2, bytearray(_mp3_payload())),
+        (3, bytearray(b"opaque non-audio payload")),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, blob binary")
+    out = {r["doc_id"]: r for r in
+           audio_meta_frame(df, id_col="k", payload_col="blob").collect()}
+    assert out[1]["format"] == "wav" and out[1]["sample_rate"] == 16000
+    assert out[1]["duration_ms"] == 1000
+    assert out[2]["format"] == "mp3" and out[2]["bitrate_kbps"] == 128
+    assert out[3]["format"] is None and out[3]["byte_size"] == 24
+    import hashlib as _h
+    assert out[3]["sha256"] == _h.sha256(b"opaque non-audio payload").hexdigest()
