@@ -151,46 +151,22 @@ def _ivf_budgeted_stride(n: int, dim: int) -> int:
     return stride
 
 
-def ann_ivf(
-    spark: SparkSession, sf_dir: str, k: int = TOP_K, nprobe: int = 2
+def _ivf_search(
+    spark: SparkSession,
+    emb: DataFrame,
+    cent_ids,
+    cent_mat,
+    k: int,
+    nprobe: int,
 ) -> DataFrame:
-    """IVF-style ANN: a deterministic coarse quantizer (every `stride`-th
-    vector, stride = ⌊√N⌋) partitions vectors into C ≈ √N inverted lists;
-    a query probes its `nprobe` nearest centroids' lists and brute-forces
-    only those.
-
-    100 TB shape (r1 rewrite — the old quantizer crossJoined every vector
-    with C = N/100 centroids and ranked N²/100 window rows): the centroid
-    codebook is a bounded √N-sized array (≈8 MB at N = 10⁹) broadcast to
-    executors, and list assignment is ONE Arrow-batched matmul per batch
-    inside mapInPandas — no N×C row materialization, no window, no
-    shuffle beyond the final per-list aggregation. Ties and rounding
-    reproduce the DuckDB oracle: cosines are rounded to 6dp before
-    argmax, ties break to the smallest centroid_id.
-    """
+    """Shared IVF search over a driver-held codebook (ids + C×dim numpy
+    matrix): broadcast-free Arrow matmul list assignment, nprobe centroid
+    probes per query, in-list brute force. Ties and rounding reproduce
+    the DuckDB oracle: cosines are rounded to 6dp before argmax, ties
+    break to the smallest centroid_id."""
     import numpy as np
     import pandas as pd
 
-    from danae_spark.shipping import ensure_shipped
-
-    ensure_shipped(spark)
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n_total = emb.count()  # parquet footer metadata, no scan
-    first = emb.select("embedding").head(1)
-    if not first:  # empty table → brute force degenerates to empty result
-        return ann_cosine_topk(spark, sf_dir, k=k)
-    dim = len(first[0].embedding)
-    stride = _ivf_budgeted_stride(n_total, dim)
-    # offset 7 matches nothing when stride <= 7 (vec_id % stride < stride);
-    # 7 % stride always selects a real residue — mirrored in the oracle
-    centroids = emb.filter((F.col("vec_id") % stride) == 7 % stride).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
-    cent_rows = centroids.orderBy("centroid_id").collect()  # C ≈ √N — bounded codebook
-    if not cent_rows:  # degenerate residue set (can't happen post-fix; belt)
-        return ann_cosine_topk(spark, sf_dir, k=k)
-    cent_ids = np.array([r.centroid_id for r in cent_rows], dtype=np.int64)
-    cent_mat = np.stack([np.asarray(r.c_emb, dtype=np.float64) for r in cent_rows])
     cent_norm = np.linalg.norm(cent_mat, axis=1)
 
     def assign_batches(batches):
@@ -213,6 +189,11 @@ def ann_ivf(
 
     lists = emb.mapInPandas(
         assign_batches, schema="cand_id long, centroid_id long, c_emb array<float>"
+    )
+
+    centroids = spark.createDataFrame(
+        [(int(cid), [float(x) for x in row]) for cid, row in zip(cent_ids, cent_mat)],
+        "centroid_id long, c_emb array<float>",
     )
 
     # query-side: nprobe nearest centroids for the N_QUERIES query vectors —
@@ -244,6 +225,126 @@ def ann_ivf(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def ann_ivf(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, nprobe: int = 2
+) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (every `stride`-th
+    vector, stride = ⌊√N⌋) partitions vectors into C ≈ √N inverted lists;
+    a query probes its `nprobe` nearest centroids' lists and brute-forces
+    only those.
+
+    100 TB shape (r1 rewrite — the old quantizer crossJoined every vector
+    with C = N/100 centroids and ranked N²/100 window rows): the centroid
+    codebook is a bounded √N-sized array (≈8 MB at N = 10⁹) broadcast to
+    executors, and list assignment is ONE Arrow-batched matmul per batch
+    inside mapInPandas — no N×C row materialization, no window, no
+    shuffle beyond the final per-list aggregation. The stride quantizer
+    is fully deterministic and oracle-checked; `ann_ivf_trained` is the
+    list-balance upgrade for skewed real-world embedding distributions.
+    """
+    import numpy as np
+
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_total = emb.count()  # parquet footer metadata, no scan
+    first = emb.select("embedding").head(1)
+    if not first:  # empty table → brute force degenerates to empty result
+        return ann_cosine_topk(spark, sf_dir, k=k)
+    dim = len(first[0].embedding)
+    stride = _ivf_budgeted_stride(n_total, dim)
+    # offset 7 matches nothing when stride <= 7 (vec_id % stride < stride);
+    # 7 % stride always selects a real residue — mirrored in the oracle
+    centroids = emb.filter((F.col("vec_id") % stride) == 7 % stride).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    cent_rows = centroids.orderBy("centroid_id").collect()  # C ≈ √N — bounded codebook
+    if not cent_rows:  # degenerate residue set (can't happen post-fix; belt)
+        return ann_cosine_topk(spark, sf_dir, k=k)
+    cent_ids = np.array([r.centroid_id for r in cent_rows], dtype=np.int64)
+    cent_mat = np.stack([np.asarray(r.c_emb, dtype=np.float64) for r in cent_rows])
+    return _ivf_search(spark, emb, cent_ids, cent_mat, k, nprobe)
+
+
+def train_ivf_codebook(
+    emb: DataFrame,
+    n_centroids: int | None = None,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spherical-k-means codebook: a few Lloyd iterations over a
+    deterministic hash-sampled subset of the vectors, run driver-side in
+    numpy within the same IVF_CODEBOOK_BUDGET_BYTES collect budget.
+
+    Why: the stride quantizer picks every √N-th VECTOR as a centroid —
+    fine for near-uniform testdata, but on skewed real-world embedding
+    distributions (language/domain clusters) it yields hot inverted
+    lists and probe-latency cliffs. Lloyd pulls centroids toward density,
+    evening list sizes, at the cost of a training pass.
+
+    Determinism: the sample is xxhash64-residue selected (no RNG state),
+    initialization is the sample's stride rows, and updates are exact
+    means — identical output on any cluster size or run.
+
+    Returns (cent_ids 0..C-1, cent_mat C×dim float64 numpy)."""
+    import numpy as np
+
+    n_total = emb.count()
+    first = emb.select(vec_col).head(1)
+    if not first:
+        raise ValueError("train_ivf_codebook: empty embedding frame")
+    dim = len(first[0][0])
+    if n_centroids is None:
+        n_centroids = max(1, n_total // _ivf_budgeted_stride(n_total, dim))
+    sample_cap = max(n_centroids * 8, IVF_CODEBOOK_BUDGET_BYTES // (dim * 8))
+    src = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    if n_total > sample_cap:
+        m = max(1, n_total // sample_cap)
+        src = src.filter(F.pmod(F.xxhash64("vec_id"), F.lit(m)) == 0)
+    rows = src.orderBy("vec_id").collect()
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = min(n_centroids, len(X))
+    stride = max(1, len(X) // C)
+    cents = Xn[::stride][:C].copy()
+    for _ in range(iters):
+        assign = np.argmax(Xn @ cents.T, axis=1)  # cosine == dot on unit vectors
+        for c in range(len(cents)):
+            members = Xn[assign == c]
+            if len(members):
+                m_vec = members.mean(axis=0)
+                n = np.linalg.norm(m_vec)
+                if n > 1e-12:
+                    cents[c] = m_vec / n
+        # empty clusters keep their previous centroid (deterministic)
+    return np.arange(len(cents), dtype=np.int64), cents
+
+
+def ann_ivf_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    nprobe: int = 2,
+    iters: int = 4,
+) -> DataFrame:
+    """`ann_ivf` with a Lloyd-trained spherical-k-means codebook (see
+    train_ivf_codebook) instead of the stride quantizer — the
+    list-balance path for skewed embedding distributions. Same search
+    plan; only the codebook differs. The stride variant stays the
+    registered oracle entry (training is iterative numpy, not
+    SQL-expressible)."""
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if not emb.head(1):
+        return ann_cosine_topk(spark, sf_dir, k=k)
+    cent_ids, cent_mat = train_ivf_codebook(emb, iters=iters)
+    return _ivf_search(spark, emb, cent_ids, cent_mat, k, nprobe)
 
 
 def _cos6_sql(a: str, b: str) -> str:
@@ -362,7 +463,9 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFr
     )
 
 
-def ann_recall(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+def ann_recall(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, include_trained: bool = False
+) -> DataFrame:
     """Recall@k of each approximate ANN path against the brute-force
     ground truth — the tuning signal for plane count / nprobe (run it
     after changing LSH/IVF parameters; at scale, on a sampled query set).
@@ -370,8 +473,11 @@ def ann_recall(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     truth = ann_cosine_topk(spark, sf_dir, k=k).select(
         "query_id", F.col("cand_id").alias("true_id")
     )
+    methods = [("lsh", ann_lsh_bucketed), ("ivf", ann_ivf)]
+    if include_trained:
+        methods.append(("ivf_trained", ann_ivf_trained))
     out = []
-    for name, fn in (("lsh", ann_lsh_bucketed), ("ivf", ann_ivf)):
+    for name, fn in methods:
         approx = fn(spark, sf_dir, k=k).select("query_id", "cand_id")
         hits = truth.join(
             approx,

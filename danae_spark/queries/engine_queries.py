@@ -54,3 +54,15 @@ def quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force ANN over int8-quantized codes (4x memory cut; cosine
     is scale-invariant so similarity runs directly on the codes)."""
     return _quantize.quantized_ann_topk(spark, sf_dir)
+
+
+from danae_spark.operators import ann as _ann  # noqa: E402
+
+
+@register("ann_ivf_trained", oracle=None)  # iterative Lloyd training: non-SQL
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the spherical-k-means codebook (operators/ann.py
+    train_ivf_codebook) — the list-balance path for skewed embedding
+    distributions; the stride-quantizer twin is the oracle entry.
+    Recall and list-balance are pytest-enforced (tests/test_ann_recall.py)."""
+    return _ann.ann_ivf_trained(spark, sf_dir)

@@ -63,3 +63,61 @@ def test_ivf_small_n_returns_rows(spark, tmp_path):
     )
     out = ann_ivf(spark, d)
     assert out.count() > 0
+
+
+def test_ivf_trained_recall_at_least_stride(spark, sf_dir):
+    """Lloyd-trained codebook must not lose recall vs the stride
+    quantizer on the near-uniform testdata (on skewed data it wins on
+    list balance — test below)."""
+    rows = {
+        r["method"]: r["recall_at_k"]
+        for r in ann.ann_recall(spark, sf_dir, include_trained=True).collect()
+    }
+    assert set(rows) == {"lsh", "ivf", "ivf_trained"}
+    assert rows["ivf_trained"] >= rows["ivf"] - 1e-9, rows
+
+
+def test_ivf_trained_balances_skewed_lists(spark, tmp_path):
+    """On a clustered (skewed) embedding distribution the stride
+    quantizer produces hot inverted lists; the trained codebook's
+    max-list-size must be materially smaller."""
+    import numpy as np
+
+    from danae_spark.operators.ann import (
+        _ivf_budgeted_stride,
+        train_ivf_codebook,
+    )
+
+    # 400 vectors in 4 tight clusters of very unequal size (300/60/30/10)
+    rng_rows = []
+    centers = {
+        0: [1.0, 0.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.0], 3: [0.0, 0.0, 0.0, 1.0],
+    }
+    sizes = [300, 60, 30, 10]
+    vid = 0
+    for c, size in enumerate(sizes):
+        for j in range(size):
+            eps = [((vid * 7 + i * 13) % 100) / 2000.0 for i in range(4)]
+            rng_rows.append((vid, [centers[c][i] + eps[i] for i in range(4)]))
+            vid += 1
+    emb = spark.createDataFrame(rng_rows, "vec_id long, embedding array<float>")
+
+    def list_sizes(cent_mat):
+        X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Cn = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+        assign = np.argmax(Xn @ Cn.T, axis=1)
+        return np.bincount(assign, minlength=len(cent_mat))
+
+    n, dim = 400, 4
+    stride = _ivf_budgeted_stride(n, dim)
+    stride_rows = sorted(rng_rows)[:: stride][: n // stride]
+    stride_mat = np.stack([np.asarray(v, dtype=np.float64) for _i, v in stride_rows])
+    _ids, trained_mat = train_ivf_codebook(emb, n_centroids=len(stride_mat))
+
+    hot_stride = list_sizes(stride_mat).max()
+    hot_trained = list_sizes(trained_mat).max()
+    assert hot_trained <= hot_stride
+    # trained lists must be meaningfully flatter than the hot stride list
+    assert hot_trained < 0.8 * hot_stride, (hot_trained, hot_stride)
