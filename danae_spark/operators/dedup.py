@@ -448,19 +448,39 @@ SIMHASH_BITS = 48
 HAMMING_MAX = 6
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
+def simhash_signatures(docs: DataFrame, skew_salt: int | None = None) -> DataFrame:
     """48-bit SimHash per doc: token-frequency-weighted signed projection.
     48 bits (not 64) keeps the packed value inside a signed long under
     ANSI arithmetic. The term hash is a portable md5 prefix (12 hex
     chars = 48 bits) so the DuckDB oracle reproduces signatures exactly;
-    switch to xxhash64 for raw throughput at scale."""
+    switch to xxhash64 for raw throughput at scale.
+
+    `skew_salt`: for hot-key corpora (one pathological doc holding a
+    large share of all tokens — log dumps, concatenated crawls) the tf
+    aggregation's (doc_id, term) reducer for that doc can exceed task
+    memory; `skew_salt=K` routes it through the two-phase salted
+    aggregation (functions/skew.py), fanning each key over K reducers
+    before combining partials. Identical results (pytest-asserted);
+    default off because the extra shuffle phase costs ~1 stage on
+    well-behaved corpora."""
+    from danae_spark.functions.skew import salted_agg
+
     toks = docs.select(
         "doc_id",
         F.explode(F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")).alias(
             "term"
         ),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    if skew_salt:
+        tf = salted_agg(
+            toks,
+            ["doc_id", "term"],
+            [F.count("*").alias("tf")],
+            [F.sum("tf").alias("tf")],
+            buckets=skew_salt,
+        )
+    else:
+        tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     h = F.conv(F.substring(F.md5("term"), 1, 12), 16, 10).cast("long")
     bit_sums = tf.groupBy("doc_id").agg(
         *[
@@ -483,12 +503,13 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     hamming_max: int = HAMMING_MAX,
+    skew_salt: int | None = None,
 ) -> DataFrame:
     """Generic SimHash near-dup pairs over any (id, text) frame:
     hamming(simhash) <= hamming_max, candidates via four 12-bit band
-    joins."""
+    joins. `skew_salt` → see simhash_signatures."""
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    sigs = simhash_signatures(docs)
+    sigs = simhash_signatures(docs, skew_salt=skew_salt)
     bands = sigs.select(
         "doc_id",
         "simhash",
