@@ -888,17 +888,36 @@ def embedding_lsh_pairs(
     vector table, no cross join. Recall: P(candidate) =
     1-(1-(1-θ/π)^P)^B ≈ .997 at cos=.9 with B=8, P=3.
     """
+    emb = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    cand = _embedding_lsh_candidates(emb, bands, planes_per_band)
+    e1 = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    e2 = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    cos = vectors.pair_cosine_udf()
+    return (
+        cand.join(e1, "v1")
+        .join(e2, "v2")
+        .withColumn("cosine", rnd(cos("e1", "e2"), 6))
+        .filter(F.col("cosine") >= tau)
+        .select("v1", "v2", "cosine")
+        .orderBy("v1", "v2")
+    )
+
+
+def _embedding_lsh_candidates(
+    emb: DataFrame, bands: int, planes_per_band: int
+) -> DataFrame:
+    """Distinct candidate (v1, v2) id pairs sharing ≥1 (band, bucket) —
+    ids only, deduped across bands BEFORE vectors are re-attached, so
+    the cosine UDF downstream scores each unique pair exactly once."""
     from danae_spark.operators.ann import _hyperplanes, lsh_bucket_col
     from danae_spark.shipping import ensure_shipped
 
     ensure_shipped(emb.sparkSession)
     all_planes = _hyperplanes(bands * planes_per_band)
-    emb = emb.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-    )
     banded = emb.select(
         "vec_id",
-        "embedding",
         F.explode(
             F.array(
                 *[
@@ -913,33 +932,52 @@ def embedding_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("vec_id", "embedding", "bb.band", "bb.bucket")
-    a = banded.select(
-        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"), "band", "bucket"
-    )
-    # candidate ids first, dedup across bands, THEN re-attach vectors and
-    # score once per pair — the cosine UDF runs on |unique candidates|,
-    # not |band collisions|
-    cand = (
-        a.select("v1", "band", "bucket")
-        .join(b.select("v2", "band", "bucket"), ["band", "bucket"])
+    ).select("vec_id", "bb.band", "bb.bucket")
+    return (
+        banded.select(F.col("vec_id").alias("v1"), "band", "bucket")
+        .join(
+            banded.select(F.col("vec_id").alias("v2"), "band", "bucket"),
+            ["band", "bucket"],
+        )
         .filter(F.col("v1") < F.col("v2"))
         .select("v1", "v2")
         .distinct()
     )
-    e1 = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
-    e2 = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
-    cos = vectors.pair_cosine_udf()
-    return (
-        cand.join(e1, "v1")
-        .join(e2, "v2")
-        .withColumn("cosine", rnd(cos("e1", "e2"), 6))
-        .filter(F.col("cosine") >= tau)
-        .select("v1", "v2", "cosine")
-        .orderBy("v1", "v2")
+
+
+def embedding_lsh_stats(
+    emb: DataFrame,
+    tau: float = COSINE_TAU,
+    bands: int = EMB_LSH_BANDS,
+    planes_per_band: int = EMB_LSH_PLANES_PER_BAND,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate-efficiency instrumentation for the (bands, planes)
+    sweep: one row with n_vectors, candidate-pair count, verified-pair
+    count and the candidate fraction of all N·(N−1)/2 pairs. Run this
+    (not guesswork) when tuning for a new embedding distribution — the
+    r5 sweep table lives in SURVEY §6."""
+    emb = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    n = emb.count()
+    cand = _embedding_lsh_candidates(emb, bands, planes_per_band).count()
+    verified = embedding_lsh_pairs(
+        emb, tau=tau, bands=bands, planes_per_band=planes_per_band
+    ).count()
+    total = n * (n - 1) // 2
+    return emb.sparkSession.createDataFrame(
+        [
+            (
+                bands,
+                planes_per_band,
+                n,
+                cand,
+                verified,
+                round(cand / total, 6) if total else 0.0,
+            )
+        ],
+        "bands int, planes_per_band int, n_vectors long, n_candidates long,"
+        " n_verified long, candidate_fraction double",
     )
 
 

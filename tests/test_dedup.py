@@ -197,3 +197,14 @@ def test_connected_components_multi_component_and_edge_cases(spark):
     assert {labels[i] for i in (30, 31, 32, 33)} == {30}
     assert {labels[i] for i in (40, 41)} == {40}
     assert 50 not in labels  # self-loop carries no connectivity
+
+
+def test_embedding_lsh_stats_instrumentation(spark, sf_dir):
+    from danae_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    row = dedup.embedding_lsh_stats(emb).collect()[0]
+    assert row["n_vectors"] > 0
+    assert 0 < row["n_candidates"]
+    assert row["n_verified"] <= row["n_candidates"]
+    assert 0.0 < row["candidate_fraction"] <= 1.0
