@@ -51,6 +51,8 @@ HEADLINE = [
     # round-3 additions
     "profile_numeric_extended",
     "quantized_ann_topk",
+    # round-5 additions
+    "ann_ivf_trained",
 ]
 
 
