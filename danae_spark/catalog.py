@@ -52,6 +52,27 @@ def normalize_temporal(df: DataFrame) -> DataFrame:
     return df
 
 
+def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Decouple COMPUTE parallelism from FILE layout.
+
+    A parquet file is only readable in parallel at row-group boundaries;
+    a single-row-group file (how this lake's generator writes them) has
+    irreducible scan parallelism of 1 no matter what
+    `spark.sql.files.maxPartitionBytes` says. Pipelines whose per-row
+    work is heavy (exact-decimal moment sums, exact percentiles,
+    shingling) would then run on 1–3 tasks while the rest of the cluster
+    idles. This inserts a round-robin repartition up to the session's
+    default parallelism ONLY when the plan's current partitioning is
+    narrower — at real scale (many files / many row groups) it is a
+    no-op, so the extra exchange is paid exactly when it buys a
+    many-fold parallelism win."""
+    sp = df.sparkSession
+    target = min_partitions or sp.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a lake table, normalizing temporal columns (see
     `normalize_temporal`)."""

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from danae_spark.catalog import load_table
+from danae_spark.catalog import load_table, widen
 from danae_spark.profiling.types import NUMERIC, columns_of_class
 from danae_spark.functions.rounding import (
     davg,
@@ -97,11 +97,86 @@ def _profile_melted(melted: DataFrame, exact: bool = True) -> DataFrame:
 def numeric_profile(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = NUMERIC_PROFILE_TABLES
 ) -> DataFrame:
+    """Wide per-table aggregation for the order stats + exact decimal
+    mean/std (see _wide_stack for why not melt-first), joined with the
+    one stat that genuinely wants the long form: exact n_distinct,
+    whose grouped partial aggregation dedups map-side so only distinct
+    values cross the wire."""
+
+    def builders(v):
+        return [
+            F.count(v),
+            F.sum(v.isNull().cast("long")),
+            F.min(v),
+            F.max(v),
+            rnd(davg(v), 4),
+            rnd(dstd(v), 4),
+        ]
+
+    base = _wide_stack(
+        spark, sf_dir, tables,
+        ("n", "n_null", "min_v", "max_v", "avg_v", "std_v"), builders,
+    )
     parts = [_melt_numeric(load_table(spark, sf_dir, t), t) for t in tables]
     melted = parts[0]
     for p in parts[1:]:
         melted = melted.unionByName(p)
-    return _profile_melted(melted).orderBy("table_name", "column_name")
+    nd = melted.groupBy("table_name", "column_name").agg(
+        F.count_distinct(F.col("v")).alias("n_distinct")
+    )
+    return (
+        base.join(nd, ["table_name", "column_name"])
+        .select("table_name", "column_name", *(F.col(s) for s in _STATS))
+        .orderBy("table_name", "column_name")
+    )
+
+
+def _wide_stack(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...],
+    stat_names: tuple[str, ...],
+    builders,
+) -> DataFrame:
+    """Per-table WIDE aggregation → stack the single result row.
+
+    The melt-then-aggregate shape shuffles |rows|×|columns| long-form
+    rows; with this lake's single-row-group files that exchange (plus
+    the serial scan feeding it) dominates the profile wall-clock. This
+    shape instead widens each TABLE (|rows| exchanged, not
+    |rows|×|cols|), computes every column's statistics as parallel
+    aggregate expressions in ONE pass, and stack()s the single output
+    row into the same long format — identical values, ~|cols|× less
+    shuffle volume. `builders` maps a double column → list of aggregate
+    Columns aliased `<col>|<stat>`."""
+    outs = []
+    for t in tables:
+        df = load_table(spark, sf_dir, t)
+        cols = _numeric_cols(df)
+        if not cols:
+            continue
+        src = widen(df.select(*[F.col(c).cast("double").alias(c) for c in cols]))
+        aggs = []
+        for c in cols:
+            aggs.extend(a.alias(f"{c}|{s}") for s, a in zip(stat_names, builders(F.col(c))))
+        row = src.agg(*aggs)
+        stack_args = []
+        for c in cols:
+            stack_args.append(f"'{c}'")
+            stack_args.extend(f"`{c}|{s}`" for s in stat_names)
+        outs.append(
+            row.select(
+                F.lit(t).alias("table_name"),
+                F.expr(
+                    f"stack({len(cols)}, {', '.join(stack_args)})"
+                    f" AS (column_name, {', '.join(stat_names)})"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 # --------------------------------------------------------- extended profile
@@ -130,43 +205,39 @@ def numeric_profile_extended(
     `exact=False` is the 100 TB mode: plain double sums replace the
     exact decimal ones (≈2× cheaper, order-dependent in the last ulp —
     fine when no oracle hash is at stake), same formulas."""
-    parts = [_melt_numeric(load_table(spark, sf_dir, t), t) for t in tables]
-    melted = parts[0]
-    for p in parts[1:]:
-        melted = melted.unionByName(p)
 
-    v = F.col("v")
-    n = F.count(v)
-    nn = F.sum(v.isNull().cast("long"))
-    nd = n.cast("double")
-    if exact:
-        s1, s2, s3, s4 = (dmoment_sum(v, p) for p in (1, 2, 3, 4))
-    else:
-        cd = v.cast("double")
-        s1 = F.sum(cd)
-        s2 = F.sum(cd * cd)
-        s3 = F.sum(cd * cd * cd)
-        s4 = F.sum(cd * cd * cd * cd)
-    mean = s1 / nd
-    m2 = s2 / nd - mean * mean
-    m3 = s3 / nd - F.lit(3.0) * mean * (s2 / nd) + F.lit(2.0) * mean * mean * mean
-    m4 = (
-        s4 / nd
-        - F.lit(4.0) * mean * (s3 / nd)
-        + F.lit(6.0) * mean * mean * (s2 / nd)
-        - F.lit(3.0) * mean * mean * mean * mean
-    )
-    skew = (m3 / (F.sqrt(m2) * m2)) * F.sqrt(nd * (nd - F.lit(1.0))) / (nd - F.lit(2.0))
-    kurt = (
-        ((nd + F.lit(1.0)) * (m4 / (m2 * m2) - F.lit(3.0)) + F.lit(6.0))
-        * (nd - F.lit(1.0))
-        / ((nd - F.lit(2.0)) * (nd - F.lit(3.0)))
-    )
-    mean_x = davg(v) if exact else F.avg(v)
-    std_x = dstd(v) if exact else F.stddev(v)
-    return (
-        melted.groupBy("table_name", "column_name")
-        .agg(
+    def builders(v):
+        n = F.count(v)
+        nn = F.sum(v.isNull().cast("long"))
+        nd = n.cast("double")
+        if exact:
+            s1, s2, s3, s4 = (dmoment_sum(v, p) for p in (1, 2, 3, 4))
+        else:
+            cd = v.cast("double")
+            s1 = F.sum(cd)
+            s2 = F.sum(cd * cd)
+            s3 = F.sum(cd * cd * cd)
+            s4 = F.sum(cd * cd * cd * cd)
+        mean = s1 / nd
+        m2 = s2 / nd - mean * mean
+        m3 = s3 / nd - F.lit(3.0) * mean * (s2 / nd) + F.lit(2.0) * mean * mean * mean
+        m4 = (
+            s4 / nd
+            - F.lit(4.0) * mean * (s3 / nd)
+            + F.lit(6.0) * mean * mean * (s2 / nd)
+            - F.lit(3.0) * mean * mean * mean * mean
+        )
+        skew = (
+            (m3 / (F.sqrt(m2) * m2)) * F.sqrt(nd * (nd - F.lit(1.0))) / (nd - F.lit(2.0))
+        )
+        kurt = (
+            ((nd + F.lit(1.0)) * (m4 / (m2 * m2) - F.lit(3.0)) + F.lit(6.0))
+            * (nd - F.lit(1.0))
+            / ((nd - F.lit(2.0)) * (nd - F.lit(3.0)))
+        )
+        mean_x = davg(v) if exact else F.avg(v)
+        std_x = dstd(v) if exact else F.stddev(v)
+        return [
             n.alias("n"),
             nn.alias("n_null"),
             rnd(nn.cast("double") * F.lit(100.0) / (n + nn), 4).alias("missing_pct"),
@@ -175,7 +246,20 @@ def numeric_profile_extended(
             F.when(mean_x != 0, rnd(std_x / mean_x, 4)).alias("cv"),
             F.when((n > 2) & (m2 > 0), rnd(skew, 4)).alias("skewness"),
             F.when((n > 3) & (m2 > 0), rnd(kurt, 4)).alias("kurtosis"),
-        )
+        ]
+
+    # melt + widen (NOT the wide-agg shape): ~200 decimal aggregate
+    # buffers in one wide agg push the generated update method past
+    # what codegen handles well — measured 2× slower than the widened
+    # melt on this container
+    parts = [_melt_numeric(load_table(spark, sf_dir, t), t) for t in tables]
+    melted = parts[0]
+    for p in parts[1:]:
+        melted = melted.unionByName(p)
+    return (
+        widen(melted)
+        .groupBy("table_name", "column_name")
+        .agg(*builders(F.col("v")))
         .select("table_name", "column_name", *(F.col(s) for s in EXTENDED_STATS))
         .orderBy("table_name", "column_name")
     )
@@ -245,30 +329,25 @@ def quantile_signatures(
     rounding: int | None = 4,
 ) -> DataFrame:
     """7-point quantile signature per numeric column (the content-index
-    vector of content_search.py:129). One union-melt aggregation over
-    every table — a single shuffle keyed on (table, column); exact
-    interpolated percentiles for oracle parity (order-independent:
-    percentile sorts its buffer), percentile_approx at scale."""
-    parts = [_melt_numeric(load_table(spark, sf_dir, t), t) for t in tables]
-    melted = parts[0]
-    for p in parts[1:]:
-        melted = melted.unionByName(p)
-    v = F.col("v")
-    if exact:
-        q = F.percentile(v, F.lit(list(SIGNATURE_PS)))
-    else:
-        q = F.percentile_approx(v, F.lit(list(SIGNATURE_PS)), F.lit(10000))
-    out = (
-        melted.groupBy("table_name", "column_name")
-        .agg(q.alias("q"))
-        .select(
-            "table_name",
-            "column_name",
-            *[
-                (rnd(F.col("q")[i], rounding) if rounding is not None else F.col("q")[i]).alias(n)
-                for i, n in enumerate(SIGNATURE_NAMES)
-            ],
-        )
+    vector of content_search.py:129). Wide per-table aggregation (see
+    _wide_stack): each column's percentile is its own aggregate
+    expression, partials run cluster-wide after the widen exchange;
+    exact interpolated percentiles for oracle parity
+    (order-independent: percentile sorts its buffer),
+    percentile_approx at scale."""
+
+    def builders(v):
+        if exact:
+            return [F.percentile(v, F.lit(list(SIGNATURE_PS)))]
+        return [F.percentile_approx(v, F.lit(list(SIGNATURE_PS)), F.lit(10000))]
+
+    out = _wide_stack(spark, sf_dir, tables, ("q",), builders).select(
+        "table_name",
+        "column_name",
+        *[
+            (rnd(F.col("q")[i], rounding) if rounding is not None else F.col("q")[i]).alias(n)
+            for i, n in enumerate(SIGNATURE_NAMES)
+        ],
     )
     return out.orderBy("table_name", "column_name")
 
@@ -287,9 +366,12 @@ def temporal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NTZ timestamps can't cast straight to long; go via TZ timestamp
         # (session tz is UTC, matching DuckDB's naive epoch())
         epoch = F.col(c).cast("timestamp").cast("long").cast("double")
-        q = F.percentile(epoch, F.lit(list(SIGNATURE_PS)))
         parts.append(
-            df.agg(q.alias("q")).select(
+            widen(df.select(epoch.alias("__epoch")))
+            .agg(
+                F.percentile(F.col("__epoch"), F.lit(list(SIGNATURE_PS))).alias("q")
+            )
+            .select(
                 F.lit(t).alias("table_name"),
                 F.lit(c).alias("column_name"),
                 *[rnd(F.col("q")[i], 4).alias(n) for i, n in enumerate(SIGNATURE_NAMES)],
