@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from danae_spark.catalog import load_table
+from danae_spark.catalog import load_table, widen
 from danae_spark.functions import vectors
 from danae_spark.functions.rounding import rnd
 
@@ -439,7 +439,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFr
 
     ensure_shipped(spark)
     planes = _hyperplanes()
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = widen(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding", lsh_bucket_col("embedding", planes).alias("bucket")
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from danae_spark.catalog import load_table
+from danae_spark.catalog import load_table, widen
 from danae_spark.functions import vectors
 from danae_spark.functions.rounding import rnd
 
@@ -107,8 +107,11 @@ def _cap_shingles(sh: DataFrame, df_cap: int | None) -> DataFrame:
 
 def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc — built JVM-side with
-    transform/sequence over the token array (no Python in the loop)."""
-    toks = docs.select(
+    transform/sequence over the token array (no Python in the loop).
+    `widen`: single-row-group lake files leave the scan 1 task wide;
+    the tokenize/shingle explode is the heavy map work, so spread it
+    cluster-wide first (no-op when the source is already parallel)."""
+    toks = widen(docs).select(
         "doc_id",
         F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')").alias("t"),
     ).filter(F.size("t") >= n)
@@ -465,7 +468,7 @@ def simhash_signatures(docs: DataFrame, skew_salt: int | None = None) -> DataFra
     well-behaved corpora."""
     from danae_spark.functions.skew import salted_agg
 
-    toks = docs.select(
+    toks = widen(docs).select(
         "doc_id",
         F.explode(F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")).alias(
             "term"
@@ -916,7 +919,7 @@ def _embedding_lsh_candidates(
 
     ensure_shipped(emb.sparkSession)
     all_planes = _hyperplanes(bands * planes_per_band)
-    banded = emb.select(
+    banded = widen(emb).select(
         "vec_id",
         F.explode(
             F.array(

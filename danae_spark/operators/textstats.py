@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from danae_spark.catalog import load_table
+from danae_spark.catalog import load_table, widen
 from danae_spark.functions.rounding import rnd
 
 # ------------------------------------------------------------- C8: language ID
@@ -208,7 +208,8 @@ def text_stats_frame(
     cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
     if lang_col is not None:
         cols.append(F.col(lang_col).alias("lang"))
-    docs = docs.select(*cols)
+    # heavy per-row regex/array work → spread beyond the file's scan tasks
+    docs = widen(docs.select(*cols))
 
     # language ID columns
     best = F.greatest(*[_hits(lang) for lang in LANG_ORDER])
@@ -338,7 +339,7 @@ def text_repetition_frame(
     Plan: the per-doc total/distinct counts are row-wise array
     expressions (no shuffle); only the top-2-gram needs an explode +
     (doc, gram) aggregation — one shuffle, map-side combined."""
-    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    docs = widen(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
     toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
     grams = (
         f"transform(sequence(0, size({toks}) - 2),"
@@ -461,7 +462,7 @@ def doc_fingerprint_frame(
     values share content regions). Hashes are portable md5-prefix ints so
     the DuckDB oracle reproduces the sketch exactly; swap in xxhash64 for
     raw speed at scale (same plan shape)."""
-    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    docs = widen(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
     grams = docs.select(
         "doc_id",
         F.explode(

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from danae_spark.catalog import load_table
+from danae_spark.catalog import load_table, widen
 from danae_spark.functions.rounding import rnd
 
 # categorical columns profiled for top-k terms (reference: profile['columns'])
@@ -358,7 +358,7 @@ def tfidf_topk(
 
     Formula per filters.py:152: (term_freq / ttf) * ln(N / doc_freq).
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = widen(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = tokenize(docs, "text").select("doc_id", "term")
 
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))

@@ -85,14 +85,19 @@ def test_dq_checks_scans_each_fact_once(spark, sf_dir):
     assert len(li_scans) == 1, li_scans
 
 
-def test_profile_numeric_single_aggregation(spark, sf_dir):
-    """The numeric profiler is one union-melt aggregation: every table
-    scanned once, no join in the plan."""
+def test_profile_numeric_two_branch_plan(spark, sf_dir):
+    """The numeric profiler (r5 shape) is two aggregation branches —
+    a wide per-table stats pass and a long-form exact-distinct pass —
+    joined on (table, column). The join sides are column-count-sized
+    (tens of rows at ANY data scale), so the join must be a broadcast
+    hash join, never a cartesian; each profiled table is scanned once
+    per branch."""
     df = REGISTRY["profile_numeric"].fn(spark, sf_dir)
     plan = audit.physical_plan(df)
-    assert "Join" not in plan, plan
-    # one scan per profiled table
-    assert len(audit.scans(df)) == 6, audit.scans(df)
+    audit.assert_no_cartesian(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan, plan
+    # one scan per profiled table per branch (6 tables × 2 branches)
+    assert len(audit.scans(df)) == 12, audit.scans(df)
 
 
 def test_embedding_lsh_no_broadcast_of_vector_table(spark, sf_dir):
