@@ -77,6 +77,19 @@ def main() -> None:
 
     # JVM warmup on a trivial job so q1 doesn't pay startup costs
     spark.range(1000).count()
+    # Python-worker-pool warmup so the first Arrow-UDF query doesn't pay
+    # the daemon/worker spinup (~100-200 ms/task on this container)
+    try:
+        import pandas as pd  # noqa: F401
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _warm(s):
+            return s
+
+        spark.range(64).repartition(32).select(_warm("id")).count()
+    except Exception:
+        pass
 
     runnables = {
         name: registry[name].fn for name in HEADLINE if name in registry

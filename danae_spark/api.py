@@ -148,7 +148,18 @@ class DataLakeEngine:
         (defaults to the MinHash-LSH pair set)."""
         return _dedup.dedup_clusters(self.spark, self.lake_dir, pairs=pairs)
 
-    def decontaminate(self, n: int = _dedup.CONTAM_NGRAM) -> DataFrame:
+    def decontaminate(
+        self, benchmark: DataFrame | None = None, n: int = _dedup.CONTAM_NGRAM, **kw
+    ) -> DataFrame:
+        """Benchmark decontamination. Pass your real eval set as
+        `benchmark` (any (id, text) frame — see contamination_check for
+        column options); defaults to the lake stand-in split. If the
+        benchmark is itself a slice of this lake's documents, exclude
+        those ids from the corpus first (a doc trivially shares every
+        gram with itself)."""
+        if benchmark is not None:
+            docs = self.table("documents").select("doc_id", "text")
+            return _dedup.contamination_check(docs, benchmark, n=n, **kw)
         return _dedup.contamination_ngram(self.spark, self.lake_dir, n=n)
 
     def ann(self, method: str = "lsh", **kw) -> DataFrame:
@@ -158,9 +169,19 @@ class DataLakeEngine:
             "brute": _ann.ann_cosine_topk,
             "lsh": _ann.ann_lsh_bucketed,
             "ivf": _ann.ann_ivf,
+            # Lloyd-trained codebook: even list sizes on skewed
+            # embedding distributions (operators/ann.py)
+            "ivf_trained": _ann.ann_ivf_trained,
             "quantized": _quantize.quantized_ann_topk,
         }
         return fns[method](self.spark, self.lake_dir, **kw)
+
+    def audio_meta(self, df: DataFrame, **kw) -> DataFrame:
+        """WAV/MP3 header metadata over any (id, binary) frame
+        (multimodal/binary.py audio_meta_frame)."""
+        from danae_spark.multimodal.binary import audio_meta_frame
+
+        return audio_meta_frame(df, **kw)
 
     def quantize_embeddings(self) -> DataFrame:
         """Int8-quantize the embeddings table (4× memory; cosine runs
