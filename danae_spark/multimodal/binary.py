@@ -213,6 +213,80 @@ def audio_meta_frame(
     return src.mapInPandas(_audio_meta_batches, schema=AUDIO_META_SCHEMA)
 
 
+def synth_wav(sample_rate: int, channels: int, bits: int, n_samples: int) -> bytes:
+    """Deterministic minimal WAV payload (44-byte canonical header +
+    zeroed PCM data) — the synthesis half of the oracle-checked
+    round-trip below."""
+    import struct
+
+    byte_rate = sample_rate * channels * bits // 8
+    data = b"\x00" * (n_samples * channels * bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * bits // 8, bits
+    )
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def audio_meta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable audio-metadata round-trip: per document a WAV
+    payload with doc_id-derived parameters is SYNTHESIZED byte-for-byte
+    (synth_wav) and pushed through the REAL header parser
+    (parse_audio_header) inside the Arrow mapInPandas plumbing. The
+    DuckDB oracle states the expected metadata as pure doc_id
+    arithmetic, so any regression in either the byte layout or the
+    parser breaks the value hash."""
+    from danae_spark.catalog import load_table
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for doc_id in pdf["doc_id"]:
+                rate = 8000 + int(doc_id % 8) * 1000
+                ch = 1 + int(doc_id % 2)
+                payload = synth_wav(rate, ch, 16, rate // 100)
+                hdr = parse_audio_header(payload) or {}
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "byte_size": len(payload),
+                        "format": hdr.get("format"),
+                        "sample_rate": hdr.get("sample_rate"),
+                        "channels": hdr.get("channels"),
+                        "bit_depth": hdr.get("bit_depth"),
+                        "duration_ms": hdr.get("duration_ms"),
+                        "bitrate_kbps": hdr.get("bitrate_kbps"),
+                    }
+                )
+        yield pd.DataFrame(rows)
+
+    schema = (
+        "doc_id bigint, byte_size int, format string, sample_rate int,"
+        " channels int, bit_depth int, duration_ms bigint, bitrate_kbps int"
+    )
+    return docs.mapInPandas(batches, schema=schema).orderBy("doc_id")
+
+
+AUDIO_ROUNDTRIP_ORACLE = """
+    SELECT doc_id,
+           CAST(44 + (8000 + (doc_id % 8) * 1000) // 100
+                     * (1 + doc_id % 2) * 2 AS INT) AS byte_size,
+           'wav' AS format,
+           CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           16 AS bit_depth,
+           CAST(10 AS BIGINT) AS duration_ms,
+           CAST((8000 + (doc_id % 8) * 1000) * (1 + doc_id % 2) * 16 // 1000 AS INT)
+             AS bitrate_kbps
+    FROM documents ORDER BY doc_id
+    """
+
+
 def fake_decode_meta(payload: bytes) -> dict:
     """Deterministic stand-in for decode: metadata derived from bytes."""
     size = len(payload)

@@ -66,3 +66,16 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions; the stride-quantizer twin is the oracle entry.
     Recall and list-balance are pytest-enforced (tests/test_ann_recall.py)."""
     return _ann.ann_ivf_trained(spark, sf_dir)
+
+
+from danae_spark.multimodal import binary as _binary  # noqa: E402
+
+
+@register("audio_meta_roundtrip", oracle=_binary.AUDIO_ROUNDTRIP_ORACLE)
+def audio_meta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end WAV codec check: doc_id-parameterized payloads
+    synthesized byte-for-byte, parsed by the real stdlib header decoder
+    (multimodal/binary.py parse_audio_header); the oracle states the
+    expected metadata as pure arithmetic. Position >50 (outside the
+    driver verdict window); swept by tools/check_oracle.py and pytest."""
+    return _binary.audio_meta_roundtrip(spark, sf_dir)

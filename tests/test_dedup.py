@@ -208,3 +208,45 @@ def test_embedding_lsh_stats_instrumentation(spark, sf_dir):
     assert 0 < row["n_candidates"]
     assert row["n_verified"] <= row["n_candidates"]
     assert 0.0 < row["candidate_fraction"] <= 1.0
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Star-contraction output equals a plain union-find ground truth on
+    deterministic pseudo-random graphs of varying density — guards the
+    trickiest part of the O(log n) algorithm (edge rewrites preserving
+    connectivity through the fixed point)."""
+
+    def union_find_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    for seed, n_nodes, n_edges in ((1, 60, 30), (2, 200, 150), (3, 500, 700)):
+        # LCG-style deterministic edges, self-loops included on purpose
+        edges = []
+        x = seed
+        for _ in range(n_edges):
+            x = (x * 1103515245 + 12345) % (2**31)
+            a = x % n_nodes
+            x = (x * 1103515245 + 12345) % (2**31)
+            b = x % n_nodes
+            edges.append((a, b))
+        expected = union_find_labels([e for e in edges if e[0] != e[1]])
+        got = {
+            r["doc_id"]: r["label"]
+            for r in dedup.connected_components(
+                spark.createDataFrame(edges, ["d1", "d2"])
+            ).collect()
+        }
+        assert got == expected, (seed, len(got), len(expected))
