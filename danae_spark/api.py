@@ -202,3 +202,16 @@ class DataLakeEngine:
 
     def repetition_signals(self) -> DataFrame:
         return _textstats.text_repetition(self.spark, self.lake_dir)
+
+    def pii_scan(self, docs: DataFrame, **kw) -> DataFrame:
+        """Per-doc PII match counts over any (id, text) frame
+        (operators/pii.py)."""
+        from danae_spark.operators.pii import pii_scan_frame
+
+        return pii_scan_frame(docs, **kw)
+
+    def pii_redact(self, docs: DataFrame, **kw) -> DataFrame:
+        """Sentinel-token PII redaction over any (id, text) frame."""
+        from danae_spark.operators.pii import pii_redact_frame
+
+        return pii_redact_frame(docs, **kw)

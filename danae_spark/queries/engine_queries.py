@@ -79,3 +79,14 @@ def audio_meta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected metadata as pure arithmetic. Position >50 (outside the
     driver verdict window); swept by tools/check_oracle.py and pytest."""
     return _binary.audio_meta_roundtrip(spark, sf_dir)
+
+
+from danae_spark.operators import pii as _pii  # noqa: E402
+
+
+@register("pii_scan", oracle=_pii.pii_scan_oracle())
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction digest (operators/pii.py) — the
+    pre-publication pass every training-data pipeline runs; injected
+    deterministic PII makes the counts nonzero and value-checked."""
+    return _pii.pii_scan(spark, sf_dir)

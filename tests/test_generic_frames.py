@@ -130,3 +130,27 @@ def test_token_budget_mix_frame_custom_columns(spark):
     assert sum(r["selected"] for r in rows.values()) == 2
     assert rows[4]["selected"] == 0
     assert all(r["tokens"] == 5 for k, r in rows.items() if k in (1, 2, 3))
+
+
+def test_pii_scan_and_redact_custom_frames(spark):
+    from danae_spark.operators import pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+spam@mail.example.org or 555-123-4567 thanks"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 responded"),
+            (3, "no sensitive content here"),
+        ],
+        ["k", "body"],
+    )
+    scan = {r["doc_id"]: r for r in pii.pii_scan_frame(df, "k", "body").collect()}
+    assert (scan[1]["n_email"], scan[1]["n_phone"]) == (1, 1)
+    assert scan[2]["n_ipv4"] == 2
+    assert scan[3]["n_pii"] == 0 and scan[3]["has_pii"] == 0
+    assert scan[1]["has_pii"] == 1
+
+    red = {r["doc_id"]: r["redacted_text"] for r in pii.pii_redact_frame(df, "k", "body").collect()}
+    assert "<EMAIL>" in red[1] and "<PHONE>" in red[1]
+    assert "jane" not in red[1] and "4567" not in red[1]
+    assert red[2].count("<IP>") == 2
+    assert red[3] == "no sensitive content here"
