@@ -455,13 +455,17 @@ BOTTOM_K = 4
 
 
 def doc_fingerprint_frame(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Bottom-k sketch of rolling char-8-gram hashes over ANY (id, text)
     frame (winnowing-style fingerprint; two docs sharing fingerprint
-    values share content regions). Hashes are portable md5-prefix ints so
-    the DuckDB oracle reproduces the sketch exactly; swap in xxhash64 for
-    raw speed at scale (same plan shape)."""
+    values share content regions). `hash_fn='md5'` (default) is the
+    portable family the DuckDB oracle reproduces exactly;
+    `hash_fn='xxhash64'` is the JVM-native throughput twin for 100 TB
+    runs (identical plan shape, different hash values)."""
     docs = widen(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
     grams = docs.select(
         "doc_id",
@@ -472,7 +476,10 @@ def doc_fingerprint_frame(
             )
         ).alias("gram"),
     ).filter(F.length("text") >= GRAM_CHARS)
-    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+    if hash_fn == "xxhash64":
+        h = F.abs(F.xxhash64("gram"))
+    else:
+        h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
     hashed = grams.select("doc_id", h.alias("h")).distinct()
     w = W.partitionBy("doc_id").orderBy("h")
     bottom = hashed.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= BOTTOM_K)

@@ -154,3 +154,16 @@ def test_pii_scan_and_redact_custom_frames(spark):
     assert "jane" not in red[1] and "4567" not in red[1]
     assert red[2].count("<IP>") == 2
     assert red[3] == "no sensitive content here"
+
+
+def test_doc_fingerprint_xxhash64_twin(spark):
+    shared = "a long shared paragraph of content that both documents contain"
+    df = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, "entirely different words appear in this one")],
+        ["k", "body"],
+    )
+    out = textstats.doc_fingerprint_frame(df, "k", "body", hash_fn="xxhash64").collect()
+    fp = {r["doc_id"]: (r["fp1"], r["fp2"], r["fp3"], r["fp4"]) for r in out}
+    assert fp[1] == fp[2] != fp[3]
+    md5 = {r["doc_id"]: r["fp1"] for r in textstats.doc_fingerprint_frame(df, "k", "body").collect()}
+    assert md5[1] != fp[1][0]  # different hash family, same sketch shape
