@@ -87,6 +87,14 @@ def compact(
 ) -> dict:
     """Rewrite the parquet dataset at `path` into ~target_mb files.
 
+    Works in BOTH directions: many small files combine into fewer
+    target-sized ones, and a too-FEW-files dataset (e.g. one big
+    single-row-group file, which caps scan parallelism at 1 task no
+    matter the cluster size — the r5 test-lake failure mode that
+    `catalog.widen` works around query-side) splits into enough files
+    that every executor gets a scan split. Run this once at ingest and
+    the widen repartitions become no-ops.
+
     `sort_by` optionally clusters rows (sortWithinPartitions) so min/max
     parquet statistics stay selective after the rewrite — the layout step
     that keeps predicate pushdown effective post-compaction.

@@ -117,3 +117,30 @@ def test_zorder_key_null_and_constant_columns(spark):
     assert all(r["k"] is not None for r in out)
     ks = sorted(r["k"] for r in out)
     assert ks[0] < ks[-1]  # 'a' still orders the key
+
+
+def test_compact_splits_single_file_for_scan_parallelism(spark, tmp_path):
+    """The inverse compaction direction: ONE big single-row-group file
+    (scan parallelism 1) rewritten into multiple files so the scan gets
+    real splits — the durable fix for what catalog.widen patches
+    query-side."""
+    import pyspark.sql.functions as F
+
+    from danae_spark.sources.compaction import compact
+
+    p = str(tmp_path / "one_big_file")
+    (
+        spark.range(400_000)
+        .select("id", F.md5(F.col("id").cast("string")).alias("payload"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(p)
+    )
+    # one physical file: byte-range splits exist but only the one
+    # containing the row-group start does real work
+    assert len(spark.read.parquet(p).inputFiles()) == 1
+    stats = compact(spark, p, target_mb=2)
+    df = spark.read.parquet(p)
+    assert len(df.inputFiles()) >= 4
+    assert df.rdd.getNumPartitions() >= 4
+    assert df.count() == 400_000
