@@ -215,3 +215,15 @@ class DataLakeEngine:
         from danae_spark.operators.pii import pii_redact_frame
 
         return pii_redact_frame(docs, **kw)
+
+    def quality_filter(self, docs: DataFrame | None = None, **kw) -> DataFrame:
+        """Fused keep/drop curation decision (quality ∧ non-repetitive ∧
+        PII-free) over the lake documents or any (id, text) frame."""
+        from danae_spark.operators.textstats import (
+            quality_filter,
+            quality_filter_frame,
+        )
+
+        if docs is None:
+            return quality_filter(self.spark, self.lake_dir)
+        return quality_filter_frame(docs, **kw)

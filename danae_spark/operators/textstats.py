@@ -522,3 +522,74 @@ def doc_fingerprint_oracle() -> str:
     FROM ranked WHERE rk <= {BOTTOM_K}
     GROUP BY doc_id ORDER BY doc_id
     """
+
+
+# ------------------------------- corpus-curation decision (fused filter)
+
+MIN_QUALITY = 0.5
+
+
+def quality_filter_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = MIN_QUALITY,
+    check_pii: bool = True,
+) -> DataFrame:
+    """THE curation decision a pre-training pipeline actually executes:
+    one keep/drop row per document combining the heuristic quality
+    score (text_stats), the Gopher-style repetition filter and the PII
+    scan. Three aggregate-free-to-cheap branches joined on the doc id —
+    each branch is the already-tested operator, so the decision is
+    exactly the conjunction of the published signals."""
+    from danae_spark.operators.pii import pii_scan_frame
+
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    ts = text_stats_frame(docs, lang_col=None).select("doc_id", "quality_score")
+    rep = text_repetition_frame(docs).select(
+        "doc_id", F.col("keep").alias("rep_keep")
+    )
+    out = ts.join(rep, "doc_id")
+    if check_pii:
+        p = pii_scan_frame(docs).select("doc_id", "has_pii")
+        out = out.join(p, "doc_id")
+    else:
+        out = out.withColumn("has_pii", F.lit(0))
+    keep = (
+        (F.col("quality_score") >= min_quality)
+        & (F.col("rep_keep") == 1)
+        & (F.col("has_pii") == 0)
+    )
+    return out.select(
+        "doc_id", "quality_score", "rep_keep", "has_pii", keep.cast("int").alias("keep")
+    ).orderBy("doc_id")
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents-table entry point of `quality_filter_frame`."""
+    return quality_filter_frame(load_table(spark, sf_dir, "documents"))
+
+
+def quality_filter_oracle(min_quality: float = MIN_QUALITY) -> str:
+    from danae_spark.operators.pii import PII_PATTERNS
+
+    ts = text_stats_oracle().rsplit(" ORDER BY ", 1)[0].replace(
+        "ORDER BY doc_id", ""
+    )
+    tr = text_repetition_oracle().rsplit("ORDER BY doc_id", 1)[0]
+    pii_total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _n, pat, _s in PII_PATTERNS
+    )
+    return f"""
+    WITH ts_q AS ({ts}),
+    tr_q AS ({tr}),
+    p_q AS (
+      SELECT doc_id, CAST(({pii_total}) > 0 AS INT) AS has_pii FROM documents
+    )
+    SELECT ts_q.doc_id, ts_q.quality_score, tr_q.keep AS rep_keep, p_q.has_pii,
+           CAST(ts_q.quality_score >= {min_quality}
+                AND tr_q.keep = 1 AND p_q.has_pii = 0 AS INT) AS keep
+    FROM ts_q JOIN tr_q ON ts_q.doc_id = tr_q.doc_id
+              JOIN p_q ON ts_q.doc_id = p_q.doc_id
+    ORDER BY ts_q.doc_id
+    """

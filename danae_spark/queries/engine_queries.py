@@ -90,3 +90,15 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-publication pass every training-data pipeline runs; injected
     deterministic PII makes the counts nonzero and value-checked."""
     return _pii.pii_scan(spark, sf_dir)
+
+
+from danae_spark.operators import textstats as _textstats  # noqa: E402
+
+
+@register("quality_filter", oracle=_textstats.quality_filter_oracle())
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused corpus-curation decision: quality score + repetition filter
+    + PII scan → one keep/drop per doc (operators/textstats.py
+    quality_filter_frame) — the conjunction every pre-training pipeline
+    executes before publishing a corpus."""
+    return _textstats.quality_filter(spark, sf_dir)

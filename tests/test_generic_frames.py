@@ -167,3 +167,25 @@ def test_doc_fingerprint_xxhash64_twin(spark):
     assert fp[1] == fp[2] != fp[3]
     md5 = {r["doc_id"]: r["fp1"] for r in textstats.doc_fingerprint_frame(df, "k", "body").collect()}
     assert md5[1] != fp[1][0]  # different hash family, same sketch shape
+
+
+def test_quality_filter_frame_decision_logic(spark):
+    from danae_spark.operators.textstats import quality_filter_frame
+
+    good = ("the quick brown fox jumps over the lazy dog and then walks home "
+            "while the sun sets over the quiet town and people rest") 
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "spam spam spam spam spam spam spam spam"),
+            (3, good + " email me at a.person@example.com"),
+        ],
+        ["k", "body"],
+    )
+    rows = {r["doc_id"]: r for r in quality_filter_frame(df, "k", "body").collect()}
+    assert rows[1]["keep"] == 1
+    assert rows[2]["keep"] == 0 and rows[2]["rep_keep"] == 0
+    assert rows[3]["keep"] == 0 and rows[3]["has_pii"] == 1
+    no_pii = {r["doc_id"]: r for r in
+              quality_filter_frame(df, "k", "body", check_pii=False).collect()}
+    assert no_pii[3]["keep"] == 1
