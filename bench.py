@@ -53,6 +53,8 @@ HEADLINE = [
     "quantized_ann_topk",
     # round-5 additions
     "ann_ivf_trained",
+    "pii_scan",
+    "quality_filter",
 ]
 
 
