@@ -27,3 +27,18 @@ def test_catalog_lists_all_tables(spark, sf_dir):
     rows = {r["dataset"]: r for r in catalog.catalog_datasets(spark, sf_dir).collect()}
     assert set(rows) == set(catalog.TABLES)
     assert rows["lineitem"]["num_rows"] > 0
+
+
+def test_widen_conditional_repartition(spark):
+    from danae_spark.catalog import widen
+
+    narrow = spark.range(1000).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    w = widen(narrow)
+    assert w.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert w.count() == 1000
+    # already-parallel input: no-op (no extra exchange inserted)
+    wide = spark.range(1000).repartition(64)
+    assert widen(wide) is wide
+    # explicit floor
+    assert widen(narrow, min_partitions=4).rdd.getNumPartitions() == 4
