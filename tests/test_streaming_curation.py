@@ -1,0 +1,30 @@
+"""Streaming corpus curation: the stateless keep/drop stream agrees
+with the batch quality_filter decision on every document."""
+
+from __future__ import annotations
+
+from danae_spark.operators.textstats import quality_filter
+from danae_spark.streaming.curation import (
+    curated_stream,
+    read_documents_stream,
+    run_curation_available_now,
+)
+
+
+def test_streaming_curation_matches_batch_decision(spark, sf_dir):
+    stream = curated_stream(read_documents_stream(spark, sf_dir))
+    assert stream.isStreaming
+    streamed = {
+        r["doc_id"]: r for r in run_curation_available_now(stream, "t_curation").collect()
+    }
+    batch = {r["doc_id"]: r for r in quality_filter(spark, sf_dir).collect()}
+    assert set(streamed) == set(batch) and len(batch) > 0
+    # decision parity doc-by-doc, and the shared score column is identical
+    for doc_id, b in batch.items():
+        s = streamed[doc_id]
+        assert s["keep"] == b["keep"], (doc_id, dict(s.asDict()), dict(b.asDict()))
+        assert s["quality_score"] == b["quality_score"], doc_id
+        assert s["has_pii"] == b["has_pii"]
+    # both outcomes must actually occur at test SF for this to mean much
+    kept = {d for d, r in streamed.items() if r["keep"] == 1}
+    assert kept and len(kept) < len(streamed)
