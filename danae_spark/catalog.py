@@ -78,6 +78,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     `normalize_temporal`)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive-µs parquet timestamps read directly as session-tz LTZ —
+        # no cast projection, so temporal filters push to the scan;
+        # normalize_temporal stays as the belt for sessions where this
+        # conf can't apply
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
     return normalize_temporal(spark.read.parquet(table_path(sf_dir, name)))

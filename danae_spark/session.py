@@ -27,6 +27,9 @@ def get_spark(app_name: str = "danae_spark", shuffle_partitions: int | None = No
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # lake timestamps are naive µs: read as session-tz LTZ directly
+        # (pushdown-friendly) instead of TIMESTAMP_NTZ
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # NOTE: large heaps (≥48g) triple per-stage latency in this
         # container (GC region sizing); 16g is the measured sweet spot.
@@ -43,6 +46,10 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     hands us one in ``__spark_entry__.entry``)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     try:  # arrow conf is static on some builds; best-effort
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:

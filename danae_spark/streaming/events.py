@@ -37,6 +37,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching the batch loader."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
     schema = events_schema(spark, sf_dir)
