@@ -32,9 +32,10 @@ def events_schema(spark: SparkSession, sf_dir: str):
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table. The nanosecond `ts` column
-    arrives as bigint (nanosAsLong) and is truncated to µs timestamps,
-    matching the batch loader."""
+    """File-source stream of the events table; `ts` is normalized to
+    session-timezone TIMESTAMP whichever physical type the generator
+    wrote (nanos→bigint→µs, or naive-µs NTZ), matching the batch
+    loader."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
