@@ -593,3 +593,74 @@ def quality_filter_oracle(min_quality: float = MIN_QUALITY) -> str:
               JOIN p_q ON ts_q.doc_id = p_q.doc_id
     ORDER BY ts_q.doc_id
     """
+
+
+# ------------------- corpus-internal unigram LM score (perplexity proxy)
+
+
+def unigram_logprob_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus's own
+    unigram distribution — the self-contained stand-in for the CCNet
+    (Wenzek et al.) KenLM-perplexity quality signal: documents whose
+    token mix is "typical" of the corpus score low, gibberish and
+    boilerplate-stuffed outliers score high. No external model: p(t) =
+    corpus_count(t) / total_tokens, score = −mean ln p(tᵢ) (nats).
+
+    Plan: tokenize+explode (widened past the file layout), ONE corpus
+    aggregation on the term for counts, broadcast-join the vocab back,
+    per-doc mean — two shuffles total (term, doc), everything codegen."""
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    toks = widen(docs).select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+        ).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").alias("ct"))
+    total = vocab.agg(F.sum("ct").alias("tt"))
+    scored = (
+        toks.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (-F.log(F.col("ct") / F.col("tt"))).alias("nll"))
+    )
+    from danae_spark.functions.rounding import davg
+
+    # davg, not avg: double summation is partition-order-dependent and a
+    # sum within error of the rounding boundary would flip the driver's
+    # value hash (the r1 failure class) — the decimal-exact average is
+    # order-independent on both engines
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            rnd(davg(F.col("nll")), 4).alias("unigram_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents-table entry point of `unigram_logprob_frame`."""
+    return unigram_logprob_frame(load_table(spark, sf_dir, "documents"))
+
+
+def unigram_logprob_oracle() -> str:
+    from danae_spark.functions.rounding import davg_sql
+
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, unnest({toks}) AS term FROM documents
+    ),
+    v AS (SELECT term, count(*) AS ct FROM t GROUP BY term),
+    tot AS (SELECT sum(ct) AS tt FROM v),
+    s AS (
+      SELECT t.doc_id, -ln(v.ct * 1.0 / tot.tt) AS nll
+      FROM t JOIN v USING (term) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           floor(({davg_sql("nll")}) * power(10, 4) + 0.5001) / power(10, 4) AS unigram_nll
+    FROM s GROUP BY doc_id ORDER BY doc_id
+    """

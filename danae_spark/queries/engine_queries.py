@@ -102,3 +102,11 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_filter_frame) — the conjunction every pre-training pipeline
     executes before publishing a corpus."""
     return _textstats.quality_filter(spark, sf_dir)
+
+
+@register("unigram_logprob", oracle=_textstats.unigram_logprob_oracle())
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal unigram cross-entropy per doc — the CCNet-style
+    perplexity-proxy quality signal (operators/textstats.py
+    unigram_logprob_frame)."""
+    return _textstats.unigram_logprob(spark, sf_dir)

@@ -189,3 +189,19 @@ def test_quality_filter_frame_decision_logic(spark):
     no_pii = {r["doc_id"]: r for r in
               quality_filter_frame(df, "k", "body", check_pii=False).collect()}
     assert no_pii[3]["keep"] == 1
+
+
+def test_unigram_logprob_frame_ranks_typicality(spark):
+    from danae_spark.operators.textstats import unigram_logprob_frame
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    df = spark.createDataFrame(
+        [(1, common), (2, common), (3, "zyzzyva qwertic floobargle xenoplasm")],
+        ["k", "body"],
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob_frame(df, "k", "body").collect()}
+    # rare-token gibberish must score strictly higher cross-entropy than
+    # the corpus-typical docs
+    assert rows[3]["unigram_nll"] > rows[1]["unigram_nll"]
+    assert rows[1]["unigram_nll"] == rows[2]["unigram_nll"]
+    assert rows[1]["n_tokens"] == 13
