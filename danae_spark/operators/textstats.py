@@ -599,7 +599,10 @@ def quality_filter_oracle(min_quality: float = MIN_QUALITY) -> str:
 
 
 def unigram_logprob_frame(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Per-document unigram cross-entropy against the corpus's own
     unigram distribution — the self-contained stand-in for the CCNet
@@ -610,7 +613,11 @@ def unigram_logprob_frame(
 
     Plan: tokenize+explode (widened past the file layout), ONE corpus
     aggregation on the term for counts, broadcast-join the vocab back,
-    per-doc mean — two shuffles total (term, doc), everything codegen."""
+    per-doc mean — two shuffles total (term, doc), everything codegen.
+    `broadcast_vocab=False` is the web-scale switch: a 100 TB corpus's
+    vocabulary (hundreds of millions of terms) outgrows a broadcast —
+    the term join then runs as a shuffle join on the same key the vocab
+    aggregation already hashed on."""
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     toks = widen(docs).select(
         "doc_id",
@@ -620,8 +627,10 @@ def unigram_logprob_frame(
     )
     vocab = toks.groupBy("term").agg(F.count("*").alias("ct"))
     total = vocab.agg(F.sum("ct").alias("tt"))
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
     scored = (
-        toks.join(F.broadcast(vocab), "term")
+        toks.join(vocab, "term")
         .crossJoin(F.broadcast(total))
         .select("doc_id", (-F.log(F.col("ct") / F.col("tt"))).alias("nll"))
     )
