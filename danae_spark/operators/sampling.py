@@ -97,3 +97,81 @@ def token_budget_mix_oracle(budgets: dict[str, int] | None = None) -> str:
            CAST(tokens_before < (CASE {budget_case} ELSE 0 END) AS INT) AS selected
     FROM r ORDER BY doc_id
     """
+
+
+# ------------------------- deterministic train/val/test corpus splitting
+
+DEFAULT_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def deterministic_split_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "danae-split",
+) -> DataFrame:
+    """Reproducible corpus splitting: every row assigned to a named
+    split by its content-independent id hash — the same row lands in the
+    same split on any engine, any cluster size, any run, and the
+    assignment is stable under corpus growth (new ids don't move old
+    rows). The standard alternative, `randomSplit`, is neither
+    deterministic across executions nor engine-portable.
+
+    `splits` maps name → fraction (must sum to ~1); boundaries are laid
+    out on a md5-derived uniform in [0, 1) (portable — the DuckDB oracle
+    reproduces assignments exactly). `salt` decorrelates independent
+    splits of the same corpus."""
+    splits = dict(DEFAULT_SPLITS if splits is None else splits)
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions sum to {total}, expected 1")
+    # md5 prefix → uniform in [0, 1): 8 hex chars / 16^8
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", F.lit(salt), F.col(id_col))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+    assign = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = u < F.lit(acc)
+        assign = F.when(cond, F.lit(name)) if assign is None else assign.when(cond, F.lit(name))
+    assign = F.lit(names[-1]) if assign is None else assign.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", assign)
+
+
+def deterministic_split(
+    spark: SparkSession, sf_dir: str, splits: dict[str, float] | None = None
+) -> DataFrame:
+    """Documents-table entry: per-doc split assignment + a stable
+    per-split summary row count (what a pipeline audits before
+    training)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        deterministic_split_frame(docs, "doc_id", splits)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def deterministic_split_oracle(splits: dict[str, float] | None = None) -> str:
+    splits = dict(DEFAULT_SPLITS if splits is None else splits)
+    names = list(splits)
+    u = (
+        "('0x' || substr(md5('danae-split' || '#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        f" * 1.0 / {float(16**8)}"
+    )
+    acc = 0.0
+    cases = []
+    for name in names[:-1]:
+        acc += splits[name]
+        cases.append(f"WHEN ({u}) < {acc} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return f"""
+    SELECT doc_id, {case} AS split FROM documents ORDER BY doc_id
+    """

@@ -110,3 +110,14 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity-proxy quality signal (operators/textstats.py
     unigram_logprob_frame)."""
     return _textstats.unigram_logprob(spark, sf_dir)
+
+
+from danae_spark.operators import sampling as _sampling  # noqa: E402
+
+
+@register("deterministic_split", oracle=_sampling.deterministic_split_oracle())
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible hash-bucketed train/val/test assignment
+    (operators/sampling.py deterministic_split_frame) — engine-portable,
+    growth-stable, unlike randomSplit."""
+    return _sampling.deterministic_split(spark, sf_dir)

@@ -34,3 +34,36 @@ def test_token_budget_mix_matches_oracle(spark, sf_dir):
         else:
             assert st["sel"] < budget + st["max_doc"], source
             assert st["sel"] >= min(budget, st["sel"] + 1), source
+
+
+def test_deterministic_split_frame_properties(spark):
+    import pytest as _pytest
+
+    from danae_spark.operators.sampling import deterministic_split_frame
+
+    df = spark.range(20000).withColumnRenamed("id", "k")
+    out = deterministic_split_frame(df, "k").groupBy("split").count().collect()
+    frac = {r["split"]: r["count"] / 20000 for r in out}
+    assert set(frac) == {"train", "val", "test"}
+    assert abs(frac["train"] - 0.9) < 0.02
+    assert abs(frac["val"] - 0.05) < 0.01 and abs(frac["test"] - 0.05) < 0.01
+
+    # determinism + growth stability: a prefix of the corpus gets the
+    # identical assignments it had in the full corpus
+    small = deterministic_split_frame(df.filter("k < 5000"), "k")
+    full = deterministic_split_frame(df, "k").filter("k < 5000")
+    assert small.collect() == full.orderBy("k").collect() or (
+        sorted(map(tuple, small.collect())) == sorted(map(tuple, full.collect()))
+    )
+
+    # different salt decorrelates
+    other = deterministic_split_frame(df, "k", salt="other")
+    both = (
+        deterministic_split_frame(df, "k").withColumnRenamed("split", "a")
+        .join(other.withColumnRenamed("split", "b"), "k")
+    )
+    moved = both.filter("a <> b").count()
+    assert moved > 1000
+
+    with _pytest.raises(ValueError):
+        deterministic_split_frame(df, "k", splits={"a": 0.5, "b": 0.2})
