@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from danae_spark.catalog import load_table, widen
+from danae_spark.catalog import load_table
 from danae_spark.profiling.types import NUMERIC, columns_of_class
 from danae_spark.functions.rounding import (
     davg,
@@ -94,89 +94,39 @@ def _profile_melted(melted: DataFrame, exact: bool = True) -> DataFrame:
     )
 
 
-def numeric_profile(
-    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = NUMERIC_PROFILE_TABLES
+def _melted_union(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...]
 ) -> DataFrame:
-    """Wide per-table aggregation for the order stats + exact decimal
-    mean/std (see _wide_stack for why not melt-first), joined with the
-    one stat that genuinely wants the long form: exact n_distinct,
-    whose grouped partial aggregation dedups map-side so only distinct
-    values cross the wire."""
-
-    def builders(v):
-        return [
-            F.count(v),
-            F.sum(v.isNull().cast("long")),
-            F.min(v),
-            F.max(v),
-            rnd(davg(v), 4),
-            rnd(dstd(v), 4),
-        ]
-
-    base = _wide_stack(
-        spark, sf_dir, tables,
-        ("n", "n_null", "min_v", "max_v", "avg_v", "std_v"), builders,
-    )
     parts = [_melt_numeric(load_table(spark, sf_dir, t), t) for t in tables]
     melted = parts[0]
     for p in parts[1:]:
         melted = melted.unionByName(p)
-    nd = melted.groupBy("table_name", "column_name").agg(
-        F.count_distinct(F.col("v")).alias("n_distinct")
-    )
-    return (
-        base.join(nd, ["table_name", "column_name"])
-        .select("table_name", "column_name", *(F.col(s) for s in _STATS))
-        .orderBy("table_name", "column_name")
-    )
+    return melted
 
 
-def _wide_stack(
+def numeric_profile(
     spark: SparkSession,
     sf_dir: str,
-    tables: tuple[str, ...],
-    stat_names: tuple[str, ...],
-    builders,
+    tables: tuple[str, ...] = NUMERIC_PROFILE_TABLES,
+    exact: bool = True,
 ) -> DataFrame:
-    """Per-table WIDE aggregation → stack the single result row.
+    """Single melt-aggregate pass: each table scanned ONCE, one shuffle
+    keyed (table, column).
 
-    The melt-then-aggregate shape shuffles |rows|×|columns| long-form
-    rows; with this lake's single-row-group files that exchange (plus
-    the serial scan feeding it) dominates the profile wall-clock. This
-    shape instead widens each TABLE (|rows| exchanged, not
-    |rows|×|cols|), computes every column's statistics as parallel
-    aggregate expressions in ONE pass, and stack()s the single output
-    row into the same long format — identical values, ~|cols|× less
-    shuffle volume. `builders` maps a double column → list of aggregate
-    Columns aliased `<col>|<stat>`."""
-    outs = []
-    for t in tables:
-        df = load_table(spark, sf_dir, t)
-        cols = _numeric_cols(df)
-        if not cols:
-            continue
-        src = widen(df.select(*[F.col(c).cast("double").alias(c) for c in cols]))
-        aggs = []
-        for c in cols:
-            aggs.extend(a.alias(f"{c}|{s}") for s, a in zip(stat_names, builders(F.col(c))))
-        row = src.agg(*aggs)
-        stack_args = []
-        for c in cols:
-            stack_args.append(f"'{c}'")
-            stack_args.extend(f"`{c}|{s}`" for s in stat_names)
-        outs.append(
-            row.select(
-                F.lit(t).alias("table_name"),
-                F.expr(
-                    f"stack({len(cols)}, {', '.join(stack_args)})"
-                    f" AS (column_name, {', '.join(stat_names)})"
-                ),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    Shape history, kept so it doesn't regress again: r5 replaced this
+    with a per-table wide aggregate plus a SECOND melt branch for exact
+    n_distinct, joined at the end — 2 scans per table and ~2× slower
+    warm in a paired same-session control (r6 A/B at sf0.1: melt 2.27 s
+    vs wide 5.80 s; folding count_distinct into the wide agg is far
+    worse still — 22.5 s — because N distinct aggregates expand the
+    input N+1×). The melt's |rows|×|cols| long-form exchange is cheaper
+    than it looks: grouped partial aggregation collapses it map-side.
+    With exact=False (the 100 TB mode) approx_count_distinct replaces
+    the exact distinct INSIDE the same aggregate — still one scan per
+    table, no second branch."""
+    return _profile_melted(_melted_union(spark, sf_dir, tables), exact).orderBy(
+        "table_name", "column_name"
+    )
 
 
 # --------------------------------------------------------- extended profile
@@ -248,16 +198,13 @@ def numeric_profile_extended(
             F.when((n > 3) & (m2 > 0), rnd(kurt, 4)).alias("kurtosis"),
         ]
 
-    # melt + widen (NOT the wide-agg shape): ~200 decimal aggregate
-    # buffers in one wide agg push the generated update method past
-    # what codegen handles well — measured 2× slower than the widened
-    # melt on this container
-    parts = [_melt_numeric(load_table(spark, sf_dir, t), t) for t in tables]
-    melted = parts[0]
-    for p in parts[1:]:
-        melted = melted.unionByName(p)
+    # plain melt, no widen: the widen exchange re-shuffles the full
+    # long-form frame before the aggregate, and the r6 paired A/B
+    # measured it as a net loss (2.13 s bare melt vs 3.08 s widened) —
+    # grouped partial aggregation already parallelizes the reduce side,
+    # and the map side is scan-bound either way
     return (
-        widen(melted)
+        _melted_union(spark, sf_dir, tables)
         .groupBy("table_name", "column_name")
         .agg(*builders(F.col("v")))
         .select("table_name", "column_name", *(F.col(s) for s in EXTENDED_STATS))
@@ -329,25 +276,30 @@ def quantile_signatures(
     rounding: int | None = 4,
 ) -> DataFrame:
     """7-point quantile signature per numeric column (the content-index
-    vector of content_search.py:129). Wide per-table aggregation (see
-    _wide_stack): each column's percentile is its own aggregate
-    expression, partials run cluster-wide after the widen exchange;
-    exact interpolated percentiles for oracle parity
-    (order-independent: percentile sorts its buffer),
-    percentile_approx at scale."""
-
-    def builders(v):
-        if exact:
-            return [F.percentile(v, F.lit(list(SIGNATURE_PS)))]
-        return [F.percentile_approx(v, F.lit(list(SIGNATURE_PS)), F.lit(10000))]
-
-    out = _wide_stack(spark, sf_dir, tables, ("q",), builders).select(
-        "table_name",
-        "column_name",
-        *[
-            (rnd(F.col("q")[i], rounding) if rounding is not None else F.col("q")[i]).alias(n)
-            for i, n in enumerate(SIGNATURE_NAMES)
-        ],
+    vector of content_search.py:129). One melt-aggregate pass — each
+    table scanned once, one shuffle keyed (table, column); the r5
+    per-table wide-aggregate shape measured 2.7× slower warm in the r6
+    paired A/B (1.83 s melt vs 4.90 s wide at sf0.1) and doubled the
+    scan count. Exact interpolated percentiles for oracle parity
+    (order-independent: percentile sorts its buffer), percentile_approx
+    at scale."""
+    v = F.col("v")
+    if exact:
+        q = F.percentile(v, F.lit(list(SIGNATURE_PS)))
+    else:
+        q = F.percentile_approx(v, F.lit(list(SIGNATURE_PS)), F.lit(10000))
+    out = (
+        _melted_union(spark, sf_dir, tables)
+        .groupBy("table_name", "column_name")
+        .agg(q.alias("q"))
+        .select(
+            "table_name",
+            "column_name",
+            *[
+                (rnd(F.col("q")[i], rounding) if rounding is not None else F.col("q")[i]).alias(n)
+                for i, n in enumerate(SIGNATURE_NAMES)
+            ],
+        )
     )
     return out.orderBy("table_name", "column_name")
 
@@ -367,7 +319,7 @@ def temporal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (session tz is UTC, matching DuckDB's naive epoch())
         epoch = F.col(c).cast("timestamp").cast("long").cast("double")
         parts.append(
-            widen(df.select(epoch.alias("__epoch")))
+            df.select(epoch.alias("__epoch"))
             .agg(
                 F.percentile(F.col("__epoch"), F.lit(list(SIGNATURE_PS))).alias("q")
             )

@@ -42,3 +42,14 @@ def test_widen_conditional_repartition(spark):
     assert widen(wide) is wide
     # explicit floor
     assert widen(narrow, min_partitions=4).rdd.getNumPartitions() == 4
+
+
+def test_widen_skips_tiny_scan_inputs(spark, sf_dir):
+    """Scan-rooted frames below WIDEN_MIN_BYTES must NOT get an exchange:
+    the r6 paired A/B measured the repartition as a 0.8–1.8 s warm loss
+    on sub-32MB tables, and the decision must come from file metadata
+    (no plan→RDD conversion)."""
+    from danae_spark.catalog import load_table, widen
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assert widen(docs) is docs

@@ -85,19 +85,28 @@ def test_dq_checks_scans_each_fact_once(spark, sf_dir):
     assert len(li_scans) == 1, li_scans
 
 
-def test_profile_numeric_two_branch_plan(spark, sf_dir):
-    """The numeric profiler (r5 shape) is two aggregation branches —
-    a wide per-table stats pass and a long-form exact-distinct pass —
-    joined on (table, column). The join sides are column-count-sized
-    (tens of rows at ANY data scale), so the join must be a broadcast
-    hash join, never a cartesian; each profiled table is scanned once
-    per branch."""
+def test_profile_numeric_single_scan_per_table(spark, sf_dir):
+    """The numeric profiler is ONE melt-aggregate pass: each profiled
+    table scanned exactly once (the r5 two-branch shape scanned every
+    table twice and lost the r6 paired A/B 2.5×; this pins
+    scans-per-table = 1 so it can't silently come back)."""
+    from danae_spark.profiling.profiler import NUMERIC_PROFILE_TABLES
+
     df = REGISTRY["profile_numeric"].fn(spark, sf_dir)
-    plan = audit.physical_plan(df)
     audit.assert_no_cartesian(df)
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan, plan
-    # one scan per profiled table per branch (6 tables × 2 branches)
-    assert len(audit.scans(df)) == 12, audit.scans(df)
+    assert len(audit.scans(df)) == len(NUMERIC_PROFILE_TABLES), audit.scans(df)
+
+
+def test_profile_numeric_scale_mode_single_scan(spark, sf_dir):
+    """exact=False (the 100 TB mode) folds approx_count_distinct into
+    the same single aggregate — still one scan per table, and the plan
+    carries no join at all."""
+    from danae_spark.profiling.profiler import NUMERIC_PROFILE_TABLES, numeric_profile
+
+    df = numeric_profile(spark, sf_dir, exact=False)
+    plan = audit.physical_plan(df)
+    assert len(audit.scans(df)) == len(NUMERIC_PROFILE_TABLES), audit.scans(df)
+    assert "Join" not in plan, plan
 
 
 def test_embedding_lsh_no_broadcast_of_vector_table(spark, sf_dir):
