@@ -71,6 +71,59 @@ def _extra_headline():
     return {"dedup_embedding_lsh": dedup_embedding_lsh, "q9_product_profit": q9}
 
 
+def _environment_probe(spark, sf_dir: str) -> dict:
+    """Host/data fingerprint shipped alongside the timings so cross-round
+    bench deltas are attributable: per-round VMs differ several-fold in
+    Spark job-dispatch latency, and the lake generator has shipped both
+    TIMESTAMP(NANOS) and naive-µs parquet plus varying row-group layouts
+    — all of which move query times without any code change."""
+    probe: dict = {}
+    try:
+        t0 = time.time()
+        for _ in range(5):
+            spark.range(1000).count()
+        probe["jvm_job_ms"] = round((time.time() - t0) / 5 * 1000, 1)
+    except Exception:
+        probe["jvm_job_ms"] = None
+    try:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _idp(s):
+            return s
+
+        t0 = time.time()
+        for _ in range(3):
+            spark.range(64).repartition(32).select(_idp("id")).count()
+        probe["python_job_ms"] = round((time.time() - t0) / 3 * 1000, 1)
+    except Exception:
+        probe["python_job_ms"] = None
+    try:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        layout = {}
+        ts_types = set()
+        for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            files = glob.glob(os.path.join(p, "*.parquet")) if os.path.isdir(p) else [p]
+            rgs = 0
+            for f in files:
+                pf = pq.ParquetFile(f)
+                rgs += pf.metadata.num_row_groups
+                for fld in pf.schema_arrow:
+                    st = str(fld.type)
+                    if "timestamp" in st.lower():
+                        ts_types.add(st)
+            layout[t] = {"files": len(files), "row_groups": rgs}
+        probe["row_groups_per_table"] = layout
+        probe["timestamp_physical_type"] = sorted(ts_types)
+    except Exception:
+        pass
+    return probe
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -118,6 +171,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "env_probe": _environment_probe(spark, sf_dir),
             }
         )
     )
