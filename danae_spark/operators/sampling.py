@@ -45,13 +45,14 @@ def token_budget_mix_frame(
     be overshot by at most one document, and the cut point is identical
     on any engine. Sources without a budget entry get 0 (excluded).
     Returns per-doc decisions; aggregate for the mix summary."""
-    text = F.col(text_col)
+    # alias first, then build the token expression against the alias —
+    # interpolating the raw caller-supplied name into F.expr breaks on
+    # names needing backticks (matches text_stats_frame's convention)
     docs = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(source_col).alias("source"),
-        text.alias("text"),
-        F.size(F.expr(f"filter(split({text_col}, ' +'), t -> t <> '')")).alias("tokens"),
-    )
+        F.col(text_col).alias("text"),
+    ).withColumn("tokens", F.size(F.expr("filter(split(text, ' +'), t -> t <> '')")))
     w = W.partitionBy("source").orderBy(F.md5("text"), "doc_id")
     budget = F.coalesce(
         *[F.when(F.col("source") == s, F.lit(b)) for s, b in budgets.items()],
@@ -159,11 +160,15 @@ def deterministic_split(
     )
 
 
-def deterministic_split_oracle(splits: dict[str, float] | None = None) -> str:
+def deterministic_split_oracle(
+    splits: dict[str, float] | None = None, salt: str = "danae-split"
+) -> str:
+    """`salt` must mirror deterministic_split_frame's — parameter-parallel
+    so a caller registering a salted split can't silently mismatch."""
     splits = dict(DEFAULT_SPLITS if splits is None else splits)
     names = list(splits)
     u = (
-        "('0x' || substr(md5('danae-split' || '#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        f"('0x' || substr(md5('{salt}' || '#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
         f" * 1.0 / {float(16**8)}"
     )
     acc = 0.0

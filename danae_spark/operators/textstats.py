@@ -263,7 +263,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats_frame(load_table(spark, sf_dir, "documents"))
 
 
-def text_stats_oracle() -> str:
+def text_stats_oracle(order_by: bool = True) -> str:
+    """`order_by=False` returns the unordered core for composition into
+    larger oracles (quality_filter) — safer than callers doing string
+    surgery on the trailing ORDER BY."""
     en = ", ".join(repr(t) for t in STOPWORDS["en"])
     toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
     stop = (
@@ -311,7 +314,7 @@ def text_stats_oracle() -> str:
                  + (1 - least(punct_raw * 10, 1.0)) * 0.3
                  + least(stop_raw * 5, 1.0) * 0.3) * power(10, 6) + 0.5001) / power(10, 6) AS quality_score,
            ws_tokens, bpe_tokens
-    FROM m ORDER BY doc_id
+    FROM m {"ORDER BY doc_id" if order_by else ""}
     """
 
 
@@ -408,7 +411,9 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_repetition_frame(load_table(spark, sf_dir, "documents"))
 
 
-def text_repetition_oracle() -> str:
+def text_repetition_oracle(order_by: bool = True) -> str:
+    """`order_by=False` returns the unordered core for composition (see
+    text_stats_oracle)."""
     toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
     sents = "list_filter(list_transform(string_split_regex(text, '[.!?]+'), s -> trim(s)), s -> s <> '')"
     return f"""
@@ -444,7 +449,7 @@ def text_repetition_oracle() -> str:
              AND
              (CASE WHEN n_2grams > 0 THEN floor((top_2gram_cnt * 1.0 / n_2grams) * power(10, 6) + 0.5001) / power(10, 6) ELSE 0.0 END) <= {TOP_2GRAM_MAX}
              AS INT) AS keep
-    FROM base ORDER BY doc_id
+    FROM base {"ORDER BY doc_id" if order_by else ""}
     """
 
 
@@ -477,7 +482,9 @@ def doc_fingerprint_frame(
         ).alias("gram"),
     ).filter(F.length("text") >= GRAM_CHARS)
     if hash_fn == "xxhash64":
-        h = F.abs(F.xxhash64("gram"))
+        # sign-bit mask, not abs(): abs(Long.MIN_VALUE) overflows (throws
+        # under ANSI mode, stays negative otherwise)
+        h = F.xxhash64("gram").bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
     else:
         h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
     hashed = grams.select("doc_id", h.alias("h")).distinct()
@@ -573,10 +580,8 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_filter_oracle(min_quality: float = MIN_QUALITY) -> str:
     from danae_spark.operators.pii import PII_PATTERNS
 
-    ts = text_stats_oracle().rsplit(" ORDER BY ", 1)[0].replace(
-        "ORDER BY doc_id", ""
-    )
-    tr = text_repetition_oracle().rsplit("ORDER BY doc_id", 1)[0]
+    ts = text_stats_oracle(order_by=False)
+    tr = text_repetition_oracle(order_by=False)
     pii_total = " + ".join(
         f"len(regexp_extract_all(text, '{pat}'))" for _n, pat, _s in PII_PATTERNS
     )
