@@ -1008,3 +1008,143 @@ DEDUP_EMBEDDING_ORACLE = f"""
                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) * power(10, 6) + 0.5001) / power(10, 6) >= {COSINE_TAU}
     ORDER BY v1, v2
     """
+
+
+# ------------------------- exact-substring (verbatim shared spans) dedup
+
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") drop exact substrings of >= 50 tokens repeated across
+# documents, found with a corpus-wide suffix array — a data structure
+# with no distributed equivalent. Spark-native re-expression: fixed-
+# length k-token window fingerprints (stride 1) -> df-capped inverted-
+# index self-join on the window hash -> gaps-and-islands merge of
+# diagonal-aligned matches into MAXIMAL shared spans. Any shared span of
+# length >= k appears as a run of >= 1 consecutive window matches on one
+# (doc_a, doc_b, offset) diagonal, so the merge recovers exactly the
+# maximal spans a suffix array would report (down to k-token
+# granularity).
+SPAN_WINDOW = 10       # window k: spans shorter than k are invisible
+SPAN_MIN_TOKENS = 30   # report spans of >= this many shared tokens
+SPAN_DF_CAP = 1000     # windows occurring more often are boilerplate
+
+
+def shared_span_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = SPAN_WINDOW,
+    min_span: int = SPAN_MIN_TOKENS,
+    df_cap: int | None = SPAN_DF_CAP,
+) -> DataFrame:
+    """Maximal verbatim token spans shared between document pairs, over
+    ANY (id, text) frame.
+
+    Returns (doc_a, doc_b, a_start, b_start, span_tokens): the span of
+    `span_tokens` whitespace tokens starting at 1-based token position
+    a_start of doc_a is identical to the one at b_start of doc_b, and is
+    not extendable by a full window on either side. Tokens are
+    whitespace-split (the repo's token-counting convention).
+
+    Scale shape: the only shuffles are the window-hash df aggregate
+    (map-side combined), the hash equi-join (fan-out bounded by df_cap²
+    per hash), and the per-(pair, diagonal) window for the island merge
+    — which is keyed by document PAIR, so partitions stay small no
+    matter the corpus size. No all-pairs work anywhere."""
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    toks = widen(docs).select(
+        "doc_id",
+        F.expr("filter(split(text, ' +'), t -> t <> '')").alias("t"),
+    ).filter(F.size("t") >= window)
+    # (doc_id, pos, h): md5 of the k-token window starting at 1-based pos
+    # (md5 keeps the whole pipeline DuckDB-value-checkable; swap
+    # xxhash64 for an 8-byte shuffle key at 100 TB)
+    win = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {window} + 1),"
+                f" i -> struct(i AS pos, md5(concat_ws(' ', slice(t, i, {window}))) AS h))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    if df_cap is not None:
+        hot = (
+            win.groupBy("h").agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") > df_cap)
+            .select("h")
+        )
+        win = win.join(F.broadcast(hot), "h", "left_anti")
+    a = win.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "h")
+    b = win.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+    )
+    # consecutive window matches on one diagonal = one span
+    # (gaps-and-islands: pa - row_number is constant within a run)
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = pairs.select("doc_a", "doc_b", diag, "pa", "pb").withColumn(
+        "grp", F.col("pa") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            (F.max("pa") - F.min("pa") + F.lit(window)).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span)
+        .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+        .orderBy("doc_a", "doc_b", "a_start", "b_start")
+    )
+
+
+def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents-table entry point of `shared_span_pairs`."""
+    return shared_span_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def shared_spans_oracle(
+    window: int = SPAN_WINDOW,
+    min_span: int = SPAN_MIN_TOKENS,
+    df_cap: int = SPAN_DF_CAP,
+) -> str:
+    """DuckDB twin of dedup_shared_spans. The range(1, 8192) window-start
+    bound is oracle-side only (no lake doc approaches 8191 tokens; the
+    Spark side's sequence() is unbounded)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS lt
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, t.i AS pos,
+             md5(array_to_string(list_slice(lt, t.i, t.i + {window} - 1), ' ')) AS h
+      FROM toks, range(1, 8192) t(i)
+      WHERE len(lt) >= {window} AND t.i <= len(lt) - {window} + 1
+    ),
+    capped AS (
+      SELECT win.* FROM win WHERE h NOT IN (
+        SELECT h FROM win GROUP BY h HAVING count(*) > {df_cap})
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+      FROM pairs
+    ),
+    spans AS (
+      SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
+             max(pa) - min(pa) + {window} AS span_tokens
+      FROM isl GROUP BY doc_a, doc_b, diag, grp
+    )
+    SELECT doc_a, doc_b, a_start, b_start, span_tokens
+    FROM spans WHERE span_tokens >= {min_span}
+    ORDER BY doc_a, doc_b, a_start, b_start
+    """

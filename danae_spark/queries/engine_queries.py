@@ -121,3 +121,15 @@ def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sampling.py deterministic_split_frame) — engine-portable,
     growth-stable, unlike randomSplit."""
     return _sampling.deterministic_split(spark, sf_dir)
+
+
+from danae_spark.operators import dedup as _dedup  # noqa: E402
+
+
+@register("dedup_shared_spans", oracle=_dedup.shared_spans_oracle())
+def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup: maximal verbatim token spans shared across
+    document pairs (operators/dedup.py shared_span_pairs — the
+    Lee-et-al-2022 suffix-array family, re-expressed as window
+    fingerprints + diagonal island merge)."""
+    return _dedup.dedup_shared_spans(spark, sf_dir)

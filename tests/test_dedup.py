@@ -250,3 +250,59 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             ).collect()
         }
         assert got == expected, (seed, len(got), len(expected))
+
+
+def test_shared_spans_finds_planted_verbatim_insert(spark):
+    """A 200-token verbatim block planted at DIFFERENT positions inside
+    two otherwise-dissimilar documents must come back as exactly one
+    maximal span of exactly 200 tokens, with the correct start position
+    in each document; unrelated docs must produce no spans."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(5000)]
+    planted = " ".join(rng.choice(vocab) for _ in range(200))
+
+    def noise(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    doc_a = noise(37) + " " + planted + " " + noise(61)      # insert at pos 38
+    doc_b = noise(120) + " " + planted + " " + noise(15)     # insert at pos 121
+    doc_c = noise(400)                                       # unrelated
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    )
+
+    out = dedup.shared_span_pairs(docs, window=10, min_span=50).collect()
+    assert len(out) == 1, out
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["span_tokens"] == 200, r
+    assert r["a_start"] == 38 and r["b_start"] == 121, r
+
+
+def test_shared_spans_splits_separate_spans_and_ignores_short(spark):
+    """Two distinct shared regions separated by divergent text are
+    reported as two spans (not merged), and a shared region shorter than
+    min_span is not reported."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(5000)]
+    span1 = " ".join(rng.choice(vocab) for _ in range(60))
+    span2 = " ".join(rng.choice(vocab) for _ in range(70))
+    short = " ".join(rng.choice(vocab) for _ in range(20))
+
+    def noise(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    doc_a = " ".join([noise(10), span1, noise(30), span2, noise(5), short])
+    doc_b = " ".join([noise(50), span1, noise(80), span2, noise(40), short, noise(9)])
+    docs = spark.createDataFrame([(1, doc_a), (2, doc_b)], "doc_id long, text string")
+
+    out = sorted(
+        (r["span_tokens"] for r in dedup.shared_span_pairs(
+            docs, window=10, min_span=50
+        ).collect())
+    )
+    assert out == [60, 70], out
