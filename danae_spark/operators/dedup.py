@@ -704,12 +704,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, pairs: DataFrame | None = N
     )
 
 
-def dedup_clusters_oracle() -> str:
-    """DuckDB reproduction via a recursive min-root closure over the
-    SAME minhash pair pipeline."""
+def _clusters_oracle_ctes() -> str:
+    """The recursive min-root closure CTE chain (pairs → … → lab, sizes)
+    shared by dedup_clusters_oracle and canonical_keeper_oracle."""
     pairs_sql = DEDUP_MINHASH_MD5_ORACLE.rsplit(" ORDER BY ", 1)[0]
-    return f"""
-    WITH RECURSIVE pairs AS ({pairs_sql}),
+    return f"""pairs AS ({pairs_sql}),
     edges AS (
       SELECT d1 AS src, d2 AS dst FROM pairs
       UNION ALL SELECT d2, d1 FROM pairs
@@ -721,11 +720,94 @@ def dedup_clusters_oracle() -> str:
       SELECT e.dst, cc.r FROM cc JOIN edges e ON cc.v = e.src
     ),
     lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM cc GROUP BY v),
-    sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)"""
+
+
+def dedup_clusters_oracle() -> str:
+    """DuckDB reproduction via a recursive min-root closure over the
+    SAME minhash pair pipeline."""
+    return f"""
+    WITH RECURSIVE {_clusters_oracle_ctes()}
     SELECT l.doc_id, l.cluster_id, s.cluster_size,
            CAST(l.doc_id = l.cluster_id AS INT) AS is_keeper
     FROM lab l JOIN sizes s USING (cluster_id)
     ORDER BY l.doc_id
+    """
+
+
+# ---------------------- cluster → decision (quality-aware canonical keeper)
+
+
+def canonical_keeper(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
+    """The fused end-of-pipeline curation decision: one row per document
+    combining near-dup clustering with the quality verdict. Within each
+    near-dup cluster the CANONICAL member is the highest-quality one
+    (tie-break: lowest doc_id) — not the arbitrary min-id keeper
+    dedup_clusters reports; documents in no cluster are their own
+    canonical. Final `keep` = canonical AND passes quality_filter.
+
+    Scale shape: quality_filter and dedup_clusters are the
+    already-bounded operators; this adds one doc_id equi-join plus a
+    window partitioned by cluster_id — partition size is the cluster
+    size, never the corpus."""
+    from danae_spark.operators.textstats import quality_filter
+
+    q = quality_filter(spark, sf_dir).select(
+        "doc_id", "quality_score", F.col("keep").alias("quality_keep")
+    )
+    clusters = dedup_clusters(spark, sf_dir, pairs).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    joined = (
+        q.join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+        .withColumn("cluster_size", F.coalesce(F.col("cluster_size"), F.lit(1)))
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    rk = F.row_number().over(w)
+    return (
+        joined.withColumn("is_canonical", (rk == 1).cast("int"))
+        .withColumn(
+            "keep",
+            ((F.col("is_canonical") == 1) & (F.col("quality_keep") == 1)).cast("int"),
+        )
+        .select(
+            "doc_id", "cluster_id", "cluster_size", "quality_score",
+            "quality_keep", "is_canonical", "keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def canonical_keeper_oracle() -> str:
+    """DuckDB twin: the recursive cluster closure composed with the
+    quality_filter oracle, same window."""
+    from danae_spark.operators.textstats import quality_filter_oracle
+
+    return f"""
+    WITH RECURSIVE {_clusters_oracle_ctes()},
+    q AS ({quality_filter_oracle()}),
+    full_docs AS (
+      SELECT q.doc_id,
+             coalesce(l.cluster_id, q.doc_id) AS cluster_id,
+             CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+             q.quality_score, q.keep AS quality_keep
+      FROM q LEFT JOIN lab l ON q.doc_id = l.doc_id
+             LEFT JOIN sizes s ON l.cluster_id = s.cluster_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id
+      ) AS rk
+      FROM full_docs
+    )
+    SELECT doc_id, cluster_id, cluster_size, quality_score, quality_keep,
+           CAST(rk = 1 AS INT) AS is_canonical,
+           CAST(rk = 1 AND quality_keep = 1 AS INT) AS keep
+    FROM ranked
+    ORDER BY doc_id
     """
 
 

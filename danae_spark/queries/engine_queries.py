@@ -133,3 +133,12 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lee-et-al-2022 suffix-array family, re-expressed as window
     fingerprints + diagonal island merge)."""
     return _dedup.dedup_shared_spans(spark, sf_dir)
+
+
+@register("canonical_keeper", oracle=_dedup.canonical_keeper_oracle())
+def canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster: the fused
+    cluster->decision step (operators/dedup.py canonical_keeper) — keep
+    the highest-quality member of each cluster, drop the rest and every
+    quality-failing doc."""
+    return _dedup.canonical_keeper(spark, sf_dir)

@@ -306,3 +306,31 @@ def test_shared_spans_splits_separate_spans_and_ignores_short(spark):
         ).collect())
     )
     assert out == [60, 70], out
+
+
+def test_canonical_keeper_prefers_quality_over_min_id(spark, sf_dir):
+    """Every cluster elects exactly one canonical = its highest-quality
+    member (doc_id tie-break); singletons are their own canonical; final
+    keep = canonical AND quality pass. At the test SF the quality-aware
+    choice must actually differ from the min-id keeper somewhere —
+    otherwise the operator adds nothing over dedup_clusters."""
+    from collections import defaultdict
+
+    rows = dedup.canonical_keeper(spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster_id].append(r)
+        assert r.keep == int(r.is_canonical == 1 and r.quality_keep == 1)
+        if r.cluster_size == 1:
+            assert r.is_canonical == 1 and r.cluster_id == r.doc_id
+
+    diverges = 0
+    for rs in by_cluster.values():
+        canon = [r for r in rs if r.is_canonical == 1]
+        assert len(canon) == 1, rs
+        best = max(rs, key=lambda r: (r.quality_score, -r.doc_id))
+        assert canon[0].doc_id == best.doc_id, rs
+        if len(rs) > 1 and canon[0].doc_id != min(r.doc_id for r in rs):
+            diverges += 1
+    assert diverges > 0
