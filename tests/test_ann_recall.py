@@ -121,3 +121,28 @@ def test_ivf_trained_balances_skewed_lists(spark, tmp_path):
     assert hot_trained <= hot_stride
     # trained lists must be meaningfully flatter than the hot stride list
     assert hot_trained < 0.8 * hot_stride, (hot_trained, hot_stride)
+
+
+def test_ivf_trained_recall_on_driver_scale_lake(spark):
+    """Same invariant as above but at sf0.01 — the scale the external
+    correctness gate sweeps — and through the REGISTERED query entries,
+    so a codebook regression on the driver's own path can't hide behind
+    the smaller test lake. Trained IVF must match-or-beat the stride
+    codebook vs exact brute-force truth, and beat chance by 10x."""
+    import os
+
+    import pytest
+
+    sf01 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.01 lake not present")
+    from danae_spark.catalog import load_table
+
+    n = load_table(spark, sf01, "embeddings").count()
+    chance = ann.TOP_K / max(n - 1, 1)
+    rows = {
+        r["method"]: r["recall_at_k"]
+        for r in ann.ann_recall(spark, sf01, include_trained=True).collect()
+    }
+    assert rows["ivf_trained"] >= rows["ivf"] - 1e-9, rows
+    assert rows["ivf_trained"] >= 10 * chance, (rows, chance)
