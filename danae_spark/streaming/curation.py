@@ -113,6 +113,40 @@ def curated_stream(
     return out.withColumn("keep", keep.cast("int"))
 
 
+def curated_publish_sink(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "curation_publish",
+    keep_only: bool = True,
+):
+    """Replay-safe publish of the curated corpus: each micro-batch lands
+    its rows (by default only `keep = 1` survivors) via dynamic partition
+    overwrite of its own `batch_id=` partition — the profile_stream.py
+    exactly-once pattern. foreachBatch is at-least-once on retry; because
+    a replayed batch OVERWRITES its previous attempt's partition instead
+    of appending, the published table is idempotent per batch id, so
+    kill-and-replay yields byte-identical contents. Returns the
+    writeStream handle (availableNow trigger set; call `.start()`)."""
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df.filter(F.col("keep") == 1) if keep_only else batch_df
+        (
+            out.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+    )
+
+
 def run_curation_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain the curation stream (append mode — stateless) into an
     in-memory table and return it as a batch frame."""

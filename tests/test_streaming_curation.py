@@ -28,3 +28,31 @@ def test_streaming_curation_matches_batch_decision(spark, sf_dir):
     # both outcomes must actually occur at test SF for this to mean much
     kept = {d for d, r in streamed.items() if r["keep"] == 1}
     assert kept and len(kept) < len(streamed)
+
+
+def test_curated_publish_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Exactly-once publish: drain the curation stream into the curated
+    table, then simulate a killed-and-replayed micro-batch (fresh
+    checkpoint => the file source re-delivers the same batch 0). The
+    replay must OVERWRITE its batch partition, not append — table
+    contents stay identical."""
+    from danae_spark.operators.textstats import quality_filter
+    from danae_spark.streaming.curation import curated_publish_sink
+
+    out_dir = str(tmp_path / "curated")
+
+    def drain(ckpt: str) -> None:
+        stream = curated_stream(read_documents_stream(spark, sf_dir))
+        q = curated_publish_sink(stream, out_dir, str(tmp_path / ckpt)).start()
+        q.awaitTermination()
+
+    drain("ckpt1")
+    v1 = sorted(tuple(r) for r in spark.read.parquet(out_dir).drop("batch_id").collect())
+
+    # published rows = exactly the batch decision's keep-set
+    batch_keep = {r["doc_id"] for r in quality_filter(spark, sf_dir).collect() if r["keep"] == 1}
+    assert {t[0] for t in v1} == batch_keep and batch_keep
+
+    drain("ckpt2")  # replay of batch 0 after checkpoint loss
+    v2 = sorted(tuple(r) for r in spark.read.parquet(out_dir).drop("batch_id").collect())
+    assert v2 == v1
