@@ -55,6 +55,9 @@ HEADLINE = [
     "ann_ivf_trained",
     "pii_scan",
     "quality_filter",
+    # round-6 additions
+    "dedup_shared_spans",
+    "canonical_keeper",
 ]
 
 

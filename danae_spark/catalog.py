@@ -85,7 +85,9 @@ def _scan_input_bytes(df: DataFrame) -> tuple[int, int] | None:
     return total, len(files)
 
 
-def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def widen(
+    df: DataFrame, min_partitions: int | None = None, force: bool = False
+) -> DataFrame:
     """Decouple COMPUTE parallelism from FILE layout — but only when the
     input is big enough for the exchange to pay for itself.
 
@@ -106,13 +108,23 @@ def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     - big input, few files: repartition — this is the single-giant-file
       case widen exists for.
     - metadata unavailable (non-local URI, non-scan root): fall back to
-      the precise partition-count check."""
+      the precise partition-count check.
+
+    `force=True` skips the size gate (not the file-count one): for
+    pipelines whose per-row work dwarfs the scan — shingle explode +
+    inverted-index self-join, LSH banding — input bytes are a bad proxy
+    for compute, and the r6 bench measured the un-widened single-task
+    versions 1.4–1.8× slower than r5's widened ones even on sub-MB
+    tables. Callers with heavy downstream work pass force=True; plain
+    aggregates keep the gate."""
     sp = df.sparkSession
     target = min_partitions or sp.sparkContext.defaultParallelism
     meta = _scan_input_bytes(df)
     if meta is not None:
         total_bytes, n_files = meta
-        if total_bytes < WIDEN_MIN_BYTES or n_files >= target:
+        if not force and total_bytes < WIDEN_MIN_BYTES:
+            return df
+        if n_files >= target:
             return df
         return df.repartition(target)
     if df.rdd.getNumPartitions() < target:

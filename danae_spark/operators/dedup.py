@@ -111,7 +111,7 @@ def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     `widen`: single-row-group lake files leave the scan 1 task wide;
     the tokenize/shingle explode is the heavy map work, so spread it
     cluster-wide first (no-op when the source is already parallel)."""
-    toks = widen(docs).select(
+    toks = widen(docs, force=True).select(
         "doc_id",
         F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')").alias("t"),
     ).filter(F.size("t") >= n)
@@ -468,7 +468,7 @@ def simhash_signatures(docs: DataFrame, skew_salt: int | None = None) -> DataFra
     well-behaved corpora."""
     from danae_spark.functions.skew import salted_agg
 
-    toks = widen(docs).select(
+    toks = widen(docs, force=True).select(
         "doc_id",
         F.explode(F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")).alias(
             "term"
@@ -1001,7 +1001,7 @@ def _embedding_lsh_candidates(
 
     ensure_shipped(emb.sparkSession)
     all_planes = _hyperplanes(bands * planes_per_band)
-    banded = widen(emb).select(
+    banded = widen(emb, force=True).select(
         "vec_id",
         F.explode(
             F.array(
@@ -1133,7 +1133,7 @@ def shared_span_pairs(
     — which is keyed by document PAIR, so partitions stay small no
     matter the corpus size. No all-pairs work anywhere."""
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    toks = widen(docs).select(
+    toks = widen(docs, force=True).select(
         "doc_id",
         F.expr("filter(split(text, ' +'), t -> t <> '')").alias("t"),
     ).filter(F.size("t") >= window)
