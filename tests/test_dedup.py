@@ -334,3 +334,30 @@ def test_canonical_keeper_prefers_quality_over_min_id(spark, sf_dir):
         if len(rs) > 1 and canon[0].doc_id != min(r.doc_id for r in rs):
             diverges += 1
     assert diverges > 0
+
+
+def test_shared_spans_xxhash_twin_agrees_with_md5(spark):
+    """The xxhash64 throughput twin (8-byte join keys) must produce the
+    IDENTICAL span set as the oracle-checked md5 variant — the hash only
+    names windows; spans come from positions."""
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"v{i}" for i in range(4000)]
+    span = " ".join(rng.choice(vocab) for _ in range(80))
+
+    def noise(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    docs = spark.createDataFrame(
+        [(1, noise(20) + " " + span + " " + noise(30)),
+         (2, noise(55) + " " + span + " " + noise(10)),
+         (3, noise(200))],
+        "doc_id long, text string",
+    )
+    md5 = sorted(tuple(r) for r in dedup.shared_span_pairs(docs, window=10, min_span=40).collect())
+    xx = sorted(
+        tuple(r)
+        for r in dedup.shared_span_pairs(docs, window=10, min_span=40, hash_fn="xxhash64").collect()
+    )
+    assert md5 == xx and len(md5) == 1
