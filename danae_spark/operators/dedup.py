@@ -1233,3 +1233,125 @@ def shared_spans_oracle(
     FROM spans WHERE span_tokens >= {min_span}
     ORDER BY doc_a, doc_b, a_start, b_start
     """
+
+
+def remove_shared_spans(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = SPAN_WINDOW,
+    min_span: int = SPAN_MIN_TOKENS,
+) -> DataFrame:
+    """The ACTIONABLE half of exact-substring dedup (Lee et al. 2022
+    keep one copy of each verbatim span): rewrite each document with its
+    duplicated spans CUT — the span stays in the lower-id doc of every
+    pair (doc_a < doc_b ⇒ doc_b is rewritten), overlapping removal
+    intervals are merged first, and untouched docs pass through
+    unchanged.
+
+    Returns (doc_id, n_tokens, removed_tokens, text). The token-level
+    cut is a per-row array filter against the doc's merged interval
+    list — no explode, whole-stage codegen; the interval list per doc
+    is span-count-sized (tiny), built with one window + one groupBy.
+
+    `spans` defaults to `shared_span_pairs(docs, ...)` — pass a
+    precomputed span frame to share work across operators."""
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    if spans is None:
+        spans = shared_span_pairs(docs, window=window, min_span=min_span)
+    iv = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("span_tokens") - 1).alias("e"),
+    )
+    w = W.partitionBy("doc_id").orderBy("s")
+    pmax = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    isl = iv.withColumn(
+        "new_island", (pmax.isNull() | (F.col("s") > pmax)).cast("int")
+    ).withColumn(
+        "grp", F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    merged = (
+        isl.groupBy("doc_id", "grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
+    )
+    out = (
+        docs.join(merged, "doc_id", "left")
+        .withColumn("toks", F.expr("filter(split(text, ' +'), t -> t <> '')"))
+        .withColumn(
+            "kept",
+            F.expr(
+                "CASE WHEN ivs IS NULL THEN toks ELSE"
+                " filter(toks, (t, i) -> NOT exists(ivs,"
+                " iv -> i + 1 >= iv.s AND i + 1 <= iv.e)) END"
+            ),
+        )
+    )
+    return out.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size("kept")).alias("removed_tokens"),
+        F.concat_ws(" ", F.col("kept")).alias("text"),
+    ).orderBy("doc_id")
+
+
+def span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents-table entry point of `remove_shared_spans`."""
+    return remove_shared_spans(load_table(spark, sf_dir, "documents"))
+
+
+def span_rewrite_oracle(
+    window: int = SPAN_WINDOW, min_span: int = SPAN_MIN_TOKENS, df_cap: int = SPAN_DF_CAP
+) -> str:
+    """DuckDB twin of span_dedup_rewrite: the shared-span CTEs + interval
+    merge + token-level cut (explode form — positions anti-checked
+    against merged intervals, re-joined in order)."""
+    spans_core = shared_spans_oracle(window, min_span, df_cap).rsplit(" ORDER BY ", 1)[0]
+    return f"""
+    WITH spans_q AS ({spans_core}),
+    iv0 AS (
+      SELECT doc_b AS doc_id, b_start AS s, b_start + span_tokens - 1 AS e
+      FROM spans_q
+    ),
+    ordd AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM iv0
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS grp
+      FROM ordd
+    ),
+    merged AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, grp),
+    base AS (
+      SELECT doc_id, list_filter(string_split_regex(text, ' +'), x -> x <> '') AS lt
+      FROM documents
+    ),
+    toks AS (
+      SELECT b.doc_id, t.i AS pos, b.lt[t.i] AS tok
+      FROM base b, range(1, 8192) t(i) WHERE t.i <= len(b.lt)
+    ),
+    kept AS (
+      SELECT k.doc_id, k.pos, k.tok FROM toks k
+      WHERE NOT EXISTS (
+        SELECT 1 FROM merged m
+        WHERE m.doc_id = k.doc_id AND k.pos BETWEEN m.s AND m.e)
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS new_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           len(b.lt) AS n_tokens,
+           CAST(len(b.lt) - coalesce(a.n_kept, 0) AS INT) AS removed_tokens,
+           coalesce(a.new_text, '') AS text
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    ORDER BY b.doc_id
+    """

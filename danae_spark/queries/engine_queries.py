@@ -142,3 +142,11 @@ def canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     the highest-quality member of each cluster, drop the rest and every
     quality-failing doc."""
     return _dedup.canonical_keeper(spark, sf_dir)
+
+
+@register("span_dedup_rewrite", oracle=_dedup.span_rewrite_oracle())
+def span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actionable exact-substring dedup: rewrite docs with duplicated
+    verbatim spans cut, keeping one copy per pair (operators/dedup.py
+    remove_shared_spans — merged-interval token filter, no explode)."""
+    return _dedup.span_dedup_rewrite(spark, sf_dir)

@@ -361,3 +361,31 @@ def test_shared_spans_xxhash_twin_agrees_with_md5(spark):
         for r in dedup.shared_span_pairs(docs, window=10, min_span=40, hash_fn="xxhash64").collect()
     )
     assert md5 == xx and len(md5) == 1
+
+
+def test_remove_shared_spans_cuts_only_the_duplicate_copy(spark):
+    """The rewrite keeps the span in the lower-id doc, cuts it from the
+    higher-id doc (exact token count), merges overlapping intervals, and
+    leaves unrelated docs untouched."""
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"z{i}" for i in range(4000)]
+    span = " ".join(rng.choice(vocab) for _ in range(60))
+
+    def noise(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    a = noise(15) + " " + span + " " + noise(25)   # 100 tokens, keeps span
+    b = noise(40) + " " + span + " " + noise(8)    # 108 tokens, loses span
+    c = noise(75)
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.remove_shared_spans(
+        docs, window=10, min_span=40
+    ).collect()}
+    assert out[1]["removed_tokens"] == 0 and out[1]["text"] == a
+    assert out[2]["removed_tokens"] == 60 and span not in out[2]["text"]
+    assert out[2]["n_tokens"] == 108 and len(out[2]["text"].split()) == 48
+    assert out[3]["removed_tokens"] == 0 and out[3]["text"] == c
