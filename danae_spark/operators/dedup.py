@@ -781,13 +781,14 @@ def canonical_keeper(
     )
 
 
-def canonical_keeper_oracle() -> str:
-    """DuckDB twin: the recursive cluster closure composed with the
-    quality_filter oracle, same window."""
+def _canonical_ctes() -> str:
+    """Cluster closure + quality composition ending in
+    `ck(doc_id, cluster_id, cluster_size, quality_score, quality_keep,
+    is_canonical, keep)` — shared by canonical_keeper_oracle and
+    curate_corpus_oracle."""
     from danae_spark.operators.textstats import quality_filter_oracle
 
-    return f"""
-    WITH RECURSIVE {_clusters_oracle_ctes()},
+    return f"""{_clusters_oracle_ctes()},
     q AS ({quality_filter_oracle()}),
     full_docs AS (
       SELECT q.doc_id,
@@ -802,11 +803,23 @@ def canonical_keeper_oracle() -> str:
         PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id
       ) AS rk
       FROM full_docs
-    )
+    ),
+    ck AS (
+      SELECT doc_id, cluster_id, cluster_size, quality_score, quality_keep,
+             CAST(rk = 1 AS INT) AS is_canonical,
+             CAST(rk = 1 AND quality_keep = 1 AS INT) AS keep
+      FROM ranked
+    )"""
+
+
+def canonical_keeper_oracle() -> str:
+    """DuckDB twin: the recursive cluster closure composed with the
+    quality_filter oracle, same window."""
+    return f"""
+    WITH RECURSIVE {_canonical_ctes()}
     SELECT doc_id, cluster_id, cluster_size, quality_score, quality_keep,
-           CAST(rk = 1 AS INT) AS is_canonical,
-           CAST(rk = 1 AND quality_keep = 1 AS INT) AS keep
-    FROM ranked
+           is_canonical, keep
+    FROM ck
     ORDER BY doc_id
     """
 
@@ -1192,45 +1205,62 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_span_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def _span_ctes(
+    rel: str = "documents",
+    window: int = SPAN_WINDOW,
+    min_span: int = SPAN_MIN_TOKENS,
+    df_cap: int = SPAN_DF_CAP,
+) -> str:
+    """Shared-span CTE chain (span_-prefixed names so it composes with
+    the cluster/quality chains in curate_corpus_oracle) ending in
+    `span_q(doc_a, doc_b, a_start, b_start, span_tokens)`. `rel` is any
+    (doc_id, text) relation. The range(1, 8192) window-start bound is
+    oracle-side only (no lake doc approaches 8191 tokens; the Spark
+    side's sequence() is unbounded)."""
+    return f"""span_toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS lt
+      FROM {rel}
+    ),
+    span_win AS (
+      SELECT doc_id, t.i AS pos,
+             md5(array_to_string(list_slice(lt, t.i, t.i + {window} - 1), ' ')) AS h
+      FROM span_toks, range(1, 8192) t(i)
+      WHERE len(lt) >= {window} AND t.i <= len(lt) - {window} + 1
+    ),
+    span_capped AS (
+      SELECT span_win.* FROM span_win WHERE h NOT IN (
+        SELECT h FROM span_win GROUP BY h HAVING count(*) > {df_cap})
+    ),
+    span_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM span_capped a JOIN span_capped b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    span_isl AS (
+      SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+      FROM span_pairs
+    ),
+    span_all AS (
+      SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
+             max(pa) - min(pa) + {window} AS span_tokens
+      FROM span_isl GROUP BY doc_a, doc_b, diag, grp
+    ),
+    span_q AS (
+      SELECT doc_a, doc_b, a_start, b_start, span_tokens
+      FROM span_all WHERE span_tokens >= {min_span}
+    )"""
+
+
 def shared_spans_oracle(
     window: int = SPAN_WINDOW,
     min_span: int = SPAN_MIN_TOKENS,
     df_cap: int = SPAN_DF_CAP,
 ) -> str:
-    """DuckDB twin of dedup_shared_spans. The range(1, 8192) window-start
-    bound is oracle-side only (no lake doc approaches 8191 tokens; the
-    Spark side's sequence() is unbounded)."""
+    """DuckDB twin of dedup_shared_spans."""
     return f"""
-    WITH toks AS (
-      SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS lt
-      FROM documents
-    ),
-    win AS (
-      SELECT doc_id, t.i AS pos,
-             md5(array_to_string(list_slice(lt, t.i, t.i + {window} - 1), ' ')) AS h
-      FROM toks, range(1, 8192) t(i)
-      WHERE len(lt) >= {window} AND t.i <= len(lt) - {window} + 1
-    ),
-    capped AS (
-      SELECT win.* FROM win WHERE h NOT IN (
-        SELECT h FROM win GROUP BY h HAVING count(*) > {df_cap})
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
-      FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
-    ),
-    isl AS (
-      SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
-             pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
-      FROM pairs
-    ),
-    spans AS (
-      SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
-             max(pa) - min(pa) + {window} AS span_tokens
-      FROM isl GROUP BY doc_a, doc_b, diag, grp
-    )
+    WITH {_span_ctes("documents", window, min_span, df_cap)}
     SELECT doc_a, doc_b, a_start, b_start, span_tokens
-    FROM spans WHERE span_tokens >= {min_span}
+    FROM span_q
     ORDER BY doc_a, doc_b, a_start, b_start
     """
 
@@ -1303,55 +1333,123 @@ def span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_shared_spans(load_table(spark, sf_dir, "documents"))
 
 
-def span_rewrite_oracle(
-    window: int = SPAN_WINDOW, min_span: int = SPAN_MIN_TOKENS, df_cap: int = SPAN_DF_CAP
+def _span_rewrite_ctes(
+    rel: str = "documents",
+    window: int = SPAN_WINDOW,
+    min_span: int = SPAN_MIN_TOKENS,
+    df_cap: int = SPAN_DF_CAP,
 ) -> str:
-    """DuckDB twin of span_dedup_rewrite: the shared-span CTEs + interval
-    merge + token-level cut (explode form — positions anti-checked
-    against merged intervals, re-joined in order)."""
-    spans_core = shared_spans_oracle(window, min_span, df_cap).rsplit(" ORDER BY ", 1)[0]
-    return f"""
-    WITH spans_q AS ({spans_core}),
-    iv0 AS (
+    """Span-rewrite CTE chain over `rel`: _span_ctes + interval merge +
+    token-level cut (explode form — positions anti-checked against
+    merged intervals), ending in `cut_base(doc_id, lt)` and
+    `cut_agg(doc_id, n_kept, new_text)`."""
+    return f"""{_span_ctes(rel, window, min_span, df_cap)},
+    cut_iv0 AS (
       SELECT doc_b AS doc_id, b_start AS s, b_start + span_tokens - 1 AS e
-      FROM spans_q
+      FROM span_q
     ),
-    ordd AS (
+    cut_ord AS (
       SELECT doc_id, s, e,
              max(e) OVER (PARTITION BY doc_id ORDER BY s
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-      FROM iv0
+      FROM cut_iv0
     ),
-    isl AS (
+    cut_isl AS (
       SELECT doc_id, s, e,
              sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
                OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS grp
-      FROM ordd
+      FROM cut_ord
     ),
-    merged AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, grp),
-    base AS (
+    cut_merged AS (
+      SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM cut_isl GROUP BY doc_id, grp
+    ),
+    cut_base AS (
       SELECT doc_id, list_filter(string_split_regex(text, ' +'), x -> x <> '') AS lt
-      FROM documents
+      FROM {rel}
     ),
-    toks AS (
+    cut_toks AS (
       SELECT b.doc_id, t.i AS pos, b.lt[t.i] AS tok
-      FROM base b, range(1, 8192) t(i) WHERE t.i <= len(b.lt)
+      FROM cut_base b, range(1, 8192) t(i) WHERE t.i <= len(b.lt)
     ),
-    kept AS (
-      SELECT k.doc_id, k.pos, k.tok FROM toks k
+    cut_kept AS (
+      SELECT k.doc_id, k.pos, k.tok FROM cut_toks k
       WHERE NOT EXISTS (
-        SELECT 1 FROM merged m
+        SELECT 1 FROM cut_merged m
         WHERE m.doc_id = k.doc_id AND k.pos BETWEEN m.s AND m.e)
     ),
-    agg AS (
+    cut_agg AS (
       SELECT doc_id, count(*) AS n_kept,
              string_agg(tok, ' ' ORDER BY pos) AS new_text
-      FROM kept GROUP BY doc_id
-    )
+      FROM cut_kept GROUP BY doc_id
+    )"""
+
+
+def span_rewrite_oracle(
+    window: int = SPAN_WINDOW, min_span: int = SPAN_MIN_TOKENS, df_cap: int = SPAN_DF_CAP
+) -> str:
+    """DuckDB twin of span_dedup_rewrite."""
+    return f"""
+    WITH {_span_rewrite_ctes("documents", window, min_span, df_cap)}
     SELECT b.doc_id,
            len(b.lt) AS n_tokens,
            CAST(len(b.lt) - coalesce(a.n_kept, 0) AS INT) AS removed_tokens,
            coalesce(a.new_text, '') AS text
-    FROM base b LEFT JOIN agg a USING (doc_id)
+    FROM cut_base b LEFT JOIN cut_agg a USING (doc_id)
+    ORDER BY b.doc_id
+    """
+
+
+# ------------------------- end-to-end corpus curation (the whole pipeline)
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data curation pipeline as ONE call: near-dup
+    clustering → quality-aware canonical selection (canonical_keeper) →
+    exact-substring span removal AMONG the survivors (remove_shared_spans)
+    → the final publishable corpus with provenance.
+
+    Returns one row per KEPT document: (doc_id, cluster_id,
+    quality_score, n_tokens, removed_tokens, text) — text already has
+    cross-survivor verbatim spans cut (span kept in the lower-id
+    survivor). This is the frame a team would hand to tokenization.
+
+    Scale shape: strictly the composition of its parts — every stage is
+    the already-bounded operator; the only new work is one doc_id
+    equi-join between the keep-set and the documents table."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ck = canonical_keeper(spark, sf_dir)
+    kept_meta = ck.filter(F.col("keep") == 1).select(
+        "doc_id", "cluster_id", "quality_score"
+    )
+    kept_docs = docs.join(kept_meta.select("doc_id"), "doc_id")
+    rewritten = remove_shared_spans(kept_docs)
+    return (
+        rewritten.join(kept_meta, "doc_id")
+        .select(
+            "doc_id", "cluster_id", "quality_score",
+            "n_tokens", "removed_tokens", "text",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def curate_corpus_oracle() -> str:
+    """DuckDB twin: the canonical-keeper chain feeds a `kept_src`
+    relation, over which the span-rewrite chain runs — the full
+    pipeline value-checked end to end."""
+    return f"""
+    WITH RECURSIVE {_canonical_ctes()},
+    kept_src AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN ck ON d.doc_id = ck.doc_id AND ck.keep = 1
+    ),
+    {_span_rewrite_ctes("kept_src")}
+    SELECT b.doc_id, ck.cluster_id, ck.quality_score,
+           len(b.lt) AS n_tokens,
+           CAST(len(b.lt) - coalesce(a.n_kept, 0) AS INT) AS removed_tokens,
+           coalesce(a.new_text, '') AS text
+    FROM cut_base b
+    LEFT JOIN cut_agg a USING (doc_id)
+    JOIN ck ON b.doc_id = ck.doc_id
     ORDER BY b.doc_id
     """

@@ -150,3 +150,12 @@ def span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim spans cut, keeping one copy per pair (operators/dedup.py
     remove_shared_spans — merged-interval token filter, no explode)."""
     return _dedup.span_dedup_rewrite(spark, sf_dir)
+
+
+@register("curate_corpus", oracle=_dedup.curate_corpus_oracle())
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in one call: near-dup clusters ->
+    quality-aware canonical keeper -> verbatim-span removal among
+    survivors -> final publishable corpus with provenance
+    (operators/dedup.py curate_corpus)."""
+    return _dedup.curate_corpus(spark, sf_dir)

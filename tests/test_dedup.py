@@ -389,3 +389,17 @@ def test_remove_shared_spans_cuts_only_the_duplicate_copy(spark):
     assert out[2]["removed_tokens"] == 60 and span not in out[2]["text"]
     assert out[2]["n_tokens"] == 108 and len(out[2]["text"].split()) == 48
     assert out[3]["removed_tokens"] == 0 and out[3]["text"] == c
+
+
+def test_curate_corpus_composition_invariants(spark, sf_dir):
+    """curate_corpus output = exactly canonical_keeper's keep-set, with
+    every row's rewritten text consistent (kept tokens = n_tokens −
+    removed_tokens) and quality provenance carried through."""
+    out = {r["doc_id"]: r for r in dedup.curate_corpus(spark, sf_dir).collect()}
+    ck = {r["doc_id"]: r for r in dedup.canonical_keeper(spark, sf_dir).collect()}
+    assert set(out) == {d for d, r in ck.items() if r["keep"] == 1} and out
+    for d, r in out.items():
+        n_kept = len([t for t in r["text"].split(" ") if t]) if r["text"] else 0
+        assert n_kept == r["n_tokens"] - r["removed_tokens"], r
+        assert r["quality_score"] == ck[d]["quality_score"]
+        assert r["cluster_id"] == ck[d]["cluster_id"]
