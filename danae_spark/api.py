@@ -140,6 +140,8 @@ class DataLakeEngine:
             # broadcast twin is opt-in and row-count-guarded
             "embedding": _dedup.dedup_embedding_lsh,
             "embedding_exact": _dedup.dedup_embedding_cosine,
+            # exact-substring: maximal verbatim shared spans (r6)
+            "spans": _dedup.dedup_shared_spans,
         }
         return fns[method](self.spark, self.lake_dir, **kw)
 
@@ -147,6 +149,22 @@ class DataLakeEngine:
         """Connected-component cluster ids + keeper flags over dup pairs
         (defaults to the MinHash-LSH pair set)."""
         return _dedup.dedup_clusters(self.spark, self.lake_dir, pairs=pairs)
+
+    def canonical_keeper(self, pairs: DataFrame | None = None) -> DataFrame:
+        """Quality-aware canonical per near-dup cluster: keep the
+        highest-quality member, final keep = canonical AND quality pass."""
+        return _dedup.canonical_keeper(self.spark, self.lake_dir, pairs=pairs)
+
+    def remove_spans(self, docs: DataFrame, **kw) -> DataFrame:
+        """Rewrite docs with duplicated verbatim spans cut (one copy
+        kept per pair) — the actionable half of dedup('spans')."""
+        return _dedup.remove_shared_spans(docs, **kw)
+
+    def curate(self) -> DataFrame:
+        """The whole pipeline in one call: clusters -> quality-aware
+        canonical keeper -> span removal among survivors -> final
+        publishable corpus with provenance."""
+        return _dedup.curate_corpus(self.spark, self.lake_dir)
 
     def decontaminate(
         self, benchmark: DataFrame | None = None, n: int = _dedup.CONTAM_NGRAM, **kw

@@ -49,3 +49,17 @@ def test_engine_facade_profiling_paths(spark, sf_dir):
     for c in one:
         assert inc[c]["skewness"] == one[c]["skewness"], c
         assert inc[c]["avg_v"] == one[c]["avg_v"], c
+
+
+def test_engine_facade_curation_verbs(spark, sf_dir):
+    """The r6 curation verbs: span dedup, quality-aware canonical
+    keeping, span removal, and the one-call curate() composition."""
+    eng = DataLakeEngine(spark, sf_dir)
+    spans = eng.dedup("spans")
+    assert set(spans.columns) == {"doc_a", "doc_b", "a_start", "b_start", "span_tokens"}
+    ck = eng.canonical_keeper()
+    curated = eng.curate().collect()
+    keep = {r["doc_id"] for r in ck.collect() if r["keep"] == 1}
+    assert {r["doc_id"] for r in curated} == keep and keep
+    rewritten = eng.remove_spans(eng.table("documents").select("doc_id", "text"))
+    assert rewritten.count() == eng.table("documents").count()
