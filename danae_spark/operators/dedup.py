@@ -1150,21 +1150,7 @@ def shared_span_pairs(
     — which is keyed by document PAIR, so partitions stay small no
     matter the corpus size. No all-pairs work anywhere."""
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    toks = widen(docs, force=True).select(
-        "doc_id",
-        F.expr("filter(split(text, ' +'), t -> t <> '')").alias("t"),
-    ).filter(F.size("t") >= window)
-    # (doc_id, pos, h): hash of the k-token window starting at 1-based pos
-    hf = "xxhash64" if hash_fn == "xxhash64" else "md5"
-    win = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(t) - {window} + 1),"
-                f" i -> struct(i AS pos, {hf}(concat_ws(' ', slice(t, i, {window}))) AS h))"
-            )
-        ).alias("w"),
-    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    win = _window_hashes(docs, window, hash_fn)
     if df_cap is not None:
         hot = (
             win.groupBy("h").agg(F.count("*").alias("cnt"))
@@ -1180,8 +1166,32 @@ def shared_span_pairs(
         .select("doc_a", "doc_b", "pa", "pb")
         .distinct()
     )
-    # consecutive window matches on one diagonal = one span
-    # (gaps-and-islands: pa - row_number is constant within a run)
+    return _diagonal_spans(pairs, window, min_span)
+
+
+def _window_hashes(docs: DataFrame, window: int, hash_fn: str = "md5") -> DataFrame:
+    """(doc_id, pos, h): hash of the k-token window starting at 1-based
+    token position pos, for every start position (stride 1)."""
+    toks = widen(docs, force=True).select(
+        "doc_id",
+        F.expr("filter(split(text, ' +'), t -> t <> '')").alias("t"),
+    ).filter(F.size("t") >= window)
+    hf = "xxhash64" if hash_fn == "xxhash64" else "md5"
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {window} + 1),"
+                f" i -> struct(i AS pos, {hf}(concat_ws(' ', slice(t, i, {window}))) AS h))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+
+
+def _diagonal_spans(pairs: DataFrame, window: int, min_span: int) -> DataFrame:
+    """(doc_a, doc_b, pa, pb) window matches → maximal spans.
+    Consecutive matches on one diagonal = one span (gaps-and-islands:
+    pa - row_number is constant within a run)."""
     diag = (F.col("pa") - F.col("pb")).alias("diag")
     w = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     isl = pairs.select("doc_a", "doc_b", diag, "pa", "pb").withColumn(
@@ -1452,4 +1462,125 @@ def curate_corpus_oracle() -> str:
     LEFT JOIN cut_agg a USING (doc_id)
     JOIN ck ON b.doc_id = ck.doc_id
     ORDER BY b.doc_id
+    """
+
+
+# -------------------- span-level eval-set decontamination (cross-frame)
+
+CONTAM_SPAN_MIN = 13  # GPT-3's 13-gram verbatim-overlap convention
+
+
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = SPAN_WINDOW,
+    min_span: int = CONTAM_SPAN_MIN,
+    df_cap: int | None = SPAN_DF_CAP,
+    hash_fn: str = "md5",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """EXACT-SUBSTRING decontamination: maximal verbatim token spans a
+    corpus document shares with a benchmark/eval document (the GPT-3
+    13-gram overlap check, upgraded from set-overlap to positioned
+    maximal spans). Complements `contamination_check` (n-gram SET
+    overlap): this reports WHERE the leak is and how long it runs.
+
+    Returns (corpus_id, bench_id, c_start, b_start, span_tokens).
+    Benchmark side is broadcast by default (eval sets are tiny next to
+    a training corpus); the df cap bounds hot boilerplate windows on
+    the corpus side."""
+    corpus = corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    benchmark = benchmark.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    cw = _window_hashes(corpus, window, hash_fn)
+    if df_cap is not None:
+        hot = (
+            cw.groupBy("h").agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") > df_cap)
+            .select("h")
+        )
+        cw = cw.join(F.broadcast(hot), "h", "left_anti")
+    bw = _window_hashes(benchmark, window, hash_fn)
+    if broadcast_benchmark:
+        bw = F.broadcast(bw)
+    pairs = (
+        cw.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "h")
+        .join(bw.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "h"), "h")
+        .select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+    )
+    return _diagonal_spans(pairs, window, min_span).select(
+        F.col("doc_a").alias("corpus_id"),
+        F.col("doc_b").alias("bench_id"),
+        F.col("a_start").alias("c_start"),
+        F.col("b_start").alias("b_start"),
+        "span_tokens",
+    )
+
+
+def contamination_spans_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry point: documents with doc_id % BENCH_MOD == 0 as
+    the stand-in benchmark (same split as contamination_ngram), the rest
+    as the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return contamination_spans(
+        docs.filter(F.col("doc_id") % BENCH_MOD != 0),
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0),
+    )
+
+
+def contamination_spans_oracle(
+    window: int = SPAN_WINDOW,
+    min_span: int = CONTAM_SPAN_MIN,
+    df_cap: int = SPAN_DF_CAP,
+) -> str:
+    """DuckDB twin of contamination_spans_lake (cross-frame variant of
+    the span CTE chain; cap on the corpus side only, matching Spark)."""
+    return f"""
+    WITH corpus_toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS lt
+      FROM documents WHERE doc_id % {BENCH_MOD} <> 0
+    ),
+    bench_toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t <> '') AS lt
+      FROM documents WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    corpus_win AS (
+      SELECT doc_id, t.i AS pos,
+             md5(array_to_string(list_slice(lt, t.i, t.i + {window} - 1), ' ')) AS h
+      FROM corpus_toks, range(1, 8192) t(i)
+      WHERE len(lt) >= {window} AND t.i <= len(lt) - {window} + 1
+    ),
+    corpus_capped AS (
+      SELECT corpus_win.* FROM corpus_win WHERE h NOT IN (
+        SELECT h FROM corpus_win GROUP BY h HAVING count(*) > {df_cap})
+    ),
+    bench_win AS (
+      SELECT doc_id, t.i AS pos,
+             md5(array_to_string(list_slice(lt, t.i, t.i + {window} - 1), ' ')) AS h
+      FROM bench_toks, range(1, 8192) t(i)
+      WHERE len(lt) >= {window} AND t.i <= len(lt) - {window} + 1
+    ),
+    xpairs AS (
+      SELECT DISTINCT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+             c.pos AS pa, b.pos AS pb
+      FROM corpus_capped c JOIN bench_win b ON c.h = b.h
+    ),
+    xisl AS (
+      SELECT corpus_id, bench_id, pa - pb AS diag, pa, pb,
+             pa - row_number() OVER (
+               PARTITION BY corpus_id, bench_id, pa - pb ORDER BY pa) AS grp
+      FROM xpairs
+    ),
+    xspans AS (
+      SELECT corpus_id, bench_id, min(pa) AS c_start, min(pb) AS b_start,
+             max(pa) - min(pa) + {window} AS span_tokens
+      FROM xisl GROUP BY corpus_id, bench_id, diag, grp
+    )
+    SELECT corpus_id, bench_id, c_start, b_start, span_tokens
+    FROM xspans WHERE span_tokens >= {min_span}
+    ORDER BY corpus_id, bench_id, c_start, b_start
     """

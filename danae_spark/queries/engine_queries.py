@@ -159,3 +159,12 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors -> final publishable corpus with provenance
     (operators/dedup.py curate_corpus)."""
     return _dedup.curate_corpus(spark, sf_dir)
+
+
+@register("contamination_spans", oracle=_dedup.contamination_spans_oracle())
+def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level eval-set decontamination: positioned maximal verbatim
+    spans between corpus and benchmark docs (operators/dedup.py
+    contamination_spans — the GPT-3 13-gram check upgraded from set
+    overlap to located spans)."""
+    return _dedup.contamination_spans_lake(spark, sf_dir)

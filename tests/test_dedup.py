@@ -403,3 +403,32 @@ def test_curate_corpus_composition_invariants(spark, sf_dir):
         assert n_kept == r["n_tokens"] - r["removed_tokens"], r
         assert r["quality_score"] == ck[d]["quality_score"]
         assert r["cluster_id"] == ck[d]["cluster_id"]
+
+
+def test_contamination_spans_locates_planted_leak(spark):
+    """A benchmark sentence verbatim inside a corpus doc must surface
+    with its exact positions and length; clean docs produce nothing;
+    the span must NOT pair corpus docs with each other."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"c{i}" for i in range(4000)]
+    leak = " ".join(rng.choice(vocab) for _ in range(20))
+
+    def noise(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    corpus = spark.createDataFrame(
+        [(1, noise(30) + " " + leak + " " + noise(10)),  # leak at pos 31
+         (2, noise(60))],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, noise(5) + " " + leak)],                   # leak at pos 6
+        "doc_id long, text string",
+    )
+    out = dedup.contamination_spans(corpus, bench, window=10, min_span=13).collect()
+    assert len(out) == 1, out
+    r = out[0]
+    assert (r["corpus_id"], r["bench_id"]) == (1, 100)
+    assert r["span_tokens"] == 20 and r["c_start"] == 31 and r["b_start"] == 6
