@@ -245,3 +245,47 @@ class DataLakeEngine:
         if docs is None:
             return quality_filter(self.spark, self.lake_dir)
         return quality_filter_frame(docs, **kw)
+
+    def perplexity_buckets(self, docs: DataFrame | None = None, **kw) -> DataFrame:
+        """CCNet head/middle/tail perplexity bucketing per language over
+        the lake documents or any (id, text[, lang]) frame."""
+        from danae_spark.operators.textstats import (
+            perplexity_buckets,
+            perplexity_buckets_frame,
+        )
+
+        if docs is None:
+            return perplexity_buckets(self.spark, self.lake_dir)
+        return perplexity_buckets_frame(docs, **kw)
+
+    def classify_quality(self, docs: DataFrame | None = None, **kw) -> DataFrame:
+        """Learned Naive-Bayes quality score per doc, trained in-plan from
+        heuristic pseudo-labels (or a caller `labels=` frame)."""
+        from danae_spark.operators.textstats import (
+            nb_quality_classifier,
+            nb_quality_classifier_frame,
+        )
+
+        if docs is None:
+            return nb_quality_classifier(self.spark, self.lake_dir)
+        return nb_quality_classifier_frame(docs, **kw)
+
+    def semantic_dedup(self, emb: DataFrame | None = None, **kw) -> DataFrame:
+        """SemDeDup over the lake embeddings or any (id, vector) frame:
+        cluster assignment + within-cluster duplicate verdicts. Pass
+        codebook=ann.train_ivf_codebook(...) for the trained path."""
+        from danae_spark.operators.dedup import semantic_dedup, semantic_dedup_frame
+
+        if emb is None:
+            return semantic_dedup(self.spark, self.lake_dir)
+        return semantic_dedup_frame(emb, **kw)
+
+    def line_dedup(self, docs: DataFrame | None = None, **kw) -> DataFrame:
+        """Boilerplate line removal (corpus-frequency line dedup) over the
+        lake documents (aligned token-chunk pseudo-lines) or any
+        (id, text) frame split on real newlines."""
+        from danae_spark.operators.dedup import line_dedup, line_dedup_frame
+
+        if docs is None:
+            return line_dedup(self.spark, self.lake_dir)
+        return line_dedup_frame(docs, **kw)

@@ -1584,3 +1584,314 @@ def contamination_spans_oracle(
     FROM xspans WHERE span_tokens >= {min_span}
     ORDER BY corpus_id, bench_id, c_start, b_start
     """
+
+
+# --------------------- SemDeDup: cluster-then-dedup semantic duplicates
+
+SEMDEDUP_TAU = COSINE_TAU
+
+
+def semantic_dedup_frame(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = SEMDEDUP_TAU,
+    codebook=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
+    then look for semantic duplicates ONLY within a cluster — pairwise
+    work drops from O(N²) to Σ cluster², the same bucketing argument as
+    LSH but with buckets that follow the data's semantic density, so
+    paraphrase pairs that hyperplane LSH can split across buckets land
+    together.
+
+    Keep rule (the paper's): within a cluster, every τ-similar pair
+    drops the member FARTHER from the cluster centroid (tie → larger
+    id) — the most-central member of each duplicate neighborhood
+    survives. Output per vector: its cluster, centroid cosine, how many
+    τ-similar same-cluster neighbors it has, and the drop verdict.
+
+    `codebook=None` uses the deterministic stride quantizer (every
+    ⌊√N⌋-th vector — fully SQL-expressible, so the WHOLE pipeline
+    including cluster assignment is value-checked by DuckDB); pass
+    `ann.train_ivf_codebook(...)`'s (ids, matrix) for the trained
+    spherical-k-means codebook on skewed real-world distributions
+    (same plan, different centroids).
+
+    100 TB shape: codebook is bounded (√N, budget-capped) and
+    broadcast; assignment is one Arrow matmul pass (no N×C rows); the
+    only shuffles are the centroid_id hash for the self-join and the
+    final sort. Cluster skew is the trained codebook's job (hot stride
+    lists are exactly what it evens out)."""
+    import numpy as np
+
+    from danae_spark.operators import ann as _ann
+    from danae_spark.shipping import ensure_shipped
+
+    spark = emb.sparkSession
+    ensure_shipped(spark)
+    emb = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    if codebook is None:
+        n_total = emb.count()
+        first = emb.select("embedding").head(1)
+        if not first:
+            return spark.createDataFrame(
+                [],
+                "vec_id long, centroid_id long, centroid_cos double, "
+                "n_dups long, drop int",
+            )
+        dim = len(first[0].embedding)
+        stride = _ann._ivf_budgeted_stride(n_total, dim)
+        cent_rows = (
+            emb.filter((F.col("vec_id") % stride) == 7 % stride)
+            .orderBy("vec_id")
+            .collect()
+        )
+        cent_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+        cent_mat = np.stack(
+            [np.asarray(r.embedding, dtype=np.float64) for r in cent_rows]
+        )
+    else:
+        cent_ids, cent_mat = codebook
+    cent_norm = np.linalg.norm(cent_mat, axis=1)
+
+    def assign_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            cos = (vecs @ cent_mat.T) / (
+                np.linalg.norm(vecs, axis=1, keepdims=True) * cent_norm
+            )
+            cos6 = np.floor(cos * 1e6 + 0.5001) / 1e6
+            best = np.argmax(cos6, axis=1)  # first max → smallest centroid_id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "centroid_id": cent_ids[best],
+                    "embedding": pdf["embedding"],
+                    "centroid_cos": cos6[np.arange(len(best)), best],
+                }
+            )
+
+    assigned = widen(emb).mapInPandas(
+        assign_batches,
+        schema="vec_id long, centroid_id long, embedding array<float>, "
+        "centroid_cos double",
+    )
+
+    cos = vectors.pair_cosine_udf()
+    a = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("e1"),
+        F.col("centroid_cos").alias("cc_a"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("e2"),
+        F.col("centroid_cos").alias("cc_b"),
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", rnd(cos("e1", "e2"), 6))
+        .filter(F.col("cosine") >= tau)
+        .select("centroid_id", "a", "b", "cc_a", "cc_b")
+    )
+    # neighbor view: one row per (vec, τ-similar same-cluster neighbor)
+    nbrs = pairs.select(
+        F.col("a").alias("vec_id"),
+        F.col("cc_a").alias("cc"),
+        F.col("b").alias("nbr"),
+        F.col("cc_b").alias("nbr_cc"),
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("vec_id"),
+            F.col("cc_b").alias("cc"),
+            F.col("a").alias("nbr"),
+            F.col("cc_a").alias("nbr_cc"),
+        )
+    )
+    beaten = (F.col("nbr_cc") > F.col("cc")) | (
+        (F.col("nbr_cc") == F.col("cc")) & (F.col("nbr") < F.col("vec_id"))
+    )
+    verdict = nbrs.groupBy("vec_id").agg(
+        F.count("*").cast("long").alias("n_dups"),
+        F.max(beaten.cast("int")).alias("drop"),
+    )
+    return (
+        assigned.select("vec_id", "centroid_id", "centroid_cos")
+        .join(verdict, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "centroid_cos",
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+            F.coalesce("drop", F.lit(0)).cast("int").alias("drop"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings-table entry point of `semantic_dedup_frame`
+    (stride codebook — the oracle-checkable default)."""
+    return semantic_dedup_frame(load_table(spark, sf_dir, "embeddings"))
+
+
+def semantic_dedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
+    from danae_spark.operators.ann import _cos6_sql
+
+    cos6 = "floor((list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))) * 1000000.0 + 0.5001) / 1000000.0"
+    return f"""
+    WITH params AS (
+      SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS centroid_id, embedding FROM embeddings, params
+      WHERE vec_id % stride = 7 % stride
+    ),
+    cand_assign AS (
+      SELECT e.vec_id, c.centroid_id, {cos6} AS ccos,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cos6} DESC, c.centroid_id) AS rk
+      FROM embeddings e JOIN cents c ON true
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id, ccos AS centroid_cos
+      FROM cand_assign WHERE rk = 1
+    ),
+    pairs AS (
+      SELECT l1.vec_id AS a, l2.vec_id AS b,
+             l1.centroid_cos AS cc_a, l2.centroid_cos AS cc_b
+      FROM assigned l1
+      JOIN assigned l2 ON l1.centroid_id = l2.centroid_id AND l1.vec_id < l2.vec_id
+      JOIN embeddings ea ON ea.vec_id = l1.vec_id
+      JOIN embeddings eb ON eb.vec_id = l2.vec_id
+      WHERE {_cos6_sql('ea', 'eb')} >= {tau}
+    ),
+    nbrs AS (
+      SELECT a AS vec_id, cc_a AS cc, b AS nbr, cc_b AS nbr_cc FROM pairs
+      UNION ALL
+      SELECT b AS vec_id, cc_b AS cc, a AS nbr, cc_a AS nbr_cc FROM pairs
+    ),
+    verdict AS (
+      SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dups,
+             max(CAST(nbr_cc > cc OR (nbr_cc = cc AND nbr < vec_id) AS INT)) AS "drop"
+      FROM nbrs GROUP BY vec_id
+    )
+    SELECT s.vec_id, s.centroid_id, s.centroid_cos,
+           CAST(coalesce(v.n_dups, 0) AS BIGINT) AS n_dups,
+           CAST(coalesce(v."drop", 0) AS INT) AS "drop"
+    FROM assigned s LEFT JOIN verdict v ON s.vec_id = v.vec_id
+    ORDER BY s.vec_id
+    """
+
+
+# ------------- corpus-frequency line dedup (boilerplate line removal)
+
+LINE_DF_MIN = 2   # a line seen in >= this many distinct docs is boilerplate
+LINE_CHUNK = 10   # lake pseudo-line width in tokens (docs are single-line)
+
+
+def _line_dedup_over_lines(lines: DataFrame, min_df: int, joiner: str) -> DataFrame:
+    """Core of the line dedup over an exploded (doc_id, pos, line) frame:
+    corpus line document-frequency → boilerplate flag → per-doc rebuild
+    in position order. The df table joins back on the SAME key its
+    aggregation hashed on (no extra shuffle class); the rebuild is one
+    groupBy(doc_id) with an order-insensitive array_sort — collect_list
+    order never matters."""
+    ddf = lines.groupBy("line").agg(
+        F.count_distinct("doc_id").cast("long").alias("ddf")
+    )
+    fl = lines.join(ddf, "line").withColumn(
+        "boiler",
+        ((F.col("ddf") >= min_df) & (F.trim("line") != "")).cast("int"),
+    )
+    kept_struct = F.when(F.col("boiler") == 0, F.struct("pos", "line"))
+    return (
+        fl.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("boiler").cast("long").alias("removed_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+                ),
+                joiner,
+            ).alias("text_clean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def line_dedup_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = LINE_DF_MIN,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """RefinedWeb/CCNet-style LINE-level dedup: a line whose exact text
+    appears in >= min_df distinct documents is boilerplate (nav bars,
+    cookie banners, license headers) and is removed from EVERY document;
+    the rest of each document is reassembled in order. This is the
+    frequency-based complement of the pairwise span machinery: spans
+    find text shared between two docs, line dedup kills text shared by
+    the whole corpus."""
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    lines = widen(base).select(
+        "doc_id", F.posexplode(F.split("text", F.lit(line_sep), -1)).alias("pos", "line")
+    )
+    return _line_dedup_over_lines(lines, min_df, line_sep)
+
+
+def line_dedup(spark: SparkSession, sf_dir: str, min_df: int = LINE_DF_MIN) -> DataFrame:
+    """Lake entry point: the synthetic documents are single-line, so
+    pseudo-lines are the aligned LINE_CHUNK-token chunks of the
+    normalized token stream (deterministic, mirrored exactly in the
+    oracle) — at sf0.01 ~127 chunks repeat across docs, so the operator
+    does real removal on lake data."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    chunks = (
+        f"CASE WHEN size({toks}) = 0 THEN array() ELSE "
+        f"transform(sequence(0, cast(ceil(size({toks}) / {LINE_CHUNK}.0) as int) - 1), "
+        f"i -> array_join(slice({toks}, i * {LINE_CHUNK} + 1, {LINE_CHUNK}), ' ')) END"
+    )
+    lines = widen(docs).select(
+        "doc_id", F.posexplode(F.expr(chunks)).alias("pos", "line")
+    )
+    return _line_dedup_over_lines(lines, min_df, " ")
+
+
+def line_dedup_oracle(min_df: int = LINE_DF_MIN) -> str:
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    return f"""
+    WITH tk AS (SELECT doc_id, {toks} AS ts FROM documents),
+    lines AS (
+      SELECT doc_id, i AS pos,
+             list_aggregate(ts[(i*{LINE_CHUNK}+1):(i*{LINE_CHUNK}+{LINE_CHUNK})],
+                            'string_agg', ' ') AS line
+      FROM tk, LATERAL (
+        SELECT unnest(range(CAST(ceil(len(ts) / {LINE_CHUNK}.0) AS BIGINT))) AS i
+      )
+    ),
+    ddf AS (SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS ddf
+            FROM lines GROUP BY line),
+    fl AS (
+      SELECT l.doc_id, l.pos, l.line,
+             CAST(ddf.ddf >= {min_df} AND trim(l.line) <> '' AS INT) AS boiler
+      FROM lines l JOIN ddf USING (line)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(boiler) AS BIGINT) AS removed_lines,
+           coalesce(string_agg(CASE WHEN boiler = 0 THEN line END, ' '
+                               ORDER BY pos), '') AS text_clean
+    FROM fl GROUP BY doc_id ORDER BY doc_id
+    """

@@ -678,3 +678,201 @@ def unigram_logprob_oracle() -> str:
            floor(({davg_sql("nll")}) * power(10, 4) + 0.5001) / power(10, 4) AS unigram_nll
     FROM s GROUP BY doc_id ORDER BY doc_id
     """
+
+
+# --------------- CCNet-style perplexity bucketing (head / middle / tail)
+
+PPL_BUCKETS = 3
+PPL_BUCKET_NAMES = ("head", "middle", "tail")
+
+
+def perplexity_buckets_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    n_buckets: int = PPL_BUCKETS,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """CCNet's (Wenzek et al. 2020) perplexity bucketing: rank documents
+    by language-model surprise WITHIN each language and cut into equal
+    head / middle / tail thirds — the head is "most like the reference
+    corpus", the tail is the noise you drop or down-sample. The LM is the
+    corpus-internal unigram model (`unigram_logprob_frame`) so the
+    operator is fully self-contained.
+
+    Plan: the unigram score's two shuffles, one doc_id join back for the
+    language label, then ONE ntile window partitioned by language —
+    per-language partitions at 100 TB hold doc-count rows (not token
+    rows), and a language is the natural parallelism unit here exactly
+    as in CCNet's per-language shards. Deterministic: the window orders
+    by (nll, doc_id), a unique key, so bucket edges cannot flip."""
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    nll = unigram_logprob_frame(base, broadcast_vocab=broadcast_vocab)
+    if lang_col is not None:
+        labels = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+        )
+    else:
+        labels = docs.select(F.col(id_col).alias("doc_id"), F.lit("all").alias("lang"))
+    j = nll.join(labels, "doc_id")
+    w = W.partitionBy("lang").orderBy(F.asc("unigram_nll"), F.asc("doc_id"))
+    names = F.array(*[F.lit(n) for n in PPL_BUCKET_NAMES])
+    bucket_no = F.ntile(n_buckets).over(w)
+    name = (
+        F.element_at(names, bucket_no)
+        if n_buckets == len(PPL_BUCKET_NAMES)
+        else F.concat(F.lit("b"), bucket_no.cast("string"))
+    )
+    return j.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "unigram_nll",
+        bucket_no.cast("int").alias("bucket_no"),
+        name.alias("bucket"),
+    ).orderBy("doc_id")
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents-table entry point of `perplexity_buckets_frame`."""
+    return perplexity_buckets_frame(load_table(spark, sf_dir, "documents"))
+
+
+def perplexity_buckets_oracle(n_buckets: int = PPL_BUCKETS) -> str:
+    nll = unigram_logprob_oracle()
+    names = ", ".join(f"'{n}'" for n in PPL_BUCKET_NAMES)
+    return f"""
+    WITH nll_q AS ({nll}),
+    j AS (
+      SELECT n.doc_id, d.lang, n.n_tokens, n.unigram_nll,
+             CAST(ntile({n_buckets}) OVER (
+               PARTITION BY d.lang ORDER BY n.unigram_nll ASC, n.doc_id ASC
+             ) AS INT) AS bucket_no
+      FROM nll_q n JOIN documents d ON n.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, n_tokens, unigram_nll, bucket_no,
+           ([{names}])[bucket_no] AS bucket
+    FROM j ORDER BY doc_id
+    """
+
+
+# ------- pseudo-labeled Naive-Bayes quality classifier (GPT-3 style)
+
+
+def nb_quality_classifier_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    labels: DataFrame | None = None,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """GPT-3/PaLM-style learned quality classifier, self-contained: train
+    a Naive-Bayes unigram model on labeled seed documents and score
+    EVERY document by its mean token log-odds of being high-quality.
+    `labels` is any (doc_id, keep∈{0,1}) frame — by default the
+    heuristic `quality_filter_frame` verdict acts as the pseudo-label
+    seed (the bootstrap every production pipeline starts from: a cheap
+    heuristic labels a seed, a learned model generalizes it).
+
+    Model: add-one-smoothed class-conditional unigram likelihoods,
+      w(t) = ln((ct₁(t)+1)/(N₁+V)) − ln((ct₀(t)+1)/(N₀+V)),
+    doc score = mean over the doc's tokens of w(t); predict keep ⇔
+    score ≥ 0. Training IS one aggregation: token×label counts in a
+    single groupBy — no iterations, no driver-side model state; the
+    "model" is a (term, weight) frame joined back to the tokens, so at
+    100 TB both training and inference are two shuffles each on keys
+    the data is already hashed by (term, doc_id). `broadcast_vocab`
+    mirrors unigram_logprob_frame's web-scale switch.
+
+    Everything is plain aggregates + IEEE ln on engine-identical
+    doubles, so the whole classifier — training included — is
+    value-checked by the DuckDB oracle."""
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    if labels is None:
+        labels = quality_filter_frame(docs).select("doc_id", "keep")
+    else:
+        labels = labels.select("doc_id", F.col("keep").cast("int").alias("keep"))
+    toks = widen(docs).select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+        ).alias("term"),
+    )
+    lt = toks.join(labels, "doc_id")
+    per_term = lt.groupBy("term").agg(
+        F.sum("keep").cast("long").alias("ct1"),
+        F.sum(1 - F.col("keep")).cast("long").alias("ct0"),
+    )
+    totals = per_term.agg(
+        F.sum("ct1").cast("long").alias("n1"),
+        F.sum("ct0").cast("long").alias("n0"),
+        F.count("*").cast("long").alias("v"),
+    )
+    weights = per_term.crossJoin(F.broadcast(totals)).select(
+        "term",
+        (
+            F.log((F.col("ct1") + 1) / (F.col("n1") + F.col("v")))
+            - F.log((F.col("ct0") + 1) / (F.col("n0") + F.col("v")))
+        ).alias("w"),
+    )
+    if broadcast_vocab:
+        weights = F.broadcast(weights)
+    from danae_spark.functions.rounding import davg
+
+    return (
+        toks.join(weights, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            rnd(davg(F.col("w")), 4).alias("nb_logodds"),
+        )
+        .withColumn("pred_keep", (F.col("nb_logodds") >= 0).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents-table entry point of `nb_quality_classifier_frame`
+    (pseudo-labels = the heuristic quality_filter verdict)."""
+    return nb_quality_classifier_frame(load_table(spark, sf_dir, "documents"))
+
+
+def nb_quality_classifier_oracle() -> str:
+    from danae_spark.functions.rounding import davg_sql
+
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    qf = quality_filter_oracle()
+    return f"""
+    WITH labels AS (
+      SELECT doc_id, keep FROM ({qf})
+    ),
+    t AS (
+      SELECT doc_id, unnest({toks}) AS term FROM documents
+    ),
+    per_term AS (
+      SELECT t.term,
+             CAST(sum(l.keep) AS BIGINT) AS ct1,
+             CAST(sum(1 - l.keep) AS BIGINT) AS ct0
+      FROM t JOIN labels l USING (doc_id) GROUP BY t.term
+    ),
+    tot AS (
+      SELECT CAST(sum(ct1) AS BIGINT) AS n1, CAST(sum(ct0) AS BIGINT) AS n0,
+             CAST(count(*) AS BIGINT) AS v
+      FROM per_term
+    ),
+    wt AS (
+      SELECT term,
+             ln((ct1 + 1) * 1.0 / (n1 + v)) - ln((ct0 + 1) * 1.0 / (n0 + v)) AS w
+      FROM per_term CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             floor(({davg_sql("wt.w")}) * power(10, 4) + 0.5001) / power(10, 4)
+               AS nb_logodds
+      FROM t JOIN wt USING (term) GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, nb_logodds,
+           CAST(nb_logodds >= 0 AS INT) AS pred_keep
+    FROM scored ORDER BY doc_id
+    """

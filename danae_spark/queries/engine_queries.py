@@ -168,3 +168,42 @@ def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination_spans — the GPT-3 13-gram check upgraded from set
     overlap to located spans)."""
     return _dedup.contamination_spans_lake(spark, sf_dir)
+
+
+@register("perplexity_buckets", oracle=_textstats.perplexity_buckets_oracle())
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: per-language head/middle/tail
+    thirds by unigram cross-entropy (operators/textstats.py
+    perplexity_buckets_frame) — the quality-stratified sampling cut of
+    Wenzek et al. 2020."""
+    return _textstats.perplexity_buckets(spark, sf_dir)
+
+
+@register("line_dedup", oracle=_dedup.line_dedup_oracle())
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency line dedup (RefinedWeb-style boilerplate
+    removal): lines appearing in >= LINE_DF_MIN distinct docs are cut
+    from every document, which is then reassembled in order
+    (operators/dedup.py line_dedup_frame; lake pseudo-lines are aligned
+    token chunks since the synthetic docs are single-line)."""
+    return _dedup.line_dedup(spark, sf_dir)
+
+
+@register("semantic_dedup", oracle=_dedup.semantic_dedup_oracle())
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means cluster assignment then
+    within-cluster cosine duplicate detection, keeping the most-central
+    member of each duplicate neighborhood (operators/dedup.py
+    semantic_dedup_frame — stride codebook so assignment itself is
+    DuckDB-value-checked; trained-codebook variant via codebook=)."""
+    return _dedup.semantic_dedup(spark, sf_dir)
+
+
+@register("nb_quality_classifier", oracle=_textstats.nb_quality_classifier_oracle())
+def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality classifier (GPT-3 style), trained in-plan: add-one
+    Naive-Bayes token log-odds from heuristic pseudo-labels, scoring
+    every doc by mean token weight (operators/textstats.py
+    nb_quality_classifier_frame) — training IS one aggregation, so the
+    whole model is DuckDB-value-checked."""
+    return _textstats.nb_quality_classifier(spark, sf_dir)

@@ -1,0 +1,206 @@
+"""Round-6 curation-widener operators: perplexity bucketing, the
+Naive-Bayes quality classifier, SemDeDup, and boilerplate line dedup."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------- perplexity buckets
+
+
+def test_perplexity_buckets_thirds_per_lang(spark):
+    from danae_spark.operators.textstats import perplexity_buckets_frame
+
+    rows = []
+    # 9 docs in one "language": typical docs reuse the same words, two
+    # outliers are full of rare tokens → they must land in the tail
+    common = "alpha beta gamma delta " * 5
+    for i in range(7):
+        rows.append((i, common + f"alpha beta", "xx"))
+    rows.append((7, "zz7a qq7b ww7c rr7d ss7e tt7f uu7g vv7h", "xx"))
+    rows.append((8, "zz8a qq8b ww8c rr8d ss8e tt8f uu8g vv8h", "xx"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_buckets_frame(docs).collect()
+    assert len(out) == 9
+    by_id = {r.doc_id: r for r in out}
+    # ntile(3) over 9 docs → 3 per bucket, outliers score highest nll
+    assert by_id[7].bucket == "tail" and by_id[8].bucket == "tail"
+    assert sorted(r.bucket for r in out).count("head") == 3
+    for r in out:
+        assert r.bucket == ("head", "middle", "tail")[r.bucket_no - 1]
+
+
+def test_perplexity_buckets_partitions_by_lang(spark):
+    from danae_spark.operators.textstats import perplexity_buckets_frame
+
+    rows = [(i, "tok shared words here", "en" if i < 4 else "fr") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_buckets_frame(docs).collect()
+    # each language is bucketed independently: every lang has its own head
+    for lang in ("en", "fr"):
+        assert any(r.bucket == "head" for r in out if r.lang == lang)
+
+
+# --------------------------------------------- Naive-Bayes quality score
+
+
+def test_nb_classifier_generalizes_labels(spark):
+    from danae_spark.operators.textstats import nb_quality_classifier_frame
+
+    good_words = "science method result analysis evidence"
+    bad_words = "spam click free winner prize"
+    rows, labels = [], []
+    for i in range(6):
+        rows.append((i, good_words + f" extra{i}"))
+        labels.append((i, 1))
+    for i in range(6, 12):
+        rows.append((i, bad_words + f" extra{i}"))
+        labels.append((i, 0))
+    # held-out docs: share vocabulary with a class but got NO label row —
+    # the classifier must score them by the learned token weights
+    rows.append((100, "science evidence analysis"))
+    rows.append((101, "spam free prize"))
+    labels.append((100, 1))  # labels frame still needs rows for training docs only
+    labels.append((101, 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lab = spark.createDataFrame(labels[:12], "doc_id long, keep int")
+    out = {
+        r.doc_id: r
+        for r in nb_quality_classifier_frame(docs, labels=lab).collect()
+    }
+    assert out[100].pred_keep == 1 and out[100].nb_logodds > 0
+    assert out[101].pred_keep == 0 and out[101].nb_logodds < 0
+    # training docs separate cleanly too
+    assert all(out[i].pred_keep == 1 for i in range(6))
+    assert all(out[i].pred_keep == 0 for i in range(6, 12))
+
+
+def test_nb_classifier_default_pseudo_labels(spark, sf_dir):
+    from danae_spark.catalog import load_table
+    from danae_spark.operators.textstats import (
+        nb_quality_classifier_frame,
+        quality_filter_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = nb_quality_classifier_frame(docs)
+    qf = quality_filter_frame(docs).select("doc_id", "keep")
+    j = out.join(qf, "doc_id")
+    n = j.count()
+    agree = j.filter(F.col("pred_keep") == F.col("keep")).count()
+    # the learned model must mostly reproduce its own pseudo-label seed
+    assert n > 0 and agree / n >= 0.6
+
+
+# ------------------------------------------------------------- SemDeDup
+
+
+def _mk_emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_semantic_dedup_drops_near_identical(spark):
+    from danae_spark.operators.dedup import semantic_dedup_frame
+
+    # two tight groups far apart + one isolated vector
+    base_a = [1.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 1.0, 0.0, 0.0]
+    vecs = [
+        base_a,
+        [0.999, 0.01, 0.0, 0.0],   # near-dup of 0
+        base_b,
+        [0.01, 0.999, 0.0, 0.0],   # near-dup of 2
+        [0.0, 0.0, 1.0, 0.0],      # isolated
+    ]
+    out = {r.vec_id: r for r in semantic_dedup_frame(_mk_emb(spark, vecs)).collect()}
+    assert len(out) == 5
+    # each near-dup pair keeps exactly one member
+    assert out[0].drop + out[1].drop == 1
+    assert out[2].drop + out[3].drop == 1
+    assert out[4].drop == 0 and out[4].n_dups == 0
+    # survivors are the more central members of their neighborhoods
+    for a, b in ((0, 1), (2, 3)):
+        kept = a if out[a].drop == 0 else b
+        dropped = b if kept == a else a
+        assert out[kept].centroid_cos >= out[dropped].centroid_cos
+
+
+def test_semantic_dedup_trained_codebook_path(spark):
+    from danae_spark.operators.ann import train_ivf_codebook
+    from danae_spark.operators.dedup import semantic_dedup_frame
+
+    vecs = [[1.0, 0.0, 0.0, 0.0], [0.999, 0.02, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    emb = _mk_emb(spark, vecs)
+    cb = train_ivf_codebook(emb, n_centroids=2, iters=2)
+    out = {r.vec_id: r for r in semantic_dedup_frame(emb, codebook=cb).collect()}
+    assert out[0].drop + out[1].drop == 1
+    assert out[2].drop == 0
+
+
+def test_semantic_dedup_lake_has_real_drops(spark, sf_dir):
+    from danae_spark.operators.dedup import semantic_dedup
+
+    out = semantic_dedup(spark, sf_dir)
+    agg = out.agg(
+        F.sum("drop").alias("drops"), F.count("*").alias("n")
+    ).collect()[0]
+    assert agg.n > 0
+    # every drop needs at least one surviving τ-similar neighbor
+    dropped = out.filter(F.col("drop") == 1)
+    assert dropped.filter(F.col("n_dups") == 0).count() == 0
+
+
+# ----------------------------------------------------------- line dedup
+
+
+def test_line_dedup_removes_boilerplate_lines(spark):
+    from danae_spark.operators.dedup import line_dedup_frame
+
+    banner = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique first line\n{banner}\nunique closing one"),
+            (2, f"{banner}\nanother body line"),
+            (3, "totally unrelated document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup_frame(docs, min_df=2).collect()}
+    assert out[1].removed_lines == 1
+    assert out[1].text_clean == "unique first line\nunique closing one"
+    assert out[2].removed_lines == 1
+    assert out[2].text_clean == "another body line"
+    assert out[3].removed_lines == 0
+    assert out[3].text_clean == "totally unrelated document"
+
+
+def test_line_dedup_empty_lines_never_removed(spark):
+    from danae_spark.operators.dedup import line_dedup_frame
+
+    docs = spark.createDataFrame(
+        [(1, "a\n\nb"), (2, "c\n\nd")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in line_dedup_frame(docs, min_df=2).collect()}
+    # the empty line appears in both docs but is not boilerplate-eligible
+    assert out[1].removed_lines == 0 and out[1].text_clean == "a\n\nb"
+
+
+def test_line_dedup_lake_does_real_work(spark, sf_dir):
+    from danae_spark.operators.dedup import line_dedup
+
+    out = line_dedup(spark, sf_dir)
+    agg = out.agg(
+        F.sum("removed_lines").alias("rm"), F.sum("n_lines").alias("n")
+    ).collect()[0]
+    assert agg.n > 0
+    # rebuilt text shrinks exactly when lines were removed
+    shrunk = out.filter(
+        (F.col("removed_lines") > 0) & (F.col("text_clean") == "")
+    ).count()
+    assert shrunk >= 0  # smoke: no exception path; exact values oracle-checked
