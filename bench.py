@@ -58,6 +58,10 @@ HEADLINE = [
     # round-6 additions
     "dedup_shared_spans",
     "canonical_keeper",
+    "semantic_dedup",
+    "line_dedup",
+    "nb_quality_classifier",
+    "perplexity_buckets",
 ]
 
 

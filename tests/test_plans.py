@@ -158,3 +158,47 @@ def test_q20_part_filter_broadcast_semi(spark, sf_dir):
     plan = audit.physical_plan(df)
     assert "LeftSemi, BuildRight" in plan or "BroadcastHashJoin" in plan, plan
     audit.assert_no_cartesian(df)
+
+
+def test_semantic_dedup_no_cartesian_pairs(spark, sf_dir):
+    # the within-cluster self-join must be a hash join on centroid_id,
+    # never an all-pairs cartesian — that's the whole SemDeDup argument
+    df = REGISTRY["semantic_dedup"].fn(spark, sf_dir)
+    audit.assert_no_cartesian(df)
+
+
+def test_nb_classifier_broadcasts_vocab(spark, sf_dir):
+    # default mode: the (term, weight) model joins back as a broadcast;
+    # token-side rows never shuffle for the scoring join
+    df = REGISTRY["nb_quality_classifier"].fn(spark, sf_dir)
+    strategies = audit.join_strategies(df)
+    assert "BroadcastHashJoin" in strategies, strategies
+    audit.assert_no_cartesian(df)
+
+
+def test_nb_classifier_web_scale_switch_shuffle_join(spark, sf_dir):
+    from danae_spark.catalog import load_table
+    from danae_spark.operators.textstats import nb_quality_classifier_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    # broadcast_vocab=False removes the FORCED broadcast hint; Catalyst
+    # may still auto-broadcast a small vocab from size estimates. Simulate
+    # a 100 TB vocab (estimates above every threshold) by disabling
+    # auto-broadcast: the scoring join must then plan as a shuffle join —
+    # with the hint it would stay broadcast no matter what.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = nb_quality_classifier_frame(docs, broadcast_vocab=False)
+        strategies = audit.join_strategies(df)
+        assert any(
+            s in ("SortMergeJoin", "ShuffledHashJoin") for s in strategies
+        ), strategies
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_line_dedup_no_cartesian(spark, sf_dir):
+    df = REGISTRY["line_dedup"].fn(spark, sf_dir)
+    audit.assert_no_cartesian(df)
