@@ -1799,17 +1799,28 @@ LINE_DF_MIN = 2   # a line seen in >= this many distinct docs is boilerplate
 LINE_CHUNK = 10   # lake pseudo-line width in tokens (docs are single-line)
 
 
-def _line_dedup_over_lines(lines: DataFrame, min_df: int, joiner: str) -> DataFrame:
+def _line_dedup_over_lines(
+    lines: DataFrame, min_df: int, joiner: str, hash_join: bool = False
+) -> DataFrame:
     """Core of the line dedup over an exploded (doc_id, pos, line) frame:
     corpus line document-frequency → boilerplate flag → per-doc rebuild
     in position order. The df table joins back on the SAME key its
     aggregation hashed on (no extra shuffle class); the rebuild is one
     groupBy(doc_id) with an order-insensitive array_sort — collect_list
-    order never matters."""
-    ddf = lines.groupBy("line").agg(
+    order never matters.
+
+    `hash_join=True` is the 100 TB throughput switch: the df aggregation
+    and the join back carry a 64-bit xxhash64 of the line instead of the
+    line text itself — at web scale the line strings dominate the two
+    shuffles' bytes, and an 8-byte key cuts them by ~10×. A 64-bit
+    collision silently merges two lines' df counts (can only OVER-remove,
+    ~N²/2⁶⁵ odds); the registered oracle entry keeps the exact string
+    key so the value-check stays collision-free."""
+    key = F.xxhash64("line") if hash_join else F.col("line")
+    ddf = lines.groupBy(key.alias("k")).agg(
         F.count_distinct("doc_id").cast("long").alias("ddf")
     )
-    fl = lines.join(ddf, "line").withColumn(
+    fl = lines.withColumn("k", key).join(ddf, "k").withColumn(
         "boiler",
         ((F.col("ddf") >= min_df) & (F.trim("line") != "")).cast("int"),
     )
@@ -1836,6 +1847,7 @@ def line_dedup_frame(
     text_col: str = "text",
     min_df: int = LINE_DF_MIN,
     line_sep: str = "\n",
+    hash_join: bool = False,
 ) -> DataFrame:
     """RefinedWeb/CCNet-style LINE-level dedup: a line whose exact text
     appears in >= min_df distinct documents is boilerplate (nav bars,
@@ -1843,12 +1855,13 @@ def line_dedup_frame(
     the rest of each document is reassembled in order. This is the
     frequency-based complement of the pairwise span machinery: spans
     find text shared between two docs, line dedup kills text shared by
-    the whole corpus."""
+    the whole corpus. `hash_join=True` shuffles 8-byte line hashes
+    instead of line text (see _line_dedup_over_lines)."""
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     lines = widen(base).select(
         "doc_id", F.posexplode(F.split("text", F.lit(line_sep), -1)).alias("pos", "line")
     )
-    return _line_dedup_over_lines(lines, min_df, line_sep)
+    return _line_dedup_over_lines(lines, min_df, line_sep, hash_join=hash_join)
 
 
 def line_dedup(spark: SparkSession, sf_dir: str, min_df: int = LINE_DF_MIN) -> DataFrame:

@@ -204,3 +204,28 @@ def test_line_dedup_lake_does_real_work(spark, sf_dir):
         (F.col("removed_lines") > 0) & (F.col("text_clean") == "")
     ).count()
     assert shrunk >= 0  # smoke: no exception path; exact values oracle-checked
+
+
+def test_line_dedup_hash_join_parity(spark, sf_dir):
+    from danae_spark.catalog import load_table
+    from danae_spark.operators.dedup import line_dedup_frame
+
+    banner = "all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"body one\n{banner}"),
+            (2, f"{banner}\nbody two"),
+            (3, "free text"),
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, line_dedup_frame(docs, min_df=2).collect()))
+    b = sorted(map(tuple, line_dedup_frame(docs, min_df=2, hash_join=True).collect()))
+    assert a == b
+    # and on real lake text via the chunked entry's core
+    lake = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    la = sorted(map(tuple, line_dedup_frame(lake, line_sep=" ").collect()))
+    lb = sorted(
+        map(tuple, line_dedup_frame(lake, line_sep=" ", hash_join=True).collect())
+    )
+    assert la == lb
