@@ -62,6 +62,7 @@ HEADLINE = [
     "line_dedup",
     "nb_quality_classifier",
     "perplexity_buckets",
+    "doc_embedding",
 ]
 
 

@@ -289,3 +289,19 @@ class DataLakeEngine:
         if docs is None:
             return line_dedup(self.spark, self.lake_dir)
         return line_dedup_frame(docs, **kw)
+
+    def doc_embeddings(self, docs: DataFrame | None = None, **kw) -> DataFrame:
+        """Hashed bag-of-words document embeddings over the lake documents
+        or any (id, text) frame — the no-encoder text→vector bridge."""
+        from danae_spark.operators.textstats import doc_embedding, doc_embedding_frame
+
+        if docs is None:
+            return doc_embedding(self.spark, self.lake_dir)
+        return doc_embedding_frame(docs, **kw)
+
+    def semantic_dedup_text(self, docs: DataFrame, **kw) -> DataFrame:
+        """SemDeDup for a text-only corpus: hashed doc embeddings piped
+        into cluster-then-dedup verdicts."""
+        from danae_spark.operators.textstats import semantic_dedup_text_frame
+
+        return semantic_dedup_text_frame(docs, **kw)

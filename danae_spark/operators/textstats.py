@@ -876,3 +876,125 @@ def nb_quality_classifier_oracle() -> str:
            CAST(nb_logodds >= 0 AS INT) AS pred_keep
     FROM scored ORDER BY doc_id
     """
+
+
+# ------------- hashed bag-of-words document embeddings (text → vector)
+
+DOC_EMB_DIMS = 16
+
+
+def doc_embedding_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = DOC_EMB_DIMS,
+    as_array: bool = False,
+) -> DataFrame:
+    """Deterministic hashed bag-of-words document embedding: each DISTINCT
+    term gets a dims-dim md5-derived pseudo-vector (the engine's
+    portable stand-in convention, profiling/tfidf.py
+    categorical_column_embeddings), and a document's vector is the mean
+    over its token stream (tf-weighted by construction since tokens
+    repeat). This is the text→vector bridge that lets a text-only corpus
+    use the embedding operator family (semantic_dedup, ANN, quantize)
+    with no external encoder — swap in a real encoder by joining any
+    (term, vector) table instead, exactly like the GloVe plug point.
+
+    Scale shape: the per-term vectors are computed ONCE on the distinct
+    vocabulary (a term-keyed aggregate, not per token), joined back
+    broadcast; the doc mean is one groupBy(doc_id). Two shuffles total,
+    everything codegen.
+
+    `as_array=True` returns (doc_id, n_tokens, embedding array<float>)
+    for composition into the vector operators; the default scalar
+    columns e0..e{dims-1} are the registered oracle layout."""
+    from danae_spark.functions.rounding import davg
+
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    toks = widen(docs).select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+        ).alias("term"),
+    )
+    dim_cols = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("term"), F.lit(f"#d{i}"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2000
+            / 1000.0
+            - 1.0
+        ).alias(f"e{i}")
+        for i in range(dims)
+    ]
+    vocab = toks.select("term").distinct().select("term", *dim_cols)
+    joined = toks.join(F.broadcast(vocab), "term")
+    agg = joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        *[rnd(davg(F.col(f"e{i}")), 6).alias(f"e{i}") for i in range(dims)],
+    )
+    if as_array:
+        arr = F.array(*[F.col(f"e{i}").cast("float") for i in range(dims)])
+        return agg.select("doc_id", "n_tokens", arr.alias("embedding")).orderBy(
+            "doc_id"
+        )
+    return agg.orderBy("doc_id")
+
+
+def doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents-table entry point of `doc_embedding_frame`."""
+    return doc_embedding_frame(load_table(spark, sf_dir, "documents"))
+
+
+def doc_embedding_oracle(dims: int = DOC_EMB_DIMS) -> str:
+    from danae_spark.functions.rounding import davg_sql
+
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    dim_defs = ", ".join(
+        f"('0x' || substr(md5(term || '#d{i}'), 1, 8))::BIGINT % 2000"
+        f" / 1000.0 - 1.0 AS e{i}"
+        for i in range(dims)
+    )
+    dim_aggs = ", ".join(
+        f"floor(({davg_sql(f'v.e{i}')}) * power(10, 6) + 0.5001) / power(10, 6)"
+        f" AS e{i}"
+        for i in range(dims)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, unnest({toks}) AS term FROM documents
+    ),
+    vocab AS (
+      SELECT term, {dim_defs} FROM (SELECT DISTINCT term FROM t)
+    )
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, {dim_aggs}
+    FROM t JOIN vocab v USING (term)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """
+
+
+def semantic_dedup_text_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = DOC_EMB_DIMS,
+    tau: float = 0.9,
+    codebook=None,
+) -> DataFrame:
+    """SemDeDup for a TEXT-ONLY corpus: hashed bag-of-words doc
+    embeddings (doc_embedding_frame) piped into the cluster-then-dedup
+    verdicts (operators/dedup.py semantic_dedup_frame). τ defaults
+    higher than the raw-embedding default because hashed-BoW cosine of
+    unrelated docs concentrates well above random-vector cosine (shared
+    stopword mass); 0.9 ≈ near-identical token distributions."""
+    from danae_spark.operators.dedup import semantic_dedup_frame
+
+    emb = doc_embedding_frame(
+        docs, id_col=id_col, text_col=text_col, dims=dims, as_array=True
+    )
+    return semantic_dedup_frame(
+        emb, id_col="doc_id", vec_col="embedding", tau=tau, codebook=codebook
+    )

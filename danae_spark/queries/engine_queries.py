@@ -170,6 +170,15 @@ def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.contamination_spans_lake(spark, sf_dir)
 
 
+@register("doc_embedding", oracle=_textstats.doc_embedding_oracle())
+def doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words document embeddings — the text→vector bridge
+    feeding semantic_dedup / ANN / quantize for corpora with no encoder
+    (operators/textstats.py doc_embedding_frame; per-term vectors
+    computed once on the distinct vocabulary, broadcast back)."""
+    return _textstats.doc_embedding(spark, sf_dir)
+
+
 @register("perplexity_buckets", oracle=_textstats.perplexity_buckets_oracle())
 def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing: per-language head/middle/tail

@@ -229,3 +229,44 @@ def test_line_dedup_hash_join_parity(spark, sf_dir):
         map(tuple, line_dedup_frame(lake, line_sep=" ", hash_join=True).collect())
     )
     assert la == lb
+
+
+# --------------------------------------- doc embedding + text SemDeDup
+
+
+def test_doc_embedding_similar_docs_close(spark):
+    from danae_spark.functions import vectors
+    from danae_spark.operators.textstats import doc_embedding_frame
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog again"),
+            (3, "completely different vocabulary about finance markets stocks"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = doc_embedding_frame(docs, as_array=True)
+    rows = {r.doc_id: r.embedding for r in emb.collect()}
+    import numpy as np
+
+    def cos(a, b):
+        a, b = np.asarray(a, float), np.asarray(b, float)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert cos(rows[1], rows[2]) > cos(rows[1], rows[3])
+    assert cos(rows[1], rows[2]) > 0.9
+
+
+def test_semantic_dedup_text_finds_planted_near_dup(spark):
+    from danae_spark.operators.textstats import semantic_dedup_text_frame
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    rows = [(0, base), (1, base + "iota")]  # near-identical token mix
+    # distinct filler docs with disjoint vocabularies
+    for i in range(2, 10):
+        rows.append((i, " ".join(f"w{i}x{j}" for j in range(40))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.vec_id: r for r in semantic_dedup_text_frame(docs).collect()}
+    assert out[0].drop + out[1].drop == 1  # the planted pair loses one member
+    assert all(out[i].drop == 0 for i in range(2, 10))
