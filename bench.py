@@ -63,6 +63,7 @@ HEADLINE = [
     "nb_quality_classifier",
     "perplexity_buckets",
     "doc_embedding",
+    "corpus_report",
 ]
 
 

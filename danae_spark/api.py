@@ -305,3 +305,29 @@ class DataLakeEngine:
         from danae_spark.operators.textstats import semantic_dedup_text_frame
 
         return semantic_dedup_text_frame(docs, **kw)
+
+    def corpus_report(self, docs: DataFrame | None = None, **kw) -> DataFrame:
+        """Per (source, language) corpus composition dashboard: doc/token
+        counts, mean quality, keep rate, PII-bearing docs."""
+        from danae_spark.operators.textstats import corpus_report, corpus_report_frame
+
+        if docs is None:
+            return corpus_report(self.spark, self.lake_dir)
+        return corpus_report_frame(docs, **kw)
+
+    def similar_docs(self, docs: DataFrame, query_ids, k: int = 5, **kw) -> DataFrame:
+        """Text similarity search with no encoder: hashed BoW doc
+        embeddings + brute-force cosine top-k (queries broadcast, corpus
+        streamed) — swap in ann(method=...) over real embeddings for the
+        bucketed scale paths."""
+        from pyspark.sql import functions as F
+
+        from danae_spark.operators.ann import cosine_topk
+        from danae_spark.operators.textstats import doc_embedding_frame
+
+        emb = doc_embedding_frame(docs, as_array=True, **kw)
+        q = emb.filter(F.col("doc_id").isin(list(query_ids)))
+        return cosine_topk(
+            q, emb, k=k, query_id="doc_id", query_vec="embedding",
+            cand_id="doc_id", cand_vec="embedding",
+        )

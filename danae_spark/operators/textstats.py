@@ -998,3 +998,78 @@ def semantic_dedup_text_frame(
     return semantic_dedup_frame(
         emb, id_col="doc_id", vec_col="embedding", tau=tau, codebook=codebook
     )
+
+
+# ------------------------- corpus composition report (source × language)
+
+
+def corpus_report_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """The corpus dashboard every data team looks at before training:
+    per (source, language) stratum — document count, token total, mean
+    heuristic quality, quality_filter keep rate, and the count of
+    PII-bearing documents. Composes the per-doc signal operators (each
+    already value-checked) with one final groupBy over doc-count rows,
+    so the report itself adds a single tiny shuffle."""
+    from danae_spark.functions.rounding import davg
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.col(lang_col).alias("lang"),
+        F.col(source_col).alias("source"),
+    )
+    ts = text_stats_frame(base, lang_col=None).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    qf = quality_filter_frame(base).select("doc_id", "keep", "has_pii")
+    per_doc = base.select("doc_id", "lang", "source").join(ts, "doc_id").join(
+        qf, "doc_id"
+    )
+    return (
+        per_doc.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            rnd(davg(F.col("quality_score")), 4).alias("avg_quality"),
+            rnd(F.sum("keep") / F.count("*"), 4).alias("keep_rate"),
+            F.sum("has_pii").cast("long").alias("pii_docs"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents-table entry point of `corpus_report_frame`."""
+    return corpus_report_frame(load_table(spark, sf_dir, "documents"))
+
+
+def corpus_report_oracle() -> str:
+    from danae_spark.functions.rounding import davg_sql
+
+    qf = quality_filter_oracle()
+    ts = text_stats_oracle(order_by=False)
+    return f"""
+    WITH ts_all AS ({ts}),
+    qf_all AS ({qf}),
+    per_doc AS (
+      SELECT d.source, d.lang, t.n_tokens, t.quality_score, q.keep, q.has_pii
+      FROM documents d
+      JOIN ts_all t ON d.doc_id = t.doc_id
+      JOIN qf_all q ON d.doc_id = q.doc_id
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           floor(({davg_sql("quality_score")}) * power(10, 4) + 0.5001)
+             / power(10, 4) AS avg_quality,
+           floor((sum(keep) * 1.0 / count(*)) * power(10, 4) + 0.5001)
+             / power(10, 4) AS keep_rate,
+           CAST(sum(has_pii) AS BIGINT) AS pii_docs
+    FROM per_doc GROUP BY source, lang ORDER BY source, lang
+    """

@@ -170,6 +170,15 @@ def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.contamination_spans_lake(spark, sf_dir)
 
 
+@register("corpus_report", oracle=_textstats.corpus_report_oracle())
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition dashboard per (source, language): doc/token
+    counts, mean quality, keep rate, PII-bearing docs — one tiny
+    groupBy over the per-doc signal operators (operators/textstats.py
+    corpus_report_frame)."""
+    return _textstats.corpus_report(spark, sf_dir)
+
+
 @register("doc_embedding", oracle=_textstats.doc_embedding_oracle())
 def doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed bag-of-words document embeddings — the text→vector bridge

@@ -270,3 +270,40 @@ def test_semantic_dedup_text_finds_planted_near_dup(spark):
     out = {r.vec_id: r for r in semantic_dedup_text_frame(docs).collect()}
     assert out[0].drop + out[1].drop == 1  # the planted pair loses one member
     assert all(out[i].drop == 0 for i in range(2, 10))
+
+
+# ----------------------------------------------- corpus report + search
+
+
+def test_corpus_report_strata_consistency(spark, sf_dir):
+    from danae_spark.catalog import load_table
+    from danae_spark.operators.textstats import corpus_report_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = corpus_report_frame(docs)
+    rows = rep.collect()
+    assert len(rows) > 0
+    total_docs = sum(r.n_docs for r in rows)
+    assert total_docs == docs.count()
+    for r in rows:
+        assert 0.0 <= r.keep_rate <= 1.0
+        assert 0 <= r.pii_docs <= r.n_docs
+        assert r.total_tokens > 0
+
+
+def test_similar_docs_facade(spark, sf_dir):
+    from danae_spark.api import DataLakeEngine
+
+    eng = DataLakeEngine(spark, sf_dir)
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "finance markets stocks trading earnings revenue"),
+            (3, "weather rain sun clouds storm wind temperature"),
+        ],
+        "doc_id long, text string",
+    )
+    out = eng.similar_docs(docs, query_ids=[0], k=1).collect()
+    assert len(out) == 1
+    assert out[0].cand_id == 1  # the near-copy outranks unrelated docs
