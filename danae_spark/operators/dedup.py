@@ -601,11 +601,50 @@ def _closed_nbr_min(adj: DataFrame) -> DataFrame:
     return adj.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
 
 
-def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+SMALL_GRAPH_MAX_EDGES = 250_000  # ≤ ~4 MB collected: driver union-find wins
+
+
+def _union_find_components(edge_rows) -> dict:
+    """Driver-side union-find with path compression; label = component
+    min (union by id keeps the smaller root). Deterministic regardless
+    of edge order — the final find() pass resolves every chain."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_rounds: int = 50,
+    small_graph_edges: int = SMALL_GRAPH_MAX_EDGES,
+) -> DataFrame:
     """Connected components over an undirected (d1, d2) pair frame via
     alternating large-star / small-star rounds (Kiveris et al., "Connected
     Components in MapReduce and Beyond", SoCC'14 — the standard O(log n)
     DataFrame-only formulation; no GraphFrames dependency).
+
+    Small-graph fast path: each contraction round costs several shuffles
+    plus a convergence-fingerprint job — pure dispatch latency when the
+    pair graph is tiny (near-dup graphs are usually orders of magnitude
+    smaller than the corpus). When the deduped edge count is ≤
+    `small_graph_edges` (a bounded ≤ ~4 MB collect, same budget class as
+    the IVF codebook), labels come from one driver-side union-find pass
+    instead — identical output, zero iterative jobs. Pass
+    `small_graph_edges=0` to force the distributed path; graphs above
+    the bound always take it.
 
     Per round, with m(u) = min of u's closed neighborhood:
       large-star: every neighbor v > u is re-attached to m(u);
@@ -624,6 +663,17 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    if small_graph_edges:
+        n_edges = edges.count()  # checkpointed: a cheap cached count
+        if n_edges <= small_graph_edges:
+            labels = _union_find_components(
+                (r.u, r.v) for r in edges.collect()
+            )
+            spark = pairs.sparkSession
+            return spark.createDataFrame(
+                [(int(v), int(m)) for v, m in sorted(labels.items())],
+                "doc_id long, label long",
+            )
     prev_sig = None
     converged = False
     for _ in range(max_rounds):

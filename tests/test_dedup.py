@@ -175,7 +175,10 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(200)], ["d1", "d2"]
     )
-    labels = {r["doc_id"]: r["label"] for r in dedup.connected_components(pairs).collect()}
+    labels = {
+        r["doc_id"]: r["label"]
+        for r in dedup.connected_components(pairs, small_graph_edges=0).collect()
+    }
     assert len(labels) == 201
     assert set(labels.values()) == {0}
 
@@ -191,7 +194,10 @@ def test_connected_components_multi_component_and_edge_cases(spark):
         + [(50, 50)]                                 # self-loop only → dropped
     )
     pairs = spark.createDataFrame(edges, ["d1", "d2"])
-    labels = {r["doc_id"]: r["label"] for r in dedup.connected_components(pairs).collect()}
+    labels = {
+        r["doc_id"]: r["label"]
+        for r in dedup.connected_components(pairs, small_graph_edges=0).collect()
+    }
     assert {labels[i] for i in range(10, 16)} == {10}
     assert {labels[i] for i in (20, 21, 22)} == {20}
     assert {labels[i] for i in (30, 31, 32, 33)} == {30}
@@ -243,13 +249,19 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             b = x % n_nodes
             edges.append((a, b))
         expected = union_find_labels([e for e in edges if e[0] != e[1]])
+        frame = spark.createDataFrame(edges, ["d1", "d2"])
+        # distributed star-contraction path (forced) ...
         got = {
             r["doc_id"]: r["label"]
-            for r in dedup.connected_components(
-                spark.createDataFrame(edges, ["d1", "d2"])
-            ).collect()
+            for r in dedup.connected_components(frame, small_graph_edges=0).collect()
         }
         assert got == expected, (seed, len(got), len(expected))
+        # ... and the small-graph union-find fast path: identical labels
+        fast = {
+            r["doc_id"]: r["label"]
+            for r in dedup.connected_components(frame).collect()
+        }
+        assert fast == expected, (seed, len(fast), len(expected))
 
 
 def test_shared_spans_finds_planted_verbatim_insert(spark):
