@@ -729,7 +729,12 @@ def connected_components(
     return _closed_nbr_min(adj).select(F.col("u").alias("doc_id"), F.col("m").alias("label"))
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None) -> DataFrame:
+def dedup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame | None = None,
+    order: bool = True,
+) -> DataFrame:
     """Connected components over the near-dup pair graph: every doc in a
     dup pair gets its component's minimum doc_id as cluster_id — the
     canonical keeper — plus the cluster size. This is the step that turns
@@ -737,21 +742,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, pairs: DataFrame | None = N
 
     Delegates to `connected_components` (large-star/small-star, O(log n)
     rounds — see its docstring); this wrapper adds cluster sizes and the
-    keep/drop flag."""
+    keep/drop flag. `order=False` skips the output sort for composition
+    (downstream joins re-shuffle anyway)."""
     if pairs is None:
         pairs = dedup_minhash_md5(spark, sf_dir)
     labels = connected_components(pairs)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return (
-        labels.join(sizes, "label")
-        .select(
-            "doc_id",
-            F.col("label").alias("cluster_id"),
-            "cluster_size",
-            (F.col("doc_id") == F.col("label")).cast("int").alias("is_keeper"),
-        )
-        .orderBy("doc_id")
+    out = labels.join(sizes, "label").select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("doc_id") == F.col("label")).cast("int").alias("is_keeper"),
     )
+    return out.orderBy("doc_id") if order else out
 
 
 def _clusters_oracle_ctes() -> str:
@@ -789,7 +792,10 @@ def dedup_clusters_oracle() -> str:
 
 
 def canonical_keeper(
-    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame | None = None,
+    order: bool = True,
 ) -> DataFrame:
     """The fused end-of-pipeline curation decision: one row per document
     combining near-dup clustering with the quality verdict. Within each
@@ -802,12 +808,13 @@ def canonical_keeper(
     already-bounded operators; this adds one doc_id equi-join plus a
     window partitioned by cluster_id — partition size is the cluster
     size, never the corpus."""
-    from danae_spark.operators.textstats import quality_filter
+    from danae_spark.catalog import load_table
+    from danae_spark.operators.textstats import quality_filter_frame
 
-    q = quality_filter(spark, sf_dir).select(
-        "doc_id", "quality_score", F.col("keep").alias("quality_keep")
-    )
-    clusters = dedup_clusters(spark, sf_dir, pairs).select(
+    q = quality_filter_frame(
+        load_table(spark, sf_dir, "documents"), order=False
+    ).select("doc_id", "quality_score", F.col("keep").alias("quality_keep"))
+    clusters = dedup_clusters(spark, sf_dir, pairs, order=False).select(
         "doc_id", "cluster_id", "cluster_size"
     )
     joined = (
@@ -817,7 +824,7 @@ def canonical_keeper(
     )
     w = W.partitionBy("cluster_id").orderBy(F.desc("quality_score"), F.asc("doc_id"))
     rk = F.row_number().over(w)
-    return (
+    out = (
         joined.withColumn("is_canonical", (rk == 1).cast("int"))
         .withColumn(
             "keep",
@@ -827,8 +834,8 @@ def canonical_keeper(
             "doc_id", "cluster_id", "cluster_size", "quality_score",
             "quality_keep", "is_canonical", "keep",
         )
-        .orderBy("doc_id")
     )
+    return out.orderBy("doc_id") if order else out
 
 
 def _canonical_ctes() -> str:
@@ -1477,9 +1484,19 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the already-bounded operator; the only new work is one doc_id
     equi-join between the keep-set and the documents table."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ck = canonical_keeper(spark, sf_dir)
-    kept_meta = ck.filter(F.col("keep") == 1).select(
-        "doc_id", "cluster_id", "quality_score"
+    ck = canonical_keeper(spark, sf_dir, order=False)
+    # kept_meta feeds BOTH the survivor filter and the final provenance
+    # join; without a checkpoint Spark re-executes the whole upstream
+    # minhash+CC+quality plan once per reference (measured 2× = ~6 s of
+    # the 20 s total at sf0.1). The checkpointed frame is 3 columns ×
+    # keep-count rows — bounded, and cut from the lineage. order=False
+    # end to end: an interior global sort feeding joins is pure cost
+    # (and unlike count-style actions, the checkpoint CANNOT
+    # EliminateSorts — it materializes the plan as written).
+    kept_meta = (
+        ck.filter(F.col("keep") == 1)
+        .select("doc_id", "cluster_id", "quality_score")
+        .localCheckpoint()
     )
     kept_docs = docs.join(kept_meta.select("doc_id"), "doc_id")
     rewritten = remove_shared_spans(kept_docs)

@@ -339,57 +339,65 @@ def text_repetition_frame(
       (sentences split on [.!?]),
     - keep: the filter decision (thresholds DUP_2GRAM_MAX/TOP_2GRAM_MAX).
 
-    Plan: the per-doc total/distinct counts are row-wise array
-    expressions (no shuffle); only the top-2-gram needs an explode +
-    (doc, gram) aggregation — one shuffle, map-side combined."""
+    Plan: ONE explode of the 2-gram array + a (doc, gram) aggregation
+    yields total/distinct/top counts together (one shuffle, map-side
+    combined); sentence stats are row-wise over a once-projected array.
+
+    Expression-cost note (the r6 35 s → 2 s fix): higher-order-function
+    lambda bodies textually re-inline their captured expressions per
+    ELEMENT, so building the gram array with `slice(<full tokenize
+    expr>, i, 2)` re-ran the regex tokenizer ~n_tokens times per row —
+    and deriving n/distinct/top from three separate array expressions
+    re-ran the gram build per expression (and again inside every
+    pushed-down filter that referenced the derived `keep`). Tokenize
+    ONCE into a projected column behind the explode generator and
+    derive every gram stat from the exploded aggregation instead."""
     docs = widen(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
     toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
-    grams = (
-        f"transform(sequence(0, size({toks}) - 2),"
-        f" i -> concat_ws(' ', slice({toks}, i + 1, 2)))"
-    )
     sents = "filter(transform(split(text, '[.!?]+'), s -> trim(s)), s -> s <> '')"
-    base = docs.select(
+    with_toks = docs.select(
         "doc_id",
-        F.expr(f"size({toks})").alias("n_tokens"),
-        F.when(F.expr(f"size({toks})") >= 2, F.expr(f"size({grams})"))
-        .otherwise(F.lit(0))
-        .alias("n_2grams"),
-        F.when(F.expr(f"size({toks})") >= 2, F.expr(f"size(array_distinct({grams}))"))
-        .otherwise(F.lit(0))
-        .alias("distinct_2grams"),
+        F.expr(toks).alias("tk"),
         F.expr(f"size({sents})").alias("n_sents"),
         F.expr(f"size(array_distinct({sents}))").alias("distinct_sents"),
     )
-    top = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"CASE WHEN size({toks}) >= 2 THEN {grams}"
-                    " ELSE array() END"
-                )
-            ).alias("gram"),
-        )
+    grams = (
+        "CASE WHEN size(tk) >= 2 THEN"
+        " transform(sequence(0, size(tk) - 2), i -> concat_ws(' ', slice(tk, i + 1, 2)))"
+        " ELSE array() END"
+    )
+    gstats = (
+        with_toks.select("doc_id", F.explode_outer(F.expr(grams)).alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count("*").alias("cnt"))
         .groupBy("doc_id")
-        .agg(F.max("cnt").alias("top_2gram_cnt"))
+        .agg(
+            # explode_outer keeps gram-less docs as one NULL-gram row so
+            # they survive to the output; count only real grams
+            F.sum(F.when(F.col("gram").isNotNull(), F.col("cnt"))).alias("n_2grams_l"),
+            F.count(F.when(F.col("gram").isNotNull(), True)).alias("distinct_2grams"),
+            F.max(F.when(F.col("gram").isNotNull(), F.col("cnt"))).alias(
+                "top_2gram_cnt"
+            ),
+        )
     )
     frac = lambda num, den: F.when(den > 0, rnd(num / den, 6)).otherwise(F.lit(0.0))  # noqa: E731
     out = (
-        base.join(top, "doc_id", "left")
+        with_toks.select("doc_id", "n_sents", "distinct_sents")
+        .join(gstats, "doc_id")
         .select(
             "doc_id",
-            # size() yields int32; the oracle (and a 100 TB corpus) needs
-            # int64 — match types exactly so the driver's Arrow hash agrees
-            F.col("n_2grams").cast("long").alias("n_2grams"),
-            frac(F.col("n_2grams") - F.col("distinct_2grams"), F.col("n_2grams")).alias(
-                "dup_2gram_frac"
-            ),
-            frac(F.coalesce(F.col("top_2gram_cnt"), F.lit(0)), F.col("n_2grams")).alias(
-                "top_2gram_frac"
-            ),
+            # int64 like the oracle (and a 100 TB corpus) needs —
+            # match types exactly so the driver's Arrow hash agrees
+            F.coalesce(F.col("n_2grams_l"), F.lit(0)).cast("long").alias("n_2grams"),
+            frac(
+                F.coalesce(F.col("n_2grams_l"), F.lit(0)) - F.col("distinct_2grams"),
+                F.coalesce(F.col("n_2grams_l"), F.lit(0)),
+            ).alias("dup_2gram_frac"),
+            frac(
+                F.coalesce(F.col("top_2gram_cnt"), F.lit(0)),
+                F.coalesce(F.col("n_2grams_l"), F.lit(0)),
+            ).alias("top_2gram_frac"),
             frac(F.col("n_sents") - F.col("distinct_sents"), F.col("n_sents")).alias(
                 "dup_sent_frac"
             ),
@@ -542,6 +550,7 @@ def quality_filter_frame(
     text_col: str = "text",
     min_quality: float = MIN_QUALITY,
     check_pii: bool = True,
+    order: bool = True,
 ) -> DataFrame:
     """THE curation decision a pre-training pipeline actually executes:
     one keep/drop row per document combining the heuristic quality
@@ -567,9 +576,12 @@ def quality_filter_frame(
         & (F.col("rep_keep") == 1)
         & (F.col("has_pii") == 0)
     )
-    return out.select(
+    out = out.select(
         "doc_id", "quality_score", "rep_keep", "has_pii", keep.cast("int").alias("keep")
-    ).orderBy("doc_id")
+    )
+    # order=False skips the global sort for composition (the consumers
+    # re-shuffle on a join key anyway; a sort feeding a join is pure cost)
+    return out.orderBy("doc_id") if order else out
 
 
 def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
