@@ -71,13 +71,24 @@ HEADLINE = [
 # way: name → callable(spark, sf_dir) -> DataFrame
 def _extra_headline():
     from danae_spark.operators.dedup import dedup_embedding_lsh
+    from danae_spark.profiling.profiler import numeric_profile_extended
     from danae_spark.queries.relational_extra import EXTRA_QUERIES
 
     def q9(spark, sf_dir):
         df, _ = EXTRA_QUERIES["q9_product_profit"](spark, sf_dir)
         return df
 
-    return {"dedup_embedding_lsh": dedup_embedding_lsh, "q9_product_profit": q9}
+    def profile_extended_scale(spark, sf_dir):
+        # the 100 TB throughput mode (plain double sums + approx
+        # distinct) — the registered entry benches the oracle-exact mode,
+        # whose decimal string-route casts dominate its materialized cost
+        return numeric_profile_extended(spark, sf_dir, exact=False)
+
+    return {
+        "dedup_embedding_lsh": dedup_embedding_lsh,
+        "q9_product_profit": q9,
+        "profile_extended_scale": profile_extended_scale,
+    }
 
 
 def _environment_probe(spark, sf_dir: str) -> dict:
@@ -171,6 +182,23 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
+    # HONEST second track: count() lets Catalyst prune the very
+    # expressions an operator exists to compute (the r6 repetition
+    # lesson: 0.3 s counted, 35 s materialized). The noop sink executes
+    # the full plan with every output column materialized — what a
+    # downstream consumer actually pays. Kept separate so count-based
+    # timings stay comparable across rounds.
+    mat_timings: dict[str, float] = {}
+    for name, fn in runnables.items():
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        mat_timings[name] = round(best, 3)
+        print(f"# {name}: materialized in {mat_timings[name]}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -179,6 +207,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "materialized_total": round(sum(mat_timings.values()), 3),
+                "queries_materialized": mat_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "env_probe": _environment_probe(spark, sf_dir),
             }
