@@ -772,6 +772,50 @@ def perplexity_buckets_oracle(n_buckets: int = PPL_BUCKETS) -> str:
 # ------- pseudo-labeled Naive-Bayes quality classifier (GPT-3 style)
 
 
+def nb_train_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    labels: DataFrame | None = None,
+    _toks: DataFrame | None = None,
+) -> DataFrame:
+    """The TRAINING half of the Naive-Bayes quality classifier as a
+    standalone (term, w) model frame — one aggregation over token×label
+    counts, add-one smoothed:
+      w(t) = ln((ct₁(t)+1)/(N₁+V)) − ln((ct₀(t)+1)/(N₀+V)).
+    Feed it back to `nb_quality_classifier_frame` (which calls this) or
+    ship it to the streaming scorer (streaming/curation.nb_score_stream)
+    — train batch, score stream."""
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    if labels is None:
+        labels = quality_filter_frame(docs).select("doc_id", "keep")
+    else:
+        labels = labels.select("doc_id", F.col("keep").cast("int").alias("keep"))
+    toks = _toks if _toks is not None else widen(docs).select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+        ).alias("term"),
+    )
+    lt = toks.join(labels, "doc_id")
+    per_term = lt.groupBy("term").agg(
+        F.sum("keep").cast("long").alias("ct1"),
+        F.sum(1 - F.col("keep")).cast("long").alias("ct0"),
+    )
+    totals = per_term.agg(
+        F.sum("ct1").cast("long").alias("n1"),
+        F.sum("ct0").cast("long").alias("n0"),
+        F.count("*").cast("long").alias("v"),
+    )
+    return per_term.crossJoin(F.broadcast(totals)).select(
+        "term",
+        (
+            F.log((F.col("ct1") + 1) / (F.col("n1") + F.col("v")))
+            - F.log((F.col("ct0") + 1) / (F.col("n0") + F.col("v")))
+        ).alias("w"),
+    )
+
+
 def nb_quality_classifier_frame(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -801,33 +845,13 @@ def nb_quality_classifier_frame(
     doubles, so the whole classifier — training included — is
     value-checked by the DuckDB oracle."""
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    if labels is None:
-        labels = quality_filter_frame(docs).select("doc_id", "keep")
-    else:
-        labels = labels.select("doc_id", F.col("keep").cast("int").alias("keep"))
     toks = widen(docs).select(
         "doc_id",
         F.explode(
             F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
         ).alias("term"),
     )
-    lt = toks.join(labels, "doc_id")
-    per_term = lt.groupBy("term").agg(
-        F.sum("keep").cast("long").alias("ct1"),
-        F.sum(1 - F.col("keep")).cast("long").alias("ct0"),
-    )
-    totals = per_term.agg(
-        F.sum("ct1").cast("long").alias("n1"),
-        F.sum("ct0").cast("long").alias("n0"),
-        F.count("*").cast("long").alias("v"),
-    )
-    weights = per_term.crossJoin(F.broadcast(totals)).select(
-        "term",
-        (
-            F.log((F.col("ct1") + 1) / (F.col("n1") + F.col("v")))
-            - F.log((F.col("ct0") + 1) / (F.col("n0") + F.col("v")))
-        ).alias("w"),
-    )
+    weights = nb_train_weights(docs, labels=labels, _toks=toks)
     if broadcast_vocab:
         weights = F.broadcast(weights)
     from danae_spark.functions.rounding import davg

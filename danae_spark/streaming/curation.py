@@ -41,22 +41,21 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rowwise_2gram_fracs(text_col: str = "text"):
+def _rowwise_2gram_fracs(grams_col: str = "gr"):
     """dup/top 2-gram fractions as pure array expressions (no explode,
-    no shuffle): aggregate over the distinct grams of the doc's own
-    2-gram array — identical values to the batch explode+groupBy since
-    both operate on the same per-doc gram multiset."""
-    toks = f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')"
-    grams = (
-        f"transform(sequence(0, size({toks}) - 2),"
-        f" i -> concat_ws(' ', slice({toks}, i + 1, 2)))"
-    )
-    n2 = f"CASE WHEN size({toks}) >= 2 THEN size({grams}) ELSE 0 END"
-    nd = f"CASE WHEN size({toks}) >= 2 THEN size(array_distinct({grams})) ELSE 0 END"
+    no shuffle) over a PRE-PROJECTED gram-array column: aggregate over
+    the distinct grams of the doc's own 2-gram array — identical values
+    to the batch explode+groupBy since both operate on the same per-doc
+    gram multiset. Referencing a projected column matters: embedding the
+    tokenizer expression textually re-runs it per lambda ELEMENT (the
+    r6 batch-side 20× finding), a column reference binds once per row."""
+    g = grams_col
+    n2 = f"size({g})"
+    nd = f"size(array_distinct({g}))"
     top = (
-        f"CASE WHEN size({toks}) >= 2 THEN "
-        f"array_max(transform(array_distinct({grams}),"
-        f" g -> size(filter({grams}, x -> x = g)))) ELSE 0 END"
+        f"CASE WHEN size({g}) > 0 THEN "
+        f"array_max(transform(array_distinct({g}),"
+        f" x -> size(filter({g}, y -> y = x)))) ELSE 0 END"
     )
     dup_frac = f"CASE WHEN ({n2}) > 0 THEN (({n2}) - ({nd})) / CAST(({n2}) AS DOUBLE) ELSE 0.0 END"
     top_frac = f"CASE WHEN ({n2}) > 0 THEN ({top}) / CAST(({n2}) AS DOUBLE) ELSE 0.0 END"
@@ -73,21 +72,33 @@ def curated_stream(
     (doc_id, quality_score, dup_2gram_frac, top_2gram_frac, has_pii,
     keep). Append-mode, no watermark, no state store — scales with
     input rate only."""
-    src = docs_stream.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    # tokenize + build grams ONCE into projected columns; every signal
+    # references the columns (expression re-inlining is the r6 20× bug)
+    toks_expr = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    grams_expr = (
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(0, size(tk) - 2),"
+        " i -> concat_ws(' ', slice(tk, i + 1, 2))) ELSE array() END"
+    )
+    src = (
+        docs_stream.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        .withColumn("tk", F.expr(toks_expr))
+        .withColumn("gr", F.expr(grams_expr))
+    )
     # text_stats_frame ends with orderBy (and widen), which streams
     # reject — build the identical row-wise columns directly instead
     n_pii = sum(
         F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
         for _n, pat, _s in PII_PATTERNS
     )
-    dup_frac, top_frac = _rowwise_2gram_fracs("text")
+    dup_frac, top_frac = _rowwise_2gram_fracs("gr")
     # quality score: same formula as text_stats_frame (row-wise)
     from danae_spark.operators.textstats import STOPWORDS
 
-    toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
     en = ", ".join(f"'{t}'" for t in STOPWORDS["en"])
-    n_tokens = F.expr(f"size({toks})")
-    stop_hits = F.expr(f"size(filter({toks}, t -> t in ({en})))")
+    n_tokens = F.expr("size(tk)")
+    stop_hits = F.expr(f"size(filter(tk, t -> t in ({en})))")
     n_chars = F.length("text")
     punct = n_chars - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
     score = (
@@ -160,3 +171,71 @@ def run_curation_available_now(stream_df: DataFrame, query_name: str) -> DataFra
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def nb_score_stream(
+    docs_stream: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weight_budget_bytes: int = 100 * 1024 * 1024,
+) -> DataFrame:
+    """Stateless streaming inference with a batch-trained model: score
+    each streamed document by its mean Naive-Bayes token log-odds (the
+    model `nb_quality_classifier_frame` trains — pass its internal
+    (term, w) weights frame, or any model reducible to per-token
+    weights).
+
+    The train-batch / score-stream split is how learned quality filters
+    run in production: training needs the full-corpus aggregation, but
+    scoring is embarrassingly per-document — so the stream stage is a
+    single Arrow mapInPandas projection with the model dictionary
+    shipped in the closure (bounded by `weight_budget_bytes`, the IVF
+    codebook budget class; a vocabulary beyond it belongs in a
+    stream-static join instead). Append mode, no state store.
+
+    Tokenization matches the engine's split('[^a-z0-9]+') convention;
+    unseen tokens score 0 (log-odds-neutral), mirroring how the batch
+    scorer's vocab join drops them."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    rows = weights.collect()  # bounded: vocab x (term, float)
+    approx = sum(len(r[0]) + 8 for r in rows)
+    if approx > weight_budget_bytes:
+        raise ValueError(
+            f"nb_score_stream: collected weights ~{approx >> 20} MiB exceed "
+            f"the {weight_budget_bytes >> 20} MiB closure budget; use a "
+            "stream-static join for web-scale vocabularies"
+        )
+    wmap = {r[0]: float(r[1]) for r in rows}
+    tok = re.compile(r"[^a-z0-9]+")
+
+    src = docs_stream.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            scores, nt = [], []
+            for text in pdf["text"]:
+                toks = [t for t in tok.split((text or "").lower()) if t]
+                ws = [wmap[t] for t in toks if t in wmap]
+                nt.append(len(ws))
+                scores.append(float(np.mean(ws)) if ws else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_tokens": np.asarray(nt, dtype=np.int64),
+                    "nb_logodds": np.asarray(scores, dtype=np.float64),
+                }
+            )
+
+    out = src.mapInPandas(
+        score_batches, schema="doc_id long, n_tokens long, nb_logodds double"
+    )
+    return out.withColumn("pred_keep", (F.col("nb_logodds") >= 0).cast("int"))
