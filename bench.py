@@ -64,6 +64,7 @@ HEADLINE = [
     "perplexity_buckets",
     "doc_embedding",
     "corpus_report",
+    "text_ann_topk",
 ]
 
 

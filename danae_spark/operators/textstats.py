@@ -973,7 +973,9 @@ def doc_embedding_frame(
         *[rnd(davg(F.col(f"e{i}")), 6).alias(f"e{i}") for i in range(dims)],
     )
     if as_array:
-        arr = F.array(*[F.col(f"e{i}").cast("float") for i in range(dims)])
+        # doubles, not float32: the rnd-6 dim values must survive exactly
+        # so downstream cosines match the SQL oracle bit-for-bit
+        arr = F.array(*[F.col(f"e{i}").cast("double") for i in range(dims)])
         return agg.select("doc_id", "n_tokens", arr.alias("embedding")).orderBy(
             "doc_id"
         )
@@ -1108,4 +1110,57 @@ def corpus_report_oracle() -> str:
              / power(10, 4) AS keep_rate,
            CAST(sum(has_pii) AS BIGINT) AS pii_docs
     FROM per_doc GROUP BY source, lang ORDER BY source, lang
+    """
+
+
+TEXT_ANN_QUERIES = 20
+TEXT_ANN_K = 5
+
+
+def text_ann_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TEXT_ANN_K,
+    n_queries: int = TEXT_ANN_QUERIES,
+) -> DataFrame:
+    """No-encoder text similarity search end to end: hashed BoW doc
+    embeddings (doc_embedding_frame) + brute-force cosine top-k
+    (operators/ann.cosine_topk; queries broadcast, corpus streamed).
+    Brute force is the declared baseline exactly as in the embedding
+    ANN family — the LSH/IVF variants apply unchanged to these vectors
+    for the 100 TB path."""
+    from danae_spark.operators.ann import cosine_topk
+
+    emb = doc_embedding_frame(
+        load_table(spark, sf_dir, "documents"), as_array=True
+    )
+    q = emb.filter(F.col("doc_id") < n_queries)
+    return cosine_topk(
+        q, emb, k=k,
+        query_id="doc_id", query_vec="embedding",
+        cand_id="doc_id", cand_vec="embedding",
+    )
+
+
+def text_ann_topk_oracle(
+    k: int = TEXT_ANN_K,
+    n_queries: int = TEXT_ANN_QUERIES,
+    dims: int = DOC_EMB_DIMS,
+) -> str:
+    emb_core = doc_embedding_oracle(dims).rsplit(" ORDER BY ", 1)[0]
+    dot = " + ".join(f"q.e{i} * c.e{i}" for i in range(dims))
+    qn = " + ".join(f"q.e{i} * q.e{i}" for i in range(dims))
+    cn = " + ".join(f"c.e{i} * c.e{i}" for i in range(dims))
+    cos6 = f"floor((({dot}) / (sqrt({qn}) * sqrt({cn}))) * 1000000.0 + 0.5001) / 1000000.0"
+    return f"""
+    WITH emb AS ({emb_core})
+    SELECT query_id, cand_id, cosine, rank FROM (
+      SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+             {cos6} AS cosine,
+             row_number() OVER (PARTITION BY q.doc_id
+                                ORDER BY {cos6} DESC, c.doc_id) AS rank
+      FROM emb q JOIN emb c ON q.doc_id <> c.doc_id
+      WHERE q.doc_id < {n_queries}
+    ) WHERE rank <= {k}
+    ORDER BY query_id, rank
     """

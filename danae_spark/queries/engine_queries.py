@@ -170,6 +170,15 @@ def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.contamination_spans_lake(spark, sf_dir)
 
 
+@register("text_ann_topk", oracle=_textstats.text_ann_topk_oracle())
+def text_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-encoder text similarity search: hashed BoW doc embeddings +
+    brute-force cosine top-k, end to end (operators/textstats.py
+    text_ann_topk) — the whole pipeline including the embedding is
+    DuckDB-value-checked."""
+    return _textstats.text_ann_topk(spark, sf_dir)
+
+
 @register("corpus_report", oracle=_textstats.corpus_report_oracle())
 def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition dashboard per (source, language): doc/token
