@@ -938,13 +938,18 @@ def doc_embedding_frame(
 
     Scale shape: the per-term vectors are computed ONCE on the distinct
     vocabulary (a term-keyed aggregate, not per token), joined back
-    broadcast; the doc mean is one groupBy(doc_id). Two shuffles total,
-    everything codegen.
+    broadcast AGAINST (doc, term, count) rows — the token stream folds
+    to its per-doc term counts first, so the join and the decimal mean
+    touch ~2× fewer rows than raw tokens and the weighted decimal sum
+    Σ ct·eᵢ is EXACTLY the per-token sum (ct·eᵢ has ≤ 6 decimal
+    digits, converted losslessly — bit-identical to the per-token davg
+    the oracle states). Two doc-keyed shuffles total, everything
+    codegen.
 
-    `as_array=True` returns (doc_id, n_tokens, embedding array<float>)
+    `as_array=True` returns (doc_id, n_tokens, embedding array<double>)
     for composition into the vector operators; the default scalar
     columns e0..e{dims-1} are the registered oracle layout."""
-    from danae_spark.functions.rounding import davg
+    from danae_spark.functions.rounding import dsum
 
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     toks = widen(docs).select(
@@ -953,6 +958,7 @@ def doc_embedding_frame(
             F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
         ).alias("term"),
     )
+    tct = toks.groupBy("doc_id", "term").agg(F.count("*").alias("ct"))
     dim_cols = [
         (
             F.conv(
@@ -966,11 +972,15 @@ def doc_embedding_frame(
         ).alias(f"e{i}")
         for i in range(dims)
     ]
-    vocab = toks.select("term").distinct().select("term", *dim_cols)
-    joined = toks.join(F.broadcast(vocab), "term")
+    vocab = tct.select("term").distinct().select("term", *dim_cols)
+    joined = tct.join(F.broadcast(vocab), "term")
+    n_tokens = F.sum("ct")
     agg = joined.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_tokens"),
-        *[rnd(davg(F.col(f"e{i}")), 6).alias(f"e{i}") for i in range(dims)],
+        n_tokens.cast("long").alias("n_tokens"),
+        *[
+            rnd(dsum(F.col("ct") * F.col(f"e{i}")) / F.sum("ct"), 6).alias(f"e{i}")
+            for i in range(dims)
+        ],
     )
     if as_array:
         # doubles, not float32: the rnd-6 dim values must survive exactly
