@@ -196,6 +196,7 @@ def text_stats_frame(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str | None = "lang",
+    _extra_cols: list | None = None,
 ) -> DataFrame:
     """Language ID + quality metrics + token counts over ANY (id, text[,
     lang]) frame in ONE scan (merged r2 registry entry: every column is a
@@ -255,6 +256,10 @@ def text_stats_frame(
         F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), F.lit(0))).alias(
             "bpe_tokens"
         ),
+        # extra row-wise columns riding the same scan/projection —
+        # callers fusing signals (quality_filter's PII count) pass
+        # already-aliased expressions over the `text` column
+        *(_extra_cols or []),
     ).orderBy("doc_id")
 
 
@@ -555,21 +560,33 @@ def quality_filter_frame(
     """THE curation decision a pre-training pipeline actually executes:
     one keep/drop row per document combining the heuristic quality
     score (text_stats), the Gopher-style repetition filter and the PII
-    scan. Three aggregate-free-to-cheap branches joined on the doc id —
-    each branch is the already-tested operator, so the decision is
-    exactly the conjunction of the published signals."""
-    from danae_spark.operators.pii import pii_scan_frame
+    scan. The quality score and PII count are BOTH row-wise, so they
+    ride ONE projection of one scan (same formulas as the standalone
+    operators — merging branches cannot change a value); only the
+    repetition signal needs its own scan for the gram explode+agg, one
+    doc_id join total."""
+    from danae_spark.operators.pii import PII_PATTERNS
 
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    ts = text_stats_frame(docs, lang_col=None).select("doc_id", "quality_score")
+    if check_pii:
+        n_pii = sum(
+            F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+            for _n, pat, _s in PII_PATTERNS
+        )
+        ts = text_stats_frame(
+            docs,
+            lang_col=None,
+            _extra_cols=[(n_pii > 0).cast("int").alias("has_pii")],
+        ).select("doc_id", "quality_score", "has_pii")
+    else:
+        ts = text_stats_frame(docs, lang_col=None).select(
+            "doc_id", "quality_score"
+        )
     rep = text_repetition_frame(docs).select(
         "doc_id", F.col("keep").alias("rep_keep")
     )
     out = ts.join(rep, "doc_id")
-    if check_pii:
-        p = pii_scan_frame(docs).select("doc_id", "has_pii")
-        out = out.join(p, "doc_id")
-    else:
+    if not check_pii:
         out = out.withColumn("has_pii", F.lit(0))
     keep = (
         (F.col("quality_score") >= min_quality)
