@@ -372,9 +372,21 @@ def text_repetition_frame(
         " ELSE array() END"
     )
     gstats = (
-        with_toks.select("doc_id", F.explode_outer(F.expr(grams)).alias("gram"))
+        # the two sentence counters ride through the explode (+8 bytes
+        # per gram row) so the WHOLE operator is one corpus scan — the
+        # alternative is re-reading the table for a second branch
+        with_toks.select(
+            "doc_id",
+            "n_sents",
+            "distinct_sents",
+            F.explode_outer(F.expr(grams)).alias("gram"),
+        )
         .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.first("n_sents").alias("n_sents"),
+            F.first("distinct_sents").alias("distinct_sents"),
+        )
         .groupBy("doc_id")
         .agg(
             # explode_outer keeps gram-less docs as one NULL-gram row so
@@ -384,12 +396,13 @@ def text_repetition_frame(
             F.max(F.when(F.col("gram").isNotNull(), F.col("cnt"))).alias(
                 "top_2gram_cnt"
             ),
+            F.first("n_sents").alias("n_sents"),
+            F.first("distinct_sents").alias("distinct_sents"),
         )
     )
     frac = lambda num, den: F.when(den > 0, rnd(num / den, 6)).otherwise(F.lit(0.0))  # noqa: E731
     out = (
-        with_toks.select("doc_id", "n_sents", "distinct_sents")
-        .join(gstats, "doc_id")
+        gstats
         .select(
             "doc_id",
             # int64 like the oracle (and a 100 TB corpus) needs —
@@ -556,6 +569,7 @@ def quality_filter_frame(
     min_quality: float = MIN_QUALITY,
     check_pii: bool = True,
     order: bool = True,
+    include_tokens: bool = False,
 ) -> DataFrame:
     """THE curation decision a pre-training pipeline actually executes:
     one keep/drop row per document combining the heuristic quality
@@ -577,10 +591,10 @@ def quality_filter_frame(
             docs,
             lang_col=None,
             _extra_cols=[(n_pii > 0).cast("int").alias("has_pii")],
-        ).select("doc_id", "quality_score", "has_pii")
+        ).select("doc_id", "n_tokens", "quality_score", "has_pii")
     else:
         ts = text_stats_frame(docs, lang_col=None).select(
-            "doc_id", "quality_score"
+            "doc_id", "n_tokens", "quality_score"
         )
     rep = text_repetition_frame(docs).select(
         "doc_id", F.col("keep").alias("rep_keep")
@@ -593,8 +607,12 @@ def quality_filter_frame(
         & (F.col("rep_keep") == 1)
         & (F.col("has_pii") == 0)
     )
+    # include_tokens adds the n_tokens passthrough for composition
+    # (corpus_report) without changing the registered entry's schema
+    tok_cols = [F.col("n_tokens").cast("long").alias("n_tokens")] if include_tokens else []
     out = out.select(
-        "doc_id", "quality_score", "rep_keep", "has_pii", keep.cast("int").alias("keep")
+        "doc_id", *tok_cols, "quality_score", "rep_keep", "has_pii",
+        keep.cast("int").alias("keep"),
     )
     # order=False skips the global sort for composition (the consumers
     # re-shuffle on a join key anyway; a sort feeding a join is pure cost)
@@ -1080,7 +1098,9 @@ def corpus_report_frame(
     heuristic quality, quality_filter keep rate, and the count of
     PII-bearing documents. Composes the per-doc signal operators (each
     already value-checked) with one final groupBy over doc-count rows,
-    so the report itself adds a single tiny shuffle."""
+    so the report itself adds a single tiny shuffle. The fused
+    quality_filter (include_tokens passthrough) supplies every per-doc
+    signal — two corpus scans total, not five."""
     from danae_spark.functions.rounding import davg
 
     base = docs.select(
@@ -1089,13 +1109,10 @@ def corpus_report_frame(
         F.col(lang_col).alias("lang"),
         F.col(source_col).alias("source"),
     )
-    ts = text_stats_frame(base, lang_col=None).select(
-        "doc_id", "n_tokens", "quality_score"
+    qf = quality_filter_frame(base, order=False, include_tokens=True).select(
+        "doc_id", "n_tokens", "quality_score", "keep", "has_pii"
     )
-    qf = quality_filter_frame(base).select("doc_id", "keep", "has_pii")
-    per_doc = base.select("doc_id", "lang", "source").join(ts, "doc_id").join(
-        qf, "doc_id"
-    )
+    per_doc = base.select("doc_id", "lang", "source").join(qf, "doc_id")
     return (
         per_doc.groupBy("source", "lang")
         .agg(

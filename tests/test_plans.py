@@ -202,3 +202,25 @@ def test_nb_classifier_web_scale_switch_shuffle_join(spark, sf_dir):
 def test_line_dedup_no_cartesian(spark, sf_dir):
     df = REGISTRY["line_dedup"].fn(spark, sf_dir)
     audit.assert_no_cartesian(df)
+
+
+def test_quality_filter_two_scans(spark, sf_dir):
+    # the fused decision reads the corpus exactly twice: one row-wise
+    # projection (quality + PII) and one gram explode+agg branch
+    df = REGISTRY["quality_filter"].fn(spark, sf_dir)
+    n_scans = len(audit.scans(df))
+    assert n_scans == 2, n_scans
+
+
+def test_text_repetition_single_scan(spark, sf_dir):
+    # sentence counters ride through the gram explode — one corpus scan
+    df = REGISTRY["text_repetition_filter"].fn(spark, sf_dir)
+    n_scans = len(audit.scans(df))
+    assert n_scans == 1, n_scans
+
+
+def test_corpus_report_two_scans(spark, sf_dir):
+    df = REGISTRY["corpus_report"].fn(spark, sf_dir)
+    n_scans = len(audit.scans(df))
+    # fused quality frame (2 scans) + the source/lang projection (1)
+    assert n_scans <= 3, n_scans
