@@ -65,6 +65,7 @@ HEADLINE = [
     "doc_embedding",
     "corpus_report",
     "text_ann_topk",
+    "frequent_ngrams",
 ]
 
 

@@ -331,3 +331,15 @@ class DataLakeEngine:
             q, emb, k=k, query_id="doc_id", query_vec="embedding",
             cand_id="doc_id", cand_vec="embedding",
         )
+
+    def frequent_ngrams(self, docs: DataFrame | None = None, **kw) -> DataFrame:
+        """Top-k corpus-wide word n-grams with term/document frequencies
+        — boilerplate analysis before line/span removal."""
+        from danae_spark.operators.textstats import (
+            frequent_ngrams,
+            frequent_ngrams_frame,
+        )
+
+        if docs is None:
+            return frequent_ngrams(self.spark, self.lake_dir)
+        return frequent_ngrams_frame(docs, **kw)

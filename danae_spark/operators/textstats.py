@@ -1208,3 +1208,82 @@ def text_ann_topk_oracle(
     ) WHERE rank <= {k}
     ORDER BY query_id, rank
     """
+
+
+# ----------------------- frequent n-gram mining (boilerplate analysis)
+
+FREQ_NGRAM_N = 3
+FREQ_NGRAM_K = 50
+
+
+def frequent_ngrams_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = FREQ_NGRAM_N,
+    k: int = FREQ_NGRAM_K,
+) -> DataFrame:
+    """Corpus-wide frequent word n-grams with term and document
+    frequencies — the ANALYSIS side of boilerplate removal: before
+    cutting repeated lines/spans, a pipeline looks at WHAT repeats
+    (license headers, navigation chrome, templated boilerplate) and how
+    broadly. Top-k by total occurrences, tie-broken by gram text for
+    determinism.
+
+    One scan: tokenize once into a projected column, build the n-gram
+    array referencing it (never re-inlining the tokenizer — the r6
+    lesson), one explode + two-level aggregation; top-k is a single
+    window over gram-count rows."""
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    grams = (
+        f"CASE WHEN size(tk) >= {n} THEN transform(sequence(0, size(tk) - {n}),"
+        f" i -> concat_ws(' ', slice(tk, i + 1, {n}))) ELSE array() END"
+    )
+    rows = (
+        widen(docs)
+        .select("doc_id", F.expr(toks).alias("tk"))
+        .select("doc_id", F.explode(F.expr(grams)).alias("gram"))
+    )
+    per_doc = rows.groupBy("gram", "doc_id").agg(F.count("*").alias("ct"))
+    stats = per_doc.groupBy("gram").agg(
+        F.sum("ct").cast("long").alias("tf"),
+        F.count("*").cast("long").alias("df"),
+    )
+    w = W.orderBy(F.desc("tf"), F.asc("gram"))
+    return (
+        stats.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "gram", "tf", "df")
+        .orderBy("rank")
+    )
+
+
+def frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents-table entry point of `frequent_ngrams_frame`."""
+    return frequent_ngrams_frame(load_table(spark, sf_dir, "documents"))
+
+
+def frequent_ngrams_oracle(n: int = FREQ_NGRAM_N, k: int = FREQ_NGRAM_K) -> str:
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    return f"""
+    WITH tk AS (SELECT doc_id, {toks} AS ts FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_aggregate(ts[(i+1):(i+{n})], 'string_agg', ' ') AS gram
+      FROM tk, LATERAL (
+        SELECT unnest(range(len(ts) - {n} + 1)) AS i
+      )
+      WHERE len(ts) >= {n}
+    ),
+    stats AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS tf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM g GROUP BY gram
+    )
+    SELECT rank, gram, tf, df FROM (
+      SELECT CAST(row_number() OVER (ORDER BY tf DESC, gram ASC) AS INT) AS rank, *
+      FROM stats
+    ) WHERE rank <= {k}
+    ORDER BY rank
+    """

@@ -170,6 +170,14 @@ def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.contamination_spans_lake(spark, sf_dir)
 
 
+@register("frequent_ngrams", oracle=_textstats.frequent_ngrams_oracle())
+def frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide frequent word n-grams with term/document frequencies
+    — the boilerplate-analysis complement of line/span dedup
+    (operators/textstats.py frequent_ngrams_frame)."""
+    return _textstats.frequent_ngrams(spark, sf_dir)
+
+
 @register("text_ann_topk", oracle=_textstats.text_ann_topk_oracle())
 def text_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No-encoder text similarity search: hashed BoW doc embeddings +

@@ -307,3 +307,18 @@ def test_similar_docs_facade(spark, sf_dir):
     out = eng.similar_docs(docs, query_ids=[0], k=1).collect()
     assert len(out) == 1
     assert out[0].cand_id == 1  # the near-copy outranks unrelated docs
+
+
+def test_frequent_ngrams_finds_planted_boilerplate(spark):
+    from danae_spark.operators.textstats import frequent_ngrams_frame
+
+    banner = "all rights reserved worldwide"
+    rows = [(i, f"doc body {i} unique words here {banner}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = frequent_ngrams_frame(docs, n=4, k=5).collect()
+    assert out[0].gram == "all rights reserved worldwide"
+    assert out[0].tf == 10 and out[0].df == 10 and out[0].rank == 1
+    # ranks are dense and ordered by tf desc
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    tfs = [r.tf for r in out]
+    assert tfs == sorted(tfs, reverse=True)
