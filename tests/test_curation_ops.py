@@ -322,3 +322,47 @@ def test_frequent_ngrams_finds_planted_boilerplate(spark):
     assert [r.rank for r in out] == list(range(1, len(out) + 1))
     tfs = [r.tf for r in out]
     assert tfs == sorted(tfs, reverse=True)
+
+
+def test_line_dedup_conservation_properties(spark, sf_dir):
+    """Invariants over lake data: every doc keeps n_lines = kept + removed
+    (kept inferred from the rebuilt text), min_df beyond corpus size
+    removes nothing, and rebuilt text is a subsequence of the original
+    chunk stream."""
+    from danae_spark.catalog import load_table
+    from danae_spark.operators.dedup import LINE_CHUNK, line_dedup
+
+    out = {r.doc_id: r for r in line_dedup(spark, sf_dir).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    import re
+
+    # independent pure-python reimplementation of the whole operator
+    def doc_chunks(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return [
+            " ".join(toks[i : i + LINE_CHUNK])
+            for i in range(0, len(toks), LINE_CHUNK)
+        ]
+
+    from collections import Counter
+
+    df_count = Counter()
+    for text in docs.values():
+        for c in set(doc_chunks(text)):
+            df_count[c] += 1
+    boiler = {c for c, d in df_count.items() if d >= 2 and c.strip()}
+    for doc_id, r in out.items():
+        chunks = doc_chunks(docs[doc_id])
+        expect_removed = sum(1 for c in chunks if c in boiler)
+        expect_clean = " ".join(c for c in chunks if c not in boiler)
+        assert r.n_lines == len(chunks), doc_id
+        assert r.removed_lines == expect_removed, doc_id
+        assert r.text_clean == expect_clean, doc_id
+    # a min_df above the corpus size removes nothing
+    nothing = line_dedup(spark, sf_dir, min_df=10**9)
+    from pyspark.sql import functions as F
+
+    assert nothing.agg(F.sum("removed_lines")).collect()[0][0] == 0
