@@ -343,3 +343,12 @@ class DataLakeEngine:
         if docs is None:
             return frequent_ngrams(self.spark, self.lake_dir)
         return frequent_ngrams_frame(docs, **kw)
+
+    def profile_drift(self, state_a: DataFrame, state_b: DataFrame, **kw) -> DataFrame:
+        """Distribution/schema drift between two mergeable profile states
+        (baseline -> current): mean shift in baseline sigmas, stddev and
+        distinct ratios, null-rate delta, added/removed columns — a
+        schema-sized join, no data rescan."""
+        from danae_spark.profiling.incremental import profile_drift
+
+        return profile_drift(state_a, state_b, **kw)

@@ -369,3 +369,77 @@ def finalize_extended(state: DataFrame) -> DataFrame:
             (n > 3) & (m2 > 0) & (F.col("amax") < _Q_MAX_ABS), rnd(kurt, 4)
         ).alias("kurtosis"),
     ).orderBy("table_name", "column_name")
+
+
+# ----------------------------- drift detection between profile states
+
+
+def profile_drift(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    sigma_threshold: float = 3.0,
+    std_ratio_band: tuple = (0.5, 2.0),
+    null_delta_max: float = 0.1,
+) -> DataFrame:
+    """Schema/distribution drift between two profile STATES (baseline →
+    current) — the monitoring read of the incremental machinery: land
+    per-day mergeable states (partial_state / the streaming sink), then
+    diff any two checkpoints without rescanning data.
+
+    Per shared column: row-count ratio, null-rate delta, mean shift in
+    baseline-stddev units, stddev ratio, approx-distinct ratio, and
+    range expansion; `drifted` flags columns whose shift crosses the
+    thresholds. Columns appearing on only one side surface with
+    `presence` = 'added'/'removed' (schema drift IS drift). The inputs
+    are schema-sized state frames, so the whole diff is a tiny
+    broadcast-scale join — no data scan."""
+    a = finalize(state_a).select(
+        "table_name", "column_name",
+        F.col("n").alias("n_a"), F.col("n_null").alias("null_a"),
+        F.col("n_distinct_approx").alias("nda_a"),
+        F.col("min_v").alias("min_a"), F.col("max_v").alias("max_a"),
+        F.col("avg_v").alias("avg_a"), F.col("std_v").alias("std_a"),
+    )
+    b = finalize(state_b).select(
+        "table_name", "column_name",
+        F.col("n").alias("n_b"), F.col("n_null").alias("null_b"),
+        F.col("n_distinct_approx").alias("nda_b"),
+        F.col("min_v").alias("min_b"), F.col("max_v").alias("max_b"),
+        F.col("avg_v").alias("avg_b"), F.col("std_v").alias("std_b"),
+    )
+    j = a.join(b, ["table_name", "column_name"], "full_outer")
+    presence = (
+        F.when(F.col("n_a").isNull(), F.lit("added"))
+        .when(F.col("n_b").isNull(), F.lit("removed"))
+        .otherwise(F.lit("both"))
+    )
+    null_rate_a = F.col("null_a") / F.col("n_a")
+    null_rate_b = F.col("null_b") / F.col("n_b")
+    mean_shift = F.when(
+        F.col("std_a").isNotNull() & (F.col("std_a") > 0),
+        (F.col("avg_b") - F.col("avg_a")) / F.col("std_a"),
+    )
+    std_ratio = F.when(
+        F.col("std_a").isNotNull() & (F.col("std_a") > 0), F.col("std_b") / F.col("std_a")
+    )
+    lo, hi = std_ratio_band
+    drifted = (
+        (presence != "both")
+        | (F.abs(F.coalesce(mean_shift, F.lit(0.0))) > sigma_threshold)
+        | F.coalesce((std_ratio < lo) | (std_ratio > hi), F.lit(False))
+        | (F.abs(F.coalesce(null_rate_b - null_rate_a, F.lit(0.0))) > null_delta_max)
+    )
+    return j.select(
+        "table_name",
+        "column_name",
+        presence.alias("presence"),
+        (F.col("n_b") / F.col("n_a")).alias("n_ratio"),
+        (null_rate_b - null_rate_a).alias("null_rate_delta"),
+        mean_shift.alias("mean_shift_sigma"),
+        std_ratio.alias("std_ratio"),
+        (F.col("nda_b") / F.col("nda_a")).alias("distinct_ratio"),
+        ((F.col("min_b") < F.col("min_a")) | (F.col("max_b") > F.col("max_a")))
+        .cast("int")
+        .alias("range_expanded"),
+        drifted.cast("int").alias("drifted"),
+    ).orderBy("table_name", "column_name")

@@ -247,3 +247,39 @@ def test_incremental_extended_refuses_moments_out_of_domain(spark):
     ).collect()[0]
     assert out["skewness"] is None and out["kurtosis"] is None
     assert out["avg_v"] is not None and out["missing_pct"] == 0.0
+
+
+def test_profile_drift_detects_shift_and_schema_change(spark):
+    from danae_spark.profiling.incremental import partial_state, profile_drift
+
+    base = spark.createDataFrame(
+        [(float(i % 100), float(i % 10)) for i in range(1000)], "x double, y double"
+    )
+    # current: x shifted by +50 sigma-ish, y unchanged, z added
+    cur = spark.createDataFrame(
+        [(float(i % 100) + 2000.0, float(i % 10), 1.0) for i in range(1000)],
+        "x double, y double, z double",
+    )
+    drift = profile_drift(partial_state(base, "t"), partial_state(cur, "t"))
+    rows = {r.column_name: r for r in drift.collect()}
+    assert rows["x"].drifted == 1 and rows["x"].mean_shift_sigma > 3
+    assert rows["y"].drifted == 0 and rows["y"].presence == "both"
+    assert rows["z"].presence == "added" and rows["z"].drifted == 1
+
+
+def test_profile_drift_null_rate_and_identity(spark):
+    from danae_spark.profiling.incremental import partial_state, profile_drift
+
+    base = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    nully = spark.createDataFrame(
+        [((float(i) if i % 2 else None),) for i in range(100)], "x double"
+    )
+    drift = {r.column_name: r for r in profile_drift(
+        partial_state(base, "t"), partial_state(nully, "t")
+    ).collect()}
+    assert drift["x"].null_rate_delta > 0.4 and drift["x"].drifted == 1
+    # identical states: nothing drifts
+    same = {r.column_name: r for r in profile_drift(
+        partial_state(base, "t"), partial_state(base, "t")
+    ).collect()}
+    assert same["x"].drifted == 0 and abs(same["x"].n_ratio - 1.0) < 1e-9
