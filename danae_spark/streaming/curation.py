@@ -67,11 +67,15 @@ def curated_stream(
     min_quality: float = MIN_QUALITY,
     id_col: str = "doc_id",
     text_col: str = "text",
+    passthrough: list | None = None,
+    with_tokens: bool = False,
 ) -> DataFrame:
     """Per-document curation verdict as a STATELESS streaming projection:
     (doc_id, quality_score, dup_2gram_frac, top_2gram_frac, has_pii,
     keep). Append-mode, no watermark, no state store — scales with
-    input rate only."""
+    input rate only. `passthrough` carries extra source columns (e.g.
+    lang/source for the streaming report); `with_tokens` adds
+    n_tokens."""
     # tokenize + build grams ONCE into projected columns; every signal
     # references the columns (expression re-inlining is the r6 20× bug)
     toks_expr = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -79,9 +83,10 @@ def curated_stream(
         "CASE WHEN size(tk) >= 2 THEN transform(sequence(0, size(tk) - 2),"
         " i -> concat_ws(' ', slice(tk, i + 1, 2))) ELSE array() END"
     )
+    extra = list(passthrough or [])
     src = (
         docs_stream.select(
-            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"), *extra
         )
         .withColumn("tk", F.expr(toks_expr))
         .withColumn("gr", F.expr(grams_expr))
@@ -110,6 +115,8 @@ def curated_stream(
 
     out = src.select(
         "doc_id",
+        *extra,
+        *([n_tokens.cast("long").alias("n_tokens")] if with_tokens else []),
         rnd(score, 6).alias("quality_score"),
         rnd(dup_frac, 6).alias("dup_2gram_frac"),
         rnd(top_frac, 6).alias("top_2gram_frac"),
@@ -239,3 +246,75 @@ def nb_score_stream(
         score_batches, schema="doc_id long, n_tokens long, nb_logodds double"
     )
     return out.withColumn("pred_keep", (F.col("nb_logodds") >= 0).cast("int"))
+
+
+# ------------------- streaming corpus report (live composition state)
+
+
+def corpus_report_sink(
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "corpus_report_stream",
+):
+    """Live corpus-composition dashboard over the document stream: each
+    micro-batch lands its per-(source, lang) PARTIAL sums as a
+    batch_id-partitioned parquet state table (dynamic partition
+    overwrite — the exactly-once profile_stream pattern, so replays are
+    idempotent). The sums are exactly mergeable: counts are integers,
+    and quality accumulates as decimal(28,6) — so the folded report is
+    bit-identical to the batch `corpus_report` no matter how the stream
+    was micro-batched. Fold with `streamed_corpus_report`."""
+    verdicts = curated_stream(
+        docs_stream, passthrough=["lang", "source"], with_tokens=True
+    )
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("source", "lang").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.col("quality_score").cast("decimal(28,6)")).alias("q_sum"),
+            F.sum("keep").cast("long").alias("keep_docs"),
+            F.sum("has_pii").cast("long").alias("pii_docs"),
+        )
+        (
+            partial.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state_dir)
+        )
+
+    return (
+        verdicts.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+    )
+
+
+def streamed_corpus_report(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the landed per-batch partials into the live report — same
+    shape and values as the batch `corpus_report` (decimal quality sums
+    merge exactly; ratios are single IEEE divisions on identical
+    inputs). State is stratum-count-sized; the fold never touches the
+    corpus."""
+    from danae_spark.functions.rounding import rnd
+
+    state = spark.read.parquet(state_dir)
+    merged = state.groupBy("source", "lang").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_tokens").cast("long").alias("total_tokens"),
+        F.sum("q_sum").alias("q_sum"),
+        F.sum("keep_docs").cast("long").alias("keep_docs"),
+        F.sum("pii_docs").cast("long").alias("pii_docs"),
+    )
+    return merged.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        rnd(F.col("q_sum").cast("double") / F.col("n_docs"), 4).alias("avg_quality"),
+        rnd(F.col("keep_docs") / F.col("n_docs"), 4).alias("keep_rate"),
+        "pii_docs",
+    ).orderBy("source", "lang")

@@ -94,3 +94,25 @@ def test_nb_score_stream_parity_with_batch(spark, sf_dir):
         # where the batch score is decisively signed
         if abs(b["nb_logodds"]) >= 1e-3:
             assert s["pred_keep"] == b["pred_keep"], doc_id
+
+
+def test_streamed_corpus_report_matches_batch(spark, sf_dir, tmp_path):
+    """The folded streaming composition state equals the batch
+    corpus_report exactly — decimal quality sums merge losslessly, so
+    micro-batching cannot move a digit."""
+    from danae_spark.operators.textstats import corpus_report
+    from danae_spark.streaming.curation import (
+        corpus_report_sink,
+        read_documents_stream,
+        streamed_corpus_report,
+    )
+
+    state = str(tmp_path / "report_state")
+    ckpt = str(tmp_path / "ckpt")
+    q = corpus_report_sink(
+        read_documents_stream(spark, sf_dir), state, ckpt, "t_report_stream"
+    ).start()
+    q.awaitTermination()
+    streamed = [tuple(r) for r in streamed_corpus_report(spark, state).collect()]
+    batch = [tuple(r) for r in corpus_report(spark, sf_dir).collect()]
+    assert streamed == batch and len(batch) > 0
