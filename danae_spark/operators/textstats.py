@@ -788,7 +788,12 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def perplexity_buckets_oracle(n_buckets: int = PPL_BUCKETS) -> str:
     nll = unigram_logprob_oracle()
-    names = ", ".join(f"'{n}'" for n in PPL_BUCKET_NAMES)
+    # mirror the frame's naming fallback so a non-default bucket count
+    # registered against this oracle can't silently produce NULL names
+    if n_buckets == len(PPL_BUCKET_NAMES):
+        names = ", ".join(f"'{n}'" for n in PPL_BUCKET_NAMES)
+    else:
+        names = ", ".join(f"'b{i + 1}'" for i in range(n_buckets))
     return f"""
     WITH nll_q AS ({nll}),
     j AS (
@@ -1250,10 +1255,14 @@ def frequent_ngrams_frame(
         F.sum("ct").cast("long").alias("tf"),
         F.count("*").cast("long").alias("df"),
     )
+    # top-k FIRST via distributed TakeOrdered (per-partition top-k then
+    # merge — never a global single-task window over the full gram
+    # table, which at 100 TB holds billions of rows); the dense rank is
+    # then a window over k rows only
+    topk = stats.orderBy(F.desc("tf"), F.asc("gram")).limit(k)
     w = W.orderBy(F.desc("tf"), F.asc("gram"))
     return (
-        stats.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("rank", "gram", "tf", "df")
         .orderBy("rank")
     )
