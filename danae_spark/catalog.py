@@ -122,9 +122,21 @@ def widen(
     meta = _scan_input_bytes(df)
     if meta is not None:
         total_bytes, n_files = meta
-        if not force and total_bytes < WIDEN_MIN_BYTES:
+        # an explicit min_partitions is a caller contract — never
+        # silently ignored by the size gate (r6 review finding)
+        if not force and min_partitions is None and total_bytes < WIDEN_MIN_BYTES:
             return df
-        if n_files >= target:
+        # estimate the SCAN parallelism Spark will actually give this
+        # input: parquet is splittable, so many small files pack into
+        # few partitions (64 half-MB files -> 1 task) — raw file count
+        # over-estimates badly. ceil(bytes / maxPartitionBytes) matches
+        # the packing rule; splitting caps the other direction.
+        try:
+            mpb = int(sp.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+        except Exception:
+            mpb = 134217728
+        est_scan_parts = max(1, -(-total_bytes // max(1, mpb)))
+        if est_scan_parts >= target:
             return df
         return df.repartition(target)
     if df.rdd.getNumPartitions() < target:

@@ -670,9 +670,19 @@ def connected_components(
                 (r.u, r.v) for r in edges.collect()
             )
             spark = pairs.sparkSession
+            # preserve the caller's id type (string ids work on the
+            # distributed path and must keep working here)
+            from pyspark.sql.types import StructField, StructType
+
+            id_type = edges.schema["u"].dataType
+            schema = StructType(
+                [
+                    StructField("doc_id", id_type, False),
+                    StructField("label", id_type, False),
+                ]
+            )
             return spark.createDataFrame(
-                [(int(v), int(m)) for v, m in sorted(labels.items())],
-                "doc_id long, label long",
+                sorted(labels.items()), schema
             )
     prev_sig = None
     converged = False
@@ -1714,6 +1724,14 @@ def semantic_dedup_frame(
             .orderBy("vec_id")
             .collect()
         )
+        if not cent_rows:
+            # caller frames with ids in an arithmetic progression can
+            # miss the residue class entirely (e.g. ids 0,10,20,… with
+            # stride 10) — fall back to a deterministic id-ordered
+            # sample of the same size instead of np.stack crashing
+            cent_rows = (
+                emb.orderBy("vec_id").limit(max(1, n_total // stride)).collect()
+            )
         cent_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
         cent_mat = np.stack(
             [np.asarray(r.embedding, dtype=np.float64) for r in cent_rows]
@@ -1743,9 +1761,15 @@ def semantic_dedup_frame(
                 }
             )
 
-    assigned = widen(emb).mapInPandas(
+    # carry vectors as array<double>: float32 inputs upcast losslessly,
+    # and double inputs (the text-bridge doc embeddings, whose rnd-6 dim
+    # values must survive exactly) are never truncated — an array<float>
+    # schema here would shift rnd(cosine, 6) at the τ boundary
+    assigned = widen(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    ).mapInPandas(
         assign_batches,
-        schema="vec_id long, centroid_id long, embedding array<float>, "
+        schema="vec_id long, centroid_id long, embedding array<double>, "
         "centroid_cos double",
     )
 
@@ -1938,14 +1962,19 @@ def line_dedup(spark: SparkSession, sf_dir: str, min_df: int = LINE_DF_MIN) -> D
     oracle) — at sf0.01 ~127 chunks repeat across docs, so the operator
     does real removal on lake data."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # tokenize ONCE into a projected column; the chunk lambda references
+    # it (embedding the tokenizer expression would re-run the regex per
+    # chunk element — the r6 HOF-reinlining finding)
     toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
     chunks = (
-        f"CASE WHEN size({toks}) = 0 THEN array() ELSE "
-        f"transform(sequence(0, cast(ceil(size({toks}) / {LINE_CHUNK}.0) as int) - 1), "
-        f"i -> array_join(slice({toks}, i * {LINE_CHUNK} + 1, {LINE_CHUNK}), ' ')) END"
+        f"CASE WHEN size(tk) = 0 THEN array() ELSE "
+        f"transform(sequence(0, cast(ceil(size(tk) / {LINE_CHUNK}.0) as int) - 1), "
+        f"i -> array_join(slice(tk, i * {LINE_CHUNK} + 1, {LINE_CHUNK}), ' ')) END"
     )
-    lines = widen(docs).select(
-        "doc_id", F.posexplode(F.expr(chunks)).alias("pos", "line")
+    lines = (
+        widen(docs)
+        .select("doc_id", F.expr(toks).alias("tk"))
+        .select("doc_id", F.posexplode(F.expr(chunks)).alias("pos", "line"))
     )
     return _line_dedup_over_lines(lines, min_df, " ")
 

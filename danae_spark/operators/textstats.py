@@ -1180,10 +1180,17 @@ def text_ann_topk(
     for the 100 TB path."""
     from danae_spark.operators.ann import cosine_topk
 
-    emb = doc_embedding_frame(
-        load_table(spark, sf_dir, "documents"), as_array=True
+    docs = load_table(spark, sf_dir, "documents")
+    # build the query-side embeddings from PRE-filtered docs: per-term
+    # vectors are a pure function of the term (md5), so a vocab built
+    # from the 20 query docs is identical where it matters and the
+    # whole query branch prunes at the scan — filtering the full
+    # embedding frame instead left its vocab subtree scanning the
+    # entire corpus (r6 review finding)
+    q = doc_embedding_frame(
+        docs.filter(F.col("doc_id") < n_queries), as_array=True
     )
-    q = emb.filter(F.col("doc_id") < n_queries)
+    emb = doc_embedding_frame(docs, as_array=True)
     return cosine_topk(
         q, emb, k=k,
         query_id="doc_id", query_vec="embedding",

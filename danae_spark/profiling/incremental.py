@@ -413,8 +413,18 @@ def profile_drift(
         .when(F.col("n_b").isNull(), F.lit("removed"))
         .otherwise(F.lit("both"))
     )
-    null_rate_a = F.col("null_a") / F.col("n_a")
-    null_rate_b = F.col("null_b") / F.col("n_b")
+    # finalize's n counts NON-null values, so the null RATE denominator
+    # is total rows (n + n_null); every division is zero-guarded — a
+    # fully-null current slice (n_b = 0) must surface as drift, never as
+    # an ANSI DIVIDE_BY_ZERO or a coalesced-to-fine verdict (r6 review)
+    rows_a = F.col("n_a") + F.col("null_a")
+    rows_b = F.col("n_b") + F.col("null_b")
+    null_rate_a = F.when(rows_a > 0, F.col("null_a") / rows_a)
+    null_rate_b = F.when(rows_b > 0, F.col("null_b") / rows_b)
+    n_ratio = F.when(F.col("n_a") > 0, F.col("n_b") / F.col("n_a"))
+    distinct_ratio = F.when(
+        F.col("nda_a") > 0, F.col("nda_b") / F.col("nda_a")
+    )
     mean_shift = F.when(
         F.col("std_a").isNotNull() & (F.col("std_a") > 0),
         (F.col("avg_b") - F.col("avg_a")) / F.col("std_a"),
@@ -423,8 +433,10 @@ def profile_drift(
         F.col("std_a").isNotNull() & (F.col("std_a") > 0), F.col("std_b") / F.col("std_a")
     )
     lo, hi = std_ratio_band
+    went_empty = (presence == "both") & (F.col("n_a") > 0) & (F.col("n_b") == 0)
     drifted = (
         (presence != "both")
+        | went_empty
         | (F.abs(F.coalesce(mean_shift, F.lit(0.0))) > sigma_threshold)
         | F.coalesce((std_ratio < lo) | (std_ratio > hi), F.lit(False))
         | (F.abs(F.coalesce(null_rate_b - null_rate_a, F.lit(0.0))) > null_delta_max)
@@ -433,11 +445,11 @@ def profile_drift(
         "table_name",
         "column_name",
         presence.alias("presence"),
-        (F.col("n_b") / F.col("n_a")).alias("n_ratio"),
+        n_ratio.alias("n_ratio"),
         (null_rate_b - null_rate_a).alias("null_rate_delta"),
         mean_shift.alias("mean_shift_sigma"),
         std_ratio.alias("std_ratio"),
-        (F.col("nda_b") / F.col("nda_a")).alias("distinct_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
         ((F.col("min_b") < F.col("min_a")) | (F.col("max_b") > F.col("max_a")))
         .cast("int")
         .alias("range_expanded"),

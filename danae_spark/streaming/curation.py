@@ -228,15 +228,23 @@ def nb_score_stream(
         for pdf in batches:
             if not len(pdf):
                 continue
-            scores, nt = [], []
-            for text in pdf["text"]:
+            ids, scores, nt = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = [t for t in tok.split((text or "").lower()) if t]
                 ws = [wmap[t] for t in toks if t in wmap]
+                if not ws:
+                    # the batch scorer's vocab join drops docs with zero
+                    # in-vocabulary tokens (no output row) — mirror it
+                    # instead of inventing a neutral keep verdict
+                    continue
+                ids.append(doc_id)
                 nt.append(len(ws))
-                scores.append(float(np.mean(ws)) if ws else 0.0)
+                scores.append(float(np.mean(ws)))
+            if not ids:
+                continue
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "doc_id": np.asarray(ids, dtype=np.int64),
                     "n_tokens": np.asarray(nt, dtype=np.int64),
                     "nb_logodds": np.asarray(scores, dtype=np.float64),
                 }

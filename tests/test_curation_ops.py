@@ -366,3 +366,82 @@ def test_line_dedup_conservation_properties(spark, sf_dir):
     from pyspark.sql import functions as F
 
     assert nothing.agg(F.sum("removed_lines")).collect()[0][0] == 0
+
+
+# ------------------------------------ r6 code-review regression cases
+
+
+def test_connected_components_fast_path_string_ids(spark):
+    from danae_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["d1", "d2"]
+    )
+    labels = {r.doc_id: r.label for r in connected_components(pairs).collect()}
+    assert labels == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_semantic_dedup_sparse_id_frame(spark):
+    from danae_spark.operators.dedup import semantic_dedup_frame
+
+    # ids in an arithmetic progression that misses the stride residue
+    emb = spark.createDataFrame(
+        [(i * 10, [1.0, float(i % 3), 0.0, 1.0]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_dedup_frame(emb)
+    assert out.count() == 100  # no np.stack crash, every vector assigned
+
+
+def test_semantic_dedup_text_preserves_double_vectors(spark):
+    from danae_spark.operators.dedup import semantic_dedup_frame
+    from danae_spark.operators.textstats import doc_embedding_frame
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b common words here") for i in range(6)],
+        "doc_id long, text string",
+    )
+    emb = doc_embedding_frame(docs, as_array=True)
+    assert dict(emb.dtypes)["embedding"] == "array<double>"
+    out = semantic_dedup_frame(emb, id_col="doc_id", tau=0.99)
+    # the assignment stage must not downcast to float32
+    assert out.count() == 6
+
+
+def test_nb_stream_drops_out_of_vocab_docs(spark, sf_dir, tmp_path):
+    import os
+
+    from danae_spark.operators.textstats import nb_train_weights
+    from danae_spark.streaming.curation import (
+        nb_score_stream,
+        run_curation_available_now,
+    )
+    from danae_spark.catalog import load_table
+
+    weights = nb_train_weights(load_table(spark, sf_dir, "documents"))
+    # a stream containing one fully out-of-vocabulary document
+    src_dir = str(tmp_path / "docs")
+    os.makedirs(src_dir)
+    spark.createDataFrame(
+        [(1, "key agg row scan"), (2, "zzqqxx1 zzqqxx2 zzqqxx3")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+    out = run_curation_available_now(
+        nb_score_stream(stream, weights), "t_nb_oov"
+    ).collect()
+    ids = {r.doc_id for r in out}
+    assert 1 in ids and 2 not in ids  # batch scorer's join drops doc 2 too
+
+
+def test_profile_drift_fully_null_current(spark):
+    from danae_spark.profiling.incremental import partial_state, profile_drift
+
+    base = spark.createDataFrame([(float(i),) for i in range(50)], "x double")
+    allnull = spark.createDataFrame([(None,)] * 50, "x double")
+    d = {r.column_name: r for r in profile_drift(
+        partial_state(base, "t"), partial_state(allnull, "t")
+    ).collect()}
+    # must flag drift (not throw under ANSI, not coalesce to fine)
+    assert d["x"].drifted == 1
+    assert abs(d["x"].null_rate_delta - 1.0) < 1e-9

@@ -31,10 +31,17 @@ def main() -> None:
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_corpus"
 
     spark = get_spark("danae-curate")
-    n_in = load_table(spark, sf_dir, "documents").count()
+    docs_in = load_table(spark, sf_dir, "documents")
+    n_in = docs_in.count()
 
+    # token accounting uses the SAME whitespace tokenizer as the span
+    # rewriter's n_tokens/removed_tokens, so in/out/cut are comparable
+    # (corpus_report's alphanumeric token count is a different measure)
+    tokens_in = docs_in.agg(
+        F.sum(F.size(F.expr("filter(split(text, ' +'), t -> t <> '')")))
+    ).collect()[0][0]
     report_in = corpus_report(spark, sf_dir)
-    tokens_in = report_in.agg(F.sum("total_tokens")).collect()[0][0]
+    alnum_tokens_in = report_in.agg(F.sum("total_tokens")).collect()[0][0]
 
     curated = curate_corpus(spark, sf_dir)
     curated.write.mode("overwrite").parquet(out_dir)
@@ -65,6 +72,7 @@ def main() -> None:
                 "tokens_in": int(tokens_in),
                 "tokens_out": int(agg.tokens_out),
                 "verbatim_tokens_cut": int(agg.tokens_cut),
+                "alnum_tokens_in": int(alnum_tokens_in),
                 "dropped_as_duplicate": int(drops.dropped_as_duplicate),
                 "dropped_by_quality": int(drops.dropped_by_quality),
             }
