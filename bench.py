@@ -86,10 +86,16 @@ def _extra_headline():
         # whose decimal string-route casts dominate its materialized cost
         return numeric_profile_extended(spark, sf_dir, exact=False)
 
+    def profile_numeric_scale(spark, sf_dir):
+        from danae_spark.profiling.profiler import numeric_profile
+
+        return numeric_profile(spark, sf_dir, exact=False)
+
     return {
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "q9_product_profit": q9,
         "profile_extended_scale": profile_extended_scale,
+        "profile_numeric_scale": profile_numeric_scale,
     }
 
 

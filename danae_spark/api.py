@@ -352,3 +352,11 @@ class DataLakeEngine:
         from danae_spark.profiling.incremental import profile_drift
 
         return profile_drift(state_a, state_b, **kw)
+
+    def q1_matview(self, state_dir: str) -> DataFrame:
+        """The live flagship-Q1 summary folded from incrementally landed
+        partials (streaming/matview.py) — bit-identical to the batch
+        query, refreshed in O(new rows)."""
+        from danae_spark.streaming.matview import streamed_q1
+
+        return streamed_q1(self.spark, state_dir)
