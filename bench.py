@@ -66,6 +66,7 @@ HEADLINE = [
     "corpus_report",
     "text_ann_topk",
     "frequent_ngrams",
+    "pack_sequences",
 ]
 
 

@@ -360,3 +360,15 @@ class DataLakeEngine:
         from danae_spark.streaming.matview import streamed_q1
 
         return streamed_q1(self.spark, state_dir)
+
+    def pack_sequences(self, docs: DataFrame | None = None, **kw) -> DataFrame:
+        """Training-sequence packing index: each doc's span and sequence
+        ids in the concatenated token stream (distributed prefix sum)."""
+        from danae_spark.operators.sampling import (
+            pack_sequences,
+            pack_sequences_frame,
+        )
+
+        if docs is None:
+            return pack_sequences(self.spark, self.lake_dir)
+        return pack_sequences_frame(docs, **kw)

@@ -180,3 +180,118 @@ def deterministic_split_oracle(
     return f"""
     SELECT doc_id, {case} AS split FROM documents ORDER BY doc_id
     """
+
+
+# -------------- training-sequence packing (tokenization-prep chunking)
+
+PACK_SEQ_LEN = 2048
+
+
+def pack_sequences_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = PACK_SEQ_LEN,
+) -> DataFrame:
+    """GPT-style training-sequence packing plan: documents are
+    concatenated in a deterministic order and the token stream is cut
+    into fixed seq_len sequences; each document's row says exactly
+    where it lands — (start_pos, end_pos) in the global stream, the
+    first/last sequence ids it touches, and how many sequences it
+    spans. This is the index a tokenizer/loader consumes to emit
+    packed training examples with correct document boundaries.
+
+    The global cumulative token count is a DISTRIBUTED two-phase prefix
+    sum — NOT an unpartitioned window (which executes on one task):
+    range-partition by the ordering key, partition-local cumsums via a
+    local window, then one bounded collect of per-partition totals
+    (num-partitions rows) broadcast back as additive offsets. The same
+    pattern scales to any monotone global numbering at 100 TB.
+
+    Deterministic: ordering is by doc id (use a hash column upstream
+    for shuffled packing); token counts are the whitespace tokenizer's
+    (the span rewriter's measure)."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.expr(f"filter(split({text_col}, ' +'), t -> t <> '')")).cast(
+            "long"
+        ).alias("n_tokens"),
+    )
+    part = base.repartitionByRange("doc_id")
+    with_pid = part.withColumn("pid", F.spark_partition_id())
+    w_local = W.partitionBy("pid").orderBy("doc_id")
+    local = with_pid.withColumn(
+        "local_end", F.sum("n_tokens").over(w_local)
+    )
+    # bounded collect: one row per partition
+    totals = (
+        local.groupBy("pid").agg(F.max("local_end").alias("ptotal")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for r in sorted(totals, key=lambda r: r.pid):
+        offsets[r.pid] = acc
+        acc += r.ptotal
+    off_df = F.broadcast(
+        local.sparkSession.createDataFrame(
+            sorted(offsets.items()), "pid int, offset long"
+        )
+    )
+    g = local.join(off_df, "pid")
+    end_pos = F.col("offset") + F.col("local_end")
+    start_pos = end_pos - F.col("n_tokens")
+    return (
+        g.select(
+            "doc_id",
+            "n_tokens",
+            start_pos.alias("start_pos"),
+            end_pos.alias("end_pos"),
+            F.floor(start_pos / seq_len).cast("long").alias("first_seq"),
+            # a doc's last token is at end_pos - 1; empty docs stay in
+            # their start sequence
+            F.floor(
+                F.greatest(end_pos - 1, start_pos) / seq_len
+            ).cast("long").alias("last_seq"),
+        )
+        .withColumn(
+            "n_seqs", (F.col("last_seq") - F.col("first_seq") + 1).cast("long")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str, seq_len: int = 256) -> DataFrame:
+    """The documents-table entry point of `pack_sequences_frame`
+    (seq_len 256 so lake docs actually straddle sequence boundaries)."""
+    from danae_spark.catalog import load_table
+
+    return pack_sequences_frame(
+        load_table(spark, sf_dir, "documents"), seq_len=seq_len
+    )
+
+
+def pack_sequences_oracle(seq_len: int = 256) -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, ' +'), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS end_pos
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(end_pos - n_tokens AS BIGINT) AS start_pos,
+           end_pos,
+           CAST(floor((end_pos - n_tokens) / {seq_len}) AS BIGINT) AS first_seq,
+           CAST(floor(greatest(end_pos - 1, end_pos - n_tokens) / {seq_len}) AS BIGINT)
+             AS last_seq,
+           CAST(floor(greatest(end_pos - 1, end_pos - n_tokens) / {seq_len})
+                - floor((end_pos - n_tokens) / {seq_len}) + 1 AS BIGINT) AS n_seqs
+    FROM c ORDER BY doc_id
+    """

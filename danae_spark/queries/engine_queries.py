@@ -170,6 +170,16 @@ def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.contamination_spans_lake(spark, sf_dir)
 
 
+@register("pack_sequences", oracle=_sampling.pack_sequences_oracle())
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing index: concatenate docs in
+    deterministic order, cut the token stream into fixed-length
+    sequences, report each doc's global span and sequence ids — built
+    on a distributed two-phase prefix sum, never an unpartitioned
+    window (operators/sampling.py pack_sequences_frame)."""
+    return _sampling.pack_sequences(spark, sf_dir)
+
+
 @register("frequent_ngrams", oracle=_textstats.frequent_ngrams_oracle())
 def frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide frequent word n-grams with term/document frequencies

@@ -67,3 +67,39 @@ def test_deterministic_split_frame_properties(spark):
 
     with _pytest.raises(ValueError):
         deterministic_split_frame(df, "k", splits={"a": 0.5, "b": 0.2})
+
+
+def test_pack_sequences_contiguous_and_exact(spark):
+    from danae_spark.operators.sampling import pack_sequences_frame
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # 5 tokens → [0, 5)
+            (2, "f g h"),            # 3 tokens → [5, 8)
+            (3, "i j k l m n o p"),  # 8 tokens → [8, 16)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pack_sequences_frame(docs, seq_len=4).collect()}
+    assert (out[1].start_pos, out[1].end_pos) == (0, 5)
+    assert (out[2].start_pos, out[2].end_pos) == (5, 8)
+    assert (out[3].start_pos, out[3].end_pos) == (8, 16)
+    # doc 1 spans seqs 0-1 (tokens 0..4), doc 2 stays in seq 1,
+    # doc 3 spans seqs 2-3 (tokens 8..15)
+    assert (out[1].first_seq, out[1].last_seq, out[1].n_seqs) == (0, 1, 2)
+    assert (out[2].first_seq, out[2].last_seq, out[2].n_seqs) == (1, 1, 1)
+    assert (out[3].first_seq, out[3].last_seq, out[3].n_seqs) == (2, 3, 2)
+
+
+def test_pack_sequences_prefix_sum_is_globally_consistent(spark, sf_dir):
+    from danae_spark.catalog import load_table
+    from danae_spark.operators.sampling import pack_sequences_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = pack_sequences_frame(docs, seq_len=128).orderBy("doc_id").collect()
+    pos = 0
+    for r in rows:  # spans tile the stream with no gaps or overlaps
+        assert r.start_pos == pos, r
+        assert r.end_pos == pos + r.n_tokens
+        pos = r.end_pos
+    assert pos == sum(r.n_tokens for r in rows)
