@@ -372,3 +372,18 @@ class DataLakeEngine:
         if docs is None:
             return pack_sequences(self.spark, self.lake_dir)
         return pack_sequences_frame(docs, **kw)
+
+    def train_bpe(self, docs: DataFrame | None = None, **kw) -> list:
+        """Learn BPE merges from the corpus word-frequency table
+        (driver-side over a budget-capped deterministic sample)."""
+        from danae_spark.operators.bpe import train_bpe
+
+        if docs is None:
+            docs = self.table("documents")
+        return train_bpe(docs, **kw)
+
+    def bpe_tokenize(self, docs: DataFrame, merges: list, **kw) -> DataFrame:
+        """Apply learned BPE merges to any corpus, distributed."""
+        from danae_spark.operators.bpe import bpe_tokenize_frame
+
+        return bpe_tokenize_frame(docs, merges, **kw)

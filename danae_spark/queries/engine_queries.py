@@ -252,3 +252,16 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb_quality_classifier_frame) — training IS one aggregation, so the
     whole model is DuckDB-value-checked."""
     return _textstats.nb_quality_classifier(spark, sf_dir)
+
+
+from danae_spark.operators import bpe as _bpe  # noqa: E402
+
+
+@register("bpe_token_count", oracle=None)  # iterative merge training: non-SQL
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-BPE token counts per doc: merges trained driver-side on a
+    hash-capped word-frequency sample (operators/bpe.py train_bpe — the
+    IVF-codebook budget pattern), applied distributed via Arrow
+    (bpe_tokenize_frame). Deterministic training is pytest-enforced;
+    the driver records the rows-only check."""
+    return _bpe.bpe_token_count(spark, sf_dir, n_merges=50)
