@@ -67,6 +67,7 @@ HEADLINE = [
     "text_ann_topk",
     "frequent_ngrams",
     "pack_sequences",
+    "bpe_token_count",
 ]
 
 
