@@ -370,7 +370,7 @@ class DataLakeEngine:
         )
 
         if docs is None:
-            return pack_sequences(self.spark, self.lake_dir)
+            return pack_sequences(self.spark, self.lake_dir, **kw)
         return pack_sequences_frame(docs, **kw)
 
     def train_bpe(self, docs: DataFrame | None = None, **kw) -> list:

@@ -38,12 +38,14 @@ END_OF_WORD = "</w>"
 
 
 def _word_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    # alias first, reference the alias (the repo convention — a caller
+    # column named e.g. `content` must not leak into the expr)
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     return (
         widen(base)
         .select(
             F.explode(
-                F.expr(f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')")
+                F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
             ).alias("word")
         )
         .groupBy("word")
@@ -62,15 +64,21 @@ def train_bpe(
 
     Returns the ordered merge list [(left, right), ...] — rank is the
     list position, exactly the artifact a tokenizer file stores."""
-    wc = _word_counts(docs, id_col, text_col)
-    n_words = wc.count()
-    # ~avg word bytes + count; hash-cap the DISTINCT-WORD table to budget
-    est_row_bytes = 24
-    cap = max(1, sample_budget_bytes // est_row_bytes)
-    if n_words > cap:
-        m = max(1, n_words // cap)
-        wc = wc.filter(F.pmod(F.xxhash64("word"), F.lit(m)) == 0)
-    rows = wc.collect()
+    wc = _word_counts(docs, id_col, text_col).persist()
+    try:
+        n_words = wc.count()
+        # ~avg word bytes + count; hash-cap the DISTINCT-WORD table to
+        # budget — CEILING division, so the kept fraction never exceeds
+        # the budget (floor let a 1.9x-cap vocab through whole)
+        est_row_bytes = 24
+        cap = max(1, sample_budget_bytes // est_row_bytes)
+        sampled = wc
+        if n_words > cap:
+            m = -(-n_words // cap)
+            sampled = wc.filter(F.pmod(F.xxhash64("word"), F.lit(m)) == 0)
+        rows = sampled.collect()
+    finally:
+        wc.unpersist()
 
     vocab = {}
     for r in rows:
@@ -147,6 +155,7 @@ def bpe_tokenize_frame(
     tok = re.compile(r"[^a-z0-9]+")
 
     src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    id_type = dict(src.dtypes)["doc_id"]  # carry the caller's id type
 
     def tokenize_batches(batches):
         for pdf in batches:
@@ -178,7 +187,8 @@ def bpe_tokenize_frame(
 
     return widen(src).mapInPandas(
         tokenize_batches,
-        schema="doc_id long, n_words long, n_bpe_tokens long, tokens array<string>",
+        schema=f"doc_id {id_type}, n_words long, n_bpe_tokens long, "
+        "tokens array<string>",
     )
 
 

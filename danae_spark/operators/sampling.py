@@ -203,26 +203,45 @@ def pack_sequences_frame(
 
     The global cumulative token count is a DISTRIBUTED two-phase prefix
     sum — NOT an unpartitioned window (which executes on one task):
-    range-partition by the ordering key, partition-local cumsums via a
-    local window, then one bounded collect of per-partition totals
-    (num-partitions rows) broadcast back as additive offsets. The same
-    pattern scales to any monotone global numbering at 100 TB.
+    range-partition by the ordering key, partition-LOCAL running sums
+    accumulated inside one Arrow pass (no second exchange — a
+    window partitioned on the partition id would re-shuffle every row
+    to no effect), then one bounded collect of per-partition totals
+    (num-partitions rows) broadcast back as additive offsets. The
+    local-sum frame is checkpointed before the totals collect so the
+    offsets join sees the SAME partitioning/values (range boundaries
+    are sampled; an uncached second evaluation could re-draw them).
+    The same pattern scales to any monotone global numbering at 100 TB.
 
     Deterministic: ordering is by doc id (use a hash column upstream
     for shuffled packing); token counts are the whitespace tokenizer's
-    (the span rewriter's measure)."""
+    (the span rewriter's measure); NULL text counts as zero tokens."""
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.expr(f"filter(split({text_col}, ' +'), t -> t <> '')")).cast(
-            "long"
-        ).alias("n_tokens"),
+        F.size(
+            F.expr(f"filter(split(coalesce({text_col}, '')," " ' +'), t -> t <> '')")
+        ).cast("long").alias("n_tokens"),
     )
-    part = base.repartitionByRange("doc_id")
-    with_pid = part.withColumn("pid", F.spark_partition_id())
-    w_local = W.partitionBy("pid").orderBy("doc_id")
-    local = with_pid.withColumn(
-        "local_end", F.sum("n_tokens").over(w_local)
-    )
+    part = base.repartitionByRange("doc_id").sortWithinPartitions("doc_id")
+
+    def local_cumsum(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        acc = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ends = pdf["n_tokens"].cumsum() + acc
+            acc = int(ends.iloc[-1])
+            pdf = pdf.assign(pid=pid, local_end=ends)
+            yield pdf[["doc_id", "n_tokens", "pid", "local_end"]]
+
+    id_type = dict(base.dtypes)["doc_id"]  # carry the caller's id type
+    local = part.mapInPandas(
+        local_cumsum,
+        schema=f"doc_id {id_type}, n_tokens long, pid int, local_end long",
+    ).localCheckpoint()
     # bounded collect: one row per partition
     totals = (
         local.groupBy("pid").agg(F.max("local_end").alias("ptotal")).collect()

@@ -103,3 +103,30 @@ def test_pack_sequences_prefix_sum_is_globally_consistent(spark, sf_dir):
         assert r.end_pos == pos + r.n_tokens
         pos = r.end_pos
     assert pos == sum(r.n_tokens for r in rows)
+
+
+def test_pack_sequences_string_ids_and_null_text(spark):
+    from danae_spark.operators.sampling import pack_sequences_frame
+
+    docs = spark.createDataFrame(
+        [("a", "x y z"), ("b", None), ("c", "p q")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in pack_sequences_frame(docs, seq_len=4).collect()}
+    assert out["a"].n_tokens == 3 and out["b"].n_tokens == 0
+    # null-text doc occupies zero width; spans stay gap/overlap-free
+    assert out["b"].start_pos == out["b"].end_pos == 3
+    assert out["c"].start_pos == 3 and out["c"].end_pos == 5
+
+
+def test_bpe_custom_columns_and_string_ids(spark):
+    from danae_spark.operators.bpe import bpe_tokenize_frame, train_bpe
+
+    docs = spark.createDataFrame(
+        [("u1", "the the cat"), ("u2", "the dog")],
+        "url string, content string",
+    )
+    merges = train_bpe(docs, n_merges=5, id_col="url", text_col="content")
+    out = bpe_tokenize_frame(docs, merges, id_col="url", text_col="content")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows["u1"].n_words == 3 and rows["u2"].n_words == 2
