@@ -185,7 +185,11 @@ def bpe_tokenize_frame(
                 }
             )
 
-    return widen(src).mapInPandas(
+    # widen needs scan metadata / partition counts — neither exists for
+    # a streaming frame (micro-batch parallelism is the source's job)
+    if not src.isStreaming:
+        src = widen(src)
+    return src.mapInPandas(
         tokenize_batches,
         schema=f"doc_id {id_type}, n_words long, n_bpe_tokens long, "
         "tokens array<string>",

@@ -326,3 +326,22 @@ def streamed_corpus_report(spark: SparkSession, state_dir: str) -> DataFrame:
         rnd(F.col("keep_docs") / F.col("n_docs"), 4).alias("keep_rate"),
         "pii_docs",
     ).orderBy("source", "lang")
+
+
+def bpe_tokenize_stream(
+    docs_stream: DataFrame,
+    merges: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a batch-trained BPE merge list to the document STREAM —
+    the tokenize step of a streaming ingest pipeline, stateless like
+    the NB scorer: `operators/bpe.bpe_tokenize_frame` already works on
+    any frame including a streaming one (its Arrow closure carries the
+    bounded merge table), so this is a thin, intention-revealing alias
+    that also asserts the stream contract."""
+    from danae_spark.operators.bpe import bpe_tokenize_frame
+
+    out = bpe_tokenize_frame(docs_stream, merges, id_col=id_col, text_col=text_col)
+    assert out.isStreaming, "bpe_tokenize_stream expects a streaming input"
+    return out

@@ -130,3 +130,30 @@ def test_bpe_custom_columns_and_string_ids(spark):
     out = bpe_tokenize_frame(docs, merges, id_col="url", text_col="content")
     rows = {r.doc_id: r for r in out.collect()}
     assert rows["u1"].n_words == 3 and rows["u2"].n_words == 2
+
+
+def test_pack_sequences_fuzz_tiling(spark):
+    """Property fuzz: random corpora (deterministic LCG) always tile the
+    global token stream with no gaps or overlaps, and sequence ids are
+    consistent with positions."""
+    from danae_spark.operators.sampling import pack_sequences_frame
+
+    x = 42
+    for trial in range(3):
+        rows = []
+        n_docs = 30 + trial * 17
+        for i in range(n_docs):
+            x = (x * 1103515245 + 12345) % (2**31)
+            n_words = x % 9  # includes 0-token docs
+            rows.append((i, " ".join(f"w{i}_{j}" for j in range(n_words))))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        seq_len = 5 + trial * 3
+        out = pack_sequences_frame(docs, seq_len=seq_len).orderBy("doc_id").collect()
+        pos = 0
+        for r in out:
+            assert r.start_pos == pos, (trial, r)
+            assert r.end_pos == pos + r.n_tokens
+            assert r.first_seq == r.start_pos // seq_len
+            assert r.last_seq == max(r.end_pos - 1, r.start_pos) // seq_len
+            assert r.n_seqs == r.last_seq - r.first_seq + 1
+            pos = r.end_pos

@@ -116,3 +116,29 @@ def test_streamed_corpus_report_matches_batch(spark, sf_dir, tmp_path):
     streamed = [tuple(r) for r in streamed_corpus_report(spark, state).collect()]
     batch = [tuple(r) for r in corpus_report(spark, sf_dir).collect()]
     assert streamed == batch and len(batch) > 0
+
+
+def test_bpe_tokenize_stream_parity_with_batch(spark, sf_dir):
+    from danae_spark.catalog import load_table
+    from danae_spark.operators.bpe import bpe_tokenize_frame, train_bpe
+    from danae_spark.streaming.curation import (
+        bpe_tokenize_stream,
+        read_documents_stream,
+        run_curation_available_now,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=30)
+    streamed = {
+        r.doc_id: r
+        for r in run_curation_available_now(
+            bpe_tokenize_stream(read_documents_stream(spark, sf_dir), merges),
+            "t_bpe_stream",
+        ).collect()
+    }
+    batch = {r.doc_id: r for r in bpe_tokenize_frame(docs, merges).collect()}
+    assert set(streamed) == set(batch) and len(batch) > 0
+    for doc_id, b in batch.items():
+        s = streamed[doc_id]
+        assert s.n_words == b.n_words and s.n_bpe_tokens == b.n_bpe_tokens
+        assert list(s.tokens) == list(b.tokens)
