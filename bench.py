@@ -1,9 +1,14 @@
 """Headline-query benchmark. Prints ONE JSON line:
-{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": "...", "value": N, "unit": "sec", "queries": {...},
+ "queries_materialized": {...}, "sf": ..., "env_probe": {...}}
 
 Runs each headline query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
-on local[$SPARK_GRAFT_CPUS]; time includes plan + execution to a count-style
-materialization (collect for small results), excluding session startup.
+on local[$SPARK_GRAFT_CPUS], min-of-2, excluding session startup — TWICE:
+once to a count() (cross-round comparable; Catalyst may prune output
+expressions) and once through the noop sink (full materialization — the
+honest cost every consumer pays). The env_probe block (dispatch latency,
+file/row-group layout, timestamp physical type) makes cross-round deltas
+attributable.
 """
 
 from __future__ import annotations
