@@ -345,3 +345,47 @@ def bpe_tokenize_stream(
     out = bpe_tokenize_frame(docs_stream, merges, id_col=id_col, text_col=text_col)
     assert out.isStreaming, "bpe_tokenize_stream expects a streaming input"
     return out
+
+
+def ann_candidates_stream(
+    query_stream: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming retrieval primitive: LSH-bucketed candidate generation
+    for a STREAM of query vectors against a static embedding corpus —
+    the stateless half of online ANN serving. Each streamed query gets
+    its hyperplane bucket from the same fixed-seed planes the batch
+    `ann_lsh_bucketed` uses (a codegen expression), then a
+    STREAM-STATIC equi-join on the bucket id yields scored candidate
+    pairs (query_id, cand_id, cosine). Per-query top-k is a stateful
+    aggregation a streaming sink cannot do in append mode without a
+    watermark — by design the consumer ranks candidates (they are
+    bucket-bounded, ~N/2^planes each), exactly how online retrieval
+    tiers split candidate generation from ranking.
+
+    Batch-parity: the candidate SET equals the batch LSH path's
+    same-bucket pairs (pytest)."""
+    from danae_spark.functions import vectors
+    from danae_spark.functions.rounding import rnd
+    from danae_spark.operators.ann import _hyperplanes, lsh_bucket_col
+
+    q = query_stream.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_emb"))
+    first = corpus.select(vec_col).head(1)
+    dim = len(first[0][0]) if first else 0
+    planes = _hyperplanes(dim=dim)
+    qb = q.withColumn("bucket", lsh_bucket_col("q_emb", planes))
+    cb = c.withColumn("bucket", lsh_bucket_col("c_emb", planes))
+    cos = vectors.pair_cosine_udf()
+    out = (
+        qb.join(cb, "bucket")  # stream-static equi-join
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", rnd(cos("q_emb", "c_emb"), 6))
+        .select("query_id", "cand_id", "bucket", "cosine")
+    )
+    assert out.isStreaming, "ann_candidates_stream expects a streaming query side"
+    return out

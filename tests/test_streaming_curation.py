@@ -142,3 +142,53 @@ def test_bpe_tokenize_stream_parity_with_batch(spark, sf_dir):
         s = streamed[doc_id]
         assert s.n_words == b.n_words and s.n_bpe_tokens == b.n_bpe_tokens
         assert list(s.tokens) == list(b.tokens)
+
+
+def test_ann_candidates_stream_matches_batch_buckets(spark, sf_dir, tmp_path):
+    """Streamed LSH candidate pairs equal the batch same-bucket pairs
+    (same fixed-seed planes), with identical rounded cosines."""
+    import os
+
+    from danae_spark.catalog import load_table, table_path
+    from danae_spark.functions import vectors
+    from danae_spark.functions.rounding import rnd
+    from danae_spark.operators.ann import _hyperplanes, lsh_bucket_col
+    from danae_spark.streaming.curation import (
+        ann_candidates_stream,
+        run_curation_available_now,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # stream side: the first 10 vectors, landed as a parquet dir stream
+    qdir = str(tmp_path / "queries")
+    os.makedirs(qdir)
+    emb.filter(F.col("vec_id") < 10).write.mode("overwrite").parquet(qdir)
+    qstream = spark.readStream.schema(emb.schema).parquet(qdir)
+
+    streamed = run_curation_available_now(
+        ann_candidates_stream(qstream, emb), "t_ann_stream"
+    )
+    got = sorted(
+        (r.query_id, r.cand_id, r.cosine) for r in streamed.collect()
+    )
+
+    # batch twin: same buckets, same pairs
+    first = emb.select("embedding").head(1)
+    planes = _hyperplanes(dim=len(first[0][0]))
+    b = emb.withColumn("bucket", lsh_bucket_col("embedding", planes))
+    q = b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    cos = vectors.pair_cosine_udf()
+    want = sorted(
+        (r.query_id, r.cand_id, r.cosine)
+        for r in q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", rnd(cos("q_emb", "c_emb"), 6))
+        .collect()
+    )
+    assert got == want and len(want) > 0
