@@ -387,3 +387,13 @@ class DataLakeEngine:
         from danae_spark.operators.bpe import bpe_tokenize_frame
 
         return bpe_tokenize_frame(docs, merges, **kw)
+
+    def ann_candidates_stream(self, query_stream: DataFrame, **kw) -> DataFrame:
+        """Online-retrieval candidate generation: score a query-vector
+        stream against the lake embeddings via the stream-static LSH
+        bucket join (stateless; consumer ranks)."""
+        from danae_spark.streaming.curation import ann_candidates_stream
+
+        return ann_candidates_stream(
+            query_stream, self.table("embeddings"), **kw
+        )
