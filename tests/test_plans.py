@@ -224,3 +224,13 @@ def test_corpus_report_two_scans(spark, sf_dir):
     n_scans = len(audit.scans(df))
     # fused quality frame (2 scans) + the source/lang projection (1)
     assert n_scans <= 3, n_scans
+
+
+def test_pack_sequences_no_global_window(spark, sf_dir):
+    """The packing prefix sum must never plan a single-task global
+    window: no Window operator at all (local cumsums run inside the
+    Arrow pass), one range exchange for the ordering."""
+    df = REGISTRY["pack_sequences"].fn(spark, sf_dir)
+    plan = audit.physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" in plan.lower() or "ReusedExchange" in plan, plan
