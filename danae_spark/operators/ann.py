@@ -433,27 +433,47 @@ def ann_lsh_oracle(k: int = TOP_K) -> str:
     """
 
 
+def lsh_candidate_pairs(
+    q: DataFrame,
+    c: DataFrame,
+    planes: list,
+    drop_self: bool = True,
+) -> DataFrame:
+    """Shared LSH candidate-pair pipeline: bucket each side with the
+    SAME plane set, equi-join on the bucket id, score with the rounded
+    Arrow cosine. Both the batch `ann_lsh_bucketed` and the streaming
+    `ann_candidates_stream` route through here, so bucketing / rounding
+    / self-pair semantics cannot drift apart. `drop_self=False` keeps
+    id-equal pairs (an EXTERNAL query stream's ids share no space with
+    the corpus — dropping collisions there silently loses candidates).
+
+    Expects q(query_id, q_emb) and c(cand_id, c_emb); emits
+    (query_id, cand_id, bucket, cosine)."""
+    cos = vectors.pair_cosine_udf()
+    qb = q.withColumn("bucket", lsh_bucket_col("q_emb", planes))
+    cb = c.withColumn("bucket", lsh_bucket_col("c_emb", planes))
+    pairs = qb.join(cb, "bucket")  # bucket equi-join: work stays in-bucket
+    if drop_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("cand_id"))
+    return pairs.withColumn("cosine", rnd(cos("q_emb", "c_emb"), 6)).select(
+        "query_id", "cand_id", "bucket", "cosine"
+    )
+
+
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """Top-k cosine neighbors restricted to the query's LSH bucket."""
     from danae_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
     planes = _hyperplanes()
-    emb = widen(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "embedding", lsh_bucket_col("embedding", planes).alias("bucket")
-    )
+    emb = widen(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     c = emb.select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket"
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
     )
-    cos = vectors.pair_cosine_udf()
-    pairs = (
-        q.join(c, "bucket")  # bucket equi-join: pairwise work stays in-bucket
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", rnd(cos("q_emb", "c_emb"), 6))
-    )
+    pairs = lsh_candidate_pairs(q, c, planes)
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))

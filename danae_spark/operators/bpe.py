@@ -185,6 +185,13 @@ def bpe_tokenize_frame(
                 }
             )
 
+    # ship the package to workers: the Arrow closure references
+    # module-level _apply_merges by module, and non-registry callers
+    # (bpe_tokenize_stream, engine.bpe_tokenize) don't pass through the
+    # registry wrapper that normally calls this
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
     # widen needs scan metadata / partition counts — neither exists for
     # a streaming frame (micro-batch parallelism is the source's job)
     if not src.isStreaming:

@@ -343,7 +343,8 @@ def bpe_tokenize_stream(
     from danae_spark.operators.bpe import bpe_tokenize_frame
 
     out = bpe_tokenize_frame(docs_stream, merges, id_col=id_col, text_col=text_col)
-    assert out.isStreaming, "bpe_tokenize_stream expects a streaming input"
+    if not out.isStreaming:
+        raise TypeError("bpe_tokenize_stream expects a streaming input")
     return out
 
 
@@ -352,40 +353,48 @@ def ann_candidates_stream(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    queries_are_corpus_rows: bool = False,
+    persist_corpus: bool = True,
 ) -> DataFrame:
     """Streaming retrieval primitive: LSH-bucketed candidate generation
     for a STREAM of query vectors against a static embedding corpus —
-    the stateless half of online ANN serving. Each streamed query gets
-    its hyperplane bucket from the same fixed-seed planes the batch
-    `ann_lsh_bucketed` uses (a codegen expression), then a
+    the stateless half of online ANN serving. The shared batch/stream
+    pipeline (`ann.lsh_candidate_pairs` — the exact code path
+    `ann_lsh_bucketed` ranks) buckets each streamed query with the
+    fixed-seed hyperplanes (dimension probed from the corpus) and a
     STREAM-STATIC equi-join on the bucket id yields scored candidate
     pairs (query_id, cand_id, cosine). Per-query top-k is a stateful
     aggregation a streaming sink cannot do in append mode without a
-    watermark — by design the consumer ranks candidates (they are
-    bucket-bounded, ~N/2^planes each), exactly how online retrieval
-    tiers split candidate generation from ranking.
+    watermark — by design the consumer ranks candidates (bucket-
+    bounded, ~N/2^planes each), exactly how online retrieval tiers
+    split candidate generation from ranking.
 
-    Batch-parity: the candidate SET equals the batch LSH path's
-    same-bucket pairs (pytest)."""
-    from danae_spark.functions import vectors
-    from danae_spark.functions.rounding import rnd
-    from danae_spark.operators.ann import _hyperplanes, lsh_bucket_col
+    `queries_are_corpus_rows=True` drops id-equal self-pairs — ONLY
+    correct when the stream replays actual corpus rows; an external
+    query stream's ids share no space with the corpus, so the default
+    keeps every candidate (an id collision is not a self-pair).
+    `persist_corpus` caches the bucketed static side so a long-running
+    stream doesn't re-scan and re-bucket the corpus per micro-batch."""
+    from danae_spark.operators.ann import _hyperplanes, lsh_candidate_pairs
+    from danae_spark.shipping import ensure_shipped
 
+    ensure_shipped(corpus.sparkSession)
     q = query_stream.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
     )
     c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_emb"))
-    first = corpus.select(vec_col).head(1)
-    dim = len(first[0][0]) if first else 0
-    planes = _hyperplanes(dim=dim)
-    qb = q.withColumn("bucket", lsh_bucket_col("q_emb", planes))
-    cb = c.withColumn("bucket", lsh_bucket_col("c_emb", planes))
-    cos = vectors.pair_cosine_udf()
-    out = (
-        qb.join(cb, "bucket")  # stream-static equi-join
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", rnd(cos("q_emb", "c_emb"), 6))
-        .select("query_id", "cand_id", "bucket", "cosine")
+    dim_row = (
+        corpus.select(F.size(F.col(vec_col)).alias("d")).filter("d > 0").head(1)
     )
-    assert out.isStreaming, "ann_candidates_stream expects a streaming query side"
+    if not dim_row:
+        raise ValueError(
+            "ann_candidates_stream: corpus has no non-empty embedding to "
+            "probe the vector dimension from"
+        )
+    planes = _hyperplanes(dim=dim_row[0].d)
+    if persist_corpus:
+        c = c.persist()
+    out = lsh_candidate_pairs(q, c, planes, drop_self=queries_are_corpus_rows)
+    if not out.isStreaming:
+        raise TypeError("ann_candidates_stream expects a streaming query side")
     return out

@@ -167,7 +167,8 @@ def test_ann_candidates_stream_matches_batch_buckets(spark, sf_dir, tmp_path):
     qstream = spark.readStream.schema(emb.schema).parquet(qdir)
 
     streamed = run_curation_available_now(
-        ann_candidates_stream(qstream, emb), "t_ann_stream"
+        ann_candidates_stream(qstream, emb, queries_are_corpus_rows=True),
+        "t_ann_stream"
     )
     got = sorted(
         (r.query_id, r.cand_id, r.cosine) for r in streamed.collect()
