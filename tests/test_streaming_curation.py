@@ -193,3 +193,31 @@ def test_ann_candidates_stream_matches_batch_buckets(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_ann_candidates_stream_external_ids_keep_collisions(spark, tmp_path):
+    """Default (external query stream): an id collision with the corpus
+    is NOT a self-pair and must stay in the candidate set."""
+    import os
+
+    from danae_spark.streaming.curation import (
+        ann_candidates_stream,
+        run_curation_available_now,
+    )
+
+    corpus = spark.createDataFrame(
+        [(7, [1.0, 0.0, 0.0, 0.0]), (8, [0.9, 0.1, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    qdir = str(tmp_path / "q")
+    os.makedirs(qdir)
+    # query id 7 collides with corpus vec_id 7 but is a DIFFERENT vector
+    spark.createDataFrame(
+        [(7, [0.95, 0.05, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(qdir)
+    qstream = spark.readStream.schema(corpus.schema).parquet(qdir)
+    got = run_curation_available_now(
+        ann_candidates_stream(qstream, corpus), "t_ann_ext"
+    ).collect()
+    cands = {r.cand_id for r in got}
+    assert 7 in cands and 8 in cands  # the collision candidate survives
