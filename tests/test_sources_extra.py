@@ -144,3 +144,19 @@ def test_compact_splits_single_file_for_scan_parallelism(spark, tmp_path):
     assert len(df.inputFiles()) >= 4
     assert df.rdd.getNumPartitions() >= 4
     assert df.count() == 400_000
+
+
+def test_read_any_orc_roundtrip_and_dispatch(spark, sf_dir, tmp_path):
+    from danae_spark.catalog import load_table
+    from danae_spark.sources.formats import read_any, write_orc
+
+    nation = load_table(spark, sf_dir, "nation")
+    orc_path = str(tmp_path / "nation.orc")
+    write_orc(nation, orc_path)
+    back = read_any(spark, orc_path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+    # parquet dispatch reads the lake file identically
+    import os
+
+    pq = read_any(spark, os.path.join(sf_dir, "nation.parquet"))
+    assert pq.count() == nation.count()
