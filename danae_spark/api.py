@@ -397,3 +397,10 @@ class DataLakeEngine:
         return ann_candidates_stream(
             query_stream, self.table("embeddings"), **kw
         )
+
+    def read(self, path: str, **options) -> DataFrame:
+        """Read any supported container format (parquet / ORC / sniffed
+        CSV / JSON-lines) with uniform temporal normalization."""
+        from danae_spark.sources.formats import read_any
+
+        return read_any(self.spark, path, **options)
