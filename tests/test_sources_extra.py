@@ -160,3 +160,22 @@ def test_read_any_orc_roundtrip_and_dispatch(spark, sf_dir, tmp_path):
 
     pq = read_any(spark, os.path.join(sf_dir, "nation.parquet"))
     assert pq.count() == nation.count()
+
+
+def test_read_any_csv_and_jsonl_dispatch(spark, tmp_path):
+    import os
+
+    from danae_spark.sources.formats import read_any
+
+    csv_path = str(tmp_path / "t.csv")
+    with open(csv_path, "w") as f:
+        f.write("a;b\n1;x\n2;y\n")
+    got = read_any(spark, csv_path)
+    rows = sorted(map(tuple, got.collect()))
+    assert rows == [("1", "x"), ("2", "y")] or rows == [(1, "x"), (2, "y")]
+
+    jl_path = str(tmp_path / "t.jsonl")
+    with open(jl_path, "w") as f:
+        f.write('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    jrows = sorted(map(tuple, read_any(spark, jl_path).select("a", "b").collect()))
+    assert jrows == [(1, "x"), (2, "y")]
