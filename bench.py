@@ -73,6 +73,10 @@ HEADLINE = [
     "frequent_ngrams",
     "pack_sequences",
     "bpe_token_count",
+    # late-r6 additions
+    "dsir_select",
+    "url_domain_cap",
+    "chunk_documents",
 ]
 
 

@@ -404,3 +404,39 @@ class DataLakeEngine:
         from danae_spark.sources.formats import read_any
 
         return read_any(self.spark, path, **options)
+
+    def dsir_select(
+        self, corpus: DataFrame | None = None, target: DataFrame | None = None, **kw
+    ) -> DataFrame:
+        """DSIR importance resampling (Xie et al. 2023): select corpus
+        docs whose hashed-n-gram distribution matches `target`, via
+        Gumbel-top-k over log importance weights. Lake default: resample
+        documents toward their English subset."""
+        from danae_spark.operators.dsir import dsir_select, dsir_select_frame
+
+        if corpus is None:
+            return dsir_select(self.spark, self.lake_dir, **kw)
+        if target is None:
+            raise ValueError("dsir_select with a caller corpus needs target=")
+        return dsir_select_frame(corpus, target, **kw)
+
+    def domain_cap(self, docs: DataFrame | None = None, **kw) -> DataFrame:
+        """URL parse + per-registrable-domain quota (the RefinedWeb
+        provenance gate). Caller frames need (id, url) columns."""
+        from danae_spark.operators.urlops import url_domain_cap, url_domain_cap_frame
+
+        if docs is None:
+            return url_domain_cap(self.spark, self.lake_dir, **kw)
+        return url_domain_cap_frame(docs, **kw)
+
+    def chunk(self, docs: DataFrame | None = None, **kw) -> DataFrame:
+        """Overlapping token-window chunking (RAG / context prep):
+        fixed-size chunks with shared overlap per document."""
+        from danae_spark.operators.sampling import (
+            chunk_documents,
+            chunk_documents_frame,
+        )
+
+        if docs is None:
+            return chunk_documents(self.spark, self.lake_dir, **kw)
+        return chunk_documents_frame(docs, **kw)

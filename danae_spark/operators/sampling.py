@@ -182,6 +182,116 @@ def deterministic_split_oracle(
     """
 
 
+# ------------------- overlapping token-window chunking (RAG / context prep)
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_documents_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Split every document into fixed-size token windows with overlap —
+    the retrieval/context-window prep step (RAG chunking, long-doc
+    embedding prep): chunk i covers tokens [i·stride, i·stride+chunk)
+    with stride = chunk_tokens − overlap, so consecutive chunks share
+    `overlap` tokens and no token is dropped; the last chunk may be
+    short. Zero-token docs produce no chunks.
+
+    Unlike `pack_sequences_frame` (which places docs into a GLOBAL
+    packed stream and needs a distributed prefix sum), chunking is
+    per-document: one explode over a per-row sequence — embarrassingly
+    parallel, no shuffle, linear in output size at any corpus scale.
+    Tokenizer is the whitespace one shared with packing/span-rewrite."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"filter(split(coalesce({text_col}, ''), ' +'), t -> t <> '')").alias(
+            "toks"
+        ),
+    ).withColumn("n_tokens", F.size("toks").cast("long"))
+    n_chunks = F.when(F.col("n_tokens") <= 0, F.lit(0)).otherwise(
+        1 + F.ceil(F.greatest(F.col("n_tokens") - chunk_tokens, F.lit(0)) / stride)
+    )
+    return (
+        base.withColumn("n_chunks", n_chunks.cast("long"))
+        .withColumn(
+            "chunk_id",
+            F.explode(
+                F.expr("CASE WHEN n_chunks > 0 THEN sequence(0, n_chunks - 1) "
+                       "ELSE CAST(array() AS array<long>) END")
+            ),
+        )
+        .withColumn("start_tok", (F.col("chunk_id") * stride).cast("long"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start_tok",
+            F.least(F.lit(chunk_tokens).cast("long"), F.col("n_tokens") - F.col("start_tok"))
+            .alias("chunk_len"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start_tok") + 1, F.lit(chunk_tokens)), " "
+            ).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+def chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """The documents-table entry point of `chunk_documents_frame`."""
+    return chunk_documents_frame(
+        load_table(spark, sf_dir, "documents"),
+        chunk_tokens=chunk_tokens,
+        overlap=overlap,
+    )
+
+
+def chunk_documents_oracle(
+    chunk_tokens: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP
+) -> str:
+    stride = chunk_tokens - overlap
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), ' +'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) <= 0 THEN 0
+                  ELSE 1 + CAST(ceil(greatest(len(toks) - {chunk_tokens}, 0)
+                                     * 1.0 / {stride}) AS BIGINT)
+             END AS n_chunks
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, toks, n_tokens,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+      FROM n WHERE n_chunks > 0
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * {stride} AS BIGINT) AS start_tok,
+           CAST(least({chunk_tokens}, n_tokens - chunk_id * {stride}) AS BIGINT)
+             AS chunk_len,
+           array_to_string(
+             toks[(chunk_id * {stride} + 1):(chunk_id * {stride} + {chunk_tokens})],
+             ' ') AS chunk_text
+    FROM c ORDER BY doc_id, chunk_id
+    """
+
+
 # -------------- training-sequence packing (tokenization-prep chunking)
 
 PACK_SEQ_LEN = 2048

@@ -1,0 +1,141 @@
+"""URL parsing + per-domain quota — the provenance stage of a web
+curation pipeline.
+
+RefinedWeb / C4 / Gopher all gate on URL structure before any content
+signal: parse scheme/host/path, reduce the host to its registrable
+domain, then cap how many documents any single domain may contribute
+(a handful of template-heavy domains otherwise dominate a crawl).
+
+The lake's documents table has no URL column, so the registered entry
+derives a deterministic synthetic URL per document from (doc_id,
+source) — the same convention as the spatial profile's synthesized geo
+(profiling/profiler.py SPATIAL_SIG_TABLES): the operator under test is
+the PARSING + CAPPING plan, which is exactly what a real crawl table
+would execute; `url_domain_cap_frame` takes any (id, url) frame.
+
+Plan shape (100 TB): parsing is all row-wise codegen (regexp_extract /
+split — no UDF); the cap is one window partitioned by domain ordered
+by a content-independent hash (smallest-hash-first, the
+deterministic_sample priority convention, so the kept set is stable
+across runs/engines/cluster sizes). One shuffle, keyed on the domain —
+the key the next stage (per-domain stats) wants anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from danae_spark.catalog import load_table
+
+N_DOMAINS = 41
+DOMAIN_CAP = 20
+_TLDS = ("com", "org", "net")
+
+
+def synth_url() -> F.Column:
+    """Deterministic URL for a documents-table row: domain/TLD/path
+    shape all derived from (doc_id, source) arithmetic — mirrored
+    exactly in the oracle SQL."""
+    dom = (F.col("doc_id") * 7919) % N_DOMAINS
+    tld_ix = (F.col("doc_id") * 104729) % len(_TLDS)
+    tld = F.coalesce(
+        *[F.when(tld_ix == i, F.lit(t)) for i, t in enumerate(_TLDS)]
+    )
+    www = F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit(""))
+    path = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit("/"), F.col("source"))
+    ).otherwise(
+        F.concat(F.lit("/"), F.col("source"), F.lit("/doc/"), F.col("doc_id"))
+    )
+    return F.concat(
+        F.lit("https://"), www, F.lit("site"), dom, F.lit("."), tld, path
+    )
+
+
+def _synth_url_sql() -> str:
+    tld = (
+        f"CASE (doc_id * 104729) % {len(_TLDS)} "
+        + " ".join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(_TLDS))
+        + " END"
+    )
+    return (
+        "'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)"
+        f" || 'site' || CAST((doc_id * 7919) % {N_DOMAINS} AS VARCHAR)"
+        f" || '.' || ({tld})"
+        " || (CASE WHEN doc_id % 3 = 0 THEN '/' || source"
+        " ELSE '/' || source || '/doc/' || CAST(doc_id AS VARCHAR) END)"
+    )
+
+
+def url_domain_cap_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    cap: int = DOMAIN_CAP,
+) -> DataFrame:
+    """Parse each URL and keep at most `cap` documents per registrable
+    domain. Output per doc: host, registrable domain, TLD, path depth,
+    the domain's total doc count, and the kept verdict.
+
+    The keep priority is smallest md5(doc_id) first — content- and
+    order-independent, so the kept set never changes under corpus
+    reordering, engine swap, or cluster resize; new docs only displace
+    docs they out-hash."""
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(url_col).alias("url"))
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    d = d.withColumn("host", host)
+    d = d.withColumn(
+        "domain", F.regexp_extract("host", r"([a-z0-9-]+\.[a-z]+)$", 1)
+    ).withColumn("tld", F.regexp_extract("host", r"\.([a-z]+)$", 1))
+    path = F.regexp_extract("url", r"^https?://[^/]+(/.*)$", 1)
+    d = d.withColumn("__path", path).withColumn(
+        "path_depth", F.size(F.expr("filter(split(__path, '/'), s -> s <> '')"))
+    )
+    w = W.partitionBy("domain")
+    rank = F.row_number().over(
+        w.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    return (
+        d.withColumn("n_domain_docs", F.count("*").over(w).cast("long"))
+        .withColumn("kept", (rank <= cap).cast("int"))
+        .select(
+            "doc_id", "host", "domain", "tld", "path_depth", "n_domain_docs", "kept"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def url_domain_cap(spark: SparkSession, sf_dir: str, cap: int = DOMAIN_CAP) -> DataFrame:
+    """Lake entry: synthesize the deterministic URL column, then run the
+    real parse + per-domain cap plan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return url_domain_cap_frame(docs.withColumn("url", synth_url()), cap=cap)
+
+
+def url_domain_cap_oracle(cap: int = DOMAIN_CAP) -> str:
+    return f"""
+    WITH u AS (
+      SELECT doc_id, {_synth_url_sql()} AS url FROM documents
+    ),
+    p AS (
+      SELECT doc_id, url,
+             regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+             regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
+                            '([a-z0-9-]+\\.[a-z]+)$', 1) AS domain,
+             regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
+                            '\\.([a-z]+)$', 1) AS tld,
+             len(list_filter(string_split(
+                 regexp_extract(url, '^https?://[^/]+(/.*)$', 1), '/'),
+                 s -> s <> '')) AS path_depth
+      FROM u
+    )
+    SELECT doc_id, host, domain, tld, path_depth,
+           CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n_domain_docs,
+           CAST(row_number() OVER (
+                  PARTITION BY domain
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                ) <= {cap} AS INT) AS kept
+    FROM p ORDER BY doc_id
+    """

@@ -254,6 +254,39 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _textstats.nb_quality_classifier(spark, sf_dir)
 
 
+from danae_spark.operators import dsir as _dsir  # noqa: E402
+
+
+@register("dsir_select", oracle=_dsir.dsir_select_oracle())
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): select the corpus
+    docs whose hashed unigram+bigram distribution best matches a target
+    corpus, via Gumbel-top-k over log importance weights
+    (operators/dsir.py dsir_select_frame) — the whole selection,
+    hashing and Gumbel noise included, is DuckDB-value-checked."""
+    return _dsir.dsir_select(spark, sf_dir)
+
+
+from danae_spark.operators import urlops as _urlops  # noqa: E402
+
+
+@register("url_domain_cap", oracle=_urlops.url_domain_cap_oracle())
+def url_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parse + per-registrable-domain document quota (the
+    RefinedWeb provenance gate): host/domain/TLD/path-depth extraction
+    all codegen, cap via one domain-partitioned window with
+    content-independent hash priority (operators/urlops.py)."""
+    return _urlops.url_domain_cap(spark, sf_dir)
+
+
+@register("chunk_documents", oracle=_sampling.chunk_documents_oracle())
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG/context prep): fixed-size
+    chunks with shared overlap per document, pure per-row explode — no
+    shuffle (operators/sampling.py chunk_documents_frame)."""
+    return _sampling.chunk_documents(spark, sf_dir)
+
+
 from danae_spark.operators import bpe as _bpe  # noqa: E402
 
 
