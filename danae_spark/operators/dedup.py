@@ -106,11 +106,14 @@ def _cap_shingles(sh: DataFrame, df_cap: int | None) -> DataFrame:
 
 
 def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc — built JVM-side with
-    transform/sequence over the token array (no Python in the loop).
+    """Distinct word n-gram shingles per doc — built JVM-side from n
+    shifted slices zipped per row (functions/grams.ngram_expr: ~8×
+    cheaper than a per-element slice lambda, values identical).
     `widen`: single-row-group lake files leave the scan 1 task wide;
     the tokenize/shingle explode is the heavy map work, so spread it
     cluster-wide first (no-op when the source is already parallel)."""
+    from danae_spark.functions.grams import ngram_expr
+
     toks = widen(docs, force=True).select(
         "doc_id",
         F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')").alias("t"),
@@ -118,14 +121,8 @@ def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return (
         toks.select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(t) - {n}),"
-                    f" i -> concat_ws(' ', slice(t, i + 1, {n})))"
-                )
-            ).alias("shingle"),
+            F.explode(F.expr(ngram_expr("t", n))).alias("shingle"),
         )
-        .filter(F.expr(f"size(split(shingle, ' ')) = {n}"))
         .distinct()
     )
 
@@ -1239,20 +1236,23 @@ def shared_span_pairs(
 def _window_hashes(docs: DataFrame, window: int, hash_fn: str = "md5") -> DataFrame:
     """(doc_id, pos, h): hash of the k-token window starting at 1-based
     token position pos, for every start position (stride 1)."""
+    from danae_spark.functions.grams import ngram_expr
+
     toks = widen(docs, force=True).select(
         "doc_id",
         F.expr("filter(split(text, ' +'), t -> t <> '')").alias("t"),
     ).filter(F.size("t") >= window)
     hf = "xxhash64" if hash_fn == "xxhash64" else "md5"
+    # windows via zipped shifted slices (grams.ngram_expr); posexplode
+    # supplies the 0-based start index, so no per-element struct build
     return toks.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(t) - {window} + 1),"
-                f" i -> struct(i AS pos, {hf}(concat_ws(' ', slice(t, i, {window}))) AS h))"
-            )
-        ).alias("w"),
-    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+        F.posexplode(F.expr(ngram_expr("t", window))).alias("pos0", "wtext"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.expr(f"{hf}(wtext)").alias("h"),
+    )
 
 
 def _diagonal_spans(pairs: DataFrame, window: int, min_span: int) -> DataFrame:

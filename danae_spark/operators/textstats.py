@@ -366,11 +366,10 @@ def text_repetition_frame(
         F.expr(f"size({sents})").alias("n_sents"),
         F.expr(f"size(array_distinct({sents}))").alias("distinct_sents"),
     )
-    grams = (
-        "CASE WHEN size(tk) >= 2 THEN"
-        " transform(sequence(0, size(tk) - 2), i -> concat_ws(' ', slice(tk, i + 1, 2)))"
-        " ELSE array() END"
-    )
+    from danae_spark.functions.grams import ngram_expr
+
+    grams = ngram_expr("tk", 2)  # zipped shifted slices: ~8× cheaper than
+    # a per-element slice lambda, identical values (functions/grams.py)
     gstats = (
         # the two sentence counters ride through the explode (+8 bytes
         # per gram row) so the WHOLE operator is one corpus scan — the
@@ -1246,12 +1245,11 @@ def frequent_ngrams_frame(
     array referencing it (never re-inlining the tokenizer — the r6
     lesson), one explode + two-level aggregation; top-k is a single
     window over gram-count rows."""
+    from danae_spark.functions.grams import ngram_expr
+
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
-    grams = (
-        f"CASE WHEN size(tk) >= {n} THEN transform(sequence(0, size(tk) - {n}),"
-        f" i -> concat_ws(' ', slice(tk, i + 1, {n}))) ELSE array() END"
-    )
+    grams = ngram_expr("tk", n)
     rows = (
         widen(docs)
         .select("doc_id", F.expr(toks).alias("tk"))

@@ -78,11 +78,12 @@ def curated_stream(
     n_tokens."""
     # tokenize + build grams ONCE into projected columns; every signal
     # references the columns (expression re-inlining is the r6 20× bug)
+    from danae_spark.functions.grams import ngram_expr
+
     toks_expr = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
-    grams_expr = (
-        "CASE WHEN size(tk) >= 2 THEN transform(sequence(0, size(tk) - 2),"
-        " i -> concat_ws(' ', slice(tk, i + 1, 2))) ELSE array() END"
-    )
+    grams_expr = ngram_expr("tk", 2)  # zipped slices, identical values
+    # (functions/grams.py) — keeps exact batch parity with
+    # text_repetition_frame, which builds its grams the same way
     extra = list(passthrough or [])
     src = (
         docs_stream.select(
