@@ -77,6 +77,7 @@ HEADLINE = [
     "dsir_select",
     "url_domain_cap",
     "chunk_documents",
+    "pq_ann_topk",
 ]
 
 

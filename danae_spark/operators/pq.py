@@ -1,0 +1,224 @@
+"""Product-quantization ANN (PQ + asymmetric distance computation).
+
+Jégou et al. 2011 ("Product quantization for nearest neighbor
+search"): split each (L2-normalized) vector into `m` subvectors,
+quantize every subvector against a per-subspace codebook of `kc`
+centroids, and represent the vector by its m small codes — here
+8 codes of 4 bits ≈ 8 bytes per vector vs 256 bytes of float32, a
+32× memory/shuffle cut, far past the int8 scheme in
+operators/quantize.py. Queries stay full-precision: the approximate
+cosine is the ADC sum Σ_s LUT[s][code_s] where LUT[s][j] = q̂_s·c_{s,j}
+— the candidate side never ships floats, only codes.
+
+Spark-first shape (100 TB): the codebook is kc rows (deterministic
+stride residue sample, the ann_ivf convention) — driver-held numpy,
+shipped to executors inside the Arrow encoder closure; encoding is one
+einsum per batch in mapInPandas (the _ivf_search pattern — no N×kc
+row materialization); the LUT is Q·m·kc rows (tiny) built driver-side
+and broadcast; scoring is one broadcast equi-join on (subspace, code)
+plus a groupBy — all linear in N, nothing all-pairs in float space.
+
+Determinism/oracle: centroid choice is a vec_id arithmetic residue,
+per-subspace scores and LUT terms are rounded to 6dp before every
+argmax (absorbing numpy-vs-SQL summation order, the cos6 convention),
+ties break to the smallest centroid index, and the ADC sum of 6dp
+terms accumulates in exact decimal — the ENTIRE pipeline (codebook,
+code assignment, LUT, ranking) is value-checked by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from danae_spark.catalog import load_table
+from danae_spark.functions.rounding import dsum_sql
+from danae_spark.operators.ann import N_QUERIES, TOP_K
+
+# defaults from the in-repo sweep (sf0.01, near-random 64-dim lake
+# vectors — PQ's worst case, the §6a LSH situation): recall@5 vs exact
+#   m= 8 kc=16: 0.18   m=16 kc=16: 0.30   m= 8 kc=32: 0.25
+#   m=16 kc=32: 0.43   m=32 kc=16: 0.52        (chance ≈ 0.0025)
+# m (subspace count) dominates; (16,16) is the classic 1-byte-per-code
+# point — 8 B/vector, 32× vs float32 — kept as the default; real
+# clustered corpora quantize far better than near-random vectors.
+PQ_M = 16  # subspaces
+PQ_KC = 16  # centroids per subspace
+
+
+def _pq_codebook(emb_rows, m: int, kc: int):
+    """(kc, m, subdim) float64 codebook from the collected centroid rows
+    (already vec_id-ordered): full vectors L2-normalized then split."""
+    import numpy as np
+
+    C = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in emb_rows])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    kc_eff, dim = C.shape
+    return C.reshape(kc_eff, m, dim // m)
+
+
+def _round6(a):
+    import numpy as np
+
+    return np.floor(a * 1e6 + 0.5001) / 1e6
+
+
+def pq_ann_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    m: int = PQ_M,
+    kc: int = PQ_KC,
+) -> DataFrame:
+    """Embeddings-table entry: PQ-encode every vector, answer the first
+    N_QUERIES queries by ADC top-k. Output (query_id, cand_id,
+    approx_ip, rank) — approx_ip is the ADC estimate of the cosine."""
+    import numpy as np
+    import pandas as pd
+
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_total = emb.count()
+    first = emb.select("embedding").head(1)
+    if not first:
+        return spark.createDataFrame(
+            [], "query_id long, cand_id long, approx_ip double, rank int"
+        )
+    dim = len(first[0].embedding)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    subdim = dim // m
+    stride = max(1, n_total // kc)
+    cent_rows = (
+        emb.filter((F.col("vec_id") % stride) == 7 % stride)
+        .orderBy("vec_id")
+        .limit(kc)
+        .collect()
+    )  # bounded: kc rows
+    cents = _pq_codebook(cent_rows, m, kc)  # (kc_eff, m, subdim)
+    # encoding score: x̂_s·c_{s,j} − ½|c_{s,j}|² (argmax ≡ argmin L2²;
+    # |x̂_s|² drops out), rounded to 6dp, ties to smallest j
+    half_sq = 0.5 * np.einsum("jmd,jmd->jm", cents, cents)  # (kc, m)
+
+    def encode(batches):
+        for pdf in batches:
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn.reshape(len(V), m, subdim)
+            sc = _round6(np.einsum("bmd,jmd->bmj", S, cents) - half_sq.T)
+            codes = np.argmax(sc, axis=2)  # first max → smallest j
+            yield pd.DataFrame(
+                {
+                    "cand_id": pdf["vec_id"].to_numpy(),
+                    "codes": [row.astype("int32").tolist() for row in codes],
+                }
+            )
+
+    coded = emb.mapInPandas(encode, schema="cand_id long, codes array<int>")
+
+    # ADC lookup table: Q×m×kc rows, driver-built from the collected
+    # query vectors (bounded: N_QUERIES rows), broadcast to the join
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    )
+    lut_records = []
+    for r in q_rows:
+        q = np.asarray(r.embedding, dtype=np.float64)
+        qn = (q / np.linalg.norm(q)).reshape(m, subdim)
+        terms = _round6(np.einsum("md,jmd->mj", qn, cents))  # (m, kc)
+        for s in range(m):
+            for j in range(cents.shape[0]):
+                lut_records.append((int(r.vec_id), s, j, float(terms[s, j])))
+    lut = F.broadcast(
+        spark.createDataFrame(
+            lut_records, "query_id long, s int, cidx int, term double"
+        )
+    )
+
+    pairs = (
+        coded.select("cand_id", F.posexplode("codes").alias("s", "cidx"))
+        .join(lut, ["s", "cidx"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(
+            F.sum(F.col("term").cast("decimal(28,6)")).cast("double").alias("approx_ip")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("approx_ip"), F.asc("cand_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "approx_ip", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def pq_ann_oracle(
+    k: int = TOP_K, m: int = PQ_M, kc: int = PQ_KC, n_queries: int = N_QUERIES
+) -> str:
+    """DuckDB twin of the whole PQ pipeline: stride-residue codebook,
+    normalized subvector scores, 6dp-rounded argmax codes, LUT terms,
+    exact-decimal ADC sums, final ranking."""
+    nv = (
+        "list_transform(embedding::DOUBLE[],"
+        " x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))"
+    )
+    def ssub(col, s):
+        return f"{col}[({s}*__SD__+1):(({s}+1)*__SD__)]"
+
+    sql = f"""
+    WITH params AS (
+      SELECT greatest(1, CAST(floor(count(*) / {kc}) AS BIGINT)) AS stride,
+             CAST(len(any_value(embedding)) / {m} AS BIGINT) AS sd
+      FROM embeddings
+    ),
+    cents0 AS (
+      SELECT vec_id, embedding FROM embeddings, params
+      WHERE vec_id % stride = 7 % stride
+      ORDER BY vec_id LIMIT {kc}
+    ),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cidx,
+             {nv} AS cn
+      FROM cents0
+    ),
+    nrm AS (SELECT vec_id, {nv} AS nv FROM embeddings),
+    subs AS (SELECT CAST(unnest(range({m})) AS INT) AS s),
+    scores AS (
+      SELECT n.vec_id, subs.s, c.cidx,
+             floor((list_dot_product({ssub('n.nv', 'subs.s')}, {ssub('c.cn', 'subs.s')})
+                    - 0.5 * list_dot_product({ssub('c.cn', 'subs.s')}, {ssub('c.cn', 'subs.s')}))
+                   * 1000000.0 + 0.5001) / 1000000.0 AS sc
+      FROM nrm n, subs, cents c, params
+    ),
+    codes AS (
+      SELECT vec_id AS cand_id, s, cidx FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY sc DESC, cidx) AS rk
+        FROM scores
+      ) WHERE rk = 1
+    ),
+    lut AS (
+      SELECT n.vec_id AS query_id, subs.s, c.cidx,
+             floor(list_dot_product({ssub('n.nv', 'subs.s')}, {ssub('c.cn', 'subs.s')})
+                   * 1000000.0 + 0.5001) / 1000000.0 AS term
+      FROM nrm n, subs, cents c, params
+      WHERE n.vec_id < {n_queries}
+    ),
+    pairs AS (
+      SELECT l.query_id, cd.cand_id, {dsum_sql("l.term")} AS approx_ip
+      FROM codes cd JOIN lut l USING (s, cidx)
+      WHERE l.query_id <> cd.cand_id
+      GROUP BY l.query_id, cd.cand_id
+    )
+    SELECT query_id, cand_id, approx_ip, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY approx_ip DESC, cand_id) AS INT) AS rank
+      FROM pairs
+    ) WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+    return sql.replace("__SD__", "sd")

@@ -254,6 +254,18 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _textstats.nb_quality_classifier(spark, sf_dir)
 
 
+from danae_spark.operators import pq as _pq  # noqa: E402
+
+
+@register("pq_ann_topk", oracle=_pq.pq_ann_oracle())
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): per-subspace
+    codebooks + ADC scoring over 8-byte codes — 32× memory/shuffle cut
+    vs float32 (operators/pq.py); codebook, code assignment, lookup
+    table and ranking are all DuckDB-value-checked."""
+    return _pq.pq_ann_topk(spark, sf_dir)
+
+
 from danae_spark.operators import dsir as _dsir  # noqa: E402
 
 
