@@ -424,6 +424,16 @@ class DataLakeEngine:
             raise ValueError("dsir_select with a caller corpus needs target=")
         return dsir_select_frame(corpus, target, **kw)
 
+    def dsir_score_stream(self, docs_stream: DataFrame, target: DataFrame, **kw) -> DataFrame:
+        """Train the DSIR importance model batch-side (lake documents
+        toward `target`), score a document stream with it — exact
+        batch/stream score parity (streaming/curation.dsir_score_stream)."""
+        from danae_spark.operators.dsir import dsir_model
+        from danae_spark.streaming.curation import dsir_score_stream
+
+        model = dsir_model(self.table("documents"), target)
+        return dsir_score_stream(docs_stream, model, **kw)
+
     def domain_cap(self, docs: DataFrame | None = None, **kw) -> DataFrame:
         """URL parse + per-registrable-domain quota (the RefinedWeb
         provenance gate). Caller frames need (id, url) columns."""

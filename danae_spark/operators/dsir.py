@@ -71,19 +71,20 @@ def _bucket(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % DSIR_BUCKETS
 
 
-def dsir_select_frame(
+def dsir_scores_frame(
     corpus: DataFrame,
     target: DataFrame,
-    k: int = DSIR_K,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
     salt: str = DSIR_SALT,
 ) -> DataFrame:
-    """Select k corpus docs by importance resampling toward `target`
-    (any frame with the same text column). Returns the selected rows:
-    (doc_id, n_grams, logw, score) ordered by doc_id — score is the
-    Gumbel-perturbed log weight that won selection.
+    """Every corpus doc's DSIR importance score toward `target`:
+    (doc_id, n_grams, logw, gumbel, score) at full precision — the
+    frame `dsir_select_frame` cuts its top-k from, exposed so a
+    consumer can apply its own budgeted cut, and so the streaming
+    scorer (streaming/curation.dsir_score_stream) has an exact batch
+    twin to match.
 
     Deterministic end to end: hashes and Gumbel uniforms are
     md5-derived, the per-doc Σλ accumulates in exact decimal (partition
@@ -111,28 +112,7 @@ def dsir_select_frame(
         _bucket(F.col("gram")).alias("bucket")
     )
 
-    raw_ct = cg_counts.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cr"))
-    tgt_ct = tg.groupBy("bucket").agg(F.count("*").cast("long").alias("ct"))
-    # totals are 1-row aggregates: Nt/Nr are FULL gram counts per side
-    # (not sums over the joined buckets — a target bucket absent from
-    # the raw side still belongs in Nt)
-    totals = (
-        tgt_ct.agg(F.sum("ct").alias("nt"))
-        .crossJoin(raw_ct.agg(F.sum("cr").alias("nr")))
-    )
-    m = F.lit(float(n_buckets))
-    model = (
-        raw_ct.join(tgt_ct, "bucket", "left")
-        .na.fill({"ct": 0})
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "bucket",
-            (
-                F.log((F.col("ct") + 1) / (F.col("nt") + m))
-                - F.log((F.col("cr") + 1) / (F.col("nr") + m))
-            ).alias("lam"),
-        )
-    )
+    model = _fit_model(cg_counts, tg, n_buckets)
 
     # logw = Σ_b cnt_b · λ_b — the λ·cnt product is rounded to decimal
     # ONCE per (doc, bucket), mirrored exactly in the oracle
@@ -157,12 +137,82 @@ def dsir_select_frame(
         )
         / F.lit(_U_DENOM)
     )
-    all_scored = (
+    return (
         corpus.select("doc_id")
         .join(scored, "doc_id", "left")
         .na.fill({"n_grams": 0, "logw": 0.0})
         .withColumn("gumbel", -F.log(-F.log(u)))
         .withColumn("score", F.col("logw") + F.col("gumbel"))
+    )
+
+
+def _fit_model(cg_counts: DataFrame, tg: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, lam) from corpus per-(doc,bucket) counts + target bucket
+    stream — AT MOST n_buckets rows regardless of corpus size."""
+    raw_ct = cg_counts.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cr"))
+    tgt_ct = tg.groupBy("bucket").agg(F.count("*").cast("long").alias("ct"))
+    # totals are 1-row aggregates: Nt/Nr are FULL gram counts per side
+    # (not sums over the joined buckets — a target bucket absent from
+    # the raw side still belongs in Nt)
+    totals = (
+        tgt_ct.agg(F.sum("ct").alias("nt"))
+        .crossJoin(raw_ct.agg(F.sum("cr").alias("nr")))
+    )
+    m = F.lit(float(n_buckets))
+    return (
+        raw_ct.join(tgt_ct, "bucket", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("ct") + 1) / (F.col("nt") + m))
+                - F.log((F.col("cr") + 1) / (F.col("nr") + m))
+            ).alias("lam"),
+        )
+    )
+
+
+def dsir_model(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """The fitted (bucket, lam) importance model alone. Train it batch,
+    ship it to the streaming scorer (the nb_score_stream pattern)."""
+    corpus = corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    target = target.select(F.col(text_col).alias("text"))
+    cg_counts = (
+        _with_grams(widen(corpus, force=True))
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .select("doc_id", _bucket(F.col("gram")).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tg = _with_grams(target).select(F.explode("grams").alias("gram")).select(
+        _bucket(F.col("gram")).alias("bucket")
+    )
+    return _fit_model(cg_counts, tg, n_buckets)
+
+
+def dsir_select_frame(
+    corpus: DataFrame,
+    target: DataFrame,
+    k: int = DSIR_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    salt: str = DSIR_SALT,
+) -> DataFrame:
+    """Select k corpus docs by importance resampling toward `target`
+    (any frame with the same text column): Gumbel-top-k over
+    `dsir_scores_frame`. Returns the selected rows (doc_id, n_grams,
+    logw, score) ordered by doc_id."""
+    all_scored = dsir_scores_frame(
+        corpus, target, id_col=id_col, text_col=text_col,
+        n_buckets=n_buckets, salt=salt,
     )
     return (
         all_scored.orderBy(F.col("score").desc(), "doc_id")

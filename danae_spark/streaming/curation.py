@@ -257,6 +257,97 @@ def nb_score_stream(
     return out.withColumn("pred_keep", (F.col("nb_logodds") >= 0).cast("int"))
 
 
+def dsir_score_stream(
+    docs_stream: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str | None = None,
+) -> DataFrame:
+    """Stateless streaming DSIR scoring with a batch-trained importance
+    model (operators/dsir.dsir_model — a (bucket, lam) frame of at most
+    n_buckets rows, so the closure ship is always bounded): each
+    streamed doc gets the same (n_grams, logw, gumbel, score) row the
+    batch `dsir_scores_frame` computes — EXACT parity: the
+    decimal-quantized Σ cnt·λ is mirrored per Spark's
+    double→decimal(28,6) HALF_UP on the shortest-repr value, and the
+    Gumbel/score columns are the SAME Spark expressions as the batch
+    side (JVM ln — a Python math.log twin differs in the last ulp).
+
+    The global top-k cut is inherently batch (it ranks the whole
+    corpus); a streaming consumer thresholds on `score` or keeps a
+    running top-k downstream. Append mode, no state store."""
+    import hashlib
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from danae_spark.operators.dsir import DSIR_BUCKETS, DSIR_SALT, _U_DENOM
+
+    salt = DSIR_SALT if salt is None else salt
+    lam = {int(r[0]): float(r[1]) for r in model.collect()}  # ≤ n_buckets rows
+    n_buckets = DSIR_BUCKETS
+    tok = re.compile(r"[^a-z0-9]+")
+    q6 = Decimal("0.000001")
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+    src = docs_stream.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in tok.split((text or "").lower()) if t]
+                grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+                counts: dict[int, int] = {}
+                for g in grams:
+                    b = bucket(g)
+                    counts[b] = counts.get(b, 0) + 1
+                # Σ cnt·λ in exact decimal, quantized per (bucket) term
+                # exactly as Spark's cast(double as decimal(28,6)):
+                # HALF_UP on the shortest decimal repr of the product.
+                # n_grams counts only model-bucket grams — the batch
+                # scorer's inner join on bucket does exactly that (a
+                # bucket unseen in the training corpus contributes
+                # neither weight nor count)
+                acc = Decimal(0)
+                n_grams = 0
+                for b, cnt in counts.items():
+                    if b in lam:
+                        n_grams += cnt
+                        acc += Decimal(repr(lam[b] * cnt)).quantize(
+                            q6, ROUND_HALF_UP
+                        )
+                logw = float(acc)
+                rows.append((int(doc_id), n_grams, logw))
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "n_grams", "logw"])
+
+    scored = src.mapInPandas(
+        score_batches, schema="doc_id long, n_grams long, logw double"
+    )
+    # gumbel/score as Spark COLUMN expressions — byte-identical to the
+    # batch side's (JVM ln on the same md5-derived uniform)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", F.lit(salt), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_U_DENOM)
+    return scored.withColumn("gumbel", -F.log(-F.log(u))).withColumn(
+        "score", F.col("logw") + F.col("gumbel")
+    )
+
+
 # ------------------- streaming corpus report (live composition state)
 
 

@@ -221,3 +221,36 @@ def test_ann_candidates_stream_external_ids_keep_collisions(spark, tmp_path):
     ).collect()
     cands = {r.cand_id for r in got}
     assert 7 in cands and 8 in cands  # the collision candidate survives
+
+
+def test_dsir_score_stream_exact_parity_with_batch(spark, sf_dir):
+    """Train the DSIR importance model in batch, score the document
+    STREAM with it, and require EXACT per-doc parity with the batch
+    dsir_scores_frame — n_grams, decimal-summed logw, md5 gumbel and
+    the final score, bit for bit."""
+    from pyspark.sql import functions as F
+
+    from danae_spark.catalog import load_table
+    from danae_spark.operators.dsir import dsir_model, dsir_scores_frame
+    from danae_spark.streaming.curation import dsir_score_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    model = dsir_model(docs, target)
+
+    batch = {r["doc_id"]: r for r in dsir_scores_frame(docs, target).collect()}
+    stream = dsir_score_stream(read_documents_stream(spark, sf_dir), model)
+    assert stream.isStreaming
+    streamed = {
+        r["doc_id"]: r
+        for r in run_curation_available_now(stream, "t_dsir_scores").collect()
+    }
+    assert set(streamed) == set(batch) and len(batch) > 0
+    for doc_id, b in batch.items():
+        s = streamed[doc_id]
+        assert s["n_grams"] == b["n_grams"], doc_id
+        assert s["logw"] == b["logw"], (doc_id, s["logw"], b["logw"])
+        assert s["gumbel"] == b["gumbel"], doc_id
+        assert s["score"] == b["score"], doc_id
+    # scores must actually separate documents for the parity to mean much
+    assert len({r["score"] for r in batch.values()}) > 10
