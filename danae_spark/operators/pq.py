@@ -105,6 +105,8 @@ def pq_ann_topk(
 
     def encode(batches):
         for pdf in batches:
+            if not len(pdf):  # np.stack rejects an empty batch
+                continue
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             S = Vn.reshape(len(V), m, subdim)

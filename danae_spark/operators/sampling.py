@@ -210,12 +210,19 @@ def chunk_documents_frame(
     stride = chunk_tokens - overlap
     if stride <= 0:
         raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(f"filter(split(coalesce({text_col}, ''), ' +'), t -> t <> '')").alias(
-            "toks"
-        ),
-    ).withColumn("n_tokens", F.size("toks").cast("long"))
+    # alias the caller's columns BEFORE building exprs against them —
+    # interpolating a raw caller name into F.expr breaks on names
+    # needing backticks (the token_budget_mix_frame convention)
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .select(
+            "doc_id",
+            F.expr("filter(split(coalesce(text, ''), ' +'), t -> t <> '')").alias(
+                "toks"
+            ),
+        )
+        .withColumn("n_tokens", F.size("toks").cast("long"))
+    )
     n_chunks = F.when(F.col("n_tokens") <= 0, F.lit(0)).otherwise(
         1 + F.ceil(F.greatest(F.col("n_tokens") - chunk_tokens, F.lit(0)) / stride)
     )
@@ -327,9 +334,11 @@ def pack_sequences_frame(
     for shuffled packing); token counts are the whitespace tokenizer's
     (the span rewriter's measure); NULL text counts as zero tokens."""
     base = docs.select(
-        F.col(id_col).alias("doc_id"),
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).select(
+        "doc_id",
         F.size(
-            F.expr(f"filter(split(coalesce({text_col}, '')," " ' +'), t -> t <> '')")
+            F.expr("filter(split(coalesce(text, ''), ' +'), t -> t <> '')")
         ).cast("long").alias("n_tokens"),
     )
     part = base.repartitionByRange("doc_id").sortWithinPartitions("doc_id")

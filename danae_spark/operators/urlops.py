@@ -84,7 +84,14 @@ def url_domain_cap_frame(
     reordering, engine swap, or cluster resize; new docs only displace
     docs they out-hash."""
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(url_col).alias("url"))
-    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    # lowercase + port strip so caller-frame URLs ("HTTPS://Ex.COM:8080/x")
+    # parse like canonical ones; no-ops on the synthesized lake URLs, so
+    # the oracle needs no mirror
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"^(?i)https?://([^/]+)", 1)),
+        r":\d+$",
+        "",
+    )
     d = d.withColumn("host", host)
     d = d.withColumn(
         "domain", F.regexp_extract("host", r"([a-z0-9-]+\.[a-z]+)$", 1)

@@ -91,6 +91,30 @@ def test_url_domain_cap_parses_and_caps(spark, sf_dir):
         assert r.k == min(5, r.n), r.domain
 
 
+def test_url_domain_cap_noncanonical_urls(spark):
+    """Uppercase scheme/host and explicit ports parse like canonical
+    URLs (review finding: host regex was case/port sensitive)."""
+    df = spark.createDataFrame(
+        [(1, "HTTPS://WWW.Example.COM:8080/a/b"), (2, "http://plain.org/x")],
+        "doc_id long, url string",
+    )
+    rows = {r.doc_id: r for r in urlops.url_domain_cap_frame(df).collect()}
+    assert rows[1].host == "www.example.com"
+    assert rows[1].domain == "example.com" and rows[1].tld == "com"
+    assert rows[2].domain == "plain.org"
+
+
+def test_chunk_documents_awkward_column_names(spark):
+    """Caller columns needing backticks work (aliased before exprs)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e")], "`my id` long, `the text` string"
+    )
+    rows = sampling.chunk_documents_frame(
+        df, id_col="my id", text_col="the text", chunk_tokens=4, overlap=1
+    ).collect()
+    assert [r.chunk_text for r in rows] == ["a b c d", "d e"]
+
+
 def test_url_domain_cap_frame_custom_columns(spark):
     df = spark.createDataFrame(
         [(i, f"https://www.heavy.com/p/{i}") for i in range(10)]
