@@ -78,6 +78,7 @@ HEADLINE = [
     "url_domain_cap",
     "chunk_documents",
     "pq_ann_topk",
+    "ivfpq_ann_topk",
 ]
 
 

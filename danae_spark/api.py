@@ -192,10 +192,11 @@ class DataLakeEngine:
             "ivf_trained": _ann.ann_ivf_trained,
             "quantized": _quantize.quantized_ann_topk,
         }
-        if method == "pq":
-            from danae_spark.operators.pq import pq_ann_topk
+        if method in ("pq", "ivfpq"):
+            from danae_spark.operators.pq import ivfpq_ann_topk, pq_ann_topk
 
-            return pq_ann_topk(self.spark, self.lake_dir, **kw)
+            fn = pq_ann_topk if method == "pq" else ivfpq_ann_topk
+            return fn(self.spark, self.lake_dir, **kw)
         return fns[method](self.spark, self.lake_dir, **kw)
 
     def audio_meta(self, df: DataFrame, **kw) -> DataFrame:

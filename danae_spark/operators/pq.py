@@ -158,21 +158,19 @@ def pq_ann_topk(
     )
 
 
-def pq_ann_oracle(
-    k: int = TOP_K, m: int = PQ_M, kc: int = PQ_KC, n_queries: int = N_QUERIES
-) -> str:
-    """DuckDB twin of the whole PQ pipeline: stride-residue codebook,
-    normalized subvector scores, 6dp-rounded argmax codes, LUT terms,
-    exact-decimal ADC sums, final ranking."""
+def _pq_ctes(m: int, kc: int, n_queries: int) -> str:
+    """The shared PQ CTE chain `params … codes, lut` (codebook, code
+    assignment, ADC lookup table) — composed by pq_ann_oracle and
+    ivfpq_ann_oracle."""
     nv = (
         "list_transform(embedding::DOUBLE[],"
         " x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))"
     )
+
     def ssub(col, s):
         return f"{col}[({s}*__SD__+1):(({s}+1)*__SD__)]"
 
-    sql = f"""
-    WITH params AS (
+    sql = f"""params AS (
       SELECT greatest(1, CAST(floor(count(*) / {kc}) AS BIGINT)) AS stride,
              CAST(len(any_value(embedding)) / {m} AS BIGINT) AS sd
       FROM embeddings
@@ -209,7 +207,18 @@ def pq_ann_oracle(
                    * 1000000.0 + 0.5001) / 1000000.0 AS term
       FROM nrm n, subs, cents c, params
       WHERE n.vec_id < {n_queries}
-    ),
+    )"""
+    return sql.replace("__SD__", "sd")
+
+
+def pq_ann_oracle(
+    k: int = TOP_K, m: int = PQ_M, kc: int = PQ_KC, n_queries: int = N_QUERIES
+) -> str:
+    """DuckDB twin of the whole PQ pipeline: stride-residue codebook,
+    normalized subvector scores, 6dp-rounded argmax codes, LUT terms,
+    exact-decimal ADC sums, final ranking."""
+    return f"""
+    WITH {_pq_ctes(m, kc, n_queries)},
     pairs AS (
       SELECT l.query_id, cd.cand_id, {dsum_sql("l.term")} AS approx_ip
       FROM codes cd JOIN lut l USING (s, cidx)
@@ -223,4 +232,192 @@ def pq_ann_oracle(
     ) WHERE rank <= {k}
     ORDER BY query_id, rank
     """
-    return sql.replace("__SD__", "sd")
+
+
+# ------------------------------------------------ IVF-PQ (the FAISS shape)
+
+IVFPQ_NPROBE = 4
+
+
+def ivfpq_ann_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    m: int = PQ_M,
+    kc: int = PQ_KC,
+    nprobe: int = IVFPQ_NPROBE,
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN layout (FAISS IVFPQ,
+    non-residual variant) — a coarse ⌊√N⌋-centroid quantizer routes
+    every vector into an inverted list (the ann_ivf machinery), PQ
+    codes stand in for the vectors, and a query ADC-scores ONLY the
+    codes in its `nprobe` probed lists. Work per query drops from N
+    code lookups (pq_ann_topk) to ~nprobe·N/√N, and the scored side
+    still never ships floats.
+
+    One Arrow pass assigns BOTH the coarse list and the PQ code per
+    vector (one scan); probes and the ADC lookup table are driver-built
+    from bounded collects (√N centroids, N_QUERIES queries) and
+    broadcast. Every stage reproduces the DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from danae_spark.operators.ann import _ivf_budgeted_stride
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_total = emb.count()
+    first = emb.select("embedding").head(1)
+    if not first:
+        return spark.createDataFrame(
+            [], "query_id long, cand_id long, approx_ip double, rank int"
+        )
+    dim = len(first[0].embedding)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    subdim = dim // m
+
+    # PQ codebook (stride residue, kc rows)
+    pq_stride = max(1, n_total // kc)
+    cent_rows = (
+        emb.filter((F.col("vec_id") % pq_stride) == 7 % pq_stride)
+        .orderBy("vec_id")
+        .limit(kc)
+        .collect()
+    )
+    cents = _pq_codebook(cent_rows, m, kc)
+    half_sq = 0.5 * np.einsum("jmd,jmd->jm", cents, cents)
+
+    # IVF coarse codebook (√N rows, the ann_ivf convention)
+    ivf_stride = _ivf_budgeted_stride(n_total, dim)
+    ivf_rows = (
+        emb.filter((F.col("vec_id") % ivf_stride) == 7 % ivf_stride)
+        .orderBy("vec_id")
+        .collect()
+    )
+    ivf_ids = np.array([r.vec_id for r in ivf_rows], dtype=np.int64)
+    ivf_mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in ivf_rows])
+    ivf_norm = np.linalg.norm(ivf_mat, axis=1)
+
+    def assign_and_encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            # coarse list: 6dp-rounded cosine argmax, first max = smallest id
+            cos6 = _round6((V @ ivf_mat.T) / (norms * ivf_norm))
+            lists = ivf_ids[np.argmax(cos6, axis=1)]
+            # PQ code per subspace
+            S = (V / norms).reshape(len(V), m, subdim)
+            sc = _round6(np.einsum("bmd,jmd->bmj", S, cents) - half_sq.T)
+            codes = np.argmax(sc, axis=2)
+            yield pd.DataFrame(
+                {
+                    "cand_id": pdf["vec_id"].to_numpy(),
+                    "centroid_id": lists,
+                    "codes": [row.astype("int32").tolist() for row in codes],
+                }
+            )
+
+    coded = emb.mapInPandas(
+        assign_and_encode,
+        schema="cand_id long, centroid_id long, codes array<int>",
+    )
+
+    # probes + LUT from the bounded query collect
+    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    probe_records, lut_records = [], []
+    for r in q_rows:
+        q = np.asarray(r.embedding, dtype=np.float64)
+        qn = q / np.linalg.norm(q)
+        cos6 = _round6((q @ ivf_mat.T) / (np.linalg.norm(q) * ivf_norm))
+        order = sorted(range(len(ivf_ids)), key=lambda j: (-cos6[j], ivf_ids[j]))
+        for j in order[:nprobe]:
+            probe_records.append((int(r.vec_id), int(ivf_ids[j])))
+        terms = _round6(np.einsum("md,jmd->mj", qn.reshape(m, subdim), cents))
+        for s in range(m):
+            for j in range(cents.shape[0]):
+                lut_records.append((int(r.vec_id), s, j, float(terms[s, j])))
+    probes = F.broadcast(
+        spark.createDataFrame(probe_records, "query_id long, centroid_id long")
+    )
+    lut = F.broadcast(
+        spark.createDataFrame(
+            lut_records, "query_id long, s int, cidx int, term double"
+        )
+    )
+
+    pairs = (
+        coded.join(probes, "centroid_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", F.posexplode("codes").alias("s", "cidx"))
+        .join(lut, ["query_id", "s", "cidx"])
+        .groupBy("query_id", "cand_id")
+        .agg(
+            F.sum(F.col("term").cast("decimal(28,6)")).cast("double").alias("approx_ip")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("approx_ip"), F.asc("cand_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "approx_ip", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivfpq_ann_oracle(
+    k: int = TOP_K,
+    m: int = PQ_M,
+    kc: int = PQ_KC,
+    nprobe: int = IVFPQ_NPROBE,
+    n_queries: int = N_QUERIES,
+) -> str:
+    """DuckDB twin of the IVF-PQ pipeline: the ann_ivf coarse CTEs
+    (√N stride codebook, 6dp cosine argmax lists, probes) composed with
+    the shared PQ CTEs (codes, LUT), joined exactly as the Spark plan."""
+    from danae_spark.operators.ann import _cos6_sql
+
+    return f"""
+    WITH iparams AS (
+      SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS istride
+      FROM embeddings
+    ),
+    icents AS (
+      SELECT vec_id AS centroid_id, embedding FROM embeddings, iparams
+      WHERE vec_id % istride = 7 % istride
+    ),
+    iassign AS (
+      SELECT e.vec_id AS cand_id, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_cos6_sql('e', 'c')} DESC, c.centroid_id) AS rk
+      FROM embeddings e, icents c
+    ),
+    lists AS (SELECT cand_id, centroid_id FROM iassign WHERE rk = 1),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_cos6_sql('q', 'c')} DESC, c.centroid_id) AS rk
+        FROM embeddings q, icents c WHERE q.vec_id < {n_queries}
+      ) WHERE rk <= {nprobe}
+    ),
+    {_pq_ctes(m, kc, n_queries)},
+    pairs AS (
+      SELECT p.query_id, cd.cand_id, {dsum_sql("l.term")} AS approx_ip
+      FROM codes cd
+      JOIN lists li ON cd.cand_id = li.cand_id
+      JOIN probes p ON li.centroid_id = p.centroid_id
+      JOIN lut l ON l.query_id = p.query_id AND l.s = cd.s AND l.cidx = cd.cidx
+      WHERE p.query_id <> cd.cand_id
+      GROUP BY p.query_id, cd.cand_id
+    )
+    SELECT query_id, cand_id, approx_ip, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY approx_ip DESC, cand_id) AS INT) AS rank
+      FROM pairs
+    ) WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """

