@@ -79,6 +79,7 @@ HEADLINE = [
     "chunk_documents",
     "pq_ann_topk",
     "ivfpq_ann_topk",
+    "rolling_zscore_anomaly",
 ]
 
 

@@ -425,6 +425,16 @@ class DataLakeEngine:
             raise ValueError("dsir_select with a caller corpus needs target=")
         return dsir_select_frame(corpus, target, **kw)
 
+    def anomalies(self, df: DataFrame | None = None, **kw) -> DataFrame:
+        """Rolling z-score outliers: rows far from their group's
+        trailing event-time baseline (operators/temporal.py
+        rolling_zscore_anomaly). Lake default: the events table."""
+        from danae_spark.operators.temporal import rolling_zscore_anomaly
+
+        if df is None:
+            df = self.table("events")
+        return rolling_zscore_anomaly(df, **kw)
+
     def dsir_score_stream(self, docs_stream: DataFrame, target: DataFrame, **kw) -> DataFrame:
         """Train the DSIR importance model batch-side (lake documents
         toward `target`), score a document stream with it — exact

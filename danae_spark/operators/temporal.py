@@ -123,3 +123,112 @@ def sessionize(
             F.when(gap.isNull() | (gap > gap_us), F.lit(1)).otherwise(F.lit(0))
         ).over(w.rowsBetween(W.unboundedPreceding, 0)),
     )
+
+
+# ---------------------------------------------- rolling z-score anomalies
+
+ZSCORE_WINDOW_S = 3600
+ZSCORE_MIN_BASELINE = 5
+ZSCORE_THRESHOLD = 3.0
+
+
+def rolling_zscore_anomaly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: tuple[str, ...] = ("event_type",),
+    window_s: int = ZSCORE_WINDOW_S,
+    min_baseline: int = ZSCORE_MIN_BASELINE,
+    threshold: float = ZSCORE_THRESHOLD,
+) -> DataFrame:
+    """Event-time anomaly detection: flag rows whose value deviates ≥
+    `threshold` standard deviations from the PRECEDING `window_s`-second
+    baseline of their group — the streaming-metrics outlier pattern
+    (rolling z-score), as one RANGE-frame window pass.
+
+    The frame is [−window_s, −1] seconds: strictly earlier events only,
+    so the anomaly candidate never contaminates its own baseline and
+    simultaneous events are excluded identically on every engine. Rows
+    with fewer than `min_baseline` prior events or a degenerate (zero
+    variance) baseline are not scored. Baseline moments accumulate in
+    exact decimal (the dsum/dsumsq route) so frame-internal order can
+    never flip a rounded z digit.
+
+    Scale: one shuffle on the group key; the window is the same
+    partitioning, and a range frame over epoch seconds is O(rows) per
+    partition — no self-join, no explode."""
+    from danae_spark.functions.rounding import DSCALE, DSUMSQ_MAX_ABS, rnd
+
+    epoch = F.floor(F.col(ts_col).cast("double")).cast("long")
+    d = df.withColumn("__sec", epoch)
+    w = (
+        W.partitionBy(*by)
+        .orderBy("__sec")
+        .rangeBetween(-window_s, -1)
+    )
+    v = F.col(value_col).cast("double")
+    c6 = v.cast(f"decimal(28,{DSCALE})")
+    sq6 = F.when(F.abs(v) < F.lit(DSUMSQ_MAX_ABS), v.cast(f"decimal(18,{DSCALE})"))
+    n = F.count(v).over(w)
+    s1 = F.sum(c6).over(w).cast("double")
+    s2 = F.sum(sq6 * sq6).over(w).cast("double")
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    z = (v - mean) / F.sqrt(var)
+    return (
+        d.withColumn("n_baseline", n)
+        .withColumn("__z", F.when((n >= min_baseline) & (var > 0), z))
+        .filter(F.abs(F.col("__z")) >= threshold)
+        .select(
+            "event_id",
+            *by,
+            F.col("__sec").alias("epoch_s"),
+            v.alias("value"),
+            F.col("n_baseline").cast("long").alias("n_baseline"),
+            rnd(F.col("__z"), 4).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def rolling_zscore_oracle(
+    window_s: int = ZSCORE_WINDOW_S,
+    min_baseline: int = ZSCORE_MIN_BASELINE,
+    threshold: float = ZSCORE_THRESHOLD,
+) -> str:
+    from danae_spark.functions.rounding import DSCALE, DSUMSQ_MAX_ABS, rnd_sql
+
+    c6 = f"CAST(value AS DECIMAL(28,{DSCALE}))"
+    sq6 = (
+        f"CASE WHEN abs(value) < {DSUMSQ_MAX_ABS} "
+        f"THEN CAST(value AS DECIMAL(28,{DSCALE})) END"
+    )
+    frame = (
+        f"OVER (PARTITION BY event_type ORDER BY epoch_s "
+        f"RANGE BETWEEN {window_s} PRECEDING AND 1 PRECEDING)"
+    )
+    z = "((value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)))"
+    return f"""
+    WITH e AS (
+      SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+             CAST(value AS DOUBLE) AS value
+      FROM events
+    ),
+    base AS (
+      SELECT event_id, event_type, epoch_s, value,
+             count(value) {frame} AS n,
+             CAST(sum({c6}) {frame} AS DOUBLE) AS s1,
+             CAST(sum({sq6} * {sq6}) {frame} AS DOUBLE) AS s2
+      FROM e
+    ),
+    scored AS (
+      SELECT event_id, event_type, epoch_s, value,
+             CAST(n AS BIGINT) AS n_baseline,
+             CASE WHEN n >= {min_baseline} AND (s2 / n - (s1 / n) * (s1 / n)) > 0
+                  THEN {rnd_sql(z, 4)} END AS zscore
+      FROM base
+    )
+    SELECT event_id, event_type, epoch_s, value, n_baseline, zscore
+    FROM scored WHERE abs(zscore) >= {threshold}
+    ORDER BY event_id
+    """

@@ -254,6 +254,20 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _textstats.nb_quality_classifier(spark, sf_dir)
 
 
+from danae_spark.operators import temporal as _temporal  # noqa: E402
+
+
+@register("rolling_zscore_anomaly", oracle=_temporal.rolling_zscore_oracle())
+def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time anomaly detection: rows ≥3σ from their group's
+    trailing-hour baseline, one RANGE-frame window pass with
+    exact-decimal moments (operators/temporal.py
+    rolling_zscore_anomaly) — the streaming-metrics outlier pattern."""
+    from danae_spark.catalog import load_table
+
+    return _temporal.rolling_zscore_anomaly(load_table(spark, sf_dir, "events"))
+
+
 from danae_spark.operators import pq as _pq  # noqa: E402
 
 

@@ -86,3 +86,35 @@ def test_sessionize_numeric_ts(spark):
     assert out[1] == 1 and out[2] == 1    # gap 10 ≤ 100
     assert out[3] == 2 and out[4] == 2    # gap 990 > 100 → new session
     assert out[5] == 1                    # independent key
+
+
+def test_rolling_zscore_flags_planted_anomaly(spark):
+    """A flat baseline with one spike: exactly the spike is flagged,
+    and early rows (thin baseline) are never scored."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from danae_spark.operators.temporal import rolling_zscore_anomaly
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # 20 calm events 10s apart, values 10±1 (nonzero variance)
+    for i in range(20):
+        rows.append((i, t0 + datetime.timedelta(seconds=10 * i), "a",
+                     10.0 + (i % 3 - 1)))
+    # the spike
+    rows.append((100, t0 + datetime.timedelta(seconds=210), "a", 1000.0))
+    # a second group with too few events to ever score
+    rows.append((200, t0, "b", 5.0))
+    rows.append((201, t0 + datetime.timedelta(seconds=5), "b", 9999.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = rolling_zscore_anomaly(df).collect()
+    assert [r.event_id for r in out] == [100]
+    assert out[0].zscore > 3 and out[0].n_baseline >= 5
+
+    # lowering the threshold must never flag the thin-baseline group
+    out2 = rolling_zscore_anomaly(df, threshold=0.1).collect()
+    assert all(r.event_type == "a" for r in out2)
