@@ -455,3 +455,108 @@ def profile_drift(
         .alias("range_expanded"),
         drifted.cast("int").alias("drifted"),
     ).orderBy("table_name", "column_name")
+
+
+# ----------------------- bounded heavy hitters (Misra-Gries, mergeable)
+
+HH_K = 64
+_HH_ERR_TERM = "\x00__mg_err__"  # sentinel row carrying the error bound
+
+
+def _mg_compress(counts: DataFrame, k: int) -> DataFrame:
+    """Compress per-column term counts to ≤ k counters (Misra-Gries):
+    subtract the (k+1)-th largest count from every term, drop the
+    non-positive ones, and ADD the subtraction to the column's error
+    row. Counts become lower bounds; true count ≤ cnt + err."""
+    from pyspark.sql import Window as W
+
+    data = counts.filter(F.col("term") != _HH_ERR_TERM)
+    err = counts.filter(F.col("term") == _HH_ERR_TERM)
+    wcol = W.partitionBy("table_name", "column_name")
+    rn = F.row_number().over(wcol.orderBy(F.desc("cnt"), F.asc("term")))
+    ranked = data.withColumn(
+        "__ckp1",
+        F.coalesce(
+            F.max(F.when(rn == k + 1, F.col("cnt"))).over(wcol), F.lit(0)
+        ),
+    )
+    kept = ranked.filter(F.col("cnt") > F.col("__ckp1")).select(
+        "table_name", "column_name", "term",
+        (F.col("cnt") - F.col("__ckp1")).alias("cnt"),
+    )
+    # per-column subtraction joins the existing error row (sum monoid)
+    new_err = (
+        ranked.groupBy("table_name", "column_name")
+        .agg(F.max("__ckp1").alias("cnt"))
+        .select(
+            "table_name", "column_name", F.lit(_HH_ERR_TERM).alias("term"), "cnt"
+        )
+    )
+    merged_err = (
+        err.select("table_name", "column_name", "term", "cnt")
+        .unionByName(new_err)
+        .groupBy("table_name", "column_name", "term")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return kept.unionByName(merged_err)
+
+
+def heavy_hitter_state(
+    df: DataFrame,
+    table: str,
+    cols: list[str] | None = None,
+    k: int = HH_K,
+) -> DataFrame:
+    """BOUNDED mergeable frequent-term summary per categorical column:
+    a Misra-Gries k-counter sketch — at most k+1 state rows per column
+    no matter how large the vocabulary (the unbounded-vocab answer the
+    lossy `term_count_state(min_count=...)` variant only approximates).
+
+    Guarantees (Agarwal et al., PODS 2012 — MG summaries are
+    mergeable): every stored count is a LOWER bound; the true count
+    exceeds it by at most the column's error row; any term with true
+    frequency > Σ subtractions (≤ N/(k+1)) is guaranteed present.
+    Merging slices = summing counters per term + re-compressing
+    (`merge_heavy_hitters`), so streaming maintenance lands one
+    bounded state per micro-batch exactly like the moments/HLL/sample
+    states."""
+    return _mg_compress(term_count_state(df, table, cols=cols), k)
+
+
+def merge_heavy_hitters(states: list[DataFrame], k: int = HH_K) -> DataFrame:
+    """Associative merge: counter sums per term (error rows merge the
+    same way), then one re-compression back to ≤ k counters."""
+    unioned = reduce(lambda a, b: a.unionByName(b), states)
+    summed = unioned.groupBy("table_name", "column_name", "term").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    return _mg_compress(summed, k)
+
+
+def finalize_heavy_hitters(state: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k candidate heavy hitters per column with count BOUNDS:
+    (term, freq_low, freq_high) — freq_high = freq_low + the column's
+    accumulated error."""
+    from pyspark.sql import Window as W
+
+    err = (
+        state.filter(F.col("term") == _HH_ERR_TERM)
+        .select("table_name", "column_name", F.col("cnt").alias("err"))
+    )
+    data = state.filter(F.col("term") != _HH_ERR_TERM)
+    w = W.partitionBy("table_name", "column_name").orderBy(
+        F.desc("cnt"), F.asc("term")
+    )
+    return (
+        data.join(err, ["table_name", "column_name"], "left")
+        .na.fill({"err": 0})
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "table_name", "column_name", "term",
+            F.col("cnt").alias("freq_low"),
+            (F.col("cnt") + F.col("err")).alias("freq_high"),
+            "rank",
+        )
+        .orderBy("table_name", "column_name", "rank")
+    )

@@ -283,3 +283,72 @@ def test_profile_drift_null_rate_and_identity(spark):
         partial_state(base, "t"), partial_state(base, "t")
     ).collect()}
     assert same["x"].drifted == 0 and abs(same["x"].n_ratio - 1.0) < 1e-9
+
+
+def test_heavy_hitters_misra_gries_bounds(spark):
+    """Mergeable MG sketch: bounded state, guaranteed heavy hitters,
+    and true counts inside [freq_low, freq_high] after merging slices."""
+    import random
+
+    from danae_spark.profiling.incremental import (
+        _HH_ERR_TERM,
+        finalize_heavy_hitters,
+        heavy_hitter_state,
+        merge_heavy_hitters,
+    )
+
+    rng = random.Random(7)
+    # skewed vocabulary: a few heavy terms + a long tail
+    terms = (
+        ["alpha"] * 500 + ["beta"] * 300 + ["gamma"] * 150
+        + [f"tail{i}" for i in range(400) for _ in (0,)]
+    )
+    rng.shuffle(terms)
+    true = {}
+    for t in terms:
+        true[t] = true.get(t, 0) + 1
+    k = 16
+    slices = [terms[i::4] for i in range(4)]
+    states = [
+        heavy_hitter_state(
+            spark.createDataFrame([(t,) for t in sl], "val string"),
+            "tbl", cols=["val"], k=k,
+        )
+        for sl in slices
+    ]
+    merged = merge_heavy_hitters(states, k=k)
+    rows = merged.collect()
+    data_rows = [r for r in rows if r.term != _HH_ERR_TERM]
+    assert len(data_rows) <= k  # bounded state
+    err = sum(r.cnt for r in rows if r.term == _HH_ERR_TERM)
+    assert err > 0  # the tail forced compression
+
+    final = {r.term: r for r in finalize_heavy_hitters(merged, k=5).collect()}
+    # every term with true count > total error is guaranteed present
+    for t, c in true.items():
+        if c > err:
+            assert t in {r.term for r in data_rows}, (t, c, err)
+    # bounds hold for the reported terms
+    for t, r in final.items():
+        assert r.freq_low <= true[t] <= r.freq_high, (t, true[t], dict(r.asDict()))
+    # the three planted heavies dominate the ranking
+    assert {"alpha", "beta", "gamma"} <= set(final)
+
+
+def test_heavy_hitters_exact_when_vocab_fits(spark):
+    """≤ k distinct terms → no compression: counts are exact, error 0."""
+    from danae_spark.profiling.incremental import (
+        _HH_ERR_TERM,
+        finalize_heavy_hitters,
+        heavy_hitter_state,
+        merge_heavy_hitters,
+    )
+
+    df1 = spark.createDataFrame([("x",)] * 5 + [("y",)] * 3, "val string")
+    df2 = spark.createDataFrame([("x",)] * 2 + [("z",)] * 4, "val string")
+    merged = merge_heavy_hitters(
+        [heavy_hitter_state(d, "t", cols=["val"], k=8) for d in (df1, df2)], k=8
+    )
+    final = {r.term: r for r in finalize_heavy_hitters(merged).collect()}
+    assert final["x"].freq_low == final["x"].freq_high == 7
+    assert final["y"].freq_low == 3 and final["z"].freq_low == 4
