@@ -167,3 +167,68 @@ def compact_profile_state(spark: SparkSession, state_dir: str) -> dict:
         if p != "batch_id=-1":
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_dir.rstrip('/')}/{p}"), True)
     return {"folded": len(seen), "partitions_before": len(seen)}
+
+
+# ------------------- streamed heavy hitters (bounded term-frequency state)
+
+
+def hh_state_dir(state_dir: str) -> str:
+    """Sibling directory for the Misra-Gries heavy-hitter state (same
+    isolation rule as the quantile samples)."""
+    return state_dir.rstrip("/") + "_hh"
+
+
+def heavy_hitter_sink(
+    stream: DataFrame,
+    table: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    cols: list[str] | None = None,
+    k: int | None = None,
+    query_name: str = "hh_stream",
+):
+    """writeStream handle maintaining a BOUNDED streamed frequent-term
+    summary: each micro-batch lands its Misra-Gries k-counter state
+    (≤ k+1 rows per column — the state table grows by a bounded
+    increment per batch regardless of vocabulary) into its own
+    batch_id partition via dynamic partition overwrite, replay-safe
+    like the profile state. `streamed_heavy_hitters` merges and
+    re-compresses for the live view."""
+    from danae_spark.profiling.incremental import HH_K, heavy_hitter_state
+
+    k = HH_K if k is None else k
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            heavy_hitter_state(batch_df, table, cols=cols, k=k)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+    )
+
+
+def streamed_heavy_hitters(
+    spark: SparkSession, state_dir: str, k: int | None = None, topk: int = 10
+) -> DataFrame:
+    """Live top-k frequent terms with [freq_low, freq_high] bounds from
+    the accumulated per-batch MG states (merge = counter sums + one
+    re-compression — schema-sized work, never a rescan)."""
+    from danae_spark.profiling.incremental import (
+        HH_K,
+        finalize_heavy_hitters,
+        merge_heavy_hitters,
+    )
+
+    k = HH_K if k is None else k
+    state = spark.read.parquet(state_dir).drop("batch_id")
+    return finalize_heavy_hitters(merge_heavy_hitters([state], k=k), k=topk)

@@ -143,3 +143,69 @@ def test_profile_stream_batch_overwrite_is_idempotent(spark, sf_dir, tmp_path):
         r["column_name"]: r for r in ps.streamed_profile(spark, state_dir).collect()
     }
     assert out["value"]["n"] == 100
+
+
+def test_streamed_heavy_hitters_bounds_hold(spark, sf_dir, tmp_path):
+    """Stream the documents table through the MG heavy-hitter sink,
+    then check the live view's guarantees against exact lake counts:
+    presence of everything above the error bound and true counts
+    inside [freq_low, freq_high]. State stays bounded per batch."""
+    from pyspark.sql import functions as F
+
+    from danae_spark.catalog import load_table, table_path
+    from danae_spark.profiling.tfidf import tokenize
+    from danae_spark.streaming.profile_stream import (
+        heavy_hitter_sink,
+        streamed_heavy_hitters,
+    )
+
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    state_dir = str(tmp_path / "hh_state")
+    q = heavy_hitter_sink(
+        stream, "documents", state_dir, str(tmp_path / "ckpt"),
+        cols=["lang", "source"], k=16,
+    ).start()
+    q.awaitTermination()
+
+    live = streamed_heavy_hitters(spark, state_dir, k=16, topk=5).collect()
+    assert live, "no heavy hitters surfaced"
+    from danae_spark.profiling.incremental import _HH_ERR_TERM, merge_heavy_hitters
+
+    state = spark.read.parquet(state_dir).drop("batch_id")
+    merged = merge_heavy_hitters([state], k=16).collect()
+    err = {
+        (r.table_name, r.column_name): r.cnt
+        for r in merged
+        if r.term == _HH_ERR_TERM
+    }
+    present = {
+        (r.column_name, r.term) for r in merged if r.term != _HH_ERR_TERM
+    }
+    # exact truth per column from the batch table
+    docs = load_table(spark, sf_dir, "documents")
+    for col in ("lang", "source"):
+        truth = {
+            r.term: r.cnt
+            for r in tokenize(
+                docs.select(F.col(col).cast("string").alias("val")), "val"
+            ).groupBy("term").agg(F.count("*").alias("cnt")).collect()
+        }
+        col_err = err.get(("documents", col), 0)
+        # THE MG guarantee: anything above the error bound is present
+        # (a near-uniform column like `source` may legitimately surface
+        # nothing — no term exceeds the bound)
+        for t, c in truth.items():
+            if c > col_err:
+                assert (col, t) in present, (col, t, c, col_err)
+        for r in live:
+            if r.column_name == col:
+                assert r.freq_low <= truth[r.term] <= r.freq_high, dict(r.asDict())
+    # lang has 3 values -> exact (no compression): present and collapsed
+    lang_rows = [r for r in live if r.column_name == "lang"]
+    assert lang_rows and all(r.freq_low == r.freq_high for r in lang_rows)
