@@ -49,26 +49,42 @@ def _with_grams(docs: DataFrame) -> DataFrame:
     """Add a `grams` array column: lowercase word unigrams + bigrams
     (the paper's hashed n-gram feature set).
 
-    The bigram build is `zip_with(slice(toks,1,n-1), slice(toks,2,n-1))`
-    — NOT `transform(sequence(...), i -> toks[i] ...)`: a non-literal
-    subscript inside a HOF lambda re-inlines the captured tokenizer
-    expression per element (the SURVEY §4 hazard; measured 12× slower
-    at sf0.1), while zip_with references the token array once per row."""
+    Bigrams come from the shared zip_with builder
+    (functions/grams.ngram_expr) — NOT `transform(sequence(...), i ->
+    toks[i] ...)`: a non-literal subscript inside a HOF lambda
+    re-inlines the captured tokenizer expression per element (the
+    SURVEY §4 hazard; measured 12× slower at sf0.1)."""
+    from danae_spark.functions.grams import ngram_expr
+
     return docs.withColumn(
         "toks", F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
-    ).withColumn(
-        "grams",
-        F.expr(
-            "concat(toks, zip_with("
-            "slice(toks, 1, greatest(size(toks) - 1, 0)), "
-            "slice(toks, 2, greatest(size(toks) - 1, 0)), "
-            "(a, b) -> concat(a, ' ', b)))"
-        ),
+    ).withColumn("grams", F.expr(f"concat(toks, {ngram_expr('toks', 2)})"))
+
+
+def _bucket(col, n_buckets: int = DSIR_BUCKETS) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % n_buckets
+
+
+def _gram_bucket_frames(
+    corpus: DataFrame, target: DataFrame, n_buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """The shared input frames (already column-normalized corpus/target):
+    corpus per-(doc, bucket) gram counts — the gram stream is
+    |corpus tokens|×2 rows, the counts at most |docs|×n_buckets, so this
+    is the frame worth materializing — and the target bucket stream.
+    ONE definition feeds both dsir_scores_frame and dsir_model, so the
+    batch scorer and the shipped streaming model can never drift."""
+    cg_counts = (
+        _with_grams(widen(corpus, force=True))
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .select("doc_id", _bucket(F.col("gram"), n_buckets).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
     )
-
-
-def _bucket(col) -> F.Column:
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % DSIR_BUCKETS
+    tg = _with_grams(target).select(F.explode("grams").alias("gram")).select(
+        _bucket(F.col("gram"), n_buckets).alias("bucket")
+    )
+    return cg_counts, tg
 
 
 def dsir_scores_frame(
@@ -93,24 +109,12 @@ def dsir_scores_frame(
     corpus = corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     target = target.select(F.col(text_col).alias("text"))
 
-    # fold the gram stream to per-(doc, bucket) counts IMMEDIATELY: the
-    # exploded grams are |corpus tokens|×2 rows, the counts are at most
-    # |docs|×n_buckets — this is the frame worth materializing.
     # localCheckpoint because BOTH the raw model fit and the scoring
-    # join consume it (without it the scan+explode+md5 chain runs
-    # twice; the first cut of this operator did exactly that and was
-    # 10× slower than every sibling text operator at sf0.1).
-    cg_counts = (
-        _with_grams(widen(corpus, force=True))
-        .select("doc_id", F.explode("grams").alias("gram"))
-        .select("doc_id", _bucket(F.col("gram")).alias("bucket"))
-        .groupBy("doc_id", "bucket")
-        .agg(F.count("*").cast("long").alias("cnt"))
-        .localCheckpoint()
-    )
-    tg = _with_grams(target).select(F.explode("grams").alias("gram")).select(
-        _bucket(F.col("gram")).alias("bucket")
-    )
+    # join consume the counts (without it the scan+explode+md5 chain
+    # runs twice; the first cut of this operator did exactly that and
+    # was 10× slower than every sibling text operator at sf0.1)
+    cg_counts, tg = _gram_bucket_frames(corpus, target, n_buckets)
+    cg_counts = cg_counts.localCheckpoint()
 
     model = _fit_model(cg_counts, tg, n_buckets)
 
@@ -184,16 +188,7 @@ def dsir_model(
     ship it to the streaming scorer (the nb_score_stream pattern)."""
     corpus = corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     target = target.select(F.col(text_col).alias("text"))
-    cg_counts = (
-        _with_grams(widen(corpus, force=True))
-        .select("doc_id", F.explode("grams").alias("gram"))
-        .select("doc_id", _bucket(F.col("gram")).alias("bucket"))
-        .groupBy("doc_id", "bucket")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
-    tg = _with_grams(target).select(F.explode("grams").alias("gram")).select(
-        _bucket(F.col("gram")).alias("bucket")
-    )
+    cg_counts, tg = _gram_bucket_frames(corpus, target, n_buckets)
     return _fit_model(cg_counts, tg, n_buckets)
 
 

@@ -64,6 +64,53 @@ def _round6(a):
     return np.floor(a * 1e6 + 0.5001) / 1e6
 
 
+def _pq_setup(emb: DataFrame, n_total: int, m: int, kc: int):
+    """Collect the stride-residue codebook (bounded: kc rows) and build
+    the encoding constants — (cents (kc_eff, m, subdim), half_sq).
+    Shared by pq_ann_topk and ivfpq_ann_topk so codebook choice and
+    tie-breaking can never diverge between them."""
+    import numpy as np
+
+    stride = max(1, n_total // kc)
+    cent_rows = (
+        emb.filter((F.col("vec_id") % stride) == 7 % stride)
+        .orderBy("vec_id")
+        .limit(kc)
+        .collect()
+    )
+    cents = _pq_codebook(cent_rows, m, kc)
+    # encoding score: x̂_s·c_{s,j} − ½|c_{s,j}|² (argmax ≡ argmin L2²;
+    # |x̂_s|² drops out), rounded to 6dp, ties to smallest j
+    half_sq = 0.5 * np.einsum("jmd,jmd->jm", cents, cents)
+    return cents, half_sq
+
+
+def _pq_codes(V, norms, m: int, subdim: int, cents, half_sq):
+    """(B, m) int codes for a float64 batch (rows × dim) — 6dp-rounded
+    argmax, first max → smallest centroid index."""
+    import numpy as np
+
+    S = (V / norms).reshape(len(V), m, subdim)
+    sc = _round6(np.einsum("bmd,jmd->bmj", S, cents) - half_sq.T)
+    return np.argmax(sc, axis=2)
+
+
+def _lut_records(q_rows, m: int, subdim: int, cents) -> list:
+    """ADC lookup-table rows (query_id, s, cidx, term) from the
+    collected query vectors — Q×m×kc rows, driver-built."""
+    import numpy as np
+
+    records = []
+    for r in q_rows:
+        q = np.asarray(r.embedding, dtype=np.float64)
+        qn = (q / np.linalg.norm(q)).reshape(m, subdim)
+        terms = _round6(np.einsum("md,jmd->mj", qn, cents))
+        for s in range(m):
+            for j in range(cents.shape[0]):
+                records.append((int(r.vec_id), s, j, float(terms[s, j])))
+    return records
+
+
 def pq_ann_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -91,27 +138,16 @@ def pq_ann_topk(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     subdim = dim // m
-    stride = max(1, n_total // kc)
-    cent_rows = (
-        emb.filter((F.col("vec_id") % stride) == 7 % stride)
-        .orderBy("vec_id")
-        .limit(kc)
-        .collect()
-    )  # bounded: kc rows
-    cents = _pq_codebook(cent_rows, m, kc)  # (kc_eff, m, subdim)
-    # encoding score: x̂_s·c_{s,j} − ½|c_{s,j}|² (argmax ≡ argmin L2²;
-    # |x̂_s|² drops out), rounded to 6dp, ties to smallest j
-    half_sq = 0.5 * np.einsum("jmd,jmd->jm", cents, cents)  # (kc, m)
+    cents, half_sq = _pq_setup(emb, n_total, m, kc)
 
     def encode(batches):
         for pdf in batches:
             if not len(pdf):  # np.stack rejects an empty batch
                 continue
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            S = Vn.reshape(len(V), m, subdim)
-            sc = _round6(np.einsum("bmd,jmd->bmj", S, cents) - half_sq.T)
-            codes = np.argmax(sc, axis=2)  # first max → smallest j
+            codes = _pq_codes(
+                V, np.linalg.norm(V, axis=1, keepdims=True), m, subdim, cents, half_sq
+            )
             yield pd.DataFrame(
                 {
                     "cand_id": pdf["vec_id"].to_numpy(),
@@ -121,22 +157,14 @@ def pq_ann_topk(
 
     coded = emb.mapInPandas(encode, schema="cand_id long, codes array<int>")
 
-    # ADC lookup table: Q×m×kc rows, driver-built from the collected
-    # query vectors (bounded: N_QUERIES rows), broadcast to the join
+    # ADC lookup table broadcast from the bounded query collect
     q_rows = (
         emb.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
     )
-    lut_records = []
-    for r in q_rows:
-        q = np.asarray(r.embedding, dtype=np.float64)
-        qn = (q / np.linalg.norm(q)).reshape(m, subdim)
-        terms = _round6(np.einsum("md,jmd->mj", qn, cents))  # (m, kc)
-        for s in range(m):
-            for j in range(cents.shape[0]):
-                lut_records.append((int(r.vec_id), s, j, float(terms[s, j])))
     lut = F.broadcast(
         spark.createDataFrame(
-            lut_records, "query_id long, s int, cidx int, term double"
+            _lut_records(q_rows, m, subdim, cents),
+            "query_id long, s int, cidx int, term double",
         )
     )
 
@@ -277,17 +305,7 @@ def ivfpq_ann_topk(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     subdim = dim // m
-
-    # PQ codebook (stride residue, kc rows)
-    pq_stride = max(1, n_total // kc)
-    cent_rows = (
-        emb.filter((F.col("vec_id") % pq_stride) == 7 % pq_stride)
-        .orderBy("vec_id")
-        .limit(kc)
-        .collect()
-    )
-    cents = _pq_codebook(cent_rows, m, kc)
-    half_sq = 0.5 * np.einsum("jmd,jmd->jm", cents, cents)
+    cents, half_sq = _pq_setup(emb, n_total, m, kc)  # shared with pq_ann_topk
 
     # IVF coarse codebook (√N rows, the ann_ivf convention)
     ivf_stride = _ivf_budgeted_stride(n_total, dim)
@@ -309,10 +327,7 @@ def ivfpq_ann_topk(
             # coarse list: 6dp-rounded cosine argmax, first max = smallest id
             cos6 = _round6((V @ ivf_mat.T) / (norms * ivf_norm))
             lists = ivf_ids[np.argmax(cos6, axis=1)]
-            # PQ code per subspace
-            S = (V / norms).reshape(len(V), m, subdim)
-            sc = _round6(np.einsum("bmd,jmd->bmj", S, cents) - half_sq.T)
-            codes = np.argmax(sc, axis=2)
+            codes = _pq_codes(V, norms, m, subdim, cents, half_sq)
             yield pd.DataFrame(
                 {
                     "cand_id": pdf["vec_id"].to_numpy(),
@@ -326,20 +341,17 @@ def ivfpq_ann_topk(
         schema="cand_id long, centroid_id long, codes array<int>",
     )
 
-    # probes + LUT from the bounded query collect
+    # probes + LUT from the bounded query collect (LUT builder shared
+    # with pq_ann_topk)
     q_rows = emb.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
-    probe_records, lut_records = [], []
+    probe_records = []
     for r in q_rows:
         q = np.asarray(r.embedding, dtype=np.float64)
-        qn = q / np.linalg.norm(q)
         cos6 = _round6((q @ ivf_mat.T) / (np.linalg.norm(q) * ivf_norm))
         order = sorted(range(len(ivf_ids)), key=lambda j: (-cos6[j], ivf_ids[j]))
         for j in order[:nprobe]:
             probe_records.append((int(r.vec_id), int(ivf_ids[j])))
-        terms = _round6(np.einsum("md,jmd->mj", qn.reshape(m, subdim), cents))
-        for s in range(m):
-            for j in range(cents.shape[0]):
-                lut_records.append((int(r.vec_id), s, j, float(terms[s, j])))
+    lut_records = _lut_records(q_rows, m, subdim, cents)
     probes = F.broadcast(
         spark.createDataFrame(probe_records, "query_id long, centroid_id long")
     )

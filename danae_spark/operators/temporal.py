@@ -170,22 +170,36 @@ def rolling_zscore_anomaly(
     c6 = v.cast(f"decimal(28,{DSCALE})")
     sq6 = F.when(F.abs(v) < F.lit(DSUMSQ_MAX_ABS), v.cast(f"decimal(18,{DSCALE})"))
     n = F.count(v).over(w)
-    s1 = F.sum(c6).over(w).cast("double")
-    s2 = F.sum(sq6 * sq6).over(w).cast("double")
+    # the dstd regime switch: values at/above the decimal domain would
+    # silently VANISH from the decimal sum-of-squares while still being
+    # counted (wrong variance) — windows containing any such value take
+    # plain double sums instead (order-fuzzy in the last ulp, correct
+    # in value; the oracle mirrors the same switch)
+    big = F.max(F.abs(v)).over(w) >= F.lit(DSUMSQ_MAX_ABS)
+    s1 = F.when(big, F.sum(v).over(w)).otherwise(F.sum(c6).over(w).cast("double"))
+    s2 = F.when(big, F.sum(v * v).over(w)).otherwise(
+        F.sum(sq6 * sq6).over(w).cast("double")
+    )
     mean = s1 / n
     var = s2 / n - mean * mean
     z = (v - mean) / F.sqrt(var)
+    # round BEFORE thresholding — the oracle filters the rounded zscore,
+    # so filtering the raw z here would drop/keep different rows when
+    # |z| lands within rounding distance of the threshold (review
+    # finding, reproduced with a crafted z = threshold − 3e-5)
     return (
         d.withColumn("n_baseline", n)
-        .withColumn("__z", F.when((n >= min_baseline) & (var > 0), z))
-        .filter(F.abs(F.col("__z")) >= threshold)
+        .withColumn(
+            "zscore", F.when((n >= min_baseline) & (var > 0), rnd(z, 4))
+        )
+        .filter(F.abs(F.col("zscore")) >= threshold)
         .select(
             "event_id",
             *by,
             F.col("__sec").alias("epoch_s"),
             v.alias("value"),
             F.col("n_baseline").cast("long").alias("n_baseline"),
-            rnd(F.col("__z"), 4).alias("zscore"),
+            "zscore",
         )
         .orderBy("event_id")
     )
@@ -207,6 +221,7 @@ def rolling_zscore_oracle(
         f"OVER (PARTITION BY event_type ORDER BY epoch_s "
         f"RANGE BETWEEN {window_s} PRECEDING AND 1 PRECEDING)"
     )
+    big = f"(max(abs(value)) {frame} >= {DSUMSQ_MAX_ABS})"
     z = "((value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)))"
     return f"""
     WITH e AS (
@@ -217,8 +232,10 @@ def rolling_zscore_oracle(
     base AS (
       SELECT event_id, event_type, epoch_s, value,
              count(value) {frame} AS n,
-             CAST(sum({c6}) {frame} AS DOUBLE) AS s1,
-             CAST(sum({sq6} * {sq6}) {frame} AS DOUBLE) AS s2
+             CASE WHEN {big} THEN sum(value) {frame}
+                  ELSE CAST(sum({c6}) {frame} AS DOUBLE) END AS s1,
+             CASE WHEN {big} THEN sum(value * value) {frame}
+                  ELSE CAST(sum({sq6} * {sq6}) {frame} AS DOUBLE) END AS s2
       FROM e
     ),
     scored AS (

@@ -96,7 +96,7 @@ def url_domain_cap_frame(
     d = d.withColumn(
         "domain", F.regexp_extract("host", r"([a-z0-9-]+\.[a-z]+)$", 1)
     ).withColumn("tld", F.regexp_extract("host", r"\.([a-z]+)$", 1))
-    path = F.regexp_extract("url", r"^https?://[^/]+(/.*)$", 1)
+    path = F.regexp_extract("url", r"^(?i)https?://[^/]+(/.*)$", 1)
     d = d.withColumn("__path", path).withColumn(
         "path_depth", F.size(F.expr("filter(split(__path, '/'), s -> s <> '')"))
     )

@@ -263,6 +263,7 @@ def dsir_score_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Stateless streaming DSIR scoring with a batch-trained importance
     model (operators/dsir.dsir_model — a (bucket, lam) frame of at most
@@ -287,7 +288,10 @@ def dsir_score_stream(
 
     salt = DSIR_SALT if salt is None else salt
     lam = {int(r[0]): float(r[1]) for r in model.collect()}  # ≤ n_buckets rows
-    n_buckets = DSIR_BUCKETS
+    # n_buckets must match the model's training value (review finding:
+    # a hardcoded 256 silently mis-bucketed models trained with any
+    # other width)
+    n_buckets = DSIR_BUCKETS if n_buckets is None else n_buckets
     tok = re.compile(r"[^a-z0-9]+")
     q6 = Decimal("0.000001")
 

@@ -101,6 +101,9 @@ def test_url_domain_cap_noncanonical_urls(spark):
     rows = {r.doc_id: r for r in urlops.url_domain_cap_frame(df).collect()}
     assert rows[1].host == "www.example.com"
     assert rows[1].domain == "example.com" and rows[1].tld == "com"
+    # the PATH must survive an uppercase scheme too (review finding:
+    # the path regex lacked the (?i) the host regex had)
+    assert rows[1].path_depth == 2
     assert rows[2].domain == "plain.org"
 
 

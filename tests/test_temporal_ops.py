@@ -118,3 +118,27 @@ def test_rolling_zscore_flags_planted_anomaly(spark):
     # lowering the threshold must never flag the thin-baseline group
     out2 = rolling_zscore_anomaly(df, threshold=0.1).collect()
     assert all(r.event_type == "a" for r in out2)
+
+
+def test_rolling_zscore_threshold_uses_rounded_z(spark):
+    """A z landing in [threshold−0.00005, threshold) must be flagged,
+    because the oracle filters the 4dp-ROUNDED zscore (review finding:
+    filtering the raw z dropped such rows on the Spark side only)."""
+    import datetime
+
+    from danae_spark.operators.temporal import rolling_zscore_anomaly
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # baseline alternating 0/2 -> mean 1, population std 1;
+    # spike value v gives z = v - 1
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=10 * i), "a", float(i % 2 * 2))
+        for i in range(10)
+    ]
+    rows.append((100, t0 + datetime.timedelta(seconds=100), "a", 1 + 2.99997))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = rolling_zscore_anomaly(df).collect()
+    assert [r.event_id for r in out] == [100]
+    assert out[0].zscore == 3.0
