@@ -158,13 +158,19 @@ def _fit_model(cg_counts: DataFrame, tg: DataFrame, n_buckets: int) -> DataFrame
     # totals are 1-row aggregates: Nt/Nr are FULL gram counts per side
     # (not sums over the joined buckets — a target bucket absent from
     # the raw side still belongs in Nt)
+    # explicit broadcast: both sides are 1-row aggregates, but without
+    # the hint a session with auto-broadcast disabled plans a
+    # CartesianProduct here
     totals = (
         tgt_ct.agg(F.sum("ct").alias("nt"))
-        .crossJoin(raw_ct.agg(F.sum("cr").alias("nr")))
+        .crossJoin(F.broadcast(raw_ct.agg(F.sum("cr").alias("nr"))))
     )
     m = F.lit(float(n_buckets))
+    # tgt_ct is ≤ n_buckets rows — always broadcastable; without the
+    # hint Spark has no stats for the checkpointed aggregate and plans
+    # a sort-merge join of two tiny tables
     return (
-        raw_ct.join(tgt_ct, "bucket", "left")
+        raw_ct.join(F.broadcast(tgt_ct), "bucket", "left")
         .na.fill({"ct": 0})
         .crossJoin(F.broadcast(totals))
         .select(

@@ -195,8 +195,14 @@ def test_nb_classifier_web_scale_switch_shuffle_join(spark, sf_dir):
             s in ("SortMergeJoin", "ShuffledHashJoin") for s in strategies
         ), strategies
     finally:
+        # restore even when the conf was initially unset — leaving -1
+        # behind disabled auto-broadcast for every later test in the
+        # session (surfaced as a phantom CartesianProduct in the dsir
+        # plan audit)
         if prev is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        else:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
 def test_line_dedup_no_cartesian(spark, sf_dir):
@@ -234,3 +240,59 @@ def test_pack_sequences_no_global_window(spark, sf_dir):
     plan = audit.physical_plan(df)
     assert "Window" not in plan, plan
     assert "rangepartitioning" in plan.lower() or "ReusedExchange" in plan, plan
+
+
+def test_dsir_broadcasts_model_no_cartesian(spark, sf_dir):
+    """The (bucket, lam) model and the 1-row totals broadcast; no
+    cartesian product anywhere in the selection plan."""
+    df = REGISTRY["dsir_select"].fn(spark, sf_dir)
+    audit.assert_no_cartesian(df)
+    strategies = audit.join_strategies(df)
+    assert "BroadcastHashJoin" in strategies, strategies
+    # the ONLY sort-merge join allowed is the final doc-level left join
+    # (both sides corpus-sized at scale — SMJ is correct there); the
+    # bucket-level model joins must broadcast. Formatted plans list
+    # each node twice (tree + detail), so one join = two matches.
+    assert strategies.count("SortMergeJoin") <= 2, strategies
+
+
+def test_chunk_documents_no_shuffle_before_sort(spark, sf_dir):
+    """Chunking is per-row explode: the only exchange in the plan is
+    the final presentation orderBy."""
+    df = REGISTRY["chunk_documents"].fn(spark, sf_dir)
+    plan = audit.physical_plan(df)
+    # rangepartitioning for the orderBy is allowed; no hashpartitioning
+    # (aggregation/join shuffle) should exist
+    assert "hashpartitioning" not in plan, plan[:2000]
+    audit.assert_no_cartesian(df)
+
+
+def test_url_domain_cap_single_shuffle(spark, sf_dir):
+    """One hash shuffle (the domain window) + the presentation sort."""
+    df = REGISTRY["url_domain_cap"].fn(spark, sf_dir)
+    plan = audit.physical_plan(df)
+    assert plan.count("hashpartitioning") <= 1, plan[:2000]
+
+
+def test_zscore_single_shuffle_no_join(spark, sf_dir):
+    """The anomaly pass is one window over one shuffle — no join, no
+    self-join of events."""
+    df = REGISTRY["rolling_zscore_anomaly"].fn(spark, sf_dir)
+    assert audit.join_strategies(df) == []
+    assert len([s for s in audit.scans(df) if "events" in str(s)]) <= 1
+
+
+def test_pq_lut_broadcast_no_vector_join(spark, sf_dir):
+    """ADC scoring joins codes to the broadcast LUT — candidates never
+    join on float vectors, and nothing is cartesian."""
+    df = REGISTRY["pq_ann_topk"].fn(spark, sf_dir)
+    audit.assert_no_cartesian(df)
+    strategies = audit.join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies), strategies
+
+
+def test_ivfpq_probe_and_lut_broadcast(spark, sf_dir):
+    df = REGISTRY["ivfpq_ann_topk"].fn(spark, sf_dir)
+    audit.assert_no_cartesian(df)
+    strategies = audit.join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies), strategies
