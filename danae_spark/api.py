@@ -425,6 +425,15 @@ class DataLakeEngine:
             raise ValueError("dsir_select with a caller corpus needs target=")
         return dsir_select_frame(corpus, target, **kw)
 
+    def split(self, df: DataFrame, **kw) -> DataFrame:
+        """Reproducible train/val/test assignment (engine-portable,
+        growth-stable). Pass group_col= for the leakage-safe mode:
+        every member of a group (domain, origin doc, user) lands in
+        the same split (operators/sampling.deterministic_split_frame)."""
+        from danae_spark.operators.sampling import deterministic_split_frame
+
+        return deterministic_split_frame(df, **kw)
+
     def anomalies(self, df: DataFrame | None = None, **kw) -> DataFrame:
         """Rolling z-score outliers: rows far from their group's
         trailing event-time baseline (operators/temporal.py

@@ -110,6 +110,7 @@ def deterministic_split_frame(
     id_col: str = "doc_id",
     splits: dict[str, float] | None = None,
     salt: str = "danae-split",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Reproducible corpus splitting: every row assigned to a named
     split by its content-independent id hash — the same row lands in the
@@ -121,15 +122,23 @@ def deterministic_split_frame(
     `splits` maps name → fraction (must sum to ~1); boundaries are laid
     out on a md5-derived uniform in [0, 1) (portable — the DuckDB oracle
     reproduces assignments exactly). `salt` decorrelates independent
-    splits of the same corpus."""
+    splits of the same corpus.
+
+    `group_col` is the LEAKAGE-SAFE mode: hash the group key (domain,
+    source document, user …) instead of the row id, so every member of
+    a group lands in the SAME split — row-level hashing puts near-
+    identical rows of one origin on both sides of the train/test
+    boundary, silently inflating eval scores. Fractions then apportion
+    GROUPS, not rows (skewed group sizes skew row counts — by design)."""
     splits = dict(DEFAULT_SPLITS if splits is None else splits)
     total = sum(splits.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split fractions sum to {total}, expected 1")
+    key = F.col(group_col if group_col is not None else id_col)
     # md5 prefix → uniform in [0, 1): 8 hex chars / 16^8
     u = (
         F.conv(
-            F.substring(F.md5(F.concat_ws("#", F.lit(salt), F.col(id_col))), 1, 8),
+            F.substring(F.md5(F.concat_ws("#", F.lit(salt), key)), 1, 8),
             16,
             10,
         ).cast("double")
@@ -161,14 +170,18 @@ def deterministic_split(
 
 
 def deterministic_split_oracle(
-    splits: dict[str, float] | None = None, salt: str = "danae-split"
+    splits: dict[str, float] | None = None,
+    salt: str = "danae-split",
+    group_col: str | None = None,
 ) -> str:
-    """`salt` must mirror deterministic_split_frame's — parameter-parallel
-    so a caller registering a salted split can't silently mismatch."""
+    """`salt`/`group_col` must mirror deterministic_split_frame's —
+    parameter-parallel so a caller registering a salted or grouped
+    split can't silently mismatch."""
     splits = dict(DEFAULT_SPLITS if splits is None else splits)
     names = list(splits)
+    key = group_col if group_col is not None else "doc_id"
     u = (
-        f"('0x' || substr(md5('{salt}' || '#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        f"('0x' || substr(md5('{salt}' || '#' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT"
         f" * 1.0 / {float(16**8)}"
     )
     acc = 0.0

@@ -167,19 +167,28 @@ def rolling_zscore_anomaly(
         .rangeBetween(-window_s, -1)
     )
     v = F.col(value_col).cast("double")
-    c6 = v.cast(f"decimal(28,{DSCALE})")
-    sq6 = F.when(F.abs(v) < F.lit(DSUMSQ_MAX_ABS), v.cast(f"decimal(18,{DSCALE})"))
-    n = F.count(v).over(w)
     # the dstd regime switch: values at/above the decimal domain would
     # silently VANISH from the decimal sum-of-squares while still being
-    # counted (wrong variance) — windows containing any such value take
-    # plain double sums instead (order-fuzzy in the last ulp, correct
-    # in value; the oracle mirrors the same switch)
-    big = F.max(F.abs(v)).over(w) >= F.lit(DSUMSQ_MAX_ABS)
-    s1 = F.when(big, F.sum(v).over(w)).otherwise(F.sum(c6).over(w).cast("double"))
-    s2 = F.when(big, F.sum(v * v).over(w)).otherwise(
-        F.sum(sq6 * sq6).over(w).cast("double")
-    )
+    # counted (wrong variance). The regime is decided ONCE, driver-side,
+    # from a global 1-row max (column-pruned scan): a per-window switch
+    # would compute BOTH sum branches plus a frame-max for every window
+    # — measured 13.1 s materialized at sf0.1 vs ~4 s with the single
+    # decided branch. Any out-of-domain value flips the whole frame to
+    # plain double sums (order-fuzzy in the last ulp, correct in value);
+    # the oracle mirrors the same global decision via a scalar subquery.
+    amax_row = d.agg(F.max(F.abs(v)).alias("m")).collect()[0]
+    big = amax_row.m is not None and amax_row.m >= DSUMSQ_MAX_ABS
+    n = F.count(v).over(w)
+    if big:
+        s1 = F.sum(v).over(w)
+        s2 = F.sum(v * v).over(w)
+    else:
+        c6 = v.cast(f"decimal(28,{DSCALE})")
+        sq6 = F.when(
+            F.abs(v) < F.lit(DSUMSQ_MAX_ABS), v.cast(f"decimal(18,{DSCALE})")
+        )
+        s1 = F.sum(c6).over(w).cast("double")
+        s2 = F.sum(sq6 * sq6).over(w).cast("double")
     mean = s1 / n
     var = s2 / n - mean * mean
     z = (v - mean) / F.sqrt(var)
@@ -221,7 +230,7 @@ def rolling_zscore_oracle(
         f"OVER (PARTITION BY event_type ORDER BY epoch_s "
         f"RANGE BETWEEN {window_s} PRECEDING AND 1 PRECEDING)"
     )
-    big = f"(max(abs(value)) {frame} >= {DSUMSQ_MAX_ABS})"
+    big = f"((SELECT max(abs(value)) FROM e) >= {DSUMSQ_MAX_ABS})"
     z = "((value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)))"
     return f"""
     WITH e AS (

@@ -157,3 +157,31 @@ def test_pack_sequences_fuzz_tiling(spark):
             assert r.last_seq == max(r.end_pos - 1, r.start_pos) // seq_len
             assert r.n_seqs == r.last_seq - r.first_seq + 1
             pos = r.end_pos
+
+
+def test_grouped_split_is_leakage_safe(spark):
+    """group_col mode: every member of a group lands in the same split
+    (near-dups of one origin can't straddle the train/test boundary),
+    and group assignment matches hashing the group key directly."""
+    from danae_spark.operators.sampling import deterministic_split_frame
+
+    rows = [(i, f"dom{i % 50}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = deterministic_split_frame(df, group_col="domain").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.domain, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values())
+    # groups themselves are apportioned roughly by the fractions
+    group_split = {g: next(iter(s)) for g, s in by_group.items()}
+    frac_train = sum(1 for v in group_split.values() if v == "train") / 50
+    assert 0.75 <= frac_train <= 1.0
+    # parity: the group's split == splitting a frame of the bare keys
+    keys = spark.createDataFrame(
+        [(g,) for g in by_group], "domain string"
+    )
+    key_split = {
+        r.domain: r.split
+        for r in deterministic_split_frame(keys, id_col="domain").collect()
+    }
+    assert key_split == group_split
