@@ -80,6 +80,7 @@ HEADLINE = [
     "pq_ann_topk",
     "ivfpq_ann_topk",
     "rolling_zscore_anomaly",
+    "video_meta_roundtrip",
 ]
 
 

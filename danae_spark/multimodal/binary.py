@@ -343,3 +343,204 @@ MULTIMODAL_META_ORACLE = """
            3 AS channels
     FROM documents ORDER BY doc_id
     """
+
+
+# -------------------------- video container headers (MP4 / ISO-BMFF)
+
+
+def parse_video_header(payload: bytes) -> dict | None:
+    """REAL MP4/ISO-BMFF header decode, stdlib-only: walk the top-level
+    box sequence for `ftyp` (major brand) and `moov` → `mvhd`
+    (timescale/duration, v0 and v1 layouts) plus per-`trak` `tkhd`
+    width/height (16.16 fixed point; first visual track wins). Codec
+    and sample decode stay behind the declared container-limited stub
+    (decode_image's pattern) — the box structure itself is what a
+    100 TB metadata pass reads, and reading it needs no codec libs.
+
+    Returns None when the payload has no recognizable box structure;
+    truncated/garbled boxes terminate the walk without raising."""
+
+    def boxes(buf: bytes):
+        pos = 0
+        while pos + 8 <= len(buf):
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            btype = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1 and pos + 16 <= len(buf):  # 64-bit largesize
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                hdr = 16
+            if size < hdr or pos + size > len(buf):
+                return
+            yield btype, buf[pos + hdr : pos + size]
+            pos += size
+
+    brand = timescale = duration = width = height = None
+    n_tracks = 0
+    seen = False
+    for btype, body in boxes(payload):
+        if btype == b"ftyp" and len(body) >= 4:
+            seen = True
+            brand = body[:4].decode("ascii", "replace").strip()
+        elif btype == b"moov":
+            seen = True
+            for ctype, cbody in boxes(body):
+                if ctype == b"mvhd" and len(cbody) >= 20:
+                    ver = cbody[0]
+                    if ver == 1 and len(cbody) >= 32:
+                        timescale = int.from_bytes(cbody[20:24], "big")
+                        duration = int.from_bytes(cbody[24:32], "big")
+                    else:
+                        timescale = int.from_bytes(cbody[12:16], "big")
+                        duration = int.from_bytes(cbody[16:20], "big")
+                elif ctype == b"trak":
+                    n_tracks += 1
+                    for ttype, tbody in boxes(cbody):
+                        if ttype == b"tkhd" and len(tbody) >= 84:
+                            w = int.from_bytes(tbody[-8:-4], "big") // 65536
+                            h = int.from_bytes(tbody[-4:], "big") // 65536
+                            if w and h and width is None:
+                                width, height = w, h
+    if not seen:
+        return None
+    duration_ms = (
+        duration * 1000 // timescale if timescale and duration is not None else None
+    )
+    return {
+        "format": "mp4",
+        "brand": brand,
+        "timescale": timescale,
+        "duration_ms": duration_ms,
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+    }
+
+
+VIDEO_META_SCHEMA = (
+    "doc_id bigint, byte_size int, sha256 string, format string, brand string, "
+    "timescale int, duration_ms bigint, n_tracks int, width int, height int"
+)
+
+
+def _video_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ["format", "brand", "timescale", "duration_ms", "n_tracks", "width", "height"]
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            hdr = parse_video_header(p) or {}
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "byte_size": len(p),
+                    "sha256": hashlib.sha256(p).hexdigest(),
+                    **{c: hdr.get(c) for c in cols},
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+def video_meta_frame(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Video container metadata over ANY (id, binary payload) frame —
+    the audio_meta_frame plumbing with the MP4 box walker."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_video_meta_batches, schema=VIDEO_META_SCHEMA)
+
+
+def synth_mp4(
+    brand: str, timescale: int, duration: int, n_tracks: int, width: int, height: int
+) -> bytes:
+    """Deterministic minimal-but-spec-shaped MP4: full-size v0 mvhd
+    (100-byte body) and tkhd (84-byte body) so the parser's offsets are
+    exercised exactly as on real files."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    ftyp = box(b"ftyp", brand.encode("ascii") + (0).to_bytes(4, "big") + b"isom")
+    mvhd_body = (
+        b"\x00\x00\x00\x00"  # v0 + flags
+        + (0).to_bytes(4, "big") * 2  # creation/modification
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big")  # rate 1.0
+        + b"\x01\x00" + b"\x00" * 10  # volume + reserved
+        + b"\x00" * 36  # matrix
+        + b"\x00" * 24  # pre_defined
+        + (n_tracks + 1).to_bytes(4, "big")  # next_track_id
+    )
+    tkhd_body = (
+        b"\x00\x00\x00\x07"  # v0 + enabled flags
+        + (0).to_bytes(4, "big") * 2
+        + (1).to_bytes(4, "big")  # track id
+        + (0).to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + b"\x00" * 8
+        + b"\x00" * 8  # layer/alt-group/volume/reserved
+        + b"\x00" * 36  # matrix
+        + (width * 65536).to_bytes(4, "big")
+        + (height * 65536).to_bytes(4, "big")
+    )
+    trak = box(b"trak", box(b"tkhd", tkhd_body))
+    moov = box(b"moov", box(b"mvhd", mvhd_body) + trak * n_tracks)
+    return ftyp + moov
+
+
+def video_meta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable video-metadata round-trip (the
+    audio_meta_roundtrip pattern): per document an MP4 payload with
+    doc_id-derived parameters is synthesized byte-for-byte (synth_mp4)
+    and pushed through the REAL box walker (parse_video_header); the
+    DuckDB oracle states the expected metadata as doc_id arithmetic."""
+    from danae_spark.catalog import load_table
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                brand = "isom" if d % 2 == 0 else "mp42"
+                timescale = 600 * (1 + d % 5)
+                duration = timescale * (1 + d % 30) // 2
+                n_tracks = 1 + d % 3
+                width, height = 320 * (1 + d % 4), 240 * (1 + d % 4)
+                payload = synth_mp4(brand, timescale, duration, n_tracks, width, height)
+                hdr = parse_video_header(payload) or {}
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "byte_size": len(payload),
+                        "brand": hdr.get("brand"),
+                        "timescale": hdr.get("timescale"),
+                        "duration_ms": hdr.get("duration_ms"),
+                        "n_tracks": hdr.get("n_tracks"),
+                        "width": hdr.get("width"),
+                        "height": hdr.get("height"),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "doc_id bigint, byte_size int, brand string, timescale int,"
+        " duration_ms bigint, n_tracks int, width int, height int"
+    )
+    return docs.mapInPandas(batches, schema=schema).orderBy("doc_id")
+
+
+VIDEO_ROUNDTRIP_ORACLE = """
+    SELECT doc_id,
+           CAST(20 + 8 + 108 + 100 * (1 + doc_id % 3) AS INT) AS byte_size,
+           CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+           CAST(600 * (1 + doc_id % 5) AS INT) AS timescale,
+           CAST((600 * (1 + doc_id % 5) * (1 + doc_id % 30) // 2) * 1000
+                // (600 * (1 + doc_id % 5)) AS BIGINT) AS duration_ms,
+           CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+           CAST(320 * (1 + doc_id % 4) AS INT) AS width,
+           CAST(240 * (1 + doc_id % 4) AS INT) AS height
+    FROM documents ORDER BY doc_id
+    """

@@ -71,6 +71,16 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 from danae_spark.multimodal import binary as _binary  # noqa: E402
 
 
+@register("video_meta_roundtrip", oracle=_binary.VIDEO_ROUNDTRIP_ORACLE)
+def video_meta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MP4 container check: doc_id-parameterized ISO-BMFF
+    payloads synthesized byte-for-byte, parsed by the real stdlib box
+    walker (multimodal/binary.py parse_video_header); the oracle states
+    the expected metadata as pure arithmetic — closing the
+    image/audio/VIDEO header triad."""
+    return _binary.video_meta_roundtrip(spark, sf_dir)
+
+
 @register("audio_meta_roundtrip", oracle=_binary.AUDIO_ROUNDTRIP_ORACLE)
 def audio_meta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end WAV codec check: doc_id-parameterized payloads

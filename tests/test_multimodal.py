@@ -223,3 +223,56 @@ def test_audio_meta_frame_over_spark(spark):
     assert out[3]["format"] is None and out[3]["byte_size"] == 24
     import hashlib as _h
     assert out[3]["sha256"] == _h.sha256(b"opaque non-audio payload").hexdigest()
+
+
+def test_parse_video_header_v0_and_v1():
+    from danae_spark.multimodal.binary import parse_video_header, synth_mp4
+
+    p = synth_mp4("isom", 600, 1800, 2, 640, 480)
+    hdr = parse_video_header(p)
+    assert hdr == {
+        "format": "mp4", "brand": "isom", "timescale": 600,
+        "duration_ms": 3000, "n_tracks": 2, "width": 640, "height": 480,
+    }
+    # v1 mvhd (64-bit times/duration): hand-build the box layout
+    def box(btype, body):
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    mvhd_v1 = (
+        b"\x01\x00\x00\x00"
+        + (0).to_bytes(8, "big") * 2  # creation/modification 64-bit
+        + (1000).to_bytes(4, "big")  # timescale
+        + (2500).to_bytes(8, "big")  # duration 64-bit
+    )
+    p1 = box(b"ftyp", b"mp42" + b"\x00" * 4 + b"isom") + box(
+        b"moov", box(b"mvhd", mvhd_v1)
+    )
+    hdr1 = parse_video_header(p1)
+    assert hdr1["timescale"] == 1000 and hdr1["duration_ms"] == 2500
+    assert hdr1["brand"] == "mp42" and hdr1["n_tracks"] == 0
+
+
+def test_parse_video_header_rejects_garbage():
+    from danae_spark.multimodal.binary import parse_video_header, synth_mp4
+
+    assert parse_video_header(b"not a video at all") is None
+    assert parse_video_header(b"") is None
+    # truncated mid-box: the walk stops without raising; ftyp survives
+    p = synth_mp4("isom", 600, 600, 1, 320, 240)
+    hdr = parse_video_header(p[:40])
+    assert hdr is not None and hdr["brand"] == "isom"
+    assert hdr["timescale"] is None
+
+
+def test_video_meta_frame_plumbing(spark):
+    from danae_spark.multimodal.binary import synth_mp4, video_meta_frame
+
+    rows = [
+        (1, bytearray(synth_mp4("isom", 600, 1200, 1, 320, 240))),
+        (2, bytearray(b"garbage payload")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in video_meta_frame(df).collect()}
+    assert out[1].brand == "isom" and out[1].duration_ms == 2000
+    assert out[1].width == 320 and out[1].n_tracks == 1
+    assert out[2].format is None and out[2].byte_size == 15
