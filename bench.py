@@ -81,6 +81,7 @@ HEADLINE = [
     "ivfpq_ann_topk",
     "rolling_zscore_anomaly",
     "video_meta_roundtrip",
+    "maxsim_text_topk",
 ]
 
 

@@ -1301,3 +1301,192 @@ def frequent_ngrams_oracle(n: int = FREQ_NGRAM_N, k: int = FREQ_NGRAM_K) -> str:
     ) WHERE rank <= {k}
     ORDER BY rank
     """
+
+
+# ------------- late-interaction text retrieval (ColBERT-style MaxSim)
+
+MAXSIM_QUERIES = 10
+MAXSIM_Q_TERMS = 8
+MAXSIM_C_TERMS = 16
+MAXSIM_K = 5
+
+
+def maxsim_topk_frame(
+    docs: DataFrame,
+    query_ids,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q_terms: int = MAXSIM_Q_TERMS,
+    c_terms: int = MAXSIM_C_TERMS,
+    k: int = MAXSIM_K,
+    dims: int = DOC_EMB_DIMS,
+) -> DataFrame:
+    """Late-interaction text retrieval (the ColBERT MaxSim scoring
+    shape, Khattab & Zaharia 2020): instead of one pooled vector per
+    document (text_ann_topk), each document keeps a BAG of term
+    vectors, and score(q, c) = Σ over q's terms of the MAX cosine to
+    any of c's terms — fine-grained term matching that single-vector
+    pooling averages away.
+
+    Spark-first bounds: per doc only the top `c_terms` distinct terms
+    by tf (ties by term) represent it, and a query contributes its top
+    `q_terms` — so the interaction join is |corpus terms kept| ×
+    (|queries|·q_terms), with the query side BROADCAST (tiny by
+    construction) and the candidate side linear in the corpus; two
+    doc-keyed aggregations finish it. Term vectors are the engine's
+    md5-derived pseudo-vectors (the doc_embedding convention — a real
+    encoder plugs in as a (term, vector) table), so the WHOLE retrieval
+    is DuckDB-value-checked."""
+    from danae_spark.functions.rounding import dsum
+
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    toks = widen(docs).select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+        ).alias("term"),
+    )
+    tct = toks.groupBy("doc_id", "term").agg(F.count("*").alias("ct"))
+    wdoc = W.partitionBy("doc_id").orderBy(F.desc("ct"), F.asc("term"))
+    ranked = tct.withColumn("rk", F.row_number().over(wdoc))
+
+    dim_cols = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("term"), F.lit(f"#d{i}"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2000
+            / 1000.0
+            - 1.0
+        ).alias(f"e{i}")
+        for i in range(dims)
+    ]
+    vocab = ranked.select("term").distinct().select("term", *dim_cols)
+    norm = F.sqrt(sum(F.col(f"e{i}") * F.col(f"e{i}") for i in range(dims)))
+    vocab = vocab.withColumn("nrm", norm)
+
+    qt = (
+        ranked.filter(F.col("doc_id").isin(list(query_ids)) & (F.col("rk") <= q_terms))
+        .join(F.broadcast(vocab), "term")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("term").alias("qterm"),
+            F.col("nrm").alias("qn"),
+            *[F.col(f"e{i}").alias(f"q{i}") for i in range(dims)],
+        )
+    )
+    # collect the query-term relation (BOUNDED by construction:
+    # |query_ids| × q_terms rows) and rebroadcast it as a LOCAL
+    # relation: broadcasting the qt plan directly nests a broadcast
+    # exchange (vocab) inside the broadcast build and deadlocks past
+    # spark.sql.broadcastTimeout — reproduced at sf0.001
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(qt.collect(), qt.schema)
+    ct_side = (
+        ranked.filter(F.col("rk") <= c_terms)
+        .join(F.broadcast(vocab), "term")
+        .select(
+            F.col("doc_id").alias("cand_id"),
+            F.col("nrm").alias("cn"),
+            *[F.col(f"e{i}") for i in range(dims)],
+        )
+    )
+    dot = sum(F.col(f"q{i}") * F.col(f"e{i}") for i in range(dims))
+    sims = (
+        ct_side.join(F.broadcast(qt), F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "qterm",
+            rnd(dot / (F.col("qn") * F.col("cn")), 6).alias("sim"),
+        )
+        .groupBy("query_id", "cand_id", "qterm")
+        .agg(F.max("sim").alias("maxsim"))
+    )
+    scored = sims.groupBy("query_id", "cand_id").agg(
+        rnd(dsum(F.col("maxsim")), 6).alias("score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def maxsim_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents-table entry: the first MAXSIM_QUERIES doc_ids query the
+    whole corpus."""
+    return maxsim_topk_frame(
+        load_table(spark, sf_dir, "documents"), list(range(MAXSIM_QUERIES))
+    )
+
+
+def maxsim_text_topk_oracle(
+    q_terms: int = MAXSIM_Q_TERMS,
+    c_terms: int = MAXSIM_C_TERMS,
+    k: int = MAXSIM_K,
+    dims: int = DOC_EMB_DIMS,
+    n_queries: int = MAXSIM_QUERIES,
+) -> str:
+    from danae_spark.functions.rounding import dsum_sql
+
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    dim_defs = ", ".join(
+        f"('0x' || substr(md5(term || '#d{i}'), 1, 8))::BIGINT % 2000"
+        f" / 1000.0 - 1.0 AS e{i}"
+        for i in range(dims)
+    )
+    nrm = "sqrt(" + " + ".join(f"e{i} * e{i}" for i in range(dims)) + ")"
+    dot = " + ".join(f"q.e{i} * c.e{i}" for i in range(dims))
+    return f"""
+    WITH t AS (
+      SELECT doc_id, unnest({toks}) AS term FROM documents
+    ),
+    tct AS (
+      SELECT doc_id, term, count(*) AS ct FROM t GROUP BY doc_id, term
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY ct DESC, term) AS rk
+      FROM tct
+    ),
+    vocab AS (
+      SELECT term, {dim_defs}
+      FROM (SELECT DISTINCT term FROM ranked)
+    ),
+    vocab_n AS (SELECT *, {nrm} AS nrm FROM vocab),
+    qt AS (
+      SELECT r.doc_id AS query_id, r.term AS qterm, v.*
+      FROM ranked r JOIN vocab_n v USING (term)
+      WHERE r.doc_id < {n_queries} AND r.rk <= {q_terms}
+    ),
+    cs AS (
+      SELECT r.doc_id AS cand_id, v.*
+      FROM ranked r JOIN vocab_n v USING (term)
+      WHERE r.rk <= {c_terms}
+    ),
+    sims AS (
+      SELECT q.query_id, c.cand_id, q.qterm,
+             max(floor(({dot}) / (q.nrm * c.nrm) * 1000000.0 + 0.5001)
+                 / 1000000.0) AS maxsim
+      FROM cs c JOIN qt q ON q.query_id <> c.cand_id
+      GROUP BY q.query_id, c.cand_id, q.qterm
+    ),
+    scored AS (
+      SELECT query_id, cand_id,
+             floor(({dsum_sql("maxsim")}) * 1000000.0 + 0.5001) / 1000000.0
+               AS score
+      FROM sims GROUP BY query_id, cand_id
+    )
+    SELECT query_id, cand_id, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, cand_id) AS INT)
+                  AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """

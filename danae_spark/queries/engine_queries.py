@@ -264,6 +264,18 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _textstats.nb_quality_classifier(spark, sf_dir)
 
 
+@register("maxsim_text_topk", oracle=_textstats.maxsim_text_topk_oracle())
+def maxsim_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction text retrieval (ColBERT-style MaxSim): each doc
+    keeps a bag of term vectors; score = Σ per query term of the max
+    cosine to any candidate term — fine-grained matching that pooled
+    single-vector search averages away (operators/textstats.py
+    maxsim_topk_frame; md5 term vectors make the whole retrieval
+    DuckDB-value-checked, real encoders plug in as a (term, vector)
+    table)."""
+    return _textstats.maxsim_text_topk(spark, sf_dir)
+
+
 from danae_spark.operators import temporal as _temporal  # noqa: E402
 
 

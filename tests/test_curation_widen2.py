@@ -166,3 +166,37 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         sampling.chunk_documents_frame(df, chunk_tokens=16, overlap=16)
+
+
+# ------------------------------------------ MaxSim late interaction
+
+
+def test_maxsim_finds_term_overlap_docs(spark):
+    """A query doc must rank candidates sharing its exact terms above
+    candidates with disjoint vocabulary (term-level max cosine = 1.0
+    for shared terms)."""
+    from danae_spark.operators.textstats import maxsim_topk_frame
+
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma epsilon"),   # 3 shared terms
+        (2, "alpha zeta eta theta"),       # 1 shared
+        (3, "iota kappa lam mu"),          # none shared
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = maxsim_topk_frame(df, [0], k=3).collect()
+    order = [r.cand_id for r in out]
+    assert order[0] == 1, out
+    assert order.index(1) < order.index(2) < order.index(3)
+    scores = {r.cand_id: r.score for r in out}
+    assert scores[1] > scores[2] > scores[3]
+
+
+def test_maxsim_deterministic(spark, sf_dir):
+    from danae_spark.catalog import load_table
+    from danae_spark.operators.textstats import maxsim_topk_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = maxsim_topk_frame(docs, [0, 1, 2]).collect()
+    b = maxsim_topk_frame(docs, [0, 1, 2]).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and len(a) == 15
