@@ -1,6 +1,9 @@
-"""Headline-query benchmark. Prints ONE JSON line:
-{"metric": "...", "value": N, "unit": "sec", "queries": {...},
- "queries_materialized": {...}, "sf": ..., "env_probe": {...}}
+"""Headline-query benchmark. Prints TWO JSON lines — a full-detail record
+(also mirrored to BENCH_DETAIL.json) and then a compact final line
+{"metric": "headline_query_total", "value": N, "unit": "sec",
+ "queries": {...}, "materialized_total": M, "sf": ..., "env_probe": {...}}
+sized to fit a bounded stdout tail capture (the r6 artifact was
+unparseable because one fat line outgrew the harness's 2000-char tail).
 
 Runs each headline query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS], min-of-2, excluding session startup — TWICE:
@@ -22,6 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from danae_spark.queries import load_all
 from danae_spark.session import get_spark
+
+# Max length of the final stdout JSON line: the external harness records a
+# 2000-char stdout tail and parses the last line found in it; leave margin
+# for a trailing newline and any prefix the harness needs to find the line
+# boundary.
+TAIL_BUDGET = 1900
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -224,20 +233,55 @@ def main() -> None:
         print(f"# {name}: materialized in {mat_timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "materialized_total": round(sum(mat_timings.values()), 3),
-                "queries_materialized": mat_timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "env_probe": _environment_probe(spark, sf_dir),
-            }
-        )
-    )
+    probe = _environment_probe(spark, sf_dir)
+    detail = {
+        "metric": "headline_query_detail",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "materialized_total": round(sum(mat_timings.values()), 3),
+        "queries_materialized": mat_timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "env_probe": probe,
+    }
+    # Full record first (one line, may exceed any tail-capture window) and
+    # mirrored to a file next to this script so the per-query materialized
+    # track survives regardless of how much stdout a harness keeps.
+    print(json.dumps(detail))
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    # The LAST stdout line is the parse target and external harnesses keep
+    # only a bounded tail (r6 lesson: the single fat line outgrew a 2000-char
+    # window → "parsed": null). Emit a compact line and degrade it
+    # deterministically until it fits: drop the probe, then thin the
+    # per-query dict to the slowest entries that fit.
+    compact = {
+        "metric": "headline_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "materialized_total": detail["materialized_total"],
+        "sf": detail["sf"],
+        "env_probe": {
+            "jvm_job_ms": probe.get("jvm_job_ms"),
+            "python_job_ms": probe.get("python_job_ms"),
+        },
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > TAIL_BUDGET:
+        compact.pop("env_probe")
+        line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > TAIL_BUDGET and compact["queries"]:
+        slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+        keep = slowest[: max(0, len(compact["queries"]) - 5)]
+        compact["queries"] = dict(sorted(keep))
+        compact["queries_omitted"] = len(timings) - len(keep)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
