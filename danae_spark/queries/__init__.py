@@ -54,5 +54,6 @@ def load_all() -> dict[str, QueryDef]:
     imported last by design)."""
     from danae_spark.queries import danae_core, llmops, relational  # noqa: F401
     from danae_spark.queries import engine_queries  # noqa: F401  (rows-only, last)
+    from danae_spark.queries import relational_extra_reg  # noqa: F401  (post-50)
 
     return REGISTRY

@@ -1,10 +1,12 @@
 """Extra TPC-H analogues (engine-completeness set).
 
-These are NOT in the driver registry — the external gate records only
-50 entries and all 50 slots carry the SURVEY §2 core — but they are
-verified by the same strict Spark-vs-DuckDB oracle comparison in
-tests/test_tpch_extra.py, so the engine's join/agg/subquery machinery is
-proven on the wider TPC-H surface too. Queries are adapted to the lake
+Registered in the driver registry via ``relational_extra_reg`` at
+post-50 positions (the external gate records verdicts for the FIRST 50
+entries, which all carry the SURVEY §2 core), and verified by the same
+strict Spark-vs-DuckDB oracle comparison both in
+tests/test_tpch_extra.py and under tools/check_oracle.py's full-registry
+sweep, so the engine's join/agg/subquery machinery is proven on the
+wider TPC-H surface too. Queries are adapted to the lake
 schema (no partsupp table; lineitem has no commitdate/receiptdate/
 shipmode; part has no brand/container — predicates use the columns that
 exist, keeping each query's PLAN SHAPE faithful to its TPC-H original).
@@ -21,12 +23,24 @@ from pyspark.sql import Window as W
 from danae_spark.catalog import load_table
 from danae_spark.functions.rounding import dsum, dsum_sql, rnd, rnd_sql
 
+# Query parameters are module constants (not fn locals) so each oracle can
+# be a module-level string too — the driver registry needs static oracle
+# SQL at import time, while the DataFrame side still needs a live session.
+Q7_N1, Q7_N2 = "NATION_18", "NATION_19"  # testdata nations are NATION_0..24
+Q22_CUTOFF = "2001-01-01"
+Q8_NATION, Q8_REGION = "NATION_5", "ASIA"
+Q21_NATION = "NATION_3"
+Q2_REGION, Q2_SIZE = "ASIA", 25
+Q11_NATION, Q11_MULT = "NATION_8", 2.0
+Q16_EX_BRAND, Q16_SIZES = "Brand#1", (1, 7, 13, 19, 25, 31, 37, 43)
+Q20_NATION, Q20_PATTERN, Q20_YEAR, Q20_MIN_QTY = "NATION_8", "red%", 1995, 10
+
 
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     """TPC-H Q7: shipping volume between two nations by year (customer
     nation ↔ supplier nation), both directions. Facts shuffle once on
     their join keys; all dims broadcast."""
-    n1, n2 = "NATION_18", "NATION_19"  # testdata nations are NATION_0..24
+    n1, n2 = Q7_N1, Q7_N2
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
@@ -54,7 +68,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
-    oracle = f"""
+    return df, Q7_ORACLE
+
+
+Q7_ORACLE = f"""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            year(l.l_shipdate) AS l_year,
            {rnd_sql(dsum_sql('l.l_extendedprice * (1 - l.l_discount)'), 2)} AS revenue
@@ -64,12 +81,11 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
     JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
-    WHERE (cn.n_name = '{n1}' AND sn.n_name = '{n2}')
-       OR (cn.n_name = '{n2}' AND sn.n_name = '{n1}')
+    WHERE (cn.n_name = '{Q7_N1}' AND sn.n_name = '{Q7_N2}')
+       OR (cn.n_name = '{Q7_N2}' AND sn.n_name = '{Q7_N1}')
     GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
     ORDER BY supp_nation, cust_nation, l_year
     """
-    return df, oracle
 
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
@@ -92,7 +108,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
-    oracle = f"""
+    return df, Q15_ORACLE
+
+
+Q15_ORACLE = f"""
     WITH rev AS (
       SELECT l_suppkey,
              {rnd_sql(dsum_sql('l_extendedprice * (1 - l_discount)'), 2)} AS total_revenue
@@ -106,7 +125,6 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
     ORDER BY s.s_suppkey
     """
-    return df, oracle
 
 
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
@@ -125,7 +143,10 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str
             F.count("*").alias("n_lines"),
         )
     )
-    oracle = f"""
+    return df, Q17_ORACLE
+
+
+Q17_ORACLE = f"""
     SELECT {rnd_sql(dsum_sql('l.l_extendedprice') + ' / 7.0', 2)} AS avg_yearly,
            count(*) AS n_lines
     FROM lineitem l
@@ -133,7 +154,6 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str
       ON l.l_partkey = a.l_partkey
     WHERE l.l_quantity < 0.2 * a.avg_qty
     """
-    return df, oracle
 
 
 def q19_disjunctive(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
@@ -152,7 +172,10 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
         rnd(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.count("*").alias("n_lines"),
     )
-    oracle = f"""
+    return df, Q19_ORACLE
+
+
+Q19_ORACLE = f"""
     SELECT {rnd_sql(dsum_sql('l.l_extendedprice * (1 - l.l_discount)'), 2)} AS revenue,
            count(*) AS n_lines
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -160,7 +183,6 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
        OR (p.p_type LIKE 'STANDARD%' AND p.p_size <= 20 AND l.l_quantity BETWEEN 10 AND 20)
        OR (p.p_type LIKE 'ECONOMY%'  AND p.p_size <= 30 AND l.l_quantity BETWEEN 20 AND 30)
     """
-    return df, oracle
 
 
 def q22_global_sales(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
@@ -168,7 +190,7 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     RECENT orders (every testdata customer has some order, so the
     anti-join runs against the last-period orders — same plan shape:
     scalar-subquery average + anti-join + group by a name-derived code)."""
-    cutoff = "2001-01-01"
+    cutoff = Q22_CUTOFF
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp")
@@ -188,18 +210,20 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
         )
         .orderBy("code")
     )
-    oracle = f"""
+    return df, Q22_ORACLE
+
+
+Q22_ORACLE = f"""
     SELECT substr(c_name, length(c_name) - 1, 2) AS code,
            count(*) AS numcust,
            {rnd_sql(dsum_sql('c_acctbal'), 2)} AS totacctbal
     FROM customer c
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
-                      AND o.o_orderdate >= TIMESTAMP '{cutoff} 00:00:00')
+                      AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF} 00:00:00')
     GROUP BY substr(c_name, length(c_name) - 1, 2)
     ORDER BY code
     """
-    return df, oracle
 
 
 def q8_market_share(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
@@ -208,7 +232,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     lineitem·part·orders·customer·nation·region·supplier·nation). Facts
     shuffle once on their join keys; every dim broadcasts; the share is
     a conditional-sum / sum ratio over exact decimal sums."""
-    nation, region = "NATION_5", "ASIA"
+    nation, region = Q8_NATION, Q8_REGION
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     o = load_table(spark, sf_dir, "orders")
@@ -238,25 +262,27 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
         )
         .orderBy("o_year")
     )
-    num = dsum_sql(
-        f"CASE WHEN sn.n_name = '{nation}' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END"
-    )
-    den = dsum_sql("l.l_extendedprice * (1 - l.l_discount)")
-    oracle = f"""
+    return df, Q8_ORACLE
+
+
+_Q8_NUM = dsum_sql(
+    f"CASE WHEN sn.n_name = '{Q8_NATION}' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END"
+)
+_Q8_DEN = dsum_sql("l.l_extendedprice * (1 - l.l_discount)")
+Q8_ORACLE = f"""
     SELECT year(o.o_orderdate) AS o_year,
-           {rnd_sql(f"({num} / {den})", 6)} AS mkt_share
+           {rnd_sql(f"({_Q8_NUM} / {_Q8_DEN})", 6)} AS mkt_share
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
-    JOIN region r   ON cn.n_regionkey = r.r_regionkey AND r.r_name = '{region}'
+    JOIN region r   ON cn.n_regionkey = r.r_regionkey AND r.r_name = '{Q8_REGION}'
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
     GROUP BY year(o.o_orderdate)
     ORDER BY o_year
     """
-    return df, oracle
 
 
 def q12_late_shipping(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
@@ -278,7 +304,10 @@ def q12_late_shipping(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]
         )
         .orderBy("ship_class")
     )
-    oracle = """
+    return df, Q12_ORACLE
+
+
+Q12_ORACLE = """
     SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
                 THEN 'SLOW' ELSE 'FAST' END AS ship_class,
            CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -288,7 +317,6 @@ def q12_late_shipping(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1 ORDER BY ship_class
     """
-    return df, oracle
 
 
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
@@ -299,7 +327,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, s
     shape — correlated EXISTS + NOT EXISTS against the same fact —
     expressed as one left-semi and one left-anti hash join on
     l_orderkey with residual non-equi conditions."""
-    nation = "NATION_3"
+    nation = Q21_NATION
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -332,11 +360,14 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, s
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
-    oracle = f"""
+    return df, Q21_ORACLE
+
+
+Q21_ORACLE = f"""
     SELECT s.s_name, count(*) AS numwait
     FROM lineitem l1
     JOIN supplier s ON l1.l_suppkey = s.s_suppkey
-    JOIN nation n   ON s.s_nationkey = n.n_nationkey AND n.n_name = '{nation}'
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey AND n.n_name = '{Q21_NATION}'
     WHERE EXISTS (SELECT 1 FROM lineitem l2
                   WHERE l2.l_orderkey = l1.l_orderkey
                     AND l2.l_suppkey <> l1.l_suppkey)
@@ -348,7 +379,6 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, s
     ORDER BY numwait DESC, s.s_name
     LIMIT 20
     """
-    return df, oracle
 
 
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
@@ -360,7 +390,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, s
     shuffle on partkey, no second scan), part filtered by size/type,
     supplier joined through nation→region, ordered by account balance.
     Reference parity target: TPC-H Q2 plan shape on the lake schema."""
-    region, size = "ASIA", 25
+    region, size = Q2_REGION, Q2_SIZE
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") == size) & (F.col("p_type") == "PROMO")
@@ -390,7 +420,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, s
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
-    oracle = f"""
+    return df, Q2_ORACLE
+
+
+Q2_ORACLE = f"""
     WITH supply AS (
       SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
              {rnd_sql('min(l_extendedprice / l_quantity)', 4)} AS ps_cost
@@ -400,18 +433,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, s
       FROM supply ps
       JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
       JOIN nation n   ON s.s_nationkey = n.n_nationkey
-      JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = '{region}'
+      JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = '{Q2_REGION}'
     )
     SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type, e.ps_cost
     FROM eligible e
     JOIN part p ON e.ps_partkey = p.p_partkey
-               AND p.p_size = {size} AND p.p_type = 'PROMO'
+               AND p.p_size = {Q2_SIZE} AND p.p_type = 'PROMO'
     WHERE e.ps_cost = (SELECT min(e2.ps_cost) FROM eligible e2
                        WHERE e2.ps_partkey = e.ps_partkey)
     ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
     LIMIT 100
     """
-    return df, oracle
 
 
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
@@ -438,13 +470,16 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]
         .agg(rnd(dsum(amount), 2).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
-    amt = (
-        "l.l_extendedprice * (1 - l.l_discount)"
-        " - 0.6 * p.p_retailprice * l.l_quantity"
-    )
-    oracle = f"""
+    return df, Q9_ORACLE
+
+
+_Q9_AMT = (
+    "l.l_extendedprice * (1 - l.l_discount)"
+    " - 0.6 * p.p_retailprice * l.l_quantity"
+)
+Q9_ORACLE = f"""
     SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-           {rnd_sql(dsum_sql(amt), 2)} AS sum_profit
+           {rnd_sql(dsum_sql(_Q9_AMT), 2)} AS sum_profit
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -453,7 +488,6 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]
     GROUP BY n.n_name, year(o.o_orderdate)
     ORDER BY nation, o_year DESC
     """
-    return df, oracle
 
 
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
@@ -467,7 +501,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, st
     1-row exchange, equivalent to a broadcast scalar). TPC-H's
     sum-share cut (0.0001/SF) is scale-DEPENDENT, so the analogue keeps
     parts above MULT× the mean part value — same shape, SF-stable."""
-    nation, mult = "NATION_8", 2.0
+    nation, mult = Q11_NATION, Q11_MULT
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == nation)
@@ -494,21 +528,23 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, st
         .select("ps_partkey", "part_value")
         .orderBy(F.desc("part_value"), "ps_partkey")
     )
-    oracle = f"""
+    return df, Q11_ORACLE
+
+
+Q11_ORACLE = f"""
     WITH per_part AS (
       SELECT l.l_partkey AS ps_partkey,
              {rnd_sql(dsum_sql('l.l_extendedprice * (1 - l.l_discount)'), 2)} AS part_value
       FROM lineitem l
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      JOIN nation n   ON s.s_nationkey = n.n_nationkey AND n.n_name = '{nation}'
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey AND n.n_name = '{Q11_NATION}'
       GROUP BY l.l_partkey
     )
     SELECT ps_partkey, part_value
     FROM per_part
-    WHERE part_value > {mult} * (SELECT CAST(sum(CAST(part_value AS DECIMAL(28,6))) AS DOUBLE) / count(*) FROM per_part)
+    WHERE part_value > {Q11_MULT} * (SELECT CAST(sum(CAST(part_value AS DECIMAL(28,6))) AS DOUBLE) / count(*) FROM per_part)
     ORDER BY part_value DESC, ps_partkey
     """
-    return df, oracle
 
 
 def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
@@ -518,7 +554,7 @@ def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> tuple[DataFra
     negative account balance — the lake has no comment text). Keeps
     Q16's shape: supply relation distinct-joined to part, NOT-IN
     supplier subquery (broadcast anti-join), count(DISTINCT suppkey)."""
-    ex_brand, sizes = "Brand#1", (1, 7, 13, 19, 25, 31, 37, 43)
+    ex_brand, sizes = Q16_EX_BRAND, Q16_SIZES
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != ex_brand)
@@ -540,8 +576,11 @@ def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> tuple[DataFra
         .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
-    sizes_sql = ", ".join(str(x) for x in sizes)
-    oracle = f"""
+    return df, Q16_ORACLE
+
+
+_Q16_SIZES_SQL = ", ".join(str(x) for x in Q16_SIZES)
+Q16_ORACLE = f"""
     WITH supply AS (
       SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
       FROM lineitem
@@ -550,14 +589,13 @@ def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> tuple[DataFra
            count(DISTINCT ps.ps_suppkey) AS supplier_cnt
     FROM supply ps
     JOIN part p ON ps.ps_partkey = p.p_partkey
-    WHERE p.p_brand <> '{ex_brand}'
+    WHERE p.p_brand <> '{Q16_EX_BRAND}'
       AND p.p_type NOT LIKE 'PROMO%'
-      AND p.p_size IN ({sizes_sql})
+      AND p.p_size IN ({_Q16_SIZES_SQL})
       AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
     GROUP BY p.p_brand, p.p_type, p.p_size
     ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
     """
-    return df, oracle
 
 
 def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
@@ -569,7 +607,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> tuple[DataFrame
     signature shape: supplier ← semi-join ← (per-(supp,part) aggregate
     over a year, part-pattern semi-join) — two nested semi-joins, the
     part filter broadcast."""
-    nation, pattern, year, min_qty = "NATION_8", "red%", 1995, 10
+    nation, pattern, year, min_qty = Q20_NATION, Q20_PATTERN, Q20_YEAR, Q20_MIN_QTY
     l = load_table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == year)
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like(pattern))
     s = load_table(spark, sf_dir, "supplier")
@@ -590,21 +628,23 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> tuple[DataFrame
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
-    oracle = f"""
+    return df, Q20_ORACLE
+
+
+Q20_ORACLE = f"""
     SELECT s.s_name, s.s_acctbal
     FROM supplier s
-    JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = '{nation}'
+    JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = '{Q20_NATION}'
     WHERE s.s_suppkey IN (
       SELECT l.l_suppkey
       FROM lineitem l
-      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '{pattern}')
-        AND year(l.l_shipdate) = {year}
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '{Q20_PATTERN}')
+        AND year(l.l_shipdate) = {Q20_YEAR}
       GROUP BY l.l_suppkey, l.l_partkey
-      HAVING sum(l.l_quantity) > {min_qty}
+      HAVING sum(l.l_quantity) > {Q20_MIN_QTY}
     )
     ORDER BY s.s_name
     """
-    return df, oracle
 
 
 EXTRA_QUERIES = {
@@ -621,4 +661,23 @@ EXTRA_QUERIES = {
     "q19_disjunctive": q19_disjunctive,
     "q21_waiting_supplier": q21_waiting_supplier,
     "q22_global_sales": q22_global_sales,
+}
+
+# Static oracle SQL per query (same strings the fns return) — consumed by
+# the driver-registry delegates in relational_extra_reg, which need the
+# oracle WITHOUT building the DataFrame side.
+EXTRA_ORACLES = {
+    "q2_min_cost_supplier": Q2_ORACLE,
+    "q9_product_profit": Q9_ORACLE,
+    "q11_important_stock": Q11_ORACLE,
+    "q16_supplier_relationship": Q16_ORACLE,
+    "q20_potential_promotion": Q20_ORACLE,
+    "q7_nation_volume": Q7_ORACLE,
+    "q8_market_share": Q8_ORACLE,
+    "q12_late_shipping": Q12_ORACLE,
+    "q15_top_supplier": Q15_ORACLE,
+    "q17_small_quantity": Q17_ORACLE,
+    "q19_disjunctive": Q19_ORACLE,
+    "q21_waiting_supplier": Q21_ORACLE,
+    "q22_global_sales": Q22_ORACLE,
 }

@@ -54,3 +54,19 @@ def test_extra_tpch_matches_oracle(spark, sf_dir, duck, name):
     assert len(s_rows) == len(d_rows)
     assert _canon(s_rows, s_cols) == _canon(d_rows, d_cols)
     assert len(s_rows) > 0
+
+
+def test_registry_delegates_in_sync(spark, sf_dir):
+    """The driver registry carries each extra query at a post-50 position
+    with EXACTLY the oracle SQL the underlying fn returns (drift here
+    would silently decouple the gate from the tested query)."""
+    from danae_spark.queries import load_all
+    from danae_spark.queries.relational_extra import EXTRA_ORACLES
+
+    registry = load_all()
+    names = list(registry)
+    for name in EXTRA_QUERIES:
+        assert name in registry
+        assert names.index(name) >= 50
+        _, oracle = EXTRA_QUERIES[name](spark, sf_dir)
+        assert registry[name].oracle == oracle == EXTRA_ORACLES[name]
