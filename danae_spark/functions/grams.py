@@ -27,11 +27,16 @@ from __future__ import annotations
 
 def ngram_expr(tk: str, n: int, sep: str = " ") -> str:
     """SQL expression: array of n-token grams of token-array column/expr
-    `tk`, joined by `sep`. Arrays shorter than n yield an empty array."""
+    `tk`, joined by `sep`. Arrays shorter than n yield an empty array.
+
+    `sep` is escaped before interpolation into the SQL string literal —
+    a separator containing a quote or backslash would otherwise produce
+    a broken (or injected) expression."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if n == 1:
         return tk
+    sep = sep.replace("\\", "\\\\").replace("'", "\\'")
     m = f"greatest(size({tk}) - {n - 1}, 0)"
     acc = f"slice({tk}, 1, {m})"
     for k in range(1, n):

@@ -140,6 +140,7 @@ def rolling_zscore_anomaly(
     window_s: int = ZSCORE_WINDOW_S,
     min_baseline: int = ZSCORE_MIN_BASELINE,
     threshold: float = ZSCORE_THRESHOLD,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Event-time anomaly detection: flag rows whose value deviates ≥
     `threshold` standard deviations from the PRECEDING `window_s`-second
@@ -203,14 +204,14 @@ def rolling_zscore_anomaly(
         )
         .filter(F.abs(F.col("zscore")) >= threshold)
         .select(
-            "event_id",
+            id_col,
             *by,
             F.col("__sec").alias("epoch_s"),
             v.alias("value"),
             F.col("n_baseline").cast("long").alias("n_baseline"),
             "zscore",
         )
-        .orderBy("event_id")
+        .orderBy(id_col)
     )
 
 

@@ -33,6 +33,23 @@ N_DOMAINS = 41
 DOMAIN_CAP = 20
 _TLDS = ("com", "org", "net")
 
+# Common second-level public suffixes: a registrable domain under one of
+# these spans THREE labels ("example.co.uk"), not two — without this every
+# .co.uk site shares one cap bucket (silent mass-drop on a real crawl).
+# Deliberately a small built-in subset of the public-suffix list, not the
+# full Mozilla PSL (no bundled data files in this engine); callers with
+# exotic ccTLD corpora can pass their own set.
+TWO_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.nz", "net.nz", "org.nz",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "co.in", "net.in", "org.in", "co.za", "co.kr", "or.kr", "co.id",
+)
+
 
 def synth_url() -> F.Column:
     """Deterministic URL for a documents-table row: domain/TLD/path
@@ -93,8 +110,23 @@ def url_domain_cap_frame(
         "",
     )
     d = d.withColumn("host", host)
+    # Registrable domain: last 2 host labels, or last 3 when the 2-label
+    # tail is a known public suffix (example.co.uk → example.co.uk, not
+    # co.uk). Bare hosts (localhost) and IPv4 literals have no registrable
+    # domain — the host itself is the cap key so they don't all collapse
+    # into one '' bucket. All codegen expressions, no UDF; a no-op on the
+    # synthesized lake URLs (single-label TLDs, ≥2 labels), so the
+    # registered oracle needs no mirror.
+    parts = F.split("host", r"\.")
+    np_ = F.size(parts)
+    last2 = F.array_join(F.slice(parts, np_ - F.lit(1), F.lit(2)), ".")
+    last3 = F.array_join(F.slice(parts, np_ - F.lit(2), F.lit(3)), ".")
+    is_ip = F.col("host").rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
     d = d.withColumn(
-        "domain", F.regexp_extract("host", r"([a-z0-9-]+\.[a-z]+)$", 1)
+        "domain",
+        F.when((np_ <= 1) | is_ip, F.col("host"))
+        .when((np_ >= 3) & last2.isin(*TWO_LABEL_SUFFIXES), last3)
+        .otherwise(last2),
     ).withColumn("tld", F.regexp_extract("host", r"\.([a-z]+)$", 1))
     path = F.regexp_extract("url", r"^(?i)https?://[^/]+(/.*)$", 1)
     d = d.withColumn("__path", path).withColumn(

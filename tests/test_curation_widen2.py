@@ -200,3 +200,27 @@ def test_maxsim_deterministic(spark, sf_dir):
     a = maxsim_topk_frame(docs, [0, 1, 2]).collect()
     b = maxsim_topk_frame(docs, [0, 1, 2]).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b] and len(a) == 15
+
+
+def test_url_domain_cap_multilabel_suffix_and_bare_hosts(spark):
+    """Public-suffix handling (advisor finding): .co.uk sites must not
+    all share one 'co.uk' cap bucket, and bare hosts / IPv4 literals
+    must not collapse into a single '' bucket."""
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.example.co.uk/a"),
+            (2, "https://other.co.uk/b"),
+            (3, "http://deep.sub.example.co.uk/c"),
+            (4, "http://localhost/x"),
+            (5, "http://10.0.0.1/y"),
+            (6, "https://plain.com/z"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r.doc_id: r for r in urlops.url_domain_cap_frame(df).collect()}
+    assert rows[1].domain == "example.co.uk"
+    assert rows[2].domain == "other.co.uk"
+    assert rows[3].domain == "example.co.uk"  # subdomains reduce to registrable
+    assert rows[4].domain == "localhost"
+    assert rows[5].domain == "10.0.0.1"
+    assert rows[6].domain == "plain.com"

@@ -205,3 +205,17 @@ def test_unigram_logprob_frame_ranks_typicality(spark):
     assert rows[3]["unigram_nll"] > rows[1]["unigram_nll"]
     assert rows[1]["unigram_nll"] == rows[2]["unigram_nll"]
     assert rows[1]["n_tokens"] == 13
+
+
+def test_ngram_expr_escapes_separator(spark):
+    """A separator containing a quote or backslash must not break (or
+    inject into) the generated SQL expression (advisor finding)."""
+    from pyspark.sql import functions as F
+
+    from danae_spark.functions.grams import ngram_expr
+
+    df = spark.createDataFrame([(["a", "b", "c"],)], "t array<string>")
+    got = df.select(F.expr(ngram_expr("t", 2, sep="'")).alias("g")).head().g
+    assert got == ["a'b", "b'c"]
+    got2 = df.select(F.expr(ngram_expr("t", 2, sep="\\")).alias("g")).head().g
+    assert got2 == ["a\\b", "b\\c"]

@@ -142,3 +142,21 @@ def test_rolling_zscore_threshold_uses_rounded_z(spark):
     out = rolling_zscore_anomaly(df).collect()
     assert [r.event_id for r in out] == [100]
     assert out[0].zscore == 3.0
+
+
+def test_rolling_zscore_custom_id_col(spark):
+    """id_col parameterizes the output/ordering column (advisor finding:
+    'event_id' was hardcoded despite the otherwise generic API)."""
+    import datetime
+
+    from danae_spark.operators.temporal import rolling_zscore_anomaly
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, t0 + datetime.timedelta(seconds=10 * i), "a",
+             10.0 + (i % 3 - 1)) for i in range(20)]
+    rows.append((100, t0 + datetime.timedelta(seconds=210), "a", 1000.0))
+    df = spark.createDataFrame(
+        rows, "row_key long, ts timestamp, event_type string, value double"
+    )
+    out = rolling_zscore_anomaly(df, id_col="row_key").collect()
+    assert [r.row_key for r in out] == [100]
