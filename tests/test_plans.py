@@ -296,3 +296,15 @@ def test_ivfpq_probe_and_lut_broadcast(spark, sf_dir):
     audit.assert_no_cartesian(df)
     strategies = audit.join_strategies(df)
     assert strategies and all(s == "BroadcastHashJoin" for s in strategies), strategies
+
+
+def test_maxsim_no_driver_hop_no_cartesian(spark, sf_dir):
+    """maxsim's query-term relation broadcasts directly from the plan —
+    the old driver-side collect/recreate hop (LocalTableScan) is gone,
+    and the q×c interaction is a broadcast nested-loop on a BOUNDED
+    broadcast side, never a cartesian product."""
+    df = REGISTRY["maxsim_text_topk"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
