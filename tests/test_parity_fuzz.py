@@ -113,3 +113,45 @@ def test_md5_prefix_hash_parity_fuzz(spark):
     for i, s in enumerate(strings):
         (h,) = con.execute("SELECT ('0x' || substr(md5(?), 1, 8))::BIGINT", [s]).fetchone()
         assert s_out[i] == h, (s, s_out[i], h)
+
+
+def test_spark_direct_cast_equals_string_route(spark):
+    """moment_dec/dec_to_double use Spark's DIRECT casts (r7: ~15% of
+    the exact profile's materialized cost was the explicit string
+    detour). That is sound ONLY because Spark's double→decimal cast
+    itself routes through Double.toString + HALF_UP — the same
+    semantics as the string detour. If a Spark upgrade ever changes
+    Cast to round the binary value (DuckDB-style), engine parity
+    breaks silently everywhere; this fuzz fails loudly instead."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2_000_000).select(
+        (
+            F.rand(seed=42)
+            * F.pow(F.lit(10.0), (F.rand(seed=43) * 30 - 15))
+            * F.when(F.col("id") % 2 == 0, -1.0).otherwise(1.0)
+        ).alias("v")
+    )
+    checks = []
+    for scale in (0, 6, 12):
+        direct = F.col("v").cast(f"decimal(38,{scale})")
+        via_str = F.col("v").cast("string").cast(f"decimal(38,{scale})")
+        checks.append(F.sum((~direct.eqNullSafe(via_str)).cast("long")))
+    dec = F.col("v").cast("decimal(38,12)")
+    checks.append(
+        F.sum((~dec.cast("double").eqNullSafe(dec.cast("string").cast("double"))).cast("long"))
+    )
+    diffs = df.select(*[c.alias(f"c{i}") for i, c in enumerate(checks)]).head()
+    assert all(d == 0 for d in diffs), tuple(diffs)
+
+    # crafted half-up ties at the scale boundary
+    ties = spark.createDataFrame(
+        [(0.0000000000905,), (1.0000000000125,), (9.9999999999995,),
+         (2.5,), (0.0015,), (122.0005,)],
+        "v double",
+    )
+    for scale in (0, 3, 12):
+        direct = F.col("v").cast(f"decimal(38,{scale})")
+        via_str = F.col("v").cast("string").cast(f"decimal(38,{scale})")
+        bad = ties.filter(~direct.eqNullSafe(via_str)).count()
+        assert bad == 0, f"scale {scale}"
