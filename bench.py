@@ -91,6 +91,9 @@ HEADLINE = [
     "rolling_zscore_anomaly",
     "video_meta_roundtrip",
     "maxsim_text_topk",
+    # round-7 additions
+    "image_pixels_roundtrip",
+    "image_near_dup",
 ]
 
 

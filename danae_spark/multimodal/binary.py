@@ -31,12 +31,25 @@ META_SCHEMA = (
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real PIXEL decode — NOT IMPLEMENTED in this container (no PIL/
-    ffmpeg). Header-level metadata (dimensions/format/channels) IS
-    implemented for PNG/JPEG/GIF via stdlib parsing — see
-    parse_image_header; only pixel access needs a codec library."""
+    """Pixel decode dispatch. REAL for the stdlib-decodable subset —
+    PNG (zlib inflate + all five unfilter types), 24-bit BMP, binary
+    PPM/PGM — via multimodal/pixels.decode_pixels (r7). NOT IMPLEMENTED
+    for formats that need a codec library (JPEG, GIF/LZW): header-level
+    metadata for those comes from parse_image_header."""
+    from danae_spark.multimodal.pixels import decode_pixels
+
+    px = decode_pixels(payload)
+    if px is not None:
+        return {
+            "width": px.shape[1],
+            "height": px.shape[0],
+            "channels": px.shape[2],
+            "pixels": px,
+        }
     raise NotImplementedError(
-        "image pixel codecs unavailable; parse_image_header handles metadata"
+        "pixel codecs for this format unavailable (JPEG/GIF need a codec "
+        "library); parse_image_header handles metadata, and PNG/BMP/PPM/PGM "
+        "decode for real via multimodal.pixels"
     )
 
 

@@ -1,0 +1,634 @@
+"""Real PIXEL decode for stdlib-decodable image formats.
+
+The container has no codec libraries, but three families need none:
+PNG is zlib inflate + the five spec unfilter types (RFC 2083 §6),
+BMP (BITMAPINFOHEADER, uncompressed 24-bit) is raw bottom-up rows,
+and PPM/PGM (P6/P5 binary) are raw bytes after an ASCII header. This
+module decodes those for real — `parse_image_header` (binary.py) stays
+the metadata path for formats whose pixels still need a codec (JPEG,
+GIF/LZW), and the declared fake-encoder path remains the fallback for
+them in media_near_dup.
+
+Everything is pure bytes→numpy so it runs inside Arrow mapInPandas
+batches, the same plumbing pattern as the header parsers. On top of
+the decoder sit the classic perceptual hashes — average hash and
+dHash (block-mean resize to an 8×8 grid, integer luma) — giving the
+multimodal near-dup pipeline REAL pixel evidence for these formats.
+
+Reference parity note: the reference engine (smartdatalake/danae) has
+no media pipeline at all; this implements the prompt-mandated
+multimodal decode/feature surface with the decode step real where
+stdlib allows and declared-stubbed where it does not.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ decode
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (palette handled via PLTE expansion)
+_PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
+    """Invert the per-row PNG filters. Returns (height, width*bpp) uint8.
+
+    Sub/Average/Paeth carry an in-row prefix dependency, so rows decode
+    with a per-byte loop; Up/None are whole-row vector ops. Images here
+    are thumbnails/synthesized payloads — correctness over throughput."""
+    stride = width * bpp
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up
+            row += prev
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (int(row[x]) + int(row[x - bpp])) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = row
+        prev = out[y]
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray | None:
+    if payload[:8] != _PNG_MAGIC or payload[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", payload[16:24])
+    bit_depth, color_type, _comp, _filt, interlace = payload[24:29]
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_SAMPLES:
+        return None  # out of the stdlib-decodable subset
+    plte = None
+    idat = b""
+    pos = 8
+    n = len(payload)
+    while pos + 8 <= n:
+        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"IDAT":
+            idat += body
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + body + crc
+    if not idat:
+        return None
+    samples = _PNG_SAMPLES[color_type]
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (1 + w * samples):
+        return None
+    px = _png_unfilter(raw, w, h, samples)
+    if color_type == 3:
+        if plte is None:
+            return None
+        return plte[px.reshape(h, w)]  # palette → RGB
+    return px.reshape(h, w, samples)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray | None:
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        return None
+    w, h = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    flip = h > 0  # positive height = bottom-up rows
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    if len(payload) < data_off + stride * h:
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def _decode_pnm(payload: bytes) -> np.ndarray | None:
+    if payload[:2] not in (b"P5", b"P6"):
+        return None
+    channels = 1 if payload[:2] == b"P5" else 3
+    # header: magic, width, height, maxval as whitespace-separated ASCII
+    # tokens ('#' comments allowed), then a single whitespace byte
+    tokens: list[int] = []
+    i = 2
+    n = len(payload)
+    while len(tokens) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+    i += 1  # the single whitespace after maxval
+    if len(tokens) < 3 or tokens[2] != 255:
+        return None
+    w, h = tokens[0], tokens[1]
+    need = w * h * channels
+    if n - i < need:
+        return None
+    arr = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
+    return arr.reshape(h, w, channels)
+
+
+def decode_pixels(payload: bytes) -> np.ndarray | None:
+    """Decode a PNG / 24-bit BMP / binary PPM/PGM payload to an
+    (H, W, C) uint8 array; None for anything outside the
+    stdlib-decodable subset (JPEG, GIF, interlaced/16-bit PNG, ...)."""
+    if len(payload) < 12:
+        return None
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_pnm(payload)
+    return None
+
+
+# ------------------------------------------------------- perceptual hashes
+
+
+def luma_grid(px: np.ndarray, grid: int = 8) -> np.ndarray:
+    """Integer luma ((r+g+b)//3 for RGB-like, channel 0 for gray/GA,
+    RGB of RGBA) block-mean-resized to (grid, grid) int64. When the
+    image is already grid×grid the pixels pass through untouched — the
+    property the round-trip oracle leans on."""
+    h, w, c = px.shape
+    if c >= 3:
+        lum = (
+            px[:, :, 0].astype(np.int64)
+            + px[:, :, 1].astype(np.int64)
+            + px[:, :, 2].astype(np.int64)
+        ) // 3
+    else:
+        lum = px[:, :, 0].astype(np.int64)
+    if (h, w) == (grid, grid):
+        return lum
+    # block mean over an even partition of rows/cols (floor boundaries)
+    ys = [h * i // grid for i in range(grid + 1)]
+    xs = [w * i // grid for i in range(grid + 1)]
+    out = np.zeros((grid, grid), dtype=np.int64)
+    for gy in range(grid):
+        for gx in range(grid):
+            blk = lum[ys[gy] : ys[gy + 1], xs[gx] : xs[gx + 1]]
+            out[gy, gx] = int(blk.mean()) if blk.size else 0
+    return out
+
+
+def avg_hash_bits(lum: np.ndarray) -> int:
+    """64-bit average hash: bit (y*8+x) set iff pixel > mean (integer
+    mean, matching the SQL oracle's floor division)."""
+    mean = int(lum.sum()) // lum.size
+    bits = 0
+    flat = lum.reshape(-1)
+    for i in range(flat.size):
+        if flat[i] > mean:
+            bits |= 1 << i
+    return bits
+
+
+def dhash_bits(lum: np.ndarray) -> int:
+    """56-bit row-gradient dHash on an 8×8 grid: bit (y*7+x) set iff
+    p[y,x] < p[y,x+1]. 56 bits keeps the value inside a signed BIGINT
+    for the SQL oracle."""
+    bits = 0
+    g = lum.shape[0]
+    for y in range(g):
+        for x in range(g - 1):
+            if lum[y, x] < lum[y, x + 1]:
+                bits |= 1 << (y * (g - 1) + x)
+    return bits
+
+
+# ------------------------------------------------- synthesized payloads
+
+_RT_FORMATS = ("png_gray", "png_rgb", "bmp", "ppm", "pgm")
+
+
+def _rt_luma(doc_id: int, i: int) -> int:
+    return (doc_id * 31 + i * 7) % 256
+
+
+def synth_png(
+    lum: np.ndarray, rgb: bool = False, filter_of_row=None
+) -> bytes:
+    """Real PNG encoder for a (h, w) luma grid: zlib-deflated IDAT with
+    per-row filters APPLIED (filter_of_row(y) → 0..4, default varies by
+    row so every unfilter branch is exercised), CRC32-correct chunks."""
+    h, w = lum.shape
+    bpp = 3 if rgb else 1
+    px = np.repeat(lum.astype(np.uint8)[:, :, None], 3, axis=2) if rgb else lum.astype(np.uint8)[:, :, None]
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    for y in range(h):
+        row = px[y].reshape(-1).astype(np.int64)
+        f = filter_of_row(y) if filter_of_row else y % 5
+        raw.append(f)
+        for x in range(w * bpp):
+            left = int(row[x - bpp]) if x >= bpp else 0
+            up = int(prev[x])
+            ul = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = row[x] - left
+            elif f == 2:
+                v = row[x] - up
+            elif f == 3:
+                v = row[x] - ((left + up) >> 1)
+            else:
+                v = row[x] - _paeth(left, up, ul)
+            raw.append(int(v) & 0xFF)
+        prev = row
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if rgb else 0, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_bmp(lum: np.ndarray) -> bytes:
+    """24-bit bottom-up BI_RGB BMP with r=g=b=luma and padded rows."""
+    h, w = lum.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            v = int(lum[y, x])
+            row += bytes((v, v, v))  # BGR (equal channels)
+        row += b"\x00" * (stride - len(row))
+        body += row
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return hdr + info + bytes(body)
+
+
+def synth_pnm(lum: np.ndarray, rgb: bool = False) -> bytes:
+    h, w = lum.shape
+    magic = b"P6" if rgb else b"P5"
+    hdr = magic + f"\n{w} {h}\n255\n".encode()
+    if rgb:
+        return hdr + bytes(
+            b for y in range(h) for x in range(w) for b in [int(lum[y, x])] * 3
+        )
+    return hdr + bytes(int(lum[y, x]) for y in range(h) for x in range(w))
+
+
+def synth_image(doc_id: int, grid: int = 8) -> bytes:
+    """Deterministic 8×8 image for doc_id: luma from _rt_luma, container
+    format cycling through all five (doc_id % 5) so every decoder runs."""
+    lum = np.array(
+        [[_rt_luma(doc_id, y * grid + x) for x in range(grid)] for y in range(grid)],
+        dtype=np.int64,
+    )
+    fmt = _RT_FORMATS[doc_id % 5]
+    if fmt == "png_gray":
+        return synth_png(lum, rgb=False)
+    if fmt == "png_rgb":
+        return synth_png(lum, rgb=True)
+    if fmt == "bmp":
+        return synth_bmp(lum)
+    if fmt == "ppm":
+        return synth_pnm(lum, rgb=True)
+    return synth_pnm(lum, rgb=False)
+
+
+# --------------------------------------------------- oracle round-trip
+
+PIXELS_SCHEMA = (
+    "doc_id bigint, format string, width int, height int, channels int, "
+    "pixel_sum bigint, ahash_lo bigint, ahash_hi bigint, dhash bigint"
+)
+
+
+def image_pixels_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable PIXEL round-trip: per document an 8×8 image with
+    doc_id-derived luma is SYNTHESIZED byte-for-byte in one of five
+    container formats (PNG gray/RGB with all five row filters applied,
+    BMP 24-bit bottom-up, PPM, PGM), then DECODED back by the real
+    stdlib decoders and perceptually hashed. The DuckDB oracle states
+    luma, average-hash bits and dHash bits as pure doc_id arithmetic —
+    any regression in encoder byte layout, inflate/unfilter logic, BMP
+    row order, or hash definitions breaks the value hash."""
+    from danae_spark.catalog import load_table
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = synth_image(d)
+                px = decode_pixels(payload)
+                if px is None:
+                    rows.append(
+                        {"doc_id": d, "format": None, "width": None,
+                         "height": None, "channels": None, "pixel_sum": None,
+                         "ahash_lo": None, "ahash_hi": None, "dhash": None}
+                    )
+                    continue
+                lum = luma_grid(px)
+                a = avg_hash_bits(lum)
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "format": _RT_FORMATS[d % 5],
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "channels": px.shape[2],
+                        "pixel_sum": int(lum.sum()),
+                        "ahash_lo": a & 0xFFFFFFFF,
+                        "ahash_hi": a >> 32,
+                        "dhash": dhash_bits(lum),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "format", "width", "height", "channels",
+                    "pixel_sum", "ahash_lo", "ahash_hi", "dhash",
+                ],
+            )
+            rows = []
+
+    return (
+        docs.repartition(32, "doc_id")
+        .mapInPandas(batches, schema=PIXELS_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+IMAGE_PIXELS_ORACLE = """
+WITH g AS (
+  SELECT d.doc_id, s.i, (d.doc_id * 31 + s.i * 7) % 256 AS p
+  FROM documents d, generate_series(0, 63) s(i)
+),
+m AS (
+  SELECT doc_id, CAST(sum(p) AS BIGINT) AS pixel_sum,
+         CAST(sum(p) AS BIGINT) // 64 AS mean_p
+  FROM g GROUP BY doc_id
+),
+a AS (
+  SELECT g.doc_id,
+         CAST(sum(CASE WHEN g.p > m.mean_p AND g.i < 32
+                       THEN (CAST(1 AS BIGINT) << g.i) ELSE 0 END) AS BIGINT)
+           AS ahash_lo,
+         CAST(sum(CASE WHEN g.p > m.mean_p AND g.i >= 32
+                       THEN (CAST(1 AS BIGINT) << (g.i - 32)) ELSE 0 END) AS BIGINT)
+           AS ahash_hi
+  FROM g JOIN m USING (doc_id) GROUP BY g.doc_id
+),
+d AS (
+  SELECT l.doc_id,
+         CAST(sum(CASE WHEN l.p < r.p
+                       THEN (CAST(1 AS BIGINT) << ((l.i // 8) * 7 + (l.i % 8)))
+                       ELSE 0 END) AS BIGINT) AS dhash
+  FROM g l JOIN g r ON l.doc_id = r.doc_id AND r.i = l.i + 1
+  WHERE l.i % 8 < 7
+  GROUP BY l.doc_id
+)
+SELECT m.doc_id,
+       CASE m.doc_id % 5 WHEN 0 THEN 'png_gray' WHEN 1 THEN 'png_rgb'
+            WHEN 2 THEN 'bmp' WHEN 3 THEN 'ppm' ELSE 'pgm' END AS format,
+       8 AS width, 8 AS height,
+       CASE WHEN m.doc_id % 5 IN (1, 2, 3) THEN 3 ELSE 1 END AS channels,
+       m.pixel_sum, a.ahash_lo, a.ahash_hi, d.dhash
+FROM m JOIN a USING (doc_id) JOIN d USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------- real-pixel near-dup
+
+NEAR_DUP_VARIANTS = 4
+
+
+def _cluster_luma(doc_id: int, i: int) -> int:
+    """Cluster-structured luma: 4 consecutive doc_ids share a base image
+    and differ by a single +1 pixel perturbation at a variant-specific
+    position — so intra-cluster dHashes sit within a couple of bits and
+    cross-cluster ones are far. QUADRATIC in the pixel index: a linear
+    formula gives constant successive differences, which collapses
+    nearly every base to the same gradient pattern (measured 112k
+    degenerate pairs at 500 docs); the quadratic yields exactly the
+    125×C(4,2)=750 intra-cluster pairs and nothing else. Mirrored
+    verbatim in the SQL oracle."""
+    base = doc_id // NEAR_DUP_VARIANTS
+    bump = 1 if i == (doc_id % NEAR_DUP_VARIANTS) * 9 else 0
+    return ((base + 1) * (i * i * 13 + i * 7) + base * base * 11 + bump) % 256
+
+
+def synth_cluster_image(doc_id: int, grid: int = 8) -> bytes:
+    lum = np.array(
+        [[_cluster_luma(doc_id, y * grid + x) for x in range(grid)] for y in range(grid)],
+        dtype=np.int64,
+    )
+    fmt = _RT_FORMATS[doc_id % 5]
+    if fmt == "png_gray":
+        return synth_png(lum, rgb=False)
+    if fmt == "png_rgb":
+        return synth_png(lum, rgb=True)
+    if fmt == "bmp":
+        return synth_bmp(lum)
+    if fmt == "ppm":
+        return synth_pnm(lum, rgb=True)
+    return synth_pnm(lum, rgb=False)
+
+
+NEAR_DUP_SCHEMA = "doc_id bigint, dhash bigint, decoded boolean"
+
+
+def dhash_frame(payloads: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """payload → (doc_id, 56-bit dHash, decoded?) via the real decoders;
+    undecodable payloads flag decoded=false with a byte-histogram
+    fallback hash (the declared fake-encoder path) so the pipeline
+    still covers every row."""
+    sel = payloads.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_pixels(bytes(p))
+                if px is not None:
+                    rows.append((int(doc_id), dhash_bits(luma_grid(px)), True))
+                else:
+                    arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                    hist, _ = np.histogram(arr, bins=57, range=(0, 256))
+                    med = float(np.median(hist))
+                    bits = 0
+                    for i in range(56):
+                        if hist[i] > med:
+                            bits |= 1 << i
+                    rows.append((int(doc_id), bits, False))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash", "decoded"])
+
+    return sel.mapInPandas(run, schema=NEAR_DUP_SCHEMA)
+
+
+def image_near_dup(
+    hashes: DataFrame, max_hamming: int = 6, n_bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs among dHashes with hamming ≤ max_hamming, via
+    banded LSH for hamming space: split the 56 bits into `n_bands`
+    14-bit bands — any pair within distance < n_bands shares at least
+    one exact band (pigeonhole), so candidates come from n_bands
+    equi-joins (shuffle on the band value, no cross join) and the exact
+    hamming check runs only inside buckets. 100 TB-safe for the same
+    reason minhash banding is: Σ bucket² bounds the verify cost."""
+    width = 56 // n_bands
+    bands = hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("dhash", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "dhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(F.col("doc_id").alias("d1"), F.col("dhash").alias("h1"), "band", "val")
+    b = bands.select(F.col("doc_id").alias("d2"), F.col("dhash").alias("h2"), "band", "val")
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("d1", "d2")
+    )
+
+
+def image_near_dup_roundtrip(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 6, n_bands: int = 4
+) -> DataFrame:
+    """End-to-end REAL-pixel near-dup: per document a cluster-structured
+    8×8 image is synthesized byte-for-byte (4 variants per base image,
+    across all five container formats), decoded back by the real
+    decoders, dHashed, and joined via banded hamming LSH. The DuckDB
+    oracle recomputes the dHashes from the luma arithmetic and mirrors
+    the banding (EXISTS a shared 14-bit band) plus the exact hamming
+    filter — the whole decode→hash→candidate→verify pipeline is
+    value-checked."""
+    from danae_spark.catalog import load_table
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        synth_cluster_image(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    payloads = docs.repartition(32, "doc_id").mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return image_near_dup(
+        dhash_frame(payloads), max_hamming=max_hamming, n_bands=n_bands
+    )
+
+
+IMAGE_NEAR_DUP_ORACLE = """
+WITH g AS (
+  SELECT d.doc_id, s.i,
+         ((CAST(d.doc_id // 4 AS BIGINT) + 1) * (s.i * s.i * 13 + s.i * 7)
+          + CAST(d.doc_id // 4 AS BIGINT) * CAST(d.doc_id // 4 AS BIGINT) * 11
+          + CASE WHEN s.i = (d.doc_id % 4) * 9 THEN 1 ELSE 0 END) % 256 AS p
+  FROM documents d, generate_series(0, 63) s(i)
+),
+h AS (
+  SELECT l.doc_id,
+         CAST(sum(CASE WHEN l.p < r.p
+                       THEN (CAST(1 AS BIGINT) << ((l.i // 8) * 7 + (l.i % 8)))
+                       ELSE 0 END) AS BIGINT) AS dhash
+  FROM g l JOIN g r ON l.doc_id = r.doc_id AND r.i = l.i + 1
+  WHERE l.i % 8 < 7
+  GROUP BY l.doc_id
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+  AND EXISTS (
+    SELECT 1 FROM generate_series(0, 3) t(band)
+    WHERE ((a.dhash >> (band * 14)) & 16383) = ((b.dhash >> (band * 14)) & 16383)
+  )
+ORDER BY d1, d2
+"""

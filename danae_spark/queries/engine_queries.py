@@ -91,6 +91,33 @@ def audio_meta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _binary.audio_meta_roundtrip(spark, sf_dir)
 
 
+from danae_spark.multimodal import pixels as _pixels  # noqa: E402
+
+
+@register("image_pixels_roundtrip", oracle=_pixels.IMAGE_PIXELS_ORACLE)
+def image_pixels_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end PIXEL decode check (r7: the codec stub made real for
+    stdlib-decodable formats): 8×8 images synthesized byte-for-byte in
+    five containers (PNG gray/RGB exercising all five row filters, BMP
+    24-bit bottom-up, PPM, PGM), decoded by multimodal/pixels.py's real
+    zlib-inflate/unfilter/raw decoders, then average-hashed and
+    dHashed; the oracle restates luma and both hash bit patterns as
+    pure doc_id arithmetic."""
+    return _pixels.image_pixels_roundtrip(spark, sf_dir)
+
+
+@register("image_near_dup", oracle=_pixels.IMAGE_NEAR_DUP_ORACLE)
+def image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-pixel media near-dup: cluster-structured synthesized images
+    (4 single-pixel variants per base) → real decode → dHash → banded
+    hamming LSH join (pigeonhole: distance < n_bands guarantees a
+    shared band) → exact hamming verify. The oracle mirrors dHash,
+    banding, and the verify filter in SQL — the full pipeline is
+    value-checked, and the fake-encoder path remains only for
+    container formats stdlib cannot decode."""
+    return _pixels.image_near_dup_roundtrip(spark, sf_dir)
+
+
 from danae_spark.operators import pii as _pii  # noqa: E402
 
 

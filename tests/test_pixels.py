@@ -1,0 +1,122 @@
+"""Real pixel decode (multimodal/pixels.py): decoder round-trips across
+formats and filters, perceptual-hash behavior on variant images, and the
+Spark near-dup pipeline on real decoded pixels."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from danae_spark.multimodal.pixels import (
+    _RT_FORMATS,
+    avg_hash_bits,
+    decode_pixels,
+    dhash_bits,
+    dhash_frame,
+    image_near_dup,
+    luma_grid,
+    synth_bmp,
+    synth_image,
+    synth_png,
+    synth_pnm,
+)
+
+
+def _rand_lum(seed, h=16, w=16):
+    return np.random.default_rng(seed).integers(0, 256, (h, w)).astype(np.int64)
+
+
+@pytest.mark.parametrize("fmt_ix", range(5))
+def test_synth_decode_roundtrip_all_formats(fmt_ix):
+    for doc_id in (fmt_ix, fmt_ix + 5, fmt_ix + 250):
+        px = decode_pixels(synth_image(doc_id))
+        assert px is not None, _RT_FORMATS[doc_id % 5]
+        assert px.shape[:2] == (8, 8)
+
+
+@pytest.mark.parametrize("ftype", range(5))
+def test_png_each_filter_type_roundtrips(ftype):
+    """Every PNG row filter (None/Sub/Up/Average/Paeth) must invert
+    exactly, gray and RGB."""
+    lum = _rand_lum(ftype)
+    for rgb in (False, True):
+        payload = synth_png(lum, rgb=rgb, filter_of_row=lambda y: ftype)
+        px = decode_pixels(payload)
+        assert px is not None
+        got = px[:, :, 0].astype(np.int64)
+        assert (got == lum).all(), f"filter {ftype} rgb={rgb}"
+
+
+def test_bmp_roundtrip_with_row_padding():
+    # width 5 → stride 16 ≠ 15: exercises the 4-byte row padding
+    lum = _rand_lum(3, h=4, w=5)
+    px = decode_pixels(synth_bmp(lum))
+    assert px is not None and px.shape == (4, 5, 3)
+    assert (px[:, :, 0].astype(np.int64) == lum).all()
+
+
+def test_pnm_comment_and_whitespace_header():
+    lum = _rand_lum(4, h=3, w=3)
+    raw = synth_pnm(lum)
+    # inject a comment line into the header
+    assert raw.startswith(b"P5\n")
+    patched = b"P5\n# a comment\n" + raw[3:]
+    px = decode_pixels(patched)
+    assert px is not None
+    assert (px[:, :, 0].astype(np.int64) == lum).all()
+
+
+def test_undecodable_and_truncated_payloads_return_none():
+    assert decode_pixels(b"") is None
+    assert decode_pixels(b"\xff\xd8\xff\xe0 jpeg-ish") is None
+    whole = synth_image(7)
+    assert decode_pixels(whole[: len(whole) // 2]) is None
+    # 16-bit PNG is outside the subset
+    lum = _rand_lum(5, 4, 4)
+    p = bytearray(synth_png(lum))
+    p[24] = 16  # bit depth inside IHDR (crc now wrong too, but depth gates first)
+    assert decode_pixels(bytes(p)) is None
+
+
+def test_perceptual_hash_variant_vs_unrelated():
+    """Two single-digit-pixel variants of one 32×32 image hash within a
+    tight hamming distance; an unrelated image is far — on REAL decoded
+    pixels through the resize path."""
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (32, 32)).astype(np.int64)
+    var = base.copy()
+    var[3, 4] = (var[3, 4] + 9) % 256
+    var[20, 11] = (var[20, 11] + 247) % 256
+    unrelated = rng.integers(0, 256, (32, 32)).astype(np.int64)
+    h_base = dhash_bits(luma_grid(decode_pixels(synth_png(base, rgb=True))))
+    h_var = dhash_bits(luma_grid(decode_pixels(synth_bmp(var))))
+    h_un = dhash_bits(luma_grid(decode_pixels(synth_pnm(unrelated))))
+    assert bin(h_base ^ h_var).count("1") <= 6
+    assert bin(h_base ^ h_un).count("1") > 6
+    a_base = avg_hash_bits(luma_grid(decode_pixels(synth_png(base))))
+    a_var = avg_hash_bits(luma_grid(decode_pixels(synth_bmp(var))))
+    assert bin(a_base ^ a_var).count("1") <= 6
+
+
+def test_near_dup_pipeline_finds_planted_variants(spark):
+    """Spark end-to-end: payloads (mixed formats) → real decode → dHash
+    → banded hamming join. The two planted variants of one image pair
+    up; the unrelated images don't; an undecodable payload flows
+    through the fallback without pairing."""
+    rng = np.random.default_rng(23)
+    base = rng.integers(0, 256, (16, 16)).astype(np.int64)
+    var = base.copy()
+    var[2, 2] = (var[2, 2] + 5) % 256
+    rows = [
+        (0, bytearray(synth_png(base, rgb=True))),
+        (1, bytearray(synth_bmp(var))),
+        (2, bytearray(synth_pnm(rng.integers(0, 256, (16, 16)).astype(np.int64)))),
+        (3, bytearray(b"not an image at all, just bytes " * 4)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = dhash_frame(df)
+    got = {r.doc_id: r for r in hashes.collect()}
+    assert got[0].decoded and got[1].decoded and got[2].decoded
+    assert not got[3].decoded
+    pairs = image_near_dup(hashes, max_hamming=4).collect()
+    assert [(p.d1, p.d2) for p in pairs] == [(0, 1)]
