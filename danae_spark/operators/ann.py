@@ -526,3 +526,86 @@ def ann_recall(
     for df in out[1:]:
         res = res.unionByName(df)
     return res.orderBy("method")
+
+
+def recall_report(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Unified ANN quality gate (r7): one frame covering every
+    approximate family — hyperplane-LSH, stride-IVF, trained-IVF, PQ,
+    IVF-PQ — with recall@k against the brute-force truth and the
+    candidate fraction each method actually scores per query.
+
+    candidate_fraction definitions (documented per family):
+    - lsh: MEASURED — Σ_q |bucket(q)| / (n_queries · N), from the same
+      bucket expression the operator uses;
+    - ivf / ivf_trained / ivfpq: nprobe / n_lists — exact under the
+      stride quantizer's balanced lists and the trained codebook's
+      pytest-enforced balance;
+    - pq: 1.0 — PQ compresses (8-bit codes, ADC) but scans every code;
+      its win is bytes-per-candidate, not candidate count.
+
+    A pytest (tests/test_ann_recall.py) asserts each family's floor
+    through THIS frame, so a regression in any ANN path fails one
+    loud gate instead of scattered checks."""
+    from danae_spark.operators import pq as _pq
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_total = emb.count()
+    first = emb.select("embedding").head(1)
+    dim = len(first[0].embedding) if first else DIM
+    nq = N_QUERIES
+
+    truth_rows = ann_cosine_topk(spark, sf_dir, k=k).collect()
+    truth: dict[int, set] = {}
+    for r in truth_rows:
+        truth.setdefault(r.query_id, set()).add(r.cand_id)
+
+    def rec(rows) -> float:
+        got: dict[int, set] = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.cand_id)
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        denom = sum(len(v) for v in truth.values())
+        return round(hits / denom, 4) if denom else 0.0
+
+    # measured LSH fraction: queries probe exactly their bucket
+    planes = _hyperplanes()
+    buckets = emb.withColumn("bucket", lsh_bucket_col("embedding", planes))
+    bucket_sizes = buckets.groupBy("bucket").agg(F.count("*").alias("sz"))
+    lsh_pairs = (
+        buckets.filter(F.col("vec_id") < nq)
+        .join(bucket_sizes, "bucket")
+        .agg(F.sum("sz").alias("p"))
+        .head()
+        .p
+    )
+    lsh_frac = round(float(lsh_pairs) / (nq * n_total), 4) if n_total else None
+
+    stride = _ivf_budgeted_stride(n_total, dim)
+    n_lists_ivf = max(1, len(range(0, n_total)[7 % stride :: stride]))
+    cent_ids, _cent_mat = train_ivf_codebook(emb)
+    n_lists_trained = max(1, len(cent_ids))
+    kc_ivfpq = max(1, n_total // stride)
+
+    rows = [
+        ("brute", 1.0, 1.0),
+        ("lsh", rec(ann_lsh_bucketed(spark, sf_dir, k=k).collect()), lsh_frac),
+        (
+            "ivf",
+            rec(ann_ivf(spark, sf_dir, k=k).collect()),
+            round(min(1.0, 2 / n_lists_ivf), 4),
+        ),
+        (
+            "ivf_trained",
+            rec(ann_ivf_trained(spark, sf_dir, k=k).collect()),
+            round(min(1.0, 2 / n_lists_trained), 4),
+        ),
+        ("pq", rec(_pq.pq_ann_topk(spark, sf_dir, k=k).collect()), 1.0),
+        (
+            "ivfpq",
+            rec(_pq.ivfpq_ann_topk(spark, sf_dir, k=k).collect()),
+            round(min(1.0, _pq.IVFPQ_NPROBE / kc_ivfpq), 4),
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, "method string, recall_at_k double, candidate_fraction double"
+    ).withColumn("k", F.lit(k))

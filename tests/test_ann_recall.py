@@ -146,3 +146,30 @@ def test_ivf_trained_recall_on_driver_scale_lake(spark):
     }
     assert rows["ivf_trained"] >= rows["ivf"] - 1e-9, rows
     assert rows["ivf_trained"] >= 10 * chance, (rows, chance)
+
+
+def test_recall_report_floors_all_families(spark, sf_dir):
+    """THE unified ANN quality gate (r7): one frame, five approximate
+    families, each with a recall floor and a pruning sanity bound. A
+    regression in any ANN path — plane count, codebook, nprobe, PQ
+    codes — fails here loudly instead of in scattered checks."""
+    from danae_spark.operators.ann import recall_report
+
+    rows = {r.method: r for r in recall_report(spark, sf_dir).collect()}
+    assert set(rows) == {"brute", "lsh", "ivf", "ivf_trained", "pq", "ivfpq"}
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    chance = ann.TOP_K / (n - 1)
+
+    assert rows["brute"].recall_at_k == 1.0
+    assert rows["brute"].candidate_fraction == 1.0
+    # floors mirror the per-family tests' calibration on the
+    # near-random lake embeddings (ANN's worst case)
+    assert rows["lsh"].recall_at_k >= 10 * chance
+    assert rows["ivf"].recall_at_k >= 10 * chance
+    assert rows["ivf_trained"].recall_at_k >= rows["ivf"].recall_at_k - 1e-9
+    assert rows["pq"].recall_at_k >= max(20 * chance, 0.15)
+    assert rows["ivfpq"].recall_at_k >= 10 * chance
+    # pruning families must actually prune; PQ scans all codes by design
+    for m in ("lsh", "ivf", "ivf_trained", "ivfpq"):
+        assert 0 < rows[m].candidate_fraction <= 0.25, m
+    assert rows["pq"].candidate_fraction == 1.0

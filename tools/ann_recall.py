@@ -2,8 +2,11 @@
 
 Usage: python tools/ann_recall.py [sf_dir] [k]
 
-One JSON line per method (lsh / ivf / ivf_trained) — the tuning signal
-to re-run after changing plane counts, nprobe, or the IVF codebook.
+One JSON line per method (brute / lsh / ivf / ivf_trained / pq /
+ivfpq), with recall@k AND the candidate fraction each method scores —
+the tuning signal to re-run after changing plane counts, nprobe, PQ
+codebooks, or the IVF codebook. The same frame is gate-asserted by
+tests/test_ann_recall.py::test_recall_report_floors_all_families.
 """
 
 from __future__ import annotations
@@ -22,7 +25,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else ann.TOP_K
     spark = get_spark("ann-recall")
-    for r in ann.ann_recall(spark, sf_dir, k=k, include_trained=True).collect():
+    for r in ann.recall_report(spark, sf_dir, k=k).collect():
         print(json.dumps(r.asDict()), flush=True)
 
 
