@@ -1,0 +1,109 @@
+"""Measure time-vs-rows scaling curves for the most expensive operators.
+
+Usage: python tools/scaling_curves.py [out_json]
+
+Runs each operator MATERIALIZED (noop sink, min-of-2) at sf0.01 and
+sf0.1 (driver lakes) plus sf0.5 and sf1 (tools/gen_scale_lake.py
+synthesized, 5×/10× sf0.1), prints one JSON line per operator with the
+timings and the fitted exponent alpha over the sf0.1 → sf1 decade
+(t ∝ rows^alpha; alpha ≈ 1 is linear scaling, the 100 TB requirement;
+sub-linear readings mean fixed job overhead still dominates at these
+sizes). The driver table named per operator is the one whose row count
+scales it (documents / embeddings / lineitem / events).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from danae_spark.queries import load_all
+from danae_spark.session import get_spark
+
+SFS = [
+    ("0.01", "/root/testdata/sf0.01"),
+    ("0.1", "/root/testdata/sf0.1"),
+    ("0.5", "/root/repo/scaledata/sf0.5"),
+    ("1", "/root/repo/scaledata/sf1"),
+]
+
+# operator → the table that drives its cost
+OPERATORS = {
+    "profile_numeric": "lineitem",
+    "profile_quantiles": "lineitem",
+    "profile_numeric_extended": "lineitem",
+    "profile_extended_scale": "lineitem",
+    "dedup_minhash_lsh": "documents",
+    "dedup_shared_spans": "documents",
+    "semantic_dedup": "documents",
+    "curate_corpus": "documents",
+    "pack_sequences": "documents",
+    "canonical_keeper": "documents",
+    "dsir_select": "documents",
+    "text_ann_topk": "documents",
+    "maxsim_text_topk": "documents",
+    "rolling_zscore_anomaly": "events",
+    "pq_ann_topk": "embeddings",
+    "ivfpq_ann_topk": "embeddings",
+    "q9_product_profit": "lineitem",
+}
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
+    registry = load_all()
+    spark = get_spark("scaling-curves")
+    spark.range(1000).count()
+
+    def runnable(name):
+        if name == "profile_extended_scale":
+            from danae_spark.profiling.profiler import numeric_profile_extended
+
+            return lambda s, d: numeric_profile_extended(s, d, exact=False)
+        return registry[name].fn
+
+    rows_at = {}
+    for sf, d in SFS:
+        rows_at[sf] = {
+            t: spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
+            for t in ("lineitem", "documents", "embeddings", "events")
+        }
+
+    results = []
+    for name, driver_table in OPERATORS.items():
+        fn = runnable(name)
+        times = {}
+        for sf, d in SFS:
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            times[sf] = round(best, 2)
+            print(f"# {name} sf{sf}: {times[sf]}s", file=sys.stderr, flush=True)
+        r1, r10 = rows_at["0.1"][driver_table], rows_at["1"][driver_table]
+        alpha = round(
+            math.log(times["1"] / times["0.1"]) / math.log(r10 / r1), 2
+        )
+        rec = {
+            "operator": name,
+            "driver_table": driver_table,
+            "rows": {sf: rows_at[sf][driver_table] for sf, _ in SFS},
+            "materialized_s": times,
+            "alpha_0.1_to_1": alpha,
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
