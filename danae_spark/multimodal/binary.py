@@ -6,11 +6,13 @@ image/audio pipeline needs: payloads stay in executor-local Arrow
 batches, the UDF emits fixed-schema metadata, and partitioning is by
 payload hash so decode work balances.
 
-The actual codec decode is STUBBED (`decode_image` raises
-NotImplementedError — no image/audio libs in this container); a
-deterministic fake "decode" derives metadata from payload bytes so the
-plumbing (schema, batching, UDF signature) is real and testable
-end-to-end.
+Pixel decode is REAL for the stdlib-decodable formats — PNG, 24-bit
+BMP, binary PPM/PGM, and GIF/LZW via `multimodal/pixels.py` (r7) —
+and header decode is real for PNG/JPEG/GIF, WAV/MP3, and MP4. Only
+codec-library formats (JPEG entropy decode, video codecs) remain
+STUBBED behind NotImplementedError, with a deterministic fake
+"decode" deriving metadata from payload bytes so that plumbing
+(schema, batching, UDF signature) stays real and testable end-to-end.
 """
 
 from __future__ import annotations
@@ -33,9 +35,10 @@ META_SCHEMA = (
 def decode_image(payload: bytes) -> dict:
     """Pixel decode dispatch. REAL for the stdlib-decodable subset —
     PNG (zlib inflate + all five unfilter types), 24-bit BMP, binary
-    PPM/PGM — via multimodal/pixels.decode_pixels (r7). NOT IMPLEMENTED
-    for formats that need a codec library (JPEG, GIF/LZW): header-level
-    metadata for those comes from parse_image_header."""
+    PPM/PGM, and GIF (pure-Python LZW incl. interlace) — via
+    multimodal/pixels.decode_pixels (r7). NOT IMPLEMENTED only for
+    formats that need a codec library (JPEG entropy decode):
+    header-level metadata for those comes from parse_image_header."""
     from danae_spark.multimodal.pixels import decode_pixels
 
     px = decode_pixels(payload)
@@ -47,9 +50,9 @@ def decode_image(payload: bytes) -> dict:
             "pixels": px,
         }
     raise NotImplementedError(
-        "pixel codecs for this format unavailable (JPEG/GIF need a codec "
-        "library); parse_image_header handles metadata, and PNG/BMP/PPM/PGM "
-        "decode for real via multimodal.pixels"
+        "pixel codecs for this format unavailable (JPEG needs a codec "
+        "library); parse_image_header handles metadata, and "
+        "PNG/BMP/PPM/PGM/GIF decode for real via multimodal.pixels"
     )
 
 

@@ -1,13 +1,15 @@
 """Real PIXEL decode for stdlib-decodable image formats.
 
-The container has no codec libraries, but three families need none:
+The container has no codec libraries, but four families need none:
 PNG is zlib inflate + the five spec unfilter types (RFC 2083 §6),
 BMP (BITMAPINFOHEADER, uncompressed 24-bit) is raw bottom-up rows,
-and PPM/PGM (P6/P5 binary) are raw bytes after an ASCII header. This
-module decodes those for real — `parse_image_header` (binary.py) stays
-the metadata path for formats whose pixels still need a codec (JPEG,
-GIF/LZW), and the declared fake-encoder path remains the fallback for
-them in media_near_dup.
+PPM/PGM (P6/P5 binary) are raw bytes after an ASCII header, and GIF is
+a pure-Python LZW decode (variable-width LSB-first codes, table resets,
+interlace passes) through the palette. This module decodes those for
+real — `parse_image_header` (binary.py) stays the metadata path for the
+one family whose pixels still need a codec library (JPEG entropy
+decode), and the declared fake-encoder path remains the fallback for it
+in media_near_dup.
 
 Everything is pure bytes→numpy so it runs inside Arrow mapInPandas
 batches, the same plumbing pattern as the header parsers. On top of
@@ -181,18 +183,139 @@ def _decode_pnm(payload: bytes) -> np.ndarray | None:
     return arr.reshape(h, w, channels)
 
 
+def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> bytearray | None:
+    """GIF-flavored LZW (GIF89a spec, appendix F): variable-width codes
+    packed LSB-first, CLEAR resets the table, width grows when the
+    table reaches 2^width (capped at 12 bits)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    width = min_code + 1
+    prev: bytes | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = [bytes((i,)) for i in range(clear)] + [b"", b""]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                if len(table) < 4096:
+                    table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+            if len(out) >= max_pixels:
+                return out
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(payload: bytes) -> np.ndarray | None:
+    """First frame of a GIF87a/89a: logical screen + global/local color
+    table + LZW-decompressed indexed pixels (interlace supported),
+    expanded through the palette to RGB."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        return None
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    n_total = len(payload)
+    while pos < n_total:
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < n_total and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > n_total:
+                return None
+            w, h = struct.unpack("<HH", payload[pos + 5 : pos + 9])
+            ipacked = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+                pos += n * 3
+            if ct is None or pos >= n_total:
+                return None
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < n_total and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(data), min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            grid = np.frombuffer(bytes(idx[: w * h]), np.uint8).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows arrive in four passes
+                rows = np.empty_like(grid)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for y in range(start, h, step):
+                        rows[y] = grid[src]
+                        src += 1
+                grid = rows
+            safe = np.minimum(grid, len(ct) - 1)
+            return ct[safe]
+        elif block == 0x3B:
+            return None
+        else:
+            return None
+    return None
+
+
 def decode_pixels(payload: bytes) -> np.ndarray | None:
-    """Decode a PNG / 24-bit BMP / binary PPM/PGM payload to an
+    """Decode a PNG / 24-bit BMP / binary PPM/PGM / GIF payload to an
     (H, W, C) uint8 array; None for anything outside the
-    stdlib-decodable subset (JPEG, GIF, interlaced/16-bit PNG, ...)."""
+    stdlib-decodable subset (JPEG, interlaced/16-bit PNG, ...) AND for
+    malformed/truncated payloads — a crawl feeds this arbitrary bytes,
+    so decoder-internal errors (truncated deflate stream, bad reshape)
+    degrade to the caller's declared fallback, never a task failure."""
     if len(payload) < 12:
         return None
-    if payload[:8] == _PNG_MAGIC:
-        return _decode_png(payload)
-    if payload[:2] == b"BM":
-        return _decode_bmp(payload)
-    if payload[:2] in (b"P5", b"P6"):
-        return _decode_pnm(payload)
+    try:
+        if payload[:8] == _PNG_MAGIC:
+            return _decode_png(payload)
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
+        if payload[:2] in (b"P5", b"P6"):
+            return _decode_pnm(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return _decode_gif(payload)
+    except (zlib.error, ValueError, struct.error, IndexError):
+        return None
     return None
 
 
@@ -253,7 +376,7 @@ def dhash_bits(lum: np.ndarray) -> int:
 
 # ------------------------------------------------- synthesized payloads
 
-_RT_FORMATS = ("png_gray", "png_rgb", "bmp", "ppm", "pgm")
+_RT_FORMATS = ("png_gray", "png_rgb", "bmp", "ppm", "pgm", "gif")
 
 
 def _rt_luma(doc_id: int, i: int) -> int:
@@ -322,6 +445,86 @@ def synth_bmp(lum: np.ndarray) -> bytes:
     return hdr + info + bytes(body)
 
 
+class _BitPacker:
+    """LSB-first variable-width code packer (the GIF LZW bit order)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.bits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc |= code << self.bits
+        self.bits += width
+        while self.bits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.bits -= 8
+
+    def flush(self) -> bytes:
+        if self.bits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode(indexes: bytes, min_code: int) -> bytes:
+    """Real GIF LZW compression (dictionary-building, not the
+    literal-only 'uncompressed GIF' trick) — width grows exactly when
+    the table reaches 2^width, mirroring the decoder, reset at 4096."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    pk = _BitPacker()
+
+    def fresh():
+        return {bytes((i,)): i for i in range(clear)}, clear + 2, min_code + 1
+
+    table, next_code, width = fresh()
+    pk.put(clear, width)
+    w = b""
+    for b in indexes:
+        wk = w + bytes((b,))
+        if wk in table:
+            w = wk
+            continue
+        pk.put(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        # the encoder's table is ONE entry ahead of the decoder's at
+        # transmission time (the decoder appends on RECEIVING the next
+        # code), so decoder-len >= 2^width ⇔ next_code > 2^width
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            pk.put(clear, width)
+            table, next_code, width = fresh()
+        w = bytes((b,))
+    if w:
+        pk.put(table[w], width)
+    pk.put(eoi, width)
+    return pk.flush()
+
+
+def synth_gif(lum: np.ndarray) -> bytes:
+    """Real GIF89a encoder for a (h, w) luma grid: 256-entry grayscale
+    global color table, REAL LZW-compressed indexed pixels in ≤255-byte
+    sub-blocks — the synthesis half of the GIF decode round-trip."""
+    h, w = lum.shape
+    hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code = 8
+    data = _lzw_encode(
+        bytes(int(lum[y, x]) for y in range(h) for x in range(w)), min_code
+    )
+    blocks = bytearray([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return hdr + gct + img + bytes(blocks) + b"\x3b"
+
+
 def synth_pnm(lum: np.ndarray, rgb: bool = False) -> bytes:
     h, w = lum.shape
     magic = b"P6" if rgb else b"P5"
@@ -340,7 +543,10 @@ def synth_image(doc_id: int, grid: int = 8) -> bytes:
         [[_rt_luma(doc_id, y * grid + x) for x in range(grid)] for y in range(grid)],
         dtype=np.int64,
     )
-    fmt = _RT_FORMATS[doc_id % 5]
+    return _synth_in_format(lum, _RT_FORMATS[doc_id % len(_RT_FORMATS)])
+
+
+def _synth_in_format(lum: np.ndarray, fmt: str) -> bytes:
     if fmt == "png_gray":
         return synth_png(lum, rgb=False)
     if fmt == "png_rgb":
@@ -349,6 +555,8 @@ def synth_image(doc_id: int, grid: int = 8) -> bytes:
         return synth_bmp(lum)
     if fmt == "ppm":
         return synth_pnm(lum, rgb=True)
+    if fmt == "gif":
+        return synth_gif(lum)
     return synth_pnm(lum, rgb=False)
 
 
@@ -394,7 +602,7 @@ def image_pixels_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append(
                     {
                         "doc_id": d,
-                        "format": _RT_FORMATS[d % 5],
+                        "format": _RT_FORMATS[d % len(_RT_FORMATS)],
                         "width": px.shape[1],
                         "height": px.shape[0],
                         "channels": px.shape[2],
@@ -450,10 +658,11 @@ d AS (
   GROUP BY l.doc_id
 )
 SELECT m.doc_id,
-       CASE m.doc_id % 5 WHEN 0 THEN 'png_gray' WHEN 1 THEN 'png_rgb'
-            WHEN 2 THEN 'bmp' WHEN 3 THEN 'ppm' ELSE 'pgm' END AS format,
+       CASE m.doc_id % 6 WHEN 0 THEN 'png_gray' WHEN 1 THEN 'png_rgb'
+            WHEN 2 THEN 'bmp' WHEN 3 THEN 'ppm' WHEN 4 THEN 'pgm'
+            ELSE 'gif' END AS format,
        8 AS width, 8 AS height,
-       CASE WHEN m.doc_id % 5 IN (1, 2, 3) THEN 3 ELSE 1 END AS channels,
+       CASE WHEN m.doc_id % 6 IN (0, 4) THEN 1 ELSE 3 END AS channels,
        m.pixel_sum, a.ahash_lo, a.ahash_hi, d.dhash
 FROM m JOIN a USING (doc_id) JOIN d USING (doc_id)
 ORDER BY doc_id
@@ -485,16 +694,7 @@ def synth_cluster_image(doc_id: int, grid: int = 8) -> bytes:
         [[_cluster_luma(doc_id, y * grid + x) for x in range(grid)] for y in range(grid)],
         dtype=np.int64,
     )
-    fmt = _RT_FORMATS[doc_id % 5]
-    if fmt == "png_gray":
-        return synth_png(lum, rgb=False)
-    if fmt == "png_rgb":
-        return synth_png(lum, rgb=True)
-    if fmt == "bmp":
-        return synth_bmp(lum)
-    if fmt == "ppm":
-        return synth_pnm(lum, rgb=True)
-    return synth_pnm(lum, rgb=False)
+    return _synth_in_format(lum, _RT_FORMATS[doc_id % len(_RT_FORMATS)])
 
 
 NEAR_DUP_SCHEMA = "doc_id bigint, dhash bigint, decoded boolean"

@@ -1338,17 +1338,19 @@ def maxsim_topk_frame(
     encoder plugs in as a (term, vector) table), so the WHOLE retrieval
     is DuckDB-value-checked.
 
-    The dim columns are pure functions of the term. The QUERY side
-    computes them inline (codegen, per-row on a ≤|queries|·q_terms
-    relation), which makes qt self-contained: it broadcasts directly —
-    no more driver-side collect/recreate hop, which had existed only
+    The dim columns are pure functions of the term, computed INLINE on
+    BOTH sides (codegen, per-row) with no vocabulary relation at all.
+    The query side is then self-contained and broadcasts directly — no
+    more driver-side collect/recreate hop, which had existed only
     because nesting the old vocab broadcast inside qt's broadcast build
-    deadlocked past spark.sql.broadcastTimeout. The CANDIDATE side still
-    dedups the 64-dim computation through a distinct-term vocab, but the
-    join carries NO hint: AQE picks broadcast only when the vocab's
-    actual size at the shuffle boundary is small, and shuffles it
-    otherwise — the unbounded vocab broadcast (advisor finding: OOM risk
-    at 100 TB corpus vocabularies) is gone on both sides."""
+    deadlocked past spark.sql.broadcastTimeout. The candidate side pays
+    a per-row md5 recompute instead of a vocab dedup join, and that is
+    deliberate: the r7 scaling curves showed Catalyst flipping the
+    dedup join to broadcast the CORPUS term relation (the unbounded
+    broadcast the advisor flagged), and the joined side inheriting one
+    AQE-coalesced partition that ran the whole q×c interaction
+    single-core. Per-row codegen has neither failure mode and scales
+    embarrassingly."""
     from danae_spark.functions.rounding import dsum
 
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
@@ -1395,26 +1397,24 @@ def maxsim_topk_frame(
         .withColumn("qn", nrm("q"))
         .drop("term")
     )
-    vocab = (
-        ranked.filter(F.col("rk") <= c_terms)
-        .select("term")
-        .distinct()
-        .select("term", *dim_cols("e"))
-        .withColumn("cn", nrm("e"))
-    )
-    # no join hint on the vocab: AQE sees the distinct-aggregate's ACTUAL
-    # output size at the shuffle boundary and broadcasts only when it is
-    # genuinely small (measured 3.8 s vs 5.1 s forced-shuffle at sf0.1); a
-    # 100 TB corpus vocabulary exceeds the broadcast threshold and gets a
-    # shuffled join automatically — no unbounded broadcast either way.
+    # The candidate side computes its dim columns INLINE too — no vocab
+    # relation, no join. The r7 scaling curve killed the dedup-via-vocab
+    # variants: with a tiny vocab Catalyst flips the join and broadcasts
+    # the CORPUS term relation (unbounded — the exact hazard the vocab
+    # refactor was meant to remove), and either way the streamed side
+    # inherits ONE AQE-coalesced partition (the upstream shuffle is slim
+    # before the 65 double columns fan out), so the whole q×c
+    # interaction + aggregation ran single-core (sf1: 33 s → 6 s fixed).
+    # The numbered repartition is load-bearing: it is exempt from AQE
+    # coalescing, shuffles only the slim (doc_id, term) relation, and
+    # gives the interaction stage its parallelism.
     ct_side = (
         ranked.filter(F.col("rk") <= c_terms)
-        .join(vocab, "term")
-        .select(
-            F.col("doc_id").alias("cand_id"),
-            "cn",
-            *[F.col(f"e{i}") for i in range(dims)],
-        )
+        .select("doc_id", "term")
+        .repartition(32, "doc_id")
+        .select(F.col("doc_id").alias("cand_id"), "term", *dim_cols("e"))
+        .withColumn("cn", nrm("e"))
+        .drop("term")
     )
     dot = sum(F.col(f"q{i}") * F.col(f"e{i}") for i in range(dims))
     sims = (

@@ -26,11 +26,12 @@ def _rand_lum(seed, h=16, w=16):
     return np.random.default_rng(seed).integers(0, 256, (h, w)).astype(np.int64)
 
 
-@pytest.mark.parametrize("fmt_ix", range(5))
+@pytest.mark.parametrize("fmt_ix", range(len(_RT_FORMATS)))
 def test_synth_decode_roundtrip_all_formats(fmt_ix):
-    for doc_id in (fmt_ix, fmt_ix + 5, fmt_ix + 250):
+    n = len(_RT_FORMATS)
+    for doc_id in (fmt_ix, fmt_ix + n, fmt_ix + 41 * n):
         px = decode_pixels(synth_image(doc_id))
-        assert px is not None, _RT_FORMATS[doc_id % 5]
+        assert px is not None, _RT_FORMATS[doc_id % n]
         assert px.shape[:2] == (8, 8)
 
 
@@ -120,3 +121,55 @@ def test_near_dup_pipeline_finds_planted_variants(spark):
     assert not got[3].decoded
     pairs = image_near_dup(hashes, max_hamming=4).collect()
     assert [(p.d1, p.d2) for p in pairs] == [(0, 1)]
+
+
+def test_gif_lzw_roundtrip_shapes_and_compression():
+    """Real LZW: random data (worst case), structured data (dictionary
+    actually compresses), constant data (repeated table growth), and a
+    256×256 image that forces 4096-entry table resets."""
+    from danae_spark.multimodal.pixels import synth_gif
+
+    rng = np.random.default_rng(5)
+    for shape in [(8, 8), (16, 16), (64, 64), (3, 5), (1, 1)]:
+        lum = rng.integers(0, 256, shape).astype(np.int64)
+        px = decode_pixels(synth_gif(lum))
+        assert px is not None and px.shape == (*shape, 3)
+        assert (px[:, :, 0].astype(np.int64) == lum).all(), shape
+        assert (px[:, :, 1] == px[:, :, 0]).all()  # grayscale palette
+    structured = np.tile(np.arange(64) % 7, (64, 1)).astype(np.int64)
+    raw = synth_gif(structured)
+    assert (decode_pixels(raw)[:, :, 0].astype(np.int64) == structured).all()
+    # dictionary compression must beat the 1-byte-per-pixel floor
+    assert len(raw) < structured.size
+    big = rng.integers(0, 256, (256, 256)).astype(np.int64)
+    assert (decode_pixels(synth_gif(big))[:, :, 0].astype(np.int64) == big).all()
+
+
+def test_gif_interlaced_decode():
+    """Interlaced GIFs deinterlace through the four spec passes: encode
+    rows in pass order with the interlace flag set, expect the original
+    row order back."""
+    import struct as _struct
+
+    from danae_spark.multimodal.pixels import (
+        _GIF_INTERLACE_PASSES,
+        _lzw_encode,
+        synth_gif,
+    )
+
+    rng = np.random.default_rng(9)
+    lum = rng.integers(0, 256, (16, 8)).astype(np.int64)
+    h, w = lum.shape
+    pass_rows = [
+        lum[y] for start, step in _GIF_INTERLACE_PASSES for y in range(start, h, step)
+    ]
+    interleaved = np.stack(pass_rows)
+    raw = bytearray(synth_gif(interleaved))
+    # flip the interlace bit in the image descriptor (after 13-byte
+    # header + 768-byte GCT: 0x2C, left/top/w/h, packed)
+    ip = 13 + 768 + 9
+    assert raw[13 + 768] == 0x2C
+    raw[ip] |= 0x40
+    px = decode_pixels(bytes(raw))
+    assert px is not None
+    assert (px[:, :, 0].astype(np.int64) == lum).all()
