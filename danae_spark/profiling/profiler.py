@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from danae_spark.catalog import load_table
+from danae_spark.catalog import load_table, widen
 from danae_spark.profiling.types import NUMERIC, columns_of_class
 from danae_spark.functions.rounding import (
     davg,
@@ -97,7 +97,26 @@ def _profile_melted(melted: DataFrame, exact: bool = True) -> DataFrame:
 def _melted_union(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...]
 ) -> DataFrame:
-    parts = [_melt_numeric(load_table(spark, sf_dir, t), t) for t in tables]
+    """Long-form (table, column, v) union of every numeric column,
+    each table FORCE-widened before the melt.
+
+    The widen is load-bearing for the honest (materialized) cost, not
+    the count track: a single-file table scans as ONE task, and the
+    partial aggregation — where all the decimal moment work happens —
+    runs inside the scan stage, so the whole exact profile was one
+    39-second straggler task at sf0.1 (caught by the r7 scaling curves:
+    α≈0.1 because sf1's ten files restored parallelism that sf0.1's one
+    file never had). r7 paired A/B at sf0.1, warm min-of-2
+    (count | materialized): extended exact 2.38|26.5 s bare vs
+    2.31|3.34 s widened; numeric 2.30|8.1 vs 1.88|3.07; quantiles
+    2.08|5.8 vs 1.61|4.13 — better on BOTH tracks for all three. This
+    is the `force=True` case widen's own docstring reserves for per-row
+    work that dwarfs the scan; at 100 TB the file count makes the
+    exchange a no-op (est_scan_parts >= target skips it)."""
+    parts = [
+        _melt_numeric(widen(load_table(spark, sf_dir, t), force=True), t)
+        for t in tables
+    ]
     melted = parts[0]
     for p in parts[1:]:
         melted = melted.unionByName(p)
@@ -198,11 +217,12 @@ def numeric_profile_extended(
             F.when((n > 3) & (m2 > 0), rnd(kurt, 4)).alias("kurtosis"),
         ]
 
-    # plain melt, no widen: the widen exchange re-shuffles the full
-    # long-form frame before the aggregate, and the r6 paired A/B
-    # measured it as a net loss (2.13 s bare melt vs 3.08 s widened) —
-    # grouped partial aggregation already parallelizes the reduce side,
-    # and the map side is scan-bound either way
+    # the melt arrives FORCE-widened (see _melted_union): the r6
+    # "widen is a net loss" A/B was a count-track artifact — the r7
+    # scaling curves showed the decimal partial aggregation running as
+    # one straggler task inside a single-file scan stage (26.5 s
+    # materialized), and widening the SOURCE rows (not the long form)
+    # cut it to 3.3 s with the count track unchanged
     return (
         _melted_union(spark, sf_dir, tables)
         .groupBy("table_name", "column_name")
