@@ -141,6 +141,7 @@ def rolling_zscore_anomaly(
     min_baseline: int = ZSCORE_MIN_BASELINE,
     threshold: float = ZSCORE_THRESHOLD,
     id_col: str = "event_id",
+    bucket_s: int | None = None,
 ) -> DataFrame:
     """Event-time anomaly detection: flag rows whose value deviates ≥
     `threshold` standard deviations from the PRECEDING `window_s`-second
@@ -155,18 +156,46 @@ def rolling_zscore_anomaly(
     exact decimal (the dsum/dsumsq route) so frame-internal order can
     never flip a rounded z digit.
 
-    Scale: one shuffle on the group key; the window is the same
-    partitioning, and a range frame over epoch seconds is O(rows) per
-    partition — no self-join, no explode."""
+    Scale — the r7 overlapped-bucket rewrite: a window partitioned ONLY
+    by the group key caps parallelism at |distinct groups| (the lake's
+    5 event_types → 5 tasks on ANY cluster — a hard 100 TB ceiling).
+    With `bucket_s` set (default 16·window_s via the registered entry),
+    rows sub-partition into (group, time-bucket) and every row in the
+    last `window_s` seconds of a bucket is ALSO copied into the next
+    bucket as a baseline-only context row (`__ctx`=1, never scored, cut
+    before output). Every scored row's full lookback is then in-bucket,
+    so the result is EXACTLY the single-window answer — proven by the
+    unchanged DuckDB oracle, which still states the global per-group
+    window — while parallelism becomes |groups|·|buckets| and the
+    duplication overhead is window_s/bucket_s (≤ 1/16). bucket_s=None
+    keeps the single-window plan (callers with many groups)."""
     from danae_spark.functions.rounding import DSCALE, DSUMSQ_MAX_ABS, rnd
 
     epoch = F.floor(F.col(ts_col).cast("double")).cast("long")
     d = df.withColumn("__sec", epoch)
-    w = (
-        W.partitionBy(*by)
-        .orderBy("__sec")
-        .rangeBetween(-window_s, -1)
-    )
+    if bucket_s:
+        if bucket_s <= window_s:
+            raise ValueError(f"bucket_s ({bucket_s}) must exceed window_s ({window_s})")
+        bkt = F.floor(F.col("__sec") / F.lit(bucket_s)).cast("long")
+        native = d.withColumn("__bkt", bkt).withColumn("__ctx", F.lit(0))
+        ctx = (
+            d.filter(F.col("__sec") - bkt * F.lit(bucket_s) >= bucket_s - window_s)
+            .withColumn("__bkt", bkt + 1)
+            .withColumn("__ctx", F.lit(1))
+        )
+        d = native.unionByName(ctx)
+        w = (
+            W.partitionBy(*by, "__bkt")
+            .orderBy("__sec")
+            .rangeBetween(-window_s, -1)
+        )
+    else:
+        d = d.withColumn("__ctx", F.lit(0))
+        w = (
+            W.partitionBy(*by)
+            .orderBy("__sec")
+            .rangeBetween(-window_s, -1)
+        )
     v = F.col(value_col).cast("double")
     # the dstd regime switch: values at/above the decimal domain would
     # silently VANISH from the decimal sum-of-squares while still being
@@ -202,7 +231,7 @@ def rolling_zscore_anomaly(
         .withColumn(
             "zscore", F.when((n >= min_baseline) & (var > 0), rnd(z, 4))
         )
-        .filter(F.abs(F.col("zscore")) >= threshold)
+        .filter((F.col("__ctx") == 0) & (F.abs(F.col("zscore")) >= threshold))
         .select(
             id_col,
             *by,

@@ -311,10 +311,16 @@ def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time anomaly detection: rows ≥3σ from their group's
     trailing-hour baseline, one RANGE-frame window pass with
     exact-decimal moments (operators/temporal.py
-    rolling_zscore_anomaly) — the streaming-metrics outlier pattern."""
+    rolling_zscore_anomaly) — the streaming-metrics outlier pattern.
+    Runs the overlapped-bucket plan (bucket_s = 16·window, r7): the
+    oracle still states the GLOBAL per-group window, so the value hash
+    doubles as the exactness proof of the bucketed rewrite."""
     from danae_spark.catalog import load_table
 
-    return _temporal.rolling_zscore_anomaly(load_table(spark, sf_dir, "events"))
+    return _temporal.rolling_zscore_anomaly(
+        load_table(spark, sf_dir, "events"),
+        bucket_s=16 * _temporal.ZSCORE_WINDOW_S,
+    )
 
 
 from danae_spark.operators import pq as _pq  # noqa: E402

@@ -160,3 +160,48 @@ def test_rolling_zscore_custom_id_col(spark):
     )
     out = rolling_zscore_anomaly(df, id_col="row_key").collect()
     assert [r.row_key for r in out] == [100]
+
+
+def test_rolling_zscore_bucketed_equals_global(spark):
+    """The overlapped-bucket plan must be EXACTLY the global-window
+    answer, including spikes whose entire baseline lies in the previous
+    bucket (the context-copy path) — here bucket_s is tiny (200 s for a
+    100 s window) so the planted data crosses many boundaries."""
+    import datetime
+
+    from danae_spark.operators.temporal import rolling_zscore_anomaly
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # 200 events 10 s apart: crosses a 200 s bucket every 20 rows
+    for i in range(200):
+        rows.append((i, t0 + datetime.timedelta(seconds=10 * i), "a",
+                     10.0 + (i % 5 - 2)))
+    # spikes at positions chosen to sit right AFTER bucket boundaries
+    # (lookback fully in the previous bucket) and mid-bucket
+    rows.append((1000, t0 + datetime.timedelta(seconds=2001), "a", 500.0))
+    rows.append((1001, t0 + datetime.timedelta(seconds=1105), "a", 500.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    glob = rolling_zscore_anomaly(df, window_s=100, bucket_s=None).collect()
+    buck = rolling_zscore_anomaly(df, window_s=100, bucket_s=200).collect()
+    assert [tuple(r) for r in glob] == [tuple(r) for r in buck]
+    assert {r.event_id for r in glob} == {1000, 1001}
+    # n_baseline must match exactly too (the context rows count)
+    assert all(g.n_baseline == b.n_baseline for g, b in zip(glob, buck))
+
+
+def test_rolling_zscore_bucket_must_exceed_window(spark):
+    import datetime
+
+    import pytest as _pytest
+
+    from danae_spark.operators.temporal import rolling_zscore_anomaly
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), "a", 1.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    with _pytest.raises(ValueError):
+        rolling_zscore_anomaly(df, window_s=100, bucket_s=50)
