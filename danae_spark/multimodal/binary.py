@@ -6,13 +6,14 @@ image/audio pipeline needs: payloads stay in executor-local Arrow
 batches, the UDF emits fixed-schema metadata, and partitioning is by
 payload hash so decode work balances.
 
-Pixel decode is REAL for the stdlib-decodable formats — PNG, 24-bit
-BMP, binary PPM/PGM, and GIF/LZW via `multimodal/pixels.py` (r7) —
-and header decode is real for PNG/JPEG/GIF, WAV/MP3, and MP4. Only
-codec-library formats (JPEG entropy decode, video codecs) remain
-STUBBED behind NotImplementedError, with a deterministic fake
-"decode" deriving metadata from payload bytes so that plumbing
-(schema, batching, UDF signature) stays real and testable end-to-end.
+Pixel decode is REAL for every major image family — PNG, 24-bit BMP,
+binary PPM/PGM, GIF/LZW, and baseline JPEG (multimodal/pixels.py +
+jpegcodec.py, r7) — and header decode is real for PNG/JPEG/GIF,
+WAV/MP3, and MP4. Only out-of-subset image variants (progressive/
+subsampled JPEG, 16-bit/interlaced PNG) and video/audio CODEC frames
+remain behind NotImplementedError, with a deterministic fake "decode"
+deriving metadata from payload bytes so that plumbing (schema,
+batching, UDF signature) stays real and testable end-to-end.
 """
 
 from __future__ import annotations
@@ -33,12 +34,13 @@ META_SCHEMA = (
 
 
 def decode_image(payload: bytes) -> dict:
-    """Pixel decode dispatch. REAL for the stdlib-decodable subset —
+    """Pixel decode dispatch. REAL for every major image family —
     PNG (zlib inflate + all five unfilter types), 24-bit BMP, binary
-    PPM/PGM, and GIF (pure-Python LZW incl. interlace) — via
-    multimodal/pixels.decode_pixels (r7). NOT IMPLEMENTED only for
-    formats that need a codec library (JPEG entropy decode):
-    header-level metadata for those comes from parse_image_header."""
+    PPM/PGM, GIF (pure-Python LZW incl. interlace), and baseline JPEG
+    (numpy Huffman+IDCT codec) — via multimodal/pixels.decode_pixels
+    (r7). NOT IMPLEMENTED only for out-of-subset variants
+    (progressive/subsampled JPEG, 16-bit PNG, ...): header-level
+    metadata for those comes from parse_image_header."""
     from danae_spark.multimodal.pixels import decode_pixels
 
     px = decode_pixels(payload)
@@ -50,9 +52,10 @@ def decode_image(payload: bytes) -> dict:
             "pixels": px,
         }
     raise NotImplementedError(
-        "pixel codecs for this format unavailable (JPEG needs a codec "
-        "library); parse_image_header handles metadata, and "
-        "PNG/BMP/PPM/PGM/GIF decode for real via multimodal.pixels"
+        "pixel decode unavailable for this payload (out-of-subset "
+        "variant: progressive/subsampled JPEG, 16-bit PNG, ...); "
+        "parse_image_header handles metadata, and PNG/BMP/PPM/PGM/GIF/"
+        "baseline-JPEG decode for real via multimodal.pixels"
     )
 
 

@@ -1,15 +1,17 @@
 """Real PIXEL decode for stdlib-decodable image formats.
 
-The container has no codec libraries, but four families need none:
-PNG is zlib inflate + the five spec unfilter types (RFC 2083 §6),
-BMP (BITMAPINFOHEADER, uncompressed 24-bit) is raw bottom-up rows,
-PPM/PGM (P6/P5 binary) are raw bytes after an ASCII header, and GIF is
-a pure-Python LZW decode (variable-width LSB-first codes, table resets,
-interlace passes) through the palette. This module decodes those for
-real — `parse_image_header` (binary.py) stays the metadata path for the
-one family whose pixels still need a codec library (JPEG entropy
-decode), and the declared fake-encoder path remains the fallback for it
-in media_near_dup.
+The container has no codec libraries, but every major image family
+decodes without one: PNG is zlib inflate + the five spec unfilter
+types (RFC 2083 §6), BMP (BITMAPINFOHEADER, uncompressed 24-bit) is
+raw bottom-up rows, PPM/PGM (P6/P5 binary) are raw bytes after an
+ASCII header, GIF is a pure-Python LZW decode (variable-width
+LSB-first codes, table resets, interlace passes) through the palette,
+and baseline JPEG decodes through the numpy codec in jpegcodec.py
+(Huffman entropy decode, differential DC, IDCT, YCbCr→RGB — declared
+subset: sequential 8-bit, no subsampling/progressive/restart).
+`parse_image_header` (binary.py) stays the metadata path for
+out-of-subset variants, and the declared fake-encoder path remains
+their fallback in media_near_dup.
 
 Everything is pure bytes→numpy so it runs inside Arrow mapInPandas
 batches, the same plumbing pattern as the header parsers. On top of
@@ -314,6 +316,10 @@ def decode_pixels(payload: bytes) -> np.ndarray | None:
             return _decode_pnm(payload)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return _decode_gif(payload)
+        if payload[:3] == b"\xff\xd8\xff":
+            from danae_spark.multimodal.jpegcodec import decode_jpeg
+
+            return decode_jpeg(payload)  # None for out-of-subset variants
     except (zlib.error, ValueError, struct.error, IndexError):
         return None
     return None
@@ -831,4 +837,122 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
     WHERE ((a.dhash >> (band * 14)) & 16383) = ((b.dhash >> (band * 14)) & 16383)
   )
 ORDER BY d1, d2
+"""
+
+
+# -------------------------------------------- JPEG oracle round-trip
+
+def _jpeg_block_luma(doc_id: int, by: int, bx: int) -> int:
+    """Block-constant luma in exact multiples of the DC quant step — the
+    construction that makes a LOSSY codec round-trip exactly (every AC
+    coefficient zero, DC quantizes without error). Mirrored in SQL."""
+    return ((doc_id * 31 + (by * 2 + bx) * 37) % 16) * 16
+
+
+def jpeg_pixels_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable BASELINE-JPEG round-trip: per document a 16×16
+    image (four 8×8 blocks, block-constant luma in multiples of the DC
+    quantization step) is encoded by the real spec-conformant encoder
+    (multimodal/jpegcodec.synth_jpeg — FDCT, quantization, canonical
+    Huffman tables carried in DHT, byte stuffing; grayscale and 4:4:4
+    YCbCr alternating by doc_id) and decoded back by the real baseline
+    decoder (marker walk, DHT/DQT load, Huffman entropy decode,
+    differential DC, IDCT, color conversion). Block-constant + exact DC
+    quantization ⇒ the reconstruction is EXACT, so the DuckDB oracle can
+    state luma and both perceptual-hash bit patterns as pure doc_id
+    arithmetic even though the codec is lossy."""
+    from danae_spark.catalog import load_table
+    from danae_spark.multimodal.jpegcodec import decode_jpeg, synth_jpeg
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                blocks = np.array(
+                    [[_jpeg_block_luma(d, by, bx) for bx in range(2)] for by in range(2)],
+                    dtype=np.int64,
+                )
+                lum = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                payload = synth_jpeg(lum, color=bool(d % 2))
+                px = decode_jpeg(payload)
+                ok = px is not None
+                g = luma_grid(px) if ok else None
+                a = avg_hash_bits(g) if ok else None
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "fmt": "jpeg_color" if d % 2 else "jpeg_gray",
+                        "width": px.shape[1] if ok else None,
+                        "height": px.shape[0] if ok else None,
+                        "channels": px.shape[2] if ok else None,
+                        "pixel_sum": int(g.sum()) if ok else None,
+                        "ahash_lo": (a & 0xFFFFFFFF) if ok else None,
+                        "ahash_hi": (a >> 32) if ok else None,
+                        "dhash": dhash_bits(g) if ok else None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "fmt", "width", "height", "channels",
+                         "pixel_sum", "ahash_lo", "ahash_hi", "dhash"],
+            )
+            rows = []
+
+    return (
+        docs.repartition(32, "doc_id")
+        .mapInPandas(
+            batches,
+            schema=("doc_id bigint, fmt string, width int, height int, "
+                    "channels int, pixel_sum bigint, ahash_lo bigint, "
+                    "ahash_hi bigint, dhash bigint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+JPEG_PIXELS_ORACLE = """
+WITH g AS (
+  -- the 8x8 luma grid after block-mean resize: cell (i//8, i%8) sits in
+  -- jpeg block ((i//8)//4, (i%8)//4)
+  SELECT d.doc_id, s.i,
+         ((d.doc_id * 31 + (((s.i // 8) // 4) * 2 + ((s.i % 8) // 4)) * 37)
+          % 16) * 16 AS p
+  FROM documents d, generate_series(0, 63) s(i)
+),
+m AS (
+  SELECT doc_id, CAST(sum(p) AS BIGINT) AS pixel_sum,
+         CAST(sum(p) AS BIGINT) // 64 AS mean_p
+  FROM g GROUP BY doc_id
+),
+a AS (
+  SELECT g.doc_id,
+         CAST(sum(CASE WHEN g.p > m.mean_p AND g.i < 32
+                       THEN (CAST(1 AS BIGINT) << g.i) ELSE 0 END) AS BIGINT)
+           AS ahash_lo,
+         CAST(sum(CASE WHEN g.p > m.mean_p AND g.i >= 32
+                       THEN (CAST(1 AS BIGINT) << (g.i - 32)) ELSE 0 END) AS BIGINT)
+           AS ahash_hi
+  FROM g JOIN m USING (doc_id) GROUP BY g.doc_id
+),
+dh AS (
+  SELECT l.doc_id,
+         CAST(sum(CASE WHEN l.p < r.p
+                       THEN (CAST(1 AS BIGINT) << ((l.i // 8) * 7 + (l.i % 8)))
+                       ELSE 0 END) AS BIGINT) AS dhash
+  FROM g l JOIN g r ON l.doc_id = r.doc_id AND r.i = l.i + 1
+  WHERE l.i % 8 < 7
+  GROUP BY l.doc_id
+)
+SELECT m.doc_id,
+       CASE WHEN m.doc_id % 2 = 1 THEN 'jpeg_color' ELSE 'jpeg_gray' END AS fmt,
+       16 AS width, 16 AS height,
+       CASE WHEN m.doc_id % 2 = 1 THEN 3 ELSE 1 END AS channels,
+       m.pixel_sum, a.ahash_lo, a.ahash_hi, dh.dhash
+FROM m JOIN a USING (doc_id) JOIN dh USING (doc_id)
+ORDER BY doc_id
 """

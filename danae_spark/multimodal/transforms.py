@@ -3,11 +3,11 @@ feature-extract over binary payload columns.
 
 Everything Spark-side is real and tested — schemas, Arrow batch shapes,
 `mapInPandas` signatures, partition-by-payload-hash balancing. Since r7,
-PIXEL decode is REAL for PNG/BMP/PPM/PGM/GIF (multimodal/pixels.py — used by
+PIXEL decode is REAL for PNG/BMP/PPM/PGM/GIF/baseline-JPEG (multimodal/pixels.py — used by
 the oracle-verified image_pixels_roundtrip / image_near_dup entries);
 the codec calls HERE remain STUBBED (`NotImplementedError` behind
 `_require_codecs`) with deterministic byte-derived fakes standing in for
-the formats stdlib cannot decode (JPEG/video frames), so the
+what still needs a codec library (out-of-subset JPEG variants, video frames), so the
 pipeline runs end-to-end in this container and swaps to PIL/ffmpeg by
 replacing two functions.
 """
