@@ -94,6 +94,7 @@ HEADLINE = [
     # round-7 additions
     "image_pixels_roundtrip",
     "image_near_dup",
+    "jpeg_pixels_roundtrip",
 ]
 
 
