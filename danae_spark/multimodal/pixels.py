@@ -956,3 +956,173 @@ SELECT m.doc_id,
 FROM m JOIN a USING (doc_id) JOIN dh USING (doc_id)
 ORDER BY doc_id
 """
+
+
+# ----------------------------------------------- WAV PCM sample decode
+
+def decode_wav_samples(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """Decode 16-bit PCM WAV to ((n_samples, channels) int32 array,
+    sample_rate). Audio SAMPLES need no codec library — this extends
+    'decode for real' beyond the header triad to the waveform itself.
+    None for non-PCM/compressed/8- or 24-bit payloads."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(payload)
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        csize = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= n:
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", payload[i + 8 : i + 24]
+            )
+            if audio_fmt != 1 or bits != 16 or channels < 1:
+                return None  # non-PCM / non-16-bit out of subset
+            fmt = (channels, rate)
+        elif cid == b"data":
+            data = payload[i + 8 : i + 8 + csize]
+        i += 8 + csize + (csize % 2)
+    if fmt is None or data is None:
+        return None
+    channels, rate = fmt
+    usable = len(data) - (len(data) % (2 * channels))
+    if usable <= 0:
+        return None
+    samples = np.frombuffer(data, dtype="<i2", count=usable // 2).astype(np.int32)
+    return samples.reshape(-1, channels), rate
+
+
+AUDIO_FP_BLOCKS = 64
+AUDIO_FP_BLOCK_SAMPLES = 16
+
+
+def audio_energy_fingerprint(samples: np.ndarray) -> tuple[int, int]:
+    """(total energy, 63-bit block-energy gradient hash) over channel 0:
+    bit b set iff energy(block b) < energy(block b+1) — the audio
+    analogue of dHash, integer-exact so a SQL oracle can restate it."""
+    ch0 = samples[:, 0].astype(np.int64)
+    nb = min(AUDIO_FP_BLOCKS, len(ch0) // AUDIO_FP_BLOCK_SAMPLES)
+    energies = [
+        int((ch0[b * AUDIO_FP_BLOCK_SAMPLES : (b + 1) * AUDIO_FP_BLOCK_SAMPLES] ** 2).sum())
+        for b in range(nb)
+    ]
+    total = int((samples.astype(np.int64) ** 2).sum())
+    bits = 0
+    for b in range(nb - 1):
+        if energies[b] < energies[b + 1]:
+            bits |= 1 << b
+    return total, bits
+
+
+def _pcm_sample(doc_id: int, i: int, c: int) -> int:
+    """Deterministic 16-bit sample value — quadratic in the sample index
+    so block energies vary; mirrored verbatim in the SQL oracle."""
+    return ((doc_id * 7 + i * i * 3 + c * 13) % 2048) - 1024
+
+
+def synth_wav_pcm(doc_id: int, n_samples: int = 1024) -> bytes:
+    """Real 16-bit PCM WAV (RIFF + fmt + interleaved LE data) with
+    doc_id-derived samples; 1 or 2 channels by doc parity."""
+    channels = 1 + (doc_id % 2)
+    rate = 8000 + (doc_id % 8) * 1000
+    frames = bytearray()
+    for i in range(n_samples):
+        for c in range(channels):
+            frames += struct.pack("<h", _pcm_sample(doc_id, i, c))
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(frames)) + bytes(frames)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def audio_pcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable PCM round-trip: per document a 16-bit WAV with
+    doc_id-derived samples (mono/stereo alternating) is synthesized
+    byte-for-byte, decoded back by the real PCM reader (RIFF walk,
+    little-endian int16, channel de-interleave), and fingerprinted
+    (total energy + block-energy gradient hash). The DuckDB oracle
+    restates samples, energies and hash bits as pure integer
+    arithmetic — any regression in byte packing, chunk walking, or
+    de-interleaving breaks the value hash."""
+    from danae_spark.catalog import load_table
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                decoded = decode_wav_samples(synth_wav_pcm(d))
+                if decoded is None:
+                    rows.append({"doc_id": d, "sample_rate": None,
+                                 "channels": None, "n_samples": None,
+                                 "energy_sum": None, "grad_hash": None})
+                    continue
+                samples, rate = decoded
+                total, bits = audio_energy_fingerprint(samples)
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "sample_rate": rate,
+                        "channels": samples.shape[1],
+                        "n_samples": samples.shape[0],
+                        "energy_sum": total,
+                        "grad_hash": bits,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "channels", "n_samples",
+                         "energy_sum", "grad_hash"],
+            )
+            rows = []
+
+    return (
+        docs.repartition(32, "doc_id")
+        .mapInPandas(
+            batches,
+            schema=("doc_id bigint, sample_rate int, channels int, "
+                    "n_samples int, energy_sum bigint, grad_hash bigint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+AUDIO_PCM_ORACLE = """
+WITH s AS (
+  SELECT d.doc_id, g.i, c.c,
+         (d.doc_id * 7 + g.i * g.i * 3 + c.c * 13) % 2048 - 1024 AS v
+  FROM documents d,
+       generate_series(0, 1023) g(i),
+       generate_series(0, 1) c(c)
+  WHERE c.c < 1 + (d.doc_id % 2)
+),
+tot AS (
+  SELECT doc_id, CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS energy_sum
+  FROM s GROUP BY doc_id
+),
+blk AS (
+  SELECT doc_id, i // 16 AS b,
+         CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS e
+  FROM s WHERE c = 0 GROUP BY doc_id, i // 16
+),
+gh AS (
+  SELECT l.doc_id,
+         CAST(coalesce(sum(CASE WHEN l.e < r.e
+                       THEN (CAST(1 AS BIGINT) << l.b) ELSE 0 END), 0) AS BIGINT)
+           AS grad_hash
+  FROM blk l JOIN blk r ON l.doc_id = r.doc_id AND r.b = l.b + 1
+  GROUP BY l.doc_id
+)
+SELECT t.doc_id,
+       CAST(8000 + (t.doc_id % 8) * 1000 AS INT) AS sample_rate,
+       CAST(1 + (t.doc_id % 2) AS INT) AS channels,
+       1024 AS n_samples,
+       t.energy_sum, gh.grad_hash
+FROM tot t JOIN gh USING (doc_id)
+ORDER BY doc_id
+"""

@@ -120,6 +120,17 @@ def jpeg_pixels_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pixels.jpeg_pixels_roundtrip(spark, sf_dir)
 
 
+@register("audio_pcm_roundtrip", oracle=_pixels.AUDIO_PCM_ORACLE)
+def audio_pcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end PCM SAMPLE decode check (late r7 — audio decode beyond
+    the header): doc_id-derived 16-bit mono/stereo WAVs synthesized
+    byte-for-byte, decoded by the real PCM reader (RIFF walk, LE int16,
+    channel de-interleave), fingerprinted by total energy + the
+    block-energy gradient hash; the oracle restates everything as
+    integer arithmetic."""
+    return _pixels.audio_pcm_roundtrip(spark, sf_dir)
+
+
 @register("image_near_dup", oracle=_pixels.IMAGE_NEAR_DUP_ORACLE)
 def image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-pixel media near-dup: cluster-structured synthesized images

@@ -173,3 +173,93 @@ def test_gif_interlaced_decode():
     px = decode_pixels(bytes(raw))
     assert px is not None
     assert (px[:, :, 0].astype(np.int64) == lum).all()
+
+
+def test_wav_pcm_roundtrip_mono_and_stereo():
+    """16-bit PCM decode: byte packing, RIFF chunk walk, LE int16,
+    channel de-interleave — exact sample equality against the formula."""
+    from danae_spark.multimodal.pixels import (
+        _pcm_sample,
+        audio_energy_fingerprint,
+        decode_wav_samples,
+        synth_wav_pcm,
+    )
+
+    for d in (0, 1, 6, 13):
+        samples, rate = decode_wav_samples(synth_wav_pcm(d))
+        ch = 1 + d % 2
+        assert samples.shape == (1024, ch)
+        assert rate == 8000 + (d % 8) * 1000
+        for i in (0, 1, 500, 1023):
+            for c in range(ch):
+                assert samples[i, c] == _pcm_sample(d, i, c)
+        total, bits = audio_energy_fingerprint(samples)
+        assert total == sum(
+            _pcm_sample(d, i, c) ** 2 for i in range(1024) for c in range(ch)
+        )
+        assert 0 <= bits < (1 << 63)
+
+
+def test_wav_pcm_out_of_subset_rejected():
+    import struct as _s
+
+    from danae_spark.multimodal.pixels import decode_wav_samples, synth_wav_pcm
+
+    raw = bytearray(synth_wav_pcm(3))
+    assert decode_wav_samples(bytes(raw[:30])) is None  # truncated
+    assert decode_wav_samples(b"RIFFxxxxWAVE") is None  # no chunks
+    # non-PCM format code
+    p = bytearray(raw)
+    fmt_at = bytes(p).find(b"fmt ") + 8
+    p[fmt_at : fmt_at + 2] = _s.pack("<H", 3)  # IEEE float
+    assert decode_wav_samples(bytes(p)) is None
+    # 8-bit
+    p = bytearray(raw)
+    p[fmt_at + 14 : fmt_at + 16] = _s.pack("<H", 8)
+    assert decode_wav_samples(bytes(p)) is None
+
+
+def test_decoders_never_crash_on_arbitrary_bytes():
+    """Fuzz: decode_pixels / decode_wav_samples on random and
+    prefix-mutated payloads must return a value or None — never raise
+    (a crawl feeds these raw bytes inside executor tasks)."""
+    import numpy as _np
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from danae_spark.multimodal.jpegcodec import synth_jpeg
+    from danae_spark.multimodal.pixels import (
+        decode_pixels,
+        decode_wav_samples,
+        synth_gif,
+        synth_image,
+        synth_wav_pcm,
+    )
+
+    seeds = [
+        synth_image(7),
+        synth_gif(_np.arange(64).reshape(8, 8).astype(_np.int64)),
+        synth_jpeg(_np.zeros((8, 8), dtype=_np.int64)),
+        synth_wav_pcm(5),
+    ]
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.data())
+    def fuzz(data):
+        mode = data.draw(st.integers(0, 2))
+        if mode == 0:
+            payload = data.draw(st.binary(min_size=0, max_size=300))
+        else:
+            base = bytearray(seeds[data.draw(st.integers(0, len(seeds) - 1))])
+            if mode == 1:  # truncate
+                payload = bytes(base[: data.draw(st.integers(0, len(base)))])
+            else:  # flip bytes
+                for _ in range(data.draw(st.integers(1, 8))):
+                    ix = data.draw(st.integers(0, len(base) - 1))
+                    base[ix] = data.draw(st.integers(0, 255))
+                payload = bytes(base)
+        decode_pixels(payload)
+        decode_wav_samples(payload)
+
+    fuzz()
