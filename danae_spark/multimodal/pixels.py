@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from danae_spark.session import stage_parallelism
+
 # ------------------------------------------------------------------ decode
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -628,7 +630,7 @@ def image_pixels_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
 
     return (
-        docs.repartition(32, "doc_id")
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
         .mapInPandas(batches, schema=PIXELS_SCHEMA)
         .orderBy("doc_id")
     )
@@ -803,7 +805,7 @@ def image_near_dup_roundtrip(
                 }
             )
 
-    payloads = docs.repartition(32, "doc_id").mapInPandas(
+    payloads = docs.repartition(stage_parallelism(docs.sparkSession), "doc_id").mapInPandas(
         synth, schema="doc_id bigint, payload binary"
     )
     return image_near_dup(
@@ -904,7 +906,7 @@ def jpeg_pixels_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
 
     return (
-        docs.repartition(32, "doc_id")
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
         .mapInPandas(
             batches,
             schema=("doc_id bigint, fmt string, width int, height int, "
@@ -1082,7 +1084,7 @@ def audio_pcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
 
     return (
-        docs.repartition(32, "doc_id")
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
         .mapInPandas(
             batches,
             schema=("doc_id bigint, sample_rate int, channels int, "

@@ -12,6 +12,7 @@ from pyspark.sql import Window as W
 
 from danae_spark.catalog import load_table, widen
 from danae_spark.functions.rounding import rnd
+from danae_spark.session import stage_parallelism
 
 # ------------------------------------------------------------- C8: language ID
 
@@ -1411,7 +1412,7 @@ def maxsim_topk_frame(
     ct_side = (
         ranked.filter(F.col("rk") <= c_terms)
         .select("doc_id", "term")
-        .repartition(32, "doc_id")
+        .repartition(stage_parallelism(docs.sparkSession), "doc_id")
         .select(F.col("doc_id").alias("cand_id"), "term", *dim_cols("e"))
         .withColumn("cn", nrm("e"))
         .drop("term")

@@ -55,3 +55,29 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     except Exception:
         pass
     return spark
+
+
+def stage_parallelism(spark: SparkSession, floor: int = 32) -> int:
+    """Partition count for NUMBERED repartitions ahead of heavy Python
+    stages (mapInPandas media decode, the MaxSim interaction join).
+
+    A numbered ``repartition(n, key)`` is exempt from AQE partition
+    coalescing — that exemption is the point: the shuffled relation is
+    slim (doc ids, terms) so AQE would coalesce it to one task, but the
+    downstream per-row work (pixel decode, q×c interaction) is heavy and
+    needs the parallelism. A hardcoded ``32``, however, caps those
+    stages at local[32]'s width on any larger cluster — the same
+    parallelism-ceiling bug class as r7's zscore/profile fixes. Derive
+    the number from the session instead: the max of the
+    shuffle-partitions conf, ``defaultParallelism`` (executor cores on a
+    real cluster), and a local floor.
+    """
+    try:
+        conf_sp = int(spark.conf.get("spark.sql.shuffle.partitions", "0"))
+    except Exception:
+        conf_sp = 0
+    try:
+        default_par = spark.sparkContext.defaultParallelism
+    except Exception:
+        default_par = 0
+    return max(conf_sp, default_par, floor)
