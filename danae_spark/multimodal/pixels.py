@@ -737,16 +737,29 @@ def dhash_frame(payloads: DataFrame, id_col: str = "doc_id", payload_col: str = 
 
 
 def image_near_dup(
-    hashes: DataFrame, max_hamming: int = 6, n_bands: int = 4
+    hashes: DataFrame, max_hamming: int = 6, n_bands: int | None = None
 ) -> DataFrame:
     """Near-dup pairs among dHashes with hamming ≤ max_hamming, via
     banded LSH for hamming space: split the 56 bits into `n_bands`
-    14-bit bands — any pair within distance < n_bands shares at least
-    one exact band (pigeonhole), so candidates come from n_bands
-    equi-joins (shuffle on the band value, no cross join) and the exact
-    hamming check runs only inside buckets. 100 TB-safe for the same
-    reason minhash banding is: Σ bucket² bounds the verify cost."""
-    width = 56 // n_bands
+    bands — any pair within distance < n_bands shares at least one
+    exact band (pigeonhole), so candidates come from n_bands equi-joins
+    (shuffle on the band value, no cross join) and the exact hamming
+    check runs only inside buckets. n_bands defaults to max_hamming + 1
+    so the pigeonhole guarantee COVERS the requested radius (r7 advisor
+    finding: a fixed 4 bands silently under-reported distance 4-6
+    pairs); smaller n_bands is rejected rather than silently lossy.
+    100 TB-safe for the same reason minhash banding is: Σ bucket²
+    bounds the verify cost."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if max_hamming >= n_bands:
+        raise ValueError(
+            "banded hamming LSH is complete only for max_hamming < "
+            f"n_bands (got max_hamming={max_hamming}, n_bands={n_bands})"
+        )
+    base, extra = divmod(56, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
     bands = hashes.select(
         "doc_id",
         "dhash",
@@ -755,8 +768,8 @@ def image_near_dup(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("dhash", b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
+                        F.shiftright("dhash", offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
                         .alias("val"),
                     )
                     for b in range(n_bands)
@@ -778,14 +791,14 @@ def image_near_dup(
 
 
 def image_near_dup_roundtrip(
-    spark: SparkSession, sf_dir: str, max_hamming: int = 6, n_bands: int = 4
+    spark: SparkSession, sf_dir: str, max_hamming: int = 6, n_bands: int | None = None
 ) -> DataFrame:
     """End-to-end REAL-pixel near-dup: per document a cluster-structured
     8×8 image is synthesized byte-for-byte (4 variants per base image,
     across all five container formats), decoded back by the real
     decoders, dHashed, and joined via banded hamming LSH. The DuckDB
     oracle recomputes the dHashes from the luma arithmetic and mirrors
-    the banding (EXISTS a shared 14-bit band) plus the exact hamming
+    the banding (EXISTS a shared 8-bit band, 7 bands) plus the exact hamming
     filter — the whole decode→hash→candidate→verify pipeline is
     value-checked."""
     from danae_spark.catalog import load_table
@@ -835,8 +848,8 @@ SELECT a.doc_id AS d1, b.doc_id AS d2,
 FROM h a JOIN h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
   AND EXISTS (
-    SELECT 1 FROM generate_series(0, 3) t(band)
-    WHERE ((a.dhash >> (band * 14)) & 16383) = ((b.dhash >> (band * 14)) & 16383)
+    SELECT 1 FROM generate_series(0, 6) t(band)
+    WHERE ((a.dhash >> (band * 8)) & 255) = ((b.dhash >> (band * 8)) & 255)
   )
 ORDER BY d1, d2
 """

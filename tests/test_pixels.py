@@ -263,3 +263,27 @@ def test_decoders_never_crash_on_arbitrary_bytes():
         decode_wav_samples(payload)
 
     fuzz()
+
+
+def test_near_dup_banding_complete_at_requested_radius(spark):
+    """r7 advisor finding: 4 fixed bands only guaranteed recall for
+    hamming < 4. A pair at hamming 6 whose differing bits hit SIX of
+    the old 14-bit bands' positions must still pair up under the
+    default (max_hamming + 1 = 7 bands), and an under-banded call is
+    rejected instead of silently lossy."""
+    import pytest
+
+    h1 = 0
+    # one flipped bit in each of six 8-bit bands -> hamming 6; under the
+    # old 4x14 banding these hit bits 0,8,16,24,32,40 = four distinct
+    # 14-bit bands, all of which differ -> zero shared wide bands among
+    # the first four... construct to break ALL old bands: bits 0, 14,
+    # 28, 42 differ (one per old band) plus 2 more -> hamming 6.
+    h2 = (1 << 0) | (1 << 14) | (1 << 28) | (1 << 42) | (1 << 1) | (1 << 15)
+    df = spark.createDataFrame(
+        [(1, h1, True), (2, h2, True)], "doc_id long, dhash long, decoded boolean"
+    )
+    pairs = image_near_dup(df, max_hamming=6).collect()
+    assert [(p.d1, p.d2, p.hamming) for p in pairs] == [(1, 2, 6)]
+    with pytest.raises(ValueError, match="complete only"):
+        image_near_dup(df, max_hamming=6, n_bands=4)
