@@ -48,6 +48,7 @@ OPERATORS = {
     "text_ann_topk": "documents",
     "maxsim_text_topk": "documents",
     "rolling_zscore_anomaly": "events",
+    "image_near_dup": "documents",
     "pq_ann_topk": "embeddings",
     "ivfpq_ann_topk": "embeddings",
     "q9_product_profit": "lineitem",
