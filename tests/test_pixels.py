@@ -287,3 +287,32 @@ def test_near_dup_banding_complete_at_requested_radius(spark):
     assert [(p.d1, p.d2, p.hamming) for p in pairs] == [(1, 2, 6)]
     with pytest.raises(ValueError, match="complete only"):
         image_near_dup(df, max_hamming=6, n_bands=4)
+
+
+def test_near_dup_composite_band_keys_identical_output(spark):
+    """band_k=2 (the big-corpus scale knob) must return exactly the
+    k=1 pairs: completeness holds for n_bands >= max_hamming + k and
+    the verify filter is shared. Includes pairs at the full radius."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    base = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.abs(F.xxhash64("id")).bitwiseAND(F.lit((1 << 56) - 1)).alias("dhash"),
+        F.lit(True).alias("decoded"),
+    )
+    twins = base.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        # hamming exactly 6 from the base: the radius edge
+        F.col("dhash").bitwiseXOR(
+            F.lit((1 << 2) | (1 << 9) | (1 << 17) | (1 << 25) | (1 << 33) | (1 << 41))
+        ).alias("dhash"),
+        F.lit(True).alias("decoded"),
+    )
+    hashes = base.unionByName(twins)
+    k1 = {(r.d1, r.d2, r.hamming) for r in image_near_dup(hashes, max_hamming=6).collect()}
+    k2 = {(r.d1, r.d2, r.hamming) for r in image_near_dup(hashes, max_hamming=6, band_k=2).collect()}
+    assert len(k1) >= 40  # the planted radius-6 twins are all found
+    assert k1 == k2
+    with pytest.raises(ValueError, match="complete only"):
+        image_near_dup(hashes, max_hamming=6, n_bands=7, band_k=2)
