@@ -8,9 +8,13 @@ Huffman entropy decode with byte-unstuffing, differential DC
 prediction, restart-marker handling (DRI/RSTn: byte-align, reset DC
 predictors, E.2.4), dequantization, 2-D IDCT, level shift, chroma
 upsampling for subsampled scans (4:2:0, 4:2:2 — any integer-ratio
-sampling factors), and YCbCr→RGB. Out-of-subset files (progressive,
-arithmetic-coded, 12-bit, 16-bit quant tables, truncated) return None
-and fall back to `parse_image_header` metadata.
+sampling factors), YCbCr→RGB, and PROGRESSIVE (SOF2) frames — full
+spectral selection + successive approximation per T.81 G.2 (DC/AC
+first and refinement scans, EOB runs, correction bits, restarts),
+accumulated in per-component coefficient grids and reconstructed at
+EOI. Out-of-subset files (arithmetic-coded, hierarchical, 12-bit,
+16-bit quant tables, truncated) return None and fall back to
+`parse_image_header` metadata.
 
 DCT scale: the orthonormal DCT-II matrix C (rows √(1/8) for k=0,
 √(2/8) otherwise) applied as C·b·Cᵀ IS the T.81 A.3.3 FDCT — the
@@ -333,11 +337,37 @@ def synth_jpeg(
 
 # ------------------------------------------------------------- decoder
 
+def _planes_to_image(planes, comps, hmax, vmax, h, w) -> np.ndarray:
+    """Upsample subsampled component planes to full resolution (sample
+    replication; T.81 leaves the filter to the decoder), crop, and
+    convert YCbCr→RGB for 3-component frames."""
+    full = []
+    for p, (_cid, hi, vi, _tq) in zip(planes, comps):
+        if hi != hmax or vi != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        full.append(p)
+    out = [
+        np.clip(np.round(p[:h, :w]), 0, 255).astype(np.uint8) for p in full
+    ]
+    if len(out) == 1:
+        return out[0][:, :, None]
+    y, cb, cr = (o.astype(np.float64) for o in out)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.stack(
+        [np.clip(np.round(c), 0, 255).astype(np.uint8) for c in (r, g, b)],
+        axis=2,
+    )
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray | None:
     """Decode a baseline JPEG within the declared subset to (H, W, C)
-    uint8 (C = 1 or 3); None for anything else (progressive,
-    arithmetic-coded, 12-bit, 16-bit quant tables, non-interleaved
-    multi-component scans, truncated)."""
+    uint8 (C = 1 or 3); None for anything else (arithmetic-coded,
+    hierarchical, 12-bit, 16-bit quant tables, sequential
+    non-interleaved multi-component scans, truncated)."""
     if payload[:2] != b"\xff\xd8":
         return None
     try:
@@ -354,6 +384,8 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray | None:
     ac_tabs: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    coefs = None
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
             return None
@@ -364,8 +396,10 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray | None:
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2  # TEM / stray RSTn: standalone, no length field
             continue
-        if marker == 0xD9:
-            return None  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if progressive and coefs is not None and frame is not None:
+                return _reconstruct_progressive(frame, coefs, qtables)
+            return None  # EOI before SOS on the sequential path
         if pos + 4 > n:
             return None
         seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
@@ -393,7 +427,8 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray | None:
                 dec = {(c, ln): sym for sym, (c, ln) in enc.items()}
                 (ac_tabs if tc else dc_tabs)[th] = dec
                 i += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec = body[0]
             h, w = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
@@ -407,9 +442,22 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray | None:
             if prec != 8 or ncomp not in (1, 3):
                 return None
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if progressive:
+                # coefficient accumulators (zigzag order) for the whole
+                # frame; scans fill them in spectral/approximation order
+                fhmax = max(c[1] for c in comps)
+                fvmax = max(c[2] for c in comps)
+                if any(fhmax % c[1] or fvmax % c[2] for c in comps):
+                    return None
+                pmcuy = -(-h // (8 * fvmax))
+                pmcux = -(-w // (8 * fhmax))
+                coefs = [
+                    np.zeros((pmcuy * vi, pmcux * hi, 64), dtype=np.int32)
+                    for (_cid, hi, vi, _tq) in comps
+                ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline frame types
+            return None  # non-baseline/non-progressive frame types
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -420,6 +468,14 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray | None:
             for c in range(ns):
                 cs, tabs = body[1 + 2 * c : 3 + 2 * c]
                 sel.append((cs, tabs >> 4, tabs & 0x0F))
+            if progressive:
+                ss, se, ahl = body[1 + 2 * ns : 4 + 2 * ns]
+                pos = _decode_progressive_scan(
+                    payload, pos + 2 + seg_len, frame, coefs, sel,
+                    ss, se, ahl >> 4, ahl & 0x0F,
+                    dc_tabs, ac_tabs, restart_interval,
+                )
+                continue
             h, w, comps = frame
             if ns == 1 and len(comps) > 1:
                 return None  # non-interleaved multi-component scans
@@ -498,29 +554,461 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray | None:
                         mcu += 1
             except (IndexError, ValueError, OverflowError):
                 return None
-            # upsample subsampled components to full resolution
-            # (sample replication; T.81 leaves the filter to the decoder)
-            full = []
-            for p, (_cid, hi, vi, _tq) in zip(planes, comps):
-                if hi != hmax or vi != vmax:
-                    p = np.repeat(
-                        np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
-                    )
-                full.append(p)
-            out = [
-                np.clip(np.round(p[:h, :w]), 0, 255).astype(np.uint8)
-                for p in full
-            ]
-            if len(out) == 1:
-                return out[0][:, :, None]
-            y, cb, cr = (o.astype(np.float64) for o in out)
-            r = y + 1.402 * (cr - 128.0)
-            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-            b = y + 1.772 * (cb - 128.0)
-            return np.stack(
-                [np.clip(np.round(c), 0, 255).astype(np.uint8) for c in (r, g, b)],
-                axis=2,
-            )
+            return _planes_to_image(planes, comps, hmax, vmax, h, w)
         pos += 2 + seg_len
         # skip APPn/COM and any other tables transparently
     return None
+
+
+# ---------------------------------------------- progressive (SOF2) decode
+
+def _decode_progressive_scan(
+    payload: bytes,
+    start: int,
+    frame,
+    coefs,
+    sel,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    dc_tabs,
+    ac_tabs,
+    restart_interval: int,
+) -> int:
+    """Decode ONE progressive scan's entropy segment into the frame's
+    coefficient accumulators (T.81 G.2): DC first/refine scans
+    (interleaved MCU order, or raster for single-component scans), AC
+    first/refine scans (always single-component, raster over the
+    component's own block grid) with EOB runs, successive-approximation
+    bit semantics mirroring the G.1.2 decoders (and libjpeg's reference
+    structure for the refinement correction-bit ordering). Returns the
+    payload offset of the first marker after the scan."""
+    h, w, comps = frame
+    # G.1.1.1 scan-header constraints: DC scans are Ss=Se=0, AC bands
+    # sit in [1, 63], refinements step one bit at a time
+    if (ss == 0) != (se == 0) or se > 63 or ss > se:
+        raise ValueError("invalid progressive spectral band")
+    if ah and ah != al + 1:
+        raise ValueError("successive approximation must step by one bit")
+    if al > 13 or ah > 13:
+        raise ValueError("invalid successive-approximation bit position")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    cid_to_ix = {cid: ix for ix, (cid, _hi, _vi, _tq) in enumerate(comps)}
+    scan_ixs = []
+    dcs = {}
+    acs = {}
+    for (cs, td, ta) in sel:
+        if cs not in cid_to_ix:
+            raise ValueError("scan references unknown component")
+        ix = cid_to_ix[cs]
+        scan_ixs.append(ix)
+        if ss == 0 and ah == 0:
+            if td not in dc_tabs:
+                raise ValueError("missing DC table")
+            dcs[ix] = dc_tabs[td]
+        if ss > 0:
+            if ta not in ac_tabs:
+                raise ValueError("missing AC table")
+            acs[ix] = ac_tabs[ta]
+    rd = _BitReader(payload, start)
+    eobrun = 0
+    preds = {ix: 0 for ix in scan_ixs}
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(blk, k) -> None:
+        # refinement correction bit for an already-nonzero coefficient
+        if rd.bits(1) and (int(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    def dc_block(ix, by, bx) -> None:
+        blk = coefs[ix][by, bx]
+        if ah == 0:
+            size = rd.huffman(dcs[ix])
+            if size > 11:
+                raise ValueError("DC magnitude category > 11")
+            preds[ix] += _extend(rd.bits(size), size)
+            blk[0] = preds[ix] << al
+        elif rd.bits(1):
+            blk[0] |= p1
+
+    def ac_first(blk) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = rd.huffman(acs[scan_ixs[0]])
+            r, sz = rs >> 4, rs & 0x0F
+            if sz == 0:
+                if r < 15:  # EOBn: run of 2^r + bits(r) blocks incl. this
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += rd.bits(r)
+                    return
+                k += 16  # ZRL
+                continue
+            if sz > 10:
+                raise ValueError("AC magnitude category > 10")
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            blk[k] = _extend(rd.bits(sz), sz) << al
+            k += 1
+
+    def ac_refine(blk) -> None:
+        # T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine structure
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = rd.huffman(acs[scan_ixs[0]])
+                r, sz = rs >> 4, rs & 0x0F
+                if sz == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += rd.bits(r)
+                        break
+                    newval = 0  # ZRL: 16 zero-history positions
+                else:
+                    if sz != 1:
+                        raise ValueError("refinement magnitude != 1")
+                    newval = p1 if rd.bits(1) else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(blk, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    correct(blk, k)
+                k += 1
+            eobrun -= 1
+
+    def maybe_restart(unit: int) -> None:
+        nonlocal eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            rd.restart()
+            eobrun = 0
+            for ix in preds:
+                preds[ix] = 0
+
+    if ss == 0:
+        if len(sel) > 1:
+            # interleaved DC scan: MCU order with sampling factors
+            mcuy = -(-h // (8 * vmax))
+            mcux = -(-w // (8 * hmax))
+            mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart(mcu)
+                    for ix in scan_ixs:
+                        _cid, hi, vi, _tq = comps[ix]
+                        for byi in range(vi):
+                            for bxi in range(hi):
+                                dc_block(ix, my * vi + byi, mx * hi + bxi)
+                    mcu += 1
+        else:
+            ix = scan_ixs[0]
+            _cid, hi, vi, _tq = comps[ix]
+            comp_h = -(-h * vi // vmax)
+            comp_w = -(-w * hi // hmax)
+            bh, bw = -(-comp_h // 8), -(-comp_w // 8)
+            for b, (by, bx) in enumerate(
+                (by, bx) for by in range(bh) for bx in range(bw)
+            ):
+                maybe_restart(b)
+                dc_block(ix, by, bx)
+    else:
+        if len(sel) != 1:
+            raise ValueError("progressive AC scans are single-component")
+        ix = scan_ixs[0]
+        _cid, hi, vi, _tq = comps[ix]
+        comp_h = -(-h * vi // vmax)
+        comp_w = -(-w * hi // hmax)
+        bh, bw = -(-comp_h // 8), -(-comp_w // 8)
+        fn = ac_first if ah == 0 else ac_refine
+        for b, (by, bx) in enumerate(
+            (by, bx) for by in range(bh) for bx in range(bw)
+        ):
+            maybe_restart(b)
+            fn(coefs[ix][by, bx])
+    # drain padding: rd.pos now sits at the next marker
+    return rd.pos
+
+
+def _reconstruct_progressive(frame, coefs, qtables) -> np.ndarray | None:
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = []
+    for ci, (_cid, hi, vi, tq) in enumerate(comps):
+        if tq not in qtables:
+            return None
+        q = qtables[tq].astype(np.int64)
+        grid = coefs[ci]
+        by_n, bx_n = grid.shape[0], grid.shape[1]
+        plane = np.zeros((by_n * 8, bx_n * 8))
+        for by in range(by_n):
+            for bx in range(bx_n):
+                zz = grid[by, bx].astype(np.int64)
+                coef = np.zeros(64)
+                coef[ZIGZAG] = zz * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _idct(coef.reshape(8, 8)) + 128.0
+                )
+        planes.append(plane)
+    return _planes_to_image(planes, comps, hmax, vmax, h, w)
+
+
+# ---------------------------------------------- progressive (SOF2) encode
+
+# progressive AC table: baseline's 162 (run,size) symbols plus the EOBn
+# symbols 0x10..0xE0 (run-of-EOB lengths 2^1..2^14) — 176 symbols, all
+# 8-bit canonical codes (176 < 256 slots, all-ones unused per spec)
+PROG_AC_VALS = AC_VALS + [r << 4 for r in range(1, 15)]
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_ENC = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+# default scans script: spectral selection + 2-level successive
+# approximation on the AC band, 1-level on DC — the libjpeg-style shape
+# that exercises every progressive code path (DC first/refine, AC
+# first with EOB runs, AC refine with correction bits)
+
+
+def synth_jpeg_progressive(
+    lum: np.ndarray,
+    color: bool = False,
+    restart_interval: int = 0,
+    chroma: tuple[int, int] = (128, 128),
+) -> bytes:
+    """Spec-conformant PROGRESSIVE JPEG (SOF2) for a (h, w) luma grid:
+    DC-first (Al=1) → per-component AC spectral bands (Al=2) →
+    AC refinements (Ah=2→1, then 1→0) → DC refinement — with EOB runs,
+    refinement correction bits (the jcphuff emission order), and
+    optional restart intervals. Because progressive vs sequential
+    differ ONLY in entropy-coding order, decode(synth_jpeg_progressive
+    (x)) must equal decode(synth_jpeg(x)) exactly — the pytest pins
+    that structural equality on random images."""
+    h, w = lum.shape
+    if h % 8 or w % 8:
+        raise ValueError("synth_jpeg_progressive needs multiple-of-8 dims")
+    ncomp = 3 if color else 1
+    planes = [lum]
+    if color:
+        planes += [
+            np.full_like(lum, chroma[0]),
+            np.full_like(lum, chroma[1]),
+        ]
+    bh, bw = h // 8, w // 8
+    # quantized zigzag coefficient grids, one per component (4:4:4)
+    q = [np.zeros((bh, bw, 64), dtype=np.int64) for _ in range(ncomp)]
+    for ci, plane in enumerate(planes):
+        for by in range(bh):
+            for bx in range(bw):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = _fdct(block.astype(np.float64) - 128.0)
+                q[ci][by, bx] = np.round(
+                    coef.reshape(-1)[ZIGZAG] / QTABLE
+                ).astype(np.int64)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0]) + bytes(int(QTABLE[i]) for i in range(64)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])
+    out += seg(0xFFC2, sof)  # SOF2
+    dht = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+    dht += bytes([0x10]) + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS)
+    out += seg(0xFFC4, dht)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+
+    def sos_header(comp_ids, ss_, se_, ah_, al_) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss_, se_, (ah_ << 4) | al_])
+        return seg(0xFFDA, body)
+
+    def emit_dc_scan(al_, refine: bool) -> bytes:
+        wr = _BitWriter()
+        preds = [0] * ncomp
+        rst = 0
+        for b, (by, bx) in enumerate(
+            (by, bx) for by in range(bh) for bx in range(bw)
+        ):
+            if restart_interval and b and b % restart_interval == 0:
+                wr.align()
+                wr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                v = int(q[ci][by, bx, 0])
+                if refine:
+                    wr.put((v >> al_) & 1, 1)
+                else:
+                    t = v >> al_
+                    diff = t - preds[ci]
+                    preds[ci] = t
+                    size, bits = _magnitude(diff)
+                    code, ln = _DC_ENC[size]
+                    wr.put(code, ln)
+                    if size:
+                        wr.put(bits, size)
+        return wr.flush()
+
+    def emit_ac_first(ci, ss_, se_, al_) -> bytes:
+        wr = _BitWriter()
+        eobrun = 0
+        rst = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, ln = _PROG_AC_ENC[nb << 4]
+                wr.put(code, ln)
+                if nb:
+                    wr.put(eobrun - (1 << nb), nb)
+                eobrun = 0
+
+        for b, (by, bx) in enumerate(
+            (by, bx) for by in range(bh) for bx in range(bw)
+        ):
+            if restart_interval and b and b % restart_interval == 0:
+                flush_eob()
+                wr.align()
+                wr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+            blk = q[ci][by, bx]
+            t = [
+                (abs(int(v)) >> al_) * (1 if v > 0 else -1)
+                for v in blk[ss_ : se_ + 1]
+            ]
+            nz = [i for i, v in enumerate(t) if v != 0]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            r = 0
+            for i in range(nz[-1] + 1):
+                if t[i] == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = _PROG_AC_ENC[0xF0]
+                    wr.put(code, ln)
+                    r -= 16
+                size, bits = _magnitude(t[i])
+                code, ln = _PROG_AC_ENC[(r << 4) | size]
+                wr.put(code, ln)
+                wr.put(bits, size)
+                r = 0
+            if nz[-1] < se_ - ss_:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return wr.flush()
+
+    def emit_ac_refine(ci, ss_, se_, ah_, al_) -> bytes:
+        # jcphuff encode_mcu_AC_refine emission order
+        wr = _BitWriter()
+        eobrun = 0
+        be: list[int] = []  # correction bits buffered behind an EOB run
+        rst = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, ln = _PROG_AC_ENC[nb << 4]
+                wr.put(code, ln)
+                if nb:
+                    wr.put(eobrun - (1 << nb), nb)
+                eobrun = 0
+            for bit in be:
+                wr.put(bit, 1)
+            be.clear()
+
+        for b, (by, bx) in enumerate(
+            (by, bx) for by in range(bh) for bx in range(bw)
+        ):
+            if restart_interval and b and b % restart_interval == 0:
+                flush_eob()
+                wr.align()
+                wr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+            blk = q[ci][by, bx]
+            absv = [abs(int(v)) >> al_ for v in blk[ss_ : se_ + 1]]
+            eob = -1
+            for i, a in enumerate(absv):
+                if a == 1:
+                    eob = i
+            r = 0
+            br: list[int] = []
+            for i, a in enumerate(absv):
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    flush_eob()
+                    code, ln = _PROG_AC_ENC[0xF0]
+                    wr.put(code, ln)
+                    r -= 16
+                    for bit in br:
+                        wr.put(bit, 1)
+                    br.clear()
+                if a > 1:
+                    br.append(a & 1)
+                    continue
+                flush_eob()
+                code, ln = _PROG_AC_ENC[(r << 4) | 1]
+                wr.put(code, ln)
+                wr.put(1 if blk[ss_ + i] > 0 else 0, 1)
+                for bit in br:
+                    wr.put(bit, 1)
+                br.clear()
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return wr.flush()
+
+    all_ids = list(range(1, ncomp + 1))
+    # DC first (Al=1), interleaved over all components
+    out += sos_header(all_ids, 0, 0, 0, 1) + emit_dc_scan(1, refine=False)
+    # AC first scans at Al=2: split the luma spectrum, whole band for chroma
+    out += sos_header([1], 1, 5, 0, 2) + emit_ac_first(0, 1, 5, 2)
+    out += sos_header([1], 6, 63, 0, 2) + emit_ac_first(0, 6, 63, 2)
+    for ci in range(1, ncomp):
+        out += sos_header([ci + 1], 1, 63, 0, 2) + emit_ac_first(ci, 1, 63, 2)
+    # AC refinements Ah=2→Al=1, then Ah=1→Al=0
+    for ah_, al_ in ((2, 1), (1, 0)):
+        for ci in range(ncomp):
+            out += sos_header([ci + 1], 1, 63, ah_, al_) + emit_ac_refine(
+                ci, 1, 63, ah_, al_
+            )
+    # DC refinement Ah=1→Al=0
+    out += sos_header(all_ids, 0, 0, 1, 0) + emit_dc_scan(0, refine=True)
+    out += b"\xff\xd9"
+    return bytes(out)

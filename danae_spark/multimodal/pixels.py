@@ -8,7 +8,7 @@ ASCII header, GIF is a pure-Python LZW decode (variable-width
 LSB-first codes, table resets, interlace passes) through the palette,
 and baseline JPEG decodes through the numpy codec in jpegcodec.py
 (Huffman entropy decode, differential DC, IDCT, YCbCr→RGB — declared
-subset: sequential 8-bit incl. 4:2:0/4:2:2 + restarts; no progressive).
+subset: 8-bit sequential AND progressive, incl. 4:2:0/4:2:2 + restarts).
 `parse_image_header` (binary.py) stays the metadata path for
 out-of-subset variants, and the declared fake-encoder path remains
 their fallback in media_near_dup.

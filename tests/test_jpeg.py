@@ -213,3 +213,73 @@ def test_fill_bytes_and_stray_length_less_markers_in_walk():
     assert (decode_jpeg(patched)[:, :, 0].astype(np.int64) == lum).all()
     patched = raw[:sof] + b"\xff\x01" + raw[sof:]
     assert (decode_jpeg(patched)[:, :, 0].astype(np.int64) == lum).all()
+
+
+def test_progressive_decodes_identical_to_sequential():
+    """Progressive vs sequential JPEG differ ONLY in entropy-coding
+    order — the reconstructed quantized coefficients are the same, so
+    decode must be bit-identical. Random images exercise DC first/
+    refine, AC-first EOB runs, and AC-refine correction bits."""
+    from danae_spark.multimodal.jpegcodec import synth_jpeg_progressive
+
+    rng = np.random.default_rng(41)
+    for trial in range(6):
+        h8, w8 = int(rng.integers(1, 5)), int(rng.integers(1, 5))
+        img = rng.integers(0, 256, (h8 * 8, w8 * 8)).astype(np.int64)
+        color = bool(trial % 2)
+        chroma = (
+            (int(rng.integers(0, 256)), int(rng.integers(0, 256)))
+            if color
+            else (128, 128)
+        )
+        seq = decode_jpeg(synth_jpeg(img, color=color, chroma=chroma))
+        prog = decode_jpeg(
+            synth_jpeg_progressive(img, color=color, chroma=chroma)
+        )
+        assert prog is not None
+        assert (prog == seq).all(), f"trial {trial}"
+
+
+def test_progressive_with_restart_markers():
+    """RSTn inside progressive scans: DC predictors, EOB runs, and the
+    refinement bit stream all reset/align correctly."""
+    from danae_spark.multimodal.jpegcodec import synth_jpeg_progressive
+
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 256, (32, 24)).astype(np.int64)
+    for ri in (1, 2, 5):
+        raw = synth_jpeg_progressive(img, color=True, restart_interval=ri)
+        assert b"\xff\xdd" in raw
+        prog = decode_jpeg(raw)
+        seq = decode_jpeg(synth_jpeg(img, color=True))
+        assert prog is not None and (prog == seq).all(), f"ri={ri}"
+
+
+def test_progressive_block_constant_exact():
+    """The lossy-oracle construction survives the progressive path: DC
+    multiples reconstruct exactly through shifted first scans plus
+    refinements."""
+    from danae_spark.multimodal.jpegcodec import synth_jpeg_progressive
+
+    lum = _block_constant(47, 3, 3)
+    px = decode_jpeg(synth_jpeg_progressive(lum))
+    assert px is not None
+    assert (px[:, :, 0].astype(np.int64) == lum).all()
+
+
+def test_progressive_dispatches_through_decode_pixels():
+    from danae_spark.multimodal.jpegcodec import synth_jpeg_progressive
+
+    lum = _block_constant(53, 2, 2)
+    px = decode_pixels(synth_jpeg_progressive(lum))
+    assert px is not None and (px[:, :, 0].astype(np.int64) == lum).all()
+
+
+def test_progressive_rejects_malformed_scan_headers():
+    """A SOF2 frame with a baseline-shaped (Ss=0, Se=63) scan is not a
+    legal progressive stream and must return None, not garbage."""
+    lum = _block_constant(59, 2, 2)
+    raw = bytearray(synth_jpeg(lum))
+    sof = raw.find(b"\xff\xc0")
+    raw[sof + 1] = 0xC2  # claim progressive, keep the baseline scan
+    assert decode_jpeg(bytes(raw)) is None
