@@ -95,6 +95,7 @@ HEADLINE = [
     "image_pixels_roundtrip",
     "image_near_dup",
     "jpeg_pixels_roundtrip",
+    "jpeg_progressive_roundtrip",
     "audio_pcm_roundtrip",
 ]
 

@@ -890,7 +890,9 @@ def _jpeg_block_luma(doc_id: int, by: int, bx: int) -> int:
     return ((doc_id * 31 + (by * 2 + bx) * 37) % 16) * 16
 
 
-def jpeg_pixels_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def jpeg_pixels_roundtrip(
+    spark: SparkSession, sf_dir: str, progressive: bool = False
+) -> DataFrame:
     """Oracle-checkable BASELINE-JPEG round-trip: per document a 16×16
     image (four 8×8 blocks, block-constant luma in multiples of the DC
     quantization step) is encoded by the real spec-conformant encoder
@@ -903,11 +905,16 @@ def jpeg_pixels_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     state luma and both perceptual-hash bit patterns as pure doc_id
     arithmetic even though the codec is lossy."""
     from danae_spark.catalog import load_table
-    from danae_spark.multimodal.jpegcodec import decode_jpeg, synth_jpeg
+    from danae_spark.multimodal.jpegcodec import (
+        decode_jpeg,
+        synth_jpeg,
+        synth_jpeg_progressive,
+    )
     from danae_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    prefix = "jpeg_prog" if progressive else "jpeg"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
@@ -919,7 +926,13 @@ def jpeg_pixels_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     dtype=np.int64,
                 )
                 lum = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
-                payload = synth_jpeg(lum, color=bool(d % 2))
+                if progressive:
+                    # d % 3 also exercises RSTn inside progressive scans
+                    payload = synth_jpeg_progressive(
+                        lum, color=bool(d % 2), restart_interval=d % 3
+                    )
+                else:
+                    payload = synth_jpeg(lum, color=bool(d % 2))
                 px = decode_jpeg(payload)
                 ok = px is not None
                 g = luma_grid(px) if ok else None
@@ -927,7 +940,7 @@ def jpeg_pixels_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append(
                     {
                         "doc_id": d,
-                        "fmt": "jpeg_color" if d % 2 else "jpeg_gray",
+                        "fmt": f"{prefix}_color" if d % 2 else f"{prefix}_gray",
                         "width": px.shape[1] if ok else None,
                         "height": px.shape[0] if ok else None,
                         "channels": px.shape[2] if ok else None,
@@ -953,6 +966,12 @@ def jpeg_pixels_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "ahash_hi bigint, dhash bigint"),
         )
         .orderBy("doc_id")
+    )
+
+
+def _jpeg_oracle(prefix: str) -> str:
+    return JPEG_PIXELS_ORACLE.replace("'jpeg_color'", f"'{prefix}_color'").replace(
+        "'jpeg_gray'", f"'{prefix}_gray'"
     )
 
 

@@ -414,3 +414,18 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bpe_tokenize_frame). Deterministic training is pytest-enforced;
     the driver records the rows-only check."""
     return _bpe.bpe_token_count(spark, sf_dir, n_merges=50)
+
+
+@register(
+    "jpeg_progressive_roundtrip",
+    oracle=_pixels._jpeg_oracle("jpeg_prog"),
+)
+def jpeg_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end PROGRESSIVE-JPEG codec check (r8): the same
+    block-constant lossy-oracle construction as jpeg_pixels_roundtrip,
+    but encoded with SOF2 scans scripts (DC first/refine, split AC
+    bands with successive approximation, EOB runs, and per-doc restart
+    intervals d % 3) and decoded by the progressive coefficient-
+    accumulation path. Exact reconstruction makes the whole spectral-
+    selection machinery DuckDB-value-checked."""
+    return _pixels.jpeg_pixels_roundtrip(spark, sf_dir, progressive=True)
