@@ -2,7 +2,7 @@
 
 The container has no codec libraries, but every major image family
 decodes without one: PNG is zlib inflate + the five spec unfilter
-types (RFC 2083 §6), BMP (BITMAPINFOHEADER, uncompressed 24-bit) is
+types (RFC 2083 §6; 8/16-bit, Adam7 interlace, palette), BMP (BITMAPINFOHEADER, uncompressed 24-bit) is
 raw bottom-up rows, PPM/PGM (P6/P5 binary) are raw bytes after an
 ASCII header, GIF is a pure-Python LZW decode (variable-width
 LSB-first codes, table resets, interlace passes) through the palette,
@@ -93,12 +93,24 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 interlace passes: (x_start, x_step, y_start, y_step)
+_ADAM7 = [
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+]
+
+
 def _decode_png(payload: bytes) -> np.ndarray | None:
     if payload[:8] != _PNG_MAGIC or payload[12:16] != b"IHDR":
         return None
     w, h = struct.unpack(">II", payload[16:24])
     bit_depth, color_type, _comp, _filt, interlace = payload[24:29]
-    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_SAMPLES:
+    if (
+        bit_depth not in (8, 16)
+        or interlace not in (0, 1)
+        or color_type not in _PNG_SAMPLES
+        or (bit_depth == 16 and color_type == 3)  # no 16-bit palettes
+    ):
         return None  # out of the stdlib-decodable subset
     plte = None
     idat = b""
@@ -118,15 +130,39 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
     if not idat:
         return None
     samples = _PNG_SAMPLES[color_type]
+    bpp = samples * (bit_depth // 8)
     raw = zlib.decompress(idat)
-    if len(raw) != h * (1 + w * samples):
-        return None
-    px = _png_unfilter(raw, w, h, samples)
+    if interlace == 0:
+        if len(raw) != h * (1 + w * bpp):
+            return None
+        img = _png_unfilter(raw, w, h, bpp)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # back onto the full grid (PNG spec §8.2)
+        img = np.zeros((h, w * bpp), dtype=np.uint8)
+        pos = 0
+        for (x0, dx, y0, dy) in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            need = hp * (1 + wp * bpp)
+            if pos + need > len(raw):
+                return None
+            sub = _png_unfilter(raw[pos : pos + need], wp, hp, bpp)
+            pos += need
+            for ry in range(hp):
+                img[y0 + ry * dy].reshape(w, bpp)[x0::dx] = sub[ry].reshape(
+                    wp, bpp
+                )
+    px = img.reshape(h, w, samples, bit_depth // 8)[..., 0]
+    # 16-bit: big-endian high byte == round(v * 255 / 65535) to within
+    # the usual truncation convention; 8-bit: the sample itself
     if color_type == 3:
         if plte is None:
             return None
         return plte[px.reshape(h, w)]  # palette → RGB
-    return px.reshape(h, w, samples)
+    return px.copy()
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray | None:
@@ -391,22 +427,18 @@ def _rt_luma(doc_id: int, i: int) -> int:
     return (doc_id * 31 + i * 7) % 256
 
 
-def synth_png(
-    lum: np.ndarray, rgb: bool = False, filter_of_row=None
-) -> bytes:
-    """Real PNG encoder for a (h, w) luma grid: zlib-deflated IDAT with
-    per-row filters APPLIED (filter_of_row(y) → 0..4, default varies by
-    row so every unfilter branch is exercised), CRC32-correct chunks."""
-    h, w = lum.shape
-    bpp = 3 if rgb else 1
-    px = np.repeat(lum.astype(np.uint8)[:, :, None], 3, axis=2) if rgb else lum.astype(np.uint8)[:, :, None]
+def _png_filter_rows(px_bytes: np.ndarray, bpp: int, filter_of_row) -> bytearray:
+    """Apply per-row PNG filters to a (h, stride) byte matrix (stride =
+    width·bpp); filter_of_row(y) → 0..4, default cycles so every
+    unfilter branch is exercised."""
+    h, stride = px_bytes.shape
     raw = bytearray()
-    prev = np.zeros(w * bpp, dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
-        row = px[y].reshape(-1).astype(np.int64)
+        row = px_bytes[y].astype(np.int64)
         f = filter_of_row(y) if filter_of_row else y % 5
         raw.append(f)
-        for x in range(w * bpp):
+        for x in range(stride):
             left = int(row[x - bpp]) if x >= bpp else 0
             up = int(prev[x])
             ul = int(prev[x - bpp]) if x >= bpp else 0
@@ -422,12 +454,61 @@ def synth_png(
                 v = row[x] - _paeth(left, up, ul)
             raw.append(int(v) & 0xFF)
         prev = row
+    return raw
+
+
+def synth_png(
+    lum: np.ndarray,
+    rgb: bool = False,
+    filter_of_row=None,
+    interlace: bool = False,
+    bit_depth: int = 8,
+) -> bytes:
+    """Real PNG encoder for a (h, w) luma grid: zlib-deflated IDAT with
+    per-row filters APPLIED, CRC32-correct chunks. interlace=True
+    writes Adam7 (seven independently-filtered sub-images); bit_depth=16
+    writes big-endian 16-bit samples v·257 (so the high byte — what the
+    decoder keeps — round-trips the 8-bit value exactly)."""
+    if bit_depth not in (8, 16):
+        raise ValueError("bit_depth must be 8 or 16")
+    h, w = lum.shape
+    samples = 3 if rgb else 1
+    px = (
+        np.repeat(lum.astype(np.uint16)[:, :, None], 3, axis=2)
+        if rgb
+        else lum.astype(np.uint16)[:, :, None]
+    )
+    if bit_depth == 16:
+        # v*257 = (v<<8)|v: full-scale 8→16 expansion, big-endian bytes
+        wide = px.astype(np.uint16) * 257
+        pxb = np.stack([(wide >> 8) & 0xFF, wide & 0xFF], axis=-1).astype(
+            np.uint8
+        )
+    else:
+        pxb = px.astype(np.uint8)[..., None]
+    bpp = samples * (bit_depth // 8)
+    flat = pxb.reshape(h, w * bpp)
+    if not interlace:
+        raw = _png_filter_rows(flat, bpp, filter_of_row)
+    else:
+        raw = bytearray()
+        for (x0, dx, y0, dy) in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub = np.zeros((hp, wp * bpp), dtype=np.uint8)
+            for ry in range(hp):
+                sub[ry] = flat[y0 + ry * dy].reshape(w, bpp)[x0::dx].reshape(-1)
+            raw += _png_filter_rows(sub, bpp, filter_of_row)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
         return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if rgb else 0, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, 2 if rgb else 0, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)

@@ -316,3 +316,35 @@ def test_near_dup_composite_band_keys_identical_output(spark):
     assert k1 == k2
     with pytest.raises(ValueError, match="complete only"):
         image_near_dup(hashes, max_hamming=6, n_bands=7, band_k=2)
+
+
+def test_png_adam7_and_16bit_roundtrip_exact():
+    """r8: Adam7 interlace (seven independently-filtered sub-images)
+    and 16-bit samples (big-endian, high byte kept) decode exactly —
+    including non-multiple-of-8 dims where late passes are empty."""
+    rng = np.random.default_rng(61)
+    for h, w in ((1, 1), (3, 2), (7, 9), (16, 16), (13, 21)):
+        lum = rng.integers(0, 256, (h, w)).astype(np.int64)
+        for interlace in (False, True):
+            for bit_depth in (8, 16):
+                for rgb in (False, True):
+                    px = decode_pixels(
+                        synth_png(
+                            lum, rgb=rgb, interlace=interlace, bit_depth=bit_depth
+                        )
+                    )
+                    assert px is not None, (h, w, interlace, bit_depth, rgb)
+                    assert (
+                        px[:, :, 0].astype(np.int64) == lum
+                    ).all(), (h, w, interlace, bit_depth, rgb)
+
+
+def test_png_16bit_palette_rejected():
+    lum = np.zeros((8, 8), dtype=np.int64)
+    raw = bytearray(synth_png(lum, bit_depth=16))
+    # IHDR color type byte: palette (3) with 16-bit depth is illegal
+    ihdr = raw.find(b"IHDR")
+    raw[ihdr + 13] = 3
+    from danae_spark.multimodal.pixels import decode_pixels as dp
+
+    assert dp(bytes(raw)) is None
