@@ -10,7 +10,7 @@ Pixel decode is REAL for every major image family — PNG, 24-bit BMP,
 binary PPM/PGM, GIF/LZW, and baseline JPEG (multimodal/pixels.py +
 jpegcodec.py, r7) — and header decode is real for PNG/JPEG/GIF,
 WAV/MP3, and MP4. Only out-of-subset image variants (arithmetic-coded
-JPEG, sub-byte-depth PNG) and video/audio CODEC frames
+JPEG) and video/audio CODEC frames
 remain behind NotImplementedError, with a deterministic fake "decode"
 deriving metadata from payload bytes so that plumbing (schema,
 batching, UDF signature) stays real and testable end-to-end.
@@ -39,7 +39,7 @@ def decode_image(payload: bytes) -> dict:
     PPM/PGM, GIF (pure-Python LZW incl. interlace), and baseline JPEG
     (numpy Huffman+IDCT codec) — via multimodal/pixels.decode_pixels
     (r7). NOT IMPLEMENTED only for out-of-subset variants
-    (arithmetic-coded JPEG, 1/2/4-bit PNG, ...): header-level
+    (arithmetic-coded JPEG, RLE BMP, ...): header-level
     metadata for those comes from parse_image_header."""
     from danae_spark.multimodal.pixels import decode_pixels
 
@@ -53,7 +53,7 @@ def decode_image(payload: bytes) -> dict:
         }
     raise NotImplementedError(
         "pixel decode unavailable for this payload (out-of-subset "
-        "variant: arithmetic-coded JPEG, 1/2/4-bit PNG, ...); "
+        "variant: arithmetic-coded JPEG, RLE BMP, ...); "
         "parse_image_header handles metadata, and PNG/BMP/PPM/PGM/GIF/"
         "baseline-JPEG decode for real via multimodal.pixels"
     )

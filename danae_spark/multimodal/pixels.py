@@ -2,7 +2,7 @@
 
 The container has no codec libraries, but every major image family
 decodes without one: PNG is zlib inflate + the five spec unfilter
-types (RFC 2083 §6; 8/16-bit, Adam7 interlace, palette), BMP (BITMAPINFOHEADER, uncompressed 24-bit) is
+types (RFC 2083 §6; all depths 1/2/4/8/16, Adam7 interlace, palette), BMP (BITMAPINFOHEADER, uncompressed 24-bit) is
 raw bottom-up rows, PPM/PGM (P6/P5 binary) are raw bytes after an
 ASCII header, GIF is a pure-Python LZW decode (variable-width
 LSB-first codes, table resets, interlace passes) through the palette,
@@ -56,13 +56,14 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
-    """Invert the per-row PNG filters. Returns (height, width*bpp) uint8.
+def _png_unfilter(raw: bytes, stride: int, height: int, bpp: int) -> np.ndarray:
+    """Invert the per-row PNG filters. Returns (height, stride) uint8;
+    stride is the scanline byte length (width·bpp for ≥8-bit depths,
+    ceil(width·depth/8) for sub-byte), bpp the filter offset (≥1 byte).
 
     Sub/Average/Paeth carry an in-row prefix dependency, so rows decode
     with a per-byte loop; Up/None are whole-row vector ops. Images here
     are thumbnails/synthesized payloads — correctness over throughput."""
-    stride = width * bpp
     out = np.zeros((height, stride), dtype=np.uint8)
     pos = 0
     prev = np.zeros(stride, dtype=np.uint8)
@@ -106,12 +107,13 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
     w, h = struct.unpack(">II", payload[16:24])
     bit_depth, color_type, _comp, _filt, interlace = payload[24:29]
     if (
-        bit_depth not in (8, 16)
+        bit_depth not in (1, 2, 4, 8, 16)
         or interlace not in (0, 1)
         or color_type not in _PNG_SAMPLES
         or (bit_depth == 16 and color_type == 3)  # no 16-bit palettes
+        or (bit_depth < 8 and color_type not in (0, 3))  # sub-byte: gray/palette only
     ):
-        return None  # out of the stdlib-decodable subset
+        return None  # invalid header combinations
     plte = None
     idat = b""
     pos = 8
@@ -130,38 +132,59 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
     if not idat:
         return None
     samples = _PNG_SAMPLES[color_type]
-    bpp = samples * (bit_depth // 8)
+    # filter offset: the byte distance of "the pixel to the left",
+    # floored at one byte for sub-byte depths (PNG spec 9.2)
+    fbpp = max(1, samples * bit_depth // 8)
+
+    def unpack_rows(rows: np.ndarray, wp: int) -> np.ndarray:
+        """(hp, stride) filtered-out bytes → (hp, wp, samples) raw
+        sample values (high byte for 16-bit; bit-unpacked for sub-byte)."""
+        hp = rows.shape[0]
+        if bit_depth == 8:
+            return rows.reshape(hp, wp, samples)
+        if bit_depth == 16:
+            return rows.reshape(hp, wp, samples, 2)[..., 0]
+        bits = np.unpackbits(rows, axis=1)[:, : wp * bit_depth]
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        return (
+            bits.reshape(hp, wp, bit_depth).dot(weights).astype(np.uint8)
+        )[..., None]
+
+    def decode_pass(raw_part: bytes, wp: int, hp: int) -> np.ndarray:
+        stride = (wp * samples * bit_depth + 7) // 8
+        return unpack_rows(_png_unfilter(raw_part, stride, hp, fbpp), wp)
+
     raw = zlib.decompress(idat)
     if interlace == 0:
-        if len(raw) != h * (1 + w * bpp):
+        stride = (w * samples * bit_depth + 7) // 8
+        if len(raw) != h * (1 + stride):
             return None
-        img = _png_unfilter(raw, w, h, bpp)
+        px = decode_pass(raw, w, h)
     else:
         # Adam7: seven independently-filtered sub-images, scattered
         # back onto the full grid (PNG spec §8.2)
-        img = np.zeros((h, w * bpp), dtype=np.uint8)
+        px = np.zeros((h, w, samples), dtype=np.uint8)
         pos = 0
         for (x0, dx, y0, dy) in _ADAM7:
             wp = (w - x0 + dx - 1) // dx
             hp = (h - y0 + dy - 1) // dy
             if wp <= 0 or hp <= 0:
                 continue
-            need = hp * (1 + wp * bpp)
+            stride = (wp * samples * bit_depth + 7) // 8
+            need = hp * (1 + stride)
             if pos + need > len(raw):
                 return None
-            sub = _png_unfilter(raw[pos : pos + need], wp, hp, bpp)
+            px[y0::dy, x0::dx] = decode_pass(raw[pos : pos + need], wp, hp)
             pos += need
-            for ry in range(hp):
-                img[y0 + ry * dy].reshape(w, bpp)[x0::dx] = sub[ry].reshape(
-                    wp, bpp
-                )
-    px = img.reshape(h, w, samples, bit_depth // 8)[..., 0]
-    # 16-bit: big-endian high byte == round(v * 255 / 65535) to within
-    # the usual truncation convention; 8-bit: the sample itself
     if color_type == 3:
         if plte is None:
             return None
-        return plte[px.reshape(h, w)]  # palette → RGB
+        return plte[px[:, :, 0]]  # palette → RGB
+    if bit_depth < 8:
+        # scale sub-byte gray to full range (255 / (2^d - 1))
+        px = (px.astype(np.int64) * 255 // ((1 << bit_depth) - 1)).astype(
+            np.uint8
+        )
     return px.copy()
 
 
@@ -469,8 +492,10 @@ def synth_png(
     writes Adam7 (seven independently-filtered sub-images); bit_depth=16
     writes big-endian 16-bit samples v·257 (so the high byte — what the
     decoder keeps — round-trips the 8-bit value exactly)."""
-    if bit_depth not in (8, 16):
-        raise ValueError("bit_depth must be 8 or 16")
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise ValueError("bit_depth must be one of 1/2/4/8/16")
+    if bit_depth < 8 and rgb:
+        raise ValueError("sub-byte depths are grayscale-only")
     h, w = lum.shape
     samples = 3 if rgb else 1
     px = (
@@ -478,18 +503,31 @@ def synth_png(
         if rgb
         else lum.astype(np.uint16)[:, :, None]
     )
-    if bit_depth == 16:
-        # v*257 = (v<<8)|v: full-scale 8→16 expansion, big-endian bytes
-        wide = px.astype(np.uint16) * 257
-        pxb = np.stack([(wide >> 8) & 0xFF, wide & 0xFF], axis=-1).astype(
-            np.uint8
-        )
-    else:
-        pxb = px.astype(np.uint8)[..., None]
-    bpp = samples * (bit_depth // 8)
-    flat = pxb.reshape(h, w * bpp)
+    bpp = max(1, samples * bit_depth // 8)
+
+    def pack(sub_px: np.ndarray) -> np.ndarray:
+        """(hp, wp, samples) sample values → (hp, stride) scanline bytes."""
+        hp, wp = sub_px.shape[0], sub_px.shape[1]
+        if bit_depth == 8:
+            return sub_px.astype(np.uint8).reshape(hp, wp * samples)
+        if bit_depth == 16:
+            # v*257 = (v<<8)|v: full-scale 8→16 expansion, big-endian
+            wide = sub_px.astype(np.uint16) * 257
+            return (
+                np.stack([(wide >> 8) & 0xFF, wide & 0xFF], axis=-1)
+                .astype(np.uint8)
+                .reshape(hp, wp * samples * 2)
+            )
+        if (sub_px >= (1 << bit_depth)).any():
+            raise ValueError(f"values exceed {bit_depth}-bit range")
+        # expand each value into its bit_depth MSB-first bits
+        bits = (
+            (sub_px[:, :, 0, None] >> np.arange(bit_depth - 1, -1, -1)) & 1
+        ).astype(np.uint8).reshape(hp, wp * bit_depth)
+        return np.packbits(bits, axis=1)
+
     if not interlace:
-        raw = _png_filter_rows(flat, bpp, filter_of_row)
+        raw = _png_filter_rows(pack(px), bpp, filter_of_row)
     else:
         raw = bytearray()
         for (x0, dx, y0, dy) in _ADAM7:
@@ -497,10 +535,7 @@ def synth_png(
             hp = (h - y0 + dy - 1) // dy
             if wp <= 0 or hp <= 0:
                 continue
-            sub = np.zeros((hp, wp * bpp), dtype=np.uint8)
-            for ry in range(hp):
-                sub[ry] = flat[y0 + ry * dy].reshape(w, bpp)[x0::dx].reshape(-1)
-            raw += _png_filter_rows(sub, bpp, filter_of_row)
+            raw += _png_filter_rows(pack(px[y0::dy, x0::dx]), bpp, filter_of_row)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         crc = zlib.crc32(ctype + body) & 0xFFFFFFFF

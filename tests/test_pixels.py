@@ -348,3 +348,17 @@ def test_png_16bit_palette_rejected():
     from danae_spark.multimodal.pixels import decode_pixels as dp
 
     assert dp(bytes(raw)) is None
+
+
+def test_png_sub_byte_depths_roundtrip():
+    """r8: 1/2/4-bit grayscale PNGs (MSB-first packed scanlines,
+    byte-aligned rows, full-range scaling 255/(2^d-1)) decode exactly,
+    plain and Adam7-interlaced — PNG depth coverage is now complete."""
+    rng = np.random.default_rng(67)
+    for d in (1, 2, 4):
+        for interlace in (False, True):
+            lum = rng.integers(0, 1 << d, (7, 11)).astype(np.int64)
+            px = decode_pixels(synth_png(lum, bit_depth=d, interlace=interlace))
+            assert px is not None
+            expected = lum * 255 // ((1 << d) - 1)
+            assert (px[:, :, 0].astype(np.int64) == expected).all(), (d, interlace)
