@@ -39,7 +39,7 @@ def decode_image(payload: bytes) -> dict:
     PPM/PGM, GIF (pure-Python LZW incl. interlace), and baseline JPEG
     (numpy Huffman+IDCT codec) — via multimodal/pixels.decode_pixels
     (r7). NOT IMPLEMENTED only for out-of-subset variants
-    (arithmetic-coded JPEG, RLE BMP, ...): header-level
+    (arithmetic-coded JPEG, 16/32-bit BMP, ...): header-level
     metadata for those comes from parse_image_header."""
     from danae_spark.multimodal.pixels import decode_pixels
 
@@ -53,7 +53,7 @@ def decode_image(payload: bytes) -> dict:
         }
     raise NotImplementedError(
         "pixel decode unavailable for this payload (out-of-subset "
-        "variant: arithmetic-coded JPEG, RLE BMP, ...); "
+        "variant: arithmetic-coded JPEG, 16/32-bit BMP, ...); "
         "parse_image_header handles metadata, and PNG/BMP/PPM/PGM/GIF/"
         "baseline-JPEG decode for real via multimodal.pixels"
     )

@@ -2,8 +2,8 @@
 
 The container has no codec libraries, but every major image family
 decodes without one: PNG is zlib inflate + the five spec unfilter
-types (RFC 2083 §6; all depths 1/2/4/8/16, Adam7 interlace, palette), BMP (BITMAPINFOHEADER, uncompressed 24-bit) is
-raw bottom-up rows, PPM/PGM (P6/P5 binary) are raw bytes after an
+types (RFC 2083 §6; all depths 1/2/4/8/16, Adam7 interlace, palette), BMP (BITMAPINFOHEADER; 24-bit raw and
+8-bit palettized incl. BI_RLE8) is bottom-up/top-down rows, PPM/PGM (P6/P5 binary) are raw bytes after an
 ASCII header, GIF is a pure-Python LZW decode (variable-width
 LSB-first codes, table resets, interlace passes) through the palette,
 and baseline JPEG decodes through the numpy codec in jpegcodec.py
@@ -198,19 +198,83 @@ def _decode_bmp(payload: bytes) -> np.ndarray | None:
     w, h = struct.unpack("<ii", payload[18:26])
     planes, bpp = struct.unpack("<HH", payload[26:30])
     (compression,) = struct.unpack("<I", payload[30:34])
-    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+    (clr_used,) = struct.unpack("<I", payload[46:50])
+    if w <= 0 or h == 0:
         return None
     flip = h > 0  # positive height = bottom-up rows
     h = abs(h)
-    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
-    if len(payload) < data_off + stride * h:
-        return None
-    rows = np.frombuffer(
-        payload, dtype=np.uint8, count=stride * h, offset=data_off
-    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-    if flip:
-        rows = rows[::-1]
-    return rows[:, :, ::-1].copy()  # BGR → RGB
+    if bpp == 24 and compression == 0:
+        stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        if len(payload) < data_off + stride * h:
+            return None
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if flip:
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR → RGB
+    if bpp == 8 and compression in (0, 1):  # palettized, raw or RLE8
+        n_colors = clr_used or 256
+        pal_off = 14 + hdr_size
+        if len(payload) < pal_off + 4 * n_colors:
+            return None
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+        ).reshape(n_colors, 4)[:, 2::-1]  # BGRA → RGB
+        if compression == 0:
+            stride = (w + 3) & ~3
+            if len(payload) < data_off + stride * h:
+                return None
+            idx = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * h, offset=data_off
+            ).reshape(h, stride)[:, :w]
+        else:
+            idx = _bmp_rle8(payload[data_off:], w, h)
+            if idx is None:
+                return None
+        if (idx >= n_colors).any():
+            return None
+        if flip:
+            idx = idx[::-1]
+        return pal[idx].copy()
+    return None
+
+
+def _bmp_rle8(data: bytes, w: int, h: int) -> np.ndarray | None:
+    """BI_RLE8 (BMP spec): (count, value) runs, 0x00-escapes for end of
+    line (0), end of bitmap (1), delta (2), and absolute runs (n ≥ 3,
+    word-aligned). Returns the (h, w) index grid in stored (bottom-up
+    unless top-down) row order; the caller flips."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n and y < h:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            end = min(x + cnt, w)
+            out[y, x:end] = val
+            x = end
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta jump
+            if i + 1 >= n:
+                return None
+            x = min(x + data[i], w)
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: val literal bytes, padded to a word
+            if i + val > n:
+                return None
+            end = min(x + val, w)
+            out[y, x:end] = np.frombuffer(
+                data, dtype=np.uint8, count=end - x, offset=i
+            )
+            x = end
+            i += val + (val & 1)
+    return out
 
 
 def _decode_pnm(payload: bytes) -> np.ndarray | None:
@@ -550,6 +614,69 @@ def synth_png(
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
+
+
+def synth_bmp8(
+    lum: np.ndarray, rle: bool = False, top_down: bool = False
+) -> bytes:
+    """8-bit palettized BMP (grayscale identity palette), raw or
+    BI_RLE8-compressed — fixtures for the palette/RLE decode paths. The
+    RLE emitter mixes encoded runs, absolute runs (for short literal
+    stretches), end-of-line and end-of-bitmap escapes."""
+    h, w = lum.shape
+    pal = b"".join(bytes((v, v, v, 0)) for v in range(256))
+    if not rle:
+        stride = (w + 3) & ~3
+        body = bytearray()
+        rows = lum if top_down else lum[::-1]
+        for y in range(h):
+            body += bytes(int(v) for v in rows[y]) + b"\x00" * (stride - w)
+        compression = 0
+    else:
+        body = bytearray()
+        rows = lum if top_down else lum[::-1]
+        for y in range(h):
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and run < 255 and int(rows[y, x + run]) == int(rows[y, x]):
+                    run += 1
+                if run >= 3 or x + run >= w:
+                    body += bytes((run, int(rows[y, x])))
+                    x += run
+                else:
+                    # absolute run of up to 255 literals (until a 3-run)
+                    j = x
+                    while (
+                        j < w
+                        and j - x < 255
+                        and not (
+                            j + 2 < w
+                            and int(rows[y, j]) == int(rows[y, j + 1]) == int(rows[y, j + 2])
+                        )
+                    ):
+                        j += 1
+                    lit = j - x
+                    if lit >= 3:
+                        body += bytes((0, lit)) + bytes(
+                            int(v) for v in rows[y, x:j]
+                        )
+                        if lit & 1:
+                            body += b"\x00"
+                        x = j
+                    else:
+                        body += bytes((1, int(rows[y, x])))
+                        x += 1
+            body += b"\x00\x00"  # end of line
+        body += b"\x00\x01"  # end of bitmap
+        compression = 1
+    data_off = 14 + 40 + len(pal)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 8, compression,
+        len(body), 2835, 2835, 256, 0,
+    )
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+    return hdr + info + pal + bytes(body)
 
 
 def synth_bmp(lum: np.ndarray) -> bytes:

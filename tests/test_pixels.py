@@ -362,3 +362,20 @@ def test_png_sub_byte_depths_roundtrip():
             assert px is not None
             expected = lum * 255 // ((1 << d) - 1)
             assert (px[:, :, 0].astype(np.int64) == expected).all(), (d, interlace)
+
+
+def test_bmp_palettized_and_rle8_roundtrip():
+    """r8: 8-bit palettized BMP (identity gray palette), raw and
+    BI_RLE8 (encoded runs, absolute runs, EOL/EOB escapes), bottom-up
+    and top-down row orders — all decode exactly."""
+    from danae_spark.multimodal.pixels import synth_bmp8
+
+    rng = np.random.default_rng(71)
+    lum = np.where(
+        rng.random((13, 17)) < 0.6, 77, rng.integers(0, 256, (13, 17))
+    ).astype(np.int64)
+    for rle in (False, True):
+        for top_down in (False, True):
+            px = decode_pixels(synth_bmp8(lum, rle=rle, top_down=top_down))
+            assert px is not None, (rle, top_down)
+            assert (px[:, :, 0].astype(np.int64) == lum).all(), (rle, top_down)
