@@ -507,7 +507,15 @@ def dhash_bits(lum: np.ndarray) -> int:
 
 # ------------------------------------------------- synthesized payloads
 
-_RT_FORMATS = ("png_gray", "png_rgb", "bmp", "ppm", "pgm", "gif")
+# r8 widened the rotation with the newly-real container variants —
+# 16-bit and Adam7-interlaced PNG, palettized raw/RLE8 BMP, and
+# progressive JPEG is exercised by its own registered entry. The
+# oracle states luma as pure doc_id arithmetic, so container choice
+# only changes WHICH decoder must reproduce it.
+_RT_FORMATS = (
+    "png_gray", "png_rgb", "bmp", "ppm", "pgm", "gif",
+    "png16", "png_adam7", "bmp8", "bmp8_rle",
+)
 
 
 def _rt_luma(doc_id: int, i: int) -> int:
@@ -789,7 +797,7 @@ def synth_pnm(lum: np.ndarray, rgb: bool = False) -> bytes:
 
 def synth_image(doc_id: int, grid: int = 8) -> bytes:
     """Deterministic 8×8 image for doc_id: luma from _rt_luma, container
-    format cycling through all five (doc_id % 5) so every decoder runs."""
+    format cycling through the full rotation so every decoder runs."""
     lum = np.array(
         [[_rt_luma(doc_id, y * grid + x) for x in range(grid)] for y in range(grid)],
         dtype=np.int64,
@@ -808,6 +816,14 @@ def _synth_in_format(lum: np.ndarray, fmt: str) -> bytes:
         return synth_pnm(lum, rgb=True)
     if fmt == "gif":
         return synth_gif(lum)
+    if fmt == "png16":
+        return synth_png(lum, bit_depth=16)
+    if fmt == "png_adam7":
+        return synth_png(lum, rgb=True, interlace=True)
+    if fmt == "bmp8":
+        return synth_bmp8(lum)
+    if fmt == "bmp8_rle":
+        return synth_bmp8(lum, rle=True, top_down=True)
     return synth_pnm(lum, rgb=False)
 
 
@@ -909,11 +925,12 @@ d AS (
   GROUP BY l.doc_id
 )
 SELECT m.doc_id,
-       CASE m.doc_id % 6 WHEN 0 THEN 'png_gray' WHEN 1 THEN 'png_rgb'
+       CASE m.doc_id % 10 WHEN 0 THEN 'png_gray' WHEN 1 THEN 'png_rgb'
             WHEN 2 THEN 'bmp' WHEN 3 THEN 'ppm' WHEN 4 THEN 'pgm'
-            ELSE 'gif' END AS format,
+            WHEN 5 THEN 'gif' WHEN 6 THEN 'png16' WHEN 7 THEN 'png_adam7'
+            WHEN 8 THEN 'bmp8' ELSE 'bmp8_rle' END AS format,
        8 AS width, 8 AS height,
-       CASE WHEN m.doc_id % 6 IN (0, 4) THEN 1 ELSE 3 END AS channels,
+       CASE WHEN m.doc_id % 10 IN (0, 4, 6) THEN 1 ELSE 3 END AS channels,
        m.pixel_sum, a.ahash_lo, a.ahash_hi, d.dhash
 FROM m JOIN a USING (doc_id) JOIN d USING (doc_id)
 ORDER BY doc_id
