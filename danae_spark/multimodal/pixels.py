@@ -1281,10 +1281,12 @@ ORDER BY doc_id
 # ----------------------------------------------- WAV PCM sample decode
 
 def decode_wav_samples(payload: bytes) -> tuple[np.ndarray, int] | None:
-    """Decode 16-bit PCM WAV to ((n_samples, channels) int32 array,
-    sample_rate). Audio SAMPLES need no codec library — this extends
-    'decode for real' beyond the header triad to the waveform itself.
-    None for non-PCM/compressed/8- or 24-bit payloads."""
+    """Decode PCM WAV to ((n_samples, channels) int32 array,
+    sample_rate) at every integer PCM depth — 8-bit (unsigned, shifted
+    to signed), 16/32-bit (LE signed), and 24-bit (LE signed,
+    sign-extended from 3-byte frames). Audio SAMPLES need no codec
+    library — this extends 'decode for real' beyond the header triad
+    to the waveform itself. None for non-PCM/compressed payloads."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     i, n = 12, len(payload)
@@ -1297,19 +1299,40 @@ def decode_wav_samples(payload: bytes) -> tuple[np.ndarray, int] | None:
             audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", payload[i + 8 : i + 24]
             )
-            if audio_fmt != 1 or bits != 16 or channels < 1:
-                return None  # non-PCM / non-16-bit out of subset
-            fmt = (channels, rate)
+            if audio_fmt != 1 or bits not in (8, 16, 24, 32) or channels < 1:
+                return None  # non-PCM / non-integer-PCM out of subset
+            fmt = (channels, rate, bits)
         elif cid == b"data":
             data = payload[i + 8 : i + 8 + csize]
         i += 8 + csize + (csize % 2)
     if fmt is None or data is None:
         return None
-    channels, rate = fmt
-    usable = len(data) - (len(data) % (2 * channels))
+    channels, rate, bits = fmt
+    bysam = bits // 8
+    usable = len(data) - (len(data) % (bysam * channels))
     if usable <= 0:
         return None
-    samples = np.frombuffer(data, dtype="<i2", count=usable // 2).astype(np.int32)
+    if bits == 8:
+        samples = (
+            np.frombuffer(data, dtype=np.uint8, count=usable).astype(np.int32)
+            - 128
+        )
+    elif bits == 16:
+        samples = np.frombuffer(data, dtype="<i2", count=usable // 2).astype(
+            np.int32
+        )
+    elif bits == 32:
+        samples = np.frombuffer(data, dtype="<i4", count=usable // 4).astype(
+            np.int32
+        )
+    else:  # 24-bit: sign-extend 3-byte LE frames
+        tri = np.frombuffer(data, dtype=np.uint8, count=usable).reshape(-1, 3)
+        samples = (
+            tri[:, 0].astype(np.int32)
+            | (tri[:, 1].astype(np.int32) << 8)
+            | (tri[:, 2].astype(np.int32) << 16)
+        )
+        samples = np.where(samples & 0x800000, samples - (1 << 24), samples)
     return samples.reshape(-1, channels), rate
 
 
@@ -1339,6 +1362,37 @@ def _pcm_sample(doc_id: int, i: int, c: int) -> int:
     """Deterministic 16-bit sample value — quadratic in the sample index
     so block energies vary; mirrored verbatim in the SQL oracle."""
     return ((doc_id * 7 + i * i * 3 + c * 13) % 2048) - 1024
+
+
+def synth_wav(samples: np.ndarray, rate: int = 8000, bits: int = 16) -> bytes:
+    """PCM WAV from an (n, channels) int array at any integer depth —
+    8 (unsigned), 16/32 (LE signed), 24 (3-byte LE signed) — fixtures
+    for the depth-generalized decoder."""
+    if samples.ndim != 2:
+        raise ValueError("samples must be (n, channels)")
+    n, channels = samples.shape
+    bysam = bits // 8
+    frames = bytearray()
+    for i in range(n):
+        for c in range(channels):
+            v = int(samples[i, c])
+            if bits == 8:
+                frames.append((v + 128) & 0xFF)
+            elif bits == 16:
+                frames += struct.pack("<h", v)
+            elif bits == 24:
+                frames += (v & 0xFFFFFF).to_bytes(3, "little")
+            elif bits == 32:
+                frames += struct.pack("<i", v)
+            else:
+                raise ValueError("bits must be 8/16/24/32")
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * bysam,
+        channels * bysam, bits,
+    )
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(frames)) + bytes(frames)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
 def synth_wav_pcm(doc_id: int, n_samples: int = 1024) -> bytes:

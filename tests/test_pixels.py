@@ -379,3 +379,20 @@ def test_bmp_palettized_and_rle8_roundtrip():
             px = decode_pixels(synth_bmp8(lum, rle=rle, top_down=top_down))
             assert px is not None, (rle, top_down)
             assert (px[:, :, 0].astype(np.int64) == lum).all(), (rle, top_down)
+
+
+def test_wav_pcm_all_integer_depths_roundtrip():
+    """r8: the PCM reader covers 8 (unsigned->signed), 16, 24
+    (sign-extended 3-byte LE), and 32-bit depths, mono and stereo."""
+    from danae_spark.multimodal.pixels import decode_wav_samples, synth_wav
+
+    rng = np.random.default_rng(73)
+    for bits, lo, hi in ((8, -128, 128), (16, -(1 << 15), 1 << 15),
+                         (24, -(1 << 23), 1 << 23), (32, -(1 << 31), 1 << 31)):
+        for channels in (1, 2):
+            samples = rng.integers(lo, hi, (257, channels)).astype(np.int64)
+            got = decode_wav_samples(synth_wav(samples, bits=bits))
+            assert got is not None, (bits, channels)
+            arr, rate = got
+            assert rate == 8000
+            assert (arr.astype(np.int64) == samples).all(), (bits, channels)
