@@ -1301,6 +1301,12 @@ def decode_wav_samples(payload: bytes) -> tuple[np.ndarray, int] | None:
             )
             if audio_fmt != 1 or bits not in (8, 16, 24, 32) or channels < 1:
                 return None  # non-PCM / non-integer-PCM out of subset
+            # Header self-consistency: block_align and byte_rate are
+            # redundant with channels×bits — a mismatch means a corrupt
+            # or hand-patched header, and reinterpreting the data bytes
+            # at the claimed depth would produce garbage samples.
+            if _ba != channels * (bits // 8) or _br != rate * _ba:
+                return None
             fmt = (channels, rate, bits)
         elif cid == b"data":
             data = payload[i + 8 : i + 8 + csize]

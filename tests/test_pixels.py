@@ -213,9 +213,20 @@ def test_wav_pcm_out_of_subset_rejected():
     fmt_at = bytes(p).find(b"fmt ") + 8
     p[fmt_at : fmt_at + 2] = _s.pack("<H", 3)  # IEEE float
     assert decode_wav_samples(bytes(p)) is None
-    # 8-bit
+    # bits patched 16->8 with block_align/byte_rate left at the 16-bit
+    # values: an internally-inconsistent header — since r9 the decoder
+    # cross-checks block_align == channels*bits/8 (and byte_rate) and
+    # rejects rather than reinterpreting 16-bit bytes as 8-bit garbage.
     p = bytearray(raw)
     p[fmt_at + 14 : fmt_at + 16] = _s.pack("<H", 8)
+    assert decode_wav_samples(bytes(p)) is None
+    # block_align alone corrupted (bits/channels/byte_rate untouched)
+    p = bytearray(raw)
+    p[fmt_at + 12 : fmt_at + 14] = _s.pack("<H", 7)
+    assert decode_wav_samples(bytes(p)) is None
+    # byte_rate alone corrupted
+    p = bytearray(raw)
+    p[fmt_at + 8 : fmt_at + 12] = _s.pack("<I", 1)
     assert decode_wav_samples(bytes(p)) is None
 
 
