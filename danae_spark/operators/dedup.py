@@ -741,6 +741,7 @@ def dedup_clusters(
     sf_dir: str,
     pairs: DataFrame | None = None,
     order: bool = True,
+    pairs_impl: str = "xxhash64",
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: every doc in a
     dup pair gets its component's minimum doc_id as cluster_id — the
@@ -750,9 +751,18 @@ def dedup_clusters(
     Delegates to `connected_components` (large-star/small-star, O(log n)
     rounds — see its docstring); this wrapper adds cluster sizes and the
     keep/drop flag. `order=False` skips the output sort for composition
-    (downstream joins re-shuffle anyway)."""
+    (downstream joins re-shuffle anyway).
+
+    `pairs_impl` picks the default pair pipeline when `pairs` is None:
+    'xxhash64' (library default since r9 — the r8 forensics measured the
+    md5 minhash evaluation as the dominant linear term of the keeper
+    chain, with the JVM-xxhash64 twin at 0.55x e2e and identical
+    verified-Jaccard output on this lake) or 'md5' (the SQL-portable
+    family the DuckDB oracle reproduces — the registered oracle entries
+    pass it explicitly)."""
     if pairs is None:
-        pairs = dedup_minhash_md5(spark, sf_dir)
+        mk = dedup_minhash_md5 if pairs_impl == "md5" else dedup_minhash_xxhash64
+        pairs = mk(spark, sf_dir)
     labels = connected_components(pairs)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     out = labels.join(sizes, "label").select(
@@ -803,6 +813,7 @@ def canonical_keeper(
     sf_dir: str,
     pairs: DataFrame | None = None,
     order: bool = True,
+    pairs_impl: str = "xxhash64",
 ) -> DataFrame:
     """The fused end-of-pipeline curation decision: one row per document
     combining near-dup clustering with the quality verdict. Within each
@@ -831,16 +842,23 @@ def canonical_keeper(
     pairs=dedup_minhash_xxhash64(spark, sf_dir)) ran 13.0 s vs 23.7 s
     warm min-of-2 e2e at sf1 (0.55×), identical output on this lake
     (same verified-Jaccard pairs). curate_corpus shares the same term
-    and the same lever."""
+    and the same lever.
+
+    r9: that measured lever is now the LIBRARY DEFAULT —
+    `pairs_impl='xxhash64'` when no pair frame is injected. The
+    registered oracle entry passes `pairs_impl='md5'` so the DuckDB
+    twin still reproduces the whole pipeline; a parity pytest pins the
+    two defaults output-equal on the lake
+    (tests/test_dedup.py::test_canonical_keeper_xxhash64_default_parity)."""
     from danae_spark.catalog import load_table
     from danae_spark.operators.textstats import quality_filter_frame
 
     q = quality_filter_frame(
         load_table(spark, sf_dir, "documents"), order=False
     ).select("doc_id", "quality_score", F.col("keep").alias("quality_keep"))
-    clusters = dedup_clusters(spark, sf_dir, pairs, order=False).select(
-        "doc_id", "cluster_id", "cluster_size"
-    )
+    clusters = dedup_clusters(
+        spark, sf_dir, pairs, order=False, pairs_impl=pairs_impl
+    ).select("doc_id", "cluster_id", "cluster_size")
     joined = (
         q.join(clusters, "doc_id", "left")
         .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
@@ -1496,7 +1514,9 @@ def span_rewrite_oracle(
 # ------------------------- end-to-end corpus curation (the whole pipeline)
 
 
-def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curate_corpus(
+    spark: SparkSession, sf_dir: str, pairs_impl: str = "xxhash64"
+) -> DataFrame:
     """The whole training-data curation pipeline as ONE call: near-dup
     clustering → quality-aware canonical selection (canonical_keeper) →
     exact-substring span removal AMONG the survivors (remove_shared_spans)
@@ -1509,9 +1529,13 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: strictly the composition of its parts — every stage is
     the already-bounded operator; the only new work is one doc_id
-    equi-join between the keep-set and the documents table."""
+    equi-join between the keep-set and the documents table.
+
+    `pairs_impl` forwards to canonical_keeper: 'xxhash64' is the r9
+    library default (measured 0.55x e2e vs md5 at sf1, identical
+    output); the registered oracle entry passes 'md5'."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ck = canonical_keeper(spark, sf_dir, order=False)
+    ck = canonical_keeper(spark, sf_dir, order=False, pairs_impl=pairs_impl)
     # kept_meta feeds BOTH the survivor filter and the final provenance
     # join; without a checkpoint Spark re-executes the whole upstream
     # minhash+CC+quality plan once per reference (measured 2× = ~6 s of

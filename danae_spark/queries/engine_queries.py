@@ -202,8 +202,10 @@ def canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection per near-dup cluster: the fused
     cluster->decision step (operators/dedup.py canonical_keeper) — keep
     the highest-quality member of each cluster, drop the rest and every
-    quality-failing doc."""
-    return _dedup.canonical_keeper(spark, sf_dir)
+    quality-failing doc. Pins `pairs_impl='md5'` — the SQL-portable
+    minhash family the DuckDB oracle reproduces (the r9 library default
+    is the faster xxhash64 twin, pytest-pinned output-equal)."""
+    return _dedup.canonical_keeper(spark, sf_dir, pairs_impl="md5")
 
 
 @register("span_dedup_rewrite", oracle=_dedup.span_rewrite_oracle())
@@ -219,8 +221,9 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation in one call: near-dup clusters ->
     quality-aware canonical keeper -> verbatim-span removal among
     survivors -> final publishable corpus with provenance
-    (operators/dedup.py curate_corpus)."""
-    return _dedup.curate_corpus(spark, sf_dir)
+    (operators/dedup.py curate_corpus). Pins `pairs_impl='md5'` for
+    oracle parity; the r9 library default is xxhash64."""
+    return _dedup.curate_corpus(spark, sf_dir, pairs_impl="md5")
 
 
 @register("contamination_spans", oracle=_dedup.contamination_spans_oracle())

@@ -35,7 +35,7 @@ def test_dedup_clusters_match_recursive_oracle(spark, sf_dir):
 
     from danae_spark.catalog import TABLES, table_path
 
-    out = dedup.dedup_clusters(spark, sf_dir)
+    out = dedup.dedup_clusters(spark, sf_dir, pairs_impl="md5")
     s_rows = sorted(tuple(r) for r in out.collect())
 
     con = duckdb.connect()
@@ -318,6 +318,24 @@ def test_shared_spans_splits_separate_spans_and_ignores_short(spark):
         ).collect())
     )
     assert out == [60, 70], out
+
+
+def test_canonical_keeper_xxhash64_default_parity(spark, sf_dir):
+    """r9: the library default pair pipeline switched to xxhash64 (the
+    r8-measured 0.55x e2e lever). This pin makes the switch safe: the
+    default (xxhash64) and the oracle family (md5) must produce the SAME
+    canonical_keeper decision frame on the lake — both pipelines end in
+    the identical exact-Jaccard verification, so they may differ only if
+    banding misses a true pair, which this asserts does not happen here."""
+    default_rows = sorted(
+        tuple(r) for r in dedup.canonical_keeper(spark, sf_dir).collect()
+    )
+    md5_rows = sorted(
+        tuple(r)
+        for r in dedup.canonical_keeper(spark, sf_dir, pairs_impl="md5").collect()
+    )
+    assert len(default_rows) > 0
+    assert default_rows == md5_rows
 
 
 def test_canonical_keeper_prefers_quality_over_min_id(spark, sf_dir):
