@@ -996,11 +996,24 @@ def dhash_frame(payloads: DataFrame, id_col: str = "doc_id", payload_col: str = 
     return sel.mapInPandas(run, schema=NEAR_DUP_SCHEMA)
 
 
+# band_k auto-select crossover (docs): measured on diverse 56-bit hash
+# corpora (uniform + planted twins) — N=200k k=1 wins 6.0 vs 7.5 s,
+# N=500k k=2 wins 20.5 vs 47.4 s; the quadratic k=1 Σ bucket² regime
+# takes over between those, so the switch point sits mid-interval.
+BAND_K_AUTO_CROSSOVER = 300_000
+
+
+def auto_band_k(n_docs: int) -> int:
+    """The measured k=1 vs k=2 decision for a corpus of n_docs hashes."""
+    return 2 if n_docs >= BAND_K_AUTO_CROSSOVER else 1
+
+
 def image_near_dup(
     hashes: DataFrame,
     max_hamming: int = 6,
     n_bands: int | None = None,
-    band_k: int = 1,
+    band_k: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs among dHashes with hamming ≤ max_hamming, via
     banded LSH for hamming space: split the 56 bits into `n_bands`
@@ -1025,10 +1038,23 @@ def image_near_dup(
     k=2 7.5 s (explode volume still dominates), N=500k k=1 47.4 s vs
     k=2 20.5 s — the quadratic k=1 term takes over between 2e5 and
     5e5 docs, so big corpora should pass band_k=2 (or shard first).
-    The default stays k=1: the registered oracle mirrors its banding,
-    and the sf1 synthetic lake (8×8 images, 9.9M genuinely-near-dup
-    pairs) is output-dense enough that no banding scheme separates
-    it. Registered-entry cost is unaffected."""
+
+    r9: band_k=None (the default) AUTO-SELECTS at that measured
+    crossover (BAND_K_AUTO_CROSSOVER docs) — a user no longer has to
+    know the kwarg to stay off the quadratic regime. The corpus size
+    comes from the `n_docs` caller hint when given, else one
+    `hashes.count()` (NOTE: the count executes the upstream plan once —
+    pass n_docs when hashes is an expensive unmaterialized decode
+    pipeline, or an explicit band_k to skip sizing entirely). Output is
+    k-invariant by construction (completeness holds for every k with
+    n_bands ≥ h + k; the exact verify filter is unchanged) —
+    pytest-pinned at both regimes. The registered oracle entry pins
+    band_k=1 (its banding mirror), so registered plans and cost are
+    unaffected."""
+    if band_k is None:
+        if n_docs is None:
+            n_docs = hashes.count()
+        band_k = auto_band_k(n_docs)
     if n_bands is None:
         n_bands = max_hamming + band_k
     if band_k < 1 or band_k > n_bands:
@@ -1107,8 +1133,11 @@ def image_near_dup_roundtrip(
     payloads = docs.repartition(stage_parallelism(docs.sparkSession), "doc_id").mapInPandas(
         synth, schema="doc_id bigint, payload binary"
     )
+    # band_k=1 pinned: the registered oracle mirrors the k=1 banding and
+    # the sf-lake is far below the auto crossover — pinning also avoids
+    # an extra count() execution of the synth+decode pipeline.
     return image_near_dup(
-        dhash_frame(payloads), max_hamming=max_hamming, n_bands=n_bands
+        dhash_frame(payloads), max_hamming=max_hamming, n_bands=n_bands, band_k=1
     )
 
 

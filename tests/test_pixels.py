@@ -328,6 +328,28 @@ def test_near_dup_composite_band_keys_identical_output(spark):
     with pytest.raises(ValueError, match="complete only"):
         image_near_dup(hashes, max_hamming=6, n_bands=7, band_k=2)
 
+    # r9 auto-select: band_k=None picks k at the measured crossover —
+    # k=1 below it, k=2 at/above it (driven here by the n_docs hint so
+    # the big-corpus branch is exercised without a 300k-row frame).
+    from danae_spark.multimodal.pixels import BAND_K_AUTO_CROSSOVER, auto_band_k
+
+    assert auto_band_k(BAND_K_AUTO_CROSSOVER - 1) == 1
+    assert auto_band_k(BAND_K_AUTO_CROSSOVER) == 2
+    small = image_near_dup(hashes, max_hamming=6, n_docs=1000)
+    big = image_near_dup(hashes, max_hamming=6, n_docs=1_000_000)
+
+    # the auto choice actually lands: plan shape (modulo expr ids)
+    # equals the explicit-k plan
+    import re
+
+    def plan(df):
+        return re.sub(r"#\d+", "#x", df._jdf.queryExecution().analyzed().toString())
+
+    assert plan(small) == plan(image_near_dup(hashes, max_hamming=6, band_k=1))
+    assert plan(big) == plan(image_near_dup(hashes, max_hamming=6, band_k=2))
+    # and the identical-output invariant holds across the switch
+    assert {(r.d1, r.d2, r.hamming) for r in big.collect()} == k1
+
 
 def test_png_adam7_and_16bit_roundtrip_exact():
     """r8: Adam7 interlace (seven independently-filtered sub-images)
