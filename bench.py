@@ -183,6 +183,85 @@ def _environment_probe(spark, sf_dir: str) -> dict:
     return probe
 
 
+def _noise_model(timings: dict, probe: dict, here: str, sf=None) -> dict | None:
+    """Per-query noise band vs the previous round's artifact (r9,
+    VERDICT directive: r6-r8 each spent a directive re-attributing
+    sub-3 s count-track scatter to host dispatch drift — pin the model
+    once). The model: a query's wall time is fixed work plus a
+    dispatch-latency term proportional to the host's per-job overhead,
+    which the env probe measures directly. A current time t vs previous
+    time p is WITHIN NOISE iff
+
+        p * lo - a  <=  t  <=  p * hi + a
+
+    where hi = max(1, jvm_ratio, python_ratio) * 1.2 and
+    lo = min(1, jvm_ratio, python_ratio) / 1.2 (the probe ratios are
+    this-round-probe / prev-round-probe; 1.2 is the residual min-of-2
+    scatter observed across r6-r8 on unchanged plans), and a = 0.3 s is
+    an absolute floor absorbing scheduler jitter on sub-second queries.
+    Only queries OUTSIDE their band are worth discussing in a round log.
+    Returns {"ref_probe", "jvm_ratio", "python_ratio", "factor_hi",
+    "factor_lo", "abs_floor_s", "outliers": {name: {...}}} or None when
+    no previous artifact exists."""
+    import glob as _glob
+
+    prev = None
+    # newest prior detail record: BENCH_DETAIL.json is this script's own
+    # mirror (overwritten each run), so prefer the driver's immutable
+    # BENCH_r{N}.json captures.
+    cands = sorted(_glob.glob(os.path.join(here, "BENCH_r*.json")))
+    for p in reversed(cands):
+        try:
+            with open(p) as f:
+                rec = json.load(f)
+            rec = rec.get("parsed") or rec  # driver wraps the parsed line
+            if isinstance(rec, dict) and rec.get("queries"):
+                if sf is not None and rec.get("sf") not in (None, sf):
+                    continue  # cross-SF times are not comparable
+                prev = (os.path.basename(p), rec)
+                break
+        except (OSError, json.JSONDecodeError, AttributeError):
+            continue
+    if prev is None:
+        return None
+    ref_name, rec = prev
+    pq_times = rec["queries"]
+    pprobe = rec.get("env_probe") or {}
+
+    def ratio(cur, old):
+        try:
+            return round(float(cur) / float(old), 3) if cur and old else 1.0
+        except (TypeError, ZeroDivisionError, ValueError):
+            return 1.0
+
+    jvm_r = ratio(probe.get("jvm_job_ms"), pprobe.get("jvm_job_ms"))
+    py_r = ratio(probe.get("python_job_ms"), pprobe.get("python_job_ms"))
+    hi = round(max(1.0, jvm_r, py_r) * 1.2, 3)
+    lo = round(min(1.0, jvm_r, py_r) / 1.2, 3)
+    floor = 0.3
+    outliers = {}
+    for name, t in timings.items():
+        p = pq_times.get(name)
+        if p is None:
+            continue
+        band = (round(p * lo - floor, 3), round(p * hi + floor, 3))
+        if not (band[0] <= t <= band[1]):
+            outliers[name] = {"prev": p, "cur": t, "band": band}
+    return {
+        "ref": ref_name,
+        "jvm_ratio": jvm_r,
+        "python_ratio": py_r,
+        "factor_hi": hi,
+        "factor_lo": lo,
+        "abs_floor_s": floor,
+        "outliers": outliers,
+    }
+
+
+def detail_sf(sf: str):
+    return float(sf) if sf.replace(".", "").isdigit() else sf
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -240,6 +319,8 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     probe = _environment_probe(spark, sf_dir)
+    here = os.path.dirname(os.path.abspath(__file__))
+    noise = _noise_model(timings, probe, here, sf=detail_sf(sf))
     detail = {
         "metric": "headline_query_detail",
         "value": total,
@@ -247,15 +328,15 @@ def main() -> None:
         "queries": timings,
         "materialized_total": round(sum(mat_timings.values()), 3),
         "queries_materialized": mat_timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": detail_sf(sf),
         "env_probe": probe,
+        "noise_model": noise,
     }
     # Full record first (one line, may exceed any tail-capture window) and
     # mirrored to a file next to this script so the per-query materialized
     # track survives regardless of how much stdout a harness keeps.
     print(json.dumps(detail))
     try:
-        here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
             json.dump(detail, f, indent=1)
     except OSError:
@@ -277,15 +358,38 @@ def main() -> None:
             "python_job_ms": probe.get("python_job_ms"),
         },
     }
+    if noise is not None:
+        # band factors + outlier names only (bounded); full per-outlier
+        # prev/cur/band lives in the detail record / BENCH_DETAIL.json
+        compact["noise_band"] = {
+            "ref": noise["ref"],
+            "factor_lo": noise["factor_lo"],
+            "factor_hi": noise["factor_hi"],
+            "abs_floor_s": noise["abs_floor_s"],
+            "outliers": sorted(noise["outliers"]),
+        }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > TAIL_BUDGET:
-        compact.pop("env_probe")
+    if len(line) > TAIL_BUDGET and noise is not None and len(
+        compact["noise_band"]["outliers"]
+    ) > 8:
+        compact["noise_band"]["outliers_omitted"] = (
+            len(noise["outliers"]) - 8
+        )
+        compact["noise_band"]["outliers"] = sorted(
+            noise["outliers"], key=lambda n: -abs(noise["outliers"][n]["cur"] - noise["outliers"][n]["prev"])
+        )[:8]
         line = json.dumps(compact, separators=(",", ":"))
+    # thin the per-query dict BEFORE touching env_probe/noise_band: the
+    # full per-query detail survives in BENCH_DETAIL.json, while the
+    # probe + band are what make the compact record interpretable.
     while len(line) > TAIL_BUDGET and compact["queries"]:
         slowest = sorted(timings.items(), key=lambda kv: -kv[1])
         keep = slowest[: max(0, len(compact["queries"]) - 5)]
         compact["queries"] = dict(sorted(keep))
         compact["queries_omitted"] = len(timings) - len(keep)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > TAIL_BUDGET:
+        compact.pop("env_probe", None)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
