@@ -206,6 +206,16 @@ class DataLakeEngine:
 
         return audio_meta_frame(df, **kw)
 
+    def mp3_census(self, df: DataFrame, **kw) -> DataFrame:
+        """Structural MPEG-1 Layer III census over any (id, binary)
+        frame: per-stream frame counts, duration, bit-reservoir depth,
+        short-block density, Huffman partition stats — the bit-exact
+        side-info walk one level below audio_meta (multimodal/mp3.py;
+        sample decode is the documented out-of-scope boundary)."""
+        from danae_spark.multimodal.mp3 import mp3_sideinfo_frame
+
+        return mp3_sideinfo_frame(df, **kw)
+
     def quantize_embeddings(self) -> DataFrame:
         """Int8-quantize the embeddings table (4× memory; cosine runs
         directly on the codes — see operators/quantize.py)."""

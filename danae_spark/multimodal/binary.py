@@ -136,7 +136,14 @@ def parse_audio_header(payload: bytes) -> dict | None:
     duration for WAV (RIFF fmt chunk walk) and MP3 (ID3v2 skip + MPEG
     frame-header sync). Returns None for anything unrecognized. Pure
     bytes→dict — runs inside the Arrow mapInPandas batches with zero
-    extra dependencies, same pattern as parse_image_header."""
+    extra dependencies, same pattern as parse_image_header.
+
+    One level deeper for MP3 lives in multimodal/mp3.py (r9): full
+    frame walk + bit-exact side-info parse (granule block types,
+    Huffman partition geometry, bit-reservoir accounting). Layer III
+    SAMPLE decode is a documented de-scope — see that module's
+    docstring for the certifiability boundary (fixed out-of-band spec
+    tables, no reference decoder in this container)."""
     import struct
 
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":

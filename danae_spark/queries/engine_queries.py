@@ -432,3 +432,21 @@ def jpeg_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation path. Exact reconstruction makes the whole spectral-
     selection machinery DuckDB-value-checked."""
     return _pixels.jpeg_pixels_roundtrip(spark, sf_dir, progressive=True)
+
+
+from danae_spark.multimodal import mp3 as _mp3  # noqa: E402
+
+
+@register("mp3_sideinfo_roundtrip", oracle=_mp3.MP3_SIDEINFO_ORACLE)
+def mp3_sideinfo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end STRUCTURAL Layer III check (r9): per-doc MPEG-1
+    Layer III streams synthesized byte-for-byte (real sync headers,
+    frame-length arithmetic, bit-packed side info), walked and bit-
+    parsed by the real parser (multimodal/mp3.py — granule block types,
+    Huffman partition geometry, bit-reservoir accounting), aggregates
+    value-checked by doc_id arithmetic. Sample (PCM) decode is the
+    declared out-of-scope boundary — the spec's fixed out-of-band
+    tables (Huffman/scalefactor-band/synthesis window) cannot be
+    certified without a reference decoder in this container; see the
+    module docstring for the full rationale."""
+    return _mp3.mp3_sideinfo_roundtrip(spark, sf_dir)
