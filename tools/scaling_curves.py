@@ -1,6 +1,10 @@
 """Measure time-vs-rows scaling curves for the most expensive operators.
 
-Usage: python tools/scaling_curves.py [out_json]
+Usage: python tools/scaling_curves.py [out_json] [operator ...]
+
+With operator names given, only those rows are (re)measured and MERGED
+into an existing out_json (other rows preserved) — adding a new
+operator's curve doesn't require re-running the whole sweep.
 
 Runs each operator MATERIALIZED (noop sink, min-of-2) at sf0.01 and
 sf0.1 (driver lakes) plus sf0.5 and sf1 (tools/gen_scale_lake.py
@@ -52,11 +56,18 @@ OPERATORS = {
     "pq_ann_topk": "embeddings",
     "ivfpq_ann_topk": "embeddings",
     "q9_product_profit": "lineitem",
+    # r9 additions: the r8 media families (synth -> real decode -> hash
+    # pipelines; cost is one decode pass, embarrassingly parallel) and
+    # the keeper chain under its new xxhash64 library default
+    "image_pixels_roundtrip": "documents",
+    "jpeg_progressive_roundtrip": "documents",
+    "canonical_keeper_xxhash64": "documents",
 }
 
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
+    only = set(sys.argv[2:])
     registry = load_all()
     spark = get_spark("scaling-curves")
     spark.range(1000).count()
@@ -66,6 +77,12 @@ def main() -> None:
             from danae_spark.profiling.profiler import numeric_profile_extended
 
             return lambda s, d: numeric_profile_extended(s, d, exact=False)
+        if name == "canonical_keeper_xxhash64":
+            # the r9 LIBRARY default (pairs_impl='xxhash64'); the plain
+            # canonical_keeper row measures the md5-pinned oracle entry
+            from danae_spark.operators.dedup import canonical_keeper
+
+            return lambda s, d: canonical_keeper(s, d)
         return registry[name].fn
 
     rows_at = {}
@@ -77,6 +94,8 @@ def main() -> None:
 
     results = []
     for name, driver_table in OPERATORS.items():
+        if only and name not in only:
+            continue
         fn = runnable(name)
         times = {}
         for sf, d in SFS:
@@ -102,6 +121,13 @@ def main() -> None:
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            existing = json.load(f)
+        merged = {r["operator"]: r for r in existing}
+        for r in results:
+            merged[r["operator"]] = r
+        results = list(merged.values())
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
 
