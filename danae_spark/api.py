@@ -216,6 +216,17 @@ class DataLakeEngine:
 
         return mp3_sideinfo_frame(df, **kw)
 
+    def mp4_census(self, df: DataFrame, **kw) -> DataFrame:
+        """MP4/ISO-BMFF sample-table census over any (id, binary)
+        frame: per-file track/sample/chunk/keyframe counts, media byte
+        volume, stts-derived durations, ctts totals — the full stbl
+        walk with cross-table integrity validation, one level below
+        video_meta's box walk (multimodal/mp4.py; codec sample decode
+        shares MP3's documented out-of-scope boundary)."""
+        from danae_spark.multimodal.mp4 import mp4_samples_frame
+
+        return mp4_samples_frame(df, **kw)
+
     def quantize_embeddings(self) -> DataFrame:
         """Int8-quantize the embeddings table (4× memory; cosine runs
         directly on the codes — see operators/quantize.py)."""

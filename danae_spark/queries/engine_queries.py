@@ -450,3 +450,21 @@ def mp3_sideinfo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     certified without a reference decoder in this container; see the
     module docstring for the full rationale."""
     return _mp3.mp3_sideinfo_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import mp4 as _mp4  # noqa: E402
+
+
+@register("mp4_sample_census", oracle=_mp4.MP4_SAMPLES_ORACLE)
+def mp4_sample_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end STRUCTURAL MP4 check (r9): per-doc ISO-BMFF
+    containers synthesized byte-for-byte (real box framing, two-run
+    stts, remainder-entry stsc, per-sample stsz, chunk offsets that
+    address the actual mdat bytes, co64 on odd docs, stss strides on
+    video tracks, ctts), decoded by the full sample-table parser
+    (multimodal/mp4.py) with cross-table integrity validation ON, and
+    the census value-checked by doc_id arithmetic. Codec (sample
+    payload) decode shares MP3's documented out-of-scope boundary —
+    the tables themselves are pure in-band structure and fully
+    certifiable."""
+    return _mp4.mp4_samples_roundtrip(spark, sf_dir)
