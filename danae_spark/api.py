@@ -227,6 +227,17 @@ class DataLakeEngine:
 
         return mp4_samples_frame(df, **kw)
 
+    def mp4_fragment_census(self, df: DataFrame, **kw) -> DataFrame:
+        """Fragmented-MP4 (DASH/CMAF) census over any (id, binary)
+        frame: per-file fragment/sample/keyframe counts, media byte
+        volume, run-table durations, composition-offset totals — the
+        moof/traf/tfhd/trun walk with the full default cascade
+        (multimodal/mp4.py parse_mp4_fragments); unfragmented files go
+        through mp4_census instead."""
+        from danae_spark.multimodal.mp4 import mp4_fragments_frame
+
+        return mp4_fragments_frame(df, **kw)
+
     def quantize_embeddings(self) -> DataFrame:
         """Int8-quantize the embeddings table (4× memory; cosine runs
         directly on the codes — see operators/quantize.py)."""

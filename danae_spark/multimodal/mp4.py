@@ -528,3 +528,505 @@ FROM per
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# --------------------------------------- fragmented MP4 (DASH/CMAF) census
+
+# trun flags (§8.8.8) / tfhd flags (§8.8.7) / sample_flags bit (§8.8.3.1)
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_FIRST_FLAGS = 0x000004
+_TRUN_DURATION = 0x000100
+_TRUN_SIZE = 0x000200
+_TRUN_FLAGS = 0x000400
+_TRUN_CTS = 0x000800
+_TFHD_BASE_OFFSET = 0x000001
+_TFHD_SDI = 0x000002
+_TFHD_DEF_DURATION = 0x000008
+_TFHD_DEF_SIZE = 0x000010
+_TFHD_DEF_FLAGS = 0x000020
+_SAMPLE_NON_SYNC = 0x00010000
+
+
+def parse_mp4_fragments(payload: bytes) -> dict | None:
+    """Walk a FRAGMENTED MP4 (ISO 14496-12 §8.8: styp/moov+mvex →
+    moof/traf/tfhd/trun sequences) and decode every fragment's run
+    tables into one census row:
+
+      n_tracks                  (mvex/trex declarations)
+      n_fragments               (moof count)
+      n_samples, media_bytes    (Σ trun runs; per-sample size fields or
+                                 tfhd/trex default cascade §8.8.7)
+      n_keyframes               (samples whose resolved flags lack
+                                 sample_is_non_sync_sample, honoring
+                                 first-sample-flags overrides)
+      duration_ms               (max per-track Σ durations / mdhd
+                                 timescale)
+      cts_sum                   (Σ trun composition-time offsets,
+                                 v0 unsigned / v1 signed)
+
+    Integrity validation, same contract as parse_mp4_samples: trun
+    data offsets (relative to moof start per the default-base-is-moof
+    convention, or absolute via tfhd base-data-offset) must land every
+    sample's bytes inside the file; a track referencing no trex
+    declaration, a trun with no resolvable size/duration, or any
+    truncated table rejects the whole file. Returns None for
+    unfragmented files (no moof) — parse_mp4_samples covers those."""
+    moov = None
+    tops: list[tuple[bytes, int, int]] = []  # (type, abs_start, abs_end)
+    pos = 0
+    n = len(payload)
+    while pos + 8 <= n:
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        btype = payload[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1 and pos + 16 <= n:
+            size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
+            hdr = 16
+        if size < hdr or pos + size > n:
+            break
+        if btype == b"moov":
+            moov = payload[pos + hdr : pos + size]
+        tops.append((btype, pos, pos + size))
+        pos += size
+    if moov is None or not any(t == b"moof" for t, _s, _e in tops):
+        return None
+
+    # mvex/trex defaults + per-track mdhd timescale from the moov
+    trex: dict[int, tuple[int, int, int]] = {}  # id -> (dur, size, flags)
+    mvex = _child(moov, b"mvex")
+    if mvex is None:
+        return None
+    for t, b in iter_boxes(mvex):
+        if t == b"trex" and len(b) >= 24:
+            tid = int.from_bytes(b[4:8], "big")
+            trex[tid] = (
+                int.from_bytes(b[12:16], "big"),
+                int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"),
+            )
+    if not trex:
+        return None
+    timescale: dict[int, int] = {}
+    for t, b in iter_boxes(moov):
+        if t != b"trak":
+            continue
+        tkhd = _child(b, b"tkhd")
+        mdia = _child(b, b"mdia")
+        mdhd = _child(mdia, b"mdhd") if mdia is not None else None
+        if tkhd is None or mdhd is None or len(mdhd) < 20:
+            return None
+        tid = int.from_bytes(
+            tkhd[12:16] if tkhd[0] == 0 else tkhd[20:24], "big"
+        )
+        timescale[tid] = int.from_bytes(
+            mdhd[12:16] if mdhd[0] == 0 else mdhd[20:24], "big"
+        )
+
+    n_fragments = 0
+    n_samples = 0
+    media_bytes = 0
+    n_keyframes = 0
+    cts_sum = 0
+    track_dur: dict[int, int] = {tid: 0 for tid in trex}
+    try:
+        for btype, start, _end in tops:
+            if btype != b"moof":
+                continue
+            n_fragments += 1
+            moof = payload[start + 8 : _end]
+            for t, traf in iter_boxes(moof):
+                if t != b"traf":
+                    continue
+                tfhd = _child(traf, b"tfhd")
+                if tfhd is None or len(tfhd) < 8:
+                    return None
+                tf_flags = int.from_bytes(tfhd[1:4], "big")
+                tid = int.from_bytes(tfhd[4:8], "big")
+                if tid not in trex or tid not in timescale:
+                    return None
+                at = 8
+                if tf_flags & _TFHD_BASE_OFFSET:
+                    base = int.from_bytes(tfhd[at : at + 8], "big")
+                    at += 8
+                else:
+                    base = start  # default-base-is-moof convention
+                if tf_flags & _TFHD_SDI:
+                    at += 4
+                def_dur, def_size, def_flags = trex[tid]
+                if tf_flags & _TFHD_DEF_DURATION:
+                    def_dur = int.from_bytes(tfhd[at : at + 4], "big")
+                    at += 4
+                if tf_flags & _TFHD_DEF_SIZE:
+                    def_size = int.from_bytes(tfhd[at : at + 4], "big")
+                    at += 4
+                if tf_flags & _TFHD_DEF_FLAGS:
+                    def_flags = int.from_bytes(tfhd[at : at + 4], "big")
+
+                for tt, trun in iter_boxes(traf):
+                    if tt != b"trun":
+                        continue
+                    if len(trun) < 8:
+                        return None
+                    ver = trun[0]
+                    fl = int.from_bytes(trun[1:4], "big")
+                    cnt = int.from_bytes(trun[4:8], "big")
+                    at2 = 8
+                    data_off = 0
+                    if fl & _TRUN_DATA_OFFSET:
+                        data_off = int.from_bytes(
+                            trun[at2 : at2 + 4], "big", signed=True
+                        )
+                        at2 += 4
+                    first_flags = None
+                    if fl & _TRUN_FIRST_FLAGS:
+                        first_flags = int.from_bytes(trun[at2 : at2 + 4], "big")
+                        at2 += 4
+                    per = (
+                        (4 if fl & _TRUN_DURATION else 0)
+                        + (4 if fl & _TRUN_SIZE else 0)
+                        + (4 if fl & _TRUN_FLAGS else 0)
+                        + (4 if fl & _TRUN_CTS else 0)
+                    )
+                    if len(trun) < at2 + per * cnt:
+                        return None
+                    run_bytes = 0
+                    for k in range(cnt):
+                        dur, sz, sflags, cts = def_dur, def_size, def_flags, 0
+                        if fl & _TRUN_DURATION:
+                            dur = int.from_bytes(trun[at2 : at2 + 4], "big")
+                            at2 += 4
+                        if fl & _TRUN_SIZE:
+                            sz = int.from_bytes(trun[at2 : at2 + 4], "big")
+                            at2 += 4
+                        if fl & _TRUN_FLAGS:
+                            sflags = int.from_bytes(trun[at2 : at2 + 4], "big")
+                            at2 += 4
+                        if fl & _TRUN_CTS:
+                            cts = int.from_bytes(
+                                trun[at2 : at2 + 4], "big", signed=ver != 0
+                            )
+                            at2 += 4
+                        if k == 0 and first_flags is not None:
+                            sflags = first_flags
+                        if sz == 0 and not (fl & _TRUN_SIZE):
+                            return None  # no resolvable sample size
+                        n_samples += 1
+                        media_bytes += sz
+                        run_bytes += sz
+                        track_dur[tid] += dur
+                        cts_sum += cts
+                        if not sflags & _SAMPLE_NON_SYNC:
+                            n_keyframes += 1
+                    if base + data_off < 0 or base + data_off + run_bytes > n:
+                        return None  # samples past EOF
+    except (IndexError, struct.error):
+        return None
+    if n_samples == 0:
+        return None
+    duration_ms = max(
+        (d * 1000 // timescale[tid]) if timescale[tid] else 0
+        for tid, d in track_dur.items()
+    )
+    return {
+        "n_tracks": len(trex),
+        "n_fragments": n_fragments,
+        "n_samples": n_samples,
+        "media_bytes": media_bytes,
+        "n_keyframes": n_keyframes,
+        "duration_ms": duration_ms,
+        "cts_sum": cts_sum,
+    }
+
+
+# fMP4 doc_id-derived parameters — restated verbatim in
+# MP4_FRAGMENTS_ORACLE, keep in exact sync.
+def _frag_geometry(doc_id: int) -> tuple[int, int]:
+    """(n_tracks, n_fragments)."""
+    return 1 + doc_id % 2, 2 + doc_id % 3
+
+
+def _frag_run(doc_id: int, f: int, t: int) -> dict:
+    cnt = 5 + (doc_id * 3 + f * 7 + t * 11) % 20
+    return {
+        "cnt": cnt,
+        # duration source: per-sample / tfhd default / trex default
+        "dur_per_sample": (doc_id + t) % 2 == 0,
+        "dur_tfhd": (doc_id + t) % 4 == 1,
+        "tfhd_dur": 15 + (doc_id + t) % 10,
+        "trex_dur": 10 + (doc_id + t) % 50,
+        # size source: per-sample / tfhd default
+        "size_per_sample": (doc_id + f + t) % 3 != 0,
+        "tfhd_size": 120 + (doc_id + t) % 80,
+        # video (t=0): per-sample flags, key every key_step; audio: trex
+        # sync default, first-sample-flags override on even fragments
+        "key_step": 2 + (doc_id + f) % 4,
+        "first_nonsync": t == 1 and f % 2 == 0,
+        "cts": t == 0,
+        "cts_signed": doc_id % 2 == 1,
+    }
+
+
+def _frag_dur(doc_id: int, f: int, t: int, k: int) -> int:
+    r = _frag_run(doc_id, f, t)
+    if r["dur_per_sample"]:
+        return 10 + (doc_id + f + k) % 20
+    return r["tfhd_dur"] if r["dur_tfhd"] else r["trex_dur"]
+
+
+def _frag_size(doc_id: int, f: int, t: int, k: int) -> int:
+    r = _frag_run(doc_id, f, t)
+    if r["size_per_sample"]:
+        return 100 + (doc_id * 5 + f * 3 + k * 7) % 150
+    return r["tfhd_size"]
+
+
+def synth_fmp4(doc_id: int) -> bytes:
+    """Byte-for-byte FRAGMENTED MP4: moov carries mvex/trex defaults
+    (no sample tables), then per fragment a real moof/traf/tfhd/trun
+    followed by an mdat holding exactly the run's sample bytes. The
+    parameter grid exercises every parser path: per-sample vs tfhd vs
+    trex duration defaults, per-sample vs tfhd size defaults, per-
+    sample flags with key strides (video) vs default-sync with
+    first-sample-flags overrides (audio), v0/v1 composition offsets,
+    and tfhd base-data-offset vs default-base-is-moof on doc_id % 5."""
+    n_tracks, n_fragments = _frag_geometry(doc_id)
+
+    def trak(t: int) -> bytes:
+        tkhd = _full(
+            b"tkhd", 0,
+            struct.pack(">II", 0, 0) + struct.pack(">I", t + 1) + b"\x00" * 72,
+        )
+        mdhd = _full(
+            b"mdhd", 0,
+            struct.pack(">II", 0, 0)
+            + struct.pack(">II", 1000 * (1 + (doc_id + t) % 3), 0)
+            + b"\x00" * 4,
+        )
+        hdlr = _full(
+            b"hdlr", 0,
+            b"\x00" * 4 + (b"vide" if t == 0 else b"soun") + b"\x00" * 13,
+        )
+        return _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr))
+
+    # trex default flags are 0 (sync): audio tracks rely on it (their
+    # trun carries no per-sample flags); video tracks override per
+    # sample, so their trex value is never consulted.
+    def trex(t: int) -> bytes:
+        r = _frag_run(doc_id, 0, t)
+        return _full(
+            b"trex", 0,
+            struct.pack(">IIIII", t + 1, 1, r["trex_dur"], 0, 0),
+        )
+
+    mvhd = _full(
+        b"mvhd", 0,
+        struct.pack(">II", 0, 0) + struct.pack(">II", 1000, 0) + b"\x00" * 80,
+    )
+    mvex = _box(b"mvex", b"".join(trex(t) for t in range(n_tracks)))
+    moov = _box(
+        b"moov", mvhd + b"".join(trak(t) for t in range(n_tracks)) + mvex
+    )
+    ftyp = _box(b"ftyp", b"cmfc" + struct.pack(">I", 0) + b"cmfciso6")
+    out = bytearray(ftyp + moov)
+
+    abs_base = doc_id % 5 == 0  # exercise tfhd base-data-offset
+    for f in range(n_fragments):
+        moof_start = len(out)
+        frag_blob = bytearray()
+        run_offsets = []  # per track: offset into frag_blob
+        for t in range(n_tracks):
+            r = _frag_run(doc_id, f, t)
+            run_offsets.append(len(frag_blob))
+            for k in range(r["cnt"]):
+                sz = _frag_size(doc_id, f, t, k)
+                frag_blob += bytes(((doc_id + f + t + k + i) % 251 for i in range(sz)))
+
+        # moof size must be known to compute data offsets (both
+        # conventions); build twice — placeholder first — same as moov.
+        def build_moof(data_at: list[int] | None) -> bytes:
+            trafs = b""
+            for t in range(n_tracks):
+                r = _frag_run(doc_id, f, t)
+                tf_flags = 0
+                tfhd_body = struct.pack(">I", t + 1)
+                if abs_base:
+                    # base-data-offset = absolute run start; trun's
+                    # data_offset is then 0
+                    tf_flags |= _TFHD_BASE_OFFSET
+                    tfhd_body += struct.pack(
+                        ">Q", 0 if data_at is None else data_at[t]
+                    )
+                if not r["dur_per_sample"] and r["dur_tfhd"]:
+                    tf_flags |= _TFHD_DEF_DURATION
+                    tfhd_body += struct.pack(">I", r["tfhd_dur"])
+                if not r["size_per_sample"]:
+                    tf_flags |= _TFHD_DEF_SIZE
+                    tfhd_body += struct.pack(">I", r["tfhd_size"])
+                tfhd = _box(
+                    b"tfhd", bytes((0,)) + tf_flags.to_bytes(3, "big") + tfhd_body
+                )
+                fl = _TRUN_DATA_OFFSET
+                if r["dur_per_sample"]:
+                    fl |= _TRUN_DURATION
+                if r["size_per_sample"]:
+                    fl |= _TRUN_SIZE
+                if t == 0:
+                    fl |= _TRUN_FLAGS
+                if r["cts"]:
+                    fl |= _TRUN_CTS
+                if r["first_nonsync"]:
+                    fl |= _TRUN_FIRST_FLAGS
+                ver = 1 if r["cts_signed"] else 0
+                body = struct.pack(">I", r["cnt"])
+                # default-base-is-moof: data_offset is moof-relative
+                body += struct.pack(
+                    ">i",
+                    0 if abs_base else (
+                        0 if data_at is None else data_at[t] - moof_start
+                    ),
+                )
+                if r["first_nonsync"]:
+                    body += struct.pack(">I", _SAMPLE_NON_SYNC)
+                for k in range(r["cnt"]):
+                    if fl & _TRUN_DURATION:
+                        body += struct.pack(">I", _frag_dur(doc_id, f, t, k))
+                    if fl & _TRUN_SIZE:
+                        body += struct.pack(">I", _frag_size(doc_id, f, t, k))
+                    if fl & _TRUN_FLAGS:
+                        body += struct.pack(
+                            ">I",
+                            0 if k % r["key_step"] == 0 else _SAMPLE_NON_SYNC,
+                        )
+                    if fl & _TRUN_CTS:
+                        v = (doc_id + f + k) % 9
+                        if r["cts_signed"]:
+                            body += struct.pack(">i", v - 4)
+                        else:
+                            body += struct.pack(">I", v)
+                trun = _box(b"trun", bytes((ver,)) + fl.to_bytes(3, "big") + body)
+                trafs += _box(b"traf", tfhd + trun)
+            return _box(b"moof", _full(b"mfhd", 0, struct.pack(">I", f + 1)) + trafs)
+
+        placeholder = build_moof(None)
+        mdat_payload_at = moof_start + len(placeholder) + 8
+        moof = build_moof([mdat_payload_at + o for o in run_offsets])
+        assert len(moof) == len(placeholder)
+        out += moof + _box(b"mdat", bytes(frag_blob))
+    return bytes(out)
+
+
+MP4_FRAGMENTS_SCHEMA = (
+    "doc_id bigint, n_tracks int, n_fragments int, n_samples bigint, "
+    "media_bytes bigint, n_keyframes bigint, duration_ms bigint, "
+    "cts_sum bigint"
+)
+
+_FRAG_COLS = [
+    "n_tracks", "n_fragments", "n_samples", "media_bytes",
+    "n_keyframes", "duration_ms", "cts_sum",
+]
+
+
+def mp4_fragments_frame(df: DataFrame, id_col: str = "doc_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """Fragmented-MP4 census over ANY (id, binary) frame — one row per
+    doc with the parse_mp4_fragments aggregates (nulls for non-fMP4)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                agg = parse_mp4_fragments(bytes(p)) or {}
+                rows.append(
+                    {"doc_id": doc_id, **{c: agg.get(c) for c in _FRAG_COLS}}
+                )
+            yield pd.DataFrame(rows)
+
+    src = df.select(F.col(id_col).alias(id_col), F.col(payload_col))
+    return src.mapInPandas(batches, schema=MP4_FRAGMENTS_SCHEMA)
+
+
+def mp4_fragments_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """End-to-end structural round trip for FRAGMENTED MP4 (the C49
+    pattern): per document a DASH/CMAF-shaped stream is synthesized
+    byte-for-byte (moov+mvex/trex only — no sample tables — then
+    moof/traf/tfhd/trun + mdat per fragment, exercising the full
+    default cascade and both data-offset conventions), decoded by the
+    real fragment parser, census value-checked by doc_id arithmetic."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [synth_fmp4(int(d)) for d in pdf["doc_id"]],
+            })
+
+    payloads = docs.repartition(
+        stage_parallelism(docs.sparkSession), "doc_id"
+    ).mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return mp4_fragments_frame(payloads).orderBy("doc_id")
+
+
+# The synthesized fragmented streams' census in closed form: runs
+# replicate _frag_run, samples _frag_dur/_frag_size and the flag logic.
+MP4_FRAGMENTS_ORACLE = """
+WITH geo AS (
+  SELECT doc_id, 1 + doc_id % 2 AS n_tracks, 2 + doc_id % 3 AS n_fragments
+  FROM documents
+),
+runs AS (
+  SELECT g.doc_id, t.t, f.f,
+         5 + (g.doc_id * 3 + f.f * 7 + t.t * 11) % 20 AS cnt,
+         CASE WHEN (g.doc_id + t.t) % 2 = 0 THEN 1 ELSE 0 END AS dur_ps,
+         CASE WHEN (g.doc_id + t.t) % 4 = 1
+              THEN 15 + (g.doc_id + t.t) % 10
+              ELSE 10 + (g.doc_id + t.t) % 50 END AS def_dur,
+         CASE WHEN (g.doc_id + f.f + t.t) % 3 <> 0 THEN 1 ELSE 0 END AS size_ps,
+         120 + (g.doc_id + t.t) % 80 AS def_size,
+         2 + (g.doc_id + f.f) % 4 AS key_step,
+         CASE WHEN t.t = 1 AND f.f % 2 = 0 THEN 1 ELSE 0 END AS first_nonsync,
+         CASE WHEN g.doc_id % 2 = 1 THEN 4 ELSE 0 END AS cts_bias
+  FROM geo g
+  JOIN generate_series(0, 1) t(t) ON t.t < g.n_tracks
+  JOIN generate_series(0, 3) f(f) ON f.f < g.n_fragments
+),
+samp AS (
+  SELECT r.doc_id, r.t, r.f, k.k,
+         CASE WHEN r.dur_ps = 1 THEN 10 + (r.doc_id + r.f + k.k) % 20
+              ELSE r.def_dur END AS dur,
+         CASE WHEN r.size_ps = 1
+              THEN 100 + (r.doc_id * 5 + r.f * 3 + k.k * 7) % 150
+              ELSE r.def_size END AS sz,
+         CASE WHEN r.t = 0
+              THEN CASE WHEN k.k % r.key_step = 0 THEN 1 ELSE 0 END
+              ELSE CASE WHEN r.first_nonsync = 1 AND k.k = 0 THEN 0 ELSE 1 END
+         END AS is_key,
+         CASE WHEN r.t = 0 THEN (r.doc_id + r.f + k.k) % 9 - r.cts_bias
+              ELSE 0 END AS cts
+  FROM runs r
+  JOIN generate_series(0, 24) k(k) ON k.k < r.cnt
+),
+per_track AS (
+  SELECT doc_id, t,
+         sum(dur) * 1000 // (1000 * (1 + (doc_id + t) % 3)) AS tdur_ms
+  FROM samp GROUP BY doc_id, t
+)
+SELECT s.doc_id,
+       CAST(max(g.n_tracks) AS INT) AS n_tracks,
+       CAST(max(g.n_fragments) AS INT) AS n_fragments,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(s.sz) AS BIGINT) AS media_bytes,
+       CAST(sum(s.is_key) AS BIGINT) AS n_keyframes,
+       CAST((SELECT max(tdur_ms) FROM per_track p WHERE p.doc_id = s.doc_id)
+            AS BIGINT) AS duration_ms,
+       CAST(sum(s.cts) AS BIGINT) AS cts_sum
+FROM samp s JOIN geo g ON g.doc_id = s.doc_id
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""

@@ -468,3 +468,19 @@ def mp4_sample_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tables themselves are pure in-band structure and fully
     certifiable."""
     return _mp4.mp4_samples_roundtrip(spark, sf_dir)
+
+
+@register("mp4_fragment_census", oracle=_mp4.MP4_FRAGMENTS_ORACLE)
+def mp4_fragment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAGMENTED MP4 (DASH/CMAF) census (r9): per-doc fMP4 streams
+    synthesized byte-for-byte — moov carries only mvex/trex defaults,
+    then real moof/traf/tfhd/trun + mdat per fragment, exercising the
+    full §8.8.7 default cascade (per-sample vs tfhd vs trex durations/
+    sizes/flags, first-sample-flags overrides, v0/v1 composition
+    offsets) and BOTH data-offset conventions (default-base-is-moof
+    and tfhd base-data-offset) — decoded by the real fragment walker
+    (multimodal/mp4.py parse_mp4_fragments) with EOF validation, the
+    census value-checked by doc_id arithmetic. Streaming video is
+    fragmented more often than not at crawl scale; a sample-table-only
+    reader sees None for all of it."""
+    return _mp4.mp4_fragments_roundtrip(spark, sf_dir)

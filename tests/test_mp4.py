@@ -161,3 +161,103 @@ def test_census_nulls_for_non_mp4(spark):
     out = {r["doc_id"]: r for r in mp4_samples_frame(df).collect()}
     assert out[1]["n_tracks"] is None
     assert out[2]["n_tracks"] == 1 + 2 % 3
+
+
+# ------------------------------------------- fragmented MP4 (moof/trun)
+
+from danae_spark.multimodal.mp4 import (  # noqa: E402
+    _frag_geometry,
+    _frag_run,
+    _frag_dur,
+    _frag_size,
+    parse_mp4_fragments,
+    synth_fmp4,
+)
+
+
+def _frag_expected(d: int) -> dict:
+    T, F = _frag_geometry(d)
+    n_samples = media = keys = cts = 0
+    dur_ms = 0
+    for t in range(T):
+        tdur = 0
+        for f in range(F):
+            r = _frag_run(d, f, t)
+            cnt = r["cnt"]
+            n_samples += cnt
+            media += sum(_frag_size(d, f, t, k) for k in range(cnt))
+            tdur += sum(_frag_dur(d, f, t, k) for k in range(cnt))
+            if t == 0:
+                keys += -(-cnt // r["key_step"])
+                s = sum((d + f + k) % 9 for k in range(cnt))
+                cts += s - (4 * cnt if r["cts_signed"] else 0)
+            else:
+                keys += cnt - (1 if r["first_nonsync"] else 0)
+        dur_ms = max(dur_ms, tdur * 1000 // (1000 * (1 + (d + t) % 3)))
+    return {
+        "n_tracks": T, "n_fragments": F, "n_samples": n_samples,
+        "media_bytes": media, "n_keyframes": keys,
+        "duration_ms": dur_ms, "cts_sum": cts,
+    }
+
+
+def test_fmp4_roundtrip_all_fields():
+    for d in range(0, 60):
+        got = parse_mp4_fragments(synth_fmp4(d))
+        assert got == _frag_expected(d), d
+
+
+def test_fmp4_default_cascade_really_exercised():
+    """The doc grid must cover per-sample, tfhd-default and
+    trex-default durations AND both data-offset conventions."""
+    srcs = set()
+    for d in range(0, 20):
+        T, F = _frag_geometry(d)
+        for t in range(T):
+            r = _frag_run(d, 0, t)
+            srcs.add(
+                "ps" if r["dur_per_sample"] else ("tfhd" if r["dur_tfhd"] else "trex")
+            )
+    assert srcs == {"ps", "tfhd", "trex"}
+    assert any(d % 5 == 0 for d in range(20)) and any(d % 5 for d in range(20))
+
+
+def test_fmp4_unfragmented_and_garbage_rejected():
+    from danae_spark.multimodal.mp4 import synth_mp4
+
+    assert parse_mp4_fragments(synth_mp4(3)) is None  # no moof: not fMP4
+    assert parse_mp4_fragments(b"") is None
+    assert parse_mp4_fragments(b"junk" * 100) is None
+
+
+def test_fmp4_truncation_rejected():
+    p = synth_fmp4(6)
+    assert parse_mp4_fragments(p[:-5]) is None  # trailing mdat cut
+
+
+def test_fmp4_unknown_track_rejected():
+    """A traf referencing a track with no trex declaration is corrupt."""
+    p = synth_fmp4(2)
+    i = p.find(b"tfhd")
+    bad = p[: i + 8] + struct.pack(">I", 99) + p[i + 12 :]
+    assert parse_mp4_fragments(bad) is None
+
+
+def test_fmp4_never_raises_on_mutants():
+    base = synth_fmp4(13)
+    for cut in range(0, len(base), 41):
+        parse_mp4_fragments(base[:cut])
+    for pos in range(0, len(base), 59):
+        mut = base[:pos] + bytes([base[pos] ^ 0xFF]) + base[pos + 1 :]
+        parse_mp4_fragments(mut)
+
+
+def test_fmp4_spark_census_roundtrip(spark, sf_dir):
+    from danae_spark.multimodal.mp4 import mp4_fragments_roundtrip
+
+    rows = mp4_fragments_roundtrip(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        exp = _frag_expected(r["doc_id"])
+        for c, v in exp.items():
+            assert r[c] == v, (r["doc_id"], c)
