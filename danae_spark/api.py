@@ -238,6 +238,17 @@ class DataLakeEngine:
 
         return mp4_fragments_frame(df, **kw)
 
+    def flac_pcm(self, df: DataFrame, **kw) -> DataFrame:
+        """Lossless FLAC decode over any (id, binary) frame: per-file
+        sample rate, channels, sample count, and the energy/gradient
+        audio fingerprint from the REAL decoded PCM — full RFC 9639
+        decoder with CRC-8/CRC-16 and STREAMINFO-MD5 validation
+        (multimodal/flac.py); undecodable or corrupt payloads yield
+        null rows, never executor errors."""
+        from danae_spark.multimodal.flac import flac_pcm_frame
+
+        return flac_pcm_frame(df, **kw)
+
     def quantize_embeddings(self) -> DataFrame:
         """Int8-quantize the embeddings table (4× memory; cosine runs
         directly on the codes — see operators/quantize.py)."""

@@ -484,3 +484,22 @@ def mp4_fragment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     fragmented more often than not at crawl scale; a sample-table-only
     reader sees None for all of it."""
     return _mp4.mp4_fragments_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import flac as _flac  # noqa: E402
+
+
+@register("flac_pcm_roundtrip", oracle=_flac.FLAC_PCM_ORACLE)
+def flac_pcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless audio CODEC round trip (r9) — the first entry past
+    the structural-census boundary: FLAC (RFC 9639) carries every
+    decode table in-band plus the MD5 of the raw PCM in STREAMINFO, so
+    unlike MP3 a from-scratch codec is externally certifiable (hashlib
+    checks the decode; published CRC check values pin the tables).
+    Per doc a real encoder cycles every subframe type (constant/
+    verbatim/fixed 0-4/LPC), both Rice methods, escape partitions,
+    partition orders 0-2 and all four stereo assignments; the real
+    decoder (CRC-8 + CRC-16 + MD5 validation active) reconstructs the
+    samples exactly, and the DuckDB oracle restates them as doc_id
+    arithmetic (multimodal/flac.py)."""
+    return _flac.flac_pcm_roundtrip(spark, sf_dir)
