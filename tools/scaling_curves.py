@@ -62,6 +62,11 @@ OPERATORS = {
     "image_pixels_roundtrip": "documents",
     "jpeg_progressive_roundtrip": "documents",
     "canonical_keeper_xxhash64": "documents",
+    # r9 structural A/V census entries (synth stream -> real bit-level
+    # parse -> census; one embarrassingly-parallel decode pass)
+    "mp3_sideinfo_roundtrip": "documents",
+    "mp4_sample_census": "documents",
+    "mp4_fragment_census": "documents",
 }
 
 
