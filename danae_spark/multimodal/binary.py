@@ -175,6 +175,27 @@ def parse_audio_header(payload: bytes) -> dict | None:
             "duration_ms": duration_ms,
             "bitrate_kbps": byte_rate * 8 // 1000 if byte_rate else None,
         }
+    if len(payload) >= 42 and payload[:4] == b"fLaC":
+        # STREAMINFO is mandatory first (RFC 9639 §8.1); full sample
+        # decode lives in multimodal/flac.py — this is the cheap
+        # header-triad path for audio_meta dispatch.
+        body = payload[8 : 8 + int.from_bytes(payload[5:8], "big")]
+        if (payload[4] & 0x7F) != 0 or len(body) < 34:
+            return None
+        rate = int.from_bytes(body[10:13], "big") >> 4
+        channels = ((body[12] >> 1) & 0x7) + 1
+        bits = (((body[12] & 0x1) << 4) | (body[13] >> 4)) + 1
+        total = ((body[13] & 0x0F) << 32) | int.from_bytes(body[14:18], "big")
+        if rate == 0:
+            return None
+        return {
+            "format": "flac",
+            "sample_rate": rate,
+            "channels": channels,
+            "bit_depth": bits,
+            "duration_ms": total * 1000 // rate if total else None,
+            "bitrate_kbps": None,  # variable; needs a frame walk
+        }
     i = 0
     if len(payload) >= 10 and payload[:3] == b"ID3":
         # ID3v2 size is a 4-byte syncsafe int after version+flags

@@ -206,6 +206,21 @@ def test_parse_audio_headers():
     assert parse_audio_header(b"RIFF\x00\x00\x00\x00WAVEjunk") is None
 
 
+def test_parse_audio_header_flac():
+    from danae_spark.multimodal.binary import parse_audio_header
+    from danae_spark.multimodal.flac import synth_flac_pcm, _flac_params
+
+    for d in (0, 1, 5):
+        rate, bits, channels, _m = _flac_params(d)
+        h = parse_audio_header(synth_flac_pcm(d, 512))
+        assert h["format"] == "flac"
+        assert h["sample_rate"] == rate and h["channels"] == channels
+        assert h["bit_depth"] == bits
+        assert h["duration_ms"] == 512 * 1000 // rate
+    # truncated STREAMINFO rejects
+    assert parse_audio_header(b"fLaC" + b"\x00" * 38) is None
+
+
 def test_audio_meta_frame_over_spark(spark):
     from danae_spark.multimodal.binary import audio_meta_frame
 
