@@ -238,6 +238,16 @@ class DataLakeEngine:
 
         return mp4_fragments_frame(df, **kw)
 
+    def ogg_census(self, df: DataFrame, **kw) -> DataFrame:
+        """Ogg (Opus/Vorbis) container census over any (id, binary)
+        frame: codec, channels, rate, page/packet counts, payload
+        bytes, duration — RFC 3533 page walk with per-page CRC,
+        sequence and continuation validation, Opus TOC packet parse
+        with the granule cross-check (multimodal/ogg.py)."""
+        from danae_spark.multimodal.ogg import ogg_census_frame
+
+        return ogg_census_frame(df, **kw)
+
     def flac_pcm(self, df: DataFrame, **kw) -> DataFrame:
         """Lossless FLAC decode over any (id, binary) frame: per-file
         sample rate, channels, sample count, and the energy/gradient

@@ -503,3 +503,20 @@ def flac_pcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples exactly, and the DuckDB oracle restates them as doc_id
     arithmetic (multimodal/flac.py)."""
     return _flac.flac_pcm_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import ogg as _ogg  # noqa: E402
+
+
+@register("ogg_census", oracle=_ogg.OGG_CENSUS_ORACLE)
+def ogg_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg container census (r9): per doc a real Opus or Vorbis stream
+    (RFC 3533 pages, real page CRCs, lacing spans, codec ID headers)
+    synthesized byte-for-byte, walked by the real parser with CRC /
+    sequence / continuation validation active plus the Opus
+    granule-vs-TOC cross-check (final granule must equal pre-skip +
+    the sum of RFC 6716 TOC-decoded frame durations); the census
+    value-checked by doc_id arithmetic incl. the 32-entry Opus config
+    table restated in SQL (multimodal/ogg.py). Crawl audio is heavily
+    Ogg; WAV/MP3/FLAC paths see none of it."""
+    return _ogg.ogg_census_roundtrip(spark, sf_dir)
