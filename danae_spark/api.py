@@ -238,6 +238,16 @@ class DataLakeEngine:
 
         return mp4_fragments_frame(df, **kw)
 
+    def webm_census(self, df: DataFrame, **kw) -> DataFrame:
+        """WebM/Matroska census over any (id, binary) frame: doc type,
+        timescale, duration, per-type track inventory with video
+        dimensions and audio params, cluster/block/keyframe counts and
+        media byte volume — the full RFC 8794 EBML walk with
+        structural validation (multimodal/webm.py)."""
+        from danae_spark.multimodal.webm import webm_census_frame
+
+        return webm_census_frame(df, **kw)
+
     def ogg_census(self, df: DataFrame, **kw) -> DataFrame:
         """Ogg (Opus/Vorbis) container census over any (id, binary)
         frame: codec, channels, rate, page/packet counts, payload

@@ -520,3 +520,20 @@ def ogg_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     table restated in SQL (multimodal/ogg.py). Crawl audio is heavily
     Ogg; WAV/MP3/FLAC paths see none of it."""
     return _ogg.ogg_census_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import webm as _webm  # noqa: E402
+
+
+@register("webm_census", oracle=_webm.WEBM_CENSUS_ORACLE)
+def webm_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebM/Matroska EBML census (r9): per doc a real EBML stream
+    (header + Segment -> Info/Tracks/Clusters with no-lacing
+    SimpleBlocks and Void elements the walker must skip) synthesized
+    byte-for-byte, walked by the real RFC 8794 element parser —
+    variable-length IDs/sizes, unknown-size elements, 4- AND 8-byte
+    float Durations, skip-unknown forward compatibility — with
+    structural validation and the Duration-vs-last-block cross-check;
+    census value-checked by doc_id arithmetic (multimodal/webm.py).
+    Non-ISO-BMFF crawl video is overwhelmingly WebM."""
+    return _webm.webm_census_roundtrip(spark, sf_dir)

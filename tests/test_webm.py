@@ -1,0 +1,149 @@
+"""WebM/Matroska EBML census (multimodal/webm.py)."""
+
+import struct
+
+import pytest
+
+from danae_spark.multimodal.webm import (
+    parse_webm,
+    synth_webm,
+    _block_rel,
+    _block_size,
+    _doc_geometry,
+    _el,
+    _eid,
+    _read_vint,
+    _vint_size,
+    _CLUSTER,
+    _DURATION,
+    _INFO,
+    _SEGMENT,
+    _SIMPLE_BLOCK,
+    _TIMESTAMP,
+)
+
+
+def test_census_roundtrip_doc_grid():
+    for d in range(24):
+        c = parse_webm(synth_webm(d))
+        assert c is not None, d
+        g = _doc_geometry(d)
+        assert c["n_blocks"] == g["n_clusters"] * g["blocks_per_cluster"]
+        assert c["media_bytes"] == sum(
+            _block_size(d, cc, b)
+            for cc in range(g["n_clusters"])
+            for b in range(g["blocks_per_cluster"])
+        )
+        assert c["duration_ms"] == (
+            (g["n_clusters"] - 1) * g["cluster_step"]
+            + _block_rel(d, g["blocks_per_cluster"] - 1)
+        )
+        assert c["width"] == g["width"] and c["height"] == g["height"]
+
+
+def test_vint_primitives():
+    """RFC 8794 §4: length from leading zeros; ID keeps the marker bit,
+    sizes strip it; a zero lead byte (no marker in 8 bits) is invalid."""
+    # 1-byte: 0x81 → ID 0x81, size 1
+    assert _read_vint(b"\x81", 0, keep_marker=True) == (0x81, 1)
+    assert _read_vint(b"\x81", 0, keep_marker=False) == (1, 1)
+    # 2-byte: 0x40 0x7F → size 0x7F
+    assert _read_vint(b"\x40\x7f", 0, keep_marker=False) == (0x7F, 2)
+    # 4-byte ID as it appears on the wire
+    assert _read_vint(b"\x1a\x45\xdf\xa3", 0, keep_marker=True) == (0x1A45DFA3, 4)
+    # zero lead byte invalid; truncation invalid
+    assert _read_vint(b"\x00\xff", 0, keep_marker=True) is None
+    assert _read_vint(b"\x40", 0, keep_marker=False) is None
+    # encoder round trip at both 1/2-byte boundaries
+    for size in (0, 126, 127, 128, 300, 16382, 16383, 16384):
+        enc = _vint_size(size)
+        assert _read_vint(enc, 0, keep_marker=False) == (size, len(enc))
+
+
+def test_unknown_size_segment():
+    """A Segment with the all-ones unknown-size VINT parses to EOF."""
+    p = bytearray(synth_webm(6))
+    # locate the Segment element: it follows the EBML header element
+    from danae_spark.multimodal.webm import _read_element
+
+    top = _read_element(bytes(p), 0, len(p))
+    seg_start = top[2]
+    # Segment ID is 4 bytes; its size VINT starts right after
+    sid = p[seg_start : seg_start + 4]
+    assert sid == bytes.fromhex("18538067")
+    b0 = p[seg_start + 4]
+    length = 8 - b0.bit_length() + 1
+    # replace with an unknown-size VINT of the same length (all ones)
+    p[seg_start + 4] = b0 | (0xFF >> length)
+    for i in range(1, length):
+        p[seg_start + 4 + i] = 0xFF
+    c = parse_webm(bytes(p))
+    assert c is not None
+    assert c["n_blocks"] == parse_webm(synth_webm(6))["n_blocks"]
+
+
+def test_rejects_laced_block():
+    g = synth_webm(3)
+    p = bytearray(g)
+    # find a SimpleBlock INSIDE the first Cluster (a bare 0xA3 search
+    # would hit the last byte of the EBML magic 1A45DFA3): ID 0xA3
+    # followed by a size VINT, then track VINT, s16 rel, flags byte —
+    # flip a lacing bit in flags
+    i = p.index(bytes([_SIMPLE_BLOCK]), p.index(_eid(_CLUSTER)))
+    # flags byte = ID(1) + size VINT(len) + track(1) + rel(2) → offset
+    b0 = p[i + 1]
+    size_len = 8 - b0.bit_length() + 1
+    flags_at = i + 1 + size_len + 1 + 2
+    p[flags_at] |= 0x02  # Xiph lacing
+    assert parse_webm(bytes(p)) is None
+
+
+def test_rejects_undeclared_track_and_duration_mismatch():
+    p = bytearray(synth_webm(2))  # video-only: track 1 declared
+    i = p.index(bytes([_SIMPLE_BLOCK]), p.index(_eid(_CLUSTER)))
+    b0 = p[i + 1]
+    size_len = 8 - b0.bit_length() + 1
+    track_at = i + 1 + size_len
+    assert p[track_at] == 0x81
+    p[track_at] = 0x85  # undeclared track 5
+    assert parse_webm(bytes(p)) is None
+
+    # bump the 8-byte-float Duration (even doc) → cross-check rejects
+    q = bytearray(synth_webm(2))
+    j = q.index(_eid(_DURATION)) + len(_eid(_DURATION)) + 1
+    old = struct.unpack(">d", q[j : j + 8])[0]
+    q[j : j + 8] = struct.pack(">d", old + 1.0)
+    assert parse_webm(bytes(q)) is None
+
+
+def test_rejects_truncation_and_garbage():
+    p = synth_webm(5)
+    for cut in (0, 2, 10, 40, len(p) // 2, len(p) - 1):
+        assert parse_webm(p[:cut]) is None
+    assert parse_webm(b"") is None
+    assert parse_webm(b"\x1aEotherdoc") is None
+    # wrong doctype
+    alt = bytearray(p)
+    alt[alt.index(b"webm") : alt.index(b"webm") + 4] = b"webX"
+    assert parse_webm(bytes(alt)) is None
+
+
+def test_mutation_sweep_never_raises():
+    p = bytearray(synth_webm(7))
+    for off in range(0, len(p), 5):
+        q = bytearray(p)
+        q[off] ^= 0x55
+        parse_webm(bytes(q))  # must not raise
+
+
+def test_webm_frame_nulls_for_garbage(spark):
+    from danae_spark.multimodal.webm import webm_census_frame
+
+    rows = [
+        (1, bytearray(b"not webm")),
+        (2, bytearray(synth_webm(2))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in webm_census_frame(df).collect()}
+    assert out[1]["doc_type"] is None
+    assert out[2]["doc_type"] == "webm" and out[2]["n_blocks"] > 0
