@@ -175,6 +175,22 @@ def parse_audio_header(payload: bytes) -> dict | None:
             "duration_ms": duration_ms,
             "bitrate_kbps": byte_rate * 8 // 1000 if byte_rate else None,
         }
+    if len(payload) >= 27 and payload[:4] == b"OggS":
+        # Ogg (Opus/Vorbis) — the full CRC-validated page walk lives in
+        # multimodal/ogg.py; reuse it for the header-triad dispatch
+        from danae_spark.multimodal.ogg import parse_ogg
+
+        c = parse_ogg(payload)
+        if c is None:
+            return None
+        return {
+            "format": "ogg-" + c["codec"],
+            "sample_rate": c["sample_rate"],
+            "channels": c["channels"],
+            "bit_depth": None,  # lossy codecs: no PCM depth
+            "duration_ms": c["duration_ms"],
+            "bitrate_kbps": None,
+        }
     if len(payload) >= 42 and payload[:4] == b"fLaC":
         # STREAMINFO is mandatory first (RFC 9639 §8.1); full sample
         # decode lives in multimodal/flac.py — this is the cheap
@@ -420,6 +436,24 @@ def parse_video_header(payload: bytes) -> dict | None:
                 return
             yield btype, buf[pos + hdr : pos + size]
             pos += size
+
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        # EBML magic → WebM/Matroska; the full element walk lives in
+        # multimodal/webm.py — reuse it for the header-triad dispatch
+        from danae_spark.multimodal.webm import parse_webm
+
+        c = parse_webm(payload)
+        if c is None:
+            return None
+        return {
+            "format": c["doc_type"],
+            "brand": None,
+            "timescale": None,  # EBML scale is ns-based, not mvhd ticks
+            "duration_ms": c["duration_ms"],
+            "n_tracks": c["n_tracks"],
+            "width": c["width"],
+            "height": c["height"],
+        }
 
     brand = timescale = duration = width = height = None
     n_tracks = 0

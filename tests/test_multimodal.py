@@ -221,6 +221,26 @@ def test_parse_audio_header_flac():
     assert parse_audio_header(b"fLaC" + b"\x00" * 38) is None
 
 
+def test_parse_audio_header_ogg_and_video_header_webm():
+    from danae_spark.multimodal.binary import parse_audio_header, parse_video_header
+    from danae_spark.multimodal.ogg import synth_ogg, _doc_params
+    from danae_spark.multimodal.webm import synth_webm, _doc_geometry
+
+    for d in (2, 3):
+        p = _doc_params(d)
+        h = parse_audio_header(synth_ogg(d))
+        assert h["format"] == "ogg-" + p["codec"]
+        assert h["sample_rate"] == p["rate"] and h["channels"] == p["channels"]
+        assert h["duration_ms"] is not None
+    assert parse_audio_header(b"OggS" + b"\x00" * 30) is None
+
+    g = _doc_geometry(4)
+    v = parse_video_header(synth_webm(4))
+    assert v["format"] == "webm" and v["n_tracks"] == 1
+    assert v["width"] == g["width"] and v["height"] == g["height"]
+    assert parse_video_header(b"\x1a\x45\xdf\xa3" + b"\x00" * 20) is None
+
+
 def test_audio_meta_frame_over_spark(spark):
     from danae_spark.multimodal.binary import audio_meta_frame
 
