@@ -1014,6 +1014,7 @@ def image_near_dup(
     n_bands: int | None = None,
     band_k: int | None = None,
     n_docs: int | None = None,
+    n_bits: int = 56,
 ) -> DataFrame:
     """Near-dup pairs among dHashes with hamming ≤ max_hamming, via
     banded LSH for hamming space: split the 56 bits into `n_bands`
@@ -1065,7 +1066,10 @@ def image_near_dup(
             f"n_bands - band_k (got max_hamming={max_hamming}, "
             f"n_bands={n_bands}, band_k={band_k})"
         )
-    base, extra = divmod(56, n_bands)
+    # n_bits parameterizes the hash width (56 for image dHash, 63 for
+    # the audio energy-gradient hash) — the pigeonhole guarantee and
+    # the banding math are width-agnostic
+    base, extra = divmod(n_bits, n_bands)
     widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
 
@@ -1534,4 +1538,152 @@ SELECT t.doc_id,
        t.energy_sum, gh.grad_hash
 FROM tot t JOIN gh USING (doc_id)
 ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------ audio near-duplicates
+
+
+def _cluster_audio_sample(doc_id: int, i: int) -> int:
+    """Cluster-structured mono samples: 4 consecutive doc_ids share a
+    base waveform (quadratic in the sample index, like _cluster_luma —
+    a linear form collapses gradient patterns) and differ by a +50
+    perturbation applied to one variant-specific 16-sample block, which
+    moves at most the two gradient comparisons touching that block.
+    Mirrored verbatim in the SQL oracle."""
+    base = doc_id // NEAR_DUP_VARIANTS
+    bump = 50 if i // AUDIO_FP_BLOCK_SAMPLES == (doc_id % NEAR_DUP_VARIANTS) * 3 else 0
+    return ((base + 1) * (i * i * 3 + i * 7) + base * base * 11 + bump) % 2048 - 1024
+
+
+def synth_cluster_audio(doc_id: int, n_samples: int = 1024) -> bytes:
+    """The cluster waveform in a REAL container — WAV on even docs,
+    FLAC on odd — so the near-dup pipeline exercises both decoders and
+    demonstrates container-invariance of the fingerprint (FLAC is
+    lossless, so both decode to identical PCM)."""
+    arr = np.array(
+        [[_cluster_audio_sample(doc_id, i)] for i in range(n_samples)], dtype=np.int64
+    )
+    if doc_id % 2 == 0:
+        return synth_wav(arr, rate=8000, bits=16)
+    from danae_spark.multimodal.flac import synth_flac
+
+    return synth_flac(arr, rate=8000, bits=16, seed=doc_id)
+
+
+def audio_fp_frame(
+    payloads: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """payload → (doc_id, 63-bit energy-gradient hash, decoded?) via the
+    real WAV/FLAC decoders (dispatch on magic); undecodable payloads
+    flag decoded=false with the byte-histogram fallback, mirroring
+    dhash_frame's contract. The hash column is named `dhash` so the
+    banded-LSH join (image_near_dup, width-parameterized) applies
+    as-is."""
+    from danae_spark.multimodal.flac import decode_flac
+
+    sel = payloads.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(p)
+                decoded = (
+                    decode_wav_samples(raw)
+                    if raw[:4] == b"RIFF"
+                    else decode_flac(raw) if raw[:4] == b"fLaC" else None
+                )
+                if decoded is not None:
+                    _total, bits = audio_energy_fingerprint(decoded[0])
+                    rows.append((int(doc_id), bits, True))
+                else:
+                    arr = np.frombuffer(raw, dtype=np.uint8)
+                    hist, _ = np.histogram(arr, bins=64, range=(0, 256))
+                    med = float(np.median(hist))
+                    bits = 0
+                    for i in range(63):
+                        if hist[i] > med:
+                            bits |= 1 << i
+                    rows.append((int(doc_id), bits, False))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash", "decoded"])
+
+    return sel.mapInPandas(run, schema=NEAR_DUP_SCHEMA)
+
+
+def audio_near_dup_roundtrip(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 6
+) -> DataFrame:
+    """End-to-end REAL-audio near-dup: per document a cluster-structured
+    waveform is encoded byte-for-byte into a real container (WAV/FLAC
+    alternating), decoded back by the real PCM decoders, fingerprinted
+    with the 63-bit block-energy gradient hash, and joined via the same
+    banded hamming LSH as the image path (7 bands of 9 bits, pigeonhole
+    completeness at radius 6). The DuckDB oracle recomputes the
+    fingerprints from the sample arithmetic and mirrors banding +
+    verify — the whole decode→fingerprint→candidate→verify pipeline is
+    value-checked across two container formats."""
+    from danae_spark.catalog import load_table
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        synth_cluster_audio(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    payloads = docs.repartition(
+        stage_parallelism(docs.sparkSession), "doc_id"
+    ).mapInPandas(synth, schema="doc_id bigint, payload binary")
+    # band_k=1 pinned like the image mirror: the oracle restates the
+    # k=1 banding and sf lakes sit far below the auto crossover
+    return image_near_dup(
+        audio_fp_frame(payloads),
+        max_hamming=max_hamming,
+        band_k=1,
+        n_bits=63,
+    )
+
+
+AUDIO_NEAR_DUP_ORACLE = """
+WITH s AS (
+  SELECT d.doc_id, g.i,
+         ((CAST(d.doc_id // 4 AS BIGINT) + 1) * (g.i * g.i * 3 + g.i * 7)
+          + CAST(d.doc_id // 4 AS BIGINT) * CAST(d.doc_id // 4 AS BIGINT) * 11
+          + CASE WHEN g.i // 16 = (d.doc_id % 4) * 3 THEN 50 ELSE 0 END)
+           % 2048 - 1024 AS v
+  FROM documents d, generate_series(0, 1023) g(i)
+),
+blk AS (
+  SELECT doc_id, i // 16 AS b,
+         CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS e
+  FROM s GROUP BY doc_id, i // 16
+),
+h AS (
+  SELECT l.doc_id,
+         CAST(coalesce(sum(CASE WHEN l.e < r.e
+                       THEN (CAST(1 AS BIGINT) << l.b) ELSE 0 END), 0) AS BIGINT)
+           AS ahash
+  FROM blk l JOIN blk r ON l.doc_id = r.doc_id AND r.b = l.b + 1
+  GROUP BY l.doc_id
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+  AND EXISTS (
+    SELECT 1 FROM generate_series(0, 6) t(band)
+    WHERE ((a.ahash >> (band * 9)) & 511) = ((b.ahash >> (band * 9)) & 511)
+  )
+ORDER BY d1, d2
 """

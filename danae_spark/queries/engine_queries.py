@@ -537,3 +537,17 @@ def webm_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     census value-checked by doc_id arithmetic (multimodal/webm.py).
     Non-ISO-BMFF crawl video is overwhelmingly WebM."""
     return _webm.webm_census_roundtrip(spark, sf_dir)
+
+
+@register("audio_near_dup", oracle=_pixels.AUDIO_NEAR_DUP_ORACLE)
+def audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-audio near-dup (r9): cluster-structured waveforms (4
+    variants per base, one 16-sample block perturbed per variant)
+    encoded into real containers — WAV even docs, FLAC odd, proving
+    container-invariance of the fingerprint — decoded by the real PCM
+    decoders, fingerprinted with the 63-bit block-energy gradient
+    hash, and joined via the width-parameterized banded hamming LSH
+    (7 bands x 9 bits, pigeonhole-complete at radius 6). The oracle
+    recomputes fingerprints from sample arithmetic and mirrors banding
+    + verify in SQL (multimodal/pixels.py audio_near_dup_roundtrip)."""
+    return _pixels.audio_near_dup_roundtrip(spark, sf_dir)

@@ -429,3 +429,52 @@ def test_wav_pcm_all_integer_depths_roundtrip():
             arr, rate = got
             assert rate == 8000
             assert (arr.astype(np.int64) == samples).all(), (bits, channels)
+
+
+def test_audio_near_dup_cluster_structure(spark):
+    """The audio near-dup pipeline (real WAV/FLAC decode → 63-bit
+    energy-gradient hash → 7×9-bit banded LSH) finds exactly the
+    intra-cluster pairs: every C(4,2) pair within a 4-variant base,
+    nothing across bases, all within hamming 6."""
+    from danae_spark.multimodal.pixels import (
+        audio_fp_frame,
+        image_near_dup,
+        synth_cluster_audio,
+    )
+
+    n_docs = 48
+    rows = [(d, bytearray(synth_cluster_audio(d))) for d in range(n_docs)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = audio_fp_frame(df)
+    assert all(r["decoded"] for r in hashes.collect())
+    pairs = image_near_dup(hashes, max_hamming=6, band_k=1, n_bits=63).collect()
+    got = {(r["d1"], r["d2"]) for r in pairs}
+    expected = {
+        (b * 4 + i, b * 4 + j)
+        for b in range(n_docs // 4)
+        for i in range(4)
+        for j in range(i + 1, 4)
+    }
+    assert got == expected
+    assert all(r["hamming"] <= 6 for r in pairs)
+
+
+def test_audio_fp_frame_container_invariance_and_fallback(spark):
+    """WAV and FLAC encodings of the same PCM produce the SAME
+    fingerprint (lossless container invariance); garbage falls back to
+    decoded=false with the histogram hash."""
+    import numpy as np
+
+    from danae_spark.multimodal.flac import synth_flac
+    from danae_spark.multimodal.pixels import audio_fp_frame, synth_wav
+
+    arr = np.array([[((i * i * 5 + i) % 900) - 450] for i in range(1024)], dtype=np.int64)
+    rows = [
+        (1, bytearray(synth_wav(arr, bits=16))),
+        (2, bytearray(synth_flac(arr, bits=16, seed=3))),
+        (3, bytearray(b"neither container")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in audio_fp_frame(df).collect()}
+    assert out[1]["decoded"] and out[2]["decoded"] and not out[3]["decoded"]
+    assert out[1]["dhash"] == out[2]["dhash"]
