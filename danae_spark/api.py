@@ -238,6 +238,17 @@ class DataLakeEngine:
 
         return mp4_fragments_frame(df, **kw)
 
+    def subtitle_extract(self, df: DataFrame, **kw) -> DataFrame:
+        """SRT/WebVTT subtitle extraction over any (id, binary) frame:
+        cue counts, durations, and the extracted transcript text —
+        ready to feed the text-curation operators (quality filters,
+        dedup, token budgets). Malformed sidecars yield null rows
+        rather than contributing garbage text
+        (multimodal/subtitles.py)."""
+        from danae_spark.multimodal.subtitles import subtitle_frame
+
+        return subtitle_frame(df, **kw)
+
     def webm_census(self, df: DataFrame, **kw) -> DataFrame:
         """WebM/Matroska census over any (id, binary) frame: doc type,
         timescale, duration, per-type track inventory with video

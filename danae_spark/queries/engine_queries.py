@@ -551,3 +551,20 @@ def audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes fingerprints from sample arithmetic and mirrors banding
     + verify in SQL (multimodal/pixels.py audio_near_dup_roundtrip)."""
     return _pixels.audio_near_dup_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import subtitles as _subs  # noqa: E402
+
+
+@register("subtitle_extract", oracle=_subs.SUBTITLE_ORACLE)
+def subtitle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle extraction (r9) — the multimodal -> text-curation
+    bridge: per doc a real SRT (even) or WebVTT (odd, with NOTE
+    blocks, cue ids, cue settings) file synthesized byte-for-byte,
+    parsed by the real cue parser (index/order/timestamp validation),
+    and the census INCLUDING the extracted transcript string restated
+    in SQL via nested ordered string_aggs — the value hash covers the
+    exact text the curation stack would consume
+    (multimodal/subtitles.py). Subtitles are the transcript tokens a
+    video crawl contributes to an LLM corpus."""
+    return _subs.subtitle_extract_roundtrip(spark, sf_dir)
