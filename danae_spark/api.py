@@ -238,6 +238,15 @@ class DataLakeEngine:
 
         return mp4_fragments_frame(df, **kw)
 
+    def id3_extract(self, df: DataFrame, **kw) -> DataFrame:
+        """ID3v2 metadata extraction over any (id, binary) frame:
+        title/artist/album/year text frames (v2.3 + v2.4, all four
+        encodings) for the metadata-search stack; garbled tags yield
+        null rows (multimodal/id3.py)."""
+        from danae_spark.multimodal.id3 import id3_frame
+
+        return id3_frame(df, **kw)
+
     def subtitle_extract(self, df: DataFrame, **kw) -> DataFrame:
         """SRT/WebVTT subtitle extraction over any (id, binary) frame:
         cue counts, durations, and the extracted transcript text —

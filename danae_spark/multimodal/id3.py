@@ -1,0 +1,299 @@
+"""ID3v2 tag extraction — the metadata text attached to crawl MP3s.
+
+The MP3 structural walk (multimodal/mp3.py) SKIPS the ID3v2 tag by
+design; this module decodes it: title/artist/album/year text frames
+are the searchable metadata a crawl audio corpus carries, and they
+feed the same metadata-search stack (BM25, tf-idf) as document
+titles. Covers both wire formats in the wild:
+
+  - ID3v2.3: plain 32-bit frame sizes, ID3v2.4: syncsafe frame sizes
+    (7 bits per byte — a 2.4 tag read with 2.3 arithmetic walks off
+    the rails, which is exactly the kind of silent corruption the
+    validation rejects);
+  - all four text encodings (ISO-8859-1, UTF-16 with BOM, UTF-16BE,
+    UTF-8) with the per-encoding terminator conventions;
+  - frame walk with bounds validation: a frame running past the tag,
+    an invalid encoding byte, or undecodable text rejects the tag
+    whole (None) rather than contributing mojibake metadata.
+
+Reference parity note: the reference (smartdatalake/danae) indexes
+dataset title/description/keywords metadata (metadata_search.py);
+this extracts the same fields from audio binaries — extension
+surface, no reference counterpart.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+__all__ = [
+    "parse_id3",
+    "synth_id3_mp3",
+    "id3_frame",
+    "id3_extract_roundtrip",
+    "ID3_ORACLE",
+]
+
+_TEXT_FRAMES = {"TIT2": "title", "TPE1": "artist", "TALB": "album", "TDRC": "year",
+                "TYER": "year"}
+
+
+def _syncsafe(b: bytes) -> int:
+    v = 0
+    for x in b:
+        if x & 0x80:
+            raise ValueError("non-syncsafe byte")
+        v = (v << 7) | x
+    return v
+
+
+def _decode_text(enc: int, data: bytes) -> str | None:
+    try:
+        if enc == 0:
+            return data.split(b"\x00")[0].decode("latin-1")
+        if enc == 1:
+            return data.decode("utf-16").split("\x00")[0]
+        if enc == 2:
+            return data.decode("utf-16-be").split("\x00")[0]
+        if enc == 3:
+            return data.split(b"\x00")[0].decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    return None  # invalid encoding byte
+
+
+def parse_id3(payload: bytes) -> dict | None:
+    """Decode a leading ID3v2.3/2.4 tag into one census row:
+
+      version (3 | 4), tag_bytes, n_frames, n_text_frames,
+      title, artist, album, year (None when absent), n_meta_chars
+      (Σ lengths of all decoded text-frame values)
+
+    None for missing/garbled tags: bad magic, unsupported version,
+    frames escaping the tag, invalid text encodings."""
+    try:
+        return _parse_id3_inner(payload)
+    except (IndexError, ValueError):
+        return None
+
+
+def _parse_id3_inner(payload: bytes) -> dict | None:
+    if len(payload) < 10 or payload[:3] != b"ID3":
+        return None
+    version = payload[3]
+    if version not in (3, 4) or payload[4] != 0:
+        return None
+    flags = payload[5]
+    if flags & 0x0F:
+        return None  # unknown flags must be zero
+    size = _syncsafe(payload[6:10])
+    if 10 + size > len(payload):
+        return None
+    tag = payload[10 : 10 + size]
+
+    pos = 0
+    n_frames = 0
+    n_text = 0
+    fields: dict[str, str] = {}
+    n_meta_chars = 0
+    while pos + 10 <= len(tag):
+        fid = tag[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if not all(0x30 <= c <= 0x5A for c in fid):
+            return None
+        fsize = (
+            _syncsafe(tag[pos + 4 : pos + 8])
+            if version == 4
+            else int.from_bytes(tag[pos + 4 : pos + 8], "big")
+        )
+        body = tag[pos + 10 : pos + 10 + fsize]
+        if len(body) != fsize or fsize == 0:
+            return None
+        n_frames += 1
+        sid = fid.decode("ascii")
+        if sid.startswith("T") and sid != "TXXX":
+            text = _decode_text(body[0], body[1:])
+            if text is None:
+                return None
+            n_text += 1
+            n_meta_chars += len(text)
+            key = _TEXT_FRAMES.get(sid)
+            if key is not None and key not in fields:
+                fields[key] = text
+        pos += 10 + fsize
+
+    if n_frames == 0:
+        return None
+    return {
+        "version": version,
+        "tag_bytes": 10 + size,
+        "n_frames": n_frames,
+        "n_text_frames": n_text,
+        "title": fields.get("title"),
+        "artist": fields.get("artist"),
+        "album": fields.get("album"),
+        "year": fields.get("year"),
+        "n_meta_chars": n_meta_chars,
+    }
+
+
+# ------------------------------------------------------------- synthesis
+
+
+def _meta_strings(doc_id: int) -> dict:
+    return {
+        "title": f"title {doc_id % 97} track {(doc_id * 7) % 51}",
+        "artist": f"artist {(doc_id * 11) % 89}",
+        "album": f"album {(doc_id * 13) % 83}",
+        "year": str(1970 + doc_id % 55),
+    }
+
+
+def _frame(version: int, fid: bytes, enc: int, text: str) -> bytes:
+    if enc == 0:
+        body = bytes([0]) + text.encode("latin-1")
+    elif enc == 1:
+        body = bytes([1]) + text.encode("utf-16")  # BOM included
+    elif enc == 2:
+        body = bytes([2]) + text.encode("utf-16-be")
+    else:
+        body = bytes([3]) + text.encode("utf-8")
+    size = (
+        bytes((len(body) >> s) & 0x7F for s in (21, 14, 7, 0))
+        if version == 4
+        else len(body).to_bytes(4, "big")
+    )
+    return fid + size + b"\x00\x00" + body
+
+
+def synth_id3_mp3(doc_id: int) -> bytes:
+    """Doc-deterministic ID3 tag prepended to a REAL MPEG stream
+    (multimodal/mp3.py synth): v2.4 + syncsafe + UTF-8/UTF-16BE on
+    even docs, v2.3 + plain sizes + UTF-16-BOM/Latin-1 on odd — both
+    size arithmetics and all four encodings appear across the grid."""
+    from danae_spark.multimodal.mp3 import synth_mp3_stream
+
+    m = _meta_strings(doc_id)
+    version = 4 if doc_id % 2 == 0 else 3
+    if version == 4:
+        frames = (
+            _frame(4, b"TIT2", 3, m["title"])
+            + _frame(4, b"TPE1", 2, m["artist"])
+            + _frame(4, b"TALB", 3, m["album"])
+            + _frame(4, b"TDRC", 0, m["year"])
+        )
+    else:
+        frames = (
+            _frame(3, b"TIT2", 1, m["title"])
+            + _frame(3, b"TPE1", 0, m["artist"])
+            + _frame(3, b"TALB", 1, m["album"])
+            + _frame(3, b"TYER", 0, m["year"])
+        )
+    pad = b"\x00" * (8 + doc_id % 16)
+    body = frames + pad
+    hdr = b"ID3" + bytes([version, 0, 0])
+    hdr += bytes(((len(body) >> s) & 0x7F) for s in (21, 14, 7, 0))
+    # strip the MP3 synth's own ID3 header if present: synth_mp3_stream
+    # emits raw MPEG frames (ID3 skip is exercised by its own tests)
+    return hdr + body + synth_mp3_stream(doc_id)
+
+
+# ----------------------------------------------------- Spark entry points
+
+_COLS = ["version", "tag_bytes", "n_frames", "n_text_frames", "title",
+         "artist", "album", "year", "n_meta_chars"]
+
+_SCHEMA = (
+    "doc_id bigint, version int, tag_bytes int, n_frames int, "
+    "n_text_frames int, title string, artist string, album string, "
+    "year string, n_meta_chars int"
+)
+
+
+def id3_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
+    """ID3v2 metadata extraction over any (id, binary) frame; nulls for
+    untagged/garbled payloads."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                c = parse_id3(bytes(payload)) if payload is not None else None
+                row = {id_col: rid}
+                row.update({k: (c.get(k) if c else None) for k in _COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[id_col] + _COLS)
+
+    return df.mapInPandas(batches, schema=_SCHEMA.replace("doc_id", id_col, 1))
+
+
+def id3_extract_roundtrip(spark, sf_dir: str):
+    """Oracle-checkable ID3 extraction: per doc a real tag (v2.4
+    syncsafe / v2.3 plain alternating, all four text encodings across
+    the grid) prepended to a real MPEG stream, decoded by the real
+    frame walk, with the title/artist/album/year STRINGS restated in
+    SQL — the value hash covers the exact metadata text the search
+    stack would index."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                c = parse_id3(synth_id3_mp3(d))
+                row = {"doc_id": d}
+                row.update({k: (c.get(k) if c else None) for k in _COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["doc_id"] + _COLS)
+
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+ID3_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         'title ' || CAST(doc_id % 97 AS VARCHAR) || ' track '
+           || CAST((doc_id * 7) % 51 AS VARCHAR) AS title,
+         'artist ' || CAST((doc_id * 11) % 89 AS VARCHAR) AS artist,
+         'album ' || CAST((doc_id * 13) % 83 AS VARCHAR) AS album,
+         CAST(1970 + doc_id % 55 AS VARCHAR) AS year,
+         CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS version
+  FROM documents
+),
+enc AS (
+  SELECT *,
+         -- per-encoding on-wire body bytes: enc byte + text bytes
+         -- (UTF-16 with BOM = 2 + 2n, UTF-16BE = 2n, latin-1/utf-8 = n
+         --  for these ASCII-only strings)
+         CASE WHEN version = 4
+              THEN (1 + length(title)) + (1 + 2 * length(artist))
+                   + (1 + length(album)) + (1 + length(year))
+              ELSE (1 + 2 + 2 * length(title)) + (1 + length(artist))
+                   + (1 + 2 + 2 * length(album)) + (1 + length(year))
+         END AS bodies
+  FROM m
+)
+SELECT doc_id,
+       CAST(version AS INT) AS version,
+       CAST(10 + 4 * 10 + bodies + 8 + doc_id % 16 AS INT) AS tag_bytes,
+       CAST(4 AS INT) AS n_frames,
+       CAST(4 AS INT) AS n_text_frames,
+       title, artist, album, year,
+       CAST(length(title) + length(artist) + length(album) + length(year)
+            AS INT) AS n_meta_chars
+FROM enc
+ORDER BY doc_id
+"""

@@ -568,3 +568,18 @@ def subtitle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (multimodal/subtitles.py). Subtitles are the transcript tokens a
     video crawl contributes to an LLM corpus."""
     return _subs.subtitle_extract_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import id3 as _id3  # noqa: E402
+
+
+@register("id3_extract", oracle=_id3.ID3_ORACLE)
+def id3_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 metadata extraction (r9): per doc a real tag (v2.4
+    syncsafe / v2.3 plain-size alternating, all four text encodings
+    across the grid) prepended to a real MPEG stream, decoded by the
+    real frame walk with bounds/encoding validation; the
+    title/artist/album/year STRINGS are restated in SQL so the value
+    hash covers the exact metadata text the search stack (BM25,
+    tf-idf) would index (multimodal/id3.py)."""
+    return _id3.id3_extract_roundtrip(spark, sf_dir)
