@@ -67,6 +67,15 @@ OPERATORS = {
     "mp3_sideinfo_roundtrip": "documents",
     "mp4_sample_census": "documents",
     "mp4_fragment_census": "documents",
+    # r9 codec/container families: FLAC lossless codec, Ogg page walk,
+    # WebM EBML walk — all one-pass per-row decode pipelines
+    "flac_pcm_roundtrip": "documents",
+    "ogg_census": "documents",
+    "webm_census": "documents",
+    # r9 text-bridge + near-dup families
+    "audio_near_dup": "documents",
+    "subtitle_extract": "documents",
+    "id3_extract": "documents",
 }
 
 
