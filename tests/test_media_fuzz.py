@@ -1,0 +1,85 @@
+"""Cross-format fuzz gate for the r9 media parsers: every parser in
+the engine must return a value or None on arbitrary bytes — never
+raise inside an executor task. Extends the r7 image/WAV fuzz
+(tests/test_pixels.py) to the full r9 surface: FLAC, Ogg, WebM, MP3
+side-info, MP4 sample tables, fragmented MP4, subtitles, ID3."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from danae_spark.multimodal.flac import decode_flac, synth_flac_pcm
+from danae_spark.multimodal.id3 import parse_id3, synth_id3_mp3
+from danae_spark.multimodal.mp3 import parse_mp3_stream, synth_mp3_stream
+from danae_spark.multimodal.mp4 import (
+    parse_mp4_fragments,
+    parse_mp4_samples,
+    synth_fmp4,
+    synth_mp4,
+)
+from danae_spark.multimodal.ogg import parse_ogg, synth_ogg
+from danae_spark.multimodal.subtitles import parse_subtitles, synth_subtitles
+from danae_spark.multimodal.webm import parse_webm, synth_webm
+
+_PARSERS = [
+    decode_flac,
+    parse_ogg,
+    parse_webm,
+    parse_mp3_stream,
+    parse_mp4_samples,
+    parse_mp4_fragments,
+    parse_subtitles,
+    parse_id3,
+]
+
+_SEEDS = [
+    synth_flac_pcm(3, 512),
+    synth_ogg(4),
+    synth_ogg(5),
+    synth_webm(6),
+    synth_mp3_stream(7),
+    synth_mp4(8),
+    synth_fmp4(9),
+    synth_subtitles(10),
+    synth_id3_mp3(11),
+]
+
+
+def test_r9_parsers_never_crash_on_arbitrary_bytes():
+    @settings(max_examples=250, deadline=None)
+    @given(st.data())
+    def fuzz(data):
+        mode = data.draw(st.integers(0, 2))
+        if mode == 0:
+            payload = data.draw(st.binary(min_size=0, max_size=400))
+        else:
+            base = bytearray(_SEEDS[data.draw(st.integers(0, len(_SEEDS) - 1))])
+            if mode == 1:  # truncate
+                payload = bytes(base[: data.draw(st.integers(0, len(base)))])
+            else:  # flip bytes
+                for _ in range(data.draw(st.integers(1, 10))):
+                    ix = data.draw(st.integers(0, len(base) - 1))
+                    base[ix] = data.draw(st.integers(0, 255))
+                payload = bytes(base)
+        for parse in _PARSERS:
+            parse(payload)  # value or None, never an exception
+
+    fuzz()
+
+
+def test_cross_format_dispatch_never_confuses():
+    """Every seed fed to every OTHER format's parser returns None (or a
+    valid parse for genuinely overlapping formats — there are none in
+    this set), never raises — the crawl reality where a .mp3 file
+    holds a WebM stream and vice versa."""
+    # seed index → parser indices that legitimately accept it; the
+    # ID3+MPEG seed (8) is BOTH an ID3 tag and a real MP3 stream (the
+    # mp3 walker skips the tag by design)
+    owners = [{0}, {1}, {1}, {2}, {3}, {4}, {5}, {6}, {7, 3}]
+    for si, seed in enumerate(_SEEDS):
+        for pi, parse in enumerate(_PARSERS):
+            out = parse(seed)
+            if pi in owners[si]:
+                assert out is not None, (si, pi)
+            else:
+                assert out is None, (si, pi)
