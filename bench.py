@@ -97,6 +97,18 @@ HEADLINE = [
     "jpeg_pixels_roundtrip",
     "jpeg_progressive_roundtrip",
     "audio_pcm_roundtrip",
+    # round-9 additions: structural A/V censuses, the FLAC codec, the
+    # Ogg/WebM containers, audio near-dup, and the text-from-media
+    # bridges
+    "mp3_sideinfo_roundtrip",
+    "mp4_sample_census",
+    "mp4_fragment_census",
+    "flac_pcm_roundtrip",
+    "ogg_census",
+    "webm_census",
+    "audio_near_dup",
+    "subtitle_extract",
+    "id3_extract",
 ]
 
 
