@@ -51,6 +51,7 @@ import pandas as pd
 
 __all__ = [
     "decode_flac",
+    "decode_flac_full",
     "synth_flac",
     "flac_pcm_frame",
     "flac_pcm_roundtrip",
@@ -389,13 +390,11 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int] | None:
     the reconstructed PCM. Any violation → None (reject the file
     whole — corrupt crawl bytes must not silently yield wrong audio).
     """
-    try:
-        return _decode_flac_inner(payload)
-    except (IndexError, ValueError, struct.error):
-        return None
+    full = decode_flac_full(payload)
+    return None if full is None else full[:2]
 
 
-def _decode_flac_inner(payload: bytes) -> tuple[np.ndarray, int] | None:
+def _decode_flac_inner(payload: bytes) -> tuple[np.ndarray, int, int] | None:
     if len(payload) < 42 or payload[:4] != b"fLaC":
         return None
     pos = 4
@@ -428,9 +427,13 @@ def _decode_flac_inner(payload: bytes) -> tuple[np.ndarray, int] | None:
 
     chans: list[list[int]] = [[] for _ in range(channels)]
     expected_next = 0  # next frame number (fixed) / sample number (variable)
+    # ONE reader for the whole frame walk: unary()'s ones-table (an
+    # np.unpackbits pass over the entire payload) is built lazily per
+    # reader, so constructing a reader per frame made decode quadratic
+    # in file size (measured ~14x wall for 4x input at 256 frames).
+    r = _Reader(payload)
     while pos < len(payload):
         frame_start = pos
-        r = _Reader(payload)
         r.pos = pos * 8
         if r.bits(14) != 0b11111111111110 or r.bits(1) != 0:
             return None
@@ -548,7 +551,16 @@ def _decode_flac_inner(payload: bytes) -> tuple[np.ndarray, int] | None:
     lo, hi = -(1 << (bps0 - 1)), (1 << (bps0 - 1)) - 1
     if samples.min() < lo or samples.max() > hi:
         return None
-    return samples.astype(np.int32), rate0
+    return samples.astype(np.int32), rate0, bps0
+
+
+def decode_flac_full(payload: bytes) -> tuple[np.ndarray, int, int] | None:
+    """decode_flac plus the stream's bits-per-sample:
+    ((n, channels) int32, rate, bps) — the census entry point."""
+    try:
+        return _decode_flac_inner(payload)
+    except (IndexError, ValueError, struct.error):
+        return None
 
 
 # ------------------------------------------------------------- encoder
@@ -837,17 +849,19 @@ def flac_pcm_frame(
         for pdf in it:
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
-                decoded = decode_flac(bytes(payload)) if payload is not None else None
+                decoded = (
+                    decode_flac_full(bytes(payload)) if payload is not None else None
+                )
                 if decoded is None:
                     rows.append({id_col: rid, "sample_rate": None, "channels": None,
                                  "bits": None, "n_samples": None,
                                  "energy_sum": None, "grad_hash": None})
                     continue
-                samples, rate = decoded
+                samples, rate, bps = decoded
                 total, gbits = audio_energy_fingerprint(samples)
                 rows.append({id_col: rid, "sample_rate": rate,
                              "channels": samples.shape[1],
-                             "bits": None, "n_samples": samples.shape[0],
+                             "bits": bps, "n_samples": samples.shape[0],
                              "energy_sum": total, "grad_hash": gbits})
             yield pd.DataFrame(
                 rows, columns=[id_col, "sample_rate", "channels", "bits",

@@ -276,6 +276,10 @@ def parse_mp4_samples(payload: bytes) -> dict | None:
         "n_keyframes": sum(t["n_keyframes"] for t in tracks),
         "duration_ms": max(t["duration_ms"] or 0 for t in tracks),
         "ctts_sum": sum(t["ctts_sum"] for t in tracks),
+        # legal-but-unusual flag (not a census column): some chunk's
+        # samples live outside the mdat span — worth a triage/dq look
+        # even though §8.7.5 permits offsets anywhere in the file
+        "offsets_in_mdat": all(t["offset_ok"] for t in tracks),
     }
 
 
@@ -448,14 +452,16 @@ def mp4_samples_frame(df: DataFrame, id_col: str = "doc_id",
         for pdf in it:
             rows = []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
-                agg = parse_mp4_samples(bytes(p)) or {}
+                agg = (parse_mp4_samples(bytes(p)) if p is not None else None) or {}
                 rows.append(
-                    {"doc_id": doc_id, **{c: agg.get(c) for c in _CENSUS_COLS}}
+                    {id_col: doc_id, **{c: agg.get(c) for c in _CENSUS_COLS}}
                 )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(rows, columns=[id_col] + _CENSUS_COLS)
 
-    src = df.select(F.col(id_col).alias(id_col), F.col(payload_col))
-    return src.mapInPandas(batches, schema=MP4_SAMPLES_SCHEMA)
+    src = df.select(F.col(id_col), F.col(payload_col))
+    return src.mapInPandas(
+        batches, schema=MP4_SAMPLES_SCHEMA.replace("doc_id", id_col, 1)
+    )
 
 
 def mp4_samples_roundtrip(spark, sf_dir: str) -> DataFrame:
@@ -936,14 +942,16 @@ def mp4_fragments_frame(df: DataFrame, id_col: str = "doc_id",
         for pdf in it:
             rows = []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
-                agg = parse_mp4_fragments(bytes(p)) or {}
+                agg = (parse_mp4_fragments(bytes(p)) if p is not None else None) or {}
                 rows.append(
-                    {"doc_id": doc_id, **{c: agg.get(c) for c in _FRAG_COLS}}
+                    {id_col: doc_id, **{c: agg.get(c) for c in _FRAG_COLS}}
                 )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(rows, columns=[id_col] + _FRAG_COLS)
 
-    src = df.select(F.col(id_col).alias(id_col), F.col(payload_col))
-    return src.mapInPandas(batches, schema=MP4_FRAGMENTS_SCHEMA)
+    src = df.select(F.col(id_col), F.col(payload_col))
+    return src.mapInPandas(
+        batches, schema=MP4_FRAGMENTS_SCHEMA.replace("doc_id", id_col, 1)
+    )
 
 
 def mp4_fragments_roundtrip(spark, sf_dir: str) -> DataFrame:

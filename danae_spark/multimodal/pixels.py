@@ -979,6 +979,9 @@ def dhash_frame(payloads: DataFrame, id_col: str = "doc_id", payload_col: str = 
         for pdf in it:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:
+                    rows.append((int(doc_id), None, False))
+                    continue
                 px = decode_pixels(bytes(p))
                 if px is not None:
                     rows.append((int(doc_id), dhash_bits(luma_grid(px)), True))
@@ -1590,6 +1593,9 @@ def audio_fp_frame(
         for pdf in it:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:
+                    rows.append((int(doc_id), None, False))
+                    continue
                 raw = bytes(p)
                 decoded = (
                     decode_wav_samples(raw)

@@ -44,6 +44,7 @@ def _expected(doc_id: int) -> dict:
         * 1000 // p["timescale"]
         for p in ps
     )
+    out["offsets_in_mdat"] = True  # synth offsets always address the mdat
     return out
 
 
