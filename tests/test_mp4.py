@@ -44,7 +44,6 @@ def _expected(doc_id: int) -> dict:
         * 1000 // p["timescale"]
         for p in ps
     )
-    out["offsets_in_mdat"] = True  # synth offsets always address the mdat
     return out
 
 
@@ -52,6 +51,7 @@ def test_synth_parse_roundtrip_all_fields():
     for d in range(0, 60):
         agg = parse_mp4_samples(synth_mp4(d))
         assert agg is not None, d
+        assert agg.pop("offsets_in_mdat") is True, d  # synth addresses mdat
         assert agg == _expected(d), d
 
 
