@@ -14,8 +14,11 @@ none of it. This decodes the container for real:
     TrackEntry (number, type, CodecID, Video PixelWidth/PixelHeight,
     Audio SamplingFrequency/Channels), Cluster → Timestamp +
     SimpleBlock (VINT track ref, signed 16-bit relative timestamp,
-    keyframe flag, no-lacing subset — lacing variants are rejected,
-    a declared boundary);
+    keyframe flag) with ALL THREE lacing schemes (§Matroska block
+    structure): Xiph 255-chain size tables, fixed-size lacing
+    (even-division check), and EBML lacing (unsigned first size +
+    signed-VINT deltas) — laced Opus/Vorbis-in-WebM audio is routine
+    in real files, and an unlaced-only reader rejects all of it;
   - integrity: element sizes must land inside their parent and the
     file, every SimpleBlock's track VINT must reference a declared
     TrackEntry, the Info Duration must equal the last block timestamp
@@ -121,6 +124,56 @@ def _uint(data: bytes) -> int:
     return v
 
 
+def _lace_sizes(payload: bytes, dpos: int, ce: int, lace_type: int) -> list[int] | None:
+    """Decode a SimpleBlock's lacing size table starting at the lace
+    count byte; returns the full per-frame size list (the last Xiph/
+    EBML frame is the remainder). None on any structural violation."""
+    if dpos >= ce:
+        return None
+    n_lace = payload[dpos] + 1  # stored as count - 1
+    dpos += 1
+    sizes: list[int] = []
+    if lace_type == 1:  # Xiph: 255-chains for frames 0..n-2
+        for _ in range(n_lace - 1):
+            sz = 0
+            while True:
+                if dpos >= ce:
+                    return None
+                b = payload[dpos]
+                dpos += 1
+                sz += b
+                if b < 255:
+                    break
+            sizes.append(sz)
+    elif lace_type == 3:  # EBML: unsigned first size, signed deltas
+        rv = _read_vint(payload, dpos, keep_marker=False)
+        if rv is None or rv[1] > ce:
+            return None
+        prev, dpos = rv
+        sizes.append(prev)
+        for _ in range(n_lace - 2):
+            rv = _read_vint(payload, dpos, keep_marker=False)
+            if rv is None or rv[1] > ce:
+                return None
+            v, npos = rv
+            ln = npos - dpos
+            prev += v - ((1 << (7 * ln - 1)) - 1)  # signed-VINT bias
+            if prev < 0:
+                return None
+            sizes.append(prev)
+            dpos = npos
+    else:  # fixed: no size table, the data must divide evenly
+        total = ce - dpos
+        if n_lace == 0 or total % n_lace:
+            return None
+        return [total // n_lace] * n_lace
+    rem = (ce - dpos) - sum(sizes)
+    if rem < 0:
+        return None
+    sizes.append(rem)  # the last frame is whatever remains
+    return sizes
+
+
 def _float(data: bytes) -> float | None:
     if len(data) == 4:
         return struct.unpack(">f", data)[0]
@@ -145,13 +198,14 @@ def parse_webm(payload: bytes) -> dict | None:
       doc_type, timescale_ns, duration_ms
       n_tracks, n_video, n_audio, width, height (first video track),
       audio_rate, audio_channels (first audio track)
-      n_clusters, n_blocks, n_keyframes, media_bytes
-      last_ts_ms (cluster base + relative timestamp of the last block)
+      n_clusters, n_blocks, n_frames (laced frames counted
+      individually), n_keyframes, media_bytes (frame payload bytes,
+      lacing size tables excluded)
 
     Unknown elements are skipped per the EBML contract; structural
     violations (truncated VINTs, sizes escaping parents, SimpleBlocks
-    referencing undeclared tracks, laced blocks, a Duration that
-    contradicts the last block timestamp) reject the file whole."""
+    referencing undeclared tracks, malformed lacing tables, a Duration
+    that contradicts the last block timestamp) reject the file whole."""
     try:
         return _parse_webm_inner(payload)
     except (IndexError, ValueError, struct.error):
@@ -179,6 +233,7 @@ def _parse_webm_inner(payload: bytes) -> dict | None:
     tracks: dict[int, dict] = {}
     n_clusters = 0
     n_blocks = 0
+    n_frames = 0
     n_keyframes = 0
     media_bytes = 0
     last_ts: int | None = None
@@ -239,12 +294,21 @@ def _parse_webm_inner(payload: bytes) -> dict | None:
                         return None
                     rel = struct.unpack(">h", payload[bpos : bpos + 2])[0]
                     flags = payload[bpos + 2]
-                    if flags & 0x06:
-                        return None  # laced blocks: declared out of subset
+                    lace_type = (flags >> 1) & 0x03
+                    if lace_type == 0:
+                        frame_bytes = ce - (bpos + 3)
+                        block_frames = 1
+                    else:
+                        sizes = _lace_sizes(payload, bpos + 3, ce, lace_type)
+                        if sizes is None:
+                            return None
+                        frame_bytes = sum(sizes)
+                        block_frames = len(sizes)
                     n_blocks += 1
+                    n_frames += block_frames
                     if flags & 0x80:
                         n_keyframes += 1
-                    media_bytes += ce - (bpos + 3)
+                    media_bytes += frame_bytes
                     ts = cluster_ts + rel
                     if last_ts is None or ts > last_ts:
                         last_ts = ts
@@ -273,6 +337,7 @@ def _parse_webm_inner(payload: bytes) -> dict | None:
         "audio_channels": a0.get("channels"),
         "n_clusters": n_clusters,
         "n_blocks": n_blocks,
+        "n_frames": n_frames,
         "n_keyframes": n_keyframes,
         "media_bytes": media_bytes,
     }
@@ -294,6 +359,16 @@ def _vint_size(size: int) -> bytes:
 
 def _eid(eid: int) -> bytes:
     return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+
+
+def _vint_signed(diff: int) -> bytes:
+    """EBML-lacing signed size delta: diff + (2^(7·len-1) - 1) encoded
+    as a VINT of the smallest sufficient length."""
+    for length in range(1, 9):
+        bias = (1 << (7 * length - 1)) - 1
+        if -bias <= diff <= bias:
+            return ((1 << (7 * length)) | (diff + bias)).to_bytes(length, "big")
+    raise ValueError("delta too large")
 
 
 def _el(eid: int, body: bytes) -> bytes:
@@ -326,6 +401,26 @@ def _block_rel(doc_id: int, b: int) -> int:
     return b * 30 + (doc_id % 9)
 
 
+# lacing geometry: every third block (b % 3 == 2) is laced; the lace
+# type cycles Xiph/fixed/EBML per (doc_id + c); frames are equal-sized
+# (valid for all three schemes — fixed requires it, Xiph/EBML sizes up
+# to 400+ exercise 255-chains and multi-byte VINTs)
+def _block_laced(b: int) -> bool:
+    return b % 3 == 2
+
+
+def _lace_kind(doc_id: int, c: int) -> int:  # 1=Xiph, 2=fixed, 3=EBML
+    return 1 + (doc_id + c) % 3
+
+
+def _lace_n(doc_id: int, c: int, b: int) -> int:
+    return 2 + (doc_id + c + b) % 3
+
+
+def _lace_frame_size(doc_id: int, c: int, b: int) -> int:
+    return 25 + ((doc_id * 3 + c + b * 7) % 400)
+
+
 _V_CODECS = ("V_VP8", "V_VP9", "V_AV1")
 
 
@@ -333,9 +428,11 @@ def synth_webm(doc_id: int) -> bytes:
     """Doc-deterministic WebM: EBML header, Segment with Info (scale +
     8-byte-float Duration on even docs / 4-byte on odd), Tracks (video
     VP8/VP9/AV1 cycling + optional Opus audio), Void elements the
-    walker must skip, and Clusters of no-lacing SimpleBlocks with a
-    deterministic keyframe stride. Duration = last block timestamp, so
-    the parser's cross-check holds."""
+    walker must skip, and Clusters of SimpleBlocks with a deterministic
+    keyframe stride — every third block LACED, the scheme cycling
+    Xiph / fixed / EBML per cluster (255-chains and multi-byte VINT
+    deltas appear across the grid). Duration = last block timestamp,
+    so the parser's cross-check holds."""
     g = _doc_geometry(doc_id)
 
     ebml = _el(
@@ -385,9 +482,38 @@ def synth_webm(doc_id: int) -> bytes:
             track = 2 if (g["has_audio"] and b % 2 == 1) else 1
             rel = _block_rel(doc_id, b)
             key = 0x80 if b % g["key_step"] == 0 else 0
-            size = _block_size(doc_id, c, b)
-            frame = bytes((doc_id + c + b + i) % 251 for i in range(size))
-            blk = bytes([0x80 | track]) + struct.pack(">h", rel) + bytes([key]) + frame
+            if _block_laced(b):
+                kind = _lace_kind(doc_id, c)
+                n_lace = _lace_n(doc_id, c, b)
+                fsz = _lace_frame_size(doc_id, c, b)
+                frames = [
+                    bytes((doc_id + c + b + f + i) % 251 for i in range(fsz))
+                    for f in range(n_lace)
+                ]
+                table = bytes([n_lace - 1])
+                if kind == 1:  # Xiph 255-chains for all but the last
+                    for fr in frames[:-1]:
+                        sz = len(fr)
+                        chain = b""
+                        while sz >= 255:
+                            chain += bytes([255])
+                            sz -= 255
+                        table += chain + bytes([sz])
+                elif kind == 3:  # EBML: first size + zero deltas
+                    table += _vint_size(len(frames[0]))
+                    for _ in frames[1:-1]:
+                        table += _vint_signed(0)
+                blk = (
+                    bytes([0x80 | track]) + struct.pack(">h", rel)
+                    + bytes([key | (kind << 1)]) + table + b"".join(frames)
+                )
+            else:
+                size = _block_size(doc_id, c, b)
+                frame = bytes((doc_id + c + b + i) % 251 for i in range(size))
+                blk = (
+                    bytes([0x80 | track]) + struct.pack(">h", rel)
+                    + bytes([key]) + frame
+                )
             body += _el(_SIMPLE_BLOCK, blk)
         clusters += _el(_CLUSTER, body)
 
@@ -401,14 +527,14 @@ def synth_webm(doc_id: int) -> bytes:
 _CENSUS_COLS = [
     "doc_type", "timescale_ns", "duration_ms", "n_tracks", "n_video",
     "n_audio", "width", "height", "audio_rate", "audio_channels",
-    "n_clusters", "n_blocks", "n_keyframes", "media_bytes",
+    "n_clusters", "n_blocks", "n_frames", "n_keyframes", "media_bytes",
 ]
 
 _CENSUS_SCHEMA = (
     "doc_id bigint, doc_type string, timescale_ns bigint, duration_ms bigint, "
     "n_tracks int, n_video int, n_audio int, width int, height int, "
     "audio_rate int, audio_channels int, n_clusters int, n_blocks int, "
-    "n_keyframes int, media_bytes bigint"
+    "n_frames int, n_keyframes int, media_bytes bigint"
 )
 
 
@@ -469,9 +595,18 @@ WITH g AS (
          400 + (doc_id % 7) * 40 AS cluster_step
   FROM documents
 ),
+-- every third block (b % 3 = 2) is laced: n_lace equal-sized frames
+-- (_block_laced/_lace_n/_lace_frame_size restated verbatim)
 blk AS (
   SELECT g.doc_id, c.c, b.b,
-         30 + (g.doc_id + c.c * 17 + b.b * 5) % 400 AS size_bytes,
+         CASE WHEN b.b % 3 = 2
+              THEN CAST(2 + (g.doc_id + c.c + b.b) % 3 AS INT)
+              ELSE 1 END AS n_lace,
+         CASE WHEN b.b % 3 = 2
+              THEN (2 + (g.doc_id + c.c + b.b) % 3)
+                   * (25 + (g.doc_id * 3 + c.c + b.b * 7) % 400)
+              ELSE 30 + (g.doc_id + c.c * 17 + b.b * 5) % 400
+         END AS size_bytes,
          CASE WHEN b.b % g.key_step = 0 THEN 1 ELSE 0 END AS is_key
   FROM g, generate_series(0, 5) c(c), generate_series(0, 5) b(b)
   WHERE c.c < g.n_clusters AND b.b < g.blocks_per_cluster
@@ -479,6 +614,7 @@ blk AS (
 agg AS (
   SELECT doc_id,
          CAST(count(*) AS INT) AS n_blocks,
+         CAST(sum(n_lace) AS INT) AS n_frames,
          CAST(sum(is_key) AS INT) AS n_keyframes,
          CAST(sum(size_bytes) AS BIGINT) AS media_bytes
   FROM blk GROUP BY doc_id
@@ -499,7 +635,7 @@ SELECT g.doc_id,
        CAST(CASE WHEN g.has_audio THEN 1 + g.doc_id % 2 END AS INT)
          AS audio_channels,
        g.n_clusters,
-       a.n_blocks, a.n_keyframes, a.media_bytes
+       a.n_blocks, a.n_frames, a.n_keyframes, a.media_bytes
 FROM g JOIN agg a USING (doc_id)
 ORDER BY g.doc_id
 """

@@ -7,12 +7,17 @@ import pytest
 from danae_spark.multimodal.webm import (
     parse_webm,
     synth_webm,
+    _block_laced,
     _block_rel,
     _block_size,
     _doc_geometry,
     _el,
     _eid,
+    _lace_frame_size,
+    _lace_kind,
+    _lace_n,
     _read_vint,
+    _vint_signed,
     _vint_size,
     _CLUSTER,
     _DURATION,
@@ -23,17 +28,32 @@ from danae_spark.multimodal.webm import (
 )
 
 
+def _expected_counts(d: int):
+    g = _doc_geometry(d)
+    n_blocks = n_frames = media = 0
+    for cc in range(g["n_clusters"]):
+        for b in range(g["blocks_per_cluster"]):
+            n_blocks += 1
+            if _block_laced(b):
+                n = _lace_n(d, cc, b)
+                n_frames += n
+                media += n * _lace_frame_size(d, cc, b)
+            else:
+                n_frames += 1
+                media += _block_size(d, cc, b)
+    return n_blocks, n_frames, media
+
+
 def test_census_roundtrip_doc_grid():
     for d in range(24):
         c = parse_webm(synth_webm(d))
         assert c is not None, d
         g = _doc_geometry(d)
-        assert c["n_blocks"] == g["n_clusters"] * g["blocks_per_cluster"]
-        assert c["media_bytes"] == sum(
-            _block_size(d, cc, b)
-            for cc in range(g["n_clusters"])
-            for b in range(g["blocks_per_cluster"])
-        )
+        n_blocks, n_frames, media = _expected_counts(d)
+        assert c["n_blocks"] == n_blocks
+        assert c["n_frames"] == n_frames
+        assert n_frames > n_blocks  # every cluster holds a laced block
+        assert c["media_bytes"] == media
         assert c["duration_ms"] == (
             (g["n_clusters"] - 1) * g["cluster_step"]
             + _block_rel(d, g["blocks_per_cluster"] - 1)
@@ -82,20 +102,72 @@ def test_unknown_size_segment():
     assert c["n_blocks"] == parse_webm(synth_webm(6))["n_blocks"]
 
 
-def test_rejects_laced_block():
-    g = synth_webm(3)
-    p = bytearray(g)
-    # find a SimpleBlock INSIDE the first Cluster (a bare 0xA3 search
-    # would hit the last byte of the EBML magic 1A45DFA3): ID 0xA3
-    # followed by a size VINT, then track VINT, s16 rel, flags byte —
-    # flip a lacing bit in flags
-    i = p.index(bytes([_SIMPLE_BLOCK]), p.index(_eid(_CLUSTER)))
-    # flags byte = ID(1) + size VINT(len) + track(1) + rel(2) → offset
-    b0 = p[i + 1]
-    size_len = 8 - b0.bit_length() + 1
-    flags_at = i + 1 + size_len + 1 + 2
-    p[flags_at] |= 0x02  # Xiph lacing
-    assert parse_webm(bytes(p)) is None
+def _laced_block_count_at(p: bytes) -> int:
+    """Byte offset of the lace-count byte of the FIRST laced SimpleBlock
+    (b=2, the third block of the first cluster) — found via a real
+    element walk (a raw 0xA3 byte search can hit frame payload)."""
+    from danae_spark.multimodal.webm import _children, _read_element
+
+    top = _read_element(p, 0, len(p))
+    seg = _read_element(p, top[2], len(p))
+    for eid, s, e, _u in _children(p, seg[1], seg[2]):
+        if eid != _CLUSTER:
+            continue
+        nblk = 0
+        for cid, cs, ce, _cu in _children(p, s, e):
+            if cid != _SIMPLE_BLOCK:
+                continue
+            nblk += 1
+            if nblk == 3:
+                tlen = 8 - p[cs].bit_length() + 1  # track VINT length
+                flags_at = cs + tlen + 2
+                assert p[flags_at] & 0x06, "third block must be laced"
+                return flags_at + 1
+    raise AssertionError("no laced block found")
+
+
+def test_lacing_all_three_schemes_appear_and_roundtrip():
+    kinds = set()
+    for d in range(12):
+        g = _doc_geometry(d)
+        for cc in range(g["n_clusters"]):
+            kinds.add(_lace_kind(d, cc))
+        assert parse_webm(synth_webm(d)) is not None, d
+    assert kinds == {1, 2, 3}  # Xiph, fixed, EBML all exercised
+
+
+def test_lacing_255_chains_exercised():
+    """Some grid docs lace frames > 255 bytes — the Xiph 255-chain and
+    multi-byte EBML size paths must actually run."""
+    big = [
+        d for d in range(120)
+        if any(
+            _block_laced(b) and _lace_frame_size(d, cc, b) >= 255
+            for cc in range(_doc_geometry(d)["n_clusters"])
+            for b in range(_doc_geometry(d)["blocks_per_cluster"])
+        )
+    ]
+    assert big
+    for d in big[:6]:
+        c = parse_webm(synth_webm(d))
+        assert c is not None and c["n_frames"] == _expected_counts(d)[1]
+
+
+def test_vint_signed_roundtrip():
+    for diff in (-63, -1, 0, 1, 63, 64, -64, 8191, -8191):
+        enc = _vint_signed(diff)
+        v, npos = _read_vint(enc, 0, keep_marker=False)
+        bias = (1 << (7 * npos - 1)) - 1
+        assert v - bias == diff, diff
+
+
+def test_malformed_lacing_rejected():
+    # doc 0 first cluster: Xiph; doc 1: fixed; doc 2: EBML
+    for d in (0, 1, 2):
+        p = bytearray(synth_webm(d))
+        at = _laced_block_count_at(p)
+        p[at] = 0xFE  # claim 255 frames: size table/even-division breaks
+        assert parse_webm(bytes(p)) is None, d
 
 
 def test_rejects_undeclared_track_and_duration_mismatch():
