@@ -109,6 +109,9 @@ HEADLINE = [
     "audio_near_dup",
     "subtitle_extract",
     "id3_extract",
+    # round-10 additions: the mixed-payload dispatcher (r9-built,
+    # r10-registered) and the Ogg comment-header text bridge
+    "media_triage",
 ]
 
 

@@ -289,6 +289,38 @@ class DataLakeEngine:
 
         return flac_pcm_frame(df, **kw)
 
+    def media_triage(self, df: DataFrame, **kw) -> DataFrame:
+        """One-pass mixed-payload dispatcher over any (id, binary)
+        frame: every blob classified (image/audio/video/subtitle),
+        format-identified, and duration-measured by the right
+        validated walker; unrecognized or corrupt payloads yield null
+        rows — run this FIRST over a crawl's binary column, then route
+        classes to the per-format censuses and the near-dup stack
+        (multimodal/triage.py)."""
+        from danae_spark.multimodal.triage import media_triage_frame
+
+        return media_triage_frame(df, **kw)
+
+    def media_fingerprints(self, df: DataFrame, **kw) -> DataFrame:
+        """Triage + per-class near-dup fingerprint in ONE decode pass
+        over a mixed binary column (56-bit dHash for images, 63-bit
+        energy-gradient hash for PCM-decodable audio); classes the
+        engine does not sample-decode carry a null hash."""
+        from danae_spark.multimodal.triage import media_fingerprint_frame
+
+        return media_fingerprint_frame(df, **kw)
+
+    def media_near_dup(self, df: DataFrame, **kw) -> DataFrame:
+        """End-to-end near-dup over a MIXED binary column: one
+        triage+decode+fingerprint pass, then the banded hamming LSH
+        join per media class at its hash width — cross-container
+        duplicates (WAV vs FLAC, PNG vs BMP) pair up because the
+        fingerprints come from the decoded samples. Returns
+        (media_class, d1, d2, hamming); band_k=2 for big corpora."""
+        from danae_spark.multimodal.triage import media_near_dup_frame
+
+        return media_near_dup_frame(df, **kw)
+
     def quantize_embeddings(self) -> DataFrame:
         """Int8-quantize the embeddings table (4× memory; cosine runs
         directly on the codes — see operators/quantize.py)."""

@@ -33,6 +33,8 @@ __all__ = [
     "triage_payload",
     "synth_media",
     "media_triage_frame",
+    "media_fingerprint_frame",
+    "media_near_dup_frame",
     "media_triage_roundtrip",
     "MEDIA_TRIAGE_ORACLE",
 ]
@@ -180,6 +182,94 @@ def media_triage_frame(df, id_col: str = "doc_id", payload_col: str = "payload")
             )
 
     return df.mapInPandas(batches, schema=_SCHEMA.replace("doc_id", id_col, 1))
+
+
+_FP_SCHEMA = "doc_id bigint, media_class string, dhash bigint"
+
+
+def media_fingerprint_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
+    """ONE decode pass over a mixed binary column: class dispatch plus
+    the class's near-dup fingerprint — 56-bit dHash for decodable
+    images, the 63-bit energy-gradient hash for PCM-decodable audio
+    (WAV/FLAC). Classes whose samples the engine does not decode
+    (mp3/ogg audio, video, subtitles) and corrupt payloads emit a null
+    hash: they are triaged, not fingerprinted.
+
+    This is deliberately NOT triage-then-refingerprint: at crawl scale
+    the payload decode dominates, so routing and hashing share the
+    single mapInPandas pass; the LSH joins downstream run per class on
+    this one output. The hash column is named `dhash` so the banded
+    join (pixels.image_near_dup, width-parameterized) applies as-is."""
+    from danae_spark.multimodal.flac import decode_flac
+    from danae_spark.multimodal.pixels import (
+        audio_energy_fingerprint,
+        decode_pixels,
+        decode_wav_samples,
+        dhash_bits,
+        luma_grid,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                cls = fp = None
+                c = triage_payload(payload)
+                if c is not None:
+                    cls = c["media_class"]
+                    p = bytes(payload)
+                    if cls == "image":
+                        px = decode_pixels(p)
+                        if px is not None:
+                            fp = dhash_bits(luma_grid(px))
+                    elif cls == "audio":
+                        decoded = (
+                            decode_wav_samples(p)
+                            if p[:4] == b"RIFF"
+                            else decode_flac(p) if p[:4] == b"fLaC" else None
+                        )
+                        if decoded is not None:
+                            fp = audio_energy_fingerprint(decoded[0])[1]
+                rows.append({id_col: rid, "media_class": cls, "dhash": fp})
+            yield pd.DataFrame(rows, columns=[id_col, "media_class", "dhash"])
+
+    return df.mapInPandas(batches, schema=_FP_SCHEMA.replace("doc_id", id_col, 1))
+
+
+def media_near_dup_frame(
+    df,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    band_k: int | None = 1,
+):
+    """End-to-end near-dup over a MIXED binary column: triage + decode
+    + fingerprint in one pass, then the banded hamming LSH join runs
+    PER CLASS at its hash width (image 56 bits, audio 63) — a WAV and
+    a FLAC of the same recording, or a PNG and a BMP of the same
+    pixels, pair up across container formats because the fingerprints
+    are computed from the DECODED samples.
+
+    Returns (media_class, d1, d2, hamming). band_k defaults to 1 (the
+    sub-3e5-docs regime); pass band_k=2 — or band_k=None with the
+    per-class counts via auto-selection — for big corpora, exactly as
+    in pixels.image_near_dup."""
+    from pyspark.sql import functions as F
+
+    from danae_spark.multimodal.pixels import image_near_dup
+
+    fps = media_fingerprint_frame(df, id_col=id_col, payload_col=payload_col)
+    fps = fps.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else fps
+    out = None
+    for cls, n_bits in (("image", 56), ("audio", 63)):
+        hashes = fps.filter(
+            (F.col("media_class") == cls) & F.col("dhash").isNotNull()
+        ).select("doc_id", "dhash")
+        pairs = image_near_dup(
+            hashes, max_hamming=max_hamming, band_k=band_k, n_bits=n_bits
+        ).withColumn("media_class", F.lit(cls))
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.select("media_class", "d1", "d2", "hamming")
 
 
 def media_triage_roundtrip(spark, sf_dir: str):

@@ -570,6 +570,24 @@ def subtitle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _subs.subtitle_extract_roundtrip(spark, sf_dir)
 
 
+from danae_spark.multimodal import triage as _triage  # noqa: E402
+
+
+@register("media_triage", oracle=_triage.MEDIA_TRIAGE_ORACLE)
+def media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-payload media triage (r9-built, r10-registered): the
+    one-pass "what IS each blob" dispatcher a crawl pipeline runs
+    FIRST — ten payload classes cycling per doc (WAV/FLAC/MP3/six
+    image containers/Ogg/MP4/fMP4/WebM/SRT/ID3-MP3), each synthesized
+    byte-for-byte by its format's real synthesizer, dispatched to the
+    right validated walker, and the (media_class, format, duration_ms)
+    triple restated in SQL — the duration arithmetic reuses each
+    format's own already-validated oracle fragment, so this entry
+    certifies the DISPATCH composition on top of them
+    (multimodal/triage.py)."""
+    return _triage.media_triage_roundtrip(spark, sf_dir)
+
+
 from danae_spark.multimodal import id3 as _id3  # noqa: E402
 
 
