@@ -112,6 +112,7 @@ HEADLINE = [
     # round-10 additions: the mixed-payload dispatcher (r9-built,
     # r10-registered) and the Ogg comment-header text bridge
     "media_triage",
+    "ogg_tags_extract",
 ]
 
 

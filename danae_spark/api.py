@@ -278,6 +278,16 @@ class DataLakeEngine:
 
         return ogg_census_frame(df, **kw)
 
+    def ogg_tags(self, df: DataFrame, **kw) -> DataFrame:
+        """VorbisComment/OpusTags extraction over any (id, binary)
+        frame: vendor, comment count, title/artist/album/date strings
+        for the metadata-search stack (keys case-insensitive, comment
+        packets reassembled across pages); malformed comment blocks
+        yield null rows (multimodal/ogg.py parse_ogg_tags)."""
+        from danae_spark.multimodal.ogg import ogg_tags_frame
+
+        return ogg_tags_frame(df, **kw)
+
     def flac_pcm(self, df: DataFrame, **kw) -> DataFrame:
         """Lossless FLAC decode over any (id, binary) frame: per-file
         sample rate, channels, sample count, and the energy/gradient

@@ -47,10 +47,15 @@ __all__ = [
     "ogg_crc",
     "parse_opus_packet",
     "parse_ogg",
+    "parse_ogg_tags",
     "synth_ogg",
+    "synth_ogg_tagged",
     "ogg_census_frame",
     "ogg_census_roundtrip",
+    "ogg_tags_frame",
+    "ogg_tags_roundtrip",
     "OGG_CENSUS_ORACLE",
+    "OGG_TAGS_ORACLE",
 ]
 
 
@@ -162,7 +167,12 @@ def parse_ogg(payload: bytes) -> dict | None:
         return None
 
 
-def _parse_ogg_inner(payload: bytes) -> dict | None:
+def _walk_pages(payload: bytes) -> tuple[list[bytes], int, int | None] | None:
+    """The RFC 3533 page walk shared by the census and the comment
+    extractor: (packets, n_pages, last_granule) after full validation —
+    per-page CRC, contiguous sequence numbers, BOS-first/EOS-last,
+    continuation flags matching carry-over state, single logical
+    stream. None on any violation."""
     pos = 0
     n = len(payload)
     pages = 0
@@ -236,6 +246,14 @@ def _parse_ogg_inner(payload: bytes) -> dict | None:
 
     if not saw_bos or not saw_eos or carry_open or not packets:
         return None
+    return packets, pages, last_granule
+
+
+def _parse_ogg_inner(payload: bytes) -> dict | None:
+    walked = _walk_pages(payload)
+    if walked is None:
+        return None
+    packets, pages, last_granule = walked
 
     first = packets[0]
     if first[:8] == b"OpusHead":
@@ -305,21 +323,121 @@ def _parse_ogg_inner(payload: bytes) -> dict | None:
     }
 
 
+# --------------------------------------------- comment-header extraction
+# (VorbisComment / OpusTags — the id3_extract analogue for Ogg audio:
+# artist/title metadata lands here, and these strings feed the same
+# BM25 / tf-idf search stack)
+
+
+def _parse_comment_block(data: bytes, framing: bool) -> tuple[str, list[str]] | None:
+    """Decode the shared VorbisComment structure (Vorbis I §5 /
+    RFC 7845 §5.2): vendor length+string, comment count, then
+    length-prefixed UTF-8 'KEY=value' entries; Vorbis adds a framing
+    bit. Strict: lengths in bounds, valid UTF-8, '=' present, key
+    chars in 0x20..0x7D minus '=', no trailing bytes (the RFC 7845
+    binary-suffix allowance is a declared boundary — reject whole
+    rather than silently ignore bytes)."""
+    try:
+        pos = 0
+        vlen = struct.unpack("<I", data[pos : pos + 4])[0]
+        pos += 4
+        if pos + vlen > len(data):
+            return None
+        vendor = data[pos : pos + vlen].decode("utf-8")
+        pos += vlen
+        n = struct.unpack("<I", data[pos : pos + 4])[0]
+        pos += 4
+        if n > 1_000_000:
+            return None
+        comments: list[str] = []
+        for _ in range(n):
+            clen = struct.unpack("<I", data[pos : pos + 4])[0]
+            pos += 4
+            if pos + clen > len(data):
+                return None
+            s = data[pos : pos + clen].decode("utf-8")
+            pos += clen
+            key, sep, _val = s.partition("=")
+            if not sep or not key:
+                return None
+            if any(not (0x20 <= ord(ch) <= 0x7D) or ch == "=" for ch in key):
+                return None
+            comments.append(s)
+        if framing:
+            if pos >= len(data) or not data[pos] & 1:
+                return None
+            pos += 1
+        if pos != len(data):
+            return None
+        return vendor, comments
+    except (struct.error, UnicodeDecodeError, IndexError):
+        return None
+
+
+_TAG_KEYS = ("title", "artist", "album", "date")
+
+
+def parse_ogg_tags(payload: bytes) -> dict | None:
+    """Extract the comment header of an Ogg Opus/Vorbis stream into one
+    census row:
+
+      codec, vendor, n_comments, title, artist, album, tag_date
+      (first occurrence each, keys case-insensitive per spec),
+      n_tag_chars (Σ value lengths over ALL comments)
+
+    The FULL page-walk validation applies (CRC / sequence /
+    continuation / BOS-EOS) — comment packets routinely span pages via
+    255-lacing continuation, so the extractor exercises exactly the
+    reassembly path. None for non-Ogg payloads or malformed comment
+    structures."""
+    try:
+        walked = _walk_pages(payload)
+    except (IndexError, ValueError, struct.error):
+        return None
+    if walked is None:
+        return None
+    packets, _pages, _gr = walked
+    first = packets[0]
+    if first[:8] == b"OpusHead":
+        if len(packets) < 2 or packets[1][:8] != b"OpusTags":
+            return None
+        codec, block, framing = "opus", packets[1][8:], False
+    elif first[:7] == b"\x01vorbis":
+        if len(packets) < 2 or packets[1][:7] != b"\x03vorbis":
+            return None
+        codec, block, framing = "vorbis", packets[1][7:], True
+    else:
+        return None
+    parsed = _parse_comment_block(block, framing)
+    if parsed is None:
+        return None
+    vendor, comments = parsed
+    fields: dict[str, str] = {}
+    n_chars = 0
+    for c in comments:
+        key, _, val = c.partition("=")
+        n_chars += len(val)
+        k = key.lower()
+        if k in _TAG_KEYS and k not in fields:
+            fields[k] = val
+    return {
+        "codec": codec,
+        "vendor": vendor,
+        "n_comments": len(comments),
+        "title": fields.get("title"),
+        "artist": fields.get("artist"),
+        "album": fields.get("album"),
+        "tag_date": fields.get("date"),
+        "n_tag_chars": n_chars,
+    }
+
+
 # ------------------------------------------------------------- synthesis
 
 
-def _page(
-    serial: int, seq: int, granule: int, segments: list[bytes], flags: int
+def _raw_page(
+    serial: int, seq: int, granule: int, flags: int, lacing: list[int], body: bytes
 ) -> bytes:
-    lacing = bytearray()
-    body = bytearray()
-    for seg in segments:
-        body += seg
-        size = len(seg)
-        while size >= 255:
-            lacing.append(255)
-            size -= 255
-        lacing.append(size)
     hdr = b"OggS" + bytes([0, flags]) + struct.pack("<q", granule)
     hdr += struct.pack("<II", serial, seq)
     hdr += b"\x00\x00\x00\x00"  # CRC placeholder
@@ -328,6 +446,21 @@ def _page(
     crc = ogg_crc(bytes(page))
     page[22:26] = struct.pack("<I", crc)
     return bytes(page)
+
+
+def _page(
+    serial: int, seq: int, granule: int, segments: list[bytes], flags: int
+) -> bytes:
+    lacing: list[int] = []
+    body = bytearray()
+    for seg in segments:
+        body += seg
+        size = len(seg)
+        while size >= 255:
+            lacing.append(255)
+            size -= 255
+        lacing.append(size)
+    return _raw_page(serial, seq, granule, flags, lacing, bytes(body))
 
 
 def _doc_params(doc_id: int) -> dict:
@@ -353,37 +486,85 @@ def _vorbis_granule_step(doc_id: int, p: int) -> int:
     return 128 + ((doc_id + p) % 4) * 64
 
 
-def synth_ogg(doc_id: int) -> bytes:
+def _comment_packet(magic: bytes, vendor: str, comments: list[str], framing: bool) -> bytes:
+    out = magic + struct.pack("<I", len(vendor.encode())) + vendor.encode()
+    out += struct.pack("<I", len(comments))
+    for c in comments:
+        enc = c.encode("utf-8")
+        out += struct.pack("<I", len(enc)) + enc
+    if framing:
+        out += bytes([1])
+    return out
+
+
+def synth_ogg(doc_id: int, comments: "tuple[str, list[str]] | None" = None) -> bytes:
     """Doc-deterministic Ogg stream: Opus on even docs (code-0 TOC
     packets whose configs cycle the full RFC 6716 table; granule =
     pre-skip + Σ samples), Vorbis on odd (ID/comment/setup header
     triple; granule from the deterministic step sum). Packet sizes up
     to 620 bytes exercise 255-lacing spans; audio pages carry 3
-    packets each; EOS on the last page."""
+    packets each; EOS on the last page.
+
+    `comments` = (vendor, ["KEY=value", ...]) replaces the stub
+    comment header with a REAL VorbisComment/OpusTags block — and the
+    comment packet is deliberately split ACROSS pages (255-lacing
+    carry + continuation flag), the layout real tagged files use.
+    Default None keeps the byte-identical census stream."""
     d = _doc_params(doc_id)
     serial = 0x1000 + (doc_id % 251)
     pages: list[bytes] = []
+    seq = 0
 
     if d["codec"] == "opus":
         head = b"OpusHead" + bytes([1, d["channels"]])
         head += struct.pack("<H", d["pre_skip"])
         head += struct.pack("<I", d["rate"])
         head += struct.pack("<h", 0) + bytes([0])  # gain, mapping family
-        tags = b"OpusTags" + struct.pack("<I", 5) + b"danae" + struct.pack("<I", 0)
-        headers = [[head], [tags]]
+        if comments is None:
+            tags = b"OpusTags" + struct.pack("<I", 5) + b"danae" + struct.pack("<I", 0)
+        else:
+            tags = _comment_packet(b"OpusTags", comments[0], comments[1], False)
+        pages.append(_page(serial, seq, 0, [head], 0x02))
+        seq += 1
+        tail: list[bytes] = []
     else:
         ident = b"\x01vorbis" + struct.pack("<I", 0) + bytes([d["channels"]])
         ident += struct.pack("<I", d["rate"])
         ident += struct.pack("<iii", 0, 0, 0)
         ident += bytes([0x66]) + bytes([1])  # blocksizes nibble, framing bit
-        comment = b"\x03vorbis" + struct.pack("<I", 5) + b"danae" + struct.pack("<I", 0) + bytes([1])
+        if comments is None:
+            tags = b"\x03vorbis" + struct.pack("<I", 5) + b"danae" + struct.pack("<I", 0) + bytes([1])
+        else:
+            tags = _comment_packet(b"\x03vorbis", comments[0], comments[1], True)
         setup = b"\x05vorbis" + bytes((doc_id + i) % 251 for i in range(40)) + bytes([1])
-        headers = [[ident], [comment, setup]]
+        pages.append(_page(serial, seq, 0, [ident], 0x02))
+        seq += 1
+        tail = [setup]
 
-    seq = 0
-    for i, segs in enumerate(headers):
-        flags = 0x02 if i == 0 else 0
-        pages.append(_page(serial, seq, 0, segs, flags))
+    if comments is None:
+        pages.append(_page(serial, seq, 0, [tags] + tail, 0))
+        seq += 1
+    else:
+        # split the comment packet across TWO pages: the first carries
+        # only all-255 lacing values (packet unterminated), the second
+        # sets the continuation flag and finishes it (+ any tail
+        # packets) — the cross-page reassembly real tagged files need
+        cut = 255 * max(1, min((len(tags) - 1) // 255, 2))
+        pages.append(
+            _raw_page(serial, seq, -1, 0, [255] * (cut // 255), tags[:cut])
+        )
+        seq += 1
+        segs = [tags[cut:]] + tail
+        lacing: list[int] = []
+        body = b""
+        for s in segs:
+            body += s
+            sz = len(s)
+            while sz >= 255:
+                lacing.append(255)
+                sz -= 255
+            lacing.append(sz)
+        pages.append(_raw_page(serial, seq, 0, 0x01, lacing, body))
         seq += 1
 
     granule = d["pre_skip"] if d["codec"] == "opus" else 0
@@ -414,6 +595,29 @@ def synth_ogg(doc_id: int) -> bytes:
         seq += 1
 
     return b"".join(pages)
+
+
+def _ogg_meta(doc_id: int) -> tuple[str, list[str]]:
+    """Doc-deterministic metadata — restated verbatim in
+    OGG_TAGS_ORACLE. Key case alternates per doc to pin the spec's
+    case-insensitive key matching in the value check; DESCRIPTION
+    (200+ chars) forces the comment packet past one page."""
+    title = f"title {doc_id % 97} track {(doc_id * 7) % 51}"
+    artist = f"artist {(doc_id * 11) % 89}"
+    album = f"album {(doc_id * 13) % 83}"
+    date = str(1970 + doc_id % 55)
+    desc = "x" * (200 + doc_id % 97)
+    upper = doc_id % 2 == 0
+    keys = ("TITLE", "ARTIST", "ALBUM", "DATE", "DESCRIPTION") if upper else (
+        "title", "artist", "album", "date", "description")
+    vals = (title, artist, album, date, desc)
+    return f"danae {doc_id % 31}", [f"{k}={v}" for k, v in zip(keys, vals)]
+
+
+def synth_ogg_tagged(doc_id: int) -> bytes:
+    """synth_ogg with a REAL comment header (VorbisComment/OpusTags)
+    split across pages via 255-lacing continuation."""
+    return synth_ogg(doc_id, comments=_ogg_meta(doc_id))
 
 
 # ----------------------------------------------------- Spark entry points
@@ -479,6 +683,91 @@ def ogg_census_roundtrip(spark, sf_dir: str):
         .mapInPandas(batches, schema=_CENSUS_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+_TAGS_COLS = [
+    "codec", "vendor", "n_comments", "title", "artist", "album",
+    "tag_date", "n_tag_chars",
+]
+
+_TAGS_SCHEMA = (
+    "doc_id bigint, codec string, vendor string, n_comments int, "
+    "title string, artist string, album string, tag_date string, "
+    "n_tag_chars int"
+)
+
+
+def ogg_tags_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
+    """Comment-header extraction over any (id, binary) frame; nulls for
+    non-Ogg / malformed payloads, never executor errors."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                c = parse_ogg_tags(bytes(payload)) if payload is not None else None
+                row = {id_col: rid}
+                row.update({k: (c.get(k) if c else None) for k in _TAGS_COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[id_col] + _TAGS_COLS)
+
+    return df.mapInPandas(batches, schema=_TAGS_SCHEMA.replace("doc_id", id_col, 1))
+
+
+def ogg_tags_roundtrip(spark, sf_dir: str):
+    """Oracle-checkable Ogg comment extraction (the C57/C58 pattern):
+    per doc a real tagged Opus/Vorbis stream — the comment packet
+    genuinely SPANS pages via 255-lacing continuation — is walked by
+    the full page validator, the comment block strictly decoded, and
+    the title/artist/album/date STRINGS restated in SQL so the value
+    hash covers the exact metadata text the search stack would
+    index."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                c = parse_ogg_tags(synth_ogg_tagged(d))
+                row = {"doc_id": d}
+                row.update({k: (c.get(k) if c else None) for k in _TAGS_COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["doc_id"] + _TAGS_COLS)
+
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=_TAGS_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+OGG_TAGS_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+         'danae ' || CAST(doc_id % 31 AS VARCHAR) AS vendor,
+         'title ' || CAST(doc_id % 97 AS VARCHAR) || ' track '
+           || CAST((doc_id * 7) % 51 AS VARCHAR) AS title,
+         'artist ' || CAST((doc_id * 11) % 89 AS VARCHAR) AS artist,
+         'album ' || CAST((doc_id * 13) % 83 AS VARCHAR) AS album,
+         CAST(1970 + doc_id % 55 AS VARCHAR) AS tag_date,
+         200 + doc_id % 97 AS desc_len
+  FROM documents
+)
+SELECT doc_id, codec, vendor,
+       CAST(5 AS INT) AS n_comments,
+       title, artist, album, tag_date,
+       CAST(length(title) + length(artist) + length(album)
+            + length(tag_date) + desc_len AS INT) AS n_tag_chars
+FROM m
+ORDER BY doc_id
+"""
 
 
 # the 32-entry Opus config table as SQL: three SILK groups, two hybrid,

@@ -570,6 +570,20 @@ def subtitle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _subs.subtitle_extract_roundtrip(spark, sf_dir)
 
 
+@register("ogg_tags_extract", oracle=_ogg.OGG_TAGS_ORACLE)
+def ogg_tags_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg comment-header extraction (r10) — the id3_extract analogue
+    for Ogg audio: per doc a real tagged Opus (even) or Vorbis (odd)
+    stream whose VorbisComment/OpusTags packet genuinely SPANS pages
+    via 255-lacing continuation, walked by the full RFC 3533 page
+    validator, the comment block strictly decoded (UTF-8, key charset,
+    framing bit), and the title/artist/album/date STRINGS restated in
+    SQL — the value hash covers the exact metadata text the BM25 /
+    tf-idf stack would index, and the cross-page packet reassembly
+    path is certified on the way (multimodal/ogg.py)."""
+    return _ogg.ogg_tags_roundtrip(spark, sf_dir)
+
+
 from danae_spark.multimodal import triage as _triage  # noqa: E402
 
 

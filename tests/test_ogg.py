@@ -213,3 +213,131 @@ def test_ogg_frame_nulls_for_garbage(spark):
     assert out[1]["codec"] is None
     assert out[2]["codec"] == "opus" and out[2]["opus_frames"] is not None
     assert out[3]["codec"] == "vorbis" and out[3]["opus_frames"] is None
+
+
+# ------------------------------------------------- r10: comment headers
+
+
+def test_ogg_tags_roundtrip_grid():
+    from danae_spark.multimodal.ogg import (
+        _ogg_meta,
+        parse_ogg,
+        parse_ogg_tags,
+        synth_ogg,
+        synth_ogg_tagged,
+    )
+
+    for d in range(24):
+        c = parse_ogg_tags(synth_ogg_tagged(d))
+        assert c is not None, d
+        vendor, comments = _ogg_meta(d)
+        assert c["codec"] == ("opus" if d % 2 == 0 else "vorbis")
+        assert c["vendor"] == vendor
+        assert c["n_comments"] == 5
+        assert c["title"] == f"title {d % 97} track {(d * 7) % 51}"
+        assert c["artist"] == f"artist {(d * 11) % 89}"
+        assert c["album"] == f"album {(d * 13) % 83}"
+        assert c["tag_date"] == str(1970 + d % 55)
+        assert c["n_tag_chars"] == sum(
+            len(s.partition("=")[2]) for s in comments
+        )
+        # the tagged stream still passes the census page validator
+        assert parse_ogg(synth_ogg_tagged(d)) is not None, d
+        # the untagged census stream has an empty (but valid) comment block
+        c0 = parse_ogg_tags(synth_ogg(d))
+        assert c0 is not None and c0["n_comments"] == 0 and c0["title"] is None
+
+
+def test_ogg_tags_comment_packet_spans_pages():
+    """The comment packet must genuinely cross a page boundary: the
+    tags page carries ONLY 255-lacing values (no packet terminates on
+    it) and the next page sets the continuation flag."""
+    import struct as _s
+
+    from danae_spark.multimodal.ogg import synth_ogg_tagged
+
+    p = synth_ogg_tagged(6)
+    # walk raw pages
+    pos, pages = 0, []
+    while pos < len(p):
+        nseg = p[pos + 26]
+        lacing = p[pos + 27 : pos + 27 + nseg]
+        flags = p[pos + 5]
+        body_len = sum(lacing)
+        pages.append((flags, list(lacing)))
+        pos = pos + 27 + nseg + body_len
+    # page 1 (after the BOS header page) is the partial tags page
+    flags1, lace1 = pages[1]
+    assert all(v == 255 for v in lace1) and len(lace1) >= 1
+    flags2, _lace2 = pages[2]
+    assert flags2 & 0x01  # continuation flag set
+
+
+def test_ogg_tags_rejections():
+    import struct as _s
+
+    from danae_spark.multimodal.ogg import (
+        _comment_packet,
+        _page,
+        parse_ogg_tags,
+        synth_ogg_tagged,
+    )
+
+    good = synth_ogg_tagged(3)  # vorbis
+    assert parse_ogg_tags(b"") is None
+    assert parse_ogg_tags(b"OggS garbage") is None
+    assert parse_ogg_tags(good[: len(good) // 2]) is None  # no EOS
+
+    # malformed comment blocks, each wrapped in a fresh valid stream
+    def tagged_with(block_comments, framing_ok=True):
+        from danae_spark.multimodal.ogg import synth_ogg
+
+        return synth_ogg(2, comments=("v", block_comments))
+
+    # a comment with no '=' must reject the tag whole
+    bad = tagged_with(["TITLE=ok", "no separator here"])
+    assert parse_ogg_tags(bad) is None
+    # an '=' with an empty key
+    assert parse_ogg_tags(tagged_with(["=value"])) is None
+    # a key with out-of-range chars
+    assert parse_ogg_tags(tagged_with(["TI\tLE=x"])) is None
+    # byte-level: flip a byte inside the comment packet -> CRC breaks -> None
+    q = bytearray(good)
+    q[len(q) // 3] ^= 0x40
+    parse_ogg_tags(bytes(q))  # never raises; page CRC rejects silently
+
+
+def test_ogg_tags_frame_over_spark(spark):
+    from danae_spark.multimodal.ogg import ogg_tags_frame, synth_ogg_tagged
+
+    rows = [
+        (1, bytearray(synth_ogg_tagged(2))),
+        (2, None),
+        (3, bytearray(b"not ogg")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    out = {
+        r["media_id"]: r
+        for r in ogg_tags_frame(df, id_col="media_id", payload_col="blob").collect()
+    }
+    assert out[1]["title"] == "title 2 track 14"
+    assert out[2]["codec"] is None and out[3]["codec"] is None
+
+
+def test_ogg_tags_registered_oracle_matches_duckdb(spark, sf_dir):
+    import os
+
+    import duckdb
+
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal.ogg import OGG_TAGS_ORACLE
+    from danae_spark.queries import load_all
+
+    fn = load_all()["ogg_tags_extract"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(OGG_TAGS_ORACLE).fetchall()]
+    assert len(got) == len(want) and got == want
