@@ -299,6 +299,34 @@ def main() -> None:
         spark.range(64).repartition(32).select(_warm("id")).count()
     except Exception:
         pass
+    # r10 (r9 VERDICT directive #6): the pandas_udf warmup above spins
+    # up the worker pool but does NOT import the engine's module graph —
+    # the first mapInPandas-heavy query still paid numpy + danae_spark
+    # import in all 32 workers (measured 3-28x first-iteration cost; on
+    # a loaded driver box min-of-2 cannot mask it, which is exactly what
+    # produced r9's seven phantom bench outliers). One untimed
+    # mapInPandas pass whose closure imports the heavy modules kills
+    # that noise at the source.
+    try:
+        from danae_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+
+        def _preimport(it):
+            import danae_spark.multimodal.flac  # noqa: F401
+            import danae_spark.multimodal.pixels  # noqa: F401
+            import danae_spark.multimodal.triage  # noqa: F401
+            import danae_spark.operators.dedup  # noqa: F401
+            import danae_spark.operators.sampling  # noqa: F401
+            import danae_spark.operators.textstats  # noqa: F401
+
+            yield from it
+
+        spark.range(64).repartition(32).mapInPandas(
+            _preimport, schema="id long"
+        ).count()
+    except Exception:
+        pass
 
     runnables = {
         name: registry[name].fn for name in HEADLINE if name in registry

@@ -83,3 +83,40 @@ def test_cross_format_dispatch_never_confuses():
                 assert out is not None, (si, pi)
             else:
                 assert out is None, (si, pi)
+
+
+def test_r10_triage_and_ogg_tags_never_crash():
+    """The r10 entry points join the fuzz gate: triage_payload and
+    parse_ogg_tags must return a value or None on arbitrary bytes,
+    truncations, and byte-flips of every format's seed."""
+    from danae_spark.multimodal.ogg import parse_ogg_tags, synth_ogg_tagged
+    from danae_spark.multimodal.triage import triage_payload
+
+    seeds = _SEEDS + [synth_ogg_tagged(12), synth_ogg_tagged(13)]
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.data())
+    def fuzz(data):
+        mode = data.draw(st.integers(0, 2))
+        if mode == 0:
+            payload = data.draw(st.binary(min_size=0, max_size=400))
+        else:
+            base = bytearray(seeds[data.draw(st.integers(0, len(seeds) - 1))])
+            if mode == 1:
+                payload = bytes(base[: data.draw(st.integers(0, len(base)))])
+            else:
+                for _ in range(data.draw(st.integers(1, 10))):
+                    ix = data.draw(st.integers(0, len(base) - 1))
+                    base[ix] = data.draw(st.integers(0, 255))
+                payload = bytes(base)
+        triage_payload(payload)
+        parse_ogg_tags(payload)
+
+    fuzz()
+    # dispatch sanity on clean seeds: triage classifies every format's
+    # seed; parse_ogg_tags accepts exactly the Ogg seeds
+    for si, seed in enumerate(seeds):
+        assert triage_payload(seed) is not None, si
+        tags = parse_ogg_tags(seed)
+        is_ogg = seed[:4] == b"OggS"
+        assert (tags is not None) == is_ogg, si

@@ -76,6 +76,8 @@ OPERATORS = {
     "audio_near_dup": "documents",
     "subtitle_extract": "documents",
     "id3_extract": "documents",
+    "media_triage": "documents",
+    "ogg_tags_extract": "documents",
 }
 
 
