@@ -113,6 +113,7 @@ HEADLINE = [
     # r10-registered) and the Ogg comment-header text bridge
     "media_triage",
     "ogg_tags_extract",
+    "mkv_tags_extract",
 ]
 
 

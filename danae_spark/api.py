@@ -278,6 +278,16 @@ class DataLakeEngine:
 
         return ogg_census_frame(df, **kw)
 
+    def mkv_tags(self, df: DataFrame, **kw) -> DataFrame:
+        """Matroska Tags (SimpleTag) metadata extraction over any
+        (id, binary) frame: title/artist/album/date strings plus
+        tag counts for the metadata-search stack; untagged or garbled
+        payloads yield null rows (multimodal/webm.py
+        parse_mkv_tags)."""
+        from danae_spark.multimodal.webm import mkv_tags_frame
+
+        return mkv_tags_frame(df, **kw)
+
     def ogg_tags(self, df: DataFrame, **kw) -> DataFrame:
         """VorbisComment/OpusTags extraction over any (id, binary)
         frame: vendor, comment count, title/artist/album/date strings

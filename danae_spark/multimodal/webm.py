@@ -43,10 +43,15 @@ import pandas as pd
 
 __all__ = [
     "parse_webm",
+    "parse_mkv_tags",
     "synth_webm",
+    "synth_webm_tagged",
     "webm_census_frame",
     "webm_census_roundtrip",
+    "mkv_tags_frame",
+    "mkv_tags_roundtrip",
     "WEBM_CENSUS_ORACLE",
+    "MKV_TAGS_ORACLE",
 ]
 
 # element IDs (marker bit kept, as they appear on the wire)
@@ -70,6 +75,17 @@ _CHANNELS = 0x9F
 _CLUSTER = 0x1F43B675
 _TIMESTAMP = 0xE7
 _SIMPLE_BLOCK = 0xA3
+_BLOCK_GROUP = 0xA0
+_BLOCK = 0xA1
+_BLOCK_DURATION = 0x9B
+_REFERENCE_BLOCK = 0xFB
+_TAGS = 0x1254C367
+_TAG = 0x7373
+_SIMPLE_TAG = 0x67C8
+_TAG_NAME = 0x45A3
+_TAG_STRING = 0x4487
+_TAG_LANGUAGE = 0x447A
+_TAG_DEFAULT = 0x4484
 
 
 def _read_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int] | None:
@@ -192,6 +208,33 @@ def _children(data: bytes, start: int, end: int):
         pos = el[2]
 
 
+def _parse_block(
+    payload: bytes, cs: int, ce: int, tracks: dict, simple: bool
+) -> tuple[int, int, int, int] | None:
+    """Decode a SimpleBlock/Block body: (rel_ts, flags, frame_bytes,
+    n_frames) with lacing resolved. A Block (inside a BlockGroup) must
+    have the SimpleBlock-only keyframe bit clear. None on violations."""
+    rtn = _read_vint(payload, cs, keep_marker=False)
+    if rtn is None:
+        return None
+    track_no, bpos = rtn
+    if track_no not in tracks:
+        return None
+    if bpos + 3 > ce:
+        return None
+    rel = struct.unpack(">h", payload[bpos : bpos + 2])[0]
+    flags = payload[bpos + 2]
+    if not simple and flags & 0x80:
+        return None  # keyframe bit is SimpleBlock-only
+    lace_type = (flags >> 1) & 0x03
+    if lace_type == 0:
+        return rel, flags, ce - (bpos + 3), 1
+    sizes = _lace_sizes(payload, bpos + 3, ce, lace_type)
+    if sizes is None:
+        return None
+    return rel, flags, sum(sizes), len(sizes)
+
+
 def parse_webm(payload: bytes) -> dict | None:
     """Walk a WebM/Matroska file into one census row:
 
@@ -284,29 +327,41 @@ def _parse_webm_inner(payload: bytes) -> dict | None:
                 if cid == _TIMESTAMP:
                     cluster_ts = _uint(payload[cs:ce])
                 elif cid == _SIMPLE_BLOCK:
-                    rtn = _read_vint(payload, cs, keep_marker=False)
-                    if rtn is None:
+                    blk = _parse_block(payload, cs, ce, tracks, simple=True)
+                    if blk is None:
                         return None
-                    track_no, bpos = rtn
-                    if track_no not in tracks:
-                        return None
-                    if bpos + 3 > ce:
-                        return None
-                    rel = struct.unpack(">h", payload[bpos : bpos + 2])[0]
-                    flags = payload[bpos + 2]
-                    lace_type = (flags >> 1) & 0x03
-                    if lace_type == 0:
-                        frame_bytes = ce - (bpos + 3)
-                        block_frames = 1
-                    else:
-                        sizes = _lace_sizes(payload, bpos + 3, ce, lace_type)
-                        if sizes is None:
-                            return None
-                        frame_bytes = sum(sizes)
-                        block_frames = len(sizes)
+                    rel, flags, frame_bytes, block_frames = blk
                     n_blocks += 1
                     n_frames += block_frames
                     if flags & 0x80:
+                        n_keyframes += 1
+                    media_bytes += frame_bytes
+                    ts = cluster_ts + rel
+                    if last_ts is None or ts > last_ts:
+                        last_ts = ts
+                elif cid == _BLOCK_GROUP:
+                    # BlockGroup wraps a Block (same wire layout, no
+                    # keyframe bit) + optional BlockDuration; the block
+                    # is a keyframe iff NO ReferenceBlock child exists
+                    blk = None
+                    has_ref = False
+                    for gid, gs, ge, _gu in _children(payload, cs, ce):
+                        if gid == _BLOCK:
+                            if blk is not None:
+                                return None  # exactly one Block per group
+                            blk = _parse_block(
+                                payload, gs, ge, tracks, simple=False
+                            )
+                            if blk is None:
+                                return None
+                        elif gid == _REFERENCE_BLOCK:
+                            has_ref = True
+                    if blk is None:
+                        return None
+                    rel, _flags, frame_bytes, block_frames = blk
+                    n_blocks += 1
+                    n_frames += block_frames
+                    if not has_ref:
                         n_keyframes += 1
                     media_bytes += frame_bytes
                     ts = cluster_ts + rel
@@ -340,6 +395,92 @@ def _parse_webm_inner(payload: bytes) -> dict | None:
         "n_frames": n_frames,
         "n_keyframes": n_keyframes,
         "media_bytes": media_bytes,
+    }
+
+
+# ------------------------------------------------- Tags (SimpleTag) walk
+# The Matroska metadata analogue of ID3 / VorbisComment: Segment →
+# Tags → Tag → SimpleTag(TagName, TagString[, nested SimpleTags]).
+
+
+def parse_mkv_tags(payload: bytes) -> dict | None:
+    """Extract Matroska Tags metadata into one census row:
+
+      n_tags (Tag elements), n_simple_tags (SimpleTags, nested
+      included), title, artist, album, tag_date (TagNames TITLE/
+      ARTIST/ALBUM/DATE_RELEASED, case-insensitive, first wins),
+      n_tag_chars (Σ TagString lengths)
+
+    Strict UTF-8 on TagName/TagString and a SimpleTag without a
+    TagName reject the file whole; None when no Tags element or no
+    SimpleTag exists. Unknown children (TagLanguage, TagDefault,
+    Targets, …) are skipped per the EBML contract."""
+    try:
+        return _parse_mkv_tags_inner(payload)
+    except (IndexError, ValueError, struct.error, UnicodeDecodeError):
+        return None
+
+
+def _parse_mkv_tags_inner(payload: bytes) -> dict | None:
+    n = len(payload)
+    top = _read_element(payload, 0, n)
+    if top is None or top[0] != _EBML:
+        return None
+    doc_type = None
+    for eid, s, e, _u in _children(payload, top[1], top[2]):
+        if eid == _DOCTYPE:
+            doc_type = payload[s:e].rstrip(b"\x00").decode("ascii", "replace")
+    if doc_type not in ("webm", "matroska"):
+        return None
+    seg = _read_element(payload, top[2], n)
+    if seg is None or seg[0] != _SEGMENT:
+        return None
+
+    state = {"n_simple": 0, "n_chars": 0}
+    fields: dict[str, str] = {}
+
+    def walk_simple(s: int, e: int, depth: int) -> None:
+        if depth > 4:
+            raise ValueError("SimpleTag nesting too deep")
+        name = value = None
+        for tid, ts_, te, _tu in _children(payload, s, e):
+            if tid == _TAG_NAME:
+                name = payload[ts_:te].decode("utf-8")  # strict: garbled→reject
+            elif tid == _TAG_STRING:
+                value = payload[ts_:te].decode("utf-8")
+            elif tid == _SIMPLE_TAG:
+                walk_simple(ts_, te, depth + 1)
+        if name is None:
+            raise ValueError("SimpleTag without TagName")
+        state["n_simple"] += 1
+        if value is not None:
+            state["n_chars"] += len(value)
+            k = name.lower()
+            if k in ("title", "artist", "album", "date_released") and k not in fields:
+                fields[k] = value
+
+    found = False
+    n_tags = 0
+    for eid, s, e, _u in _children(payload, seg[1], seg[2]):
+        if eid != _TAGS:
+            continue
+        found = True
+        for cid, cs, ce, _cu in _children(payload, s, e):
+            if cid == _TAG:
+                n_tags += 1
+                for tid, ts_, te, _tu in _children(payload, cs, ce):
+                    if tid == _SIMPLE_TAG:
+                        walk_simple(ts_, te, 1)
+    if not found or state["n_simple"] == 0:
+        return None
+    return {
+        "n_tags": n_tags,
+        "n_simple_tags": state["n_simple"],
+        "title": fields.get("title"),
+        "artist": fields.get("artist"),
+        "album": fields.get("album"),
+        "tag_date": fields.get("date_released"),
+        "n_tag_chars": state["n_chars"],
     }
 
 
@@ -424,7 +565,54 @@ def _lace_frame_size(doc_id: int, c: int, b: int) -> int:
 _V_CODECS = ("V_VP8", "V_VP9", "V_AV1")
 
 
-def synth_webm(doc_id: int) -> bytes:
+def _mkv_meta(doc_id: int) -> dict:
+    """Doc-deterministic Matroska tag metadata — restated verbatim in
+    MKV_TAGS_ORACLE. TagName case alternates per doc to pin the
+    case-insensitive matching in the value check."""
+    return {
+        "title": f"title {doc_id % 89} cut {(doc_id * 5) % 47}",
+        "artist": f"artist {(doc_id * 7) % 71}",
+        "album": f"album {(doc_id * 17) % 61}",
+        "date": str(1980 + doc_id % 45),
+        "description": "m" * (150 + doc_id % 83),
+        "comment": f"comment {doc_id % 13}",
+        "upper": doc_id % 2 == 0,
+    }
+
+
+def _simple_tag(name: str, value: str, nested: bytes = b"") -> bytes:
+    return _el(
+        _SIMPLE_TAG,
+        _el(_TAG_NAME, name.encode())
+        + _el(_TAG_LANGUAGE, b"und") + _el(_TAG_DEFAULT, b"\x01")
+        + _el(_TAG_STRING, value.encode()) + nested,
+    )
+
+
+def _tags_element(m: dict) -> bytes:
+    def k(name: str) -> str:
+        return name.upper() if m["upper"] else name.lower()
+
+    tag1 = _el(
+        _TAG,
+        _el(0x63C0, b"")  # empty Targets: whole-segment scope
+        + _simple_tag(k("TITLE"), m["title"])
+        + _simple_tag(k("ARTIST"), m["artist"])
+        + _simple_tag(k("ALBUM"), m["album"])
+        + _simple_tag(k("DATE_RELEASED"), m["date"]),
+    )
+    nested = _simple_tag(k("COMMENT"), m["comment"])
+    tag2 = _el(_TAG, _simple_tag(k("DESCRIPTION"), m["description"], nested))
+    return _el(_TAGS, tag1 + tag2)
+
+
+def synth_webm_tagged(doc_id: int) -> bytes:
+    """synth_webm with a REAL Matroska Tags element (nested SimpleTags,
+    Targets, language/default children the walker must skip)."""
+    return synth_webm(doc_id, tags=_mkv_meta(doc_id))
+
+
+def synth_webm(doc_id: int, tags: dict | None = None) -> bytes:
     """Doc-deterministic WebM: EBML header, Segment with Info (scale +
     8-byte-float Duration on even docs / 4-byte on odd), Tracks (video
     VP8/VP9/AV1 cycling + optional Opus audio), Void elements the
@@ -507,6 +695,21 @@ def synth_webm(doc_id: int) -> bytes:
                     bytes([0x80 | track]) + struct.pack(">h", rel)
                     + bytes([key | (kind << 1)]) + table + b"".join(frames)
                 )
+            elif b == 1:
+                # BlockGroup path: a Block (no keyframe bit) + a
+                # BlockDuration; keyframe-ness signaled the Matroska
+                # way — by OMITTING ReferenceBlock (odd clusters)
+                size = _block_size(doc_id, c, b)
+                frame = bytes((doc_id + c + b + i) % 251 for i in range(size))
+                inner = (
+                    bytes([0x80 | track]) + struct.pack(">h", rel)
+                    + bytes([0]) + frame
+                )
+                grp = _el(_BLOCK, inner) + _el(_BLOCK_DURATION, _uint_body(30))
+                if c % 2 == 0:  # non-key: references the previous frame
+                    grp += _el(_REFERENCE_BLOCK, b"\xff")
+                body += _el(_BLOCK_GROUP, grp)
+                continue
             else:
                 size = _block_size(doc_id, c, b)
                 frame = bytes((doc_id + c + b + i) % 251 for i in range(size))
@@ -518,7 +721,8 @@ def synth_webm(doc_id: int) -> bytes:
         clusters += _el(_CLUSTER, body)
 
     void = _el(0xEC, b"\x00" * (10 + doc_id % 20))  # walker must skip this
-    segment = _el(_SEGMENT, info + void + tracks + clusters)
+    tags_el = _tags_element(tags) if tags is not None else b""
+    segment = _el(_SEGMENT, info + void + tracks + tags_el + clusters)
     return ebml + segment
 
 
@@ -585,6 +789,89 @@ def webm_census_roundtrip(spark, sf_dir: str):
     )
 
 
+_TAGS_COLS = [
+    "n_tags", "n_simple_tags", "title", "artist", "album", "tag_date",
+    "n_tag_chars",
+]
+
+_TAGS_SCHEMA = (
+    "doc_id bigint, n_tags int, n_simple_tags int, title string, "
+    "artist string, album string, tag_date string, n_tag_chars int"
+)
+
+
+def mkv_tags_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
+    """Matroska Tags extraction over any (id, binary) frame; nulls for
+    untagged/garbled payloads, never executor errors."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                c = parse_mkv_tags(bytes(payload)) if payload is not None else None
+                row = {id_col: rid}
+                row.update({k: (c.get(k) if c else None) for k in _TAGS_COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[id_col] + _TAGS_COLS)
+
+    return df.mapInPandas(batches, schema=_TAGS_SCHEMA.replace("doc_id", id_col, 1))
+
+
+def mkv_tags_roundtrip(spark, sf_dir: str):
+    """Oracle-checkable Matroska Tags extraction (the C58/C60 pattern):
+    per doc a real tagged WebM stream (two Tag elements, a nested
+    SimpleTag, Targets/language/default children the walker must
+    skip), decoded by the real EBML walk, the metadata STRINGS
+    restated in SQL."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                c = parse_mkv_tags(synth_webm_tagged(d))
+                row = {"doc_id": d}
+                row.update({k: (c.get(k) if c else None) for k in _TAGS_COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["doc_id"] + _TAGS_COLS)
+
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=_TAGS_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+MKV_TAGS_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         'title ' || CAST(doc_id % 89 AS VARCHAR) || ' cut '
+           || CAST((doc_id * 5) % 47 AS VARCHAR) AS title,
+         'artist ' || CAST((doc_id * 7) % 71 AS VARCHAR) AS artist,
+         'album ' || CAST((doc_id * 17) % 61 AS VARCHAR) AS album,
+         CAST(1980 + doc_id % 45 AS VARCHAR) AS tag_date,
+         150 + doc_id % 83 AS desc_len,
+         'comment ' || CAST(doc_id % 13 AS VARCHAR) AS comment
+  FROM documents
+)
+SELECT doc_id,
+       CAST(2 AS INT) AS n_tags,
+       CAST(6 AS INT) AS n_simple_tags,
+       title, artist, album, tag_date,
+       CAST(length(title) + length(artist) + length(album)
+            + length(tag_date) + desc_len + length(comment) AS INT)
+         AS n_tag_chars
+FROM m
+ORDER BY doc_id
+"""
+
+
 WEBM_CENSUS_ORACLE = """
 WITH g AS (
   SELECT doc_id,
@@ -607,7 +894,10 @@ blk AS (
                    * (25 + (g.doc_id * 3 + c.c + b.b * 7) % 400)
               ELSE 30 + (g.doc_id + c.c * 17 + b.b * 5) % 400
          END AS size_bytes,
-         CASE WHEN b.b % g.key_step = 0 THEN 1 ELSE 0 END AS is_key
+         -- b=1 rides in a BlockGroup: keyframe iff no ReferenceBlock,
+         -- which the synth omits on odd clusters
+         CASE WHEN b.b = 1 THEN c.c % 2
+              WHEN b.b % g.key_step = 0 THEN 1 ELSE 0 END AS is_key
   FROM g, generate_series(0, 5) c(c), generate_series(0, 5) b(b)
   WHERE c.c < g.n_clusters AND b.b < g.blocks_per_cluster
 ),

@@ -570,6 +570,20 @@ def subtitle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _subs.subtitle_extract_roundtrip(spark, sf_dir)
 
 
+@register("mkv_tags_extract", oracle=_webm.MKV_TAGS_ORACLE)
+def mkv_tags_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska Tags extraction (r10) — the third metadata text
+    bridge, completing the ID3 / VorbisComment / Matroska-SimpleTag
+    triad: per doc a real tagged WebM stream (two Tag elements, a
+    NESTED SimpleTag, Targets/TagLanguage/TagDefault children the
+    walker must skip per the EBML contract, TagName case alternating
+    to pin case-insensitive matching), decoded by the real RFC 8794
+    element walk with strict UTF-8 validation, and the title/artist/
+    album/date STRINGS restated in SQL (multimodal/webm.py
+    parse_mkv_tags)."""
+    return _webm.mkv_tags_roundtrip(spark, sf_dir)
+
+
 @register("ogg_tags_extract", oracle=_ogg.OGG_TAGS_ORACLE)
 def ogg_tags_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ogg comment-header extraction (r10) — the id3_extract analogue

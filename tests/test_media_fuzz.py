@@ -91,8 +91,11 @@ def test_r10_triage_and_ogg_tags_never_crash():
     truncations, and byte-flips of every format's seed."""
     from danae_spark.multimodal.ogg import parse_ogg_tags, synth_ogg_tagged
     from danae_spark.multimodal.triage import triage_payload
+    from danae_spark.multimodal.webm import parse_mkv_tags, synth_webm_tagged
 
-    seeds = _SEEDS + [synth_ogg_tagged(12), synth_ogg_tagged(13)]
+    seeds = _SEEDS + [
+        synth_ogg_tagged(12), synth_ogg_tagged(13), synth_webm_tagged(14)
+    ]
 
     @settings(max_examples=150, deadline=None)
     @given(st.data())
@@ -111,12 +114,13 @@ def test_r10_triage_and_ogg_tags_never_crash():
                 payload = bytes(base)
         triage_payload(payload)
         parse_ogg_tags(payload)
+        parse_mkv_tags(payload)
 
     fuzz()
     # dispatch sanity on clean seeds: triage classifies every format's
-    # seed; parse_ogg_tags accepts exactly the Ogg seeds
+    # seed; each tag extractor accepts exactly its own tagged seeds
     for si, seed in enumerate(seeds):
         assert triage_payload(seed) is not None, si
-        tags = parse_ogg_tags(seed)
-        is_ogg = seed[:4] == b"OggS"
-        assert (tags is not None) == is_ogg, si
+        assert (parse_ogg_tags(seed) is not None) == (seed[:4] == b"OggS"), si
+        is_tagged_mkv = si == len(seeds) - 1
+        assert (parse_mkv_tags(seed) is not None) == is_tagged_mkv, si

@@ -104,8 +104,9 @@ def test_unknown_size_segment():
 
 def _laced_block_count_at(p: bytes) -> int:
     """Byte offset of the lace-count byte of the FIRST laced SimpleBlock
-    (b=2, the third block of the first cluster) — found via a real
-    element walk (a raw 0xA3 byte search can hit frame payload)."""
+    (b=2 — the second SimpleBlock of the first cluster, since b=1
+    rides in a BlockGroup) — found via a real element walk (a raw
+    0xA3 byte search can hit frame payload)."""
     from danae_spark.multimodal.webm import _children, _read_element
 
     top = _read_element(p, 0, len(p))
@@ -118,7 +119,7 @@ def _laced_block_count_at(p: bytes) -> int:
             if cid != _SIMPLE_BLOCK:
                 continue
             nblk += 1
-            if nblk == 3:
+            if nblk == 2:
                 tlen = 8 - p[cs].bit_length() + 1  # track VINT length
                 flags_at = cs + tlen + 2
                 assert p[flags_at] & 0x06, "third block must be laced"
@@ -219,3 +220,145 @@ def test_webm_frame_nulls_for_garbage(spark):
     out = {r["doc_id"]: r for r in webm_census_frame(df).collect()}
     assert out[1]["doc_type"] is None
     assert out[2]["doc_type"] == "webm" and out[2]["n_blocks"] > 0
+
+
+# --------------------------------------- r10: BlockGroup + Matroska Tags
+
+
+def test_blockgroup_census_and_keyframe_semantics():
+    """Block b=1 rides inside a BlockGroup (Block + BlockDuration [+
+    ReferenceBlock]); keyframe-ness comes from the ABSENCE of
+    ReferenceBlock, not a flag bit."""
+    from danae_spark.multimodal.webm import parse_webm, synth_webm
+
+    for d in range(16):
+        g = _doc_geometry(d)
+        c = parse_webm(synth_webm(d))
+        assert c is not None, d
+        exp_keys = sum(
+            (cc % 2) if b == 1 else (1 if b % g["key_step"] == 0 else 0)
+            for cc in range(g["n_clusters"])
+            for b in range(g["blocks_per_cluster"])
+        )
+        assert c["n_keyframes"] == exp_keys, d
+        # counts/bytes identical to the all-SimpleBlock expectation
+        n_blocks, n_frames, media = _expected_counts(d)
+        assert (c["n_blocks"], c["n_frames"], c["media_bytes"]) == (
+            n_blocks, n_frames, media
+        )
+
+
+def test_block_rejects_simpleblock_keyframe_bit():
+    """A Block inside a BlockGroup with the SimpleBlock-only keyframe
+    bit set is malformed and rejects the file whole."""
+    from danae_spark.multimodal.webm import (
+        _BLOCK,
+        _children,
+        _read_element,
+        parse_webm,
+        synth_webm,
+    )
+
+    p = bytearray(synth_webm(4))
+    raw = bytes(p)
+    top = _read_element(raw, 0, len(raw))
+    seg = _read_element(raw, top[2], len(raw))
+    flags_at = None
+    for eid, s, e, _u in _children(raw, seg[1], seg[2]):
+        if eid != _CLUSTER:
+            continue
+        for cid, cs, ce, _cu in _children(raw, s, e):
+            if cid == 0xA0:  # BlockGroup
+                for gid, gs, ge, _gu in _children(raw, cs, ce):
+                    if gid == _BLOCK:
+                        tlen = 8 - raw[gs].bit_length() + 1
+                        flags_at = gs + tlen + 2
+                        break
+            if flags_at:
+                break
+        if flags_at:
+            break
+    assert flags_at is not None
+    assert parse_webm(raw) is not None
+    p[flags_at] |= 0x80
+    assert parse_webm(bytes(p)) is None
+
+
+def test_mkv_tags_roundtrip_grid():
+    from danae_spark.multimodal.webm import (
+        _mkv_meta,
+        parse_mkv_tags,
+        parse_webm,
+        synth_webm,
+        synth_webm_tagged,
+    )
+
+    for d in range(24):
+        t = parse_mkv_tags(synth_webm_tagged(d))
+        m = _mkv_meta(d)
+        assert t is not None, d
+        assert t["n_tags"] == 2 and t["n_simple_tags"] == 6
+        assert t["title"] == m["title"] and t["artist"] == m["artist"]
+        assert t["album"] == m["album"] and t["tag_date"] == m["date"]
+        assert t["n_tag_chars"] == sum(
+            len(m[k]) for k in ("title", "artist", "album", "date",
+                                "description", "comment")
+        )
+        # the tagged stream's CENSUS is identical (Tags skipped)
+        assert parse_webm(synth_webm_tagged(d)) == parse_webm(synth_webm(d))
+        # untagged stream has no Tags element
+        assert parse_mkv_tags(synth_webm(d)) is None
+
+
+def test_mkv_tags_rejections_and_mutation():
+    from danae_spark.multimodal.webm import parse_mkv_tags, synth_webm_tagged
+
+    assert parse_mkv_tags(b"") is None
+    assert parse_mkv_tags(b"\x1a\x45\xdf\xa3 nonsense") is None
+    p = bytearray(synth_webm_tagged(5))
+    # garble a tag string into invalid UTF-8: find the title text
+    i = bytes(p).index(b"title 5 cut 25")
+    q = bytearray(p)
+    q[i] = 0xC0  # lone continuation-start: invalid UTF-8
+    q[i + 1] = 0x20
+    assert parse_mkv_tags(bytes(q)) is None
+    for off in range(0, len(p), 7):
+        r = bytearray(p)
+        r[off] ^= 0x55
+        parse_mkv_tags(bytes(r))  # never raises
+
+
+def test_mkv_tags_frame_over_spark(spark):
+    from danae_spark.multimodal.webm import mkv_tags_frame, synth_webm_tagged
+
+    rows = [
+        (1, bytearray(synth_webm_tagged(2))),
+        (2, None),
+        (3, bytearray(b"not matroska")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    out = {
+        r["media_id"]: r
+        for r in mkv_tags_frame(df, id_col="media_id", payload_col="blob").collect()
+    }
+    assert out[1]["title"] == "title 2 cut 10"
+    assert out[2]["n_tags"] is None and out[3]["n_tags"] is None
+
+
+def test_mkv_tags_registered_oracle_matches_duckdb(spark, sf_dir):
+    import os
+
+    import duckdb
+
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal.webm import MKV_TAGS_ORACLE
+    from danae_spark.queries import load_all
+
+    fn = load_all()["mkv_tags_extract"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(MKV_TAGS_ORACLE).fetchall()]
+    assert len(got) == len(want) and got == want

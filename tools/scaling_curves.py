@@ -78,6 +78,7 @@ OPERATORS = {
     "id3_extract": "documents",
     "media_triage": "documents",
     "ogg_tags_extract": "documents",
+    "mkv_tags_extract": "documents",
 }
 
 
