@@ -114,6 +114,11 @@ HEADLINE = [
     "media_triage",
     "ogg_tags_extract",
     "mkv_tags_extract",
+    # round-10 crawl-ingestion surface: HTML -> text extraction, the
+    # WARC record walk, and their end-to-end composition
+    "html_text_extract",
+    "warc_census",
+    "crawl_html_extract",
 ]
 
 

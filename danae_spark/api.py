@@ -609,3 +609,22 @@ class DataLakeEngine:
         if docs is None:
             return chunk_documents(self.spark, self.lake_dir, **kw)
         return chunk_documents_frame(docs, **kw)
+
+    def html_text(self, df: DataFrame, **kw) -> DataFrame:
+        """HTML -> training-text extraction over any (id, binary)
+        frame: visible prose with block structure, title, and the
+        link_density boilerplate signal; pages that cannot be walked
+        (bad UTF-8, unterminated tags/comments/script) yield null
+        rows (multimodal/htmltext.py parse_html_text)."""
+        from danae_spark.multimodal.htmltext import html_text_frame
+
+        return html_text_frame(df, **kw)
+
+    def warc_census(self, df: DataFrame, **kw) -> DataFrame:
+        """WARC (ISO 28500) census over any (id, binary) frame:
+        record counts by type, HTTP 2xx counts, first target URI/host;
+        accepts plain and member-per-record .warc.gz; structurally
+        invalid files yield null rows (multimodal/warc.py)."""
+        from danae_spark.multimodal.warc import warc_census_frame
+
+        return warc_census_frame(df, **kw)

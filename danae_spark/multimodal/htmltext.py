@@ -1,0 +1,504 @@
+"""HTML -> training-text extraction: the single highest-volume text
+transform in a crawl pipeline.
+
+Web crawls deliver HTML, not text: before any quality filter, dedup
+pass, or token count can run, each page must be reduced to its visible
+prose. This module implements that reduction from scratch over the
+bytes (no html.parser dependency on lenient mode-recovery semantics we
+can't certify), with the exact rules stated so the oracle can restate
+the extracted string:
+
+  - Tag scanner: `<name attr="v">` with quote-aware attribute scanning
+    (a `>` inside a quoted attribute value does not end the tag),
+    `<!-- -->` comments, `<!DOCTYPE>` declarations, self-closing tags,
+    case-insensitive names.
+  - Raw-text elements: `script` and `style` content is skipped up to
+    the matching case-insensitive close tag — `<` and even literal
+    `"</div>"` strings inside JavaScript never reach the text stream.
+  - Boilerplate drop: `nav`, `header`, `footer`, `aside` subtrees are
+    removed whole (nesting-tracked); `head` content is dropped except
+    `<title>`, which is captured separately.
+  - Block structure: block-level elements (p, div, h1-h6, ul/ol/li,
+    table/tr/td/th, blockquote, pre, br, hr, section, article, main,
+    figure, form, dl/dt/dd) delimit output lines; inline elements
+    (a, b, i, em, strong, span, code, small, u, sub, sup, mark, abbr)
+    do not. Within a line, whitespace runs collapse to single spaces;
+    empty lines are dropped; lines join with '\n'.
+  - Entities: named (amp lt gt quot apos nbsp) and numeric
+    (`&#NN;` / `&#xHH;`) decode; an unrecognized `&foo;` stays
+    literal (browser behavior — crawl HTML is full of them).
+  - Link accounting: n_links counts every `<a>` open tag in the
+    document; link_chars counts extracted-text characters inside
+    anchors within KEPT content (each anchor's text measured after
+    whitespace collapse); link_density = link_chars / n_chars — the
+    classic boilerplate signal a curation pipeline thresholds on.
+
+Reject-whole (return None): undecodable UTF-8, `<` at EOF, an
+unterminated comment / tag / raw-text element, or a close tag for a
+drop-element that was never opened — a page whose structure cannot be
+walked must not silently contribute half-extracted text to a corpus.
+
+Reference parity note: the reference (smartdatalake/danae) ingests
+tabular files only (profiler.py routes csv/parquet; everything else is
+"Unsupported"); HTML extraction is mandated LLM-pipeline extension
+surface (the text source feeding the quality/dedup/token stack).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+
+__all__ = [
+    "parse_html_text",
+    "synth_html",
+    "html_text_frame",
+    "html_text_roundtrip",
+    "HTML_TEXT_ORACLE",
+]
+
+_BLOCK = frozenset(
+    """p div h1 h2 h3 h4 h5 h6 ul ol li table tr td th blockquote pre br hr
+    section article main figure figcaption form fieldset legend address
+    dl dt dd body html""".split()
+)
+_DROP = frozenset("nav header footer aside head".split())
+_RAWTEXT = frozenset(("script", "style"))
+_VOID = frozenset("br hr meta link img input area base col embed source track wbr".split())
+_INLINE_HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+
+_ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'", "nbsp": " "}
+_ENT_RE = re.compile(r"&(#x[0-9a-fA-F]{1,6}|#[0-9]{1,7}|[a-zA-Z][a-zA-Z0-9]{0,31});")
+_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9]*")
+
+
+def _decode_entities(s: str) -> str:
+    def sub(m: re.Match) -> str:
+        body = m.group(1)
+        if body.startswith("#x") or body.startswith("#X"):
+            cp = int(body[2:], 16)
+        elif body.startswith("#"):
+            cp = int(body[1:])
+        else:
+            return _ENTITIES.get(body.lower(), m.group(0))
+        if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+            return chr(cp)
+        return m.group(0)
+
+    return _ENT_RE.sub(sub, s)
+
+
+def _scan_tag(text: str, pos: int) -> tuple[str, bool, bool, int] | None:
+    """Scan a tag starting at `pos` (which points at '<'). Returns
+    (name, is_close, self_closing, end_pos_after_gt) or None on a
+    malformed/unterminated tag."""
+    i = pos + 1
+    n = len(text)
+    is_close = False
+    if i < n and text[i] == "/":
+        is_close = True
+        i += 1
+    m = _NAME_RE.match(text, i)
+    if not m:
+        return None
+    name = m.group(0).lower()
+    i = m.end()
+    # attribute scan, quote-aware
+    in_quote = ""
+    self_closing = False
+    while i < n:
+        c = text[i]
+        if in_quote:
+            if c == in_quote:
+                in_quote = ""
+        elif c in "\"'":
+            in_quote = c
+        elif c == ">":
+            return name, is_close, self_closing, i + 1
+        elif c == "/" and not is_close:
+            self_closing = True
+        else:
+            self_closing = self_closing and c in " \t\r\n"
+        i += 1
+    return None  # EOF inside tag
+
+
+def parse_html_text(payload: bytes) -> dict | None:
+    """Extract the visible training text from an HTML payload.
+
+    Returns {title, text, n_chars, n_words, n_links, n_headings,
+    n_paragraphs, n_list_items, link_density} or None when the page
+    cannot be walked (see module docstring for the reject contract)."""
+    try:
+        text = payload.decode("utf-8")
+    except (UnicodeDecodeError, AttributeError):
+        return None
+
+    n = len(text)
+    pos = 0
+    blocks: list[str] = []
+    cur: list[str] = []
+    drop_depth = 0  # nesting depth inside nav/header/footer/aside/head
+    drop_stack: list[str] = []
+    title: str | None = None
+    in_title = False
+    anchor: list[str] | None = None  # open <a> capture buffer (kept content)
+    n_links = n_headings = n_paragraphs = n_list_items = 0
+    link_chars = 0
+
+    def flush() -> None:
+        nonlocal cur
+        s = " ".join("".join(cur).split())
+        if s:
+            blocks.append(s)
+        cur = []
+
+    def close_anchor() -> None:
+        nonlocal anchor, link_chars
+        if anchor is not None:
+            link_chars += len(" ".join("".join(anchor).split()))
+            anchor = None
+
+    while pos < n:
+        lt = text.find("<", pos)
+        if lt == -1:
+            chunk = text[pos:]
+            pos = n
+        else:
+            chunk = text[pos:lt]
+            pos = lt
+        if chunk:
+            if in_title:
+                title = (title or "") + chunk
+            elif drop_depth == 0:
+                decoded = _decode_entities(chunk)
+                cur.append(decoded)
+                if anchor is not None:
+                    anchor.append(decoded)
+        if pos >= n:
+            break
+        # pos is at '<'
+        if text.startswith("<!--", pos):
+            end = text.find("-->", pos + 4)
+            if end == -1:
+                return None  # unterminated comment
+            pos = end + 3
+            continue
+        if text.startswith("<!", pos) or text.startswith("<?", pos):
+            end = text.find(">", pos + 2)
+            if end == -1:
+                return None
+            pos = end + 1
+            continue
+        tag = _scan_tag(text, pos)
+        if tag is None:
+            return None  # malformed or EOF inside tag / stray '<'
+        name, is_close, self_closing, pos = tag
+
+        if name in _RAWTEXT and not is_close:
+            if self_closing:
+                continue
+            close_re = re.compile(rf"</{name}\s*>", re.IGNORECASE)
+            m = close_re.search(text, pos)
+            if not m:
+                return None  # unterminated raw-text element
+            pos = m.end()
+            continue
+
+        if name == "title":
+            if not is_close:
+                in_title = True
+                if title is None:
+                    title = ""
+            else:
+                in_title = False
+                if title is not None:
+                    title = " ".join(title.split())
+            continue
+
+        if name in _DROP:
+            if not is_close and not self_closing:
+                drop_stack.append(name)
+                drop_depth += 1
+            elif is_close:
+                if not drop_stack or drop_stack[-1] != name:
+                    return None  # close without matching open
+                drop_stack.pop()
+                drop_depth -= 1
+            flush()
+            continue
+
+        if name == "a":
+            if not is_close:
+                n_links += 1
+                if drop_depth == 0:
+                    close_anchor()
+                    anchor = []
+            else:
+                close_anchor()
+            continue
+
+        if drop_depth == 0 and not is_close:
+            if name in _INLINE_HEADINGS:
+                n_headings += 1
+            elif name == "p":
+                n_paragraphs += 1
+            elif name == "li":
+                n_list_items += 1
+
+        if name in _BLOCK:
+            close_anchor()
+            flush()
+        # inline elements: no effect on the text stream
+
+    if drop_stack or in_title:
+        return None  # unterminated drop element or title
+    close_anchor()
+    flush()
+
+    full = "\n".join(blocks)
+    n_chars = len(full)
+    return {
+        "title": title or "",
+        "text": full,
+        "n_chars": n_chars,
+        "n_words": len(full.split()),
+        "n_links": n_links,
+        "n_headings": n_headings,
+        "n_paragraphs": n_paragraphs,
+        "n_list_items": n_list_items,
+        "link_density": (link_chars / n_chars) if n_chars else 0.0,
+    }
+
+
+# ------------------------------------------------------------- synthesis
+
+
+def _n_paras(d: int) -> int:
+    return 2 + d % 4
+
+
+def _n_items(d: int) -> int:
+    return 1 + d % 3
+
+
+def _para_words(d: int, i: int) -> list[str]:
+    return [f"w{(d * 7 + i * 5 + j * 3) % 100}" for j in range(3 + (d + i) % 3)]
+
+
+def synth_html(doc_id: int) -> bytes:
+    """Doc-deterministic HTML page exercising every extraction rule:
+    head with title/meta/style, a script whose body contains `<` and a
+    close-tag lookalike string, a nav boilerplate block (3 links,
+    dropped), an h1, paragraphs with inline anchors (even i) and
+    entities (i % 3 == 0), a ul, and a footer (dropped)."""
+    d = doc_id
+    out = [
+        "<!DOCTYPE html>",
+        '<html lang="en">',
+        "<head>",
+        f"  <title>Doc {d} t{d % 10}</title>",
+        '  <meta charset="utf-8"/>',
+        "  <style>body { color: #222; } /* < not a tag */</style>",
+        '  <script type="text/javascript">',
+        '    if (a < b) { x = "</div" + ">"; } // raw-text rules',
+        "  </script>",
+        "</head>",
+        "<body>",
+        "  <nav>",
+        f'    <a href="/">home</a> <a href="/about?x=1&amp;y=2">about</a>',
+        f'    <a href="/p{d}">self</a>',
+        "  </nav>",
+        "  <!-- deterministic fixture -->",
+        f"  <h1>heading h{d % 7}</h1>",
+    ]
+    for i in range(_n_paras(d)):
+        words = _para_words(d, i)
+        parts = []
+        for j, w in enumerate(words):
+            if i % 2 == 0 and j == 1:
+                parts.append(f'<a href="/p{d}/{i}" title="x > y">{w}</a>')
+            else:
+                parts.append(w)
+        line = " ".join(parts)
+        if i % 3 == 0:
+            line += " &amp; x&#33;"
+        out.append(f"  <p>{line}</p>")
+    out.append("  <ul>")
+    for k in range(_n_items(d)):
+        out.append(f"    <li>item k{(d + k) % 9}</li>")
+    out.append("  </ul>")
+    out.append(f"  <footer><p>copyright f{d % 4}</p></footer>")
+    out.append("</body>")
+    out.append("</html>")
+    return "\n".join(out).encode("utf-8")
+
+
+def expected_html_row(d: int) -> dict:
+    """Pure-arithmetic expectation for parse_html_text(synth_html(d)) —
+    the Python statement of exactly what HTML_TEXT_ORACLE states in
+    SQL (pytest pins the three-way agreement)."""
+    lines = [f"heading h{d % 7}"]
+    link_chars = 0
+    for i in range(_n_paras(d)):
+        words = _para_words(d, i)
+        if i % 2 == 0:
+            link_chars += len(words[1])
+        line = " ".join(words)
+        if i % 3 == 0:
+            line += " & x!"
+        lines.append(line)
+    for k in range(_n_items(d)):
+        lines.append(f"item k{(d + k) % 9}")
+    text = "\n".join(lines)
+    return {
+        "title": f"Doc {d} t{d % 10}",
+        "text": text,
+        "n_chars": len(text),
+        "n_words": len(text.split()),
+        "n_links": 3 + (_n_paras(d) + 1) // 2,
+        "n_headings": 1,
+        "n_paragraphs": _n_paras(d),
+        "n_list_items": _n_items(d),
+        "link_density": link_chars / len(text),
+    }
+
+
+# ----------------------------------------------------- Spark entry points
+
+_COLS = [
+    "title",
+    "text",
+    "n_chars",
+    "n_words",
+    "n_links",
+    "n_headings",
+    "n_paragraphs",
+    "n_list_items",
+    "link_density",
+]
+
+_SCHEMA = (
+    "doc_id bigint, title string, text string, n_chars int, n_words int, "
+    "n_links int, n_headings int, n_paragraphs int, n_list_items int, "
+    "link_density double"
+)
+
+
+def html_text_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
+    """HTML text extraction over any (id, binary) frame; nulls for
+    pages that cannot be walked. The `text` column feeds the
+    quality/dedup/token-count stack; `link_density` is the boilerplate
+    threshold signal."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                c = parse_html_text(bytes(payload)) if payload is not None else None
+                row = {id_col: rid}
+                row.update({k: (c.get(k) if c else None) for k in _COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[id_col] + _COLS)
+
+    return df.mapInPandas(batches, schema=_SCHEMA.replace("doc_id", id_col, 1))
+
+
+def html_text_roundtrip(spark, sf_dir: str):
+    """Oracle-checkable HTML extraction: per doc a full page is
+    synthesized byte-for-byte (script/style raw text, comments,
+    entities, nav/footer boilerplate, inline anchors), walked by the
+    real scanner, and EVERYTHING — the title and the extracted text
+    string itself included — is restated in SQL, so the value hash
+    covers the exact prose the curation stack would consume."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                c = parse_html_text(synth_html(d))
+                row = {"doc_id": d}
+                row.update({k: (c.get(k) if c else None) for k in _COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["doc_id"] + _COLS)
+
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+def html_text_sql(pages_cte: str) -> str:
+    """The extraction arithmetic as SQL over a `pages(doc_id, e)` CTE
+    (e = the synth parameter), shared between HTML_TEXT_ORACLE
+    (e = doc_id) and the crawl-pipeline oracle (e = doc_id*4 + p) so
+    the two entries certify the SAME restated rules."""
+    return f"""
+WITH pages AS ({pages_cte}),
+para_words AS (
+  SELECT p.doc_id, p.e, c.i AS para, j.j AS wi,
+         'w' || CAST((p.e * 7 + c.i * 5 + j.j * 3) % 100 AS VARCHAR) AS word
+  FROM pages p, generate_series(0, 5) c(i), generate_series(0, 4) j(j)
+  WHERE c.i < 2 + p.e % 4 AND j.j < 3 + (p.e + c.i) % 3
+),
+para_lines AS (
+  SELECT doc_id, e, para,
+         string_agg(word, ' ' ORDER BY wi)
+           || CASE WHEN para % 3 = 0 THEN ' & x!' ELSE '' END AS line,
+         CASE WHEN para % 2 = 0
+              THEN length(max(CASE WHEN wi = 1 THEN word END))
+              ELSE 0 END AS link_chars
+  FROM para_words GROUP BY doc_id, e, para
+),
+item_lines AS (
+  SELECT p.doc_id, p.e, k.k AS item,
+         'item k' || CAST((p.e + k.k) % 9 AS VARCHAR) AS line
+  FROM pages p, generate_series(0, 3) k(k)
+  WHERE k.k < 1 + p.e % 3
+),
+all_lines AS (
+  SELECT doc_id, e, 0 AS grp, -1 AS ord,
+         'heading h' || CAST(e % 7 AS VARCHAR) AS line, 0 AS link_chars
+  FROM pages
+  UNION ALL
+  SELECT doc_id, e, 1, para, line, link_chars FROM para_lines
+  UNION ALL
+  SELECT doc_id, e, 2, item, line, 0 FROM item_lines
+),
+page_text AS (
+  SELECT doc_id, e,
+         string_agg(line, chr(10) ORDER BY grp, ord) AS text,
+         CAST(sum(link_chars) AS BIGINT) AS link_chars
+  FROM all_lines GROUP BY doc_id, e
+)
+SELECT doc_id, e,
+       'Doc ' || CAST(e AS VARCHAR) || ' t' || CAST(e % 10 AS VARCHAR) AS title,
+       text,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(length(text) - length(replace(replace(text, chr(10), ' '), ' ', ''))
+            + 1 AS INT) AS n_words,
+       CAST(3 + (2 + e % 4 + 1) // 2 AS INT) AS n_links,
+       CAST(1 AS INT) AS n_headings,
+       CAST(2 + e % 4 AS INT) AS n_paragraphs,
+       CAST(1 + e % 3 AS INT) AS n_list_items,
+       CAST(link_chars AS DOUBLE) / length(text) AS link_density
+FROM page_text
+"""
+
+
+HTML_TEXT_ORACLE = f"""
+WITH x AS ({html_text_sql("SELECT doc_id, doc_id AS e FROM documents")})
+SELECT doc_id, title, text, n_chars, n_words, n_links, n_headings,
+       n_paragraphs, n_list_items, link_density
+FROM x ORDER BY doc_id
+"""

@@ -1,0 +1,534 @@
+"""WARC (Web ARChive, ISO 28500) record walk — the container format
+web crawls actually ship in (Common Crawl, Internet Archive).
+
+A 100 TB training corpus starts life as WARC files: gzip-member-per-
+record streams of warcinfo / request / response / resource records.
+This module walks them for real:
+
+  - Record grammar: `WARC/1.0|1.1` version line, `Name: value` header
+    fields (CRLF line ends; obsolete LWS header folding is a declared
+    reject — RFC 7230 deprecates it and crawlers don't emit it), a
+    blank line, exactly Content-Length block bytes, then the CRLF CRLF
+    record terminator. Mandatory headers (WARC-Type, WARC-Record-ID,
+    WARC-Date, Content-Length) are enforced; WARC-Record-ID must be a
+    `<uri>` bracket pair; WARC-Date must be the spec's
+    YYYY-MM-DDTHH:MM:SSZ UTC-seconds form; Content-Length must match
+    the bytes actually present before the terminator.
+  - Compression: the `.warc.gz` convention — EACH RECORD ITS OWN GZIP
+    MEMBER (the property that makes WARC splittable on a cluster:
+    workers can seek to any member boundary and start reading). The
+    walk inflates members with zlib (wbits=31) and validates the
+    one-record-per-member alignment; a truncated member or trailing
+    garbage rejects the file. Plain uncompressed WARC is the other
+    accepted form.
+  - Record types: the eight ISO 28500 types (warcinfo, request,
+    response, resource, metadata, revisit, conversion, continuation);
+    anything else rejects the file whole.
+  - HTTP payload: response records carry an HTTP/1.x message; the
+    status line is parsed (3-digit status), headers split at the first
+    blank line, Content-Type captured, and the body exposed — the
+    bytes the HTML extractor consumes.
+
+Reject-whole (return None): bad version line, malformed or folded
+header, missing mandatory header, bad record id / date / length
+syntax, Content-Length mismatch, missing terminator, unknown record
+type, malformed HTTP status line in a response, gzip member
+truncation or member/record misalignment — a WARC that cannot be
+walked deterministically must not contribute half-parsed pages.
+
+Reference parity note: the reference (smartdatalake/danae) has no
+crawl ingestion; WARC is mandated LLM-pipeline extension surface (the
+source format feeding html_text_extract and the curation stack).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator
+
+import pandas as pd
+
+__all__ = [
+    "parse_warc",
+    "iter_warc_responses",
+    "synth_warc",
+    "warc_census_frame",
+    "warc_census_roundtrip",
+    "WARC_CENSUS_ORACLE",
+]
+
+_TYPES = frozenset(
+    "warcinfo request response resource metadata revisit conversion continuation".split()
+)
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$")
+_NAME_OK = re.compile(r"^[!#$%&'*+\-.^_`|~0-9A-Za-z]+$")  # RFC 7230 token
+
+
+def _split_members(payload: bytes) -> list[bytes] | None:
+    """Inflate a multi-member gzip stream into per-member chunks;
+    None on truncation or trailing garbage."""
+    out: list[bytes] = []
+    data = payload
+    while data:
+        d = zlib.decompressobj(31)
+        try:
+            chunk = d.decompress(data)
+        except zlib.error:
+            return None
+        if not d.eof:
+            return None  # truncated member
+        out.append(chunk)
+        data = d.unused_data
+    return out
+
+
+def _parse_record(buf: bytes, pos: int) -> tuple[dict, int] | None:
+    """Parse one record at `pos`; returns (record, next_pos) or None."""
+    eol = buf.find(b"\r\n", pos)
+    if eol == -1:
+        return None
+    version = buf[pos:eol]
+    if version not in (b"WARC/1.0", b"WARC/1.1"):
+        return None
+    pos = eol + 2
+    headers: dict[str, str] = {}
+    while True:
+        eol = buf.find(b"\r\n", pos)
+        if eol == -1:
+            return None
+        line = buf[pos:eol]
+        pos = eol + 2
+        if line == b"":
+            break
+        if line[:1] in (b" ", b"\t"):
+            return None  # obsolete header folding: declared reject
+        colon = line.find(b":")
+        if colon <= 0:
+            return None
+        try:
+            name = line[:colon].decode("ascii")
+            value = line[colon + 1 :].decode("utf-8").strip()
+        except UnicodeDecodeError:
+            return None
+        if not _NAME_OK.match(name):
+            return None
+        headers[name.lower()] = value
+
+    rtype = headers.get("warc-type")
+    rid = headers.get("warc-record-id")
+    rdate = headers.get("warc-date")
+    clen = headers.get("content-length")
+    if rtype is None or rid is None or rdate is None or clen is None:
+        return None
+    if rtype not in _TYPES:
+        return None
+    if not (rid.startswith("<") and rid.endswith(">") and ":" in rid[1:-1]):
+        return None
+    if not _DATE_RE.match(rdate):
+        return None
+    if not clen.isdigit():
+        return None
+    length = int(clen)
+    body = buf[pos : pos + length]
+    if len(body) != length:
+        return None
+    pos += length
+    if buf[pos : pos + 4] != b"\r\n\r\n":
+        return None
+    return {
+        "type": rtype,
+        "headers": headers,
+        "body": body,
+        "uri": headers.get("warc-target-uri"),
+    }, pos + 4
+
+
+def _parse_http_response(body: bytes) -> dict | None:
+    eol = body.find(b"\r\n")
+    if eol == -1:
+        return None
+    parts = body[:eol].split(b" ", 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/1."):
+        return None
+    if len(parts[1]) != 3 or not parts[1].isdigit():
+        return None
+    status = int(parts[1])
+    sep = body.find(b"\r\n\r\n", eol)
+    if sep == -1:
+        return None
+    ctype = None
+    for line in body[eol + 2 : sep].split(b"\r\n"):
+        colon = line.find(b":")
+        if colon <= 0:
+            return None
+        if line[:colon].strip().lower() == b"content-type":
+            ctype = line[colon + 1 :].strip().decode("latin-1")
+    return {"status": status, "content_type": ctype, "body": body[sep + 4 :]}
+
+
+def _records(payload: bytes) -> list[dict] | None:
+    """Walk a WARC payload (plain or .warc.gz) into validated records;
+    None on any structural violation."""
+    if payload[:2] == b"\x1f\x8b":
+        members = _split_members(payload)
+        if members is None or not members:
+            return None
+        records = []
+        for m in members:
+            got = _parse_record(m, 0)
+            if got is None or got[1] != len(m):
+                return None  # member/record misalignment
+            records.append(got[0])
+        return records
+    records = []
+    pos = 0
+    while pos < len(payload):
+        got = _parse_record(payload, pos)
+        if got is None:
+            return None
+        records.append(got[0])
+        pos = got[1]
+    return records or None
+
+
+def parse_warc(payload: bytes) -> dict | None:
+    """Census a WARC file into one row: compression, record counts by
+    type, HTTP response stats, and the first target URI/host."""
+    records = _records(payload)
+    if records is None:
+        return None
+    n_by = {t: 0 for t in ("warcinfo", "request", "response", "resource")}
+    n_other = 0
+    n_http_ok = 0
+    total_content = 0
+    first_uri = None
+    for r in records:
+        total_content += len(r["body"])
+        if r["type"] in n_by:
+            n_by[r["type"]] += 1
+        else:
+            n_other += 1
+        if r["uri"] and first_uri is None:
+            first_uri = r["uri"]
+        if r["type"] == "response":
+            http = _parse_http_response(r["body"])
+            if http is None:
+                return None
+            if 200 <= http["status"] < 300:
+                n_http_ok += 1
+    host = None
+    if first_uri and "://" in first_uri:
+        host = first_uri.split("://", 1)[1].split("/", 1)[0]
+    return {
+        "is_gzip": payload[:2] == b"\x1f\x8b",
+        "n_records": len(records),
+        "n_warcinfo": n_by["warcinfo"],
+        "n_request": n_by["request"],
+        "n_response": n_by["response"],
+        "n_resource": n_by["resource"] + n_other,
+        "n_http_ok": n_http_ok,
+        "total_content_bytes": total_content,
+        "first_uri": first_uri,
+        "host": host,
+    }
+
+
+def iter_warc_responses(payload: bytes):
+    """Yield (uri, status, content_type, body) for each response record
+    of a valid WARC; yields nothing for invalid files (callers treat
+    that as reject-whole via parse_warc)."""
+    records = _records(payload)
+    if records is None:
+        return
+    for r in records:
+        if r["type"] != "response":
+            continue
+        http = _parse_http_response(r["body"])
+        if http is None:
+            return
+        yield r["uri"], http["status"], http["content_type"], http["body"]
+
+
+# ------------------------------------------------------------- synthesis
+
+
+def n_pages(d: int) -> int:
+    return 1 + d % 3
+
+
+def page_status(d: int, p: int) -> int:
+    return 301 if (d + p) % 5 == 4 else 200
+
+
+def _gzip_member(raw: bytes) -> bytes:
+    c = zlib.compressobj(6, zlib.DEFLATED, 31)
+    return c.compress(raw) + c.flush()
+
+
+def _record(rtype: str, rid: int, body: bytes, extra: dict | None = None) -> bytes:
+    headers = [
+        ("WARC-Type", rtype),
+        ("WARC-Record-ID", f"<urn:uuid:00000000-0000-4000-8000-{rid:012d}>"),
+        ("WARC-Date", "2026-08-15T00:00:00Z"),
+    ]
+    for k, v in (extra or {}).items():
+        headers.append((k, v))
+    headers.append(("Content-Length", str(len(body))))
+    head = "WARC/1.1\r\n" + "".join(f"{k}: {v}\r\n" for k, v in headers) + "\r\n"
+    return head.encode("utf-8") + body + b"\r\n\r\n"
+
+
+def synth_warc(doc_id: int) -> bytes:
+    """Doc-deterministic WARC: one warcinfo + n_pages request/response
+    pairs whose response bodies are REAL HTML pages (synth_html at
+    e = doc_id*4 + p); gzip member-per-record on odd docs, plain on
+    even. Page p gets HTTP 301 (empty body, no html) when
+    (doc_id + p) % 5 == 4, else 200 with the page."""
+    from danae_spark.multimodal.htmltext import synth_html
+
+    d = doc_id
+    host = f"site{d % 5}.example"
+    recs: list[bytes] = []
+    info = b"software: danae-spark/1.0\r\nformat: WARC File Format 1.1\r\n"
+    recs.append(_record("warcinfo", d * 100, info, {"Content-Type": "application/warc-fields"}))
+    for p in range(n_pages(d)):
+        uri = f"http://{host}/p{p}"
+        req = f"GET /p{p} HTTP/1.1\r\nHost: {host}\r\n\r\n".encode()
+        recs.append(
+            _record(
+                "request",
+                d * 100 + 2 * p + 1,
+                req,
+                {"WARC-Target-URI": uri, "Content-Type": "application/http;msgtype=request"},
+            )
+        )
+        status = page_status(d, p)
+        if status == 200:
+            html = synth_html(d * 4 + p)
+            resp = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+                b"Server: synth\r\n\r\n" + html
+            )
+        else:
+            resp = (
+                f"HTTP/1.1 {status} Moved Permanently\r\n"
+                f"Location: http://{host}/p{p}v2\r\n"
+                f"Content-Type: text/plain\r\n\r\nmoved\r\n"
+            ).encode()
+        recs.append(
+            _record(
+                "response",
+                d * 100 + 2 * p + 2,
+                resp,
+                {"WARC-Target-URI": uri, "Content-Type": "application/http;msgtype=response"},
+            )
+        )
+    if d % 2 == 1:
+        return b"".join(_gzip_member(r) for r in recs)
+    return b"".join(recs)
+
+
+# ----------------------------------------------------- Spark entry points
+
+_COLS = [
+    "is_gzip",
+    "n_records",
+    "n_warcinfo",
+    "n_request",
+    "n_response",
+    "n_resource",
+    "n_http_ok",
+    "total_content_bytes",
+    "first_uri",
+    "host",
+]
+
+_SCHEMA = (
+    "doc_id bigint, is_gzip boolean, n_records int, n_warcinfo int, "
+    "n_request int, n_response int, n_resource int, n_http_ok int, "
+    "total_content_bytes bigint, first_uri string, host string"
+)
+
+
+def warc_census_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
+    """WARC census over any (id, binary) frame; nulls for files that
+    cannot be walked."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                c = parse_warc(bytes(payload)) if payload is not None else None
+                row = {id_col: rid}
+                row.update({k: (c.get(k) if c else None) for k in _COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[id_col] + _COLS)
+
+    return df.mapInPandas(batches, schema=_SCHEMA.replace("doc_id", id_col, 1))
+
+
+def warc_census_roundtrip(spark, sf_dir: str):
+    """Oracle-checkable WARC walk: per doc a real warcinfo + request/
+    response stream is synthesized (gzip member-per-record on odd
+    docs — the inflate path and the member-alignment check are both on
+    the certified path), walked by the real validator, and the census
+    restated as doc_id arithmetic. total_content_bytes is excluded
+    from the SQL restatement (it would require restating raw HTML byte
+    lengths); it is pinned against the synthesizer by pytest instead."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cols = [c for c in _COLS if c != "total_content_bytes"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                c = parse_warc(synth_warc(d))
+                row = {"doc_id": d}
+                row.update({k: (c.get(k) if c else None) for k in cols})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["doc_id"] + cols)
+
+    schema = (
+        "doc_id bigint, is_gzip boolean, n_records int, n_warcinfo int, "
+        "n_request int, n_response int, n_resource int, n_http_ok int, "
+        "first_uri string, host string"
+    )
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=schema)
+        .orderBy("doc_id")
+    )
+
+
+WARC_CENSUS_ORACLE = """
+WITH g AS (
+  SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS n_pages,
+         'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host
+  FROM documents
+),
+ok AS (
+  SELECT g.doc_id,
+         CAST(count(*) FILTER (WHERE (g.doc_id + p.p) % 5 <> 4) AS INT) AS n_ok
+  FROM g, generate_series(0, 2) p(p)
+  WHERE p.p < g.n_pages
+  GROUP BY g.doc_id
+)
+SELECT g.doc_id,
+       doc_id % 2 = 1 AS is_gzip,
+       CAST(1 + 2 * g.n_pages AS INT) AS n_records,
+       CAST(1 AS INT) AS n_warcinfo,
+       g.n_pages AS n_request,
+       g.n_pages AS n_response,
+       CAST(0 AS INT) AS n_resource,
+       ok.n_ok AS n_http_ok,
+       'http://' || g.host || '/p0' AS first_uri,
+       g.host AS host
+FROM g JOIN ok USING (doc_id)
+ORDER BY g.doc_id
+"""
+
+
+# ------------------------------------------- crawl pipeline composition
+
+
+def crawl_html_extract_roundtrip(spark, sf_dir: str):
+    """The end-to-end crawl ingestion path, oracle-certified as a
+    COMPOSITION: WARC walk -> per-response HTTP parse -> route only
+    200 text/html payloads into the HTML extractor -> one row per
+    page with the extracted title/text stats (nulls for the non-HTML
+    redirect pages, certifying the routing itself). The SQL restates
+    the same extraction arithmetic as HTML_TEXT_ORACLE via the shared
+    html_text_sql fragment at e = doc_id*4 + p."""
+    from danae_spark.catalog import load_table
+    from danae_spark.multimodal.htmltext import parse_html_text
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                for uri, status, ctype, body in iter_warc_responses(synth_warc(d)):
+                    row = {
+                        "doc_id": d,
+                        "uri": uri,
+                        "status": status,
+                        "title": None,
+                        "n_chars": None,
+                        "n_words": None,
+                        "link_density": None,
+                    }
+                    if status == 200 and (ctype or "").startswith("text/html"):
+                        ext = parse_html_text(body)
+                        if ext is not None:
+                            row.update(
+                                {
+                                    "title": ext["title"],
+                                    "n_chars": ext["n_chars"],
+                                    "n_words": ext["n_words"],
+                                    "link_density": ext["link_density"],
+                                }
+                            )
+                    rows.append(row)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "uri",
+                    "status",
+                    "title",
+                    "n_chars",
+                    "n_words",
+                    "link_density",
+                ],
+            )
+
+    schema = (
+        "doc_id bigint, uri string, status int, title string, "
+        "n_chars int, n_words int, link_density double"
+    )
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=schema)
+        .orderBy("doc_id", "uri")
+    )
+
+
+def _crawl_oracle() -> str:
+    from danae_spark.multimodal.htmltext import html_text_sql
+
+    ok_pages = """
+SELECT d.doc_id, d.doc_id * 4 + p.p AS e
+FROM documents d, generate_series(0, 2) p(p)
+WHERE p.p < 1 + d.doc_id % 3 AND (d.doc_id + p.p) % 5 <> 4
+"""
+    return f"""
+WITH allp AS (
+  SELECT d.doc_id, p.p,
+         'http://site' || CAST(d.doc_id % 5 AS VARCHAR) || '.example/p'
+           || CAST(p.p AS VARCHAR) AS uri,
+         CASE WHEN (d.doc_id + p.p) % 5 = 4 THEN 301 ELSE 200 END AS status,
+         d.doc_id * 4 + p.p AS e
+  FROM documents d, generate_series(0, 2) p(p)
+  WHERE p.p < 1 + d.doc_id % 3
+),
+x AS ({html_text_sql(ok_pages)})
+SELECT allp.doc_id, allp.uri, CAST(allp.status AS INT) AS status,
+       x.title, x.n_chars, x.n_words, x.link_density
+FROM allp LEFT JOIN x ON allp.doc_id = x.doc_id AND allp.e = x.e
+ORDER BY allp.doc_id, allp.uri
+"""
+
+
+CRAWL_HTML_ORACLE = _crawl_oracle()

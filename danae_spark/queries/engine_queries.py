@@ -629,3 +629,46 @@ def id3_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash covers the exact metadata text the search stack (BM25,
     tf-idf) would index (multimodal/id3.py)."""
     return _id3.id3_extract_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import htmltext as _html  # noqa: E402
+from danae_spark.multimodal import warc as _warc  # noqa: E402
+
+
+@register("html_text_extract", oracle=_html.HTML_TEXT_ORACLE)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> training-text extraction (r10): per doc a full page is
+    synthesized byte-for-byte (script/style raw text with close-tag
+    lookalikes, comments, named/numeric entities, nav/footer
+    boilerplate subtrees, inline anchors), walked by the real
+    quote-aware tag scanner, and the title AND the extracted text
+    string itself are restated in SQL — the value hash covers the
+    exact prose the quality/dedup/token stack would consume, plus the
+    link_density boilerplate signal (multimodal/htmltext.py)."""
+    return _html.html_text_roundtrip(spark, sf_dir)
+
+
+@register("warc_census", oracle=_warc.WARC_CENSUS_ORACLE)
+def warc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) record walk (r10): per doc a real warcinfo +
+    request/response stream is synthesized — gzip MEMBER-PER-RECORD on
+    odd docs (the convention that makes .warc.gz splittable on a
+    cluster; the inflate path and the one-record-per-member alignment
+    check are on the certified path) — walked by the real validator
+    (mandatory headers, date/id syntax, Content-Length byte match,
+    HTTP status parse), and the census restated as doc_id arithmetic
+    (multimodal/warc.py)."""
+    return _warc.warc_census_roundtrip(spark, sf_dir)
+
+
+@register("crawl_html_extract", oracle=_warc.CRAWL_HTML_ORACLE)
+def crawl_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end crawl ingestion COMPOSITION (r10): WARC walk ->
+    HTTP response parse -> route only 200 text/html payloads into the
+    HTML extractor -> one row per page with extracted title/text
+    stats; redirect pages certify the routing with null extractions.
+    The oracle restates the SAME extraction arithmetic as
+    html_text_extract via the shared html_text_sql fragment at
+    e = doc_id*4 + p, so the composition and the unit entry can never
+    drift apart (multimodal/warc.py crawl_html_extract_roundtrip)."""
+    return _warc.crawl_html_extract_roundtrip(spark, sf_dir)

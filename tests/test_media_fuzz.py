@@ -124,3 +124,44 @@ def test_r10_triage_and_ogg_tags_never_crash():
         assert (parse_ogg_tags(seed) is not None) == (seed[:4] == b"OggS"), si
         is_tagged_mkv = si == len(seeds) - 1
         assert (parse_mkv_tags(seed) is not None) == is_tagged_mkv, si
+
+
+def test_r10_crawl_parsers_never_crash():
+    """The crawl-ingestion parsers join the fuzz gate: parse_warc and
+    parse_html_text must return a value or None on arbitrary bytes,
+    truncations, and byte-flips of every seed (including each other's
+    and the media formats'). HTML is exempt from the mutual-exclusion
+    matrix by design — plain text is a valid HTML body — but WARC is
+    not: no media seed may walk as a WARC."""
+    from danae_spark.multimodal.htmltext import parse_html_text, synth_html
+    from danae_spark.multimodal.warc import parse_warc, synth_warc
+
+    seeds = _SEEDS + [synth_html(12), synth_warc(13), synth_warc(14)]
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.data())
+    def fuzz(data):
+        mode = data.draw(st.integers(0, 2))
+        if mode == 0:
+            payload = data.draw(st.binary(min_size=0, max_size=400))
+        else:
+            base = bytearray(seeds[data.draw(st.integers(0, len(seeds) - 1))])
+            if mode == 1:
+                payload = bytes(base[: data.draw(st.integers(0, len(base)))])
+            else:
+                for _ in range(data.draw(st.integers(1, 10))):
+                    ix = data.draw(st.integers(0, len(base) - 1))
+                    base[ix] = data.draw(st.integers(0, 255))
+                payload = bytes(base)
+        parse_warc(payload)
+        parse_html_text(payload)
+
+    fuzz()
+    # dispatch sanity on clean seeds
+    for si, seed in enumerate(seeds):
+        is_warc = si >= len(_SEEDS) + 1
+        assert (parse_warc(seed) is not None) == is_warc, si
+        # no media parser accepts the crawl seeds
+        if si >= len(_SEEDS):
+            for parse in _PARSERS:
+                assert parse(seed) is None, si

@@ -1,0 +1,188 @@
+"""WARC record walk (multimodal/warc.py): grammar validation, the
+gzip member-per-record convention, HTTP payload parse, the census and
+crawl-pipeline oracles."""
+
+import os
+import zlib
+
+import duckdb
+
+from danae_spark.multimodal.htmltext import expected_html_row, synth_html
+from danae_spark.multimodal.warc import (
+    CRAWL_HTML_ORACLE,
+    WARC_CENSUS_ORACLE,
+    iter_warc_responses,
+    n_pages,
+    page_status,
+    parse_warc,
+    synth_warc,
+    warc_census_frame,
+)
+
+
+def _one_record(body: bytes = b"hello", **overrides) -> bytes:
+    headers = {
+        "WARC-Type": "resource",
+        "WARC-Record-ID": "<urn:uuid:00000000-0000-4000-8000-000000000001>",
+        "WARC-Date": "2026-08-15T00:00:00Z",
+        "Content-Length": str(len(body)),
+    }
+    headers.update(overrides)
+    head = "WARC/1.1\r\n" + "".join(
+        f"{k}: {v}\r\n" for k, v in headers.items() if v is not None
+    ) + "\r\n"
+    return head.encode() + body + b"\r\n\r\n"
+
+
+def test_roundtrip_grid():
+    for d in range(100):
+        c = parse_warc(synth_warc(d))
+        assert c is not None, d
+        assert c["is_gzip"] == (d % 2 == 1), d
+        assert c["n_records"] == 1 + 2 * n_pages(d), d
+        assert c["n_warcinfo"] == 1 and c["n_resource"] == 0, d
+        assert c["n_request"] == c["n_response"] == n_pages(d), d
+        assert c["n_http_ok"] == sum(
+            1 for p in range(n_pages(d)) if page_status(d, p) == 200
+        ), d
+        assert c["first_uri"] == f"http://site{d % 5}.example/p0", d
+        assert c["host"] == f"site{d % 5}.example", d
+
+
+def test_total_content_bytes_pinned():
+    """total_content_bytes (excluded from the SQL oracle — it would
+    require restating raw HTML byte lengths) is pinned against the
+    synthesizer's own record bodies here."""
+    for d in (0, 1, 5, 8, 13):
+        c = parse_warc(synth_warc(d))
+        want = len(b"software: danae-spark/1.0\r\nformat: WARC File Format 1.1\r\n")
+        host = f"site{d % 5}.example"
+        for p in range(n_pages(d)):
+            want += len(f"GET /p{p} HTTP/1.1\r\nHost: {host}\r\n\r\n")
+            if page_status(d, p) == 200:
+                want += len(
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+                    b"Server: synth\r\n\r\n"
+                ) + len(synth_html(d * 4 + p))
+            else:
+                want += len(
+                    f"HTTP/1.1 301 Moved Permanently\r\nLocation: http://{host}/p{p}v2\r\n"
+                    f"Content-Type: text/plain\r\n\r\nmoved\r\n"
+                )
+        assert c["total_content_bytes"] == want, d
+
+
+def test_record_grammar_rejections():
+    ok = _one_record()
+    assert parse_warc(ok) is not None
+    # bad version line
+    assert parse_warc(ok.replace(b"WARC/1.1", b"WARC/2.0")) is None
+    # missing each mandatory header
+    for k in ("WARC-Type", "WARC-Record-ID", "WARC-Date", "Content-Length"):
+        assert parse_warc(_one_record(**{k: None})) is None, k
+    # unknown record type
+    assert parse_warc(_one_record(**{"WARC-Type": "mystery"})) is None
+    # record id must be a <uri>
+    assert parse_warc(_one_record(**{"WARC-Record-ID": "urn:uuid:x"})) is None
+    # date must be the spec's UTC-seconds form
+    assert parse_warc(_one_record(**{"WARC-Date": "2026-08-15 00:00:00"})) is None
+    # content-length must match the bytes present
+    assert parse_warc(_one_record(**{"Content-Length": "3"})) is None
+    # folded (LWS-continuation) header is a declared reject
+    folded = ok.replace(b"WARC-Date:", b"X: a\r\n b\r\nWARC-Date:")
+    assert parse_warc(folded) is None
+    # missing record terminator
+    assert parse_warc(ok[:-2]) is None
+    # trailing garbage after the last record
+    assert parse_warc(ok + b"junk") is None
+    assert parse_warc(b"") is None
+
+
+def test_gzip_member_alignment():
+    rec = _one_record()
+
+    def gz(raw: bytes) -> bytes:
+        c = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return c.compress(raw) + c.flush()
+
+    assert parse_warc(gz(rec))["n_records"] == 1
+    two = gz(rec) + gz(rec)
+    assert parse_warc(two)["n_records"] == 2
+    # two records inside ONE member violate the splittability convention
+    assert parse_warc(gz(rec + rec)) is None
+    # truncated member
+    assert parse_warc(gz(rec)[:-4]) is None
+    # trailing garbage after the last member
+    assert parse_warc(gz(rec) + b"\x1f\x8bxx") is None
+
+
+def test_http_response_parse():
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>x</p>"
+    rec = _one_record(body, **{"WARC-Type": "response"})
+    c = parse_warc(rec)
+    assert c["n_response"] == 1 and c["n_http_ok"] == 1
+    # 301 is not ok
+    rec = _one_record(
+        b"HTTP/1.1 301 Moved\r\nLocation: /x\r\n\r\n", **{"WARC-Type": "response"}
+    )
+    assert parse_warc(rec)["n_http_ok"] == 0
+    # malformed status line rejects the file whole
+    rec = _one_record(b"NOT HTTP\r\n\r\n", **{"WARC-Type": "response"})
+    assert parse_warc(rec) is None
+
+
+def test_iter_warc_responses_feeds_html():
+    d = 3
+    pages = list(iter_warc_responses(synth_warc(d)))
+    assert len(pages) == n_pages(d)
+    from danae_spark.multimodal.htmltext import parse_html_text
+
+    for p, (uri, status, ctype, body) in enumerate(pages):
+        assert uri == f"http://site{d % 5}.example/p{p}"
+        assert status == page_status(d, p)
+        if status == 200:
+            assert ctype.startswith("text/html")
+            assert parse_html_text(body) == expected_html_row(d * 4 + p)
+    # invalid file yields nothing
+    assert list(iter_warc_responses(b"garbage")) == []
+
+
+def test_frame_nulls_and_id_col(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(synth_warc(1))), (2, bytearray(b"WARC/9")), (3, None)],
+        "media_id long, blob binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in warc_census_frame(df, id_col="media_id", payload_col="blob").collect()
+    }
+    assert out[1]["n_records"] == 1 + 2 * n_pages(1)
+    assert out[2]["n_records"] is None and out[3]["n_records"] is None
+
+
+def _duck_view(sf_dir):
+    from danae_spark.catalog import table_path
+
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    return con
+
+
+def test_census_oracle_matches_duckdb(spark, sf_dir):
+    from danae_spark.queries import load_all
+
+    fn = load_all()["warc_census"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck_view(sf_dir).execute(WARC_CENSUS_ORACLE).fetchall()]
+    assert len(got) == len(want) and got == want
+
+
+def test_crawl_pipeline_oracle_matches_duckdb(spark, sf_dir):
+    from danae_spark.queries import load_all
+
+    fn = load_all()["crawl_html_extract"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck_view(sf_dir).execute(CRAWL_HTML_ORACLE).fetchall()]
+    assert len(got) == len(want) and got == want

@@ -79,6 +79,13 @@ OPERATORS = {
     "media_triage": "documents",
     "ogg_tags_extract": "documents",
     "mkv_tags_extract": "documents",
+    # r10 crawl-ingestion families: quote-aware HTML scan, WARC walk
+    # (gzip member-per-record inflate on odd docs), and the composed
+    # WARC -> HTTP -> HTML extraction pipeline — all one-pass per-row
+    # parse pipelines, embarrassingly parallel
+    "html_text_extract": "documents",
+    "warc_census": "documents",
+    "crawl_html_extract": "documents",
 }
 
 
