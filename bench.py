@@ -119,6 +119,8 @@ HEADLINE = [
     "html_text_extract",
     "warc_census",
     "crawl_html_extract",
+    "pdf_text_extract",
+    "archive_census",
 ]
 
 

@@ -628,3 +628,24 @@ class DataLakeEngine:
         from danae_spark.multimodal.warc import warc_census_frame
 
         return warc_census_frame(df, **kw)
+
+    def pdf_text(self, df: DataFrame, **kw) -> DataFrame:
+        """Classic-PDF text extraction over any (id, binary) frame:
+        document text (content-stream text operators), title/author
+        from /Info, page and object counts; anything outside the
+        certified subset (xref/object streams, encryption, non-Flate
+        filters, CID fonts) yields null rows, never mojibake
+        (multimodal/pdf.py parse_pdf)."""
+        from danae_spark.multimodal.pdf import pdf_text_frame
+
+        return pdf_text_frame(df, **kw)
+
+    def archive_census(self, df: DataFrame, **kw) -> DataFrame:
+        """ZIP / TAR / TAR.GZ census over any (id, binary) frame:
+        member enumeration with full data verification (CRC-32, tar
+        checksums) and per-media-class counts via triage routing;
+        archives that cannot be walked yield null rows
+        (multimodal/archive.py parse_archive)."""
+        from danae_spark.multimodal.archive import archive_census_frame
+
+        return archive_census_frame(df, **kw)

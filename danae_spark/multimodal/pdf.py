@@ -1,0 +1,746 @@
+"""PDF text extraction — the second-highest-volume document format a
+training corpus ingests after HTML (papers, reports, books).
+
+A from-scratch classic-PDF reader over the bytes, with every layer
+implemented for real:
+
+  - File structure: `%PDF-1.x` header, `startxref` -> classic xref
+    TABLE walk (20-byte entries, multi-subsection, `/Prev` chains for
+    incrementally-updated files — later tables win), trailer dict with
+    `/Root`/`/Size`, `%%EOF`.
+  - Object grammar: the full COS syntax — dictionaries, arrays,
+    literal strings (balanced parens, all escape forms incl. octal and
+    line continuations), hex strings, names with `#xx` escapes,
+    numbers, booleans, null, indirect references (`n g R`), streams
+    (`/Length` may itself be indirect; the `endstream` keyword must
+    sit exactly past the declared bytes — a mismatch rejects the
+    file).
+  - Filters: `/FlateDecode` (zlib) and unfiltered streams.
+  - Document structure: Catalog -> Pages tree walk (nested `/Pages`
+    nodes, `/Count` cross-checked against the leaves found, cycle
+    guard), per-page `/Contents` (single ref or array, concatenated).
+  - Text: content-stream interpretation of the text operators — BT/ET
+    blocks, Tj / TJ (array form: shown strings concatenate; kerning
+    numbers are positioning, not text), ' and " (next-line-and-show),
+    with Td / TD / T* / Tm treated as line breaks; unknown operators
+    clear the operand stack and continue (the spec's forward-compat
+    rule). String bytes decode as Latin-1 — the simple-font subset.
+
+Declared boundaries (reject whole, documented because each needs
+out-of-spec-table or cryptographic machinery that cannot be certified
+from first principles here): cross-reference STREAMS and object
+streams (PDF 1.5+), encryption, filters other than Flate, Flate
+predictors, inline images (BI..EI) inside content, and composite
+(CID/Type0) fonts — the Latin-1 simple-font reading would silently
+produce mojibake for 2-byte CID strings, exactly what the reject
+contract exists to prevent.
+
+Reference parity note: the reference (smartdatalake/danae) ingests
+tabular files only; PDF extraction is mandated LLM-pipeline extension
+surface (document text feeding the quality/dedup/token stack).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator
+
+import pandas as pd
+
+__all__ = [
+    "parse_pdf",
+    "synth_pdf",
+    "pdf_text_frame",
+    "pdf_text_roundtrip",
+    "PDF_TEXT_ORACLE",
+]
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+
+class _Lexer:
+    """COS-syntax object reader over a bytes buffer."""
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.b = buf
+        self.i = pos
+
+    def _ws(self) -> None:
+        b, n = self.b, len(self.b)
+        while self.i < n:
+            c = self.b[self.i]
+            if c in _WS:
+                self.i += 1
+            elif c == 0x25:  # '%' comment to EOL
+                j = self.b.find(b"\n", self.i)
+                self.i = n if j == -1 else j + 1
+            else:
+                return
+
+    def _keyword(self) -> str:
+        start = self.i
+        b, n = self.b, len(self.b)
+        while self.i < n and b[self.i] not in _WS and b[self.i] not in _DELIM:
+            self.i += 1
+        return b[start : self.i].decode("latin-1")
+
+    def _name(self) -> str:
+        self.i += 1  # '/'
+        start = self.i
+        b, n = self.b, len(self.b)
+        out = []
+        while self.i < n and b[self.i] not in _WS and b[self.i] not in _DELIM:
+            c = b[self.i]
+            if c == 0x23 and self.i + 2 < n:  # '#xx'
+                try:
+                    out.append(chr(int(b[self.i + 1 : self.i + 3].decode("ascii"), 16)))
+                    self.i += 3
+                    continue
+                except (UnicodeDecodeError, ValueError):
+                    raise _Bad()
+            out.append(chr(c))
+            self.i += 1
+        if self.i == start:
+            raise _Bad()
+        return "".join(out)
+
+    def _string(self) -> str:
+        self.i += 1  # '('
+        b, n = self.b, len(self.b)
+        depth = 1
+        out = []
+        while self.i < n:
+            c = b[self.i]
+            if c == 0x5C:  # backslash
+                self.i += 1
+                if self.i >= n:
+                    raise _Bad()
+                e = b[self.i]
+                if e in b"nrtbf":
+                    out.append({0x6E: "\n", 0x72: "\r", 0x74: "\t", 0x62: "\b", 0x66: "\f"}[e])
+                    self.i += 1
+                elif e in b"()\\":
+                    out.append(chr(e))
+                    self.i += 1
+                elif 0x30 <= e <= 0x37:  # octal, 1-3 digits
+                    oct_digits = []
+                    while len(oct_digits) < 3 and self.i < n and 0x30 <= b[self.i] <= 0x37:
+                        oct_digits.append(chr(b[self.i]))
+                        self.i += 1
+                    out.append(chr(int("".join(oct_digits), 8) & 0xFF))
+                elif e in b"\r\n":  # line continuation
+                    self.i += 1
+                    if e == 0x0D and self.i < n and b[self.i] == 0x0A:
+                        self.i += 1
+                else:  # unknown escape: the char itself
+                    out.append(chr(e))
+                    self.i += 1
+            elif c == 0x28:
+                depth += 1
+                out.append("(")
+                self.i += 1
+            elif c == 0x29:
+                depth -= 1
+                self.i += 1
+                if depth == 0:
+                    return "".join(out)
+                out.append(")")
+            else:
+                out.append(chr(c))
+                self.i += 1
+        raise _Bad()  # unterminated string
+
+    def _hex_string(self) -> str:
+        self.i += 1  # '<'
+        end = self.b.find(b">", self.i)
+        if end == -1:
+            raise _Bad()
+        digits = bytes(c for c in self.b[self.i : end] if c not in _WS)
+        self.i = end + 1
+        if not re.fullmatch(rb"[0-9a-fA-F]*", digits):
+            raise _Bad()
+        if len(digits) % 2:
+            digits += b"0"
+        return bytes.fromhex(digits.decode("ascii")).decode("latin-1")
+
+    def obj(self):
+        self._ws()
+        if self.i >= len(self.b):
+            raise _Bad()
+        b = self.b
+        c = b[self.i]
+        if b.startswith(b"<<", self.i):
+            self.i += 2
+            d = {}
+            while True:
+                self._ws()
+                if b.startswith(b">>", self.i):
+                    self.i += 2
+                    return d
+                if self.i >= len(b) or b[self.i] != 0x2F:
+                    raise _Bad()
+                key = self._name()
+                d[key] = self.obj()
+        if c == 0x5B:  # '['
+            self.i += 1
+            arr = []
+            while True:
+                self._ws()
+                if self.i < len(b) and b[self.i] == 0x5D:
+                    self.i += 1
+                    return arr
+                arr.append(self.obj())
+        if c == 0x2F:
+            return self._name()
+        if c == 0x28:
+            return self._string()
+        if c == 0x3C:
+            return self._hex_string()
+        if c in b"+-.0123456789":
+            m = re.match(rb"[+-]?(\d+\.\d*|\.\d+|\d+)", b[self.i :])
+            if not m:
+                raise _Bad()
+            tok = m.group(0)
+            self.i += len(tok)
+            if b"." in tok:
+                return float(tok)
+            num = int(tok)
+            # lookahead for an indirect reference: <num> <gen> R
+            save = self.i
+            try:
+                self._ws()
+                m2 = re.match(rb"\d+", b[self.i :])
+                if m2:
+                    self.i += len(m2.group(0))
+                    self._ws()
+                    if b[self.i : self.i + 1] == b"R" and (
+                        self.i + 1 >= len(b)
+                        or b[self.i + 1] in _WS
+                        or b[self.i + 1] in _DELIM
+                    ):
+                        self.i += 1
+                        return _Ref(num)
+            except _Bad:
+                pass
+            self.i = save
+            return num
+        kw = self._keyword()
+        if kw == "true":
+            return True
+        if kw == "false":
+            return False
+        if kw == "null":
+            return None
+        raise _Bad()
+
+
+class _Bad(Exception):
+    pass
+
+
+class _Doc:
+    def __init__(self, buf: bytes):
+        self.b = buf
+        self.xref: dict[int, int] = {}
+        self.trailer: dict = {}
+        self._cache: dict[int, object] = {}
+
+    # -------------------------------------------------- file structure
+
+    def load(self) -> None:
+        if not self.b.startswith(b"%PDF-1."):
+            raise _Bad()
+        tail = self.b[-64:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            raise _Bad()
+        offset = int(m.group(1))
+        seen = set()
+        while True:
+            if offset in seen or offset >= len(self.b):
+                raise _Bad()
+            seen.add(offset)
+            trailer = self._read_xref_table(offset)
+            if not self.trailer:
+                self.trailer = trailer
+            prev = trailer.get("Prev")
+            if prev is None:
+                break
+            if not isinstance(prev, int):
+                raise _Bad()
+            offset = prev
+        if "Root" not in self.trailer:
+            raise _Bad()
+
+    def _read_xref_table(self, offset: int) -> dict:
+        lx = _Lexer(self.b, offset)
+        lx._ws()
+        if not self.b.startswith(b"xref", lx.i):
+            raise _Bad()  # an integer here would be an xref STREAM: declared reject
+        lx.i += 4
+        while True:
+            lx._ws()
+            if self.b.startswith(b"trailer", lx.i):
+                lx.i += 7
+                trailer = lx.obj()
+                if not isinstance(trailer, dict):
+                    raise _Bad()
+                return trailer
+            m = re.match(rb"(\d+)\s+(\d+)", self.b[lx.i :])
+            if not m:
+                raise _Bad()
+            start, count = int(m.group(1)), int(m.group(2))
+            lx.i += m.end()
+            lx._ws()
+            for k in range(count):
+                entry = self.b[lx.i : lx.i + 20]
+                em = re.match(rb"(\d{10}) (\d{5}) ([nf])(\r\n| \r| \n)", entry)
+                if not em:
+                    raise _Bad()
+                num = start + k
+                # earlier tables in the /Prev chain must not override
+                # the updated entries already loaded
+                if em.group(3) == b"n" and num not in self.xref:
+                    self.xref[num] = int(em.group(1))
+                lx.i += 20
+
+    # ------------------------------------------------------ object layer
+
+    def resolve(self, v):
+        if isinstance(v, _Ref):
+            return self.get(v.num)
+        return v
+
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        if num not in self.xref:
+            raise _Bad()
+        lx = _Lexer(self.b, self.xref[num])
+        m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", self.b[lx.i :])
+        if not m or int(m.group(1)) != num:
+            raise _Bad()
+        lx.i += m.end()
+        obj = lx.obj()
+        lx._ws()
+        if isinstance(obj, dict) and self.b.startswith(b"stream", lx.i):
+            lx.i += 6
+            if self.b.startswith(b"\r\n", lx.i):
+                lx.i += 2
+            elif self.b.startswith(b"\n", lx.i):
+                lx.i += 1
+            else:
+                raise _Bad()
+            length = self.resolve(obj.get("Length"))
+            if not isinstance(length, int) or length < 0:
+                raise _Bad()
+            data = self.b[lx.i : lx.i + length]
+            if len(data) != length:
+                raise _Bad()
+            lx.i += length
+            lx._ws()
+            if not self.b.startswith(b"endstream", lx.i):
+                raise _Bad()  # /Length does not reach endstream
+            obj = ("stream", obj, data)
+        self._cache[num] = obj
+        return obj
+
+    def stream_data(self, obj) -> bytes:
+        if not (isinstance(obj, tuple) and obj[0] == "stream"):
+            raise _Bad()
+        d, data = obj[1], obj[2]
+        filt = self.resolve(d.get("Filter"))
+        if filt is None:
+            return data
+        if filt == "FlateDecode" or filt == ["FlateDecode"]:
+            if self.resolve(d.get("DecodeParms")) is not None:
+                raise _Bad()  # predictors: declared reject
+            try:
+                return zlib.decompress(data)
+            except zlib.error:
+                raise _Bad()
+        raise _Bad()  # other filters: declared reject
+
+    # --------------------------------------------------- document layer
+
+    def pages(self) -> list[dict]:
+        root = self.resolve(self.trailer["Root"])
+        if not isinstance(root, dict) or root.get("Type") != "Catalog":
+            raise _Bad()
+        if "Encrypt" in self.trailer:
+            raise _Bad()  # encryption: declared reject
+        tree = self.resolve(root.get("Pages"))
+        out: list[dict] = []
+        seen: set[int] = set()
+
+        def walk(node) -> None:
+            if not isinstance(node, dict):
+                raise _Bad()
+            t = node.get("Type")
+            if t == "Pages":
+                nid = id(node)
+                if nid in seen or len(seen) > 1000:
+                    raise _Bad()
+                seen.add(nid)
+                kids = self.resolve(node.get("Kids"))
+                if not isinstance(kids, list):
+                    raise _Bad()
+                for k in kids:
+                    walk(self.resolve(k))
+            elif t == "Page":
+                out.append(node)
+            else:
+                raise _Bad()
+
+        walk(tree)
+        count = self.resolve(tree.get("Count")) if isinstance(tree, dict) else None
+        if count != len(out):
+            raise _Bad()  # /Count must match the leaves actually found
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        contents = self.resolve(page.get("Contents"))
+        if contents is None:
+            return b""
+        parts = contents if isinstance(contents, list) else [contents]
+        out = []
+        for part in parts:
+            out.append(self.stream_data(self.resolve(part) if isinstance(part, _Ref) else part))
+        return b"\n".join(out)
+
+
+# -------------------------------------------------- content-stream text
+
+_LINE_OPS = frozenset(("Td", "TD", "T*", "Tm"))
+
+
+def _page_text(content: bytes) -> list[str]:
+    """Interpret the text operators of one page's content stream into
+    lines. Raises _Bad on structural violations (unterminated string,
+    unbalanced BT/ET, inline images)."""
+    lx = _Lexer(content)
+    stack: list = []
+    lines: list[str] = []
+    cur: list[str] = []
+    in_text = False
+
+    def newline() -> None:
+        s = "".join(cur)
+        if s:
+            lines.append(s)
+        cur.clear()
+
+    while True:
+        lx._ws()
+        if lx.i >= len(content):
+            break
+        c = content[lx.i]
+        if c == 0x28 or c == 0x2F or c == 0x5B or content.startswith(b"<<", lx.i) or c == 0x3C or c in b"+-.0123456789":
+            stack.append(lx.obj())
+            continue
+        op = lx._keyword()
+        if not op:
+            raise _Bad()
+        if op == "BI":
+            raise _Bad()  # inline images: declared reject
+        if op == "BT":
+            if in_text:
+                raise _Bad()
+            in_text = True
+            newline()
+        elif op == "ET":
+            if not in_text:
+                raise _Bad()
+            in_text = False
+            newline()
+        elif op == "Tj" and in_text:
+            if not stack or not isinstance(stack[-1], str):
+                raise _Bad()
+            cur.append(stack[-1])
+        elif op == "TJ" and in_text:
+            if not stack or not isinstance(stack[-1], list):
+                raise _Bad()
+            for el in stack[-1]:
+                if isinstance(el, str):
+                    cur.append(el)
+                elif not isinstance(el, (int, float)):
+                    raise _Bad()
+        elif op in ("'", '"') and in_text:
+            if not stack or not isinstance(stack[-1], str):
+                raise _Bad()
+            newline()
+            cur.append(stack[-1])
+        elif op in _LINE_OPS and in_text:
+            newline()
+        stack.clear()
+    if in_text:
+        raise _Bad()  # unbalanced BT
+    newline()
+    return lines
+
+
+def parse_pdf(payload: bytes) -> dict | None:
+    """Extract document text and metadata from a classic PDF:
+
+      n_pages, n_objects (live xref entries), title / author (from
+      /Info, Latin-1 simple-string subset), text (content-stream text
+      lines joined by newlines, pages in tree order), n_chars, n_words
+
+    Returns None for anything outside the certified subset — see the
+    module docstring's declared boundaries."""
+    if not isinstance(payload, (bytes, bytearray)) or len(payload) < 16:
+        return None
+    try:
+        doc = _Doc(bytes(payload))
+        doc.load()
+        pages = doc.pages()
+        lines: list[str] = []
+        for page in pages:
+            lines.extend(_page_text(doc.page_content(page)))
+        title = author = None
+        info = doc.resolve(doc.trailer.get("Info"))
+        if isinstance(info, dict):
+            t = doc.resolve(info.get("Title"))
+            a = doc.resolve(info.get("Author"))
+            title = t if isinstance(t, str) else None
+            author = a if isinstance(a, str) else None
+        text = "\n".join(lines)
+        return {
+            "n_pages": len(pages),
+            "n_objects": len(doc.xref),
+            "title": title,
+            "author": author,
+            "text": text,
+            "n_chars": len(text),
+            "n_words": len(text.split()),
+        }
+    except (_Bad, RecursionError):
+        return None
+
+
+# ------------------------------------------------------------- synthesis
+
+
+def _pdf_n_pages(d: int) -> int:
+    return 1 + d % 3
+
+
+def _pdf_line_words(d: int, p: int, l: int) -> list[str]:
+    return [f"p{(d * 7 + p * 5 + l * 3 + j * 2) % 100}" for j in range(2 + (d + p + l) % 3)]
+
+
+def _pdf_line_text(d: int, p: int, l: int) -> str:
+    base = " ".join(_pdf_line_words(d, p, l))
+    if p == 0 and l == 0:
+        base += " (x)" if d % 2 == 0 else " A"
+    return base
+
+
+def _content_stream(d: int, p: int) -> bytes:
+    ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+    for l in range(2 + (d + p) % 2):
+        if l > 0:
+            ops.append("0 -14 Td")
+        words = _pdf_line_words(d, p, l)
+        if p == 0 and l == 0 and d % 2 == 1:
+            # TJ array form: kerning numbers are positioning, not text
+            first, rest = words[0], " ".join(words[1:])
+            ops.append(f"[({first} ) -250 ({rest})] TJ")
+            ops.append("<2041> Tj")  # hex string: ' A'
+        else:
+            line = " ".join(words)
+            if p == 0 and l == 0:
+                line += r" \(x\)"  # escaped parens -> literal ' (x)'
+            ops.append(f"({line}) Tj")
+    ops.append("ET")
+    return " ".join(ops).encode("latin-1")
+
+
+def synth_pdf(doc_id: int) -> bytes:
+    """Doc-deterministic classic PDF, built object-by-object with a
+    real xref table: 1-3 pages (three-page docs get a NESTED Pages
+    tree), per-page Flate-compressed content on odd docs, Tj / TJ /
+    escaped-paren / hex-string text forms, and an /Info dict."""
+    d = doc_id
+    np_ = _pdf_n_pages(d)
+    objects: dict[int, bytes] = {}
+    # numbering: 1 catalog, 2 pages root, 3 font, 4 info,
+    # 5..4+np pages, 5+np..4+2np contents, [5+2np nested Pages node]
+    page_nums = [5 + p for p in range(np_)]
+    content_nums = [5 + np_ + p for p in range(np_)]
+    nested = np_ == 3
+    nested_num = 5 + 2 * np_
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    if nested:
+        kids = f"[{page_nums[0]} 0 R {nested_num} 0 R]"
+        objects[nested_num] = (
+            f"<< /Type /Pages /Parent 2 0 R /Kids [{page_nums[1]} 0 R "
+            f"{page_nums[2]} 0 R] /Count 2 >>"
+        ).encode()
+    else:
+        kids = "[" + " ".join(f"{n} 0 R" for n in page_nums) + "]"
+    objects[2] = f"<< /Type /Pages /Kids {kids} /Count {np_} >>".encode()
+    objects[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    objects[4] = f"<< /Title (Doc {d}) /Author (author a{d % 5}) >>".encode()
+    for p in range(np_):
+        parent = nested_num if (nested and p > 0) else 2
+        objects[page_nums[p]] = (
+            f"<< /Type /Page /Parent {parent} 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {content_nums[p]} 0 R "
+            f"/Resources << /Font << /F1 3 0 R >> >> >>"
+        ).encode()
+        data = _content_stream(d, p)
+        if d % 2 == 1:
+            data = zlib.compress(data, 6)
+            head = f"<< /Length {len(data)} /Filter /FlateDecode >>"
+        else:
+            head = f"<< /Length {len(data)} >>"
+        objects[content_nums[p]] = head.encode() + b"\nstream\n" + data + b"\nendstream"
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_at = len(out)
+    size = max(objects) + 1
+    out += f"xref\n0 {size}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, size):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {size} /Root 1 0 R /Info 4 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def expected_pdf_row(d: int) -> dict:
+    """Pure-arithmetic expectation for parse_pdf(synth_pdf(d)) — the
+    Python statement of what PDF_TEXT_ORACLE states in SQL."""
+    np_ = _pdf_n_pages(d)
+    lines = []
+    for p in range(np_):
+        for l in range(2 + (d + p) % 2):
+            lines.append(_pdf_line_text(d, p, l))
+    text = "\n".join(lines)
+    return {
+        "n_pages": np_,
+        "n_objects": 4 + 2 * np_ + (1 if np_ == 3 else 0),
+        "title": f"Doc {d}",
+        "author": f"author a{d % 5}",
+        "text": text,
+        "n_chars": len(text),
+        "n_words": len(text.split()),
+    }
+
+
+# ----------------------------------------------------- Spark entry points
+
+_COLS = ["n_pages", "n_objects", "title", "author", "text", "n_chars", "n_words"]
+
+_SCHEMA = (
+    "doc_id bigint, n_pages int, n_objects int, title string, author string, "
+    "text string, n_chars int, n_words int"
+)
+
+
+def pdf_text_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
+    """PDF text extraction over any (id, binary) frame; nulls for
+    files outside the certified subset. The `text` column feeds the
+    text-curation stack; title/author feed the metadata search stack."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                c = parse_pdf(bytes(payload)) if payload is not None else None
+                row = {id_col: rid}
+                row.update({k: (c.get(k) if c else None) for k in _COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[id_col] + _COLS)
+
+    return df.mapInPandas(batches, schema=_SCHEMA.replace("doc_id", id_col, 1))
+
+
+def pdf_text_roundtrip(spark, sf_dir: str):
+    """Oracle-checkable PDF extraction: per doc a classic PDF is built
+    object-by-object with a real xref table (Flate on odd docs, nested
+    Pages tree on 3-page docs, Tj/TJ/escape/hex text forms), read back
+    by the real xref -> object -> pages -> content-stream pipeline,
+    and the extracted text string itself restated in SQL."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                c = parse_pdf(synth_pdf(d))
+                row = {"doc_id": d}
+                row.update({k: (c.get(k) if c else None) for k in _COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["doc_id"] + _COLS)
+
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+PDF_TEXT_ORACLE = """
+WITH g AS (
+  SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS n_pages FROM documents
+),
+w AS (
+  SELECT g.doc_id, p.p, l.l, j.j,
+         'p' || CAST((g.doc_id * 7 + p.p * 5 + l.l * 3 + j.j * 2) % 100
+                     AS VARCHAR) AS word
+  FROM g, generate_series(0, 2) p(p), generate_series(0, 2) l(l),
+       generate_series(0, 3) j(j)
+  WHERE p.p < g.n_pages
+    AND l.l < 2 + (g.doc_id + p.p) % 2
+    AND j.j < 2 + (g.doc_id + p.p + l.l) % 3
+),
+line_text AS (
+  SELECT doc_id, p, l,
+         string_agg(word, ' ' ORDER BY j)
+           || CASE WHEN p = 0 AND l = 0
+                   THEN CASE WHEN doc_id % 2 = 0 THEN ' (x)' ELSE ' A' END
+                   ELSE '' END AS line
+  FROM w GROUP BY doc_id, p, l
+),
+doc_text AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY p, l) AS text
+  FROM line_text GROUP BY doc_id
+)
+SELECT g.doc_id, g.n_pages,
+       CAST(4 + 2 * g.n_pages
+            + CASE WHEN g.n_pages = 3 THEN 1 ELSE 0 END AS INT) AS n_objects,
+       'Doc ' || CAST(g.doc_id AS VARCHAR) AS title,
+       'author a' || CAST(g.doc_id % 5 AS VARCHAR) AS author,
+       t.text,
+       CAST(length(t.text) AS INT) AS n_chars,
+       CAST(length(t.text)
+            - length(replace(replace(t.text, chr(10), ' '), ' ', ''))
+            + 1 AS INT) AS n_words
+FROM g JOIN doc_text t USING (doc_id)
+ORDER BY g.doc_id
+"""

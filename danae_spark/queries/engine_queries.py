@@ -672,3 +672,35 @@ def crawl_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = doc_id*4 + p, so the composition and the unit entry can never
     drift apart (multimodal/warc.py crawl_html_extract_roundtrip)."""
     return _warc.crawl_html_extract_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import pdf as _pdf  # noqa: E402
+
+
+@register("pdf_text_extract", oracle=_pdf.PDF_TEXT_ORACLE)
+def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic-PDF text extraction (r10): per doc a real PDF is built
+    object-by-object with a real xref table (Flate-compressed content
+    on odd docs, NESTED Pages tree on 3-page docs, Tj / TJ-array /
+    escaped-paren / hex-string text forms, an /Info dict), read back
+    through the full pipeline — startxref -> xref/(Prev-chain) walk ->
+    COS object grammar -> Catalog -> Pages tree -> content-stream text
+    operators — and the extracted text string itself restated in SQL
+    (multimodal/pdf.py; declared boundaries: no xref/object streams,
+    encryption, non-Flate filters, predictors, or CID fonts)."""
+    return _pdf.pdf_text_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import archive as _archive  # noqa: E402
+
+
+@register("archive_census", oracle=_archive.ARCHIVE_CENSUS_ORACLE)
+def archive_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive census with triage routing (r10): per doc a real zip /
+    tar / tar.gz of real mixed-media members is built byte-for-byte
+    (CRC-32s, tar checksums, central directory), walked by the real
+    validators with FULL data verification (every member decompressed
+    and size+CRC checked), every file payload routed through media
+    triage, and the census — format, member counts, per-media-class
+    counts — restated as doc_id arithmetic (multimodal/archive.py)."""
+    return _archive.archive_census_roundtrip(spark, sf_dir)

@@ -165,3 +165,39 @@ def test_r10_crawl_parsers_never_crash():
         if si >= len(_SEEDS):
             for parse in _PARSERS:
                 assert parse(seed) is None, si
+
+
+def test_r10_pdf_and_archive_never_crash():
+    """parse_pdf and parse_archive join the fuzz gate: value or None
+    on arbitrary bytes, truncations, and byte-flips of every seed;
+    dispatch sanity pins that each accepts exactly its own seeds."""
+    from danae_spark.multimodal.archive import parse_archive, synth_archive
+    from danae_spark.multimodal.pdf import parse_pdf, synth_pdf
+
+    seeds = _SEEDS + [synth_pdf(12), synth_archive(12), synth_archive(13), synth_archive(14)]
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.data())
+    def fuzz(data):
+        mode = data.draw(st.integers(0, 2))
+        if mode == 0:
+            payload = data.draw(st.binary(min_size=0, max_size=400))
+        else:
+            base = bytearray(seeds[data.draw(st.integers(0, len(seeds) - 1))])
+            if mode == 1:
+                payload = bytes(base[: data.draw(st.integers(0, len(base)))])
+            else:
+                for _ in range(data.draw(st.integers(1, 10))):
+                    ix = data.draw(st.integers(0, len(base) - 1))
+                    base[ix] = data.draw(st.integers(0, 255))
+                payload = bytes(base)
+        parse_pdf(payload)
+        parse_archive(payload)
+
+    fuzz()
+    for si, seed in enumerate(seeds):
+        assert (parse_pdf(seed) is not None) == (si == len(_SEEDS)), si
+        assert (parse_archive(seed) is not None) == (si > len(_SEEDS)), si
+        if si > len(_SEEDS):
+            for parse in _PARSERS:
+                assert parse(seed) is None, si

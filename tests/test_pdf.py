@@ -1,0 +1,149 @@
+"""Classic-PDF reader (multimodal/pdf.py): COS grammar, xref walk,
+content-stream text operators, declared boundaries, registered oracle."""
+
+import os
+import re
+import zlib
+
+import duckdb
+
+from danae_spark.multimodal.pdf import (
+    PDF_TEXT_ORACLE,
+    expected_pdf_row,
+    parse_pdf,
+    pdf_text_frame,
+    synth_pdf,
+)
+
+
+def test_roundtrip_grid():
+    for d in range(120):
+        assert parse_pdf(synth_pdf(d)) == expected_pdf_row(d), d
+
+
+def _minimal(content=b"BT (hi) Tj ET", filt=None, trailer_extra="", length=None):
+    """Hand-rolled one-page PDF for targeted grammar tests."""
+    if filt == "flate":
+        content = zlib.compress(content)
+        head = f"<< /Length {len(content) if length is None else length} /Filter /FlateDecode >>"
+    else:
+        head = f"<< /Length {len(content) if length is None else length} >>"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: head.encode() + b"\nstream\n" + content + b"\nendstream",
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for n in sorted(objs):
+        offs[n] = len(out)
+        out += f"{n} 0 obj\n".encode() + objs[n] + b"\nendobj\n"
+    xr = len(out)
+    out += b"xref\n0 5\n0000000000 65535 f \n"
+    for n in range(1, 5):
+        out += f"{offs[n]:010d} 00000 n \n".encode()
+    out += f"trailer\n<< /Size 5 /Root 1 0 R {trailer_extra}>>\nstartxref\n{xr}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def test_minimal_and_flate():
+    assert parse_pdf(_minimal())["text"] == "hi"
+    assert parse_pdf(_minimal(filt="flate"))["text"] == "hi"
+
+
+def test_string_escapes_and_forms():
+    cases = [
+        (rb"BT (a\(b\)c) Tj ET", "a(b)c"),
+        (rb"BT (a\101b) Tj ET", "aAb"),  # octal
+        (rb"BT (a\tb\nc) Tj ET", "a\tb\nc"),
+        (rb"BT (a (nested) b) Tj ET", "a (nested) b"),  # balanced parens
+        (rb"BT <414243> Tj ET", "ABC"),
+        (rb"BT <41424> Tj ET", "AB@"),  # odd hex digit pads with 0
+        (rb"BT [(a) -120 (b)] TJ ET", "ab"),  # kerning is not text
+        (rb"BT (l1) Tj 0 -14 Td (l2) Tj ET", "l1\nl2"),
+        (rb"BT (l1) Tj (l2) ' ET", "l1\nl2"),  # ' = next line + show
+        (rb"BT (kept) Tj ET q Q BT (more) Tj ET", "kept\nmore"),
+    ]
+    for content, want in cases:
+        assert parse_pdf(_minimal(content))["text"] == want, content
+
+
+def test_structure_rejections():
+    ok = _minimal()
+    assert parse_pdf(b"not a pdf" + ok[9:]) is None  # bad header
+    assert parse_pdf(ok.replace(b"/Root 1 0 R ", b"")) is None  # no /Root
+    assert parse_pdf(ok.replace(b"/Count 1", b"/Count 2")) is None  # count lie
+    # startxref pointing into garbage
+    assert parse_pdf(re.sub(rb"startxref\n\d+", b"startxref\n3", ok)) is None
+    # /Length short of endstream
+    assert parse_pdf(_minimal(length=3)) is None
+    # unterminated string in content
+    assert parse_pdf(_minimal(b"BT (oops Tj ET")) is None
+    # unbalanced BT
+    assert parse_pdf(_minimal(b"BT (x) Tj")) is None
+    assert parse_pdf(b"") is None
+
+
+def test_declared_boundaries():
+    ok = _minimal()
+    # encryption rejects whole
+    assert parse_pdf(_minimal(trailer_extra="/Encrypt 9 0 R ")) is None
+    # non-Flate filter rejects whole
+    bad = _minimal()
+    assert parse_pdf(bad.replace(b"<< /Length", b"<< /Filter /LZWDecode /Length")) is None
+    # inline image rejects whole
+    assert parse_pdf(_minimal(b"BT (x) Tj ET BI /W 1 ID \x00 EI")) is None
+    # an xref STREAM (integer where 'xref' expected) rejects whole
+    assert parse_pdf(re.sub(rb"startxref\n(\d+)", rb"startxref\n9", ok)) is None
+
+
+def test_prev_chain_incremental_update():
+    """An incremental update appends a new object + xref with /Prev;
+    the LATER table must win for the updated object."""
+    base = _minimal()
+    xr0 = int(re.search(rb"startxref\n(\d+)", base).group(1))
+    new_content = b"BT (updated) Tj ET"
+    add = f"4 0 obj\n<< /Length {len(new_content)} >>\nstream\n".encode()
+    add += new_content + b"\nendstream\nendobj\n"
+    off4 = len(base)
+    out = bytearray(base) + add
+    xr1 = len(out)
+    out += b"xref\n4 1\n" + f"{off4:010d} 00000 n \n".encode()
+    out += f"trailer\n<< /Size 5 /Root 1 0 R /Prev {xr0} >>\nstartxref\n{xr1}\n%%EOF\n".encode()
+    got = parse_pdf(bytes(out))
+    assert got is not None and got["text"] == "updated"
+
+
+def test_nested_pages_tree_order():
+    d = 2  # n_pages == 3 -> nested tree in synth
+    got = parse_pdf(synth_pdf(d))
+    assert got["n_pages"] == 3
+    assert got["text"] == expected_pdf_row(d)["text"]
+
+
+def test_frame_nulls_and_id_col(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(synth_pdf(1))), (2, bytearray(b"%PDF-1.4 junk")), (3, None)],
+        "media_id long, blob binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in pdf_text_frame(df, id_col="media_id", payload_col="blob").collect()
+    }
+    assert out[1]["title"] == "Doc 1"
+    assert out[2]["n_pages"] is None and out[3]["n_pages"] is None
+
+
+def test_registered_oracle_matches_duckdb(spark, sf_dir):
+    from danae_spark.catalog import table_path
+    from danae_spark.queries import load_all
+
+    fn = load_all()["pdf_text_extract"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(PDF_TEXT_ORACLE).fetchall()]
+    assert len(got) == len(want) and got == want

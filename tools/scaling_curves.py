@@ -86,6 +86,11 @@ OPERATORS = {
     "html_text_extract": "documents",
     "warc_census": "documents",
     "crawl_html_extract": "documents",
+    # r10 document/archive families: classic-PDF reader (xref walk,
+    # COS grammar, Flate streams, text operators) and zip/tar census
+    # with triage-routed members — one-pass per-row parse pipelines
+    "pdf_text_extract": "documents",
+    "archive_census": "documents",
 }
 
 
