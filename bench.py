@@ -121,6 +121,7 @@ HEADLINE = [
     "crawl_html_extract",
     "pdf_text_extract",
     "archive_census",
+    "text_harvest",
 ]
 
 

@@ -649,3 +649,14 @@ class DataLakeEngine:
         from danae_spark.multimodal.archive import archive_census_frame
 
         return archive_census_frame(df, **kw)
+
+    def text_harvest(self, df: DataFrame, **kw) -> DataFrame:
+        """One-pass text extraction over a MIXED document-class binary
+        column: each payload classified (pdf/html/warc/archive/
+        subtitle/plain) and routed to its validated extractor; emits
+        (doc_class, format, title, text) — run this FIRST over a
+        crawl's blob column, then feed `text` to the curation stack
+        (multimodal/harvest.py harvest_text)."""
+        from danae_spark.multimodal.harvest import text_harvest_frame
+
+        return text_harvest_frame(df, **kw)

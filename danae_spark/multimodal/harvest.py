@@ -1,0 +1,327 @@
+"""Text harvest — the one-pass "what text is IN this blob" dispatcher
+for document-class payloads, the counterpart of media triage
+(multimodal/triage.py) for the text side of a crawl.
+
+A crawl's binary column mixes PDFs, HTML pages, WARC captures,
+archives, subtitle sidecars, and plain text. harvest_text classifies
+each payload and routes it to the right validated extractor, emitting
+one (doc_class, format, title, text) row — the single entry point a
+curation pipeline runs to turn a heterogeneous blob column into a
+text column:
+
+  - %PDF magic        -> classic-PDF reader (multimodal/pdf.py)
+  - WARC/ or .warc.gz -> WARC walk; every HTTP-200 text/html response
+                         body routed through the HTML extractor, page
+                         texts joined by newlines (warc.py, htmltext.py)
+  - zip / tar / tar.gz-> archive walk with full data verification;
+                         subtitle members' transcripts extracted and
+                         joined, other members skipped (archive.py,
+                         subtitles.py)
+  - SRT / WebVTT      -> cue parser transcript (subtitles.py)
+  - markup            -> HTML -> text extraction (htmltext.py)
+  - plain UTF-8       -> the text itself (no '<' anywhere: nothing to
+                         strip; whitespace preserved verbatim)
+
+Dispatch order is magic-first (PDF/gzip/zip/tar/WARC are
+byte-unambiguous), then strict-grammar subtitles, then HTML/plain
+split on the presence of '<'. Corrupt or unrecognized payloads yield
+None — the extractors' reject-whole contracts propagate.
+
+Reference parity note: the reference (smartdatalake/danae) has no
+document ingestion; this is mandated LLM-pipeline extension surface
+(the capstone dispatcher over the r10 crawl-ingestion formats).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+__all__ = [
+    "harvest_text",
+    "synth_doc",
+    "text_harvest_frame",
+    "text_harvest_roundtrip",
+    "TEXT_HARVEST_ORACLE",
+]
+
+
+def harvest_text(payload: bytes) -> dict | None:
+    """Classify one payload and extract its training text:
+    {'doc_class', 'format', 'title', 'text'} or None."""
+    from danae_spark.multimodal.archive import iter_archive_members, parse_archive
+    from danae_spark.multimodal.htmltext import parse_html_text
+    from danae_spark.multimodal.pdf import parse_pdf
+    from danae_spark.multimodal.subtitles import parse_subtitles
+    from danae_spark.multimodal.warc import iter_warc_responses, parse_warc
+
+    p = bytes(payload) if payload is not None else b""
+    if not p:
+        return None
+
+    if p.startswith(b"%PDF-"):
+        r = parse_pdf(p)
+        if r is None:
+            return None
+        return {
+            "doc_class": "pdf",
+            "format": "pdf",
+            "title": r["title"],
+            "text": r["text"],
+        }
+
+    def _warc(fmt: str) -> dict | None:
+        pages = []
+        for _uri, status, ctype, body in iter_warc_responses(p):
+            if status == 200 and (ctype or "").startswith("text/html"):
+                ext = parse_html_text(body)
+                if ext is None:
+                    return None  # a 200 html body that cannot be walked
+                pages.append(ext["text"])
+        if not pages:
+            return None
+        return {
+            "doc_class": "warc",
+            "format": fmt,
+            "title": None,
+            "text": "\n".join(pages),
+        }
+
+    if p.startswith(b"WARC/"):
+        return _warc("warc") if parse_warc(p) is not None else None
+
+    def _archive(census: dict) -> dict | None:
+        texts = []
+        for _name, is_dir, data in iter_archive_members(p):
+            if is_dir:
+                continue
+            sub = parse_subtitles(data)
+            if sub is not None:
+                texts.append(sub["text"])
+        if not texts:
+            return None  # no text-bearing members
+        return {
+            "doc_class": "archive",
+            "format": census["format"],
+            "title": None,
+            "text": "\n".join(texts),
+        }
+
+    if p[:2] == b"\x1f\x8b":
+        # gzip: a .warc.gz (member-per-record) or a .tar.gz (single member)
+        if parse_warc(p) is not None:
+            return _warc("warc.gz")
+        census = parse_archive(p)
+        return _archive(census) if census is not None else None
+
+    if p[:4] in (b"PK\x03\x04", b"PK\x05\x06") or (
+        len(p) >= 512 and p[257:265] in (b"ustar\x0000", b"ustar  \x00")
+    ):
+        census = parse_archive(p)
+        return _archive(census) if census is not None else None
+
+    sub = parse_subtitles(p)
+    if sub is not None:
+        return {
+            "doc_class": "subtitle",
+            "format": sub["format"],
+            "title": None,
+            "text": sub["text"],
+        }
+
+    try:
+        raw = p.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    if "<" not in raw:
+        return {"doc_class": "text", "format": "txt", "title": None, "text": raw}
+    ext = parse_html_text(p)
+    if ext is None:
+        return None
+    return {
+        "doc_class": "html",
+        "format": "html",
+        "title": ext["title"],
+        "text": ext["text"],
+    }
+
+
+# ------------------------------------------------------------- synthesis
+
+
+def synth_doc(doc_id: int) -> bytes:
+    """Doc-deterministic MIXED document payload: doc_id % 6 selects
+    the class (html / pdf / subtitle / plain text / warc / zip-of-
+    subtitles); every payload is a byte-for-byte real file from the
+    per-format synthesizers."""
+    from danae_spark.multimodal.archive import _zip_build
+    from danae_spark.multimodal.htmltext import synth_html
+    from danae_spark.multimodal.pdf import synth_pdf
+    from danae_spark.multimodal.subtitles import synth_subtitles
+    from danae_spark.multimodal.warc import synth_warc
+
+    d = doc_id
+    cls = d % 6
+    if cls == 0:
+        return synth_html(d)
+    if cls == 1:
+        return synth_pdf(d)
+    if cls == 2:
+        return synth_subtitles(d)
+    if cls == 3:
+        words = " ".join(f"t{(d * 3 + j) % 50}" for j in range(5 + d % 5))
+        return words.encode("utf-8")
+    if cls == 4:
+        return synth_warc(d)
+    return _zip_build(
+        [(f"cues{k}.srt", synth_subtitles(d * 4 + k), k % 2 * 8) for k in range(2)]
+    )
+
+
+# ----------------------------------------------------- Spark entry points
+
+_COLS = ["doc_class", "format", "title", "text", "n_chars", "n_words"]
+
+_SCHEMA = (
+    "doc_id bigint, doc_class string, format string, title string, "
+    "text string, n_chars int, n_words int"
+)
+
+
+def text_harvest_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
+    """Text harvest over any (id, binary) frame: one row per payload
+    with its class and extracted text (plus char/word counts); nulls
+    for unrecognized or corrupt payloads."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                c = harvest_text(bytes(payload)) if payload is not None else None
+                row = {id_col: rid}
+                if c is None:
+                    row.update({k: None for k in _COLS})
+                else:
+                    row.update(c)
+                    row["n_chars"] = len(c["text"])
+                    row["n_words"] = len(c["text"].split())
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[id_col] + _COLS)
+
+    return df.mapInPandas(batches, schema=_SCHEMA.replace("doc_id", id_col, 1))
+
+
+def text_harvest_roundtrip(spark, sf_dir: str):
+    """Oracle-checkable harvest: per doc a real mixed-class document
+    payload is synthesized (doc_id % 6 cycles html/pdf/subtitle/plain/
+    warc/zip-of-subtitles), dispatched by the real magic-first router
+    to the real extractors, and the (doc_class, format, title, text)
+    row restated in SQL — each class's text arithmetic reuses the SAME
+    parameterized fragment as its unit entry (html_text_sql,
+    pdf_text_sql, subtitle_text_sql), so the dispatcher and the unit
+    entries can never drift apart."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                c = harvest_text(synth_doc(d))
+                row = {"doc_id": d}
+                if c is None:
+                    row.update({k: None for k in _COLS})
+                else:
+                    row.update(c)
+                    row["n_chars"] = len(c["text"])
+                    row["n_words"] = len(c["text"].split())
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["doc_id"] + _COLS)
+
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+def _harvest_oracle() -> str:
+    from danae_spark.multimodal.htmltext import html_text_sql
+    from danae_spark.multimodal.pdf import pdf_text_sql
+    from danae_spark.multimodal.subtitles import subtitle_text_sql
+
+    html_unit = html_text_sql(
+        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 6 = 0"
+    )
+    pdf_unit = pdf_text_sql(
+        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 6 = 1"
+    )
+    sub_unit = subtitle_text_sql(
+        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 6 = 2"
+    )
+    # WARC pages: e = doc_id*4 + p for the HTTP-200 pages (same
+    # parameterization as the crawl_html_extract oracle)
+    warc_pages = html_text_sql("""
+SELECT d.doc_id, d.doc_id * 4 + p.p AS e
+FROM documents d, generate_series(0, 2) p(p)
+WHERE d.doc_id % 6 = 4 AND p.p < 1 + d.doc_id % 3
+  AND (d.doc_id + p.p) % 5 <> 4
+""")
+    # zip members: subtitle transcripts at e = doc_id*4 + k, k in (0, 1)
+    zip_subs = subtitle_text_sql("""
+SELECT d.doc_id, d.doc_id * 4 + k.k AS e
+FROM documents d, generate_series(0, 1) k(k)
+WHERE d.doc_id % 6 = 5
+""")
+    return f"""
+WITH html_u AS ({html_unit}),
+pdf_u AS ({pdf_unit}),
+sub_u AS ({sub_unit}),
+warc_p AS ({warc_pages}),
+warc_u AS (
+  SELECT doc_id, string_agg(text, chr(10) ORDER BY e) AS text
+  FROM warc_p GROUP BY doc_id
+),
+zip_p AS ({zip_subs}),
+zip_u AS (
+  SELECT doc_id, string_agg(text, chr(10) ORDER BY e) AS text
+  FROM zip_p GROUP BY doc_id
+),
+plain_u AS (
+  SELECT d.doc_id, string_agg('t' || CAST((d.doc_id * 3 + j.j) % 50 AS VARCHAR),
+                              ' ' ORDER BY j.j) AS text
+  FROM documents d, generate_series(0, 9) j(j)
+  WHERE d.doc_id % 6 = 3 AND j.j < 5 + d.doc_id % 5
+  GROUP BY d.doc_id
+),
+unified AS (
+  SELECT doc_id, 'html' AS doc_class, 'html' AS format, title, text
+  FROM html_u
+  UNION ALL
+  SELECT doc_id, 'pdf', 'pdf', title, text FROM pdf_u
+  UNION ALL
+  SELECT doc_id, 'subtitle', format, NULL, text FROM sub_u
+  UNION ALL
+  SELECT doc_id, 'text', 'txt', NULL, text FROM plain_u
+  UNION ALL
+  SELECT doc_id, 'warc', 'warc', NULL, text FROM warc_u
+  UNION ALL
+  SELECT doc_id, 'archive', 'zip', NULL, text FROM zip_u
+)
+SELECT doc_id, doc_class, format, title, text,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(length(text)
+            - length(replace(replace(text, chr(10), ' '), ' ', ''))
+            + 1 AS INT) AS n_words
+FROM unified
+ORDER BY doc_id
+"""
+
+
+TEXT_HARVEST_ORACLE = _harvest_oracle()

@@ -705,42 +705,54 @@ def pdf_text_roundtrip(spark, sf_dir: str):
     )
 
 
-PDF_TEXT_ORACLE = """
-WITH g AS (
-  SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS n_pages FROM documents
+def pdf_text_sql(pages_cte: str) -> str:
+    """The extraction arithmetic as SQL over a `pages(doc_id, e)` CTE
+    (e = the synth parameter), shared between PDF_TEXT_ORACLE
+    (e = doc_id) and the text-harvest oracle, so the dispatcher entry
+    certifies the SAME restated rules."""
+    return f"""
+WITH pdf_pages AS ({pages_cte}),
+pg AS (
+  SELECT doc_id, e, CAST(1 + e % 3 AS INT) AS n_pages FROM pdf_pages
 ),
-w AS (
-  SELECT g.doc_id, p.p, l.l, j.j,
-         'p' || CAST((g.doc_id * 7 + p.p * 5 + l.l * 3 + j.j * 2) % 100
+pw AS (
+  SELECT g.doc_id, g.e, p.p, l.l, j.j,
+         'p' || CAST((g.e * 7 + p.p * 5 + l.l * 3 + j.j * 2) % 100
                      AS VARCHAR) AS word
-  FROM g, generate_series(0, 2) p(p), generate_series(0, 2) l(l),
+  FROM pg g, generate_series(0, 2) p(p), generate_series(0, 2) l(l),
        generate_series(0, 3) j(j)
   WHERE p.p < g.n_pages
-    AND l.l < 2 + (g.doc_id + p.p) % 2
-    AND j.j < 2 + (g.doc_id + p.p + l.l) % 3
+    AND l.l < 2 + (g.e + p.p) % 2
+    AND j.j < 2 + (g.e + p.p + l.l) % 3
 ),
-line_text AS (
-  SELECT doc_id, p, l,
+pline AS (
+  SELECT doc_id, e, p, l,
          string_agg(word, ' ' ORDER BY j)
            || CASE WHEN p = 0 AND l = 0
-                   THEN CASE WHEN doc_id % 2 = 0 THEN ' (x)' ELSE ' A' END
+                   THEN CASE WHEN e % 2 = 0 THEN ' (x)' ELSE ' A' END
                    ELSE '' END AS line
-  FROM w GROUP BY doc_id, p, l
+  FROM pw GROUP BY doc_id, e, p, l
 ),
-doc_text AS (
-  SELECT doc_id, string_agg(line, chr(10) ORDER BY p, l) AS text
-  FROM line_text GROUP BY doc_id
+pdoc AS (
+  SELECT doc_id, e, string_agg(line, chr(10) ORDER BY p, l) AS text
+  FROM pline GROUP BY doc_id, e
 )
-SELECT g.doc_id, g.n_pages,
+SELECT g.doc_id, g.e, g.n_pages,
        CAST(4 + 2 * g.n_pages
             + CASE WHEN g.n_pages = 3 THEN 1 ELSE 0 END AS INT) AS n_objects,
-       'Doc ' || CAST(g.doc_id AS VARCHAR) AS title,
-       'author a' || CAST(g.doc_id % 5 AS VARCHAR) AS author,
-       t.text,
-       CAST(length(t.text) AS INT) AS n_chars,
-       CAST(length(t.text)
-            - length(replace(replace(t.text, chr(10), ' '), ' ', ''))
+       'Doc ' || CAST(g.e AS VARCHAR) AS title,
+       'author a' || CAST(g.e % 5 AS VARCHAR) AS author,
+       t.text
+FROM pg g JOIN pdoc t ON g.doc_id = t.doc_id AND g.e = t.e
+"""
+
+
+PDF_TEXT_ORACLE = f"""
+WITH x AS ({pdf_text_sql("SELECT doc_id, doc_id AS e FROM documents")})
+SELECT doc_id, n_pages, n_objects, title, author, text,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(length(text)
+            - length(replace(replace(text, chr(10), ' '), ' ', ''))
             + 1 AS INT) AS n_words
-FROM g JOIN doc_text t USING (doc_id)
-ORDER BY g.doc_id
+FROM x ORDER BY doc_id
 """

@@ -283,42 +283,55 @@ def subtitle_extract_roundtrip(spark, sf_dir: str):
     )
 
 
-SUBTITLE_ORACLE = """
-WITH g AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS format,
-         CAST(3 + doc_id % 6 AS INT) AS n_cues
-  FROM documents
+def subtitle_text_sql(pages_cte: str) -> str:
+    """The cue arithmetic as SQL over a `pages(doc_id, e)` CTE (e =
+    the synth parameter), shared between SUBTITLE_ORACLE (e = doc_id)
+    and the text-harvest oracle, so the dispatcher entry certifies the
+    SAME restated rules."""
+    return f"""
+WITH sub_pages AS ({pages_cte}),
+sg AS (
+  SELECT doc_id, e,
+         CASE WHEN e % 2 = 0 THEN 'srt' ELSE 'vtt' END AS format,
+         CAST(3 + e % 6 AS INT) AS n_cues
+  FROM sub_pages
 ),
-w AS (
-  SELECT g.doc_id, c.i AS cue, j.j AS wi,
-         'w' || CAST((g.doc_id * 7 + c.i * 5 + j.j * 3) % 100 AS VARCHAR) AS word
-  FROM g, generate_series(0, 8) c(i), generate_series(0, 4) j(j)
-  WHERE c.i < g.n_cues AND j.j < 2 + (g.doc_id + c.i) % 3
+sw AS (
+  SELECT g.doc_id, g.e, c.i AS cue, j.j AS wi,
+         'w' || CAST((g.e * 7 + c.i * 5 + j.j * 3) % 100 AS VARCHAR) AS word
+  FROM sg g, generate_series(0, 8) c(i), generate_series(0, 4) j(j)
+  WHERE c.i < g.n_cues AND j.j < 2 + (g.e + c.i) % 3
 ),
-cue_text AS (
-  SELECT doc_id, cue, string_agg(word, ' ' ORDER BY wi) AS line
-  FROM w GROUP BY doc_id, cue
+scue AS (
+  SELECT doc_id, e, cue, string_agg(word, ' ' ORDER BY wi) AS line
+  FROM sw GROUP BY doc_id, e, cue
 ),
-doc_text AS (
-  SELECT doc_id, string_agg(line, chr(10) ORDER BY cue) AS text
-  FROM cue_text GROUP BY doc_id
+sdoc AS (
+  SELECT doc_id, e, string_agg(line, chr(10) ORDER BY cue) AS text
+  FROM scue GROUP BY doc_id, e
 ),
-durs AS (
-  SELECT g.doc_id,
-         CAST(sum(500 + (g.doc_id + c.i) % 5 * 250) AS BIGINT) AS total_cue_ms,
-         CAST(max(c.i * 2000 + (g.doc_id % 7) * 100
-                  + 500 + (g.doc_id + c.i) % 5 * 250)
-              - min(c.i * 2000 + (g.doc_id % 7) * 100) AS BIGINT) AS span_ms
-  FROM g, generate_series(0, 8) c(i)
+sdur AS (
+  SELECT g.doc_id, g.e,
+         CAST(sum(500 + (g.e + c.i) % 5 * 250) AS BIGINT) AS total_cue_ms,
+         CAST(max(c.i * 2000 + (g.e % 7) * 100
+                  + 500 + (g.e + c.i) % 5 * 250)
+              - min(c.i * 2000 + (g.e % 7) * 100) AS BIGINT) AS span_ms
+  FROM sg g, generate_series(0, 8) c(i)
   WHERE c.i < g.n_cues
-  GROUP BY g.doc_id
+  GROUP BY g.doc_id, g.e
 )
-SELECT g.doc_id, g.format, g.n_cues, d.total_cue_ms, d.span_ms,
-       t.text,
-       CAST(length(t.text) AS INT) AS n_chars,
-       CAST(length(t.text) - length(replace(replace(t.text, chr(10), ''),
+SELECT g.doc_id, g.e, g.format, g.n_cues, d.total_cue_ms, d.span_ms, t.text
+FROM sg g
+JOIN sdur d ON g.doc_id = d.doc_id AND g.e = d.e
+JOIN sdoc t ON g.doc_id = t.doc_id AND g.e = t.e
+"""
+
+
+SUBTITLE_ORACLE = f"""
+WITH x AS ({subtitle_text_sql("SELECT doc_id, doc_id AS e FROM documents")})
+SELECT doc_id, format, n_cues, total_cue_ms, span_ms, text,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(length(text) - length(replace(replace(text, chr(10), ''),
             ' ', '')) + 1 AS INT) AS n_words
-FROM g JOIN durs d USING (doc_id) JOIN doc_text t USING (doc_id)
-ORDER BY g.doc_id
+FROM x ORDER BY doc_id
 """

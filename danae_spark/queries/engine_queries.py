@@ -704,3 +704,21 @@ def archive_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     triage, and the census — format, member counts, per-media-class
     counts — restated as doc_id arithmetic (multimodal/archive.py)."""
     return _archive.archive_census_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import harvest as _harvest  # noqa: E402
+
+
+@register("text_harvest", oracle=_harvest.TEXT_HARVEST_ORACLE)
+def text_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text harvest (r10): the document-class capstone dispatcher —
+    the media_triage counterpart for the text side of a crawl. Per doc
+    a real mixed-class payload (doc_id % 6 cycles html / pdf / srt /
+    plain / warc / zip-of-subtitles) is synthesized byte-for-byte,
+    routed magic-first to the right validated extractor, and the
+    (doc_class, format, title, text) row restated in SQL — each
+    class's text arithmetic reuses the SAME parameterized fragment as
+    its unit entry (html_text_sql / pdf_text_sql / subtitle_text_sql),
+    so this entry certifies the DISPATCH composition on top of them
+    (multimodal/harvest.py)."""
+    return _harvest.text_harvest_roundtrip(spark, sf_dir)

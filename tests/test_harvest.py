@@ -1,0 +1,108 @@
+"""Text harvest (multimodal/harvest.py): the document-class dispatcher
+— routing matrix, corrupt payloads, agreement with the unit
+extractors, registered oracle."""
+
+import os
+import zlib
+
+import duckdb
+
+from danae_spark.multimodal.harvest import (
+    TEXT_HARVEST_ORACLE,
+    harvest_text,
+    synth_doc,
+    text_harvest_frame,
+)
+
+
+def test_dispatch_matrix():
+    want_cls = ["html", "pdf", "subtitle", "text", "warc", "archive"]
+    for d in range(60):
+        c = harvest_text(synth_doc(d))
+        assert c is not None, d
+        assert c["doc_class"] == want_cls[d % 6], d
+        assert c["text"], d
+
+
+def test_agrees_with_unit_extractors():
+    from danae_spark.multimodal.htmltext import expected_html_row
+    from danae_spark.multimodal.pdf import expected_pdf_row
+    from danae_spark.multimodal.subtitles import parse_subtitles, synth_subtitles
+
+    # html (cls 0)
+    assert harvest_text(synth_doc(6))["text"] == expected_html_row(6)["text"]
+    assert harvest_text(synth_doc(6))["title"] == expected_html_row(6)["title"]
+    # pdf (cls 1)
+    assert harvest_text(synth_doc(7))["text"] == expected_pdf_row(7)["text"]
+    # subtitle (cls 2)
+    assert harvest_text(synth_doc(8))["text"] == parse_subtitles(synth_subtitles(8))["text"]
+    # zip of subtitles (cls 5): both members' transcripts joined
+    want = "\n".join(
+        parse_subtitles(synth_subtitles(11 * 4 + k))["text"] for k in range(2)
+    )
+    assert harvest_text(synth_doc(11))["text"] == want
+
+
+def test_warc_gz_routing():
+    """A .warc.gz (gzip member-per-record) must harvest as warc, not
+    be mistaken for a tar.gz."""
+    from danae_spark.multimodal.warc import synth_warc
+
+    gz = synth_warc(5)  # odd doc -> gzip member-per-record
+    assert gz[:2] == b"\x1f\x8b"
+    c = harvest_text(gz)
+    assert c is not None and c["doc_class"] == "warc" and c["format"] == "warc.gz"
+    # and a real tar.gz still harvests as archive when it has subtitles
+    from danae_spark.multimodal.archive import _tar_build
+    from danae_spark.multimodal.subtitles import synth_subtitles
+
+    t = _tar_build([("a.srt", synth_subtitles(4))])
+    comp = zlib.compressobj(6, zlib.DEFLATED, 31)
+    c2 = harvest_text(comp.compress(t) + comp.flush())
+    assert c2 is not None and c2["doc_class"] == "archive" and c2["format"] == "tar.gz"
+
+
+def test_plain_vs_html_split():
+    assert harvest_text(b"just words, no markup")["doc_class"] == "text"
+    assert harvest_text(b"<p>markup</p>")["doc_class"] == "html"
+    # plain text preserved verbatim (no whitespace collapse)
+    c = harvest_text(b"line one\n  line two")
+    assert c["doc_class"] == "text" and c["text"] == "line one\n  line two"
+
+
+def test_corrupt_and_empty():
+    assert harvest_text(b"") is None
+    assert harvest_text(b"\xff\xfe\x00") is None  # not UTF-8, no magic
+    assert harvest_text(b"%PDF-1.4 truncated") is None
+    assert harvest_text(b"PK\x03\x04 not a zip") is None
+    # archive with no text-bearing members harvests as None
+    from danae_spark.multimodal.archive import _zip_build
+
+    assert harvest_text(_zip_build([("a.bin", b"\x00\x01\x02", 0)])) is None
+
+
+def test_frame_nulls_and_id_col(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(synth_doc(1))), (2, bytearray(b"\xff\xfe")), (3, None)],
+        "media_id long, blob binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in text_harvest_frame(df, id_col="media_id", payload_col="blob").collect()
+    }
+    assert out[1]["doc_class"] == "pdf"
+    assert out[2]["doc_class"] is None and out[3]["doc_class"] is None
+
+
+def test_registered_oracle_matches_duckdb(spark, sf_dir):
+    from danae_spark.catalog import table_path
+    from danae_spark.queries import load_all
+
+    fn = load_all()["text_harvest"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(TEXT_HARVEST_ORACLE).fetchall()]
+    assert len(got) == len(want) and got == want

@@ -201,3 +201,35 @@ def test_r10_pdf_and_archive_never_crash():
         if si > len(_SEEDS):
             for parse in _PARSERS:
                 assert parse(seed) is None, si
+
+
+def test_r10_harvest_never_crashes():
+    """harvest_text joins the fuzz gate: value or None on arbitrary
+    bytes, truncations, and byte-flips of EVERY seed — media and
+    document classes alike."""
+    from danae_spark.multimodal.harvest import harvest_text, synth_doc
+
+    seeds = _SEEDS + [synth_doc(k) for k in range(6, 12)]
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.data())
+    def fuzz(data):
+        mode = data.draw(st.integers(0, 2))
+        if mode == 0:
+            payload = data.draw(st.binary(min_size=0, max_size=400))
+        else:
+            base = bytearray(seeds[data.draw(st.integers(0, len(seeds) - 1))])
+            if mode == 1:
+                payload = bytes(base[: data.draw(st.integers(0, len(base)))])
+            else:
+                for _ in range(data.draw(st.integers(1, 10))):
+                    ix = data.draw(st.integers(0, len(base) - 1))
+                    base[ix] = data.draw(st.integers(0, 255))
+                payload = bytes(base)
+        harvest_text(payload)
+
+    fuzz()
+    # every document-class seed harvests; the media seeds either
+    # harvest as their text-bearing class (srt) or not at all
+    for k in range(6, 12):
+        assert harvest_text(synth_doc(k)) is not None, k

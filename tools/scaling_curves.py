@@ -91,6 +91,7 @@ OPERATORS = {
     # with triage-routed members — one-pass per-row parse pipelines
     "pdf_text_extract": "documents",
     "archive_census": "documents",
+    "text_harvest": "documents",
 }
 
 
