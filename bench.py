@@ -122,6 +122,8 @@ HEADLINE = [
     "pdf_text_extract",
     "archive_census",
     "text_harvest",
+    "robots_check",
+    "url_canonicalize",
 ]
 
 

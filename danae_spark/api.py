@@ -660,3 +660,22 @@ class DataLakeEngine:
         from danae_spark.multimodal.harvest import text_harvest_frame
 
         return text_harvest_frame(df, **kw)
+
+    def robots_check(self, df: DataFrame, **kw) -> DataFrame:
+        """RFC 9309 robots.txt evaluation over any (id, robots-bytes,
+        probe-path) frame: group selection (longest agent prefix,
+        '*' fallback), longest-match rules with allow-beats-disallow
+        ties, crawl-delay; unreadable robots files yield null rows so
+        the pipeline can fail CLOSED (operators/robots.py)."""
+        from danae_spark.operators.robots import robots_check_frame
+
+        return robots_check_frame(df, **kw)
+
+    def url_canonicalize(self, df: DataFrame, **kw) -> DataFrame:
+        """RFC 3986 URL canonicalization over any (id, url) frame
+        (case/ports/fragment/dot-segments/percent-escapes + sorted
+        query); group by `url_canon` to dedup a crawl frontier
+        (operators/urlops.py canonicalize_url)."""
+        from danae_spark.operators.urlops import url_canonicalize_frame
+
+        return url_canonicalize_frame(df, **kw)

@@ -178,3 +178,206 @@ def url_domain_cap_oracle(cap: int = DOMAIN_CAP) -> str:
                 ) <= {cap} AS INT) AS kept
     FROM p ORDER BY doc_id
     """
+
+
+# --------------------------------------------------- URL canonicalization
+
+# RFC 3986 §6 normalization + the crawl-dedup conventions (documented
+# where they go beyond the RFC): lowercase scheme/host, strip default
+# ports (http:80 / https:443), remove the fragment, resolve ./ and ../
+# path segments (§5.2.4), percent-decode unreserved characters and
+# uppercase the remaining escape hex (§6.2.2), and SORT query
+# parameters (beyond the RFC: the standard crawl-frontier choice so
+# ?a=1&b=2 and ?b=2&a=1 dedup to one fetch).
+
+import re as _re  # noqa: E402
+
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+
+
+def _norm_escapes(s: str) -> str | None:
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "%":
+            hex2 = s[i + 1 : i + 3]
+            if len(hex2) != 2 or not all(h in "0123456789abcdefABCDEF" for h in hex2):
+                return None  # malformed escape
+            ch = chr(int(hex2, 16))
+            if ch in _UNRESERVED:
+                out.append(ch)
+            else:
+                out.append("%" + hex2.upper())
+            i += 3
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _resolve_dots(path: str) -> str:
+    segs = path.split("/")
+    out: list[str] = []
+    for seg in segs[1:]:  # leading '' from the absolute path
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out:
+                out.pop()
+            continue
+        out.append(seg)
+    return "/" + "/".join(out)
+
+
+def canonicalize_url(url: str) -> str | None:
+    """Canonicalize one absolute http(s) URL; None for anything the
+    grammar can't read (relative refs, other schemes, malformed
+    escapes, empty host) — a frontier must not enqueue URLs it cannot
+    normalize deterministically."""
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$", url)
+    if not m:
+        return None
+    scheme, netloc, path, query, _frag = m.groups()
+    scheme = scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    host, _, port = netloc.partition(":")
+    host = host.lower()
+    if not host:
+        return None
+    if port:
+        if not port.isdigit():
+            return None
+        if (scheme, int(port)) in (("http", 80), ("https", 443)):
+            port = ""
+    path = _norm_escapes(path if path else "/")
+    if path is None:
+        return None
+    path = _resolve_dots(path)
+    q = ""
+    if query and query != "?":
+        parts = []
+        for p in query[1:].split("&"):
+            p = _norm_escapes(p)
+            if p is None:
+                return None
+            parts.append(p)
+        q = "?" + "&".join(sorted(parts))
+    return f"{scheme}://{host}{(':' + port) if port else ''}{path}{q}"
+
+
+def synth_messy_url(d: int) -> str:
+    """Doc-deterministic messy URL exercising every normalization
+    rule: case mess, default vs explicit ports, dot segments, an
+    escaped-unreserved octet, unsorted query params, a fragment."""
+    scheme = "HTTP" if d % 2 == 1 else "https"
+    host = f"WwW.Site{d % 7}.ExAmple.COM"
+    if d % 3 == 0:
+        port = ":80" if d % 2 == 1 else ":443"
+    elif d % 3 == 1:
+        port = ":8080"
+    else:
+        port = ""
+    path = f"/a{d % 4}/b/../c/./p%7e{d % 5}"
+    query = f"?b=2&a={d % 5}" if d % 2 == 1 else ""
+    frag = "#frag" if d % 5 == 2 else ""
+    return f"{scheme}://{host}{port}{path}{query}{frag}"
+
+
+def url_canonicalize_frame(df, id_col: str = "doc_id", url_col: str = "url"):
+    """Canonicalization over any (id, url) frame; null canon for URLs
+    outside the grammar. Group by `url_canon` downstream to dedup a
+    frontier."""
+    import pandas as _pd
+
+    def batches(it):
+        for pdf in it:
+            canon = [canonicalize_url(str(u)) if u is not None else None for u in pdf[url_col]]
+            hosts = [
+                c.split("://", 1)[1].split("/", 1)[0].split(":")[0] if c else None
+                for c in canon
+            ]
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "url_raw": pdf[url_col],
+                    "url_canon": canon,
+                    "host": hosts,
+                }
+            )
+
+    schema = f"{id_col} bigint, url_raw string, url_canon string, host string"
+    return df.mapInPandas(batches, schema=schema)
+
+
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable canonicalization: per doc a messy URL is
+    synthesized (case mess, default ports, ../ and ./ segments, a
+    %7E-escaped unreserved octet, unsorted query, fragment), pushed
+    through the real RFC 3986 normalizer, and the CANONICAL STRING
+    restated in SQL."""
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    import pandas as _pd
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                raw = synth_messy_url(d)
+                canon = canonicalize_url(raw)
+                host = canon.split("://", 1)[1].split("/", 1)[0].split(":")[0]
+                rows.append(
+                    {"doc_id": d, "url_raw": raw, "url_canon": canon, "host": host}
+                )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "url_raw", "url_canon", "host"]
+            )
+
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(
+            batches, schema="doc_id bigint, url_raw string, url_canon string, host string"
+        )
+        .orderBy("doc_id")
+    )
+
+
+URL_CANONICALIZE_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1 THEN 'HTTP' ELSE 'https' END AS scheme_raw,
+         CASE WHEN doc_id % 2 = 1 THEN 'http' ELSE 'https' END AS scheme,
+         'WwW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.ExAmple.COM' AS host_raw,
+         'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+         CASE WHEN doc_id % 3 = 0 THEN
+                CASE WHEN doc_id % 2 = 1 THEN ':80' ELSE ':443' END
+              WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END AS port_raw,
+         CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END AS port,
+         '/a' || CAST(doc_id % 4 AS VARCHAR) || '/b/../c/./p%7e'
+           || CAST(doc_id % 5 AS VARCHAR) AS path_raw,
+         '/a' || CAST(doc_id % 4 AS VARCHAR) || '/c/p~'
+           || CAST(doc_id % 5 AS VARCHAR) AS path,
+         CASE WHEN doc_id % 2 = 1
+              THEN '?b=2&a=' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END AS q_raw,
+         CASE WHEN doc_id % 2 = 1
+              THEN '?a=' || CAST(doc_id % 5 AS VARCHAR) || '&b=2' ELSE '' END AS q,
+         CASE WHEN doc_id % 5 = 2 THEN '#frag' ELSE '' END AS frag
+  FROM documents
+)
+SELECT doc_id,
+       scheme_raw || '://' || host_raw || port_raw || path_raw || q_raw || frag
+         AS url_raw,
+       scheme || '://' || host || port || path || q AS url_canon,
+       host
+FROM g
+ORDER BY doc_id
+"""

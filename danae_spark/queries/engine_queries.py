@@ -722,3 +722,33 @@ def text_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
     so this entry certifies the DISPATCH composition on top of them
     (multimodal/harvest.py)."""
     return _harvest.text_harvest_roundtrip(spark, sf_dir)
+
+
+from danae_spark.operators import robots as _robots  # noqa: E402
+from danae_spark.operators import urlops as _urlops  # noqa: E402
+
+
+@register("robots_check", oracle=_robots.ROBOTS_CHECK_ORACLE)
+def robots_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance gate (r10): per doc a real robots file
+    (wildcard-$ rules, an Allow carve-out longer than its Disallow,
+    comments, a specific-agent group) and a probe path are
+    synthesized, parsed by the real RFC 9309 grammar (rule-before-
+    group rejects; unknown fields skipped) and evaluated with
+    longest-match + allow-beats-disallow-on-ties for BOTH the generic
+    agent and 'strictbot'; every field restated in SQL
+    (operators/robots.py)."""
+    return _robots.robots_check_roundtrip(spark, sf_dir)
+
+
+@register("url_canonicalize", oracle=_urlops.URL_CANONICALIZE_ORACLE)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (r10): RFC 3986 §6 normalization (case,
+    default ports, fragment, ./.. dot-segment resolution, unreserved
+    percent-decode with escape-hex uppercasing) plus the sorted-query
+    crawl-frontier convention; per doc a messy URL exercising every
+    rule is synthesized, normalized by the real canonicalizer, and
+    the CANONICAL STRING restated in SQL — group by url_canon
+    downstream to dedup a frontier (operators/urlops.py
+    canonicalize_url)."""
+    return _urlops.url_canonicalize(spark, sf_dir)

@@ -1,0 +1,150 @@
+"""Crawl frontier/compliance operators: robots.txt (operators/robots.py)
+and URL canonicalization (operators/urlops.py)."""
+
+import os
+
+import duckdb
+
+from danae_spark.operators.robots import (
+    ROBOTS_CHECK_ORACLE,
+    expected_allowed,
+    parse_robots,
+    probe_path,
+    robots_allowed,
+    robots_check_frame,
+    synth_robots,
+)
+from danae_spark.operators.urlops import (
+    URL_CANONICALIZE_ORACLE,
+    canonicalize_url,
+    synth_messy_url,
+    url_canonicalize_frame,
+)
+
+
+def test_robots_roundtrip_grid():
+    for d in range(90):
+        r = parse_robots(synth_robots(d))
+        assert r is not None, d
+        allowed, delay = robots_allowed(r, "danaebot", probe_path(d))
+        assert allowed == expected_allowed(d), d
+        assert delay == 1 + d % 5, d
+        # strictbot's own group (Disallow: /) always wins for it
+        assert robots_allowed(r, "strictbot", probe_path(d))[0] is False, d
+
+
+def test_robots_semantics():
+    # longest-match wins; allow beats disallow on a length tie
+    r = parse_robots(b"User-agent: *\nDisallow: /a/\nAllow: /a/b/\n")
+    assert robots_allowed(r, "x", "/a/b/c")[0] is True
+    assert robots_allowed(r, "x", "/a/z")[0] is False
+    r = parse_robots(b"User-agent: *\nDisallow: /ab\nAllow: /a*\n")
+    assert robots_allowed(r, "x", "/ab")[0] is True  # tie (3 vs 3): allow
+    # wildcard and $ anchor
+    r = parse_robots(b"User-agent: *\nDisallow: /*.pdf$\n")
+    assert robots_allowed(r, "x", "/dir/f.pdf")[0] is False
+    assert robots_allowed(r, "x", "/dir/f.pdfx")[0] is True
+    # empty Disallow matches nothing
+    r = parse_robots(b"User-agent: *\nDisallow:\n")
+    assert robots_allowed(r, "x", "/any")[0] is True
+    # specific agent group beats '*'; longest agent prefix wins
+    r = parse_robots(
+        b"User-agent: danae\nDisallow: /\nUser-agent: danaebot-img\n"
+        b"Allow: /\nUser-agent: *\nAllow: /\n"
+    )
+    assert robots_allowed(r, "danaebot", "/x")[0] is False
+    assert robots_allowed(r, "danaebot-img/1.0", "/x")[0] is True
+    # consecutive User-agent lines share one rule block
+    r = parse_robots(b"User-agent: a\nUser-agent: b\nDisallow: /\n")
+    assert robots_allowed(r, "b", "/x")[0] is False
+    # no matching group -> allowed
+    r = parse_robots(b"User-agent: other\nDisallow: /\n")
+    assert robots_allowed(r, "danaebot", "/x")[0] is True
+
+
+def test_robots_rejections():
+    assert parse_robots(b"\xff\xfe") is None
+    assert parse_robots(b"Disallow: /x\nUser-agent: *\n") is None  # rule before group
+    assert parse_robots(b"no colon line\n") is None
+    # unknown fields and comments are fine
+    r = parse_robots(b"# c\nUnknown-Field: v\nUser-agent: *\nDisallow: /p # inline\n")
+    assert r is not None and robots_allowed(r, "x", "/p/q")[0] is False
+
+
+def test_canonicalize_rules():
+    assert canonicalize_url("HTTP://WWW.Ex.COM:80/a/../b") == "http://www.ex.com/b"
+    assert canonicalize_url("https://h:443/x") == "https://h/x"
+    assert canonicalize_url("https://h:8443/x") == "https://h:8443/x"
+    assert canonicalize_url("http://h/a/./b/../c#frag") == "http://h/a/c"
+    assert canonicalize_url("http://h/%7euser/%2Fq%3f") == "http://h/~user/%2Fq%3F"
+    assert canonicalize_url("http://h/?b=1&a=2") == "http://h/?a=2&b=1"
+    assert canonicalize_url("http://h") == "http://h/"
+    assert canonicalize_url("http://h/a/../../..") == "http://h/"
+    # rejects
+    assert canonicalize_url("ftp://h/x") is None
+    assert canonicalize_url("/relative/path") is None
+    assert canonicalize_url("http:///nohost") is None
+    assert canonicalize_url("http://h/%zz") is None
+    assert canonicalize_url("http://h:notaport/") is None
+
+
+def test_canonicalize_grid():
+    for d in range(90):
+        assert canonicalize_url(synth_messy_url(d)) is not None, d
+
+
+def test_frames(spark):
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(synth_robots(1)), probe_path(1)),
+            (2, bytearray(b"\xff"), "/x"),
+        ],
+        "rid long, robots binary, path string",
+    )
+    out = {
+        r["rid"]: r
+        for r in robots_check_frame(
+            df, id_col="rid", payload_col="robots", path_col="path"
+        ).collect()
+    }
+    assert out[1]["allowed"] == expected_allowed(1)
+    assert out[2]["allowed"] is None
+
+    df2 = spark.createDataFrame(
+        [(1, synth_messy_url(1)), (2, "not a url"), (3, None)],
+        "rid long, url string",
+    )
+    out2 = {
+        r["rid"]: r
+        for r in url_canonicalize_frame(df2, id_col="rid", url_col="url").collect()
+    }
+    assert out2[1]["url_canon"] == canonicalize_url(synth_messy_url(1))
+    assert out2[2]["url_canon"] is None and out2[3]["url_canon"] is None
+
+
+def _duck(sf_dir):
+    from danae_spark.catalog import table_path
+
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    return con
+
+
+def test_robots_oracle_matches_duckdb(spark, sf_dir):
+    from danae_spark.queries import load_all
+
+    fn = load_all()["robots_check"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(ROBOTS_CHECK_ORACLE).fetchall()]
+    assert len(got) == len(want) and got == want
+
+
+def test_canonicalize_oracle_matches_duckdb(spark, sf_dir):
+    from danae_spark.queries import load_all
+
+    fn = load_all()["url_canonicalize"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(URL_CANONICALIZE_ORACLE).fetchall()]
+    assert len(got) == len(want) and got == want

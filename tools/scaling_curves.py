@@ -92,6 +92,10 @@ OPERATORS = {
     "pdf_text_extract": "documents",
     "archive_census": "documents",
     "text_harvest": "documents",
+    # r10 crawl frontier/compliance: RFC 9309 robots evaluation and
+    # RFC 3986 URL canonicalization — row-wise, no shuffle
+    "robots_check": "documents",
+    "url_canonicalize": "documents",
 }
 
 
