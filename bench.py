@@ -124,6 +124,7 @@ HEADLINE = [
     "text_harvest",
     "robots_check",
     "url_canonicalize",
+    "html_meta_extract",
 ]
 
 

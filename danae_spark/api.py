@@ -679,3 +679,12 @@ class DataLakeEngine:
         from danae_spark.operators.urlops import url_canonicalize_frame
 
         return url_canonicalize_frame(df, **kw)
+
+    def html_meta(self, df: DataFrame, **kw) -> DataFrame:
+        """HTML metadata extraction over any (id, binary) frame:
+        title, lang, charset, rel=canonical (raw + RFC 3986
+        canonicalized), meta description, og:title; unwalkable pages
+        yield null rows (multimodal/htmltext.py parse_html_meta)."""
+        from danae_spark.multimodal.htmltext import html_meta_frame
+
+        return html_meta_frame(df, **kw)

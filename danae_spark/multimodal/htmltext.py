@@ -90,10 +90,11 @@ def _decode_entities(s: str) -> str:
     return _ENT_RE.sub(sub, s)
 
 
-def _scan_tag(text: str, pos: int) -> tuple[str, bool, bool, int] | None:
+def _scan_tag(text: str, pos: int) -> tuple[str, bool, bool, dict, int] | None:
     """Scan a tag starting at `pos` (which points at '<'). Returns
-    (name, is_close, self_closing, end_pos_after_gt) or None on a
-    malformed/unterminated tag."""
+    (name, is_close, self_closing, attrs, end_pos_after_gt) or None on
+    a malformed/unterminated tag. Attribute names lowercase; first
+    occurrence wins; quoted values may contain '>'."""
     i = pos + 1
     n = len(text)
     is_close = False
@@ -105,24 +106,56 @@ def _scan_tag(text: str, pos: int) -> tuple[str, bool, bool, int] | None:
         return None
     name = m.group(0).lower()
     i = m.end()
-    # attribute scan, quote-aware
-    in_quote = ""
+    attrs: dict[str, str] = {}
     self_closing = False
-    while i < n:
+    while True:
+        while i < n and text[i] in " \t\r\n":
+            i += 1
+        if i >= n:
+            return None  # EOF inside tag
         c = text[i]
-        if in_quote:
-            if c == in_quote:
-                in_quote = ""
-        elif c in "\"'":
-            in_quote = c
-        elif c == ">":
-            return name, is_close, self_closing, i + 1
-        elif c == "/" and not is_close:
+        if c == ">":
+            return name, is_close, self_closing, attrs, i + 1
+        if c == "/":
             self_closing = True
-        else:
-            self_closing = self_closing and c in " \t\r\n"
-        i += 1
-    return None  # EOF inside tag
+            i += 1
+            continue
+        if c in "\"'":  # anonymous quoted token: skip it whole
+            j = text.find(c, i + 1)
+            if j == -1:
+                return None
+            i = j + 1
+            self_closing = False
+            continue
+        start = i
+        while i < n and text[i] not in " \t\r\n=>/\"'":
+            i += 1
+        aname = text[start:i].lower()
+        if not aname:  # stray '=' or other delimiter: consume it
+            i += 1
+            self_closing = False
+            continue
+        while i < n and text[i] in " \t\r\n":
+            i += 1
+        val = ""
+        if i < n and text[i] == "=":
+            i += 1
+            while i < n and text[i] in " \t\r\n":
+                i += 1
+            if i < n and text[i] in "\"'":
+                q = text[i]
+                j = text.find(q, i + 1)
+                if j == -1:
+                    return None
+                val = text[i + 1 : j]
+                i = j + 1
+            else:
+                start = i
+                while i < n and text[i] not in " \t\r\n>":
+                    i += 1
+                val = text[start:i]
+        attrs.setdefault(aname, val)
+        self_closing = False
 
 
 def parse_html_text(payload: bytes) -> dict | None:
@@ -195,7 +228,7 @@ def parse_html_text(payload: bytes) -> dict | None:
         tag = _scan_tag(text, pos)
         if tag is None:
             return None  # malformed or EOF inside tag / stray '<'
-        name, is_close, self_closing, pos = tag
+        name, is_close, self_closing, _attrs, pos = tag
 
         if name in _RAWTEXT and not is_close:
             if self_closing:
@@ -301,6 +334,9 @@ def synth_html(doc_id: int) -> bytes:
         "<head>",
         f"  <title>Doc {d} t{d % 10}</title>",
         '  <meta charset="utf-8"/>',
+        f'  <link rel="canonical" href="{_messy_canonical(d)}">',
+        f'  <meta name="description" content="desc w{d % 9} &amp; more">',
+        f'  <meta property="og:title" content="Doc {d} t{d % 10}">',
         "  <style>body { color: #222; } /* < not a tag */</style>",
         '  <script type="text/javascript">',
         '    if (a < b) { x = "</div" + ">"; } // raw-text rules',
@@ -501,4 +537,221 @@ WITH x AS ({html_text_sql("SELECT doc_id, doc_id AS e FROM documents")})
 SELECT doc_id, title, text, n_chars, n_words, n_links, n_headings,
        n_paragraphs, n_list_items, link_density
 FROM x ORDER BY doc_id
+"""
+
+
+# -------------------------------------------------- metadata extraction
+
+
+def _messy_canonical(d: int) -> str:
+    from danae_spark.operators.urlops import synth_messy_url
+
+    return synth_messy_url(d)
+
+
+def parse_html_meta(payload: bytes) -> dict | None:
+    """Extract page metadata from the attribute layer the text
+    extractor ignores: title, html lang, meta charset, the
+    rel=canonical link (raw AND canonicalized via
+    urlops.canonicalize_url — the frontier-dedup integration),
+    meta description, og:title, and the meta-tag count. Entity
+    references inside attribute values decode. Same reject-whole
+    contract as parse_html_text."""
+    from danae_spark.operators.urlops import canonicalize_url
+
+    try:
+        text = payload.decode("utf-8")
+    except (UnicodeDecodeError, AttributeError):
+        return None
+    n = len(text)
+    pos = 0
+    title: str | None = None
+    in_title = False
+    out = {
+        "lang": None,
+        "charset": None,
+        "canonical_raw": None,
+        "canonical": None,
+        "description": None,
+        "og_title": None,
+        "n_meta": 0,
+    }
+    drop_stack: list[str] = []
+    while pos < n:
+        lt = text.find("<", pos)
+        if lt == -1:
+            break
+        if in_title:
+            title = (title or "") + text[pos:lt]
+        pos = lt
+        if text.startswith("<!--", pos):
+            end = text.find("-->", pos + 4)
+            if end == -1:
+                return None
+            pos = end + 3
+            continue
+        if text.startswith("<!", pos) or text.startswith("<?", pos):
+            end = text.find(">", pos + 2)
+            if end == -1:
+                return None
+            pos = end + 1
+            continue
+        tag = _scan_tag(text, pos)
+        if tag is None:
+            return None
+        name, is_close, self_closing, attrs, pos = tag
+        if name in _RAWTEXT and not is_close and not self_closing:
+            m = re.compile(rf"</{name}\s*>", re.IGNORECASE).search(text, pos)
+            if not m:
+                return None
+            pos = m.end()
+            continue
+        if name == "title":
+            if not is_close:
+                in_title = True
+                if title is None:
+                    title = ""
+            else:
+                in_title = False
+            continue
+        if name in _DROP:
+            if not is_close and not self_closing:
+                drop_stack.append(name)
+            elif is_close:
+                if not drop_stack or drop_stack[-1] != name:
+                    return None
+                drop_stack.pop()
+            continue
+        if is_close:
+            continue
+        if name == "html" and out["lang"] is None:
+            out["lang"] = attrs.get("lang")
+        elif name == "meta":
+            out["n_meta"] += 1
+            if "charset" in attrs and out["charset"] is None:
+                out["charset"] = attrs["charset"].lower()
+            nm = attrs.get("name", "").lower()
+            prop = attrs.get("property", "").lower()
+            content = _decode_entities(attrs.get("content", ""))
+            if nm == "description" and out["description"] is None:
+                out["description"] = content
+            elif prop == "og:title" and out["og_title"] is None:
+                out["og_title"] = content
+        elif name == "link":
+            rels = attrs.get("rel", "").lower().split()
+            if "canonical" in rels and out["canonical_raw"] is None:
+                href = _decode_entities(attrs.get("href", ""))
+                out["canonical_raw"] = href
+                out["canonical"] = canonicalize_url(href)
+    if drop_stack or in_title:
+        return None
+    out["title"] = " ".join(title.split()) if title is not None else ""
+    return out
+
+
+_META_COLS = [
+    "title",
+    "lang",
+    "charset",
+    "canonical_raw",
+    "canonical",
+    "description",
+    "og_title",
+    "n_meta",
+]
+
+_META_SCHEMA = (
+    "doc_id bigint, title string, lang string, charset string, "
+    "canonical_raw string, canonical string, description string, "
+    "og_title string, n_meta int"
+)
+
+
+def html_meta_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
+    """HTML metadata extraction over any (id, binary) frame; nulls for
+    pages that cannot be walked. `canonical` is the RFC 3986
+    canonicalized rel=canonical target — THE dedup key a frontier
+    prefers over the fetched URL."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                c = parse_html_meta(bytes(payload)) if payload is not None else None
+                row = {id_col: rid}
+                row.update({k: (c.get(k) if c else None) for k in _META_COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[id_col] + _META_COLS)
+
+    return df.mapInPandas(batches, schema=_META_SCHEMA.replace("doc_id", id_col, 1))
+
+
+def html_meta_roundtrip(spark, sf_dir: str):
+    """Oracle-checkable metadata extraction: the SAME synth_html pages
+    as html_text_extract (their heads carry a messy rel=canonical, an
+    entity-bearing description, og:title), walked by the attribute
+    scanner, with the canonical target normalized by the C69
+    canonicalizer — raw AND canonical restated in SQL."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                c = parse_html_meta(synth_html(d))
+                row = {"doc_id": d}
+                row.update({k: (c.get(k) if c else None) for k in _META_COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["doc_id"] + _META_COLS)
+
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=_META_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+# raw + canonical restate the same arithmetic as URL_CANONICALIZE_ORACLE
+HTML_META_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1 THEN 'HTTP' ELSE 'https' END AS scheme_raw,
+         CASE WHEN doc_id % 2 = 1 THEN 'http' ELSE 'https' END AS scheme,
+         'WwW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.ExAmple.COM' AS host_raw,
+         'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+         CASE WHEN doc_id % 3 = 0 THEN
+                CASE WHEN doc_id % 2 = 1 THEN ':80' ELSE ':443' END
+              WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END AS port_raw,
+         CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END AS port,
+         '/a' || CAST(doc_id % 4 AS VARCHAR) || '/b/../c/./p%7e'
+           || CAST(doc_id % 5 AS VARCHAR) AS path_raw,
+         '/a' || CAST(doc_id % 4 AS VARCHAR) || '/c/p~'
+           || CAST(doc_id % 5 AS VARCHAR) AS path,
+         CASE WHEN doc_id % 2 = 1
+              THEN '?b=2&a=' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END AS q_raw,
+         CASE WHEN doc_id % 2 = 1
+              THEN '?a=' || CAST(doc_id % 5 AS VARCHAR) || '&b=2' ELSE '' END AS q,
+         CASE WHEN doc_id % 5 = 2 THEN '#frag' ELSE '' END AS frag
+  FROM documents
+)
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' t'
+         || CAST(doc_id % 10 AS VARCHAR) AS title,
+       'en' AS lang,
+       'utf-8' AS charset,
+       scheme_raw || '://' || host_raw || port_raw || path_raw || q_raw || frag
+         AS canonical_raw,
+       scheme || '://' || host || port || path || q AS canonical,
+       'desc w' || CAST(doc_id % 9 AS VARCHAR) || ' & more' AS description,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' t'
+         || CAST(doc_id % 10 AS VARCHAR) AS og_title,
+       CAST(3 AS INT) AS n_meta
+FROM g
+ORDER BY doc_id
 """

@@ -752,3 +752,16 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream to dedup a frontier (operators/urlops.py
     canonicalize_url)."""
     return _urlops.url_canonicalize(spark, sf_dir)
+
+
+@register("html_meta_extract", oracle=_html.HTML_META_ORACLE)
+def html_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML metadata extraction (r10): the attribute layer the text
+    extractor ignores — title, html lang, meta charset, the
+    rel=canonical link target RAW and CANONICALIZED (composing C69's
+    RFC 3986 normalizer — rel=canonical is the dedup key a frontier
+    prefers over the fetched URL), entity-bearing meta description,
+    og:title, meta count — over the SAME synth_html pages as
+    html_text_extract, all restated in SQL
+    (multimodal/htmltext.py parse_html_meta)."""
+    return _html.html_meta_roundtrip(spark, sf_dir)

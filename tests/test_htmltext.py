@@ -127,3 +127,66 @@ def test_registered_oracle_matches_duckdb(spark, sf_dir):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
     want = [tuple(r) for r in con.execute(HTML_TEXT_ORACLE).fetchall()]
     assert len(got) == len(want) and got == want
+
+
+def test_meta_extraction_grid():
+    from danae_spark.multimodal.htmltext import parse_html_meta
+    from danae_spark.operators.urlops import canonicalize_url, synth_messy_url
+
+    for d in range(80):
+        c = parse_html_meta(synth_html(d))
+        assert c is not None, d
+        assert c["title"] == f"Doc {d} t{d % 10}" == c["og_title"], d
+        assert c["lang"] == "en" and c["charset"] == "utf-8", d
+        assert c["canonical_raw"] == synth_messy_url(d), d
+        assert c["canonical"] == canonicalize_url(synth_messy_url(d)), d
+        assert c["description"] == f"desc w{d % 9} & more", d
+        assert c["n_meta"] == 3, d
+
+
+def test_meta_attribute_forms():
+    from danae_spark.multimodal.htmltext import parse_html_meta
+
+    # unquoted values, single quotes, rel lists, uncanonicalizable href
+    page = (
+        b"<html LANG=en-GB><head><meta charset=UTF-8>"
+        b"<link rel='alternate canonical' href='ftp://x/y'>"
+        b"<meta name=DESCRIPTION content='d &amp; e'></head><p>b</p>"
+    )
+    c = parse_html_meta(page)
+    assert c["lang"] == "en-GB" and c["charset"] == "utf-8"
+    assert c["canonical_raw"] == "ftp://x/y" and c["canonical"] is None
+    assert c["description"] == "d & e"
+    # first canonical wins; duplicate attrs: first occurrence wins
+    page = (
+        b'<link rel="canonical" href="http://a/1" href="http://a/2">'
+        b'<link rel="canonical" href="http://a/3"><p>x</p>'
+    )
+    c = parse_html_meta(page)
+    assert c["canonical_raw"] == "http://a/1"
+    # same reject contract as the text extractor
+    assert parse_html_meta(b"<link rel='canonical' href='http://a/1") is None
+
+
+def test_meta_frame_and_oracle(spark, sf_dir):
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal.htmltext import HTML_META_ORACLE, html_meta_frame
+    from danae_spark.queries import load_all
+
+    df = spark.createDataFrame(
+        [(1, bytearray(synth_html(1))), (2, None)], "media_id long, blob binary"
+    )
+    out = {
+        r["media_id"]: r
+        for r in html_meta_frame(df, id_col="media_id", payload_col="blob").collect()
+    }
+    assert out[1]["title"] == "Doc 1 t1" and out[2]["title"] is None
+
+    fn = load_all()["html_meta_extract"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(HTML_META_ORACLE).fetchall()]
+    assert len(got) == len(want) and got == want

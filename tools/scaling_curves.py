@@ -96,6 +96,7 @@ OPERATORS = {
     # RFC 3986 URL canonicalization — row-wise, no shuffle
     "robots_check": "documents",
     "url_canonicalize": "documents",
+    "html_meta_extract": "documents",
 }
 
 
