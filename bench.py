@@ -125,6 +125,7 @@ HEADLINE = [
     "robots_check",
     "url_canonicalize",
     "html_meta_extract",
+    "sitemap_extract",
 ]
 
 

@@ -688,3 +688,12 @@ class DataLakeEngine:
         from danae_spark.multimodal.htmltext import html_meta_frame
 
         return html_meta_frame(df, **kw)
+
+    def sitemap_extract(self, df: DataFrame, **kw) -> DataFrame:
+        """Sitemap / sitemap-index extraction over any (id, binary)
+        frame: entry counts, lastmod/changefreq/priority validation,
+        every loc canonicalized (RFC 3986); files outside the protocol
+        subset yield null rows (operators/sitemap.py parse_sitemap)."""
+        from danae_spark.operators.sitemap import sitemap_extract_frame
+
+        return sitemap_extract_frame(df, **kw)

@@ -717,41 +717,27 @@ def html_meta_roundtrip(spark, sf_dir: str):
     )
 
 
-# raw + canonical restate the same arithmetic as URL_CANONICALIZE_ORACLE
-HTML_META_ORACLE = """
-WITH g AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 2 = 1 THEN 'HTTP' ELSE 'https' END AS scheme_raw,
-         CASE WHEN doc_id % 2 = 1 THEN 'http' ELSE 'https' END AS scheme,
-         'WwW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.ExAmple.COM' AS host_raw,
-         'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
-         CASE WHEN doc_id % 3 = 0 THEN
-                CASE WHEN doc_id % 2 = 1 THEN ':80' ELSE ':443' END
-              WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END AS port_raw,
-         CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END AS port,
-         '/a' || CAST(doc_id % 4 AS VARCHAR) || '/b/../c/./p%7e'
-           || CAST(doc_id % 5 AS VARCHAR) AS path_raw,
-         '/a' || CAST(doc_id % 4 AS VARCHAR) || '/c/p~'
-           || CAST(doc_id % 5 AS VARCHAR) AS path,
-         CASE WHEN doc_id % 2 = 1
-              THEN '?b=2&a=' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END AS q_raw,
-         CASE WHEN doc_id % 2 = 1
-              THEN '?a=' || CAST(doc_id % 5 AS VARCHAR) || '&b=2' ELSE '' END AS q,
-         CASE WHEN doc_id % 5 = 2 THEN '#frag' ELSE '' END AS frag
-  FROM documents
-)
+def _meta_oracle() -> str:
+    # raw + canonical built from the SAME fragment as the C69 oracle
+    # (urlops.messy_url_sql_exprs) so the two restatements cannot drift
+    from danae_spark.operators.urlops import messy_url_sql_exprs
+
+    u = messy_url_sql_exprs("doc_id")
+    return f"""
 SELECT doc_id,
        'Doc ' || CAST(doc_id AS VARCHAR) || ' t'
          || CAST(doc_id % 10 AS VARCHAR) AS title,
        'en' AS lang,
        'utf-8' AS charset,
-       scheme_raw || '://' || host_raw || port_raw || path_raw || q_raw || frag
-         AS canonical_raw,
-       scheme || '://' || host || port || path || q AS canonical,
+       {u["raw"]} AS canonical_raw,
+       {u["canon"]} AS canonical,
        'desc w' || CAST(doc_id % 9 AS VARCHAR) || ' & more' AS description,
        'Doc ' || CAST(doc_id AS VARCHAR) || ' t'
          || CAST(doc_id % 10 AS VARCHAR) AS og_title,
        CAST(3 AS INT) AS n_meta
-FROM g
+FROM documents
 ORDER BY doc_id
 """
+
+
+HTML_META_ORACLE = _meta_oracle()

@@ -351,33 +351,49 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-URL_CANONICALIZE_ORACLE = """
-WITH g AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 2 = 1 THEN 'HTTP' ELSE 'https' END AS scheme_raw,
-         CASE WHEN doc_id % 2 = 1 THEN 'http' ELSE 'https' END AS scheme,
-         'WwW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.ExAmple.COM' AS host_raw,
-         'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
-         CASE WHEN doc_id % 3 = 0 THEN
-                CASE WHEN doc_id % 2 = 1 THEN ':80' ELSE ':443' END
-              WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END AS port_raw,
-         CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END AS port,
-         '/a' || CAST(doc_id % 4 AS VARCHAR) || '/b/../c/./p%7e'
-           || CAST(doc_id % 5 AS VARCHAR) AS path_raw,
-         '/a' || CAST(doc_id % 4 AS VARCHAR) || '/c/p~'
-           || CAST(doc_id % 5 AS VARCHAR) AS path,
-         CASE WHEN doc_id % 2 = 1
-              THEN '?b=2&a=' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END AS q_raw,
-         CASE WHEN doc_id % 2 = 1
-              THEN '?a=' || CAST(doc_id % 5 AS VARCHAR) || '&b=2' ELSE '' END AS q,
-         CASE WHEN doc_id % 5 = 2 THEN '#frag' ELSE '' END AS frag
-  FROM documents
-)
+def messy_url_sql_exprs(e: str) -> dict[str, str]:
+    """The synth_messy_url arithmetic as SQL expressions over an
+    integer expression `e` — the single source the C69/C70/C71 oracles
+    all build from, so the raw/canonical restatements can never drift:
+    keys 'raw', 'canon', 'host'."""
+    scheme_raw = f"CASE WHEN ({e}) % 2 = 1 THEN 'HTTP' ELSE 'https' END"
+    scheme = f"CASE WHEN ({e}) % 2 = 1 THEN 'http' ELSE 'https' END"
+    host_raw = f"'WwW.Site' || CAST(({e}) % 7 AS VARCHAR) || '.ExAmple.COM'"
+    host = f"'www.site' || CAST(({e}) % 7 AS VARCHAR) || '.example.com'"
+    port_raw = (
+        f"CASE WHEN ({e}) % 3 = 0 THEN "
+        f"CASE WHEN ({e}) % 2 = 1 THEN ':80' ELSE ':443' END "
+        f"WHEN ({e}) % 3 = 1 THEN ':8080' ELSE '' END"
+    )
+    port = f"CASE WHEN ({e}) % 3 = 1 THEN ':8080' ELSE '' END"
+    path_raw = (
+        f"'/a' || CAST(({e}) % 4 AS VARCHAR) || '/b/../c/./p%7e' "
+        f"|| CAST(({e}) % 5 AS VARCHAR)"
+    )
+    path = f"'/a' || CAST(({e}) % 4 AS VARCHAR) || '/c/p~' || CAST(({e}) % 5 AS VARCHAR)"
+    q_raw = (
+        f"CASE WHEN ({e}) % 2 = 1 THEN '?b=2&a=' || CAST(({e}) % 5 AS VARCHAR) "
+        f"ELSE '' END"
+    )
+    q = (
+        f"CASE WHEN ({e}) % 2 = 1 THEN '?a=' || CAST(({e}) % 5 AS VARCHAR) || '&b=2' "
+        f"ELSE '' END"
+    )
+    frag = f"CASE WHEN ({e}) % 5 = 2 THEN '#frag' ELSE '' END"
+    return {
+        "raw": f"{scheme_raw} || '://' || {host_raw} || {port_raw} || {path_raw} || {q_raw} || {frag}",
+        "canon": f"{scheme} || '://' || {host} || {port} || {path} || {q}",
+        "host": host,
+    }
+
+
+_U = messy_url_sql_exprs("doc_id")
+
+URL_CANONICALIZE_ORACLE = f"""
 SELECT doc_id,
-       scheme_raw || '://' || host_raw || port_raw || path_raw || q_raw || frag
-         AS url_raw,
-       scheme || '://' || host || port || path || q AS url_canon,
-       host
-FROM g
+       {_U["raw"]} AS url_raw,
+       {_U["canon"]} AS url_canon,
+       {_U["host"]} AS host
+FROM documents
 ORDER BY doc_id
 """

@@ -765,3 +765,20 @@ def html_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     html_text_extract, all restated in SQL
     (multimodal/htmltext.py parse_html_meta)."""
     return _html.html_meta_roundtrip(spark, sf_dir)
+
+
+from danae_spark.operators import sitemap as _sitemap  # noqa: E402
+
+
+@register("sitemap_extract", oracle=_sitemap.SITEMAP_ORACLE)
+def sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap extraction (r10): the third leg of the crawl-frontier
+    stack — robots names the sitemaps (C68), sitemaps name the URLs,
+    the canonicalizer dedups them (C69). Per doc a real urlset or
+    sitemapindex (XML-escaped messy locs, W3C lastmods, unknown
+    children, comments; single-member .xml.gz on d % 3 == 1) is
+    walked by the SAME quote-aware tag scanner as the HTML extractor,
+    every loc routed through canonicalize_url, and the census — first
+    loc RAW and CANONICAL strings included — restated in SQL from the
+    same messy-URL fragment as C69/C70 (operators/sitemap.py)."""
+    return _sitemap.sitemap_extract_roundtrip(spark, sf_dir)

@@ -148,3 +148,137 @@ def test_canonicalize_oracle_matches_duckdb(spark, sf_dir):
     got = [tuple(r) for r in fn(spark, sf_dir).collect()]
     want = [tuple(r) for r in _duck(sf_dir).execute(URL_CANONICALIZE_ORACLE).fetchall()]
     assert len(got) == len(want) and got == want
+
+
+def test_sitemap_roundtrip_grid():
+    from danae_spark.operators.sitemap import (
+        entry_loc,
+        parse_sitemap,
+        sitemap_n_entries,
+        synth_sitemap,
+    )
+
+    for d in range(90):
+        c = parse_sitemap(synth_sitemap(d))
+        assert c is not None, d
+        assert c["kind"] == ("index" if d % 4 == 3 else "urlset"), d
+        assert c["is_gzip"] == (d % 3 == 1), d
+        assert c["n_entries"] == sitemap_n_entries(d), d
+        assert c["first_loc"] == entry_loc(d, 0), d
+        want_canon = canonicalize_url(entry_loc(d, 0))
+        assert c["first_loc_canon"] == want_canon, d
+
+
+def test_sitemap_rejections():
+    from danae_spark.operators.sitemap import parse_sitemap
+
+    ok = (
+        b'<?xml version="1.0"?><urlset><url><loc>http://a/x</loc>'
+        b"</url></urlset>"
+    )
+    assert parse_sitemap(ok)["n_entries"] == 1
+    # wrong root
+    assert parse_sitemap(ok.replace(b"urlset", b"feed")) is None
+    # entry without loc
+    assert parse_sitemap(b"<urlset><url><lastmod>2026-01-01</lastmod></url></urlset>") is None
+    # bad lastmod / changefreq / priority
+    assert parse_sitemap(
+        b"<urlset><url><loc>http://a/x</loc><lastmod>Jan 1</lastmod></url></urlset>"
+    ) is None
+    assert parse_sitemap(
+        b"<urlset><url><loc>http://a/x</loc><changefreq>often</changefreq></url></urlset>"
+    ) is None
+    assert parse_sitemap(
+        b"<urlset><url><loc>http://a/x</loc><priority>1.5</priority></url></urlset>"
+    ) is None
+    # stray text, bad nesting, trailing content
+    assert parse_sitemap(b"<urlset>loose<url><loc>http://a/x</loc></url></urlset>") is None
+    assert parse_sitemap(b"<urlset><url><loc>http://a/x</loc></urlset></url>") is None
+    assert parse_sitemap(ok + b"<extra/>") is None
+    # gzip trailing garbage
+    import zlib as _z
+
+    c = _z.compressobj(6, _z.DEFLATED, 31)
+    gz = c.compress(ok) + c.flush()
+    from danae_spark.operators.sitemap import parse_sitemap as ps
+
+    assert ps(gz)["is_gzip"] is True
+    assert ps(gz + b"xx") is None
+
+
+def test_sitemap_entities_and_unknown_children():
+    from danae_spark.operators.sitemap import parse_sitemap
+
+    c = parse_sitemap(
+        b"<urlset><url><loc>http://a/x?b=1&amp;a=2</loc>"
+        b"<mobile>yes</mobile></url></urlset>"
+    )
+    assert c["first_loc"] == "http://a/x?b=1&a=2"
+    assert c["first_loc_canon"] == "http://a/x?a=2&b=1"
+
+
+def test_sitemap_frame_and_oracle(spark, sf_dir):
+    from danae_spark.operators.sitemap import (
+        SITEMAP_ORACLE,
+        sitemap_extract_frame,
+        synth_sitemap,
+    )
+    from danae_spark.queries import load_all
+
+    df = spark.createDataFrame(
+        [(1, bytearray(synth_sitemap(1))), (2, bytearray(b"<bad")), (3, None)],
+        "sid long, blob binary",
+    )
+    out = {
+        r["sid"]: r
+        for r in sitemap_extract_frame(df, id_col="sid", payload_col="blob").collect()
+    }
+    assert out[1]["kind"] == "urlset"
+    assert out[2]["kind"] is None and out[3]["kind"] is None
+
+    fn = load_all()["sitemap_extract"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(SITEMAP_ORACLE).fetchall()]
+    assert len(got) == len(want) and got == want
+
+
+def test_sitemap_self_closing_and_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from danae_spark.operators.robots import parse_robots
+    from danae_spark.operators.sitemap import parse_sitemap, synth_sitemap
+    from danae_spark.operators.urlops import canonicalize_url
+
+    # self-closing forms: an entry or root without loc rejects whole
+    assert parse_sitemap(b"<urlset><url/></urlset>") is None
+    assert parse_sitemap(b"<urlset/>") is None
+    assert parse_sitemap(
+        b"<urlset><url><loc/></url></urlset>"
+    ) is None  # empty loc
+    assert parse_sitemap(
+        b"<urlset><url><loc>http://a/x</loc><mobile/></url></urlset>"
+    )["n_entries"] == 1  # self-closing unknown child is fine
+
+    seeds = [synth_sitemap(k) for k in (0, 1, 3, 7)]
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.data())
+    def fuzz(data):
+        mode = data.draw(st.integers(0, 2))
+        if mode == 0:
+            payload = data.draw(st.binary(min_size=0, max_size=400))
+        else:
+            base = bytearray(seeds[data.draw(st.integers(0, len(seeds) - 1))])
+            if mode == 1:
+                payload = bytes(base[: data.draw(st.integers(0, len(base)))])
+            else:
+                for _ in range(data.draw(st.integers(1, 10))):
+                    ix = data.draw(st.integers(0, len(base) - 1))
+                    base[ix] = data.draw(st.integers(0, 255))
+                payload = bytes(base)
+        parse_sitemap(payload)
+        parse_robots(payload)
+        canonicalize_url(payload.decode("utf-8", errors="replace")[:200])
+
+    fuzz()

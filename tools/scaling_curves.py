@@ -97,6 +97,7 @@ OPERATORS = {
     "robots_check": "documents",
     "url_canonicalize": "documents",
     "html_meta_extract": "documents",
+    "sitemap_extract": "documents",
 }
 
 
