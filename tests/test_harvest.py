@@ -106,3 +106,56 @@ def test_registered_oracle_matches_duckdb(spark, sf_dir):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
     want = [tuple(r) for r in con.execute(TEXT_HARVEST_ORACLE).fetchall()]
     assert len(got) == len(want) and got == want
+
+
+def test_harvest_feeds_curation_stack(spark):
+    """The end-to-end point of the crawl surface: a mixed blob column
+    -> text_harvest -> the EXISTING curation operators, unchanged.
+    The harvested `text` column drives quality_filter_frame and
+    text_stats_frame directly."""
+    from danae_spark.operators.textstats import quality_filter_frame, text_stats_frame
+
+    df = spark.createDataFrame(
+        [(d, bytearray(synth_doc(d))) for d in range(12)] + [(99, None)],
+        "doc_id long, payload binary",
+    )
+    from pyspark.sql import functions as F
+
+    harvested = (
+        text_harvest_frame(df).filter("text IS NOT NULL").withColumn("lang", F.lit("en"))
+    )
+    verdicts = quality_filter_frame(harvested).collect()
+    assert len(verdicts) == 12  # every non-null harvest gets a verdict
+    stats = {r["doc_id"]: r for r in text_stats_frame(harvested).collect()}
+    # the stats see exactly the harvested text (char counts agree)
+    got = {r["doc_id"]: r for r in harvested.collect()}
+    for d, row in got.items():
+        assert stats[d]["n_chars"] == row["n_chars"], d
+
+
+def test_meta_parser_never_crashes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from danae_spark.multimodal.htmltext import parse_html_meta, synth_html
+
+    seeds = [synth_html(k) for k in (0, 3, 7)]
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.data())
+    def fuzz(data):
+        mode = data.draw(st.integers(0, 2))
+        if mode == 0:
+            payload = data.draw(st.binary(min_size=0, max_size=400))
+        else:
+            base = bytearray(seeds[data.draw(st.integers(0, len(seeds) - 1))])
+            if mode == 1:
+                payload = bytes(base[: data.draw(st.integers(0, len(base)))])
+            else:
+                for _ in range(data.draw(st.integers(1, 10))):
+                    ix = data.draw(st.integers(0, len(base) - 1))
+                    base[ix] = data.draw(st.integers(0, 255))
+                payload = bytes(base)
+        parse_html_meta(payload)
+
+    fuzz()
