@@ -47,9 +47,18 @@ __all__ = [
 ]
 
 
-def harvest_text(payload: bytes) -> dict | None:
+def harvest_text(payload: bytes, _depth: int = 0) -> dict | None:
     """Classify one payload and extract its training text:
-    {'doc_class', 'format', 'title', 'text'} or None."""
+    {'doc_class', 'format', 'title', 'text'} or None.
+
+    Archive members route back through this dispatcher (one level
+    deep: an archive inside an archive does not recurse), so a zip of
+    HTML pages / PDFs / subtitles harvests all of them; plain-text
+    members contribute only under a text extension (.txt/.md) — an
+    unnamed binary blob that HAPPENS to decode must not leak control
+    characters into a corpus. Non-UTF-8 HTML decodes via its DECLARED
+    legacy charset (htmltext._decode_page); undeclared binary
+    rejects."""
     from danae_spark.multimodal.archive import iter_archive_members, parse_archive
     from danae_spark.multimodal.htmltext import parse_html_text
     from danae_spark.multimodal.pdf import parse_pdf
@@ -92,13 +101,20 @@ def harvest_text(payload: bytes) -> dict | None:
         return _warc("warc") if parse_warc(p) is not None else None
 
     def _archive(census: dict) -> dict | None:
+        if _depth >= 1:
+            return None  # archive-in-archive: declared no-recurse
         texts = []
-        for _name, is_dir, data in iter_archive_members(p):
+        for name, is_dir, data in iter_archive_members(p):
             if is_dir:
                 continue
-            sub = parse_subtitles(data)
-            if sub is not None:
-                texts.append(sub["text"])
+            h = harvest_text(data, _depth + 1)
+            if h is None:
+                continue  # non-text member (media, unknown): skipped
+            if h["doc_class"] == "text" and not name.lower().endswith(
+                (".txt", ".md")
+            ):
+                continue  # decodable binary without a text extension
+            texts.append(h["text"])
         if not texts:
             return None  # no text-bearing members
         return {
@@ -133,7 +149,16 @@ def harvest_text(payload: bytes) -> dict | None:
     try:
         raw = p.decode("utf-8")
     except UnicodeDecodeError:
-        return None
+        # not UTF-8: an HTML page may still DECLARE a legacy charset
+        ext = parse_html_text(p)
+        if ext is None:
+            return None
+        return {
+            "doc_class": "html",
+            "format": "html",
+            "title": ext["title"],
+            "text": ext["text"],
+        }
     if "<" not in raw:
         return {"doc_class": "text", "format": "txt", "title": None, "text": raw}
     ext = parse_html_text(p)

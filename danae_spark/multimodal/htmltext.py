@@ -158,15 +158,57 @@ def _scan_tag(text: str, pos: int) -> tuple[str, bool, bool, dict, int] | None:
         self_closing = False
 
 
+_CHARSET_DECL = re.compile(
+    rb"""<meta[^>]+?(?:charset\s*=\s*["']?|content\s*=\s*["'][^"']*charset=)"""
+    rb"""([A-Za-z0-9_.:-]+)""",
+    re.IGNORECASE,
+)
+# the legacy encodings real crawls actually declare; windows-1252 is the
+# de-facto web default for "latin-1" content (WHATWG aliases latin-1 to it)
+_LEGACY_CHARSETS = {
+    "iso-8859-1": "windows-1252",
+    "latin-1": "windows-1252",
+    "latin1": "windows-1252",
+    "windows-1252": "windows-1252",
+    "cp1252": "windows-1252",
+    "us-ascii": "ascii",
+    "ascii": "ascii",
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+}
+
+
+def _decode_page(payload: bytes) -> str | None:
+    """UTF-8 first; on failure honor a declared legacy charset
+    (<meta charset=...> or http-equiv content=...charset=...) from the
+    WHATWG-mapped set above. Undeclared or unknown charsets reject —
+    guessing an encoding silently corrupts corpus text."""
+    try:
+        return payload.decode("utf-8")
+    except (UnicodeDecodeError, AttributeError):
+        pass
+    m = _CHARSET_DECL.search(payload[:4096])
+    if not m:
+        return None
+    codec = _LEGACY_CHARSETS.get(m.group(1).decode("ascii", "replace").lower())
+    if codec is None or codec == "utf-8":
+        return None  # declared utf-8 but invalid utf-8: corrupt page
+    try:
+        return payload.decode(codec)
+    except UnicodeDecodeError:
+        return None
+
+
 def parse_html_text(payload: bytes) -> dict | None:
     """Extract the visible training text from an HTML payload.
 
     Returns {title, text, n_chars, n_words, n_links, n_headings,
     n_paragraphs, n_list_items, link_density} or None when the page
-    cannot be walked (see module docstring for the reject contract)."""
-    try:
-        text = payload.decode("utf-8")
-    except (UnicodeDecodeError, AttributeError):
+    cannot be walked (see module docstring for the reject contract).
+    Non-UTF-8 pages decode via their DECLARED legacy charset
+    (_decode_page); undeclared binary rejects."""
+    text = _decode_page(payload)
+    if text is None:
         return None
 
     n = len(text)
@@ -559,9 +601,8 @@ def parse_html_meta(payload: bytes) -> dict | None:
     contract as parse_html_text."""
     from danae_spark.operators.urlops import canonicalize_url
 
-    try:
-        text = payload.decode("utf-8")
-    except (UnicodeDecodeError, AttributeError):
+    text = _decode_page(payload)
+    if text is None:
         return None
     n = len(text)
     pos = 0

@@ -159,3 +159,52 @@ def test_meta_parser_never_crashes():
         parse_html_meta(payload)
 
     fuzz()
+
+
+def test_legacy_charset_fallback():
+    from danae_spark.multimodal.htmltext import parse_html_meta, parse_html_text
+
+    body = '<head><meta charset="iso-8859-1"></head><p>caf\xe9 cr\xe8me</p>'
+    page = body.encode("windows-1252")
+    assert page.decode("utf-8", errors="ignore") != body  # genuinely non-UTF-8
+    got = parse_html_text(page)
+    assert got is not None and got["text"] == "café crème"
+    assert parse_html_meta(page)["charset"] == "iso-8859-1"
+    # the harvest dispatcher routes non-UTF-8 declared-charset pages to html
+    c = harvest_text(page)
+    assert c is not None and c["doc_class"] == "html" and c["text"] == "café crème"
+    # undeclared non-UTF-8 still rejects (no encoding guessing)
+    assert parse_html_text("<p>caf\xe9</p>".encode("windows-1252")) is None
+    # declared utf-8 but invalid utf-8 is a corrupt page
+    assert parse_html_text(b'<meta charset="utf-8"><p>caf\xe9</p>') is None
+
+
+def test_archive_members_full_dispatch():
+    from danae_spark.multimodal.archive import _zip_build
+    from danae_spark.multimodal.htmltext import expected_html_row, synth_html
+    from danae_spark.multimodal.pdf import expected_pdf_row, synth_pdf
+    from danae_spark.multimodal.subtitles import parse_subtitles, synth_subtitles
+
+    z = _zip_build(
+        [
+            ("page.html", synth_html(3), 0),
+            ("doc.pdf", synth_pdf(4), 8),
+            ("cues.srt", synth_subtitles(5), 0),
+            ("notes.txt", b"plain member text", 8),
+            ("blob.bin", b"\x00\x01decodable but unnamed", 0),
+        ]
+    )
+    c = harvest_text(z)
+    assert c is not None and c["doc_class"] == "archive"
+    want = "\n".join(
+        [
+            expected_html_row(3)["text"],
+            expected_pdf_row(4)["text"],
+            parse_subtitles(synth_subtitles(5))["text"],
+            "plain member text",
+        ]
+    )
+    assert c["text"] == want  # .bin member dropped, others in member order
+    # archive-in-archive: the inner archive member does not recurse
+    outer = _zip_build([("inner.zip", z, 0)])
+    assert harvest_text(outer) is None
