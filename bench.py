@@ -126,6 +126,7 @@ HEADLINE = [
     "url_canonicalize",
     "html_meta_extract",
     "sitemap_extract",
+    "pdf_text_modern",
 ]
 
 

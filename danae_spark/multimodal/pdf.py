@@ -26,14 +26,21 @@ implemented for real:
     clear the operand stack and continue (the spec's forward-compat
     rule). String bytes decode as Latin-1 — the simple-font subset.
 
+PDF 1.5+ files are covered too (most modern PDFs): cross-reference
+STREAMS (/Type /XRef — W field widths, Index subsections, type-0/1/2
+entries) with the PNG-filter Flate predictors they conventionally
+use (10-15: None/Sub/Up/Average/Paeth, reversed byte-wise per row),
+and OBJECT streams (/Type /ObjStm — N header pairs, objects parsed at
+/First + offset; objstm-in-objstm is the spec-forbidden reject).
+
 Declared boundaries (reject whole, documented because each needs
 out-of-spec-table or cryptographic machinery that cannot be certified
-from first principles here): cross-reference STREAMS and object
-streams (PDF 1.5+), encryption, filters other than Flate, Flate
-predictors, inline images (BI..EI) inside content, and composite
-(CID/Type0) fonts — the Latin-1 simple-font reading would silently
-produce mojibake for 2-byte CID strings, exactly what the reject
-contract exists to prevent.
+from first principles here): encryption, filters other than Flate,
+the TIFF predictor (2) and sub-byte predictor rows, inline images
+(BI..EI) inside content, and composite (CID/Type0) fonts — the
+Latin-1 simple-font reading would silently produce mojibake for
+2-byte CID strings, exactly what the reject contract exists to
+prevent.
 
 Reference parity note: the reference (smartdatalake/danae) ingests
 tabular files only; PDF extraction is mandated LLM-pipeline extension
@@ -247,6 +254,45 @@ class _Bad(Exception):
     pass
 
 
+def _png_unpredict(raw: bytes, rowlen: int, bpp: int) -> bytes:
+    """Reverse the PNG row filters (per-row tag byte; None/Sub/Up/
+    Average/Paeth) as PDF's Flate predictors 10-15 apply them —
+    byte-wise over rows of `rowlen` bytes with pixel width `bpp`."""
+    if rowlen <= 0 or len(raw) % (rowlen + 1) != 0:
+        raise _Bad()
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r in range(0, len(raw), rowlen + 1):
+        tag = raw[r]
+        row = bytearray(raw[r + 1 : r + 1 + rowlen])
+        if tag == 0:
+            pass
+        elif tag == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        else:
+            raise _Bad()
+        out += row
+        prev = row
+    return bytes(out)
+
+
 class _Doc:
     def __init__(self, buf: bytes):
         self.b = buf
@@ -271,7 +317,7 @@ class _Doc:
             if offset in seen or offset >= len(self.b):
                 raise _Bad()
             seen.add(offset)
-            trailer = self._read_xref_table(offset)
+            trailer = self._read_xref(offset)
             if not self.trailer:
                 self.trailer = trailer
             prev = trailer.get("Prev")
@@ -283,12 +329,72 @@ class _Doc:
         if "Root" not in self.trailer:
             raise _Bad()
 
-    def _read_xref_table(self, offset: int) -> dict:
+    def _read_xref(self, offset: int) -> dict:
+        """Classic xref TABLE ('xref' keyword) or a PDF 1.5+ xref
+        STREAM ('N G obj' of a /Type /XRef stream) — both forms load
+        into the same entry map, later tables/streams winning."""
         lx = _Lexer(self.b, offset)
         lx._ws()
-        if not self.b.startswith(b"xref", lx.i):
-            raise _Bad()  # an integer here would be an xref STREAM: declared reject
-        lx.i += 4
+        if self.b.startswith(b"xref", lx.i):
+            return self._read_xref_table(lx.i)
+        return self._read_xref_stream(offset)
+
+    def _read_xref_stream(self, offset: int) -> dict:
+        num, obj = self._parse_indirect(offset)
+        if not (isinstance(obj, tuple) and obj[0] == "stream"):
+            raise _Bad()
+        d = obj[1]
+        if d.get("Type") != "XRef":
+            raise _Bad()
+        data = self.stream_data(obj)
+        w = d.get("W")
+        size = d.get("Size")
+        if (
+            not isinstance(w, list)
+            or len(w) != 3
+            or not all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+            or not isinstance(size, int)
+        ):
+            raise _Bad()
+        index = d.get("Index", [0, size])
+        if not isinstance(index, list) or len(index) % 2 or not all(
+            isinstance(x, int) and x >= 0 for x in index
+        ):
+            raise _Bad()
+        row = sum(w)
+        if row == 0 or len(data) != row * sum(index[1::2]):
+            raise _Bad()
+
+        def field(buf: bytes, lo: int, width: int, default: int) -> int:
+            if width == 0:
+                return default
+            return int.from_bytes(buf[lo : lo + width], "big")
+
+        pos = 0
+        for s in range(0, len(index), 2):
+            start, count = index[s], index[s + 1]
+            for k in range(count):
+                rowb = data[pos : pos + row]
+                pos += row
+                num_k = start + k
+                t = field(rowb, 0, w[0], 1)  # absent type field defaults to 1
+                f2 = field(rowb, w[0], w[1], 0)
+                f3 = field(rowb, w[0] + w[1], w[2], 0)
+                if num_k in self.xref or t == 0:
+                    continue  # free, or already set by a LATER section
+                if t == 1:
+                    self.xref[num_k] = f2
+                elif t == 2:
+                    self.xref[num_k] = ("objstm", f2, f3)
+                else:
+                    raise _Bad()  # unknown entry type
+        # the xref stream's dict IS the trailer (/Root /Info /Prev /Size)
+        self._cache[num] = obj
+        return d
+
+    def _read_xref_table(self, at: int) -> dict:
+        lx = _Lexer(self.b, at)
+        lx.i += 4  # past 'xref'
         while True:
             lx._ws()
             if self.b.startswith(b"trailer", lx.i):
@@ -322,15 +428,15 @@ class _Doc:
             return self.get(v.num)
         return v
 
-    def get(self, num: int):
-        if num in self._cache:
-            return self._cache[num]
-        if num not in self.xref:
-            raise _Bad()
-        lx = _Lexer(self.b, self.xref[num])
+    def _parse_indirect(self, offset: int):
+        """Parse the 'N G obj ... endobj' at a byte offset; returns
+        (num, obj) where obj is a value or a ('stream', dict, raw)
+        triple."""
+        lx = _Lexer(self.b, offset)
         m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", self.b[lx.i :])
-        if not m or int(m.group(1)) != num:
+        if not m:
             raise _Bad()
+        num = int(m.group(1))
         lx.i += m.end()
         obj = lx.obj()
         lx._ws()
@@ -353,6 +459,59 @@ class _Doc:
             if not self.b.startswith(b"endstream", lx.i):
                 raise _Bad()  # /Length does not reach endstream
             obj = ("stream", obj, data)
+        return num, obj
+
+    def _objstm(self, stm_num: int) -> dict[int, object]:
+        """Load a /Type /ObjStm container into {objnum: obj}. The
+        container itself must be a DIRECT (type-1) entry — the spec
+        forbids objstm-in-objstm, and the guard also breaks cycles."""
+        key = ("objstm", stm_num)
+        if key in self._cache:
+            return self._cache[key]
+        if not isinstance(self.xref.get(stm_num), int):
+            raise _Bad()
+        obj = self.get(stm_num)
+        if not (isinstance(obj, tuple) and obj[0] == "stream"):
+            raise _Bad()
+        d = obj[1]
+        if d.get("Type") != "ObjStm":
+            raise _Bad()
+        n = self.resolve(d.get("N"))
+        first = self.resolve(d.get("First"))
+        if not isinstance(n, int) or not isinstance(first, int) or n < 0 or first < 0:
+            raise _Bad()
+        data = self.stream_data(obj)
+        head = _Lexer(data[:first])
+        out: dict[int, object] = {}
+        pairs = []
+        for _ in range(n):
+            onum = head.obj()
+            ooff = head.obj()
+            if not isinstance(onum, int) or not isinstance(ooff, int):
+                raise _Bad()
+            pairs.append((onum, ooff))
+        for onum, ooff in pairs:
+            if first + ooff > len(data):
+                raise _Bad()
+            out[onum] = _Lexer(data, first + ooff).obj()
+        self._cache[key] = out
+        return out
+
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        entry = self.xref.get(num)
+        if entry is None:
+            raise _Bad()
+        if isinstance(entry, tuple):  # ('objstm', container, idx)
+            objs = self._objstm(entry[1])
+            if num not in objs:
+                raise _Bad()
+            self._cache[num] = objs[num]
+            return objs[num]
+        got_num, obj = self._parse_indirect(entry)
+        if got_num != num:
+            raise _Bad()
         self._cache[num] = obj
         return obj
 
@@ -364,12 +523,30 @@ class _Doc:
         if filt is None:
             return data
         if filt == "FlateDecode" or filt == ["FlateDecode"]:
-            if self.resolve(d.get("DecodeParms")) is not None:
-                raise _Bad()  # predictors: declared reject
             try:
-                return zlib.decompress(data)
+                raw = zlib.decompress(data)
             except zlib.error:
                 raise _Bad()
+            parms = self.resolve(d.get("DecodeParms"))
+            if parms is None:
+                return raw
+            if isinstance(parms, list) and len(parms) == 1:
+                parms = self.resolve(parms[0])
+            if not isinstance(parms, dict):
+                raise _Bad()
+            pred = self.resolve(parms.get("Predictor", 1))
+            if pred == 1:
+                return raw
+            if not (isinstance(pred, int) and pred >= 10):
+                raise _Bad()  # TIFF predictor 2: declared reject
+            cols = self.resolve(parms.get("Columns", 1))
+            colors = self.resolve(parms.get("Colors", 1))
+            bpc = self.resolve(parms.get("BitsPerComponent", 8))
+            if not all(isinstance(x, int) and x > 0 for x in (cols, colors, bpc)):
+                raise _Bad()
+            if bpc != 8:
+                raise _Bad()  # sub-byte predictor rows: declared reject
+            return _png_unpredict(raw, cols * colors, colors)
         raise _Bad()  # other filters: declared reject
 
     # --------------------------------------------------- document layer
@@ -750,6 +927,164 @@ FROM pg g JOIN pdoc t ON g.doc_id = t.doc_id AND g.e = t.e
 PDF_TEXT_ORACLE = f"""
 WITH x AS ({pdf_text_sql("SELECT doc_id, doc_id AS e FROM documents")})
 SELECT doc_id, n_pages, n_objects, title, author, text,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(length(text)
+            - length(replace(replace(text, chr(10), ' '), ' ', ''))
+            + 1 AS INT) AS n_words
+FROM x ORDER BY doc_id
+"""
+
+
+# -------------------------------------------- modern (PDF 1.5+) synthesis
+
+
+def synth_pdf_modern(doc_id: int) -> bytes:
+    """The same document as synth_pdf(doc_id) in MODERN file syntax:
+    every non-stream object (catalog, pages nodes, font, info, pages)
+    packed into ONE object stream, content streams top-level, and a
+    cross-reference STREAM instead of a table — Flate with the PNG Up
+    predictor on odd docs, unpredicted on even. Text content is
+    byte-identical to the classic file's, so pdf_text_sql restates
+    both."""
+    d = doc_id
+    np_ = _pdf_n_pages(d)
+    page_nums = [5 + p for p in range(np_)]
+    content_nums = [5 + np_ + p for p in range(np_)]
+    nested = np_ == 3
+    nested_num = 5 + 2 * np_
+    objstm_num = nested_num + 1 if nested else 5 + 2 * np_
+    xref_num = objstm_num + 1
+
+    packed: dict[int, bytes] = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
+    if nested:
+        kids = f"[{page_nums[0]} 0 R {nested_num} 0 R]"
+        packed[nested_num] = (
+            f"<< /Type /Pages /Parent 2 0 R /Kids [{page_nums[1]} 0 R "
+            f"{page_nums[2]} 0 R] /Count 2 >>"
+        ).encode()
+    else:
+        kids = "[" + " ".join(f"{n} 0 R" for n in page_nums) + "]"
+    packed[2] = f"<< /Type /Pages /Kids {kids} /Count {np_} >>".encode()
+    packed[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    packed[4] = f"<< /Title (Doc {d}) /Author (author a{d % 5}) >>".encode()
+    for p in range(np_):
+        parent = nested_num if (nested and p > 0) else 2
+        packed[page_nums[p]] = (
+            f"<< /Type /Page /Parent {parent} 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {content_nums[p]} 0 R "
+            f"/Resources << /Font << /F1 3 0 R >> >> >>"
+        ).encode()
+
+    # object stream payload: N (num offset) header pairs, then bodies
+    nums = sorted(packed)
+    bodies = []
+    offs = []
+    pos = 0
+    for n in nums:
+        offs.append((n, pos))
+        bodies.append(packed[n])
+        pos += len(packed[n]) + 1
+    header = " ".join(f"{n} {o}" for n, o in offs).encode() + b"\n"
+    stm_payload = header + b"\n".join(bodies) + b"\n"
+    first = len(header)
+    stm_z = zlib.compress(stm_payload, 6)
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, head: str, data: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(
+            f"{num} 0 obj\n{head}\nstream\n".encode() + data + b"\nendstream\nendobj\n"
+        )
+
+    emit(
+        objstm_num,
+        f"<< /Type /ObjStm /N {len(nums)} /First {first} "
+        f"/Length {len(stm_z)} /Filter /FlateDecode >>",
+        stm_z,
+    )
+    for p in range(np_):
+        data = _content_stream(d, p)
+        data = zlib.compress(data, 6)
+        emit(content_nums[p], f"<< /Length {len(data)} /Filter /FlateDecode >>", data)
+
+    # xref stream: W [1 2 1]; type 0 for obj 0, type 2 (objstm, idx)
+    # for packed objects, type 1 for contents/objstm/xref itself
+    size = xref_num + 1
+    xref_off = len(out)
+    offsets[xref_num] = xref_off
+    rows = bytearray()
+    idx_of = {n: i for i, (n, _o) in enumerate(offs)}
+    for n in range(size):
+        if n == 0:
+            rows += bytes([0]) + (0).to_bytes(2, "big") + bytes([255])
+        elif n in idx_of:
+            rows += bytes([2]) + objstm_num.to_bytes(2, "big") + bytes([idx_of[n]])
+        else:
+            rows += bytes([1]) + offsets[n].to_bytes(2, "big") + bytes([0])
+    if d % 2 == 1:
+        # PNG Up predictor over 4-byte rows
+        rowlen = 4
+        pred_rows = bytearray()
+        prev = bytes(rowlen)
+        for r in range(0, len(rows), rowlen):
+            row = rows[r : r + rowlen]
+            pred_rows += bytes([2]) + bytes((row[i] - prev[i]) & 0xFF for i in range(rowlen))
+            prev = row
+        xdata = zlib.compress(bytes(pred_rows), 6)
+        parms = " /DecodeParms << /Predictor 12 /Columns 4 >>"
+    else:
+        xdata = zlib.compress(bytes(rows), 6)
+        parms = ""
+    head = (
+        f"<< /Type /XRef /Size {size} /W [1 2 1] /Index [0 {size}] "
+        f"/Root 1 0 R /Info 4 0 R /Length {len(xdata)} /Filter /FlateDecode{parms} >>"
+    )
+    out.extend(
+        f"{xref_num} 0 obj\n{head}\nstream\n".encode() + xdata + b"\nendstream\nendobj\n"
+    )
+    out.extend(f"startxref\n{xref_off}\n%%EOF\n".encode())
+    return bytes(out)
+
+
+def pdf_text_modern_roundtrip(spark, sf_dir: str):
+    """Oracle-checkable MODERN-PDF extraction: the same documents as
+    pdf_text_extract but in PDF 1.5+ file syntax — object streams,
+    a cross-reference stream (PNG Up predictor on odd docs) — read
+    back through the same pipeline; the text restates via the SAME
+    pdf_text_sql fragment, n_objects gains the objstm + xref-stream
+    containers (+2)."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                c = parse_pdf(synth_pdf_modern(d))
+                row = {"doc_id": d}
+                row.update({k: (c.get(k) if c else None) for k in _COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["doc_id"] + _COLS)
+
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+PDF_TEXT_MODERN_ORACLE = f"""
+WITH x AS ({pdf_text_sql("SELECT doc_id, doc_id AS e FROM documents")})
+SELECT doc_id, n_pages,
+       CAST(n_objects + 2 AS INT) AS n_objects,
+       title, author, text,
        CAST(length(text) AS INT) AS n_chars,
        CAST(length(text)
             - length(replace(replace(text, chr(10), ' '), ' ', ''))

@@ -782,3 +782,17 @@ def sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc RAW and CANONICAL strings included — restated in SQL from the
     same messy-URL fragment as C69/C70 (operators/sitemap.py)."""
     return _sitemap.sitemap_extract_roundtrip(spark, sf_dir)
+
+
+@register("pdf_text_modern", oracle=_pdf.PDF_TEXT_MODERN_ORACLE)
+def pdf_text_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODERN-PDF text extraction (r10): the same documents as
+    pdf_text_extract in PDF 1.5+ file syntax — every non-stream
+    object packed into an OBJECT stream, a cross-reference STREAM
+    (W/Index/type-0-1-2 entries) with the PNG Up predictor on odd
+    docs — read back through the same xref -> object -> pages ->
+    content pipeline; the text restates via the SAME pdf_text_sql
+    fragment, so classic and modern readings can never drift
+    (multimodal/pdf.py synth_pdf_modern / _read_xref_stream /
+    _objstm / _png_unpredict)."""
+    return _pdf.pdf_text_modern_roundtrip(spark, sf_dir)

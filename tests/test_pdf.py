@@ -94,7 +94,8 @@ def test_declared_boundaries():
     assert parse_pdf(bad.replace(b"<< /Length", b"<< /Filter /LZWDecode /Length")) is None
     # inline image rejects whole
     assert parse_pdf(_minimal(b"BT (x) Tj ET BI /W 1 ID \x00 EI")) is None
-    # an xref STREAM (integer where 'xref' expected) rejects whole
+    # startxref into bytes that are neither a table nor an indirect
+    # object rejects whole
     assert parse_pdf(re.sub(rb"startxref\n(\d+)", rb"startxref\n9", ok)) is None
 
 
@@ -146,4 +147,47 @@ def test_registered_oracle_matches_duckdb(spark, sf_dir):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
     want = [tuple(r) for r in con.execute(PDF_TEXT_ORACLE).fetchall()]
+    assert len(got) == len(want) and got == want
+
+
+def test_modern_roundtrip_grid():
+    from danae_spark.multimodal.pdf import synth_pdf_modern
+
+    for d in range(100):
+        got = parse_pdf(synth_pdf_modern(d))
+        want = dict(expected_pdf_row(d))
+        want["n_objects"] += 2  # + objstm container + xref stream
+        assert got == want, d
+
+
+def test_modern_structure_rejections():
+    from danae_spark.multimodal.pdf import synth_pdf_modern
+
+    m_even = synth_pdf_modern(0)  # unpredicted xref stream
+    m_odd = synth_pdf_modern(1)  # PNG Up predictor
+    assert parse_pdf(m_even) is not None and parse_pdf(m_odd) is not None
+    # corrupting the objstm header pair count breaks the whole file
+    bad = m_even.replace(b"/Type /ObjStm /N ", b"/Type /ObjStm /N 1", 1)
+    assert parse_pdf(bad) is None
+    # an unknown xref-stream entry type rejects (flip W to [1 2 1] rows
+    # by corrupting the declared /W widths)
+    bad = m_even.replace(b"/W [1 2 1]", b"/W [2 2 1]", 1)
+    assert parse_pdf(bad) is None
+    # TIFF predictor is a declared reject
+    bad = m_odd.replace(b"/Predictor 12", b"/Predictor 2", 1)
+    assert parse_pdf(bad) is None
+
+
+def test_modern_oracle_matches_duckdb(spark, sf_dir):
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal.pdf import PDF_TEXT_MODERN_ORACLE
+    from danae_spark.queries import load_all
+
+    fn = load_all()["pdf_text_modern"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(PDF_TEXT_MODERN_ORACLE).fetchall()]
     assert len(got) == len(want) and got == want

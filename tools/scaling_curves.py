@@ -98,6 +98,7 @@ OPERATORS = {
     "url_canonicalize": "documents",
     "html_meta_extract": "documents",
     "sitemap_extract": "documents",
+    "pdf_text_modern": "documents",
 }
 
 
