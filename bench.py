@@ -127,6 +127,7 @@ HEADLINE = [
     "html_meta_extract",
     "sitemap_extract",
     "pdf_text_modern",
+    "feed_extract",
 ]
 
 

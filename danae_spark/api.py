@@ -697,3 +697,13 @@ class DataLakeEngine:
         from danae_spark.operators.sitemap import sitemap_extract_frame
 
         return sitemap_extract_frame(df, **kw)
+
+    def feed_extract(self, df: DataFrame, **kw) -> DataFrame:
+        """RSS 2.0 / Atom feed extraction over any (id, binary) frame:
+        feed title, item count, and the newline-joined item
+        title/description text for the curation stack; payloads
+        outside the two grammars yield null rows
+        (operators/feeds.py parse_feed)."""
+        from danae_spark.operators.feeds import feed_extract_frame
+
+        return feed_extract_frame(df, **kw)

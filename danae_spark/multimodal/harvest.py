@@ -146,6 +146,17 @@ def harvest_text(payload: bytes, _depth: int = 0) -> dict | None:
             "text": sub["text"],
         }
 
+    from danae_spark.operators.feeds import parse_feed
+
+    feed = parse_feed(p)
+    if feed is not None:
+        return {
+            "doc_class": "feed",
+            "format": feed["kind"],
+            "title": feed["feed_title"],
+            "text": feed["text"],
+        }
+
     try:
         raw = p.decode("utf-8")
     except UnicodeDecodeError:

@@ -796,3 +796,18 @@ def pdf_text_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
     (multimodal/pdf.py synth_pdf_modern / _read_xref_stream /
     _objstm / _png_unpredict)."""
     return _pdf.pdf_text_modern_roundtrip(spark, sf_dir)
+
+
+from danae_spark.operators import feeds as _feeds  # noqa: E402
+
+
+@register("feed_extract", oracle=_feeds.FEED_ORACLE)
+def feed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed extraction (r10): the push-side text source — per
+    doc a real RSS 2.0 (CDATA and entity-escaped descriptions) or Atom
+    feed (attribute links, a namespaced unknown subtree skipped whole)
+    is walked by the shared quote-aware scanner, and the item
+    title/description text — the boilerplate-free prose a corpus
+    wants — restated in SQL (operators/feeds.py). The harvest
+    dispatcher routes feed payloads to this extractor."""
+    return _feeds.feed_extract_roundtrip(spark, sf_dir)

@@ -282,3 +282,125 @@ def test_sitemap_self_closing_and_fuzz():
         canonicalize_url(payload.decode("utf-8", errors="replace")[:200])
 
     fuzz()
+
+
+def test_feed_roundtrip_and_semantics():
+    from danae_spark.operators.feeds import (
+        feed_n_items,
+        item_body,
+        item_title,
+        parse_feed,
+        synth_feed,
+    )
+
+    for d in range(90):
+        c = parse_feed(synth_feed(d))
+        assert c is not None, d
+        assert c["kind"] == ("rss" if d % 2 == 0 else "atom"), d
+        assert c["feed_title"] == f"Feed {d} c{d % 8}", d
+        assert c["n_items"] == c["n_links"] == feed_n_items(d), d
+        assert c["first_item_title"] == item_title(d, 0), d
+        want = []
+        for i in range(feed_n_items(d)):
+            want.append(item_title(d, i))
+            if item_body(d, i) is not None:
+                want.append(item_body(d, i))
+        assert c["text"] == "\n".join(want), d
+
+
+def test_feed_rejections():
+    from danae_spark.operators.feeds import parse_feed
+
+    ok = (
+        b"<rss version='2.0'><channel><title>t</title>"
+        b"<item><title>a</title></item></channel></rss>"
+    )
+    assert parse_feed(ok)["n_items"] == 1
+    assert parse_feed(ok.replace(b"rss", b"xml")) is None  # wrong root
+    # item without a title rejects
+    assert parse_feed(
+        b"<rss version='2.0'><channel><item><link>x</link></item></channel></rss>"
+    ) is None
+    # stray text between structural elements rejects
+    assert parse_feed(
+        b"<rss version='2.0'><channel>loose<item><title>a</title></item></channel></rss>"
+    ) is None
+    # unterminated CDATA rejects
+    assert parse_feed(
+        b"<rss version='2.0'><channel><item><title><![CDATA[x</title></item></channel></rss>"
+    ) is None
+    # bad nesting rejects
+    assert parse_feed(ok.replace(b"</item></channel>", b"</channel></item>")) is None
+    assert parse_feed(ok + b"<junk/>") is None
+    # atom: entry without title rejects; unknown subtrees are skipped
+    atom_ok = (
+        b"<feed><title>t</title><ext><deep>skip</deep></ext>"
+        b"<entry><title>a</title><link href='u'/></entry></feed>"
+    )
+    c = parse_feed(atom_ok)
+    assert c is not None and c["n_items"] == 1 and c["n_links"] == 1
+    assert parse_feed(b"<feed><entry><link href='u'/></entry></feed>") is None
+
+
+def test_feed_harvest_routing():
+    from danae_spark.multimodal.harvest import harvest_text
+    from danae_spark.operators.feeds import parse_feed, synth_feed
+
+    for d in (0, 1, 4, 7):
+        c = harvest_text(synth_feed(d))
+        assert c is not None and c["doc_class"] == "feed", d
+        assert c["text"] == parse_feed(synth_feed(d))["text"], d
+        assert c["format"] == ("rss" if d % 2 == 0 else "atom"), d
+
+
+def test_feed_frame_and_oracle(spark, sf_dir):
+    from danae_spark.operators.feeds import (
+        FEED_ORACLE,
+        feed_extract_frame,
+        synth_feed,
+    )
+    from danae_spark.queries import load_all
+
+    df = spark.createDataFrame(
+        [(1, bytearray(synth_feed(1))), (2, bytearray(b"<rss junk")), (3, None)],
+        "fid long, blob binary",
+    )
+    out = {
+        r["fid"]: r
+        for r in feed_extract_frame(df, id_col="fid", payload_col="blob").collect()
+    }
+    assert out[1]["kind"] == "atom"
+    assert out[2]["kind"] is None and out[3]["kind"] is None
+
+    fn = load_all()["feed_extract"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(FEED_ORACLE).fetchall()]
+    assert len(got) == len(want) and got == want
+
+
+def test_feed_parser_never_crashes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from danae_spark.operators.feeds import parse_feed, synth_feed
+
+    seeds = [synth_feed(k) for k in (0, 1, 2, 5)]
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.data())
+    def fuzz(data):
+        mode = data.draw(st.integers(0, 2))
+        if mode == 0:
+            payload = data.draw(st.binary(min_size=0, max_size=400))
+        else:
+            base = bytearray(seeds[data.draw(st.integers(0, len(seeds) - 1))])
+            if mode == 1:
+                payload = bytes(base[: data.draw(st.integers(0, len(base)))])
+            else:
+                for _ in range(data.draw(st.integers(1, 10))):
+                    ix = data.draw(st.integers(0, len(base) - 1))
+                    base[ix] = data.draw(st.integers(0, 255))
+                payload = bytes(base)
+        parse_feed(payload)
+
+    fuzz()

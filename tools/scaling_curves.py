@@ -99,6 +99,7 @@ OPERATORS = {
     "html_meta_extract": "documents",
     "sitemap_extract": "documents",
     "pdf_text_modern": "documents",
+    "feed_extract": "documents",
 }
 
 
