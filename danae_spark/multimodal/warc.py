@@ -26,15 +26,28 @@ This module walks them for real:
     anything else rejects the file whole.
   - HTTP payload: response records carry an HTTP/1.x message; the
     status line is parsed (3-digit status), headers split at the first
-    blank line, Content-Type captured, and the body exposed — the
-    bytes the HTML extractor consumes.
+    blank line, Content-Type captured, and the body DECODED before it
+    is exposed — the bytes the HTML extractor consumes. Real Common
+    Crawl responses routinely arrive `Transfer-Encoding: chunked`
+    and/or `Content-Encoding: gzip`; passing those through raw would
+    leak hex chunk-size tokens (or compressed bytes) silently into
+    harvested training text. The walk therefore:
+      * de-chunks `Transfer-Encoding: chunked` (RFC 7230 §4.1 framing:
+        hex size [;ext] CRLF data CRLF ... 0-chunk, optional trailer
+        fields, final CRLF) — malformed framing rejects the file;
+      * inflates `Content-Encoding: gzip`/`x-gzip` (zlib wbits=31)
+        and `deflate` (zlib stream, raw-deflate fallback — both forms
+        occur in the wild) — corrupt streams reject the file;
+      * rejects unknown codings whole (br, zstd, compress — decoders
+        aren't available here, and half-decoded text must never ship).
 
 Reject-whole (return None): bad version line, malformed or folded
 header, missing mandatory header, bad record id / date / length
 syntax, Content-Length mismatch, missing terminator, unknown record
-type, malformed HTTP status line in a response, gzip member
-truncation or member/record misalignment — a WARC that cannot be
-walked deterministically must not contribute half-parsed pages.
+type, malformed HTTP status line / chunk framing / content coding in
+a response, gzip member truncation or member/record misalignment — a
+WARC that cannot be walked deterministically must not contribute
+half-parsed pages.
 
 Reference parity note: the reference (smartdatalake/danae) has no
 crawl ingestion; WARC is mandated LLM-pipeline extension surface (the
@@ -144,6 +157,72 @@ def _parse_record(buf: bytes, pos: int) -> tuple[dict, int] | None:
     }, pos + 4
 
 
+def _dechunk(body: bytes) -> bytes | None:
+    """Decode RFC 7230 §4.1 chunked framing; None on any malformation
+    (bad hex size, missing CRLF after a chunk, truncation, garbage
+    trailers). Chunk extensions (";name=val") are tolerated; trailer
+    fields after the 0-chunk must look like headers."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol == -1:
+            return None
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        if not size_tok or any(c not in b"0123456789abcdefABCDEF" for c in size_tok):
+            return None
+        size = int(size_tok, 16)
+        pos = eol + 2
+        if size == 0:
+            break
+        chunk = body[pos : pos + size]
+        if len(chunk) != size:
+            return None
+        out += chunk
+        if body[pos + size : pos + size + 2] != b"\r\n":
+            return None
+        pos += size + 2
+    # zero or more trailer fields, then the final CRLF
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol == -1:
+            return None
+        line = body[pos:eol]
+        pos = eol + 2
+        if line == b"":
+            break
+        if line.find(b":") <= 0:
+            return None
+    if pos != len(body):
+        return None  # bytes after the terminator: framing lied
+    return bytes(out)
+
+
+def _content_decode(body: bytes, coding: str) -> bytes | None:
+    """Apply one Content-Encoding coding; None when undecodable or the
+    coding is unknown (br, zstd, compress — reject, never pass raw)."""
+    if coding in ("identity", ""):
+        return body
+    if coding in ("gzip", "x-gzip"):
+        d = zlib.decompressobj(31)
+        try:
+            out = d.decompress(body)
+        except zlib.error:
+            return None
+        return out if d.eof and not d.unused_data else None
+    if coding == "deflate":
+        for wbits in (15, -15):  # zlib-wrapped, then the bare-deflate servers emit
+            d = zlib.decompressobj(wbits)
+            try:
+                out = d.decompress(body)
+            except zlib.error:
+                continue
+            if d.eof and not d.unused_data:
+                return out
+        return None
+    return None
+
+
 def _parse_http_response(body: bytes) -> dict | None:
     eol = body.find(b"\r\n")
     if eol == -1:
@@ -158,13 +237,38 @@ def _parse_http_response(body: bytes) -> dict | None:
     if sep == -1:
         return None
     ctype = None
+    tenc = None
+    cenc = None
     for line in body[eol + 2 : sep].split(b"\r\n"):
         colon = line.find(b":")
         if colon <= 0:
             return None
-        if line[:colon].strip().lower() == b"content-type":
+        name = line[:colon].strip().lower()
+        if name == b"content-type":
             ctype = line[colon + 1 :].strip().decode("latin-1")
-    return {"status": status, "content_type": ctype, "body": body[sep + 4 :]}
+        elif name == b"transfer-encoding":
+            tenc = line[colon + 1 :].strip().decode("latin-1").lower()
+        elif name == b"content-encoding":
+            cenc = line[colon + 1 :].strip().decode("latin-1").lower()
+    payload = body[sep + 4 :]
+    if tenc is not None:
+        codings = [c.strip() for c in tenc.split(",") if c.strip()]
+        # "chunked" must be the final (outermost) coding per RFC 7230;
+        # the only transfer codings accepted here are identity+chunked.
+        if not codings or codings[-1] != "chunked" or any(
+            c not in ("identity", "chunked") for c in codings
+        ):
+            return None
+        payload = _dechunk(payload)
+        if payload is None:
+            return None
+    if cenc is not None:
+        # apply codings outermost-last -> decode right-to-left
+        for coding in reversed([c.strip() for c in cenc.split(",")]):
+            payload = _content_decode(payload, coding)
+            if payload is None:
+                return None
+    return {"status": status, "content_type": ctype, "body": payload}
 
 
 def _records(payload: bytes) -> list[dict] | None:
@@ -279,12 +383,52 @@ def _record(rtype: str, rid: int, body: bytes, extra: dict | None = None) -> byt
     return head.encode("utf-8") + body + b"\r\n\r\n"
 
 
+def wire_encoding(d: int, p: int) -> int:
+    """Which wire encoding a 200 page ships with: 0 identity,
+    1 chunked, 2 Content-Encoding: gzip, 3 gzip inside chunked —
+    the combinations real Common Crawl responses actually use."""
+    return (d + p) % 4
+
+
+def chunk_body(data: bytes, size: int = 512) -> bytes:
+    """RFC 7230 §4.1 chunked framing (with a chunk extension on the
+    first chunk, which de-chunkers must tolerate)."""
+    out = bytearray()
+    for i in range(0, len(data), size):
+        piece = data[i : i + size]
+        ext = b";synth=1" if i == 0 else b""
+        out += f"{len(piece):x}".encode() + ext + b"\r\n" + piece + b"\r\n"
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
+def gzip_body(data: bytes) -> bytes:
+    c = zlib.compressobj(6, zlib.DEFLATED, 31)
+    return c.compress(data) + c.flush()
+
+
+def encode_200_response(html: bytes, enc: int) -> bytes:
+    """Build the full HTTP/1.1 200 wire message for one synth page
+    under wire encoding `enc` (see wire_encoding)."""
+    head = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\nServer: synth\r\n"
+    body = html
+    if enc in (2, 3):
+        body = gzip_body(body)
+        head += b"Content-Encoding: gzip\r\n"
+    if enc in (1, 3):
+        body = chunk_body(body)
+        head += b"Transfer-Encoding: chunked\r\n"
+    return head + b"\r\n" + body
+
+
 def synth_warc(doc_id: int) -> bytes:
     """Doc-deterministic WARC: one warcinfo + n_pages request/response
     pairs whose response bodies are REAL HTML pages (synth_html at
     e = doc_id*4 + p); gzip member-per-record on odd docs, plain on
     even. Page p gets HTTP 301 (empty body, no html) when
-    (doc_id + p) % 5 == 4, else 200 with the page."""
+    (doc_id + p) % 5 == 4, else 200 with the page — shipped identity /
+    chunked / gzipped / gzip-in-chunked by (d+p)%4 so the decode path
+    is on every oracle run."""
     from danae_spark.multimodal.htmltext import synth_html
 
     d = doc_id
@@ -306,10 +450,7 @@ def synth_warc(doc_id: int) -> bytes:
         status = page_status(d, p)
         if status == 200:
             html = synth_html(d * 4 + p)
-            resp = (
-                b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
-                b"Server: synth\r\n\r\n" + html
-            )
+            resp = encode_200_response(html, wire_encoding(d, p))
         else:
             resp = (
                 f"HTTP/1.1 {status} Moved Permanently\r\n"

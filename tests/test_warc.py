@@ -49,10 +49,33 @@ def test_roundtrip_grid():
         assert c["host"] == f"site{d % 5}.example", d
 
 
+def _wire_200(html: bytes, enc: int) -> bytes:
+    """Independent restatement of the synthesizer's 200-response wire
+    message (identity / chunked / gzip / gzip-in-chunked), so the
+    total_content_bytes pin is not circular with synth_warc."""
+    head = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\nServer: synth\r\n"
+    body = html
+    if enc in (2, 3):
+        c = zlib.compressobj(6, zlib.DEFLATED, 31)
+        body = c.compress(body) + c.flush()
+        head += b"Content-Encoding: gzip\r\n"
+    if enc in (1, 3):
+        framed = bytearray()
+        for i in range(0, len(body), 512):
+            piece = body[i : i + 512]
+            ext = b";synth=1" if i == 0 else b""
+            framed += f"{len(piece):x}".encode() + ext + b"\r\n" + piece + b"\r\n"
+        framed += b"0\r\n\r\n"
+        body = bytes(framed)
+        head += b"Transfer-Encoding: chunked\r\n"
+    return head + b"\r\n" + body
+
+
 def test_total_content_bytes_pinned():
     """total_content_bytes (excluded from the SQL oracle — it would
     require restating raw HTML byte lengths) is pinned against the
-    synthesizer's own record bodies here."""
+    synthesizer's own record bodies here; it counts WIRE bytes, i.e.
+    the chunk framing / gzip bytes, not the decoded payload."""
     for d in (0, 1, 5, 8, 13):
         c = parse_warc(synth_warc(d))
         want = len(b"software: danae-spark/1.0\r\nformat: WARC File Format 1.1\r\n")
@@ -60,10 +83,7 @@ def test_total_content_bytes_pinned():
         for p in range(n_pages(d)):
             want += len(f"GET /p{p} HTTP/1.1\r\nHost: {host}\r\n\r\n")
             if page_status(d, p) == 200:
-                want += len(
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
-                    b"Server: synth\r\n\r\n"
-                ) + len(synth_html(d * 4 + p))
+                want += len(_wire_200(synth_html(d * 4 + p), (d + p) % 4))
             else:
                 want += len(
                     f"HTTP/1.1 301 Moved Permanently\r\nLocation: http://{host}/p{p}v2\r\n"
@@ -129,6 +149,61 @@ def test_http_response_parse():
     # malformed status line rejects the file whole
     rec = _one_record(b"NOT HTTP\r\n\r\n", **{"WARC-Type": "response"})
     assert parse_warc(rec) is None
+
+
+def _resp_record(head: bytes, body: bytes) -> bytes:
+    return _one_record(head + b"\r\n" + body, **{"WARC-Type": "response"})
+
+
+def test_http_payload_decodings():
+    """Chunked / gzip / deflate(wrapped & raw) / gzip-in-chunked wires
+    all decode back to the original page bytes."""
+    from danae_spark.multimodal.warc import encode_200_response
+
+    html = b"<html><body>" + b"<p>hello crawl</p>" * 80 + b"</body></html>"
+    cases = [encode_200_response(html, enc) for enc in range(4)]
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    raw_deflate = co.compress(html) + co.flush()
+    cases.append(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Encoding: deflate\r\n\r\n"
+        + zlib.compress(html)
+    )
+    cases.append(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Encoding: deflate\r\n\r\n"
+        + raw_deflate
+    )
+    for wire in cases:
+        pages = list(iter_warc_responses(_one_record(wire, **{"WARC-Type": "response"})))
+        assert len(pages) == 1 and pages[0][3] == html, wire[:80]
+
+
+def test_http_payload_decode_rejects():
+    """Malformed chunk framing, corrupt gzip, and unknown codings all
+    reject the file WHOLE — never raw passthrough (the silent-pollution
+    hazard this decode layer exists to prevent)."""
+    head_ch = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nTransfer-Encoding: chunked\r\n\r\n"
+    good = head_ch + b"5\r\nhello\r\n0\r\n\r\n"
+    assert parse_warc(_one_record(good, **{"WARC-Type": "response"})) is not None
+    bad_wires = [
+        head_ch + b"zz\r\nhello\r\n0\r\n\r\n",          # non-hex size
+        head_ch + b"9\r\nhello\r\n0\r\n\r\n",           # truncated chunk
+        head_ch + b"5\r\nhelloXX0\r\n\r\n",             # missing chunk CRLF
+        head_ch + b"5\r\nhello\r\n",                    # missing 0-chunk
+        head_ch + b"5\r\nhello\r\n0\r\n\r\njunk",       # bytes after terminator
+        head_ch + b"5\r\nhello\r\n0\r\nnot a header\r\n\r\n",  # bad trailer
+        # corrupt gzip content-encoding
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n\x1f\x8bbroken",
+        # unknown content coding: br must reject, not pass raw
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\ndata",
+        # unsupported transfer coding
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n\r\ndata",
+        # chunked not outermost
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked, gzip\r\n\r\n5\r\nhello\r\n0\r\n\r\n",
+    ]
+    for wire in bad_wires:
+        rec = _one_record(wire, **{"WARC-Type": "response"})
+        assert parse_warc(rec) is None, wire[:60]
+        assert list(iter_warc_responses(rec)) == [], wire[:60]
 
 
 def test_iter_warc_responses_feeds_html():
