@@ -15,7 +15,12 @@ implemented for real:
     (`/Length` may itself be indirect; the `endstream` keyword must
     sit exactly past the declared bytes — a mismatch rejects the
     file).
-  - Filters: `/FlateDecode` (zlib) and unfiltered streams.
+  - Filters: `/FlateDecode` (zlib), `/LZWDecode` (MSB-first variable
+    width codes, EarlyChange parameter honored), `/ASCIIHexDecode`,
+    `/ASCII85Decode` (z-group shorthand, partial final group),
+    `/RunLengthDecode`, unfiltered streams, and filter CHAINS
+    (`/Filter` array decoded left-to-right with per-filter
+    `/DecodeParms`); Flate/LZW honor the PNG predictors (10-15).
   - Document structure: Catalog -> Pages tree walk (nested `/Pages`
     nodes, `/Count` cross-checked against the leaves found, cycle
     guard), per-page `/Contents` (single ref or array, concatenated).
@@ -24,7 +29,15 @@ implemented for real:
     numbers are positioning, not text), ' and " (next-line-and-show),
     with Td / TD / T* / Tm treated as line breaks; unknown operators
     clear the operand stack and continue (the spec's forward-compat
-    rule). String bytes decode as Latin-1 — the simple-font subset.
+    rule). Simple-font string bytes decode as Latin-1. COMPOSITE
+    (Type0/CID) fonts are read through their /ToUnicode CMap: the
+    font selected by `Tf` is resolved from the page's /Resources
+    /Font dict; Identity-H/V-encoded 2-byte CID strings map through
+    the CMap's bfchar / bfrange (base-increment and array-destination
+    forms) sections to real Unicode. A Type0 font WITHOUT a ToUnicode
+    CMap — or with an unmapped CID in shown text — rejects the file
+    whole (the Latin-1 reading of 2-byte CID strings would be silent
+    mojibake, exactly what the reject contract exists to prevent).
 
 PDF 1.5+ files are covered too (most modern PDFs): cross-reference
 STREAMS (/Type /XRef — W field widths, Index subsections, type-0/1/2
@@ -35,12 +48,12 @@ and OBJECT streams (/Type /ObjStm — N header pairs, objects parsed at
 
 Declared boundaries (reject whole, documented because each needs
 out-of-spec-table or cryptographic machinery that cannot be certified
-from first principles here): encryption, filters other than Flate,
-the TIFF predictor (2) and sub-byte predictor rows, inline images
-(BI..EI) inside content, and composite (CID/Type0) fonts — the
-Latin-1 simple-font reading would silently produce mojibake for
-2-byte CID strings, exactly what the reject contract exists to
-prevent.
+from first principles here): encryption, image/crypt filters
+(DCTDecode, JBIG2Decode, JPXDecode, CCITTFaxDecode, Crypt), the TIFF
+predictor (2) and sub-byte predictor rows, inline images (BI..EI)
+inside content, Type0 fonts whose /Encoding is a predefined CMap
+name other than Identity-H/V (the predefined CMap tables are
+out-of-spec-table data), and Type0 fonts without a /ToUnicode CMap.
 
 Reference parity note: the reference (smartdatalake/danae) ingests
 tabular files only; PDF extraction is mandated LLM-pipeline extension
@@ -58,9 +71,12 @@ import pandas as pd
 __all__ = [
     "parse_pdf",
     "synth_pdf",
+    "synth_pdf_cid",
     "pdf_text_frame",
     "pdf_text_roundtrip",
+    "pdf_text_cid_roundtrip",
     "PDF_TEXT_ORACLE",
+    "PDF_TEXT_CID_ORACLE",
 ]
 
 _WS = b"\x00\t\n\x0c\r "
@@ -254,6 +270,147 @@ class _Bad(Exception):
     pass
 
 
+def _asciihex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode: hex digits, whitespace ignored, '>' EOD marker
+    required; an odd final digit pads with 0 (spec rule)."""
+    end = data.find(b">")
+    if end == -1:
+        raise _Bad()  # missing EOD
+    if data[end + 1 :].strip(_WS):
+        raise _Bad()  # bytes after EOD
+    digits = bytes(c for c in data[:end] if c not in _WS)
+    if not re.fullmatch(rb"[0-9a-fA-F]*", digits):
+        raise _Bad()
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode: 5 chars ('!'..'u') -> 4 bytes base-85 groups,
+    'z' shorthand for a zero group, '~>' EOD; a partial final group of
+    n chars yields n-1 bytes. Rejects: bad chars, 'z' inside a group,
+    a 1-char final group, group value overflow, missing EOD."""
+    end = data.find(b"~>")
+    if end == -1:
+        raise _Bad()
+    if data[end + 2 :].strip(_WS):
+        raise _Bad()
+    out = bytearray()
+    group: list[int] = []
+    for c in data[:end]:
+        if c in _WS:
+            continue
+        if c == 0x7A:  # 'z'
+            if group:
+                raise _Bad()  # z inside a group
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not (0x21 <= c <= 0x75):
+            raise _Bad()
+        group.append(c - 33)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise _Bad()
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        n = len(group)
+        if n == 1:
+            raise _Bad()  # a single trailing char encodes nothing
+        v = 0
+        for g in group + [84] * (5 - n):
+            v = v * 85 + g
+        if v > 0xFFFFFFFF:
+            raise _Bad()
+        out += v.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode: length byte 0-127 copies the next L+1 bytes,
+    129-255 repeats the next byte 257-L times, 128 is EOD (required;
+    trailing bytes after it reject)."""
+    out = bytearray()
+    i = 0
+    while True:
+        if i >= len(data):
+            raise _Bad()  # missing EOD
+        tag = data[i]
+        i += 1
+        if tag == 128:
+            if i != len(data):
+                raise _Bad()  # bytes after EOD
+            return bytes(out)
+        if tag < 128:
+            chunk = data[i : i + tag + 1]
+            if len(chunk) != tag + 1:
+                raise _Bad()
+            out += chunk
+            i += tag + 1
+        else:
+            if i >= len(data):
+                raise _Bad()
+            out += bytes([data[i]]) * (257 - tag)
+            i += 1
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode: MSB-first variable-width codes (9..12 bits), clear
+    code 256, EOD 257; the code width grows when the NEXT table slot
+    plus EarlyChange reaches the width limit (the decoder lags the
+    encoder's table by one entry, which is what EarlyChange=1 — the
+    PDF default — compensates for). Truncated input, an out-of-table
+    code, or a non-literal first code reject."""
+    out = bytearray()
+    table: dict[int, bytes] = {}
+    next_code = 258
+    width = 9
+    prev: bytes | None = None
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise _Bad()  # truncated: no EOD seen
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (bitbuf >> nbits) & ((1 << width) - 1)
+        if code == 256:
+            table = {}
+            next_code = 258
+            width = 9
+            prev = None
+            continue
+        if code == 257:
+            return bytes(out)
+        if prev is None:
+            if code > 255:
+                raise _Bad()
+            entry = bytes([code])
+        elif code < 256:
+            entry = bytes([code])
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]
+        else:
+            raise _Bad()
+        out += entry
+        if prev is not None:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code + early >= (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
 def _png_unpredict(raw: bytes, rowlen: int, bpp: int) -> bytes:
     """Reverse the PNG row filters (per-row tag byte; None/Sub/Up/
     Average/Paeth) as PDF's Flate predictors 10-15 apply them —
@@ -291,6 +448,131 @@ def _png_unpredict(raw: bytes, rowlen: int, bpp: int) -> bytes:
         out += row
         prev = row
     return bytes(out)
+
+
+def _parse_tounicode(data: bytes):
+    """Parse a /ToUnicode CMap stream (ISO 32000-1 §9.10.3) into a
+    code->Unicode decoder. Reads the codespacerange (uniform 1- or
+    2-byte codes; mixed lengths reject), bfchar pairs, and bfrange
+    triples (base-increment and array-destination forms; destinations
+    are UTF-16BE). Other CMap/PostScript operators clear the operand
+    stack and are skipped — the forward-compat rule the content-stream
+    interpreter already uses. Returns a decode(str)->str callable with
+    a `.clen` attribute; an unmapped code at decode time raises _Bad
+    (emitting mojibake for it would silently corrupt training text)."""
+    lx = _Lexer(data)
+    clen: int | None = None
+    single: dict[int, str] = {}
+    ranges: list[tuple[int, int, object]] = []
+    pending: list = []
+
+    def hex_bytes(v) -> bytes:
+        if not isinstance(v, str):
+            raise _Bad()
+        return v.encode("latin-1")
+
+    def utf16(bs: bytes) -> str:
+        if len(bs) % 2:
+            raise _Bad()
+        try:
+            return bs.decode("utf-16-be")
+        except UnicodeDecodeError:
+            raise _Bad()
+
+    while True:
+        lx._ws()
+        if lx.i >= len(data):
+            break
+        c = data[lx.i]
+        if (
+            c == 0x28
+            or c == 0x2F
+            or c == 0x5B
+            or data.startswith(b"<<", lx.i)
+            or c == 0x3C
+            or c in b"+-.0123456789"
+        ):
+            pending.append(lx.obj())
+            continue
+        kw = lx._keyword()
+        if not kw:
+            raise _Bad()
+        if kw in ("begincodespacerange", "beginbfchar", "beginbfrange"):
+            pending = []
+        elif kw == "endcodespacerange":
+            if len(pending) % 2:
+                raise _Bad()
+            for k in range(0, len(pending), 2):
+                lo, hi = hex_bytes(pending[k]), hex_bytes(pending[k + 1])
+                if len(lo) != len(hi) or len(lo) not in (1, 2):
+                    raise _Bad()
+                if clen is None:
+                    clen = len(lo)
+                elif clen != len(lo):
+                    raise _Bad()  # mixed-length codespaces: declared reject
+            pending = []
+        elif kw == "endbfchar":
+            if len(pending) % 2:
+                raise _Bad()
+            for k in range(0, len(pending), 2):
+                src = hex_bytes(pending[k])
+                if clen is None or len(src) != clen:
+                    raise _Bad()
+                single[int.from_bytes(src, "big")] = utf16(hex_bytes(pending[k + 1]))
+            pending = []
+        elif kw == "endbfrange":
+            if len(pending) % 3:
+                raise _Bad()
+            for k in range(0, len(pending), 3):
+                lo_b, hi_b = hex_bytes(pending[k]), hex_bytes(pending[k + 1])
+                if clen is None or len(lo_b) != clen or len(hi_b) != clen:
+                    raise _Bad()
+                lo, hi = int.from_bytes(lo_b, "big"), int.from_bytes(hi_b, "big")
+                if hi < lo:
+                    raise _Bad()
+                dst = pending[k + 2]
+                if isinstance(dst, list):
+                    if len(dst) != hi - lo + 1:
+                        raise _Bad()
+                    ranges.append((lo, hi, [utf16(hex_bytes(x)) for x in dst]))
+                else:
+                    base = hex_bytes(dst)
+                    utf16(base)  # validate the base decodes
+                    if len(base) < 2:
+                        raise _Bad()
+                    ranges.append((lo, hi, base))
+            pending = []
+        else:
+            pending = []  # def / dict / begincmap / findresource / ...
+    if clen is None:
+        raise _Bad()  # a CMap without a codespacerange
+
+    def decode(s: str) -> str:
+        raw = s.encode("latin-1")
+        if len(raw) % clen:
+            raise _Bad()
+        out: list[str] = []
+        for i in range(0, len(raw), clen):
+            code = int.from_bytes(raw[i : i + clen], "big")
+            got = single.get(code)
+            if got is None:
+                for lo, hi, dst in ranges:
+                    if lo <= code <= hi:
+                        if isinstance(dst, list):
+                            got = dst[code - lo]
+                        else:
+                            unit = int.from_bytes(dst[-2:], "big") + (code - lo)
+                            if unit > 0xFFFF:
+                                raise _Bad()
+                            got = utf16(dst[:-2] + unit.to_bytes(2, "big"))
+                        break
+            if got is None:
+                raise _Bad()  # unmapped CID: mojibake guard
+            out.append(got)
+        return "".join(out)
+
+    decode.clen = clen
+    return decode
 
 
 class _Doc:
@@ -515,6 +797,48 @@ class _Doc:
         self._cache[num] = obj
         return obj
 
+    def _unpredict(self, raw: bytes, parms) -> bytes:
+        """Apply the /DecodeParms predictor (shared by Flate and LZW)."""
+        if parms is None:
+            return raw
+        if not isinstance(parms, dict):
+            raise _Bad()
+        pred = self.resolve(parms.get("Predictor", 1))
+        if pred == 1:
+            return raw
+        if not (isinstance(pred, int) and pred >= 10):
+            raise _Bad()  # TIFF predictor 2: declared reject
+        cols = self.resolve(parms.get("Columns", 1))
+        colors = self.resolve(parms.get("Colors", 1))
+        bpc = self.resolve(parms.get("BitsPerComponent", 8))
+        if not all(isinstance(x, int) and x > 0 for x in (cols, colors, bpc)):
+            raise _Bad()
+        if bpc != 8:
+            raise _Bad()  # sub-byte predictor rows: declared reject
+        return _png_unpredict(raw, cols * colors, colors)
+
+    def _apply_filter(self, name, parms, data: bytes) -> bytes:
+        if name == "FlateDecode":
+            try:
+                raw = zlib.decompress(data)
+            except zlib.error:
+                raise _Bad()
+            return self._unpredict(raw, parms)
+        if name == "LZWDecode":
+            early = 1
+            if isinstance(parms, dict):
+                early = self.resolve(parms.get("EarlyChange", 1))
+                if early not in (0, 1):
+                    raise _Bad()
+            return self._unpredict(_lzw_decode(data, early), parms)
+        if name == "ASCIIHexDecode":
+            return _asciihex_decode(data)
+        if name == "ASCII85Decode":
+            return _ascii85_decode(data)
+        if name == "RunLengthDecode":
+            return _runlength_decode(data)
+        raise _Bad()  # DCT/JBIG2/JPX/CCITT/Crypt: declared reject
+
     def stream_data(self, obj) -> bytes:
         if not (isinstance(obj, tuple) and obj[0] == "stream"):
             raise _Bad()
@@ -522,32 +846,24 @@ class _Doc:
         filt = self.resolve(d.get("Filter"))
         if filt is None:
             return data
-        if filt == "FlateDecode" or filt == ["FlateDecode"]:
-            try:
-                raw = zlib.decompress(data)
-            except zlib.error:
+        filters = filt if isinstance(filt, list) else [filt]
+        parms = self.resolve(d.get("DecodeParms"))
+        if parms is None:
+            parms_list: list = [None] * len(filters)
+        elif isinstance(parms, list):
+            if len(parms) != len(filters):
                 raise _Bad()
-            parms = self.resolve(d.get("DecodeParms"))
-            if parms is None:
-                return raw
-            if isinstance(parms, list) and len(parms) == 1:
-                parms = self.resolve(parms[0])
-            if not isinstance(parms, dict):
+            parms_list = [self.resolve(p) for p in parms]
+        else:
+            if len(filters) != 1:
+                raise _Bad()  # array Filter needs array DecodeParms
+            parms_list = [parms]
+        for name, pm in zip(filters, parms_list):
+            name = self.resolve(name)
+            if not isinstance(name, str):
                 raise _Bad()
-            pred = self.resolve(parms.get("Predictor", 1))
-            if pred == 1:
-                return raw
-            if not (isinstance(pred, int) and pred >= 10):
-                raise _Bad()  # TIFF predictor 2: declared reject
-            cols = self.resolve(parms.get("Columns", 1))
-            colors = self.resolve(parms.get("Colors", 1))
-            bpc = self.resolve(parms.get("BitsPerComponent", 8))
-            if not all(isinstance(x, int) and x > 0 for x in (cols, colors, bpc)):
-                raise _Bad()
-            if bpc != 8:
-                raise _Bad()  # sub-byte predictor rows: declared reject
-            return _png_unpredict(raw, cols * colors, colors)
-        raise _Bad()  # other filters: declared reject
+            data = self._apply_filter(name, pm, data)
+        return data
 
     # --------------------------------------------------- document layer
 
@@ -596,21 +912,63 @@ class _Doc:
             out.append(self.stream_data(self.resolve(part) if isinstance(part, _Ref) else part))
         return b"\n".join(out)
 
+    def page_fonts(self, page: dict) -> dict | None:
+        """Map the page's /Resources /Font names to string decoders:
+        None for simple fonts (Latin-1 passthrough), a ToUnicode-CMap
+        decoder for Type0/CID fonts. A Type0 font without a usable
+        ToUnicode, a non-Identity Encoding, or an unknown Subtype
+        rejects the file (mojibake guard)."""
+        res = self.resolve(page.get("Resources"))
+        if not isinstance(res, dict):
+            return None
+        fdict = self.resolve(res.get("Font"))
+        if not isinstance(fdict, dict):
+            return None
+        out: dict = {}
+        for name, ref in fdict.items():
+            fobj = self.resolve(ref)
+            if not isinstance(fobj, dict) or fobj.get("Type") != "Font":
+                raise _Bad()
+            sub = fobj.get("Subtype")
+            if sub == "Type0":
+                enc = self.resolve(fobj.get("Encoding"))
+                if enc not in ("Identity-H", "Identity-V"):
+                    raise _Bad()  # predefined CMap encodings: declared reject
+                tu = self.resolve(fobj.get("ToUnicode"))
+                if not (isinstance(tu, tuple) and tu[0] == "stream"):
+                    raise _Bad()  # CID font without ToUnicode: mojibake reject
+                dec = _parse_tounicode(self.stream_data(tu))
+                if dec.clen != 2:
+                    raise _Bad()  # Identity-H/V code units are 2 bytes
+                out[name] = dec
+            elif sub in ("Type1", "TrueType", "Type3", "MMType1"):
+                out[name] = None  # simple font: Latin-1 passthrough
+            else:
+                raise _Bad()
+        return out
+
 
 # -------------------------------------------------- content-stream text
 
 _LINE_OPS = frozenset(("Td", "TD", "T*", "Tm"))
 
 
-def _page_text(content: bytes) -> list[str]:
+def _page_text(content: bytes, fonts: dict | None = None) -> list[str]:
     """Interpret the text operators of one page's content stream into
-    lines. Raises _Bad on structural violations (unterminated string,
-    unbalanced BT/ET, inline images)."""
+    lines. `fonts` maps /Resources /Font names to decoders (None =
+    simple-font Latin-1 passthrough); the `Tf` operator selects the
+    active decoder for subsequent shown strings. Raises _Bad on
+    structural violations (unterminated string, unbalanced BT/ET,
+    inline images, a Tf naming an unknown font)."""
     lx = _Lexer(content)
     stack: list = []
     lines: list[str] = []
     cur: list[str] = []
     in_text = False
+    decoder = None  # active font's decoder; None = Latin-1 passthrough
+
+    def shown(s: str) -> str:
+        return s if decoder is None else decoder(s)
 
     def newline() -> None:
         s = "".join(cur)
@@ -641,23 +999,30 @@ def _page_text(content: bytes) -> list[str]:
                 raise _Bad()
             in_text = False
             newline()
+        elif op == "Tf":
+            if len(stack) < 2 or not isinstance(stack[-2], str):
+                raise _Bad()
+            if fonts is not None:
+                if stack[-2] not in fonts:
+                    raise _Bad()  # Tf names a font absent from /Resources
+                decoder = fonts[stack[-2]]
         elif op == "Tj" and in_text:
             if not stack or not isinstance(stack[-1], str):
                 raise _Bad()
-            cur.append(stack[-1])
+            cur.append(shown(stack[-1]))
         elif op == "TJ" and in_text:
             if not stack or not isinstance(stack[-1], list):
                 raise _Bad()
             for el in stack[-1]:
                 if isinstance(el, str):
-                    cur.append(el)
+                    cur.append(shown(el))
                 elif not isinstance(el, (int, float)):
                     raise _Bad()
         elif op in ("'", '"') and in_text:
             if not stack or not isinstance(stack[-1], str):
                 raise _Bad()
             newline()
-            cur.append(stack[-1])
+            cur.append(shown(stack[-1]))
         elif op in _LINE_OPS and in_text:
             newline()
         stack.clear()
@@ -684,7 +1049,7 @@ def parse_pdf(payload: bytes) -> dict | None:
         pages = doc.pages()
         lines: list[str] = []
         for page in pages:
-            lines.extend(_page_text(doc.page_content(page)))
+            lines.extend(_page_text(doc.page_content(page), doc.page_fonts(page)))
         title = author = None
         info = doc.resolve(doc.trailer.get("Info"))
         if isinstance(info, dict):
@@ -882,11 +1247,17 @@ def pdf_text_roundtrip(spark, sf_dir: str):
     )
 
 
-def pdf_text_sql(pages_cte: str) -> str:
+def pdf_text_sql(pages_cte: str, suffix_sql: str | None = None, n_base: int = 4) -> str:
     """The extraction arithmetic as SQL over a `pages(doc_id, e)` CTE
     (e = the synth parameter), shared between PDF_TEXT_ORACLE
-    (e = doc_id) and the text-harvest oracle, so the dispatcher entry
-    certifies the SAME restated rules."""
+    (e = doc_id), the text-harvest oracle, and (with its own
+    `suffix_sql` / `n_base`) the CID-font oracle, so every entry
+    certifies the SAME restated rules. `suffix_sql` is the p0/l0
+    first-line suffix expression over column `e`; `n_base` the
+    non-page object count (classic grid 4, CID grid 6 — + ToUnicode
+    CMap and descendant font)."""
+    if suffix_sql is None:
+        suffix_sql = "CASE WHEN e % 2 = 0 THEN ' (x)' ELSE ' A' END"
     return f"""
 WITH pdf_pages AS ({pages_cte}),
 pg AS (
@@ -906,7 +1277,7 @@ pline AS (
   SELECT doc_id, e, p, l,
          string_agg(word, ' ' ORDER BY j)
            || CASE WHEN p = 0 AND l = 0
-                   THEN CASE WHEN e % 2 = 0 THEN ' (x)' ELSE ' A' END
+                   THEN {suffix_sql}
                    ELSE '' END AS line
   FROM pw GROUP BY doc_id, e, p, l
 ),
@@ -915,7 +1286,7 @@ pdoc AS (
   FROM pline GROUP BY doc_id, e
 )
 SELECT g.doc_id, g.e, g.n_pages,
-       CAST(4 + 2 * g.n_pages
+       CAST({n_base} + 2 * g.n_pages
             + CASE WHEN g.n_pages = 3 THEN 1 ELSE 0 END AS INT) AS n_objects,
        'Doc ' || CAST(g.e AS VARCHAR) AS title,
        'author a' || CAST(g.e % 5 AS VARCHAR) AS author,
@@ -1078,6 +1449,339 @@ def pdf_text_modern_roundtrip(spark, sf_dir: str):
         .mapInPandas(batches, schema=_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------- CID (Type0) fonts + filter grid
+
+# synth-side encoders for the filter grid (decode-side counterparts
+# live at module top); the LZW encoder is the EarlyChange=1 mirror of
+# _lzw_decode: it bumps width at next_code == 2^w (its table runs one
+# entry AHEAD of the decoder's, which bumps at 2^w - 1)
+def _asciihex_encode(data: bytes) -> bytes:
+    return data.hex().encode("ascii") + b">"
+
+
+def _ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        grp = data[i : i + 4]
+        n = len(grp)
+        v = int.from_bytes(grp + b"\x00" * (4 - n), "big")
+        if v == 0 and n == 4:
+            out += b"z"
+            continue
+        chars = []
+        for _ in range(5):
+            chars.append(v % 85)
+            v //= 85
+        out += bytes(33 + c for c in reversed(chars))[: n + 1]
+    return bytes(out) + b"~>"
+
+
+def _runlength_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < len(data)
+                and j - i < 128
+                and not (j + 2 < len(data) and data[j] == data[j + 1] == data[j + 2])
+            ):
+                j += 1
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    out.append(128)
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((bitbuf >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        w = bytes([b])
+        if next_code == 4095:  # clear before the table fills
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _filter_encode(data: bytes, e: int, p: int) -> tuple[bytes, str]:
+    """Encode one CID content stream under the grid's 7-way filter
+    rotation; returns (encoded, dict-fragment)."""
+    enc = (e + p) % 7
+    if enc == 0:
+        return data, f"/Length {len(data)}"
+    if enc == 1:
+        z = zlib.compress(data, 6)
+        return z, f"/Length {len(z)} /Filter /FlateDecode"
+    if enc == 2:
+        h = _asciihex_encode(data)
+        return h, f"/Length {len(h)} /Filter /ASCIIHexDecode"
+    if enc == 3:
+        a = _ascii85_encode(data)
+        return a, f"/Length {len(a)} /Filter /ASCII85Decode"
+    if enc == 4:
+        r = _runlength_encode(data)
+        return r, f"/Length {len(r)} /Filter /RunLengthDecode"
+    if enc == 5:
+        lz = _lzw_encode(data)
+        return lz, f"/Length {len(lz)} /Filter /LZWDecode"
+    chained = _ascii85_encode(zlib.compress(data, 6))
+    return chained, f"/Length {len(chained)} /Filter [/ASCII85Decode /FlateDecode]"
+
+
+_CID_GREEK = {"α": 0xE000, "β": 0xE001, "γ": 0xE002}
+_CID_SUFFIX = {0: " α", 1: " βγ", 2: " fifl"}
+
+
+def _cid_encode(s: str) -> bytes:
+    """Encode text to the synth CMap's 2-byte codes: ASCII printable
+    identity, Greek via bfchar, fi/fl ligature codes via the
+    array-destination bfrange."""
+    out = bytearray()
+    i = 0
+    while i < len(s):
+        if s[i : i + 2] == "fi":
+            out += (0xE100).to_bytes(2, "big")
+            i += 2
+        elif s[i : i + 2] == "fl":
+            out += (0xE101).to_bytes(2, "big")
+            i += 2
+        elif s[i] in _CID_GREEK:
+            out += _CID_GREEK[s[i]].to_bytes(2, "big")
+            i += 1
+        else:
+            out += ord(s[i]).to_bytes(2, "big")
+            i += 1
+    return bytes(out)
+
+
+_CID_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CMapName /Synth-UTF def
+/CMapType 2 def
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+1 beginbfrange
+<0020> <007E> <0020>
+endbfrange
+3 beginbfchar
+<E000> <03B1>
+<E001> <03B2>
+<E002> <03B3>
+endbfchar
+1 beginbfrange
+<E100> <E101> [<00660069> <0066006C>]
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end end"""
+
+
+def _pdf_cid_line_text(e: int, p: int, l: int) -> str:
+    base = " ".join(_pdf_line_words(e, p, l))
+    if p == 0 and l == 0:
+        base += _CID_SUFFIX[e % 3]
+    return base
+
+
+def _cid_content_stream(e: int, p: int) -> bytes:
+    ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+    for l in range(2 + (e + p) % 2):
+        if l > 0:
+            ops.append("0 -14 Td")
+        codes = _cid_encode(_pdf_cid_line_text(e, p, l)).hex().upper()
+        if l == 1:
+            mid = (len(codes) // 2) - (len(codes) // 2) % 4  # code boundary
+            ops.append(f"[<{codes[:mid]}> -250 <{codes[mid:]}>] TJ")
+        else:
+            ops.append(f"<{codes}> Tj")
+    ops.append("ET")
+    return " ".join(ops).encode("latin-1")
+
+
+def synth_pdf_cid(doc_id: int) -> bytes:
+    """Doc-deterministic classic-syntax PDF whose text is shown
+    through a Type0 (Identity-H) font with a real /ToUnicode CMap —
+    ASCII identity bfrange, Greek bfchar entries, fi/fl ligatures via
+    an array-destination bfrange — and whose content streams rotate
+    through the full filter grid (none / Flate / ASCIIHex / ASCII85 /
+    RunLength / LZW / ASCII85+Flate chain by (doc_id+p)%7); the CMap
+    stream itself is Flate on odd docs."""
+    d = doc_id
+    np_ = _pdf_n_pages(d)
+    # 1 catalog, 2 pages root, 3 Type0 font, 4 info, 5 ToUnicode CMap,
+    # 6 descendant CIDFont, 7.. pages, 7+np.. contents, [nested last]
+    page_nums = [7 + p for p in range(np_)]
+    content_nums = [7 + np_ + p for p in range(np_)]
+    nested = np_ == 3
+    nested_num = 7 + 2 * np_
+    objects: dict[int, bytes] = {}
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    if nested:
+        kids = f"[{page_nums[0]} 0 R {nested_num} 0 R]"
+        objects[nested_num] = (
+            f"<< /Type /Pages /Parent 2 0 R /Kids [{page_nums[1]} 0 R "
+            f"{page_nums[2]} 0 R] /Count 2 >>"
+        ).encode()
+    else:
+        kids = "[" + " ".join(f"{n} 0 R" for n in page_nums) + "]"
+    objects[2] = f"<< /Type /Pages /Kids {kids} /Count {np_} >>".encode()
+    objects[3] = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID "
+        b"/Encoding /Identity-H /DescendantFonts [6 0 R] /ToUnicode 5 0 R >>"
+    )
+    objects[4] = f"<< /Title (Doc {d}) /Author (author a{d % 5}) >>".encode()
+    if d % 2 == 1:
+        cmap = zlib.compress(_CID_CMAP, 6)
+        chead = f"<< /Length {len(cmap)} /Filter /FlateDecode >>"
+    else:
+        cmap = _CID_CMAP
+        chead = f"<< /Length {len(cmap)} >>"
+    objects[5] = chead.encode() + b"\nstream\n" + cmap + b"\nendstream"
+    objects[6] = (
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth-CID "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >>"
+    )
+    for p in range(np_):
+        parent = nested_num if (nested and p > 0) else 2
+        objects[page_nums[p]] = (
+            f"<< /Type /Page /Parent {parent} 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {content_nums[p]} 0 R "
+            f"/Resources << /Font << /F1 3 0 R >> >> >>"
+        ).encode()
+        data, head = _filter_encode(_cid_content_stream(d, p), d, p)
+        objects[content_nums[p]] = f"<< {head} >>".encode() + b"\nstream\n" + data + b"\nendstream"
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_at = len(out)
+    size = max(objects) + 1
+    out += f"xref\n0 {size}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, size):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {size} /Root 1 0 R /Info 4 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def expected_pdf_cid_row(d: int) -> dict:
+    """Pure-arithmetic expectation for parse_pdf(synth_pdf_cid(d))."""
+    np_ = _pdf_n_pages(d)
+    lines = []
+    for p in range(np_):
+        for l in range(2 + (d + p) % 2):
+            lines.append(_pdf_cid_line_text(d, p, l))
+    text = "\n".join(lines)
+    return {
+        "n_pages": np_,
+        "n_objects": 6 + 2 * np_ + (1 if np_ == 3 else 0),
+        "title": f"Doc {d}",
+        "author": f"author a{d % 5}",
+        "text": text,
+        "n_chars": len(text),
+        "n_words": len(text.split()),
+    }
+
+
+def pdf_text_cid_roundtrip(spark, sf_dir: str):
+    """Oracle-checkable CID-font PDF extraction: per doc a Type0/
+    Identity-H document with a real ToUnicode CMap (Greek bfchars,
+    fi/fl array bfrange) and the full filter grid on its content
+    streams, read back through xref -> fonts -> CMap -> content text,
+    the Unicode text restated via the SAME pdf_text_sql fragment."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                c = parse_pdf(synth_pdf_cid(d))
+                row = {"doc_id": d}
+                row.update({k: (c.get(k) if c else None) for k in _COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["doc_id"] + _COLS)
+
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+_CID_SUFFIX_SQL = (
+    "CASE e % 3 WHEN 0 THEN ' α' WHEN 1 THEN ' βγ' ELSE ' fifl' END"
+)
+
+PDF_TEXT_CID_ORACLE = f"""
+WITH x AS ({{cid}})
+SELECT doc_id, n_pages, n_objects, title, author, text,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(length(text)
+            - length(replace(replace(text, chr(10), ' '), ' ', ''))
+            + 1 AS INT) AS n_words
+FROM x ORDER BY doc_id
+""".format(
+    cid=pdf_text_sql(
+        "SELECT doc_id, doc_id AS e FROM documents",
+        suffix_sql=_CID_SUFFIX_SQL,
+        n_base=6,
+    )
+)
 
 
 PDF_TEXT_MODERN_ORACLE = f"""

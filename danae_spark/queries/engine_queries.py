@@ -811,3 +811,21 @@ def feed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     wants — restated in SQL (operators/feeds.py). The harvest
     dispatcher routes feed payloads to this extractor."""
     return _feeds.feed_extract_roundtrip(spark, sf_dir)
+
+
+@register("pdf_text_cid", oracle=_pdf.PDF_TEXT_CID_ORACLE)
+def pdf_text_cid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CID-font PDF extraction (r11): the widest real-PDF class — most
+    modern PDFs embed Type0 composite fonts. Per doc a classic-syntax
+    PDF shows its text through a Type0/Identity-H font with a real
+    /ToUnicode CMap (ASCII identity bfrange, Greek bfchar entries,
+    fi/fl ligatures via an ARRAY-destination bfrange), and its content
+    streams rotate through the full filter grid: none / Flate /
+    ASCIIHex / ASCII85 / RunLength / LZW / an ASCII85+Flate CHAIN by
+    (doc_id+p)%7. Read back through xref -> page /Resources fonts ->
+    CMap -> 2-byte-code text ops; the Unicode text restates via the
+    SAME pdf_text_sql fragment as the classic and modern entries
+    (multimodal/pdf.py _parse_tounicode / page_fonts / _apply_filter).
+    A Type0 font WITHOUT a ToUnicode, or an unmapped CID, rejects
+    whole — pinned by tests/test_pdf.py."""
+    return _pdf.pdf_text_cid_roundtrip(spark, sf_dir)

@@ -89,8 +89,11 @@ def test_declared_boundaries():
     ok = _minimal()
     # encryption rejects whole
     assert parse_pdf(_minimal(trailer_extra="/Encrypt 9 0 R ")) is None
-    # non-Flate filter rejects whole
+    # image filters stay declared rejects
     bad = _minimal()
+    assert parse_pdf(bad.replace(b"<< /Length", b"<< /Filter /DCTDecode /Length")) is None
+    # a supported filter name over data that is NOT that encoding also
+    # rejects (here: raw text fed to the LZW decoder)
     assert parse_pdf(bad.replace(b"<< /Length", b"<< /Filter /LZWDecode /Length")) is None
     # inline image rejects whole
     assert parse_pdf(_minimal(b"BT (x) Tj ET BI /W 1 ID \x00 EI")) is None
@@ -190,4 +193,115 @@ def test_modern_oracle_matches_duckdb(spark, sf_dir):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
     want = [tuple(r) for r in con.execute(PDF_TEXT_MODERN_ORACLE).fetchall()]
+    assert len(got) == len(want) and got == want
+
+
+def test_cid_roundtrip_grid():
+    from danae_spark.multimodal.pdf import expected_pdf_cid_row, synth_pdf_cid
+
+    for d in range(80):
+        assert parse_pdf(synth_pdf_cid(d)) == expected_pdf_cid_row(d), d
+
+
+def test_cid_rejections():
+    """The mojibake guards: Type0 without ToUnicode, predefined CMap
+    encodings, unmapped CIDs, and Tf naming an unknown font all
+    reject whole."""
+    from danae_spark.multimodal.pdf import synth_pdf_cid
+
+    ok = synth_pdf_cid(0)
+    assert parse_pdf(ok) is not None
+    # Type0 font without a ToUnicode CMap
+    assert parse_pdf(ok.replace(b"/ToUnicode 5 0 R ", b"")) is None
+    # predefined CMap encoding (not Identity-H/V): declared reject
+    assert parse_pdf(ok.replace(b"/Identity-H", b"/GBK-EUC-H ", 1)) is None
+    # an unmapped CID in shown text: <E500> maps to nothing
+    bad = ok.replace(b"<0070", b"<E500", 1)  # first 'p' of the text
+    assert parse_pdf(bad) is None
+    # Tf naming a font absent from /Resources
+    assert parse_pdf(ok.replace(b"/F1 12 Tf", b"/F9 12 Tf")) is None
+
+
+def test_cid_tounicode_cmap_forms():
+    """CMap parser details: bfrange base-increment, array destinations,
+    bfchar, and reject-on-overflow of the base increment."""
+    from danae_spark.multimodal.pdf import _Bad, _parse_tounicode
+
+    cmap = (
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<0041> <0043> <0061>\nendbfrange\n"
+        b"1 beginbfrange\n<0100> <0101> [<00660066> <0041>]\nendbfrange\n"
+        b"1 beginbfchar\n<0200> <D83DDE00>\nendbfchar\n"
+        b"endcmap"
+    )
+    dec = _parse_tounicode(cmap)
+    assert dec.clen == 2
+    assert dec("\x00\x41\x00\x42\x00\x43") == "abc"  # base-increment
+    assert dec("\x01\x00") == "ff" and dec("\x01\x01") == "A"  # array dst
+    assert dec("\x02\x00") == "\U0001f600"  # UTF-16 surrogate pair decodes
+    try:
+        dec("\x05\x00")
+        assert False, "unmapped CID must raise"
+    except _Bad:
+        pass
+    # mixed-length codespaces are a declared reject
+    mixed = cmap.replace(b"1 begincodespacerange\n<0000> <FFFF>",
+                         b"2 begincodespacerange\n<00> <FF>\n<0000> <FFFF>")
+    try:
+        _parse_tounicode(mixed)
+        assert False
+    except _Bad:
+        pass
+
+
+def test_filter_decoder_rejections():
+    from danae_spark.multimodal.pdf import (
+        _Bad,
+        _ascii85_decode,
+        _asciihex_decode,
+        _lzw_decode,
+        _lzw_encode,
+        _runlength_decode,
+    )
+
+    for fn, bad in [
+        (_asciihex_decode, b"4142"),            # missing '>' EOD
+        (_asciihex_decode, b"41zz>"),           # non-hex digits
+        (_asciihex_decode, b"41> junk"),        # bytes after EOD
+        (_ascii85_decode, b"87cUR"),            # missing '~>' EOD
+        (_ascii85_decode, b"8z7cUR~>"),         # z inside a group
+        (_ascii85_decode, b"uuuuu~>"),          # group value overflow
+        (_ascii85_decode, b"a~>"),              # 1-char final group
+        (_runlength_decode, b"\x05hello"),      # missing EOD
+        (_runlength_decode, b"\x04hello\x80x"), # bytes after EOD
+        (_runlength_decode, b"\xfe"),           # repeat with no byte
+        (_lzw_decode, b""),                     # truncated (no EOD)
+        (_lzw_decode, b"\xff\xff\xff"),         # out-of-table code
+    ]:
+        try:
+            fn(bad)
+            assert False, (fn.__name__, bad)
+        except _Bad:
+            pass
+    # LZW roundtrip across a clear-code boundary (~4k table entries)
+    import random
+
+    rng = random.Random(11)
+    blob = bytes(rng.randrange(256) for _ in range(80_000))
+    assert _lzw_decode(_lzw_encode(blob)) == blob
+
+
+def test_cid_oracle_matches_duckdb(spark, sf_dir):
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal.pdf import PDF_TEXT_CID_ORACLE
+    from danae_spark.queries import load_all
+
+    fn = load_all()["pdf_text_cid"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(PDF_TEXT_CID_ORACLE).fetchall()]
     assert len(got) == len(want) and got == want
