@@ -56,14 +56,19 @@ def harvest_text(payload: bytes, _depth: int = 0) -> dict | None:
     HTML pages / PDFs / subtitles harvests all of them; plain-text
     members contribute only under a text extension (.txt/.md) — an
     unnamed binary blob that HAPPENS to decode must not leak control
-    characters into a corpus. Non-UTF-8 HTML decodes via its DECLARED
-    legacy charset (htmltext._decode_page); undeclared binary
-    rejects."""
+    characters into a corpus. Non-UTF-8 HTML decodes per WHATWG
+    precedence — HTTP-header charset (WARC route) > meta declaration >
+    guarded windows-1252 fallback (htmltext._decode_page); binary
+    payloads reject via the control-character sniff."""
     from danae_spark.multimodal.archive import iter_archive_members, parse_archive
     from danae_spark.multimodal.htmltext import parse_html_text
     from danae_spark.multimodal.pdf import parse_pdf
     from danae_spark.multimodal.subtitles import parse_subtitles
-    from danae_spark.multimodal.warc import iter_warc_responses, parse_warc
+    from danae_spark.multimodal.warc import (
+        content_type_charset,
+        iter_warc_responses,
+        parse_warc,
+    )
 
     p = bytes(payload) if payload is not None else b""
     if not p:
@@ -84,7 +89,7 @@ def harvest_text(payload: bytes, _depth: int = 0) -> dict | None:
         pages = []
         for _uri, status, ctype, body in iter_warc_responses(p):
             if status == 200 and (ctype or "").startswith("text/html"):
-                ext = parse_html_text(body)
+                ext = parse_html_text(body, content_type_charset(ctype))
                 if ext is None:
                     return None  # a 200 html body that cannot be walked
                 pages.append(ext["text"])
@@ -157,19 +162,20 @@ def harvest_text(payload: bytes, _depth: int = 0) -> dict | None:
             "text": feed["text"],
         }
 
+    from danae_spark.multimodal.htmltext import _decode_page, _looks_binary
+
+    if _looks_binary(p):
+        return None  # NULs / control density: binary, not a document
     try:
         raw = p.decode("utf-8")
     except UnicodeDecodeError:
-        # not UTF-8: an HTML page may still DECLARE a legacy charset
-        ext = parse_html_text(p)
-        if ext is None:
+        # not UTF-8: WHATWG ladder (meta charset, then the guarded
+        # windows-1252 fallback); the class split below still applies,
+        # so legacy PLAIN TEXT stays class "text" and the archive
+        # text-extension guard keeps filtering it
+        raw = _decode_page(p)
+        if raw is None:
             return None
-        return {
-            "doc_class": "html",
-            "format": "html",
-            "title": ext["title"],
-            "text": ext["text"],
-        }
     if "<" not in raw:
         return {"doc_class": "text", "format": "txt", "title": None, "text": raw}
     ext = parse_html_text(p)

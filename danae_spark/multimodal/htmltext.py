@@ -178,36 +178,84 @@ _LEGACY_CHARSETS = {
 }
 
 
-def _decode_page(payload: bytes) -> str | None:
-    """UTF-8 first; on failure honor a declared legacy charset
-    (<meta charset=...> or http-equiv content=...charset=...) from the
-    WHATWG-mapped set above. Undeclared or unknown charsets reject —
-    guessing an encoding silently corrupts corpus text."""
+def _looks_binary(payload: bytes) -> bool:
+    """Guard for the undeclared-charset fallback: a NUL byte or >2%
+    C0 control characters (excluding tab/LF/FF/CR) in the first 4 KiB
+    says 'not text' — windows-1252 would happily 'decode' a JPEG."""
+    sample = payload[:4096]
+    if not sample:
+        return False
+    if b"\x00" in sample:
+        return True
+    ctrl = sum(1 for c in sample if c < 0x20 and c not in (9, 10, 12, 13))
+    return ctrl > len(sample) * 0.02
+
+
+def _decode_page(payload: bytes, header_charset: str | None = None) -> str | None:
+    """Decode an HTML payload following WHATWG precedence:
+
+      1. a byte-order mark outranks EVERYTHING (WHATWG "BOM sniffing"):
+         EF BB BF -> UTF-8, FF FE -> UTF-16LE, FE FF -> UTF-16BE,
+         decode failure rejects;
+      2. a transport-layer charset (the HTTP Content-Type `charset=`
+         parameter) OUTRANKS any in-document meta declaration — when
+         given, it is used directly (unknown names or decode failures
+         reject; no second-guessing a server that declared wrongly);
+      3. otherwise UTF-8 is tried first;
+      4. then a declared legacy charset (<meta charset=...> or
+         http-equiv content=...charset=...) from the WHATWG-mapped
+         set above;
+      5. undeclared non-UTF-8 content falls back to windows-1252 —
+         WHATWG's default for undeclared content and the long tail of
+         real crawls — GUARDED by a binary sniff (_looks_binary), so
+         actual binary never 'decodes'."""
+    for bom, codec in ((b"\xef\xbb\xbf", "utf-8"), (b"\xff\xfe", "utf-16-le"),
+                       (b"\xfe\xff", "utf-16-be")):
+        if payload[: len(bom)] == bom:
+            try:
+                return payload[len(bom) :].decode(codec)
+            except UnicodeDecodeError:
+                return None
+    if header_charset is not None:
+        codec = _LEGACY_CHARSETS.get(header_charset.lower())
+        if codec is None:
+            return None  # unknown transport charset: reject, don't guess
+        try:
+            return payload.decode(codec)
+        except UnicodeDecodeError:
+            return None
     try:
         return payload.decode("utf-8")
     except (UnicodeDecodeError, AttributeError):
         pass
     m = _CHARSET_DECL.search(payload[:4096])
-    if not m:
+    if m:
+        codec = _LEGACY_CHARSETS.get(m.group(1).decode("ascii", "replace").lower())
+        if codec is None or codec == "utf-8":
+            return None  # declared utf-8 but invalid utf-8: corrupt page
+        try:
+            return payload.decode(codec)
+        except UnicodeDecodeError:
+            return None
+    if _looks_binary(payload):
         return None
-    codec = _LEGACY_CHARSETS.get(m.group(1).decode("ascii", "replace").lower())
-    if codec is None or codec == "utf-8":
-        return None  # declared utf-8 but invalid utf-8: corrupt page
     try:
-        return payload.decode(codec)
+        return payload.decode("windows-1252")
     except UnicodeDecodeError:
-        return None
+        return None  # 0x81/0x8D/0x8F/0x90/0x9D: undefined in cp1252
 
 
-def parse_html_text(payload: bytes) -> dict | None:
+def parse_html_text(payload: bytes, header_charset: str | None = None) -> dict | None:
     """Extract the visible training text from an HTML payload.
 
     Returns {title, text, n_chars, n_words, n_links, n_headings,
     n_paragraphs, n_list_items, link_density} or None when the page
     cannot be walked (see module docstring for the reject contract).
-    Non-UTF-8 pages decode via their DECLARED legacy charset
-    (_decode_page); undeclared binary rejects."""
-    text = _decode_page(payload)
+    `header_charset` is the HTTP Content-Type charset parameter when
+    the page arrived over HTTP (it outranks meta per WHATWG); decode
+    precedence and the guarded windows-1252 fallback for undeclared
+    pages live in _decode_page."""
+    text = _decode_page(payload, header_charset)
     if text is None:
         return None
 

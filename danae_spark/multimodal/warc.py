@@ -271,6 +271,21 @@ def _parse_http_response(body: bytes) -> dict | None:
     return {"status": status, "content_type": ctype, "body": payload}
 
 
+def content_type_charset(ctype: str | None) -> str | None:
+    """The `charset=` parameter of an HTTP Content-Type value (RFC
+    9110 media-type parameters; quotes stripped, lowercased). Per
+    WHATWG, this transport-layer declaration OUTRANKS any in-document
+    <meta charset> — the HTML decoder honors that precedence."""
+    if not ctype:
+        return None
+    for part in ctype.split(";")[1:]:
+        k, _, v = part.partition("=")
+        if k.strip().lower() == "charset":
+            v = v.strip().strip('"').strip("'").lower()
+            return v or None
+    return None
+
+
 def _records(payload: bytes) -> list[dict] | None:
     """Walk a WARC payload (plain or .warc.gz) into validated records;
     None on any structural violation."""
@@ -611,7 +626,7 @@ def crawl_html_extract_roundtrip(spark, sf_dir: str):
                         "link_density": None,
                     }
                     if status == 200 and (ctype or "").startswith("text/html"):
-                        ext = parse_html_text(body)
+                        ext = parse_html_text(body, content_type_charset(ctype))
                         if ext is not None:
                             row.update(
                                 {
@@ -673,3 +688,131 @@ ORDER BY allp.doc_id, allp.uri
 
 
 CRAWL_HTML_ORACLE = _crawl_oracle()
+
+
+# --------------------------------------------- charset-routing composition
+
+# per-page charset fixtures: (meta tag or '', header Content-Type,
+# encoding the bytes actually use, paragraph-text template over d)
+_CHARSET_PAGES = [
+    # UTF-8 with meta and header both declaring it — the common case
+    ('<meta charset="utf-8">', "text/html; charset=utf-8", "utf-8",
+     "café w{a} résumé"),
+    # header-declared legacy, NO meta — only the transport layer knows
+    ("", "text/html; charset=iso-8859-1", "windows-1252",
+     "crème w{b} café"),
+    # NO declaration anywhere: the guarded WHATWG windows-1252 fallback
+    ("", "text/html", "windows-1252",
+     "naïve k{a} déjà"),
+    # header says windows-1252, meta LIES utf-8: header must win (the
+    # bytes are 1252; honoring the meta would reject on bad utf-8)
+    ('<meta charset="utf-8">', "text/html; charset=windows-1252",
+     "windows-1252", "déjà vu x{c}"),
+]
+
+
+def charset_page_text(d: int, p: int) -> str:
+    return _CHARSET_PAGES[p][3].format(a=d % 9, b=d % 7, c=d % 5)
+
+
+def synth_charset_warc(doc_id: int) -> bytes:
+    """Doc-deterministic WARC of four HTML responses exercising the
+    WHATWG charset-precedence ladder: meta+header UTF-8, header-only
+    legacy, undeclared windows-1252 (fallback), and a header-beats-
+    lying-meta page. Bodies are minimal one-paragraph pages so the
+    extracted STRINGS restate as SQL arithmetic."""
+    d = doc_id
+    host = f"site{d % 5}.example"
+    recs: list[bytes] = []
+    info = b"software: danae-spark/1.0\r\nformat: WARC File Format 1.1\r\n"
+    recs.append(_record("warcinfo", d * 100, info, {"Content-Type": "application/warc-fields"}))
+    for p, (meta, ctype, codec, _tpl) in enumerate(_CHARSET_PAGES):
+        uri = f"http://{host}/c{p}"
+        html = (
+            f"<html><head>{meta}<title>P{p} d{d % 10}</title></head>"
+            f"<body><p>{charset_page_text(d, p)}</p></body></html>"
+        ).encode(codec)
+        resp = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n\r\n"
+        ).encode() + html
+        recs.append(
+            _record(
+                "response",
+                d * 100 + p + 1,
+                resp,
+                {"WARC-Target-URI": uri, "Content-Type": "application/http;msgtype=response"},
+            )
+        )
+    if d % 2 == 1:
+        return b"".join(_gzip_member(r) for r in recs)
+    return b"".join(recs)
+
+
+def crawl_charset_extract_roundtrip(spark, sf_dir: str):
+    """Oracle-certified charset routing: the WARC walk hands each
+    response's Content-Type charset to the HTML decoder, which applies
+    WHATWG precedence (header > meta > UTF-8-then-fallback); every
+    page's TITLE and extracted TEXT — accented characters included —
+    value-check against SQL string arithmetic, so a precedence bug or
+    a mojibake decode cannot pass."""
+    from danae_spark.catalog import load_table
+    from danae_spark.multimodal.htmltext import parse_html_text
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                for uri, status, ctype, body in iter_warc_responses(synth_charset_warc(d)):
+                    ext = (
+                        parse_html_text(body, content_type_charset(ctype))
+                        if status == 200 and (ctype or "").startswith("text/html")
+                        else None
+                    )
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "uri": uri,
+                            "title": ext["title"] if ext else None,
+                            "text": ext["text"] if ext else None,
+                            "n_chars": ext["n_chars"] if ext else None,
+                            "n_words": ext["n_words"] if ext else None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "uri", "title", "text", "n_chars", "n_words"]
+            )
+
+    schema = "doc_id bigint, uri string, title string, text string, n_chars int, n_words int"
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=schema)
+        .orderBy("doc_id", "uri")
+    )
+
+
+CRAWL_CHARSET_ORACLE = """
+WITH pages AS (
+  SELECT d.doc_id, p.p,
+         'http://site' || CAST(d.doc_id % 5 AS VARCHAR) || '.example/c'
+           || CAST(p.p AS VARCHAR) AS uri,
+         'P' || CAST(p.p AS VARCHAR) || ' d'
+           || CAST(d.doc_id % 10 AS VARCHAR) AS title,
+         CASE p.p
+           WHEN 0 THEN 'café w' || CAST(d.doc_id % 9 AS VARCHAR) || ' résumé'
+           WHEN 1 THEN 'crème w' || CAST(d.doc_id % 7 AS VARCHAR) || ' café'
+           WHEN 2 THEN 'naïve k' || CAST(d.doc_id % 9 AS VARCHAR) || ' déjà'
+           ELSE 'déjà vu x' || CAST(d.doc_id % 5 AS VARCHAR)
+         END AS text
+  FROM documents d, generate_series(0, 3) p(p)
+)
+SELECT doc_id, uri, title, text,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_words
+FROM pages ORDER BY doc_id, uri
+"""

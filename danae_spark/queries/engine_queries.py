@@ -829,3 +829,20 @@ def pdf_text_cid(spark: SparkSession, sf_dir: str) -> DataFrame:
     A Type0 font WITHOUT a ToUnicode, or an unmapped CID, rejects
     whole — pinned by tests/test_pdf.py."""
     return _pdf.pdf_text_cid_roundtrip(spark, sf_dir)
+
+
+@register("crawl_charset_extract", oracle=_warc.CRAWL_CHARSET_ORACLE)
+def crawl_charset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-routing crawl extraction (r11): the WHATWG precedence
+    ladder certified end-to-end — per doc a WARC of four HTML
+    responses covering meta+header UTF-8, header-only legacy
+    (iso-8859-1, no meta), UNDECLARED windows-1252 (the guarded
+    fallback — WHATWG's default for real crawls' long tail), and a
+    header-beats-lying-meta page (bytes are 1252, meta says utf-8:
+    honoring the meta would reject). The WARC walk hands each
+    response's Content-Type charset= parameter to the HTML decoder
+    (warc.content_type_charset -> htmltext._decode_page), and every
+    extracted TITLE and TEXT string — accents included — value-checks
+    against SQL string arithmetic, so a precedence bug or mojibake
+    cannot pass (multimodal/warc.py synth_charset_warc)."""
+    return _warc.crawl_charset_extract_roundtrip(spark, sf_dir)

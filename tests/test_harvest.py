@@ -72,7 +72,7 @@ def test_plain_vs_html_split():
 
 def test_corrupt_and_empty():
     assert harvest_text(b"") is None
-    assert harvest_text(b"\xff\xfe\x00") is None  # not UTF-8, no magic
+    assert harvest_text(b"\x00\x01\x02\x03") is None  # binary, no magic
     assert harvest_text(b"%PDF-1.4 truncated") is None
     assert harvest_text(b"PK\x03\x04 not a zip") is None
     # archive with no text-bearing members harvests as None
@@ -83,7 +83,7 @@ def test_corrupt_and_empty():
 
 def test_frame_nulls_and_id_col(spark):
     df = spark.createDataFrame(
-        [(1, bytearray(synth_doc(1))), (2, bytearray(b"\xff\xfe")), (3, None)],
+        [(1, bytearray(synth_doc(1))), (2, bytearray(b"\x00\x01\x02\x03")), (3, None)],
         "media_id long, blob binary",
     )
     out = {
@@ -173,10 +173,36 @@ def test_legacy_charset_fallback():
     # the harvest dispatcher routes non-UTF-8 declared-charset pages to html
     c = harvest_text(page)
     assert c is not None and c["doc_class"] == "html" and c["text"] == "café crème"
-    # undeclared non-UTF-8 still rejects (no encoding guessing)
-    assert parse_html_text("<p>caf\xe9</p>".encode("windows-1252")) is None
+    # undeclared non-UTF-8 falls back to windows-1252 (WHATWG default)
+    got = parse_html_text("<p>caf\xe9</p>".encode("windows-1252"))
+    assert got is not None and got["text"] == "café"
+    # ...but the fallback is binary-guarded: NULs / control density reject
+    assert parse_html_text(b"<p>x</p>\x00\xe9" + bytes(range(0, 8)) * 4) is None
     # declared utf-8 but invalid utf-8 is a corrupt page
     assert parse_html_text(b'<meta charset="utf-8"><p>caf\xe9</p>') is None
+
+
+def test_header_charset_precedence():
+    """The HTTP Content-Type charset outranks a lying meta declaration
+    (WHATWG); and an unknown header charset rejects whole."""
+    from danae_spark.multimodal.htmltext import parse_html_text
+    from danae_spark.multimodal.warc import content_type_charset
+
+    assert content_type_charset("text/html; charset=ISO-8859-1") == "iso-8859-1"
+    assert content_type_charset('text/html; charset="utf-8"') == "utf-8"
+    assert content_type_charset("text/html") is None
+    assert content_type_charset(None) is None
+
+    page = '<meta charset="utf-8"><p>caf\xe9</p>'.encode("windows-1252")
+    # meta alone: utf-8 declared but bytes are 1252 -> corrupt page
+    assert parse_html_text(page) is None
+    # header wins over the lying meta
+    got = parse_html_text(page, "windows-1252")
+    assert got is not None and got["text"] == "café"
+    # unknown header charset: reject, never guess
+    assert parse_html_text(page, "shift_jis") is None
+    # header utf-8 over non-utf-8 bytes: corrupt page
+    assert parse_html_text(page, "utf-8") is None
 
 
 def test_archive_members_full_dispatch():

@@ -98,8 +98,16 @@ def test_link_density_arithmetic():
     assert empty["n_chars"] == 0 and empty["link_density"] == 0.0
 
 
-def test_reject_bad_utf8():
-    assert parse_html_text(b"\xff\xfe<p>x</p>") is None
+def test_bom_and_binary_decode():
+    # FF FE is a UTF-16LE BOM (WHATWG BOM sniffing outranks all):
+    # a real UTF-16LE page decodes
+    page16 = b"\xff\xfe" + "<p>bom page</p>".encode("utf-16-le")
+    got = parse_html_text(page16)
+    assert got is not None and got["text"] == "bom page"
+    # a BOM over bytes that are NOT valid UTF-16 (odd length) rejects
+    assert parse_html_text(b"\xff\xfe<p>x</p>" + b"\x41") is None
+    # genuinely binary payloads reject via the control-character sniff
+    assert parse_html_text(b"<p>x</p>" + bytes(range(1, 9)) * 8 + b"\xe9") is None
 
 
 def test_frame_nulls_and_id_col(spark):

@@ -14,7 +14,7 @@ def test_stream_matches_batch(spark, tmp_path):
     # two landed files -> two micro-batches; mixed classes + a corrupt blob
     rows1 = [(d, bytearray(synth_doc(d))) for d in range(0, 7)]
     rows2 = [(d, bytearray(synth_doc(d))) for d in range(7, 13)] + [
-        (99, bytearray(b"\xff\xfe"))
+        (99, bytearray(b"\x00\x01\x02\x03"))
     ]
     spark.createDataFrame(rows1, "doc_id long, payload binary").coalesce(1).write.parquet(
         blob_dir + "/f1"
