@@ -13,8 +13,18 @@ implemented for real:
     match), and FULL data verification — stored (method 0) and
     raw-deflate (method 8) members are actually decompressed and
     checked against both the declared uncompressed size AND the CRC-32.
-    Declared rejects: encryption (flag bit 0), data descriptors
-    (bit 3), zip64 markers, any other method.
+    DATA DESCRIPTORS (flag bit 3 — the streamed-writer convention:
+    local sizes/CRC are zero, real values follow the member data) are
+    read using the authoritative central-directory values and the
+    trailing descriptor (optional PK\\x07\\x08 signature; 8-byte sizes
+    when the member carries a zip64 extra) is verified against them.
+    ZIP64 is walked for real: saturated (0xFFFF/0xFFFFFFFF) EOCD
+    fields route through the zip64 EOCD locator (PK\\x06\\x07) to the
+    zip64 EOCD record (PK\\x06\\x06), and saturated per-entry fields
+    (usize/csize/local offset) resolve from the 0x0001 extended-
+    information extra field — the 8-byte arithmetic >4 GiB archives
+    need. Declared rejects: encryption (flag bit 0), multi-disk, any
+    other method.
   - TAR (POSIX ustar): 512-byte header blocks with the checksum
     recomputed (chksum field read as spaces), octal size fields,
     `ustar` magic (POSIX and GNU forms), file/dir/other typeflags,
@@ -61,6 +71,44 @@ _LOCAL = b"PK\x03\x04"
 # ------------------------------------------------------------------- ZIP
 
 
+def _extra_zip64(extra: bytes, want_usize: bool, want_csize: bool, want_off: bool):
+    """Resolve saturated central-entry fields from the 0x0001 zip64
+    extended-information extra field (values present only for the
+    saturated fields, in usize/csize/offset order). Returns
+    (usize, csize, local_off) with None for fields not requested, or
+    None on a malformed extra block."""
+    p = 0
+    while p + 4 <= len(extra):
+        fid, flen = struct.unpack_from("<HH", extra, p)
+        p += 4
+        if p + flen > len(extra):
+            return None
+        if fid == 0x0001:
+            q = p
+            vals = []
+            for want in (want_usize, want_csize, want_off):
+                if not want:
+                    vals.append(None)
+                    continue
+                if q + 8 > p + flen:
+                    return None
+                vals.append(struct.unpack_from("<Q", extra, q)[0])
+                q += 8
+            return tuple(vals)
+        p += flen
+    return None  # saturated field but no zip64 extra
+
+
+def _has_zip64_extra(extra: bytes) -> bool:
+    p = 0
+    while p + 4 <= len(extra):
+        fid, flen = struct.unpack_from("<HH", extra, p)
+        if fid == 0x0001:
+            return True
+        p += 4 + flen
+    return False
+
+
 def _zip_members(payload: bytes) -> list[tuple[str, bool, int, int, bytes]] | None:
     """Walk a ZIP into [(name, is_dir, usize, csize, data)]; None on
     any structural violation."""
@@ -82,14 +130,31 @@ def _zip_members(payload: bytes) -> list[tuple[str, bool, int, int, bytes]] | No
     )
     if disk != 0 or cd_disk != 0 or n_disk != n_total:
         return None
+    cd_end = found
     if 0xFFFF in (n_disk, n_total) or 0xFFFFFFFF in (cd_size, cd_off):
-        return None  # zip64: declared reject
-    if cd_off + cd_size != found:
+        # zip64: the locator sits immediately before the EOCD and names
+        # the zip64 EOCD record, which carries the 8-byte truth
+        loc_at = found - 20
+        if loc_at < 0 or payload[loc_at : loc_at + 4] != b"PK\x06\x07":
+            return None
+        l_disk, z_off, l_ndisks = struct.unpack_from("<IQI", payload, loc_at + 4)
+        if l_disk != 0 or l_ndisks != 1 or z_off + 56 > n:
+            return None
+        if payload[z_off : z_off + 4] != b"PK\x06\x06":
+            return None
+        (z_size, _vm, _vn, zd, zcd, zn_disk, zn_total, zcd_size, zcd_off) = (
+            struct.unpack_from("<QHHIIQQQQ", payload, z_off + 4)
+        )
+        if z_size < 44 or zd != 0 or zcd != 0 or zn_disk != zn_total:
+            return None
+        n_total, cd_size, cd_off = zn_total, zcd_size, zcd_off
+        cd_end = z_off  # the central directory ends where the record begins
+    if cd_off + cd_size != cd_end:
         return None
     out = []
     p = cd_off
     for _ in range(n_total):
-        if payload[p : p + 4] != _CDIR or p + 46 > found:
+        if payload[p : p + 4] != _CDIR or p + 46 > cd_end:
             return None
         (
             _ver_made,
@@ -109,12 +174,21 @@ def _zip_members(payload: bytes) -> list[tuple[str, bool, int, int, bytes]] | No
             _eattr,
             local_off,
         ) = struct.unpack_from("<HHHHHHIIIHHHHHII", payload, p + 4)
-        if flags & 0x0001 or flags & 0x0008:
-            return None  # encryption / data descriptor: declared reject
+        if flags & 0x0001:
+            return None  # encryption: declared reject
+        has_dd = bool(flags & 0x0008)  # streamed writer: data descriptor
         if method not in (0, 8):
             return None
         if 0xFFFFFFFF in (csize, usize, local_off):
-            return None  # zip64
+            extra = payload[p + 46 + name_len : p + 46 + name_len + extra_len]
+            got = _extra_zip64(
+                extra, usize == 0xFFFFFFFF, csize == 0xFFFFFFFF, local_off == 0xFFFFFFFF
+            )
+            if got is None:
+                return None
+            usize = got[0] if got[0] is not None else usize
+            csize = got[1] if got[1] is not None else csize
+            local_off = got[2] if got[2] is not None else local_off
         name = payload[p + 46 : p + 46 + name_len]
         try:
             name_s = name.decode("utf-8")
@@ -125,13 +199,42 @@ def _zip_members(payload: bytes) -> list[tuple[str, bool, int, int, bytes]] | No
         lp = local_off
         if payload[lp : lp + 4] != _LOCAL or lp + 30 > n:
             return None
+        l_crc, l_csize, l_usize = struct.unpack_from("<III", payload, lp + 14)
         l_name_len, l_extra_len = struct.unpack_from("<HH", payload, lp + 26)
         if payload[lp + 30 : lp + 30 + l_name_len] != name:
             return None
+        l_extra = payload[lp + 30 + l_name_len : lp + 30 + l_name_len + l_extra_len]
+        if has_dd:
+            # a streamed writer leaves the local sizes/CRC zero (real
+            # values follow the data); some put the truth there anyway
+            sat = 0xFFFFFFFF
+            if (l_crc, l_csize, l_usize) not in (
+                (0, 0, 0),
+                (crc, csize, usize),
+                (crc, min(csize, sat), min(usize, sat)),
+            ):
+                return None
         dstart = lp + 30 + l_name_len + l_extra_len
         raw = payload[dstart : dstart + csize]
         if len(raw) != csize:
             return None
+        if has_dd:
+            # the descriptor after the data must confirm the central
+            # directory's values; 8-byte sizes iff the LOCAL header
+            # carries a zip64 extra (APPNOTE 4.3.9.2)
+            q = dstart + csize
+            if payload[q : q + 4] == b"PK\x07\x08":
+                q += 4
+            if _has_zip64_extra(l_extra):
+                if q + 20 > n:
+                    return None
+                dd = struct.unpack_from("<IQQ", payload, q)
+            else:
+                if q + 12 > n:
+                    return None
+                dd = struct.unpack_from("<III", payload, q)
+            if dd != (crc, csize, usize):
+                return None
         if method == 0:
             data = raw
         else:
@@ -145,7 +248,7 @@ def _zip_members(payload: bytes) -> list[tuple[str, bool, int, int, bytes]] | No
         if is_dir and usize != 0:
             return None
         out.append((name_s, is_dir, usize, csize, data))
-    if p != found:
+    if p != cd_end:
         return None  # central directory size lie
     return out
 
@@ -287,30 +390,75 @@ def archive_n_files(d: int) -> int:
     return 2 + d % 4
 
 
-def _zip_build(entries: list[tuple[str, bytes, int]]) -> bytes:
-    """entries: (name, data, method). Dirs are names ending '/'."""
+def _zip_build(
+    entries: list[tuple[str, bytes, int]], dd: bool = False, zip64: bool = False
+) -> bytes:
+    """entries: (name, data, method). Dirs are names ending '/'.
+    dd=True emits the streamed-writer layout (flag bit 3, zeroed local
+    sizes/CRC, a PK\\x07\\x08 data descriptor after each member).
+    zip64=True emits the zip64 layout: saturated central fields with
+    0x0001 extended-information extras, a zip64 EOCD record + locator,
+    and a saturated classic EOCD."""
     out = bytearray()
     central = bytearray()
+    sat = 0xFFFFFFFF
     for name, data, method in entries:
         raw = data if method == 0 else zlib.compress(data, 6)[2:-4]  # raw deflate
         crc = zlib.crc32(data)
         nb = name.encode("utf-8")
         local_off = len(out)
-        out += _LOCAL + struct.pack(
-            "<HHHHHIIIHH", 20, 0, method, 0, 0, crc, len(raw), len(data), len(nb), 0
-        )
-        out += nb + raw
-        central += _CDIR + struct.pack(
-            "<HHHHHHIIIHHHHHII",
-            20, 20, 0, method, 0, 0, crc, len(raw), len(data),
-            len(nb), 0, 0, 0, 0, 0, local_off,
-        )
-        central += nb
+        flags = 0x0008 if dd else 0
+        ver = 45 if zip64 else 20
+        if dd:
+            # streaming: sizes unknown at local-header time -> zeros,
+            # truth in the descriptor (4-byte form: no local zip64 extra)
+            out += _LOCAL + struct.pack(
+                "<HHHHHIIIHH", ver, flags, method, 0, 0, 0, 0, 0, len(nb), 0
+            )
+            out += nb + raw
+            out += b"PK\x07\x08" + struct.pack("<III", crc, len(raw), len(data))
+        elif zip64:
+            l_extra = struct.pack("<HHQQ", 1, 16, len(data), len(raw))
+            out += _LOCAL + struct.pack(
+                "<HHHHHIIIHH", ver, flags, method, 0, 0, crc, sat, sat,
+                len(nb), len(l_extra),
+            )
+            out += nb + l_extra + raw
+        else:
+            out += _LOCAL + struct.pack(
+                "<HHHHHIIIHH", ver, flags, method, 0, 0, crc, len(raw), len(data),
+                len(nb), 0,
+            )
+            out += nb + raw
+        if zip64:
+            c_extra = struct.pack("<HHQQQ", 1, 24, len(data), len(raw), local_off)
+            central += _CDIR + struct.pack(
+                "<HHHHHHIIIHHHHHII",
+                45, 45, flags, method, 0, 0, crc, sat, sat,
+                len(nb), len(c_extra), 0, 0, 0, 0, sat,
+            )
+            central += nb + c_extra
+        else:
+            central += _CDIR + struct.pack(
+                "<HHHHHHIIIHHHHHII",
+                20, 20, flags, method, 0, 0, crc, len(raw), len(data),
+                len(nb), 0, 0, 0, 0, 0, local_off,
+            )
+            central += nb
     cd_off = len(out)
     out += central
-    out += _EOCD + struct.pack(
-        "<HHHHIIH", 0, 0, len(entries), len(entries), len(central), cd_off, 0
-    )
+    if zip64:
+        z_off = len(out)
+        out += b"PK\x06\x06" + struct.pack(
+            "<QHHIIQQQQ", 44, 45, 45, 0, 0,
+            len(entries), len(entries), len(central), cd_off,
+        )
+        out += b"PK\x06\x07" + struct.pack("<IQI", 0, z_off, 1)
+        out += _EOCD + struct.pack("<HHHHIIH", 0, 0, 0xFFFF, 0xFFFF, sat, sat, 0)
+    else:
+        out += _EOCD + struct.pack(
+            "<HHHHIIH", 0, 0, len(entries), len(entries), len(central), cd_off, 0
+        )
     return bytes(out)
 
 
@@ -349,7 +497,12 @@ def synth_archive(doc_id: int) -> bytes:
     """Doc-deterministic archive: zip / tar / tar.gz cycling by
     doc_id % 3, a leading 'sub/' directory, then 2-5 media files whose
     payloads are real mixed media (triage's synth_media at
-    e = doc_id*8 + m). ZIP members alternate stored/deflated."""
+    e = doc_id*8 + m). ZIP members alternate stored/deflated; among
+    zip docs, doc_id % 6 == 0 emits the STREAMED layout (flag bit 3 +
+    data descriptors) and doc_id % 9 == 0 the ZIP64 layout (saturated
+    fields, 0x0001 extras, zip64 EOCD + locator) — same members, same
+    census, different wire structure, so the oracle covers all three
+    without restating bytes."""
     from danae_spark.multimodal.triage import synth_media
 
     d = doc_id
@@ -360,7 +513,7 @@ def synth_archive(doc_id: int) -> bytes:
     if fmt == "zip":
         entries = [("sub/", b"", 0)]
         entries += [(name, data, m % 2 * 8) for m, (name, data) in enumerate(files)]
-        return _zip_build(entries)
+        return _zip_build(entries, dd=d % 6 == 0, zip64=d % 9 == 0)
     tar = _tar_build([("sub/", None)] + files)
     if fmt == "tar":
         return tar

@@ -150,3 +150,109 @@ def test_registered_oracle_matches_duckdb(spark, sf_dir):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
     want = [tuple(r) for r in con.execute(ARCHIVE_CENSUS_ORACLE).fetchall()]
     assert len(got) == len(want) and got == want
+
+
+def test_zip_data_descriptor_layout():
+    """Streamed-writer zips (flag bit 3, zeroed local sizes, trailing
+    PK\\x07\\x08 descriptor) walk; a descriptor that contradicts the
+    central directory rejects whole."""
+    files = [("a.txt", b"hello stream", 0), ("b.txt", b"stream" * 30, 8)]
+    z = _zip_build(files, dd=True)
+    got = parse_archive(z)
+    assert got is not None and got["n_files"] == 2
+    assert list(iter_archive_members(z))[0][2] == b"hello stream"
+    # descriptor CRC lie
+    ix = z.find(b"PK\x07\x08")
+    bad = bytearray(z)
+    bad[ix + 4] ^= 0xFF
+    assert parse_archive(bytes(bad)) is None
+    # descriptor truncated off the end of the LAST member
+    ix2 = z.rfind(b"PK\x07\x08")
+    assert parse_archive(z[:ix2] + z[ix2 + 16 :]) is None
+    # descriptor without the optional signature also walks
+    nosig = z[:ix] + z[ix + 4 :]
+    # (removing 4 bytes shifts offsets; only valid if we rebuild, so
+    # instead verify the signature-less form via a hand-built member)
+    import struct as _s
+
+    data = b"plain"
+    raw = data
+    crc = zlib.crc32(data)
+    lo = b"PK\x03\x04" + _s.pack("<HHHHHIIIHH", 20, 8, 0, 0, 0, 0, 0, 0, 5, 0)
+    lo += b"x.txt" + raw + _s.pack("<III", crc, len(raw), len(data))  # no sig
+    cd = b"PK\x01\x02" + _s.pack(
+        "<HHHHHHIIIHHHHHII", 20, 20, 8, 0, 0, 0, crc, len(raw), len(data),
+        5, 0, 0, 0, 0, 0, 0,
+    ) + b"x.txt"
+    eocd = b"PK\x05\x06" + _s.pack("<HHHHIIH", 0, 0, 1, 1, len(cd), len(lo), 0)
+    assert parse_archive(lo + cd + eocd)["n_files"] == 1
+    del nosig
+
+
+def test_zip64_layout():
+    """zip64 EOCD record + locator + 0x0001 extras walk; corrupting
+    the locator or the record rejects whole."""
+    files = [("sub/", b"", 0), ("a.txt", b"sixty-four", 0), ("b.txt", b"z" * 100, 8)]
+    z = _zip_build(files, zip64=True)
+    got = parse_archive(z)
+    assert got is not None and got["n_files"] == 2 and got["n_dirs"] == 1
+    assert dict(
+        (n, d) for n, _dir, d in iter_archive_members(z)
+    )["a.txt"] == b"sixty-four"
+    # locator signature corrupt
+    ix = z.rfind(b"PK\x06\x07")
+    bad = bytearray(z)
+    bad[ix + 3] ^= 0xFF
+    assert parse_archive(bytes(bad)) is None
+    # zip64 EOCD record count lie
+    ix = z.rfind(b"PK\x06\x06")
+    bad = bytearray(z)
+    bad[ix + 24] = 9  # total entries field
+    assert parse_archive(bytes(bad)) is None
+    # a saturated central field with NO 0x0001 extra rejects
+    zdd = _zip_build([("a.txt", b"x", 0)], zip64=True)
+    cd = zdd.find(b"PK\x01\x02")
+    bad = bytearray(zdd)
+    # blank the extra-field id so the zip64 values can't resolve
+    exoff = zdd.find(struct.pack("<HH", 1, 24), cd)
+    bad[exoff] = 9
+    assert parse_archive(bytes(bad)) is None
+
+
+def test_zip64_wide_data_descriptor():
+    """A member whose LOCAL header carries a zip64 extra must use the
+    8-byte data-descriptor form (APPNOTE 4.3.9.2)."""
+    import struct as _s
+
+    data = b"wide descriptor member"
+    crc = zlib.crc32(data)
+    l_extra = _s.pack("<HHQQ", 1, 16, len(data), len(data))
+    lo = b"PK\x03\x04" + _s.pack(
+        "<HHHHHIIIHH", 45, 8, 0, 0, 0, 0, 0, 0, 5, len(l_extra)
+    )
+    lo += b"w.txt" + l_extra + data
+    lo += b"PK\x07\x08" + _s.pack("<IQQ", crc, len(data), len(data))
+    cd = b"PK\x01\x02" + _s.pack(
+        "<HHHHHHIIIHHHHHII", 45, 45, 8, 0, 0, 0, crc, len(data), len(data),
+        5, 0, 0, 0, 0, 0, 0,
+    ) + b"w.txt"
+    eocd = b"PK\x05\x06" + _s.pack("<HHHHIIH", 0, 0, 1, 1, len(cd), len(lo), 0)
+    z = lo + cd + eocd
+    assert parse_archive(z)["n_files"] == 1
+    # the 4-byte form under a local zip64 extra mis-frames -> reject
+    ix = z.find(b"PK\x07\x08")
+    short = z[: ix + 4] + _s.pack("<III", crc, len(data), len(data)) + z[ix + 24 :]
+    assert parse_archive(short) is None
+
+
+def test_streamed_and_zip64_through_harvest():
+    """The harvest dispatcher walks streamed/zip64 zips of subtitles
+    like any other archive (same extractor path one level down)."""
+    from danae_spark.multimodal.harvest import harvest_text
+    from danae_spark.multimodal.subtitles import parse_subtitles, synth_subtitles
+
+    subs = [(f"s{k}.srt", synth_subtitles(400 + k), 0) for k in range(2)]
+    want = "\n".join(parse_subtitles(synth_subtitles(400 + k))["text"] for k in range(2))
+    for kw in ({"dd": True}, {"zip64": True}, {"dd": True, "zip64": True}):
+        c = harvest_text(_zip_build(subs, **kw))
+        assert c is not None and c["doc_class"] == "archive" and c["text"] == want, kw
