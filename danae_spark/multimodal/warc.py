@@ -796,6 +796,191 @@ def crawl_charset_extract_roundtrip(spark, sf_dir: str):
     )
 
 
+# ------------------------------------------- crawl -> corpus composition
+
+CRAWL_CURATE_CAP = 40  # pages kept per registrable domain
+# the synth pages' heuristic scores span ~0.28-0.35 (short fixture
+# pages); 0.32 makes the quality verdict actually discriminate
+CRAWL_CURATE_MIN_Q = 0.32
+_MIRROR_OFF = 10**9  # page_id offset for the mirror capture
+
+
+def crawl_curate_roundtrip(spark, sf_dir: str, cap: int = CRAWL_CURATE_CAP):
+    """The END-TO-END crawl->corpus pipeline as ONE certified plan —
+    the crawl-side twin of curate_corpus (C29): WARC walk -> HTTP
+    decode -> HTML extraction (charset-routed) -> URL canonicalization
+    (url_canonicalize_frame; the wire URIs are re-messied with scheme
+    case + an explicit default port so the canonicalizer has real work;
+    full messy-form coverage is unit-certified by url_canonicalize) ->
+    per-domain cap (url_domain_cap_frame, md5-priority keeps) ->
+    quality filter (quality_filter_frame: heuristic score + repetition
+    + PII, the SAME fused plan as the registered entry) -> exact-dup
+    canonical keeper (xxhash64(text) cluster window, smallest page_id
+    keeps). One provenance row per crawled page: where it came from
+    (doc_id, url, domain), every verdict, and the final keep.
+
+    Scale shape: the crawl/extract stage is stateless Arrow
+    mapInPandas; the cap and keeper are windows over domain / text
+    hash (bounded partitions); quality is one scan + one gram join —
+    no collects, no cartesians.
+
+    Docs with doc_id % 10 == 3 are crawled TWICE — once from the main
+    host and once from an `m.`-subdomain mirror (same registrable
+    domain, byte-identical pages: the shape CDN mirrors actually
+    produce) — so the exact-dup keeper genuinely fires: each mirrored
+    page forms a 2-cluster whose keeper is the main capture."""
+    from danae_spark.catalog import load_table
+    from danae_spark.multimodal.htmltext import parse_html_text
+    from danae_spark.operators.textstats import quality_filter_frame
+    from danae_spark.operators.urlops import url_canonicalize_frame, url_domain_cap_frame
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                for uri, status, ctype, body in iter_warc_responses(synth_warc(d)):
+                    if status != 200 or not (ctype or "").startswith("text/html"):
+                        continue
+                    ext = parse_html_text(body, content_type_charset(ctype))
+                    if ext is None:
+                        continue
+                    p_ = int(uri.rsplit("/p", 1)[1])
+                    host = uri.split("://", 1)[1].split("/", 1)[0]
+                    rows.append(
+                        {
+                            "page_id": d * 4 + p_,
+                            "doc_id": d,
+                            "url": f"HTTP://{host.upper()}:80/p{p_}",
+                            "text": ext["text"],
+                        }
+                    )
+                    if d % 10 == 3:  # the mirror capture of the same page
+                        rows.append(
+                            {
+                                "page_id": d * 4 + p_ + _MIRROR_OFF,
+                                "doc_id": d,
+                                "url": f"HTTP://M.{host.upper()}:80/p{p_}",
+                                "text": ext["text"],
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=["page_id", "doc_id", "url", "text"])
+
+    pages = docs.repartition(stage_parallelism(docs.sparkSession), "doc_id").mapInPandas(
+        batches, schema="page_id bigint, doc_id bigint, url string, text string"
+    )
+    canon = url_canonicalize_frame(
+        pages.select("page_id", "url"), id_col="page_id"
+    ).select("page_id", "url_canon")
+    capd = url_domain_cap_frame(
+        pages.join(canon, "page_id").select(
+            F.col("page_id").alias("doc_id"), F.col("url_canon").alias("url")
+        ),
+        cap=cap,
+    ).select(
+        F.col("doc_id").alias("page_id"), "domain", F.col("kept").alias("cap_kept")
+    )
+    q = quality_filter_frame(
+        pages.select(F.col("page_id").alias("doc_id"), "text"),
+        min_quality=CRAWL_CURATE_MIN_Q,
+        order=False,
+    ).select(F.col("doc_id").alias("page_id"), F.col("keep").alias("quality_keep"))
+    wt = W.partitionBy(F.xxhash64("text"))
+    dup = (
+        pages.withColumn("n_dup", F.count("*").over(wt).cast("int"))
+        .withColumn(
+            "is_keeper",
+            (F.row_number().over(wt.orderBy("page_id")) == 1).cast("int"),
+        )
+        .select("page_id", "doc_id", "n_dup", "is_keeper")
+    )
+    return (
+        dup.join(canon, "page_id")
+        .join(capd, "page_id")
+        .join(q, "page_id")
+        .select(
+            "page_id",
+            "doc_id",
+            F.col("url_canon").alias("url"),
+            "domain",
+            "n_dup",
+            "is_keeper",
+            "quality_keep",
+            "cap_kept",
+            (
+                (F.col("is_keeper") == 1)
+                & (F.col("quality_keep") == 1)
+                & (F.col("cap_kept") == 1)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("page_id")
+    )
+
+
+def _crawl_curate_oracle(cap: int = CRAWL_CURATE_CAP) -> str:
+    from danae_spark.multimodal.htmltext import html_text_sql
+    from danae_spark.operators.textstats import quality_filter_oracle
+
+    ok_pages = """
+SELECT d.doc_id, d.doc_id * 4 + p.p AS e
+FROM documents d, generate_series(0, 2) p(p)
+WHERE p.p < 1 + d.doc_id % 3 AND (d.doc_id + p.p) % 5 <> 4
+"""
+    return f"""
+WITH hx AS ({html_text_sql(ok_pages)}),
+pg AS (
+  SELECT doc_id AS src_doc,
+         e + CASE WHEN m.m = 1 THEN {_MIRROR_OFF} ELSE 0 END AS page_id,
+         'http://' || CASE WHEN m.m = 1 THEN 'm.' ELSE '' END
+           || 'site' || CAST(doc_id % 5 AS VARCHAR) || '.example/p'
+           || CAST(e - doc_id * 4 AS VARCHAR) AS url,
+         'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS domain,
+         text
+  FROM hx, generate_series(0, 1) m(m)
+  WHERE m.m = 0 OR doc_id % 10 = 3
+),
+pgq AS (SELECT page_id AS doc_id, text, 'en' AS lang FROM pg),
+q AS (
+  -- quality_filter_oracle runs VERBATIM over the harvested pages via
+  -- its `source` relation parameter (shadowing the documents view at
+  -- this level would capture html_text_sql's own FROM and bind a cycle)
+  SELECT doc_id AS page_id, keep AS quality_keep
+  FROM ({quality_filter_oracle(min_quality=CRAWL_CURATE_MIN_Q, source="pgq")})
+),
+cap AS (
+  SELECT page_id,
+         CAST(row_number() OVER (
+             PARTITION BY domain
+             ORDER BY md5(CAST(page_id AS VARCHAR)), page_id
+           ) <= {cap} AS INT) AS cap_kept
+  FROM pg
+),
+dup AS (
+  SELECT page_id,
+         CAST(count(*) OVER (PARTITION BY text) AS INT) AS n_dup,
+         CAST(row_number() OVER (PARTITION BY text ORDER BY page_id) = 1
+              AS INT) AS is_keeper
+  FROM pg
+)
+SELECT pg.page_id, pg.src_doc AS doc_id, pg.url, pg.domain,
+       dup.n_dup, dup.is_keeper, q.quality_keep, cap.cap_kept,
+       CAST(dup.is_keeper = 1 AND q.quality_keep = 1 AND cap.cap_kept = 1
+            AS INT) AS keep
+FROM pg
+JOIN dup USING (page_id) JOIN q USING (page_id) JOIN cap USING (page_id)
+ORDER BY pg.page_id
+"""
+
+
 CRAWL_CHARSET_ORACLE = """
 WITH pages AS (
   SELECT d.doc_id, p.p,

@@ -269,10 +269,12 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats_frame(load_table(spark, sf_dir, "documents"))
 
 
-def text_stats_oracle(order_by: bool = True) -> str:
+def text_stats_oracle(order_by: bool = True, source: str = "documents") -> str:
     """`order_by=False` returns the unordered core for composition into
     larger oracles (quality_filter) — safer than callers doing string
-    surgery on the trailing ORDER BY."""
+    surgery on the trailing ORDER BY. `source` renames the input
+    relation (a (doc_id, text, lang) CTE) so compositions like
+    crawl_curate can run the fragment VERBATIM over derived frames."""
     en = ", ".join(repr(t) for t in STOPWORDS["en"])
     toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
     stop = (
@@ -311,7 +313,7 @@ def text_stats_oracle(order_by: bool = True) -> str:
              {stop} * 1.0 / len({toks}) AS stop_raw,
              len(list_filter(string_split_regex(text, ' +'), t -> t <> '')) AS ws_tokens,
              len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS bpe_tokens
-      FROM documents
+      FROM {source}
     )
     SELECT doc_id, en_hits, es_hits, fr_hits, predicted, agrees_with_label,
            n_chars, n_tokens, avg_token_len, punct_ratio, digit_ratio,
@@ -437,14 +439,14 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_repetition_frame(load_table(spark, sf_dir, "documents"))
 
 
-def text_repetition_oracle(order_by: bool = True) -> str:
+def text_repetition_oracle(order_by: bool = True, source: str = "documents") -> str:
     """`order_by=False` returns the unordered core for composition (see
-    text_stats_oracle)."""
+    text_stats_oracle); `source` renames the input relation."""
     toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
     sents = "list_filter(list_transform(string_split_regex(text, '[.!?]+'), s -> trim(s)), s -> s <> '')"
     return f"""
     WITH d AS (
-      SELECT doc_id, {toks} AS lt, {sents} AS ls FROM documents
+      SELECT doc_id, {toks} AS lt, {sents} AS ls FROM {source}
     ),
     grams AS (
       SELECT doc_id, array_to_string(list_slice(lt, t.i, t.i + 1), ' ') AS gram
@@ -624,11 +626,13 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter_frame(load_table(spark, sf_dir, "documents"))
 
 
-def quality_filter_oracle(min_quality: float = MIN_QUALITY) -> str:
+def quality_filter_oracle(
+    min_quality: float = MIN_QUALITY, source: str = "documents"
+) -> str:
     from danae_spark.operators.pii import PII_PATTERNS
 
-    ts = text_stats_oracle(order_by=False)
-    tr = text_repetition_oracle(order_by=False)
+    ts = text_stats_oracle(order_by=False, source=source)
+    tr = text_repetition_oracle(order_by=False, source=source)
     pii_total = " + ".join(
         f"len(regexp_extract_all(text, '{pat}'))" for _n, pat, _s in PII_PATTERNS
     )
@@ -636,7 +640,7 @@ def quality_filter_oracle(min_quality: float = MIN_QUALITY) -> str:
     WITH ts_q AS ({ts}),
     tr_q AS ({tr}),
     p_q AS (
-      SELECT doc_id, CAST(({pii_total}) > 0 AS INT) AS has_pii FROM documents
+      SELECT doc_id, CAST(({pii_total}) > 0 AS INT) AS has_pii FROM {source}
     )
     SELECT ts_q.doc_id, ts_q.quality_score, tr_q.keep AS rep_keep, p_q.has_pii,
            CAST(ts_q.quality_score >= {min_quality}

@@ -846,3 +846,21 @@ def crawl_charset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     against SQL string arithmetic, so a precedence bug or mojibake
     cannot pass (multimodal/warc.py synth_charset_warc)."""
     return _warc.crawl_charset_extract_roundtrip(spark, sf_dir)
+
+
+@register("crawl_curate", oracle=_warc._crawl_curate_oracle())
+def crawl_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl->corpus curation composition (r11): the end-to-end
+    pipeline a pre-training crawl actually runs, as ONE certified
+    plan — WARC walk -> HTTP payload decode -> charset-routed HTML
+    extraction -> URL canonicalization -> per-domain cap -> fused
+    quality filter (score + repetition + PII) -> exact-dup canonical
+    keeper. Every stage is the SAME frame function as its registered
+    unit entry (url_canonicalize_frame, url_domain_cap_frame,
+    quality_filter_frame), and the oracle's CTEs reuse html_text_sql
+    and quality_filter_oracle VERBATIM (the harvested pages shadow the
+    `documents` view), so unit and composition can never drift. One
+    provenance row per crawled page: source doc, canonical URL,
+    domain, dup-cluster size, every verdict, final keep
+    (multimodal/warc.py crawl_curate_roundtrip)."""
+    return _warc.crawl_curate_roundtrip(spark, sf_dir)

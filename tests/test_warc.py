@@ -261,3 +261,49 @@ def test_crawl_pipeline_oracle_matches_duckdb(spark, sf_dir):
     got = [tuple(r) for r in fn(spark, sf_dir).collect()]
     want = [tuple(r) for r in _duck_view(sf_dir).execute(CRAWL_HTML_ORACLE).fetchall()]
     assert len(got) == len(want) and got == want
+
+
+def test_crawl_curate_provenance_and_oracle(spark, sf_dir):
+    """The crawl->corpus composition: provenance survives the pipeline
+    (every crawled 200-page appears exactly once with its source doc
+    and canonical URL), verdicts compose, and the whole frame matches
+    the DuckDB oracle."""
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal.warc import _crawl_curate_oracle
+    from danae_spark.queries import load_all
+
+    fn = load_all()["crawl_curate"].fn
+    rows = fn(spark, sf_dir).collect()
+    # one row per 200 html page, keyed by page_id = doc_id*4 + p
+    from danae_spark.multimodal.warc import _MIRROR_OFF
+
+    seen = set()
+    for r in rows:
+        assert r["page_id"] not in seen
+        seen.add(r["page_id"])
+        d = r["doc_id"]
+        mirrored = r["page_id"] >= _MIRROR_OFF
+        p = r["page_id"] - (_MIRROR_OFF if mirrored else 0) - d * 4
+        assert 0 <= p < n_pages(d) and page_status(d, p) == 200
+        if mirrored:
+            assert d % 10 == 3
+            assert r["url"] == f"http://m.site{d % 5}.example/p{p}"
+        else:
+            assert r["url"] == f"http://site{d % 5}.example/p{p}"  # canonicalized
+        # mirror subdomain shares the registrable domain (cap bucket)
+        assert r["domain"] == f"site{d % 5}.example"
+        # final keep is the conjunction of the three verdicts
+        assert r["keep"] == int(
+            r["is_keeper"] == 1 and r["quality_keep"] == 1 and r["cap_kept"] == 1
+        )
+        assert r["n_dup"] >= 1
+    # keepers partition the page set into clusters: each cluster has
+    # exactly one keeper carrying the cluster's size
+    assert sum(r["n_dup"] for r in rows if r["is_keeper"] == 1) == len(rows)
+    # full-frame oracle agreement
+    p_ = table_path(sf_dir, "documents")
+    glob = f"{p_}/*.parquet" if os.path.isdir(p_) else p_
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(_crawl_curate_oracle()).fetchall()]
+    assert [tuple(r) for r in rows] == want
