@@ -71,7 +71,9 @@ _INLINE_HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
 
 _ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'", "nbsp": " "}
 _ENT_RE = re.compile(r"&(#x[0-9a-fA-F]{1,6}|#[0-9]{1,7}|[a-zA-Z][a-zA-Z0-9]{0,31});")
-_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9]*")
+# tag names: HTML names plus the XML name chars the feed/sitemap walks
+# need — ':' (namespaces, <rdf:RDF>), '-' (custom elements), '_', '.'
+_NAME_RE = re.compile(r"[a-zA-Z_][a-zA-Z0-9:._-]*")
 
 
 def _decode_entities(s: str) -> str:

@@ -5,14 +5,22 @@ prose an LLM corpus wants, already boilerplate-free.
 Strict walk of the two feed grammars via the engine's shared
 quote-aware tag scanner (htmltext._scan_tag):
 
-  - RSS 2.0: `<rss version=...><channel>` with channel-level title /
-    link / description, then `<item>` children each carrying title
-    (required), link, description, pubDate; unknown elements skipped
-    (forward compat — real feeds are full of namespaced extensions,
-    whose children are skipped as subtrees).
+  - RSS 2.0 / 0.9x: `<rss version=...><channel>` with channel-level
+    title / link / description, then `<item>` children each carrying
+    title (required), link, description, pubDate; unknown elements
+    skipped (forward compat — real feeds are full of namespaced
+    extensions, whose children are skipped as subtrees). The version
+    attribute is not load-bearing: 0.91/0.92 feeds share the grammar.
+  - RSS 1.0 (RDF): `<rdf:RDF>` root with a `<channel>` (title / link /
+    description) and `<item>` elements as ROOT-LEVEL SIBLINGS of the
+    channel (the structural difference from 2.0); rdf:about
+    attributes and the channel's rdf:Seq table of contents are
+    skipped as unknown subtrees.
   - Atom (RFC 4287): `<feed>` with feed-level title, `<link href>`
     (attribute, not text), `<entry>` children each carrying title
-    (required), link href, summary.
+    (required), link href, content and/or summary — `<content>`
+    OUTRANKS `<summary>` for harvested text (content is the full
+    prose; summary its abbreviation).
   - XML entities decode in all text (`&amp;` is mandatory in XML);
     CDATA sections in item text decode verbatim (descriptions
     commonly ship as CDATA-wrapped HTML snippets — kept as text,
@@ -46,7 +54,8 @@ __all__ = [
 ]
 
 _RSS_ITEM_FIELDS = frozenset(("title", "link", "description", "pubdate"))
-_ATOM_ENTRY_FIELDS = frozenset(("title", "link", "summary"))
+_RDF_ITEM_FIELDS = frozenset(("title", "link", "description"))
+_ATOM_ENTRY_FIELDS = frozenset(("title", "link", "summary", "content"))
 
 
 def _walk_feed(text: str) -> dict | None:
@@ -70,6 +79,11 @@ def _walk_feed(text: str) -> dict | None:
                 return name in ("title", "link", "description")
             if len(stack) == 3 and cur_item is not None:
                 return name in _RSS_ITEM_FIELDS
+        elif kind == "rdf":
+            if len(stack) == 2 and cur_item is None and stack[-1] == "channel":
+                return name in ("title", "link", "description")
+            if len(stack) == 2 and cur_item is not None:
+                return name in _RDF_ITEM_FIELDS
         else:
             if len(stack) == 1 and cur_item is None:
                 return name == "title"
@@ -127,6 +141,8 @@ def _walk_feed(text: str) -> dict | None:
                     kind = "rss"
                 elif name == "feed":
                     kind = "atom"
+                elif name == "rdf:rdf":
+                    kind = "rdf"  # RSS 1.0: items are root-level siblings
                 else:
                     return None
                 stack.append(name)
@@ -138,7 +154,10 @@ def _walk_feed(text: str) -> dict | None:
                     return None
                 stack.append(name)
                 continue
-            item_tag = "item" if kind == "rss" else "entry"
+            if kind == "rdf" and len(stack) == 1 and name == "channel":
+                stack.append(name)
+                continue
+            item_tag = "entry" if kind == "atom" else "item"
             at_item_level = len(stack) == (2 if kind == "rss" else 1)
             if at_item_level and name == item_tag:
                 cur_item = {}
@@ -216,7 +235,8 @@ def parse_feed(payload: bytes) -> dict | None:
     n_links = 0
     for it in got["items"]:
         lines.append(it["title"])
-        body = it.get("description") or it.get("summary")
+        # rss/rdf carry description; Atom's <content> outranks <summary>
+        body = it.get("description") or it.get("content") or it.get("summary")
         if body:
             lines.append(body)
         if it.get("link"):
@@ -252,14 +272,28 @@ def item_body(d: int, i: int) -> str | None:
 
 
 def synth_feed(doc_id: int) -> bytes:
-    """Doc-deterministic feed: RSS 2.0 on even docs (descriptions
-    alternate plain-escaped and CDATA), Atom on odd (link as an
-    attribute, a namespaced unknown extension element skipped as a
-    subtree)."""
+    """Doc-deterministic feed over one shared item arithmetic:
+
+      d % 4 == 0 -> RSS 2.0 (descriptions alternate plain-escaped and
+                    CDATA); version "0.91" on d % 8 == 0 — same
+                    grammar, certifying the 0.9x family
+      d % 4 == 2 -> RSS 1.0 (RDF): channel AND items as root-level
+                    siblings, rdf:about attributes, the channel's
+                    rdf:Seq table of contents skipped as a subtree
+      d % 2 == 1 -> Atom (attribute links, a namespaced unknown
+                    extension subtree); bodies ship as <summary> on
+                    i % 4 == 0 and as <content> PLUS A DECOY
+                    <summary> otherwise — the decoy never reaches the
+                    extracted text, value-certifying the
+                    content-over-summary precedence
+
+    All three branches emit the same titles/bodies, so the oracle's
+    text arithmetic is shared and only `kind` varies."""
     d = doc_id
     out = ['<?xml version="1.0" encoding="UTF-8"?>']
-    if d % 2 == 0:
-        out.append('<rss version="2.0">')
+    if d % 4 == 0:
+        ver = "0.91" if d % 8 == 0 else "2.0"
+        out.append(f'<rss version="{ver}">')
         out.append("  <channel>")
         out.append(f"    <title>Feed {d} c{d % 8}</title>")
         out.append(f"    <link>https://site{d % 5}.example/</link>")
@@ -282,6 +316,30 @@ def synth_feed(doc_id: int) -> bytes:
             out.append("    </item>")
         out.append("  </channel>")
         out.append("</rss>")
+    elif d % 4 == 2:
+        out.append(
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns="http://purl.org/rss/1.0/">'
+        )
+        out.append(f'  <channel rdf:about="https://site{d % 5}.example/">')
+        out.append(f"    <title>Feed {d} c{d % 8}</title>")
+        out.append(f"    <link>https://site{d % 5}.example/</link>")
+        out.append("    <description>synth channel</description>")
+        out.append("    <items><rdf:Seq><rdf:li resource=\"x\"/></rdf:Seq></items>")
+        out.append("  </channel>")
+        for i in range(feed_n_items(d)):
+            out.append(f'  <item rdf:about="https://site{d % 5}.example/a{i}">')
+            out.append(f"    <title>{item_title(d, i)}</title>")
+            out.append(f"    <link>https://site{d % 5}.example/a{i}</link>")
+            body = item_body(d, i)
+            if body is not None:
+                out.append(
+                    "    <description>"
+                    + body.replace("&", "&amp;")
+                    + "</description>"
+                )
+            out.append("  </item>")
+        out.append("</rdf:RDF>")
     else:
         out.append('<feed xmlns="http://www.w3.org/2005/Atom">')
         out.append(f"  <title>Feed {d} c{d % 8}</title>")
@@ -292,9 +350,15 @@ def synth_feed(doc_id: int) -> bytes:
             out.append(f'    <link href="https://site{d % 5}.example/a{i}"/>')
             body = item_body(d, i)
             if body is not None:
-                out.append(
-                    "    <summary>" + body.replace("&", "&amp;") + "</summary>"
-                )
+                if i % 4 == 0:
+                    out.append(
+                        "    <summary>" + body.replace("&", "&amp;") + "</summary>"
+                    )
+                else:
+                    out.append(
+                        "    <content>" + body.replace("&", "&amp;") + "</content>"
+                    )
+                    out.append(f"    <summary>decoy s{i} must not appear</summary>")
             out.append("  </entry>")
         out.append("</feed>")
     return "\n".join(out).encode("utf-8")
@@ -393,7 +457,9 @@ doc_text AS (
   FROM lines GROUP BY doc_id
 )
 SELECT g.doc_id,
-       CASE WHEN g.doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+       CASE WHEN g.doc_id % 4 = 0 THEN 'rss'
+            WHEN g.doc_id % 4 = 2 THEN 'rdf'
+            ELSE 'atom' END AS kind,
        'Feed ' || CAST(g.doc_id AS VARCHAR) || ' c'
          || CAST(g.doc_id % 8 AS VARCHAR) AS feed_title,
        g.n_items,

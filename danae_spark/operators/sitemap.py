@@ -147,15 +147,9 @@ def _walk_entries(text: str) -> tuple[str, list[dict]] | None:
     return root, entries
 
 
-def parse_sitemap(payload: bytes) -> dict | None:
-    """Parse a sitemap / sitemap index into one census row:
-
-      kind ('urlset' | 'index'), is_gzip, n_entries, n_lastmod,
-      n_canonical (locs the RFC 3986 canonicalizer accepts),
-      first_loc, first_loc_canon
-    """
-    from danae_spark.operators.urlops import canonicalize_url
-
+def _load_entries(payload: bytes) -> tuple[str, list[dict], bool] | None:
+    """Gunzip (single-member .xml.gz) + decode + walk; returns
+    (root, entries, is_gzip) or None."""
     p = bytes(payload) if payload is not None else b""
     is_gzip = p[:2] == b"\x1f\x8b"
     if is_gzip:
@@ -174,7 +168,15 @@ def parse_sitemap(payload: bytes) -> dict | None:
     got = _walk_entries(text)
     if got is None:
         return None
-    root, entries = got
+    return got[0], got[1], is_gzip
+
+
+def _validate_entries(entries: list[dict]) -> dict | None:
+    """The protocol's per-entry field rules + canonicalization census,
+    shared between parse_sitemap and the bundle walk so leaf and
+    composed readings cannot drift. None on any field violation."""
+    from danae_spark.operators.urlops import canonicalize_url
+
     n_lastmod = 0
     n_canonical = 0
     first_loc = first_canon = None
@@ -202,13 +204,103 @@ def parse_sitemap(payload: bytes) -> dict | None:
             first_loc = e["loc"]
             first_canon = canon
     return {
-        "kind": "index" if root == "sitemapindex" else "urlset",
-        "is_gzip": is_gzip,
-        "n_entries": len(entries),
         "n_lastmod": n_lastmod,
         "n_canonical": n_canonical,
         "first_loc": first_loc,
         "first_loc_canon": first_canon,
+    }
+
+
+def parse_sitemap(payload: bytes) -> dict | None:
+    """Parse a sitemap / sitemap index into one census row:
+
+      kind ('urlset' | 'index'), is_gzip, n_entries, n_lastmod,
+      n_canonical (locs the RFC 3986 canonicalizer accepts),
+      first_loc, first_loc_canon
+    """
+    got = _load_entries(payload)
+    if got is None:
+        return None
+    root, entries, is_gzip = got
+    v = _validate_entries(entries)
+    if v is None:
+        return None
+    return {
+        "kind": "index" if root == "sitemapindex" else "urlset",
+        "is_gzip": is_gzip,
+        "n_entries": len(entries),
+        "n_lastmod": v["n_lastmod"],
+        "n_canonical": v["n_canonical"],
+        "first_loc": v["first_loc"],
+        "first_loc_canon": v["first_loc_canon"],
+    }
+
+
+def parse_sitemap_bundle(payload: bytes) -> dict | None:
+    """Walk a sitemap DUMP bundle — an archive (zip/tar/tar.gz) holding
+    ONE sitemap index (`sitemap.xml`/`sitemap.xml.gz`) plus the child
+    sitemaps it names, resolved by loc basename (the layout sitemap
+    dumps and crawler caches actually use). Recursion is ONE level by
+    protocol rule: an index must not name another index, so a resolved
+    child that parses as an index rejects the bundle whole. Children
+    the bundle does not contain (remote-only locs) are counted as
+    unresolved, not rejected. Census:
+
+      n_children, n_resolved, n_urls, n_lastmod, n_canonical (child
+      url totals through the SAME _validate_entries rules as the leaf
+      entry), first_child (basename), first_url, first_url_canon
+    """
+    from danae_spark.multimodal.archive import iter_archive_members
+
+    members: dict[str, bytes] = {}
+    for name, is_dir, data in iter_archive_members(payload):
+        if not is_dir:
+            members[name.rsplit("/", 1)[-1]] = data
+    if not members:
+        return None
+    idx_payload = members.get("sitemap.xml", members.get("sitemap.xml.gz"))
+    if idx_payload is None:
+        return None
+    idx = _load_entries(idx_payload)
+    if idx is None or idx[0] != "sitemapindex":
+        return None
+    if _validate_entries(idx[1]) is None:
+        return None
+    n_resolved = 0
+    n_urls = n_lastmod = n_canonical = 0
+    first_child = first_url = first_url_canon = None
+    for e in idx[1]:
+        base = e["loc"].rsplit("/", 1)[-1]
+        if first_child is None:
+            first_child = base
+        child = members.get(base)
+        if child is None or base in ("sitemap.xml", "sitemap.xml.gz"):
+            continue  # remote-only (or self-referential) loc: unresolved
+        got = _load_entries(child)
+        if got is None:
+            return None  # a present child that cannot be walked
+        root, entries, _gz = got
+        if root != "urlset":
+            return None  # index-in-index: the one-level protocol rule
+        v = _validate_entries(entries)
+        if v is None:
+            return None
+        n_resolved += 1
+        n_urls += len(entries)
+        n_lastmod += v["n_lastmod"]
+        n_canonical += v["n_canonical"]
+        if first_url is None:
+            first_url = v["first_loc"]
+            first_url_canon = v["first_loc_canon"]
+    return {
+        "n_children": len(idx[1]),
+        "n_resolved": n_resolved,
+        "n_urls": n_urls,
+        "n_lastmod": n_lastmod,
+        "n_canonical": n_canonical,
+        "first_child": first_child,
+        "first_url": first_url,
+        "first_url_canon": first_url_canon,
     }
 
 
@@ -262,6 +354,68 @@ def synth_sitemap(doc_id: int) -> bytes:
         c = zlib.compressobj(6, zlib.DEFLATED, 31)
         return c.compress(xml) + c.flush()
     return xml
+
+
+# ----------------------------------------------------------- bundle synth
+
+
+def bundle_n_children(d: int) -> int:
+    return 1 + d % 3
+
+
+def _synth_child_urlset(e: int) -> bytes:
+    """A child urlset at synth parameter e: sitemap_n_entries(e)
+    entries of entry_loc(e, i), lastmod on even i."""
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+    ]
+    for i in range(sitemap_n_entries(e)):
+        out.append("  <url>")
+        out.append(f"    <loc>{_xml_escape(entry_loc(e, i))}</loc>")
+        if i % 2 == 0:
+            out.append(f"    <lastmod>2026-0{1 + (e + i) % 9}-15</lastmod>")
+        out.append("  </url>")
+    out.append("</urlset>")
+    return "\n".join(out).encode("utf-8")
+
+
+def synth_sitemap_bundle(doc_id: int) -> bytes:
+    """Doc-deterministic sitemap dump: a ZIP holding `maps/sitemap.xml`
+    (a sitemapindex) plus the 1-3 child sitemaps it names — gzipped
+    `.xml.gz` except child k with (d+k) % 4 == 1 (plain `.xml`), so
+    both wire forms walk. Docs with d % 5 == 2 also name a
+    `missing.xml.gz` the bundle does not contain (unresolved, counted
+    not rejected). Child k's urlset is _synth_child_urlset(d*4 + k)."""
+    from danae_spark.multimodal.archive import _zip_build
+
+    d = doc_id
+    host = f"site{d % 5}.example"
+    entries = []
+    index_lines = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+    ]
+    for k in range(bundle_n_children(d)):
+        gz = (d + k) % 4 != 1
+        name = f"c{k}.xml.gz" if gz else f"c{k}.xml"
+        xml = _synth_child_urlset(d * 4 + k)
+        if gz:
+            c = zlib.compressobj(6, zlib.DEFLATED, 31)
+            data = c.compress(xml) + c.flush()
+        else:
+            data = xml
+        entries.append((f"maps/{name}", data, 0 if gz else 8))
+        index_lines.append(
+            f"  <sitemap><loc>https://{host}/maps/{name}</loc></sitemap>"
+        )
+    if d % 5 == 2:
+        index_lines.append(
+            f"  <sitemap><loc>https://{host}/maps/missing.xml.gz</loc></sitemap>"
+        )
+    index_lines.append("</sitemapindex>")
+    index = "\n".join(index_lines).encode("utf-8")
+    return _zip_build([("maps/", b"", 0), ("maps/sitemap.xml", index, 8)] + entries)
 
 
 # ----------------------------------------------------- Spark entry points
@@ -368,3 +522,118 @@ ORDER BY g.doc_id
 
 
 SITEMAP_ORACLE = _sitemap_oracle()
+
+
+_BUNDLE_COLS = [
+    "n_children",
+    "n_resolved",
+    "n_urls",
+    "n_lastmod",
+    "n_canonical",
+    "first_child",
+    "first_url",
+    "first_url_canon",
+]
+
+
+def sitemap_bundle_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
+    """Bundle walk over any (id, binary) frame; nulls for archives the
+    bundle grammar rejects."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                c = parse_sitemap_bundle(bytes(payload)) if payload is not None else None
+                row = {id_col: rid}
+                row.update({k: (c.get(k) if c else None) for k in _BUNDLE_COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[id_col] + _BUNDLE_COLS)
+
+    schema = (
+        f"{id_col} bigint, n_children int, n_resolved int, n_urls int, "
+        "n_lastmod int, n_canonical int, first_child string, "
+        "first_url string, first_url_canon string"
+    )
+    return df.mapInPandas(batches, schema=schema)
+
+
+def sitemap_bundle_roundtrip(spark, sf_dir: str):
+    """Oracle-checkable sitemap-dump walk: per doc a real ZIP (full
+    CRC-verified members) holding a sitemapindex + the .xml/.xml.gz
+    child urlsets it names is walked by the archive layer, the index
+    recursed ONE level into the children (protocol rule pinned by
+    pytest: an index child rejects), every child loc through the same
+    entry validation + canonicalization as the leaf entry, and the
+    census restated from the shared messy-URL fragment."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                c = parse_sitemap_bundle(synth_sitemap_bundle(d))
+                row = {"doc_id": d}
+                row.update({k: (c.get(k) if c else None) for k in _BUNDLE_COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["doc_id"] + _BUNDLE_COLS)
+
+    schema = (
+        "doc_id bigint, n_children int, n_resolved int, n_urls int, "
+        "n_lastmod int, n_canonical int, first_child string, "
+        "first_url string, first_url_canon string"
+    )
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=schema)
+        .orderBy("doc_id")
+    )
+
+
+def _sitemap_bundle_oracle() -> str:
+    from danae_spark.operators.urlops import messy_url_sql_exprs
+
+    u0 = messy_url_sql_exprs("doc_id * 32")  # child k=0 -> e=4d, entry 0
+    return f"""
+WITH g AS (
+  SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS nk FROM documents
+),
+kid AS (
+  SELECT g.doc_id, k.k, (g.doc_id * 4 + k.k) AS e
+  FROM g, generate_series(0, 2) k(k) WHERE k.k < g.nk
+),
+u AS (
+  SELECT kid.doc_id, kid.e, i.i, (kid.e + i.i) % 7 = 5 AS bad
+  FROM kid, generate_series(0, 6) i(i)
+  WHERE i.i < 2 + kid.e % 5
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n_urls,
+         CAST(count(*) FILTER (WHERE i % 2 = 0) AS INT) AS n_lastmod,
+         CAST(count(*) FILTER (WHERE NOT bad) AS INT) AS n_canonical
+  FROM u GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CAST(g.nk + CASE WHEN g.doc_id % 5 = 2 THEN 1 ELSE 0 END AS INT)
+         AS n_children,
+       g.nk AS n_resolved,
+       a.n_urls, a.n_lastmod, a.n_canonical,
+       'c0.xml' || CASE WHEN g.doc_id % 4 = 1 THEN '' ELSE '.gz' END
+         AS first_child,
+       CASE WHEN (g.doc_id * 4) % 7 = 5 THEN 'ftp://bad0.example/x'
+            ELSE {u0["raw"]} END AS first_url,
+       CASE WHEN (g.doc_id * 4) % 7 = 5 THEN NULL
+            ELSE {u0["canon"]} END AS first_url_canon
+FROM g JOIN agg a USING (doc_id)
+ORDER BY g.doc_id
+"""
+
+
+SITEMAP_BUNDLE_ORACLE = _sitemap_bundle_oracle()

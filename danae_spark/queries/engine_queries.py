@@ -864,3 +864,18 @@ def crawl_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain, dup-cluster size, every verdict, final keep
     (multimodal/warc.py crawl_curate_roundtrip)."""
     return _warc.crawl_curate_roundtrip(spark, sf_dir)
+
+
+@register("sitemap_bundle_extract", oracle=_sitemap.SITEMAP_BUNDLE_ORACLE)
+def sitemap_bundle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-dump bundle walk (r11): per doc a real ZIP (CRC-verified
+    by the archive layer) holding one sitemapindex plus the .xml /
+    .xml.gz child urlsets it names by loc basename — the layout
+    crawler caches and sitemap dumps actually use. The index recurses
+    ONE level into its children per the protocol rule (an index child
+    rejects whole — pinned by pytest); unresolved remote-only locs are
+    counted, not rejected; every child URL goes through the SAME
+    _validate_entries + canonicalize_url path as the leaf sitemap
+    entry, and the census restates from the shared messy-URL fragment
+    (operators/sitemap.py parse_sitemap_bundle)."""
+    return _sitemap.sitemap_bundle_roundtrip(spark, sf_dir)

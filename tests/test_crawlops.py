@@ -296,7 +296,12 @@ def test_feed_roundtrip_and_semantics():
     for d in range(90):
         c = parse_feed(synth_feed(d))
         assert c is not None, d
-        assert c["kind"] == ("rss" if d % 2 == 0 else "atom"), d
+        assert c["kind"] == (
+            "rss" if d % 4 == 0 else ("rdf" if d % 4 == 2 else "atom")
+        ), d
+        # Atom decoy summaries (i % 4 == 2 bodies ship content+summary)
+        # must never reach the harvested text
+        assert "decoy" not in c["text"], d
         assert c["feed_title"] == f"Feed {d} c{d % 8}", d
         assert c["n_items"] == c["n_links"] == feed_n_items(d), d
         assert c["first_item_title"] == item_title(d, 0), d
@@ -404,3 +409,99 @@ def test_feed_parser_never_crashes():
         parse_feed(payload)
 
     fuzz()
+
+
+def test_feed_family_breadth():
+    """RSS 0.9x version string, RDF (RSS 1.0) root-sibling items, and
+    Atom content-over-summary precedence."""
+    from danae_spark.operators.feeds import parse_feed
+
+    # rss 0.91 shares the 2.0 grammar
+    rss091 = (
+        b'<rss version="0.91"><channel><title>T</title>'
+        b"<item><title>a</title><description>b</description></item>"
+        b"</channel></rss>"
+    )
+    c = parse_feed(rss091)
+    assert c["kind"] == "rss" and c["text"] == "a\nb"
+
+    # RDF: items are ROOT-LEVEL siblings of the channel
+    rdf = (
+        b'<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+        b'<channel rdf:about="u"><title>T</title>'
+        b"<items><rdf:Seq><rdf:li resource='x'/></rdf:Seq></items></channel>"
+        b'<item rdf:about="u/1"><title>one</title><description>d1</description></item>'
+        b'<item rdf:about="u/2"><title>two</title></item>'
+        b"</rdf:RDF>"
+    )
+    c = parse_feed(rdf)
+    assert c["kind"] == "rdf" and c["feed_title"] == "T"
+    assert c["n_items"] == 2 and c["text"] == "one\nd1\ntwo"
+    # an RDF item nested INSIDE the channel is not the 1.0 shape: the
+    # unknown-subtree rule skips it rather than miscounting
+    nested = rdf.replace(b"</channel>", b"<item><title>x</title></item></channel>")
+    got = parse_feed(nested)
+    assert got is not None and got["n_items"] == 2  # nested one skipped
+    # item without a title still rejects whole
+    assert parse_feed(rdf.replace(b"<title>two</title>", b"")) is None
+
+    # Atom: <content> outranks <summary>; summary alone still works
+    atom = (
+        b'<feed xmlns="http://www.w3.org/2005/Atom"><title>F</title>'
+        b"<entry><title>e1</title><content>full prose</content>"
+        b"<summary>short decoy</summary></entry>"
+        b"<entry><title>e2</title><summary>only summary</summary></entry>"
+        b"</feed>"
+    )
+    c = parse_feed(atom)
+    assert c["text"] == "e1\nfull prose\ne2\nonly summary"
+    assert "decoy" not in c["text"]
+
+
+def test_sitemap_bundle_semantics():
+    from danae_spark.operators.sitemap import (
+        parse_sitemap_bundle,
+        synth_sitemap_bundle,
+    )
+    from danae_spark.multimodal.archive import _zip_build
+    import zlib as _z
+
+    ok = synth_sitemap_bundle(0)
+    assert parse_sitemap_bundle(ok) is not None
+
+    def gz(b):
+        c = _z.compressobj(6, _z.DEFLATED, 31)
+        return c.compress(b) + c.flush()
+
+    child = (
+        b'<urlset><url><loc>http://a/x</loc></url></urlset>'
+    )
+    index = (
+        b"<sitemapindex><sitemap><loc>http://h/c0.xml.gz</loc></sitemap>"
+        b"</sitemapindex>"
+    )
+    # minimal good bundle
+    b1 = _zip_build([("sitemap.xml", index, 8), ("c0.xml.gz", gz(child), 0)])
+    got = parse_sitemap_bundle(b1)
+    assert got["n_resolved"] == 1 and got["n_urls"] == 1
+    assert got["first_url"] == "http://a/x"
+    # ONE-LEVEL RULE: a resolved child that is itself an index rejects
+    b2 = _zip_build([("sitemap.xml", index, 8), ("c0.xml.gz", gz(index), 0)])
+    assert parse_sitemap_bundle(b2) is None
+    # a bundle without the index member rejects
+    b3 = _zip_build([("c0.xml.gz", gz(child), 0)])
+    assert parse_sitemap_bundle(b3) is None
+    # the index member must BE an index, not a urlset
+    b4 = _zip_build([("sitemap.xml", child, 8), ("c0.xml.gz", gz(child), 0)])
+    assert parse_sitemap_bundle(b4) is None
+    # a present-but-corrupt child rejects whole
+    b5 = _zip_build([("sitemap.xml", index, 8), ("c0.xml.gz", gz(b"<urlset>bad"), 0)])
+    assert parse_sitemap_bundle(b5) is None
+    # an unresolved (remote-only) loc is counted, not rejected
+    idx2 = index.replace(
+        b"</sitemapindex>",
+        b"<sitemap><loc>http://h/elsewhere.xml.gz</loc></sitemap></sitemapindex>",
+    )
+    b6 = _zip_build([("sitemap.xml", idx2, 8), ("c0.xml.gz", gz(child), 0)])
+    got = parse_sitemap_bundle(b6)
+    assert got["n_children"] == 2 and got["n_resolved"] == 1
