@@ -128,6 +128,10 @@ HEADLINE = [
     "sitemap_extract",
     "pdf_text_modern",
     "feed_extract",
+    "pdf_text_cid",
+    "crawl_charset_extract",
+    "crawl_curate",
+    "sitemap_bundle_extract",
 ]
 
 

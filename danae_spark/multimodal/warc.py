@@ -876,6 +876,11 @@ def crawl_curate_roundtrip(spark, sf_dir: str, cap: int = CRAWL_CURATE_CAP):
     pages = docs.repartition(stage_parallelism(docs.sparkSession), "doc_id").mapInPandas(
         batches, schema="page_id bigint, doc_id bigint, url string, text string"
     )
+    # the extraction feeds FIVE downstream branches (canonicalize, cap,
+    # quality's two scans, keeper window); persist so the crawl decode
+    # runs once, not per branch — at corpus scale this is the stage
+    # boundary a real pipeline would materialize to storage
+    pages = pages.persist()
     canon = url_canonicalize_frame(
         pages.select("page_id", "url"), id_col="page_id"
     ).select("page_id", "url_canon")
