@@ -132,6 +132,7 @@ HEADLINE = [
     "crawl_charset_extract",
     "crawl_curate",
     "sitemap_bundle_extract",
+    "wet_text_extract",
 ]
 
 

@@ -67,6 +67,7 @@ def harvest_text(payload: bytes, _depth: int = 0) -> dict | None:
     from danae_spark.multimodal.warc import (
         content_type_charset,
         iter_warc_responses,
+        iter_wet_texts,
         parse_warc,
     )
 
@@ -94,6 +95,16 @@ def harvest_text(payload: bytes, _depth: int = 0) -> dict | None:
                     return None  # a 200 html body that cannot be walked
                 pages.append(ext["text"])
         if not pages:
+            # a WET sidecar: conversion records carrying the already-
+            # extracted page text (Common Crawl's .wet convention)
+            pages = [t for _uri, t in iter_wet_texts(p)]
+            if pages:
+                return {
+                    "doc_class": "warc",
+                    "format": "wet" if fmt == "warc" else "wet.gz",
+                    "title": None,
+                    "text": "\n".join(pages),
+                }
             return None
         return {
             "doc_class": "warc",

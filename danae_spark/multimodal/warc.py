@@ -369,6 +369,26 @@ def iter_warc_responses(payload: bytes):
         yield r["uri"], http["status"], http["content_type"], http["body"]
 
 
+def iter_wet_texts(payload: bytes):
+    """Yield (uri, text) for each CONVERSION record of a valid WARC —
+    the WET convention (Common Crawl's pre-extracted-text sidecar
+    files: each conversion record's block is the plain UTF-8 text of
+    one page, no HTTP envelope). A conversion record whose block is
+    not valid UTF-8 ends the iteration (reject-whole, same contract
+    as the response walk); yields nothing for invalid files."""
+    records = _records(payload)
+    if records is None:
+        return
+    for r in records:
+        if r["type"] != "conversion":
+            continue
+        try:
+            text = r["body"].decode("utf-8")
+        except UnicodeDecodeError:
+            return
+        yield r["uri"], text
+
+
 # ------------------------------------------------------------- synthesis
 
 
@@ -688,6 +708,107 @@ ORDER BY allp.doc_id, allp.uri
 
 
 CRAWL_HTML_ORACLE = _crawl_oracle()
+
+
+# ----------------------------------------------------------- WET sidecars
+
+
+def synth_wet(doc_id: int) -> bytes:
+    """The WET sidecar of synth_warc(doc_id): one warcinfo + one
+    CONVERSION record per HTTP-200 page, each block the page's
+    extracted plain text (the same text html_text_sql restates, so the
+    WET oracle shares the fragment). Gzip member-per-record on odd
+    docs — the convention Common Crawl WET files actually use."""
+    from danae_spark.multimodal.htmltext import expected_html_row
+
+    d = doc_id
+    host = f"site{d % 5}.example"
+    recs: list[bytes] = []
+    info = b"software: danae-spark/1.0\r\nformat: WARC File Format 1.1\r\n"
+    recs.append(_record("warcinfo", d * 100, info, {"Content-Type": "application/warc-fields"}))
+    for p in range(n_pages(d)):
+        if page_status(d, p) != 200:
+            continue
+        text = expected_html_row(d * 4 + p)["text"]
+        recs.append(
+            _record(
+                "conversion",
+                d * 100 + p + 1,
+                text.encode("utf-8"),
+                {
+                    "WARC-Target-URI": f"http://{host}/p{p}",
+                    "Content-Type": "text/plain",
+                },
+            )
+        )
+    if d % 2 == 1:
+        return b"".join(_gzip_member(r) for r in recs)
+    return b"".join(recs)
+
+
+def wet_text_extract_roundtrip(spark, sf_dir: str):
+    """Oracle-checkable WET walk: per doc the WET sidecar of the crawl
+    (conversion records holding pre-extracted page text) is walked by
+    the same record validator as the WARC census, and every page's
+    TEXT STRING restated via html_text_sql — the WET reading and the
+    WARC->HTML extraction pipeline certify against the SAME fragment,
+    so the two ingestion paths can never drift."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                for uri, text in iter_wet_texts(synth_wet(d)):
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "uri": uri,
+                            "text": text,
+                            "n_chars": len(text),
+                            "n_words": len(text.split()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "uri", "text", "n_chars", "n_words"]
+            )
+
+    schema = "doc_id bigint, uri string, text string, n_chars int, n_words int"
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=schema)
+        .orderBy("doc_id", "uri")
+    )
+
+
+def _wet_oracle() -> str:
+    from danae_spark.multimodal.htmltext import html_text_sql
+
+    ok_pages = """
+SELECT d.doc_id, d.doc_id * 4 + p.p AS e
+FROM documents d, generate_series(0, 2) p(p)
+WHERE p.p < 1 + d.doc_id % 3 AND (d.doc_id + p.p) % 5 <> 4
+"""
+    return f"""
+WITH x AS ({html_text_sql(ok_pages)})
+SELECT doc_id,
+       'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example/p'
+         || CAST(e - doc_id * 4 AS VARCHAR) AS uri,
+       text,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(length(text) - length(replace(replace(text, chr(10), ' '), ' ', ''))
+            + 1 AS INT) AS n_words
+FROM x ORDER BY doc_id, uri
+"""
+
+
+WET_TEXT_ORACLE = _wet_oracle()
 
 
 # --------------------------------------------- charset-routing composition

@@ -879,3 +879,18 @@ def sitemap_bundle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry, and the census restates from the shared messy-URL fragment
     (operators/sitemap.py parse_sitemap_bundle)."""
     return _sitemap.sitemap_bundle_roundtrip(spark, sf_dir)
+
+
+@register("wet_text_extract", oracle=_warc.WET_TEXT_ORACLE)
+def wet_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET sidecar walk (r11): Common Crawl's pre-extracted-text
+    convention — a WARC whose CONVERSION records each carry one page's
+    plain UTF-8 text (no HTTP envelope), gzip member-per-record. Per
+    doc the WET sidecar of the synth crawl is walked by the SAME
+    record validator as warc_census, and every page TEXT restates via
+    html_text_sql — the WET reading and the WARC->HTML extraction
+    pipeline certify against one fragment, so the two ingestion paths
+    cannot drift. The harvest dispatcher routes conversion-only WARCs
+    here as format 'wet'/'wet.gz' (multimodal/warc.py iter_wet_texts /
+    synth_wet)."""
+    return _warc.wet_text_extract_roundtrip(spark, sf_dir)

@@ -307,3 +307,48 @@ def test_crawl_curate_provenance_and_oracle(spark, sf_dir):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
     want = [tuple(r) for r in con.execute(_crawl_curate_oracle()).fetchall()]
     assert [tuple(r) for r in rows] == want
+
+
+def test_wet_sidecar():
+    """WET (conversion-record) walk: text equals the pure-arithmetic
+    page text, empty WETs yield nothing, bad UTF-8 rejects, and the
+    harvest dispatcher routes conversion-only WARCs as 'wet'."""
+    from danae_spark.multimodal.harvest import harvest_text
+    from danae_spark.multimodal.warc import iter_wet_texts, synth_wet
+
+    for d in range(40):
+        got = list(iter_wet_texts(synth_wet(d)))
+        want = [
+            (f"http://site{d % 5}.example/p{p}", expected_html_row(d * 4 + p)["text"])
+            for p in range(n_pages(d))
+            if page_status(d, p) == 200
+        ]
+        assert got == want, d
+        h = harvest_text(synth_wet(d))
+        if not want:
+            assert h is None, d  # a WET with no text yields nothing
+            continue
+        assert h["doc_class"] == "warc", d
+        assert h["format"] == ("wet.gz" if d % 2 == 1 else "wet"), d
+        assert h["text"] == "\n".join(t for _u, t in want), d
+    # a conversion block that is not UTF-8 ends the walk (reject)
+    rec = _one_record(b"\xff\xfe\xfa", **{"WARC-Type": "conversion"})
+    assert list(iter_wet_texts(rec)) == []
+    # response records are NOT conversion records: a normal crawl WARC
+    # yields no WET texts
+    assert list(iter_wet_texts(synth_warc(1))) == []
+
+
+def test_wet_oracle_matches_duckdb(spark, sf_dir):
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal.warc import WET_TEXT_ORACLE
+    from danae_spark.queries import load_all
+
+    fn = load_all()["wet_text_extract"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p_ = table_path(sf_dir, "documents")
+    glob = f"{p_}/*.parquet" if os.path.isdir(p_) else p_
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(WET_TEXT_ORACLE).fetchall()]
+    assert len(got) == len(want) and got == want

@@ -100,6 +100,11 @@ OPERATORS = {
     "sitemap_extract": "documents",
     "pdf_text_modern": "documents",
     "feed_extract": "documents",
+    "pdf_text_cid": "documents",
+    "crawl_charset_extract": "documents",
+    "crawl_curate": "documents",
+    "sitemap_bundle_extract": "documents",
+    "wet_text_extract": "documents",
 }
 
 
