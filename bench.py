@@ -133,6 +133,7 @@ HEADLINE = [
     "crawl_curate",
     "sitemap_bundle_extract",
     "wet_text_extract",
+    "frontier_plan",
 ]
 
 

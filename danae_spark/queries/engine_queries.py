@@ -894,3 +894,21 @@ def wet_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     here as format 'wet'/'wet.gz' (multimodal/warc.py iter_wet_texts /
     synth_wet)."""
     return _warc.wet_text_extract_roundtrip(spark, sf_dir)
+
+
+from danae_spark.operators import frontier as _frontier  # noqa: E402
+
+
+@register("frontier_plan", oracle=_frontier.FRONTIER_PLAN_ORACLE)
+def frontier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier plan composition (r11): the decision a polite
+    crawler executes per URL — sitemap walk -> RFC 3986
+    canonicalization (messy locs: scheme case + default :443 ports;
+    an ftp loc yields a NULL-verdict row, surfaced not dropped) ->
+    RFC 9309 robots evaluation (longest-match, allow-wins-ties,
+    carve-outs, wildcard-$) -> enqueue verdict + crawl-delay budget.
+    Every stage is the SAME function its unit entry certifies
+    (robots_check / url_canonicalize / sitemap_extract), so a drift in
+    any leg breaks both layers; every verdict and canonical STRING
+    restates as doc arithmetic (operators/frontier.py)."""
+    return _frontier.frontier_plan_roundtrip(spark, sf_dir)

@@ -505,3 +505,33 @@ def test_sitemap_bundle_semantics():
     b6 = _zip_build([("sitemap.xml", idx2, 8), ("c0.xml.gz", gz(child), 0)])
     got = parse_sitemap_bundle(b6)
     assert got["n_children"] == 2 and got["n_resolved"] == 1
+
+
+def test_frontier_plan_composition(spark, sf_dir):
+    """The frontier composition agrees with its DuckDB oracle, and the
+    composed verdicts match calling the three unit operators directly."""
+    from danae_spark.operators.frontier import (
+        FRONTIER_PLAN_ORACLE,
+        frontier_loc,
+        frontier_plan_rows,
+    )
+    from danae_spark.operators.robots import parse_robots, robots_allowed, synth_robots
+    from danae_spark.queries import load_all
+
+    # unit-agreement spot-check
+    for d in (0, 3, 9, 16, 23):
+        robots = parse_robots(synth_robots(d))
+        for r in frontier_plan_rows(d):
+            loc = frontier_loc(d, r["loc_ix"])
+            canon = canonicalize_url(loc)
+            assert (canon is None) == (r["url_canon"] is None), (d, r)
+            if canon is not None:
+                allowed, delay = robots_allowed(
+                    robots, "danaebot", "/" + canon.split("/", 3)[3]
+                )
+                assert r["allowed"] == allowed and r["crawl_delay"] == delay, (d, r)
+
+    fn = load_all()["frontier_plan"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(FRONTIER_PLAN_ORACLE).fetchall()]
+    assert len(got) == len(want) and got == want

@@ -105,6 +105,7 @@ OPERATORS = {
     "crawl_curate": "documents",
     "sitemap_bundle_extract": "documents",
     "wet_text_extract": "documents",
+    "frontier_plan": "documents",
 }
 
 
