@@ -134,6 +134,7 @@ HEADLINE = [
     "sitemap_bundle_extract",
     "wet_text_extract",
     "frontier_plan",
+    "wat_census",
 ]
 
 

@@ -811,6 +811,176 @@ FROM x ORDER BY doc_id, uri
 WET_TEXT_ORACLE = _wet_oracle()
 
 
+# ----------------------------------------------------------- WAT sidecars
+
+
+def iter_wat_pages(payload: bytes):
+    """Yield (uri, title, links) for each METADATA record of a valid
+    WARC — the WAT convention (Common Crawl's metadata sidecar: each
+    metadata record's block is a JSON Envelope describing one page;
+    links live at Envelope -> Payload-Metadata -> HTTP-Response-
+    Metadata -> HTML-Metadata). A metadata record whose block is not
+    valid JSON, or whose JSON lacks the Envelope root, ends the
+    iteration (reject-whole); records for non-HTML pages (no
+    HTML-Metadata) yield (uri, None, []). Yields nothing for invalid
+    files."""
+    import json as _json
+
+    records = _records(payload)
+    if records is None:
+        return
+    for r in records:
+        if r["type"] != "metadata":
+            continue
+        try:
+            env = _json.loads(r["body"].decode("utf-8"))
+        except (UnicodeDecodeError, ValueError):
+            return
+        if not isinstance(env, dict) or not isinstance(env.get("Envelope"), dict):
+            return
+        pm = env["Envelope"].get("Payload-Metadata")
+        hm = (
+            pm.get("HTTP-Response-Metadata", {}).get("HTML-Metadata")
+            if isinstance(pm, dict)
+            else None
+        )
+        if not isinstance(hm, dict):
+            yield r["uri"], None, []
+            continue
+        head = hm.get("Head")
+        title = head.get("Title") if isinstance(head, dict) else None
+        links = hm.get("Links", [])
+        if not isinstance(links, list) or not all(
+            isinstance(l, dict) and "url" in l for l in links
+        ):
+            return
+        yield r["uri"], title if isinstance(title, str) else None, [
+            str(l["url"]) for l in links
+        ]
+
+
+def synth_wat(doc_id: int) -> bytes:
+    """The WAT sidecar of synth_warc(doc_id): one warcinfo + one
+    METADATA record per HTTP-200 page, each block the JSON Envelope
+    describing that page — title and link list derived from the SAME
+    arithmetic as synth_html (3 nav links + one inline anchor per even
+    paragraph), so the WAT oracle's n_links restates the html_text_sql
+    formula. Gzip member-per-record on odd docs. 301 pages get a
+    metadata record WITHOUT HTML-Metadata (the non-HTML shape)."""
+    import json as _json
+
+    from danae_spark.multimodal.htmltext import _n_paras
+
+    d = doc_id
+    host = f"site{d % 5}.example"
+    recs: list[bytes] = []
+    info = b"software: danae-spark/1.0\r\nformat: WARC File Format 1.1\r\n"
+    recs.append(_record("warcinfo", d * 100, info, {"Content-Type": "application/warc-fields"}))
+    for p in range(n_pages(d)):
+        uri = f"http://{host}/p{p}"
+        if page_status(d, p) == 200:
+            e = d * 4 + p
+            links = ["/", "/about?x=1&y=2", f"/p{e}"]
+            links += [f"/p{e}/{i}" for i in range(_n_paras(e)) if i % 2 == 0]
+            env = {
+                "Envelope": {
+                    "WARC-Header-Metadata": {"WARC-Target-URI": uri},
+                    "Payload-Metadata": {
+                        "HTTP-Response-Metadata": {
+                            "HTML-Metadata": {
+                                "Head": {"Title": f"Doc {e} t{e % 10}"},
+                                "Links": [
+                                    {"path": "A@/href", "url": u} for u in links
+                                ],
+                            }
+                        }
+                    },
+                },
+                "Container": {"Offset": str(p)},
+            }
+        else:
+            env = {
+                "Envelope": {
+                    "WARC-Header-Metadata": {"WARC-Target-URI": uri},
+                    "Payload-Metadata": {"HTTP-Response-Metadata": {}},
+                },
+                "Container": {"Offset": str(p)},
+            }
+        recs.append(
+            _record(
+                "metadata",
+                d * 100 + p + 1,
+                _json.dumps(env, sort_keys=True).encode("utf-8"),
+                {"WARC-Target-URI": uri, "Content-Type": "application/json"},
+            )
+        )
+    if d % 2 == 1:
+        return b"".join(_gzip_member(r) for r in recs)
+    return b"".join(recs)
+
+
+def wat_census_roundtrip(spark, sf_dir: str):
+    """Oracle-checkable WAT walk: per doc the WAT sidecar of the synth
+    crawl (metadata records holding JSON Envelopes) is walked by the
+    same record validator as the WARC census, and every page's title +
+    link census restated as doc arithmetic — n_links restates the SAME
+    3 + ceil(n_paras/2) formula html_text_sql uses, tying the metadata
+    sidecar to the page extraction it describes."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                for uri, title, links in iter_wat_pages(synth_wat(d)):
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "uri": uri,
+                            "title": title,
+                            "n_links": len(links) if title is not None else None,
+                            "first_link": links[0] if links else None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "uri", "title", "n_links", "first_link"]
+            )
+
+    schema = "doc_id bigint, uri string, title string, n_links int, first_link string"
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=schema)
+        .orderBy("doc_id", "uri")
+    )
+
+
+WAT_CENSUS_ORACLE = """
+WITH pages AS (
+  SELECT d.doc_id, p.p, d.doc_id * 4 + p.p AS e,
+         (d.doc_id + p.p) % 5 = 4 AS redirect
+  FROM documents d, generate_series(0, 2) p(p)
+  WHERE p.p < 1 + d.doc_id % 3
+)
+SELECT doc_id,
+       'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example/p'
+         || CAST(p AS VARCHAR) AS uri,
+       CASE WHEN redirect THEN NULL
+            ELSE 'Doc ' || CAST(e AS VARCHAR) || ' t' || CAST(e % 10 AS VARCHAR)
+       END AS title,
+       CASE WHEN redirect THEN NULL
+            ELSE CAST(3 + (2 + e % 4 + 1) // 2 AS INT) END AS n_links,
+       CASE WHEN redirect THEN NULL ELSE '/' END AS first_link
+FROM pages
+ORDER BY doc_id, uri
+"""
+
+
 # --------------------------------------------- charset-routing composition
 
 # per-page charset fixtures: (meta tag or '', header Content-Type,

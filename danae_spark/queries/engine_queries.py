@@ -912,3 +912,19 @@ def frontier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     any leg breaks both layers; every verdict and canonical STRING
     restates as doc arithmetic (operators/frontier.py)."""
     return _frontier.frontier_plan_roundtrip(spark, sf_dir)
+
+
+@register("wat_census", oracle=_warc.WAT_CENSUS_ORACLE)
+def wat_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT sidecar walk (r11): Common Crawl's metadata convention — a
+    WARC whose METADATA records each carry a JSON Envelope describing
+    one crawled page (title, outgoing links at Envelope ->
+    Payload-Metadata -> HTTP-Response-Metadata -> HTML-Metadata);
+    non-HTML pages (redirects) carry the no-HTML-Metadata shape and
+    yield NULL verdicts. Walked by the SAME record validator as
+    warc_census; malformed JSON or a missing Envelope rejects whole.
+    The oracle's n_links restates the SAME 3 + ceil(n_paras/2) formula
+    as html_text_sql — the metadata sidecar certifies against the page
+    extraction it describes (multimodal/warc.py iter_wat_pages /
+    synth_wat). Completes the WARC / WAT / WET crawl-artifact triple."""
+    return _warc.wat_census_roundtrip(spark, sf_dir)

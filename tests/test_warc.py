@@ -352,3 +352,47 @@ def test_wet_oracle_matches_duckdb(spark, sf_dir):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
     want = [tuple(r) for r in con.execute(WET_TEXT_ORACLE).fetchall()]
     assert len(got) == len(want) and got == want
+
+
+def test_wat_sidecar():
+    """WAT (metadata-record JSON Envelope) walk: titles/links match the
+    page-extraction arithmetic, redirects yield the no-HTML shape,
+    malformed JSON / missing Envelope reject whole."""
+    from danae_spark.multimodal.htmltext import expected_html_row
+    from danae_spark.multimodal.warc import iter_wat_pages, synth_wat
+
+    for d in range(40):
+        got = list(iter_wat_pages(synth_wat(d)))
+        assert len(got) == n_pages(d), d
+        for p, (uri, title, links) in enumerate(got):
+            e = d * 4 + p
+            assert uri == f"http://site{d % 5}.example/p{p}", (d, p)
+            if page_status(d, p) == 200:
+                assert title == f"Doc {e} t{e % 10}", (d, p)
+                # the sidecar's link count matches the html extraction
+                assert len(links) == expected_html_row(e)["n_links"], (d, p)
+            else:
+                assert title is None and links == [], (d, p)
+    # malformed JSON in a metadata record ends the walk (reject)
+    rec = _one_record(b"{not json", **{"WARC-Type": "metadata"})
+    assert list(iter_wat_pages(rec)) == []
+    # valid JSON without the Envelope root also rejects
+    rec = _one_record(b'{"x": 1}', **{"WARC-Type": "metadata"})
+    assert list(iter_wat_pages(rec)) == []
+    # non-metadata records yield nothing
+    assert list(iter_wat_pages(synth_warc(1))) == []
+
+
+def test_wat_oracle_matches_duckdb(spark, sf_dir):
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal.warc import WAT_CENSUS_ORACLE
+    from danae_spark.queries import load_all
+
+    fn = load_all()["wat_census"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p_ = table_path(sf_dir, "documents")
+    glob = f"{p_}/*.parquet" if os.path.isdir(p_) else p_
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(WAT_CENSUS_ORACLE).fetchall()]
+    assert len(got) == len(want) and got == want

@@ -106,6 +106,7 @@ OPERATORS = {
     "sitemap_bundle_extract": "documents",
     "wet_text_extract": "documents",
     "frontier_plan": "documents",
+    "wat_census": "documents",
 }
 
 
