@@ -135,6 +135,8 @@ HEADLINE = [
     "wet_text_extract",
     "frontier_plan",
     "wat_census",
+    "page_links",
+    "pagerank",
 ]
 
 

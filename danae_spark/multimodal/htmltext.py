@@ -832,3 +832,55 @@ ORDER BY doc_id
 
 
 HTML_META_ORACLE = _meta_oracle()
+
+
+def extract_links(payload: bytes, header_charset: str | None = None):
+    """Collect the page's outgoing anchors in document order: returns
+    (base_href, [href, ...]) where base_href is the first <base href>
+    (HTML's base-URL override, None if absent) and the list holds each
+    <a href> attribute value, entity-decoded, raw (unresolved —
+    urlops.resolve_reference turns them absolute against the effective
+    base). Same decode ladder and reject-whole contract as the text
+    extractor; raw-text elements (script/style) are skipped whole so a
+    '<a href' inside JavaScript never counts."""
+    text = _decode_page(payload, header_charset)
+    if text is None:
+        return None
+    n = len(text)
+    pos = 0
+    base: str | None = None
+    hrefs: list[str] = []
+    while pos < n:
+        lt = text.find("<", pos)
+        if lt == -1:
+            break
+        pos = lt
+        if text.startswith("<!--", pos):
+            end = text.find("-->", pos + 4)
+            if end == -1:
+                return None
+            pos = end + 3
+            continue
+        if text.startswith("<!", pos) or text.startswith("<?", pos):
+            end = text.find(">", pos + 2)
+            if end == -1:
+                return None
+            pos = end + 1
+            continue
+        tag = _scan_tag(text, pos)
+        if tag is None:
+            return None
+        name, is_close, self_closing, attrs, pos = tag
+        if name in _RAWTEXT and not is_close and not self_closing:
+            m = re.compile(rf"</{name}\s*>", re.IGNORECASE).search(text, pos)
+            if not m:
+                return None
+            pos = m.end()
+            continue
+        if is_close:
+            continue
+        if name == "base" and base is None and "href" in attrs:
+            base = _decode_entities(attrs["href"])
+        elif name == "a" and "href" in attrs:
+            hrefs.append(_decode_entities(attrs["href"]))
+    return base, hrefs

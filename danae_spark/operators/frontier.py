@@ -152,6 +152,252 @@ def frontier_plan_roundtrip(spark, sf_dir: str):
     )
 
 
+# -------------------------------------------------- page link extraction
+
+
+def page_links_roundtrip(spark, sf_dir: str):
+    """The crawl LINK-GRAPH builder, oracle-certified end-to-end: WARC
+    walk -> HTTP decode -> href extraction from each 200 page
+    (htmltext.extract_links: anchors in document order, entity-decoded,
+    raw-text elements skipped, <base href> honored) -> RFC 3986 §5
+    reference resolution against the page URL -> canonical absolute
+    URLs. One edge row per anchor: (doc_id, page uri, link_ix,
+    href_raw, url_abs) — the input a web-graph / PageRank stage
+    consumes. Stateless Arrow mapInPandas; no shuffle beyond the input
+    repartition."""
+    from danae_spark.catalog import load_table
+    from danae_spark.multimodal.htmltext import extract_links
+    from danae_spark.multimodal.warc import (
+        content_type_charset,
+        iter_warc_responses,
+        synth_warc,
+    )
+    from danae_spark.operators.urlops import resolve_reference
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cols = ["doc_id", "uri", "link_ix", "href_raw", "url_abs"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                for uri, status, ctype, body in iter_warc_responses(synth_warc(d)):
+                    if status != 200 or not (ctype or "").startswith("text/html"):
+                        continue
+                    got = extract_links(body, content_type_charset(ctype))
+                    if got is None:
+                        continue
+                    base, hrefs = got
+                    eff_base = base if base is not None else uri
+                    for ix, href in enumerate(hrefs):
+                        rows.append(
+                            {
+                                "doc_id": d,
+                                "uri": uri,
+                                "link_ix": ix,
+                                "href_raw": href,
+                                "url_abs": resolve_reference(eff_base, href),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = "doc_id bigint, uri string, link_ix int, href_raw string, url_abs string"
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=schema)
+        .orderBy("doc_id", "uri", "link_ix")
+    )
+
+
+# page e carries 3 nav hrefs then one inline anchor per EVEN paragraph
+# (paragraphs = 2 + e % 4, so (3 + e % 4) // 2 inline anchors)
+PAGE_LINKS_ORACLE = """
+WITH pages AS (
+  SELECT d.doc_id, p.p, d.doc_id * 4 + p.p AS e,
+         'http://site' || CAST(d.doc_id % 5 AS VARCHAR) || '.example' AS root
+  FROM documents d, generate_series(0, 2) p(p)
+  WHERE p.p < 1 + d.doc_id % 3 AND (d.doc_id + p.p) % 5 <> 4
+),
+links AS (
+  SELECT pages.*, k.k,
+         CASE k.k
+           WHEN 0 THEN '/'
+           WHEN 1 THEN '/about?x=1&y=2'
+           WHEN 2 THEN '/p' || CAST(e AS VARCHAR)
+           ELSE '/p' || CAST(e AS VARCHAR) || '/' || CAST(2 * (k.k - 3) AS VARCHAR)
+         END AS href
+  FROM pages, generate_series(0, 6) k(k)
+  WHERE k.k < 3 + (3 + e % 4) // 2
+)
+SELECT doc_id,
+       root || '/p' || CAST(p AS VARCHAR) AS uri,
+       CAST(k AS INT) AS link_ix,
+       href AS href_raw,
+       root || href AS url_abs
+FROM links
+ORDER BY doc_id, uri, link_ix
+"""
+
+
+# ----------------------------------------------------------- PageRank
+
+PR_DAMPING = 0.85
+PR_ITERS = 10
+
+
+def pagerank_frame(
+    nodes,
+    edges,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = PR_DAMPING,
+    n_iter: int = PR_ITERS,
+):
+    """Power-iteration PageRank over an edge frame — the link-based
+    quality signal a crawl curation pipeline weights domains/pages by.
+    Fixed `n_iter` rounds (deterministic, oracle-restatable), damping
+    d, DANGLING-NODE mass redistributed uniformly each round (nodes
+    with no out-edges would otherwise leak rank). Parallel edges are
+    weights (no dedup — a page linking twice votes twice).
+
+    Scale shape: each round is one src-keyed join (rank × out-degree)
+    + one dst-keyed aggregation — the canonical shuffle pair; the
+    dangling mass is a 1-row aggregate. Edges+degrees persist across
+    rounds; ranks re-derive per round (lineage kept shallow by
+    checkpoint-free recomputation over the persisted inputs)."""
+    from pyspark.sql import functions as F
+
+    nodes = nodes.select(F.col(node_col).alias("node")).distinct().persist()
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count("*").alias("od"))
+    e = e.join(deg, "src").persist()
+    n_nodes = nodes.count()
+    ranks = nodes.withColumn("r", F.lit(1.0 / n_nodes))
+    for _ in range(n_iter):
+        contrib = (
+            ranks.join(e, ranks.node == e.src)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("od")).alias("s"))
+            .withColumnRenamed("dst", "node")
+        )
+        dangling = (
+            ranks.join(deg, ranks.node == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("m"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("m") / n_nodes)
+                ).alias("r"),
+            )
+        )
+        # CUT THE LINEAGE each round: every round references the
+        # previous ranks TWICE (contributions + dangling mass), so an
+        # unchecked logical plan doubles per round — 2^10 nodes by the
+        # end, which OOMs the analyzer long before any data moves.
+        # localCheckpoint materializes the round and replaces the plan
+        # with the materialized RDD (on a real cluster with dynamic
+        # allocation, use reliable checkpoint() to durable storage).
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.round("r", 6).alias("rank")).orderBy("node")
+
+
+def synth_edges_sql() -> str:
+    """The deterministic doc-graph both sides build: nodes = doc_ids;
+    each non-dangling node i (i % 7 != 5) links to (i*7+1) % N and
+    (i*13+2) % N, plus (i*5+3) % N when i % 4 == 0; i % 7 == 5 nodes
+    are DANGLING (no out-edges), so the mass-redistribution path is on
+    the certified path."""
+    return """
+SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT count(*) FROM documents) AS dst
+FROM documents WHERE doc_id % 7 <> 5
+UNION ALL
+SELECT doc_id, (doc_id * 13 + 2) % (SELECT count(*) FROM documents)
+FROM documents WHERE doc_id % 7 <> 5
+UNION ALL
+SELECT doc_id, (doc_id * 5 + 3) % (SELECT count(*) FROM documents)
+FROM documents WHERE doc_id % 7 <> 5 AND doc_id % 4 = 0
+"""
+
+
+def pagerank_roundtrip(spark, sf_dir: str):
+    """Oracle-checkable PageRank: the deterministic doc-graph (with
+    real dangling nodes) through pagerank_frame; the oracle unrolls
+    the SAME 10 power-iteration rounds as SQL CTEs."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import tune_for_session
+    from pyspark.sql import functions as F
+
+    tune_for_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = F.lit(docs.count())
+    base = docs.filter(F.col("doc_id") % 7 != 5)
+    edges = (
+        base.select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 1) % n).alias("dst"))
+        .unionAll(
+            base.select(F.col("doc_id"), (F.col("doc_id") * 13 + 2) % n)
+        )
+        .unionAll(
+            base.filter(F.col("doc_id") % 4 == 0).select(
+                F.col("doc_id"), (F.col("doc_id") * 5 + 3) % n
+            )
+        )
+    )
+    return pagerank_frame(docs, edges, node_col="doc_id")
+
+
+def _pagerank_oracle(damping: float = PR_DAMPING, n_iter: int = PR_ITERS) -> str:
+    """The power iteration UNROLLED as one CTE chain per round — a
+    full-value SQL restatement of an 'iterative' algorithm (ranks
+    ROUND(6) on both sides)."""
+    parts = [
+        "WITH nodes AS (SELECT doc_id AS node FROM documents),",
+        f"edges AS MATERIALIZED ({synth_edges_sql()}),",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS od FROM edges GROUP BY src),",
+        "nn AS (SELECT count(*) AS n FROM nodes),",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS r FROM nodes, nn),",
+    ]
+    for k in range(1, n_iter + 1):
+        prev = f"r{k - 1}"
+        parts.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT n.node,
+         (1 - {damping}) / nn.n
+           + {damping} * (COALESCE(c.s, 0) + dang.m / nn.n) AS r
+  FROM nodes n
+  CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.r / deg.od) AS s
+    FROM {prev} p JOIN edges e ON p.node = e.src JOIN deg ON e.src = deg.src
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+  CROSS JOIN (
+    SELECT COALESCE(sum(p.r), 0) AS m
+    FROM {prev} p LEFT JOIN deg ON p.node = deg.src
+    WHERE deg.src IS NULL
+  ) dang
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node, ROUND(r, 6) AS rank FROM r{n_iter} ORDER BY node"
+    )
+    return "\n".join(parts)
+
+
+PAGERANK_ORACLE = _pagerank_oracle()
+
+
 FRONTIER_PLAN_ORACLE = """
 WITH g AS (
   SELECT doc_id, CAST(3 + doc_id % 4 AS INT) AS n_locs FROM documents

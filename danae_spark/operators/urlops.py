@@ -232,6 +232,45 @@ def _resolve_dots(path: str) -> str:
     return "/" + "/".join(out)
 
 
+def resolve_reference(base: str, ref: str) -> str | None:
+    """RFC 3986 §5 reference resolution + canonicalization: turn the
+    href values a page actually carries — absolute URLs, scheme-
+    relative (`//host/x`), absolute-path (`/x`), relative-path
+    (`a/b`, `../x`), and query-only (`?q`) references — into absolute
+    CANONICAL URLs against the page's base URL. Fragment-only
+    references (`#frag`) return None (same-document, nothing to
+    enqueue), as do unresolvable refs and non-http(s) targets —
+    exactly the canonicalize_url contract, because the result routes
+    through it."""
+    if ref is None or ref == "" or ref.startswith("#"):
+        return None
+    if _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", ref):
+        # any scheme prefix makes the ref absolute (RFC 3986 §4.1);
+        # non-http(s) targets (mailto:, javascript:, tel:) yield None
+        # via the canonicalize_url contract
+        return canonicalize_url(ref)
+    bm = _re.match(
+        r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$", base
+    )
+    if not bm:
+        return None
+    scheme, netloc, bpath, bquery, _f = bm.groups()
+    if ref.startswith("//"):
+        return canonicalize_url(f"{scheme}:{ref}")
+    ref_nofrag = ref.split("#", 1)[0]
+    if not ref_nofrag:
+        return None  # fragment-only after split
+    if ref_nofrag.startswith("/"):
+        return canonicalize_url(f"{scheme}://{netloc}{ref_nofrag}")
+    if ref_nofrag.startswith("?"):
+        base_path = bpath if bpath else "/"
+        return canonicalize_url(f"{scheme}://{netloc}{base_path}{ref_nofrag}")
+    # relative path: merge with the base path's directory (RFC 3986 §5.3.3)
+    base_path = bpath if bpath else "/"
+    merged = base_path[: base_path.rfind("/") + 1] + ref_nofrag
+    return canonicalize_url(f"{scheme}://{netloc}{merged}")
+
+
 def canonicalize_url(url: str) -> str | None:
     """Canonicalize one absolute http(s) URL; None for anything the
     grammar can't read (relative refs, other schemes, malformed

@@ -928,3 +928,34 @@ def wat_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction it describes (multimodal/warc.py iter_wat_pages /
     synth_wat). Completes the WARC / WAT / WET crawl-artifact triple."""
     return _warc.wat_census_roundtrip(spark, sf_dir)
+
+
+@register("page_links", oracle=_frontier.PAGE_LINKS_ORACLE)
+def page_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl link-graph builder (r11): WARC walk -> HTTP decode ->
+    href extraction from each 200 page (anchors in document order,
+    entity-decoded, raw-text elements skipped, <base href> honored) ->
+    RFC 3986 §5 reference resolution against the page URL (absolute /
+    scheme-relative / absolute-path / relative-path / query-only
+    forms; fragment-only yields NULL) -> canonical absolute URLs. One
+    edge row per anchor — the input the web-graph / PageRank stage
+    consumes (operators/frontier.py page_links_roundtrip,
+    htmltext.extract_links, urlops.resolve_reference)."""
+    return _frontier.page_links_roundtrip(spark, sf_dir)
+
+
+@register("pagerank", oracle=_frontier.PAGERANK_ORACLE)
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (r11): the link-based quality signal a crawl curation
+    pipeline weights pages/domains by — fixed-round power iteration
+    (10 rounds, d=0.85) with dangling-node mass redistributed
+    uniformly each round and parallel edges as weights. Each round is
+    one src-keyed join + one dst-keyed aggregation (the canonical
+    shuffle pair); edges+degrees persist across rounds, per-round
+    ranks materialize to keep lineage shallow. The oracle UNROLLS the
+    same 10 rounds as MATERIALIZED SQL CTEs — a full-value restatement
+    of an iterative algorithm (ranks ROUND(6) both sides); the synth
+    doc-graph has real dangling nodes (doc_id % 7 == 5), so the
+    redistribution path is certified (operators/frontier.py
+    pagerank_frame)."""
+    return _frontier.pagerank_roundtrip(spark, sf_dir)

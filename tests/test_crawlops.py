@@ -535,3 +535,77 @@ def test_frontier_plan_composition(spark, sf_dir):
     got = [tuple(r) for r in fn(spark, sf_dir).collect()]
     want = [tuple(r) for r in _duck(sf_dir).execute(FRONTIER_PLAN_ORACLE).fetchall()]
     assert len(got) == len(want) and got == want
+
+
+def test_resolve_reference_forms():
+    from danae_spark.operators.urlops import resolve_reference
+
+    base = "https://h.example/a/b/page?q=1"
+    cases = [
+        ("http://other.example/x", "http://other.example/x"),  # absolute
+        ("//cdn.example/y", "https://cdn.example/y"),          # scheme-relative
+        ("/rooted/z", "https://h.example/rooted/z"),           # absolute-path
+        ("sib", "https://h.example/a/b/sib"),                  # relative-path
+        ("../up", "https://h.example/a/up"),                   # dot segments
+        ("?b=2&a=1", "https://h.example/a/b/page?a=1&b=2"),    # query-only
+        ("x#frag", "https://h.example/a/b/x"),                 # fragment stripped
+        ("#frag", None),                                       # same-document
+        ("", None),
+        ("mailto:a@b", None),                                  # non-http target
+        ("ftp://h/x", None),
+    ]
+    for ref, want in cases:
+        assert resolve_reference(base, ref) == want, (ref, want)
+    # base without a path: relative refs resolve against '/'
+    assert resolve_reference("https://h.example", "x") == "https://h.example/x"
+    # unparseable base
+    assert resolve_reference("not a url", "/x") is None
+
+
+def test_page_links_oracle(spark, sf_dir):
+    from danae_spark.operators.frontier import PAGE_LINKS_ORACLE
+    from danae_spark.queries import load_all
+
+    fn = load_all()["page_links"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(PAGE_LINKS_ORACLE).fetchall()]
+    assert len(got) == len(want) and got == want
+    # every resolved URL is absolute-canonical on the page's own host
+    for doc_id, uri, _ix, _raw, url_abs in got:
+        host = uri.split("://", 1)[1].split("/", 1)[0]
+        assert url_abs.startswith(f"http://{host}/"), (uri, url_abs)
+
+
+def test_pagerank_matches_numpy(spark, sf_dir):
+    """pagerank_frame against a dense NumPy power iteration on the
+    same graph — an implementation-independent oracle (the SQL oracle
+    restates the same round structure; this one doesn't)."""
+    import numpy as np
+
+    from danae_spark.operators.frontier import PR_DAMPING, PR_ITERS, pagerank_roundtrip
+
+    got = {r["node"]: r["rank"] for r in pagerank_roundtrip(spark, sf_dir).collect()}
+    n = len(got)
+    # rebuild the synth graph densely
+    edges = []
+    for i in range(n):
+        if i % 7 == 5:
+            continue
+        edges.append((i, (i * 7 + 1) % n))
+        edges.append((i, (i * 13 + 2) % n))
+        if i % 4 == 0:
+            edges.append((i, (i * 5 + 3) % n))
+    od = np.zeros(n)
+    for s, _d in edges:
+        od[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(PR_ITERS):
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[d] += r[s] / od[s]
+        dangling = r[od == 0].sum()
+        r = (1 - PR_DAMPING) / n + PR_DAMPING * (contrib + dangling / n)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-6, (i, got[i], r[i])
+    # rank is a probability distribution
+    assert abs(sum(got.values()) - 1.0) < 1e-3

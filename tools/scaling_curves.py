@@ -107,6 +107,8 @@ OPERATORS = {
     "wet_text_extract": "documents",
     "frontier_plan": "documents",
     "wat_census": "documents",
+    "page_links": "documents",
+    "pagerank": "documents",
 }
 
 
