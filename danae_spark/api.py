@@ -45,6 +45,12 @@ class DataLakeEngine:
         self.spark = tune_for_session(spark)
         self.lake_dir = lake_dir
         self.embeddings = embeddings
+        # make danae_spark importable on Spark Python workers no matter
+        # the caller's cwd — the frame verbs' Arrow closures pickle by
+        # module reference (same guarantee the registered queries get)
+        from danae_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
 
     # ---------------------------------------------------------- catalog
     def catalog(self) -> DataFrame:
@@ -630,11 +636,13 @@ class DataLakeEngine:
         return warc_census_frame(df, **kw)
 
     def pdf_text(self, df: DataFrame, **kw) -> DataFrame:
-        """Classic-PDF text extraction over any (id, binary) frame:
-        document text (content-stream text operators), title/author
-        from /Info, page and object counts; anything outside the
-        certified subset (xref/object streams, encryption, non-Flate
-        filters, CID fonts) yields null rows, never mojibake
+        """PDF text extraction over any (id, binary) frame: classic
+        AND modern (1.5+: xref/object streams) files, Flate / LZW /
+        ASCIIHex / ASCII85 / RunLength filters and chains, simple AND
+        composite (Type0/CID via ToUnicode CMap) fonts; title/author
+        from /Info, page and object counts. Anything outside the
+        certified subset (encryption, image filters, a CID font
+        without a ToUnicode) yields null rows, never mojibake
         (multimodal/pdf.py parse_pdf)."""
         from danae_spark.multimodal.pdf import pdf_text_frame
 
@@ -699,11 +707,31 @@ class DataLakeEngine:
         return sitemap_extract_frame(df, **kw)
 
     def feed_extract(self, df: DataFrame, **kw) -> DataFrame:
-        """RSS 2.0 / Atom feed extraction over any (id, binary) frame:
-        feed title, item count, and the newline-joined item
-        title/description text for the curation stack; payloads
-        outside the two grammars yield null rows
+        """RSS 2.0/0.9x / RSS 1.0 (RDF) / Atom feed extraction over
+        any (id, binary) frame: feed title, item count, and the
+        newline-joined item title/description text for the curation
+        stack (Atom <content> outranks <summary>); payloads outside
+        the three grammars yield null rows
         (operators/feeds.py parse_feed)."""
         from danae_spark.operators.feeds import feed_extract_frame
 
         return feed_extract_frame(df, **kw)
+
+    def sitemap_bundle(self, df: DataFrame, **kw) -> DataFrame:
+        """Sitemap-DUMP bundle walk over any (id, binary) frame: an
+        archive holding one sitemapindex plus the .xml/.xml.gz child
+        urlsets it names (one-level recursion per the protocol rule);
+        child/url/canonicalizable totals; unwalkable bundles yield
+        null rows (operators/sitemap.py parse_sitemap_bundle)."""
+        from danae_spark.operators.sitemap import sitemap_bundle_frame
+
+        return sitemap_bundle_frame(df, **kw)
+
+    def pagerank(self, nodes: DataFrame, edges: DataFrame, **kw) -> DataFrame:
+        """PageRank over (nodes, edges) frames: fixed-round power
+        iteration with dangling-node mass redistribution and parallel
+        edges as weights — the link-based quality signal for weighting
+        crawled pages/domains (operators/frontier.py pagerank_frame)."""
+        from danae_spark.operators.frontier import pagerank_frame
+
+        return pagerank_frame(nodes, edges, **kw)
