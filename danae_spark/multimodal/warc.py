@@ -253,15 +253,16 @@ def _parse_http_response(body: bytes) -> dict | None:
     payload = body[sep + 4 :]
     if tenc is not None:
         codings = [c.strip() for c in tenc.split(",") if c.strip()]
-        # "chunked" must be the final (outermost) coding per RFC 7230;
-        # the only transfer codings accepted here are identity+chunked.
-        if not codings or codings[-1] != "chunked" or any(
-            c not in ("identity", "chunked") for c in codings
-        ):
-            return None
-        payload = _dechunk(payload)
-        if payload is None:
-            return None
+        if any(c not in ("identity", "chunked") for c in codings):
+            return None  # gzip-as-transfer-coding etc.: no decoder here
+        if "chunked" in codings:
+            # "chunked" must be the final (outermost) coding (RFC 7230)
+            if codings[-1] != "chunked":
+                return None
+            payload = _dechunk(payload)
+            if payload is None:
+                return None
+        # a bare "identity" transfer coding is a no-op
     if cenc is not None:
         # apply codings outermost-last -> decode right-to-left
         for coding in reversed([c.strip() for c in cenc.split(",")]):

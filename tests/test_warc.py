@@ -197,6 +197,8 @@ def test_http_payload_decode_rejects():
         b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\ndata",
         # unsupported transfer coding
         b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n\r\ndata",
+        # identity BEFORE chunked is fine (tested below) but chunked
+        # not-outermost rejects
         # chunked not outermost
         b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked, gzip\r\n\r\n5\r\nhello\r\n0\r\n\r\n",
     ]
@@ -204,6 +206,17 @@ def test_http_payload_decode_rejects():
         rec = _one_record(wire, **{"WARC-Type": "response"})
         assert parse_warc(rec) is None, wire[:60]
         assert list(iter_warc_responses(rec)) == [], wire[:60]
+    # a bare "identity" transfer coding is a no-op, not a reject
+    ident = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: identity\r\n\r\nplain body"
+    pages = list(iter_warc_responses(_one_record(ident, **{"WARC-Type": "response"})))
+    assert pages and pages[0][3] == b"plain body"
+    # and "identity, chunked" de-chunks
+    both = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: identity, chunked\r\n\r\n"
+        b"5\r\nhello\r\n0\r\n\r\n"
+    )
+    pages = list(iter_warc_responses(_one_record(both, **{"WARC-Type": "response"})))
+    assert pages and pages[0][3] == b"hello"
 
 
 def test_iter_warc_responses_feeds_html():
