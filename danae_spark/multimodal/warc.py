@@ -65,10 +65,19 @@ import pandas as pd
 __all__ = [
     "parse_warc",
     "iter_warc_responses",
+    "iter_wet_texts",
+    "iter_wat_pages",
+    "content_type_charset",
     "synth_warc",
+    "synth_wet",
+    "synth_wat",
+    "synth_charset_warc",
     "warc_census_frame",
     "warc_census_roundtrip",
     "WARC_CENSUS_ORACLE",
+    "WET_TEXT_ORACLE",
+    "WAT_CENSUS_ORACLE",
+    "CRAWL_CHARSET_ORACLE",
 ]
 
 _TYPES = frozenset(

@@ -36,7 +36,12 @@ __all__ = [
     "synth_frontier_sitemap",
     "frontier_plan_rows",
     "frontier_plan_roundtrip",
+    "page_links_roundtrip",
+    "pagerank_frame",
+    "pagerank_roundtrip",
     "FRONTIER_PLAN_ORACLE",
+    "PAGE_LINKS_ORACLE",
+    "PAGERANK_ORACLE",
 ]
 
 

@@ -41,10 +41,15 @@ import pandas as pd
 
 __all__ = [
     "parse_sitemap",
+    "parse_sitemap_bundle",
     "synth_sitemap",
+    "synth_sitemap_bundle",
     "sitemap_extract_frame",
+    "sitemap_bundle_frame",
     "sitemap_extract_roundtrip",
+    "sitemap_bundle_roundtrip",
     "SITEMAP_ORACLE",
+    "SITEMAP_BUNDLE_ORACLE",
 ]
 
 _CHANGEFREQ = frozenset(
