@@ -160,6 +160,54 @@ def frontier_plan_roundtrip(spark, sf_dir: str):
 # -------------------------------------------------- page link extraction
 
 
+def page_links_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
+    """Link-graph extraction over any (id, WARC-binary) frame: for
+    each HTTP-200 text/html response of each capture, the page's
+    anchors extract, resolve (RFC 3986 §5) against the effective base
+    (<base href> or the page URL) and canonicalize — one row per
+    anchor: (id, uri, link_ix, href_raw, url_abs). Stateless Arrow
+    mapInPandas (also the streaming twin's stage — see
+    streaming/links.py); invalid captures yield no rows."""
+    import pandas as _pd
+
+    from danae_spark.multimodal.htmltext import extract_links
+    from danae_spark.multimodal.warc import content_type_charset, iter_warc_responses
+    from danae_spark.operators.urlops import resolve_reference
+
+    cols = [id_col, "uri", "link_ix", "href_raw", "url_abs"]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                for uri, status, ctype, body in iter_warc_responses(bytes(payload)):
+                    if status != 200 or not (ctype or "").startswith("text/html"):
+                        continue
+                    got = extract_links(body, content_type_charset(ctype))
+                    if got is None:
+                        continue
+                    base, hrefs = got
+                    eff_base = base if base is not None else uri
+                    for ix, href in enumerate(hrefs):
+                        rows.append(
+                            {
+                                id_col: rid,
+                                "uri": uri,
+                                "link_ix": ix,
+                                "href_raw": href,
+                                "url_abs": resolve_reference(eff_base, href),
+                            }
+                        )
+            yield _pd.DataFrame(rows, columns=cols)
+
+    schema = (
+        f"{id_col} bigint, uri string, link_ix int, href_raw string, url_abs string"
+    )
+    return df.mapInPandas(batches, schema=schema)
+
+
 def page_links_roundtrip(spark, sf_dir: str):
     """The crawl LINK-GRAPH builder, oracle-certified end-to-end: WARC
     walk -> HTTP decode -> href extraction from each 200 page
