@@ -11,8 +11,12 @@ text column:
 
   - %PDF magic        -> classic-PDF reader (multimodal/pdf.py)
   - WARC/ or .warc.gz -> WARC walk; every HTTP-200 text/html response
-                         body routed through the HTML extractor, page
-                         texts joined by newlines (warc.py, htmltext.py)
+                         body (chunked/gzip wires decoded) routed
+                         through the HTML extractor, page texts joined
+                         by newlines; a conversion-record-only WARC is
+                         a WET sidecar — its pre-extracted page texts
+                         join directly (format 'wet'/'wet.gz')
+                         (warc.py, htmltext.py)
   - zip / tar / tar.gz-> archive walk with full data verification;
                          subtitle members' transcripts extracted and
                          joined, other members skipped (archive.py,
