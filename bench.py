@@ -137,6 +137,7 @@ HEADLINE = [
     "wat_census",
     "page_links",
     "pagerank",
+    "crawl_report",
 ]
 
 

@@ -1287,6 +1287,43 @@ ORDER BY pg.page_id
 """
 
 
+def crawl_report_roundtrip(spark, sf_dir: str):
+    """The crawl health report — ONE row summarizing the whole
+    crawl->corpus run (the number a pipeline operator actually reads):
+    pages crawled, distinct domains, duplicate rate, quality pass
+    rate, cap survival, final keep count + rate. Computed by plain
+    aggregation OVER the certified crawl_curate plan, so the report
+    can never disagree with the row-level verdicts."""
+    from pyspark.sql import functions as F
+
+    cur = crawl_curate_roundtrip(spark, sf_dir)
+    return cur.agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("domain").alias("n_domains"),
+        F.sum((F.col("n_dup") > 1).cast("int")).alias("n_in_dup_cluster"),
+        F.sum(F.col("is_keeper")).alias("n_keepers"),
+        F.sum(F.col("quality_keep")).alias("n_quality_pass"),
+        F.sum(F.col("cap_kept")).alias("n_cap_survivors"),
+        F.sum(F.col("keep")).alias("n_kept"),
+        F.round(F.sum(F.col("keep")) / F.count("*"), 6).alias("keep_rate"),
+    )
+
+
+def _crawl_report_oracle() -> str:
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT domain) AS BIGINT) AS n_domains,
+       CAST(sum(CASE WHEN n_dup > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_dup_cluster,
+       CAST(sum(is_keeper) AS BIGINT) AS n_keepers,
+       CAST(sum(quality_keep) AS BIGINT) AS n_quality_pass,
+       CAST(sum(cap_kept) AS BIGINT) AS n_cap_survivors,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       ROUND(sum(keep) * 1.0 / count(*), 6) AS keep_rate
+FROM ({_crawl_curate_oracle()})
+"""
+
+
 CRAWL_CHARSET_ORACLE = """
 WITH pages AS (
   SELECT d.doc_id, p.p,

@@ -959,3 +959,15 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     redistribution path is certified (operators/frontier.py
     pagerank_frame)."""
     return _frontier.pagerank_roundtrip(spark, sf_dir)
+
+
+@register("crawl_report", oracle=_warc._crawl_report_oracle())
+def crawl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl health report (r11): the ONE row a pipeline operator
+    reads after a crawl->corpus run — pages, distinct domains,
+    duplicate-cluster membership, keeper/quality/cap survivor counts,
+    final keeps + keep rate — computed by plain aggregation OVER the
+    certified crawl_curate plan (and its oracle over the same
+    composition SQL), so the report can never disagree with the
+    row-level verdicts. The crawl-side twin of corpus_report."""
+    return _warc.crawl_report_roundtrip(spark, sf_dir)

@@ -409,3 +409,23 @@ def test_wat_oracle_matches_duckdb(spark, sf_dir):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
     want = [tuple(r) for r in con.execute(WAT_CENSUS_ORACLE).fetchall()]
     assert len(got) == len(want) and got == want
+
+
+def test_crawl_report_consistency(spark, sf_dir):
+    """The one-row report equals direct aggregation of the row-level
+    crawl_curate verdicts (no independent computation to drift)."""
+    from danae_spark.multimodal.warc import (
+        crawl_curate_roundtrip,
+        crawl_report_roundtrip,
+    )
+
+    rows = crawl_curate_roundtrip(spark, sf_dir).collect()
+    rep = crawl_report_roundtrip(spark, sf_dir).collect()[0]
+    assert rep["n_pages"] == len(rows)
+    assert rep["n_domains"] == len({r["domain"] for r in rows})
+    assert rep["n_in_dup_cluster"] == sum(1 for r in rows if r["n_dup"] > 1)
+    assert rep["n_keepers"] == sum(r["is_keeper"] for r in rows)
+    assert rep["n_quality_pass"] == sum(r["quality_keep"] for r in rows)
+    assert rep["n_cap_survivors"] == sum(r["cap_kept"] for r in rows)
+    assert rep["n_kept"] == sum(r["keep"] for r in rows)
+    assert abs(rep["keep_rate"] - rep["n_kept"] / rep["n_pages"]) < 1e-6
