@@ -221,19 +221,22 @@ def _zip_members(payload: bytes) -> list[tuple[str, bool, int, int, bytes]] | No
         if has_dd:
             # the descriptor after the data must confirm the central
             # directory's values; 8-byte sizes iff the LOCAL header
-            # carries a zip64 extra (APPNOTE 4.3.9.2)
+            # carries a zip64 extra (APPNOTE 4.3.9.2). The PK\x07\x08
+            # signature is OPTIONAL, and a signature-less descriptor
+            # whose CRC happens to equal 0x08074B50 is byte-identical
+            # to a signed one (the known APPNOTE ambiguity) — so try
+            # BOTH framings and accept if either confirms the central
+            # directory.
             q = dstart + csize
-            if payload[q : q + 4] == b"PK\x07\x08":
-                q += 4
-            if _has_zip64_extra(l_extra):
-                if q + 20 > n:
-                    return None
-                dd = struct.unpack_from("<IQQ", payload, q)
-            else:
-                if q + 12 > n:
-                    return None
-                dd = struct.unpack_from("<III", payload, q)
-            if dd != (crc, csize, usize):
+            fmt, need = (
+                ("<IQQ", 20) if _has_zip64_extra(l_extra) else ("<III", 12)
+            )
+            skips = (4, 0) if payload[q : q + 4] == b"PK\x07\x08" else (0,)
+            if not any(
+                q + s + need <= n
+                and struct.unpack_from(fmt, payload, q + s) == (crc, csize, usize)
+                for s in skips
+            ):
                 return None
         if method == 0:
             data = raw

@@ -610,6 +610,8 @@ class _Doc:
             offset = prev
         if "Root" not in self.trailer:
             raise _Bad()
+        if "Encrypt" in self.trailer:
+            raise _Bad()  # encryption: declared reject
 
     def _read_xref(self, offset: int) -> dict:
         """Classic xref TABLE ('xref' keyword) or a PDF 1.5+ xref
@@ -871,13 +873,14 @@ class _Doc:
         root = self.resolve(self.trailer["Root"])
         if not isinstance(root, dict) or root.get("Type") != "Catalog":
             raise _Bad()
-        if "Encrypt" in self.trailer:
-            raise _Bad()  # encryption: declared reject
         tree = self.resolve(root.get("Pages"))
         out: list[dict] = []
         seen: set[int] = set()
 
-        def walk(node) -> None:
+        def walk(node, inherited_res) -> None:
+            # /Resources is INHERITABLE down the page tree (ISO 32000-1
+            # §7.7.3.4): a Page without its own entry uses the nearest
+            # ancestor Pages node's — common in real files
             if not isinstance(node, dict):
                 raise _Bad()
             t = node.get("Type")
@@ -886,17 +889,22 @@ class _Doc:
                 if nid in seen or len(seen) > 1000:
                     raise _Bad()
                 seen.add(nid)
+                if "Resources" in node:
+                    inherited_res = node["Resources"]
                 kids = self.resolve(node.get("Kids"))
                 if not isinstance(kids, list):
                     raise _Bad()
                 for k in kids:
-                    walk(self.resolve(k))
+                    walk(self.resolve(k), inherited_res)
             elif t == "Page":
+                if "Resources" not in node and inherited_res is not None:
+                    node = dict(node)  # don't mutate the cached object
+                    node["Resources"] = inherited_res
                 out.append(node)
             else:
                 raise _Bad()
 
-        walk(tree)
+        walk(tree, None)
         count = self.resolve(tree.get("Count")) if isinstance(tree, dict) else None
         if count != len(out):
             raise _Bad()  # /Count must match the leaves actually found
@@ -968,6 +976,12 @@ def _page_text(content: bytes, fonts: dict | None = None) -> list[str]:
     decoder = None  # active font's decoder; None = Latin-1 passthrough
 
     def shown(s: str) -> str:
+        if fonts is None:
+            # a page that SHOWS text but has no resolvable /Resources
+            # /Font map can't be decoded safely: reject, never guess
+            # (the mojibake guard — a Type0 string read as Latin-1
+            # would ship NUL-interleaved garbage)
+            raise _Bad()
         return s if decoder is None else decoder(s)
 
     def newline() -> None:
@@ -1002,10 +1016,11 @@ def _page_text(content: bytes, fonts: dict | None = None) -> list[str]:
         elif op == "Tf":
             if len(stack) < 2 or not isinstance(stack[-2], str):
                 raise _Bad()
-            if fonts is not None:
-                if stack[-2] not in fonts:
-                    raise _Bad()  # Tf names a font absent from /Resources
-                decoder = fonts[stack[-2]]
+            if fonts is None:
+                raise _Bad()  # Tf with no resolvable /Resources /Font map
+            if stack[-2] not in fonts:
+                raise _Bad()  # Tf names a font absent from /Resources
+            decoder = fonts[stack[-2]]
         elif op == "Tj" and in_text:
             if not stack or not isinstance(stack[-1], str):
                 raise _Bad()

@@ -66,7 +66,9 @@ __all__ = [
     "parse_warc",
     "iter_warc_responses",
     "iter_wet_texts",
+    "wet_texts",
     "iter_wat_pages",
+    "wat_pages",
     "content_type_charset",
     "synth_warc",
     "synth_wet",
@@ -379,24 +381,37 @@ def iter_warc_responses(payload: bytes):
         yield r["uri"], http["status"], http["content_type"], http["body"]
 
 
-def iter_wet_texts(payload: bytes):
-    """Yield (uri, text) for each CONVERSION record of a valid WARC —
-    the WET convention (Common Crawl's pre-extracted-text sidecar
-    files: each conversion record's block is the plain UTF-8 text of
-    one page, no HTTP envelope). A conversion record whose block is
-    not valid UTF-8 ends the iteration (reject-whole, same contract
-    as the response walk); yields nothing for invalid files."""
+def wet_texts(payload: bytes) -> list[tuple[str, str]] | None:
+    """All (uri, text) pairs of a valid WET file, or None — the WET
+    convention (Common Crawl's pre-extracted-text sidecar files: each
+    CONVERSION record's block is the plain UTF-8 text of one page, no
+    HTTP envelope). Every conversion record is decoded BEFORE any is
+    returned, so a file with one non-UTF-8 conversion block rejects
+    WHOLE — no partial text ever ships (the same contract the response
+    walk enforces via parse_warc)."""
     records = _records(payload)
     if records is None:
-        return
+        return None
+    out: list[tuple[str, str]] = []
     for r in records:
         if r["type"] != "conversion":
             continue
         try:
             text = r["body"].decode("utf-8")
         except UnicodeDecodeError:
-            return
-        yield r["uri"], text
+            return None
+        out.append((r["uri"], text))
+    return out
+
+
+def iter_wet_texts(payload: bytes):
+    """Yield (uri, text) for each conversion record of a valid WET
+    file; yields NOTHING (not a prefix) when any record is malformed —
+    validation happens up front in wet_texts()."""
+    got = wet_texts(payload)
+    if got is None:
+        return
+    yield from got
 
 
 # ------------------------------------------------------------- synthesis
@@ -824,30 +839,31 @@ WET_TEXT_ORACLE = _wet_oracle()
 # ----------------------------------------------------------- WAT sidecars
 
 
-def iter_wat_pages(payload: bytes):
-    """Yield (uri, title, links) for each METADATA record of a valid
-    WARC — the WAT convention (Common Crawl's metadata sidecar: each
-    metadata record's block is a JSON Envelope describing one page;
-    links live at Envelope -> Payload-Metadata -> HTTP-Response-
-    Metadata -> HTML-Metadata). A metadata record whose block is not
-    valid JSON, or whose JSON lacks the Envelope root, ends the
-    iteration (reject-whole); records for non-HTML pages (no
-    HTML-Metadata) yield (uri, None, []). Yields nothing for invalid
-    files."""
+def wat_pages(payload: bytes) -> list[tuple] | None:
+    """All (uri, title, links) triples of a valid WAT file, or None —
+    the WAT convention (Common Crawl's metadata sidecar: each METADATA
+    record's block is a JSON Envelope describing one page; links live
+    at Envelope -> Payload-Metadata -> HTTP-Response-Metadata ->
+    HTML-Metadata). Every metadata record is parsed and validated
+    BEFORE any is returned, so a file with one malformed JSON block
+    (or a missing Envelope root, or a non-list Links) rejects WHOLE —
+    no partial metadata ever ships. Records for non-HTML pages (no
+    HTML-Metadata — redirects) contribute (uri, None, [])."""
     import json as _json
 
     records = _records(payload)
     if records is None:
-        return
+        return None
+    out: list[tuple] = []
     for r in records:
         if r["type"] != "metadata":
             continue
         try:
             env = _json.loads(r["body"].decode("utf-8"))
         except (UnicodeDecodeError, ValueError):
-            return
+            return None
         if not isinstance(env, dict) or not isinstance(env.get("Envelope"), dict):
-            return
+            return None
         pm = env["Envelope"].get("Payload-Metadata")
         hm = (
             pm.get("HTTP-Response-Metadata", {}).get("HTML-Metadata")
@@ -855,7 +871,7 @@ def iter_wat_pages(payload: bytes):
             else None
         )
         if not isinstance(hm, dict):
-            yield r["uri"], None, []
+            out.append((r["uri"], None, []))
             continue
         head = hm.get("Head")
         title = head.get("Title") if isinstance(head, dict) else None
@@ -863,10 +879,22 @@ def iter_wat_pages(payload: bytes):
         if not isinstance(links, list) or not all(
             isinstance(l, dict) and "url" in l for l in links
         ):
-            return
-        yield r["uri"], title if isinstance(title, str) else None, [
-            str(l["url"]) for l in links
-        ]
+            return None
+        out.append(
+            (r["uri"], title if isinstance(title, str) else None,
+             [str(l["url"]) for l in links])
+        )
+    return out
+
+
+def iter_wat_pages(payload: bytes):
+    """Yield (uri, title, links) for each metadata record of a valid
+    WAT file; yields NOTHING (not a prefix) when any record is
+    malformed — validation happens up front in wat_pages()."""
+    got = wat_pages(payload)
+    if got is None:
+        return
+    yield from got
 
 
 def synth_wat(doc_id: int) -> bytes:

@@ -189,7 +189,10 @@ def page_links_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
                     if got is None:
                         continue
                     base, hrefs = got
-                    eff_base = base if base is not None else uri
+                    # a RELATIVE <base href> is itself resolved against
+                    # the page URI per the HTML spec (an absolute one
+                    # passes through resolve_reference unchanged)
+                    eff_base = resolve_reference(uri, base) if base is not None else uri
                     for ix, href in enumerate(hrefs):
                         rows.append(
                             {
@@ -197,7 +200,11 @@ def page_links_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
                                 "uri": uri,
                                 "link_ix": ix,
                                 "href_raw": href,
-                                "url_abs": resolve_reference(eff_base, href),
+                                "url_abs": (
+                                    resolve_reference(eff_base, href)
+                                    if eff_base is not None
+                                    else None
+                                ),
                             }
                         )
             yield _pd.DataFrame(rows, columns=cols)
@@ -245,7 +252,8 @@ def page_links_roundtrip(spark, sf_dir: str):
                     if got is None:
                         continue
                     base, hrefs = got
-                    eff_base = base if base is not None else uri
+                    # relative <base href> resolves against the page URI
+                    eff_base = resolve_reference(uri, base) if base is not None else uri
                     for ix, href in enumerate(hrefs):
                         rows.append(
                             {
@@ -253,7 +261,11 @@ def page_links_roundtrip(spark, sf_dir: str):
                                 "uri": uri,
                                 "link_ix": ix,
                                 "href_raw": href,
-                                "url_abs": resolve_reference(eff_base, href),
+                                "url_abs": (
+                                    resolve_reference(eff_base, href)
+                                    if eff_base is not None
+                                    else None
+                                ),
                             }
                         )
             yield pd.DataFrame(rows, columns=cols)

@@ -31,8 +31,10 @@ def _minimal(content=b"BT (hi) Tj ET", filt=None, trailer_extra="", length=None)
     objs = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+           b"/Resources << /Font << /F1 5 0 R >> >> >>",
         4: head.encode() + b"\nstream\n" + content + b"\nendstream",
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     }
     out = bytearray(b"%PDF-1.4\n")
     offs = {}
@@ -40,10 +42,10 @@ def _minimal(content=b"BT (hi) Tj ET", filt=None, trailer_extra="", length=None)
         offs[n] = len(out)
         out += f"{n} 0 obj\n".encode() + objs[n] + b"\nendobj\n"
     xr = len(out)
-    out += b"xref\n0 5\n0000000000 65535 f \n"
-    for n in range(1, 5):
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for n in range(1, 6):
         out += f"{offs[n]:010d} 00000 n \n".encode()
-    out += f"trailer\n<< /Size 5 /Root 1 0 R {trailer_extra}>>\nstartxref\n{xr}\n%%EOF\n".encode()
+    out += f"trailer\n<< /Size 6 /Root 1 0 R {trailer_extra}>>\nstartxref\n{xr}\n%%EOF\n".encode()
     return bytes(out)
 
 
