@@ -165,19 +165,96 @@ _CHARSET_DECL = re.compile(
     rb"""([A-Za-z0-9_.:-]+)""",
     re.IGNORECASE,
 )
-# the legacy encodings real crawls actually declare; windows-1252 is the
-# de-facto web default for "latin-1" content (WHATWG aliases latin-1 to it)
-_LEGACY_CHARSETS = {
-    "iso-8859-1": "windows-1252",
-    "latin-1": "windows-1252",
-    "latin1": "windows-1252",
-    "windows-1252": "windows-1252",
-    "cp1252": "windows-1252",
-    "us-ascii": "ascii",
-    "ascii": "ascii",
-    "utf-8": "utf-8",
-    "utf8": "utf-8",
-}
+# WHATWG Encoding Standard label -> Python stdlib codec. Covers every
+# encoding in the WHATWG set that the stdlib implements (all of them
+# except x-user-defined and the deliberate 'replacement' family) —
+# https://encoding.spec.whatwg.org/ "Names and labels". Notable WHATWG
+# aliasing: latin-1/ascii-family labels mean windows-1252 on the web;
+# iso-8859-9 means windows-1254; iso-8859-11/tis-620 mean windows-874;
+# Shift_JIS means windows-31j (cp932); EUC-KR means windows-949
+# (cp949); every GBK label decodes with gb18030's decoder.
+
+
+def _build_legacy_charsets() -> dict[str, str]:
+    m: dict[str, str] = {}
+
+    def put(codec: str, *labels: str) -> None:
+        for lbl in labels:
+            m[lbl] = codec
+
+    put("utf-8", "utf-8", "utf8", "unicode-1-1-utf-8", "unicode11utf8",
+        "unicode20utf8", "x-unicode20utf8")
+    put("windows-1252", "windows-1252", "cp1252", "x-cp1252", "iso-8859-1",
+        "iso8859-1", "iso_8859-1", "iso88591", "latin-1", "latin1", "l1",
+        "csisolatin1", "iso-ir-100", "ibm819", "ansi_x3.4-1968")
+    put("ascii", "us-ascii", "ascii")  # stricter than WHATWG's 1252 alias
+    put("cp866", "ibm866", "866", "cp866", "csibm866")
+    for i in (2, 3, 4, 5, 6, 7, 8, 10, 13, 14, 15, 16):
+        put(f"iso8859-{i}", f"iso-8859-{i}", f"iso8859-{i}", f"iso_8859-{i}",
+            f"iso8859{i}")
+    put("iso8859-8", "iso-8859-8-i", "csiso88598i", "logical", "hebrew",
+        "visual", "csisolatinhebrew")
+    put("windows-1254", "iso-8859-9", "iso8859-9", "iso_8859-9", "latin5")
+    put("cp874", "windows-874", "dos-874", "tis-620", "iso-8859-11",
+        "iso8859-11", "iso_8859-11")
+    put("koi8-r", "koi8-r", "koi8_r", "koi8", "koi", "cskoi8r")
+    put("koi8-u", "koi8-u", "koi8-ru")
+    put("mac-roman", "macintosh", "x-mac-roman", "mac", "csmacintosh")
+    put("mac-cyrillic", "x-mac-cyrillic", "x-mac-ukrainian")
+    for i in (1250, 1251, 1253, 1255, 1256, 1257, 1258):
+        put(f"windows-{i}", f"windows-{i}", f"cp{i}", f"x-cp{i}")
+    put("windows-1254", "windows-1254", "cp1254", "x-cp1254")
+    put("windows-1252", "windows-1252", "cp1252", "x-cp1252")
+    put("windows-1251", "cyrillic")
+    put("windows-1253", "greek", "greek8")
+    put("windows-1256", "arabic")
+    put("gb18030", "gb18030", "gbk", "gb2312", "gb_2312", "gb_2312-80",
+        "chinese", "csgb2312", "csiso58gb231280", "iso-ir-58", "x-gbk")
+    put("big5hkscs", "big5", "big5-hkscs", "cn-big5", "csbig5", "x-x-big5")
+    put("euc_jp", "euc-jp", "x-euc-jp", "cseucpkdfmtjapanese")
+    put("iso2022_jp", "iso-2022-jp", "csiso2022jp")
+    put("cp932", "shift_jis", "shift-jis", "sjis", "x-sjis", "ms_kanji",
+        "ms932", "windows-31j", "csshiftjis")
+    put("cp949", "euc-kr", "korean", "ks_c_5601-1987", "ks_c_5601-1989",
+        "ksc_5601", "ksc5601", "iso-ir-149", "csksc56011987", "cseuckr",
+        "windows-949")
+    put("utf-16-le", "utf-16", "utf-16le", "ucs-2")
+    put("utf-16-be", "utf-16be")
+    return m
+
+
+_LEGACY_CHARSETS = _build_legacy_charsets()
+
+
+def _fallback_gibberish(text: str) -> bool:
+    """Sanity gate on the UNDECLARED-charset windows-1252 fallback: a
+    page whose true encoding was a multibyte legacy code (EUC-JP, GBK,
+    EUC-KR, ...) often still 'decodes' under cp1252 — into dense runs
+    of high-byte letters and symbols no real Latin-script page has
+    (every multibyte character becomes 2+ consecutive chars > 0x7F).
+    WHATWG tells browsers to render that; a corpus engine rejects it
+    instead of shipping mojibake into training text. Real windows-1252
+    prose keeps accented letters ISOLATED (run length 1-3) and mostly
+    alphabetic — both signals are checked over the first 4 KiB."""
+    sample = text[:4096]
+    hi = sym = run = best = 0
+    for c in sample:
+        if ord(c) > 0x7F:
+            hi += 1
+            run += 1
+            if run > best:
+                best = run
+            if not c.isalpha() and not c.isspace() and c not in _HI_PUNCT_OK:
+                sym += 1
+        else:
+            run = 0
+    if best >= 6:
+        return True  # a 3+ multibyte-char run: not Latin prose
+    return hi >= 8 and sym * 2 > hi
+
+
+# high-byte punctuation common in GENUINE windows-1252 text
+_HI_PUNCT_OK = frozenset("‘’“”–—…·€«»°©®™¡¿")
 
 
 def _looks_binary(payload: bytes) -> bool:
@@ -224,7 +301,7 @@ def _decode_page(payload: bytes, header_charset: str | None = None) -> str | Non
             return None  # unknown transport charset: reject, don't guess
         try:
             return payload.decode(codec)
-        except UnicodeDecodeError:
+        except (UnicodeDecodeError, ValueError):
             return None
     try:
         return payload.decode("utf-8")
@@ -233,18 +310,23 @@ def _decode_page(payload: bytes, header_charset: str | None = None) -> str | Non
     m = _CHARSET_DECL.search(payload[:4096])
     if m:
         codec = _LEGACY_CHARSETS.get(m.group(1).decode("ascii", "replace").lower())
-        if codec is None or codec == "utf-8":
-            return None  # declared utf-8 but invalid utf-8: corrupt page
+        if codec is None or codec in ("utf-8", "utf-16-le", "utf-16-be"):
+            # declared utf-8 but invalid utf-8: corrupt page (WHATWG
+            # folds meta utf-16 declarations into utf-8 too)
+            return None
         try:
             return payload.decode(codec)
-        except UnicodeDecodeError:
+        except (UnicodeDecodeError, ValueError):
             return None
     if _looks_binary(payload):
         return None
     try:
-        return payload.decode("windows-1252")
+        text = payload.decode("windows-1252")
     except UnicodeDecodeError:
         return None  # 0x81/0x8D/0x8F/0x90/0x9D: undefined in cp1252
+    if _fallback_gibberish(text):
+        return None  # an undeclared multibyte page: reject, don't pollute
+    return text
 
 
 def parse_html_text(payload: bytes, header_charset: str | None = None) -> dict | None:

@@ -1022,43 +1022,77 @@ ORDER BY doc_id, uri
 # --------------------------------------------- charset-routing composition
 
 # per-page charset fixtures: (meta tag or '', header Content-Type,
-# encoding the bytes actually use, paragraph-text template over d)
+# encoding the bytes actually use, paragraph-text template over d,
+# title marker — a script-specific char value-checked through the
+# oracle). Pages 4-8 are the WHATWG non-Latin breadth (declared CJK /
+# Cyrillic / Central European, r12); page 9 is UNDECLARED EUC-JP —
+# bytes that cp1252 CAN 'decode' — and must REJECT through the
+# fallback mojibake gate (htmltext._fallback_gibberish), never ship.
 _CHARSET_PAGES = [
     # UTF-8 with meta and header both declaring it — the common case
     ('<meta charset="utf-8">', "text/html; charset=utf-8", "utf-8",
-     "café w{a} résumé"),
+     "café w{a} résumé", ""),
     # header-declared legacy, NO meta — only the transport layer knows
     ("", "text/html; charset=iso-8859-1", "windows-1252",
-     "crème w{b} café"),
+     "crème w{b} café", ""),
     # NO declaration anywhere: the guarded WHATWG windows-1252 fallback
     ("", "text/html", "windows-1252",
-     "naïve k{a} déjà"),
+     "naïve k{a} déjà", ""),
     # header says windows-1252, meta LIES utf-8: header must win (the
     # bytes are 1252; honoring the meta would reject on bad utf-8)
     ('<meta charset="utf-8">', "text/html; charset=windows-1252",
-     "windows-1252", "déjà vu x{c}"),
+     "windows-1252", "déjà vu x{c}", ""),
+    # meta-declared Shift_JIS (WHATWG: windows-31j / cp932)
+    ('<meta charset="shift_jis">', "text/html", "cp932",
+     "日本語 t{a} テスト", "日"),
+    # HEADER-declared EUC-KR (WHATWG: windows-949 / cp949), no meta
+    ("", "text/html; charset=euc-kr", "cp949",
+     "한국어 k{b} 문서", "한"),
+    # meta-declared gb2312 (every GBK label decodes via gb18030)
+    ('<meta charset="gb2312">', "text/html", "gb18030",
+     "中文 z{c} 页面", "中"),
+    # meta-declared KOI8-R Cyrillic
+    ('<meta charset="koi8-r">', "text/html", "koi8-r",
+     "текст р{a} данные", "я"),
+    # meta-declared ISO-8859-2 Central European
+    ('<meta charset="iso-8859-2">', "text/html", "iso8859-2",
+     "příliš ž{b} čas", "č"),
+    # UNDECLARED EUC-JP: decodes 'fine' under the cp1252 fallback but
+    # is mojibake — the post-decode gate must reject it (NULL row)
+    ("", "text/html", "euc_jp",
+     "日本語 u{c} 文書", "日"),
 ]
+
+# pages whose extraction must FAIL (NULL verdict rows in the oracle)
+_CHARSET_REJECT_PAGES = frozenset({9})
 
 
 def charset_page_text(d: int, p: int) -> str:
     return _CHARSET_PAGES[p][3].format(a=d % 9, b=d % 7, c=d % 5)
 
 
+def charset_page_title(d: int, p: int) -> str:
+    return f"P{p}{_CHARSET_PAGES[p][4]} d{d % 10}"
+
+
 def synth_charset_warc(doc_id: int) -> bytes:
-    """Doc-deterministic WARC of four HTML responses exercising the
+    """Doc-deterministic WARC of ten HTML responses exercising the
     WHATWG charset-precedence ladder: meta+header UTF-8, header-only
-    legacy, undeclared windows-1252 (fallback), and a header-beats-
-    lying-meta page. Bodies are minimal one-paragraph pages so the
-    extracted STRINGS restate as SQL arithmetic."""
+    legacy, undeclared windows-1252 (fallback), a header-beats-
+    lying-meta page, declared Shift_JIS / EUC-KR / GBK / KOI8-R /
+    ISO-8859-2 pages (the non-Latin breadth, r12), and an UNDECLARED
+    EUC-JP page that must reject through the fallback mojibake gate.
+    Bodies are minimal one-paragraph pages so the extracted STRINGS
+    restate as SQL arithmetic."""
     d = doc_id
     host = f"site{d % 5}.example"
     recs: list[bytes] = []
     info = b"software: danae-spark/1.0\r\nformat: WARC File Format 1.1\r\n"
     recs.append(_record("warcinfo", d * 100, info, {"Content-Type": "application/warc-fields"}))
-    for p, (meta, ctype, codec, _tpl) in enumerate(_CHARSET_PAGES):
+    for p, (meta, ctype, codec, _tpl, _mark) in enumerate(_CHARSET_PAGES):
         uri = f"http://{host}/c{p}"
         html = (
-            f"<html><head>{meta}<title>P{p} d{d % 10}</title></head>"
+            f"<html><head>{meta}<title>{charset_page_title(d, p)}</title></head>"
             f"<body><p>{charset_page_text(d, p)}</p></body></html>"
         ).encode(codec)
         resp = (
@@ -1357,17 +1391,27 @@ WITH pages AS (
   SELECT d.doc_id, p.p,
          'http://site' || CAST(d.doc_id % 5 AS VARCHAR) || '.example/c'
            || CAST(p.p AS VARCHAR) AS uri,
-         'P' || CAST(p.p AS VARCHAR) || ' d'
-           || CAST(d.doc_id % 10 AS VARCHAR) AS title,
+         'P' || CAST(p.p AS VARCHAR)
+           || CASE p.p WHEN 4 THEN '日' WHEN 5 THEN '한' WHEN 6 THEN '中'
+                       WHEN 7 THEN 'я' WHEN 8 THEN 'č' ELSE '' END
+           || ' d' || CAST(d.doc_id % 10 AS VARCHAR) AS title,
          CASE p.p
            WHEN 0 THEN 'café w' || CAST(d.doc_id % 9 AS VARCHAR) || ' résumé'
            WHEN 1 THEN 'crème w' || CAST(d.doc_id % 7 AS VARCHAR) || ' café'
            WHEN 2 THEN 'naïve k' || CAST(d.doc_id % 9 AS VARCHAR) || ' déjà'
-           ELSE 'déjà vu x' || CAST(d.doc_id % 5 AS VARCHAR)
+           WHEN 3 THEN 'déjà vu x' || CAST(d.doc_id % 5 AS VARCHAR)
+           WHEN 4 THEN '日本語 t' || CAST(d.doc_id % 9 AS VARCHAR) || ' テスト'
+           WHEN 5 THEN '한국어 k' || CAST(d.doc_id % 7 AS VARCHAR) || ' 문서'
+           WHEN 6 THEN '中文 z' || CAST(d.doc_id % 5 AS VARCHAR) || ' 页面'
+           WHEN 7 THEN 'текст р' || CAST(d.doc_id % 9 AS VARCHAR) || ' данные'
+           WHEN 8 THEN 'příliš ž' || CAST(d.doc_id % 7 AS VARCHAR) || ' čas'
+           ELSE NULL  -- p9: undeclared EUC-JP rejects (mojibake gate)
          END AS text
-  FROM documents d, generate_series(0, 3) p(p)
+  FROM documents d, generate_series(0, 9) p(p)
 )
-SELECT doc_id, uri, title, text,
+SELECT doc_id, uri,
+       CASE WHEN text IS NULL THEN NULL ELSE title END AS title,
+       text,
        CAST(length(text) AS INT) AS n_chars,
        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_words
 FROM pages ORDER BY doc_id, uri

@@ -199,8 +199,10 @@ def test_header_charset_precedence():
     # header wins over the lying meta
     got = parse_html_text(page, "windows-1252")
     assert got is not None and got["text"] == "café"
-    # unknown header charset: reject, never guess
+    # a KNOWN header charset the bytes don't fit: decode fails, reject
     assert parse_html_text(page, "shift_jis") is None
+    # unknown header charset: reject, never guess
+    assert parse_html_text(page, "x-no-such-charset") is None
     # header utf-8 over non-utf-8 bytes: corrupt page
     assert parse_html_text(page, "utf-8") is None
 
