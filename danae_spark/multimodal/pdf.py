@@ -46,14 +46,28 @@ use (10-15: None/Sub/Up/Average/Paeth, reversed byte-wise per row),
 and OBJECT streams (/Type /ObjStm — N header pairs, objects parsed at
 /First + offset; objstm-in-objstm is the spec-forbidden reject).
 
+ENCRYPTED files using the STANDARD security handler with an EMPTY
+user password — how the large "protected but readable" share of real
+PDFs ship — are decrypted (r12): ISO 32000-1 §7.6.3's RC4 stack,
+revisions 2 and 3 (V 1/2, 40-128 bit keys) — Algorithm 2 MD5 key
+derivation over (pad ‖ /O ‖ /P ‖ /ID[0], 50 extra MD5 rounds for R3),
+Algorithms 4/5 user-password VERIFICATION against /U (a mismatch,
+i.e. a non-empty password or a garbled key, rejects whole), then
+per-object keys MD5(key ‖ objnum[0:3] ‖ gen[0:2]) applied RC4-wise to
+every string (at lex time, after escape resolution) and every stream
+(before filters) — except the /Encrypt dict itself and XRef streams,
+which the spec leaves plaintext.
+
 Declared boundaries (reject whole, documented because each needs
 out-of-spec-table or cryptographic machinery that cannot be certified
-from first principles here): encryption, image/crypt filters
-(DCTDecode, JBIG2Decode, JPXDecode, CCITTFaxDecode, Crypt), the TIFF
-predictor (2) and sub-byte predictor rows, inline images (BI..EI)
-inside content, Type0 fonts whose /Encoding is a predefined CMap
-name other than Identity-H/V (the predefined CMap tables are
-out-of-spec-table data), and Type0 fonts without a /ToUnicode CMap.
+from first principles here): NON-empty-password encryption, AES
+encryption (V 4/5 — /CF crypt filters, AESV2/V3), non-Standard
+security handlers, image/crypt filters (DCTDecode, JBIG2Decode,
+JPXDecode, CCITTFaxDecode, Crypt), the TIFF predictor (2) and
+sub-byte predictor rows, inline images (BI..EI) inside content,
+Type0 fonts whose /Encoding is a predefined CMap name other than
+Identity-H/V (the predefined CMap tables are out-of-spec-table data),
+and Type0 fonts without a /ToUnicode CMap.
 
 Reference parity note: the reference (smartdatalake/danae) ingests
 tabular files only; PDF extraction is mandated LLM-pipeline extension
@@ -62,7 +76,9 @@ surface (document text feeding the quality/dedup/token stack).
 
 from __future__ import annotations
 
+import hashlib
 import re
+import struct
 import zlib
 from typing import Iterator
 
@@ -72,11 +88,14 @@ __all__ = [
     "parse_pdf",
     "synth_pdf",
     "synth_pdf_cid",
+    "synth_pdf_encrypted",
     "pdf_text_frame",
     "pdf_text_roundtrip",
     "pdf_text_cid_roundtrip",
+    "pdf_text_encrypted_roundtrip",
     "PDF_TEXT_ORACLE",
     "PDF_TEXT_CID_ORACLE",
+    "PDF_TEXT_ENCRYPTED_ORACLE",
 ]
 
 _WS = b"\x00\t\n\x0c\r "
@@ -96,6 +115,15 @@ class _Lexer:
     def __init__(self, buf: bytes, pos: int = 0):
         self.b = buf
         self.i = pos
+        # per-object string decrypt hook (encrypted documents): applied
+        # to the RAW bytes of literal/hex strings after escape
+        # resolution — encryption is the last thing a writer applies
+        self.decrypt = None
+
+    def _post_str(self, s: str) -> str:
+        if self.decrypt is None:
+            return s
+        return self.decrypt(s.encode("latin-1")).decode("latin-1")
 
     def _ws(self) -> None:
         b, n = self.b, len(self.b)
@@ -175,7 +203,7 @@ class _Lexer:
                 depth -= 1
                 self.i += 1
                 if depth == 0:
-                    return "".join(out)
+                    return self._post_str("".join(out))
                 out.append(")")
             else:
                 out.append(chr(c))
@@ -193,7 +221,7 @@ class _Lexer:
             raise _Bad()
         if len(digits) % 2:
             digits += b"0"
-        return bytes.fromhex(digits.decode("ascii")).decode("latin-1")
+        return self._post_str(bytes.fromhex(digits.decode("ascii")).decode("latin-1"))
 
     def obj(self):
         self._ws()
@@ -575,12 +603,84 @@ def _parse_tounicode(data: bytes):
     return decode
 
 
+# ------------------------------------------- standard security handler
+#
+# ISO 32000-1 §7.6.3: the RC4 stack of the Standard security handler,
+# revisions 2 (40-bit) and 3 (40-128 bit). Only the EMPTY user
+# password is accepted — Algorithm 4/5 verification against /U rejects
+# everything else whole.
+
+# the 32-byte password pad of Algorithm 2 (ISO 32000-1 Table 3.1)
+_STD_PAD = bytes(
+    (
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+        0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    )
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (the spec's 'RC4 encryption function' — symmetric)."""
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(o: bytes, p: int, id0: bytes, r: int, klen: int) -> bytes:
+    """Algorithm 2 (empty user password): MD5(pad ‖ O ‖ P-as-int32-LE ‖
+    ID[0]), then for R>=3 fifty more MD5 rounds over the first klen
+    bytes; the file key is the first klen bytes."""
+    h = hashlib.md5()
+    h.update(_STD_PAD)  # padded empty user password IS the pad
+    h.update(o)
+    h.update(struct.pack("<i", p))
+    h.update(id0)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:klen]).digest()
+    return key[:klen]
+
+
+def _std_user_check(key: bytes, u: bytes, id0: bytes, r: int) -> bool:
+    """Algorithms 4 (R2) / 5 (R3): does /U prove the EMPTY user
+    password under this file key?"""
+    if r == 2:
+        return _rc4(key, _STD_PAD) == u
+    want = _rc4(key, hashlib.md5(_STD_PAD + id0).digest())
+    for i in range(1, 20):
+        want = _rc4(bytes(b ^ i for b in key), want)
+    return want == u[:16]
+
+
+def _std_object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1 per-object key: MD5(file key ‖ objnum low 3 bytes LE
+    ‖ gen low 2 bytes LE), truncated to min(klen+5, 16)."""
+    h = hashlib.md5(
+        file_key + struct.pack("<I", num)[:3] + struct.pack("<H", gen & 0xFFFF)
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
 class _Doc:
     def __init__(self, buf: bytes):
         self.b = buf
         self.xref: dict[int, int] = {}
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
+        self._crypt_key: bytes | None = None
 
     # -------------------------------------------------- file structure
 
@@ -611,7 +711,49 @@ class _Doc:
         if "Root" not in self.trailer:
             raise _Bad()
         if "Encrypt" in self.trailer:
-            raise _Bad()  # encryption: declared reject
+            # must run BEFORE any other object parses: every later
+            # string/stream read needs the per-object decrypt
+            self._setup_encryption()
+
+    def _setup_encryption(self) -> None:
+        """Standard security handler, EMPTY user password only (RC4,
+        revisions 2/3). The /Encrypt dict parses with no decrypt hook
+        active — its own /O and /U strings are plaintext per spec —
+        and /ID lives in the (never encrypted) trailer. Anything the
+        verification can't prove rejects whole: non-empty passwords,
+        AES (V 4/5), non-Standard handlers, garbled keys."""
+        enc = self.resolve(self.trailer["Encrypt"])
+        if not isinstance(enc, dict) or enc.get("Filter") != "Standard":
+            raise _Bad()  # third-party security handlers: declared reject
+        v = self.resolve(enc.get("V"))
+        r = self.resolve(enc.get("R"))
+        if v not in (1, 2) or r not in (2, 3):
+            raise _Bad()  # AES / crypt filters (V4+): declared reject
+        length = 40 if v == 1 else self.resolve(enc.get("Length", 40))
+        if not (isinstance(length, int) and 40 <= length <= 128 and length % 8 == 0):
+            raise _Bad()
+        o = self.resolve(enc.get("O"))
+        u = self.resolve(enc.get("U"))
+        p = self.resolve(enc.get("P"))
+        ids = self.resolve(self.trailer.get("ID"))
+        if not (
+            isinstance(o, str)
+            and isinstance(u, str)
+            and isinstance(p, int)
+            and isinstance(ids, list)
+            and ids
+            and isinstance(ids[0], str)
+        ):
+            raise _Bad()
+        ob = o.encode("latin-1")
+        ub = u.encode("latin-1")
+        id0 = ids[0].encode("latin-1")
+        if len(ob) != 32 or len(ub) != 32:
+            raise _Bad()
+        key = _std_file_key(ob, p, id0, r, length // 8)
+        if not _std_user_check(key, ub, id0, r):
+            raise _Bad()  # non-empty user password (or corrupt keys)
+        self._crypt_key = key
 
     def _read_xref(self, offset: int) -> dict:
         """Classic xref TABLE ('xref' keyword) or a PDF 1.5+ xref
@@ -721,6 +863,10 @@ class _Doc:
         if not m:
             raise _Bad()
         num = int(m.group(1))
+        gen = int(m.group(2))
+        if self._crypt_key is not None:
+            okey = _std_object_key(self._crypt_key, num, gen)
+            lx.decrypt = lambda bs: _rc4(okey, bs)
         lx.i += m.end()
         obj = lx.obj()
         lx._ws()
@@ -742,6 +888,11 @@ class _Doc:
             lx._ws()
             if not self.b.startswith(b"endstream", lx.i):
                 raise _Bad()  # /Length does not reach endstream
+            if self._crypt_key is not None and obj.get("Type") != "XRef":
+                # streams decrypt BEFORE filters apply (encryption is
+                # the last thing the writer did); XRef streams are
+                # plaintext by spec (they must parse pre-key)
+                data = _rc4(_std_object_key(self._crypt_key, num, gen), data)
             obj = ("stream", obj, data)
         return num, obj
 
@@ -1181,6 +1332,128 @@ def synth_pdf(doc_id: int) -> bytes:
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out)
+
+
+def _synth_std_encrypt(d: int):
+    """Doc-deterministic Standard-security-handler parameters: R2/V1
+    40-bit on even docs, R3/V2 128-bit on odd — /O from a real owner
+    password via Algorithm 3, /U proving the EMPTY user password via
+    Algorithm 4/5, and the resulting file key. Returns
+    (r, v, nbits, id0, o, u, p, file_key)."""
+    r = 2 if d % 2 == 0 else 3
+    v = 1 if r == 2 else 2
+    nbits = 40 if r == 2 else 128
+    klen = nbits // 8
+    id0 = hashlib.md5(f"synth-id-{d}".encode()).digest()
+    owner_pw = f"owner-{d % 7}".encode()
+    opad = (owner_pw + _STD_PAD)[:32]
+    h = hashlib.md5(opad).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    okey = h[:klen]
+    o = _rc4(okey, _STD_PAD)  # empty USER password, padded
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+    p = -44
+    key = _std_file_key(o, p, id0, r, klen)
+    if r == 2:
+        u = _rc4(key, _STD_PAD)
+    else:
+        u = _rc4(key, hashlib.md5(_STD_PAD + id0).digest())
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        u = u + bytes(16)  # arbitrary 16-byte pad (ignored by readers)
+    return r, v, nbits, id0, o, u, p, key
+
+
+def synth_pdf_encrypted(doc_id: int, break_u: bool = False) -> bytes:
+    """The classic synth_pdf grid ENCRYPTED with the Standard security
+    handler and an empty user password: same pages/content arithmetic
+    (so the oracle reuses pdf_text_sql's classic form), every string
+    written as an RC4-encrypted HEX string and every content stream
+    RC4-encrypted AFTER its optional Flate compression, /Encrypt as an
+    indirect plaintext dict, /ID in the trailer. `break_u=True` writes
+    a corrupted /U — the non-empty-password / garbled-key shape that
+    must reject whole."""
+    d = doc_id
+    r, v, nbits, id0, o, u, p, key = _synth_std_encrypt(d)
+    if break_u:
+        u = bytes(b ^ 0xA5 for b in u)
+
+    def enc_hex_str(s: str, num: int) -> str:
+        ct = _rc4(_std_object_key(key, num, 0), s.encode("latin-1"))
+        return "<" + ct.hex() + ">"
+
+    np_ = _pdf_n_pages(d)
+    objects: dict[int, bytes] = {}
+    page_nums = [5 + p_ for p_ in range(np_)]
+    content_nums = [5 + np_ + p_ for p_ in range(np_)]
+    nested = np_ == 3
+    nested_num = 5 + 2 * np_
+    enc_num = nested_num + 1 if nested else 5 + 2 * np_
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    if nested:
+        kids = f"[{page_nums[0]} 0 R {nested_num} 0 R]"
+        objects[nested_num] = (
+            f"<< /Type /Pages /Parent 2 0 R /Kids [{page_nums[1]} 0 R "
+            f"{page_nums[2]} 0 R] /Count 2 >>"
+        ).encode()
+    else:
+        kids = "[" + " ".join(f"{n} 0 R" for n in page_nums) + "]"
+    objects[2] = f"<< /Type /Pages /Kids {kids} /Count {np_} >>".encode()
+    objects[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    objects[4] = (
+        f"<< /Title {enc_hex_str(f'Doc {d}', 4)} "
+        f"/Author {enc_hex_str(f'author a{d % 5}', 4)} >>"
+    ).encode()
+    for p_ in range(np_):
+        parent = nested_num if (nested and p_ > 0) else 2
+        objects[page_nums[p_]] = (
+            f"<< /Type /Page /Parent {parent} 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {content_nums[p_]} 0 R "
+            f"/Resources << /Font << /F1 3 0 R >> >> >>"
+        ).encode()
+        data = _content_stream(d, p_)
+        if d % 2 == 1:
+            data = zlib.compress(data, 6)
+            head = f"<< /Length {len(data)} /Filter /FlateDecode >>"
+        else:
+            head = f"<< /Length {len(data)} >>"
+        # encryption is the LAST write-side transform: compress, then RC4
+        data = _rc4(_std_object_key(key, content_nums[p_], 0), data)
+        objects[content_nums[p_]] = head.encode() + b"\nstream\n" + data + b"\nendstream"
+    objects[enc_num] = (
+        f"<< /Filter /Standard /V {v} /R {r} /Length {nbits} "
+        f"/O <{o.hex()}> /U <{u.hex()}> /P {p} >>"
+    ).encode()
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_at = len(out)
+    size = max(objects) + 1
+    out += f"xref\n0 {size}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, size):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {size} /Root 1 0 R /Info 4 0 R "
+        f"/Encrypt {enc_num} 0 R /ID [<{id0.hex()}> <{id0.hex()}>] >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def expected_pdf_encrypted_row(d: int) -> dict:
+    """parse_pdf(synth_pdf_encrypted(d)) — the classic expectation
+    plus one object (the /Encrypt dict)."""
+    row = expected_pdf_row(d)
+    row["n_objects"] += 1
+    return row
 
 
 def expected_pdf_row(d: int) -> dict:
@@ -1804,6 +2077,53 @@ WITH x AS ({pdf_text_sql("SELECT doc_id, doc_id AS e FROM documents")})
 SELECT doc_id, n_pages,
        CAST(n_objects + 2 AS INT) AS n_objects,
        title, author, text,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(length(text)
+            - length(replace(replace(text, chr(10), ' '), ' ', ''))
+            + 1 AS INT) AS n_words
+FROM x ORDER BY doc_id
+"""
+
+
+def pdf_text_encrypted_roundtrip(spark, sf_dir: str):
+    """Oracle-checkable ENCRYPTED-PDF extraction (r12): per doc the
+    classic grid document re-written under the Standard security
+    handler with an EMPTY user password (R2/40-bit on even docs,
+    R3/128-bit on odd) — RC4-encrypted strings and content streams,
+    real /O derived from an owner password, /U proving the empty user
+    password. Read back through key derivation -> user-password
+    verification -> per-object RC4 -> the normal xref/content
+    pipeline; the text restates via the SAME pdf_text_sql fragment as
+    the plaintext grid, so a decryption bug cannot hash-match."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                c = parse_pdf(synth_pdf_encrypted(d))
+                row = {"doc_id": d}
+                row.update({k: (c.get(k) if c else None) for k in _COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["doc_id"] + _COLS)
+
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+# the classic grid + one object (the /Encrypt dict) — n_base 5
+PDF_TEXT_ENCRYPTED_ORACLE = f"""
+WITH x AS ({pdf_text_sql("SELECT doc_id, doc_id AS e FROM documents", n_base=5)})
+SELECT doc_id, n_pages, n_objects, title, author, text,
        CAST(length(text) AS INT) AS n_chars,
        CAST(length(text)
             - length(replace(replace(text, chr(10), ' '), ' ', ''))

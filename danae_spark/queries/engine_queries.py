@@ -971,3 +971,23 @@ def crawl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition SQL), so the report can never disagree with the
     row-level verdicts. The crawl-side twin of corpus_report."""
     return _warc.crawl_report_roundtrip(spark, sf_dir)
+
+
+# ----------------------------------------------------------- round 12
+
+
+@register("pdf_text_encrypted", oracle=_pdf.PDF_TEXT_ENCRYPTED_ORACLE)
+def pdf_text_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encrypted-PDF extraction (r12): the Standard security handler
+    with an EMPTY user password — how most real 'protected but
+    readable' PDFs ship (ISO 32000-1 §7.6.3). RC4 revisions 2/3
+    (40/128-bit): Algorithm 2 MD5 file-key derivation over
+    (pad ‖ /O ‖ /P ‖ /ID[0]), Algorithm 4/5 verification against /U
+    (non-empty passwords and garbled keys reject whole), per-object
+    keys MD5(key ‖ objnum ‖ gen) decrypting every string at lex time
+    and every stream before its filters; /Encrypt dict and XRef
+    streams stay plaintext per spec. AES (V4/5) and non-Standard
+    handlers remain declared rejects. The oracle restates the text via
+    the SAME pdf_text_sql fragment as the plaintext classic grid
+    (multimodal/pdf.py synth_pdf_encrypted / _setup_encryption)."""
+    return _pdf.pdf_text_encrypted_roundtrip(spark, sf_dir)

@@ -307,3 +307,47 @@ def test_cid_oracle_matches_duckdb(spark, sf_dir):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
     want = [tuple(r) for r in con.execute(PDF_TEXT_CID_ORACLE).fetchall()]
     assert len(got) == len(want) and got == want
+
+
+# ------------------------------------------------- encrypted PDFs (r12)
+
+
+def test_encrypted_roundtrip_grid():
+    from danae_spark.multimodal.pdf import (
+        expected_pdf_encrypted_row,
+        synth_pdf_encrypted,
+    )
+
+    # even docs: R2/V1 40-bit; odd docs: R3/V2 128-bit — both paths
+    for d in range(60):
+        assert parse_pdf(synth_pdf_encrypted(d)) == expected_pdf_encrypted_row(d), d
+
+
+def test_encrypted_wrong_password_rejects():
+    from danae_spark.multimodal.pdf import synth_pdf_encrypted
+
+    # a garbled /U is byte-equivalent to "the empty user password does
+    # not verify" — i.e. a non-empty-password document: reject whole
+    assert parse_pdf(synth_pdf_encrypted(2, break_u=True)) is None  # R2
+    assert parse_pdf(synth_pdf_encrypted(3, break_u=True)) is None  # R3
+
+
+def test_encrypted_declared_rejects():
+    from danae_spark.multimodal.pdf import synth_pdf_encrypted
+
+    ok = synth_pdf_encrypted(5)
+    # AES / crypt-filter era (V4+): declared reject
+    assert parse_pdf(ok.replace(b"/V 2 /R 3", b"/V 4 /R 4")) is None
+    # non-Standard security handler: declared reject (same-length name
+    # keeps the xref offsets valid)
+    assert parse_pdf(ok.replace(b"/Filter /Standard", b"/Filter /Custom00")) is None
+    # missing /ID: the key derivation has no salt -> reject
+    assert parse_pdf(ok.replace(b"/ID", b"/XD")) is None
+
+
+def test_encrypted_key_tampering_rejects():
+    from danae_spark.multimodal.pdf import synth_pdf_encrypted
+
+    ok = synth_pdf_encrypted(7)
+    # flipping /P changes the derived key -> /U verification fails
+    assert parse_pdf(ok.replace(b"/P -44", b"/P -60")) is None
