@@ -1,0 +1,433 @@
+"""Cavnar–Trenkle character-n-gram language identification (r12).
+
+The public method of Cavnar & Trenkle, "N-Gram-Based Text
+Categorization" (SDAIR-94), restated for a distributed engine with a
+full-value SQL oracle:
+
+  - per LANGUAGE, a rank profile: the top-`_PROFILE_SIZE` most
+    frequent character 1/2/3-GRAMS of a deterministic training corpus
+    (embedded below — no external model), ranked 1..N with ties broken
+    by gram;
+  - per DOCUMENT, the same profile over the first `_DOC_CAP` chars of
+    the letters-only normalized text (top `_DOC_PROFILE` grams —
+    unigrams identify the SCRIPT, so unseen CJK/Cyrillic vocabulary
+    still routes to the right language family);
+  - distance = the "out-of-place" measure: for each doc-profile gram,
+    |doc_rank - lang_rank| when the language profile contains it, else
+    the maximum penalty (`_PROFILE_SIZE`); predicted language =
+    argmin, ties broken lexicographically; a document with no trigrams
+    is 'und'.
+
+Everything runs as built-in expressions: one explode of capped
+trigrams, two windowed ranks, and a broadcast join against the (lang,
+gram, rank) profile table — no Python in the per-doc path, and the
+profile table (16 languages x 60 grams = 960 rows) broadcasts
+trivially at any corpus scale. The oracle restates the identical
+pipeline in DuckDB SQL with the profiles inlined as VALUES rows
+generated from the SAME Python constant, so the two sides cannot
+drift.
+
+Reference parity note: the reference (smartdatalake/danae) has no
+language ID; this is mandated LLM-pipeline extension surface (the
+multilingual strata a crawl-scale corpus needs, paired with the r12
+WHATWG charset breadth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from danae_spark.catalog import load_table
+from danae_spark.session import stage_parallelism
+
+_PROFILE_SIZE = 100  # grams per language profile; also the miss penalty
+_DOC_PROFILE = 60  # grams per document profile
+_DOC_CAP = 600  # chars of normalized text fed to the n-gram explode
+_GRAM_SIZES = (1, 2, 3)  # unigrams carry the SCRIPT, trigrams the language
+
+# deterministic per-language training corpora — ordinary prose written
+# for this table, chosen to exercise each script (Latin with the
+# accent repertoires the charset work unlocks, Cyrillic, Greek, CJK,
+# Hangul, Arabic). The profile TABLE derived from these constants is
+# the model; both the Spark plan and the DuckDB oracle consume it.
+_CORPORA: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "runs into the forest where the trees are tall and the light is "
+        "soft in the morning and everyone walks to the river with their "
+        "friends because the water is clear and the weather is warm"
+        " people often say that reading gives you a new way to see the world and a quiet evening at home is better than anything else"
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso y luego el "
+        "perro corre hacia el bosque donde los árboles son altos y la luz "
+        "es suave por la mañana y todos caminan al río con sus amigos "
+        "porque el agua es clara y el tiempo es cálido"
+        " la gente dice a menudo que leer te da una nueva manera de ver el mundo y una noche tranquila en casa es mejor que cualquier otra cosa"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux et "
+        "ensuite le chien court dans la forêt où les arbres sont grands "
+        "et la lumière est douce le matin et tout le monde marche vers la "
+        "rivière avec ses amis parce que l'eau est claire"
+        " les gens disent souvent que la lecture donne une nouvelle façon de voir le monde et une soirée tranquille à la maison est mieux que tout"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund und dann "
+        "läuft der hund in den wald wo die bäume hoch sind und das licht "
+        "am morgen weich ist und alle gehen mit ihren freunden zum fluss "
+        "weil das wasser klar und das wetter warm ist"
+        " die leute sagen oft dass lesen einem eine neue art gibt die welt zu sehen und ein ruhiger abend zu hause ist besser als alles andere"
+    ),
+    "it": (
+        "la rapida volpe marrone salta sopra il cane pigro e poi il cane "
+        "corre nella foresta dove gli alberi sono alti e la luce è "
+        "morbida al mattino e tutti camminano verso il fiume con i loro "
+        "amici perché l'acqua è chiara e il tempo è caldo"
+        " la gente dice spesso che leggere ti dà un nuovo modo di vedere il mondo e una serata tranquilla a casa è meglio di qualsiasi altra cosa"
+    ),
+    "pt": (
+        "a rápida raposa marrom pula sobre o cão preguiçoso e depois o "
+        "cão corre para a floresta onde as árvores são altas e a luz é "
+        "suave pela manhã e todos caminham até o rio com os seus amigos "
+        "porque a água é clara e o tempo é quente"
+        " as pessoas dizem muitas vezes que ler dá uma nova maneira de ver o mundo e uma noite tranquila em casa é melhor do que qualquer outra coisa"
+    ),
+    "nl": (
+        "de snelle bruine vos springt over de luie hond en daarna rent de "
+        "hond het bos in waar de bomen hoog zijn en het licht zacht is in "
+        "de ochtend en iedereen loopt met zijn vrienden naar de rivier "
+        "omdat het water helder is en het weer warm is"
+        " mensen zeggen vaak dat lezen je een nieuwe manier geeft om de wereld te zien en een rustige avond thuis is beter dan wat dan ook"
+    ),
+    "pl": (
+        "szybki brązowy lis przeskakuje nad leniwym psem a potem pies "
+        "biegnie do lasu gdzie drzewa są wysokie a światło jest miękkie "
+        "rano i wszyscy idą nad rzekę ze swoimi przyjaciółmi ponieważ "
+        "woda jest czysta a pogoda jest ciepła"
+        " ludzie często mówią że czytanie daje nowy sposób patrzenia na świat a spokojny wieczór w domu jest lepszy niż cokolwiek innego"
+    ),
+    "cs": (
+        "rychlá hnědá liška skáče přes líného psa a potom pes běží do "
+        "lesa kde jsou stromy vysoké a světlo je ráno měkké a všichni "
+        "jdou k řece se svými přáteli protože voda je čistá a počasí je "
+        "teplé a příliš žluťoučký kůň úpěl ďábelské ódy"
+        " lidé často říkají že čtení dává nový způsob jak vidět svět a klidný večer doma je lepší než cokoli jiného"
+    ),
+    "tr": (
+        "hızlı kahverengi tilki tembel köpeğin üzerinden atlar ve sonra "
+        "köpek ormana koşar orada ağaçlar yüksektir ve sabah ışık "
+        "yumuşaktır ve herkes arkadaşlarıyla nehre yürür çünkü su "
+        "berraktır ve hava sıcaktır"
+        " insanlar sık sık okumanın dünyayı görmek için yeni bir yol verdiğini söyler ve evde sakin bir akşam her şeyden daha iyidir"
+    ),
+    "ru": (
+        "быстрая коричневая лиса прыгает через ленивую собаку а потом "
+        "собака бежит в лес где деревья высокие а свет мягкий утром и "
+        "все идут к реке со своими друзьями потому что вода чистая и "
+        "погода тёплая"
+        " люди часто говорят что чтение даёт новый взгляд на мир и тихий вечер дома лучше чем что либо другое"
+    ),
+    "el": (
+        "η γρήγορη καφέ αλεπού πηδά πάνω από τον τεμπέλη σκύλο και μετά "
+        "ο σκύλος τρέχει στο δάσος όπου τα δέντρα είναι ψηλά και το φως "
+        "είναι απαλό το πρωί και όλοι περπατούν στο ποτάμι με τους "
+        "φίλους τους επειδή το νερό είναι καθαρό"
+        " οι άνθρωποι λένε συχνά ότι το διάβασμα δίνει έναν νέο τρόπο να βλέπεις τον κόσμο και ένα ήσυχο βράδυ στο σπίτι είναι καλύτερο από οτιδήποτε"
+    ),
+    "ja": (
+        "速い茶色の狐はのろまな犬を飛び越えてそれから犬は森へ走っていき"
+        "そこでは木々が高く朝の光は柔らかくみんなは友達と川へ歩いていく"
+        "なぜなら水は澄んでいて天気は暖かいからだ日本語の文章はこのように続く"
+        " 人々はよく読書は世界を見る新しい方法を与えてくれると言い家での静かな夜は何よりも良いものだ"
+    ),
+    "zh": (
+        "敏捷的棕色狐狸跳过懒惰的狗然后狗跑进森林那里的树木很高早晨的光线"
+        "很柔和大家都和朋友们走到河边因为水很清澈天气很温暖中文的文章就这样继续"
+        " 人们常说读书给你一种看世界的新方法在家里安静的夜晚比什么都好"
+    ),
+    "ko": (
+        "빠른 갈색 여우가 게으른 개를 뛰어넘고 그 다음 개는 숲으로 달려간다 "
+        "그곳의 나무들은 높고 아침의 빛은 부드럽다 모두가 친구들과 강으로 "
+        "걸어간다 왜냐하면 물이 맑고 날씨가 따뜻하기 때문이다"
+        " 사람들은 흔히 독서가 세상을 보는 새로운 방법을 준다고 말하며 집에서의 조용한 저녁은 무엇보다 좋다"
+    ),
+    "ar": (
+        "الثعلب البني السريع يقفز فوق الكلب الكسول ثم يركض الكلب إلى "
+        "الغابة حيث الأشجار عالية والضوء ناعم في الصباح والجميع يمشون "
+        "إلى النهر مع أصدقائهم لأن الماء صاف والطقس دافئ"
+        " يقول الناس غالبا إن القراءة تعطيك طريقة جديدة لرؤية العالم وأمسية هادئة في المنزل أفضل من أي شيء آخر"
+    ),
+}
+
+
+def _norm_py(text: str) -> str:
+    """The Python statement of the shared normalization: lowercase,
+    non-letter runs collapse to single spaces, one boundary space on
+    each side (so word-boundary trigrams exist)."""
+    words = "".join(c if c.isalpha() else " " for c in text.lower()).split()
+    return " " + " ".join(words) + " " if words else ""
+
+
+def _profile_py(text: str, size: int) -> list[str]:
+    """Rank profile of a text: top-`size` trigrams by (count desc,
+    gram asc) — the tie rule both engines restate via row_number."""
+    norm = _norm_py(text)
+    counts: dict[str, int] = {}
+    for n in _GRAM_SIZES:
+        for i in range(len(norm) - n + 1):
+            g = norm[i : i + n]
+            counts[g] = counts.get(g, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [g for g, _ in ranked[:size]]
+
+
+def build_profiles() -> list[tuple[str, str, int]]:
+    """(lang, gram, rank) rows for every language — the model table."""
+    rows: list[tuple[str, str, int]] = []
+    for lang in sorted(_CORPORA):
+        for rank, gram in enumerate(_profile_py(_CORPORA[lang], _PROFILE_SIZE), 1):
+            rows.append((lang, gram, rank))
+    return rows
+
+
+_PROFILES = build_profiles()
+
+
+def classify_py(text: str) -> str:
+    """Driver-side single-text classifier (tests / spot checks) — the
+    same arithmetic the Spark plan and the oracle restate."""
+    doc = _profile_py(text, _DOC_PROFILE)
+    if not doc:
+        return "und"
+    by_lang: dict[str, dict[str, int]] = {}
+    for lang, gram, rank in _PROFILES:
+        by_lang.setdefault(lang, {})[gram] = rank
+    best = None
+    for lang in sorted(by_lang):
+        prof = by_lang[lang]
+        dist = sum(
+            abs(drank - prof[g]) if g in prof else _PROFILE_SIZE
+            for drank, g in enumerate(doc, 1)
+        )
+        if best is None or dist < best[0]:
+            best = (dist, lang)
+    return best[1]
+
+
+# ------------------------------------------------------------ Spark plan
+
+# shared normalization, as a SQL expression over a `text` column: both
+# Spark (Java regex) and DuckDB (RE2) support \p{L}
+_NORM_SQL = (
+    r"CASE WHEN trim(regexp_replace(lower({t}), '[^\\p{{L}}]+', ' ')) = '' "
+    r"THEN '' ELSE ' ' || "
+    r"trim(regexp_replace(lower({t}), '[^\\p{{L}}]+', ' ')) || ' ' END"
+)
+
+
+def lang_id_ngram_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    label_col: str | None = "lang",
+) -> DataFrame:
+    """Cavnar–Trenkle language ID over any (id, text) frame. One
+    trigram explode (capped at `_DOC_CAP` normalized chars), a count +
+    rank window per document, a broadcast join against the profile
+    table, and an argmin window — no UDFs anywhere."""
+    spark = docs.sparkSession
+    profiles = F.broadcast(
+        spark.createDataFrame(_PROFILES, "lang string, gram string, lrank int")
+    )
+    langs = F.broadcast(profiles.select("lang").distinct())
+
+    norm = F.expr(
+        f"substring({_NORM_SQL.format(t=text_col)}, 1, {_DOC_CAP})"
+    ).alias("norm")
+    base = docs.select(F.col(id_col), norm, *( [F.col(label_col)] if label_col else [] ))
+    gram_lists = ", ".join(
+        f"CASE WHEN length(norm) < {n} THEN array() "
+        f"ELSE transform(sequence(1, length(norm) - {n - 1}), "
+        f"i -> substring(norm, i, {n})) END"
+        for n in _GRAM_SIZES
+    )
+    grams = base.select(
+        id_col,
+        F.explode(F.expr(f"concat({gram_lists})")).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "gram").count()
+    wrank = W.partitionBy(id_col).orderBy(F.desc("count"), F.asc("gram"))
+    doc_prof = (
+        counts.withColumn("drank", F.row_number().over(wrank))
+        .where(F.col("drank") <= _DOC_PROFILE)
+        .select(id_col, "gram", "drank")
+    )
+    # doc grams x languages, out-of-place distance with miss penalty
+    dists = (
+        doc_prof.crossJoin(langs)
+        .join(profiles, ["lang", "gram"], "left")
+        .groupBy(id_col, "lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("drank") - F.col("lrank")),
+                    F.lit(_PROFILE_SIZE),
+                )
+            ).alias("dist"),
+            F.count("*").alias("n_profile"),
+        )
+    )
+    wbest = W.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("lang"))
+    best = (
+        dists.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select(id_col, F.col("lang").alias("predicted"),
+                F.col("dist").alias("best_dist"),
+                F.col("n_profile").cast("int").alias("n_profile"))
+    )
+    out = base.select(id_col, *( [label_col] if label_col else [] )).join(
+        best, id_col, "left"
+    )
+    out = out.select(
+        id_col,
+        F.coalesce("n_profile", F.lit(0)).alias("n_profile"),
+        F.coalesce("predicted", F.lit("und")).alias("predicted"),
+        "best_dist",
+        *(
+            [
+                (F.coalesce("predicted", F.lit("und")) == F.col(label_col))
+                .cast("int")
+                .alias("agrees_with_label")
+            ]
+            if label_col
+            else []
+        ),
+    )
+    return out.orderBy(id_col)
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return lang_id_ngram_frame(
+        docs.repartition(stage_parallelism(spark), "doc_id")
+    )
+
+
+def _profiles_values_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{gram}', {rank})" for lang, gram, rank in _PROFILES
+    )
+    return f"(VALUES {rows}) AS prof(lang, gram, lrank)"
+
+
+def lang_id_ngram_oracle() -> str:
+    """The identical pipeline in DuckDB SQL, profiles inlined from the
+    same Python constant."""
+    norm = _NORM_SQL.format(t="text").replace("\\\\p", "\\p")
+    gram_lists = " || ".join(
+        f"(CASE WHEN length(norm) < {n} THEN [] "
+        f"ELSE list_transform(range(1, length(norm) - {n - 2}), "
+        f"i -> substring(norm, i, {n})) END)"
+        for n in _GRAM_SIZES
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         substring({norm}, 1, {_DOC_CAP}) AS norm
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(
+    {gram_lists}
+  ) AS gram
+  FROM base
+),
+counts AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, gram
+),
+doc_prof AS (
+  SELECT doc_id, gram, drank FROM (
+    SELECT doc_id, gram,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, gram ASC) AS drank
+    FROM counts
+  ) WHERE drank <= {_DOC_PROFILE}
+),
+prof AS (SELECT * FROM {_profiles_values_sql()}),
+langs AS (SELECT DISTINCT lang FROM prof),
+dists AS (
+  SELECT d.doc_id, l.lang,
+         CAST(SUM(COALESCE(abs(d.drank - p.lrank), {_PROFILE_SIZE}))
+              AS BIGINT) AS dist,
+         COUNT(*) AS n_profile
+  FROM doc_prof d CROSS JOIN langs l
+  LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+  GROUP BY d.doc_id, l.lang
+),
+best AS (
+  SELECT doc_id, lang AS predicted, dist AS best_dist,
+         CAST(n_profile AS INT) AS n_profile
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY dist ASC, lang ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+)
+SELECT b.doc_id,
+       COALESCE(t.n_profile, 0) AS n_profile,
+       COALESCE(t.predicted, 'und') AS predicted,
+       t.best_dist,
+       CAST(COALESCE(t.predicted, 'und') = b.lang AS INT) AS agrees_with_label
+FROM base b LEFT JOIN best t ON b.doc_id = t.doc_id
+ORDER BY b.doc_id
+"""
+
+
+# ------------------------------------- language strata over the corpus
+
+
+def corpus_lang_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus stratification a multilingual pipeline reads before
+    sampling: predicted language (Cavnar–Trenkle, above) x quality
+    bucket (the certified text_quality score, floor(score*5) capped at
+    4), with doc counts, mean quality, and the token budget each
+    stratum holds. Composes the two certified plans by doc_id — the
+    oracle composes the SAME two oracle SQL bodies, so the strata can
+    never disagree with the row-level entries."""
+    from danae_spark.functions.rounding import rnd
+    from danae_spark.operators.textstats import text_quality
+
+    lang = lang_id_ngram(spark, sf_dir).select("doc_id", "predicted")
+    q = text_quality(spark, sf_dir).select("doc_id", "quality_score", "n_tokens")
+    j = lang.join(q, "doc_id")
+    bucket = F.least(F.floor(F.col("quality_score") * 5), F.lit(4)).cast("int")
+    return (
+        j.groupBy(
+            F.col("predicted").alias("lang_pred"), bucket.alias("q_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            rnd(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang_pred", "q_bucket")
+    )
+
+
+def corpus_lang_strata_oracle() -> str:
+    from danae_spark.operators.textstats import text_quality_oracle
+
+    return f"""
+WITH lang AS ({lang_id_ngram_oracle()}),
+q AS ({text_quality_oracle()})
+SELECT l.predicted AS lang_pred,
+       CAST(least(floor(q.quality_score * 5), 4) AS INT) AS q_bucket,
+       COUNT(*) AS n_docs,
+       floor(avg(q.quality_score) * power(10, 6) + 0.5001) / power(10, 6)
+         AS avg_quality,
+       CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens
+FROM lang l JOIN q ON l.doc_id = q.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

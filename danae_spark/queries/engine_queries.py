@@ -991,3 +991,32 @@ def pdf_text_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME pdf_text_sql fragment as the plaintext classic grid
     (multimodal/pdf.py synth_pdf_encrypted / _setup_encryption)."""
     return _pdf.pdf_text_encrypted_roundtrip(spark, sf_dir)
+
+
+from danae_spark.operators import langid as _langid  # noqa: E402
+
+
+@register("lang_id_ngram", oracle=_langid.lang_id_ngram_oracle())
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar–Trenkle character-n-gram language ID (r12): 16-language
+    rank profiles (Latin incl. full accent repertoires, Cyrillic,
+    Greek, CJK, Hangul, Arabic — pairing the WHATWG charset breadth)
+    trained from embedded deterministic corpora; per doc the top-60
+    1/2/3-gram profile of the first 600 normalized chars, classified
+    by the out-of-place distance with a miss penalty, 'und' for
+    letter-less docs. One explode + two rank windows + a broadcast
+    profile join — no UDFs; the oracle restates the identical pipeline
+    with the profile table inlined as VALUES from the SAME constant
+    (operators/langid.py)."""
+    return _langid.lang_id_ngram(spark, sf_dir)
+
+
+@register("corpus_lang_strata", oracle=_langid.corpus_lang_strata_oracle())
+def corpus_lang_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language x quality stratification (r12): the table a
+    multilingual sampler reads — predicted language (lang_id_ngram)
+    joined by doc_id with the certified quality score (text_quality),
+    bucketed floor(score*5) cap 4, with doc counts, mean quality, and
+    per-stratum token budgets. Oracle composes the SAME two oracle SQL
+    bodies as CTEs (operators/langid.py corpus_lang_strata)."""
+    return _langid.corpus_lang_strata(spark, sf_dir)

@@ -1,0 +1,78 @@
+"""Cavnar–Trenkle language ID (operators/langid.py, r12): held-out
+per-script accuracy, the 'und' contract, Spark-plan parity with the
+pure-Python statement on non-Latin text, and strata consistency."""
+
+from __future__ import annotations
+
+import pytest
+
+from danae_spark.operators.langid import (
+    _CORPORA,
+    _PROFILES,
+    _PROFILE_SIZE,
+    build_profiles,
+    classify_py,
+    lang_id_ngram_frame,
+)
+
+# held-out sentences (none appear in the training corpora)
+HELD_OUT = {
+    "en": "a small child reads a good book near the window every evening",
+    "es": "una niña pequeña lee un buen libro cerca de la ventana cada noche y después escribe una carta para su abuela",
+    "fr": "une petite fille lit un bon livre près de la fenêtre chaque soir",
+    "de": "ein kleines kind liest jeden abend ein gutes buch am fenster",
+    "it": "una piccola bambina legge un buon libro vicino alla finestra ogni sera",
+    "pt": "uma menina pequena lê um bom livro perto da janela todas as noites e depois escreve uma carta para a sua avó",
+    "nl": "een klein kind leest elke avond een goed boek bij het raam",
+    "pl": "małe dziecko czyta dobrą książkę przy oknie każdego wieczoru",
+    "cs": "malé dítě čte každý večer dobrou knihu u okna",
+    "tr": "küçük bir çocuk her akşam pencerenin yanında güzel bir kitap okur",
+    "ru": "маленький ребёнок читает хорошую книгу у окна каждый вечер",
+    "el": "ένα μικρό παιδί διαβάζει ένα καλό βιβλίο κοντά στο παράθυρο κάθε βράδυ",
+    "ja": "小さな子供は毎晩窓のそばで良い本を読んでいます",
+    "zh": "小孩子每天晚上在窗边读一本好书",
+    "ko": "어린 아이가 매일 저녁 창가에서 좋은 책을 읽는다",
+    "ar": "طفل صغير يقرأ كتابا جيدا بجانب النافذة كل مساء",
+}
+
+
+@pytest.mark.parametrize("lang", sorted(HELD_OUT))
+def test_held_out_sentence_classifies(lang):
+    assert classify_py(HELD_OUT[lang]) == lang
+
+
+def test_profiles_shape_and_determinism():
+    assert _PROFILES == build_profiles()  # deterministic rebuild
+    langs = {l for l, _, _ in _PROFILES}
+    assert langs == set(_CORPORA) and len(langs) == 16
+    for lang in langs:
+        ranks = [r for l, _, r in _PROFILES if l == lang]
+        assert ranks == list(range(1, _PROFILE_SIZE + 1))
+
+
+def test_und_for_letterless_text():
+    assert classify_py("12345 !!! 89 --- 00") == "und"
+    assert classify_py("") == "und"
+
+
+def test_spark_frame_matches_python_on_mixed_scripts(spark):
+    rows = [(i, text, lang) for i, (lang, text) in enumerate(sorted(HELD_OUT.items()))]
+    rows.append((99, "1234 #### 5678", "zz"))  # letter-less -> und
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: (r["predicted"], r["n_profile"])
+        for r in lang_id_ngram_frame(df).collect()
+    }
+    for i, (lang, text) in enumerate(sorted(HELD_OUT.items())):
+        assert got[i][0] == classify_py(text) == lang, lang
+    assert got[99] == ("und", 0)
+
+
+def test_strata_totals_match_doc_count(spark, sf_dir):
+    from danae_spark.catalog import load_table
+    from danae_spark.operators.langid import corpus_lang_strata
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    strata = corpus_lang_strata(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in strata) == n_docs
+    assert all(0 <= r["q_bucket"] <= 4 for r in strata)
