@@ -329,7 +329,11 @@ def _decode_page(payload: bytes, header_charset: str | None = None) -> str | Non
     return text
 
 
-def parse_html_text(payload: bytes, header_charset: str | None = None) -> dict | None:
+def parse_html_text(
+    payload: bytes,
+    header_charset: str | None = None,
+    drop_boilerplate: bool = False,
+) -> dict | None:
     """Extract the visible training text from an HTML payload.
 
     Returns {title, text, n_chars, n_words, n_links, n_headings,
@@ -338,14 +342,24 @@ def parse_html_text(payload: bytes, header_charset: str | None = None) -> dict |
     `header_charset` is the HTTP Content-Type charset parameter when
     the page arrived over HTTP (it outranks meta per WHATWG); decode
     precedence and the guarded windows-1252 fallback for undeclared
-    pages live in _decode_page."""
+    pages live in _decode_page.
+
+    `drop_boilerplate=True` (r12) adds the per-BLOCK classification of
+    the jusText/Boilerpipe family over the block structure the walk
+    already builds: a block is boilerplate when MORE THAN HALF its
+    characters sit inside anchors (link farms in undifferentiated
+    <div>s the nav/header/footer rule can't see), or when it is a
+    short (<5 words) linky stub ("read more", pager links). Dropped
+    blocks leave text / n_chars / n_words / link_density, and the
+    result gains n_blocks_kept / n_blocks_dropped; the page-level
+    counters (n_links, n_headings, ...) stay page-level."""
     text = _decode_page(payload, header_charset)
     if text is None:
         return None
 
     n = len(text)
     pos = 0
-    blocks: list[str] = []
+    blocks: list[tuple[str, int]] = []  # (collapsed text, anchor chars)
     cur: list[str] = []
     drop_depth = 0  # nesting depth inside nav/header/footer/aside/head
     drop_stack: list[str] = []
@@ -354,18 +368,22 @@ def parse_html_text(payload: bytes, header_charset: str | None = None) -> dict |
     anchor: list[str] | None = None  # open <a> capture buffer (kept content)
     n_links = n_headings = n_paragraphs = n_list_items = 0
     link_chars = 0
+    block_link = 0  # anchor chars attributed to the CURRENT block
 
     def flush() -> None:
-        nonlocal cur
+        nonlocal cur, block_link
         s = " ".join("".join(cur).split())
         if s:
-            blocks.append(s)
+            blocks.append((s, block_link))
         cur = []
+        block_link = 0
 
     def close_anchor() -> None:
-        nonlocal anchor, link_chars
+        nonlocal anchor, link_chars, block_link
         if anchor is not None:
-            link_chars += len(" ".join("".join(anchor).split()))
+            got = len(" ".join("".join(anchor).split()))
+            link_chars += got
+            block_link += got
             anchor = None
 
     while pos < n:
@@ -465,9 +483,20 @@ def parse_html_text(payload: bytes, header_charset: str | None = None) -> dict |
     close_anchor()
     flush()
 
-    full = "\n".join(blocks)
+    kept = blocks
+    n_dropped = 0
+    if drop_boilerplate:
+        kept = []
+        for s, bl in blocks:
+            if is_boilerplate_block(s, bl):
+                n_dropped += 1
+            else:
+                kept.append((s, bl))
+
+    full = "\n".join(s for s, _ in kept)
     n_chars = len(full)
-    return {
+    eff_link = sum(bl for _, bl in kept) if drop_boilerplate else link_chars
+    out = {
         "title": title or "",
         "text": full,
         "n_chars": n_chars,
@@ -476,8 +505,22 @@ def parse_html_text(payload: bytes, header_charset: str | None = None) -> dict |
         "n_headings": n_headings,
         "n_paragraphs": n_paragraphs,
         "n_list_items": n_list_items,
-        "link_density": (link_chars / n_chars) if n_chars else 0.0,
+        "link_density": (eff_link / n_chars) if n_chars else 0.0,
     }
+    if drop_boilerplate:
+        out["n_blocks_kept"] = len(kept)
+        out["n_blocks_dropped"] = n_dropped
+    return out
+
+
+def is_boilerplate_block(s: str, anchor_chars: int) -> bool:
+    """The per-block keep rule (jusText/Boilerpipe family, structural
+    form): boilerplate iff anchors cover MORE THAN HALF the block's
+    characters, or the block is a short (<5 words) stub containing any
+    anchor text at all."""
+    if anchor_chars * 2 > len(s):
+        return True
+    return len(s.split()) < 5 and anchor_chars > 0
 
 
 # ------------------------------------------------------------- synthesis
@@ -576,6 +619,134 @@ def expected_html_row(d: int) -> dict:
     }
 
 
+# ------------------------------------------- boilerplate fixtures (r12)
+
+
+def _n_boiler_paras(d: int) -> int:
+    return 2 + d % 3
+
+
+def synth_boiler_html(doc_id: int, mirror: bool = False) -> bytes:
+    """Doc-deterministic page for the per-BLOCK boilerplate rule:
+    prose paragraphs (kept — the same _para_words arithmetic the main
+    grid uses) plus a link-farm <div> (anchors only: density 1) and a
+    short 'more' stub <div> — both in undifferentiated divs the
+    nav/header/footer rule cannot see, both dropped by the block rule.
+    The mirror variant swaps the FARM words only, so after boilerplate
+    stripping main and mirror captures become byte-identical — the
+    property crawl_curate_boiler's dedup stage certifies."""
+    d = doc_id
+    off = 17 if mirror else 0
+    out = [
+        "<!DOCTYPE html>",
+        "<html>",
+        f"<head><title>B{d % 10} doc {d}</title></head>",
+        "<body>",
+    ]
+    for i in range(_n_boiler_paras(d)):
+        out.append(f"  <p>{' '.join(_para_words(d, i))}</p>")
+    farm = " ".join(
+        f'<a href="/x{j}">z{(d * 3 + j + off) % 50}</a>' for j in range(4 + d % 3)
+    )
+    out.append(f"  <div>{farm}</div>")
+    out.append(f'  <div><a href="/more">more m{(d + off) % 5}</a></div>')
+    out.append("</body>")
+    out.append("</html>")
+    return "\n".join(out).encode("utf-8")
+
+
+def expected_boiler_row(d: int) -> dict:
+    """parse_html_text(synth_boiler_html(d), drop_boilerplate=True) —
+    prose only; the farm and the stub are gone."""
+    lines = [" ".join(_para_words(d, i)) for i in range(_n_boiler_paras(d))]
+    text = "\n".join(lines)
+    return {
+        "title": f"B{d % 10} doc {d}",
+        "text": text,
+        "n_chars": len(text),
+        "n_words": len(text.split()),
+        "n_blocks_kept": _n_boiler_paras(d),
+        "n_blocks_dropped": 2,
+    }
+
+
+def boiler_text_sql(pages_cte: str) -> str:
+    """The boilerplate-STRIPPED extraction arithmetic as SQL over a
+    `pages(doc_id, e)` CTE — prose paragraphs only (the same
+    _para_words formula), shared between HTML_BOILER_ORACLE and the
+    crawl_curate_boiler composition."""
+    return f"""
+WITH bp AS ({pages_cte}),
+bw AS (
+  SELECT g.doc_id, g.e, i.i, j.j,
+         'w' || CAST((g.e * 7 + i.i * 5 + j.j * 3) % 100 AS VARCHAR) AS word
+  FROM bp g, generate_series(0, 4) i(i), generate_series(0, 5) j(j)
+  WHERE i.i < 2 + g.e % 3 AND j.j < 3 + (g.e + i.i) % 3
+),
+bl AS (
+  SELECT doc_id, e, i, string_agg(word, ' ' ORDER BY j) AS line
+  FROM bw GROUP BY doc_id, e, i
+),
+bd AS (
+  SELECT doc_id, e, string_agg(line, chr(10) ORDER BY i) AS text
+  FROM bl GROUP BY doc_id, e
+)
+SELECT doc_id, e, text FROM bd
+"""
+
+
+HTML_BOILER_ORACLE = f"""
+WITH x AS ({boiler_text_sql("SELECT doc_id, doc_id AS e FROM documents")})
+SELECT doc_id,
+       'B' || CAST(doc_id % 10 AS VARCHAR) || ' doc '
+         || CAST(doc_id AS VARCHAR) AS title,
+       text,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(length(text)
+            - length(replace(replace(text, chr(10), ' '), ' ', ''))
+            + 1 AS INT) AS n_words,
+       CAST(2 + doc_id % 3 AS INT) AS n_blocks_kept,
+       CAST(2 AS INT) AS n_blocks_dropped
+FROM x ORDER BY doc_id
+"""
+
+
+def html_boilerplate_roundtrip(spark, sf_dir: str):
+    """Oracle-certified block-level boilerplate classification: per doc
+    the planted-boilerplate page (prose + link-farm div + linky stub)
+    extracts with drop_boilerplate=True and the KEPT STRING — prose
+    only — value-checks against SQL arithmetic, with the block
+    keep/drop counts."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cols = ["title", "text", "n_chars", "n_words", "n_blocks_kept", "n_blocks_dropped"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                c = parse_html_text(synth_boiler_html(d), drop_boilerplate=True)
+                row = {"doc_id": d}
+                row.update({k: (c.get(k) if c else None) for k in cols})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["doc_id"] + cols)
+
+    schema = (
+        "doc_id bigint, title string, text string, n_chars int, n_words int, "
+        "n_blocks_kept int, n_blocks_dropped int"
+    )
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=schema)
+        .orderBy("doc_id")
+    )
+
+
 # ----------------------------------------------------- Spark entry points
 
 _COLS = [
@@ -597,23 +768,38 @@ _SCHEMA = (
 )
 
 
-def html_text_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
+def html_text_frame(
+    df,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    drop_boilerplate: bool = False,
+):
     """HTML text extraction over any (id, binary) frame; nulls for
     pages that cannot be walked. The `text` column feeds the
     quality/dedup/token-count stack; `link_density` is the boilerplate
-    threshold signal."""
+    threshold signal. `drop_boilerplate=True` applies the per-block
+    keep rule (is_boilerplate_block) and adds the kept/dropped block
+    counts to the schema."""
+    cols = _COLS + (["n_blocks_kept", "n_blocks_dropped"] if drop_boilerplate else [])
+    schema = _SCHEMA.replace("doc_id", id_col, 1)
+    if drop_boilerplate:
+        schema += ", n_blocks_kept int, n_blocks_dropped int"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
-                c = parse_html_text(bytes(payload)) if payload is not None else None
+                c = (
+                    parse_html_text(bytes(payload), drop_boilerplate=drop_boilerplate)
+                    if payload is not None
+                    else None
+                )
                 row = {id_col: rid}
-                row.update({k: (c.get(k) if c else None) for k in _COLS})
+                row.update({k: (c.get(k) if c else None) for k in cols})
                 rows.append(row)
-            yield pd.DataFrame(rows, columns=[id_col] + _COLS)
+            yield pd.DataFrame(rows, columns=[id_col] + cols)
 
-    return df.mapInPandas(batches, schema=_SCHEMA.replace("doc_id", id_col, 1))
+    return df.mapInPandas(batches, schema=schema)
 
 
 def html_text_roundtrip(spark, sf_dir: str):

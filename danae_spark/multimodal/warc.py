@@ -1349,6 +1349,163 @@ ORDER BY pg.page_id
 """
 
 
+CRAWL_BOILER_MIN_Q = 0.34  # prose scores span 0.328-0.368: discriminates
+
+
+def synth_boiler_warc(doc_id: int) -> bytes:
+    """WARC of the planted-boilerplate page (htmltext.synth_boiler_html
+    — prose + link-farm div + linky stub): one 200 response per doc;
+    docs with doc_id % 10 == 3 get a SECOND capture from an
+    m.-subdomain mirror whose FARM words differ but whose prose is
+    identical — so exact-dup clustering fires only AFTER the block
+    rule strips the boilerplate. Gzip member-per-record on odd docs."""
+    from danae_spark.multimodal.htmltext import synth_boiler_html
+
+    d = doc_id
+    host = f"site{d % 5}.example"
+    recs: list[bytes] = []
+    info = b"software: danae-spark/1.0\r\nformat: WARC File Format 1.1\r\n"
+    recs.append(_record("warcinfo", d * 100, info, {"Content-Type": "application/warc-fields"}))
+    captures = [(f"http://{host}/b", False)]
+    if d % 10 == 3:
+        captures.append((f"http://m.{host}/b", True))
+    for k, (uri, mirror) in enumerate(captures):
+        html = synth_boiler_html(d, mirror=mirror)
+        resp = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + html
+        recs.append(
+            _record(
+                "response",
+                d * 100 + k + 1,
+                resp,
+                {"WARC-Target-URI": uri, "Content-Type": "application/http;msgtype=response"},
+            )
+        )
+    if d % 2 == 1:
+        return b"".join(_gzip_member(r) for r in recs)
+    return b"".join(recs)
+
+
+def crawl_curate_boiler_roundtrip(spark, sf_dir: str):
+    """The crawl_curate variant over BOILERPLATE-BEARING pages (r12):
+    WARC walk -> HTTP decode -> HTML extraction with the per-block
+    boilerplate rule (drop_boilerplate=True) -> quality filter (the
+    SAME fused quality_filter_frame) -> exact-dup canonical keeper.
+    The mirror captures (doc_id % 10 == 3) carry DIFFERENT link-farm
+    bytes but identical prose, so the dedup stage clusters them iff
+    the block rule actually stripped the farm — the end-to-end
+    certification that boilerplate removal feeds curation. One
+    provenance row per capture with every verdict."""
+    from danae_spark.catalog import load_table
+    from danae_spark.multimodal.htmltext import parse_html_text
+    from danae_spark.operators.textstats import quality_filter_frame
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                for k, (uri, _status, ctype, body) in enumerate(
+                    iter_warc_responses(synth_boiler_warc(d))
+                ):
+                    ext = parse_html_text(
+                        body, content_type_charset(ctype), drop_boilerplate=True
+                    )
+                    if ext is None:
+                        continue
+                    rows.append(
+                        {
+                            "page_id": d * 2 + k,
+                            "doc_id": d,
+                            "url": uri,
+                            "text": ext["text"],
+                            "n_blocks_dropped": ext["n_blocks_dropped"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["page_id", "doc_id", "url", "text", "n_blocks_dropped"]
+            )
+
+    pages = docs.repartition(stage_parallelism(docs.sparkSession), "doc_id").mapInPandas(
+        batches,
+        schema="page_id bigint, doc_id bigint, url string, text string, "
+        "n_blocks_dropped int",
+    )
+    pages = pages.persist()  # feeds quality + keeper branches
+    q = quality_filter_frame(
+        pages.select(F.col("page_id").alias("doc_id"), "text"),
+        min_quality=CRAWL_BOILER_MIN_Q,
+        order=False,
+    ).select(F.col("doc_id").alias("page_id"), F.col("keep").alias("quality_keep"))
+    wt = W.partitionBy(F.xxhash64("text"))
+    dup = (
+        pages.withColumn("n_dup", F.count("*").over(wt).cast("int"))
+        .withColumn(
+            "is_keeper",
+            (F.row_number().over(wt.orderBy("page_id")) == 1).cast("int"),
+        )
+        .select("page_id", "doc_id", "url", "n_blocks_dropped", "n_dup", "is_keeper")
+    )
+    return (
+        dup.join(q, "page_id")
+        .select(
+            "page_id",
+            "doc_id",
+            "url",
+            "n_blocks_dropped",
+            "n_dup",
+            "is_keeper",
+            "quality_keep",
+            (
+                (F.col("is_keeper") == 1) & (F.col("quality_keep") == 1)
+            ).cast("int").alias("keep"),
+        )
+        .orderBy("page_id")
+    )
+
+
+def _crawl_curate_boiler_oracle() -> str:
+    from danae_spark.multimodal.htmltext import boiler_text_sql
+    from danae_spark.operators.textstats import quality_filter_oracle
+
+    return f"""
+WITH bx AS ({boiler_text_sql("SELECT doc_id, doc_id AS e FROM documents")}),
+pg AS (
+  SELECT doc_id AS src_doc,
+         doc_id * 2 + m.m AS page_id,
+         'http://' || CASE WHEN m.m = 1 THEN 'm.' ELSE '' END
+           || 'site' || CAST(doc_id % 5 AS VARCHAR) || '.example/b' AS url,
+         CAST(2 AS INT) AS n_blocks_dropped,
+         text
+  FROM bx, generate_series(0, 1) m(m)
+  WHERE m.m = 0 OR doc_id % 10 = 3
+),
+pgq AS (SELECT page_id AS doc_id, text, 'en' AS lang FROM pg),
+q AS (
+  SELECT doc_id AS page_id, keep AS quality_keep
+  FROM ({quality_filter_oracle(min_quality=CRAWL_BOILER_MIN_Q, source="pgq")})
+),
+dup AS (
+  SELECT page_id,
+         CAST(count(*) OVER (PARTITION BY text) AS INT) AS n_dup,
+         CAST(row_number() OVER (PARTITION BY text ORDER BY page_id) = 1
+              AS INT) AS is_keeper
+  FROM pg
+)
+SELECT pg.page_id, pg.src_doc AS doc_id, pg.url, pg.n_blocks_dropped,
+       dup.n_dup, dup.is_keeper, q.quality_keep,
+       CAST(dup.is_keeper = 1 AND q.quality_keep = 1 AS INT) AS keep
+FROM pg JOIN dup USING (page_id) JOIN q USING (page_id)
+ORDER BY pg.page_id
+"""
+
+
 def crawl_report_roundtrip(spark, sf_dir: str):
     """The crawl health report — ONE row summarizing the whole
     crawl->corpus run (the number a pipeline operator actually reads):

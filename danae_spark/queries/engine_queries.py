@@ -1020,3 +1020,30 @@ def corpus_lang_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-stratum token budgets. Oracle composes the SAME two oracle SQL
     bodies as CTEs (operators/langid.py corpus_lang_strata)."""
     return _langid.corpus_lang_strata(spark, sf_dir)
+
+
+@register("html_boilerplate_extract", oracle=_html.HTML_BOILER_ORACLE)
+def html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level boilerplate classification (r12, jusText/Boilerpipe
+    family): the extractor's existing block structure gains a per-BLOCK
+    keep rule — a block is boilerplate when anchors cover more than
+    half its characters (link farms in undifferentiated <div>s the
+    nav/header/footer subtree rule can't see) or when it's a short
+    (<5 words) linky stub. Planted-boilerplate pages (prose + link-farm
+    div + 'more' stub) extract with drop_boilerplate=True and the KEPT
+    STRING — prose only — value-checks against SQL arithmetic, plus
+    the kept/dropped block counts (multimodal/htmltext.py
+    is_boilerplate_block / synth_boiler_html)."""
+    return _html.html_boilerplate_roundtrip(spark, sf_dir)
+
+
+@register("crawl_curate_boiler", oracle=_warc._crawl_curate_boiler_oracle())
+def crawl_curate_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crawl_curate variant over boilerplate-bearing pages (r12): WARC
+    walk -> HTTP decode -> block-rule extraction (drop_boilerplate) ->
+    fused quality filter -> exact-dup canonical keeper. The mirror
+    captures carry DIFFERENT link-farm bytes but identical prose, so
+    the dedup stage clusters them IFF the block rule stripped the
+    boilerplate — certifying end-to-end that boilerplate removal feeds
+    curation (multimodal/warc.py crawl_curate_boiler_roundtrip)."""
+    return _warc.crawl_curate_boiler_roundtrip(spark, sf_dir)

@@ -1,0 +1,104 @@
+"""Block-level boilerplate classification (r12): the per-block keep
+rule, the planted-boilerplate grid, the frame API mode, and the
+end-to-end property that dedup fires only BECAUSE stripping worked."""
+
+from __future__ import annotations
+
+from danae_spark.multimodal.htmltext import (
+    expected_boiler_row,
+    html_text_frame,
+    is_boilerplate_block,
+    parse_html_text,
+    synth_boiler_html,
+)
+
+
+def test_block_rule_units():
+    # link farm: anchors cover everything
+    assert is_boilerplate_block("z1 z2 z3 z4 z5 z6", 17)
+    # short linky stub
+    assert is_boilerplate_block("read more", 9)
+    # prose with one inline anchor stays
+    assert not is_boilerplate_block("a long paragraph with one small link inside", 4)
+    # anchor-free short block stays (headings, list items)
+    assert not is_boilerplate_block("item k3", 0)
+    # exactly half anchored stays when long enough (rule is MORE than half)
+    assert not is_boilerplate_block("aa bb cc dd ee", 7)
+    # ...but a SHORT half-anchored block is still a linky stub
+    assert is_boilerplate_block("ab cd", 2)
+
+
+def test_grid_parity():
+    for d in range(80):
+        got = parse_html_text(synth_boiler_html(d), drop_boilerplate=True)
+        want = expected_boiler_row(d)
+        assert {k: got[k] for k in want} == want, d
+
+
+def test_without_flag_farm_text_ships():
+    got = parse_html_text(synth_boiler_html(5))
+    assert "z" in got["text"] and "more m" in got["text"]
+    assert "n_blocks_kept" not in got  # flag-off dict shape unchanged
+
+
+def test_mirror_converges_only_after_stripping():
+    for d in (3, 13, 23):
+        raw_main = parse_html_text(synth_boiler_html(d))["text"]
+        raw_mirror = parse_html_text(synth_boiler_html(d, mirror=True))["text"]
+        assert raw_main != raw_mirror  # different farm words
+        s_main = parse_html_text(synth_boiler_html(d), drop_boilerplate=True)["text"]
+        s_mirror = parse_html_text(
+            synth_boiler_html(d, mirror=True), drop_boilerplate=True
+        )["text"]
+        assert s_main == s_mirror  # identical prose after the block rule
+
+
+def test_frame_mode(spark):
+    rows = [(d, bytearray(synth_boiler_html(d))) for d in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in html_text_frame(df, drop_boilerplate=True).collect()
+    }
+    for d in range(6):
+        want = expected_boiler_row(d)
+        assert got[d]["text"] == want["text"]
+        assert got[d]["n_blocks_dropped"] == 2
+    # flag-off schema has no block columns
+    off = html_text_frame(df).columns
+    assert "n_blocks_kept" not in off
+
+
+def test_curate_boiler_dedup_matches_python_oracle(spark, sf_dir):
+    """Full independent expectation: rebuild every capture's STRIPPED
+    text in Python, cluster by it (mirrors converge; distinct docs
+    whose prose arithmetic collides — d and d+300 share word cycles —
+    also cluster, exactly as the SQL oracle states), and compare n_dup
+    / is_keeper row by row. The mirror pairs cluster IFF stripping
+    worked: their raw bytes differ."""
+    from danae_spark.multimodal.warc import crawl_curate_boiler_roundtrip
+
+    rows = crawl_curate_boiler_roundtrip(spark, sf_dir).collect()
+    doc_ids = sorted({r["doc_id"] for r in rows})
+    captures = {}  # page_id -> stripped text
+    for d in doc_ids:
+        captures[d * 2] = expected_boiler_row(d)["text"]
+        if d % 10 == 3:
+            captures[d * 2 + 1] = expected_boiler_row(d)["text"]
+    clusters: dict[str, list[int]] = {}
+    for pid, text in captures.items():
+        clusters.setdefault(text, []).append(pid)
+    want_dup = {pid: len(clusters[t]) for pid, t in captures.items()}
+    want_keeper = {pid: int(pid == min(clusters[t])) for pid, t in captures.items()}
+    assert {r["page_id"] for r in rows} == set(captures)
+    for r in rows:
+        assert r["n_dup"] == want_dup[r["page_id"]], r
+        assert r["is_keeper"] == want_keeper[r["page_id"]], r
+    # mirrors exist and clustered despite different raw bytes
+    mirrored = [d for d in doc_ids if d % 10 == 3]
+    assert mirrored
+    for d in mirrored:
+        assert want_dup[d * 2] >= 2
+        raw_main = parse_html_text(synth_boiler_html(d))["text"]
+        raw_mirror = parse_html_text(synth_boiler_html(d, mirror=True))["text"]
+        assert raw_main != raw_mirror
