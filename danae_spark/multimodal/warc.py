@@ -1168,38 +1168,23 @@ CRAWL_CURATE_MIN_Q = 0.32
 _MIRROR_OFF = 10**9  # page_id offset for the mirror capture
 
 
-def crawl_curate_roundtrip(spark, sf_dir: str, cap: int = CRAWL_CURATE_CAP):
-    """The END-TO-END crawl->corpus pipeline as ONE certified plan —
-    the crawl-side twin of curate_corpus (C29): WARC walk -> HTTP
-    decode -> HTML extraction (charset-routed) -> URL canonicalization
-    (url_canonicalize_frame; the wire URIs are re-messied with scheme
-    case + an explicit default port so the canonicalizer has real work;
-    full messy-form coverage is unit-certified by url_canonicalize) ->
-    per-domain cap (url_domain_cap_frame, md5-priority keeps) ->
-    quality filter (quality_filter_frame: heuristic score + repetition
-    + PII, the SAME fused plan as the registered entry) -> exact-dup
-    canonical keeper (xxhash64(text) cluster window, smallest page_id
-    keeps). One provenance row per crawled page: where it came from
-    (doc_id, url, domain), every verdict, and the final keep.
-
-    Scale shape: the crawl/extract stage is stateless Arrow
-    mapInPandas; the cap and keeper are windows over domain / text
-    hash (bounded partitions); quality is one scan + one gram join —
-    no collects, no cartesians.
-
-    Docs with doc_id % 10 == 3 are crawled TWICE — once from the main
-    host and once from an `m.`-subdomain mirror (same registrable
-    domain, byte-identical pages: the shape CDN mirrors actually
-    produce) — so the exact-dup keeper genuinely fires: each mirrored
-    page forms a 2-cluster whose keeper is the main capture."""
+def _curate_pages(spark, sf_dir: str, syndicate: bool = False):
+    """The crawl->page extraction stage shared by crawl_curate and its
+    rank-weighted variant: WARC walk -> HTTP decode -> charset-routed
+    HTML extraction, one (page_id, doc_id, messy url, text) row per
+    200 text/html capture, mirrors doubled for doc_id % 10 == 3.
+    `syndicate=True` (the ranked variant's grid) additionally crawls
+    page 0 of each mirrored doc from the NEXT doc's site — content
+    syndication, the real-web duplicate shape where the copies'
+    SOURCES differ, so their link-graph ranks differ and the
+    rank-weighted keeper has a real decision. Returned PERSISTED — it
+    feeds five downstream branches (canonicalize, cap, quality's two
+    scans, keeper window); at corpus scale this is the stage boundary
+    a real pipeline materializes to storage."""
     from danae_spark.catalog import load_table
     from danae_spark.multimodal.htmltext import parse_html_text
-    from danae_spark.operators.textstats import quality_filter_frame
-    from danae_spark.operators.urlops import url_canonicalize_frame, url_domain_cap_frame
     from danae_spark.session import stage_parallelism
     from danae_spark.shipping import ensure_shipped
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
 
     ensure_shipped(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -1234,16 +1219,57 @@ def crawl_curate_roundtrip(spark, sf_dir: str, cap: int = CRAWL_CURATE_CAP):
                                 "text": ext["text"],
                             }
                         )
+                        if syndicate and p_ == 0:
+                            # the same content REPUBLISHED on doc d+1's
+                            # site (rank join drops it if d+1 is past
+                            # the corpus edge — both sides agree)
+                            rows.append(
+                                {
+                                    "page_id": d * 4 + 2 * _MIRROR_OFF,
+                                    "doc_id": d + 1,
+                                    "url": f"HTTP://SITE{(d + 1) % 5}"
+                                    f".EXAMPLE:80/synd{d * 4}",
+                                    "text": ext["text"],
+                                }
+                            )
             yield pd.DataFrame(rows, columns=["page_id", "doc_id", "url", "text"])
 
     pages = docs.repartition(stage_parallelism(docs.sparkSession), "doc_id").mapInPandas(
         batches, schema="page_id bigint, doc_id bigint, url string, text string"
     )
-    # the extraction feeds FIVE downstream branches (canonicalize, cap,
-    # quality's two scans, keeper window); persist so the crawl decode
-    # runs once, not per branch — at corpus scale this is the stage
-    # boundary a real pipeline would materialize to storage
-    pages = pages.persist()
+    return pages.persist()
+
+
+def crawl_curate_roundtrip(spark, sf_dir: str, cap: int = CRAWL_CURATE_CAP):
+    """The END-TO-END crawl->corpus pipeline as ONE certified plan —
+    the crawl-side twin of curate_corpus (C29): WARC walk -> HTTP
+    decode -> HTML extraction (charset-routed) -> URL canonicalization
+    (url_canonicalize_frame; the wire URIs are re-messied with scheme
+    case + an explicit default port so the canonicalizer has real work;
+    full messy-form coverage is unit-certified by url_canonicalize) ->
+    per-domain cap (url_domain_cap_frame, md5-priority keeps) ->
+    quality filter (quality_filter_frame: heuristic score + repetition
+    + PII, the SAME fused plan as the registered entry) -> exact-dup
+    canonical keeper (xxhash64(text) cluster window, smallest page_id
+    keeps). One provenance row per crawled page: where it came from
+    (doc_id, url, domain), every verdict, and the final keep.
+
+    Scale shape: the crawl/extract stage is stateless Arrow
+    mapInPandas; the cap and keeper are windows over domain / text
+    hash (bounded partitions); quality is one scan + one gram join —
+    no collects, no cartesians.
+
+    Docs with doc_id % 10 == 3 are crawled TWICE — once from the main
+    host and once from an `m.`-subdomain mirror (same registrable
+    domain, byte-identical pages: the shape CDN mirrors actually
+    produce) — so the exact-dup keeper genuinely fires: each mirrored
+    page forms a 2-cluster whose keeper is the main capture."""
+    from danae_spark.operators.textstats import quality_filter_frame
+    from danae_spark.operators.urlops import url_canonicalize_frame, url_domain_cap_frame
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    pages = _curate_pages(spark, sf_dir)
     canon = url_canonicalize_frame(
         pages.select("page_id", "url"), id_col="page_id"
     ).select("page_id", "url_canon")
@@ -1340,6 +1366,151 @@ dup AS (
   FROM pg
 )
 SELECT pg.page_id, pg.src_doc AS doc_id, pg.url, pg.domain,
+       dup.n_dup, dup.is_keeper, q.quality_keep, cap.cap_kept,
+       CAST(dup.is_keeper = 1 AND q.quality_keep = 1 AND cap.cap_kept = 1
+            AS INT) AS keep
+FROM pg
+JOIN dup USING (page_id) JOIN q USING (page_id) JOIN cap USING (page_id)
+ORDER BY pg.page_id
+"""
+
+
+def crawl_curate_ranked_roundtrip(spark, sf_dir: str, cap: int = CRAWL_CURATE_CAP):
+    """crawl_curate with the LINK GRAPH wired in (r12): the certified
+    pagerank (operators/frontier.py — 10 unrolled power-iteration
+    rounds over the doc-graph) joins each capture's source doc as a
+    quality feature, and the exact-dup canonical keeper becomes
+    RANK-WEIGHTED — within a duplicate cluster the member with the
+    HIGHEST source rank keeps (ties: smallest page_id), so a crawl
+    keeps the authoritative copy instead of whichever arrived first.
+    The synth grid's prose arithmetic collides across docs (page e and
+    e+300 share word cycles), so clusters genuinely span docs with
+    DIFFERENT ranks and the rank tiebreak decides real keeps. All
+    other verdicts (per-domain cap, fused quality filter) and the
+    provenance row shape match crawl_curate, plus the rank column."""
+    from danae_spark.operators.frontier import pagerank_roundtrip
+    from danae_spark.operators.textstats import quality_filter_frame
+    from danae_spark.operators.urlops import url_canonicalize_frame, url_domain_cap_frame
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    pages = _curate_pages(spark, sf_dir, syndicate=True)
+    ranks = pagerank_roundtrip(spark, sf_dir).withColumnRenamed("node", "doc_id")
+    pages = pages.join(ranks, "doc_id").persist()
+    canon = url_canonicalize_frame(
+        pages.select("page_id", "url"), id_col="page_id"
+    ).select("page_id", "url_canon")
+    capd = url_domain_cap_frame(
+        pages.join(canon, "page_id").select(
+            F.col("page_id").alias("doc_id"), F.col("url_canon").alias("url")
+        ),
+        cap=cap,
+    ).select(
+        F.col("doc_id").alias("page_id"), "domain", F.col("kept").alias("cap_kept")
+    )
+    q = quality_filter_frame(
+        pages.select(F.col("page_id").alias("doc_id"), "text"),
+        min_quality=CRAWL_CURATE_MIN_Q,
+        order=False,
+    ).select(F.col("doc_id").alias("page_id"), F.col("keep").alias("quality_keep"))
+    wt = W.partitionBy(F.xxhash64("text"))
+    dup = (
+        pages.withColumn("n_dup", F.count("*").over(wt).cast("int"))
+        .withColumn(
+            "is_keeper",
+            (
+                F.row_number().over(wt.orderBy(F.desc("rank"), F.asc("page_id"))) == 1
+            ).cast("int"),
+        )
+        .select("page_id", "doc_id", "rank", "n_dup", "is_keeper")
+    )
+    return (
+        dup.join(canon, "page_id")
+        .join(capd, "page_id")
+        .join(q, "page_id")
+        .select(
+            "page_id",
+            "doc_id",
+            F.col("url_canon").alias("url"),
+            "domain",
+            "rank",
+            "n_dup",
+            "is_keeper",
+            "quality_keep",
+            "cap_kept",
+            (
+                (F.col("is_keeper") == 1)
+                & (F.col("quality_keep") == 1)
+                & (F.col("cap_kept") == 1)
+            ).cast("int").alias("keep"),
+        )
+        .orderBy("page_id")
+    )
+
+
+def _crawl_curate_ranked_oracle(cap: int = CRAWL_CURATE_CAP) -> str:
+    from danae_spark.multimodal.htmltext import html_text_sql
+    from danae_spark.operators.frontier import pagerank_ctes
+    from danae_spark.operators.textstats import quality_filter_oracle
+
+    ok_pages = """
+SELECT d.doc_id, d.doc_id * 4 + p.p AS e
+FROM documents d, generate_series(0, 2) p(p)
+WHERE p.p < 1 + d.doc_id % 3 AND (d.doc_id + p.p) % 5 <> 4
+"""
+    return f"""
+WITH {pagerank_ctes()},
+hx AS ({html_text_sql(ok_pages)}),
+pg0 AS (
+  -- m=0 main, m=1 mirror (same source doc), m=2 the SYNDICATED copy
+  -- republished on doc+1's site (page 0 of mirrored docs only)
+  SELECT CASE WHEN m.m = 2 THEN hx.doc_id + 1 ELSE hx.doc_id END AS src_doc,
+         e + m.m * {_MIRROR_OFF} AS page_id,
+         CASE m.m
+           WHEN 0 THEN 'http://site' || CAST(hx.doc_id % 5 AS VARCHAR)
+                || '.example/p' || CAST(e - hx.doc_id * 4 AS VARCHAR)
+           WHEN 1 THEN 'http://m.site' || CAST(hx.doc_id % 5 AS VARCHAR)
+                || '.example/p' || CAST(e - hx.doc_id * 4 AS VARCHAR)
+           ELSE 'http://site' || CAST((hx.doc_id + 1) % 5 AS VARCHAR)
+                || '.example/synd' || CAST(e AS VARCHAR)
+         END AS url,
+         'site' || CAST(CASE WHEN m.m = 2 THEN hx.doc_id + 1
+                             ELSE hx.doc_id END % 5 AS VARCHAR)
+           || '.example' AS domain,
+         text
+  FROM hx, generate_series(0, 2) m(m)
+  WHERE m.m = 0
+     OR (hx.doc_id % 10 = 3
+         AND (m.m = 1 OR e = hx.doc_id * 4))
+),
+pg AS (
+  -- the rank join also drops a syndicated row whose src_doc is past
+  -- the corpus edge, matching the Spark side's inner join
+  SELECT pg0.*, pr.rank AS rank
+  FROM pg0 JOIN pr ON pg0.src_doc = pr.node
+),
+pgq AS (SELECT page_id AS doc_id, text, 'en' AS lang FROM pg),
+q AS (
+  SELECT doc_id AS page_id, keep AS quality_keep
+  FROM ({quality_filter_oracle(min_quality=CRAWL_CURATE_MIN_Q, source="pgq")})
+),
+cap AS (
+  SELECT page_id,
+         CAST(row_number() OVER (
+             PARTITION BY domain
+             ORDER BY md5(CAST(page_id AS VARCHAR)), page_id
+           ) <= {cap} AS INT) AS cap_kept
+  FROM pg
+),
+dup AS (
+  SELECT page_id,
+         CAST(count(*) OVER (PARTITION BY text) AS INT) AS n_dup,
+         CAST(row_number() OVER (PARTITION BY text
+                                 ORDER BY rank DESC, page_id) = 1
+              AS INT) AS is_keeper
+  FROM pg
+)
+SELECT pg.page_id, pg.src_doc AS doc_id, pg.url, pg.domain, pg.rank,
        dup.n_dup, dup.is_keeper, q.quality_keep, cap.cap_kept,
        CAST(dup.is_keeper = 1 AND q.quality_keep = 1 AND cap.cap_kept = 1
             AS INT) AS keep

@@ -421,12 +421,13 @@ def pagerank_roundtrip(spark, sf_dir: str):
     return pagerank_frame(docs, edges, node_col="doc_id")
 
 
-def _pagerank_oracle(damping: float = PR_DAMPING, n_iter: int = PR_ITERS) -> str:
-    """The power iteration UNROLLED as one CTE chain per round — a
-    full-value SQL restatement of an 'iterative' algorithm (ranks
-    ROUND(6) on both sides)."""
+def pagerank_ctes(damping: float = PR_DAMPING, n_iter: int = PR_ITERS) -> str:
+    """The unrolled power-iteration CTE CHAIN (no WITH, no final
+    SELECT) — `pr` is the last CTE: (node, rank ROUND(6)). Shared by
+    PAGERANK_ORACLE and the rank-weighted curate composition so both
+    certify the SAME unrolled rounds."""
     parts = [
-        "WITH nodes AS (SELECT doc_id AS node FROM documents),",
+        "nodes AS (SELECT doc_id AS node FROM documents),",
         f"edges AS MATERIALIZED ({synth_edges_sql()}),",
         "deg AS MATERIALIZED (SELECT src, count(*) AS od FROM edges GROUP BY src),",
         "nn AS (SELECT count(*) AS n FROM nodes),",
@@ -453,11 +454,20 @@ def _pagerank_oracle(damping: float = PR_DAMPING, n_iter: int = PR_ITERS) -> str
   ) dang
 ),"""
         )
-    parts[-1] = parts[-1].rstrip(",")
     parts.append(
-        f"SELECT node, ROUND(r, 6) AS rank FROM r{n_iter} ORDER BY node"
+        f"pr AS (SELECT node, ROUND(r, 6) AS rank FROM r{n_iter})"
     )
     return "\n".join(parts)
+
+
+def _pagerank_oracle(damping: float = PR_DAMPING, n_iter: int = PR_ITERS) -> str:
+    """The power iteration UNROLLED as one CTE chain per round — a
+    full-value SQL restatement of an 'iterative' algorithm (ranks
+    ROUND(6) on both sides)."""
+    return (
+        f"WITH {pagerank_ctes(damping, n_iter)}\n"
+        "SELECT node, rank FROM pr ORDER BY node"
+    )
 
 
 PAGERANK_ORACLE = _pagerank_oracle()

@@ -1047,3 +1047,18 @@ def crawl_curate_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate — certifying end-to-end that boilerplate removal feeds
     curation (multimodal/warc.py crawl_curate_boiler_roundtrip)."""
     return _warc.crawl_curate_boiler_roundtrip(spark, sf_dir)
+
+
+@register("crawl_curate_ranked", oracle=_warc._crawl_curate_ranked_oracle())
+def crawl_curate_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crawl_curate with the LINK GRAPH wired in (r12): the certified
+    pagerank joins each capture's source doc as a quality feature and
+    the exact-dup keeper becomes RANK-WEIGHTED — the highest-rank
+    member of a duplicate cluster keeps (ties by page_id), so the
+    crawl keeps the authoritative copy. The oracle composes the
+    UNROLLED pagerank CTE chain (frontier.pagerank_ctes — the same
+    rounds PAGERANK_ORACLE certifies) with the crawl_curate CTEs
+    (html_text_sql + quality_filter_oracle verbatim); clusters span
+    docs with different ranks, so the rank tiebreak decides real
+    keeps (multimodal/warc.py crawl_curate_ranked_roundtrip)."""
+    return _warc.crawl_curate_ranked_roundtrip(spark, sf_dir)

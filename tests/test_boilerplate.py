@@ -102,3 +102,43 @@ def test_curate_boiler_dedup_matches_python_oracle(spark, sf_dir):
         raw_main = parse_html_text(synth_boiler_html(d))["text"]
         raw_mirror = parse_html_text(synth_boiler_html(d, mirror=True))["text"]
         assert raw_main != raw_mirror
+
+
+# ------------------------------------ rank-weighted curation (r12)
+
+
+def test_ranked_curate_keeps_high_rank_member(spark, sf_dir):
+    """The rank-weighted keeper: within every duplicate cluster the
+    member with the highest source rank keeps — and for at least one
+    cluster that differs from the page_id-order keeper, so the rank
+    genuinely decides."""
+    from danae_spark.multimodal.warc import crawl_curate_ranked_roundtrip
+
+    rows = crawl_curate_ranked_roundtrip(spark, sf_dir).collect()
+    # group rows into clusters: same n_dup isn't enough — rebuild the
+    # cluster key from the synthetic page text arithmetic
+    from danae_spark.multimodal.htmltext import expected_html_row
+    from danae_spark.multimodal.warc import _MIRROR_OFF
+
+    def page_text(page_id: int) -> str:
+        e = page_id % _MIRROR_OFF
+        return expected_html_row(e)["text"]
+
+    clusters: dict[str, list] = {}
+    for r in rows:
+        clusters.setdefault(page_text(r["page_id"]), []).append(r)
+    multi = [rs for rs in clusters.values() if len(rs) > 1]
+    assert multi, "grid must contain duplicate clusters"
+    rank_decided = 0
+    for rs in multi:
+        assert sum(r["is_keeper"] for r in rs) == 1
+        keeper = next(r for r in rs if r["is_keeper"] == 1)
+        best = max(rs, key=lambda r: (r["rank"], -r["page_id"]))
+        assert keeper["page_id"] == best["page_id"], rs
+        if keeper["page_id"] != min(r["page_id"] for r in rs):
+            rank_decided += 1
+    assert rank_decided >= 1, "rank never overrode the arrival order"
+    # singleton clusters keep themselves
+    for rs in clusters.values():
+        if len(rs) == 1:
+            assert rs[0]["is_keeper"] == 1 and rs[0]["n_dup"] == 1
