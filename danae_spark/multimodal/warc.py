@@ -414,6 +414,68 @@ def iter_wet_texts(payload: bytes):
     yield from got
 
 
+# --------------------------------------------- revisit records (r12)
+
+# the two WARC-Profile values revisit records legally carry (ISO
+# 28500 / WARC 1.1 §6.7.2); Common Crawl uses identical-payload-digest
+# for its URL-level dedup
+_REVISIT_PROFILES = frozenset(
+    {
+        "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest",
+        "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+        "http://netpreserve.org/warc/1.0/revisit/server-not-modified",
+        "http://netpreserve.org/warc/1.1/revisit/server-not-modified",
+    }
+)
+
+
+def warc_captures(payload: bytes) -> list[tuple] | None:
+    """One validated walk of a crawl's RESPONSE + REVISIT records with
+    every revisit RESOLVED to its original response (WARC-Refers-To ->
+    record id -> original's target URI): returns
+    [(kind, uri, http_or_None, original_uri_or_None)], or None.
+    Validation is up-front and reject-whole: an unparseable HTTP
+    envelope, a revisit with an unknown WARC-Profile or a missing /
+    DANGLING WARC-Refers-To rejects the file — no partial walk ships.
+    The point of the revisit shape: the original's payload is already
+    extracted, so a curation pipeline records a dup edge instead of
+    re-extracting the unchanged capture."""
+    records = _records(payload)
+    if records is None:
+        return None
+    by_id: dict[str, str] = {}
+    caps: list[tuple] = []
+    for r in records:
+        h = r["headers"]
+        if r["type"] == "response":
+            http = _parse_http_response(r["body"])
+            if http is None:
+                return None
+            by_id[h.get("warc-record-id")] = r["uri"]
+            caps.append(("response", r["uri"], http, None))
+        elif r["type"] == "revisit":
+            prof = h.get("warc-profile")
+            refers = h.get("warc-refers-to")
+            if prof not in _REVISIT_PROFILES or refers is None:
+                return None
+            caps.append(
+                ("revisit", r["uri"], refers, h.get("warc-refers-to-target-uri"))
+            )
+    out: list[tuple] = []
+    for kind, uri, a, b in caps:
+        if kind == "revisit":
+            # in-file resolution by record id first; Common Crawl
+            # revisits may refer to a record in ANOTHER file — then the
+            # WARC-Refers-To-Target-URI names the original
+            orig = by_id.get(a) or b
+            if orig is None:
+                return None  # unresolvable original
+            out.append((kind, uri, None, orig))
+        else:
+            out.append((kind, uri, a, None))
+    return out
+
+
 # ------------------------------------------------------------- synthesis
 
 
@@ -1674,6 +1736,170 @@ SELECT pg.page_id, pg.src_doc AS doc_id, pg.url, pg.n_blocks_dropped,
        CAST(dup.is_keeper = 1 AND q.quality_keep = 1 AS INT) AS keep
 FROM pg JOIN dup USING (page_id) JOIN q USING (page_id)
 ORDER BY pg.page_id
+"""
+
+
+def synth_revisit_warc(doc_id: int) -> bytes:
+    """Two-crawl WARC of one site: the FIRST crawl's 200 responses
+    (the synth_html pages), then the SECOND crawl finding every page
+    with e % 3 == 0 unchanged and writing a REVISIT record for it —
+    identical-payload-digest profile, WARC-Refers-To naming the first
+    capture's record id, WARC-Refers-To-Target-URI carried (the
+    Common Crawl shape). Gzip member-per-record on odd docs."""
+    from danae_spark.multimodal.htmltext import synth_html
+
+    d = doc_id
+    host = f"site{d % 5}.example"
+    recs: list[bytes] = []
+    info = b"software: danae-spark/1.0\r\nformat: WARC File Format 1.1\r\n"
+    recs.append(_record("warcinfo", d * 100, info, {"Content-Type": "application/warc-fields"}))
+    live = [p for p in range(n_pages(d)) if page_status(d, p) == 200]
+    for p in live:
+        e = d * 4 + p
+        uri = f"http://{host}/p{p}"
+        resp = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+            + synth_html(e)
+        )
+        recs.append(
+            _record(
+                "response",
+                d * 100 + p + 1,
+                resp,
+                {"WARC-Target-URI": uri, "Content-Type": "application/http;msgtype=response"},
+            )
+        )
+    for p in live:  # the second crawl: unchanged pages revisit
+        e = d * 4 + p
+        if e % 3 != 0:
+            continue
+        uri = f"http://{host}/p{p}"
+        recs.append(
+            _record(
+                "revisit",
+                d * 100 + 50 + p,
+                b"",
+                {
+                    "WARC-Target-URI": uri,
+                    "WARC-Profile": "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+                    "WARC-Refers-To": f"<urn:uuid:00000000-0000-4000-8000-{d * 100 + p + 1:012d}>",
+                    "WARC-Refers-To-Target-URI": uri,
+                    "Content-Type": "application/http;msgtype=response",
+                },
+            )
+        )
+    if d % 2 == 1:
+        return b"".join(_gzip_member(r) for r in recs)
+    return b"".join(recs)
+
+
+def crawl_revisit_dedup_roundtrip(spark, sf_dir: str):
+    """Revisit-record semantics wired into curation (r12): the capture
+    walk (warc_captures) resolves every revisit to its original and
+    the pipeline records a DUP EDGE instead of re-extracting — revisit
+    rows carry NO text (nothing was decoded for them), count into
+    their original's duplicate cluster, and the original stays the
+    keeper. One row per capture: (capture_id, doc_id, kind, uri,
+    refers_uri, text, n_dup, is_keeper); response text extracts via
+    the normal charset-routed path and restates via html_text_sql, so
+    the skip-re-extraction contract is value-checked against the same
+    fragment as the full-extraction entries."""
+    from danae_spark.catalog import load_table
+    from danae_spark.multimodal.htmltext import parse_html_text
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cols = ["capture_id", "doc_id", "kind", "uri", "refers_uri", "text", "n_dup", "is_keeper"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                caps = warc_captures(synth_revisit_warc(d))
+                if caps is None:
+                    continue
+                revisit_count: dict[str, int] = {}
+                for kind, uri, _http, orig in caps:
+                    if kind == "revisit":
+                        revisit_count[orig] = revisit_count.get(orig, 0) + 1
+                for kind, uri, http, orig in caps:
+                    p_ = int(uri.rsplit("/p", 1)[1])
+                    e = d * 4 + p_
+                    if kind == "response":
+                        ext = parse_html_text(
+                            http["body"], content_type_charset(http["content_type"])
+                        )
+                        rows.append(
+                            {
+                                "capture_id": e,
+                                "doc_id": d,
+                                "kind": "response",
+                                "uri": uri,
+                                "refers_uri": None,
+                                "text": ext["text"] if ext else None,
+                                "n_dup": 1 + revisit_count.get(uri, 0),
+                                "is_keeper": 1,
+                            }
+                        )
+                    else:
+                        rows.append(
+                            {
+                                "capture_id": e + _MIRROR_OFF,
+                                "doc_id": d,
+                                "kind": "revisit",
+                                "uri": uri,
+                                "refers_uri": orig,
+                                "text": None,  # NOT re-extracted: the point
+                                "n_dup": 1 + revisit_count.get(orig, 0),
+                                "is_keeper": 0,
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = (
+        "capture_id bigint, doc_id bigint, kind string, uri string, "
+        "refers_uri string, text string, n_dup int, is_keeper int"
+    )
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=schema)
+        .orderBy("doc_id", "capture_id")
+    )
+
+
+def _crawl_revisit_oracle() -> str:
+    from danae_spark.multimodal.htmltext import html_text_sql
+
+    ok_pages = """
+SELECT d.doc_id, d.doc_id * 4 + p.p AS e
+FROM documents d, generate_series(0, 2) p(p)
+WHERE p.p < 1 + d.doc_id % 3 AND (d.doc_id + p.p) % 5 <> 4
+"""
+    return f"""
+WITH hx AS ({html_text_sql(ok_pages)}),
+resp AS (
+  SELECT doc_id, e,
+         'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example/p'
+           || CAST(e - doc_id * 4 AS VARCHAR) AS uri,
+         text
+  FROM hx
+),
+caps AS (
+  SELECT e AS capture_id, doc_id, 'response' AS kind, uri,
+         CAST(NULL AS VARCHAR) AS refers_uri, text,
+         CAST(1 + CASE WHEN e % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_dup,
+         CAST(1 AS INT) AS is_keeper
+  FROM resp
+  UNION ALL
+  SELECT e + {_MIRROR_OFF}, doc_id, 'revisit', uri, uri,
+         CAST(NULL AS VARCHAR), CAST(2 AS INT), CAST(0 AS INT)
+  FROM resp WHERE e % 3 = 0
+)
+SELECT capture_id, doc_id, kind, uri, refers_uri, text, n_dup, is_keeper
+FROM caps ORDER BY doc_id, capture_id
 """
 
 

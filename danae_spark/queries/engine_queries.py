@@ -1062,3 +1062,19 @@ def crawl_curate_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs with different ranks, so the rank tiebreak decides real
     keeps (multimodal/warc.py crawl_curate_ranked_roundtrip)."""
     return _warc.crawl_curate_ranked_roundtrip(spark, sf_dir)
+
+
+@register("crawl_revisit_dedup", oracle=_warc._crawl_revisit_oracle())
+def crawl_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit-record semantics (r12): Common Crawl writes a
+    REVISIT record (identical-payload-digest profile, ISO 28500
+    §6.7.2) instead of re-storing an unchanged capture. warc_captures
+    resolves every revisit to its original (WARC-Refers-To record id
+    in-file, WARC-Refers-To-Target-URI across files; unknown profiles
+    or unresolvable originals reject whole) and curation records a DUP
+    EDGE instead of re-extracting: revisit rows carry no text, count
+    into their original's cluster, and the original keeps. Response
+    text restates via html_text_sql — the same fragment as the
+    full-extraction entries (multimodal/warc.py
+    crawl_revisit_dedup_roundtrip / synth_revisit_warc)."""
+    return _warc.crawl_revisit_dedup_roundtrip(spark, sf_dir)

@@ -229,3 +229,68 @@ def test_pdf_text_with_no_resources_rejects():
     # text shown on a page with NO resolvable /Resources anywhere must
     # reject whole (mojibake guard), never Latin-1 passthrough
     assert parse_pdf(_mini_pdf(page_has_resources=False, pages_has_resources=False)) is None
+
+
+# --------------------------------------------- WARC revisit records (r12)
+
+
+def test_revisit_grid_walk_and_dedup():
+    from danae_spark.multimodal.warc import synth_revisit_warc, warc_captures
+
+    for d in range(30):
+        caps = warc_captures(synth_revisit_warc(d))
+        assert caps is not None, d
+        responses = [c for c in caps if c[0] == "response"]
+        revisits = [c for c in caps if c[0] == "revisit"]
+        # every revisit resolves to a response URI present in the file
+        resp_uris = {c[1] for c in responses}
+        for _k, uri, _n, orig in revisits:
+            assert orig == uri and orig in resp_uris
+        # exactly the e % 3 == 0 pages revisit
+        want = {
+            f"http://site{d % 5}.example/p{p}"
+            for p in range(1 + d % 3)
+            if (d + p) % 5 != 4 and (d * 4 + p) % 3 == 0
+        }
+        assert {c[1] for c in revisits} == want, d
+
+
+def test_revisit_malformations_reject_whole():
+    from danae_spark.multimodal.warc import synth_revisit_warc, warc_captures
+
+    ok = synth_revisit_warc(6)  # plain (even): byte-editable
+    assert warc_captures(ok) is not None
+    # unknown profile rejects
+    bad = ok.replace(b"/revisit/identical-payload-digest", b"/revisit/unknown-profile-x12345")
+    assert warc_captures(bad) is None
+    # missing WARC-Refers-To rejects (same-length header name swap)
+    bad = ok.replace(b"WARC-Refers-To:", b"XARC-Refers-To:")
+    assert warc_captures(bad) is None
+    # dangling refers-to WITH a target URI falls back (cross-file shape)
+    moved = ok.replace(
+        b"WARC-Refers-To: <urn:uuid:00000000-0000-4000-8000-000000000601>",
+        b"WARC-Refers-To: <urn:uuid:00000000-0000-4000-8000-000000999999>",
+    )
+    got = warc_captures(moved)
+    assert got is not None
+    revisit = next(c for c in got if c[0] == "revisit")
+    assert revisit[3] == revisit[1]  # resolved via Refers-To-Target-URI
+    # dangling refers-to WITHOUT a target URI rejects
+    bad = moved.replace(b"WARC-Refers-To-Target-URI:", b"XARC-Refers-To-Target-URI:")
+    assert warc_captures(bad) is None
+
+
+def test_revisit_rows_skip_extraction(spark, sf_dir):
+    from danae_spark.multimodal.warc import crawl_revisit_dedup_roundtrip
+
+    rows = crawl_revisit_dedup_roundtrip(spark, sf_dir).collect()
+    rev = [r for r in rows if r["kind"] == "revisit"]
+    resp = [r for r in rows if r["kind"] == "response"]
+    assert rev and resp
+    assert all(r["text"] is None and r["is_keeper"] == 0 for r in rev)
+    assert all(r["text"] is not None and r["is_keeper"] == 1 for r in resp)
+    # cluster accounting: each revisit's original reports the same n_dup
+    by_uri = {(r["doc_id"], r["uri"]): r for r in resp}
+    for r in rev:
+        orig = by_uri[(r["doc_id"], r["refers_uri"])]
+        assert orig["n_dup"] == r["n_dup"] == 2
