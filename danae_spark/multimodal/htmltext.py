@@ -1102,6 +1102,262 @@ ORDER BY doc_id
 HTML_META_ORACLE = _meta_oracle()
 
 
+# ---------------------------------------- structured data (r12): JSON-LD + og
+
+
+def parse_html_structured(payload: bytes, header_charset: str | None = None) -> dict | None:
+    """Extract the page's STRUCTURED metadata — the fields a
+    BM25/metadata-search stack indexes the way ID3/VorbisComment feed
+    it for media:
+
+      - the full OpenGraph/article property set beyond C70's og:title
+        (og:description/type/url/image, article:published_time);
+      - the first <script type="application/ld+json"> block (schema.org
+        JSON-LD): @type, headline (or name), author name (object or
+        string form), datePublished, wordCount.
+
+    Same decode ladder and reject-whole contract as the text extractor
+    for the HTML LAYER; a malformed JSON-LD block yields NULL ld_*
+    fields instead of rejecting — the metadata is optional enrichment,
+    and dropping the whole page's text over a broken script would be
+    wrong for a corpus pipeline."""
+    import json as _json
+
+    text = _decode_page(payload, header_charset)
+    if text is None:
+        return None
+    n = len(text)
+    pos = 0
+    title: str | None = None
+    in_title = False
+    og: dict[str, str] = {}
+    ld_raw: str | None = None
+    drop_stack: list[str] = []
+    while pos < n:
+        lt = text.find("<", pos)
+        if lt == -1:
+            break
+        if in_title:
+            title = (title or "") + text[pos:lt]
+        pos = lt
+        if text.startswith("<!--", pos):
+            end = text.find("-->", pos + 4)
+            if end == -1:
+                return None
+            pos = end + 3
+            continue
+        if text.startswith("<!", pos) or text.startswith("<?", pos):
+            end = text.find(">", pos + 2)
+            if end == -1:
+                return None
+            pos = end + 1
+            continue
+        tag = _scan_tag(text, pos)
+        if tag is None:
+            return None
+        name, is_close, self_closing, attrs, pos = tag
+        if name in _RAWTEXT and not is_close and not self_closing:
+            m = re.compile(rf"</{name}\s*>", re.IGNORECASE).search(text, pos)
+            if not m:
+                return None
+            if (
+                name == "script"
+                and ld_raw is None
+                and attrs.get("type", "").strip().lower() == "application/ld+json"
+            ):
+                ld_raw = text[pos : m.start()]
+            pos = m.end()
+            continue
+        if name == "title":
+            if not is_close:
+                in_title = True
+                if title is None:
+                    title = ""
+            else:
+                in_title = False
+            continue
+        if name in _DROP:
+            if not is_close and not self_closing:
+                drop_stack.append(name)
+            elif is_close:
+                if not drop_stack or drop_stack[-1] != name:
+                    return None
+                drop_stack.pop()
+            continue
+        if is_close:
+            continue
+        if name == "meta":
+            prop = attrs.get("property", "").lower()
+            if prop.startswith(("og:", "article:")) and prop not in og:
+                og[prop] = _decode_entities(attrs.get("content", ""))
+    if drop_stack or in_title:
+        return None
+
+    ld_type = ld_headline = ld_author = ld_date = None
+    ld_word_count = None
+    if ld_raw is not None:
+        try:
+            obj = _json.loads(ld_raw)
+        except ValueError:
+            obj = None
+        if isinstance(obj, list) and obj:
+            obj = obj[0]
+        if isinstance(obj, dict):
+            t = obj.get("@type")
+            ld_type = t if isinstance(t, str) else None
+            h = obj.get("headline", obj.get("name"))
+            ld_headline = h if isinstance(h, str) else None
+            a = obj.get("author")
+            if isinstance(a, dict):
+                a = a.get("name")
+            ld_author = a if isinstance(a, str) else None
+            dp = obj.get("datePublished")
+            ld_date = dp if isinstance(dp, str) else None
+            wc = obj.get("wordCount")
+            ld_word_count = wc if isinstance(wc, int) and not isinstance(wc, bool) else None
+    return {
+        "title": " ".join(title.split()) if title is not None else "",
+        "og_title": og.get("og:title"),
+        "og_description": og.get("og:description"),
+        "og_type": og.get("og:type"),
+        "og_url": og.get("og:url"),
+        "og_image": og.get("og:image"),
+        "published_time": og.get("article:published_time"),
+        "ld_type": ld_type,
+        "ld_headline": ld_headline,
+        "ld_author": ld_author,
+        "ld_date": ld_date,
+        "ld_word_count": ld_word_count,
+    }
+
+
+_LD_TYPES = ("Article", "NewsArticle", "BlogPosting")
+
+
+def synth_structured_html(doc_id: int) -> bytes:
+    """Doc-deterministic page carrying the full structured-data layer:
+    the extended og:/article: property set and a schema.org JSON-LD
+    Article block (object-form author, datePublished, wordCount) —
+    plus a decoy plain <script> BEFORE it (must not be read as
+    JSON-LD) and entity refs in og content (must decode)."""
+    d = doc_id
+    t = _LD_TYPES[d % 3]
+    date = f"2026-{1 + d % 9:02d}-{1 + d % 7:02d}"
+    ld = (
+        f'{{"@context": "https://schema.org", "@type": "{t}", '
+        f'"headline": "S{d} h{d % 10}", '
+        f'"author": {{"@type": "Person", "name": "author a{d % 5}"}}, '
+        f'"datePublished": "{date}", "wordCount": {10 + d % 23}}}'
+    )
+    return (
+        "<!DOCTYPE html>\n<html>\n<head>\n"
+        f"  <title>S{d} t{d % 10}</title>\n"
+        f'  <meta property="og:title" content="S{d} t{d % 10}">\n'
+        f'  <meta property="og:description" content="sdesc w{d % 7} &amp; more">\n'
+        f'  <meta property="og:type" content="article">\n'
+        f'  <meta property="og:url" content="https://site{d % 5}.example/s{d}">\n'
+        f'  <meta property="og:image" content="https://img{d % 3}.example/i{d % 11}.jpg">\n'
+        f'  <meta property="article:published_time" content="{date}T00:00:00Z">\n'
+        '  <script>var x = {"@type": "Decoy"}; if (1 < 2) {}</script>\n'
+        f'  <script type="application/ld+json">{ld}</script>\n'
+        "</head>\n<body>\n"
+        f"  <p>body b{d % 4}</p>\n"
+        "</body>\n</html>\n"
+    ).encode("utf-8")
+
+
+HTML_STRUCTURED_ORACLE = """
+SELECT doc_id,
+       'S' || CAST(doc_id AS VARCHAR) || ' t'
+         || CAST(doc_id % 10 AS VARCHAR) AS title,
+       'S' || CAST(doc_id AS VARCHAR) || ' t'
+         || CAST(doc_id % 10 AS VARCHAR) AS og_title,
+       'sdesc w' || CAST(doc_id % 7 AS VARCHAR) || ' & more' AS og_description,
+       'article' AS og_type,
+       'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example/s'
+         || CAST(doc_id AS VARCHAR) AS og_url,
+       'https://img' || CAST(doc_id % 3 AS VARCHAR) || '.example/i'
+         || CAST(doc_id % 11 AS VARCHAR) || '.jpg' AS og_image,
+       '2026-' || lpad(CAST(1 + doc_id % 9 AS VARCHAR), 2, '0') || '-'
+         || lpad(CAST(1 + doc_id % 7 AS VARCHAR), 2, '0')
+         || 'T00:00:00Z' AS published_time,
+       CASE doc_id % 3 WHEN 0 THEN 'Article' WHEN 1 THEN 'NewsArticle'
+            ELSE 'BlogPosting' END AS ld_type,
+       'S' || CAST(doc_id AS VARCHAR) || ' h'
+         || CAST(doc_id % 10 AS VARCHAR) AS ld_headline,
+       'author a' || CAST(doc_id % 5 AS VARCHAR) AS ld_author,
+       '2026-' || lpad(CAST(1 + doc_id % 9 AS VARCHAR), 2, '0') || '-'
+         || lpad(CAST(1 + doc_id % 7 AS VARCHAR), 2, '0') AS ld_date,
+       CAST(10 + doc_id % 23 AS INT) AS ld_word_count
+FROM documents ORDER BY doc_id
+"""
+
+_STRUCT_COLS = [
+    "title", "og_title", "og_description", "og_type", "og_url", "og_image",
+    "published_time", "ld_type", "ld_headline", "ld_author", "ld_date",
+    "ld_word_count",
+]
+
+
+def html_structured_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
+    """Structured-data extraction over any (id, binary) frame; nulls
+    for pages that cannot be walked."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                c = parse_html_structured(bytes(payload)) if payload is not None else None
+                row = {id_col: rid}
+                row.update({k: (c.get(k) if c else None) for k in _STRUCT_COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[id_col] + _STRUCT_COLS)
+
+    schema = (
+        f"{id_col} bigint, title string, og_title string, og_description string, "
+        "og_type string, og_url string, og_image string, published_time string, "
+        "ld_type string, ld_headline string, ld_author string, ld_date string, "
+        "ld_word_count int"
+    )
+    return df.mapInPandas(batches, schema=schema)
+
+
+def html_structured_roundtrip(spark, sf_dir: str):
+    """Oracle-certified structured-data extraction: per doc the
+    structured page (og:/article: set + JSON-LD Article with a decoy
+    plain script) extracts and every field value-checks against SQL
+    string arithmetic."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                c = parse_html_structured(synth_structured_html(d))
+                row = {"doc_id": d}
+                row.update({k: (c.get(k) if c else None) for k in _STRUCT_COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["doc_id"] + _STRUCT_COLS)
+
+    schema = (
+        "doc_id bigint, title string, og_title string, og_description string, "
+        "og_type string, og_url string, og_image string, published_time string, "
+        "ld_type string, ld_headline string, ld_author string, ld_date string, "
+        "ld_word_count int"
+    )
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=schema)
+        .orderBy("doc_id")
+    )
+
+
 def extract_links(payload: bytes, header_charset: str | None = None):
     """Collect the page's outgoing anchors in document order: returns
     (base_href, [href, ...]) where base_href is the first <base href>

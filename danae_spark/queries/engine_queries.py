@@ -1078,3 +1078,18 @@ def crawl_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-extraction entries (multimodal/warc.py
     crawl_revisit_dedup_roundtrip / synth_revisit_warc)."""
     return _warc.crawl_revisit_dedup_roundtrip(spark, sf_dir)
+
+
+@register("html_structured_extract", oracle=_html.HTML_STRUCTURED_ORACLE)
+def html_structured_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML structured-data extraction (r12): the attribute layer the
+    BM25/metadata stack indexes — the full OpenGraph/article property
+    set beyond C70's og:title (description/type/url/image,
+    article:published_time, entities decoded) plus the page's first
+    <script type="application/ld+json"> schema.org block (@type,
+    headline, object-form author name, datePublished, wordCount); a
+    decoy plain <script> must not be read as JSON-LD, and a malformed
+    JSON-LD block yields NULL ld_* fields rather than dropping the
+    page. Every field value-checks against SQL string arithmetic
+    (multimodal/htmltext.py parse_html_structured)."""
+    return _html.html_structured_roundtrip(spark, sf_dir)

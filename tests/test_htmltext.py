@@ -198,3 +198,64 @@ def test_meta_frame_and_oracle(spark, sf_dir):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
     want = [tuple(r) for r in con.execute(HTML_META_ORACLE).fetchall()]
     assert len(got) == len(want) and got == want
+
+
+# ------------------------------------- structured data (r12): JSON-LD + og
+
+
+def test_structured_grid_parity():
+    from danae_spark.multimodal.htmltext import (
+        parse_html_structured,
+        synth_structured_html,
+    )
+
+    for d in range(40):
+        got = parse_html_structured(synth_structured_html(d))
+        assert got["ld_type"] in ("Article", "NewsArticle", "BlogPosting")
+        assert got["ld_author"] == f"author a{d % 5}"
+        assert got["ld_word_count"] == 10 + d % 23
+        assert got["og_description"] == f"sdesc w{d % 7} & more"  # entity decoded
+        assert got["og_title"] == got["title"]
+
+
+def test_structured_jsonld_forms():
+    from danae_spark.multimodal.htmltext import parse_html_structured
+
+    def page(ld: str, typ: str = "application/ld+json") -> bytes:
+        return (
+            f'<html><head><title>t</title><script type="{typ}">{ld}</script>'
+            "</head><body><p>x</p></body></html>"
+        ).encode()
+
+    # list form: first element wins
+    got = parse_html_structured(page('[{"@type": "Article", "name": "N"}]'))
+    assert got["ld_type"] == "Article" and got["ld_headline"] == "N"
+    # string author form
+    got = parse_html_structured(page('{"@type": "Article", "author": "A"}'))
+    assert got["ld_author"] == "A"
+    # malformed JSON-LD: NULL ld fields, page still parses
+    got = parse_html_structured(page('{"@type": broken'))
+    assert got is not None and got["ld_type"] is None
+    # a plain script is NOT JSON-LD
+    got = parse_html_structured(page('{"@type": "Article"}', typ="text/javascript"))
+    assert got["ld_type"] is None
+    # wordCount must be an int (booleans and strings rejected)
+    got = parse_html_structured(page('{"@type": "Article", "wordCount": "12"}'))
+    assert got["ld_word_count"] is None
+    got = parse_html_structured(page('{"@type": "Article", "wordCount": true}'))
+    assert got["ld_word_count"] is None
+
+
+def test_structured_frame_nulls(spark):
+    from danae_spark.multimodal.htmltext import (
+        html_structured_frame,
+        synth_structured_html,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(synth_structured_html(1))), (2, bytearray(b"<a hre")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in html_structured_frame(df).collect()}
+    assert out[1]["ld_headline"] == "S1 h1"
+    assert out[2]["title"] is None and out[3]["title"] is None
