@@ -138,6 +138,17 @@ HEADLINE = [
     "page_links",
     "pagerank",
     "crawl_report",
+    # round-12 additions: encrypted PDFs, C-T language ID + strata,
+    # block-level boilerplate + its curate variant, the rank-weighted
+    # curate, revisit dedup, structured data
+    "pdf_text_encrypted",
+    "lang_id_ngram",
+    "corpus_lang_strata",
+    "html_boilerplate_extract",
+    "crawl_curate_boiler",
+    "crawl_curate_ranked",
+    "crawl_revisit_dedup",
+    "html_structured_extract",
 ]
 
 
