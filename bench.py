@@ -149,6 +149,7 @@ HEADLINE = [
     "crawl_curate_ranked",
     "crawl_revisit_dedup",
     "html_structured_extract",
+    "quality_multilang",
 ]
 
 

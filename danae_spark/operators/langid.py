@@ -431,3 +431,95 @@ FROM lang l JOIN q ON l.doc_id = q.doc_id
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# --------------------------- language-routed quality scoring (r12)
+
+# languages whose corpora are whitespace-segmented: stopword tables
+# derive deterministically from the SAME embedded corpora as the rank
+# profiles (top tokens by count desc, token asc). ja/zh have no space
+# segmentation — their stopword leg is NULL and the score falls back
+# to a neutral stop component.
+_STOPWORD_LANGS = tuple(l for l in sorted(_CORPORA) if l not in ("ja", "zh"))
+_STOPWORDS_PER_LANG = 12
+
+
+def lang_stopwords(lang: str, size: int = _STOPWORDS_PER_LANG) -> list[str]:
+    """Top-`size` tokens of the language's training corpus — the
+    function words that dominate any prose sample of that language."""
+    counts: dict[str, int] = {}
+    for tok in _norm_py(_CORPORA[lang]).split():
+        counts[tok] = counts.get(tok, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [t for t, _ in ranked[:size]]
+
+
+def quality_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ROUTED quality scoring (r12): the English-stopword leg
+    of the heuristic quality score mis-scores every non-English doc —
+    this variant routes each document's stopword ratio through ITS
+    predicted language's table (derived from the langid corpora, so
+    the two models cannot drift). Columns: predicted language, token
+    count (letters-only, \\p{L} split — multilingual), stopword hits /
+    ratio against the routed table (NULL for the unsegmented CJK
+    languages), and the composite score with a neutral stop component
+    when no table applies. One scan + the lang_id join; the stopword
+    filter is a CASE over broadcast-inlined constant lists."""
+    from danae_spark.functions.rounding import rnd
+
+    lang = lang_id_ngram(spark, sf_dir).select("doc_id", "predicted")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = r"filter(split(lower(text), '[^\\p{L}]+'), t -> t <> '')"
+    branches = " ".join(
+        "WHEN '{}' THEN size(filter({}, t -> t in ({})))".format(
+            lng, toks, ", ".join(f"'{w}'" for w in lang_stopwords(lng))
+        )
+        for lng in _STOPWORD_LANGS
+    )
+    j = docs.join(lang, "doc_id")
+    j = j.select(
+        "doc_id",
+        "predicted",
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(f"CASE predicted {branches} ELSE NULL END").alias("stop_hits"),
+    )
+    stop_ratio = F.col("stop_hits") / F.greatest(F.col("n_tokens"), F.lit(1))
+    score = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5
+        + F.coalesce(F.least(stop_ratio * 5, F.lit(1.0)), F.lit(0.5)) * 0.5
+    )
+    return j.select(
+        "doc_id",
+        "predicted",
+        "n_tokens",
+        "stop_hits",
+        rnd(stop_ratio, 6).alias("stop_ratio"),
+        rnd(score, 6).alias("mq_score"),
+    ).orderBy("doc_id")
+
+
+def quality_multilang_oracle() -> str:
+    toks = "list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), t -> t <> '')"
+    branches = " ".join(
+        "WHEN '{}' THEN len(list_filter({}, t -> t IN ({})))".format(
+            lng, toks, ", ".join(f"'{w}'" for w in lang_stopwords(lng))
+        )
+        for lng in _STOPWORD_LANGS
+    )
+    return f"""
+WITH lang AS ({lang_id_ngram_oracle()}),
+m AS (
+  SELECT d.doc_id, l.predicted,
+         CAST(len({toks}) AS INT) AS n_tokens,
+         CAST(CASE l.predicted {branches} ELSE NULL END AS INT) AS stop_hits
+  FROM documents d JOIN lang l ON d.doc_id = l.doc_id
+)
+SELECT doc_id, predicted, n_tokens, stop_hits,
+       floor((stop_hits * 1.0 / greatest(n_tokens, 1)) * power(10, 6) + 0.5001)
+         / power(10, 6) AS stop_ratio,
+       floor((least(n_tokens / 100.0, 1.0) * 0.5
+              + COALESCE(least(stop_hits * 1.0 / greatest(n_tokens, 1) * 5, 1.0),
+                         0.5) * 0.5) * power(10, 6) + 0.5001)
+         / power(10, 6) AS mq_score
+FROM m ORDER BY doc_id
+"""

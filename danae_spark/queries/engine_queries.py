@@ -1093,3 +1093,17 @@ def html_structured_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     page. Every field value-checks against SQL string arithmetic
     (multimodal/htmltext.py parse_html_structured)."""
     return _html.html_structured_roundtrip(spark, sf_dir)
+
+
+@register("quality_multilang", oracle=_langid.quality_multilang_oracle())
+def quality_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-routed quality scoring (r12): the heuristic quality
+    score's English-stopword leg mis-scores every non-English doc —
+    here each document's stopword ratio routes through its PREDICTED
+    language's table (top tokens of the langid training corpora, so
+    the classifier and the tables derive from the same constants and
+    cannot drift); unsegmented CJK predictions take a neutral stop
+    component. Multilingual \\p{L} tokenization; the oracle composes
+    the lang_id_ngram oracle body with the same CASE-routed stopword
+    arithmetic (operators/langid.py quality_multilang)."""
+    return _langid.quality_multilang(spark, sf_dir)

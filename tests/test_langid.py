@@ -76,3 +76,32 @@ def test_strata_totals_match_doc_count(spark, sf_dir):
     strata = corpus_lang_strata(spark, sf_dir).collect()
     assert sum(r["n_docs"] for r in strata) == n_docs
     assert all(0 <= r["q_bucket"] <= 4 for r in strata)
+
+
+def test_lang_stopwords_derive_from_corpora():
+    from danae_spark.operators.langid import (
+        _STOPWORD_LANGS,
+        lang_stopwords,
+    )
+
+    assert "ja" not in _STOPWORD_LANGS and "zh" not in _STOPWORD_LANGS
+    assert "the" in lang_stopwords("en")
+    assert "de" in lang_stopwords("es") or "el" in lang_stopwords("es")
+    assert "und" in lang_stopwords("de")
+    for lng in _STOPWORD_LANGS:
+        words = lang_stopwords(lng)
+        assert len(words) == 12 and len(set(words)) == 12
+        assert lang_stopwords(lng) == words  # deterministic
+
+
+def test_quality_multilang_routes_by_language(spark, sf_dir):
+    from danae_spark.operators.langid import quality_multilang
+
+    rows = quality_multilang(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        if r["predicted"] in ("ja", "zh", "und"):
+            assert r["stop_hits"] is None and r["stop_ratio"] is None
+        else:
+            assert r["stop_hits"] is not None
+        assert 0.0 <= r["mq_score"] <= 1.0

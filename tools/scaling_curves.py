@@ -109,6 +109,16 @@ OPERATORS = {
     "wat_census": "documents",
     "page_links": "documents",
     "pagerank": "documents",
+    # round-12 additions
+    "pdf_text_encrypted": "documents",
+    "lang_id_ngram": "documents",
+    "corpus_lang_strata": "documents",
+    "html_boilerplate_extract": "documents",
+    "crawl_curate_boiler": "documents",
+    "crawl_curate_ranked": "documents",
+    "crawl_revisit_dedup": "documents",
+    "html_structured_extract": "documents",
+    "quality_multilang": "documents",
 }
 
 
