@@ -51,7 +51,9 @@ __all__ = [
 ]
 
 
-def harvest_text(payload: bytes, _depth: int = 0) -> dict | None:
+def harvest_text(
+    payload: bytes, _depth: int = 0, drop_boilerplate: bool = False
+) -> dict | None:
     """Classify one payload and extract its training text:
     {'doc_class', 'format', 'title', 'text'} or None.
 
@@ -63,7 +65,11 @@ def harvest_text(payload: bytes, _depth: int = 0) -> dict | None:
     characters into a corpus. Non-UTF-8 HTML decodes per WHATWG
     precedence — HTTP-header charset (WARC route) > meta declaration >
     guarded windows-1252 fallback (htmltext._decode_page); binary
-    payloads reject via the control-character sniff."""
+    payloads reject via the control-character sniff.
+    `drop_boilerplate=True` (r12) applies the per-block boilerplate
+    rule (htmltext.is_boilerplate_block) to every HTML leg — direct
+    pages, WARC captures, and archive members — so a crawl harvest can
+    ship prose-only text."""
     from danae_spark.multimodal.archive import iter_archive_members, parse_archive
     from danae_spark.multimodal.htmltext import parse_html_text
     from danae_spark.multimodal.pdf import parse_pdf
@@ -94,7 +100,10 @@ def harvest_text(payload: bytes, _depth: int = 0) -> dict | None:
         pages = []
         for _uri, status, ctype, body in iter_warc_responses(p):
             if status == 200 and (ctype or "").startswith("text/html"):
-                ext = parse_html_text(body, content_type_charset(ctype))
+                ext = parse_html_text(
+                    body, content_type_charset(ctype),
+                    drop_boilerplate=drop_boilerplate,
+                )
                 if ext is None:
                     return None  # a 200 html body that cannot be walked
                 pages.append(ext["text"])
@@ -127,7 +136,7 @@ def harvest_text(payload: bytes, _depth: int = 0) -> dict | None:
         for name, is_dir, data in iter_archive_members(p):
             if is_dir:
                 continue
-            h = harvest_text(data, _depth + 1)
+            h = harvest_text(data, _depth + 1, drop_boilerplate=drop_boilerplate)
             if h is None:
                 continue  # non-text member (media, unknown): skipped
             if h["doc_class"] == "text" and not name.lower().endswith(
@@ -193,7 +202,7 @@ def harvest_text(payload: bytes, _depth: int = 0) -> dict | None:
             return None
     if "<" not in raw:
         return {"doc_class": "text", "format": "txt", "title": None, "text": raw}
-    ext = parse_html_text(p)
+    ext = parse_html_text(p, drop_boilerplate=drop_boilerplate)
     if ext is None:
         return None
     return {

@@ -142,3 +142,20 @@ def test_ranked_curate_keeps_high_rank_member(spark, sf_dir):
     for rs in clusters.values():
         if len(rs) == 1:
             assert rs[0]["is_keeper"] == 1 and rs[0]["n_dup"] == 1
+
+
+def test_harvest_boilerplate_flag():
+    """drop_boilerplate threads through every HTML leg of the harvest
+    dispatcher: direct pages, WARC captures, archive members."""
+    from danae_spark.multimodal.harvest import harvest_text
+    from danae_spark.multimodal.warc import synth_boiler_warc
+
+    page = bytes(synth_boiler_html(5))
+    assert "z" in harvest_text(page)["text"]
+    stripped = harvest_text(page, drop_boilerplate=True)
+    assert stripped["text"] == expected_boiler_row(5)["text"]
+    # WARC route
+    w = synth_boiler_warc(6)
+    full = harvest_text(w)["text"]
+    strip = harvest_text(w, drop_boilerplate=True)["text"]
+    assert "z" in full and strip == expected_boiler_row(6)["text"]
