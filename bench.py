@@ -150,6 +150,7 @@ HEADLINE = [
     "crawl_revisit_dedup",
     "html_structured_extract",
     "quality_multilang",
+    "crawl_lang_report",
 ]
 
 

@@ -1106,23 +1106,23 @@ _CHARSET_PAGES = [
      "windows-1252", "déjà vu x{c}", ""),
     # meta-declared Shift_JIS (WHATWG: windows-31j / cp932)
     ('<meta charset="shift_jis">', "text/html", "cp932",
-     "日本語 t{a} テスト", "日"),
+     "日本語のテスト文書です t{a} これは本文", "日"),
     # HEADER-declared EUC-KR (WHATWG: windows-949 / cp949), no meta
     ("", "text/html; charset=euc-kr", "cp949",
-     "한국어 k{b} 문서", "한"),
+     "한국어 테스트 문서입니다 k{b} 본문 내용", "한"),
     # meta-declared gb2312 (every GBK label decodes via gb18030)
     ('<meta charset="gb2312">', "text/html", "gb18030",
-     "中文 z{c} 页面", "中"),
+     "中文测试页面的内容 z{c} 这是正文", "中"),
     # meta-declared KOI8-R Cyrillic
     ('<meta charset="koi8-r">', "text/html", "koi8-r",
-     "текст р{a} данные", "я"),
+     "это русский текст р{a} данные и слова", "я"),
     # meta-declared ISO-8859-2 Central European
     ('<meta charset="iso-8859-2">', "text/html", "iso8859-2",
-     "příliš ž{b} čas", "č"),
+     "příliš žluťoučký kůň ž{b} čas a slova", "č"),
     # UNDECLARED EUC-JP: decodes 'fine' under the cp1252 fallback but
     # is mojibake — the post-decode gate must reject it (NULL row)
     ("", "text/html", "euc_jp",
-     "日本語 u{c} 文書", "日"),
+     "日本語の文書です u{c} これは本文", "日"),
 ]
 
 # pages whose extraction must FAIL (NULL verdict rows in the oracle)
@@ -1954,11 +1954,16 @@ WITH pages AS (
            WHEN 1 THEN 'crème w' || CAST(d.doc_id % 7 AS VARCHAR) || ' café'
            WHEN 2 THEN 'naïve k' || CAST(d.doc_id % 9 AS VARCHAR) || ' déjà'
            WHEN 3 THEN 'déjà vu x' || CAST(d.doc_id % 5 AS VARCHAR)
-           WHEN 4 THEN '日本語 t' || CAST(d.doc_id % 9 AS VARCHAR) || ' テスト'
-           WHEN 5 THEN '한국어 k' || CAST(d.doc_id % 7 AS VARCHAR) || ' 문서'
-           WHEN 6 THEN '中文 z' || CAST(d.doc_id % 5 AS VARCHAR) || ' 页面'
-           WHEN 7 THEN 'текст р' || CAST(d.doc_id % 9 AS VARCHAR) || ' данные'
-           WHEN 8 THEN 'příliš ž' || CAST(d.doc_id % 7 AS VARCHAR) || ' čas'
+           WHEN 4 THEN '日本語のテスト文書です t' || CAST(d.doc_id % 9 AS VARCHAR)
+                || ' これは本文'
+           WHEN 5 THEN '한국어 테스트 문서입니다 k' || CAST(d.doc_id % 7 AS VARCHAR)
+                || ' 본문 내용'
+           WHEN 6 THEN '中文测试页面的内容 z' || CAST(d.doc_id % 5 AS VARCHAR)
+                || ' 这是正文'
+           WHEN 7 THEN 'это русский текст р' || CAST(d.doc_id % 9 AS VARCHAR)
+                || ' данные и слова'
+           WHEN 8 THEN 'příliš žluťoučký kůň ž' || CAST(d.doc_id % 7 AS VARCHAR)
+                || ' čas a slova'
            ELSE NULL  -- p9: undeclared EUC-JP rejects (mojibake gate)
          END AS text
   FROM documents d, generate_series(0, 9) p(p)

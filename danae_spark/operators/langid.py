@@ -321,10 +321,22 @@ def _profiles_values_sql() -> str:
     return f"(VALUES {rows}) AS prof(lang, gram, lrank)"
 
 
-def lang_id_ngram_oracle() -> str:
+def lang_id_ngram_oracle(source: str = "documents", label: bool = True) -> str:
     """The identical pipeline in DuckDB SQL, profiles inlined from the
-    same Python constant."""
+    same Python constant. `source` is the relation/CTE holding
+    (doc_id, text[, lang]); `label=False` drops the lang join and the
+    agrees_with_label column (for sources with no gold label) —
+    defaults produce the registered entry's exact SQL."""
     norm = _NORM_SQL.format(t="text").replace("\\\\p", "\\p")
+    # DuckDB's regexp_replace is FIRST-match unless the 'g' flag is
+    # given (Spark/Java replace globally by default) — without it a
+    # text whose non-letter runs aren't all single spaces normalizes
+    # differently on the two sides
+    norm = norm.replace("', ' ')", "', ' ', 'g')")
+    agrees = (
+        ",\n       CAST(COALESCE(t.predicted, 'und') = b.lang AS INT)"
+        " AS agrees_with_label" if label else ""
+    )
     gram_lists = " || ".join(
         f"(CASE WHEN length(norm) < {n} THEN [] "
         f"ELSE list_transform(range(1, length(norm) - {n - 2}), "
@@ -333,9 +345,9 @@ def lang_id_ngram_oracle() -> str:
     )
     return f"""
 WITH base AS (
-  SELECT doc_id, lang,
+  SELECT doc_id,{" lang," if label else ""}
          substring({norm}, 1, {_DOC_CAP}) AS norm
-  FROM documents
+  FROM {source}
 ),
 grams AS (
   SELECT doc_id, unnest(
@@ -377,8 +389,7 @@ best AS (
 SELECT b.doc_id,
        COALESCE(t.n_profile, 0) AS n_profile,
        COALESCE(t.predicted, 'und') AS predicted,
-       t.best_dist,
-       CAST(COALESCE(t.predicted, 'und') = b.lang AS INT) AS agrees_with_label
+       t.best_dist{agrees}
 FROM base b LEFT JOIN best t ON b.doc_id = t.doc_id
 ORDER BY b.doc_id
 """
@@ -522,4 +533,50 @@ SELECT doc_id, predicted, n_tokens, stop_hits,
                          0.5) * 0.5) * power(10, 6) + 0.5001)
          / power(10, 6) AS mq_score
 FROM m ORDER BY doc_id
+"""
+
+
+# ------------------------ language ID over the decoded crawl (r12)
+
+
+def crawl_lang_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The charset->language composition capstone (r12): the certified
+    charset-routed crawl extraction (crawl_charset_extract — WHATWG
+    precedence over the 10-page grid incl. declared CJK/Cyrillic pages
+    and the mojibake-gated reject) feeds the certified language
+    classifier, and the report counts pages per PREDICTED language —
+    the number a multilingual crawl operator reads to see what the
+    charset work actually unlocked. Rejected pages (NULL text) are
+    excluded BEFORE classification, so the report reflects only text
+    that shipped."""
+    from danae_spark.multimodal.warc import crawl_charset_extract_roundtrip
+
+    pages = crawl_charset_extract_roundtrip(spark, sf_dir)
+    pages = pages.where(F.col("text").isNotNull()).select(
+        (
+            F.col("doc_id") * 10
+            + F.substring_index("uri", "/c", -1).cast("int")
+        ).alias("page_id"),
+        "text",
+    )
+    lang = lang_id_ngram_frame(pages, id_col="page_id", text_col="text", label_col=None)
+    return (
+        lang.groupBy("predicted")
+        .agg(F.count("*").alias("n_pages"))
+        .orderBy("predicted")
+    )
+
+
+def crawl_lang_report_oracle() -> str:
+    from danae_spark.multimodal.warc import CRAWL_CHARSET_ORACLE
+
+    return f"""
+WITH charset_pages AS ({CRAWL_CHARSET_ORACLE}),
+cpages AS (
+  SELECT doc_id * 10 + CAST(str_split(uri, '/c')[2] AS INT) AS doc_id, text
+  FROM charset_pages WHERE text IS NOT NULL
+),
+lang AS ({lang_id_ngram_oracle(source="cpages", label=False)})
+SELECT predicted, CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM lang GROUP BY predicted ORDER BY predicted
 """

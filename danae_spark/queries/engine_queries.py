@@ -1107,3 +1107,17 @@ def quality_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lang_id_ngram oracle body with the same CASE-routed stopword
     arithmetic (operators/langid.py quality_multilang)."""
     return _langid.quality_multilang(spark, sf_dir)
+
+
+@register("crawl_lang_report", oracle=_langid.crawl_lang_report_oracle())
+def crawl_lang_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The charset -> language composition capstone (r12): the
+    certified charset-routed crawl extraction (WHATWG precedence over
+    declared CJK/Cyrillic pages; mojibake-gated rejects excluded as
+    NULL text) feeds the certified n-gram language classifier, and the
+    report counts pages per PREDICTED language — what the charset
+    breadth actually unlocked for the corpus. The oracle composes the
+    CRAWL_CHARSET_ORACLE text arithmetic with the lang_id_ngram oracle
+    body (source-parameterized, label-free form) as CTEs
+    (operators/langid.py crawl_lang_report)."""
+    return _langid.crawl_lang_report(spark, sf_dir)

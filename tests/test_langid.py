@@ -105,3 +105,18 @@ def test_quality_multilang_routes_by_language(spark, sf_dir):
         else:
             assert r["stop_hits"] is not None
         assert 0.0 <= r["mq_score"] <= 1.0
+
+
+def test_crawl_lang_report_scripts(spark, sf_dir):
+    """The charset->language composition: each CJK/Cyrillic page class
+    of the charset grid lands in its own language stratum with exactly
+    one page per doc."""
+    from danae_spark.catalog import load_table
+    from danae_spark.operators.langid import crawl_lang_report
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    got = {r["predicted"]: r["n_pages"] for r in crawl_lang_report(spark, sf_dir).collect()}
+    for lang in ("ja", "ko", "zh", "ru"):
+        assert got[lang] == n_docs, (lang, got)
+    # 9 shipped pages per doc total (p9 rejected by the mojibake gate)
+    assert sum(got.values()) == 9 * n_docs

@@ -119,6 +119,7 @@ OPERATORS = {
     "crawl_revisit_dedup": "documents",
     "html_structured_extract": "documents",
     "quality_multilang": "documents",
+    "crawl_lang_report": "documents",
 }
 
 
