@@ -224,14 +224,22 @@ def _zip_members(payload: bytes) -> list[tuple[str, bool, int, int, bytes]] | No
             # carries a zip64 extra (APPNOTE 4.3.9.2). The PK\x07\x08
             # signature is OPTIONAL, and a signature-less descriptor
             # whose CRC happens to equal 0x08074B50 is byte-identical
-            # to a signed one (the known APPNOTE ambiguity) — so try
-            # BOTH framings and accept if either confirms the central
-            # directory.
+            # to a signed one (the known APPNOTE ambiguity).
+            # Acceptance ordering: when the signature is present the
+            # SIGNED framing is authoritative; the unsigned reading is
+            # consulted ONLY when the member's CRC itself is
+            # 0x08074B50 — the one value for which a signature-less
+            # descriptor can masquerade as signed — so a corrupt
+            # signed descriptor can no longer slip through via a
+            # coincidental unsigned match.
             q = dstart + csize
             fmt, need = (
                 ("<IQQ", 20) if _has_zip64_extra(l_extra) else ("<III", 12)
             )
-            skips = (4, 0) if payload[q : q + 4] == b"PK\x07\x08" else (0,)
+            if payload[q : q + 4] == b"PK\x07\x08":
+                skips = (4, 0) if crc == 0x08074B50 else (4,)
+            else:
+                skips = (0,)
             if not any(
                 q + s + need <= n
                 and struct.unpack_from(fmt, payload, q + s) == (crc, csize, usize)

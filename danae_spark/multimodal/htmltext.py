@@ -194,6 +194,16 @@ def _build_legacy_charsets() -> dict[str, str]:
             f"iso8859{i}")
     put("iso8859-8", "iso-8859-8-i", "csiso88598i", "logical", "hebrew",
         "visual", "csisolatinhebrew")
+    # bare script-name labels belong to the ISO-8859 family per the
+    # WHATWG "Names and labels" table — NOT to the windows-125x pages
+    # (different byte layouts; mapping them to windows would mojibake
+    # every page that declares the bare label)
+    put("iso8859-5", "cyrillic", "csisolatincyrillic", "iso-ir-144")
+    put("iso8859-7", "greek", "greek8", "csisolatingreek", "ecma-118",
+        "elot_928", "iso-ir-126", "sun_eu_greek")
+    put("iso8859-6", "arabic", "csisolatinarabic", "ecma-114", "asmo-708",
+        "iso-ir-127", "iso-8859-6-e", "iso-8859-6-i", "csiso88596e",
+        "csiso88596i")
     put("windows-1254", "iso-8859-9", "iso8859-9", "iso_8859-9", "latin5")
     put("cp874", "windows-874", "dos-874", "tis-620", "iso-8859-11",
         "iso8859-11", "iso_8859-11")
@@ -205,9 +215,6 @@ def _build_legacy_charsets() -> dict[str, str]:
         put(f"windows-{i}", f"windows-{i}", f"cp{i}", f"x-cp{i}")
     put("windows-1254", "windows-1254", "cp1254", "x-cp1254")
     put("windows-1252", "windows-1252", "cp1252", "x-cp1252")
-    put("windows-1251", "cyrillic")
-    put("windows-1253", "greek", "greek8")
-    put("windows-1256", "arabic")
     put("gb18030", "gb18030", "gbk", "gb2312", "gb_2312", "gb_2312-80",
         "chinese", "csgb2312", "csiso58gb231280", "iso-ir-58", "x-gbk")
     put("big5hkscs", "big5", "big5-hkscs", "cn-big5", "csbig5", "x-x-big5")
@@ -218,6 +225,11 @@ def _build_legacy_charsets() -> dict[str, str]:
     put("cp949", "euc-kr", "korean", "ks_c_5601-1987", "ks_c_5601-1989",
         "ksc_5601", "ksc5601", "iso-ir-149", "csksc56011987", "cseuckr",
         "windows-949")
+    # WHATWG: the "utf-16"/"ucs-2" labels select the UTF-16LE decoder;
+    # BOM'd pages never reach the label path (_decode_page BOM-sniffs
+    # first, which routes AND strips either endianness), so the label
+    # decode below only ever sees BOM-less payloads — those run through
+    # the swapped-endianness gate (_utf16_swapped) before shipping
     put("utf-16-le", "utf-16", "utf-16le", "ucs-2")
     put("utf-16-be", "utf-16be")
     return m
@@ -255,6 +267,22 @@ def _fallback_gibberish(text: str) -> bool:
 
 # high-byte punctuation common in GENUINE windows-1252 text
 _HI_PUNCT_OK = frozenset("‘’“”–—…·€«»°©®™¡¿")
+
+
+def _utf16_swapped(text: str) -> bool:
+    """Mojibake gate for BOM-LESS utf-16 label decodes: big-endian
+    bytes read with the LE decoder (or vice versa) turn every
+    mostly-ASCII code point into U+XX00 — a char > 0xFF whose LOW byte
+    is zero, a shape essentially absent from real text in ANY script
+    (Hangul/CJK blocks hit ...00 points only once per 256). A
+    plurality of such chars in the sample says the endianness is
+    swapped; reject instead of shipping CJK-looking garbage (WHATWG
+    renders it; a corpus engine must not)."""
+    sample = text[:2048]
+    if not sample:
+        return False
+    swapped = sum(1 for c in sample if ord(c) > 0xFF and ord(c) & 0xFF == 0)
+    return swapped * 3 > len(sample)
 
 
 def _looks_binary(payload: bytes) -> bool:
@@ -300,9 +328,12 @@ def _decode_page(payload: bytes, header_charset: str | None = None) -> str | Non
         if codec is None:
             return None  # unknown transport charset: reject, don't guess
         try:
-            return payload.decode(codec)
+            text = payload.decode(codec)
         except (UnicodeDecodeError, ValueError):
             return None
+        if codec in ("utf-16-le", "utf-16-be") and _utf16_swapped(text):
+            return None  # BOM-less page whose bytes are the OTHER endianness
+        return text
     try:
         return payload.decode("utf-8")
     except (UnicodeDecodeError, AttributeError):

@@ -381,37 +381,52 @@ def iter_warc_responses(payload: bytes):
         yield r["uri"], http["status"], http["content_type"], http["body"]
 
 
+def _wet_conversions(payload: bytes) -> list[dict] | None:
+    """Validation pass for a WET file: walk the records and CHECK that
+    every conversion block is valid UTF-8 (one decoded string alive at
+    a time, discarded immediately), returning the raw conversion
+    records — reject-whole without materializing all the decoded text.
+    A multi-hundred-MB WET file costs one extra decode pass, not 2x
+    peak memory."""
+    records = _records(payload)
+    if records is None:
+        return None
+    convs = [r for r in records if r["type"] == "conversion"]
+    for r in convs:
+        try:
+            r["body"].decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return convs
+
+
 def wet_texts(payload: bytes) -> list[tuple[str, str]] | None:
     """All (uri, text) pairs of a valid WET file, or None — the WET
     convention (Common Crawl's pre-extracted-text sidecar files: each
     CONVERSION record's block is the plain UTF-8 text of one page, no
-    HTTP envelope). Every conversion record is decoded BEFORE any is
+    HTTP envelope). Every conversion record is validated BEFORE any is
     returned, so a file with one non-UTF-8 conversion block rejects
     WHOLE — no partial text ever ships (the same contract the response
-    walk enforces via parse_warc)."""
-    records = _records(payload)
-    if records is None:
+    walk enforces via parse_warc). Materializes every page's text;
+    streaming callers should use iter_wet_texts, which validates up
+    front but decodes lazily (one page's text in memory at a time)."""
+    convs = _wet_conversions(payload)
+    if convs is None:
         return None
-    out: list[tuple[str, str]] = []
-    for r in records:
-        if r["type"] != "conversion":
-            continue
-        try:
-            text = r["body"].decode("utf-8")
-        except UnicodeDecodeError:
-            return None
-        out.append((r["uri"], text))
-    return out
+    return [(r["uri"], r["body"].decode("utf-8")) for r in convs]
 
 
 def iter_wet_texts(payload: bytes):
     """Yield (uri, text) for each conversion record of a valid WET
     file; yields NOTHING (not a prefix) when any record is malformed —
-    validation happens up front in wet_texts()."""
-    got = wet_texts(payload)
-    if got is None:
+    the cheap UTF-8 validation pass runs up front (_wet_conversions),
+    then each page's text decodes lazily at yield time, so peak memory
+    is the raw records plus ONE decoded page."""
+    convs = _wet_conversions(payload)
+    if convs is None:
         return
-    yield from got
+    for r in convs:
+        yield r["uri"], r["body"].decode("utf-8")
 
 
 # --------------------------------------------- revisit records (r12)
@@ -910,7 +925,14 @@ def wat_pages(payload: bytes) -> list[tuple] | None:
     BEFORE any is returned, so a file with one malformed JSON block
     (or a missing Envelope root, or a non-list Links) rejects WHOLE —
     no partial metadata ever ships. Records for non-HTML pages (no
-    HTML-Metadata — redirects) contribute (uri, None, [])."""
+    HTML-Metadata — redirects) contribute (uri, None, []).
+
+    Memory: validation for WAT IS the JSON parse, so the up-front pass
+    cannot be made cheaper than parsing; what this function retains is
+    only the small (uri, title, link-urls) PROJECTION — each record's
+    decoded envelope (the bulk of a real WAT file) is parsed and
+    dropped one at a time, so peak memory is raw records + one parsed
+    envelope + the projection, not 2x the decoded file."""
     import json as _json
 
     records = _records(payload)

@@ -54,6 +54,12 @@ DECLARED = [
     ("windows-1255", "windows-1255", "טקסט בעברית כאן"),
     ("windows-1256", "windows-1256", "نص عربي هنا"),
     ("ibm866", "cp866", "русский текст данные"),
+    # bare script-name labels map to the ISO-8859 family, NOT the
+    # windows-125x pages (WHATWG "Names and labels"; r13 ADVICE fix)
+    ("cyrillic", "iso8859-5", "русский текст данные"),
+    ("greek", "iso8859-7", "ελληνικό κείμενο εδώ"),
+    ("greek8", "iso8859-7", "ελληνικό κείμενο εδώ"),
+    ("arabic", "iso8859-6", "نص عربي هنا"),
 ]
 
 
