@@ -1370,14 +1370,8 @@ def crawl_curate_roundtrip(spark, sf_dir: str, cap: int = CRAWL_CURATE_CAP):
         min_quality=CRAWL_CURATE_MIN_Q,
         order=False,
     ).select(F.col("doc_id").alias("page_id"), F.col("keep").alias("quality_keep"))
-    wt = W.partitionBy(F.xxhash64("text"))
-    dup = (
-        pages.withColumn("n_dup", F.count("*").over(wt).cast("int"))
-        .withColumn(
-            "is_keeper",
-            (F.row_number().over(wt.orderBy("page_id")) == 1).cast("int"),
-        )
-        .select("page_id", "doc_id", "n_dup", "is_keeper")
+    dup = exact_dup_keeper(pages.select("page_id", "doc_id", "text")).select(
+        "page_id", "doc_id", "n_dup", "is_keeper"
     )
     return (
         dup.join(canon, "page_id")
@@ -1497,17 +1491,9 @@ def crawl_curate_ranked_roundtrip(spark, sf_dir: str, cap: int = CRAWL_CURATE_CA
         min_quality=CRAWL_CURATE_MIN_Q,
         order=False,
     ).select(F.col("doc_id").alias("page_id"), F.col("keep").alias("quality_keep"))
-    wt = W.partitionBy(F.xxhash64("text"))
-    dup = (
-        pages.withColumn("n_dup", F.count("*").over(wt).cast("int"))
-        .withColumn(
-            "is_keeper",
-            (
-                F.row_number().over(wt.orderBy(F.desc("rank"), F.asc("page_id"))) == 1
-            ).cast("int"),
-        )
-        .select("page_id", "doc_id", "rank", "n_dup", "is_keeper")
-    )
+    dup = exact_dup_keeper(
+        pages.select("page_id", "doc_id", "rank", "text"), rank_col="rank"
+    ).select("page_id", "doc_id", "rank", "n_dup", "is_keeper")
     return (
         dup.join(canon, "page_id")
         .join(capd, "page_id")
@@ -1698,15 +1684,9 @@ def crawl_curate_boiler_roundtrip(spark, sf_dir: str):
         min_quality=CRAWL_BOILER_MIN_Q,
         order=False,
     ).select(F.col("doc_id").alias("page_id"), F.col("keep").alias("quality_keep"))
-    wt = W.partitionBy(F.xxhash64("text"))
-    dup = (
-        pages.withColumn("n_dup", F.count("*").over(wt).cast("int"))
-        .withColumn(
-            "is_keeper",
-            (F.row_number().over(wt.orderBy("page_id")) == 1).cast("int"),
-        )
-        .select("page_id", "doc_id", "url", "n_blocks_dropped", "n_dup", "is_keeper")
-    )
+    dup = exact_dup_keeper(
+        pages.select("page_id", "doc_id", "url", "n_blocks_dropped", "text")
+    ).select("page_id", "doc_id", "url", "n_blocks_dropped", "n_dup", "is_keeper")
     return (
         dup.join(q, "page_id")
         .select(

@@ -41,17 +41,74 @@ _NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
 def exact_dedup(df: DataFrame, id_col: str, key) -> DataFrame:
     """Generic exact dedup: every row mapped to the canonical (smallest
     id) of its key group. `key` is any Column (e.g. a normalized-text
-    expression or a composite hash); one hash-key shuffle."""
+    expression or a composite hash).
+
+    TWO-PHASE, not a window (r13): real crawls carry DEGENERATE
+    mega-clusters (soft-404 bodies, empty pages — millions of
+    identical rows). A count/min window over the key gets NO map-side
+    combine, so one hot partition receives the whole cluster; the
+    groupBy aggregate combines partially on every map task (a cluster
+    of N rows arrives at the reducer as ~num_partitions partial rows),
+    and the join back runs under AQE's skew-join splitting. Output is
+    identical to the window formulation."""
     tagged = df.select(F.col(id_col).alias("doc_id"), key.alias("__key"))
-    w = W.partitionBy("__key")
+    groups = tagged.groupBy("__key").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("group_size"),
+    )
     return (
-        tagged.withColumn("canonical_id", F.min("doc_id").over(w))
-        .withColumn("group_size", F.count("*").over(w))
+        tagged.join(groups, "__key")
         .withColumn(
             "is_duplicate", (F.col("doc_id") != F.col("canonical_id")).cast("int")
         )
         .select("doc_id", "canonical_id", "group_size", "is_duplicate")
         .orderBy("doc_id")
+    )
+
+
+def exact_dup_keeper(
+    pages: DataFrame,
+    id_col: str = "page_id",
+    text_col: str = "text",
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Skew-safe exact-duplicate keeper over any (id, text[, rank])
+    frame (r13 — the curate family's keeper stage): adds `n_dup`
+    (cluster size on xxhash64(text), int) and `is_keeper` (1 for the
+    cluster's canonical member) to the input columns.
+
+    Keeper rule: smallest id; with `rank_col`, HIGHEST rank first
+    (ties by smallest id) — the rank-weighted keeping crawl_curate_
+    ranked certifies. Both phases combine map-side: per-hash
+    aggregates via groupBy (max(struct(rank, -id)) picks the winner in
+    one pass), then a hash-join back to mark keepers — a mega-cluster
+    of identical captures never lands on one window partition, and
+    AQE's skew-join handles the join side. Output is row-identical to
+    the former count/row_number window over xxhash64(text)."""
+    withh = pages.withColumn("__h", F.xxhash64(text_col))
+    if rank_col is None:
+        groups = withh.groupBy("__h").agg(
+            F.count("*").cast("int").alias("n_dup"),
+            F.min(id_col).alias("__keeper_id"),
+        )
+    else:
+        groups = (
+            withh.groupBy("__h")
+            .agg(
+                F.count("*").cast("int").alias("n_dup"),
+                F.max(
+                    F.struct(
+                        F.col(rank_col).alias("r"),
+                        (-F.col(id_col)).alias("nid"),
+                    )
+                ).alias("__w"),
+            )
+            .select("__h", "n_dup", (-F.col("__w.nid")).alias("__keeper_id"))
+        )
+    return (
+        withh.join(groups, "__h")
+        .withColumn("is_keeper", (F.col(id_col) == F.col("__keeper_id")).cast("int"))
+        .drop("__h", "__keeper_id")
     )
 
 
