@@ -271,18 +271,22 @@ _HI_PUNCT_OK = frozenset("‘’“”–—…·€«»°©®™¡¿")
 
 def _utf16_swapped(text: str) -> bool:
     """Mojibake gate for BOM-LESS utf-16 label decodes: big-endian
-    bytes read with the LE decoder (or vice versa) turn every
-    mostly-ASCII code point into U+XX00 — a char > 0xFF whose LOW byte
-    is zero, a shape essentially absent from real text in ANY script
-    (Hangul/CJK blocks hit ...00 points only once per 256). A
-    plurality of such chars in the sample says the endianness is
-    swapped; reject instead of shipping CJK-looking garbage (WHATWG
-    renders it; a corpus engine must not)."""
-    sample = text[:2048]
+    bytes read with the LE decoder (or vice versa) byte-swap every
+    code point, so the structural char every HTML page must contain —
+    '<' U+003C — becomes U+3C00. Weigh the STRUCTURAL chars, not the
+    text body (r14, was a global U+XX00-plurality count): a genuine
+    BOM-less UTF-16 page whose prose is dominated by U+xx00 points
+    (Hangul syllables like U+AC00) still decodes its markup to real
+    '<', while a swapped page has NO genuine '<' and at least one
+    U+3C00 regardless of how CJK-dense its prose is. Swapped iff the
+    byte-swapped form of '<' outnumbers the real one; reject instead
+    of shipping CJK-looking garbage (WHATWG renders it; a corpus
+    engine must not)."""
+    sample = text[:4096]
     if not sample:
         return False
-    swapped = sum(1 for c in sample if ord(c) > 0xFF and ord(c) & 0xFF == 0)
-    return swapped * 3 > len(sample)
+    swapped = sample.count("㰀")
+    return swapped > 0 and swapped > sample.count("<")
 
 
 def _looks_binary(payload: bytes) -> bool:

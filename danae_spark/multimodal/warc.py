@@ -1334,23 +1334,26 @@ def crawl_curate_roundtrip(spark, sf_dir: str, cap: int = CRAWL_CURATE_CAP):
     per-domain cap (url_domain_cap_frame, md5-priority keeps) ->
     quality filter (quality_filter_frame: heuristic score + repetition
     + PII, the SAME fused plan as the registered entry) -> exact-dup
-    canonical keeper (xxhash64(text) cluster window, smallest page_id
-    keeps). One provenance row per crawled page: where it came from
-    (doc_id, url, domain), every verdict, and the final keep.
+    canonical keeper (exact_dup_keeper: two-phase groupBy-on-
+    xxhash64(text) + join back, smallest page_id keeps). One
+    provenance row per crawled page: where it came from (doc_id, url,
+    domain), every verdict, and the final keep.
 
     Scale shape: the crawl/extract stage is stateless Arrow
-    mapInPandas; the cap and keeper are windows over domain / text
-    hash (bounded partitions); quality is one scan + one gram join —
-    no collects, no cartesians.
+    mapInPandas; the keeper is map-side-combined groupBy aggregates +
+    an AQE-skew-splittable hash join (a mega-cluster of identical
+    captures never lands on one window partition); the domain cap is
+    a window over domain (bounded by cap per domain); quality is one
+    scan + one gram join — no collects, no cartesians.
 
     Docs with doc_id % 10 == 3 are crawled TWICE — once from the main
     host and once from an `m.`-subdomain mirror (same registrable
     domain, byte-identical pages: the shape CDN mirrors actually
     produce) — so the exact-dup keeper genuinely fires: each mirrored
     page forms a 2-cluster whose keeper is the main capture."""
+    from danae_spark.operators.dedup import exact_dup_keeper
     from danae_spark.operators.textstats import quality_filter_frame
     from danae_spark.operators.urlops import url_canonicalize_frame, url_domain_cap_frame
-    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     pages = _curate_pages(spark, sf_dir)
@@ -1466,10 +1469,10 @@ def crawl_curate_ranked_roundtrip(spark, sf_dir: str, cap: int = CRAWL_CURATE_CA
     DIFFERENT ranks and the rank tiebreak decides real keeps. All
     other verdicts (per-domain cap, fused quality filter) and the
     provenance row shape match crawl_curate, plus the rank column."""
+    from danae_spark.operators.dedup import exact_dup_keeper
     from danae_spark.operators.frontier import pagerank_roundtrip
     from danae_spark.operators.textstats import quality_filter_frame
     from danae_spark.operators.urlops import url_canonicalize_frame, url_domain_cap_frame
-    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     pages = _curate_pages(spark, sf_dir, syndicate=True)
@@ -1638,10 +1641,10 @@ def crawl_curate_boiler_roundtrip(spark, sf_dir: str):
     provenance row per capture with every verdict."""
     from danae_spark.catalog import load_table
     from danae_spark.multimodal.htmltext import parse_html_text
+    from danae_spark.operators.dedup import exact_dup_keeper
     from danae_spark.operators.textstats import quality_filter_frame
     from danae_spark.session import stage_parallelism
     from danae_spark.shipping import ensure_shipped
-    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     ensure_shipped(spark)

@@ -50,14 +50,22 @@ def exact_dedup(df: DataFrame, id_col: str, key) -> DataFrame:
     groupBy aggregate combines partially on every map task (a cluster
     of N rows arrives at the reducer as ~num_partitions partial rows),
     and the join back runs under AQE's skew-join splitting. Output is
-    identical to the window formulation."""
-    tagged = df.select(F.col(id_col).alias("doc_id"), key.alias("__key"))
-    groups = tagged.groupBy("__key").agg(
-        F.min("doc_id").alias("canonical_id"),
-        F.count("*").alias("group_size"),
+    identical to the window formulation — including NULL keys: groupBy
+    groups NULLs together, and the join back is null-safe (`<=>`, still
+    an equi-join key for the hash/sort-merge strategies), so a NULL-key
+    group keeps its smallest id exactly like the old
+    `min() OVER (PARTITION BY key)`."""
+    tagged = df.select(F.col(id_col).alias("doc_id"), key.alias("__key")).alias("t")
+    groups = (
+        tagged.groupBy("__key")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("group_size"),
+        )
+        .alias("g")
     )
     return (
-        tagged.join(groups, "__key")
+        tagged.join(groups, F.col("t.__key").eqNullSafe(F.col("g.__key")))
         .withColumn(
             "is_duplicate", (F.col("doc_id") != F.col("canonical_id")).cast("int")
         )
@@ -79,12 +87,16 @@ def exact_dup_keeper(
 
     Keeper rule: smallest id; with `rank_col`, HIGHEST rank first
     (ties by smallest id) — the rank-weighted keeping crawl_curate_
-    ranked certifies. Both phases combine map-side: per-hash
-    aggregates via groupBy (max(struct(rank, -id)) picks the winner in
-    one pass), then a hash-join back to mark keepers — a mega-cluster
-    of identical captures never lands on one window partition, and
-    AQE's skew-join handles the join side. Output is row-identical to
-    the former count/row_number window over xxhash64(text)."""
+    ranked certifies. The id column may be ANY orderable type (string
+    URLs included) on both paths: the rank path picks the winner via
+    `min_by(id, struct(-rank, id))` — smallest negated rank = highest
+    rank, ties break on the id's native ordering — so only `rank_col`
+    must be numeric. Both phases combine map-side: per-hash aggregates
+    via groupBy, then a hash-join back to mark keepers — a
+    mega-cluster of identical captures never lands on one window
+    partition, and AQE's skew-join handles the join side. Output is
+    row-identical to the former count/row_number window over
+    xxhash64(text)."""
     withh = pages.withColumn("__h", F.xxhash64(text_col))
     if rank_col is None:
         groups = withh.groupBy("__h").agg(
@@ -92,18 +104,11 @@ def exact_dup_keeper(
             F.min(id_col).alias("__keeper_id"),
         )
     else:
-        groups = (
-            withh.groupBy("__h")
-            .agg(
-                F.count("*").cast("int").alias("n_dup"),
-                F.max(
-                    F.struct(
-                        F.col(rank_col).alias("r"),
-                        (-F.col(id_col)).alias("nid"),
-                    )
-                ).alias("__w"),
-            )
-            .select("__h", "n_dup", (-F.col("__w.nid")).alias("__keeper_id"))
+        groups = withh.groupBy("__h").agg(
+            F.count("*").cast("int").alias("n_dup"),
+            F.expr(
+                f"min_by(`{id_col}`, struct(-`{rank_col}`, `{id_col}`))"
+            ).alias("__keeper_id"),
         )
     return (
         withh.join(groups, "__h")
