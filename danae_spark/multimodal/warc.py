@@ -1980,3 +1980,257 @@ SELECT doc_id, uri,
        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_words
 FROM pages ORDER BY doc_id, uri
 """
+
+
+# ------------------- language-routed curate composition (r14, C94)
+
+# routed prose scores span 0.91-1.0; English-routed scores for
+# non-English prose top out at 0.74 (cs, via the shared token 'a') —
+# 0.8 separates the two scorers on every fixture
+CRAWL_LANG_MIN_Q = 0.8
+_SALT_MAP = str.maketrans("0123456789", "abcdefghij")
+
+
+def _lang_rotation() -> list[str]:
+    from danae_spark.operators.langid import _CORPORA
+
+    return sorted(_CORPORA)
+
+
+def lang_page_prose(doc_id: int) -> tuple[str, str]:
+    """(lang, prose) for the doc's prose page: the langid training
+    corpus of lang = rotation[doc_id % 16], repeated twice (saturates
+    the length leg of the quality score for segmented languages) plus
+    a letters-only per-doc salt token so exact-dup clusters come only
+    from the mirror captures, not from the shared corpus text."""
+    from danae_spark.operators.langid import _CORPORA
+
+    langs = _lang_rotation()
+    lang = langs[doc_id % len(langs)]
+    salt = str(doc_id).translate(_SALT_MAP)
+    return lang, " ".join([_CORPORA[lang]] * 2) + f" ref{salt}"
+
+
+def synth_lang_warc(doc_id: int) -> bytes:
+    """WARC fixture for the language-routed curate: per doc one PROSE
+    page in the doc's rotation language (UTF-8, body restated by the
+    oracle as a corpus string literal), one short JUNK page (nav-stub
+    text that any quality scorer must drop), and — for docs with
+    doc_id % 10 == 3 — a byte-identical mirror of the prose page from
+    an m.-subdomain (the dup cluster the keeper resolves). Gzip
+    member-per-record on odd docs, same as the other synth rotations."""
+    d = doc_id
+    host = f"site{d % 5}.example"
+    lang, prose = lang_page_prose(d)
+    salt = str(d).translate(_SALT_MAP)
+    junk = f"menu home login ref{salt}"
+    recs: list[bytes] = []
+    info = b"software: danae-spark/1.0\r\nformat: WARC File Format 1.1\r\n"
+    recs.append(_record("warcinfo", d * 100, info, {"Content-Type": "application/warc-fields"}))
+    captures = [(f"http://{host}/l0", prose), (f"http://{host}/l1", junk)]
+    if d % 10 == 3:
+        captures.append((f"http://m.{host}/l0", prose))
+    for k, (uri, body_text) in enumerate(captures):
+        html = (
+            f"<html><head><title>L{d % 10}</title></head>"
+            f"<body><p>{body_text}</p></body></html>"
+        ).encode("utf-8")
+        resp = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + html
+        recs.append(
+            _record(
+                "response",
+                d * 100 + k + 1,
+                resp,
+                {"WARC-Target-URI": uri, "Content-Type": "application/http;msgtype=response"},
+            )
+        )
+    if d % 2 == 1:
+        return b"".join(_gzip_member(r) for r in recs)
+    return b"".join(recs)
+
+
+def crawl_curate_multilang_roundtrip(spark, sf_dir: str):
+    """crawl_curate with the LANGUAGE-ROUTED quality scorer wired into
+    the keep decision (r14 — closes the r12 loop the charset+langid
+    work opened): WARC walk -> HTTP decode -> HTML extraction -> n-gram
+    language ID -> quality_multilang_frame (each page's stopword ratio
+    routed through its PREDICTED language's table; neutral stop leg
+    for unsegmented CJK) -> exact-dup canonical keeper ->
+    keep = routed_quality AND keeper. The row also carries the
+    ENGLISH-routed score's verdict (en_keep) so the delta the routing
+    buys is visible per page: every non-English prose page has
+    routed_keep=1, en_keep=0 — under the English scorer the
+    multilingual corpus would be discarded wholesale.
+
+    Scale shape: extraction is stateless Arrow mapInPandas; langid is
+    one trigram explode + per-page bounded windows (≤ doc-profile
+    rows) + a broadcast profile join; the keeper is the two-phase
+    groupBy+join (no window over the text hash); no collects, no
+    cartesians. Caveat the scorer inherits from quality_multilang:
+    unsegmented ja/zh prose fails the token-length leg (neutral stop
+    leg can't rescue it), so CJK pages drop — the honest state of a
+    whitespace-token quality model."""
+    from danae_spark.catalog import load_table
+    from danae_spark.functions.rounding import rnd
+    from danae_spark.multimodal.htmltext import parse_html_text
+    from danae_spark.operators.dedup import exact_dup_keeper
+    from danae_spark.operators.langid import lang_stopwords, quality_multilang_frame
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+    from pyspark.sql import functions as F
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                lang, _prose = lang_page_prose(d)
+                for k, (uri, _status, ctype, body) in enumerate(
+                    iter_warc_responses(synth_lang_warc(d))
+                ):
+                    ext = parse_html_text(body, content_type_charset(ctype))
+                    if ext is None:
+                        continue
+                    rows.append(
+                        {
+                            "page_id": d * 4 + k,
+                            "doc_id": d,
+                            "url": uri,
+                            "lang": lang if uri.endswith("/l0") else None,
+                            "text": ext["text"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["page_id", "doc_id", "url", "lang", "text"]
+            )
+
+    pages = docs.repartition(stage_parallelism(docs.sparkSession), "doc_id").mapInPandas(
+        batches, schema="page_id bigint, doc_id bigint, url string, lang string, text string"
+    )
+    pages = pages.persist()  # feeds quality, en-comparison, and keeper branches
+    mq = quality_multilang_frame(
+        pages.select(F.col("page_id").alias("doc_id"), "text"), id_col="doc_id"
+    ).select(
+        F.col("doc_id").alias("page_id"), "predicted", "n_tokens", "mq_score"
+    )
+    toks = r"filter(split(lower(text), '[^\\p{L}]+'), t -> t <> '')"
+    en_list = ", ".join(f"'{w}'" for w in lang_stopwords("en"))
+    en = pages.select(
+        "page_id",
+        F.expr(f"size(filter({toks}, t -> t in ({en_list})))").alias("__en_hits"),
+        F.expr(f"size({toks})").alias("__n"),
+    ).select(
+        "page_id",
+        rnd(
+            F.least(F.col("__n") / 100.0, F.lit(1.0)) * 0.5
+            + F.least(
+                F.col("__en_hits") / F.greatest(F.col("__n"), F.lit(1)) * 5,
+                F.lit(1.0),
+            )
+            * 0.5,
+            6,
+        ).alias("en_score"),
+    )
+    dup = exact_dup_keeper(pages.select("page_id", "doc_id", "text")).select(
+        "page_id", "n_dup", "is_keeper"
+    )
+    return (
+        pages.select("page_id", "doc_id", "url", "lang")
+        .join(mq, "page_id")
+        .join(en, "page_id")
+        .join(dup, "page_id")
+        .select(
+            "page_id",
+            "doc_id",
+            "url",
+            "lang",
+            "predicted",
+            F.when(F.col("lang").isNotNull(), (F.col("predicted") == F.col("lang")).cast("int"))
+            .alias("lang_match"),
+            "n_tokens",
+            "mq_score",
+            (F.col("mq_score") >= CRAWL_LANG_MIN_Q).cast("int").alias("routed_keep"),
+            (F.col("en_score") >= CRAWL_LANG_MIN_Q).cast("int").alias("en_keep"),
+            "n_dup",
+            "is_keeper",
+            (
+                (F.col("mq_score") >= CRAWL_LANG_MIN_Q) & (F.col("is_keeper") == 1)
+            ).cast("int").alias("keep"),
+        )
+        .orderBy("page_id")
+    )
+
+
+def _crawl_curate_multilang_oracle() -> str:
+    from danae_spark.operators.langid import _CORPORA, lang_stopwords
+    from danae_spark.operators.langid import quality_multilang_oracle
+
+    langs = _lang_rotation()
+    lang_case = " ".join(
+        f"WHEN {i} THEN '{l}'" for i, l in enumerate(langs)
+    )
+    prose_case = " ".join(
+        "WHEN {} THEN repeat('{} ', 2) || 'ref' || salt".format(
+            i, _CORPORA[l].replace("'", "''")
+        )
+        for i, l in enumerate(langs)
+    )
+    en_list = ", ".join(f"'{w}'" for w in lang_stopwords("en"))
+    toks = "list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), t -> t <> '')"
+    return f"""
+WITH d16 AS (
+  SELECT doc_id,
+         translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij') AS salt,
+         CASE doc_id % {len(langs)} {lang_case} END AS lang
+  FROM documents
+),
+pages AS (
+  SELECT doc_id * 4 AS page_id, doc_id, lang,
+         'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example/l0' AS url,
+         CASE doc_id % {len(langs)} {prose_case} END AS text
+  FROM d16
+  UNION ALL
+  SELECT doc_id * 4 + 1, doc_id, NULL,
+         'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example/l1',
+         'menu home login ref' || salt
+  FROM d16
+  UNION ALL
+  SELECT doc_id * 4 + 2, doc_id, lang,
+         'http://m.site' || CAST(doc_id % 5 AS VARCHAR) || '.example/l0',
+         CASE doc_id % {len(langs)} {prose_case} END
+  FROM d16 WHERE doc_id % 10 = 3
+),
+pgsrc AS (SELECT page_id AS doc_id, text FROM pages),
+mq AS ({quality_multilang_oracle(source="pgsrc", label=False)}),
+en AS (
+  SELECT page_id,
+         floor((least(len({toks}) / 100.0, 1.0) * 0.5
+                + least(len(list_filter({toks}, t -> t IN ({en_list})))
+                        * 1.0 / greatest(len({toks}), 1) * 5, 1.0) * 0.5)
+               * power(10, 6) + 0.5001) / power(10, 6) AS en_score
+  FROM pages
+),
+dup AS (
+  SELECT page_id,
+         CAST(count(*) OVER (PARTITION BY text) AS INT) AS n_dup,
+         CAST(row_number() OVER (PARTITION BY text ORDER BY page_id) = 1
+              AS INT) AS is_keeper
+  FROM pages
+)
+SELECT p.page_id, p.doc_id, p.url, p.lang, mq.predicted,
+       CASE WHEN p.lang IS NULL THEN NULL
+            ELSE CAST(mq.predicted = p.lang AS INT) END AS lang_match,
+       mq.n_tokens, mq.mq_score,
+       CAST(mq.mq_score >= {CRAWL_LANG_MIN_Q} AS INT) AS routed_keep,
+       CAST(en.en_score >= {CRAWL_LANG_MIN_Q} AS INT) AS en_keep,
+       dup.n_dup, dup.is_keeper,
+       CAST(mq.mq_score >= {CRAWL_LANG_MIN_Q} AND dup.is_keeper = 1 AS INT)
+         AS keep
+FROM pages p
+JOIN mq ON p.page_id = mq.doc_id
+JOIN en USING (page_id) JOIN dup USING (page_id)
+ORDER BY p.page_id
+"""

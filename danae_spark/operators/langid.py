@@ -465,31 +465,37 @@ def lang_stopwords(lang: str, size: int = _STOPWORDS_PER_LANG) -> list[str]:
     return [t for t, _ in ranked[:size]]
 
 
-def quality_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ROUTED quality scoring (r12): the English-stopword leg
-    of the heuristic quality score mis-scores every non-English doc —
-    this variant routes each document's stopword ratio through ITS
-    predicted language's table (derived from the langid corpora, so
-    the two models cannot drift). Columns: predicted language, token
-    count (letters-only, \\p{L} split — multilingual), stopword hits /
-    ratio against the routed table (NULL for the unsegmented CJK
-    languages), and the composite score with a neutral stop component
-    when no table applies. One scan + the lang_id join; the stopword
-    filter is a CASE over broadcast-inlined constant lists."""
+def quality_multilang_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Language-ROUTED quality scoring over any (id, text) frame (r12;
+    frame-factored in r14 so the curate pipelines compose it): the
+    English-stopword leg of the heuristic quality score mis-scores
+    every non-English doc — this variant routes each document's
+    stopword ratio through ITS predicted language's table (derived
+    from the langid corpora, so the two models cannot drift). Columns:
+    predicted language, token count (letters-only, \\p{L} split —
+    multilingual), stopword hits / ratio against the routed table
+    (NULL for the unsegmented CJK languages), and the composite score
+    with a neutral stop component when no table applies. One scan +
+    the lang_id join; the stopword filter is a CASE over
+    broadcast-inlined constant lists."""
     from danae_spark.functions.rounding import rnd
 
-    lang = lang_id_ngram(spark, sf_dir).select("doc_id", "predicted")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = r"filter(split(lower(text), '[^\\p{L}]+'), t -> t <> '')"
+    lang = lang_id_ngram_frame(
+        docs.select(id_col, text_col), id_col=id_col, text_col=text_col,
+        label_col=None,
+    ).select(id_col, "predicted")
+    toks = rf"filter(split(lower({text_col}), '[^\\p{{L}}]+'), t -> t <> '')"
     branches = " ".join(
         "WHEN '{}' THEN size(filter({}, t -> t in ({})))".format(
             lng, toks, ", ".join(f"'{w}'" for w in lang_stopwords(lng))
         )
         for lng in _STOPWORD_LANGS
     )
-    j = docs.join(lang, "doc_id")
+    j = docs.select(id_col, text_col).join(lang, id_col)
     j = j.select(
-        "doc_id",
+        id_col,
         "predicted",
         F.expr(f"size({toks})").alias("n_tokens"),
         F.expr(f"CASE predicted {branches} ELSE NULL END").alias("stop_hits"),
@@ -500,16 +506,31 @@ def quality_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.coalesce(F.least(stop_ratio * 5, F.lit(1.0)), F.lit(0.5)) * 0.5
     )
     return j.select(
-        "doc_id",
+        id_col,
         "predicted",
         "n_tokens",
         "stop_hits",
         rnd(stop_ratio, 6).alias("stop_ratio"),
         rnd(score, 6).alias("mq_score"),
-    ).orderBy("doc_id")
+    ).orderBy(id_col)
 
 
-def quality_multilang_oracle() -> str:
+def quality_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered documents-table entry — delegates to
+    quality_multilang_frame (identical plan to the pre-r14 inline
+    form; the label join the old lang_id_ngram call carried was
+    projected away immediately)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_multilang_frame(
+        docs.repartition(stage_parallelism(spark), "doc_id")
+    )
+
+
+def quality_multilang_oracle(source: str = "documents", label: bool = True) -> str:
+    """DuckDB restatement, source-parameterized (r14) so the curate
+    compositions reuse the exact CTE body over crawled pages.
+    `source` holds (doc_id, text[, lang]); `label=False` matches the
+    frame form's label-free langid subplan."""
     toks = "list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), t -> t <> '')"
     branches = " ".join(
         "WHEN '{}' THEN len(list_filter({}, t -> t IN ({})))".format(
@@ -518,12 +539,12 @@ def quality_multilang_oracle() -> str:
         for lng in _STOPWORD_LANGS
     )
     return f"""
-WITH lang AS ({lang_id_ngram_oracle()}),
+WITH lang AS ({lang_id_ngram_oracle(source=source, label=label)}),
 m AS (
   SELECT d.doc_id, l.predicted,
          CAST(len({toks}) AS INT) AS n_tokens,
          CAST(CASE l.predicted {branches} ELSE NULL END AS INT) AS stop_hits
-  FROM documents d JOIN lang l ON d.doc_id = l.doc_id
+  FROM {source} d JOIN lang l ON d.doc_id = l.doc_id
 )
 SELECT doc_id, predicted, n_tokens, stop_hits,
        floor((stop_hits * 1.0 / greatest(n_tokens, 1)) * power(10, 6) + 0.5001)

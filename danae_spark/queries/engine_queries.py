@@ -1121,3 +1121,18 @@ def crawl_lang_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     body (source-parameterized, label-free form) as CTEs
     (operators/langid.py crawl_lang_report)."""
     return _langid.crawl_lang_report(spark, sf_dir)
+
+
+@register("crawl_curate_multilang", oracle=_warc._crawl_curate_multilang_oracle())
+def crawl_curate_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crawl_curate with the LANGUAGE-ROUTED quality scorer wired into
+    the keep decision (r14): crawl -> extract -> n-gram langid ->
+    quality_multilang_frame (per-page stopword ratio routed through
+    the PREDICTED language's table) -> two-phase exact-dup keeper;
+    keep = routed_quality AND keeper. Each row also carries the
+    English-routed verdict (en_keep) so the delta is visible: every
+    non-English prose page is kept by the routed scorer and dropped
+    by the English one. Oracle composes the corpus-literal page
+    fixtures with the quality_multilang and langid oracle bodies
+    (multimodal/warc.py crawl_curate_multilang_roundtrip)."""
+    return _warc.crawl_curate_multilang_roundtrip(spark, sf_dir)
