@@ -2234,3 +2234,199 @@ JOIN mq ON p.page_id = mq.doc_id
 JOIN en USING (page_id) JOIN dup USING (page_id)
 ORDER BY p.page_id
 """
+
+
+# ---------------- rel=canonical as a curation dedup key (r14, C95)
+
+
+def synth_canon_warc(doc_id: int) -> bytes:
+    """WARC fixture for canonical-link dedup: per doc, two captures of
+    the same logical page whose BYTES differ (a ?utm_source variant
+    and a trailing-slash variant, each with its own body marker) but
+    whose <link rel=canonical> targets agree — the mirror shape CDNs
+    and trackers actually produce, which NO text hash can cluster.
+    The canonical href is deliberately messy (upper-case scheme/host +
+    an explicit :80) so the C69 canonicalizer genuinely runs. Plus: a
+    no-canonical standalone page; for doc_id % 3 == 0 a LYING capture
+    on a different registrable domain claiming canonical on the main
+    site (the guard must refuse it); for doc_id % 4 == 1 two
+    byte-identical no-canonical twins (the text-hash fallback must
+    still cluster them). Gzip member-per-record on odd docs."""
+    d = doc_id
+    host = f"site{d % 5}.example"
+    salt = str(d).translate(_SALT_MAP)  # letters-only per-doc body salt:
+    # keeps every text-fallback cluster within its doc (so the oracle's
+    # cluster arithmetic is the fixture's construction, not an accident
+    # of which d-mods collide across docs)
+    messy_canon = f"HTTP://{host.upper()}:80/a{d}"
+    prose = f"canonical cluster prose w{d % 9} and body words"
+    captures = [
+        (f"http://{host}/a{d}?utm_source=feed", f"{prose} variant alpha", messy_canon),
+        (f"http://{host}/a{d}/", f"{prose} variant beta", messy_canon),
+        (f"http://{host}/c", f"standalone page p{d % 7} content ref{salt}", None),
+    ]
+    if d % 3 == 0:
+        captures.append(
+            (
+                f"http://evil{d % 7}.example/steal",
+                f"stolen copy s{d % 5} text ref{salt}",
+                messy_canon,
+            )
+        )
+    if d % 4 == 1:
+        twin = f"twin body t{d % 9} words ref{salt}"
+        captures.append((f"http://{host}/t1", twin, None))
+        captures.append((f"http://{host}/t2", twin, None))
+    recs: list[bytes] = []
+    info = b"software: danae-spark/1.0\r\nformat: WARC File Format 1.1\r\n"
+    recs.append(_record("warcinfo", d * 100, info, {"Content-Type": "application/warc-fields"}))
+    for k, (uri, body_text, canon) in enumerate(captures):
+        link = f'<link rel="canonical" href="{canon}">' if canon else ""
+        html = (
+            f"<html><head>{link}<title>K{d % 10}</title></head>"
+            f"<body><p>{body_text}</p></body></html>"
+        ).encode("utf-8")
+        resp = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + html
+        recs.append(
+            _record(
+                "response",
+                d * 100 + k + 1,
+                resp,
+                {"WARC-Target-URI": uri, "Content-Type": "application/http;msgtype=response"},
+            )
+        )
+    if d % 2 == 1:
+        return b"".join(_gzip_member(r) for r in recs)
+    return b"".join(recs)
+
+
+def crawl_curate_canonical_roundtrip(spark, sf_dir: str):
+    """Curation dedup keyed on rel=canonical (r14 — the r12 gap: the
+    canonical link was extracted by C70 and canonicalized by C69 but
+    nothing USED it to dedup): cluster key = the canonicalized
+    rel=canonical target WHEN the page declares one AND its
+    registrable domain matches the capture URL's (the lying-canonical
+    guard — a page on evil.example claiming canonical on site.example
+    must not be allowed to join, or to eject, the genuine cluster);
+    otherwise fall back to the text hash. Byte-DIFFERENT captures of
+    one logical page (tracking-param and trailing-slash variants)
+    cluster through the canonical; byte-identical no-canonical twins
+    still cluster through the text fallback. Keeper = smallest
+    page_id, via the two-phase exact_dup_keeper over the fused key
+    (groupBy + join — no text-hash window).
+
+    Scale shape: extraction is stateless Arrow mapInPandas; the guard
+    and key are row-wise codegen (registrable_domain — regexp/split
+    expressions, no UDF); clustering is the skew-safe two-phase
+    keeper. One shuffle on the 8-byte key hash."""
+    from danae_spark.catalog import load_table
+    from danae_spark.multimodal.htmltext import parse_html_meta, parse_html_text
+    from danae_spark.operators.dedup import exact_dup_keeper
+    from danae_spark.operators.urlops import registrable_domain
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+    from pyspark.sql import functions as F
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                for k, (uri, _status, ctype, body) in enumerate(
+                    iter_warc_responses(synth_canon_warc(d))
+                ):
+                    ext = parse_html_text(body, content_type_charset(ctype))
+                    meta = parse_html_meta(body)
+                    if ext is None or meta is None:
+                        continue
+                    rows.append(
+                        {
+                            "page_id": d * 8 + k,
+                            "doc_id": d,
+                            "url": uri,
+                            "canonical": meta["canonical"],
+                            "text": ext["text"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["page_id", "doc_id", "url", "canonical", "text"]
+            )
+
+    pages = docs.repartition(stage_parallelism(docs.sparkSession), "doc_id").mapInPandas(
+        batches,
+        schema="page_id bigint, doc_id bigint, url string, canonical string, text string",
+    )
+    guard_ok = F.col("canonical").isNotNull() & (
+        registrable_domain("url") == registrable_domain("canonical")
+    )
+    keyed = pages.select(
+        "page_id",
+        "doc_id",
+        "url",
+        "canonical",
+        guard_ok.cast("int").alias("canonical_used"),
+        F.when(guard_ok, F.concat(F.lit("c:"), F.col("canonical")))
+        .otherwise(F.concat(F.lit("t:"), F.xxhash64("text").cast("string")))
+        .alias("__key"),
+    )
+    return (
+        exact_dup_keeper(keyed, text_col="__key")
+        .drop("__key")
+        .withColumn("keep", F.col("is_keeper"))
+        .orderBy("page_id")
+    )
+
+
+def _crawl_curate_canonical_oracle() -> str:
+    # the text-hash fallback key clusters on text EQUALITY, so the
+    # oracle keys on the text itself — identical clustering, no
+    # xxhash64 needed DuckDB-side
+    return """
+WITH d0 AS (
+  SELECT doc_id,
+         translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij') AS salt,
+         'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+         'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example/a'
+           || CAST(doc_id AS VARCHAR) AS canon
+  FROM documents
+),
+pages AS (
+  SELECT doc_id * 8 + 0 AS page_id, doc_id,
+         canon || '?utm_source=feed' AS url,
+         canon AS canonical, 1 AS canonical_used, 'c:' || canon AS key
+  FROM d0
+  UNION ALL
+  SELECT doc_id * 8 + 1, doc_id, canon || '/', canon, 1, 'c:' || canon
+  FROM d0
+  UNION ALL
+  SELECT doc_id * 8 + 2, doc_id, 'http://' || host || '/c',
+         NULL, 0,
+         't:standalone page p' || CAST(doc_id % 7 AS VARCHAR)
+           || ' content ref' || salt
+  FROM d0
+  UNION ALL
+  SELECT doc_id * 8 + 3, doc_id,
+         'http://evil' || CAST(doc_id % 7 AS VARCHAR) || '.example/steal',
+         canon, 0,
+         't:stolen copy s' || CAST(doc_id % 5 AS VARCHAR) || ' text ref' || salt
+  FROM d0 WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id * 8 + CASE t.t WHEN 0 THEN CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END
+                               ELSE CASE WHEN doc_id % 3 = 0 THEN 5 ELSE 4 END END,
+         doc_id,
+         'http://' || host || '/t' || CAST(t.t + 1 AS VARCHAR),
+         NULL, 0,
+         't:twin body t' || CAST(doc_id % 9 AS VARCHAR) || ' words ref' || salt
+  FROM d0, generate_series(0, 1) t(t) WHERE doc_id % 4 = 1
+)
+SELECT page_id, doc_id, url, canonical, canonical_used,
+       CAST(count(*) OVER (PARTITION BY key) AS INT) AS n_dup,
+       CAST(row_number() OVER (PARTITION BY key ORDER BY page_id) = 1
+            AS INT) AS is_keeper,
+       CAST(row_number() OVER (PARTITION BY key ORDER BY page_id) = 1
+            AS INT) AS keep
+FROM pages ORDER BY page_id
+"""

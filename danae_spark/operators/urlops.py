@@ -86,6 +86,31 @@ def _synth_url_sql() -> str:
     )
 
 
+def registrable_domain(url_col) -> F.Column:
+    """Registrable domain of a URL column — the SAME arithmetic
+    url_domain_cap_frame applies (scheme-insensitive host parse, port
+    strip, lowercase, last-2-labels with the public-suffix-subset
+    3-label exception, bare-host/IPv4 passthrough), factored out (r14)
+    so the canonical-link dedup guard and the cap share one
+    definition. All codegen expressions, no UDF."""
+    url_col = F.col(url_col) if isinstance(url_col, str) else url_col
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url_col, r"^(?i)https?://([^/]+)", 1)),
+        r":\d+$",
+        "",
+    )
+    parts = F.split(host, r"\.")
+    np_ = F.size(parts)
+    last2 = F.array_join(F.slice(parts, np_ - F.lit(1), F.lit(2)), ".")
+    last3 = F.array_join(F.slice(parts, np_ - F.lit(2), F.lit(3)), ".")
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    return (
+        F.when((np_ <= 1) | is_ip, host)
+        .when((np_ >= 3) & last2.isin(*TWO_LABEL_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
 def url_domain_cap_frame(
     docs: DataFrame,
     id_col: str = "doc_id",

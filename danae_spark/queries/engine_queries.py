@@ -1136,3 +1136,16 @@ def crawl_curate_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixtures with the quality_multilang and langid oracle bodies
     (multimodal/warc.py crawl_curate_multilang_roundtrip)."""
     return _warc.crawl_curate_multilang_roundtrip(spark, sf_dir)
+
+
+@register("crawl_curate_canonical", oracle=_warc._crawl_curate_canonical_oracle())
+def crawl_curate_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical as a curation dedup key (r14): byte-different
+    captures of one logical page (tracking-param / trailing-slash
+    variants) cluster through their canonicalized rel=canonical
+    target; a LYING canonical on a foreign registrable domain is
+    refused by the guard and falls back to the text hash, as do
+    no-canonical pages (byte-identical twins still cluster). Keeper =
+    smallest page_id via the two-phase exact_dup_keeper over the fused
+    key (multimodal/warc.py crawl_curate_canonical_roundtrip)."""
+    return _warc.crawl_curate_canonical_roundtrip(spark, sf_dir)
