@@ -211,9 +211,15 @@ def _dechunk(body: bytes) -> bytes | None:
 
 def _content_decode(body: bytes, coding: str) -> bytes | None:
     """Apply one Content-Encoding coding; None when undecodable or the
-    coding is unknown (br, zstd, compress — reject, never pass raw)."""
+    coding is unknown (zstd, compress — reject, never pass raw). `br`
+    decodes through the RFC 7932 stored-mode stream decoder (r14);
+    compressed brotli meta-blocks keep the reject-whole contract."""
     if coding in ("identity", ""):
         return body
+    if coding == "br":
+        from danae_spark.multimodal.brotlistream import brotli_stored_decode
+
+        return brotli_stored_decode(body)
     if coding in ("gzip", "x-gzip"):
         d = zlib.decompressobj(31)
         try:
@@ -2429,4 +2435,148 @@ SELECT page_id, doc_id, url, canonical, canonical_used,
        CAST(row_number() OVER (PARTITION BY key ORDER BY page_id) = 1
             AS INT) AS keep
 FROM pages ORDER BY page_id
+"""
+
+
+# -------------------- wire-coding census with brotli (r14, C96)
+
+# the full wire-coding rotation: name, decodable by this engine
+_CODING_GRID = [
+    ("identity", 1),
+    ("chunked", 1),
+    ("gzip", 1),
+    ("gzip+chunked", 1),
+    ("br", 1),            # RFC 7932 stored-mode (brotlistream.py)
+    ("br+chunked", 1),
+    ("zstd", 0),          # no decoder: reject-whole, but COUNTED
+    ("gzip-corrupt", 0),  # truncated gzip: decoder error, counted
+]
+
+
+def coding_page_text(d: int) -> str:
+    return f"coding census page words w{d % 9} body"
+
+
+def synth_coding_warc(doc_id: int, coding_ix: int) -> bytes:
+    """One WARC per (doc, coding) carrying the doc's page under wire
+    coding _CODING_GRID[coding_ix]: identity / chunked / gzip /
+    gzip-in-chunked / brotli (stored-mode) / brotli-in-chunked / zstd
+    (no decoder here — the reject the census must COUNT, not hide) /
+    truncated gzip (corruption). One coding per FILE because the WARC
+    walk is deliberately reject-whole: an undecodable response rejects
+    its file, which is exactly the per-coding verdict the census
+    counts. Gzip member-per-record on odd docs."""
+    from danae_spark.multimodal.brotlistream import brotli_store
+
+    d = doc_id
+    host = f"site{d % 5}.example"
+    html = (
+        f"<html><head><title>C{d % 10}</title></head>"
+        f"<body><p>{coding_page_text(d)}</p></body></html>"
+    ).encode("utf-8")
+    recs: list[bytes] = []
+    info = b"software: danae-spark/1.0\r\nformat: WARC File Format 1.1\r\n"
+    recs.append(_record("warcinfo", d * 100, info, {"Content-Type": "application/warc-fields"}))
+    head = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+    body = html
+    coding = _CODING_GRID[coding_ix][0]
+    if coding == "chunked":
+        body = chunk_body(body)
+        head += b"Transfer-Encoding: chunked\r\n"
+    elif coding == "gzip":
+        body = gzip_body(body)
+        head += b"Content-Encoding: gzip\r\n"
+    elif coding == "gzip+chunked":
+        body = chunk_body(gzip_body(body))
+        head += b"Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n"
+    elif coding == "br":
+        body = brotli_store(body)
+        head += b"Content-Encoding: br\r\n"
+    elif coding == "br+chunked":
+        body = chunk_body(brotli_store(body))
+        head += b"Content-Encoding: br\r\nTransfer-Encoding: chunked\r\n"
+    elif coding == "zstd":
+        body = b"\x28\xb5\x2f\xfd" + body  # zstd magic + junk
+        head += b"Content-Encoding: zstd\r\n"
+    elif coding == "gzip-corrupt":
+        body = gzip_body(body)[:-4]  # truncated: CRC/length gone
+        head += b"Content-Encoding: gzip\r\n"
+    uri = f"http://{host}/w{coding_ix}"
+    recs.append(
+        _record(
+            "response",
+            d * 100 + coding_ix + 1,
+            head + b"\r\n" + body,
+            {"WARC-Target-URI": uri, "Content-Type": "application/http;msgtype=response"},
+        )
+    )
+    if d % 2 == 1:
+        return b"".join(_gzip_member(r) for r in recs)
+    return b"".join(recs)
+
+
+def crawl_codings_census_roundtrip(spark, sf_dir: str):
+    """Per-coding crawl visibility (r14 — the r12 'br loss is
+    invisible' directive, upgraded: br now DECODES via the RFC 7932
+    stored-mode path, and what still can't decode is COUNTED instead
+    of silently dropped): walk the coding-grid WARCs, attempt the full
+    HTTP decode for every response, and report per wire coding the
+    pages shipped, pages decoded, pages rejected, and the reject rate.
+    A decode regression in ANY coding path (chunked framing, gzip,
+    brotli, the zstd reject, the corrupt-gzip reject) moves a count.
+
+    Scale shape: stateless Arrow mapInPandas (decode is per-record,
+    no state), one map-side-combined groupBy on an 8-value key."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+    from pyspark.sql import functions as F
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    names = [c for c, _ in _CODING_GRID]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                want = coding_page_text(d).encode("utf-8")
+                for k, name in enumerate(names):
+                    ok = 0
+                    for _uri, _status, _ctype, body in iter_warc_responses(
+                        synth_coding_warc(d, k)
+                    ):
+                        if want in body:
+                            ok = 1
+                    rows.append({"coding": name, "decoded": ok})
+            yield pd.DataFrame(rows, columns=["coding", "decoded"])
+
+    per = docs.repartition(stage_parallelism(docs.sparkSession), "doc_id").mapInPandas(
+        batches, schema="coding string, decoded int"
+    )
+    return (
+        per.groupBy("coding")
+        .agg(
+            F.count("*").cast("long").alias("n_shipped"),
+            F.sum("decoded").cast("long").alias("n_decoded"),
+            (F.count("*") - F.sum("decoded")).cast("long").alias("n_rejected"),
+            F.round(1.0 - F.sum("decoded") / F.count("*"), 6).alias("reject_rate"),
+        )
+        .orderBy("coding")
+    )
+
+
+def _crawl_codings_census_oracle() -> str:
+    rows = ", ".join(f"('{c}', {dec})" for c, dec in _CODING_GRID)
+    return f"""
+WITH grid AS (SELECT * FROM (VALUES {rows}) g(coding, dec)),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+SELECT g.coding,
+       n.nd AS n_shipped,
+       CAST(g.dec * n.nd AS BIGINT) AS n_decoded,
+       CAST((1 - g.dec) * n.nd AS BIGINT) AS n_rejected,
+       CAST(ROUND(1.0 - g.dec, 6) AS DOUBLE) AS reject_rate
+FROM grid g, n
+ORDER BY g.coding
 """

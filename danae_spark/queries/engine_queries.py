@@ -1149,3 +1149,16 @@ def crawl_curate_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest page_id via the two-phase exact_dup_keeper over the fused
     key (multimodal/warc.py crawl_curate_canonical_roundtrip)."""
     return _warc.crawl_curate_canonical_roundtrip(spark, sf_dir)
+
+
+@register("crawl_codings_census", oracle=_warc._crawl_codings_census_oracle())
+def crawl_codings_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-coding crawl visibility (r14): every Content/Transfer-
+    Encoding combination in the rotation — identity, chunked, gzip,
+    gzip-in-chunked, brotli (RFC 7932 stored-mode decoder,
+    multimodal/brotlistream.py), brotli-in-chunked, zstd (no decoder:
+    the reject is COUNTED, not hidden), truncated gzip — with
+    shipped/decoded/rejected counts and reject rates per coding. A
+    decode regression in any path moves a count
+    (multimodal/warc.py crawl_codings_census_roundtrip)."""
+    return _warc.crawl_codings_census_roundtrip(spark, sf_dir)
