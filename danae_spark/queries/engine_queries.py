@@ -1162,3 +1162,18 @@ def crawl_codings_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode regression in any path moves a count
     (multimodal/warc.py crawl_codings_census_roundtrip)."""
     return _warc.crawl_codings_census_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import cdx as _cdx  # noqa: E402
+
+
+@register("cdx_fetch_plan", oracle=_cdx.cdx_fetch_plan_oracle())
+def cdx_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX/CDXJ index sidecars (r14) — the third Common Crawl sidecar
+    convention after WAT/WET: parse the SURT-keyed line grammar + JSON
+    block, then PROVE the addressing by slicing each WARC at every
+    line's (offset, length) and requiring the standalone record parse
+    to reproduce the line's URI and HTTP status — the primitive that
+    plans range-GET fetches without reading archives
+    (multimodal/cdx.py cdx_fetch_plan_roundtrip)."""
+    return _cdx.cdx_fetch_plan_roundtrip(spark, sf_dir)
