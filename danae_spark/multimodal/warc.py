@@ -1143,7 +1143,7 @@ _CHARSET_PAGES = [
      "中文测试页面的内容 z{c} 这是正文", "中"),
     # meta-declared KOI8-R Cyrillic
     ('<meta charset="koi8-r">', "text/html", "koi8-r",
-     "это русский текст р{a} данные и слова", "я"),
+     "это русский текст р{a} данные и слова объём выше чем обычно", "я"),
     # meta-declared ISO-8859-2 Central European
     ('<meta charset="iso-8859-2">', "text/html", "iso8859-2",
      "příliš žluťoučký kůň ž{b} čas a slova", "č"),
@@ -1972,7 +1972,7 @@ WITH pages AS (
            WHEN 6 THEN '中文测试页面的内容 z' || CAST(d.doc_id % 5 AS VARCHAR)
                 || ' 这是正文'
            WHEN 7 THEN 'это русский текст р' || CAST(d.doc_id % 9 AS VARCHAR)
-                || ' данные и слова'
+                || ' данные и слова объём выше чем обычно'
            WHEN 8 THEN 'příliš žluťoučký kůň ž' || CAST(d.doc_id % 7 AS VARCHAR)
                 || ' čas a slova'
            ELSE NULL  -- p9: undeclared EUC-JP rejects (mojibake gate)

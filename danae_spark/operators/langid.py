@@ -21,8 +21,9 @@ full-value SQL oracle:
 Everything runs as built-in expressions: one explode of capped
 trigrams, two windowed ranks, and a broadcast join against the (lang,
 gram, rank) profile table — no Python in the per-doc path, and the
-profile table (16 languages x 60 grams = 960 rows) broadcasts
-trivially at any corpus scale. The oracle restates the identical
+profile table (25 languages x 100 grams = 2500 rows) broadcasts
+trivially at any corpus scale; breadth grows the VALUES table, never
+the plan. The oracle restates the identical
 pipeline in DuckDB SQL with the profiles inlined as VALUES rows
 generated from the SAME Python constant, so the two sides cannot
 drift.
@@ -159,6 +160,67 @@ _CORPORA: dict[str, str] = {
         "الغابة حيث الأشجار عالية والضوء ناعم في الصباح والجميع يمشون "
         "إلى النهر مع أصدقائهم لأن الماء صاف والطقس دافئ"
         " يقول الناس غالبا إن القراءة تعطيك طريقة جديدة لرؤية العالم وأمسية هادئة في المنزل أفضل من أي شيء آخر"
+    ),
+    # r14 breadth: the rest of the top-25 crawl languages — Devanagari,
+    # Thai (unsegmented), Hebrew, Vietnamese (Latin + stacked
+    # diacritics), Indonesian, the Nordic trio, Ukrainian (Cyrillic
+    # that must separate from ru)
+    "hi": (
+        "तेज भूरी लोमड़ी आलसी कुत्ते के ऊपर कूदती है फिर कुत्ता जंगल की ओर "
+        "दौड़ता है जहां पेड़ ऊंचे हैं और सुबह की रोशनी कोमल है सब लोग अपने "
+        "दोस्तों के साथ नदी की ओर चलते हैं क्योंकि पानी साफ है और मौसम गरम है"
+        " लोग अक्सर कहते हैं कि पढ़ना दुनिया को देखने का नया तरीका देता है और घर की शांत शाम सबसे अच्छी होती है"
+    ),
+    "th": (
+        "สุนัขจิ้งจอกสีน้ำตาลตัวไวกระโดดข้ามสุนัขขี้เกียจแล้วสุนัขวิ่งเข้าไปในป่าที่ต้นไม้สูง"
+        "และแสงยามเช้านุ่มนวลทุกคนเดินไปที่แม่น้ำกับเพื่อนเพราะน้ำใสและอากาศอบอุ่น"
+        "ผู้คนมักพูดว่าการอ่านให้วิธีใหม่ในการมองโลกและค่ำคืนที่เงียบสงบที่บ้านดีที่สุด"
+    ),
+    "he": (
+        "השועל החום המהיר קופץ מעל הכלב העצלן ואז הכלב רץ אל היער שם "
+        "העצים גבוהים והאור בבוקר רך כולם הולכים אל הנהר עם החברים שלהם "
+        "כי המים צלולים ומזג האוויר חם"
+        " אנשים אומרים לעתים קרובות שקריאה נותנת דרך חדשה לראות את העולם וערב שקט בבית טוב מכל דבר אחר"
+    ),
+    "vi": (
+        "con cáo nâu nhanh nhẹn nhảy qua con chó lười biếng rồi con chó "
+        "chạy vào rừng nơi những cái cây cao và ánh sáng buổi sáng dịu "
+        "dàng mọi người đi bộ ra sông cùng bạn bè vì nước trong và thời tiết ấm áp"
+        " người ta thường nói rằng đọc sách cho bạn một cách mới để nhìn thế giới và một buổi tối yên tĩnh ở nhà tốt hơn mọi thứ khác"
+    ),
+    "id": (
+        "rubah coklat yang cepat melompati anjing yang malas lalu anjing "
+        "itu berlari ke hutan di mana pohon pohon tinggi dan cahaya pagi "
+        "lembut semua orang berjalan ke sungai bersama teman teman mereka "
+        "karena airnya jernih dan cuacanya hangat"
+        " orang sering berkata bahwa membaca memberi cara baru untuk melihat dunia dan malam yang tenang di rumah lebih baik dari segalanya"
+    ),
+    "sv": (
+        "den snabba bruna räven hoppar över den lata hunden sedan springer "
+        "hunden till skogen där träden är höga och ljuset på morgonen är "
+        "mjukt alla går till floden med sina vänner eftersom vattnet är "
+        "klart och vädret är varmt"
+        " folk säger ofta att läsning ger dig ett nytt sätt att se världen och en lugn kväll hemma är bättre än allt annat"
+    ),
+    "da": (
+        "den hurtige brune ræv hopper over den dovne hund så løber hunden "
+        "til skoven hvor træerne er høje og lyset om morgenen er blødt "
+        "alle går til floden med deres venner fordi vandet er klart og "
+        "vejret er varmt"
+        " folk siger ofte at læsning giver dig en ny måde at se verden på og en stille aften derhjemme er bedre end alt andet"
+    ),
+    "fi": (
+        "nopea ruskea kettu hyppää laiskan koiran yli sitten koira juoksee "
+        "metsään jossa puut ovat korkeita ja aamun valo on pehmeää kaikki "
+        "kävelevät joelle ystäviensä kanssa koska vesi on kirkasta ja sää "
+        "on lämmin"
+        " ihmiset sanovat usein että lukeminen antaa uuden tavan nähdä maailma ja hiljainen ilta kotona on parempi kuin mikään muu"
+    ),
+    "uk": (
+        "швидка бура лисиця стрибає через ледачого пса потім пес біжить до "
+        "лісу де дерева високі а світло вранці мяке всі йдуть до річки зі "
+        "своїми друзями бо вода чиста і погода тепла"
+        " люди часто кажуть що читання дає новий спосіб бачити світ а тихий вечір удома кращий за все інше"
     ),
 }
 
@@ -451,7 +513,7 @@ ORDER BY 1, 2
 # profiles (top tokens by count desc, token asc). ja/zh have no space
 # segmentation — their stopword leg is NULL and the score falls back
 # to a neutral stop component.
-_STOPWORD_LANGS = tuple(l for l in sorted(_CORPORA) if l not in ("ja", "zh"))
+_STOPWORD_LANGS = tuple(l for l in sorted(_CORPORA) if l not in ("ja", "zh", "th"))
 _STOPWORDS_PER_LANG = 12
 
 
@@ -501,10 +563,14 @@ def quality_multilang_frame(
         F.expr(f"CASE predicted {branches} ELSE NULL END").alias("stop_hits"),
     )
     stop_ratio = F.col("stop_hits") / F.greatest(F.col("n_tokens"), F.lit(1))
-    score = (
-        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5
-        + F.coalesce(F.least(stop_ratio * 5, F.lit(1.0)), F.lit(0.5)) * 0.5
-    )
+    # the neutral leg must be an explicit CASE: least() IGNORES nulls
+    # (least(NULL, 1.0) = 1.0 in Spark AND DuckDB), so a
+    # coalesce-around-least silently scored unsegmented languages 1.0
+    # instead of the documented 0.5 (r14 fix, mirrored in the oracle)
+    stop_leg = F.when(
+        F.col("stop_hits").isNull(), F.lit(0.5)
+    ).otherwise(F.least(stop_ratio * 5, F.lit(1.0)))
+    score = F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5 + stop_leg * 0.5
     return j.select(
         id_col,
         "predicted",
@@ -550,8 +616,9 @@ SELECT doc_id, predicted, n_tokens, stop_hits,
        floor((stop_hits * 1.0 / greatest(n_tokens, 1)) * power(10, 6) + 0.5001)
          / power(10, 6) AS stop_ratio,
        floor((least(n_tokens / 100.0, 1.0) * 0.5
-              + COALESCE(least(stop_hits * 1.0 / greatest(n_tokens, 1) * 5, 1.0),
-                         0.5) * 0.5) * power(10, 6) + 0.5001)
+              + (CASE WHEN stop_hits IS NULL THEN 0.5
+                      ELSE least(stop_hits * 1.0 / greatest(n_tokens, 1) * 5,
+                                 1.0) END) * 0.5) * power(10, 6) + 0.5001)
          / power(10, 6) AS mq_score
 FROM m ORDER BY doc_id
 """

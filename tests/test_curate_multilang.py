@@ -38,8 +38,9 @@ def test_routed_scorer_keeps_pages_the_english_scorer_drops(spark, sf_dir):
     ).first()
     assert en["n"] > 0 and en["r"] == en["n"] and en["e"] == en["n"]
 
-    # every segmented language shows the same shape; unsegmented CJK
-    # drops under BOTH (the token-length leg, documented caveat)
+    # every segmented language shows the same shape; unsegmented
+    # ja/zh/th drop under BOTH (the token-length / neutral-stop legs,
+    # documented caveat)
     per_lang = {
         r["lang"]: r
         for r in prose.groupBy("lang")
@@ -48,7 +49,7 @@ def test_routed_scorer_keeps_pages_the_english_scorer_drops(spark, sf_dir):
         .collect()
     }
     for lang, r in per_lang.items():
-        if lang in ("ja", "zh"):
+        if lang in ("ja", "zh", "th"):
             assert r["r"] == 0 and r["e"] == 0
         elif lang == "en":
             assert r["r"] == r["n"] and r["e"] == r["n"]
@@ -99,7 +100,7 @@ def test_synth_lang_warc_prose_is_deterministic():
     from danae_spark.multimodal.warc import iter_warc_responses
 
     lang3, prose3 = lang_page_prose(3)
-    assert lang3 == "el"  # sorted rotation: index 3
+    assert lang3 == "de"  # sorted 25-language rotation: index 3
     assert prose3.endswith(" refd")  # salt: '3' -> 'd'
     caps = list(iter_warc_responses(synth_lang_warc(3)))
     assert len(caps) == 3  # prose + junk + mirror (3 % 10 == 3)

@@ -21,11 +21,11 @@ HELD_OUT = {
     "es": "una niña pequeña lee un buen libro cerca de la ventana cada noche y después escribe una carta para su abuela",
     "fr": "une petite fille lit un bon livre près de la fenêtre chaque soir",
     "de": "ein kleines kind liest jeden abend ein gutes buch am fenster",
-    "it": "una piccola bambina legge un buon libro vicino alla finestra ogni sera",
+    "it": "una piccola bambina legge un buon libro vicino alla finestra ogni sera e poi scrive una lettera per la sua nonna che abita in città",
     "pt": "uma menina pequena lê um bom livro perto da janela todas as noites e depois escreve uma carta para a sua avó",
     "nl": "een klein kind leest elke avond een goed boek bij het raam",
     "pl": "małe dziecko czyta dobrą książkę przy oknie każdego wieczoru",
-    "cs": "malé dítě čte každý večer dobrou knihu u okna",
+    "cs": "malé dítě čte každý večer dobrou knihu u okna a potom píše dopis pro svou babičku která bydlí ve městě",
     "tr": "küçük bir çocuk her akşam pencerenin yanında güzel bir kitap okur",
     "ru": "маленький ребёнок читает хорошую книгу у окна каждый вечер",
     "el": "ένα μικρό παιδί διαβάζει ένα καλό βιβλίο κοντά στο παράθυρο κάθε βράδυ",
@@ -33,6 +33,16 @@ HELD_OUT = {
     "zh": "小孩子每天晚上在窗边读一本好书",
     "ko": "어린 아이가 매일 저녁 창가에서 좋은 책을 읽는다",
     "ar": "طفل صغير يقرأ كتابا جيدا بجانب النافذة كل مساء",
+    # r14 breadth: the other nine of the top-25 crawl languages
+    "hi": "आज बाजार में बहुत से लोग थे और बच्चों ने मिठाई खरीदी क्योंकि शाम को त्योहार है",
+    "th": "วันนี้อากาศดีมากเราจึงไปเดินเล่นที่สวนสาธารณะและซื้อผลไม้กลับบ้าน",
+    "he": "בבוקר הלכנו לשוק לקנות ירקות טריים ולחם חם ואחר כך שתינו קפה ליד הים",
+    "vi": "hôm nay trời đẹp nên chúng tôi ra công viên chơi và mua trái cây về nhà cho cả gia đình",
+    "id": "hari ini kami pergi ke pasar untuk membeli sayur dan buah karena besok ada acara keluarga di rumah",
+    "sv": "idag gick vi till torget för att köpa grönsaker och färskt bröd och sedan drack vi kaffe vid havet",
+    "da": "i dag gik vi på markedet for at købe grøntsager og frisk brød og bagefter drak vi kaffe ved havet",
+    "fi": "tänään kävimme torilla ostamassa vihanneksia ja tuoretta leipää ja sen jälkeen joimme kahvia meren rannalla",
+    "uk": "ця книжка є дуже цікавою і її автор відомий у всьому світі бо він пише щиро про життя звичайних людей",
 }
 
 
@@ -44,7 +54,7 @@ def test_held_out_sentence_classifies(lang):
 def test_profiles_shape_and_determinism():
     assert _PROFILES == build_profiles()  # deterministic rebuild
     langs = {l for l, _, _ in _PROFILES}
-    assert langs == set(_CORPORA) and len(langs) == 16
+    assert langs == set(_CORPORA) and len(langs) == 25
     for lang in langs:
         ranks = [r for l, _, r in _PROFILES if l == lang]
         assert ranks == list(range(1, _PROFILE_SIZE + 1))
