@@ -2580,3 +2580,160 @@ SELECT g.coding,
 FROM grid g, n
 ORDER BY g.coding
 """
+
+
+# ------------- boilerplate x rank-weighted curation (r14, C97)
+
+
+def crawl_curate_boiler_ranked_roundtrip(spark, sf_dir: str):
+    """The composition a real pipeline actually runs (r12 directive
+    #7, shipped r14): per-BLOCK boilerplate stripping AND link-graph
+    rank-weighted keeping in ONE certified plan. The boiler grid's
+    mirror captures carry DIFFERENT link-farm bytes, so clustering is
+    only possible AFTER the block rule strips them; docs with
+    doc_id % 10 == 3 additionally have their stripped prose
+    SYNDICATED to doc d+1's site (the cross-site duplicate shape),
+    so each such cluster spans TWO source docs with different
+    pageranks and the rank-weighted keeper makes a real decision —
+    the authoritative copy keeps, not whichever page_id is smaller.
+
+    Scale shape: extraction is stateless Arrow mapInPandas; the rank
+    join is a broadcast-size dimension at test SF and a hash join on
+    doc_id at crawl scale; the keeper is the two-phase groupBy+join
+    (no window over the text hash); quality is one scan + one gram
+    join."""
+    from danae_spark.catalog import load_table
+    from danae_spark.multimodal.htmltext import parse_html_text
+    from danae_spark.operators.dedup import exact_dup_keeper
+    from danae_spark.operators.frontier import pagerank_roundtrip
+    from danae_spark.operators.textstats import quality_filter_frame
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+    from pyspark.sql import functions as F
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                for k, (uri, _status, ctype, body) in enumerate(
+                    iter_warc_responses(synth_boiler_warc(d))
+                ):
+                    ext = parse_html_text(
+                        body, content_type_charset(ctype), drop_boilerplate=True
+                    )
+                    if ext is None:
+                        continue
+                    rows.append(
+                        {
+                            "page_id": d * 2 + k,
+                            "doc_id": d,
+                            "url": uri,
+                            "text": ext["text"],
+                            "n_blocks_dropped": ext["n_blocks_dropped"],
+                        }
+                    )
+                    if k == 1:
+                        # the stripped prose REPUBLISHED on doc d+1's
+                        # site (syndication): same post-strip text,
+                        # different source doc -> different rank
+                        rows.append(
+                            {
+                                "page_id": d * 2 + _MIRROR_OFF,
+                                "doc_id": d + 1,
+                                "url": f"http://site{(d + 1) % 5}.example/synd{d}",
+                                "text": ext["text"],
+                                "n_blocks_dropped": ext["n_blocks_dropped"],
+                            }
+                        )
+            yield pd.DataFrame(
+                rows, columns=["page_id", "doc_id", "url", "text", "n_blocks_dropped"]
+            )
+
+    pages = docs.repartition(stage_parallelism(docs.sparkSession), "doc_id").mapInPandas(
+        batches,
+        schema="page_id bigint, doc_id bigint, url string, text string, "
+        "n_blocks_dropped int",
+    )
+    ranks = pagerank_roundtrip(spark, sf_dir).withColumnRenamed("node", "doc_id")
+    pages = pages.join(ranks, "doc_id").persist()  # drops edge-of-corpus synd
+    q = quality_filter_frame(
+        pages.select(F.col("page_id").alias("doc_id"), "text"),
+        min_quality=CRAWL_BOILER_MIN_Q,
+        order=False,
+    ).select(F.col("doc_id").alias("page_id"), F.col("keep").alias("quality_keep"))
+    dup = exact_dup_keeper(
+        pages.select("page_id", "doc_id", "url", "rank", "n_blocks_dropped", "text"),
+        rank_col="rank",
+    ).select(
+        "page_id", "doc_id", "url", "rank", "n_blocks_dropped", "n_dup", "is_keeper"
+    )
+    return (
+        dup.join(q, "page_id")
+        .select(
+            "page_id",
+            "doc_id",
+            "url",
+            "rank",
+            "n_blocks_dropped",
+            "n_dup",
+            "is_keeper",
+            "quality_keep",
+            (
+                (F.col("is_keeper") == 1) & (F.col("quality_keep") == 1)
+            ).cast("int").alias("keep"),
+        )
+        .orderBy("page_id")
+    )
+
+
+def _crawl_curate_boiler_ranked_oracle() -> str:
+    from danae_spark.multimodal.htmltext import boiler_text_sql
+    from danae_spark.operators.frontier import pagerank_ctes
+    from danae_spark.operators.textstats import quality_filter_oracle
+
+    return f"""
+WITH {pagerank_ctes()},
+bx AS ({boiler_text_sql("SELECT doc_id, doc_id AS e FROM documents")}),
+pg0 AS (
+  -- m=0 main, m=1 the m.-mirror (both of mirrored docs only when m=1),
+  -- m=2 the SYNDICATED stripped prose on doc d+1's site
+  SELECT CASE WHEN m.m = 2 THEN doc_id + 1 ELSE doc_id END AS src_doc,
+         doc_id * 2 + CASE m.m WHEN 2 THEN {_MIRROR_OFF} ELSE m.m END AS page_id,
+         CASE m.m
+           WHEN 0 THEN 'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example/b'
+           WHEN 1 THEN 'http://m.site' || CAST(doc_id % 5 AS VARCHAR) || '.example/b'
+           ELSE 'http://site' || CAST((doc_id + 1) % 5 AS VARCHAR)
+                || '.example/synd' || CAST(doc_id AS VARCHAR)
+         END AS url,
+         CAST(2 AS INT) AS n_blocks_dropped,
+         text
+  FROM bx, generate_series(0, 2) m(m)
+  WHERE m.m = 0 OR doc_id % 10 = 3
+),
+pg AS (
+  SELECT pg0.*, pr.rank AS rank
+  FROM pg0 JOIN pr ON pg0.src_doc = pr.node
+),
+pgq AS (SELECT page_id AS doc_id, text, 'en' AS lang FROM pg),
+q AS (
+  SELECT doc_id AS page_id, keep AS quality_keep
+  FROM ({quality_filter_oracle(min_quality=CRAWL_BOILER_MIN_Q, source="pgq")})
+),
+dup AS (
+  SELECT page_id,
+         CAST(count(*) OVER (PARTITION BY text) AS INT) AS n_dup,
+         CAST(row_number() OVER (PARTITION BY text
+                                 ORDER BY rank DESC, page_id) = 1
+              AS INT) AS is_keeper
+  FROM pg
+)
+SELECT pg.page_id, pg.src_doc AS doc_id, pg.url, pg.rank,
+       pg.n_blocks_dropped, dup.n_dup, dup.is_keeper, q.quality_keep,
+       CAST(dup.is_keeper = 1 AND q.quality_keep = 1 AS INT) AS keep
+FROM pg JOIN dup USING (page_id) JOIN q USING (page_id)
+ORDER BY pg.page_id
+"""

@@ -1177,3 +1177,16 @@ def cdx_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans range-GET fetches without reading archives
     (multimodal/cdx.py cdx_fetch_plan_roundtrip)."""
     return _cdx.cdx_fetch_plan_roundtrip(spark, sf_dir)
+
+
+@register("crawl_curate_boiler_ranked", oracle=_warc._crawl_curate_boiler_ranked_oracle())
+def crawl_curate_boiler_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate stripping x rank-weighted keeping in one plan
+    (r14): the mirror captures cluster only AFTER the block rule
+    strips their differing link farms, the stripped prose is
+    syndicated across source docs with different pageranks, and the
+    rank-weighted two-phase keeper keeps the authoritative copy.
+    Oracle composes the unrolled-pagerank CTEs with the boiler-text
+    and quality CTEs (multimodal/warc.py
+    crawl_curate_boiler_ranked_roundtrip)."""
+    return _warc.crawl_curate_boiler_ranked_roundtrip(spark, sf_dir)

@@ -159,3 +159,41 @@ def test_harvest_boilerplate_flag():
     full = harvest_text(w)["text"]
     strip = harvest_text(w, drop_boilerplate=True)["text"]
     assert "z" in full and strip == expected_boiler_row(6)["text"]
+
+
+def test_boiler_ranked_rank_decides_real_keeps(spark, sf_dir):
+    """The r14 boiler x ranked composition: mirror clusters form only
+    post-strip (n_dup == 3 when the syndicated copy survives the rank
+    join), and in at least one cluster the keeper is NOT the smallest
+    page_id — proof the rank genuinely decided, not the id tiebreak."""
+    from danae_spark.multimodal.warc import (
+        _MIRROR_OFF,
+        crawl_curate_boiler_ranked_roundtrip,
+    )
+    from pyspark.sql import functions as F
+
+    out = crawl_curate_boiler_ranked_roundtrip(spark, sf_dir).persist()
+    clusters = out.filter(F.col("n_dup") == 3)
+    assert clusters.count() > 0
+    assert clusters.filter(F.col("is_keeper") == 1).count() == clusters.count() / 3
+    # rank must beat the id tiebreak somewhere: a keeper that is the
+    # syndicated copy (page_id offset) or the mirror
+    rank_won = clusters.filter(
+        (F.col("is_keeper") == 1) & (F.col("page_id") % (2 * _MIRROR_OFF) >= _MIRROR_OFF)
+    )
+    assert rank_won.count() > 0, "rank never beat the smallest-id tiebreak"
+    # keeper always carries the cluster's max rank (cluster id = the
+    # source doc d: main 2d, mirror 2d+1, syndicated 2d + offset all
+    # floor-div to d after the offset is stripped)
+    w = clusters.groupBy(
+        F.floor((F.col("page_id") % _MIRROR_OFF) / 2).alias("c")
+    ).agg(
+        F.count("*").alias("n"),
+        F.max("rank").alias("maxr"),
+        F.max(F.when(F.col("is_keeper") == 1, F.col("rank"))).alias("keepr"),
+    )
+    assert w.filter(F.col("n") != 3).count() == 0
+    assert w.filter(
+        F.col("keepr").isNull() | (F.col("maxr") != F.col("keepr"))
+    ).count() == 0
+    out.unpersist()
