@@ -151,6 +151,14 @@ HEADLINE = [
     "html_structured_extract",
     "quality_multilang",
     "crawl_lang_report",
+    # round-14 additions: the language-routed and canonical-keyed
+    # curate compositions, the wire-coding census (brotli), CDX
+    # sidecars, and the boiler x ranked composition
+    "crawl_curate_multilang",
+    "crawl_curate_canonical",
+    "crawl_codings_census",
+    "cdx_fetch_plan",
+    "crawl_curate_boiler_ranked",
 ]
 
 

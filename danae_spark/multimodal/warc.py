@@ -211,15 +211,20 @@ def _dechunk(body: bytes) -> bytes | None:
 
 def _content_decode(body: bytes, coding: str) -> bytes | None:
     """Apply one Content-Encoding coding; None when undecodable or the
-    coding is unknown (zstd, compress — reject, never pass raw). `br`
-    decodes through the RFC 7932 stored-mode stream decoder (r14);
-    compressed brotli meta-blocks keep the reject-whole contract."""
+    coding is unknown (compress — reject, never pass raw). `br`
+    decodes through the RFC 7932 stored-mode stream decoder and `zstd`
+    through the RFC 8878 Raw/RLE-block frame decoder (r14); compressed
+    brotli meta-blocks / zstd blocks keep the reject-whole contract."""
     if coding in ("identity", ""):
         return body
     if coding == "br":
         from danae_spark.multimodal.brotlistream import brotli_stored_decode
 
         return brotli_stored_decode(body)
+    if coding == "zstd":
+        from danae_spark.multimodal.zstdstream import zstd_stored_decode
+
+        return zstd_stored_decode(body)
     if coding in ("gzip", "x-gzip"):
         d = zlib.decompressobj(31)
         try:
@@ -2446,10 +2451,11 @@ _CODING_GRID = [
     ("chunked", 1),
     ("gzip", 1),
     ("gzip+chunked", 1),
-    ("br", 1),            # RFC 7932 stored-mode (brotlistream.py)
+    ("br", 1),             # RFC 7932 stored-mode (brotlistream.py)
     ("br+chunked", 1),
-    ("zstd", 0),          # no decoder: reject-whole, but COUNTED
-    ("gzip-corrupt", 0),  # truncated gzip: decoder error, counted
+    ("zstd", 1),           # RFC 8878 Raw-block frames (zstdstream.py)
+    ("zstd-corrupt", 0),   # checksum mismatch: rejected, and COUNTED
+    ("gzip-corrupt", 0),   # truncated gzip: decoder error, counted
 ]
 
 
@@ -2461,12 +2467,15 @@ def synth_coding_warc(doc_id: int, coding_ix: int) -> bytes:
     """One WARC per (doc, coding) carrying the doc's page under wire
     coding _CODING_GRID[coding_ix]: identity / chunked / gzip /
     gzip-in-chunked / brotli (stored-mode) / brotli-in-chunked / zstd
-    (no decoder here — the reject the census must COUNT, not hide) /
-    truncated gzip (corruption). One coding per FILE because the WARC
-    walk is deliberately reject-whole: an undecodable response rejects
-    its file, which is exactly the per-coding verdict the census
-    counts. Gzip member-per-record on odd docs."""
+    (RFC 8878 Raw-block frame, real XXH64 checksum) / zstd with a
+    flipped content byte (the checksum must catch it — the reject the
+    census must COUNT, not hide) / truncated gzip (corruption). One
+    coding per FILE because the WARC walk is deliberately
+    reject-whole: an undecodable response rejects its file, which is
+    exactly the per-coding verdict the census counts. Gzip
+    member-per-record on odd docs."""
     from danae_spark.multimodal.brotlistream import brotli_store
+    from danae_spark.multimodal.zstdstream import zstd_store
 
     d = doc_id
     host = f"site{d % 5}.example"
@@ -2496,7 +2505,12 @@ def synth_coding_warc(doc_id: int, coding_ix: int) -> bytes:
         body = chunk_body(brotli_store(body))
         head += b"Content-Encoding: br\r\nTransfer-Encoding: chunked\r\n"
     elif coding == "zstd":
-        body = b"\x28\xb5\x2f\xfd" + body  # zstd magic + junk
+        body = zstd_store(body)
+        head += b"Content-Encoding: zstd\r\n"
+    elif coding == "zstd-corrupt":
+        blob = bytearray(zstd_store(body))
+        blob[20] ^= 0xFF  # flip a content byte: XXH64 must catch it
+        body = bytes(blob)
         head += b"Content-Encoding: zstd\r\n"
     elif coding == "gzip-corrupt":
         body = gzip_body(body)[:-4]  # truncated: CRC/length gone

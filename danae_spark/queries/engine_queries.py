@@ -1156,10 +1156,12 @@ def crawl_codings_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wire-coding crawl visibility (r14): every Content/Transfer-
     Encoding combination in the rotation — identity, chunked, gzip,
     gzip-in-chunked, brotli (RFC 7932 stored-mode decoder,
-    multimodal/brotlistream.py), brotli-in-chunked, zstd (no decoder:
-    the reject is COUNTED, not hidden), truncated gzip — with
-    shipped/decoded/rejected counts and reject rates per coding. A
-    decode regression in any path moves a count
+    multimodal/brotlistream.py), brotli-in-chunked, zstd (RFC 8878
+    Raw-block frames with a real XXH64 content checksum,
+    multimodal/zstdstream.py), checksum-corrupt zstd and truncated
+    gzip (both rejects COUNTED, not hidden) — with shipped/decoded/
+    rejected counts and reject rates per coding. A decode regression
+    in any path moves a count
     (multimodal/warc.py crawl_codings_census_roundtrip)."""
     return _warc.crawl_codings_census_roundtrip(spark, sf_dir)
 

@@ -134,3 +134,77 @@ def test_http_br_content_encoding_wired():
     assert got is not None and got["body"] == body
     bad = wire[:-2]  # truncated stream
     assert _parse_http_response(bad) is None
+
+
+# ----------------------------- zstd (RFC 8878 Raw/RLE frame subset)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=200_000))
+def test_zstd_roundtrip(data):
+    from danae_spark.multimodal.zstdstream import zstd_store, zstd_stored_decode
+
+    assert zstd_stored_decode(zstd_store(data)) == data
+    assert zstd_stored_decode(zstd_store(data, checksum=False)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=1, max_size=4096), st.integers(1, 8))
+def test_zstd_truncation_and_garbage_reject(data, cut):
+    from danae_spark.multimodal.zstdstream import zstd_store, zstd_stored_decode
+
+    enc = zstd_store(data)
+    assert zstd_stored_decode(enc[: len(enc) - cut]) is None
+    assert zstd_stored_decode(enc + b"x") is None
+
+
+def test_zstd_xxh64_public_vectors():
+    from danae_spark.multimodal.zstdstream import xxh64
+
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+    assert xxh64(b"abcd") == 0xDE0327B0D25D92CC
+
+
+def test_zstd_checksum_catches_corruption():
+    from danae_spark.multimodal.zstdstream import zstd_store, zstd_stored_decode
+
+    enc = bytearray(zstd_store(b"the content that will be corrupted"))
+    enc[20] ^= 0xFF
+    assert zstd_stored_decode(bytes(enc)) is None
+
+
+def test_zstd_rle_blocks_and_skippable_frames():
+    from danae_spark.multimodal.zstdstream import zstd_stored_decode, zstd_store
+
+    # hand-build: skippable frame + a frame with one RLE block
+    skip = (0x184D2A50).to_bytes(4, "little") + (3).to_bytes(4, "little") + b"xyz"
+    frame = bytearray()
+    frame += (0xFD2FB528).to_bytes(4, "little")
+    frame.append(0)  # descriptor: no FCS beyond flag 0 + not single-segment
+    frame.append(20 << 3)  # window descriptor
+    hdr = 1 | (1 << 1) | (5 << 3)  # last, RLE, size 5
+    frame += hdr.to_bytes(3, "little") + b"Q"
+    assert zstd_stored_decode(skip + bytes(frame)) == b"QQQQQ"
+    # compressed block type rejects
+    bad = bytearray(zstd_store(b"zz"))
+    # block header starts at 14 (magic4+desc1+wd1+fcs8): set type=2
+    h = int.from_bytes(bad[14:17], "little")
+    h = (h & ~0b110) | (2 << 1)
+    bad[14:17] = h.to_bytes(3, "little")
+    assert zstd_stored_decode(bytes(bad)) is None
+
+
+def test_http_zstd_content_encoding_wired():
+    from danae_spark.multimodal.warc import _parse_http_response
+    from danae_spark.multimodal.zstdstream import zstd_store
+
+    body = b"<html><body><p>hello zstd</p></body></html>"
+    wire = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: zstd\r\n\r\n" + zstd_store(body)
+    )
+    got = _parse_http_response(wire)
+    assert got is not None and got["body"] == body
+    assert _parse_http_response(wire[:-1]) is None
