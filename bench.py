@@ -159,6 +159,7 @@ HEADLINE = [
     "crawl_codings_census",
     "cdx_fetch_plan",
     "crawl_curate_boiler_ranked",
+    "crawl_curate_robots",
 ]
 
 

@@ -2751,3 +2751,136 @@ SELECT pg.page_id, pg.src_doc AS doc_id, pg.url, pg.rank,
 FROM pg JOIN dup USING (page_id) JOIN q USING (page_id)
 ORDER BY pg.page_id
 """
+
+
+# --------------- robots-compliance-gated curation (r14, C99)
+
+
+def synth_robots_curate(doc_id: int) -> bytes:
+    """robots.txt served by the curate grid's hosts: the '*' group
+    disallows exactly ONE real page path per doc (/p{d%3} — always in
+    the doc's page range since n_pages = 1 + d%3), carries the
+    Crawl-delay, and a strictbot full-disallow group — so the RFC 9309
+    evaluator genuinely discriminates inside the curate composition."""
+    d = doc_id
+    return (
+        "User-agent: *\n"
+        f"Disallow: /p{d % 3}\n"
+        f"Crawl-delay: {1 + d % 5}\n"
+        "\n"
+        "User-agent: strictbot\n"
+        "Disallow: /\n"
+    ).encode("utf-8")
+
+
+def crawl_curate_robots_roundtrip(spark, sf_dir: str):
+    """COMPLIANCE-gated curation (r14) — the lawful-crawler
+    configuration: every capture of the curate grid (mirrors included)
+    is evaluated against its doc's robots.txt through the certified
+    RFC 9309 evaluator (operators/robots.py parse_robots +
+    robots_allowed: group selection, longest-match precedence,
+    prefix/wildcard rules), and the keep decision becomes
+    allowed AND exact-dup keeper — a disallowed page can neither ship
+    NOR keep a cluster (a compliant pipeline must act as if it never
+    fetched it, so its duplicates resolve to an ALLOWED keeper when
+    one exists). Crawl-delay is carried per row (the fetch scheduler's
+    input).
+
+    Scale shape: robots evaluation rides the SAME stateless Arrow
+    mapInPandas as extraction (robots bytes are per-doc, parsed once
+    per row group); the keeper is the two-phase groupBy+join over
+    allowed captures only; no collects, no cartesians."""
+    from danae_spark.operators.dedup import exact_dup_keeper
+    from danae_spark.operators.robots import parse_robots, robots_allowed
+    from pyspark.sql import functions as F
+
+    pages = _curate_pages(spark, sf_dir)
+
+    def verdicts(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, dict] = {}
+        for pdf in it:
+            rows = []
+            for page_id, doc_id, url in zip(
+                pdf["page_id"], pdf["doc_id"], pdf["url"]
+            ):
+                d = int(doc_id)
+                r = cache.get(d)
+                if r is None:
+                    r = parse_robots(synth_robots_curate(d))
+                    cache[d] = r
+                path = "/" + url.rsplit("/", 1)[1]
+                allowed, delay = robots_allowed(r, "danaebot", path)
+                rows.append(
+                    {
+                        "page_id": int(page_id),
+                        "path": path,
+                        "allowed": 1 if allowed else 0,
+                        "crawl_delay": delay,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["page_id", "path", "allowed", "crawl_delay"]
+            )
+
+    rv = pages.select("page_id", "doc_id", "url").mapInPandas(
+        verdicts, schema="page_id bigint, path string, allowed int, crawl_delay int"
+    )
+    joined = pages.join(rv, "page_id")
+    # dedup over ALLOWED captures only: a disallowed page must not be
+    # the keeper of a cluster that has a compliant member
+    dup = exact_dup_keeper(
+        joined.filter(F.col("allowed") == 1).select("page_id", "text")
+    ).select("page_id", "n_dup", "is_keeper")
+    return (
+        joined.join(dup, "page_id", "left")
+        .select(
+            "page_id",
+            "doc_id",
+            "path",
+            "allowed",
+            "crawl_delay",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.coalesce("is_keeper", F.lit(0)).alias("is_keeper"),
+            (
+                (F.col("allowed") == 1) & (F.coalesce("is_keeper", F.lit(0)) == 1)
+            ).cast("int").alias("keep"),
+        )
+        .orderBy("page_id")
+    )
+
+
+def _crawl_curate_robots_oracle() -> str:
+    from danae_spark.multimodal.htmltext import html_text_sql
+
+    ok_pages = """
+SELECT d.doc_id, d.doc_id * 4 + p.p AS e
+FROM documents d, generate_series(0, 2) p(p)
+WHERE p.p < 1 + d.doc_id % 3 AND (d.doc_id + p.p) % 5 <> 4
+"""
+    return f"""
+WITH hx AS ({html_text_sql(ok_pages)}),
+pg AS (
+  SELECT doc_id AS src_doc,
+         e + CASE WHEN m.m = 1 THEN {_MIRROR_OFF} ELSE 0 END AS page_id,
+         '/p' || CAST(e - doc_id * 4 AS VARCHAR) AS path,
+         CAST(e - doc_id * 4 <> doc_id % 3 AS INT) AS allowed,
+         CAST(1 + doc_id % 5 AS INT) AS crawl_delay,
+         text
+  FROM hx, generate_series(0, 1) m(m)
+  WHERE m.m = 0 OR doc_id % 10 = 3
+),
+dup AS (
+  SELECT page_id,
+         CAST(count(*) OVER (PARTITION BY text) AS INT) AS n_dup,
+         CAST(row_number() OVER (PARTITION BY text ORDER BY page_id) = 1
+              AS INT) AS is_keeper
+  FROM pg WHERE allowed = 1
+)
+SELECT pg.page_id, pg.src_doc AS doc_id, pg.path, pg.allowed,
+       pg.crawl_delay,
+       COALESCE(dup.n_dup, 0) AS n_dup,
+       COALESCE(dup.is_keeper, 0) AS is_keeper,
+       CAST(pg.allowed = 1 AND COALESCE(dup.is_keeper, 0) = 1 AS INT) AS keep
+FROM pg LEFT JOIN dup USING (page_id)
+ORDER BY pg.page_id
+"""

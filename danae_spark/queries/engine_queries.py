@@ -1192,3 +1192,14 @@ def crawl_curate_boiler_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     and quality CTEs (multimodal/warc.py
     crawl_curate_boiler_ranked_roundtrip)."""
     return _warc.crawl_curate_boiler_ranked_roundtrip(spark, sf_dir)
+
+
+@register("crawl_curate_robots", oracle=_warc._crawl_curate_robots_oracle())
+def crawl_curate_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance-gated curation (r14): every capture evaluated
+    against its robots.txt through the certified RFC 9309 evaluator;
+    keep = allowed AND exact-dup keeper, with dedup running over
+    ALLOWED captures only so a disallowed page can neither ship nor
+    keep a cluster; crawl-delay carried per row
+    (multimodal/warc.py crawl_curate_robots_roundtrip)."""
+    return _warc.crawl_curate_robots_roundtrip(spark, sf_dir)

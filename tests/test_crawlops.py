@@ -609,3 +609,32 @@ def test_pagerank_matches_numpy(spark, sf_dir):
         assert abs(got[i] - r[i]) < 1e-6, (i, got[i], r[i])
     # rank is a probability distribution
     assert abs(sum(got.values()) - 1.0) < 1e-3
+
+
+def test_robots_gated_curation_semantics(spark, sf_dir):
+    """r14 compliance gating: the per-doc disallowed page (/p{d%3})
+    never keeps or ships; dedup runs over allowed captures only, so a
+    mirror cluster whose main page is disallowed resolves to an
+    allowed keeper (or no keeper at all when every member is
+    disallowed)."""
+    from danae_spark.multimodal.warc import crawl_curate_robots_roundtrip
+    from pyspark.sql import functions as F
+
+    out = crawl_curate_robots_roundtrip(spark, sf_dir).persist()
+    banned = out.filter(F.col("allowed") == 0)
+    assert banned.count() > 0
+    assert banned.filter((F.col("keep") == 1) | (F.col("is_keeper") == 1)).count() == 0
+    # the disallowed path is always /p{doc_id % 3}
+    assert banned.filter(
+        F.col("path") != F.concat(F.lit("/p"), (F.col("doc_id") % 3).cast("string"))
+    ).count() == 0
+    # allowed mirror clusters: n_dup == 2 and exactly one keeper
+    mirrors = out.filter((F.col("allowed") == 1) & (F.col("n_dup") == 2))
+    if mirrors.count():
+        per = mirrors.groupBy(F.col("page_id") % 10**9).agg(
+            F.sum("is_keeper").alias("k"), F.count("*").alias("n")
+        )
+        assert per.filter((F.col("n") == 2) & (F.col("k") != 1)).count() == 0
+    # crawl delay is the synth arithmetic
+    assert out.filter(F.col("crawl_delay") != 1 + F.col("doc_id") % 5).count() == 0
+    out.unpersist()

@@ -120,6 +120,12 @@ OPERATORS = {
     "html_structured_extract": "documents",
     "quality_multilang": "documents",
     "crawl_lang_report": "documents",
+    # round-14 additions
+    "crawl_curate_multilang": "documents",
+    "crawl_curate_canonical": "documents",
+    "crawl_codings_census": "documents",
+    "cdx_fetch_plan": "documents",
+    "crawl_curate_boiler_ranked": "documents",
 }
 
 
