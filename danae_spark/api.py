@@ -735,3 +735,31 @@ class DataLakeEngine:
         from danae_spark.operators.frontier import pagerank_frame
 
         return pagerank_frame(nodes, edges, **kw)
+
+    def lang_id(self, docs: DataFrame, **kw) -> DataFrame:
+        """Cavnar-Trenkle character-n-gram language ID over any
+        (id, text) frame: 25-language rank-profile model broadcast as
+        a constant table, out-of-place distance, 'und' for letterless
+        rows (operators/langid.py lang_id_ngram_frame)."""
+        from danae_spark.operators.langid import lang_id_ngram_frame
+
+        return lang_id_ngram_frame(docs, **kw)
+
+    def quality_routed(self, docs: DataFrame, **kw) -> DataFrame:
+        """Language-ROUTED quality scoring over any (id, text) frame:
+        each document's stopword ratio through its PREDICTED
+        language's table; neutral stop leg for unsegmented ja/zh/th
+        (operators/langid.py quality_multilang_frame)."""
+        from danae_spark.operators.langid import quality_multilang_frame
+
+        return quality_multilang_frame(docs, **kw)
+
+    def dup_keeper(self, pages: DataFrame, **kw) -> DataFrame:
+        """Skew-safe exact-duplicate keeper over any (id, text[, rank])
+        frame: two-phase groupBy-on-hash + join back (map-side combine,
+        AQE-skew-splittable — a mega-cluster never lands on one window
+        partition); smallest-id or highest-rank keeper
+        (operators/dedup.py exact_dup_keeper)."""
+        from danae_spark.operators.dedup import exact_dup_keeper
+
+        return exact_dup_keeper(pages, **kw)

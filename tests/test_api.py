@@ -63,3 +63,24 @@ def test_engine_facade_curation_verbs(spark, sf_dir):
     assert {r["doc_id"] for r in curated} == keep and keep
     rewritten = eng.remove_spans(eng.table("documents").select("doc_id", "text"))
     assert rewritten.count() == eng.table("documents").count()
+
+
+def test_engine_facade_r14_verbs(spark, sf_dir):
+    from danae_spark.api import DataLakeEngine
+    from pyspark.sql import functions as F
+
+    engine = DataLakeEngine(spark, sf_dir)
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog read books by the river"),
+         (2, "el zorro marrón salta sobre el perro perezoso cada mañana junto al río")],
+        "doc_id long, text string",
+    )
+    lang = {r["doc_id"]: r["predicted"] for r in engine.lang_id(docs, label_col=None).collect()}
+    assert lang[1] == "en" and lang[2] == "es"
+    q = engine.quality_routed(docs).collect()
+    assert all(r["mq_score"] is not None for r in q)
+    pages = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "solo")], "page_id int, text string"
+    )
+    k = {r["page_id"]: r for r in engine.dup_keeper(pages).collect()}
+    assert k[1]["is_keeper"] == 1 and k[2]["is_keeper"] == 0 and k[3]["n_dup"] == 1
