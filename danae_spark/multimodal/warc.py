@@ -2884,3 +2884,79 @@ SELECT pg.page_id, pg.src_doc AS doc_id, pg.path, pg.allowed,
 FROM pg LEFT JOIN dup USING (page_id)
 ORDER BY pg.page_id
 """
+
+
+# ------------------- composed crawl health report (r14, C100)
+
+
+def crawl_report_full_roundtrip(spark, sf_dir: str):
+    """The FULL crawl health report (r14): ONE row joining the
+    verdicts of four certified families — curation (pages, domains,
+    dup/quality/cap survival, final keep rate), robots compliance
+    (captures a lawful crawler must discard), wire codings (responses
+    lost to undecodable encodings), and language composition (distinct
+    predicted languages among shipped pages). The operator a pipeline
+    owner reads FIRST each crawl cycle; every number re-derives from
+    a registered oracle-certified subplan, so the report can never
+    disagree with the row-level entries.
+
+    Scale shape: four independent aggregates (each one map-side-
+    combined groupBy/agg over its certified plan) cross-joined at one
+    row each — the crossJoins are literal 1x1."""
+    from danae_spark.operators.langid import crawl_lang_report
+    from pyspark.sql import functions as F
+
+    cur = crawl_curate_roundtrip(spark, sf_dir).agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("domain").alias("n_domains"),
+        F.sum((F.col("n_dup") > 1).cast("int")).alias("n_in_dup_cluster"),
+        F.sum(F.col("quality_keep")).alias("n_quality_pass"),
+        F.sum(F.col("keep")).alias("n_kept"),
+        F.round(F.sum(F.col("keep")) / F.count("*"), 6).alias("keep_rate"),
+    )
+    rob = crawl_curate_robots_roundtrip(spark, sf_dir).agg(
+        F.sum(1 - F.col("allowed")).alias("n_disallowed"),
+        F.round(F.sum(F.col("allowed")) / F.count("*"), 6).alias("allowed_rate"),
+    )
+    cod = crawl_codings_census_roundtrip(spark, sf_dir).agg(
+        F.sum("n_rejected").alias("n_coding_rejects"),
+        F.sum("n_decoded").alias("n_coding_decoded"),
+    )
+    lng = crawl_lang_report(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_languages"),
+        F.sum("n_pages").alias("n_lang_pages"),
+    )
+    return cur.crossJoin(rob).crossJoin(cod).crossJoin(lng)
+
+
+def _crawl_report_full_oracle() -> str:
+    from danae_spark.operators.langid import crawl_lang_report_oracle
+
+    return f"""
+WITH cur AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pages,
+         CAST(count(DISTINCT domain) AS BIGINT) AS n_domains,
+         CAST(sum(CASE WHEN n_dup > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_in_dup_cluster,
+         CAST(sum(quality_keep) AS BIGINT) AS n_quality_pass,
+         CAST(sum(keep) AS BIGINT) AS n_kept,
+         ROUND(sum(keep) * 1.0 / count(*), 6) AS keep_rate
+  FROM ({_crawl_curate_oracle()})
+),
+rob AS (
+  SELECT CAST(sum(1 - allowed) AS BIGINT) AS n_disallowed,
+         ROUND(sum(allowed) * 1.0 / count(*), 6) AS allowed_rate
+  FROM ({_crawl_curate_robots_oracle()})
+),
+cod AS (
+  SELECT CAST(sum(n_rejected) AS BIGINT) AS n_coding_rejects,
+         CAST(sum(n_decoded) AS BIGINT) AS n_coding_decoded
+  FROM ({_crawl_codings_census_oracle()})
+),
+lng AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_languages,
+         CAST(sum(n_pages) AS BIGINT) AS n_lang_pages
+  FROM ({crawl_lang_report_oracle()})
+)
+SELECT cur.*, rob.*, cod.*, lng.* FROM cur, rob, cod, lng
+"""

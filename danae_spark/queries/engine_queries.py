@@ -1203,3 +1203,12 @@ def crawl_curate_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep a cluster; crawl-delay carried per row
     (multimodal/warc.py crawl_curate_robots_roundtrip)."""
     return _warc.crawl_curate_robots_roundtrip(spark, sf_dir)
+
+
+@register("crawl_report_full", oracle=_warc._crawl_report_full_oracle())
+def crawl_report_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL crawl health report (r14): one row joining curation,
+    robots-compliance, wire-coding, and language-composition verdicts,
+    each re-derived from its oracle-certified subplan
+    (multimodal/warc.py crawl_report_full_roundtrip)."""
+    return _warc.crawl_report_full_roundtrip(spark, sf_dir)
