@@ -2960,3 +2960,186 @@ lng AS (
 )
 SELECT cur.*, rob.*, cod.*, lng.* FROM cur, rob, cod, lng
 """
+
+
+# --------------- near-duplicate curation (r14, C101)
+
+NEARDUP_TAU = 0.5
+_NEARDUP_WORDS = 40
+
+
+def neardup_page_text(doc_id: int, mirror: bool = False) -> str:
+    """Arithmetic prose with PROVABLY disjoint cross-doc vocabulary
+    (token ranges [50d, 50d+39] never intersect across docs, so zero
+    cross-doc shingles by construction) — the mirror capture appends a
+    short syndication footer, so the two captures are NEAR-dups
+    (Jaccard ~0.93), not exact: the cluster shape ONLY fuzzy dedup can
+    catch."""
+    d = doc_id
+    words = [f"w{d * 50 + i}" for i in range(_NEARDUP_WORDS)]
+    text = " ".join(words)
+    if mirror:
+        text += " mirrored copy notice"
+    return text
+
+
+def synth_neardup_warc(doc_id: int) -> bytes:
+    """One main capture per doc; docs with doc_id % 10 == 3 add an
+    m.-subdomain mirror whose body differs by the footer sentence.
+    Gzip member-per-record on odd docs."""
+    d = doc_id
+    host = f"site{d % 5}.example"
+    captures = [(f"http://{host}/n0", neardup_page_text(d))]
+    if d % 10 == 3:
+        captures.append((f"http://m.{host}/n0", neardup_page_text(d, mirror=True)))
+    recs: list[bytes] = []
+    info = b"software: danae-spark/1.0\r\nformat: WARC File Format 1.1\r\n"
+    recs.append(_record("warcinfo", d * 100, info, {"Content-Type": "application/warc-fields"}))
+    for k, (uri, body_text) in enumerate(captures):
+        html = (
+            f"<html><head><title>N{d % 10}</title></head>"
+            f"<body><p>{body_text}</p></body></html>"
+        ).encode("utf-8")
+        resp = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + html
+        recs.append(
+            _record(
+                "response",
+                d * 100 + k + 1,
+                resp,
+                {"WARC-Target-URI": uri, "Content-Type": "application/http;msgtype=response"},
+            )
+        )
+    if d % 2 == 1:
+        return b"".join(_gzip_member(r) for r in recs)
+    return b"".join(recs)
+
+
+def crawl_curate_neardup_roundtrip(spark, sf_dir: str):
+    """NEAR-duplicate curation (r14): the dedup stage a fuzzy-dedup
+    pipeline (RefinedWeb/C4-class) actually runs — mirror captures
+    whose bytes DIFFER by a syndication footer cluster through n-gram
+    Jaccard (certified ngram_jaccard_pairs: df-capped shingle
+    inverted-index join + exact verify), while the exact-hash keeper
+    sees every page as unique (the exact_n_dup column carries that
+    proof). Keeper = smallest page_id of the near-dup cluster (the
+    fixture's clusters are capture pairs); keep = is_keeper.
+
+    Scale shape: extraction is stateless Arrow mapInPandas; the
+    near-dup stage is the registered-certified shingle join (per-
+    shingle fan-out bounded by the df cap); the exact twin is the
+    two-phase keeper. No windows over text, no cartesians."""
+    from danae_spark.catalog import load_table
+    from danae_spark.multimodal.htmltext import parse_html_text
+    from danae_spark.operators.dedup import exact_dup_keeper, ngram_jaccard_pairs
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+    from pyspark.sql import functions as F
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                for k, (uri, _status, ctype, body) in enumerate(
+                    iter_warc_responses(synth_neardup_warc(d))
+                ):
+                    ext = parse_html_text(body, content_type_charset(ctype))
+                    if ext is None:
+                        continue
+                    rows.append(
+                        {"page_id": d * 2 + k, "doc_id": d, "url": uri, "text": ext["text"]}
+                    )
+            yield pd.DataFrame(rows, columns=["page_id", "doc_id", "url", "text"])
+
+    pages = docs.repartition(stage_parallelism(docs.sparkSession), "doc_id").mapInPandas(
+        batches, schema="page_id bigint, doc_id bigint, url string, text string"
+    )
+    pages = pages.persist()  # feeds the near-dup, exact, and output branches
+    pairs = ngram_jaccard_pairs(
+        pages.select("page_id", "text"), tau=NEARDUP_TAU, id_col="page_id"
+    )
+    touch = pairs.select(
+        F.col("d1").alias("page_id"), F.col("d2").alias("other"), "jaccard"
+    ).unionByName(
+        pairs.select(F.col("d2").alias("page_id"), F.col("d1").alias("other"), "jaccard")
+    )
+    agg = touch.groupBy("page_id").agg(
+        F.count("*").cast("int").alias("n_near"),
+        F.min("other").alias("__min_other"),
+        F.max("jaccard").alias("j_max"),
+    )
+    exact = exact_dup_keeper(pages.select("page_id", "text")).select(
+        "page_id", F.col("n_dup").alias("exact_n_dup")
+    )
+    return (
+        pages.select("page_id", "doc_id", "url")
+        .join(agg, "page_id", "left")
+        .join(exact, "page_id")
+        .select(
+            "page_id",
+            "doc_id",
+            "url",
+            F.coalesce("n_near", F.lit(0)).alias("n_near"),
+            "j_max",
+            "exact_n_dup",
+            (
+                F.col("page_id")
+                <= F.coalesce(F.col("__min_other"), F.col("page_id"))
+            ).cast("int").alias("is_keeper"),
+            (
+                F.col("page_id")
+                <= F.coalesce(F.col("__min_other"), F.col("page_id"))
+            ).cast("int").alias("keep"),
+        )
+        .orderBy("page_id")
+    )
+
+
+def _crawl_curate_neardup_oracle() -> str:
+    from danae_spark.operators.dedup import ngram_jaccard_oracle
+
+    words = (
+        f"array_to_string(list_transform(range(0, {_NEARDUP_WORDS}),"
+        " i -> 'w' || CAST(doc_id * 50 + i AS VARCHAR)), ' ')"
+    )
+    return f"""
+WITH pg AS (
+  SELECT doc_id * 2 AS page_id, doc_id,
+         'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example/n0' AS url,
+         {words} AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1, doc_id,
+         'http://m.site' || CAST(doc_id % 5 AS VARCHAR) || '.example/n0',
+         {words} || ' mirrored copy notice'
+  FROM documents WHERE doc_id % 10 = 3
+),
+pgsrc AS (SELECT page_id AS doc_id, text FROM pg),
+pairs AS ({ngram_jaccard_oracle(source="pgsrc", tau=NEARDUP_TAU)}),
+touch AS (
+  SELECT d1 AS page_id, d2 AS other, jaccard FROM pairs
+  UNION ALL
+  SELECT d2, d1, jaccard FROM pairs
+),
+agg AS (
+  SELECT page_id, CAST(count(*) AS INT) AS n_near,
+         min(other) AS min_other, max(jaccard) AS j_max
+  FROM touch GROUP BY page_id
+),
+ex AS (
+  SELECT page_id, CAST(count(*) OVER (PARTITION BY text) AS INT) AS exact_n_dup
+  FROM pg
+)
+SELECT pg.page_id, pg.doc_id, pg.url,
+       COALESCE(agg.n_near, 0) AS n_near,
+       agg.j_max,
+       ex.exact_n_dup,
+       CAST(pg.page_id <= COALESCE(agg.min_other, pg.page_id) AS INT)
+         AS is_keeper,
+       CAST(pg.page_id <= COALESCE(agg.min_other, pg.page_id) AS INT) AS keep
+FROM pg LEFT JOIN agg USING (page_id) JOIN ex USING (page_id)
+ORDER BY pg.page_id
+"""

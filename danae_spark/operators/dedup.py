@@ -235,6 +235,47 @@ def dedup_ngram_jaccard(
     )
 
 
+def ngram_jaccard_oracle(
+    source: str = "documents",
+    tau: float = JACCARD_TAU,
+    df_cap: int = NGRAM_DF_CAP,
+) -> str:
+    """DuckDB restatement of ngram_jaccard_pairs, source-parameterized
+    (r14) so crawl compositions reuse the exact CTE body over their
+    page relations. `source` holds (doc_id, text)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term,
+             generate_subscripts(string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS pos
+      FROM {source}
+    ), w AS (SELECT doc_id, term, pos FROM toks WHERE term <> ''),
+    rn AS (
+      SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+      FROM w
+    ),
+    sh0 AS (
+      SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+      FROM rn a JOIN rn b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                JOIN rn c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+    ), s_all AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+    s AS (
+      SELECT * FROM s_all WHERE shingle NOT IN (
+        SELECT shingle FROM s_all GROUP BY shingle HAVING count(*) > {df_cap})
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, inter,
+           floor((inter * 1.0 / (s1.n_sh + s2.n_sh - inter)) * power(10, 4) + 0.5001) / power(10, 4) AS jaccard
+    FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE floor((inter * 1.0 / (s1.n_sh + s2.n_sh - inter)) * power(10, 4) + 0.5001) / power(10, 4) >= {tau}
+    ORDER BY d1, d2
+    """
+
+
 DEDUP_NGRAM_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term,

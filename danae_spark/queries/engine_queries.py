@@ -1212,3 +1212,13 @@ def crawl_report_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     each re-derived from its oracle-certified subplan
     (multimodal/warc.py crawl_report_full_roundtrip)."""
     return _warc.crawl_report_full_roundtrip(spark, sf_dir)
+
+
+@register("crawl_curate_neardup", oracle=_warc._crawl_curate_neardup_oracle())
+def crawl_curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate curation (r14): footer-variant mirror captures
+    cluster through the certified n-gram Jaccard near-dup stage while
+    the exact hash sees every page as unique (exact_n_dup carries the
+    proof); keeper = smallest page_id of the near-dup pair
+    (multimodal/warc.py crawl_curate_neardup_roundtrip)."""
+    return _warc.crawl_curate_neardup_roundtrip(spark, sf_dir)

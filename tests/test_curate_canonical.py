@@ -76,3 +76,36 @@ def test_registrable_domain_guard_edges(spark):
     ).collect()
     for r in got:
         assert r["got"] == r["want"], r
+
+
+def test_neardup_curation_catches_what_exact_misses(spark, sf_dir):
+    """r14 fuzzy-dedup-in-curation: every mirror pair clusters through
+    Jaccard (n_near == 1 on both sides, j_max >= tau) while the exact
+    hash sees singletons (exact_n_dup == 1 everywhere); the main
+    capture keeps, the mirror drops; non-mirrored docs are untouched
+    keepers with zero near-neighbors (no cross-doc collisions at the
+    threshold)."""
+    from danae_spark.multimodal.warc import (
+        NEARDUP_TAU,
+        crawl_curate_neardup_roundtrip,
+    )
+    from pyspark.sql import functions as F
+
+    out = crawl_curate_neardup_roundtrip(spark, sf_dir).persist()
+    assert out.filter(F.col("exact_n_dup") != 1).count() == 0  # exact: blind
+    mains = out.filter(F.col("page_id") % 2 == 0)
+    mirrors = out.filter(F.col("page_id") % 2 == 1)
+    assert mirrors.count() > 0
+    assert mirrors.filter(
+        (F.col("n_near") != 1) | (F.col("is_keeper") != 0)
+        | (F.col("j_max") < NEARDUP_TAU)
+    ).count() == 0
+    mirrored_mains = mains.filter(F.col("doc_id") % 10 == 3)
+    assert mirrored_mains.filter(
+        (F.col("n_near") != 1) | (F.col("is_keeper") != 1)
+    ).count() == 0
+    solo = mains.filter(F.col("doc_id") % 10 != 3)
+    assert solo.filter(
+        (F.col("n_near") != 0) | (F.col("keep") != 1)
+    ).count() == 0
+    out.unpersist()
