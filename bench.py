@@ -160,6 +160,7 @@ HEADLINE = [
     "cdx_fetch_plan",
     "crawl_curate_boiler_ranked",
     "crawl_curate_robots",
+    "crawl_curate_neardup",
 ]
 
 
