@@ -126,6 +126,9 @@ OPERATORS = {
     "crawl_codings_census": "documents",
     "cdx_fetch_plan": "documents",
     "crawl_curate_boiler_ranked": "documents",
+    "crawl_curate_robots": "documents",
+    "crawl_curate_neardup": "documents",
+    "crawl_report_full": "documents",
 }
 
 
