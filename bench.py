@@ -161,6 +161,7 @@ HEADLINE = [
     "crawl_curate_boiler_ranked",
     "crawl_curate_robots",
     "crawl_curate_neardup",
+    "dedup_exact_incremental",
 ]
 
 

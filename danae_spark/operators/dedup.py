@@ -2148,3 +2148,95 @@ def line_dedup_oracle(min_df: int = LINE_DF_MIN) -> str:
                                ORDER BY pos), '') AS text_clean
     FROM fl GROUP BY doc_id ORDER BY doc_id
     """
+
+
+# --------------------- incremental exact dedup (r14, C102)
+
+
+def exact_dedup_incremental(
+    state: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    key=None,
+) -> tuple[DataFrame, DataFrame]:
+    """INCREMENTAL exact dedup — the shape a continuously-ingesting
+    pipeline actually runs: yesterday's corpus is a compact STATE
+    table (key hash -> keeper id, one row per distinct content), and
+    each new batch dedups against it without rescanning the corpus.
+
+    Semantics are first-seen-wins (the operational rule — the state's
+    keeper stays canonical even if a later doc has a smaller id; a
+    global min-id re-run would need the full corpus, which is the
+    thing incremental dedup exists to avoid). Within the batch, new
+    content keeps its smallest id.
+
+    Returns (verdicts, new_state):
+      verdicts — one row per batch doc: keeper_id, dup_of_existing
+      (content already in the corpus), dup_in_batch (new content,
+      lost the in-batch race);
+      new_state — the state DELTA to append: one (key_hash,
+      keeper_id) row per distinct NEW content.
+
+    Scale shape: ONE hash join against the state (hash-partitioned,
+    8-byte key; at 100 TB the state is bucketed by key_hash so the
+    join is shuffle-free on the state side) + one map-side-combined
+    groupBy over the batch. The state table is O(distinct content),
+    not O(corpus rows)."""
+    key = F.expr(_NORM) if key is None else key
+    b = batch.select(F.col(id_col).alias("doc_id"), key.alias("__k")).withColumn(
+        "__h", F.xxhash64("__k")
+    ).drop("__k")
+    st = state.select(F.col("key_hash").alias("__h"), F.col("keeper_id").alias("__sk"))
+    bmin = b.groupBy("__h").agg(F.min("doc_id").alias("__bm"))
+    j = b.join(bmin, "__h").join(st, "__h", "left")
+    verdicts = j.select(
+        "doc_id",
+        F.coalesce("__sk", "__bm").alias("keeper_id"),
+        F.col("__sk").isNotNull().cast("int").alias("dup_of_existing"),
+        (F.col("__sk").isNull() & (F.col("doc_id") != F.col("__bm")))
+        .cast("int")
+        .alias("dup_in_batch"),
+    ).orderBy("doc_id")
+    new_state = (
+        bmin.join(st, "__h", "left_anti")
+        .select(F.col("__h").alias("key_hash"), F.col("__bm").alias("keeper_id"))
+    )
+    return verdicts, new_state
+
+
+def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry: docs with doc_id % 3 == 0 are YESTERDAY'S
+    corpus (compacted to state via the same groupBy that built it);
+    the rest arrive as the new batch. Every batch doc gets its
+    incremental verdict."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.filter(F.col("doc_id") % 3 == 0)
+    state = (
+        existing.select(
+            F.xxhash64(F.expr(_NORM)).alias("key_hash"), "doc_id"
+        )
+        .groupBy("key_hash")
+        .agg(F.min("doc_id").alias("keeper_id"))
+    )
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    verdicts, _delta = exact_dedup_incremental(state, batch)
+    return verdicts
+
+
+DEDUP_EXACT_INCREMENTAL_ORACLE = f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    state AS (
+      SELECT norm, min(doc_id) AS keeper FROM d
+      WHERE doc_id % 3 = 0 GROUP BY norm
+    ),
+    batch AS (SELECT * FROM d WHERE doc_id % 3 <> 0),
+    bmin AS (SELECT norm, min(doc_id) AS m FROM batch GROUP BY norm)
+    SELECT b.doc_id,
+           COALESCE(s.keeper, bm.m) AS keeper_id,
+           CAST(s.keeper IS NOT NULL AS INT) AS dup_of_existing,
+           CAST(s.keeper IS NULL AND b.doc_id <> bm.m AS INT) AS dup_in_batch
+    FROM batch b
+    JOIN bmin bm ON b.norm = bm.norm
+    LEFT JOIN state s ON b.norm = s.norm
+    ORDER BY b.doc_id
+    """

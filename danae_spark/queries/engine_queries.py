@@ -1222,3 +1222,17 @@ def crawl_curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     proof); keeper = smallest page_id of the near-dup pair
     (multimodal/warc.py crawl_curate_neardup_roundtrip)."""
     return _warc.crawl_curate_neardup_roundtrip(spark, sf_dir)
+
+
+from danae_spark.operators import dedup as _dedup  # noqa: E402
+
+
+@register("dedup_exact_incremental", oracle=_dedup.DEDUP_EXACT_INCREMENTAL_ORACLE)
+def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (r14) — new batch against yesterday's
+    compact (hash -> keeper) state, first-seen-wins: one hash join +
+    one map-side-combined groupBy, state O(distinct content) not
+    O(corpus); returns per-batch-doc verdicts (dup_of_existing /
+    dup_in_batch / keeper_id) plus a state delta for append
+    (operators/dedup.py exact_dedup_incremental)."""
+    return _dedup.dedup_exact_incremental(spark, sf_dir)

@@ -462,3 +462,57 @@ def test_contamination_spans_locates_planted_leak(spark):
     r = out[0]
     assert (r["corpus_id"], r["bench_id"]) == (1, 100)
     assert r["span_tokens"] == 20 and r["c_start"] == 31 and r["b_start"] == 6
+
+
+def test_incremental_dedup_state_delta_and_replay(spark):
+    """r14 incremental exact dedup: the verdicts split correctly
+    between dup-of-existing / dup-in-batch / new keepers; the returned
+    state DELTA makes a replay of the same batch all-dup (idempotent
+    ingest); appended state equals what a from-scratch state build
+    over the union would produce under first-seen-wins."""
+    from danae_spark.operators.dedup import exact_dedup_incremental
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha body"),     # yesterday
+            (2, "beta body"),      # yesterday
+            (10, "alpha body"),    # batch: dup of existing keeper 1
+            (11, "gamma body"),    # batch: new, keeper
+            (12, "gamma body"),    # batch: new, loses in-batch race
+            (13, "delta body"),    # batch: new singleton keeper
+        ],
+        "doc_id long, text string",
+    )
+    existing = docs.filter(F.col("doc_id") < 10)
+    state = (
+        existing.select(
+            F.xxhash64(
+                F.expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))")
+            ).alias("key_hash"),
+            "doc_id",
+        )
+        .groupBy("key_hash")
+        .agg(F.min("doc_id").alias("keeper_id"))
+    )
+    batch = docs.filter(F.col("doc_id") >= 10)
+    verdicts, delta = exact_dedup_incremental(state, batch)
+    v = {r["doc_id"]: r for r in verdicts.collect()}
+    assert v[10]["dup_of_existing"] == 1 and v[10]["keeper_id"] == 1
+    assert v[11]["dup_of_existing"] == 0 and v[11]["dup_in_batch"] == 0
+    assert v[11]["keeper_id"] == 11
+    assert v[12]["dup_in_batch"] == 1 and v[12]["keeper_id"] == 11
+    assert v[13]["keeper_id"] == 13 and v[13]["dup_in_batch"] == 0
+    drows = {r["keeper_id"] for r in delta.collect()}
+    assert drows == {11, 13}  # one state row per distinct NEW content
+
+    # replay: after appending the delta, the SAME batch is all
+    # dup-of-existing with unchanged keepers
+    state2 = state.unionByName(delta)
+    verdicts2, delta2 = exact_dedup_incremental(state2, batch)
+    v2 = {r["doc_id"]: r for r in verdicts2.collect()}
+    assert all(r["dup_of_existing"] == 1 for r in v2.values())
+    assert {k: r["keeper_id"] for k, r in v2.items()} == {
+        k: r["keeper_id"] for k, r in v.items()
+    }
+    assert delta2.count() == 0
