@@ -162,6 +162,7 @@ HEADLINE = [
     "crawl_curate_robots",
     "crawl_curate_neardup",
     "dedup_exact_incremental",
+    "dedup_minhash_incremental",
 ]
 
 

@@ -2240,3 +2240,180 @@ DEDUP_EXACT_INCREMENTAL_ORACLE = f"""
     LEFT JOIN state s ON b.norm = s.norm
     ORDER BY b.doc_id
     """
+
+
+# ------------------ incremental MinHash dedup (r14, C103)
+
+
+def _md5_signatures(docs: DataFrame, df_cap: int | None = NGRAM_DF_CAP) -> DataFrame:
+    """Wide (doc_id, mh0..mhK) md5-family MinHash signatures — the
+    compact per-doc state an incremental fuzzy-dedup pipeline stores
+    (K longs per doc, independent of document size)."""
+    sh = _cap_shingles(_doc_shingles(docs), df_cap)
+    h = _md5_base_hash()
+    return sh.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_MH_COEFFS)
+        ]
+    )
+
+
+def _md5_bands(sig: DataFrame) -> DataFrame:
+    rows_per_band = MD5_MINHASH_K // MD5_LSH_BANDS
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(MD5_LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+
+MINHASH_INC_TAU = 0.2  # signature-estimate threshold (>= 2/8 matches)
+
+
+def minhash_dedup_incremental(
+    state_sig: DataFrame, batch_sig: DataFrame, tau: float = MINHASH_INC_TAU
+) -> DataFrame:
+    """Incremental NEAR-dup detection: each batch doc's signature is
+    LSH-banded against the stored corpus signatures; same-bucket
+    candidates are scored by the SIGNATURE-estimated Jaccard (the
+    fraction of equal MinHash components — the unbiased estimator a
+    100 TB pipeline uses instead of re-joining the corpus's shingles,
+    which the state deliberately does not keep). Per batch doc:
+    candidate count, the best-matching corpus doc (ties: smallest id),
+    its estimated Jaccard, and the near-dup verdict.
+
+    Scale shape: the band join is hash-partitioned on the band key
+    (the state bands are bucketable); the component comparison is one
+    wide-row join per candidate pair — no shingle materialization, no
+    self-join, state O(K longs) per corpus doc."""
+    cand = (
+        _md5_bands(batch_sig)
+        .withColumnRenamed("doc_id", "bid")
+        .join(
+            _md5_bands(state_sig).withColumnRenamed("doc_id", "sid"),
+            ["band", "key"],
+        )
+        .select("bid", "sid")
+        .distinct()
+    )
+    b = batch_sig.select(
+        F.col("doc_id").alias("bid"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MD5_MINHASH_K)],
+    )
+    s = state_sig.select(
+        F.col("doc_id").alias("sid"),
+        *[F.col(f"mh{i}").alias(f"s{i}") for i in range(MD5_MINHASH_K)],
+    )
+    matches = sum(
+        F.when(F.col(f"b{i}") == F.col(f"s{i}"), 1).otherwise(0)
+        for i in range(MD5_MINHASH_K)
+    )
+    est = (
+        cand.join(b, "bid")
+        .join(s, "sid")
+        .select("bid", "sid", (matches / float(MD5_MINHASH_K)).alias("est"))
+    )
+    agg = est.groupBy("bid").agg(
+        F.count("*").cast("int").alias("n_candidates"),
+        F.max("est").alias("best_est"),
+    )
+    best = (
+        est.join(agg, "bid")
+        .filter(F.col("est") == F.col("best_est"))
+        .groupBy("bid")
+        .agg(F.min("sid").alias("best_match_id"))
+    )
+    return (
+        batch_sig.select(F.col("doc_id").alias("bid"))
+        .join(agg, "bid", "left")
+        .join(best, "bid", "left")
+        .select(
+            F.col("bid").alias("doc_id"),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            "best_match_id",
+            F.col("best_est").alias("est_jaccard"),
+            (F.coalesce("best_est", F.lit(0.0)) >= tau).cast("int").alias("is_near_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry: signatures computed once over the corpus (the
+    shared hash family + df cap at ingest), docs with doc_id % 3 == 0
+    stored as the state, the rest arriving as the batch."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = _md5_signatures(docs)
+    state = sig.filter(F.col("doc_id") % 3 == 0)
+    batch = sig.filter(F.col("doc_id") % 3 != 0)
+    return minhash_dedup_incremental(state, batch)
+
+
+DEDUP_MINHASH_INC_ORACLE = f"""
+    WITH {_SHINGLE_CTE},
+    base AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM s
+    ),
+    coeffs(i, a, b) AS (VALUES {_COEFF_ROWS}),
+    hashed AS (
+      SELECT doc_id, i, (a * h + b) % {MERSENNE_P} AS h
+      FROM base, coeffs
+    ),
+    sig AS (SELECT doc_id, i, min(h) AS mh FROM hashed GROUP BY doc_id, i),
+    bands AS (
+      SELECT doc_id, i // 2 AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS key
+      FROM sig GROUP BY doc_id, i // 2
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS bid, s.doc_id AS sid
+      FROM bands b JOIN bands s ON b.band = s.band AND b.key = s.key
+      WHERE b.doc_id % 3 <> 0 AND s.doc_id % 3 = 0
+    ),
+    est AS (
+      SELECT c.bid, c.sid,
+             sum(CASE WHEN sb.mh = ss.mh THEN 1 ELSE 0 END)
+               / CAST({MD5_MINHASH_K} AS DOUBLE) AS est
+      FROM cand c
+      JOIN sig sb ON sb.doc_id = c.bid
+      JOIN sig ss ON ss.doc_id = c.sid AND ss.i = sb.i
+      GROUP BY c.bid, c.sid
+    ),
+    agg AS (
+      SELECT bid, CAST(count(*) AS INT) AS n_candidates,
+             max(est) AS best_est
+      FROM est GROUP BY bid
+    ),
+    best AS (
+      SELECT e.bid, min(e.sid) AS best_match_id
+      FROM est e JOIN agg ON e.bid = agg.bid AND e.est = agg.best_est
+      GROUP BY e.bid
+    ),
+    batch AS (SELECT DISTINCT doc_id FROM sig WHERE doc_id % 3 <> 0)
+    SELECT b.doc_id,
+           COALESCE(agg.n_candidates, 0) AS n_candidates,
+           best.best_match_id,
+           agg.best_est AS est_jaccard,
+           CAST(COALESCE(agg.best_est, 0.0) >= {MINHASH_INC_TAU} AS INT)
+             AS is_near_dup
+    FROM batch b
+    LEFT JOIN agg ON b.doc_id = agg.bid
+    LEFT JOIN best ON b.doc_id = best.bid
+    ORDER BY b.doc_id
+    """

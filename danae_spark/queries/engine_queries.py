@@ -1236,3 +1236,14 @@ def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_in_batch / keeper_id) plus a state delta for append
     (operators/dedup.py exact_dedup_incremental)."""
     return _dedup.dedup_exact_incremental(spark, sf_dir)
+
+
+@register("dedup_minhash_incremental", oracle=_dedup.DEDUP_MINHASH_INC_ORACLE)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup (r14): batch MinHash signatures
+    LSH-banded against the stored corpus signature state, scored by
+    the signature-estimated Jaccard (no corpus shingle re-join —
+    state is K longs per doc); per-batch-doc candidate count, best
+    corpus match, estimate, and verdict
+    (operators/dedup.py minhash_dedup_incremental)."""
+    return _dedup.dedup_minhash_incremental(spark, sf_dir)

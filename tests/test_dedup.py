@@ -516,3 +516,29 @@ def test_incremental_dedup_state_delta_and_replay(spark):
         k: r["keeper_id"] for k, r in v.items()
     }
     assert delta2.count() == 0
+
+
+def test_incremental_minhash_finds_state_near_dups(spark):
+    """r14 incremental minhash: a batch doc nearly identical to a
+    state doc is flagged (signature estimate high, best match
+    correct); an unrelated batch doc is not."""
+    from danae_spark.operators.dedup import (
+        MINHASH_INC_TAU,
+        _md5_signatures,
+        minhash_dedup_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(58)) + " extra words here"
+    other = " ".join(f"zzz{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(3, base), (10, near), (11, other)], "doc_id long, text string"
+    )
+    sig = _md5_signatures(docs, df_cap=None)
+    state = sig.filter(F.col("doc_id") == 3)
+    batch = sig.filter(F.col("doc_id") != 3)
+    out = {r["doc_id"]: r for r in minhash_dedup_incremental(state, batch).collect()}
+    assert out[10]["is_near_dup"] == 1 and out[10]["best_match_id"] == 3
+    assert out[10]["est_jaccard"] >= MINHASH_INC_TAU
+    assert out[11]["is_near_dup"] == 0 and out[11]["n_candidates"] == 0
