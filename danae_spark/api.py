@@ -763,3 +763,29 @@ class DataLakeEngine:
         from danae_spark.operators.dedup import exact_dup_keeper
 
         return exact_dup_keeper(pages, **kw)
+
+    def dedup_incremental(self, state: DataFrame, batch: DataFrame, **kw):
+        """Incremental exact dedup: new batch against the compact
+        (key_hash -> keeper_id) corpus state, first-seen-wins; returns
+        (verdicts, state_delta) (operators/dedup.py
+        exact_dedup_incremental)."""
+        from danae_spark.operators.dedup import exact_dedup_incremental
+
+        return exact_dedup_incremental(state, batch, **kw)
+
+    def neardup_incremental(self, state_sig: DataFrame, batch_sig: DataFrame, **kw) -> DataFrame:
+        """Incremental near-dup detection: batch MinHash signatures
+        LSH-banded against the stored corpus signatures, scored by the
+        signature-estimated Jaccard (operators/dedup.py
+        minhash_dedup_incremental); build signatures with
+        minhash_signatures()."""
+        from danae_spark.operators.dedup import minhash_dedup_incremental
+
+        return minhash_dedup_incremental(state_sig, batch_sig, **kw)
+
+    def minhash_signatures(self, docs: DataFrame, **kw) -> DataFrame:
+        """Compact MinHash signature state (K longs per doc) for
+        incremental fuzzy dedup (operators/dedup.py _md5_signatures)."""
+        from danae_spark.operators.dedup import _md5_signatures
+
+        return _md5_signatures(docs, **kw)

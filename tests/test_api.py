@@ -84,3 +84,38 @@ def test_engine_facade_r14_verbs(spark, sf_dir):
     )
     k = {r["page_id"]: r for r in engine.dup_keeper(pages).collect()}
     assert k[1]["is_keeper"] == 1 and k[2]["is_keeper"] == 0 and k[3]["n_dup"] == 1
+
+
+def test_engine_facade_incremental_dedup_verbs(spark, sf_dir):
+    from danae_spark.api import DataLakeEngine
+    from pyspark.sql import functions as F
+
+    engine = DataLakeEngine(spark, sf_dir)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (10, "alpha beta gamma delta epsilon zeta eta theta"),
+         (11, "totally different words in this one here now")],
+        "doc_id long, text string",
+    )
+    state = (
+        docs.filter(F.col("doc_id") < 10)
+        .select(
+            F.xxhash64(
+                F.expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))")
+            ).alias("key_hash"),
+            F.col("doc_id").alias("keeper_id"),
+        )
+    )
+    verdicts, delta = engine.dedup_incremental(state, docs.filter(F.col("doc_id") >= 10))
+    v = {r["doc_id"]: r for r in verdicts.collect()}
+    assert v[10]["dup_of_existing"] == 1 and v[10]["keeper_id"] == 1
+    assert v[11]["dup_of_existing"] == 0
+    assert delta.count() == 1
+
+    sig = engine.minhash_signatures(docs, df_cap=None)
+    out = engine.neardup_incremental(
+        sig.filter(F.col("doc_id") < 10), sig.filter(F.col("doc_id") >= 10)
+    )
+    o = {r["doc_id"]: r for r in out.collect()}
+    assert o[10]["is_near_dup"] == 1 and o[10]["best_match_id"] == 1
+    assert o[11]["is_near_dup"] == 0
