@@ -163,6 +163,7 @@ HEADLINE = [
     "crawl_curate_neardup",
     "dedup_exact_incremental",
     "dedup_minhash_incremental",
+    "shuffle_shards",
 ]
 
 

@@ -446,3 +446,158 @@ def pack_sequences_oracle(seq_len: int = 256) -> str:
                 - floor((end_pos - n_tokens) / {seq_len}) + 1 AS BIGINT) AS n_seqs
     FROM c ORDER BY doc_id
     """
+
+
+# ------------------- deterministic shuffle-shard training export
+
+N_SHARDS = 8
+SHARD_SALT = "danae-shards"
+_CHECKSUM_MOD = 2_147_483_647  # per-doc summand < 2^31: sums never overflow
+
+
+def shuffle_shards_frame(
+    docs: DataFrame,
+    n_shards: int = N_SHARDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = SHARD_SALT,
+) -> DataFrame:
+    """Per-doc shard assignment + within-shard shuffle order for a
+    training-data export, over any (id, text) frame.
+
+    Training runs want the corpus GLOBALLY shuffled (so a data-parallel
+    reader never sees source- or time-clustered batches) and cut into
+    fixed shards — but `orderBy(rand())` is neither reproducible nor
+    resumable. Here both decisions derive from a salted md5 of the id:
+
+      shard_id = H(salt#id) % n_shards       (uniform, so shards balance)
+      seq      = rank of H'(salt~id) within the shard (the shuffle order)
+
+    Same doc -> same shard and position on any engine, any cluster size,
+    any run; changing `salt` is a fresh, decorrelated shuffle. Plan: one
+    hash shuffle on shard_id; the seq window reuses that partitioning,
+    and shards are hash-balanced at ~rows/n_shards each, so the per-
+    shard sort is the SAME work the shard writer needs anyway."""
+    out = _shard_assign(docs, n_shards, id_col, text_col, salt)
+    w = W.partitionBy("shard_id").orderBy("pos_key")
+    return out.withColumn("seq", F.row_number().over(w))
+
+
+def _shard_assign(
+    docs: DataFrame, n_shards: int, id_col: str, text_col: str, salt: str
+) -> DataFrame:
+    """Window-free shard assignment (shard_id / pos_key / tokens) — the
+    manifest aggregates over this directly so its plan has no Window."""
+    key = F.conv(
+        F.substring(F.md5(F.concat_ws("#", F.lit(salt), F.col(id_col))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    # unique string (md5 # id) so ordering/min_by never ties
+    pos = F.concat_ws(
+        "#",
+        F.md5(F.concat_ws("~", F.lit(salt), F.col(id_col))),
+        F.col(id_col).cast("string"),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        (key % n_shards).alias("shard_id"),
+        pos.alias("pos_key"),
+        (key % _CHECKSUM_MOD).alias("key_sum"),
+        F.size(F.expr(f"filter(split({text_col}, ' +'), t -> t <> '')")).alias(
+            "tokens"
+        ),
+    )
+
+
+def shard_manifest_frame(assigned: DataFrame) -> DataFrame:
+    """Per-shard manifest over shuffle_shards_frame output: row/token
+    counts, id range, the first doc in shuffle order, and an order-
+    independent checksum of the member key hashes — what a reader
+    verifies before training and a writer publishes next to the files.
+    No window needed: pure map-side-combined aggregates."""
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.min_by("doc_id", "pos_key").alias("first_doc"),
+            F.sum("key_sum").cast("bigint").alias("checksum"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def write_shuffle_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = N_SHARDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = SHARD_SALT,
+    mode: str = "error",
+) -> DataFrame:
+    """Materialize the shuffled export: parquet under
+    `path/shard_id=K/`, rows inside each shard in shuffle (seq) order,
+    plus the manifest at `path/_shard_manifest` (underscore-prefixed, so
+    readers of `path` skip it). One shuffle total: the seq window hash-
+    partitions on shard_id, rows leave the window sorted by pos_key, and
+    partitionBy('shard_id') splits each task's (single-shard) output
+    into its directory preserving that order. Returns the manifest."""
+    assigned = shuffle_shards_frame(docs, n_shards, id_col, text_col, salt)
+    joined = assigned.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        "doc_id",
+    )
+    # re-sort within the (already shard-partitioned) tasks: the join may
+    # have disturbed the window's row order
+    (
+        joined.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "pos_key")
+        .select("doc_id", "shard_id", "seq", "tokens", "text")
+        .write.mode(mode)
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    manifest = shard_manifest_frame(assigned)
+    manifest.coalesce(1).write.mode(mode).parquet(path + "/_shard_manifest")
+    return manifest
+
+
+def shuffle_shards(
+    spark: SparkSession, sf_dir: str, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """Documents-table entry: the shard manifest of the deterministic
+    shuffle export (shard sizes, token counts, shuffle-order head,
+    member checksum). Window-free: the manifest is a single map-side-
+    combined aggregate over the assignment expressions."""
+    return shard_manifest_frame(
+        _shard_assign(
+            load_table(spark, sf_dir, "documents"),
+            n_shards, "doc_id", "text", SHARD_SALT,
+        )
+    )
+
+
+def shuffle_shards_oracle(n_shards: int = N_SHARDS, salt: str = SHARD_SALT) -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('{salt}' || '#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS key_hash,
+             md5('{salt}' || '~' || CAST(doc_id AS VARCHAR))
+               || '#' || CAST(doc_id AS VARCHAR) AS pos_key,
+             len(list_filter(string_split_regex(text, ' +'), t -> t <> '')) AS tokens
+      FROM documents
+    )
+    SELECT key_hash % {n_shards} AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc,
+           arg_min(doc_id, pos_key) AS first_doc,
+           CAST(SUM(key_hash % {_CHECKSUM_MOD}) AS BIGINT) AS checksum
+    FROM d GROUP BY shard_id ORDER BY shard_id
+    """

@@ -245,6 +245,19 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sampling.pack_sequences(spark, sf_dir)
 
 
+@register("shuffle_shards", oracle=_sampling.shuffle_shards_oracle())
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-shard training export (r14): every doc's
+    shard and within-shard position derive from a salted md5 of its id
+    (reproducible on any engine/cluster/run, unlike orderBy(rand())),
+    shards hash-balance at ~rows/n_shards, and the registered result is
+    the per-shard MANIFEST a reader verifies before training: counts,
+    token totals, id range, shuffle-order head, member checksum
+    (operators/sampling.py shuffle_shards_frame /
+    write_shuffle_shards)."""
+    return _sampling.shuffle_shards(spark, sf_dir)
+
+
 @register("frequent_ngrams", oracle=_textstats.frequent_ngrams_oracle())
 def frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide frequent word n-grams with term/document frequencies

@@ -185,3 +185,95 @@ def test_grouped_split_is_leakage_safe(spark):
         for r in deterministic_split_frame(keys, id_col="domain").collect()
     }
     assert key_split == group_split
+
+
+# ------------------- deterministic shuffle-shard training export
+
+
+def test_shuffle_shards_manifest_matches_oracle(spark, sf_dir):
+    out = sampling.shuffle_shards(spark, sf_dir)
+    s_rows = [tuple(r) for r in out.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{table_path(sf_dir, 'documents')}'"
+    )
+    d_rows = [tuple(r) for r in con.execute(sampling.shuffle_shards_oracle()).fetchall()]
+    con.close()
+    assert s_rows == d_rows and len(s_rows) == sampling.N_SHARDS
+
+
+def test_shuffle_shards_assignment_properties(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id")).alias("text"),
+    )
+    a = sampling.shuffle_shards_frame(docs, n_shards=4)
+    rows = {r["doc_id"]: r for r in a.collect()}
+    assert len(rows) == 400
+    # every shard populated and roughly balanced (hash-uniform)
+    from collections import Counter
+
+    sizes = Counter(r["shard_id"] for r in rows.values())
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) < 2 * min(sizes.values())
+    # seq is a 1..n permutation inside each shard
+    for sh in sizes:
+        seqs = sorted(r["seq"] for r in rows.values() if r["shard_id"] == sh)
+        assert seqs == list(range(1, sizes[sh] + 1))
+    # deterministic: a second run assigns identically
+    b = {r["doc_id"]: (r["shard_id"], r["seq"]) for r in
+         sampling.shuffle_shards_frame(docs, n_shards=4).collect()}
+    assert b == {d: (r["shard_id"], r["seq"]) for d, r in rows.items()}
+    # the shuffle order is NOT the id order (it's a real shuffle): some
+    # consecutive ids land non-consecutively within a shard
+    by_seq = sorted(
+        (r["seq"], r["doc_id"]) for r in rows.values() if r["shard_id"] == 0
+    )
+    ids_in_order = [d for _, d in by_seq]
+    assert ids_in_order != sorted(ids_in_order)
+    # a different salt is a decorrelated shuffle
+    c = {r["doc_id"]: (r["shard_id"], r["seq"]) for r in
+         sampling.shuffle_shards_frame(docs, n_shards=4, salt="other").collect()}
+    assert c != b
+
+
+def test_write_shuffle_shards_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), F.col("id"), F.lit(" x y")).alias("text"),
+    )
+    path = str(tmp_path / "export")
+    manifest = sampling.write_shuffle_shards(docs, path, n_shards=4)
+    m = {r["shard_id"]: r for r in manifest.collect()}
+
+    # reading the export root skips the _shard_manifest sidecar
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    assert set(back.columns) == {"doc_id", "shard_id", "seq", "tokens", "text"}
+
+    # per-shard: file row order IS the shuffle (seq) order, counts and
+    # token totals match the manifest, first_doc is the seq=1 doc
+    for sh in range(4):
+        rows = spark.read.parquet(f"{path}/shard_id={sh}").collect()
+        assert [r["seq"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) == m[sh]["n_docs"]
+        assert sum(r["tokens"] for r in rows) == m[sh]["n_tokens"]
+        assert rows[0]["doc_id"] == m[sh]["first_doc"]
+
+    # the manifest sidecar is itself readable and identical
+    side = {r["shard_id"]: r for r in
+            spark.read.parquet(path + "/_shard_manifest").collect()}
+    assert {k: tuple(v) for k, v in side.items()} == {k: tuple(v) for k, v in m.items()}
+
+
+def test_shuffle_shards_plan_is_single_shuffle(spark, sf_dir):
+    # the manifest plan: partial aggregates map-side, ONE hash exchange
+    # on shard_id, and no Window operator anywhere (the seq window lives
+    # only on the per-doc/writer path)
+    plan = sampling.shuffle_shards(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
