@@ -164,6 +164,7 @@ HEADLINE = [
     "dedup_exact_incremental",
     "dedup_minhash_incremental",
     "shuffle_shards",
+    "image_exif_extract",
 ]
 
 

@@ -644,6 +644,22 @@ def id3_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _id3.id3_extract_roundtrip(spark, sf_dir)
 
 
+from danae_spark.multimodal import exif as _exif  # noqa: E402
+
+
+@register("image_exif_extract", oracle=_exif.EXIF_ORACLE)
+def image_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF/TIFF IFD extraction from JPEG APP1 (r14): per doc a real
+    baseline JPEG with a synthesized EXIF block (both byte orders,
+    Make/Model/Orientation, Exif sub-IFD datetime + pixel dims, GPS
+    DMS rationals on the d%3 docs, no-EXIF and truncated-TIFF docs in
+    the grid), decoded by the real bounds-checked IFD walk; GPS
+    coordinates are a PII surface for a training corpus, so presence
+    and signed decimal degrees are first-class outputs
+    (multimodal/exif.py)."""
+    return _exif.image_exif_roundtrip(spark, sf_dir)
+
+
 from danae_spark.multimodal import htmltext as _html  # noqa: E402
 from danae_spark.multimodal import warc as _warc  # noqa: E402
 

@@ -1,0 +1,116 @@
+"""EXIF/TIFF IFD extraction: grid parity, reject-whole robustness."""
+
+from __future__ import annotations
+
+import struct
+
+import duckdb
+import pytest
+
+from danae_spark.catalog import table_path
+from danae_spark.multimodal import exif
+from danae_spark.multimodal.exif import parse_exif, synth_exif_jpeg
+
+
+def test_exif_roundtrip_matches_oracle(spark, sf_dir):
+    from danae_spark.multimodal.exif import image_exif_roundtrip, EXIF_ORACLE
+
+    out = image_exif_roundtrip(spark, sf_dir)
+    s_rows = [tuple(r) for r in out.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{table_path(sf_dir, 'documents')}'"
+    )
+    d_rows = [tuple(r) for r in con.execute(EXIF_ORACLE).fetchall()]
+    con.close()
+    assert s_rows == d_rows and len(s_rows) > 0
+    # the grid exercises every leg: both endians, GPS, no-EXIF, malformed
+    by_col = list(zip(*s_rows))
+    assert {"II", "MM"} <= set(by_col[2])
+    assert 0 in by_col[1] and 1 in by_col[1]
+    assert any(v is not None and v < 0 for v in by_col[10])  # southern lat
+
+
+def test_exif_both_endians_decode_identically():
+    a, b = parse_exif(synth_exif_jpeg(10)), parse_exif(synth_exif_jpeg(11))
+    assert a["endian"] == "II" and b["endian"] == "MM"
+    for d in (22, 23):  # 20 is a no-EXIF (d%7==6) grid doc
+        c = parse_exif(synth_exif_jpeg(d))
+        g = exif._grid(d)
+        assert (c["make"], c["model"], c["orientation"]) == (
+            g["make"], g["model"], g["orientation"]
+        )
+
+
+def test_exif_gps_sign_conventions():
+    # d=18: even -> N (positive), d%4=2 -> W (negative longitude)
+    c = parse_exif(synth_exif_jpeg(18))
+    assert c["has_gps"] == 1 and c["gps_lat"] > 0 and c["gps_lon"] < 0
+    # d=15: odd -> S (negative), d%4=3 -> W
+    c = parse_exif(synth_exif_jpeg(15))
+    assert c["gps_lat"] <= 0 and c["gps_lon"] < 0
+
+
+def test_exif_reject_whole_on_corruption():
+    base = synth_exif_jpeg(0)  # II, GPS-bearing
+    assert parse_exif(base)["has_gps"] == 1
+    # truncating anywhere inside the APP1 never yields garbled metadata:
+    # every prefix parses to None (reject) or a structurally earlier
+    # verdict -- never an exception
+    (seglen,) = struct.unpack_from(">H", base, 4)
+    for cut in range(2, 2 + 2 + seglen):
+        parse_exif(base[:cut])
+    # zero rational denominator rejects
+    bad = bytearray(base)
+    pos = bad.find(struct.pack("<HHL", 0x0002, 5, 3))  # GPS lat entry (II)
+    assert pos > 0
+    (voff,) = struct.unpack_from("<L", bad, pos + 8)
+    tiff_base = 2 + 4 + 6  # SOI + APP1 marker/len + Exif\0\0
+    struct.pack_into("<L", bad, tiff_base + voff + 4, 0)  # first denominator
+    assert parse_exif(bytes(bad)) is None
+    # bad TIFF byte-order mark rejects
+    bad = bytearray(base)
+    bad[tiff_base : tiff_base + 2] = b"XX"
+    assert parse_exif(bytes(bad)) is None
+    # non-JPEG payload
+    assert parse_exif(b"not a jpeg at all") is None
+
+
+def test_exif_pointer_cycle_terminates():
+    # hand-build a TIFF whose IFD0 Exif pointer points back at IFD0
+    end = "<"
+    ifd0_off = 8
+    entry = struct.pack(end + "HHL", 0x8769, 4, 1) + struct.pack(end + "L", ifd0_off)
+    ifd0 = struct.pack(end + "H", 1) + entry + struct.pack(end + "L", 0)
+    tiff = b"II" + struct.pack(end + "HL", 42, ifd0_off) + ifd0
+    body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    jpeg = b"\xff\xd8" + app1 + b"\xff\xd9"
+    assert parse_exif(jpeg) is None  # cycle detected, not a hang
+
+
+def test_exif_frame_over_binary_column(spark):
+    rows = [(d, synth_exif_jpeg(d)) for d in range(12)] + [(99, None), (98, b"junk")]
+    df = spark.createDataFrame(rows, "img_id long, payload binary")
+    out = {r["img_id"]: r for r in exif.exif_frame(df, id_col="img_id").collect()}
+    assert len(out) == 14
+    assert out[0]["has_exif"] == 1 and out[0]["has_gps"] == 1
+    assert out[6]["has_exif"] == 0  # d%7==6: no EXIF
+    assert out[99]["has_exif"] == 0 and out[98]["has_exif"] == 0
+    # the carrier is still a DECODABLE real JPEG
+    from danae_spark.multimodal.jpegcodec import decode_jpeg
+
+    assert decode_jpeg(synth_exif_jpeg(5)) is not None
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_exif_fuzz_bitflips_never_crash(seed):
+    import random
+
+    rng = random.Random(seed)
+    base = bytearray(synth_exif_jpeg(seed * 3))
+    for _ in range(200):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        parse_exif(bytes(b))  # any verdict, never an exception
