@@ -165,6 +165,7 @@ HEADLINE = [
     "dedup_minhash_incremental",
     "shuffle_shards",
     "image_exif_extract",
+    "crawl_snapshot_diff",
 ]
 
 

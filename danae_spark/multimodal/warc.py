@@ -3143,3 +3143,157 @@ SELECT pg.page_id, pg.doc_id, pg.url,
 FROM pg LEFT JOIN agg USING (page_id) JOIN ex USING (page_id)
 ORDER BY pg.page_id
 """
+
+
+# ------------------------ cross-snapshot crawl diff (two dated dumps)
+
+
+def _snapshot_pages(d: int, snap: int) -> list[tuple[int, int]]:
+    """(page p, html seed e) inventory of snapshot `snap` for site-doc
+    d — the grid _SNAPSHOT_DIFF_ORACLE restates: snapshot A holds pages
+    p < 1 + d%3 at e = d*16 + 2p; in snapshot B the (d+p)%4==1 pages
+    are GONE, the (d+p)%4==0 pages CHANGED content (e+1), even docs
+    gained one page, the rest are byte-identical."""
+    n_a = 1 + d % 3
+    pages = [(p, d * 16 + 2 * p) for p in range(n_a)]
+    if snap == 0:
+        return pages
+    out = []
+    for p, e in pages:
+        if (d + p) % 4 == 1:
+            continue  # gone in B
+        out.append((p, e + 1 if (d + p) % 4 == 0 else e))
+    if d % 2 == 0:
+        out.append((n_a, d * 16 + 2 * n_a))  # added in B
+    return out
+
+
+def synth_snapshot_warc(doc_id: int, snap: int) -> bytes:
+    """One of two dated captures of a synthetic site: response records
+    for the snapshot's page inventory (real HTML bodies, the usual
+    identity/chunked/gzip wire rotation), gzip member-per-record on odd
+    docs. URL namespace is per-doc (/d{d}/p{p}) so inventories key
+    cleanly on (doc, url)."""
+    from danae_spark.multimodal.htmltext import synth_html
+
+    d = int(doc_id)
+    host = f"site{d % 5}.example"
+    recs = []
+    for p, e in _snapshot_pages(d, snap):
+        uri = f"http://{host}/d{d}/p{p}"
+        resp = encode_200_response(synth_html(e), wire_encoding(d, p))
+        recs.append(
+            _record(
+                "response",
+                d * 1000 + snap * 100 + p,
+                resp,
+                {"WARC-Target-URI": uri, "Content-Type": "application/http;msgtype=response"},
+            )
+        )
+    if d % 2 == 1:
+        return b"".join(_gzip_member(r) for r in recs)
+    return b"".join(recs)
+
+
+def _snapshot_inventory(spark, sf_dir: str, snap: int):
+    """(doc_id, url, digest) inventory of one snapshot: real WARC walk
+    -> HTTP decode -> HTML text extraction -> md5 of the text (the
+    payload digest a CDX line would carry)."""
+    import hashlib
+
+    from danae_spark.catalog import load_table
+    from danae_spark.multimodal.htmltext import parse_html_text
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                for uri, status, ctype, body in iter_warc_responses(
+                    synth_snapshot_warc(d, snap)
+                ):
+                    ext = parse_html_text(body, content_type_charset(ctype))
+                    if status == 200 and ext is not None:
+                        rows.append(
+                            {
+                                "doc_id": d,
+                                "url": uri,
+                                "digest": hashlib.md5(
+                                    ext["text"].encode("utf-8")
+                                ).hexdigest(),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=["doc_id", "url", "digest"])
+
+    return docs.repartition(stage_parallelism(docs.sparkSession), "doc_id").mapInPandas(
+        batches, schema="doc_id bigint, url string, digest string"
+    )
+
+
+def crawl_snapshot_diff_roundtrip(spark, sf_dir: str):
+    """Cross-snapshot crawl diff, oracle-certified end-to-end: both
+    dated dumps are REAL WARC bytes walked by the real validator, page
+    text comes through the real HTML extractor, digests are md5 of
+    that text, and the verdicts come from the generic full-outer diff
+    (operators/urlops.py snapshot_diff_frame). The oracle re-derives
+    both inventories from the shared html_text_sql arithmetic and
+    joins them the same way — the value hash covers every digest."""
+    from danae_spark.operators.urlops import snapshot_diff_frame
+
+    a = _snapshot_inventory(spark, sf_dir, 0)
+    b = _snapshot_inventory(spark, sf_dir, 1)
+    return snapshot_diff_frame(a, b, key_cols=("doc_id", "url")).orderBy(
+        "doc_id", "url"
+    )
+
+
+def _snapshot_diff_oracle() -> str:
+    from danae_spark.multimodal.htmltext import html_text_sql
+
+    url = (
+        "'http://site' || CAST(t.doc_id % 5 AS VARCHAR) || '.example/d'"
+        " || CAST(t.doc_id AS VARCHAR) || '/p' || CAST(t.p AS VARCHAR)"
+    )
+    return f"""
+WITH pa AS (
+  SELECT d.doc_id, p.p, d.doc_id * 16 + 2 * p.p AS e
+  FROM documents d, generate_series(0, 2) p(p)
+  WHERE p.p < 1 + d.doc_id % 3
+),
+pb AS (
+  SELECT doc_id, p,
+         CASE WHEN (doc_id + p) % 4 = 0 THEN e + 1 ELSE e END AS e
+  FROM pa WHERE (doc_id + p) % 4 <> 1
+  UNION ALL
+  SELECT doc_id, 1 + doc_id % 3 AS p,
+         doc_id * 16 + 2 * (1 + doc_id % 3) AS e
+  FROM documents WHERE doc_id % 2 = 0
+),
+xa AS ({html_text_sql("SELECT doc_id, e FROM pa")}),
+xb AS ({html_text_sql("SELECT doc_id, e FROM pb")}),
+sa AS (
+  SELECT t.doc_id, {url} AS url, md5(x.text) AS digest_a
+  FROM pa t JOIN xa x ON t.doc_id = x.doc_id AND t.e = x.e
+),
+sb AS (
+  SELECT t.doc_id, {url} AS url, md5(x.text) AS digest_b
+  FROM pb t JOIN xb x ON t.doc_id = x.doc_id AND t.e = x.e
+)
+SELECT COALESCE(sa.doc_id, sb.doc_id) AS doc_id,
+       COALESCE(sa.url, sb.url) AS url,
+       CASE WHEN sa.url IS NULL THEN 'added'
+            WHEN sb.url IS NULL THEN 'gone'
+            WHEN digest_a <> digest_b THEN 'changed'
+            ELSE 'unchanged' END AS verdict,
+       digest_a, digest_b
+FROM sa FULL JOIN sb ON sa.doc_id = sb.doc_id AND sa.url = sb.url
+ORDER BY doc_id, url
+"""
+
+
+SNAPSHOT_DIFF_ORACLE = _snapshot_diff_oracle()

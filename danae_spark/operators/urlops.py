@@ -461,3 +461,36 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# ------------------------- cross-snapshot inventory diff
+
+def snapshot_diff_frame(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: tuple[str, ...] = ("url",),
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Diff two keyed digest inventories — the op a recurring crawl
+    runs between dumps (url -> payload digest), and equally a partition
+    -manifest or state-table reconciliation: every key classified as
+    `added` (B only), `gone` (A only), `changed` (digest differs) or
+    `unchanged`, with both digests carried for audit.
+
+    Plan: one hash shuffle per side on the key set, a single full-outer
+    sort-merge/hash join, row-wise CASE — no windows, no collects; AQE
+    skew-splits a hot key (one mega-host's URLs) at runtime."""
+    keys = list(key_cols)
+    a2 = a.select(*keys, F.col(digest_col).alias("digest_a"))
+    b2 = b.select(*keys, F.col(digest_col).alias("digest_b"))
+    verdict = (
+        F.when(F.col("digest_a").isNull(), F.lit("added"))
+        .when(F.col("digest_b").isNull(), F.lit("gone"))
+        .when(F.col("digest_a") != F.col("digest_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        a2.join(b2, on=keys, how="full_outer")
+        .withColumn("verdict", verdict)
+        .select(*keys, "verdict", "digest_a", "digest_b")
+    )

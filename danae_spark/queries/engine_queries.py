@@ -1109,6 +1109,19 @@ def crawl_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _warc.crawl_revisit_dedup_roundtrip(spark, sf_dir)
 
 
+@register("crawl_snapshot_diff", oracle=_warc.SNAPSHOT_DIFF_ORACLE)
+def crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot crawl diff (r14): two dated dumps of the same
+    sites, every URL classified added / gone / changed / unchanged by
+    payload-text digest — the reconciliation a recurring crawl runs
+    between dumps to schedule refetches and retire dead pages. Both
+    inventories are real WARC bytes through the real HTTP+HTML decode,
+    digests are md5 of the extracted text, verdicts come from the
+    generic full-outer keyed diff (operators/urlops.py
+    snapshot_diff_frame; multimodal/warc.py synth_snapshot_warc)."""
+    return _warc.crawl_snapshot_diff_roundtrip(spark, sf_dir)
+
+
 @register("html_structured_extract", oracle=_html.HTML_STRUCTURED_ORACLE)
 def html_structured_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML structured-data extraction (r12): the attribute layer the

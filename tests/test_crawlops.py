@@ -638,3 +638,68 @@ def test_robots_gated_curation_semantics(spark, sf_dir):
     # crawl delay is the synth arithmetic
     assert out.filter(F.col("crawl_delay") != 1 + F.col("doc_id") % 5).count() == 0
     out.unpersist()
+
+
+# ------------------------ cross-snapshot crawl diff
+
+
+def test_snapshot_diff_matches_oracle_and_exercises_all_verdicts(spark, sf_dir):
+    import duckdb
+
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal import warc
+
+    out = warc.crawl_snapshot_diff_roundtrip(spark, sf_dir)
+    s_rows = [tuple(r) for r in out.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{table_path(sf_dir, 'documents')}'"
+    )
+    d_rows = [tuple(r) for r in con.execute(warc.SNAPSHOT_DIFF_ORACLE).fetchall()]
+    con.close()
+    assert s_rows == d_rows and len(s_rows) > 0
+    verdicts = {r[2] for r in s_rows}
+    assert verdicts == {"added", "gone", "changed", "unchanged"}
+    for _, _, verdict, da, db in s_rows:
+        if verdict == "added":
+            assert da is None and db is not None
+        elif verdict == "gone":
+            assert da is not None and db is None
+        elif verdict == "changed":
+            assert da is not None and db is not None and da != db
+        else:
+            assert da == db and da is not None
+
+
+def test_snapshot_diff_frame_generic(spark):
+    from pyspark.sql import Row
+
+    from danae_spark.operators.urlops import snapshot_diff_frame
+
+    a = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2"), ("u3", "h3")], "url string, digest string"
+    )
+    b = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "hX"), ("u4", "h4")], "url string, digest string"
+    )
+    out = {r["url"]: r for r in snapshot_diff_frame(a, b).collect()}
+    assert out["u1"]["verdict"] == "unchanged"
+    assert out["u2"]["verdict"] == "changed"
+    assert out["u3"]["verdict"] == "gone"
+    assert out["u4"]["verdict"] == "added" and out["u4"]["digest_b"] == "h4"
+    # composite keys coalesce on the full outer join (no null key halves)
+    a2 = spark.createDataFrame([(1, "u", "h")], "site long, url string, digest string")
+    b2 = spark.createDataFrame([(2, "u", "h")], "site long, url string, digest string")
+    rows = snapshot_diff_frame(a2, b2, key_cols=("site", "url")).collect()
+    assert {(r["site"], r["verdict"]) for r in rows} == {(1, "gone"), (2, "added")}
+
+
+def test_snapshot_diff_plan_is_one_join_no_window(spark, sf_dir):
+    from danae_spark.multimodal import warc
+
+    plan = (
+        warc.crawl_snapshot_diff_roundtrip(spark, sf_dir)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("Join FullOuter") == 1, plan
+    assert "Window" not in plan, plan
