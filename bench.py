@@ -166,6 +166,7 @@ HEADLINE = [
     "shuffle_shards",
     "image_exif_extract",
     "crawl_snapshot_diff",
+    "crawl_sitemap_coverage",
 ]
 
 

@@ -3297,3 +3297,140 @@ ORDER BY doc_id, url
 
 
 SNAPSHOT_DIFF_ORACLE = _snapshot_diff_oracle()
+
+
+# -------------------- sitemap-vs-crawl coverage audit (discovery gap)
+
+
+def synth_coverage_sitemap(doc_id: int) -> bytes:
+    """The sitemap a synth_warc(d) site WOULD publish, with a
+    deterministic promise gap: it promises pages p < 2 + d%3 (one MORE
+    than the crawl captured) but omits p=0 on d%4==2 docs (a page the
+    crawl found that the sitemap never listed); lastmod on even p;
+    gzip-wrapped on d%3==1 (the real decode path). Parsed back by the
+    real sitemap parser — never by string matching."""
+    d = int(doc_id)
+    host = f"site{d % 5}.example"
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+    ]
+    for p in range(2 + d % 3):
+        if p == 0 and d % 4 == 2:
+            continue
+        out.append("  <url>")
+        out.append(f"    <loc>http://{host}/p{p}</loc>")
+        if p % 2 == 0:
+            out.append(f"    <lastmod>2026-0{1 + (d + p) % 9}-15</lastmod>")
+        out.append("  </url>")
+    out.append("</urlset>")
+    xml = "\n".join(out).encode("utf-8")
+    if d % 3 == 1:
+        c = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return c.compress(xml) + c.flush()
+    return xml
+
+
+def crawl_sitemap_coverage_roundtrip(spark, sf_dir: str):
+    """Sitemap-vs-crawl coverage audit: every URL either promised by
+    the site's sitemap, captured by the crawl, or both — the report
+    that drives the next fetch plan (sitemap_only rows are the
+    discovery backlog; crawl_only rows are pages the site no longer
+    advertises). Both sides are real bytes through the real parsers
+    (synth_warc -> WARC/HTTP walk; synth_coverage_sitemap -> the
+    sitemap XML parser incl. its gzip path); the audit itself is one
+    full-outer hash join on (doc, url) — no windows, AQE-skew-safe at
+    a 100 TB crawl against a billion-loc sitemap table."""
+    from danae_spark.catalog import load_table
+    from danae_spark.operators.sitemap import _load_entries
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    par = stage_parallelism(spark)
+
+    def cap_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                for uri, status, _ctype, _body in iter_warc_responses(synth_warc(d)):
+                    rows.append({"doc_id": d, "url": uri, "status": status})
+            yield pd.DataFrame(rows, columns=["doc_id", "url", "status"])
+
+    def prom_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                got = _load_entries(synth_coverage_sitemap(d))
+                if got is None:
+                    continue
+                _root, entries, _gz = got
+                for e in entries:
+                    rows.append(
+                        {"doc_id": d, "url": e["loc"], "lastmod": e.get("lastmod")}
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "url", "lastmod"])
+
+    cap = docs.repartition(par, "doc_id").mapInPandas(
+        cap_batches, schema="doc_id bigint, url string, status int"
+    )
+    prom = docs.repartition(par, "doc_id").mapInPandas(
+        prom_batches, schema="doc_id bigint, url string, lastmod string"
+    )
+    from pyspark.sql import functions as F
+
+    joined = cap.join(
+        prom.withColumn("lastmod_seen", F.lit(1)), on=["doc_id", "url"], how="full_outer"
+    )
+    return (
+        joined.select(
+            "doc_id",
+            "url",
+            F.coalesce("lastmod_seen", F.lit(0)).cast("int").alias("promised"),
+            F.col("status").isNotNull().cast("int").alias("captured"),
+            "status",
+            "lastmod",
+            F.when(F.col("status").isNull(), F.lit("sitemap_only"))
+            .when(F.col("lastmod_seen").isNull(), F.lit("crawl_only"))
+            .otherwise(F.lit("both"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id", "url")
+    )
+
+
+SITEMAP_COVERAGE_ORACLE = """
+WITH cap AS (
+  SELECT d.doc_id, p.p,
+         'http://site' || CAST(d.doc_id % 5 AS VARCHAR) || '.example/p'
+           || CAST(p.p AS VARCHAR) AS url,
+         CAST(CASE WHEN (d.doc_id + p.p) % 5 = 4 THEN 301 ELSE 200 END AS INT)
+           AS status
+  FROM documents d, generate_series(0, 2) p(p)
+  WHERE p.p < 1 + d.doc_id % 3
+),
+prom AS (
+  SELECT d.doc_id, p.p,
+         'http://site' || CAST(d.doc_id % 5 AS VARCHAR) || '.example/p'
+           || CAST(p.p AS VARCHAR) AS url,
+         CASE WHEN p.p % 2 = 0
+              THEN '2026-0' || CAST(1 + (d.doc_id + p.p) % 9 AS VARCHAR) || '-15'
+         END AS lastmod
+  FROM documents d, generate_series(0, 4) p(p)
+  WHERE p.p < 2 + d.doc_id % 3 AND NOT (p.p = 0 AND d.doc_id % 4 = 2)
+)
+SELECT COALESCE(c.doc_id, s.doc_id) AS doc_id,
+       COALESCE(c.url, s.url) AS url,
+       CAST(s.url IS NOT NULL AS INT) AS promised,
+       CAST(c.url IS NOT NULL AS INT) AS captured,
+       c.status,
+       s.lastmod,
+       CASE WHEN c.url IS NULL THEN 'sitemap_only'
+            WHEN s.url IS NULL THEN 'crawl_only'
+            ELSE 'both' END AS verdict
+FROM cap c FULL JOIN prom s ON c.doc_id = s.doc_id AND c.url = s.url
+ORDER BY doc_id, url
+"""

@@ -1122,6 +1122,19 @@ def crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _warc.crawl_snapshot_diff_roundtrip(spark, sf_dir)
 
 
+@register("crawl_sitemap_coverage", oracle=_warc.SITEMAP_COVERAGE_ORACLE)
+def crawl_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-vs-crawl coverage audit (r14): every URL classified
+    both / sitemap_only (the discovery backlog the next fetch plan
+    must cover) / crawl_only (pages the site no longer advertises),
+    with capture status and promised lastmod carried per row. Both
+    inventories are real bytes through the real parsers (synth_warc
+    WARC walk; the sitemap XML parser incl. its gzip path); the audit
+    is one full-outer hash join on (doc, url)
+    (multimodal/warc.py crawl_sitemap_coverage_roundtrip)."""
+    return _warc.crawl_sitemap_coverage_roundtrip(spark, sf_dir)
+
+
 @register("html_structured_extract", oracle=_html.HTML_STRUCTURED_ORACLE)
 def html_structured_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML structured-data extraction (r12): the attribute layer the

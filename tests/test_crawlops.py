@@ -703,3 +703,35 @@ def test_snapshot_diff_plan_is_one_join_no_window(spark, sf_dir):
     )
     assert plan.count("Join FullOuter") == 1, plan
     assert "Window" not in plan, plan
+
+
+def test_sitemap_coverage_matches_oracle_and_legs(spark, sf_dir):
+    import duckdb
+
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal import warc
+
+    out = warc.crawl_sitemap_coverage_roundtrip(spark, sf_dir)
+    s_rows = [tuple(r) for r in out.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{table_path(sf_dir, 'documents')}'"
+    )
+    d_rows = [tuple(r) for r in con.execute(warc.SITEMAP_COVERAGE_ORACLE).fetchall()]
+    con.close()
+    assert s_rows == d_rows and len(s_rows) > 0
+    verdicts = {r[-1] for r in s_rows}
+    assert verdicts == {"both", "sitemap_only", "crawl_only"}
+    for _, _, promised, captured, status, lastmod, verdict in s_rows:
+        assert (promised, captured) == {
+            "both": (1, 1), "sitemap_only": (1, 0), "crawl_only": (0, 1)
+        }[verdict]
+        assert (status is not None) == bool(captured)
+        if not promised:
+            assert lastmod is None
+    # the sitemap gzip leg is genuinely on the certified path
+    raw = warc.synth_coverage_sitemap(1)
+    assert raw[:2] == b"\x1f\x8b"
+    # crawl_only rows are exactly the d%4==2 docs' p0 page
+    crawl_only = [(r[0], r[1]) for r in s_rows if r[-1] == "crawl_only"]
+    assert crawl_only and all(d % 4 == 2 and u.endswith("/p0") for d, u in crawl_only)
