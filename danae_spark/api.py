@@ -789,3 +789,27 @@ class DataLakeEngine:
         from danae_spark.operators.dedup import _md5_signatures
 
         return _md5_signatures(docs, **kw)
+
+    def exif(self, df: DataFrame, **kw) -> DataFrame:
+        """EXIF/TIFF metadata (incl. GPS as a PII surface) over any
+        (id, binary) JPEG frame (multimodal/exif.py exif_frame)."""
+        from danae_spark.multimodal.exif import exif_frame
+
+        return exif_frame(df, **kw)
+
+    def snapshot_diff(self, a: DataFrame, b: DataFrame, **kw) -> DataFrame:
+        """Cross-snapshot inventory diff: keys classified added / gone /
+        changed / unchanged by digest (operators/urlops.py
+        snapshot_diff_frame)."""
+        from danae_spark.operators.urlops import snapshot_diff_frame
+
+        return snapshot_diff_frame(a, b, **kw)
+
+    def shuffle_export(self, docs: DataFrame, path: str, **kw) -> DataFrame:
+        """Deterministic shuffle-shard training export: parquet under
+        path/shard_id=K/ in shuffle order + the manifest sidecar;
+        returns the manifest (operators/sampling.py
+        write_shuffle_shards)."""
+        from danae_spark.operators.sampling import write_shuffle_shards
+
+        return write_shuffle_shards(docs, path, **kw)

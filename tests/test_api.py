@@ -119,3 +119,28 @@ def test_engine_facade_incremental_dedup_verbs(spark, sf_dir):
     o = {r["doc_id"]: r for r in out.collect()}
     assert o[10]["is_near_dup"] == 1 and o[10]["best_match_id"] == 1
     assert o[11]["is_near_dup"] == 0
+
+
+def test_engine_facade_export_and_media_verbs(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from danae_spark.api import DataLakeEngine
+    from danae_spark.multimodal.exif import synth_exif_jpeg
+
+    engine = DataLakeEngine(spark, sf_dir)
+    imgs = spark.createDataFrame(
+        [(d, synth_exif_jpeg(d)) for d in (0, 6)], "doc_id long, payload binary"
+    )
+    e = {r["doc_id"]: r for r in engine.exif(imgs).collect()}
+    assert e[0]["has_gps"] == 1 and e[6]["has_exif"] == 0
+
+    a = spark.createDataFrame([("u", "h1")], "url string, digest string")
+    b = spark.createDataFrame([("u", "h2")], "url string, digest string")
+    assert engine.snapshot_diff(a, b).collect()[0]["verdict"] == "changed"
+
+    docs = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"), F.lit("a b").alias("text")
+    )
+    m = engine.shuffle_export(docs, str(tmp_path / "exp"), n_shards=2)
+    assert sum(r["n_docs"] for r in m.collect()) == 40
+    assert spark.read.parquet(str(tmp_path / "exp")).count() == 40
