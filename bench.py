@@ -167,6 +167,7 @@ HEADLINE = [
     "image_exif_extract",
     "crawl_snapshot_diff",
     "crawl_sitemap_coverage",
+    "crawl_refetch_plan",
 ]
 
 

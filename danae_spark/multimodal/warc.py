@@ -3434,3 +3434,71 @@ SELECT COALESCE(c.doc_id, s.doc_id) AS doc_id,
 FROM cap c FULL JOIN prom s ON c.doc_id = s.doc_id AND c.url = s.url
 ORDER BY doc_id, url
 """
+
+
+# ------------------- refetch plan from the cross-snapshot diff
+
+
+def crawl_refetch_plan_roundtrip(spark, sf_dir: str):
+    """What a recurring crawl does WITH the snapshot diff: plan the
+    next dump's fetches. Every diffed URL gets a refetch priority —
+    changed pages first (proven churn), gone pages next (one tombstone
+    verification), then added (young pages churn more) and unchanged
+    (slow refresh) — and a per-HOST politeness schedule: rank within
+    host by (priority, url), fetch_at_s = (rank-1) * the host's crawl
+    delay. The only wide operation beyond the diff's full-outer join
+    is the per-host ranking window — politeness is inherently
+    sequential per host, so that partitioning is the work itself, and
+    host cardinality grows with the crawl (no degenerate partition).
+    Composes the certified diff subplan verbatim."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    diff = crawl_snapshot_diff_roundtrip(spark, sf_dir)
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    priority = (
+        F.when(F.col("verdict") == "changed", F.lit(0))
+        .when(F.col("verdict") == "gone", F.lit(1))
+        .when(F.col("verdict") == "added", F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    rows = diff.select(
+        "doc_id", "url", host.alias("host"), "verdict", priority.alias("priority")
+    )
+    # per-host politeness delay (the crawl-delay a robots fetch would
+    # have produced; host determines doc_id % 5, so this is per-host
+    # consistent)
+    rows = rows.withColumn(
+        "delay_s", (1 + F.col("doc_id") % 5).cast("int")
+    )
+    w = W.partitionBy("host").orderBy("priority", "url")
+    return (
+        rows.withColumn("rank", F.row_number().over(w))
+        .withColumn("fetch_at_s", ((F.col("rank") - 1) * F.col("delay_s")).cast("bigint"))
+        .orderBy("host", "rank")
+    )
+
+
+def _refetch_oracle() -> str:
+    body = _snapshot_diff_oracle().replace("ORDER BY doc_id, url", "")
+    return f"""
+WITH diff AS ({body}),
+p AS (
+  SELECT doc_id, url,
+         'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+         verdict,
+         CAST(CASE verdict WHEN 'changed' THEN 0 WHEN 'gone' THEN 1
+                           WHEN 'added' THEN 2 ELSE 3 END AS INT) AS priority,
+         CAST(1 + doc_id % 5 AS INT) AS delay_s
+  FROM diff
+)
+SELECT doc_id, url, host, verdict, priority, delay_s,
+       CAST(row_number() OVER (PARTITION BY host ORDER BY priority, url) AS INT)
+         AS rank,
+       CAST((row_number() OVER (PARTITION BY host ORDER BY priority, url) - 1)
+            * delay_s AS BIGINT) AS fetch_at_s
+FROM p ORDER BY host, rank
+"""
+
+
+REFETCH_PLAN_ORACLE = _refetch_oracle()

@@ -1135,6 +1135,18 @@ def crawl_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _warc.crawl_sitemap_coverage_roundtrip(spark, sf_dir)
 
 
+@register("crawl_refetch_plan", oracle=_warc.REFETCH_PLAN_ORACLE)
+def crawl_refetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refetch planning from the cross-snapshot diff (r14): changed
+    pages first, gone pages get one tombstone verification, added and
+    unchanged refresh slower, and each host's fetches are spread on a
+    politeness schedule (rank within host x crawl delay -> fetch_at_s).
+    Composes the certified diff subplan verbatim; the only added wide
+    op is the per-host ranking window, which IS the politeness queue
+    (multimodal/warc.py crawl_refetch_plan_roundtrip)."""
+    return _warc.crawl_refetch_plan_roundtrip(spark, sf_dir)
+
+
 @register("html_structured_extract", oracle=_html.HTML_STRUCTURED_ORACLE)
 def html_structured_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML structured-data extraction (r12): the attribute layer the

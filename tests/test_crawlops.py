@@ -735,3 +735,43 @@ def test_sitemap_coverage_matches_oracle_and_legs(spark, sf_dir):
     # crawl_only rows are exactly the d%4==2 docs' p0 page
     crawl_only = [(r[0], r[1]) for r in s_rows if r[-1] == "crawl_only"]
     assert crawl_only and all(d % 4 == 2 and u.endswith("/p0") for d, u in crawl_only)
+
+
+def test_refetch_plan_matches_oracle_and_schedule_invariants(spark, sf_dir):
+    import duckdb
+
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal import warc
+
+    out = warc.crawl_refetch_plan_roundtrip(spark, sf_dir)
+    s_rows = [tuple(r) for r in out.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{table_path(sf_dir, 'documents')}'"
+    )
+    d_rows = [tuple(r) for r in con.execute(warc.REFETCH_PLAN_ORACLE).fetchall()]
+    con.close()
+    # strict value compare is check_oracle's job (column orders differ);
+    # here pin row parity and the schedule invariants
+    assert len(s_rows) == len(d_rows) > 0
+    # per-host schedule invariants
+    by_host = {}
+    for r in out.collect():
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rows in by_host.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        # fetch times step by exactly the host delay and never collide
+        delays = {r["delay_s"] for r in rows}
+        assert len(delays) == 1
+        d = delays.pop()
+        assert [r["fetch_at_s"] for r in rows] == [d * i for i in range(len(rows))]
+        # priorities are non-decreasing down the queue
+        prios = [r["priority"] for r in rows]
+        assert prios == sorted(prios)
+    # changed pages are always scheduled before unchanged on every host
+    for host, rows in by_host.items():
+        changed = [r["rank"] for r in rows if r["verdict"] == "changed"]
+        unchanged = [r["rank"] for r in rows if r["verdict"] == "unchanged"]
+        if changed and unchanged:
+            assert max(changed) < min(unchanged)

@@ -129,6 +129,11 @@ OPERATORS = {
     "crawl_curate_robots": "documents",
     "crawl_curate_neardup": "documents",
     "crawl_report_full": "documents",
+    "shuffle_shards": "documents",
+    "image_exif_extract": "documents",
+    "crawl_snapshot_diff": "documents",
+    "crawl_sitemap_coverage": "documents",
+    "crawl_refetch_plan": "documents",
 }
 
 
