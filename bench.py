@@ -168,6 +168,7 @@ HEADLINE = [
     "crawl_snapshot_diff",
     "crawl_sitemap_coverage",
     "crawl_refetch_plan",
+    "corpus_pii_report",
 ]
 
 

@@ -122,3 +122,80 @@ def pii_scan_oracle() -> str:
            redacted_len
     FROM c ORDER BY doc_id
     """
+
+
+# ------------- corpus PII report: text findings x media EXIF GPS
+
+# conditional variant of _INJECT: %4==1 docs keep their clean text, so
+# the report exercises every action leg (publish / strip_exif /
+# redact_text / redact_and_strip)
+_INJECT_SOME = f"CASE WHEN doc_id % 4 = 1 THEN text ELSE {_INJECT} END"
+
+
+def corpus_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII verdict across BOTH modalities — what a publishing
+    pipeline actually gates on: the text scan (emails/IPs/phones, with
+    the redacted length pinning the rewrite) joined with the doc's
+    image EXIF GPS presence (multimodal/exif.py — coordinates locate a
+    person the way a phone number does), fused into one action:
+    publish / redact_text / strip_exif / redact_and_strip. Both legs
+    are certified subplans; the composition is one hash join on
+    doc_id, all codegen before it."""
+    from danae_spark.multimodal.exif import image_exif_roundtrip
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_INJECT_SOME).alias("text")
+    )
+    scanned = pii_scan_frame(docs).select("doc_id", "n_pii")
+    red = pii_redact_frame(docs).select(
+        "doc_id", F.length("redacted_text").cast("long").alias("redacted_len")
+    )
+    media = image_exif_roundtrip(spark, sf_dir).select(
+        "doc_id", F.coalesce("has_gps", F.lit(0)).alias("has_gps")
+    )
+    action = (
+        F.when((F.col("n_pii") > 0) & (F.col("has_gps") == 1), F.lit("redact_and_strip"))
+        .when(F.col("n_pii") > 0, F.lit("redact_text"))
+        .when(F.col("has_gps") == 1, F.lit("strip_exif"))
+        .otherwise(F.lit("publish"))
+    )
+    return (
+        scanned.join(red, "doc_id")
+        .join(media, "doc_id")
+        .select("doc_id", "n_pii", "redacted_len", "has_gps", action.alias("action"))
+        .orderBy("doc_id")
+    )
+
+
+def corpus_pii_report_oracle() -> str:
+    email, ipv4, phone = (p for _n, p, _s in PII_PATTERNS)
+    inject = _INJECT_SOME.replace("CAST(doc_id AS STRING)", "CAST(doc_id AS VARCHAR)").replace(
+        "CAST(doc_id % 256 AS STRING)", "CAST(doc_id % 256 AS VARCHAR)"
+    )
+    red = "t"
+    for _n, pat, sentinel in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{sentinel}', 'g')"
+    return f"""
+    WITH d AS (SELECT doc_id, {inject} AS t FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '{email}'))
+                  + len(regexp_extract_all(t, '{ipv4}'))
+                  + len(regexp_extract_all(t, '{phone}')) AS BIGINT) AS n_pii,
+             CAST(length({red}) AS BIGINT) AS redacted_len
+      FROM d
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 7 <> 6 AND doc_id % 13 <> 12
+                        AND doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS has_gps
+      FROM documents
+    )
+    SELECT c.doc_id, n_pii, redacted_len, has_gps,
+           CASE WHEN n_pii > 0 AND has_gps = 1 THEN 'redact_and_strip'
+                WHEN n_pii > 0 THEN 'redact_text'
+                WHEN has_gps = 1 THEN 'strip_exif'
+                ELSE 'publish' END AS action
+    FROM c JOIN m ON c.doc_id = m.doc_id
+    ORDER BY c.doc_id
+    """

@@ -154,6 +154,17 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pii.pii_scan(spark, sf_dir)
 
 
+@register("corpus_pii_report", oracle=_pii.corpus_pii_report_oracle())
+def corpus_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality PII gate (r14): per doc the text scan verdict
+    (emails/IPs/phones + redacted length) fused with the doc image's
+    EXIF GPS presence into one publish action — publish / redact_text
+    / strip_exif / redact_and_strip; PII is injected on 3/4 of docs so
+    every action leg is value-checked (operators/pii.py
+    corpus_pii_report; multimodal/exif.py)."""
+    return _pii.corpus_pii_report(spark, sf_dir)
+
+
 from danae_spark.operators import textstats as _textstats  # noqa: E402
 
 

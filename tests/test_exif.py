@@ -114,3 +114,26 @@ def test_exif_fuzz_bitflips_never_crash(seed):
         for _ in range(rng.randint(1, 6)):
             b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
         parse_exif(bytes(b))  # any verdict, never an exception
+
+
+def test_corpus_pii_report_matches_oracle_and_all_actions(spark, sf_dir):
+    from danae_spark.operators import pii
+
+    out = pii.corpus_pii_report(spark, sf_dir)
+    s_rows = [tuple(r) for r in out.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{table_path(sf_dir, 'documents')}'"
+    )
+    d_rows = [tuple(r) for r in con.execute(pii.corpus_pii_report_oracle()).fetchall()]
+    con.close()
+    assert s_rows == d_rows and len(s_rows) > 0
+    actions = {r[4] for r in s_rows}
+    assert actions == {"publish", "redact_text", "strip_exif", "redact_and_strip"}
+    for doc_id, n_pii, _rl, has_gps, action in s_rows:
+        assert action == {
+            (True, True): "redact_and_strip",
+            (True, False): "redact_text",
+            (False, True): "strip_exif",
+            (False, False): "publish",
+        }[(n_pii > 0, has_gps == 1)]

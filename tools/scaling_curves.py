@@ -134,6 +134,7 @@ OPERATORS = {
     "crawl_snapshot_diff": "documents",
     "crawl_sitemap_coverage": "documents",
     "crawl_refetch_plan": "documents",
+    "corpus_pii_report": "documents",
 }
 
 
