@@ -169,6 +169,7 @@ HEADLINE = [
     "crawl_sitemap_coverage",
     "crawl_refetch_plan",
     "corpus_pii_report",
+    "shuffle_shards_incremental",
 ]
 
 

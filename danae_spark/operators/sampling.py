@@ -601,3 +601,68 @@ def shuffle_shards_oracle(n_shards: int = N_SHARDS, salt: str = SHARD_SALT) -> s
            CAST(SUM(key_hash % {_CHECKSUM_MOD}) AS BIGINT) AS checksum
     FROM d GROUP BY shard_id ORDER BY shard_id
     """
+
+
+def shard_manifest_state(assigned: DataFrame) -> DataFrame:
+    """Manifest in its incremental STATE form: the public manifest
+    columns plus first_pos_key — the piece a later merge needs to
+    decide which side's head doc stays first in shuffle order."""
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.min_by("doc_id", "pos_key").alias("first_doc"),
+        F.min("pos_key").alias("first_pos_key"),
+        F.sum("key_sum").cast("bigint").alias("checksum"),
+    )
+
+
+def merge_shard_manifests(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two manifest-state frames (yesterday's corpus + today's
+    batch): counts/tokens/checksums add, id ranges widen, the shuffle-
+    order head is the pos-key argmin across both sides. Shards present
+    on one side only pass through. All map-side-combinable aggregates —
+    manifest maintenance costs O(shards), never a corpus re-scan, which
+    is the operational point: the 100 TB export's bookkeeping is a few
+    thousand rows."""
+    both = state.unionByName(delta)
+    return both.groupBy("shard_id").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("min_doc").alias("min_doc"),
+        F.max("max_doc").alias("max_doc"),
+        F.min_by("first_doc", "first_pos_key").alias("first_doc"),
+        F.min("first_pos_key").alias("first_pos_key"),
+        F.sum("checksum").cast("bigint").alias("checksum"),
+    )
+
+
+def shuffle_shards_incremental(
+    spark: SparkSession, sf_dir: str, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """Incremental export bookkeeping, certified by the strongest
+    available invariant: yesterday's corpus (doc_id %3 < 2) is
+    compacted to manifest state, today's batch (%3 == 2) produces its
+    own delta, and the MERGE must equal the from-scratch full-corpus
+    manifest EXACTLY — same oracle SQL as shuffle_shards, so checksum,
+    head doc and token totals are all value-hashed. (Hash sharding is
+    what makes the incremental shape trivial: assignment never depends
+    on state, so only the O(shards) manifest needs merging.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    a = _shard_assign(
+        docs.filter(F.col("doc_id") % 3 < 2), n_shards, "doc_id", "text", SHARD_SALT
+    )
+    b = _shard_assign(
+        docs.filter(F.col("doc_id") % 3 == 2), n_shards, "doc_id", "text", SHARD_SALT
+    )
+    merged = merge_shard_manifests(shard_manifest_state(a), shard_manifest_state(b))
+    return merged.select(
+        "shard_id",
+        F.col("n_docs"),
+        "n_tokens",
+        "min_doc",
+        "max_doc",
+        "first_doc",
+        "checksum",
+    ).orderBy("shard_id")

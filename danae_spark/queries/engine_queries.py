@@ -269,6 +269,18 @@ def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sampling.shuffle_shards(spark, sf_dir)
 
 
+@register("shuffle_shards_incremental", oracle=_sampling.shuffle_shards_oracle())
+def shuffle_shards_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental export bookkeeping (r14): yesterday's corpus
+    (doc_id %3 < 2) compacted to manifest state, today's batch merged
+    in as O(shards) aggregate arithmetic — certified by the strongest
+    invariant available: the merge must equal the from-scratch
+    full-corpus manifest EXACTLY (same oracle SQL as shuffle_shards,
+    so checksums, heads and token totals are all value-hashed)
+    (operators/sampling.py shuffle_shards_incremental)."""
+    return _sampling.shuffle_shards_incremental(spark, sf_dir)
+
+
 @register("frequent_ngrams", oracle=_textstats.frequent_ngrams_oracle())
 def frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide frequent word n-grams with term/document frequencies

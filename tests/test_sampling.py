@@ -277,3 +277,44 @@ def test_shuffle_shards_plan_is_single_shuffle(spark, sf_dir):
     plan = sampling.shuffle_shards(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Window" not in plan, plan
+
+
+def test_shuffle_shards_incremental_merge_equals_scratch(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id"), F.lit(" y z")).alias("text"),
+    )
+    full = sampling.shard_manifest_state(
+        sampling._shard_assign(docs, 4, "doc_id", "text", sampling.SHARD_SALT)
+    )
+    # three sequential daily batches, merged one at a time
+    state = None
+    for lo, hi in ((0, 120), (120, 121), (121, 300)):  # incl. a 1-doc day
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        delta = sampling.shard_manifest_state(
+            sampling._shard_assign(batch, 4, "doc_id", "text", sampling.SHARD_SALT)
+        )
+        state = delta if state is None else sampling.merge_shard_manifests(state, delta)
+    got = sorted(tuple(r) for r in state.collect())
+    want = sorted(tuple(r) for r in full.collect())
+    assert got == want and len(got) == 4
+    # merging an empty delta is a no-op
+    empty = sampling.shard_manifest_state(
+        sampling._shard_assign(
+            docs.filter(F.lit(False)), 4, "doc_id", "text", sampling.SHARD_SALT
+        )
+    )
+    again = sorted(
+        tuple(r) for r in sampling.merge_shard_manifests(state, empty).collect()
+    )
+    assert again == want
+    # a shard present on only one side passes through: single-doc state
+    one = sampling.shard_manifest_state(
+        sampling._shard_assign(
+            docs.filter(F.col("doc_id") == 0), 4, "doc_id", "text", sampling.SHARD_SALT
+        )
+    )
+    merged = sampling.merge_shard_manifests(one, empty).collect()
+    assert len(merged) == 1 and merged[0]["n_docs"] == 1
