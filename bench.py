@@ -170,6 +170,7 @@ HEADLINE = [
     "crawl_refetch_plan",
     "corpus_pii_report",
     "shuffle_shards_incremental",
+    "crawl_repackage",
 ]
 
 

@@ -3502,3 +3502,122 @@ FROM p ORDER BY host, rank
 
 
 REFETCH_PLAN_ORACLE = _refetch_oracle()
+
+
+# ------------------- WARC repackage (publish a filtered sub-crawl)
+
+
+def repackage_warc(payload: bytes, rid_base: int = 0) -> bytes | None:
+    """Re-emit a WARC keeping only the PUBLISHABLE captures — 200
+    text/html responses — as a fresh archive: one warcinfo head + the
+    kept response records with their ORIGINAL HTTP wire bytes
+    untouched (re-encoding would destroy digest stability), every
+    record its own gzip member (the convention that keeps the output
+    cluster-splittable). Returns None when the input rejects. This is
+    the write half of the WARC surface: publishing a curated sub-crawl
+    back in the format the rest of the ecosystem reads."""
+    records = _records(payload)
+    if records is None:
+        return None
+    out = [
+        _record(
+            "warcinfo",
+            rid_base,
+            b"software: danae-spark/1.0\r\nformat: WARC File Format 1.1\r\n"
+            b"operator: repackage\r\n",
+            {"Content-Type": "application/warc-fields"},
+        )
+    ]
+    k = 0
+    for r in records:
+        if r["type"] != "response":
+            continue
+        http = _parse_http_response(r["body"])
+        if http is None:
+            return None
+        if http["status"] == 200 and (http["content_type"] or "").startswith(
+            "text/html"
+        ):
+            k += 1
+            out.append(
+                _record(
+                    "response",
+                    rid_base + k,
+                    r["body"],
+                    {
+                        "WARC-Target-URI": r["uri"],
+                        "Content-Type": "application/http;msgtype=response",
+                    },
+                )
+            )
+    return b"".join(_gzip_member(rec) for rec in out)
+
+
+def crawl_repackage_roundtrip(spark, sf_dir: str):
+    """WARC write path, certified by roundtrip: synth crawl -> filter
+    -> repackage into NEW gzip-membered WARC bytes -> re-walk those
+    bytes with the SAME validating parser the read path uses — the
+    census of the published archive must equal the keep arithmetic
+    (n_dropped carries the discarded redirects in-row)."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cols = ["n_records", "n_response", "n_http_ok", "is_gzip", "first_uri", "host"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                orig = parse_warc(synth_warc(d))
+                repack = repackage_warc(synth_warc(d), rid_base=d * 100)
+                c = parse_warc(repack) if repack is not None else None
+                row = {"doc_id": d}
+                row.update({k: (c.get(k) if c else None) for k in cols})
+                row["n_dropped"] = (
+                    orig["n_response"] - c["n_response"] if c and orig else None
+                )
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["doc_id"] + cols + ["n_dropped"])
+
+    schema = (
+        "doc_id bigint, n_records int, n_response int, n_http_ok int, "
+        "is_gzip boolean, first_uri string, host string, n_dropped int"
+    )
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=schema)
+        .orderBy("doc_id")
+    )
+
+
+REPACKAGE_ORACLE = """
+WITH g AS (
+  SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS n_pages,
+         'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host
+  FROM documents
+),
+kept AS (
+  SELECT g.doc_id,
+         CAST(count(*) FILTER (WHERE (g.doc_id + p.p) % 5 <> 4) AS INT) AS n_kept,
+         min(p.p) FILTER (WHERE (g.doc_id + p.p) % 5 <> 4) AS first_p
+  FROM g, generate_series(0, 2) p(p)
+  WHERE p.p < g.n_pages
+  GROUP BY g.doc_id
+)
+SELECT g.doc_id,
+       CAST(1 + kept.n_kept AS INT) AS n_records,
+       kept.n_kept AS n_response,
+       kept.n_kept AS n_http_ok,
+       TRUE AS is_gzip,
+       CASE WHEN kept.first_p IS NOT NULL
+            THEN 'http://' || g.host || '/p' || CAST(kept.first_p AS VARCHAR)
+       END AS first_uri,
+       CASE WHEN kept.first_p IS NOT NULL THEN g.host END AS host,
+       CAST(g.n_pages - kept.n_kept AS INT) AS n_dropped
+FROM g JOIN kept USING (doc_id)
+ORDER BY g.doc_id
+"""

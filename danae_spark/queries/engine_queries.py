@@ -1132,6 +1132,18 @@ def crawl_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _warc.crawl_revisit_dedup_roundtrip(spark, sf_dir)
 
 
+@register("crawl_repackage", oracle=_warc.REPACKAGE_ORACLE)
+def crawl_repackage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC WRITE path (r14): publish a filtered sub-crawl — only the
+    200 text/html captures — as fresh gzip-member-per-record WARC
+    bytes (original HTTP wire bytes untouched so digests stay stable),
+    certified by re-walking the published archive with the same
+    validating parser the read path uses; the census must equal the
+    keep arithmetic, dropped redirects counted in-row
+    (multimodal/warc.py repackage_warc)."""
+    return _warc.crawl_repackage_roundtrip(spark, sf_dir)
+
+
 @register("crawl_snapshot_diff", oracle=_warc.SNAPSHOT_DIFF_ORACLE)
 def crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot crawl diff (r14): two dated dumps of the same

@@ -775,3 +775,44 @@ def test_refetch_plan_matches_oracle_and_schedule_invariants(spark, sf_dir):
         unchanged = [r["rank"] for r in rows if r["verdict"] == "unchanged"]
         if changed and unchanged:
             assert max(changed) < min(unchanged)
+
+
+def test_repackage_roundtrip_and_wire_fidelity(spark, sf_dir):
+    import duckdb
+
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal import warc
+    from danae_spark.multimodal.warc import (
+        iter_warc_responses, parse_warc, repackage_warc, synth_warc,
+    )
+
+    out = warc.crawl_repackage_roundtrip(spark, sf_dir)
+    s_rows = [tuple(r) for r in out.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{table_path(sf_dir, 'documents')}'"
+    )
+    d_rows = [tuple(r) for r in con.execute(warc.REPACKAGE_ORACLE).fetchall()]
+    con.close()
+    assert s_rows == d_rows and len(s_rows) > 0
+    # the empty leg (all pages were redirects) publishes warcinfo-only
+    empties = [r for r in s_rows if r[2] == 0]
+    assert empties and all(r[1] == 1 and r[5] is None for r in empties)
+
+    # wire fidelity: the kept records' DECODED payloads are identical
+    # before and after repackage (original HTTP bytes untouched)
+    for d in (0, 1, 2, 7):
+        orig = {
+            u: (s, b)
+            for u, s, _c, b in iter_warc_responses(synth_warc(d))
+            if s == 200
+        }
+        repack = repackage_warc(synth_warc(d))
+        got = {u: (s, b) for u, s, _c, b in iter_warc_responses(repack)}
+        assert got == orig and len(got) >= 1
+        # and the output is member-per-record gzip (cluster-splittable)
+        assert repack[:2] == b"\x1f\x8b"
+        assert parse_warc(repack)["is_gzip"]
+
+    # a rejecting input repackages to None, never a partial archive
+    assert repackage_warc(b"not a warc") is None
