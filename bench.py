@@ -171,6 +171,7 @@ HEADLINE = [
     "corpus_pii_report",
     "shuffle_shards_incremental",
     "crawl_repackage",
+    "office_text_extract",
 ]
 
 

@@ -813,3 +813,14 @@ class DataLakeEngine:
         from danae_spark.operators.sampling import write_shuffle_shards
 
         return write_shuffle_shards(docs, path, **kw)
+
+    def office_text(self, df: DataFrame, **kw) -> DataFrame:
+        """Office-document text extraction over any (id, binary)
+        frame: OOXML .docx and OpenDocument .odt packages walked by
+        the validating ZIP reader (full CRC verification), paragraphs
+        / title / creator extracted from the XML parts; packages that
+        cannot be walked yield null rows
+        (multimodal/office.py parse_office)."""
+        from danae_spark.multimodal.office import office_text_frame
+
+        return office_text_frame(df, **kw)

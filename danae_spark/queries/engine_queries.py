@@ -1340,6 +1340,24 @@ def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.dedup_exact_incremental(spark, sf_dir)
 
 
+from danae_spark.multimodal import office as _office  # noqa: E402
+
+
+@register("office_text_extract", oracle=_office.OFFICE_TEXT_ORACLE)
+def office_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Office-document text extraction (r14): per doc a real OOXML
+    .docx (even ids) or OpenDocument .odt (odd ids) package is built
+    byte-for-byte — ZIP CRCs/central directory via the certified
+    builder, stored-first odt mimetype per ODF 1.2 §3.3 — walked by
+    the validating ZIP reader, its WordprocessingML / ODF-text parts
+    parsed by the shared quote-aware tag scanner (runs/spans flatten,
+    w:tab / text:tab, xml:space-preserve, text:s counted spaces,
+    entities), and format / title / creator / paragraph text restated
+    as doc_id arithmetic; d % 17 == 0 is the truncated-package
+    reject leg (multimodal/office.py office_text_roundtrip)."""
+    return _office.office_text_roundtrip(spark, sf_dir)
+
+
 @register("dedup_minhash_incremental", oracle=_dedup.DEDUP_MINHASH_INC_ORACLE)
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup dedup (r14): batch MinHash signatures

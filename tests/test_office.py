@@ -1,0 +1,173 @@
+"""Office-document extraction (multimodal/office.py): docx/odt text
+rules, reject-whole validation, frame API, registered oracle, fuzz."""
+
+import os
+import random
+
+import duckdb
+
+from danae_spark.multimodal.archive import _zip_build
+from danae_spark.multimodal.office import (
+    ODT_MIME,
+    OFFICE_TEXT_ORACLE,
+    office_text_frame,
+    parse_office,
+    synth_docx,
+    synth_odt,
+    synth_office,
+)
+
+
+def _docx(document_xml: str, core_xml: str | None = None) -> bytes:
+    from danae_spark.multimodal.office import _DOCX_CT, _DOCX_RELS
+
+    entries = [
+        ("[Content_Types].xml", _DOCX_CT.encode(), 8),
+        ("_rels/.rels", _DOCX_RELS.encode(), 8),
+        ("word/document.xml", document_xml.encode(), 8),
+    ]
+    if core_xml is not None:
+        entries.insert(2, ("docProps/core.xml", core_xml.encode(), 8))
+    return _zip_build(entries)
+
+
+def _odt(content_xml: str, meta_xml: str | None = None, mime: bytes = ODT_MIME) -> bytes:
+    from danae_spark.multimodal.office import _ODT_MANIFEST
+
+    entries = [
+        ("mimetype", mime, 0),
+        ("META-INF/manifest.xml", _ODT_MANIFEST.encode(), 8),
+        ("content.xml", content_xml.encode(), 8),
+    ]
+    if meta_xml is not None:
+        entries.insert(2, ("meta.xml", meta_xml.encode(), 8))
+    return _zip_build(entries)
+
+
+def test_docx_text_rules():
+    doc = (
+        "<w:document><w:body>"
+        "<w:p><w:r><w:t>hello</w:t></w:r>"
+        '<w:r><w:t xml:space="preserve"> world</w:t></w:r></w:p>'
+        # trimming: no preserve -> leading/trailing whitespace drops
+        "<w:p><w:r><w:t>  padded  </w:t></w:r></w:p>"
+        # tab and break inside runs; entities decode
+        "<w:p><w:r><w:t>a</w:t><w:tab/><w:t>b</w:t><w:br/>"
+        "<w:t>x &amp; y&#33;</w:t></w:r></w:p>"
+        # empty paragraph; ignorable markers are transparent
+        '<w:p/><w:p><w:proofErr w:type="spellStart"/>'
+        '<w:bookmarkStart w:id="0" w:name="m"/><w:r><w:rPr><w:b/></w:rPr>'
+        "<w:t>bold</w:t></w:r></w:p>"
+        "<w:sectPr/></w:body></w:document>"
+    )
+    r = parse_office(_docx(doc))
+    assert r is not None
+    assert r["format"] == "docx"
+    assert r["text"] == "hello world\npadded\na\tb\nx & y!\n\nbold"
+    assert r["n_paragraphs"] == 5
+    assert r["title"] is None and r["creator"] is None  # no core.xml
+
+
+def test_docx_metadata():
+    core = (
+        "<cp:coreProperties><dc:title>T &amp; t</dc:title>"
+        "<dc:creator>me</dc:creator></cp:coreProperties>"
+    )
+    r = parse_office(_docx("<w:document><w:body/></w:document>", core))
+    assert r["title"] == "T & t" and r["creator"] == "me"
+    assert r["n_paragraphs"] == 0 and r["text"] == ""
+
+
+def test_odt_text_rules():
+    content = (
+        "<office:document-content><office:automatic-styles>"
+        '<style:style style:name="P1"/></office:automatic-styles>'
+        "<office:body><office:text>"
+        "<text:p>one <text:span>two</text:span> three</text:p>"
+        '<text:p>a<text:tab/>b<text:s text:c="3"/>c<text:line-break/>d</text:p>'
+        "<text:p/>"
+        '<text:h text:outline-level="1">head &amp; co&#33;</text:h>'
+        "</office:text></office:body></office:document-content>"
+    )
+    r = parse_office(_odt(content))
+    assert r is not None and r["format"] == "odt"
+    assert r["text"] == "one two three\na\tb   c\nd\n\nhead & co!"
+    assert r["n_paragraphs"] == 4
+
+
+def test_odt_default_space_count():
+    content = '<office:body><text:p>a<text:s/>b</text:p></office:body>'
+    assert parse_office(_odt(content))["text"] == "a b"
+
+
+def test_reject_whole():
+    ok = synth_docx(2)
+    # truncation (the synth reject leg)
+    assert parse_office(ok[:-7]) is None
+    assert parse_office(synth_office(17)) is None and parse_office(synth_office(34)) is None
+    # CRC corruption inside a member rejects via the validating walker
+    bad = bytearray(synth_odt(3))
+    ix = bytes(bad).find(b"mimetype", 30)  # the member data region
+    bad[ix] ^= 0xFF
+    assert parse_office(bytes(bad)) is None
+    # not an office package: valid zip, neither route matches
+    assert parse_office(_zip_build([("readme.txt", b"hi", 0)])) is None
+    # odt mimetype must be the FIRST member
+    from danae_spark.multimodal.office import _ODT_MANIFEST
+
+    swapped = _zip_build(
+        [
+            ("META-INF/manifest.xml", _ODT_MANIFEST.encode(), 8),
+            ("mimetype", ODT_MIME, 0),
+            ("content.xml", b"<office:body><text:p>x</text:p></office:body>", 8),
+        ]
+    )
+    assert parse_office(swapped) is None
+    # wrong mimetype bytes reject the odt route
+    assert parse_office(_odt("<office:body/>", mime=b"application/zip")) is None
+    # malformed XML: unterminated tag / nested paragraph / bad text:c
+    assert parse_office(_docx("<w:document><w:body><w:p><w:r><w:t>x")) is None
+    assert parse_office(_docx("<w:body><w:p><w:p></w:p></w:p></w:body>")) is None
+    assert parse_office(_odt('<office:body><text:p>a<text:s text:c="no"/></text:p></office:body>')) is None
+    # child element inside w:t is a structural violation
+    assert parse_office(_docx("<w:body><w:p><w:t>a<w:b/>c</w:t></w:p></w:body>")) is None
+
+
+def test_fuzz_never_crashes():
+    rng = random.Random(1406)
+    for d in (2, 3, 8, 15):
+        base = bytearray(synth_office(d))
+        for _ in range(200):
+            z = bytearray(base)
+            for _ in range(rng.randint(1, 3)):
+                z[rng.randrange(len(z))] ^= 1 << rng.randrange(8)
+            parse_office(bytes(z))  # must return dict or None, never raise
+
+
+def test_frame_api(spark):
+    rows = [(d, synth_office(d)) for d in range(0, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in office_text_frame(df).collect()}
+    assert len(got) == 40
+    for d in range(40):
+        r = parse_office(synth_office(d))
+        if d % 17 == 0:
+            assert got[d]["format"] is None and got[d]["text"] is None
+        else:
+            assert got[d]["format"] == r["format"]
+            assert got[d]["text"] == r["text"]
+            assert got[d]["n_words"] == r["n_words"]
+
+
+def test_registered_oracle_matches_duckdb(spark, sf_dir):
+    from danae_spark.catalog import table_path
+    from danae_spark.queries import load_all
+
+    fn = load_all()["office_text_extract"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(OFFICE_TEXT_ORACLE).fetchall()]
+    assert len(got) == len(want) and got == want
