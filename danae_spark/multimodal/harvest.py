@@ -163,6 +163,20 @@ def harvest_text(
     if p[:4] in (b"PK\x03\x04", b"PK\x05\x06") or (
         len(p) >= 512 and p[257:265] in (b"ustar\x0000", b"ustar  \x00")
     ):
+        # office packages are ZIPs: route by package identity first
+        # (stored-first odt mimetype / [Content_Types].xml + main
+        # document part), plain archives fall through to the member
+        # walk
+        from danae_spark.multimodal.office import parse_office
+
+        office = parse_office(p)
+        if office is not None:
+            return {
+                "doc_class": "office",
+                "format": office["format"],
+                "title": office["title"],
+                "text": office["text"],
+            }
         census = parse_archive(p)
         return _archive(census) if census is not None else None
 
@@ -217,18 +231,22 @@ def harvest_text(
 
 
 def synth_doc(doc_id: int) -> bytes:
-    """Doc-deterministic MIXED document payload: doc_id % 6 selects
+    """Doc-deterministic MIXED document payload: doc_id % 7 selects
     the class (html / pdf / subtitle / plain text / warc / zip-of-
-    subtitles); every payload is a byte-for-byte real file from the
-    per-format synthesizers."""
+    subtitles / office docx-or-odt); every payload is a byte-for-byte
+    real file from the per-format synthesizers. The office leg reuses
+    synth_office verbatim, INCLUDING its truncated-package reject leg
+    (d % 17 == 0) — a corrupt office blob must yield a NULL harvest
+    row, never partial text."""
     from danae_spark.multimodal.archive import _zip_build
     from danae_spark.multimodal.htmltext import synth_html
+    from danae_spark.multimodal.office import synth_office
     from danae_spark.multimodal.pdf import synth_pdf
     from danae_spark.multimodal.subtitles import synth_subtitles
     from danae_spark.multimodal.warc import synth_warc
 
     d = doc_id
-    cls = d % 6
+    cls = d % 7
     if cls == 0:
         return synth_html(d)
     if cls == 1:
@@ -240,9 +258,11 @@ def synth_doc(doc_id: int) -> bytes:
         return words.encode("utf-8")
     if cls == 4:
         return synth_warc(d)
-    return _zip_build(
-        [(f"cues{k}.srt", synth_subtitles(d * 4 + k), k % 2 * 8) for k in range(2)]
-    )
+    if cls == 5:
+        return _zip_build(
+            [(f"cues{k}.srt", synth_subtitles(d * 4 + k), k % 2 * 8) for k in range(2)]
+        )
+    return synth_office(d)
 
 
 # ----------------------------------------------------- Spark entry points
@@ -280,13 +300,13 @@ def text_harvest_frame(df, id_col: str = "doc_id", payload_col: str = "payload")
 
 def text_harvest_roundtrip(spark, sf_dir: str):
     """Oracle-checkable harvest: per doc a real mixed-class document
-    payload is synthesized (doc_id % 6 cycles html/pdf/subtitle/plain/
-    warc/zip-of-subtitles), dispatched by the real magic-first router
-    to the real extractors, and the (doc_class, format, title, text)
-    row restated in SQL — each class's text arithmetic reuses the SAME
-    parameterized fragment as its unit entry (html_text_sql,
-    pdf_text_sql, subtitle_text_sql), so the dispatcher and the unit
-    entries can never drift apart."""
+    payload is synthesized (doc_id % 7 cycles html/pdf/subtitle/plain/
+    warc/zip-of-subtitles/office), dispatched by the real magic-first
+    router to the real extractors, and the (doc_class, format, title,
+    text) row restated in SQL — each class's text arithmetic reuses
+    the SAME parameterized fragment as its unit entry (html_text_sql,
+    pdf_text_sql, subtitle_text_sql, office_text_sql), so the
+    dispatcher and the unit entries can never drift apart."""
     from danae_spark.catalog import load_table
     from danae_spark.session import stage_parallelism
     from danae_spark.shipping import ensure_shipped
@@ -319,32 +339,42 @@ def text_harvest_roundtrip(spark, sf_dir: str):
 
 def _harvest_oracle() -> str:
     from danae_spark.multimodal.htmltext import html_text_sql
+    from danae_spark.multimodal.office import office_text_sql
     from danae_spark.multimodal.pdf import pdf_text_sql
     from danae_spark.multimodal.subtitles import subtitle_text_sql
 
     html_unit = html_text_sql(
-        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 6 = 0"
+        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 7 = 0"
     )
     pdf_unit = pdf_text_sql(
-        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 6 = 1"
+        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 7 = 1"
     )
     sub_unit = subtitle_text_sql(
-        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 6 = 2"
+        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 7 = 2"
     )
     # WARC pages: e = doc_id*4 + p for the HTTP-200 pages (same
     # parameterization as the crawl_html_extract oracle)
     warc_pages = html_text_sql("""
 SELECT d.doc_id, d.doc_id * 4 + p.p AS e
 FROM documents d, generate_series(0, 2) p(p)
-WHERE d.doc_id % 6 = 4 AND p.p < 1 + d.doc_id % 3
+WHERE d.doc_id % 7 = 4 AND p.p < 1 + d.doc_id % 3
   AND (d.doc_id + p.p) % 5 <> 4
 """)
     # zip members: subtitle transcripts at e = doc_id*4 + k, k in (0, 1)
     zip_subs = subtitle_text_sql("""
 SELECT d.doc_id, d.doc_id * 4 + k.k AS e
 FROM documents d, generate_series(0, 1) k(k)
-WHERE d.doc_id % 6 = 5
+WHERE d.doc_id % 7 = 5
 """)
+    # office docs (d = doc_id): the synth reject leg (d % 17 == 0,
+    # truncated package) is EXCLUDED here and emitted as NULL rows —
+    # harvest must reject a corrupt package whole. Office text carries
+    # TABs and double spaces, so its token count comes from the shared
+    # fragment's arithmetic, not the space-counting formula.
+    office_unit = office_text_sql(
+        "SELECT doc_id, doc_id AS d FROM documents "
+        "WHERE doc_id % 7 = 6 AND doc_id % 17 <> 0"
+    )
     return f"""
 WITH html_u AS ({html_unit}),
 pdf_u AS ({pdf_unit}),
@@ -359,32 +389,52 @@ zip_u AS (
   SELECT doc_id, string_agg(text, chr(10) ORDER BY e) AS text
   FROM zip_p GROUP BY doc_id
 ),
+office_u AS ({office_unit}),
 plain_u AS (
   SELECT d.doc_id, string_agg('t' || CAST((d.doc_id * 3 + j.j) % 50 AS VARCHAR),
                               ' ' ORDER BY j.j) AS text
   FROM documents d, generate_series(0, 9) j(j)
-  WHERE d.doc_id % 6 = 3 AND j.j < 5 + d.doc_id % 5
+  WHERE d.doc_id % 7 = 3 AND j.j < 5 + d.doc_id % 5
   GROUP BY d.doc_id
 ),
 unified AS (
-  SELECT doc_id, 'html' AS doc_class, 'html' AS format, title, text
+  SELECT doc_id, 'html' AS doc_class, 'html' AS format, title, text,
+         CAST(NULL AS INT) AS n_words_override
   FROM html_u
   UNION ALL
-  SELECT doc_id, 'pdf', 'pdf', title, text FROM pdf_u
+  SELECT doc_id, 'pdf', 'pdf', title, text, NULL FROM pdf_u
   UNION ALL
-  SELECT doc_id, 'subtitle', format, NULL, text FROM sub_u
+  SELECT doc_id, 'subtitle', format, NULL, text, NULL FROM sub_u
   UNION ALL
-  SELECT doc_id, 'text', 'txt', NULL, text FROM plain_u
+  SELECT doc_id, 'text', 'txt', NULL, text, NULL FROM plain_u
   UNION ALL
-  SELECT doc_id, 'warc', 'warc', NULL, text FROM warc_u
+  -- synth_warc emits plain WARC for even ids, gzip member-per-record
+  -- for odd ids (odd warc docs are reachable since the modulus moved
+  -- to 7)
+  SELECT doc_id, 'warc',
+         CASE WHEN doc_id % 2 = 0 THEN 'warc' ELSE 'warc.gz' END,
+         NULL, text, NULL
+  FROM warc_u
   UNION ALL
-  SELECT doc_id, 'archive', 'zip', NULL, text FROM zip_u
+  SELECT doc_id, 'archive', 'zip', NULL, text, NULL FROM zip_u
+  UNION ALL
+  SELECT doc_id, 'office', format, title, text, n_tokens FROM office_u
+  UNION ALL
+  SELECT doc_id, NULL, NULL, NULL, NULL, NULL FROM documents
+  WHERE doc_id % 7 = 6 AND doc_id % 17 = 0
+  UNION ALL
+  -- a WARC whose only captures are the excluded (d+p) % 5 = 4 pages
+  -- (reachable since the class modulus moved to 7): no text-bearing
+  -- records -> the dispatcher yields a NULL row
+  SELECT doc_id, NULL, NULL, NULL, NULL, NULL FROM documents
+  WHERE doc_id % 7 = 4 AND doc_id % 5 = 4 AND doc_id % 3 = 0
 )
 SELECT doc_id, doc_class, format, title, text,
        CAST(length(text) AS INT) AS n_chars,
-       CAST(length(text)
-            - length(replace(replace(text, chr(10), ' '), ' ', ''))
-            + 1 AS INT) AS n_words
+       COALESCE(n_words_override,
+                CAST(length(text)
+                     - length(replace(replace(text, chr(10), ' '), ' ', ''))
+                     + 1 AS INT)) AS n_words
 FROM unified
 ORDER BY doc_id
 """

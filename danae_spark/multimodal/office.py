@@ -534,8 +534,16 @@ def office_text_roundtrip(spark, sf_dir: str):
     )
 
 
-OFFICE_TEXT_ORACLE = """
-WITH d0 AS (SELECT doc_id, doc_id AS d FROM documents),
+def office_text_sql(docs_cte: str) -> str:
+    """The extraction arithmetic as SQL over a `d0(doc_id, d)` CTE
+    (d = the synth parameter), shared between OFFICE_TEXT_ORACLE
+    (d = doc_id) and the text_harvest oracle so the unit entry and
+    the dispatcher composition certify the SAME restated rules.
+    Emits (doc_id, d, format, title, creator, text, n_paras,
+    n_tokens) for every doc in the CTE — the caller applies its own
+    reject legs."""
+    return f"""
+WITH d0 AS ({docs_cte}),
 words AS (
   SELECT doc_id, d, c.i AS para, j.j AS wi,
          'w' || CAST((d * 11 + c.i * 7 + j.j * 5) % 97 AS VARCHAR) AS word
@@ -551,26 +559,28 @@ para_lines AS (
            || CASE WHEN para % 3 = 0 THEN ' & o!' ELSE '' END AS line,
          count(*) + CASE WHEN para % 3 = 0 THEN 2 ELSE 0 END AS n_tokens
   FROM words GROUP BY doc_id, d, para
-),
-doc_text AS (
-  SELECT doc_id, d,
-         string_agg(line, chr(10) ORDER BY para) AS text,
-         CAST(count(*) AS INT) AS n_paras,
-         CAST(sum(n_tokens) AS INT) AS n_tokens
-  FROM para_lines GROUP BY doc_id, d
 )
+SELECT doc_id, d,
+       CASE WHEN d % 2 = 0 THEN 'docx' ELSE 'odt' END AS format,
+       'Doc ' || CAST(d AS VARCHAR) || ' t' || CAST(d % 10 AS VARCHAR) AS title,
+       'author a' || CAST(d % 5 AS VARCHAR) AS creator,
+       string_agg(line, chr(10) ORDER BY para) AS text,
+       CAST(count(*) AS INT) AS n_paras,
+       CAST(sum(n_tokens) AS INT) AS n_tokens
+FROM para_lines GROUP BY doc_id, d
+"""
+
+
+OFFICE_TEXT_ORACLE = f"""
+WITH office AS ({office_text_sql("SELECT doc_id, doc_id AS d FROM documents")})
 SELECT doc_id,
-       CASE WHEN d % 17 = 0 THEN NULL
-            WHEN d % 2 = 0 THEN 'docx' ELSE 'odt' END AS format,
-       CASE WHEN d % 17 = 0 THEN NULL
-            ELSE 'Doc ' || CAST(d AS VARCHAR) || ' t'
-                 || CAST(d % 10 AS VARCHAR) END AS title,
-       CASE WHEN d % 17 = 0 THEN NULL
-            ELSE 'author a' || CAST(d % 5 AS VARCHAR) END AS creator,
+       CASE WHEN d % 17 = 0 THEN NULL ELSE format END AS format,
+       CASE WHEN d % 17 = 0 THEN NULL ELSE title END AS title,
+       CASE WHEN d % 17 = 0 THEN NULL ELSE creator END AS creator,
        CASE WHEN d % 17 = 0 THEN NULL ELSE n_paras END AS n_paragraphs,
        CASE WHEN d % 17 = 0 THEN NULL ELSE text END AS text,
        CASE WHEN d % 17 = 0 THEN NULL
             ELSE CAST(length(text) AS INT) END AS n_chars,
        CASE WHEN d % 17 = 0 THEN NULL ELSE n_tokens END AS n_words
-FROM doc_text ORDER BY doc_id
+FROM office ORDER BY doc_id
 """

@@ -16,31 +16,44 @@ from danae_spark.multimodal.harvest import (
 
 
 def test_dispatch_matrix():
-    want_cls = ["html", "pdf", "subtitle", "text", "warc", "archive"]
-    for d in range(60):
+    want_cls = ["html", "pdf", "subtitle", "text", "warc", "archive", "office"]
+    for d in range(120):
         c = harvest_text(synth_doc(d))
+        if d % 7 == 6 and d % 17 == 0:
+            assert c is None, d  # truncated office package: reject whole
+            continue
+        if d % 7 == 4 and d % 5 == 4 and d % 3 == 0:
+            assert c is None, d  # WARC whose only captures are excluded
+            continue
         assert c is not None, d
-        assert c["doc_class"] == want_cls[d % 6], d
+        assert c["doc_class"] == want_cls[d % 7], d
         assert c["text"], d
 
 
 def test_agrees_with_unit_extractors():
     from danae_spark.multimodal.htmltext import expected_html_row
+    from danae_spark.multimodal.office import parse_office, synth_office
     from danae_spark.multimodal.pdf import expected_pdf_row
     from danae_spark.multimodal.subtitles import parse_subtitles, synth_subtitles
 
     # html (cls 0)
-    assert harvest_text(synth_doc(6))["text"] == expected_html_row(6)["text"]
-    assert harvest_text(synth_doc(6))["title"] == expected_html_row(6)["title"]
+    assert harvest_text(synth_doc(7))["text"] == expected_html_row(7)["text"]
+    assert harvest_text(synth_doc(7))["title"] == expected_html_row(7)["title"]
     # pdf (cls 1)
-    assert harvest_text(synth_doc(7))["text"] == expected_pdf_row(7)["text"]
+    assert harvest_text(synth_doc(8))["text"] == expected_pdf_row(8)["text"]
     # subtitle (cls 2)
-    assert harvest_text(synth_doc(8))["text"] == parse_subtitles(synth_subtitles(8))["text"]
+    assert harvest_text(synth_doc(9))["text"] == parse_subtitles(synth_subtitles(9))["text"]
     # zip of subtitles (cls 5): both members' transcripts joined
     want = "\n".join(
-        parse_subtitles(synth_subtitles(11 * 4 + k))["text"] for k in range(2)
+        parse_subtitles(synth_subtitles(12 * 4 + k))["text"] for k in range(2)
     )
-    assert harvest_text(synth_doc(11))["text"] == want
+    assert harvest_text(synth_doc(12))["text"] == want
+    # office (cls 6): dispatch agrees with the unit extractor, and the
+    # package identity wins over the plain-archive route
+    unit = parse_office(synth_office(13))
+    got = harvest_text(synth_doc(13))
+    assert got["doc_class"] == "office" and got["format"] == unit["format"]
+    assert got["text"] == unit["text"] and got["title"] == unit["title"]
 
 
 def test_warc_gz_routing():
