@@ -172,6 +172,7 @@ HEADLINE = [
     "shuffle_shards_incremental",
     "crawl_repackage",
     "office_text_extract",
+    "stratified_sample",
 ]
 
 

@@ -666,3 +666,148 @@ def shuffle_shards_incremental(
         "first_doc",
         "checksum",
     ).orderBy("shard_id")
+
+
+# ------------------------------------------------- stratified sampling
+
+# per-language budgets for the registered entry: en is capped below its
+# count, mid-size languages select exactly n, and the default exercises
+# the take-all leg for any stratum smaller than its budget
+STRATA_BUDGETS = {"en": 60, "zh": 40}
+STRATA_DEFAULT_N = 25
+STRATA_SALT = "strata-v1"
+
+# md5-prefix keys are 60-bit: [0, 2^60)
+_HASH_MAX = 1 << 60
+
+
+def stratified_sample_frame(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    budgets: dict[str, int] | None = None,
+    default_n: int = STRATA_DEFAULT_N,
+    id_col: str = "doc_id",
+    salt: str = STRATA_SALT,
+    margin: int = 4,
+) -> DataFrame:
+    """EXACT per-stratum budgets with deterministic selection: within
+    each stratum keep the `n_s` docs with the smallest salted md5 hash
+    (ties impossible — the order key is (hash, id)). Reproducible
+    across engines/cluster sizes/runs, and stable under corpus growth
+    (a new doc only displaces the one doc it out-ranks).
+
+    Scale design — the naive plan is a row_number window partitioned
+    by stratum, which serializes each stratum through ONE task: a
+    3-stratum 100 TB corpus would sort 100 TB on 3 reducers. Instead:
+
+      1. one map-side-combined count per stratum (tiny aggregate);
+      2. hash-prefix prefilter: keep rows with hash <= margin * n/N *
+         MAX — because the filter is a PREFIX of the hash order, the
+         survivors' ranks ARE the true stratum ranks; survivors are
+         ~margin*n rows per stratum regardless of corpus size;
+      3. a guard aggregate: any stratum whose survivor count fell
+         below min(n, N) (Chernoff probability ~exp(-n), but never
+         assumed) is rescued by unioning its full population back;
+      4. the exact row_number window runs on the tiny survivor set.
+
+    The two collects are metadata-sized (one row per stratum), like
+    AQE statistics — never O(corpus)."""
+    budgets = STRATA_BUDGETS if budgets is None else budgets
+    s = F.col(stratum_col)
+    n_expr = F.coalesce(
+        *(
+            [F.when(s == k, F.lit(v)) for k, v in sorted(budgets.items())]
+            + [F.lit(default_n)]
+        )
+    ).cast("bigint")
+    key = F.conv(
+        F.substring(F.md5(F.concat_ws("#", F.lit(salt), F.col(id_col))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = docs.select(
+        s.alias("stratum"),
+        F.col(id_col).alias("doc_id"),
+        key.alias("__h"),
+        n_expr.alias("__n"),
+    )
+
+    counts = {
+        r["stratum"]: r["cnt"]
+        for r in hashed.groupBy("stratum").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    thresholds = {}
+    for stratum, total in counts.items():
+        n_s = budgets.get(stratum, default_n)
+        if total <= n_s:
+            thresholds[stratum] = _HASH_MAX
+        else:
+            thresholds[stratum] = min(_HASH_MAX, (_HASH_MAX // total) * n_s * margin)
+    t_expr = F.coalesce(
+        *(
+            [
+                F.when(F.col("stratum").eqNullSafe(k), F.lit(v))
+                for k, v in sorted(thresholds.items(), key=lambda kv: str(kv[0]))
+            ]
+            + [F.lit(_HASH_MAX)]
+        )
+    )
+    surv = hashed.filter(F.col("__h") <= t_expr)
+
+    # guard: a stratum that lost part of its true top-n to the prefilter
+    # (survivors < min(n, N)) is rescued with its full population
+    surv_counts = {
+        r["stratum"]: r["cnt"]
+        for r in surv.groupBy("stratum").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    bad = [
+        stratum
+        for stratum, total in counts.items()
+        if surv_counts.get(stratum, 0) < min(budgets.get(stratum, default_n), total)
+    ]
+    if bad:
+        surv = surv.filter(~F.col("stratum").isin(bad)).unionByName(
+            hashed.filter(F.col("stratum").isin(bad))
+        )
+
+    w = W.partitionBy("stratum").orderBy("__h", "doc_id")
+    return (
+        surv.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.col("__n"))
+        .select("stratum", "doc_id", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents-table entry: exact per-language sample (en capped at
+    60, zh at 40, every other language at 25; languages smaller than
+    their budget are taken whole)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample_frame(docs).orderBy("stratum", "rk")
+
+
+def stratified_sample_oracle(
+    budgets: dict[str, int] | None = None,
+    default_n: int = STRATA_DEFAULT_N,
+    salt: str = STRATA_SALT,
+) -> str:
+    budgets = STRATA_BUDGETS if budgets is None else budgets
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(budgets.items())
+    )
+    return f"""
+    WITH d AS (
+      SELECT lang AS stratum, doc_id,
+             ('0x' || substr(md5('{salt}' || '#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+             CASE {cases} ELSE {default_n} END AS n_s
+      FROM documents
+    ),
+    ranked AS (
+      SELECT stratum, doc_id, n_s,
+             row_number() OVER (PARTITION BY stratum ORDER BY h, doc_id) AS rk
+      FROM d
+    )
+    SELECT stratum, doc_id, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= n_s
+    ORDER BY stratum, rk
+    """

@@ -1342,6 +1342,22 @@ def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.dedup_exact_incremental(spark, sf_dir)
 
 
+from danae_spark.operators import sampling as _sampling  # noqa: E402
+
+
+@register("stratified_sample", oracle=_sampling.stratified_sample_oracle())
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with EXACT per-stratum budgets (r14): per
+    language keep the n_s docs with the smallest salted md5 hash —
+    reproducible across engines and stable under corpus growth. The
+    plan avoids the full-corpus per-stratum window: a hash-prefix
+    prefilter (a PREFIX of the rank order, so survivor ranks are true
+    ranks) shrinks each stratum to ~margin*n rows first, with a
+    counted rescue guard so the result is exact by construction, not
+    by probability (operators/sampling.py stratified_sample_frame)."""
+    return _sampling.stratified_sample(spark, sf_dir)
+
+
 from danae_spark.multimodal import office as _office  # noqa: E402
 
 

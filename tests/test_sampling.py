@@ -318,3 +318,101 @@ def test_shuffle_shards_incremental_merge_equals_scratch(spark):
     )
     merged = sampling.merge_shard_manifests(one, empty).collect()
     assert len(merged) == 1 and merged[0]["n_docs"] == 1
+
+
+def test_stratified_sample_matches_oracle(spark, sf_dir):
+    import duckdb
+    import os
+
+    from danae_spark.catalog import table_path
+    from danae_spark.operators import sampling
+    from danae_spark.queries import load_all
+
+    fn = load_all()["stratified_sample"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(sampling.stratified_sample_oracle()).fetchall()]
+    assert len(got) == len(want) and got == want
+
+
+def test_stratified_sample_exactness_and_budgets(spark):
+    """Budgets hit exactly when the stratum is big enough, whole
+    stratum when not; selection equals the global hash order (the
+    prefilter provably cannot change ranks)."""
+    from pyspark.sql import functions as F
+
+    from danae_spark.operators import sampling
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(900)] + [(1000, "tiny")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = sampling.stratified_sample_frame(
+        docs, budgets={"a": 10, "b": 300}, default_n=7
+    ).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["stratum"], []).append(r)
+    assert len(by["a"]) == 10 and len(by["b"]) == 300
+    assert len(by["c"]) == 7
+    assert len(by["tiny"]) == 1 and by["tiny"][0]["rk"] == 1  # take-all leg
+
+    # brute-force ground truth: global hash order per stratum
+    hashed = docs.select(
+        "lang",
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.lit(sampling.STRATA_SALT), F.col("doc_id"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint").alias("h"),
+    ).collect()
+    for stratum, n_s in (("a", 10), ("b", 300), ("c", 7)):
+        pool = sorted(
+            (r["h"], r["doc_id"]) for r in hashed if r["lang"] == stratum
+        )[:n_s]
+        want_ids = [doc for _h, doc in pool]
+        got_ids = [r["doc_id"] for r in sorted(by[stratum], key=lambda r: r["rk"])]
+        assert got_ids == want_ids, stratum
+
+
+def test_stratified_sample_rescue_guard(spark):
+    """margin=0 forces the prefilter to drop every row; the counted
+    rescue must restore exactness anyway."""
+    from danae_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(50)], "doc_id long, lang string"
+    )
+    got = sampling.stratified_sample_frame(
+        docs, budgets={}, default_n=5, margin=0
+    ).collect()
+    assert len(got) == 5
+    full = sampling.stratified_sample_frame(
+        docs, budgets={}, default_n=5, margin=4
+    ).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in full)
+
+
+def test_stratified_sample_growth_stability(spark):
+    """Corpus growth only displaces out-ranked docs: the selection
+    from a superset is a superset-rank refinement, never a reshuffle."""
+    from danae_spark.operators import sampling
+
+    small = spark.createDataFrame(
+        [(i, "s") for i in range(200)], "doc_id long, lang string"
+    )
+    big = spark.createDataFrame(
+        [(i, "s") for i in range(400)], "doc_id long, lang string"
+    )
+    pick_small = {r["doc_id"] for r in sampling.stratified_sample_frame(
+        small, budgets={}, default_n=20).collect()}
+    pick_big = {r["doc_id"] for r in sampling.stratified_sample_frame(
+        big, budgets={}, default_n=20).collect()}
+    # every doc the big run keeps from the first 200 was already kept
+    assert {d for d in pick_big if d < 200} <= pick_small
