@@ -28,3 +28,16 @@ def exif_stream(
     from danae_spark.multimodal.exif import exif_frame
 
     return exif_frame(stream_df, id_col=id_col, payload_col=payload_col)
+
+
+def office_stream(
+    stream_df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Office-document text over a blob stream (docx/odt packages as
+    an uploader lands them): stateless append — office_text_frame is
+    a stateless mapInPandas, so the streaming twin is the SAME frame
+    function; a corrupt package yields a NULL row per the batch
+    reject-whole contract, never a stream crash."""
+    from danae_spark.multimodal.office import office_text_frame
+
+    return office_text_frame(stream_df, id_col=id_col, payload_col=payload_col)

@@ -47,3 +47,53 @@ def test_exif_stream_matches_batch(spark, tmp_path):
     assert by_id[99][1] == 0  # junk: has_exif=0, not a crash
     # docs 6 and 13 are the grid's no-EXIF / truncated-TIFF legs
     assert by_id[6][1] == 0 and by_id[13][1] == 0
+
+
+def test_office_stream_matches_batch(spark, tmp_path):
+    """Office text over a live streaming query: two landed files ->
+    two micro-batches, row-identical to the batch frame, stateless."""
+    import glob
+    import os
+    import shutil
+
+    from danae_spark.multimodal.office import office_text_frame, synth_office
+    from danae_spark.streaming.harvest import read_blob_stream
+    from danae_spark.streaming.media import office_stream
+
+    blob_dir = str(tmp_path / "office_blobs")
+    os.makedirs(blob_dir)
+    rows1 = [(d, bytearray(synth_office(d))) for d in range(0, 9)]  # incl. d=0 reject
+    rows2 = [(d, bytearray(synth_office(d))) for d in range(9, 20)] + [
+        (99, bytearray(b"PK\x03\x04 not a package"))
+    ]
+    for i, rows in enumerate((rows1, rows2)):
+        sub = f"{blob_dir}/f{i}"
+        spark.createDataFrame(rows, "doc_id long, payload binary").coalesce(
+            1
+        ).write.parquet(sub)
+        for j, f in enumerate(glob.glob(f"{sub}/*.parquet")):
+            shutil.move(f, f"{blob_dir}/f{i}_{j}.parquet")
+        shutil.rmtree(sub)
+
+    q = (
+        office_stream(read_blob_stream(spark, blob_dir))
+        .writeStream.format("memory")
+        .queryName("office_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in spark.sql("SELECT * FROM office_stream_test").collect()
+    }
+    batch = spark.createDataFrame(rows1 + rows2, "doc_id long, payload binary")
+    want = {r["doc_id"]: tuple(r) for r in office_text_frame(batch).collect()}
+    assert got == want and len(got) == 21
+    assert got[0][1] is None and got[99][1] is None  # rejects flow as NULL rows
+    assert q.lastProgress is None or all(
+        op.get("numRowsUpdated", 0) == 0
+        for op in (q.lastProgress.get("stateOperators") or [])
+    )
