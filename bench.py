@@ -173,6 +173,7 @@ HEADLINE = [
     "crawl_repackage",
     "office_text_extract",
     "stratified_sample",
+    "xlsx_table_extract",
 ]
 
 

@@ -824,3 +824,12 @@ class DataLakeEngine:
         from danae_spark.multimodal.office import office_text_frame
 
         return office_text_frame(df, **kw)
+
+    def xlsx_tables(self, df: DataFrame, **kw) -> DataFrame:
+        """SpreadsheetML table extraction over any (id, binary)
+        frame: sheet name, cell counts, and the TSV cell grid with
+        shared strings / inline strings / booleans / cached formula
+        values resolved (multimodal/office.py parse_xlsx)."""
+        from danae_spark.multimodal.office import xlsx_table_frame
+
+        return xlsx_table_frame(df, **kw)

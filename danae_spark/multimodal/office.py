@@ -47,6 +47,7 @@ training-data-pipeline extension surface.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 from typing import Optional
 
@@ -583,4 +584,471 @@ SELECT doc_id,
             ELSE CAST(length(text) AS INT) END AS n_chars,
        CASE WHEN d % 17 = 0 THEN NULL ELSE n_tokens END AS n_words
 FROM office ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------- xlsx (SpreadsheetML)
+#
+# The tabular OOXML sibling (ECMA-376 §18): a workbook part naming the
+# sheets, a shared-strings table, and per-sheet cell grids with
+# A1-style refs. Declared boundaries: single sheet, single-letter
+# columns (<= 26), plain <t> or run (<r><t>) shared strings, cached
+# formula values (<f> is skipped, <v> taken) — everything outside
+# rejects whole.
+
+
+def _col_index(ref: str) -> Optional[int]:
+    """'C7' -> 2. Single-letter columns only (declared boundary)."""
+    if not ref or not ref[0].isalpha():
+        return None
+    if len(ref) > 1 and ref[1].isalpha():
+        return None  # multi-letter column: outside the certified subset
+    return ord(ref[0].upper()) - ord("A")
+
+
+def _shared_strings(xml: str) -> Optional[list[str]]:
+    """<si> entries in order; plain <t> or rich-text runs <r><t>."""
+    out: list[str] = []
+    parts: list[str] = []
+    in_si = False
+    pos, n = 0, len(xml)
+    while pos < n:
+        lt = xml.find("<", pos)
+        if lt == -1:
+            break
+        pos = lt
+        skip = _skip_markup(xml, pos)
+        if skip is None:
+            return None
+        if skip != -1:
+            pos = skip
+            continue
+        tag = _scan_tag(xml, pos)
+        if tag is None:
+            return None
+        name, is_close, self_closing, _attrs, pos = tag
+        if name == "si":
+            if is_close:
+                if not in_si:
+                    return None
+                out.append("".join(parts))
+                parts, in_si = [], False
+            elif self_closing:
+                out.append("")
+            else:
+                if in_si:
+                    return None
+                in_si, parts = True, []
+        elif in_si and name == "t" and not is_close and not self_closing:
+            got = _element_text(xml, pos, "t")
+            if got is None:
+                return None
+            content, pos = got
+            parts.append(content)
+    if in_si:
+        return None
+    return out
+
+
+def _sheet_rows(xml: str, shared: list[str]) -> Optional[tuple[list[list[str]], int]]:
+    """Cell grid from a worksheet part: list of rows (each a list of
+    cell strings, ''-filled at ref gaps) + the count of value-bearing
+    cells. Cached formula values are taken; <f> bodies are skipped."""
+    rows: list[list[str]] = []
+    cells: list[str] = []
+    n_values = 0
+    in_row = False
+    cell_t: Optional[str] = None
+    cell_col = -1
+    pending: Optional[str] = None  # raw value of the open cell
+    pos, n = 0, len(xml)
+
+    def close_cell() -> bool:
+        nonlocal pending, n_values
+        if cell_col < len(cells):
+            return False  # refs must be strictly increasing
+        cells.extend([""] * (cell_col - len(cells)))
+        if pending is None:
+            cells.append("")
+            return True
+        t = cell_t or "n"
+        if t == "s":
+            if not pending.isdigit() or int(pending) >= len(shared):
+                return False
+            cells.append(shared[int(pending)])
+        elif t == "b":
+            if pending not in ("0", "1"):
+                return False
+            cells.append("TRUE" if pending == "1" else "FALSE")
+        elif t in ("n", "str", "inlineStr"):
+            cells.append(pending)
+        else:
+            return False  # unknown cell type (e.g. 'e'): reject whole
+        n_values += 1
+        pending = None
+        return True
+
+    in_cell = False
+    while pos < n:
+        lt = xml.find("<", pos)
+        if lt == -1:
+            break
+        pos = lt
+        skip = _skip_markup(xml, pos)
+        if skip is None:
+            return None
+        if skip != -1:
+            pos = skip
+            continue
+        tag = _scan_tag(xml, pos)
+        if tag is None:
+            return None
+        name, is_close, self_closing, attrs, pos = tag
+        if name == "row":
+            if is_close:
+                if not in_row:
+                    return None
+                rows.append(cells)
+                cells, in_row = [], False
+            elif self_closing:
+                rows.append([])
+            else:
+                if in_row:
+                    return None
+                in_row, cells = True, []
+        elif in_row and name == "c":
+            if is_close:
+                if not in_cell or not close_cell():
+                    return None
+                in_cell, cell_t, cell_col = False, None, -1
+            else:
+                if in_cell:
+                    return None
+                col = _col_index(attrs.get("r", ""))
+                if col is None:
+                    return None
+                in_cell, cell_t, cell_col, pending = True, attrs.get("t"), col, None
+                if self_closing:
+                    if not close_cell():
+                        return None
+                    in_cell, cell_t, cell_col = False, None, -1
+        elif in_cell and name == "v" and not is_close and not self_closing:
+            got = _element_text(xml, pos, "v")
+            if got is None:
+                return None
+            pending, pos = got
+        elif in_cell and name == "t" and not is_close and not self_closing:
+            # inlineStr body: <is><t>...</t></is>
+            got = _element_text(xml, pos, "t")
+            if got is None:
+                return None
+            pending, pos = got
+        elif in_cell and name == "f" and not is_close and not self_closing:
+            # formula body: skip, the cached <v> is the value
+            end = xml.find("</f>", pos)
+            if end == -1:
+                return None
+            pos = end + 4
+    if in_row or in_cell:
+        return None
+    return rows, n_values
+
+
+def parse_xlsx(payload: bytes) -> Optional[dict]:
+    """SpreadsheetML workbook -> {sheet_name, n_rows, n_cells,
+    n_shared, text} with text as a TSV grid (cells joined by TAB,
+    rows by newline); None on any structural violation."""
+    members = _zip_members(payload)
+    if not members:
+        return None
+    by_name = {name: data for name, is_dir, _u, _c, data in members if not is_dir}
+    if "[Content_Types].xml" not in by_name or "xl/workbook.xml" not in by_name:
+        return None
+    wb = _decode_xml_part(by_name["xl/workbook.xml"])
+    if wb is None:
+        return None
+    meta = _meta_fields(wb, ())  # structural XML validation only
+    if meta is None:
+        return None
+    # first <sheet name="..."/>
+    m = re.search(r"<sheet\s[^>]*\bname=\"([^\"]*)\"", wb)
+    if not m:
+        return None
+    sheet_name = _decode_entities(m.group(1))
+
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in by_name:
+        sst = _decode_xml_part(by_name["xl/sharedStrings.xml"])
+        if sst is None:
+            return None
+        got = _shared_strings(sst)
+        if got is None:
+            return None
+        shared = got
+
+    ws = by_name.get("xl/worksheets/sheet1.xml")
+    if ws is None:
+        return None
+    ws_xml = _decode_xml_part(ws)
+    if ws_xml is None:
+        return None
+    grid = _sheet_rows(ws_xml, shared)
+    if grid is None:
+        return None
+    rows, n_values = grid
+    text = "\n".join("\t".join(r) for r in rows)
+    return {
+        "sheet_name": sheet_name,
+        "n_rows": len(rows),
+        "n_cells": n_values,
+        "n_shared": len(shared),
+        "text": text,
+    }
+
+
+# ------------------------------------------------------ xlsx synthesis
+#
+# Cell arithmetic (restated in XLSX_TABLE_ORACLE):
+#   n_data_rows(d) = 2 + d % 3 ; n_cols(d) = 2 + d % 2
+#   header cell c        = 'h' || (d + c) % 5           (shared string)
+#   data cell (r, c), r in 1..n_data_rows:
+#     gap when (d + r + c) % 7 == 3 -> ''  (omitted element mid-row,
+#                                           explicit empty <c> at the
+#                                           last column)
+#     else kind = (d + r + c) % 4:
+#       0 -> number (d*13 + r*7 + c*3) % 1000   (cached-formula cell
+#                                                when r == 1)
+#       1 -> shared 's' || (d + r + c) % 6
+#       2 -> inline 'i' || (d + r*2 + c) % 9
+#       3 -> boolean: TRUE iff (r + c) % 2 == 1
+#   sheet name 'data d' || d % 10; sst = h0..h4, s0..s5 (11 entries);
+#   d % 19 == 0 -> truncated package (reject leg)
+
+_XLSX_CT = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" '
+    'ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
+    'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/'
+    'vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+    '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.'
+    'openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/></Types>'
+)
+
+_XLSX_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'relationships"><Relationship Id="rId1" Type="http://schemas.'
+    'openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+    'Target="xl/workbook.xml"/></Relationships>'
+)
+
+_XLSX_WB_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'relationships"><Relationship Id="rId1" Type="http://schemas.'
+    'openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+    'Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="http://'
+    'schemas.openxmlformats.org/officeDocument/2006/relationships/'
+    'sharedStrings" Target="sharedStrings.xml"/></Relationships>'
+)
+
+
+def _xlsx_cell(d: int, r: int, c: int) -> tuple[str, str] | None:
+    """(kind, rendered value) for data cell (r, c); None = gap."""
+    if (d + r + c) % 7 == 3:
+        return None
+    kind = (d + r + c) % 4
+    if kind == 0:
+        return "n", str((d * 13 + r * 7 + c * 3) % 1000)
+    if kind == 1:
+        return "s", f"s{(d + r + c) % 6}"
+    if kind == 2:
+        return "i", f"i{(d + r * 2 + c) % 9}"
+    return "b", "TRUE" if (r + c) % 2 == 1 else "FALSE"
+
+
+def xlsx_n_data_rows(d: int) -> int:
+    return 2 + d % 3
+
+
+def xlsx_n_cols(d: int) -> int:
+    return 2 + d % 2
+
+
+def synth_xlsx(d: int) -> bytes:
+    """Minimal-but-real SpreadsheetML package exercising shared
+    strings (incl. a rich-text run), inline strings, booleans, cached
+    formulas, ref-gap positioning, and explicit empty cells."""
+    sst_items = []
+    for k in range(5):
+        if k == 2:
+            # rich-text run form: parser must concatenate <r><t> parts
+            sst_items.append(f"<si><r><t>h</t></r><r><t>{k}</t></r></si>")
+        else:
+            sst_items.append(f"<si><t>h{k}</t></si>")
+    sst_items += [f"<si><t>s{k}</t></si>" for k in range(6)]
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        f'count="11" uniqueCount="11">{"".join(sst_items)}</sst>'
+    )
+    wb = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/'
+        '2006/main"><sheets>'
+        f'<sheet name="data d{d % 10}" sheetId="1" r:id="rId1"/>'
+        "</sheets></workbook>"
+    )
+    n_cols = xlsx_n_cols(d)
+    body = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>']
+    body.append(
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/'
+        '2006/main"><sheetData>'
+    )
+    # header row: shared-string refs
+    hdr = "".join(
+        f'<c r="{chr(65 + c)}1" t="s"><v>{(d + c) % 5}</v></c>'
+        for c in range(n_cols)
+    )
+    body.append(f'<row r="1">{hdr}</row>')
+    for r in range(1, xlsx_n_data_rows(d) + 1):
+        cells = []
+        for c in range(n_cols):
+            ref = f"{chr(65 + c)}{r + 1}"
+            got = _xlsx_cell(d, r, c)
+            if got is None:
+                if c == n_cols - 1:
+                    cells.append(f'<c r="{ref}"/>')  # explicit empty cell
+                # mid-row gap: element omitted, ref positioning must fill
+                continue
+            kind, val = got
+            if kind == "n":
+                if r == 1:
+                    cells.append(f'<c r="{ref}"><f>1+{val}-1</f><v>{val}</v></c>')
+                else:
+                    cells.append(f'<c r="{ref}"><v>{val}</v></c>')
+            elif kind == "s":
+                idx = 5 + (d + r + c) % 6
+                cells.append(f'<c r="{ref}" t="s"><v>{idx}</v></c>')
+            elif kind == "i":
+                cells.append(f'<c r="{ref}" t="inlineStr"><is><t>{val}</t></is></c>')
+            else:
+                v = "1" if val == "TRUE" else "0"
+                cells.append(f'<c r="{ref}" t="b"><v>{v}</v></c>')
+        body.append(f'<row r="{r + 1}">{"".join(cells)}</row>')
+    body.append("</sheetData></worksheet>")
+    entries = [
+        ("[Content_Types].xml", _XLSX_CT.encode(), 8),
+        ("_rels/.rels", _XLSX_RELS.encode(), 8),
+        ("xl/workbook.xml", wb.encode(), 8),
+        ("xl/_rels/workbook.xml.rels", _XLSX_WB_RELS.encode(), 8),
+        ("xl/sharedStrings.xml", sst.encode(), 8),
+        ("xl/worksheets/sheet1.xml", "\n".join(body).encode(), 8),
+    ]
+    raw = _zip_build(entries)
+    if d % 19 == 0:
+        return raw[:-7]
+    return raw
+
+
+_XLSX_SCHEMA = (
+    "doc_id bigint, sheet_name string, n_rows int, n_cells int, "
+    "n_shared int, text string"
+)
+_XLSX_COLS = ["sheet_name", "n_rows", "n_cells", "n_shared", "text"]
+
+
+def xlsx_table_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
+    """xlsx table extraction over any (id, binary) frame: one
+    Arrow-batched narrow map, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                r = parse_xlsx(bytes(payload)) if payload is not None else None
+                row = {"doc_id": int(doc_id)}
+                row.update({k: (r.get(k) if r else None) for k in _XLSX_COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["doc_id"] + _XLSX_COLS)
+
+    return df.select(
+        df[id_col].cast("bigint").alias("doc_id"), df[payload_col].alias("payload")
+    ).mapInPandas(batches, schema=_XLSX_SCHEMA)
+
+
+def xlsx_table_roundtrip(spark, sf_dir: str):
+    """Oracle-checkable roundtrip: per doc a real SpreadsheetML
+    package is built byte-for-byte, walked by the validating ZIP
+    reader, the shared-strings and cell grid parsed by the shared tag
+    scanner, and every output column restated as doc_id arithmetic in
+    XLSX_TABLE_ORACLE."""
+    from danae_spark.catalog import load_table
+    from danae_spark.session import stage_parallelism
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                r = parse_xlsx(synth_xlsx(d))
+                row = {"doc_id": d}
+                row.update({k: (r.get(k) if r else None) for k in _XLSX_COLS})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["doc_id"] + _XLSX_COLS)
+
+    return (
+        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
+        .mapInPandas(batches, schema=_XLSX_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+XLSX_TABLE_ORACLE = """
+WITH d0 AS (SELECT doc_id, doc_id AS d FROM documents),
+cells AS (
+  SELECT doc_id, d, r.r, c.c,
+         CASE
+           WHEN r.r = 0 THEN 'h' || CAST((d + c.c) % 5 AS VARCHAR)
+           WHEN (d + r.r + c.c) % 7 = 3 THEN ''
+           WHEN (d + r.r + c.c) % 4 = 0
+             THEN CAST((d * 13 + r.r * 7 + c.c * 3) % 1000 AS VARCHAR)
+           WHEN (d + r.r + c.c) % 4 = 1
+             THEN 's' || CAST((d + r.r + c.c) % 6 AS VARCHAR)
+           WHEN (d + r.r + c.c) % 4 = 2
+             THEN 'i' || CAST((d + r.r * 2 + c.c) % 9 AS VARCHAR)
+           WHEN (r.r + c.c) % 2 = 1 THEN 'TRUE' ELSE 'FALSE'
+         END AS val
+  FROM d0, generate_series(0, 4) r(r), generate_series(0, 2) c(c)
+  WHERE r.r <= 2 + d % 3 AND c.c < 2 + d % 2
+),
+lines AS (
+  SELECT doc_id, d, r,
+         string_agg(val, chr(9) ORDER BY c) AS line,
+         CAST(count(*) FILTER (WHERE val <> '' OR r = 0) AS INT) AS n_vals
+  FROM cells GROUP BY doc_id, d, r
+),
+grid AS (
+  SELECT doc_id, d,
+         string_agg(line, chr(10) ORDER BY r) AS text,
+         CAST(count(*) AS INT) AS n_rows,
+         CAST(sum(n_vals) AS INT) AS n_cells
+  FROM lines GROUP BY doc_id, d
+)
+SELECT doc_id,
+       CASE WHEN d % 19 = 0 THEN NULL
+            ELSE 'data d' || CAST(d % 10 AS VARCHAR) END AS sheet_name,
+       CASE WHEN d % 19 = 0 THEN NULL ELSE n_rows END AS n_rows,
+       CASE WHEN d % 19 = 0 THEN NULL ELSE n_cells END AS n_cells,
+       CASE WHEN d % 19 = 0 THEN NULL ELSE 11 END AS n_shared,
+       CASE WHEN d % 19 = 0 THEN NULL ELSE text END AS text
+FROM grid ORDER BY doc_id
 """

@@ -1376,6 +1376,20 @@ def office_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _office.office_text_roundtrip(spark, sf_dir)
 
 
+@register("xlsx_table_extract", oracle=_office.XLSX_TABLE_ORACLE)
+def xlsx_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xlsx table extraction (r14): per doc a real SpreadsheetML
+    package (workbook + shared strings incl. a rich-text run + cell
+    grid with A1 refs) is built byte-for-byte, walked by the
+    validating ZIP reader, cells resolved through every ECMA-376
+    value channel — shared-string index, inline string, boolean,
+    cached formula value, ref-gap positioning, explicit empty cells —
+    into a TSV grid, all restated as doc_id arithmetic; d % 19 == 0
+    is the truncated-package reject leg
+    (multimodal/office.py xlsx_table_roundtrip)."""
+    return _office.xlsx_table_roundtrip(spark, sf_dir)
+
+
 @register("dedup_minhash_incremental", oracle=_dedup.DEDUP_MINHASH_INC_ORACLE)
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup dedup (r14): batch MinHash signatures

@@ -171,3 +171,125 @@ def test_registered_oracle_matches_duckdb(spark, sf_dir):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
     want = [tuple(r) for r in con.execute(OFFICE_TEXT_ORACLE).fetchall()]
     assert len(got) == len(want) and got == want
+
+
+# ------------------------------------------------------------- xlsx
+
+
+def test_xlsx_roundtrip_grid():
+    from danae_spark.multimodal.office import parse_xlsx, synth_xlsx, xlsx_n_cols, xlsx_n_data_rows
+
+    for d in range(100):
+        r = parse_xlsx(synth_xlsx(d))
+        if d % 19 == 0:
+            assert r is None, d
+            continue
+        assert r is not None, d
+        assert r["sheet_name"] == f"data d{d % 10}", d
+        assert r["n_rows"] == 1 + xlsx_n_data_rows(d), d
+        assert r["n_shared"] == 11, d
+        lines = r["text"].split("\n")
+        assert len(lines) == r["n_rows"], d
+        assert all(len(ln.split("\t")) == xlsx_n_cols(d) for ln in lines), d
+        # header from shared strings (incl. the rich-text run entry h2)
+        assert lines[0].split("\t")[0] == f"h{d % 5}", d
+
+
+def test_xlsx_cell_channels():
+    from danae_spark.multimodal.office import _zip_build  # noqa: F401 (re-exported path)
+    from danae_spark.multimodal.office import parse_xlsx, synth_xlsx
+
+    # across a doc range every value channel renders: booleans as
+    # TRUE/FALSE, numbers as raw digit strings, inline i<k>, shared
+    # s<k>, gaps as ''
+    flat = []
+    for d in range(1, 12):
+        r = parse_xlsx(synth_xlsx(d))
+        assert r is not None
+        flat += r["text"].replace("\n", "\t").split("\t")
+    assert any(v in ("TRUE", "FALSE") for v in flat)
+    assert any(v.isdigit() for v in flat)
+    assert any(v.startswith("i") for v in flat)
+    assert any(v.startswith("s") for v in flat)
+    assert any(v == "" for v in flat)
+
+
+def test_xlsx_rejects():
+    from danae_spark.multimodal.archive import _zip_build
+    from danae_spark.multimodal.office import parse_xlsx, synth_xlsx
+
+    ok = synth_xlsx(1)
+    assert parse_xlsx(ok) is not None
+    assert parse_xlsx(ok[:-5]) is None  # truncated
+    # shared-string index out of range
+    def pack(ws, sst=None):
+        from danae_spark.multimodal.office import _XLSX_CT, _XLSX_RELS
+        entries = [
+            ("[Content_Types].xml", _XLSX_CT.encode(), 8),
+            ("_rels/.rels", _XLSX_RELS.encode(), 8),
+            ("xl/workbook.xml", b'<workbook><sheets><sheet name="s"/></sheets></workbook>', 0),
+            ("xl/worksheets/sheet1.xml", ws.encode(), 8),
+        ]
+        if sst is not None:
+            entries.append(("xl/sharedStrings.xml", sst.encode(), 8))
+        return _zip_build(entries)
+
+    assert parse_xlsx(pack('<sheetData><row r="1"><c r="A1" t="s"><v>7</v></c></row></sheetData>',
+                           "<sst><si><t>x</t></si></sst>")) is None
+    # decreasing refs reject
+    assert parse_xlsx(pack('<sheetData><row r="1"><c r="B1"><v>1</v></c>'
+                           '<c r="A1"><v>2</v></c></row></sheetData>')) is None
+    # multi-letter column: declared boundary
+    assert parse_xlsx(pack('<sheetData><row r="1"><c r="AA1"><v>1</v></c></row></sheetData>')) is None
+    # unknown cell type rejects whole
+    assert parse_xlsx(pack('<sheetData><row r="1"><c r="A1" t="e"><v>#REF!</v></c></row></sheetData>')) is None
+    # bad boolean value
+    assert parse_xlsx(pack('<sheetData><row r="1"><c r="A1" t="b"><v>2</v></c></row></sheetData>')) is None
+    # unterminated row
+    assert parse_xlsx(pack('<sheetData><row r="1"><c r="A1"><v>1</v></c></sheetData>')) is None
+    # missing worksheet part
+    from danae_spark.multimodal.office import _XLSX_CT, _XLSX_RELS
+    nows = _zip_build([
+        ("[Content_Types].xml", _XLSX_CT.encode(), 8),
+        ("_rels/.rels", _XLSX_RELS.encode(), 8),
+        ("xl/workbook.xml", b'<workbook><sheets><sheet name="s"/></sheets></workbook>', 0),
+    ])
+    assert parse_xlsx(nows) is None
+
+
+def test_xlsx_fuzz_never_crashes():
+    import random
+
+    from danae_spark.multimodal.office import parse_xlsx, synth_xlsx
+
+    rng = random.Random(1414)
+    for d in (1, 2, 7):
+        base = bytearray(synth_xlsx(d))
+        for _ in range(200):
+            z = bytearray(base)
+            for _ in range(rng.randint(1, 3)):
+                z[rng.randrange(len(z))] ^= 1 << rng.randrange(8)
+            parse_xlsx(bytes(z))
+
+
+def test_xlsx_frame_and_registered_oracle(spark, sf_dir):
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal.office import XLSX_TABLE_ORACLE, synth_xlsx, xlsx_table_frame
+    from danae_spark.queries import load_all
+
+    df = spark.createDataFrame(
+        [(d, bytearray(synth_xlsx(d))) for d in range(25)] + [(99, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in xlsx_table_frame(df).collect()}
+    assert got[99]["text"] is None and got[19]["text"] is None
+    assert got[1]["n_shared"] == 11
+
+    fn = load_all()["xlsx_table_extract"].fn
+    got2 = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(XLSX_TABLE_ORACLE).fetchall()]
+    assert len(got2) == len(want) and got2 == want
