@@ -174,6 +174,8 @@ HEADLINE = [
     "office_text_extract",
     "stratified_sample",
     "xlsx_table_extract",
+    "weighted_sample",
+    "mixture_plan",
 ]
 
 

@@ -811,3 +811,169 @@ def stratified_sample_oracle(
     FROM ranked WHERE rk <= n_s
     ORDER BY stratum, rk
     """
+
+
+# -------------------------------------------------- weighted sampling
+
+WEIGHTED_SALT = "wsample-v1"
+WEIGHTED_N = 100
+
+
+def weighted_sample_frame(
+    docs: DataFrame,
+    weight_col: str,
+    n: int = WEIGHTED_N,
+    id_col: str = "doc_id",
+    salt: str = WEIGHTED_SALT,
+) -> DataFrame:
+    """Deterministic weight-biased sample of n docs without
+    replacement: rank by key = h // w (salted 60-bit md5 hash,
+    integer-divided by the positive integer weight) and keep the n
+    smallest keys. A doc with twice the weight halves its key range,
+    so inclusion odds grow monotonically with weight — the
+    integer-exact flavor of priority/PPS sampling (the float
+    exponential-key variant trades cross-engine exactness for
+    calibrated probabilities; this one is reproducible bit-for-bit on
+    any engine, which is what corpus reproducibility needs).
+    Rows with NULL or non-positive weight are excluded.
+
+    Scale: orderBy(key).limit(n) plans as TakeOrderedAndProject —
+    each partition keeps its local top-n and only n-row heads travel;
+    no global sort, no full shuffle."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("#", F.lit(salt), F.col(id_col))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.col(weight_col).cast("bigint")
+    keyed = (
+        docs.filter(w > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            w.alias("weight"),
+            h.alias("__h"),
+        )
+        .withColumn("key", F.expr("__h div weight"))
+    )
+    top = keyed.orderBy("key", "__h", "doc_id").limit(n)
+    w2 = W.orderBy("key", "__h", "doc_id")
+    return top.withColumn("rk", F.row_number().over(w2).cast("int")).select(
+        "doc_id", "weight", "key", "rk"
+    )
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str, n: int = WEIGHTED_N) -> DataFrame:
+    """Documents-table entry: length-weighted deterministic sample
+    (weight = n_chars) — longer documents proportionally likelier,
+    selection reproducible across engines and runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_frame(docs, "n_chars", n).orderBy("rk")
+
+
+def weighted_sample_oracle(n: int = WEIGHTED_N, salt: str = WEIGHTED_SALT) -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             ('0x' || substr(md5('{salt}' || '#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT doc_id, weight, h // weight AS key,
+             row_number() OVER (ORDER BY h // weight, h, doc_id) AS rk
+      FROM d
+    )
+    SELECT doc_id, weight, key, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {n} ORDER BY rk
+    """
+
+
+# ---------------------------------------------------- mixture planning
+
+MIX_TOKEN_BUDGETS = {
+    "src0": 20000, "src1": 15000, "src2": 8000, "src3": 4000,
+    "src4": 2000, "src5": 1000,
+}
+
+
+def mixture_plan_frame(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mix epoch plan: per source, how many FULL passes
+    (epochs) plus what tail fraction of one more pass hits the
+    source's token budget. The operational question behind data
+    mixing — a small high-quality source is repeated (epochs > 1), a
+    huge crawl is subsampled (epochs = 0, tail < 1). One map-side-
+    combined aggregate; the budget map is a broadcast literal."""
+    s = F.col(source_col)
+    budget = F.coalesce(
+        *(
+            [F.when(s == k, F.lit(v)) for k, v in sorted(budgets.items())]
+            + [F.lit(0)]
+        )
+    ).cast("bigint")
+    tokens = F.size(F.expr(f"filter(split({text_col}, ' +'), t -> t <> '')"))
+    agg = (
+        docs.select(
+            s.alias("source"), budget.alias("budget"), tokens.alias("tokens")
+        )
+        .groupBy("source", "budget")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return (
+        agg.withColumn("epochs", F.expr("budget div n_tokens"))
+        .withColumn(
+            "tail_tokens",
+            (F.col("budget") - F.col("epochs") * F.col("n_tokens")).cast("bigint"),
+        )
+        .withColumn(
+            "oversample",
+            F.round(F.col("budget").cast("double") / F.col("n_tokens"), 6),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "n_tokens",
+            "budget",
+            F.col("epochs").cast("int").alias("epochs"),
+            "tail_tokens",
+            "oversample",
+        )
+        .orderBy("source")
+    )
+
+
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents-table entry: the epoch/tail plan for the default
+    per-source token budgets (sources outside the map get budget 0 —
+    visible as excluded, not silently dropped)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_plan_frame(docs, MIX_TOKEN_BUDGETS)
+
+
+def mixture_plan_oracle(budgets: dict[str, int] | None = None) -> str:
+    budgets = MIX_TOKEN_BUDGETS if budgets is None else budgets
+    cases = " ".join(f"WHEN source = '{k}' THEN {v}" for k, v in sorted(budgets.items()))
+    return f"""
+    WITH d AS (
+      SELECT source,
+             CAST(CASE {cases} ELSE 0 END AS BIGINT) AS budget,
+             len(list_filter(string_split_regex(text, ' +'), t -> t <> '')) AS tokens
+      FROM documents
+    ),
+    agg AS (
+      SELECT source, budget, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(tokens) AS BIGINT) AS n_tokens
+      FROM d GROUP BY source, budget
+    )
+    SELECT source, n_docs, n_tokens, budget,
+           CAST(budget // n_tokens AS INT) AS epochs,
+           CAST(budget - (budget // n_tokens) * n_tokens AS BIGINT) AS tail_tokens,
+           round(CAST(budget AS DOUBLE) / n_tokens, 6) AS oversample
+    FROM agg ORDER BY source
+    """

@@ -1345,6 +1345,29 @@ def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 from danae_spark.operators import sampling as _sampling  # noqa: E402
 
 
+@register("weighted_sample", oracle=_sampling.weighted_sample_oracle())
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-biased sampling (r14): keep the n docs
+    with the smallest h // w key (salted 60-bit md5 over the id,
+    integer-divided by the weight — here n_chars), the integer-exact
+    flavor of priority/PPS sampling: bit-reproducible on any engine,
+    inclusion odds monotone in weight. Plans as TakeOrderedAndProject
+    — per-partition top-n, no global sort
+    (operators/sampling.py weighted_sample_frame)."""
+    return _sampling.weighted_sample(spark, sf_dir)
+
+
+@register("mixture_plan", oracle=_sampling.mixture_plan_oracle())
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix epoch plan (r14): per source, full epochs + tail
+    fraction of one more pass to hit its token budget — repeat small
+    high-quality sources, subsample the crawl; sources outside the
+    budget map surface with budget 0 instead of silently dropping.
+    One map-side-combined aggregate over a broadcast budget literal
+    (operators/sampling.py mixture_plan_frame)."""
+    return _sampling.mixture_plan(spark, sf_dir)
+
+
 @register("stratified_sample", oracle=_sampling.stratified_sample_oracle())
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling with EXACT per-stratum budgets (r14): per

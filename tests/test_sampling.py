@@ -416,3 +416,82 @@ def test_stratified_sample_growth_stability(spark):
         big, budgets={}, default_n=20).collect()}
     # every doc the big run keeps from the first 200 was already kept
     assert {d for d in pick_big if d < 200} <= pick_small
+
+
+def test_weighted_sample_matches_oracle(spark, sf_dir):
+    import duckdb
+    import os
+
+    from danae_spark.catalog import table_path
+    from danae_spark.operators import sampling
+    from danae_spark.queries import load_all
+
+    fn = load_all()["weighted_sample"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(sampling.weighted_sample_oracle()).fetchall()]
+    assert len(got) == len(want) and got == want
+
+
+def test_weighted_sample_bias_and_plan(spark):
+    """Higher weight -> materially higher inclusion rate; non-positive
+    weights excluded; the plan is TakeOrdered, not a global sort."""
+    from danae_spark.operators import sampling
+
+    rows = [(i, 100 if i % 2 == 0 else 1) for i in range(2000)]
+    rows += [(9999, 0), (9998, -5), (9997, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    got = sampling.weighted_sample_frame(docs, "n_chars", n=200).collect()
+    assert len(got) == 200
+    ids = [r["doc_id"] for r in got]
+    assert 9999 not in ids and 9998 not in ids and 9997 not in ids
+    heavy = sum(1 for i in ids if i % 2 == 0)
+    assert heavy > 160  # weight-100 docs dominate a fair sample of evens+odds
+    # ranks are 1..n in key order
+    assert sorted(r["rk"] for r in got) == list(range(1, 201))
+    plan = sampling.weighted_sample_frame(docs, "n_chars", n=200)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mixture_plan_matches_oracle(spark, sf_dir):
+    import duckdb
+    import os
+
+    from danae_spark.catalog import table_path
+    from danae_spark.operators import sampling
+    from danae_spark.queries import load_all
+
+    fn = load_all()["mixture_plan"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(sampling.mixture_plan_oracle()).fetchall()]
+    assert len(got) == len(want) and got == want
+
+
+def test_mixture_plan_semantics(spark):
+    from danae_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "tiny", "a b c") for i in range(2)]      # 6 tokens total
+        + [(f"e{i}", "huge", "x " * 50) for i in range(10)],  # 500 tokens
+        "doc_id string, source string, text string",
+    )
+    got = {r["source"]: r for r in sampling.mixture_plan_frame(
+        docs, {"tiny": 20, "huge": 100}).collect()}
+    t = got["tiny"]
+    assert t["n_tokens"] == 6 and t["epochs"] == 3 and t["tail_tokens"] == 2
+    assert abs(t["oversample"] - round(20 / 6, 6)) < 1e-9
+    h = got["huge"]
+    assert h["n_tokens"] == 500 and h["epochs"] == 0 and h["tail_tokens"] == 100
+    # unmapped source surfaces with budget 0
+    docs2 = spark.createDataFrame(
+        [("a", "unmapped", "w w")], "doc_id string, source string, text string"
+    )
+    u = sampling.mixture_plan_frame(docs2, {"tiny": 20}).collect()[0]
+    assert u["budget"] == 0 and u["epochs"] == 0 and u["tail_tokens"] == 0
