@@ -176,6 +176,8 @@ HEADLINE = [
     "xlsx_table_extract",
     "weighted_sample",
     "mixture_plan",
+    "epub_text_extract",
+    "rtf_text_extract",
 ]
 
 

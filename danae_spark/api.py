@@ -833,3 +833,19 @@ class DataLakeEngine:
         from danae_spark.multimodal.office import xlsx_table_frame
 
         return xlsx_table_frame(df, **kw)
+
+    def epub_text(self, df: DataFrame, **kw) -> DataFrame:
+        """EPUB text extraction over any (id, binary) frame: chapters
+        in spine order through the certified HTML extractor, book
+        title/creator from the OPF (multimodal/epub.py parse_epub)."""
+        from danae_spark.multimodal.epub import epub_text_frame
+
+        return epub_text_frame(df, **kw)
+
+    def rtf_text(self, df: DataFrame, **kw) -> DataFrame:
+        """RTF text extraction over any (id, binary) frame: from-spec
+        group/control-word tokenizer, info-block title/author,
+        cp1252 + unicode escapes (multimodal/rtf.py parse_rtf)."""
+        from danae_spark.multimodal.rtf import rtf_text_frame
+
+        return rtf_text_frame(df, **kw)

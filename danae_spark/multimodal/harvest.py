@@ -163,12 +163,22 @@ def harvest_text(
     if p[:4] in (b"PK\x03\x04", b"PK\x05\x06") or (
         len(p) >= 512 and p[257:265] in (b"ustar\x0000", b"ustar  \x00")
     ):
-        # office packages are ZIPs: route by package identity first
-        # (stored-first odt mimetype / [Content_Types].xml + main
-        # document part), plain archives fall through to the member
-        # walk
+        # office / e-book packages are ZIPs: route by package identity
+        # first (stored-first odt/epub mimetype member, or
+        # [Content_Types].xml + the main document part) — otherwise an
+        # EPUB would "harvest" its OPF/container markup as archive
+        # members; plain archives fall through to the member walk
+        from danae_spark.multimodal.epub import parse_epub
         from danae_spark.multimodal.office import parse_office
 
+        book = parse_epub(p)
+        if book is not None:
+            return {
+                "doc_class": "epub",
+                "format": "epub",
+                "title": book["title"],
+                "text": book["text"],
+            }
         office = parse_office(p)
         if office is not None:
             return {
@@ -179,6 +189,22 @@ def harvest_text(
             }
         census = parse_archive(p)
         return _archive(census) if census is not None else None
+
+    if p.startswith(b"{\\rtf"):
+        # without this route an RTF file decodes as UTF-8 with no '<'
+        # and ships as class "text" — control words leaking into the
+        # corpus; reject-whole applies like everywhere else
+        from danae_spark.multimodal.rtf import parse_rtf
+
+        rtf = parse_rtf(p)
+        if rtf is None:
+            return None
+        return {
+            "doc_class": "rtf",
+            "format": "rtf",
+            "title": rtf["title"],
+            "text": rtf["text"],
+        }
 
     sub = parse_subtitles(p)
     if sub is not None:

@@ -1413,6 +1413,36 @@ def xlsx_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _office.xlsx_table_roundtrip(spark, sf_dir)
 
 
+from danae_spark.multimodal import epub as _epub  # noqa: E402
+from danae_spark.multimodal import rtf as _rtf  # noqa: E402
+
+
+@register("epub_text_extract", oracle=_epub.EPUB_TEXT_ORACLE)
+def epub_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB e-book extraction (r14): per doc a real OCF package
+    (stored-first mimetype, container.xml rootfile, OPF
+    manifest+spine, XHTML chapters) is built byte-for-byte, walked by
+    the validating ZIP reader, chapters extracted in SPINE order by
+    the certified HTML extractor, and the whole book restated through
+    the SAME html_text_sql fragment as the html/warc entries;
+    d % 23 == 0 is the truncated-package reject leg
+    (multimodal/epub.py epub_text_roundtrip)."""
+    return _epub.epub_text_roundtrip(spark, sf_dir)
+
+
+@register("rtf_text_extract", oracle=_rtf.RTF_TEXT_ORACLE)
+def rtf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF text extraction (r14): per doc a real RTF file — nested
+    formatting groups, skipped font/color tables, an ignorable
+    {\\*\\...} destination, the {\\info} title/author block, cp1252
+    \\'hh and unicode \\uN? escapes under the \\ucN skip rule — is
+    synthesized, extracted by the from-spec linear tokenizer
+    (reject-whole on unbalanced braces), and restated as doc_id
+    arithmetic; d % 13 == 0 is the truncated reject leg
+    (multimodal/rtf.py rtf_text_roundtrip)."""
+    return _rtf.rtf_text_roundtrip(spark, sf_dir)
+
+
 @register("dedup_minhash_incremental", oracle=_dedup.DEDUP_MINHASH_INC_ORACLE)
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup dedup (r14): batch MinHash signatures
