@@ -178,6 +178,7 @@ HEADLINE = [
     "mixture_plan",
     "epub_text_extract",
     "rtf_text_extract",
+    "gopher_quality",
 ]
 
 

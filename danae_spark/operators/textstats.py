@@ -1518,3 +1518,175 @@ def maxsim_text_topk_oracle(
     ) WHERE rank <= {k}
     ORDER BY query_id, rank
     """
+
+
+# ------------------------------------------------------ Gopher rule set
+
+# the published Gopher quality-filter thresholds (Rae et al. 2021,
+# table A1), restated as row-wise column expressions — one scan, all
+# codegen. Word-count bounds are parameterized down for the test lake
+# (the paper's 50..100k assumes web pages, not 300-char fixtures).
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    mean_len_lo: float = 3.0,
+    mean_len_hi: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stops: int = 2,
+) -> DataFrame:
+    """Per-document Gopher rule verdicts: every rule's measured value
+    AND boolean, plus the conjunction `keep` — a pipeline debugging a
+    filter wants to see WHICH rule fired, not just the verdict.
+    All row-wise (split/filter/aggregate over the word and line
+    arrays): one projection of one scan, no shuffle, no Python."""
+    words = F.expr(f"filter(split({text_col}, ' +'), t -> t <> '')")
+    lines = F.expr(f"filter(split({text_col}, '\\n'), l -> l <> '')")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("__w"),
+        lines.alias("__l"),
+    )
+    n_words = F.size("__w")
+    n_lines = F.size("__l")
+    mean_len = rnd(
+        F.expr("aggregate(__w, 0L, (a, w) -> a + length(w))") / n_words, 6
+    )
+    # words containing at least one ASCII letter
+    alpha_ratio = rnd(
+        F.size(F.expr("filter(__w, w -> w rlike '[A-Za-z]')")) / n_words, 6
+    )
+    # hash/ellipsis symbols per word
+    sym = F.expr(
+        "aggregate(__w, 0, (a, w) -> a + length(w) - length(replace(w, '#', '')))"
+    ) + F.expr(
+        "aggregate(__w, 0, (a, w) -> a + CAST((length(w) - "
+        "length(replace(w, '...', ''))) / 3 AS INT))"
+    )
+    symbol_ratio = rnd(sym / n_words, 6)
+    bullet_ratio = rnd(
+        F.size(
+            F.expr(
+                "filter(__l, l -> l like '-%' or l like '*%' "
+                "or startswith(l, chr(8226)))"
+            )
+        )
+        / n_lines,
+        6,
+    )
+    ellipsis_ratio = rnd(
+        F.size(F.expr("filter(__l, l -> l like '%...')")) / n_lines, 6
+    )
+    n_stops = F.size(
+        F.expr(
+            "filter(__w, w -> array_contains("
+            + "array("
+            + ",".join(f"'{s}'" for s in GOPHER_STOPS)
+            + "), lower(w)))"
+        )
+    )
+    out = d.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        n_stops.cast("int").alias("n_stop_words"),
+    )
+    rules = out.select(
+        "*",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words))
+        .cast("int")
+        .alias("ok_words"),
+        (
+            (F.col("mean_word_len") >= mean_len_lo)
+            & (F.col("mean_word_len") <= mean_len_hi)
+        )
+        .cast("int")
+        .alias("ok_mean_len"),
+        (F.col("alpha_ratio") >= min_alpha_ratio).cast("int").alias("ok_alpha"),
+        (F.col("symbol_ratio") <= max_symbol_ratio).cast("int").alias("ok_symbol"),
+        (F.col("bullet_ratio") <= max_bullet_ratio).cast("int").alias("ok_bullet"),
+        (F.col("ellipsis_ratio") <= max_ellipsis_ratio)
+        .cast("int")
+        .alias("ok_ellipsis"),
+        (F.col("n_stop_words") >= min_stops).cast("int").alias("ok_stops"),
+    )
+    keep = (
+        (F.col("ok_words") == 1)
+        & (F.col("ok_mean_len") == 1)
+        & (F.col("ok_alpha") == 1)
+        & (F.col("ok_symbol") == 1)
+        & (F.col("ok_bullet") == 1)
+        & (F.col("ok_ellipsis") == 1)
+        & (F.col("ok_stops") == 1)
+    )
+    return rules.withColumn("keep", keep.cast("int"))
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents-table entry: the Gopher rule verdicts per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules_frame(docs).orderBy("doc_id")
+
+
+GOPHER_QUALITY_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, ' +'), t -> t <> '') AS w,
+         list_filter(string_split(text, chr(10)), l -> l <> '') AS l
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS INT) AS n_words,
+         round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+               / len(w), 6) AS mean_word_len,
+         round(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               AS DOUBLE) / len(w), 6) AS alpha_ratio,
+         round(CAST(list_sum(list_transform(w, x ->
+                 length(x) - length(replace(x, '#', ''))))
+               + list_sum(list_transform(w, x -> CAST((length(x)
+                 - length(replace(x, '...', ''))) / 3 AS INT)))
+               AS DOUBLE) / len(w), 6) AS symbol_ratio,
+         round(CAST(len(list_filter(l, x -> x LIKE '-%' OR x LIKE '*%'
+                 OR x LIKE chr(8226) || '%')) AS DOUBLE) / len(l), 6)
+           AS bullet_ratio,
+         round(CAST(len(list_filter(l, x -> x LIKE '%...')) AS DOUBLE)
+               / len(l), 6) AS ellipsis_ratio,
+         CAST(len(list_filter(w, x -> list_contains(
+                 ['the','be','to','of','and','that','have','with'],
+                 lower(x)))) AS INT) AS n_stop_words
+  FROM d
+),
+r AS (
+  SELECT *,
+         CAST(n_words >= 20 AND n_words <= 100000 AS INT) AS ok_words,
+         CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+           AS ok_mean_len,
+         CAST(alpha_ratio >= 0.8 AS INT) AS ok_alpha,
+         CAST(symbol_ratio <= 0.1 AS INT) AS ok_symbol,
+         CAST(bullet_ratio <= 0.9 AS INT) AS ok_bullet,
+         CAST(ellipsis_ratio <= 0.3 AS INT) AS ok_ellipsis,
+         CAST(n_stop_words >= 2 AS INT) AS ok_stops
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, alpha_ratio, symbol_ratio,
+       bullet_ratio, ellipsis_ratio, n_stop_words,
+       ok_words, ok_mean_len, ok_alpha, ok_symbol, ok_bullet,
+       ok_ellipsis, ok_stops,
+       CAST(ok_words = 1 AND ok_mean_len = 1 AND ok_alpha = 1
+            AND ok_symbol = 1 AND ok_bullet = 1 AND ok_ellipsis = 1
+            AND ok_stops = 1 AS INT) AS keep
+FROM r ORDER BY doc_id
+"""

@@ -1343,6 +1343,19 @@ def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from danae_spark.operators import sampling as _sampling  # noqa: E402
+from danae_spark.operators import textstats as _textstats  # noqa: E402
+
+
+@register("gopher_quality", oracle=_textstats.GOPHER_QUALITY_ORACLE)
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set quality filter (r14): the published Gopher
+    thresholds (word-count bounds, mean word length, alphabetic-word
+    ratio, #/ellipsis symbol ratio, bullet/ellipsis line ratios,
+    stop-word presence) as row-wise column expressions — every rule's
+    measured value AND verdict per doc plus the conjunction, one
+    codegen projection of one scan
+    (operators/textstats.py gopher_rules_frame)."""
+    return _textstats.gopher_quality(spark, sf_dir)
 
 
 @register("weighted_sample", oracle=_sampling.weighted_sample_oracle())

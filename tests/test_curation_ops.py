@@ -445,3 +445,50 @@ def test_profile_drift_fully_null_current(spark):
     # must flag drift (not throw under ANSI, not coalesce to fine)
     assert d["x"].drifted == 1
     assert abs(d["x"].null_rate_delta - 1.0) < 1e-9
+
+
+def test_gopher_quality_matches_oracle(spark, sf_dir):
+    import os
+
+    import duckdb
+
+    from danae_spark.catalog import table_path
+    from danae_spark.operators.textstats import GOPHER_QUALITY_ORACLE
+    from danae_spark.queries import load_all
+
+    fn = load_all()["gopher_quality"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(GOPHER_QUALITY_ORACLE).fetchall()]
+    assert len(got) == len(want) and got == want
+
+
+def test_gopher_rules_fire_individually(spark):
+    """Each rule drops exactly the doc built to violate it."""
+    from danae_spark.operators.textstats import gopher_rules_frame
+
+    good = "the quick brown fox and the lazy dog have fun with words " * 3
+    rows = [
+        (0, good),
+        (1, "the of and short"),                       # too few words
+        (2, ("a " * 40) + "the of"),                   # mean word len < 3
+        (3, " ".join("123456" for _ in range(30)) + " the of"),  # alpha < 0.8
+        (4, " ".join("w#rd#" for _ in range(30)) + " the of"),   # symbols
+        (5, "\n".join("- item the of and that" for _ in range(10))),  # bullets
+        (6, "\n".join("the line trails off..." for _ in range(10))),  # ellipsis
+        (7, good.replace("the", "xx").replace("and", "yy")
+             .replace("with", "zz").replace("have", "qq")),      # no stop words
+    ]
+    got = {r["doc_id"]: r for r in gopher_rules_frame(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert got[0]["keep"] == 1
+    assert got[1]["ok_words"] == 0 and got[1]["keep"] == 0
+    assert got[2]["ok_mean_len"] == 0
+    assert got[3]["ok_alpha"] == 0
+    assert got[4]["ok_symbol"] == 0
+    assert got[5]["ok_bullet"] == 0
+    assert got[6]["ok_ellipsis"] == 0
+    assert got[7]["ok_stops"] == 0 and got[7]["n_stop_words"] < 2

@@ -135,6 +135,18 @@ OPERATORS = {
     "crawl_sitemap_coverage": "documents",
     "crawl_refetch_plan": "documents",
     "corpus_pii_report": "documents",
+    # round-14 third-session additions: document formats (one-pass
+    # per-row parse pipelines), sampling/mixing (aggregate or
+    # prefilter+tiny-window plans), and the Gopher rule projection
+    "crawl_repackage": "documents",
+    "office_text_extract": "documents",
+    "xlsx_table_extract": "documents",
+    "epub_text_extract": "documents",
+    "rtf_text_extract": "documents",
+    "stratified_sample": "documents",
+    "weighted_sample": "documents",
+    "mixture_plan": "documents",
+    "gopher_quality": "documents",
 }
 
 
