@@ -977,3 +977,42 @@ def mixture_plan_oracle(budgets: dict[str, int] | None = None) -> str:
            round(CAST(budget AS DOUBLE) / n_tokens, 6) AS oversample
     FROM agg ORDER BY source
     """
+
+
+def weighted_sample_incremental(
+    spark: SparkSession, sf_dir: str, n: int = WEIGHTED_N
+) -> DataFrame:
+    """Incremental weighted-sample maintenance, certified by the
+    strongest invariant available: yesterday's corpus (doc_id % 3 < 2)
+    is reduced to its top-n state (doc_id, weight, key rows — n rows,
+    not the corpus), today's batch (% 3 == 2) to its own top-n, and
+    the merged top-n of (state ∪ batch-top) must EQUAL the
+    from-scratch sample over the full corpus — same oracle SQL as
+    weighted_sample. The algebra that makes this exact: the priority
+    key depends only on (id, weight), never on the rest of the
+    corpus, so top-n is a semilattice merge — any doc outside either
+    side's top-n is outside the union's. State is O(n); a daily batch
+    re-ranks n + |batch| rows, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    state = weighted_sample_frame(
+        docs.filter(F.col("doc_id") % 3 < 2), "n_chars", n
+    ).select("doc_id", "weight", "key")
+    batch_top = weighted_sample_frame(
+        docs.filter(F.col("doc_id") % 3 == 2), "n_chars", n
+    ).select("doc_id", "weight", "key")
+    merged = state.unionByName(batch_top)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.lit(WEIGHTED_SALT), F.col("doc_id"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = merged.withColumn("__h", h)
+    top = keyed.orderBy("key", "__h", "doc_id").limit(n)
+    w2 = W.orderBy("key", "__h", "doc_id")
+    return (
+        top.withColumn("rk", F.row_number().over(w2).cast("int"))
+        .select("doc_id", "weight", "key", "rk")
+        .orderBy("rk")
+    )

@@ -1370,6 +1370,18 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sampling.weighted_sample(spark, sf_dir)
 
 
+@register("weighted_sample_incremental", oracle=_sampling.weighted_sample_oracle())
+def weighted_sample_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental weighted-sample maintenance (r14): yesterday's
+    top-n state (O(n) rows) merged with today's batch top-n must
+    EQUAL the from-scratch sample — registers against the SAME oracle
+    SQL as weighted_sample, so the semilattice-merge claim is
+    value-hashed, not asserted. The fourth leg of the incremental
+    family (exact dedup, minhash, shard manifest, weighted sample)
+    (operators/sampling.py weighted_sample_incremental)."""
+    return _sampling.weighted_sample_incremental(spark, sf_dir)
+
+
 @register("mixture_plan", oracle=_sampling.mixture_plan_oracle())
 def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix epoch plan (r14): per source, full epochs + tail

@@ -495,3 +495,11 @@ def test_mixture_plan_semantics(spark):
     )
     u = sampling.mixture_plan_frame(docs2, {"tiny": 20}).collect()[0]
     assert u["budget"] == 0 and u["epochs"] == 0 and u["tail_tokens"] == 0
+
+
+def test_weighted_sample_incremental_equals_scratch(spark, sf_dir):
+    from danae_spark.operators import sampling
+
+    inc = [tuple(r) for r in sampling.weighted_sample_incremental(spark, sf_dir).collect()]
+    scratch = [tuple(r) for r in sampling.weighted_sample(spark, sf_dir).collect()]
+    assert inc == scratch and len(inc) > 0
