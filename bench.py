@@ -179,6 +179,8 @@ HEADLINE = [
     "epub_text_extract",
     "rtf_text_extract",
     "gopher_quality",
+    "markdown_text_extract",
+    "weighted_sample_incremental",
 ]
 
 

@@ -849,3 +849,39 @@ class DataLakeEngine:
         from danae_spark.multimodal.rtf import rtf_text_frame
 
         return rtf_text_frame(df, **kw)
+
+    def markdown_text(self, df: DataFrame, **kw) -> DataFrame:
+        """Markdown extraction over any (id, binary) frame: headings /
+        lists / quotes stripped, links to anchor text, fenced code
+        kept verbatim (multimodal/markdown.py parse_markdown)."""
+        from danae_spark.multimodal.markdown import markdown_text_frame
+
+        return markdown_text_frame(df, **kw)
+
+    def gopher_rules(self, docs: DataFrame, **kw) -> DataFrame:
+        """Gopher rule-set quality verdicts over any (id, text) frame
+        (operators/textstats.py gopher_rules_frame)."""
+        from danae_spark.operators.textstats import gopher_rules_frame
+
+        return gopher_rules_frame(docs, **kw)
+
+    def stratified_sample(self, docs: DataFrame, **kw) -> DataFrame:
+        """Exact per-stratum deterministic sampling (operators/
+        sampling.py stratified_sample_frame)."""
+        from danae_spark.operators.sampling import stratified_sample_frame
+
+        return stratified_sample_frame(docs, **kw)
+
+    def weighted_sample(self, docs: DataFrame, weight_col: str, **kw) -> DataFrame:
+        """Integer-exact weight-biased deterministic sampling
+        (operators/sampling.py weighted_sample_frame)."""
+        from danae_spark.operators.sampling import weighted_sample_frame
+
+        return weighted_sample_frame(docs, weight_col, **kw)
+
+    def mixture_plan(self, docs: DataFrame, budgets: dict, **kw) -> DataFrame:
+        """Per-source epoch/tail plan for token budgets
+        (operators/sampling.py mixture_plan_frame)."""
+        from danae_spark.operators.sampling import mixture_plan_frame
+
+        return mixture_plan_frame(docs, budgets, **kw)

@@ -1468,6 +1468,21 @@ def rtf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rtf.rtf_text_roundtrip(spark, sf_dir)
 
 
+from danae_spark.multimodal import markdown as _markdown  # noqa: E402
+
+
+@register("markdown_text_extract", oracle=_markdown.MARKDOWN_TEXT_ORACLE)
+def markdown_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown extraction (r14): per doc a real Markdown file — ATX
+    heading, linked / bold / inline-code runs, list items, a fenced
+    code block kept verbatim — is synthesized, extracted by the
+    line+inline pass (fences protect code from inline rewrites;
+    unclosed fence rejects whole), and every column restated as
+    doc_id arithmetic; d % 11 == 0 is the invalid-UTF-8 reject leg
+    (multimodal/markdown.py markdown_text_roundtrip)."""
+    return _markdown.markdown_text_roundtrip(spark, sf_dir)
+
+
 @register("dedup_minhash_incremental", oracle=_dedup.DEDUP_MINHASH_INC_ORACLE)
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup dedup (r14): batch MinHash signatures

@@ -239,3 +239,76 @@ def test_frames_and_registered_oracles(spark, sf_dir):
         got3 = [tuple(r) for r in registry[name].fn(spark, sf_dir).collect()]
         want = [tuple(r) for r in con.execute(oracle).fetchall()]
         assert len(got3) == len(want) and got3 == want, name
+
+
+# -------------------------------------------------------------- markdown
+
+
+def test_markdown_rules():
+    from danae_spark.multimodal.markdown import parse_markdown
+
+    md = "\n".join(
+        [
+            "# Title *one*",
+            "",
+            "Intro with [a link](https://x.test) and **bold** and `code`.",
+            "> quoted line",
+            "- item one",
+            "1. ordered item",
+            "![alt text](img.png) trailing",
+            "```",
+            "raw *code* [not](a-link)",
+            "```",
+            "## Second heading",
+        ]
+    ).encode()
+    r = parse_markdown(md)
+    assert r is not None
+    assert r["title"] == "Title one"
+    assert r["n_headings"] == 2 and r["n_list_items"] == 2
+    assert r["n_links"] == 1 and r["n_code_blocks"] == 1
+    lines = r["text"].split("\n")
+    assert lines[0] == "Title one"
+    assert lines[1] == "Intro with a link and bold and code."
+    assert lines[2] == "quoted line"
+    assert lines[3] == "item one" and lines[4] == "ordered item"
+    assert lines[5] == "alt text trailing"
+    assert lines[6] == "raw *code* [not](a-link)"  # fences protect code
+    assert lines[7] == "Second heading"
+
+
+def test_markdown_rejects():
+    from danae_spark.multimodal.markdown import parse_markdown, synth_markdown
+
+    assert parse_markdown(b"") is None
+    assert parse_markdown(b"\x00\x01\x02") is None
+    assert parse_markdown(b"# ok\n```\nunclosed fence") is None
+    assert parse_markdown(b"bad \xff\xfe utf8") is None
+    assert parse_markdown(synth_markdown(11)) is None
+    assert parse_markdown(synth_markdown(22)) is None
+
+
+def test_markdown_frame_and_oracle(spark, sf_dir):
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal.markdown import (
+        MARKDOWN_TEXT_ORACLE,
+        markdown_text_frame,
+        synth_markdown,
+    )
+    from danae_spark.queries import load_all
+
+    df = spark.createDataFrame(
+        [(d, bytearray(synth_markdown(d))) for d in range(20)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in markdown_text_frame(df).collect()}
+    assert got[11]["text"] is None and got[1]["n_headings"] == 1
+
+    fn = load_all()["markdown_text_extract"].fn
+    got2 = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(MARKDOWN_TEXT_ORACLE).fetchall()]
+    assert len(got2) == len(want) and got2 == want

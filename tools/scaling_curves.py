@@ -147,6 +147,7 @@ OPERATORS = {
     "weighted_sample": "documents",
     "mixture_plan": "documents",
     "gopher_quality": "documents",
+    "weighted_sample_incremental": "documents",
 }
 
 
