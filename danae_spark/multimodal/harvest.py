@@ -257,22 +257,24 @@ def harvest_text(
 
 
 def synth_doc(doc_id: int) -> bytes:
-    """Doc-deterministic MIXED document payload: doc_id % 7 selects
+    """Doc-deterministic MIXED document payload: doc_id % 9 selects
     the class (html / pdf / subtitle / plain text / warc / zip-of-
-    subtitles / office docx-or-odt); every payload is a byte-for-byte
-    real file from the per-format synthesizers. The office leg reuses
-    synth_office verbatim, INCLUDING its truncated-package reject leg
-    (d % 17 == 0) — a corrupt office blob must yield a NULL harvest
-    row, never partial text."""
+    subtitles / office docx-or-odt / rtf / epub); every payload is a
+    byte-for-byte real file from the per-format synthesizers. The
+    office / rtf / epub legs reuse their synths verbatim, INCLUDING
+    the truncated/corrupt reject legs (d % 17, d % 13, d % 23) — a
+    corrupt blob must yield a NULL harvest row, never partial text."""
     from danae_spark.multimodal.archive import _zip_build
+    from danae_spark.multimodal.epub import synth_epub
     from danae_spark.multimodal.htmltext import synth_html
     from danae_spark.multimodal.office import synth_office
     from danae_spark.multimodal.pdf import synth_pdf
+    from danae_spark.multimodal.rtf import synth_rtf
     from danae_spark.multimodal.subtitles import synth_subtitles
     from danae_spark.multimodal.warc import synth_warc
 
     d = doc_id
-    cls = d % 7
+    cls = d % 9
     if cls == 0:
         return synth_html(d)
     if cls == 1:
@@ -288,7 +290,11 @@ def synth_doc(doc_id: int) -> bytes:
         return _zip_build(
             [(f"cues{k}.srt", synth_subtitles(d * 4 + k), k % 2 * 8) for k in range(2)]
         )
-    return synth_office(d)
+    if cls == 6:
+        return synth_office(d)
+    if cls == 7:
+        return synth_rtf(d)
+    return synth_epub(d)
 
 
 # ----------------------------------------------------- Spark entry points
@@ -326,13 +332,14 @@ def text_harvest_frame(df, id_col: str = "doc_id", payload_col: str = "payload")
 
 def text_harvest_roundtrip(spark, sf_dir: str):
     """Oracle-checkable harvest: per doc a real mixed-class document
-    payload is synthesized (doc_id % 7 cycles html/pdf/subtitle/plain/
-    warc/zip-of-subtitles/office), dispatched by the real magic-first
-    router to the real extractors, and the (doc_class, format, title,
-    text) row restated in SQL — each class's text arithmetic reuses
-    the SAME parameterized fragment as its unit entry (html_text_sql,
-    pdf_text_sql, subtitle_text_sql, office_text_sql), so the
-    dispatcher and the unit entries can never drift apart."""
+    payload is synthesized (doc_id % 9 cycles html/pdf/subtitle/plain/
+    warc/zip-of-subtitles/office/rtf/epub), dispatched by the real
+    magic-first router to the real extractors, and the (doc_class,
+    format, title, text) row restated in SQL — each class's text
+    arithmetic reuses the SAME parameterized fragment as its unit
+    entry (html_text_sql, pdf_text_sql, subtitle_text_sql,
+    office_text_sql, rtf_text_sql), so the dispatcher and the unit
+    entries can never drift apart."""
     from danae_spark.catalog import load_table
     from danae_spark.session import stage_parallelism
     from danae_spark.shipping import ensure_shipped
@@ -367,30 +374,31 @@ def _harvest_oracle() -> str:
     from danae_spark.multimodal.htmltext import html_text_sql
     from danae_spark.multimodal.office import office_text_sql
     from danae_spark.multimodal.pdf import pdf_text_sql
+    from danae_spark.multimodal.rtf import rtf_text_sql
     from danae_spark.multimodal.subtitles import subtitle_text_sql
 
     html_unit = html_text_sql(
-        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 7 = 0"
+        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 9 = 0"
     )
     pdf_unit = pdf_text_sql(
-        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 7 = 1"
+        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 9 = 1"
     )
     sub_unit = subtitle_text_sql(
-        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 7 = 2"
+        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 9 = 2"
     )
     # WARC pages: e = doc_id*4 + p for the HTTP-200 pages (same
     # parameterization as the crawl_html_extract oracle)
     warc_pages = html_text_sql("""
 SELECT d.doc_id, d.doc_id * 4 + p.p AS e
 FROM documents d, generate_series(0, 2) p(p)
-WHERE d.doc_id % 7 = 4 AND p.p < 1 + d.doc_id % 3
+WHERE d.doc_id % 9 = 4 AND p.p < 1 + d.doc_id % 3
   AND (d.doc_id + p.p) % 5 <> 4
 """)
     # zip members: subtitle transcripts at e = doc_id*4 + k, k in (0, 1)
     zip_subs = subtitle_text_sql("""
 SELECT d.doc_id, d.doc_id * 4 + k.k AS e
 FROM documents d, generate_series(0, 1) k(k)
-WHERE d.doc_id % 7 = 5
+WHERE d.doc_id % 9 = 5
 """)
     # office docs (d = doc_id): the synth reject leg (d % 17 == 0,
     # truncated package) is EXCLUDED here and emitted as NULL rows —
@@ -399,8 +407,22 @@ WHERE d.doc_id % 7 = 5
     # fragment's arithmetic, not the space-counting formula.
     office_unit = office_text_sql(
         "SELECT doc_id, doc_id AS d FROM documents "
-        "WHERE doc_id % 7 = 6 AND doc_id % 17 <> 0"
+        "WHERE doc_id % 9 = 6 AND doc_id % 17 <> 0"
     )
+    # rtf docs: same pattern (reject leg d % 13 == 0); rtf text carries
+    # TABs and escape-derived tokens, so n_words comes from the
+    # fragment too
+    rtf_unit = rtf_text_sql(
+        "SELECT doc_id, doc_id AS d FROM documents "
+        "WHERE doc_id % 9 = 7 AND doc_id % 13 <> 0"
+    )
+    # epub chapters: the SAME html fragment at e = d*5 + k in spine
+    # order (reject leg d % 23 == 0)
+    epub_chaps = html_text_sql("""
+SELECT d.doc_id, d.doc_id * 5 + k.k AS e
+FROM documents d, generate_series(0, 2) k(k)
+WHERE d.doc_id % 9 = 8 AND d.doc_id % 23 <> 0 AND k.k < 1 + d.doc_id % 3
+""")
     return f"""
 WITH html_u AS ({html_unit}),
 pdf_u AS ({pdf_unit}),
@@ -416,11 +438,17 @@ zip_u AS (
   FROM zip_p GROUP BY doc_id
 ),
 office_u AS ({office_unit}),
+rtf_u AS ({rtf_unit}),
+epub_p AS ({epub_chaps}),
+epub_u AS (
+  SELECT doc_id, string_agg(text, chr(10) ORDER BY e) AS text
+  FROM epub_p GROUP BY doc_id
+),
 plain_u AS (
   SELECT d.doc_id, string_agg('t' || CAST((d.doc_id * 3 + j.j) % 50 AS VARCHAR),
                               ' ' ORDER BY j.j) AS text
   FROM documents d, generate_series(0, 9) j(j)
-  WHERE d.doc_id % 7 = 3 AND j.j < 5 + d.doc_id % 5
+  WHERE d.doc_id % 9 = 3 AND j.j < 5 + d.doc_id % 5
   GROUP BY d.doc_id
 ),
 unified AS (
@@ -435,8 +463,7 @@ unified AS (
   SELECT doc_id, 'text', 'txt', NULL, text, NULL FROM plain_u
   UNION ALL
   -- synth_warc emits plain WARC for even ids, gzip member-per-record
-  -- for odd ids (odd warc docs are reachable since the modulus moved
-  -- to 7)
+  -- for odd ids
   SELECT doc_id, 'warc',
          CASE WHEN doc_id % 2 = 0 THEN 'warc' ELSE 'warc.gz' END,
          NULL, text, NULL
@@ -446,14 +473,24 @@ unified AS (
   UNION ALL
   SELECT doc_id, 'office', format, title, text, n_tokens FROM office_u
   UNION ALL
-  SELECT doc_id, NULL, NULL, NULL, NULL, NULL FROM documents
-  WHERE doc_id % 7 = 6 AND doc_id % 17 = 0
+  SELECT doc_id, 'rtf', 'rtf', title, text, n_tokens FROM rtf_u
   UNION ALL
-  -- a WARC whose only captures are the excluded (d+p) % 5 = 4 pages
-  -- (reachable since the class modulus moved to 7): no text-bearing
-  -- records -> the dispatcher yields a NULL row
+  SELECT e.doc_id, 'epub', 'epub',
+         'Book ' || CAST(e.doc_id AS VARCHAR) || ' t'
+           || CAST(e.doc_id % 8 AS VARCHAR),
+         e.text, NULL
+  FROM epub_u e
+  UNION ALL
+  -- reject legs -> NULL rows: truncated office / rtf / epub packages
   SELECT doc_id, NULL, NULL, NULL, NULL, NULL FROM documents
-  WHERE doc_id % 7 = 4 AND doc_id % 5 = 4 AND doc_id % 3 = 0
+  WHERE (doc_id % 9 = 6 AND doc_id % 17 = 0)
+     OR (doc_id % 9 = 7 AND doc_id % 13 = 0)
+     OR (doc_id % 9 = 8 AND doc_id % 23 = 0)
+  UNION ALL
+  -- a WARC whose only captures are the excluded (d+p) % 5 = 4 pages:
+  -- no text-bearing records -> the dispatcher yields a NULL row
+  SELECT doc_id, NULL, NULL, NULL, NULL, NULL FROM documents
+  WHERE doc_id % 9 = 4 AND doc_id % 5 = 4 AND doc_id % 3 = 0
 )
 SELECT doc_id, doc_class, format, title, text,
        CAST(length(text) AS INT) AS n_chars,

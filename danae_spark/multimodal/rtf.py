@@ -344,8 +344,14 @@ def rtf_text_roundtrip(spark, sf_dir: str):
     )
 
 
-RTF_TEXT_ORACLE = """
-WITH d0 AS (SELECT doc_id, doc_id AS d FROM documents),
+def rtf_text_sql(docs_cte: str) -> str:
+    """The extraction arithmetic as SQL over a `d0(doc_id, d)` CTE,
+    shared between RTF_TEXT_ORACLE (d = doc_id) and the text_harvest
+    oracle. Emits (doc_id, d, title, creator, text, n_paras,
+    n_tokens) for every doc in the CTE — callers apply their own
+    reject legs."""
+    return f"""
+WITH d0 AS ({docs_cte}),
 words AS (
   SELECT doc_id, d, c.i AS para, j.j AS wi,
          'r' || CAST((d * 7 + c.i * 5 + j.j * 11) % 89 AS VARCHAR) AS word
@@ -363,24 +369,26 @@ para_lines AS (
          count(*) + CASE WHEN para % 3 = 0 THEN 1 ELSE 0 END
                   + CASE WHEN para % 4 = 3 THEN 1 ELSE 0 END AS n_tokens
   FROM words GROUP BY doc_id, d, para
-),
-doc_text AS (
-  SELECT doc_id, d,
-         string_agg(line, chr(10) ORDER BY para) AS text,
-         CAST(count(*) AS INT) AS n_paras,
-         CAST(sum(n_tokens) AS INT) AS n_tokens
-  FROM para_lines GROUP BY doc_id, d
 )
+SELECT doc_id, d,
+       'Doc ' || CAST(d AS VARCHAR) || ' t' || CAST(d % 10 AS VARCHAR) AS title,
+       'author a' || CAST(d % 5 AS VARCHAR) AS creator,
+       string_agg(line, chr(10) ORDER BY para) AS text,
+       CAST(count(*) AS INT) AS n_paras,
+       CAST(sum(n_tokens) AS INT) AS n_tokens
+FROM para_lines GROUP BY doc_id, d
+"""
+
+
+RTF_TEXT_ORACLE = f"""
+WITH rtf AS ({rtf_text_sql("SELECT doc_id, doc_id AS d FROM documents")})
 SELECT doc_id,
-       CASE WHEN d % 13 = 0 THEN NULL
-            ELSE 'Doc ' || CAST(d AS VARCHAR) || ' t'
-                 || CAST(d % 10 AS VARCHAR) END AS title,
-       CASE WHEN d % 13 = 0 THEN NULL
-            ELSE 'author a' || CAST(d % 5 AS VARCHAR) END AS creator,
+       CASE WHEN d % 13 = 0 THEN NULL ELSE title END AS title,
+       CASE WHEN d % 13 = 0 THEN NULL ELSE creator END AS creator,
        CASE WHEN d % 13 = 0 THEN NULL ELSE n_paras END AS n_paragraphs,
        CASE WHEN d % 13 = 0 THEN NULL ELSE text END AS text,
        CASE WHEN d % 13 = 0 THEN NULL
             ELSE CAST(length(text) AS INT) END AS n_chars,
        CASE WHEN d % 13 = 0 THEN NULL ELSE n_tokens END AS n_words
-FROM doc_text ORDER BY doc_id
+FROM rtf ORDER BY doc_id
 """

@@ -765,16 +765,18 @@ from danae_spark.multimodal import harvest as _harvest  # noqa: E402
 def text_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text harvest (r10): the document-class capstone dispatcher —
     the media_triage counterpart for the text side of a crawl. Per doc
-    a real mixed-class payload (doc_id % 7 cycles html / pdf / srt /
-    plain / warc / zip-of-subtitles / office docx-odt, the last with
-    its truncated-package reject leg) is synthesized byte-for-byte,
-    routed magic-first to the right validated extractor — office
-    package identity wins over the plain-archive route on PK magic —
-    and the (doc_class, format, title, text) row restated in SQL —
-    each class's text arithmetic reuses the SAME parameterized
-    fragment as its unit entry (html_text_sql / pdf_text_sql /
-    subtitle_text_sql / office_text_sql), so this entry certifies the
-    DISPATCH composition on top of them (multimodal/harvest.py)."""
+    a real mixed-class payload (doc_id % 9 cycles html / pdf / srt /
+    plain / warc / zip-of-subtitles / office docx-odt / rtf / epub,
+    the package classes with their truncated-package reject legs) is
+    synthesized byte-for-byte, routed magic-first to the right
+    validated extractor — office/epub package identity wins over the
+    plain-archive route on PK magic, `{\\rtf` wins over the
+    plain-text fallback — and the (doc_class, format, title, text)
+    row restated in SQL — each class's text arithmetic reuses the
+    SAME parameterized fragment as its unit entry (html_text_sql /
+    pdf_text_sql / subtitle_text_sql / office_text_sql /
+    rtf_text_sql), so this entry certifies the DISPATCH composition
+    on top of them (multimodal/harvest.py)."""
     return _harvest.text_harvest_roundtrip(spark, sf_dir)
 
 

@@ -16,44 +16,63 @@ from danae_spark.multimodal.harvest import (
 
 
 def test_dispatch_matrix():
-    want_cls = ["html", "pdf", "subtitle", "text", "warc", "archive", "office"]
-    for d in range(120):
+    want_cls = [
+        "html", "pdf", "subtitle", "text", "warc", "archive",
+        "office", "rtf", "epub",
+    ]
+    for d in range(200):
         c = harvest_text(synth_doc(d))
-        if d % 7 == 6 and d % 17 == 0:
-            assert c is None, d  # truncated office package: reject whole
+        if (
+            (d % 9 == 6 and d % 17 == 0)
+            or (d % 9 == 7 and d % 13 == 0)
+            or (d % 9 == 8 and d % 23 == 0)
+        ):
+            assert c is None, d  # truncated package: reject whole
             continue
-        if d % 7 == 4 and d % 5 == 4 and d % 3 == 0:
+        if d % 9 == 4 and d % 5 == 4 and d % 3 == 0:
             assert c is None, d  # WARC whose only captures are excluded
             continue
         assert c is not None, d
-        assert c["doc_class"] == want_cls[d % 7], d
+        assert c["doc_class"] == want_cls[d % 9], d
         assert c["text"], d
 
 
 def test_agrees_with_unit_extractors():
+    from danae_spark.multimodal.epub import parse_epub, synth_epub
     from danae_spark.multimodal.htmltext import expected_html_row
     from danae_spark.multimodal.office import parse_office, synth_office
     from danae_spark.multimodal.pdf import expected_pdf_row
+    from danae_spark.multimodal.rtf import parse_rtf, synth_rtf
     from danae_spark.multimodal.subtitles import parse_subtitles, synth_subtitles
 
     # html (cls 0)
-    assert harvest_text(synth_doc(7))["text"] == expected_html_row(7)["text"]
-    assert harvest_text(synth_doc(7))["title"] == expected_html_row(7)["title"]
+    assert harvest_text(synth_doc(9))["text"] == expected_html_row(9)["text"]
+    assert harvest_text(synth_doc(9))["title"] == expected_html_row(9)["title"]
     # pdf (cls 1)
-    assert harvest_text(synth_doc(8))["text"] == expected_pdf_row(8)["text"]
+    assert harvest_text(synth_doc(10))["text"] == expected_pdf_row(10)["text"]
     # subtitle (cls 2)
-    assert harvest_text(synth_doc(9))["text"] == parse_subtitles(synth_subtitles(9))["text"]
+    assert harvest_text(synth_doc(11))["text"] == parse_subtitles(synth_subtitles(11))["text"]
     # zip of subtitles (cls 5): both members' transcripts joined
     want = "\n".join(
-        parse_subtitles(synth_subtitles(12 * 4 + k))["text"] for k in range(2)
+        parse_subtitles(synth_subtitles(14 * 4 + k))["text"] for k in range(2)
     )
-    assert harvest_text(synth_doc(12))["text"] == want
+    assert harvest_text(synth_doc(14))["text"] == want
     # office (cls 6): dispatch agrees with the unit extractor, and the
     # package identity wins over the plain-archive route
-    unit = parse_office(synth_office(13))
-    got = harvest_text(synth_doc(13))
+    unit = parse_office(synth_office(15))
+    got = harvest_text(synth_doc(15))
     assert got["doc_class"] == "office" and got["format"] == unit["format"]
     assert got["text"] == unit["text"] and got["title"] == unit["title"]
+    # rtf (cls 7)
+    r_unit = parse_rtf(synth_rtf(16))
+    r_got = harvest_text(synth_doc(16))
+    assert r_got["doc_class"] == "rtf" and r_got["text"] == r_unit["text"]
+    assert r_got["title"] == r_unit["title"]
+    # epub (cls 8): spine-ordered chapters via the certified extractor
+    b_unit = parse_epub(synth_epub(17))
+    b_got = harvest_text(synth_doc(17))
+    assert b_got["doc_class"] == "epub" and b_got["text"] == b_unit["text"]
+    assert b_got["title"] == b_unit["title"]
 
 
 def test_warc_gz_routing():
