@@ -181,6 +181,7 @@ HEADLINE = [
     "gopher_quality",
     "markdown_text_extract",
     "weighted_sample_incremental",
+    "crawl_curate_gopher",
 ]
 
 

@@ -3621,3 +3621,135 @@ SELECT g.doc_id,
 FROM g JOIN kept USING (doc_id)
 ORDER BY g.doc_id
 """
+
+
+# ------------------- Gopher-gated curation (r14, C122)
+
+
+def crawl_curate_gopher_roundtrip(spark, sf_dir: str):
+    """QUALITY-gated curation via the published Gopher rule set
+    (operators/textstats.py gopher_rules_frame): every capture of the
+    curate grid (mirrors included) is scored by the row-wise Gopher
+    rules over its newline-flattened extracted text (corpus-tuned
+    thresholds: min_words 15, mean-word-length floor 2.0 — crawl-page
+    fixtures are short —, stop-word floor 0 since the fixture
+    vocabulary is synthetic), and the keep decision becomes
+    gopher_ok AND exact-dup keeper — a low-quality page can neither
+    ship NOR keep a cluster, the same compliance-gating shape as the
+    robots variant (C99).
+
+    Scale shape: the Gopher score is ONE codegen projection riding
+    the extraction scan (no Python, no shuffle); the keeper is the
+    two-phase groupBy+join over quality-passing captures only."""
+    from pyspark.sql import functions as F
+
+    from danae_spark.operators.dedup import exact_dup_keeper
+    from danae_spark.operators.textstats import gopher_rules_frame
+
+    pages = _curate_pages(spark, sf_dir)
+    flat = pages.select(
+        "page_id", F.translate("text", "\n", " ").alias("text")
+    )
+    g = gopher_rules_frame(
+        flat,
+        id_col="page_id",
+        text_col="text",
+        min_words=15,
+        mean_len_lo=2.0,
+        min_stops=0,
+    ).select(
+        F.col("doc_id").alias("page_id"),
+        "n_words",
+        "mean_word_len",
+        F.col("keep").alias("gopher_ok"),
+    )
+    joined = pages.join(g, "page_id")
+    dup = exact_dup_keeper(
+        joined.filter(F.col("gopher_ok") == 1).select("page_id", "text")
+    ).select("page_id", "n_dup", "is_keeper")
+    return (
+        joined.join(dup, "page_id", "left")
+        .select(
+            "page_id",
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "gopher_ok",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.coalesce("is_keeper", F.lit(0)).alias("is_keeper"),
+            (
+                (F.col("gopher_ok") == 1)
+                & (F.coalesce("is_keeper", F.lit(0)) == 1)
+            ).cast("int").alias("keep"),
+        )
+        .orderBy("page_id")
+    )
+
+
+def _crawl_curate_gopher_oracle() -> str:
+    from danae_spark.multimodal.htmltext import html_text_sql
+
+    ok_pages = """
+SELECT d.doc_id, d.doc_id * 4 + p.p AS e
+FROM documents d, generate_series(0, 2) p(p)
+WHERE p.p < 1 + d.doc_id % 3 AND (d.doc_id + p.p) % 5 <> 4
+"""
+    return f"""
+WITH hx AS ({html_text_sql(ok_pages)}),
+pg AS (
+  SELECT doc_id AS src_doc,
+         e + CASE WHEN m.m = 1 THEN {_MIRROR_OFF} ELSE 0 END AS page_id,
+         text,
+         replace(text, chr(10), ' ') AS flat
+  FROM hx, generate_series(0, 1) m(m)
+  WHERE m.m = 0 OR doc_id % 10 = 3
+),
+g AS (
+  SELECT page_id,
+         list_filter(string_split_regex(flat, ' +'), t -> t <> '') AS w,
+         list_filter(string_split(flat, chr(10)), l -> l <> '') AS l
+  FROM pg
+),
+m2 AS (
+  SELECT page_id,
+         CAST(len(w) AS INT) AS n_words,
+         round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+               / len(w), 6) AS mean_word_len,
+         round(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               AS DOUBLE) / len(w), 6) AS alpha_ratio,
+         round(CAST(list_sum(list_transform(w, x ->
+                 length(x) - length(replace(x, '#', ''))))
+               + list_sum(list_transform(w, x -> CAST((length(x)
+                 - length(replace(x, '...', ''))) / 3 AS INT)))
+               AS DOUBLE) / len(w), 6) AS symbol_ratio,
+         round(CAST(len(list_filter(l, x -> x LIKE '-%' OR x LIKE '*%'
+                 OR x LIKE chr(8226) || '%')) AS DOUBLE) / len(l), 6)
+           AS bullet_ratio,
+         round(CAST(len(list_filter(l, x -> x LIKE '%...')) AS DOUBLE)
+               / len(l), 6) AS ellipsis_ratio
+  FROM g
+),
+verdict AS (
+  SELECT page_id, n_words, mean_word_len,
+         CAST(n_words >= 15 AND n_words <= 100000
+              AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+              AND alpha_ratio >= 0.8 AND symbol_ratio <= 0.1
+              AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+              AS INT) AS gopher_ok
+  FROM m2
+),
+dup AS (
+  SELECT pg.page_id,
+         CAST(count(*) OVER (PARTITION BY pg.text) AS INT) AS n_dup,
+         CAST(row_number() OVER (PARTITION BY pg.text ORDER BY pg.page_id) = 1
+              AS INT) AS is_keeper
+  FROM pg JOIN verdict USING (page_id) WHERE verdict.gopher_ok = 1
+)
+SELECT pg.page_id, pg.src_doc AS doc_id, v.n_words, v.mean_word_len,
+       v.gopher_ok,
+       COALESCE(dup.n_dup, 0) AS n_dup,
+       COALESCE(dup.is_keeper, 0) AS is_keeper,
+       CAST(v.gopher_ok = 1 AND COALESCE(dup.is_keeper, 0) = 1 AS INT) AS keep
+FROM pg JOIN verdict v USING (page_id) LEFT JOIN dup USING (page_id)
+ORDER BY pg.page_id
+"""

@@ -1320,6 +1320,17 @@ def crawl_report_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _warc.crawl_report_full_roundtrip(spark, sf_dir)
 
 
+@register("crawl_curate_gopher", oracle=_warc._crawl_curate_gopher_oracle())
+def crawl_curate_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-gated curation (r14): every capture scored by the
+    published Gopher rule set over its extracted text (one codegen
+    projection riding the extraction scan), keep = gopher_ok AND
+    exact-dup keeper — low-quality pages can neither ship nor keep a
+    cluster, the same gating shape as the robots variant
+    (multimodal/warc.py crawl_curate_gopher_roundtrip)."""
+    return _warc.crawl_curate_gopher_roundtrip(spark, sf_dir)
+
+
 @register("crawl_curate_neardup", oracle=_warc._crawl_curate_neardup_oracle())
 def crawl_curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-duplicate curation (r14): footer-variant mirror captures

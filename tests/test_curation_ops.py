@@ -492,3 +492,25 @@ def test_gopher_rules_fire_individually(spark):
     assert got[5]["ok_bullet"] == 0
     assert got[6]["ok_ellipsis"] == 0
     assert got[7]["ok_stops"] == 0 and got[7]["n_stop_words"] < 2
+
+
+def test_crawl_curate_gopher_gating(spark, sf_dir):
+    """Both gopher verdicts occur on the grid, and a quality-dropped
+    page never wins a keeper slot (dedup runs over passing pages
+    only)."""
+    from danae_spark.multimodal.warc import crawl_curate_gopher_roundtrip
+
+    rows = crawl_curate_gopher_roundtrip(spark, sf_dir).collect()
+    ok = [r for r in rows if r["gopher_ok"] == 1]
+    bad = [r for r in rows if r["gopher_ok"] == 0]
+    assert ok and bad, (len(ok), len(bad))
+    for r in bad:
+        assert r["is_keeper"] == 0 and r["keep"] == 0 and r["n_dup"] == 0, r
+    # every passing page is in exactly one cluster with one keeper
+    by_keep = {}
+    for r in ok:
+        assert r["n_dup"] >= 1, r
+    assert any(r["keep"] == 1 for r in ok)
+    # word counts drive the verdict at the configured threshold
+    assert all(r["n_words"] >= 15 for r in ok)
+    assert all(r["n_words"] < 15 or r["mean_word_len"] < 2.0 for r in bad)
