@@ -182,6 +182,7 @@ HEADLINE = [
     "markdown_text_extract",
     "weighted_sample_incremental",
     "crawl_curate_gopher",
+    "corpus_format_census",
 ]
 
 

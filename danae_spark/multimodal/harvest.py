@@ -504,3 +504,33 @@ ORDER BY doc_id
 
 
 TEXT_HARVEST_ORACLE = _harvest_oracle()
+
+
+def corpus_format_census(spark, sf_dir: str):
+    """What's in my lake: per (doc_class, format) counts and text
+    volume over the harvest output, rejects surfacing as the NULL
+    class instead of vanishing. One map-side-combined aggregate on
+    top of the certified dispatch plan."""
+    import pyspark.sql.functions as F
+
+    h = text_harvest_roundtrip(spark, sf_dir)
+    return (
+        h.groupBy("doc_class", "format")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        )
+        .orderBy("doc_class", "format")
+    )
+
+
+CORPUS_FORMAT_CENSUS_ORACLE = f"""
+WITH h AS ({{harvest}})
+SELECT doc_class, format,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_words) AS BIGINT) AS total_words
+FROM h GROUP BY doc_class, format
+ORDER BY doc_class, format
+""".format(harvest=_harvest_oracle())

@@ -780,6 +780,16 @@ def text_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _harvest.text_harvest_roundtrip(spark, sf_dir)
 
 
+@register("corpus_format_census", oracle=_harvest.CORPUS_FORMAT_CENSUS_ORACLE)
+def corpus_format_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus format census (r14): per (doc_class, format) counts and
+    text volume over the certified nine-class harvest dispatch —
+    'what is in my lake', with rejects surfacing as the NULL class
+    instead of vanishing; one map-side-combined aggregate
+    (multimodal/harvest.py corpus_format_census)."""
+    return _harvest.corpus_format_census(spark, sf_dir)
+
+
 from danae_spark.operators import robots as _robots  # noqa: E402
 from danae_spark.operators import urlops as _urlops  # noqa: E402
 

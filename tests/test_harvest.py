@@ -268,3 +268,22 @@ def test_archive_members_full_dispatch():
     # archive-in-archive: the inner archive member does not recurse
     outer = _zip_build([("inner.zip", z, 0)])
     assert harvest_text(outer) is None
+
+
+def test_corpus_format_census_matches_oracle(spark, sf_dir):
+    import duckdb
+
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal.harvest import CORPUS_FORMAT_CENSUS_ORACLE
+    from danae_spark.queries import load_all
+
+    fn = load_all()["corpus_format_census"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(CORPUS_FORMAT_CENSUS_ORACLE).fetchall()]
+    assert sorted(got, key=str) == sorted(want, key=str) and len(got) >= 12
+    classes = {r[0] for r in got}
+    assert {"html", "pdf", "office", "rtf", "epub", "warc", None} <= classes
