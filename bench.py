@@ -183,6 +183,7 @@ HEADLINE = [
     "weighted_sample_incremental",
     "crawl_curate_gopher",
     "corpus_format_census",
+    "corpus_build_select",
 ]
 
 

@@ -1016,3 +1016,67 @@ def weighted_sample_incremental(
         .select("doc_id", "weight", "key", "rk")
         .orderBy("rk")
     )
+
+
+# --------------------------------------------------- corpus build capstone
+
+BUILD_BUDGETS = {"en": 40, "zh": 25}
+BUILD_DEFAULT_N = 15
+
+
+def corpus_build_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-builder capstone: quality-gate then budget-select in
+    one call — documents pass the Gopher rule set (the published
+    thresholds, operators/textstats.gopher_rules_frame), survivors are
+    stratified by language with EXACT per-language budgets
+    (stratified_sample_frame's prefilter+rescue plan over the PASSING
+    population only — a dropped doc can neither ship nor consume a
+    budget slot), and each selected doc carries its token count so the
+    result audits directly against a mixture plan. Composes two
+    certified operators; the oracle restates the same gate + window."""
+    from danae_spark.operators.textstats import gopher_rules_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_rules_frame(docs).filter(F.col("keep") == 1).select("doc_id")
+    passing = docs.join(g, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.size(F.expr("filter(split(text, ' +'), t -> t <> '')")).alias("tokens"),
+    )
+    sel = stratified_sample_frame(
+        passing, stratum_col="lang", budgets=BUILD_BUDGETS,
+        default_n=BUILD_DEFAULT_N, salt=STRATA_SALT,
+    )
+    return (
+        sel.join(passing.select("doc_id", "tokens"), "doc_id")
+        .select("stratum", "doc_id", "rk", F.col("tokens").cast("int").alias("tokens"))
+        .orderBy("stratum", "rk")
+    )
+
+
+def corpus_build_select_oracle() -> str:
+    from danae_spark.operators.textstats import GOPHER_QUALITY_ORACLE
+
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(BUILD_BUDGETS.items())
+    )
+    return f"""
+    WITH gq AS ({GOPHER_QUALITY_ORACLE.replace("ORDER BY doc_id", "")}),
+    passing AS (
+      SELECT d.doc_id, d.lang,
+             len(list_filter(string_split_regex(d.text, ' +'), t -> t <> ''))
+               AS tokens,
+             ('0x' || substr(md5('{STRATA_SALT}' || '#'
+                || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+             CASE {cases} ELSE {BUILD_DEFAULT_N} END AS n_s
+      FROM documents d JOIN gq ON gq.doc_id = d.doc_id AND gq.keep = 1
+    ),
+    ranked AS (
+      SELECT lang AS stratum, doc_id, tokens, n_s,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+      FROM passing
+    )
+    SELECT stratum, doc_id, CAST(rk AS INT) AS rk, CAST(tokens AS INT) AS tokens
+    FROM ranked WHERE rk <= n_s
+    ORDER BY stratum, rk
+    """

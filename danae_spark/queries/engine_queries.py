@@ -1416,6 +1416,17 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sampling.mixture_plan(spark, sf_dir)
 
 
+@register("corpus_build_select", oracle=_sampling.corpus_build_select_oracle())
+def corpus_build_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-builder capstone (r14): Gopher quality gate -> exact
+    per-language budget selection over the PASSING population only
+    (a dropped doc can neither ship nor consume a slot) -> per-doc
+    token counts for the mixture audit; composes two certified
+    operators in one call
+    (operators/sampling.py corpus_build_select)."""
+    return _sampling.corpus_build_select(spark, sf_dir)
+
+
 @register("stratified_sample", oracle=_sampling.stratified_sample_oracle())
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling with EXACT per-stratum budgets (r14): per

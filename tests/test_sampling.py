@@ -503,3 +503,34 @@ def test_weighted_sample_incremental_equals_scratch(spark, sf_dir):
     inc = [tuple(r) for r in sampling.weighted_sample_incremental(spark, sf_dir).collect()]
     scratch = [tuple(r) for r in sampling.weighted_sample(spark, sf_dir).collect()]
     assert inc == scratch and len(inc) > 0
+
+
+def test_corpus_build_select_matches_oracle(spark, sf_dir):
+    import duckdb
+    import os
+
+    from danae_spark.catalog import table_path
+    from danae_spark.operators import sampling
+    from danae_spark.queries import load_all
+
+    fn = load_all()["corpus_build_select"].fn
+    got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(sampling.corpus_build_select_oracle()).fetchall()]
+    assert len(got) == len(want) and got == want and len(got) > 0
+    # the gate is live: selection is a strict subset of gopher-passing docs
+    from danae_spark.catalog import load_table
+    from danae_spark.operators.textstats import gopher_rules_frame
+    from pyspark.sql import functions as F
+
+    passing = {
+        r["doc_id"]
+        for r in gopher_rules_frame(load_table(spark, sf_dir, "documents"))
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+        .collect()
+    }
+    assert {r[1] for r in got} <= passing
