@@ -1547,7 +1547,9 @@ def gopher_rules_frame(
     AND boolean, plus the conjunction `keep` — a pipeline debugging a
     filter wants to see WHICH rule fired, not just the verdict.
     All row-wise (split/filter/aggregate over the word and line
-    arrays): one projection of one scan, no shuffle, no Python."""
+    arrays): one JVM projection of one scan, no shuffle, no Python
+    (higher-order functions evaluate interpreted, outside whole-stage
+    codegen, but never leave the JVM)."""
     words = F.expr(f"filter(split({text_col}, ' +'), t -> t <> '')")
     lines = F.expr(f"filter(split({text_col}, '\\n'), l -> l <> '')")
     d = docs.select(

@@ -1376,7 +1376,7 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, #/ellipsis symbol ratio, bullet/ellipsis line ratios,
     stop-word presence) as row-wise column expressions — every rule's
     measured value AND verdict per doc plus the conjunction, one
-    codegen projection of one scan
+    JVM projection of one scan (higher-order array expressions)
     (operators/textstats.py gopher_rules_frame)."""
     return _textstats.gopher_quality(spark, sf_dir)
 

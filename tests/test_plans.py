@@ -308,3 +308,52 @@ def test_maxsim_no_driver_hop_no_cartesian(spark, sf_dir):
     assert "LocalTableScan" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_gopher_quality_pure_projection(spark, sf_dir):
+    """The Gopher rule set is one JVM projection (higher-order array
+    expressions — interpreted, not codegen, but never Python): no
+    Exchange at all before the presentation sort, no Python eval, one
+    scan."""
+    df = REGISTRY["gopher_quality"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert len(audit.scans(df)) == 1, plan
+
+
+def test_document_format_frames_are_narrow(spark, sf_dir):
+    """Every r14 document-format roundtrip is a narrow Arrow map: the
+    only exchange is the deliberate input repartition (partition
+    parallelism IS the scale path), plus the presentation sort."""
+    for name in (
+        "office_text_extract",
+        "xlsx_table_extract",
+        "epub_text_extract",
+        "rtf_text_extract",
+        "markdown_text_extract",
+    ):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_hash = plan.count("Exchange hashpartitioning")
+        n_range = plan.count("Exchange rangepartitioning")
+        assert n_hash <= 1 and n_range <= 1, (name, plan)
+        assert "FlatMapGroupsInPandas" not in plan, (name, plan)  # stateless map
+
+
+def test_mixture_plan_single_shuffle(spark, sf_dir):
+    df = REGISTRY["mixture_plan"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_stratified_sample_window_is_survivor_bound(spark, sf_dir):
+    """The exact window exists, but its input is the prefiltered
+    survivor set — the plan must contain the hash-threshold Filter
+    BELOW the window's exchange."""
+    df = REGISTRY["stratified_sample"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan
+    win_ix = plan.index("Window")
+    below = plan[win_ix:]
+    assert "Filter" in below, plan  # the prefilter feeds the window
