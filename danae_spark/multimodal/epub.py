@@ -20,10 +20,8 @@ parse_html_text cannot walk.
 from __future__ import annotations
 
 import re
-from collections.abc import Iterator
 from typing import Optional
 
-import pandas as pd
 
 from danae_spark.multimodal.archive import _zip_build, _zip_members
 from danae_spark.multimodal.htmltext import (
@@ -206,20 +204,9 @@ _COLS = ["title", "creator", "n_chapters", "text", "n_chars", "n_words"]
 def epub_text_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
     """EPUB text extraction over any (id, binary) frame: one
     Arrow-batched narrow map, no shuffle."""
+    from danae_spark.multimodal.docframes import blob_extract_frame
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                r = parse_epub(bytes(payload)) if payload is not None else None
-                row = {"doc_id": int(doc_id)}
-                row.update({k: (r.get(k) if r else None) for k in _COLS})
-                rows.append(row)
-            yield pd.DataFrame(rows, columns=["doc_id"] + _COLS)
-
-    return df.select(
-        df[id_col].cast("bigint").alias("doc_id"), df[payload_col].alias("payload")
-    ).mapInPandas(batches, schema=_SCHEMA)
+    return blob_extract_frame(df, parse_epub, _COLS, _SCHEMA, id_col, payload_col)
 
 
 def epub_text_roundtrip(spark, sf_dir: str):
@@ -229,29 +216,9 @@ def epub_text_roundtrip(spark, sf_dir: str):
     chapters extracted by the certified HTML extractor in spine
     order, and everything restated via the shared html_text_sql
     fragment in EPUB_TEXT_ORACLE."""
-    from danae_spark.catalog import load_table
-    from danae_spark.session import stage_parallelism
-    from danae_spark.shipping import ensure_shipped
+    from danae_spark.multimodal.docframes import synth_roundtrip
 
-    ensure_shipped(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                r = parse_epub(synth_epub(d))
-                row = {"doc_id": d}
-                row.update({k: (r.get(k) if r else None) for k in _COLS})
-                rows.append(row)
-            yield pd.DataFrame(rows, columns=["doc_id"] + _COLS)
-
-    return (
-        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
-        .mapInPandas(batches, schema=_SCHEMA)
-        .orderBy("doc_id")
-    )
+    return synth_roundtrip(spark, sf_dir, synth_epub, parse_epub, _COLS, _SCHEMA)
 
 
 _CHAPTERS_CTE = """

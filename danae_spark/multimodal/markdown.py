@@ -27,10 +27,8 @@ ship half a code block as prose).
 from __future__ import annotations
 
 import re
-from collections.abc import Iterator
 from typing import Optional
 
-import pandas as pd
 
 __all__ = [
     "parse_markdown",
@@ -195,20 +193,9 @@ _COLS = [
 def markdown_text_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
     """Markdown extraction over any (id, binary) frame: one
     Arrow-batched narrow map, no shuffle."""
+    from danae_spark.multimodal.docframes import blob_extract_frame
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                r = parse_markdown(bytes(payload)) if payload is not None else None
-                row = {"doc_id": int(doc_id)}
-                row.update({k: (r.get(k) if r else None) for k in _COLS})
-                rows.append(row)
-            yield pd.DataFrame(rows, columns=["doc_id"] + _COLS)
-
-    return df.select(
-        df[id_col].cast("bigint").alias("doc_id"), df[payload_col].alias("payload")
-    ).mapInPandas(batches, schema=_SCHEMA)
+    return blob_extract_frame(df, parse_markdown, _COLS, _SCHEMA, id_col, payload_col)
 
 
 def markdown_text_roundtrip(spark, sf_dir: str):
@@ -217,29 +204,9 @@ def markdown_text_roundtrip(spark, sf_dir: str):
     block) is synthesized, extracted by the real line+inline pass,
     and every output column restated as doc_id arithmetic in
     MARKDOWN_TEXT_ORACLE."""
-    from danae_spark.catalog import load_table
-    from danae_spark.session import stage_parallelism
-    from danae_spark.shipping import ensure_shipped
+    from danae_spark.multimodal.docframes import synth_roundtrip
 
-    ensure_shipped(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                r = parse_markdown(synth_markdown(d))
-                row = {"doc_id": d}
-                row.update({k: (r.get(k) if r else None) for k in _COLS})
-                rows.append(row)
-            yield pd.DataFrame(rows, columns=["doc_id"] + _COLS)
-
-    return (
-        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
-        .mapInPandas(batches, schema=_SCHEMA)
-        .orderBy("doc_id")
-    )
+    return synth_roundtrip(spark, sf_dir, synth_markdown, parse_markdown, _COLS, _SCHEMA)
 
 
 MARKDOWN_TEXT_ORACLE = """

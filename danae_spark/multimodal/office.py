@@ -48,10 +48,8 @@ training-data-pipeline extension surface.
 from __future__ import annotations
 
 import re
-from collections.abc import Iterator
 from typing import Optional
 
-import pandas as pd
 
 from danae_spark.multimodal.archive import _zip_build, _zip_members
 from danae_spark.multimodal.htmltext import _decode_entities, _scan_tag
@@ -488,20 +486,9 @@ def office_text_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
     """Office text extraction over any (id, binary) frame: one
     Arrow-batched narrow map, no shuffle — the scale path for a
     100 TB lake of .docx/.odt blobs is simply partition parallelism."""
+    from danae_spark.multimodal.docframes import blob_extract_frame
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                r = parse_office(bytes(payload)) if payload is not None else None
-                row = {"doc_id": int(doc_id)}
-                row.update({k: (r.get(k) if r else None) for k in _COLS})
-                rows.append(row)
-            yield pd.DataFrame(rows, columns=["doc_id"] + _COLS)
-
-    return df.select(
-        df[id_col].cast("bigint").alias("doc_id"), df[payload_col].alias("payload")
-    ).mapInPandas(batches, schema=_SCHEMA)
+    return blob_extract_frame(df, parse_office, _COLS, _SCHEMA, id_col, payload_col)
 
 
 def office_text_roundtrip(spark, sf_dir: str):
@@ -510,29 +497,9 @@ def office_text_roundtrip(spark, sf_dir: str):
     odt mimetype), walked by the validating ZIP reader, its XML parts
     parsed by the shared tag scanner, and every output column
     restated as doc_id arithmetic in OFFICE_TEXT_ORACLE."""
-    from danae_spark.catalog import load_table
-    from danae_spark.session import stage_parallelism
-    from danae_spark.shipping import ensure_shipped
+    from danae_spark.multimodal.docframes import synth_roundtrip
 
-    ensure_shipped(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                r = parse_office(synth_office(d))
-                row = {"doc_id": d}
-                row.update({k: (r.get(k) if r else None) for k in _COLS})
-                rows.append(row)
-            yield pd.DataFrame(rows, columns=["doc_id"] + _COLS)
-
-    return (
-        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
-        .mapInPandas(batches, schema=_SCHEMA)
-        .orderBy("doc_id")
-    )
+    return synth_roundtrip(spark, sf_dir, synth_office, parse_office, _COLS, _SCHEMA)
 
 
 def office_text_sql(docs_cte: str) -> str:
@@ -965,20 +932,9 @@ _XLSX_COLS = ["sheet_name", "n_rows", "n_cells", "n_shared", "text"]
 def xlsx_table_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
     """xlsx table extraction over any (id, binary) frame: one
     Arrow-batched narrow map, no shuffle."""
+    from danae_spark.multimodal.docframes import blob_extract_frame
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                r = parse_xlsx(bytes(payload)) if payload is not None else None
-                row = {"doc_id": int(doc_id)}
-                row.update({k: (r.get(k) if r else None) for k in _XLSX_COLS})
-                rows.append(row)
-            yield pd.DataFrame(rows, columns=["doc_id"] + _XLSX_COLS)
-
-    return df.select(
-        df[id_col].cast("bigint").alias("doc_id"), df[payload_col].alias("payload")
-    ).mapInPandas(batches, schema=_XLSX_SCHEMA)
+    return blob_extract_frame(df, parse_xlsx, _XLSX_COLS, _XLSX_SCHEMA, id_col, payload_col)
 
 
 def xlsx_table_roundtrip(spark, sf_dir: str):
@@ -987,29 +943,9 @@ def xlsx_table_roundtrip(spark, sf_dir: str):
     reader, the shared-strings and cell grid parsed by the shared tag
     scanner, and every output column restated as doc_id arithmetic in
     XLSX_TABLE_ORACLE."""
-    from danae_spark.catalog import load_table
-    from danae_spark.session import stage_parallelism
-    from danae_spark.shipping import ensure_shipped
+    from danae_spark.multimodal.docframes import synth_roundtrip
 
-    ensure_shipped(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                r = parse_xlsx(synth_xlsx(d))
-                row = {"doc_id": d}
-                row.update({k: (r.get(k) if r else None) for k in _XLSX_COLS})
-                rows.append(row)
-            yield pd.DataFrame(rows, columns=["doc_id"] + _XLSX_COLS)
-
-    return (
-        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
-        .mapInPandas(batches, schema=_XLSX_SCHEMA)
-        .orderBy("doc_id")
-    )
+    return synth_roundtrip(spark, sf_dir, synth_xlsx, parse_xlsx, _XLSX_COLS, _XLSX_SCHEMA)
 
 
 XLSX_TABLE_ORACLE = """

@@ -29,10 +29,8 @@ training corpus as text.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 from typing import Optional
 
-import pandas as pd
 
 __all__ = [
     "parse_rtf",
@@ -296,21 +294,10 @@ _COLS = ["title", "creator", "n_paragraphs", "text", "n_chars", "n_words"]
 
 def rtf_text_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
     """RTF text extraction over any (id, binary) frame: one
-    Arrow-batched narrow map, no shuffle."""
+    Arrow-batched narrow map, no shuffle (multimodal/docframes.py)."""
+    from danae_spark.multimodal.docframes import blob_extract_frame
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                r = parse_rtf(bytes(payload)) if payload is not None else None
-                row = {"doc_id": int(doc_id)}
-                row.update({k: (r.get(k) if r else None) for k in _COLS})
-                rows.append(row)
-            yield pd.DataFrame(rows, columns=["doc_id"] + _COLS)
-
-    return df.select(
-        df[id_col].cast("bigint").alias("doc_id"), df[payload_col].alias("payload")
-    ).mapInPandas(batches, schema=_SCHEMA)
+    return blob_extract_frame(df, parse_rtf, _COLS, _SCHEMA, id_col, payload_col)
 
 
 def rtf_text_roundtrip(spark, sf_dir: str):
@@ -319,29 +306,9 @@ def rtf_text_roundtrip(spark, sf_dir: str):
     block, cp1252 and unicode escapes with the uc skip rule) is
     synthesized, extracted by the real tokenizer, and every output
     column restated as doc_id arithmetic in RTF_TEXT_ORACLE."""
-    from danae_spark.catalog import load_table
-    from danae_spark.session import stage_parallelism
-    from danae_spark.shipping import ensure_shipped
+    from danae_spark.multimodal.docframes import synth_roundtrip
 
-    ensure_shipped(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                r = parse_rtf(synth_rtf(d))
-                row = {"doc_id": d}
-                row.update({k: (r.get(k) if r else None) for k in _COLS})
-                rows.append(row)
-            yield pd.DataFrame(rows, columns=["doc_id"] + _COLS)
-
-    return (
-        docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")
-        .mapInPandas(batches, schema=_SCHEMA)
-        .orderBy("doc_id")
-    )
+    return synth_roundtrip(spark, sf_dir, synth_rtf, parse_rtf, _COLS, _SCHEMA)
 
 
 def rtf_text_sql(docs_cte: str) -> str:
