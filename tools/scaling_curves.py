@@ -148,6 +148,10 @@ OPERATORS = {
     "mixture_plan": "documents",
     "gopher_quality": "documents",
     "weighted_sample_incremental": "documents",
+    "markdown_text_extract": "documents",
+    "crawl_curate_gopher": "documents",
+    "corpus_format_census": "documents",
+    "corpus_build_select": "documents",
 }
 
 
