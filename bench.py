@@ -184,6 +184,7 @@ HEADLINE = [
     "crawl_curate_gopher",
     "corpus_format_census",
     "corpus_build_select",
+    "stratified_sample_incremental",
 ]
 
 

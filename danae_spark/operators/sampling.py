@@ -1080,3 +1080,44 @@ def corpus_build_select_oracle() -> str:
     FROM ranked WHERE rk <= n_s
     ORDER BY stratum, rk
     """
+
+
+def stratified_sample_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental stratified-sample maintenance — the per-stratum
+    analogue of weighted_sample_incremental: within each stratum the
+    selection key (salted id hash) is corpus-independent, so the
+    per-stratum top-n is a semilattice — yesterday's state (top-n
+    rows per stratum, O(strata * n)) merged with the batch's own
+    top-n re-ranks a bounded set and must EQUAL the from-scratch
+    sample over the full corpus. Registers against the SAME oracle
+    SQL as stratified_sample, so the merge exactness is value-hashed.
+    State never depends on corpus size; a daily batch costs
+    O(|batch| + strata * n)."""
+    docs = load_table(spark, sf_dir, "documents")
+    state = stratified_sample_frame(docs.filter(F.col("doc_id") % 3 < 2))
+    batch = stratified_sample_frame(docs.filter(F.col("doc_id") % 3 == 2))
+    merged = state.select("stratum", "doc_id").unionByName(
+        batch.select("stratum", "doc_id")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.lit(STRATA_SALT), F.col("doc_id"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    s = F.col("stratum")
+    n_expr = F.coalesce(
+        *(
+            [F.when(s == k, F.lit(v)) for k, v in sorted(STRATA_BUDGETS.items())]
+            + [F.lit(STRATA_DEFAULT_N)]
+        )
+    )
+    keyed = merged.withColumn("__h", h)
+    w = W.partitionBy("stratum").orderBy("__h", "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= n_expr)
+        .select("stratum", "doc_id", "rk")
+        .orderBy("stratum", "rk")
+    )

@@ -1381,6 +1381,17 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _textstats.gopher_quality(spark, sf_dir)
 
 
+@register("stratified_sample_incremental", oracle=_sampling.stratified_sample_oracle())
+def stratified_sample_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental stratified-sample maintenance (r14): per-stratum
+    top-n is a semilattice (the selection key is corpus-independent),
+    so yesterday's O(strata*n) state merged with the batch top-n must
+    EQUAL the from-scratch sample — registered against the SAME
+    oracle SQL as stratified_sample, the fifth incremental leg
+    (operators/sampling.py stratified_sample_incremental)."""
+    return _sampling.stratified_sample_incremental(spark, sf_dir)
+
+
 @register("weighted_sample", oracle=_sampling.weighted_sample_oracle())
 def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weight-biased sampling (r14): keep the n docs

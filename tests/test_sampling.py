@@ -534,3 +534,11 @@ def test_corpus_build_select_matches_oracle(spark, sf_dir):
         .collect()
     }
     assert {r[1] for r in got} <= passing
+
+
+def test_stratified_sample_incremental_equals_scratch(spark, sf_dir):
+    from danae_spark.operators import sampling
+
+    inc = [tuple(r) for r in sampling.stratified_sample_incremental(spark, sf_dir).collect()]
+    scratch = [tuple(r) for r in sampling.stratified_sample(spark, sf_dir).collect()]
+    assert inc == scratch and len(inc) > 0
