@@ -185,6 +185,7 @@ HEADLINE = [
     "corpus_format_census",
     "corpus_build_select",
     "stratified_sample_incremental",
+    "csv_blob_census",
 ]
 
 

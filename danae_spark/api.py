@@ -850,6 +850,14 @@ class DataLakeEngine:
 
         return rtf_text_frame(df, **kw)
 
+    def csv_census(self, df: DataFrame, **kw) -> DataFrame:
+        """RFC 4180 CSV census over any (id, binary) frame: sniffed
+        delimiter, quote-aware shape, quoted/ragged counts
+        (multimodal/csvblob.py parse_csv_blob)."""
+        from danae_spark.multimodal.csvblob import csv_census_frame
+
+        return csv_census_frame(df, **kw)
+
     def markdown_text(self, df: DataFrame, **kw) -> DataFrame:
         """Markdown extraction over any (id, binary) frame: headings /
         lists / quotes stripped, links to anchor text, fenced code

@@ -1513,6 +1513,22 @@ def rtf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rtf.rtf_text_roundtrip(spark, sf_dir)
 
 
+from danae_spark.multimodal import csvblob as _csvblob  # noqa: E402
+
+
+@register("csv_blob_census", oracle=_csvblob.CSV_CENSUS_ORACLE)
+def csv_blob_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV blob census (r14): per doc a real CSV in one of four
+    dialects — RFC 4180 quoting with embedded delimiters, embedded
+    CR/LF newlines (quote-aware row counting: `wc -l` lies), doubled
+    quotes, CRLF terminators, a ragged leg — is synthesized, the
+    delimiter sniffed by parsing every candidate with the full
+    grammar, and the census restated as doc_id arithmetic;
+    d % 19 == 3 is the unterminated-quote reject leg
+    (multimodal/csvblob.py csv_census_roundtrip)."""
+    return _csvblob.csv_census_roundtrip(spark, sf_dir)
+
+
 from danae_spark.multimodal import markdown as _markdown  # noqa: E402
 
 
