@@ -186,6 +186,7 @@ HEADLINE = [
     "corpus_build_select",
     "stratified_sample_incremental",
     "csv_blob_census",
+    "json_blob_census",
 ]
 
 

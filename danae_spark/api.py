@@ -858,6 +858,14 @@ class DataLakeEngine:
 
         return csv_census_frame(df, **kw)
 
+    def json_census(self, df: DataFrame, **kw) -> DataFrame:
+        """JSON/JSONL census over any (id, binary) frame: kind,
+        record/key counts, nesting depth, leaf-type counts
+        (multimodal/jsonblob.py parse_json_blob)."""
+        from danae_spark.multimodal.jsonblob import json_census_frame
+
+        return json_census_frame(df, **kw)
+
     def markdown_text(self, df: DataFrame, **kw) -> DataFrame:
         """Markdown extraction over any (id, binary) frame: headings /
         lists / quotes stripped, links to anchor text, fenced code

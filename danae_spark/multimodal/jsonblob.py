@@ -1,0 +1,262 @@
+"""Per-blob JSON / JSONL census — the LLM-interchange formats.
+
+Training corpora move as JSONL (one record per line) and config/API
+payloads as single JSON documents; before ingesting a lake prefix you
+want each blob's kind and shape without materializing it as a table.
+Parsing is RFC 8259 via the stdlib decoder (strict mode); the census
+adds the structural walk the decoder doesn't expose:
+
+  - kind: 'object' | 'array' | 'jsonl' (two or more newline-separated
+    top-level values, every line a complete JSON value) | scalar
+    kinds for completeness;
+  - n_records: JSONL line count, array length, or 1;
+  - first record's key census (n_keys, keys joined '/'), max nesting
+    depth across the blob, and total string/number/null leaf counts —
+    the quick sanity signals (is this the schema I expect? how deep?);
+  - reject-whole: invalid UTF-8, trailing garbage, any malformed line
+    in a JSONL blob (a half-good JSONL must not census as smaller —
+    that silently drops records downstream).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+__all__ = [
+    "parse_json_blob",
+    "synth_json",
+    "json_census_frame",
+    "json_census_roundtrip",
+    "JSON_CENSUS_ORACLE",
+]
+
+
+def _walk(v, depth: int, acc: dict) -> None:
+    acc["max_depth"] = max(acc["max_depth"], depth)
+    if isinstance(v, dict):
+        for x in v.values():
+            _walk(x, depth + 1, acc)
+    elif isinstance(v, list):
+        for x in v:
+            _walk(x, depth + 1, acc)
+    elif isinstance(v, str):
+        acc["n_strings"] += 1
+    elif isinstance(v, bool):
+        pass
+    elif isinstance(v, (int, float)):
+        acc["n_numbers"] += 1
+    elif v is None:
+        acc["n_nulls"] += 1
+
+
+def parse_json_blob(payload: bytes) -> Optional[dict]:
+    """Census or None (reject-whole)."""
+    if not payload:
+        return None
+    try:
+        text = payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+
+    values = None
+    kind = None
+    stripped = text.strip()
+    if not stripped:
+        return None
+    # JSONL first: >= 2 non-empty lines, EVERY one a complete value
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    if len(lines) >= 2:
+        try:
+            values = [json.loads(ln) for ln in lines]
+            kind = "jsonl"
+        except json.JSONDecodeError:
+            values = None
+    if values is None:
+        try:
+            v = json.loads(stripped)
+        except json.JSONDecodeError:
+            return None
+        if isinstance(v, dict):
+            kind, values = "object", [v]
+        elif isinstance(v, list):
+            kind, values = "array", v if v else [None]
+        else:
+            kind, values = "scalar", [v]
+
+    acc = {"max_depth": 0, "n_strings": 0, "n_numbers": 0, "n_nulls": 0}
+    if kind == "array":
+        # walk the container itself: an array of scalars is depth 2
+        _walk(values if values != [None] else [], 1, acc)
+    else:
+        for v in values:
+            _walk(v, 1, acc)
+    if kind == "array":
+        n_records = len(values) if values != [None] else 0
+    elif kind == "jsonl":
+        n_records = len(values)
+    else:
+        n_records = 1
+    first = values[0]
+    if isinstance(first, dict):
+        keys = sorted(first.keys())
+        n_keys, keyline = len(keys), "/".join(keys)
+    else:
+        n_keys, keyline = 0, None
+    return {
+        "kind": kind,
+        "n_records": n_records,
+        "n_keys": n_keys,
+        "keys": keyline,
+        "max_depth": acc["max_depth"],
+        "n_strings": acc["n_strings"],
+        "n_numbers": acc["n_numbers"],
+        "n_nulls": acc["n_nulls"],
+    }
+
+
+# ----------------------------------------------------------- synthesis
+#
+# Pure doc_id arithmetic (restated in JSON_CENSUS_ORACLE):
+#   kind = [jsonl, object, array][d % 3]
+#   jsonl: 2 + d % 4 records; record r = {"id": d*10+r, "txt": "t{...}",
+#          "tags": ["g0".."g{1+(d+r)%2}"], "note": null when (d+r)%3==0
+#          else "n{...}"} -> per record: strings = 1 txt + tags + note?,
+#          numbers = 1, nulls = (d+r)%3==0; depth 3 (obj>tags>items)
+#   object: one jsonl-record shape plus a nested {"meta": {"depth":
+#           {"x": 1}}} -> depth 4
+#   array:  1 + d % 3 numbers -> depth 2
+#   d % 23 == 7 -> a malformed middle line (reject leg)
+
+
+def _record(d: int, r: int) -> dict:
+    rec = {
+        "id": d * 10 + r,
+        "txt": f"t{(d * 3 + r) % 40}",
+        "tags": [f"g{k}" for k in range(1 + (d + r) % 2)],
+    }
+    rec["note"] = None if (d + r) % 3 == 0 else f"n{(d + r) % 9}"
+    return rec
+
+
+def json_n_records(d: int) -> int:
+    return 2 + d % 4
+
+
+def synth_json(d: int) -> bytes:
+    kind = d % 3
+    if kind == 0:
+        lines = [
+            json.dumps(_record(d, r), separators=(",", ":"))
+            for r in range(json_n_records(d))
+        ]
+        if d % 23 == 7:
+            lines[1] = lines[1][:-3] + "{oops"
+        return ("\n".join(lines) + "\n").encode()
+    if kind == 1:
+        obj = _record(d, 0)
+        obj["meta"] = {"depth": {"x": 1}}
+        raw = json.dumps(obj, separators=(",", ":"))
+        if d % 23 == 7:
+            raw = raw[:-1] + ","
+        return raw.encode()
+    arr = [((d * 7 + i) % 100) for i in range(1 + d % 3)]
+    raw = json.dumps(arr, separators=(",", ":"))
+    if d % 23 == 7:
+        raw += "]"
+    return raw.encode()
+
+
+# ---------------------------------------------------- Spark entry points
+
+_SCHEMA = (
+    "doc_id bigint, kind string, n_records int, n_keys int, keys string, "
+    "max_depth int, n_strings int, n_numbers int, n_nulls int"
+)
+_COLS = [
+    "kind",
+    "n_records",
+    "n_keys",
+    "keys",
+    "max_depth",
+    "n_strings",
+    "n_numbers",
+    "n_nulls",
+]
+
+
+def json_census_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
+    """JSON/JSONL census over any (id, binary) frame: one
+    Arrow-batched narrow map, no shuffle (multimodal/docframes.py)."""
+    from danae_spark.multimodal.docframes import blob_extract_frame
+
+    return blob_extract_frame(
+        df, parse_json_blob, _COLS, _SCHEMA, id_col, payload_col
+    )
+
+
+def json_census_roundtrip(spark, sf_dir: str):
+    """Oracle-checkable roundtrip: per doc a real JSONL / object /
+    array blob (nested depth, null legs, a malformed-line reject leg)
+    is synthesized, parsed strictly, and every census column restated
+    as doc_id arithmetic."""
+    from danae_spark.multimodal.docframes import synth_roundtrip
+
+    return synth_roundtrip(spark, sf_dir, synth_json, parse_json_blob, _COLS, _SCHEMA)
+
+
+JSON_CENSUS_ORACLE = """
+WITH d0 AS (SELECT doc_id, doc_id AS d FROM documents),
+-- per-record facts for the jsonl (kind 0) and object (kind 1) shapes:
+-- strings = txt + tags(1 + (d+r)%2) + (note unless (d+r)%3==0);
+-- numbers = 1 (id); nulls = 1 when (d+r)%3==0
+recs AS (
+  SELECT doc_id, d, r.r,
+         1 + (1 + (d + r.r) % 2)
+           + CASE WHEN (d + r.r) % 3 = 0 THEN 0 ELSE 1 END AS n_strings,
+         1 AS n_numbers,
+         CASE WHEN (d + r.r) % 3 = 0 THEN 1 ELSE 0 END AS n_nulls
+  FROM d0, generate_series(0, 5) r(r)
+  WHERE d % 3 = 0 AND r.r < 2 + d % 4
+),
+jsonl_u AS (
+  SELECT doc_id, d,
+         CAST(count(*) AS INT) AS n_records,
+         CAST(sum(n_strings) AS INT) AS n_strings,
+         CAST(sum(n_numbers) AS INT) AS n_numbers,
+         CAST(sum(n_nulls) AS INT) AS n_nulls
+  FROM recs GROUP BY doc_id, d
+),
+unified AS (
+  SELECT doc_id, d, 'jsonl' AS kind, n_records, n_strings, n_numbers,
+         n_nulls, 3 AS max_depth
+  FROM jsonl_u
+  UNION ALL
+  SELECT doc_id, d, 'object', 1,
+         1 + (1 + d % 2) + CASE WHEN d % 3 = 0 THEN 0 ELSE 1 END,
+         2,  -- id + the nested meta.depth.x
+         CASE WHEN d % 3 = 0 THEN 1 ELSE 0 END,
+         4
+  FROM d0 WHERE d % 3 = 1
+  UNION ALL
+  SELECT doc_id, d, 'array', CAST(1 + d % 3 AS INT), 0,
+         CAST(1 + d % 3 AS INT), 0, 2
+  FROM d0 WHERE d % 3 = 2
+)
+SELECT doc_id,
+       CASE WHEN d % 23 = 7 THEN NULL ELSE kind END AS kind,
+       CASE WHEN d % 23 = 7 THEN NULL ELSE n_records END AS n_records,
+       CASE WHEN d % 23 = 7 THEN NULL
+            WHEN kind = 'array' THEN 0
+            WHEN kind = 'object' THEN 5 ELSE 4 END AS n_keys,
+       CASE WHEN d % 23 = 7 THEN NULL
+            WHEN kind = 'array' THEN NULL
+            WHEN kind = 'object' THEN 'id/meta/note/tags/txt'
+            ELSE 'id/note/tags/txt' END AS keys,
+       CASE WHEN d % 23 = 7 THEN NULL ELSE max_depth END AS max_depth,
+       CASE WHEN d % 23 = 7 THEN NULL ELSE n_strings END AS n_strings,
+       CASE WHEN d % 23 = 7 THEN NULL ELSE n_numbers END AS n_numbers,
+       CASE WHEN d % 23 = 7 THEN NULL ELSE n_nulls END AS n_nulls
+FROM unified
+ORDER BY doc_id
+"""

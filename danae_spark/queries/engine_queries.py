@@ -1529,6 +1529,21 @@ def csv_blob_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _csvblob.csv_census_roundtrip(spark, sf_dir)
 
 
+from danae_spark.multimodal import jsonblob as _jsonblob  # noqa: E402
+
+
+@register("json_blob_census", oracle=_jsonblob.JSON_CENSUS_ORACLE)
+def json_blob_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON/JSONL blob census (r14): per doc a real JSONL / object /
+    array blob — nested containers, null legs, key census, strict
+    RFC 8259 parsing with a malformed-middle-line reject leg (a
+    half-good JSONL must not census smaller) — and every structural
+    count (records, keys, max depth, string/number/null leaves)
+    restated as doc_id arithmetic
+    (multimodal/jsonblob.py json_census_roundtrip)."""
+    return _jsonblob.json_census_roundtrip(spark, sf_dir)
+
+
 from danae_spark.multimodal import markdown as _markdown  # noqa: E402
 
 

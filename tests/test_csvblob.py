@@ -94,3 +94,65 @@ def test_frame_and_registered_oracle(spark, sf_dir):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
     want = [tuple(r) for r in con.execute(CSV_CENSUS_ORACLE).fetchall()]
     assert len(got2) == len(want) and got2 == want
+
+
+# ---------------------------------------------------------------- json
+
+
+def test_json_kinds_and_counts():
+    from danae_spark.multimodal.jsonblob import parse_json_blob
+
+    r = parse_json_blob(b'{"a": 1, "b": {"c": [null, "x"]}}')
+    assert r["kind"] == "object" and r["n_records"] == 1
+    assert r["n_keys"] == 2 and r["keys"] == "a/b"
+    assert r["max_depth"] == 4  # obj > b > c-array > items
+    assert r["n_strings"] == 1 and r["n_numbers"] == 1 and r["n_nulls"] == 1
+
+    r2 = parse_json_blob(b'{"x":1}\n{"x":2}\n{"x":3}\n')
+    assert r2["kind"] == "jsonl" and r2["n_records"] == 3
+
+    r3 = parse_json_blob(b"[1, 2, 3]")
+    assert r3["kind"] == "array" and r3["n_records"] == 3 and r3["max_depth"] == 2
+
+    assert parse_json_blob(b"[]")["n_records"] == 0
+    assert parse_json_blob(b'"just a string"')["kind"] == "scalar"
+
+
+def test_json_rejects():
+    from danae_spark.multimodal.jsonblob import parse_json_blob, synth_json
+
+    assert parse_json_blob(b"") is None
+    assert parse_json_blob(b"{broken") is None
+    assert parse_json_blob(b'{"a":1} trailing') is None
+    # one malformed line rejects the whole JSONL
+    assert parse_json_blob(b'{"x":1}\n{oops\n{"x":3}\n') is None
+    assert parse_json_blob(b"\xff\xfe") is None
+    for d in (7, 30, 53):  # d % 23 == 7 across all three kinds
+        assert parse_json_blob(synth_json(d)) is None, d
+
+
+def test_json_frame_and_registered_oracle(spark, sf_dir):
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal.jsonblob import (
+        JSON_CENSUS_ORACLE,
+        json_census_frame,
+        synth_json,
+    )
+    from danae_spark.queries import load_all
+
+    df = spark.createDataFrame(
+        [(d, bytearray(synth_json(d))) for d in range(20)] + [(99, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in json_census_frame(df).collect()}
+    assert got[0]["kind"] == "jsonl" and got[7]["kind"] is None
+    assert got[99]["kind"] is None
+
+    fn = load_all()["json_blob_census"].fn
+    got2 = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(JSON_CENSUS_ORACLE).fetchall()]
+    assert len(got2) == len(want) and got2 == want
