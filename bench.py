@@ -187,6 +187,7 @@ HEADLINE = [
     "stratified_sample_incremental",
     "csv_blob_census",
     "json_blob_census",
+    "parquet_blob_census",
 ]
 
 

@@ -866,6 +866,13 @@ class DataLakeEngine:
 
         return json_census_frame(df, **kw)
 
+    def parquet_census(self, df: DataFrame, **kw) -> DataFrame:
+        """Parquet footer census over any (id, binary) frame
+        (multimodal/parquetblob.py parse_parquet_blob)."""
+        from danae_spark.multimodal.parquetblob import parquet_census_frame
+
+        return parquet_census_frame(df, **kw)
+
     def markdown_text(self, df: DataFrame, **kw) -> DataFrame:
         """Markdown extraction over any (id, binary) frame: headings /
         lists / quotes stripped, links to anchor text, fenced code

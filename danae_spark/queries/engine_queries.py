@@ -1544,6 +1544,21 @@ def json_blob_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jsonblob.json_census_roundtrip(spark, sf_dir)
 
 
+from danae_spark.multimodal import parquetblob as _parquetblob  # noqa: E402
+
+
+@register("parquet_blob_census", oracle=_parquetblob.PARQUET_CENSUS_ORACLE)
+def parquet_blob_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet blob census (r14): per doc a real parquet file (typed
+    columns, sized row groups, snappy/gzip/uncompressed codecs, a
+    corrupted-footer reject leg) is written in memory and its FOOTER
+    walked — rows/columns/row-groups/compression without touching a
+    data page, the read pattern a compaction planner uses at manifest
+    scale — restated as doc_id arithmetic
+    (multimodal/parquetblob.py parquet_census_roundtrip)."""
+    return _parquetblob.parquet_census_roundtrip(spark, sf_dir)
+
+
 from danae_spark.multimodal import markdown as _markdown  # noqa: E402
 
 

@@ -156,3 +156,56 @@ def test_json_frame_and_registered_oracle(spark, sf_dir):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
     want = [tuple(r) for r in con.execute(JSON_CENSUS_ORACLE).fetchall()]
     assert len(got2) == len(want) and got2 == want
+
+
+# -------------------------------------------------------------- parquet
+
+
+def test_parquet_census_and_rejects():
+    from danae_spark.multimodal.parquetblob import (
+        parse_parquet_blob,
+        pq_n_cols,
+        pq_n_rows,
+        pq_rg,
+        synth_parquet,
+    )
+
+    for d in (0, 1, 2, 5, 11, 20):
+        r = parse_parquet_blob(synth_parquet(d))
+        assert r is not None, d
+        assert r["n_rows"] == pq_n_rows(d) and r["n_cols"] == pq_n_cols(d), d
+        assert r["first_group_rows"] == pq_rg(d), d
+        want_groups = -(-pq_n_rows(d) // pq_rg(d))
+        assert r["n_row_groups"] == want_groups, d
+    assert parse_parquet_blob(synth_parquet(9)) is None  # reject leg
+    assert parse_parquet_blob(b"") is None
+    assert parse_parquet_blob(b"PAR1 not really a footer") is None
+    ok = synth_parquet(1)
+    assert parse_parquet_blob(ok[: len(ok) // 2]) is None  # truncated
+
+
+def test_parquet_frame_and_registered_oracle(spark, sf_dir):
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal.parquetblob import (
+        PARQUET_CENSUS_ORACLE,
+        parquet_census_frame,
+        synth_parquet,
+    )
+    from danae_spark.queries import load_all
+
+    df = spark.createDataFrame(
+        [(d, bytearray(synth_parquet(d))) for d in range(12)] + [(99, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in parquet_census_frame(df).collect()}
+    assert got[9]["n_rows"] is None and got[99]["n_rows"] is None
+    assert got[1]["compression"] == "GZIP"
+
+    fn = load_all()["parquet_blob_census"].fn
+    got2 = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(PARQUET_CENSUS_ORACLE).fetchall()]
+    assert len(got2) == len(want) and got2 == want
