@@ -152,6 +152,10 @@ OPERATORS = {
     "crawl_curate_gopher": "documents",
     "corpus_format_census": "documents",
     "corpus_build_select": "documents",
+    "stratified_sample_incremental": "documents",
+    "csv_blob_census": "documents",
+    "json_blob_census": "documents",
+    "parquet_blob_census": "documents",
 }
 
 
