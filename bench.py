@@ -188,6 +188,7 @@ HEADLINE = [
     "csv_blob_census",
     "json_blob_census",
     "parquet_blob_census",
+    "sqlite_blob_census",
 ]
 
 

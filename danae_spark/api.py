@@ -873,6 +873,13 @@ class DataLakeEngine:
 
         return parquet_census_frame(df, **kw)
 
+    def sqlite_census(self, df: DataFrame, **kw) -> DataFrame:
+        """SQLite schema census over any (id, binary) frame, read-only
+        (multimodal/sqliteblob.py parse_sqlite_blob)."""
+        from danae_spark.multimodal.sqliteblob import sqlite_census_frame
+
+        return sqlite_census_frame(df, **kw)
+
     def markdown_text(self, df: DataFrame, **kw) -> DataFrame:
         """Markdown extraction over any (id, binary) frame: headings /
         lists / quotes stripped, links to anchor text, fenced code

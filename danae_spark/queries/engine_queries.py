@@ -1559,6 +1559,21 @@ def parquet_blob_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _parquetblob.parquet_census_roundtrip(spark, sf_dir)
 
 
+from danae_spark.multimodal import sqliteblob as _sqliteblob  # noqa: E402
+
+
+@register("sqlite_blob_census", oracle=_sqliteblob.SQLITE_CENSUS_ORACLE)
+def sqlite_blob_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite blob census (r14): per doc a real SQLite database
+    (1-3 tables of varying width/length, an index leg) is serialized
+    in memory, re-opened READ-ONLY in a throwaway connection (only
+    sqlite_master + COUNT(*) ever execute — a malicious blob cannot
+    write), and the schema census restated as doc_id arithmetic;
+    d % 27 == 11 is the corrupted-magic reject leg
+    (multimodal/sqliteblob.py sqlite_census_roundtrip)."""
+    return _sqliteblob.sqlite_census_roundtrip(spark, sf_dir)
+
+
 from danae_spark.multimodal import markdown as _markdown  # noqa: E402
 
 

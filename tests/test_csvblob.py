@@ -209,3 +209,58 @@ def test_parquet_frame_and_registered_oracle(spark, sf_dir):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
     want = [tuple(r) for r in con.execute(PARQUET_CENSUS_ORACLE).fetchall()]
     assert len(got2) == len(want) and got2 == want
+
+
+# --------------------------------------------------------------- sqlite
+
+
+def test_sqlite_census_and_rejects():
+    from danae_spark.multimodal.sqliteblob import (
+        parse_sqlite_blob,
+        sq_cols,
+        sq_n_tables,
+        sq_rows,
+        synth_sqlite,
+    )
+
+    for d in (0, 1, 2, 5, 9, 14):
+        r = parse_sqlite_blob(synth_sqlite(d))
+        assert r is not None, d
+        assert r["n_tables"] == sq_n_tables(d), d
+        assert r["total_rows"] == sum(
+            sq_rows(d, k) for k in range(sq_n_tables(d))
+        ), d
+        assert r["first_table_cols"] == sq_cols(d, 0), d
+        assert r["n_indexes"] == (1 if d % 2 == 0 else 0), d
+    assert parse_sqlite_blob(synth_sqlite(11)) is None  # reject leg
+    assert parse_sqlite_blob(b"") is None
+    assert parse_sqlite_blob(b"not a database") is None
+    ok = synth_sqlite(1)
+    assert parse_sqlite_blob(ok[:100]) is None  # truncated
+
+
+def test_sqlite_frame_and_registered_oracle(spark, sf_dir):
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal.sqliteblob import (
+        SQLITE_CENSUS_ORACLE,
+        sqlite_census_frame,
+        synth_sqlite,
+    )
+    from danae_spark.queries import load_all
+
+    df = spark.createDataFrame(
+        [(d, bytearray(synth_sqlite(d))) for d in range(14)] + [(99, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in sqlite_census_frame(df).collect()}
+    assert got[11]["n_tables"] is None and got[99]["n_tables"] is None
+    assert got[2]["n_tables"] == 3
+
+    fn = load_all()["sqlite_blob_census"].fn
+    got2 = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(SQLITE_CENSUS_ORACLE).fetchall()]
+    assert len(got2) == len(want) and got2 == want

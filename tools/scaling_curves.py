@@ -156,6 +156,7 @@ OPERATORS = {
     "csv_blob_census": "documents",
     "json_blob_census": "documents",
     "parquet_blob_census": "documents",
+    "sqlite_blob_census": "documents",
 }
 
 
