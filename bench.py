@@ -189,6 +189,7 @@ HEADLINE = [
     "json_blob_census",
     "parquet_blob_census",
     "sqlite_blob_census",
+    "access_log_census",
 ]
 
 

@@ -880,6 +880,13 @@ class DataLakeEngine:
 
         return sqlite_census_frame(df, **kw)
 
+    def access_log_census(self, df: DataFrame, **kw) -> DataFrame:
+        """CLF/Combined access-log census over any (id, binary) frame
+        (multimodal/accesslog.py parse_access_log)."""
+        from danae_spark.multimodal.accesslog import access_log_census_frame
+
+        return access_log_census_frame(df, **kw)
+
     def markdown_text(self, df: DataFrame, **kw) -> DataFrame:
         """Markdown extraction over any (id, binary) frame: headings /
         lists / quotes stripped, links to anchor text, fenced code

@@ -1574,6 +1574,21 @@ def sqlite_blob_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sqliteblob.sqlite_census_roundtrip(spark, sf_dir)
 
 
+from danae_spark.multimodal import accesslog as _accesslog  # noqa: E402
+
+
+@register("access_log_census", oracle=_accesslog.ACCESS_LOG_CENSUS_ORACLE)
+def access_log_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web access-log census (r14): per doc a real CLF / Combined log
+    — status-class mix, distinct hosts, byte volume, and junk lines
+    REPORTED per line (the line-stream contract: reject-whole would
+    discard gigabytes for one torn line, skipping silently would
+    misstate volume) — restated as doc_id arithmetic; d % 25 == 13 is
+    the invalid-UTF-8 blob-level reject leg
+    (multimodal/accesslog.py access_log_census_roundtrip)."""
+    return _accesslog.access_log_census_roundtrip(spark, sf_dir)
+
+
 from danae_spark.multimodal import markdown as _markdown  # noqa: E402
 
 

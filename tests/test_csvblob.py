@@ -264,3 +264,54 @@ def test_sqlite_frame_and_registered_oracle(spark, sf_dir):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
     want = [tuple(r) for r in con.execute(SQLITE_CENSUS_ORACLE).fetchall()]
     assert len(got2) == len(want) and got2 == want
+
+
+# ----------------------------------------------------------- access log
+
+
+def test_access_log_census():
+    from danae_spark.multimodal.accesslog import parse_access_log
+
+    log = (
+        b'1.2.3.4 - alice [10/Oct/2025:13:55:36 +0000] "GET /x HTTP/1.1" 200 512\n'
+        b'5.6.7.8 - - [10/Oct/2025:13:55:37 +0000] "POST /y HTTP/1.0" 404 -\n'
+        b'garbage line here\n'
+        b'1.2.3.4 - - [10/Oct/2025:13:55:38 +0000] "GET /z HTTP/2.0" 503 9 '
+        b'"https://r.ex" "curl/8"\n'
+    )
+    r = parse_access_log(log)
+    assert r["n_requests"] == 3 and r["n_malformed"] == 1
+    assert r["n_2xx"] == 1 and r["n_4xx"] == 1 and r["n_5xx"] == 1
+    assert r["n_hosts"] == 2 and r["total_bytes"] == 521
+    assert r["n_combined"] == 1 and r["first_host"] == "1.2.3.4"
+    # blob-level rejects
+    assert parse_access_log(b"") is None
+    assert parse_access_log(b"\x00\x01") is None
+    assert parse_access_log(b"no requests at all\njust text\n") is None
+
+
+def test_access_log_frame_and_registered_oracle(spark, sf_dir):
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal.accesslog import (
+        ACCESS_LOG_CENSUS_ORACLE,
+        access_log_census_frame,
+        synth_access_log,
+    )
+    from danae_spark.queries import load_all
+
+    df = spark.createDataFrame(
+        [(d, bytearray(synth_access_log(d))) for d in range(15)] + [(99, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in access_log_census_frame(df).collect()}
+    assert got[13]["n_requests"] is None and got[99]["n_requests"] is None
+    assert got[1]["n_combined"] == got[1]["n_requests"]  # combined on odd d
+
+    fn = load_all()["access_log_census"].fn
+    got2 = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(ACCESS_LOG_CENSUS_ORACLE).fetchall()]
+    assert len(got2) == len(want) and got2 == want

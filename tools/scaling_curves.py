@@ -157,6 +157,7 @@ OPERATORS = {
     "json_blob_census": "documents",
     "parquet_blob_census": "documents",
     "sqlite_blob_census": "documents",
+    "access_log_census": "documents",
 }
 
 
