@@ -190,6 +190,7 @@ HEADLINE = [
     "parquet_blob_census",
     "sqlite_blob_census",
     "access_log_census",
+    "chat_jsonl_census",
 ]
 
 

@@ -887,6 +887,13 @@ class DataLakeEngine:
 
         return access_log_census_frame(df, **kw)
 
+    def chat_census(self, df: DataFrame, **kw) -> DataFrame:
+        """Chat-format JSONL census with per-conversation validation
+        (multimodal/jsonblob.py parse_chat_blob)."""
+        from danae_spark.multimodal.jsonblob import chat_census_frame
+
+        return chat_census_frame(df, **kw)
+
     def markdown_text(self, df: DataFrame, **kw) -> DataFrame:
         """Markdown extraction over any (id, binary) frame: headings /
         lists / quotes stripped, links to anchor text, fenced code

@@ -260,3 +260,198 @@ SELECT doc_id,
 FROM unified
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------ chat-format validation
+#
+# The SFT/RLHF interchange shape: JSONL of {"messages": [{role,
+# content}, ...]}. Validation is per conversation (like the log-line
+# contract: one bad conversation must be COUNTED, not silently
+# dropped and not fatal to the shard): optional leading system turn,
+# then strict user/assistant alternation starting with user, known
+# roles only, non-empty string content. Blob-level reject only when
+# the payload is not JSONL-of-objects at all.
+
+_CHAT_ROLES = {"system", "user", "assistant"}
+
+
+def validate_conversation(v) -> bool:
+    if not isinstance(v, dict) or not isinstance(v.get("messages"), list):
+        return False
+    msgs = v["messages"]
+    if not msgs:
+        return False
+    i = 0
+    if msgs and isinstance(msgs[0], dict) and msgs[0].get("role") == "system":
+        i = 1
+    expect = "user"
+    if i >= len(msgs):
+        return False
+    for m in msgs[i:]:
+        if not isinstance(m, dict):
+            return False
+        role, content = m.get("role"), m.get("content")
+        if role not in _CHAT_ROLES or role == "system":
+            return False
+        if role != expect:
+            return False
+        if not isinstance(content, str) or not content:
+            return False
+        expect = "assistant" if expect == "user" else "user"
+    return True
+
+
+def parse_chat_blob(payload: bytes) -> Optional[dict]:
+    """Chat-JSONL census: conversation counts + per-conversation
+    validation verdicts; None only for blob-level corruption."""
+    if not payload:
+        return None
+    try:
+        text = payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    if not lines:
+        return None
+    convs = []
+    for ln in lines:
+        try:
+            convs.append(json.loads(ln))
+        except json.JSONDecodeError:
+            return None  # not JSONL at all: blob-level reject
+    if not all(isinstance(c, dict) for c in convs):
+        return None
+    n_valid = n_system = n_turns = assistant_chars = 0
+    max_turns = 0
+    for c in convs:
+        ok = validate_conversation(c)
+        if not ok:
+            continue
+        n_valid += 1
+        msgs = c["messages"]
+        if msgs[0].get("role") == "system":
+            n_system += 1
+        body = [m for m in msgs if m.get("role") != "system"]
+        n_turns += len(body)
+        max_turns = max(max_turns, len(body))
+        assistant_chars += sum(
+            len(m["content"]) for m in body if m.get("role") == "assistant"
+        )
+    return {
+        "n_convs": len(convs),
+        "n_valid": n_valid,
+        "n_invalid": len(convs) - n_valid,
+        "n_with_system": n_system,
+        "n_turns": n_turns,
+        "max_turns": max_turns,
+        "assistant_chars": assistant_chars,
+    }
+
+
+# chat synth arithmetic (restated in CHAT_CENSUS_ORACLE):
+#   n_convs = 2 + d % 3; conversation i:
+#     invalid when (d + i) % 7 == 3 (assistant speaks first)
+#     system turn when (d + i) % 2 == 0
+#     1 + (d + i) % 3 user/assistant pairs; assistant content
+#     'a' * (3 + (d*2 + i) % 5) -> per-pair assistant chars
+#   d % 29 == 17 -> a non-JSON middle line (blob reject leg)
+
+
+def chat_n_convs(d: int) -> int:
+    return 2 + d % 3
+
+
+def synth_chat(d: int) -> bytes:
+    out = []
+    for i in range(chat_n_convs(d)):
+        msgs = []
+        if (d + i) % 2 == 0:
+            msgs.append({"role": "system", "content": "be helpful"})
+        pairs = 1 + (d + i) % 3
+        first = "assistant" if (d + i) % 7 == 3 else "user"
+        for p in range(pairs):
+            roles = (
+                ["assistant", "user"] if first == "assistant" else ["user", "assistant"]
+            )
+            msgs.append({"role": roles[0], "content": f"q{(d + i + p) % 9}"})
+            msgs.append({"role": roles[1], "content": "a" * (3 + (d * 2 + i) % 5)})
+        out.append(json.dumps({"messages": msgs}, separators=(",", ":")))
+    if d % 29 == 17:
+        out.insert(1, "{not json")
+    return ("\n".join(out) + "\n").encode()
+
+
+_CHAT_SCHEMA = (
+    "doc_id bigint, n_convs int, n_valid int, n_invalid int, "
+    "n_with_system int, n_turns int, max_turns int, assistant_chars int"
+)
+_CHAT_COLS = [
+    "n_convs",
+    "n_valid",
+    "n_invalid",
+    "n_with_system",
+    "n_turns",
+    "max_turns",
+    "assistant_chars",
+]
+
+
+def chat_census_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
+    """Chat-JSONL census over any (id, binary) frame
+    (multimodal/docframes.py)."""
+    from danae_spark.multimodal.docframes import blob_extract_frame
+
+    return blob_extract_frame(
+        df, parse_chat_blob, _CHAT_COLS, _CHAT_SCHEMA, id_col, payload_col
+    )
+
+
+def chat_census_roundtrip(spark, sf_dir: str):
+    """Oracle-checkable roundtrip: per doc a real chat-JSONL shard
+    (system legs, alternation-violating conversations counted not
+    dropped, a non-JSON-line blob reject leg) is synthesized,
+    validated per conversation, and the census restated as doc_id
+    arithmetic."""
+    from danae_spark.multimodal.docframes import synth_roundtrip
+
+    return synth_roundtrip(
+        spark, sf_dir, synth_chat, parse_chat_blob, _CHAT_COLS, _CHAT_SCHEMA
+    )
+
+
+CHAT_CENSUS_ORACLE = """
+WITH d0 AS (SELECT doc_id, doc_id AS d FROM documents),
+convs AS (
+  SELECT doc_id, d, i.i,
+         CAST((d + i.i) % 7 = 3 AS INT) AS invalid,
+         CAST((d + i.i) % 2 = 0 AS INT) AS has_system,
+         2 * (1 + (d + i.i) % 3) AS n_body,
+         (1 + (d + i.i) % 3) * (3 + (d * 2 + i.i) % 5) AS a_chars
+  FROM d0, generate_series(0, 4) i(i)
+  WHERE i.i < 2 + d % 3
+),
+agg AS (
+  SELECT doc_id, d,
+         CAST(count(*) AS INT) AS n_convs,
+         CAST(count(*) FILTER (WHERE invalid = 0) AS INT) AS n_valid,
+         CAST(count(*) FILTER (WHERE invalid = 1) AS INT) AS n_invalid,
+         CAST(count(*) FILTER (WHERE invalid = 0 AND has_system = 1) AS INT)
+           AS n_with_system,
+         CAST(sum(CASE WHEN invalid = 0 THEN n_body ELSE 0 END) AS INT)
+           AS n_turns,
+         CAST(coalesce(max(CASE WHEN invalid = 0 THEN n_body END), 0) AS INT)
+           AS max_turns,
+         CAST(sum(CASE WHEN invalid = 0 THEN a_chars ELSE 0 END) AS INT)
+           AS assistant_chars
+  FROM convs GROUP BY doc_id, d
+)
+SELECT doc_id,
+       CASE WHEN d % 29 = 17 THEN NULL ELSE n_convs END AS n_convs,
+       CASE WHEN d % 29 = 17 THEN NULL ELSE n_valid END AS n_valid,
+       CASE WHEN d % 29 = 17 THEN NULL ELSE n_invalid END AS n_invalid,
+       CASE WHEN d % 29 = 17 THEN NULL ELSE n_with_system END AS n_with_system,
+       CASE WHEN d % 29 = 17 THEN NULL ELSE n_turns END AS n_turns,
+       CASE WHEN d % 29 = 17 THEN NULL ELSE max_turns END AS max_turns,
+       CASE WHEN d % 29 = 17 THEN NULL ELSE assistant_chars END AS assistant_chars
+FROM agg ORDER BY doc_id
+"""

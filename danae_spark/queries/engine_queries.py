@@ -1589,6 +1589,18 @@ def access_log_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _accesslog.access_log_census_roundtrip(spark, sf_dir)
 
 
+@register("chat_jsonl_census", oracle=_jsonblob.CHAT_CENSUS_ORACLE)
+def chat_jsonl_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-format (SFT/RLHF) JSONL census (r14): per doc a real
+    conversation shard — optional system turn, strict user/assistant
+    alternation validated PER CONVERSATION (a bad conversation is
+    counted, never silently dropped and never fatal to the shard),
+    turn counts and assistant-char volume — restated as doc_id
+    arithmetic; d % 29 == 17 is the non-JSON-line blob reject leg
+    (multimodal/jsonblob.py chat_census_roundtrip)."""
+    return _jsonblob.chat_census_roundtrip(spark, sf_dir)
+
+
 from danae_spark.multimodal import markdown as _markdown  # noqa: E402
 
 

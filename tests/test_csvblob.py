@@ -315,3 +315,70 @@ def test_access_log_frame_and_registered_oracle(spark, sf_dir):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
     want = [tuple(r) for r in con.execute(ACCESS_LOG_CENSUS_ORACLE).fetchall()]
     assert len(got2) == len(want) and got2 == want
+
+
+# ----------------------------------------------------------------- chat
+
+
+def test_chat_validation_rules():
+    from danae_spark.multimodal.jsonblob import parse_chat_blob, validate_conversation
+
+    ok = {"messages": [
+        {"role": "system", "content": "s"},
+        {"role": "user", "content": "q"},
+        {"role": "assistant", "content": "a"},
+    ]}
+    assert validate_conversation(ok)
+    # assistant first, double user, empty content, unknown role, mid
+    # system -> all invalid
+    assert not validate_conversation({"messages": [{"role": "assistant", "content": "a"}]})
+    assert not validate_conversation({"messages": [
+        {"role": "user", "content": "q"}, {"role": "user", "content": "q2"}]})
+    assert not validate_conversation({"messages": [{"role": "user", "content": ""}]})
+    assert not validate_conversation({"messages": [{"role": "tool", "content": "x"}]})
+    assert not validate_conversation({"messages": [
+        {"role": "user", "content": "q"}, {"role": "system", "content": "s"}]})
+    assert not validate_conversation({"messages": []})
+
+    import json as _json
+
+    blob = ("\n".join([
+        _json.dumps(ok),
+        _json.dumps({"messages": [{"role": "assistant", "content": "bad"}]}),
+    ]) + "\n").encode()
+    r = parse_chat_blob(blob)
+    assert r["n_convs"] == 2 and r["n_valid"] == 1 and r["n_invalid"] == 1
+    assert r["n_with_system"] == 1 and r["n_turns"] == 2 and r["assistant_chars"] == 1
+    # blob-level rejects
+    from danae_spark.multimodal.jsonblob import synth_chat
+
+    assert parse_chat_blob(b"") is None
+    assert parse_chat_blob(b"not json\n{}\n") is None
+    assert parse_chat_blob(synth_chat(17)) is None  # d % 29 == 17
+
+
+def test_chat_frame_and_registered_oracle(spark, sf_dir):
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal.jsonblob import (
+        CHAT_CENSUS_ORACLE,
+        chat_census_frame,
+        synth_chat,
+    )
+    from danae_spark.queries import load_all
+
+    df = spark.createDataFrame(
+        [(d, bytearray(synth_chat(d))) for d in range(18)] + [(99, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in chat_census_frame(df).collect()}
+    assert got[17]["n_convs"] is None and got[99]["n_convs"] is None
+    assert got[3]["n_invalid"] >= 1  # (3+0)%7==3 conversation is invalid
+
+    fn = load_all()["chat_jsonl_census"].fn
+    got2 = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(CHAT_CENSUS_ORACLE).fetchall()]
+    assert len(got2) == len(want) and got2 == want

@@ -158,6 +158,7 @@ OPERATORS = {
     "parquet_blob_census": "documents",
     "sqlite_blob_census": "documents",
     "access_log_census": "documents",
+    "chat_jsonl_census": "documents",
 }
 
 
