@@ -357,3 +357,22 @@ def test_stratified_sample_window_is_survivor_bound(spark, sf_dir):
     win_ix = plan.index("Window")
     below = plan[win_ix:]
     assert "Filter" in below, plan  # the prefilter feeds the window
+
+
+def test_blob_censuses_are_narrow(spark, sf_dir):
+    """The blob-census family is one Arrow map per entry: no shuffle
+    beyond the deliberate input repartition + presentation sort, no
+    grouped-pandas operators."""
+    for name in (
+        "csv_blob_census",
+        "json_blob_census",
+        "parquet_blob_census",
+        "sqlite_blob_census",
+        "access_log_census",
+        "chat_jsonl_census",
+    ):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") <= 1, (name, plan)
+        assert plan.count("Exchange rangepartitioning") <= 1, (name, plan)
+        assert "FlatMapGroupsInPandas" not in plan, (name, plan)
