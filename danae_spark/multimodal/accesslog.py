@@ -131,7 +131,7 @@ def synth_access_log(d: int) -> bytes:
 
 _SCHEMA = (
     "doc_id bigint, n_requests int, n_malformed int, n_2xx int, n_3xx int, "
-    "n_4xx int, n_5xx int, n_hosts int, total_bytes int, n_combined int, "
+    "n_4xx int, n_5xx int, n_hosts int, total_bytes bigint, n_combined int, "
     "first_host string"
 )
 _COLS = [
@@ -191,7 +191,7 @@ agg AS (
          CAST(count(*) FILTER (WHERE malformed = 0 AND status BETWEEN 400 AND 499) AS INT) AS n_4xx,
          CAST(count(*) FILTER (WHERE malformed = 0 AND status BETWEEN 500 AND 599) AS INT) AS n_5xx,
          CAST(count(DISTINCT CASE WHEN malformed = 0 THEN host_k END) AS INT) AS n_hosts,
-         CAST(sum(CASE WHEN malformed = 0 THEN nbytes ELSE 0 END) AS INT) AS total_bytes,
+         CAST(sum(CASE WHEN malformed = 0 THEN nbytes ELSE 0 END) AS BIGINT) AS total_bytes,
          min(CASE WHEN malformed = 0 THEN i END) AS first_i
   FROM lines GROUP BY doc_id, d
 )

@@ -80,24 +80,24 @@ def parse_json_blob(payload: bytes) -> Optional[dict]:
         if isinstance(v, dict):
             kind, values = "object", [v]
         elif isinstance(v, list):
-            kind, values = "array", v if v else [None]
+            # keep the real elements — an empty list is just len 0
+            # (no sentinel: [null] must census as 1 record / 1 null)
+            kind, values = "array", v
         else:
             kind, values = "scalar", [v]
 
     acc = {"max_depth": 0, "n_strings": 0, "n_numbers": 0, "n_nulls": 0}
     if kind == "array":
         # walk the container itself: an array of scalars is depth 2
-        _walk(values if values != [None] else [], 1, acc)
+        _walk(values, 1, acc)
     else:
         for v in values:
             _walk(v, 1, acc)
-    if kind == "array":
-        n_records = len(values) if values != [None] else 0
-    elif kind == "jsonl":
+    if kind == "array" or kind == "jsonl":
         n_records = len(values)
     else:
         n_records = 1
-    first = values[0]
+    first = values[0] if values else None
     if isinstance(first, dict):
         keys = sorted(first.keys())
         n_keys, keyline = len(keys), "/".join(keys)
@@ -383,7 +383,7 @@ def synth_chat(d: int) -> bytes:
 
 _CHAT_SCHEMA = (
     "doc_id bigint, n_convs int, n_valid int, n_invalid int, "
-    "n_with_system int, n_turns int, max_turns int, assistant_chars int"
+    "n_with_system int, n_turns int, max_turns int, assistant_chars bigint"
 )
 _CHAT_COLS = [
     "n_convs",
@@ -441,7 +441,7 @@ agg AS (
            AS n_turns,
          CAST(coalesce(max(CASE WHEN invalid = 0 THEN n_body END), 0) AS INT)
            AS max_turns,
-         CAST(sum(CASE WHEN invalid = 0 THEN a_chars ELSE 0 END) AS INT)
+         CAST(sum(CASE WHEN invalid = 0 THEN a_chars ELSE 0 END) AS BIGINT)
            AS assistant_chars
   FROM convs GROUP BY doc_id, d
 )

@@ -30,13 +30,29 @@ __all__ = [
 ]
 
 
+# Statement budget: one COUNT(*) per table, at most _MAX_TABLES tables
+# (reject-whole past that — a million-table blob is hostile, not data),
+# and a VM-instruction budget enforced by a progress handler so a
+# pathological page layout cannot spin a COUNT forever.
+_MAX_TABLES = 4096
+_VM_OPS_BUDGET = 50_000_000
+_PROGRESS_EVERY = 10_000
+
+
 def parse_sqlite_blob(payload: bytes) -> Optional[dict]:
     if not payload or not payload.startswith(b"SQLite format 3\x00"):
         return None
+    conn = sqlite3.connect(":memory:")
     try:
-        conn = sqlite3.connect(":memory:")
         conn.deserialize(payload)
         conn.execute("PRAGMA query_only = ON")
+        remaining = [_VM_OPS_BUDGET // _PROGRESS_EVERY]
+
+        def _tick() -> int:
+            remaining[0] -= 1
+            return 1 if remaining[0] < 0 else 0
+
+        conn.set_progress_handler(_tick, _PROGRESS_EVERY)
         tables = [
             r[0]
             for r in conn.execute(
@@ -44,6 +60,8 @@ def parse_sqlite_blob(payload: bytes) -> Optional[dict]:
                 "AND name NOT LIKE 'sqlite_%' ORDER BY name"
             )
         ]
+        if len(tables) > _MAX_TABLES:
+            return None
         n_indexes = conn.execute(
             "SELECT count(*) FROM sqlite_master WHERE type='index'"
         ).fetchone()[0]
@@ -57,9 +75,10 @@ def parse_sqlite_blob(payload: bytes) -> Optional[dict]:
                 n_cols_first = len(
                     conn.execute(f'PRAGMA table_info("{t}")').fetchall()
                 )
-        conn.close()
     except sqlite3.Error:
         return None
+    finally:
+        conn.close()
     return {
         "n_tables": len(tables),
         "tables": "/".join(tables),

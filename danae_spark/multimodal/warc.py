@@ -3713,20 +3713,20 @@ g AS (
 m2 AS (
   SELECT page_id,
          CAST(len(w) AS INT) AS n_words,
-         round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
-               / len(w), 6) AS mean_word_len,
-         round(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
-               AS DOUBLE) / len(w), 6) AS alpha_ratio,
-         round(CAST(list_sum(list_transform(w, x ->
+         floor((CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+               / len(w)) * 1000000.0 + 0.5001) / 1000000.0 AS mean_word_len,
+         floor((CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               AS DOUBLE) / len(w)) * 1000000.0 + 0.5001) / 1000000.0 AS alpha_ratio,
+         floor((CAST(list_sum(list_transform(w, x ->
                  length(x) - length(replace(x, '#', ''))))
                + list_sum(list_transform(w, x -> CAST((length(x)
                  - length(replace(x, '...', ''))) / 3 AS INT)))
-               AS DOUBLE) / len(w), 6) AS symbol_ratio,
-         round(CAST(len(list_filter(l, x -> x LIKE '-%' OR x LIKE '*%'
-                 OR x LIKE chr(8226) || '%')) AS DOUBLE) / len(l), 6)
-           AS bullet_ratio,
-         round(CAST(len(list_filter(l, x -> x LIKE '%...')) AS DOUBLE)
-               / len(l), 6) AS ellipsis_ratio
+               AS DOUBLE) / len(w)) * 1000000.0 + 0.5001) / 1000000.0 AS symbol_ratio,
+         floor((CAST(len(list_filter(l, x -> x LIKE '-%' OR x LIKE '*%'
+                 OR x LIKE chr(8226) || '%')) AS DOUBLE) / len(l))
+           * 1000000.0 + 0.5001) / 1000000.0 AS bullet_ratio,
+         floor((CAST(len(list_filter(l, x -> x LIKE '%...')) AS DOUBLE)
+               / len(l)) * 1000000.0 + 0.5001) / 1000000.0 AS ellipsis_ratio
   FROM g
 ),
 verdict AS (

@@ -766,9 +766,12 @@ def stratified_sample_frame(
         if surv_counts.get(stratum, 0) < min(budgets.get(stratum, default_n), total)
     ]
     if bad:
-        surv = surv.filter(~F.col("stratum").isin(bad)).unionByName(
-            hashed.filter(F.col("stratum").isin(bad))
-        )
+        # null-safe membership: isin() never matches NULL, so a
+        # prefilter-starved NULL stratum would silently skip rescue
+        is_bad = F.lit(False)
+        for stratum in bad:
+            is_bad = is_bad | F.col("stratum").eqNullSafe(F.lit(stratum))
+        surv = surv.filter(~is_bad).unionByName(hashed.filter(is_bad))
 
     w = W.partitionBy("stratum").orderBy("__h", "doc_id")
     return (
