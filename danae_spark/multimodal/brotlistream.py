@@ -8,10 +8,11 @@ all 15 legal values), the meta-block ladder (ISLAST / ISLASTEMPTY /
 MNIBBLES / MLEN), metadata meta-blocks (reserved-bit check, MSKIPBYTES
 framing, byte-aligned skip with zero-padding enforcement), and
 UNCOMPRESSED meta-blocks (byte-aligned verbatim copy). Compressed
-meta-blocks (prefix codes + the 122 KB static dictionary) are NOT
-implemented: ISUNCOMPRESSED=0 returns None — the same reject-whole
-contract as every other decoder in the crawl surface (never pass raw
-bytes as decoded text, never ship a partial decode).
+meta-blocks return None HERE; since r15 the FULL decoder lives in
+multimodal/brotlicodec.py (prefix codes, context modeling, static
+dictionary + transforms) and is what the crawl surface wires in —
+this module remains the minimal framing layer and the stored-mode
+ENCODER used by the synth rotation.
 
 That subset is not a toy: stored-mode streams are what servers emit
 for already-compressed payloads (images inside HTML pipelines,

@@ -212,15 +212,18 @@ def _dechunk(body: bytes) -> bytes | None:
 def _content_decode(body: bytes, coding: str) -> bytes | None:
     """Apply one Content-Encoding coding; None when undecodable or the
     coding is unknown (compress — reject, never pass raw). `br`
-    decodes through the RFC 7932 stored-mode stream decoder and `zstd`
-    through the RFC 8878 Raw/RLE-block frame decoder (r14); compressed
-    brotli meta-blocks / zstd blocks keep the reject-whole contract."""
+    decodes through the FULL RFC 7932 decoder (brotlicodec.py, r15 —
+    prefix codes, context modeling, static dictionary + transforms;
+    stored-mode streams are a subset) and `zstd` through the RFC 8878
+    frame decoder; undecodable bodies keep the reject-whole contract.
+    Brotli output is budget-capped per body (decompression-bomb
+    guard): over-budget rejects whole, a visible census count."""
     if coding in ("identity", ""):
         return body
     if coding == "br":
-        from danae_spark.multimodal.brotlistream import brotli_stored_decode
+        from danae_spark.multimodal.brotlicodec import brotli_decode
 
-        return brotli_stored_decode(body)
+        return brotli_decode(body, max_out=64 * 1024 * 1024)
     if coding == "zstd":
         from danae_spark.multimodal.zstdstream import zstd_stored_decode
 
@@ -2453,6 +2456,9 @@ _CODING_GRID = [
     ("gzip+chunked", 1),
     ("br", 1),             # RFC 7932 stored-mode (brotlistream.py)
     ("br+chunked", 1),
+    ("br-q5", 1),          # entropy-coded brotli, reference encoder q5
+    ("br-q11", 1),         # q11: context modeling + static dictionary
+    ("br-trunc", 0),       # truncated brotli: rejected, and COUNTED
     ("zstd", 1),           # RFC 8878 Raw-block frames (zstdstream.py)
     ("zstd-corrupt", 0),   # checksum mismatch: rejected, and COUNTED
     ("gzip-corrupt", 0),   # truncated gzip: decoder error, counted
@@ -2466,10 +2472,14 @@ def coding_page_text(d: int) -> str:
 def synth_coding_warc(doc_id: int, coding_ix: int) -> bytes:
     """One WARC per (doc, coding) carrying the doc's page under wire
     coding _CODING_GRID[coding_ix]: identity / chunked / gzip /
-    gzip-in-chunked / brotli (stored-mode) / brotli-in-chunked / zstd
-    (RFC 8878 Raw-block frame, real XXH64 checksum) / zstd with a
-    flipped content byte (the checksum must catch it — the reject the
-    census must COUNT, not hide) / truncated gzip (corruption). One
+    gzip-in-chunked / brotli (stored-mode) / brotli-in-chunked /
+    entropy-coded brotli at q5 and q11 from the REFERENCE encoder
+    (r15 — decoded by the from-spec brotlicodec.py; q11 exercises
+    context modeling and the static dictionary) / truncated brotli
+    (reject counted) / zstd (RFC 8878 Raw-block frame, real XXH64
+    checksum) / zstd with a flipped content byte (the checksum must
+    catch it — the reject the census must COUNT, not hide) /
+    truncated gzip (corruption). One
     coding per FILE because the WARC walk is deliberately
     reject-whole: an undecodable response rejects its file, which is
     exactly the per-coding verdict the census counts. Gzip
@@ -2504,6 +2514,26 @@ def synth_coding_warc(doc_id: int, coding_ix: int) -> bytes:
     elif coding == "br+chunked":
         body = chunk_body(brotli_store(body))
         head += b"Content-Encoding: br\r\nTransfer-Encoding: chunked\r\n"
+    elif coding in ("br-q5", "br-q11"):
+        # ENTROPY-CODED brotli from the reference encoder (pyarrow's
+        # bundled brotli) — decoded by the from-spec RFC 7932 decoder
+        # (brotlicodec.py); q11 streams exercise context modeling and
+        # static-dictionary references on this page text
+        import pyarrow as pa
+
+        q = 5 if coding == "br-q5" else 11
+        body = pa.Codec("brotli", compression_level=q).compress(
+            body, asbytes=True
+        )
+        head += b"Content-Encoding: br\r\n"
+    elif coding == "br-trunc":
+        import pyarrow as pa
+
+        blob = pa.Codec("brotli", compression_level=5).compress(
+            body, asbytes=True
+        )
+        body = blob[: max(1, len(blob) - 3)]  # truncated: reject-whole
+        head += b"Content-Encoding: br\r\n"
     elif coding == "zstd":
         body = zstd_store(body)
         head += b"Content-Encoding: zstd\r\n"

@@ -1269,13 +1269,16 @@ def crawl_curate_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("crawl_codings_census", oracle=_warc._crawl_codings_census_oracle())
 def crawl_codings_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wire-coding crawl visibility (r14): every Content/Transfer-
-    Encoding combination in the rotation — identity, chunked, gzip,
-    gzip-in-chunked, brotli (RFC 7932 stored-mode decoder,
-    multimodal/brotlistream.py), brotli-in-chunked, zstd (RFC 8878
+    """Wire-coding crawl visibility (r14, widened r15): every Content/
+    Transfer-Encoding combination in the rotation — identity, chunked,
+    gzip, gzip-in-chunked, brotli stored-mode, brotli-in-chunked,
+    ENTROPY-CODED brotli at q5 and q11 from the reference encoder
+    (decoded by the full from-spec RFC 7932 decoder in
+    multimodal/brotlicodec.py: prefix codes, context modeling, static
+    dictionary + transforms), truncated brotli, zstd (RFC 8878
     Raw-block frames with a real XXH64 content checksum,
     multimodal/zstdstream.py), checksum-corrupt zstd and truncated
-    gzip (both rejects COUNTED, not hidden) — with shipped/decoded/
+    gzip (all rejects COUNTED, not hidden) — with shipped/decoded/
     rejected counts and reject rates per coding. A decode regression
     in any path moves a count
     (multimodal/warc.py crawl_codings_census_roundtrip)."""
