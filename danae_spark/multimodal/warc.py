@@ -225,9 +225,9 @@ def _content_decode(body: bytes, coding: str) -> bytes | None:
 
         return brotli_decode(body, max_out=64 * 1024 * 1024)
     if coding == "zstd":
-        from danae_spark.multimodal.zstdstream import zstd_stored_decode
+        from danae_spark.multimodal.zstdcodec import zstd_decode
 
-        return zstd_stored_decode(body)
+        return zstd_decode(body, max_out=64 * 1024 * 1024)
     if coding in ("gzip", "x-gzip"):
         d = zlib.decompressobj(31)
         try:
@@ -2460,6 +2460,8 @@ _CODING_GRID = [
     ("br-q11", 1),         # q11: context modeling + static dictionary
     ("br-trunc", 0),       # truncated brotli: rejected, and COUNTED
     ("zstd", 1),           # RFC 8878 Raw-block frames (zstdstream.py)
+    ("zstd-q3", 1),        # entropy-coded zstd (FSE/Huffman), ref encoder
+    ("zstd-q19", 1),       # high level: 4-stream Huffman + FSE tables
     ("zstd-corrupt", 0),   # checksum mismatch: rejected, and COUNTED
     ("gzip-corrupt", 0),   # truncated gzip: decoder error, counted
 ]
@@ -2536,6 +2538,17 @@ def synth_coding_warc(doc_id: int, coding_ix: int) -> bytes:
         head += b"Content-Encoding: br\r\n"
     elif coding == "zstd":
         body = zstd_store(body)
+        head += b"Content-Encoding: zstd\r\n"
+    elif coding in ("zstd-q3", "zstd-q19"):
+        # ENTROPY-CODED zstd from the reference encoder — decoded by
+        # the from-spec RFC 8878 decoder (zstdcodec.py: FSE tables,
+        # Huffman literals, sequence execution)
+        import pyarrow as pa
+
+        lvl = 3 if coding == "zstd-q3" else 19
+        body = pa.Codec("zstd", compression_level=lvl).compress(
+            body, asbytes=True
+        )
         head += b"Content-Encoding: zstd\r\n"
     elif coding == "zstd-corrupt":
         blob = bytearray(zstd_store(body))

@@ -9,10 +9,11 @@ Dictionary_ID in all widths, the reserved-bit reject), Raw and RLE
 blocks (the block ladder's 3-byte little-endian headers), skippable
 frames (magic 0x184D2A50..5F), and the optional content checksum —
 verified for real with a from-spec XXH64 implementation, not skipped.
-Compressed blocks (FSE/Huffman sequences) are NOT implemented:
-Block_Type=2 returns None — the same reject-whole contract as the
-brotli and gzip paths (never pass raw bytes as decoded content, never
-ship a partial decode).
+Compressed blocks (FSE/Huffman sequences) return None HERE; since r15
+the FULL decoder lives in multimodal/zstdcodec.py and is what the
+crawl surface wires in — this module remains the frame layer, the
+XXH64 implementation, and the stored-mode ENCODER for the synth
+rotation.
 
 Raw/RLE frames are what `zstd --format=zstd -0`-class encoders emit
 for incompressible payloads, and the frame layer is where truncation,
