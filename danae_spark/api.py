@@ -783,6 +783,15 @@ class DataLakeEngine:
 
         return minhash_dedup_incremental(state_sig, batch_sig, **kw)
 
+    def ivf_assign(self, emb: DataFrame, cent_ids, cent_mat) -> DataFrame:
+        """O(batch·C) inverted-list assignment against a frozen
+        driver-held codebook — the unit incremental IVF maintenance
+        appends with (operators/ann.py ivf_assign_lists); persist and
+        reload the index with ann.save_ivf_index / load_ivf_index."""
+        from danae_spark.operators.ann import ivf_assign_lists
+
+        return ivf_assign_lists(emb, cent_ids, cent_mat)
+
     def minhash_signatures(self, docs: DataFrame, **kw) -> DataFrame:
         """Compact MinHash signature state (K longs per doc) for
         incremental fuzzy dedup (operators/dedup.py _md5_signatures)."""

@@ -1628,3 +1628,17 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus match, estimate, and verdict
     (operators/dedup.py minhash_dedup_incremental)."""
     return _dedup.dedup_minhash_incremental(spark, sf_dir)
+
+
+@register("ann_ivf_incremental", oracle=_ann.ann_ivf_incremental_oracle())
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance (r15): the codebook is
+    derived once from the base corpus (vec_id % 5 != 4) and FROZEN;
+    the arriving batch (vec_id % 5 == 4) is assigned to inverted
+    lists with one O(batch·C) Arrow matmul and appended — no corpus
+    rescan, no retrain. The oracle certifies that append-maintenance
+    equals a from-scratch build under the same codebook; recall
+    drift vs a full retrain is the ivf_incremental row of
+    recall_report / tools/ann_recall.py
+    (operators/ann.py ann_ivf_incremental)."""
+    return _ann.ann_ivf_incremental(spark, sf_dir)

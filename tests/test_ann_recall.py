@@ -156,7 +156,9 @@ def test_recall_report_floors_all_families(spark, sf_dir):
     from danae_spark.operators.ann import recall_report
 
     rows = {r.method: r for r in recall_report(spark, sf_dir).collect()}
-    assert set(rows) == {"brute", "lsh", "ivf", "ivf_trained", "pq", "ivfpq"}
+    assert set(rows) == {
+        "brute", "lsh", "ivf", "ivf_trained", "ivf_incremental", "pq", "ivfpq",
+    }
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     chance = ann.TOP_K / (n - 1)
 
@@ -167,9 +169,13 @@ def test_recall_report_floors_all_families(spark, sf_dir):
     assert rows["lsh"].recall_at_k >= 10 * chance
     assert rows["ivf"].recall_at_k >= 10 * chance
     assert rows["ivf_trained"].recall_at_k >= rows["ivf"].recall_at_k - 1e-9
+    # recall-parity bound for the frozen-codebook incremental index:
+    # staleness may cost a little vs retrain, never collapse
+    assert rows["ivf_incremental"].recall_at_k >= 10 * chance
+    assert rows["ivf_incremental"].recall_at_k >= rows["ivf"].recall_at_k - 0.15
     assert rows["pq"].recall_at_k >= max(20 * chance, 0.15)
     assert rows["ivfpq"].recall_at_k >= 10 * chance
     # pruning families must actually prune; PQ scans all codes by design
-    for m in ("lsh", "ivf", "ivf_trained", "ivfpq"):
+    for m in ("lsh", "ivf", "ivf_trained", "ivf_incremental", "ivfpq"):
         assert 0 < rows[m].candidate_fraction <= 0.25, m
     assert rows["pq"].candidate_fraction == 1.0
