@@ -445,6 +445,10 @@ def decode_pixels(payload: bytes) -> np.ndarray | None:
             from danae_spark.multimodal.jpegcodec import decode_jpeg
 
             return decode_jpeg(payload)  # None for out-of-subset variants
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from danae_spark.multimodal.tiff import decode_tiff
+
+            return decode_tiff(payload)  # baseline strips (r15)
     except (zlib.error, ValueError, struct.error, IndexError):
         return None
     return None
@@ -515,6 +519,7 @@ def dhash_bits(lum: np.ndarray) -> int:
 _RT_FORMATS = (
     "png_gray", "png_rgb", "bmp", "ppm", "pgm", "gif",
     "png16", "png_adam7", "bmp8", "bmp8_rle",
+    "tiff_gray", "tiff_pack", "tiff_lzw",
 )
 
 
@@ -824,6 +829,10 @@ def _synth_in_format(lum: np.ndarray, fmt: str) -> bytes:
         return synth_bmp8(lum)
     if fmt == "bmp8_rle":
         return synth_bmp8(lum, rle=True, top_down=True)
+    if fmt.startswith("tiff_"):
+        from danae_spark.multimodal.tiff import synth_tiff
+
+        return synth_tiff(lum, fmt)
     return synth_pnm(lum, rgb=False)
 
 
@@ -925,12 +934,14 @@ d AS (
   GROUP BY l.doc_id
 )
 SELECT m.doc_id,
-       CASE m.doc_id % 10 WHEN 0 THEN 'png_gray' WHEN 1 THEN 'png_rgb'
+       CASE m.doc_id % 13 WHEN 0 THEN 'png_gray' WHEN 1 THEN 'png_rgb'
             WHEN 2 THEN 'bmp' WHEN 3 THEN 'ppm' WHEN 4 THEN 'pgm'
             WHEN 5 THEN 'gif' WHEN 6 THEN 'png16' WHEN 7 THEN 'png_adam7'
-            WHEN 8 THEN 'bmp8' ELSE 'bmp8_rle' END AS format,
+            WHEN 8 THEN 'bmp8' WHEN 9 THEN 'bmp8_rle'
+            WHEN 10 THEN 'tiff_gray' WHEN 11 THEN 'tiff_pack'
+            ELSE 'tiff_lzw' END AS format,
        8 AS width, 8 AS height,
-       CASE WHEN m.doc_id % 10 IN (0, 4, 6) THEN 1 ELSE 3 END AS channels,
+       CASE WHEN m.doc_id % 13 IN (0, 4, 6, 10) THEN 1 ELSE 3 END AS channels,
        m.pixel_sum, a.ahash_lo, a.ahash_hi, d.dhash
 FROM m JOIN a USING (doc_id) JOIN d USING (doc_id)
 ORDER BY doc_id
