@@ -903,6 +903,14 @@ class DataLakeEngine:
 
         return chat_census_frame(df, **kw)
 
+    def avro_census(self, df: DataFrame, **kw) -> DataFrame:
+        """Avro object-container census over any (id, binary) frame:
+        codec, schema shape, block/record/payload counts with per-block
+        sync verification (multimodal/avroblob.py parse_avro_blob)."""
+        from danae_spark.multimodal.avroblob import avro_census_frame
+
+        return avro_census_frame(df, **kw)
+
     def markdown_text(self, df: DataFrame, **kw) -> DataFrame:
         """Markdown extraction over any (id, binary) frame: headings /
         lists / quotes stripped, links to anchor text, fenced code

@@ -1642,3 +1642,19 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall_report / tools/ann_recall.py
     (operators/ann.py ann_ivf_incremental)."""
     return _ann.ann_ivf_incremental(spark, sf_dir)
+
+
+from danae_spark.multimodal import avroblob as _avroblob  # noqa: E402
+
+
+@register("avro_blob_census", oracle=_avroblob.AVRO_CENSUS_ORACLE)
+def avro_blob_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro object-container census (r15, completing the blob-census
+    layer): per doc a real Avro container — record schema, null and
+    deflate codecs, multi-block with real 16-byte sync markers — is
+    synthesized, walked by the from-spec parser (metadata map, schema
+    JSON, per-block sync verification, actual DEFLATE decompression),
+    and codec / schema shape / block / record / payload counts are
+    restated as doc_id arithmetic; d % 19 == 7 is the corrupted-sync
+    reject leg (multimodal/avroblob.py avro_census_roundtrip)."""
+    return _avroblob.avro_census_roundtrip(spark, sf_dir)

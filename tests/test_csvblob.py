@@ -382,3 +382,72 @@ def test_chat_frame_and_registered_oracle(spark, sf_dir):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
     want = [tuple(r) for r in con.execute(CHAT_CENSUS_ORACLE).fetchall()]
     assert len(got2) == len(want) and got2 == want
+
+
+# ---------------------------------------------------------------- avro
+
+
+def test_avro_census_and_rejects():
+    from danae_spark.multimodal.avroblob import parse_avro_blob, synth_avro
+
+    r = parse_avro_blob(synth_avro(4))
+    assert r == {
+        "codec": "null", "schema_name": "r4", "n_fields": 1, "n_blocks": 2,
+        "n_records": 2 + 0 + 2 + 1, "total_payload": 5,
+    }
+    assert parse_avro_blob(synth_avro(7)) is None  # corrupted sync leg
+    # deflate codec actually decompresses
+    r = parse_avro_blob(synth_avro(5))
+    assert r["codec"] == "deflate" and r["total_payload"] == r["n_records"] * 2
+    # unknown codec rejects whole (never census the unreadable)
+    blob = synth_avro(2)
+    assert b"null" in blob
+    assert parse_avro_blob(blob.replace(b"avro.codec\x08null", b"avro.codec\x08snap")) is None
+    # bad magic / truncation / garbage
+    assert parse_avro_blob(b"Obj\x02" + blob[4:]) is None
+    assert parse_avro_blob(blob[: len(blob) // 2]) != parse_avro_blob(blob)
+    assert parse_avro_blob(b"") is None
+
+
+def test_avro_fuzz_never_crashes():
+    import random
+
+    from danae_spark.multimodal.avroblob import parse_avro_blob, synth_avro
+
+    rng = random.Random(7)
+    blob = synth_avro(9)
+    for _ in range(800):
+        buf = bytearray(blob)
+        i = rng.randrange(len(buf) * 8)
+        buf[i >> 3] ^= 1 << (i & 7)
+        parse_avro_blob(bytes(buf))
+    for _ in range(400):
+        parse_avro_blob(bytes(rng.randrange(256) for _ in range(rng.randrange(1, 90))))
+
+
+def test_avro_frame_and_registered_oracle(spark, sf_dir):
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal.avroblob import (
+        AVRO_CENSUS_ORACLE,
+        avro_census_frame,
+        synth_avro,
+    )
+    from danae_spark.queries import load_all
+
+    df = spark.createDataFrame(
+        [(d, bytearray(synth_avro(d))) for d in range(25)] + [(99, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in avro_census_frame(df).collect()}
+    assert got[7]["codec"] is None and got[99]["codec"] is None
+    assert got[1]["codec"] == "deflate" and got[2]["codec"] == "null"
+    assert got[3]["n_fields"] == 4
+
+    fn = load_all()["avro_blob_census"].fn
+    got2 = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(AVRO_CENSUS_ORACLE).fetchall()]
+    assert len(got2) == len(want) and got2 == want
