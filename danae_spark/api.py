@@ -903,6 +903,14 @@ class DataLakeEngine:
 
         return chat_census_frame(df, **kw)
 
+    def mjpeg_frames(self, df: DataFrame, **kw) -> DataFrame:
+        """MJPEG-AVI frame-digest census over any (id, binary) frame:
+        every frame decoded by the real baseline-JPEG codec, per-frame
+        perceptual digests (multimodal/avi.py parse_avi_mjpeg)."""
+        from danae_spark.multimodal.avi import mjpeg_frames_frame
+
+        return mjpeg_frames_frame(df, **kw)
+
     def avro_census(self, df: DataFrame, **kw) -> DataFrame:
         """Avro object-container census over any (id, binary) frame:
         codec, schema shape, block/record/payload counts with per-block

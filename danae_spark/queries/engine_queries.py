@@ -1658,3 +1658,20 @@ def avro_blob_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     restated as doc_id arithmetic; d % 19 == 7 is the corrupted-sync
     reject leg (multimodal/avroblob.py avro_census_roundtrip)."""
     return _avroblob.avro_census_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import avi as _avi  # noqa: E402
+
+
+@register("mjpeg_avi_frames", oracle=_avi.MJPEG_AVI_ORACLE)
+def mjpeg_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG-in-AVI REAL frame decode (r15 — the first video codec
+    whose frames decode for real, via the baseline-JPEG codec): per
+    doc a real AVI (RIFF hdrl/strl headers, per-frame spec-conformant
+    JPEGs, a consistent idx1 index) is synthesized, the container
+    walked from the RIFF spec, EVERY frame decoded by the real JPEG
+    decoder, and per-frame perceptual digests (first frame dHash +
+    XOR over all frames) restated as (doc_id, frame) arithmetic;
+    d % 23 == 5 is the truncated-frame reject leg
+    (multimodal/avi.py mjpeg_avi_roundtrip)."""
+    return _avi.mjpeg_avi_roundtrip(spark, sf_dir)
