@@ -191,6 +191,13 @@ HEADLINE = [
     "sqlite_blob_census",
     "access_log_census",
     "chat_jsonl_census",
+    # round-15 additions: the incremental IVF leg, the Avro container
+    # census, real MJPEG frame decode, and the widened image rotation
+    # (TIFF) / coding grid (entropy-coded brotli+zstd) flow through
+    # existing entries
+    "ann_ivf_incremental",
+    "avro_blob_census",
+    "mjpeg_avi_frames",
 ]
 
 

@@ -6,10 +6,12 @@ Everything Spark-side is real and tested — schemas, Arrow batch shapes,
 PIXEL decode is REAL for PNG/BMP/PPM/PGM/GIF/baseline-JPEG (multimodal/pixels.py — used by
 the oracle-verified image_pixels_roundtrip / image_near_dup entries);
 the codec calls HERE remain STUBBED (`NotImplementedError` behind
-`_require_codecs`) with deterministic byte-derived fakes standing in for
-what still needs a codec library (out-of-subset JPEG variants, video frames), so the
-pipeline runs end-to-end in this container and swaps to PIL/ffmpeg by
-replacing two functions.
+`_require_codecs`) with deterministic byte-derived fakes standing in
+for what still needs a codec library (out-of-subset JPEG variants,
+entropy-coded video frames — though since r15 MJPEG-in-AVI frames
+decode for REAL via multimodal/avi.py + jpegcodec.py, and TIFF via
+multimodal/tiff.py), so the pipeline runs end-to-end in this container
+and swaps to PIL/ffmpeg by replacing two functions.
 """
 
 from __future__ import annotations

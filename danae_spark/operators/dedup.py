@@ -38,10 +38,17 @@ from danae_spark.functions.rounding import rnd
 _NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
 
 
-def exact_dedup(df: DataFrame, id_col: str, key) -> DataFrame:
+def exact_dedup(df: DataFrame, id_col: str, key, order: bool = True) -> DataFrame:
     """Generic exact dedup: every row mapped to the canonical (smallest
     id) of its key group. `key` is any Column (e.g. a normalized-text
     expression or a composite hash).
+
+    `order=True` (default) ends in a global orderBy(doc_id) — the
+    oracle-determinism contract of the registered entry. Library
+    callers composing further should pass order=False and skip the
+    sort (the curate family already consumes the unordered
+    exact_dup_keeper; this is the same escape hatch dedup_clusters
+    carries).
 
     TWO-PHASE, not a window (r13): real crawls carry DEGENERATE
     mega-clusters (soft-404 bodies, empty pages — millions of
@@ -64,14 +71,14 @@ def exact_dedup(df: DataFrame, id_col: str, key) -> DataFrame:
         )
         .alias("g")
     )
-    return (
+    out = (
         tagged.join(groups, F.col("t.__key").eqNullSafe(F.col("g.__key")))
         .withColumn(
             "is_duplicate", (F.col("doc_id") != F.col("canonical_id")).cast("int")
         )
         .select("doc_id", "canonical_id", "group_size", "is_duplicate")
-        .orderBy("doc_id")
     )
+    return out.orderBy("doc_id") if order else out
 
 
 def exact_dup_keeper(

@@ -159,6 +159,12 @@ OPERATORS = {
     "sqlite_blob_census": "documents",
     "access_log_census": "documents",
     "chat_jsonl_census": "documents",
+    # r15 additions: the incremental IVF leg, the Avro container
+    # census, MJPEG frame decode; codings census + pixel roundtrip
+    # re-measured (grid/rotation widened with entropy codecs + TIFF)
+    "ann_ivf_incremental": "embeddings",
+    "avro_blob_census": "documents",
+    "mjpeg_avi_frames": "documents",
 }
 
 
