@@ -62,6 +62,7 @@ def triage_payload(payload: bytes) -> dict | None:
         or p[:2] in (b"P2", b"P3", b"P5", b"P6")
         or p[:4] == b"GIF8"
         or p[:2] == b"\xff\xd8"
+        or p[:4] in (b"II*\x00", b"MM\x00*")
     ):
         if decode_pixels(p) is None:
             return None
@@ -70,10 +71,23 @@ def triage_payload(payload: bytes) -> dict | None:
             else "bmp" if p[:2] == b"BM"
             else "gif" if p[:4] == b"GIF8"
             else "jpeg" if p[:2] == b"\xff\xd8"
+            else "tiff" if p[:4] in (b"II*\x00", b"MM\x00*")
             else "ppm" if p[:2] in (b"P3", b"P6")
             else "pgm"
         )
         return {"media_class": "image", "format": fmt, "duration_ms": None}
+
+    if len(p) >= 12 and p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+        from danae_spark.multimodal.avi import parse_avi_mjpeg
+
+        avi = parse_avi_mjpeg(p)
+        if avi is None:
+            return None  # non-MJPG or corrupt: the documented boundary
+        return {
+            "media_class": "video",
+            "format": "avi-mjpeg",
+            "duration_ms": avi["n_frames"] * avi["us_per_frame"] // 1000,
+        }
 
     audio = parse_audio_header(p)
     if audio is not None:
@@ -114,9 +128,9 @@ def triage_payload(payload: bytes) -> dict | None:
 def synth_media(doc_id: int) -> bytes:
     """Doc-deterministic MIXED payload: doc_id % 10 selects the class
     (wav/flac/mp3/image/ogg/mp4/fmp4/webm/srt/id3-mp3); the image
-    container decorrelates via doc_id // 10 so all six containers
-    appear. Every payload is a byte-for-byte real file from the
-    per-format synthesizers."""
+    container decorrelates via doc_id // 10 so all THIRTEEN containers
+    (r15: + the three TIFF variants) appear. Every payload is a
+    byte-for-byte real file from the per-format synthesizers."""
     import numpy as np
 
     from danae_spark.multimodal.flac import synth_flac_pcm
@@ -145,7 +159,7 @@ def synth_media(doc_id: int) -> bytes:
             [[_rt_luma(doc_id, y * 8 + x) for x in range(8)] for y in range(8)],
             dtype=np.int64,
         )
-        return _synth_in_format(lum, _RT_FORMATS[(doc_id // 10) % 10])
+        return _synth_in_format(lum, _RT_FORMATS[(doc_id // 10) % len(_RT_FORMATS)])
     if cls == 4:
         return synth_ogg(doc_id)
     if cls == 5:
@@ -376,12 +390,13 @@ SELECT b.doc_id,
             ELSE 'subtitle' END AS media_class,
        CASE b.cls
             WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' WHEN 2 THEN 'mp3'
-            WHEN 3 THEN (CASE (b.doc_id // 10) % 10
+            WHEN 3 THEN (CASE (b.doc_id // 10) % 13
                          WHEN 0 THEN 'png' WHEN 1 THEN 'png'
                          WHEN 2 THEN 'bmp' WHEN 3 THEN 'ppm'
                          WHEN 4 THEN 'pgm' WHEN 5 THEN 'gif'
                          WHEN 6 THEN 'png' WHEN 7 THEN 'png'
-                         ELSE 'bmp' END)
+                         WHEN 8 THEN 'bmp' WHEN 9 THEN 'bmp'
+                         ELSE 'tiff' END)
             WHEN 4 THEN 'ogg-opus' WHEN 5 THEN 'mp4' WHEN 6 THEN 'fmp4'
             WHEN 7 THEN 'webm' WHEN 8 THEN 'srt' ELSE 'mp3' END AS format,
        CAST(CASE b.cls

@@ -88,3 +88,17 @@ def test_frame_api(spark):
     assert got[5]["n_frames"] is None and got[9]["n_frames"] is None
     plan = mjpeg_frames_frame(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # narrow Arrow map, the census contract
+
+
+def test_triage_recognizes_avi_and_tiff():
+    import numpy as np
+
+    from danae_spark.multimodal.tiff import synth_tiff
+    from danae_spark.multimodal.triage import triage_payload
+
+    t = triage_payload(synth_tiff(np.arange(64).reshape(8, 8) % 256, "tiff_pack"))
+    assert t == {"media_class": "image", "format": "tiff", "duration_ms": None}
+    a = triage_payload(synth_mjpeg_avi(4))
+    assert a["media_class"] == "video" and a["format"] == "avi-mjpeg"
+    assert a["duration_ms"] == (2 + 4 % 3) * (40000 + (4 % 7) * 1000) // 1000
+    assert triage_payload(synth_mjpeg_avi(5)) is None  # truncated frame
