@@ -198,6 +198,7 @@ HEADLINE = [
     "ann_ivf_incremental",
     "avro_blob_census",
     "mjpeg_avi_frames",
+    "pq_ann_incremental",
 ]
 
 

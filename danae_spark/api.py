@@ -792,6 +792,14 @@ class DataLakeEngine:
 
         return ivf_assign_lists(emb, cent_ids, cent_mat)
 
+    def pq_encode(self, emb: DataFrame, m: int, subdim: int, cents, half_sq) -> DataFrame:
+        """O(batch·kc) PQ code assignment against a frozen per-subspace
+        codebook — the unit incremental PQ maintenance appends with
+        (operators/pq.py _pq_encode_frame / pq_ann_incremental)."""
+        from danae_spark.operators.pq import _pq_encode_frame
+
+        return _pq_encode_frame(emb, m, subdim, cents, half_sq)
+
     def minhash_signatures(self, docs: DataFrame, **kw) -> DataFrame:
         """Compact MinHash signature state (K longs per doc) for
         incremental fuzzy dedup (operators/dedup.py _md5_signatures)."""

@@ -121,9 +121,6 @@ def pq_ann_topk(
     """Embeddings-table entry: PQ-encode every vector, answer the first
     N_QUERIES queries by ADC top-k. Output (query_id, cand_id,
     approx_ip, rank) — approx_ip is the ADC estimate of the cosine."""
-    import numpy as np
-    import pandas as pd
-
     from danae_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
@@ -139,6 +136,16 @@ def pq_ann_topk(
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     subdim = dim // m
     cents, half_sq = _pq_setup(emb, n_total, m, kc)
+    coded = _pq_encode_frame(emb, m, subdim, cents, half_sq)
+    return _pq_adc_search(spark, emb, coded, m, subdim, cents, k)
+
+
+def _pq_encode_frame(emb: DataFrame, m: int, subdim: int, cents, half_sq) -> DataFrame:
+    """PQ code assignment over any (vec_id, embedding) frame: one
+    einsum per Arrow batch, no shuffle — the O(batch·kc) unit the
+    incremental index appends with (pq_ann_incremental)."""
+    import numpy as np
+    import pandas as pd
 
     def encode(batches):
         for pdf in batches:
@@ -155,19 +162,27 @@ def pq_ann_topk(
                 }
             )
 
-    coded = emb.mapInPandas(encode, schema="cand_id long, codes array<int>")
+    return emb.mapInPandas(encode, schema="cand_id long, codes array<int>")
 
-    # ADC lookup table broadcast from the bounded query collect
-    q_rows = (
-        emb.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
-    )
+
+def _pq_adc_search(
+    spark: SparkSession,
+    emb: DataFrame,
+    coded: DataFrame,
+    m: int,
+    subdim: int,
+    cents,
+    k: int,
+) -> DataFrame:
+    """ADC top-k over a pre-encoded codes frame: broadcast LUT join on
+    (subspace, code) + exact-decimal sum + one ranking window."""
+    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
     lut = F.broadcast(
         spark.createDataFrame(
             _lut_records(q_rows, m, subdim, cents),
             "query_id long, s int, cidx int, term double",
         )
     )
-
     pairs = (
         coded.select("cand_id", F.posexplode("codes").alias("s", "cidx"))
         .join(lut, ["s", "cidx"])
@@ -186,10 +201,84 @@ def pq_ann_topk(
     )
 
 
-def _pq_ctes(m: int, kc: int, n_queries: int) -> str:
+def pq_ann_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    m: int = PQ_M,
+    kc: int = PQ_KC,
+) -> DataFrame:
+    """INCREMENTAL PQ index maintenance — the compressed sibling of
+    ann_ivf_incremental: the per-subspace codebook comes from the BASE
+    corpus (vec_id % 5 != 4) and is FROZEN; the arriving batch
+    (vec_id % 5 == 4) is PQ-encoded with one O(batch·kc) einsum and
+    its codes APPENDED — no corpus re-encode, no codebook retrain.
+    ADC search over (base codes ∪ batch codes) then equals the index
+    built from scratch under the same codebook, which the DuckDB
+    oracle certifies. Codebook staleness vs a retrain is the price of
+    O(batch); pytest bounds the recall drift."""
+    import numpy as np
+
+    from danae_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    batch = emb.filter(F.col("vec_id") % 5 == 4)
+    n_base = base.count()
+    first = base.select("embedding").head(1)
+    if not first:
+        return spark.createDataFrame(
+            [], "query_id long, cand_id long, approx_ip double, rank int"
+        )
+    dim = len(first[0].embedding)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    subdim = dim // m
+    stride = max(1, n_base // kc)
+    cent_rows = (
+        base.filter((F.col("vec_id") % stride) == 7 % stride)
+        .orderBy("vec_id")
+        .limit(kc)
+        .collect()
+    )
+    cents = _pq_codebook(cent_rows, m, kc)
+    half_sq = 0.5 * np.einsum("jmd,jmd->jm", cents, cents)
+    coded = _pq_encode_frame(base, m, subdim, cents, half_sq).unionByName(
+        _pq_encode_frame(batch, m, subdim, cents, half_sq)  # O(batch) append
+    )
+    return _pq_adc_search(spark, emb, coded, m, subdim, cents, k)
+
+
+def pq_ann_incremental_oracle(
+    k: int = TOP_K, m: int = PQ_M, kc: int = PQ_KC, n_queries: int = N_QUERIES
+) -> str:
+    """DuckDB twin of the incremental PQ index: codebook from the base
+    partition only, every row encoded against it, standard ADC
+    ranking — equality certifies append == from-scratch under the
+    frozen codebook."""
+    return f"""
+    WITH {_pq_ctes(m, kc, n_queries, base_where="vec_id % 5 <> 4")},
+    pairs AS (
+      SELECT l.query_id, cd.cand_id, {dsum_sql("l.term")} AS approx_ip
+      FROM codes cd JOIN lut l USING (s, cidx)
+      WHERE l.query_id <> cd.cand_id
+      GROUP BY l.query_id, cd.cand_id
+    )
+    SELECT query_id, cand_id, approx_ip, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY approx_ip DESC, cand_id) AS INT) AS rank
+      FROM pairs
+    ) WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+def _pq_ctes(m: int, kc: int, n_queries: int, base_where: str = "TRUE") -> str:
     """The shared PQ CTE chain `params … codes, lut` (codebook, code
-    assignment, ADC lookup table) — composed by pq_ann_oracle and
-    ivfpq_ann_oracle."""
+    assignment, ADC lookup table) — composed by pq_ann_oracle,
+    ivfpq_ann_oracle, and (with `base_where` restricting the codebook
+    source rows) pq_ann_incremental_oracle."""
     nv = (
         "list_transform(embedding::DOUBLE[],"
         " x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))"
@@ -201,11 +290,11 @@ def _pq_ctes(m: int, kc: int, n_queries: int) -> str:
     sql = f"""params AS (
       SELECT greatest(1, CAST(floor(count(*) / {kc}) AS BIGINT)) AS stride,
              CAST(len(any_value(embedding)) / {m} AS BIGINT) AS sd
-      FROM embeddings
+      FROM embeddings WHERE {base_where}
     ),
     cents0 AS (
       SELECT vec_id, embedding FROM embeddings, params
-      WHERE vec_id % stride = 7 % stride
+      WHERE ({base_where}) AND vec_id % stride = 7 % stride
       ORDER BY vec_id LIMIT {kc}
     ),
     cents AS (

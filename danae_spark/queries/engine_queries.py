@@ -1675,3 +1675,15 @@ def mjpeg_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d % 23 == 5 is the truncated-frame reject leg
     (multimodal/avi.py mjpeg_avi_roundtrip)."""
     return _avi.mjpeg_avi_roundtrip(spark, sf_dir)
+
+
+@register("pq_ann_incremental", oracle=_pq.pq_ann_incremental_oracle())
+def pq_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ index maintenance (r15 — the compressed sibling
+    of ann_ivf_incremental): per-subspace codebook frozen on the base
+    corpus (vec_id % 5 != 4); the arriving batch is PQ-encoded with
+    one O(batch·kc) einsum and its 8-byte codes appended — no corpus
+    re-encode, no retrain. The oracle certifies append-maintenance ==
+    a from-scratch encode under the same codebook through the full
+    ADC ranking (operators/pq.py pq_ann_incremental)."""
+    return _pq.pq_ann_incremental(spark, sf_dir)

@@ -92,3 +92,52 @@ def test_batch_assignment_plan_is_narrow(spark, sf_dir):
     df = ann.ivf_assign_lists(batch, ids, mat)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pq_append_equals_from_scratch_under_frozen_codebook(spark, sf_dir):
+    import numpy as np
+
+    from danae_spark.operators import pq as P
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    batch = emb.filter(F.col("vec_id") % 5 == 4)
+    n_base = base.count()
+    dim = len(base.select("embedding").head(1)[0].embedding)
+    m, kc = P.PQ_M, P.PQ_KC
+    subdim = dim // m
+    stride = max(1, n_base // kc)
+    cent_rows = (
+        base.filter((F.col("vec_id") % stride) == 7 % stride)
+        .orderBy("vec_id")
+        .limit(kc)
+        .collect()
+    )
+    cents = P._pq_codebook(cent_rows, m, kc)
+    half_sq = 0.5 * np.einsum("jmd,jmd->jm", cents, cents)
+    incremental = (
+        P._pq_encode_frame(base, m, subdim, cents, half_sq)
+        .unionByName(P._pq_encode_frame(batch, m, subdim, cents, half_sq))
+        .collect()
+    )
+    scratch = P._pq_encode_frame(emb, m, subdim, cents, half_sq).collect()
+    assert sorted((r.cand_id, tuple(r.codes)) for r in incremental) == sorted(
+        (r.cand_id, tuple(r.codes)) for r in scratch
+    )
+
+
+def test_pq_incremental_recall_does_not_collapse(spark, sf_dir):
+    from danae_spark.catalog import load_table as lt
+    from danae_spark.operators import pq as P
+
+    n = lt(spark, sf_dir, "embeddings").count()
+    chance = ann.TOP_K / max(n - 1, 1)
+    truth: dict[int, set] = {}
+    for r in ann.ann_cosine_topk(spark, sf_dir).collect():
+        truth.setdefault(r.query_id, set()).add(r.cand_id)
+    got: dict[int, set] = {}
+    for r in P.pq_ann_incremental(spark, sf_dir).collect():
+        got.setdefault(r.query_id, set()).add(r.cand_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    denom = sum(len(v) for v in truth.values())
+    assert hits / denom >= 10 * chance

@@ -165,6 +165,7 @@ OPERATORS = {
     "ann_ivf_incremental": "embeddings",
     "avro_blob_census": "documents",
     "mjpeg_avi_frames": "documents",
+    "pq_ann_incremental": "embeddings",
 }
 
 
