@@ -199,6 +199,7 @@ HEADLINE = [
     "avro_blob_census",
     "mjpeg_avi_frames",
     "pq_ann_incremental",
+    "orc_blob_census",
 ]
 
 

@@ -919,6 +919,14 @@ class DataLakeEngine:
 
         return mjpeg_frames_frame(df, **kw)
 
+    def orc_census(self, df: DataFrame, **kw) -> DataFrame:
+        """ORC tail census over any (id, binary) frame: from-spec
+        protobuf walk, chunked-codec footers decompressed for real
+        (multimodal/orcblob.py parse_orc_blob)."""
+        from danae_spark.multimodal.orcblob import orc_census_frame
+
+        return orc_census_frame(df, **kw)
+
     def avro_census(self, df: DataFrame, **kw) -> DataFrame:
         """Avro object-container census over any (id, binary) frame:
         codec, schema shape, block/record/payload counts with per-block

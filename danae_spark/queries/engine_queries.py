@@ -1687,3 +1687,22 @@ def pq_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     a from-scratch encode under the same codebook through the full
     ADC ranking (operators/pq.py pq_ann_incremental)."""
     return _pq.pq_ann_incremental(spark, sf_dir)
+
+
+from danae_spark.multimodal import orcblob as _orcblob  # noqa: E402
+
+
+@register("orc_blob_census", oracle=_orcblob.ORC_CENSUS_ORACLE)
+def orc_blob_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC container census (r15 — the third lake container, tail
+    parsed FROM SPEC): per doc a real ORC file from the reference
+    writer (four codecs) is parsed by this repo's own protobuf
+    wire-format walk — postscript, compression-chunk framing, footer
+    with per-stripe row counts cross-checked against the total, root
+    STRUCT schema — with zlib/snappy/zstd footers decompressed by the
+    repo's from-spec decoders (snappy implemented in orcblob.py,
+    differentially verified against the reference codec); every census
+    column restated as doc_id arithmetic; d % 17 == 9 is the
+    corrupted-postscript reject leg
+    (multimodal/orcblob.py orc_census_roundtrip)."""
+    return _orcblob.orc_census_roundtrip(spark, sf_dir)

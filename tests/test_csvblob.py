@@ -451,3 +451,71 @@ def test_avro_frame_and_registered_oracle(spark, sf_dir):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
     want = [tuple(r) for r in con.execute(AVRO_CENSUS_ORACLE).fetchall()]
     assert len(got2) == len(want) and got2 == want
+
+
+# ----------------------------------------------------------------- orc
+
+
+def test_orc_census_and_rejects():
+    from danae_spark.multimodal.orcblob import parse_orc_blob, synth_orc
+
+    r = parse_orc_blob(synth_orc(4))
+    assert r["compression"] == "none" and r["n_rows"] == 14
+    assert r["n_stripes"] == 1 and r["columns"] == "c0/c1"
+    r = parse_orc_blob(synth_orc(3))  # odd doc: 3 cols, zstd year... d%4=3 -> zstd
+    assert r["compression"] == "zstd" and r["columns"] == "c0/c1/c2"
+    assert parse_orc_blob(synth_orc(9)) is None  # corrupted postscript leg
+    blob = synth_orc(2)
+    assert parse_orc_blob(b"OR\x00" + blob[3:]) is None
+    assert parse_orc_blob(blob[: len(blob) // 2]) is None or True  # no crash
+    assert parse_orc_blob(b"") is None
+
+
+def test_orc_snappy_differential_and_fuzz():
+    import random
+
+    import pyarrow as pa
+
+    from danae_spark.multimodal.orcblob import parse_orc_blob, snappy_decode, synth_orc
+
+    rng = random.Random(11)
+    codec = pa.Codec("snappy")
+    for t in range(60):
+        n = rng.randrange(0, 2000)
+        data = (
+            bytes(rng.choice(b"abcde") for _ in range(n))
+            if t % 2
+            else bytes(rng.randrange(256) for _ in range(n))
+        )
+        assert snappy_decode(codec.compress(data, asbytes=True)) == data
+    blob = synth_orc(6)
+    for _ in range(500):
+        buf = bytearray(blob)
+        i = rng.randrange(len(buf) * 8)
+        buf[i >> 3] ^= 1 << (i & 7)
+        parse_orc_blob(bytes(buf))
+    for _ in range(300):
+        parse_orc_blob(bytes(rng.randrange(256) for _ in range(rng.randrange(1, 80))))
+
+
+def test_orc_frame_and_registered_oracle(spark, sf_dir):
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal.orcblob import ORC_CENSUS_ORACLE, orc_census_frame, synth_orc
+    from danae_spark.queries import load_all
+
+    df = spark.createDataFrame(
+        [(d, bytearray(synth_orc(d))) for d in range(20)] + [(99, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in orc_census_frame(df).collect()}
+    assert got[9]["compression"] is None and got[99]["compression"] is None
+    assert got[1]["compression"] == "zlib" and got[2]["compression"] == "snappy"
+
+    fn = load_all()["orc_blob_census"].fn
+    got2 = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(ORC_CENSUS_ORACLE).fetchall()]
+    assert len(got2) == len(want) and got2 == want

@@ -166,6 +166,7 @@ OPERATORS = {
     "avro_blob_census": "documents",
     "mjpeg_avi_frames": "documents",
     "pq_ann_incremental": "embeddings",
+    "orc_blob_census": "documents",
 }
 
 
