@@ -1,0 +1,65 @@
+"""Streaming blob-census twin: a live micro-batched replay produces
+row-identical output to the batch census frames (structural parity —
+same frame function per kind), rejects flow as NULL rows."""
+
+import glob
+import os
+import shutil
+
+import pytest
+
+from danae_spark.streaming.census import census_stream
+from danae_spark.streaming.harvest import read_blob_stream
+
+
+def _land(spark, tmp_path, rows_by_file):
+    blob_dir = str(tmp_path / "blobs")
+    os.makedirs(blob_dir)
+    for name, rows in rows_by_file.items():
+        spark.createDataFrame(rows, "doc_id long, payload binary").coalesce(
+            1
+        ).write.parquet(f"{blob_dir}/{name}")
+    for name in rows_by_file:
+        for i, f in enumerate(glob.glob(f"{blob_dir}/{name}/*.parquet")):
+            shutil.move(f, f"{blob_dir}/{name}_{i}.parquet")
+        shutil.rmtree(f"{blob_dir}/{name}")
+    return blob_dir
+
+
+@pytest.mark.parametrize("kind", ["avro", "orc"])
+def test_census_stream_matches_batch(spark, tmp_path, kind):
+    from danae_spark.multimodal.avroblob import avro_census_frame, synth_avro
+    from danae_spark.multimodal.orcblob import orc_census_frame, synth_orc
+
+    synth = synth_avro if kind == "avro" else synth_orc
+    frame = avro_census_frame if kind == "avro" else orc_census_frame
+    rows1 = [(d, bytearray(synth(d))) for d in range(0, 6)]
+    rows2 = [(d, bytearray(synth(d))) for d in range(6, 12)] + [
+        (99, bytearray(b"junk payload"))
+    ]
+    blob_dir = _land(spark, tmp_path, {"f1": rows1, "f2": rows2})
+
+    stream = census_stream(read_blob_stream(spark, blob_dir), kind)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(f"census_stream_{kind}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(f"SELECT * FROM census_stream_{kind}").collect()
+    )
+    batch_df = spark.createDataFrame(rows1 + rows2, "doc_id long, payload binary")
+    want = sorted(tuple(r) for r in frame(batch_df).collect())
+    assert got == want and len(got) == 13
+    by_id = {r[0]: r for r in got}
+    assert by_id[99][1] is None  # junk: NULL census row, not a crash
+
+
+def test_unknown_kind_rejected(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
+    with pytest.raises(ValueError):
+        census_stream(df, "xml")
