@@ -15,10 +15,11 @@ little-endian header, low bit = stored-original):
     count, stripe list (per-stripe row counts cross-checked against
     the total), and the type tree — the root STRUCT's field names are
     the schema census;
-  - codecs decoded FOR REAL: zlib (raw DEFLATE), snappy (from-spec
-    block decoder in this module: varint length + literal/copy tags),
-    and zstd (the from-spec RFC 8878 decoder, multimodal/zstdcodec).
-    LZO/LZ4 reject whole — never census what you could not read.
+  - codecs decoded FOR REAL: zlib (raw DEFLATE), snappy and lz4
+    (from-spec block decoders in this module, differentially verified
+    against the reference codecs), and zstd (the from-spec RFC 8878
+    decoder, multimodal/zstdcodec). LZO rejects whole — never census
+    what you could not read.
 
 Census row: compression, n_rows, n_stripes, n_cols, columns,
 content_bytes (footer contentLength). Reject-whole: bad magic,
@@ -155,6 +156,59 @@ def snappy_decode(data: bytes, max_out: int = _MAX_DECODED) -> Optional[bytes]:
     return bytes(out) if len(out) == want else None
 
 
+def lz4_block_decode(data: bytes, max_out: int = _MAX_DECODED) -> Optional[bytes]:
+    """Raw LZ4 block format: token byte (high nibble literal length,
+    low nibble match length - 4, 15 => 255-continued extension bytes),
+    literals, 2-byte little-endian match offset. None on malformation."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        token = data[pos]
+        pos += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if pos >= n:
+                    return None
+                b = data[pos]
+                pos += 1
+                lit += b
+                if b != 255:
+                    break
+        if pos + lit > n:
+            return None
+        out += data[pos : pos + lit]
+        pos += lit
+        if len(out) > max_out:
+            return None
+        if pos == n:
+            break  # final sequence carries literals only
+        if pos + 2 > n:
+            return None
+        off = int.from_bytes(data[pos : pos + 2], "little")
+        pos += 2
+        if off == 0 or off > len(out):
+            return None
+        mlen = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                if pos >= n:
+                    return None
+                b = data[pos]
+                pos += 1
+                mlen += b
+                if b != 255:
+                    break
+        src = len(out) - off
+        for _ in range(mlen):
+            out.append(out[src])
+            src += 1
+        if len(out) > max_out:
+            return None
+    return bytes(out)
+
+
 # ------------------------------------------------------ chunk framing
 
 
@@ -185,6 +239,11 @@ def _orc_decompress(buf: bytes, kind: int) -> bytes:
             if dec is None:
                 raise _Bad
             out += dec
+        elif kind == 4:  # lz4 block format
+            dec = lz4_block_decode(chunk)
+            if dec is None:
+                raise _Bad
+            out += dec
         elif kind == 5:  # zstd via the from-spec decoder
             from danae_spark.multimodal.zstdcodec import zstd_decode
 
@@ -193,7 +252,7 @@ def _orc_decompress(buf: bytes, kind: int) -> bytes:
                 raise _Bad
             out += dec
         else:
-            raise _Bad  # lzo / lz4: not shipped — reject whole
+            raise _Bad  # lzo: not shipped — reject whole
         if len(out) > _MAX_DECODED:
             raise _Bad
     return bytes(out)
@@ -228,8 +287,8 @@ def _parse(payload: bytes) -> Optional[dict]:
             magic = v
     if magic != b"ORC" or footer_len is None:
         raise _Bad
-    if kind not in (0, 1, 2, 5):
-        return None  # lzo/lz4 or unknown: not decodable here
+    if kind not in (0, 1, 2, 4, 5):
+        return None  # lzo or unknown: not decodable here
     end = len(payload) - 1 - ps_len
     if footer_len > end:
         raise _Bad
@@ -277,7 +336,7 @@ def _parse(payload: bytes) -> Optional[dict]:
 # by the REFERENCE writer (pyarrow.orc) and parsed by the from-spec
 # tail walk above — writer/parser independence is the point:
 #   n_rows = 10 + d % 7 ; n_cols = 2 + d % 2 (c0 long, c1 string, +c2)
-#   compression = [none, zlib, snappy, zstd][d % 4]
+#   compression = [none, zlib, snappy, zstd, lz4][d % 5]
 #   n_stripes = 1 (rows fit one stripe at any writer default)
 #   d % 17 == 9 -> postscript length byte corrupted (reject leg)
 
@@ -303,7 +362,7 @@ def synth_orc(d: int) -> bytes:
     if orc_n_cols(d) >= 3:
         cols["c2"] = pa.array([float((d + i) % 5) for i in range(n)])
     buf = io.BytesIO()
-    comp = ["UNCOMPRESSED", "ZLIB", "SNAPPY", "ZSTD"][d % 4]
+    comp = ["UNCOMPRESSED", "ZLIB", "SNAPPY", "ZSTD", "LZ4"][d % 5]
     orc.write_table(pa.table(cols), buf, compression=comp)
     raw = bytearray(buf.getvalue())
     if d % 17 == 9:
@@ -350,8 +409,9 @@ ORC_CENSUS_ORACLE = """
 WITH d0 AS (SELECT doc_id, doc_id AS d FROM documents)
 SELECT doc_id,
        CASE WHEN d % 17 = 9 THEN NULL
-            ELSE (CASE d % 4 WHEN 0 THEN 'none' WHEN 1 THEN 'zlib'
-                             WHEN 2 THEN 'snappy' ELSE 'zstd' END)
+            ELSE (CASE d % 5 WHEN 0 THEN 'none' WHEN 1 THEN 'zlib'
+                             WHEN 2 THEN 'snappy' WHEN 3 THEN 'zstd'
+                             ELSE 'lz4' END)
             END AS compression,
        CASE WHEN d % 17 = 9 THEN NULL
             ELSE CAST(10 + d % 7 AS INT) END AS n_rows,

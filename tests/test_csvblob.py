@@ -459,11 +459,12 @@ def test_avro_frame_and_registered_oracle(spark, sf_dir):
 def test_orc_census_and_rejects():
     from danae_spark.multimodal.orcblob import parse_orc_blob, synth_orc
 
-    r = parse_orc_blob(synth_orc(4))
-    assert r["compression"] == "none" and r["n_rows"] == 14
-    assert r["n_stripes"] == 1 and r["columns"] == "c0/c1"
-    r = parse_orc_blob(synth_orc(3))  # odd doc: 3 cols, zstd year... d%4=3 -> zstd
+    r = parse_orc_blob(synth_orc(5))
+    assert r["compression"] == "none" and r["n_rows"] == 15
+    assert r["n_stripes"] == 1 and r["columns"] == "c0/c1/c2"
+    r = parse_orc_blob(synth_orc(3))  # d%5=3 -> zstd; odd doc: 3 cols
     assert r["compression"] == "zstd" and r["columns"] == "c0/c1/c2"
+    assert parse_orc_blob(synth_orc(4))["compression"] == "lz4"
     assert parse_orc_blob(synth_orc(9)) is None  # corrupted postscript leg
     blob = synth_orc(2)
     assert parse_orc_blob(b"OR\x00" + blob[3:]) is None
@@ -519,3 +520,25 @@ def test_orc_frame_and_registered_oracle(spark, sf_dir):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
     want = [tuple(r) for r in con.execute(ORC_CENSUS_ORACLE).fetchall()]
     assert len(got2) == len(want) and got2 == want
+
+
+def test_orc_lz4_differential():
+    import random
+
+    import pyarrow as pa
+
+    from danae_spark.multimodal.orcblob import lz4_block_decode
+
+    rng = random.Random(13)
+    codec = pa.Codec("lz4_raw")
+    for t in range(60):
+        n = rng.randrange(0, 3000)
+        data = (
+            bytes(rng.choice(b"abcd") for _ in range(n))
+            if t % 2
+            else bytes(rng.randrange(256) for _ in range(n))
+        )
+        assert lz4_block_decode(codec.compress(data, asbytes=True)) == data
+    # malformed blocks reject, never crash
+    for _ in range(400):
+        lz4_block_decode(bytes(rng.randrange(256) for _ in range(rng.randrange(1, 60))))
