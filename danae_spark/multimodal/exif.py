@@ -128,8 +128,12 @@ def _dms_to_degrees(dms: list[tuple[int, int]], ref: str) -> float:
 
 def parse_exif(payload: bytes) -> dict | None:
     """Walk the JPEG segment stream for APP1/Exif and decode the TIFF
-    block. Returns the metadata dict, {} for a JPEG without EXIF, None
-    for a malformed EXIF block or a non-JPEG payload."""
+    block — or, for a BARE TIFF payload (r15: .tif files carry the
+    same IFD structure directly, no JPEG wrapper), decode it as-is.
+    Returns the metadata dict, {} for a JPEG without EXIF, None for a
+    malformed EXIF block or an unrecognized payload."""
+    if len(payload) >= 8 and payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _parse_tiff_block(payload)
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         return None
     pos = 2
@@ -155,6 +159,10 @@ def parse_exif(payload: bytes) -> dict | None:
         pos += 2 + seglen
     if tiff is None:
         return {}
+    return _parse_tiff_block(tiff)
+
+
+def _parse_tiff_block(tiff: bytes) -> dict | None:
     try:
         if len(tiff) < 8:
             raise ValueError("short TIFF header")

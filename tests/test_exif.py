@@ -137,3 +137,33 @@ def test_corpus_pii_report_matches_oracle_and_all_actions(spark, sf_dir):
             (False, True): "strip_exif",
             (False, False): "publish",
         }[(n_pii > 0, has_gps == 1)]
+
+
+def test_bare_tiff_payloads_decode():
+    """r15: .tif files carry the IFD structure without a JPEG wrapper —
+    parse_exif reads them directly (same walker, same typed-tag
+    rejects)."""
+    import struct
+
+    import numpy as np
+
+    from danae_spark.multimodal.exif import parse_exif, synth_exif_jpeg
+    from danae_spark.multimodal.tiff import synth_tiff
+
+    # a pixel TIFF has no EXIF tags: metadata dict with empty fields
+    r = parse_exif(synth_tiff(np.arange(64).reshape(8, 8) % 256, "tiff_gray"))
+    assert r is not None and r["has_gps"] == 0 and r["make"] is None
+
+    # the APP1 TIFF block extracted from a synth JPEG, fed bare: the
+    # full metadata (incl. the GPS PII signal) must match the JPEG path
+    blob = synth_exif_jpeg(0)
+    i = blob.find(b"Exif\x00\x00")
+    seg = blob.rfind(b"\xff\xe1", 0, i)
+    (seglen,) = struct.unpack_from(">H", blob, seg + 2)
+    tiff = blob[seg + 4 + 6 : seg + 2 + seglen]
+    bare = parse_exif(tiff)
+    wrapped = parse_exif(blob)
+    assert bare == wrapped and bare["has_gps"] == 1
+
+    # truncated bare TIFF rejects
+    assert parse_exif(tiff[:10]) is None
