@@ -200,6 +200,7 @@ HEADLINE = [
     "mjpeg_avi_frames",
     "pq_ann_incremental",
     "orc_blob_census",
+    "blob_harvest",
 ]
 
 

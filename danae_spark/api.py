@@ -919,6 +919,15 @@ class DataLakeEngine:
 
         return mjpeg_frames_frame(df, **kw)
 
+    def blob_harvest(self, df: DataFrame, **kw) -> DataFrame:
+        """One-pass container dispatch over a MIXED (id, binary)
+        frame: magic/identity-first routing across all eight blob
+        censuses, (container, n_items) per blob, NULL for unroutable
+        (multimodal/blobharvest.py route_blob)."""
+        from danae_spark.multimodal.blobharvest import blob_harvest_frame
+
+        return blob_harvest_frame(df, **kw)
+
     def orc_census(self, df: DataFrame, **kw) -> DataFrame:
         """ORC tail census over any (id, binary) frame: from-spec
         protobuf walk, chunked-codec footers decompressed for real

@@ -1706,3 +1706,21 @@ def orc_blob_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupted-postscript reject leg
     (multimodal/orcblob.py orc_census_roundtrip)."""
     return _orcblob.orc_census_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import blobharvest as _blobharvest  # noqa: E402
+
+
+@register("blob_harvest", oracle=_blobharvest.BLOB_HARVEST_ORACLE)
+def blob_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """blob_harvest (r15) — the container capstone over the full
+    blob-census layer, text_harvest's tabular sibling: one narrow pass
+    routes a MIXED blob column magic/identity-first (sqlite / parquet
+    / orc / avro), then by strict text grammar in priority order
+    (chat with a validated-conversation gate, json, access-log with a
+    parsed-line gate, csv), emitting (container, n_items) per blob;
+    unroutable blobs — including every unit census's own reject leg —
+    yield NULL rows. The oracle composes the eight certified unit
+    oracles verbatim under the d % 8 rotation
+    (multimodal/blobharvest.py blob_harvest_roundtrip)."""
+    return _blobharvest.blob_harvest_roundtrip(spark, sf_dir)

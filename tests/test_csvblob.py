@@ -542,3 +542,62 @@ def test_orc_lz4_differential():
     # malformed blocks reject, never crash
     for _ in range(400):
         lz4_block_decode(bytes(rng.randrange(256) for _ in range(rng.randrange(1, 60))))
+
+
+# --------------------------------------------------------- blob_harvest
+
+
+def test_blob_harvest_routing_sweep():
+    """Every kind routes to itself across the full rotation, reject
+    legs yield None, and no cross-kind capture happens (the json-ish
+    rejects must not be claimed by the csv grammar, generic JSONL
+    must not be claimed as chat, plain text must not be claimed as
+    an access log)."""
+    from danae_spark.multimodal.blobharvest import route_blob, synth_blob
+
+    kinds = ["csv", "json", "parquet", "sqlite", "access_log", "chat", "avro", "orc"]
+    rejects = [
+        lambda d: d % 19 == 3, lambda d: d % 23 == 7, lambda d: d % 21 == 9,
+        lambda d: d % 27 == 11, lambda d: d % 25 == 13, lambda d: d % 29 == 17,
+        lambda d: d % 19 == 7, lambda d: d % 17 == 9,
+    ]
+    for d in range(800):
+        k = d % 8
+        r = route_blob(synth_blob(d))
+        if rejects[k](d):
+            assert r is None, (d, kinds[k], r)
+        else:
+            assert r is not None and r["container"] == kinds[k], (d, kinds[k], r)
+    # junk and empty
+    assert route_blob(b"") is None
+    assert route_blob(b"\x00\xff\x01garbage") is None
+    assert route_blob(b"plain prose sentence without any structure") is None
+
+
+def test_blob_harvest_frame_and_registered_oracle(spark, sf_dir):
+    from danae_spark.catalog import table_path
+    from danae_spark.multimodal.blobharvest import (
+        BLOB_HARVEST_ORACLE,
+        blob_harvest_frame,
+        synth_blob,
+    )
+    from danae_spark.queries import load_all
+
+    df = spark.createDataFrame(
+        [(d, bytearray(synth_blob(d))) for d in range(24)] + [(99, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in blob_harvest_frame(df).collect()}
+    assert got[0]["container"] == "csv" and got[7]["container"] == "orc"
+    assert got[99]["container"] is None
+    plan = blob_harvest_frame(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # one narrow map, the census contract
+
+    fn = load_all()["blob_harvest"].fn
+    got2 = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    want = [tuple(r) for r in con.execute(BLOB_HARVEST_ORACLE).fetchall()]
+    assert len(got2) == len(want) and got2 == want

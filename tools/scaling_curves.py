@@ -167,6 +167,7 @@ OPERATORS = {
     "mjpeg_avi_frames": "documents",
     "pq_ann_incremental": "embeddings",
     "orc_blob_census": "documents",
+    "blob_harvest": "documents",
 }
 
 
