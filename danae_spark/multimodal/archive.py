@@ -333,6 +333,24 @@ def _members(payload: bytes) -> tuple[str, list] | None:
             return None
         m = _tar_members(raw)
         return None if m is None else ("tar.gz", m)
+    if payload[:6] == b"\xfd7zXZ\x00":  # r15: .tar.xz via stdlib lzma
+        import lzma
+
+        try:
+            raw = lzma.decompress(payload, format=lzma.FORMAT_XZ)
+        except lzma.LZMAError:
+            return None
+        m = _tar_members(raw)
+        return None if m is None else ("tar.xz", m)
+    if payload[:3] == b"BZh":  # r15: .tar.bz2 via stdlib bz2
+        import bz2
+
+        try:
+            raw = bz2.decompress(payload)
+        except (OSError, ValueError):
+            return None
+        m = _tar_members(raw)
+        return None if m is None else ("tar.bz2", m)
     if len(payload) >= 512 and payload[257:265] in (b"ustar\x0000", b"ustar  \x00"):
         m = _tar_members(payload)
         return None if m is None else ("tar", m)
@@ -394,7 +412,7 @@ def parse_archive(payload: bytes) -> dict | None:
 
 
 def archive_format(d: int) -> str:
-    return ("zip", "tar", "tar.gz")[d % 3]
+    return ("zip", "tar", "tar.gz", "tar.xz", "tar.bz2")[d % 5]
 
 
 def archive_n_files(d: int) -> int:
@@ -505,8 +523,10 @@ def _tar_build(entries: list[tuple[str, bytes | None]]) -> bytes:
 
 
 def synth_archive(doc_id: int) -> bytes:
-    """Doc-deterministic archive: zip / tar / tar.gz cycling by
-    doc_id % 3, a leading 'sub/' directory, then 2-5 media files whose
+    """Doc-deterministic archive: zip / tar / tar.gz / tar.xz /
+    tar.bz2 cycling by doc_id % 5 (r15 added the xz and bz2 members
+    via the stdlib codecs, the same canonical-implementation route as
+    zip's zlib), a leading 'sub/' directory, then 2-5 media files whose
     payloads are real mixed media (triage's synth_media at
     e = doc_id*8 + m). ZIP members alternate stored/deflated; among
     zip docs, doc_id % 6 == 0 emits the STREAMED layout (flag bit 3 +
@@ -528,6 +548,14 @@ def synth_archive(doc_id: int) -> bytes:
     tar = _tar_build([("sub/", None)] + files)
     if fmt == "tar":
         return tar
+    if fmt == "tar.xz":
+        import lzma
+
+        return lzma.compress(tar, format=lzma.FORMAT_XZ, preset=4)
+    if fmt == "tar.bz2":
+        import bz2
+
+        return bz2.compress(tar, 5)
     c = zlib.compressobj(6, zlib.DEFLATED, 31)
     return c.compress(tar) + c.flush()
 
@@ -634,8 +662,9 @@ agg AS (
   FROM cls GROUP BY doc_id
 )
 SELECT g.doc_id,
-       CASE g.doc_id % 3 WHEN 0 THEN 'zip' WHEN 1 THEN 'tar'
-            ELSE 'tar.gz' END AS format,
+       CASE g.doc_id % 5 WHEN 0 THEN 'zip' WHEN 1 THEN 'tar'
+            WHEN 2 THEN 'tar.gz' WHEN 3 THEN 'tar.xz'
+            ELSE 'tar.bz2' END AS format,
        CAST(g.n_files + 1 AS INT) AS n_members,
        g.n_files AS n_files,
        CAST(1 AS INT) AS n_dirs,

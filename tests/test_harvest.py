@@ -287,3 +287,37 @@ def test_corpus_format_census_matches_oracle(spark, sf_dir):
     assert sorted(got, key=str) == sorted(want, key=str) and len(got) >= 12
     classes = {r[0] for r in got}
     assert {"html", "pdf", "office", "rtf", "epub", "warc", None} <= classes
+
+
+def test_tar_xz_and_bz2_archives_walk():
+    """r15: .tar.xz / .tar.bz2 members decode through the stdlib
+    codecs (the zip/zlib canonical-implementation route); truncation
+    and bitflips reject whole, never crash."""
+    import random
+
+    from danae_spark.multimodal.archive import (
+        archive_format,
+        parse_archive,
+        synth_archive,
+    )
+
+    # d%5==3 -> tar.xz, d%5==4 -> tar.bz2
+    for d in (3, 4, 8, 9, 13, 14):
+        assert archive_format(d) in ("tar.xz", "tar.bz2")
+        r = parse_archive(synth_archive(d))
+        assert r is not None, d
+        assert r["format"] == archive_format(d)
+        assert r["n_files"] == 2 + d % 4 and r["n_dirs"] == 1
+        assert r["first_name"] == "sub/"
+        # compressed != raw: the walk really decompressed
+        assert r["total_bytes"] > 0
+    blob = synth_archive(3)
+    rng = random.Random(23)
+    assert parse_archive(blob[: len(blob) // 2]) is None
+    for _ in range(200):
+        buf = bytearray(blob)
+        i = rng.randrange(len(buf) * 8)
+        buf[i >> 3] ^= 1 << (i & 7)
+        parse_archive(bytes(buf))
+    blob = synth_archive(4)
+    assert parse_archive(blob[: len(blob) // 2]) is None
