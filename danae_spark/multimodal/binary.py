@@ -37,10 +37,11 @@ def decode_image(payload: bytes) -> dict:
     """Pixel decode dispatch. REAL for every major image family —
     PNG (zlib inflate + all five unfilter types), 24-bit BMP, binary
     PPM/PGM, GIF (pure-Python LZW incl. interlace), baseline JPEG
-    (numpy Huffman+IDCT codec), and TIFF baseline strips (r15,
-    multimodal/tiff.py) — via multimodal/pixels.decode_pixels.
-    NOT IMPLEMENTED only for out-of-subset variants (arithmetic-coded
-    JPEG, 16/32-bit BMP, tiled TIFF, ...): header-level metadata for
+    (numpy Huffman+IDCT codec), TIFF baseline strips, 16/32-bit and
+    BITFIELDS BMP, and plain ASCII PNM (all r15) — via
+    multimodal/pixels.decode_pixels. NOT IMPLEMENTED only for
+    out-of-subset variants (arithmetic-coded JPEG, tiled TIFF,
+    nonstandard BITFIELDS masks, ...): header-level metadata for
     those comes from parse_image_header."""
     from danae_spark.multimodal.pixels import decode_pixels
 

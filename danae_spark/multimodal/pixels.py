@@ -237,6 +237,46 @@ def _decode_bmp(payload: bytes) -> np.ndarray | None:
         if flip:
             idx = idx[::-1]
         return pal[idx].copy()
+    if bpp == 32 and compression == 0:  # r15: BGRA, no padding needed
+        stride = w * 4
+        if len(payload) < data_off + stride * h:
+            return None
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, w, 4)
+        if flip:
+            rows = rows[::-1]
+        # BGRA -> RGBA (luma_grid treats 4-channel as RGB-of-RGBA)
+        return rows[:, :, [2, 1, 0, 3]].copy()
+    if bpp == 16 and compression in (0, 3):  # r15: 555 / BITFIELDS 565
+        masks = (0x7C00, 0x03E0, 0x001F)  # X1R5G5B5 default
+        if compression == 3:
+            # BITFIELDS masks sit right after the 40-byte info header
+            # (same offset inside BITMAPV4/V5 headers)
+            if len(payload) < 66:
+                return None
+            masks = struct.unpack("<III", payload[54:66])
+            if masks not in ((0xF800, 0x07E0, 0x001F), (0x7C00, 0x03E0, 0x001F)):
+                return None  # nonstandard masks: out of subset
+        stride = (w * 2 + 3) & ~3
+        if len(payload) < data_off + stride * h:
+            return None
+        raw = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)[:, : w * 2]
+        v = raw[:, 0::2].astype(np.uint16) | (raw[:, 1::2].astype(np.uint16) << 8)
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        for c, mask in enumerate(masks):
+            shift = (mask & -mask).bit_length() - 1
+            width = bin(mask >> shift).count("1")
+            chan = (v & mask) >> shift
+            # expand 5/6-bit to 8-bit by bit replication
+            out[:, :, c] = ((chan << (8 - width)) | (chan >> (2 * width - 8))).astype(
+                np.uint8
+            )
+        if flip:
+            out = out[::-1]
+        return out
     return None
 
 
@@ -278,9 +318,10 @@ def _bmp_rle8(data: bytes, w: int, h: int) -> np.ndarray | None:
 
 
 def _decode_pnm(payload: bytes) -> np.ndarray | None:
-    if payload[:2] not in (b"P5", b"P6"):
+    if payload[:2] not in (b"P2", b"P3", b"P5", b"P6"):
         return None
-    channels = 1 if payload[:2] == b"P5" else 3
+    channels = 1 if payload[:2] in (b"P2", b"P5") else 3
+    ascii_mode = payload[:2] in (b"P2", b"P3")  # r15: plain PNM
     # header: magic, width, height, maxval as whitespace-separated ASCII
     # tokens ('#' comments allowed), then a single whitespace byte
     tokens: list[int] = []
@@ -299,11 +340,33 @@ def _decode_pnm(payload: bytes) -> np.ndarray | None:
                 j += 1
             tokens.append(int(payload[i:j]))
             i = j
-    i += 1  # the single whitespace after maxval
     if len(tokens) < 3 or tokens[2] != 255:
         return None
     w, h = tokens[0], tokens[1]
     need = w * h * channels
+    if ascii_mode:
+        # plain PNM: whitespace-separated ASCII samples ('#' comments
+        # legal between tokens); exactly `need` values, each 0..255
+        try:
+            text = payload[i:].decode("ascii")
+        except UnicodeDecodeError:
+            return None
+        vals: list[int] = []
+        for line in text.split("\n"):
+            hash_at = line.find("#")
+            if hash_at != -1:
+                line = line[:hash_at]
+            vals.extend(line.split())
+        if len(vals) != need:
+            return None
+        try:
+            arr = np.array([int(v) for v in vals], dtype=np.int64)
+        except ValueError:
+            return None
+        if (arr < 0).any() or (arr > 255).any():
+            return None
+        return arr.astype(np.uint8).reshape(h, w, channels)
+    i += 1  # the single whitespace after maxval
     if n - i < need:
         return None
     arr = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
@@ -437,7 +500,7 @@ def decode_pixels(payload: bytes) -> np.ndarray | None:
             return _decode_png(payload)
         if payload[:2] == b"BM":
             return _decode_bmp(payload)
-        if payload[:2] in (b"P5", b"P6"):
+        if payload[:2] in (b"P2", b"P3", b"P5", b"P6"):
             return _decode_pnm(payload)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return _decode_gif(payload)

@@ -478,3 +478,98 @@ def test_audio_fp_frame_container_invariance_and_fallback(spark):
     out = {r["doc_id"]: r for r in audio_fp_frame(df).collect()}
     assert out[1]["decoded"] and out[2]["decoded"] and not out[3]["decoded"]
     assert out[1]["dhash"] == out[2]["dhash"]
+
+
+# ------------------------- r15: BMP 16/32-bit + plain (ASCII) PNM
+
+
+def _bmp32(px, flip=True):
+    import struct
+
+    h, w, _ = px.shape
+    rows = px[::-1] if flip else px
+    body = bytearray()
+    for y in range(h):
+        for x in range(w):
+            r, g, b = rows[y, x]
+            body += bytes([b, g, r, 255])
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    hdr += struct.pack(
+        "<IiiHHIIiiII", 40, w, h if flip else -h, 1, 32, 0, len(body), 0, 0, 0, 0
+    )
+    return bytes(hdr) + bytes(body)
+
+
+def _bmp16(px, masks=None):
+    import struct
+
+    h, w, _ = px.shape
+    comp = 3 if masks else 0
+    m = masks or (0x7C00, 0x03E0, 0x001F)
+    data_off = 66 if masks else 54
+    body = bytearray()
+    pad = (-(w * 2)) % 4
+    for y in range(h - 1, -1, -1):
+        for x in range(w):
+            r, g, b = int(px[y, x, 0]), int(px[y, x, 1]), int(px[y, x, 2])
+            if m[1] == 0x07E0:
+                v = ((r >> 3) << 11) | ((g >> 2) << 5) | (b >> 3)
+            else:
+                v = ((r >> 3) << 10) | ((g >> 3) << 5) | (b >> 3)
+            body += struct.pack("<H", v)
+        body += b"\x00" * pad
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+    hdr += struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 16, comp, len(body), 0, 0, 0, 0
+    )
+    if masks:
+        hdr += struct.pack("<III", *masks)
+    return bytes(hdr) + bytes(body)
+
+
+def test_bmp32_decodes_bgra():
+    import random
+
+    rng = random.Random(3)
+    px = np.array(
+        [[[rng.randrange(256) for _ in range(3)] for _ in range(8)] for _ in range(8)],
+        dtype=np.uint8,
+    )
+    got = decode_pixels(_bmp32(px))
+    assert got is not None and got.shape == (8, 8, 4)
+    assert (got[:, :, :3] == px).all() and (got[:, :, 3] == 255).all()
+    got = decode_pixels(_bmp32(px, flip=False))  # top-down negative height
+    assert (got[:, :, :3] == px).all()
+
+
+def test_bmp16_555_and_565_bit_replication():
+    import random
+
+    rng = random.Random(5)
+    px = (
+        np.array(
+            [[[rng.randrange(256) for _ in range(3)] for _ in range(8)] for _ in range(8)],
+            dtype=np.uint8,
+        )
+        & 0xF8
+    )
+    got = decode_pixels(_bmp16(px))
+    want = (px.astype(int) | (px.astype(int) >> 5)).astype(np.uint8)
+    assert (got == want).all()
+    assert decode_pixels(_bmp16(px, masks=(0xF800, 0x07E0, 0x001F))) is not None
+    # nonstandard masks: out of subset, reject
+    assert decode_pixels(_bmp16(px, masks=(0xF000, 0x0F00, 0x00F0))) is None
+
+
+def test_plain_ascii_pnm():
+    p2 = b"P2\n# comment\n4 2\n255\n" + b" ".join(
+        str((i * 37) % 256).encode() for i in range(8)
+    )
+    got = decode_pixels(p2)
+    assert got.shape == (2, 4, 1)
+    assert got.flatten().tolist() == [(i * 37) % 256 for i in range(8)]
+    p3 = b"P3 2 2 255 " + b" ".join(str((i * 11) % 256).encode() for i in range(12))
+    assert decode_pixels(p3).shape == (2, 2, 3)
+    assert decode_pixels(b"P2 2 2 255 1 2 3") is None  # short sample list
+    assert decode_pixels(b"P2 2 2 255 1 2 3 4 5") is None  # trailing sample
+    assert decode_pixels(b"P3 1 1 255 300 0 0") is None  # out-of-range value
