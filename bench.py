@@ -201,6 +201,7 @@ HEADLINE = [
     "pq_ann_incremental",
     "orc_blob_census",
     "blob_harvest",
+    "gif_anim_frames",
 ]
 
 

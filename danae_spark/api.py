@@ -919,6 +919,15 @@ class DataLakeEngine:
 
         return mjpeg_frames_frame(df, **kw)
 
+    def gif_frames(self, df: DataFrame, **kw) -> DataFrame:
+        """Animated-GIF frame-digest census over any (id, binary)
+        frame: real per-frame LZW decode + spec compositing (partial
+        rects, transparency, disposal), per-frame perceptual digests
+        (multimodal/gifanim.py parse_gif_frames)."""
+        from danae_spark.multimodal.gifanim import gif_frames_frame
+
+        return gif_frames_frame(df, **kw)
+
     def blob_harvest(self, df: DataFrame, **kw) -> DataFrame:
         """One-pass container dispatch over a MIXED (id, binary)
         frame: magic/identity-first routing across all eight blob

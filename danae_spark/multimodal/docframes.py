@@ -44,11 +44,25 @@ def blob_extract_frame(
                 row = {"doc_id": int(doc_id)}
                 row.update({k: (r.get(k) if r else None) for k in cols})
                 rows.append(row)
-            yield pd.DataFrame(rows, columns=["doc_id"] + cols)
+            yield _object_frame(rows, ["doc_id"] + cols)
 
     return df.select(
         df[id_col].cast("bigint").alias("doc_id"), df[payload_col].alias("payload")
     ).mapInPandas(batches, schema=schema)
+
+
+def _object_frame(rows: list[dict], columns: list[str]) -> pd.DataFrame:
+    """Build the batch frame with OBJECT dtype columns. pd.DataFrame's
+    default inference coerces an int column containing a None (any
+    reject row in the batch) to float64, which silently ROUNDS integers
+    above 2^53 — a 56-bit perceptual-hash digest came back off by one
+    (caught by the gif_anim_frames oracle, r15). Object columns hand
+    exact Python ints to the Arrow conversion, which types them from
+    the declared schema."""
+    return pd.DataFrame(
+        {c: pd.Series([row[c] for row in rows], dtype=object) for c in columns},
+        columns=columns,
+    )
 
 
 def synth_roundtrip(
@@ -77,7 +91,7 @@ def synth_roundtrip(
                 row = {"doc_id": d}
                 row.update({k: (r.get(k) if r else None) for k in cols})
                 rows.append(row)
-            yield pd.DataFrame(rows, columns=["doc_id"] + cols)
+            yield _object_frame(rows, ["doc_id"] + cols)
 
     return (
         docs.repartition(stage_parallelism(docs.sparkSession), "doc_id")

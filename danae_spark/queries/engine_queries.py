@@ -1724,3 +1724,21 @@ def blob_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracles verbatim under the d % 8 rotation
     (multimodal/blobharvest.py blob_harvest_roundtrip)."""
     return _blobharvest.blob_harvest_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import gifanim as _gifanim  # noqa: E402
+
+
+@register("gif_anim_frames", oracle=_gifanim.GIF_ANIM_ORACLE)
+def gif_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF REAL frame decode + compositing (r15 — the second
+    moving-image family past the codec boundary, with mjpeg_avi_frames):
+    per doc a real multi-frame GIF89a (real LZW frames, per-frame GCE
+    delays, NETSCAPE loop block) is decoded and composited per the
+    spec — partial rects, transparency, local palettes, interlace, and
+    all three disposal methods are pinned by direct compositing
+    pytests; the oracle rotation keeps frames full-rect so digests and
+    timing restate as (doc_id, frame) arithmetic; d % 13 == 2 is the
+    truncated-frame reject leg
+    (multimodal/gifanim.py gif_anim_roundtrip)."""
+    return _gifanim.gif_anim_roundtrip(spark, sf_dir)

@@ -168,6 +168,7 @@ OPERATORS = {
     "pq_ann_incremental": "embeddings",
     "orc_blob_census": "documents",
     "blob_harvest": "documents",
+    "gif_anim_frames": "documents",
 }
 
 
