@@ -42,6 +42,10 @@ __all__ = [
 ]
 
 _MAX_FRAMES = 100_000
+# Real AVI nests LIST at most ~3 deep (RIFF > hdrl > strl, movi > rec);
+# a generous cap turns a hostile nested-LIST tower into a reject-whole
+# instead of an uncaught RecursionError crashing the Spark task.
+_MAX_LIST_DEPTH = 32
 
 
 class _Bad(Exception):
@@ -65,7 +69,7 @@ def _chunks(buf: bytes, pos: int, end: int):
 def parse_avi_mjpeg(payload: bytes) -> Optional[dict]:
     try:
         return _parse(payload)
-    except (_Bad, struct.error, IndexError, ValueError):
+    except (_Bad, struct.error, IndexError, ValueError, RecursionError):
         return None
 
 
@@ -87,14 +91,17 @@ def _parse(payload: bytes) -> Optional[dict]:
     frames: list[bytes] = []
     idx1_dc = None
 
-    def walk(pos: int, stop: int, in_strl: bool = False) -> None:
+    def walk(pos: int, stop: int, in_strl: bool = False, depth: int = 0) -> None:
         nonlocal us_per_frame, avih_frames, handler_ok, width, height, idx1_dc
+        if depth > _MAX_LIST_DEPTH:
+            raise _Bad  # hostile nested-LIST tower: reject, don't recurse out
         for fcc, body, size in _chunks(payload, pos, stop):
             if fcc == b"LIST":
                 if size < 4:
                     raise _Bad
                 kind = payload[body : body + 4]
-                walk(body + 4, body + size, in_strl=(kind == b"strl"))
+                walk(body + 4, body + size, in_strl=(kind == b"strl"),
+                     depth=depth + 1)
             elif fcc == b"avih":
                 if size < 40:
                     raise _Bad

@@ -135,7 +135,13 @@ def _parse(payload: bytes) -> Optional[dict]:
             raise _Bad  # the container's per-block corruption check
         pos += 16
         if codec == "deflate":
-            data = zlib.decompress(blob, -15)
+            # Cap output BEFORE expansion: a small hostile DEFLATE block
+            # can blow up ~1000x, so decompress under the remaining
+            # payload budget instead of materializing then checking.
+            z = zlib.decompressobj(-15)
+            data = z.decompress(blob, _MAX_PAYLOAD + 1 - total_payload)
+            if z.unconsumed_tail or z.unused_data or not z.eof:
+                raise _Bad
         else:
             data = blob
         n_blocks += 1

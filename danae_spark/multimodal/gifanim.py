@@ -42,6 +42,11 @@ __all__ = [
 
 _MAX_FRAMES = 10_000
 _MAX_PIXELS = 64 * 1024 * 1024
+# The per-frame dhash scans the WHOLE canvas, so the real work is
+# width*height*n_frames — capping pixels and frames independently still
+# lets a few-hundred-KB GIF (64MP canvas x 10k 1-pixel frames) force
+# ~640 gigapixel of CPU. Bound the product.
+_MAX_WORK = 256 * 1024 * 1024
 
 
 class _Bad(Exception):
@@ -177,6 +182,8 @@ def _parse(payload: bytes) -> Optional[dict]:
             rect[:] = colors
         if len(dhashes) >= _MAX_FRAMES:
             raise _Bad
+        if (len(dhashes) + 1) * w * h > _MAX_WORK:
+            raise _Bad  # pixels x frames work budget (CPU-DoS guard)
         dhashes.append(dhash_bits(luma_grid(canvas)))
         total_delay_cs += delay_cs
         if disposal == 2:

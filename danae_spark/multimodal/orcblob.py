@@ -232,8 +232,12 @@ def _orc_decompress(buf: bytes, kind: int) -> bytes:
         pos += clen
         if orig:
             out += chunk
-        elif kind == 1:  # zlib = raw DEFLATE
-            out += zlib.decompress(chunk, -15)
+        elif kind == 1:  # zlib = raw DEFLATE, output capped BEFORE expansion
+            z = zlib.decompressobj(-15)
+            dec = z.decompress(chunk, _MAX_DECODED + 1 - len(out))
+            if z.unconsumed_tail or z.unused_data or not z.eof:
+                raise _Bad  # over budget, trailing junk, or truncated stream
+            out += dec
         elif kind == 2:  # snappy
             dec = snappy_decode(chunk)
             if dec is None:

@@ -390,13 +390,7 @@ SELECT b.doc_id,
             ELSE 'subtitle' END AS media_class,
        CASE b.cls
             WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' WHEN 2 THEN 'mp3'
-            WHEN 3 THEN (CASE (b.doc_id // 10) % 13
-                         WHEN 0 THEN 'png' WHEN 1 THEN 'png'
-                         WHEN 2 THEN 'bmp' WHEN 3 THEN 'ppm'
-                         WHEN 4 THEN 'pgm' WHEN 5 THEN 'gif'
-                         WHEN 6 THEN 'png' WHEN 7 THEN 'png'
-                         WHEN 8 THEN 'bmp' WHEN 9 THEN 'bmp'
-                         ELSE 'tiff' END)
+            WHEN 3 THEN __IMAGE_FORMAT_CASE__
             WHEN 4 THEN 'ogg-opus' WHEN 5 THEN 'mp4' WHEN 6 THEN 'fmp4'
             WHEN 7 THEN 'webm' WHEN 8 THEN 'srt' ELSE 'mp3' END AS format,
        CAST(CASE b.cls
@@ -422,3 +416,31 @@ LEFT JOIN mp4_dur m USING (doc_id)
 LEFT JOIN fmp4_dur f USING (doc_id)
 ORDER BY b.doc_id
 """
+
+
+def _image_format_case_sql() -> str:
+    """Generate the image-rotation CASE from pixels._RT_FORMATS so the
+    oracle's modulus and format names can never drift from the Python
+    rotation (the exact bug widening 10->13 formats had to fix). Short
+    name = leading alpha prefix of the rotation entry (png_gray -> png,
+    bmp8_rle -> bmp, tiff_lzw -> tiff), which is what triage_payload
+    reports from the sniffed container."""
+    import re
+
+    from danae_spark.multimodal.pixels import _RT_FORMATS
+
+    whens = "\n".join(
+        "                         WHEN %d THEN '%s'"
+        % (i, re.match(r"[a-z]+", f).group(0))
+        for i, f in enumerate(_RT_FORMATS)
+    )
+    return (
+        "(CASE (b.doc_id // 10) %% %d\n%s\n"
+        "                         ELSE NULL END)" % (len(_RT_FORMATS), whens)
+    )
+
+
+MEDIA_TRIAGE_ORACLE = MEDIA_TRIAGE_ORACLE.replace(
+    "__IMAGE_FORMAT_CASE__", _image_format_case_sql()
+)
+assert "__IMAGE_FORMAT_CASE__" not in MEDIA_TRIAGE_ORACLE

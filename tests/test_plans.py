@@ -370,6 +370,10 @@ def test_blob_censuses_are_narrow(spark, sf_dir):
         "sqlite_blob_census",
         "access_log_census",
         "chat_jsonl_census",
+        "avro_blob_census",
+        "orc_blob_census",
+        "blob_harvest",
+        "gif_anim_frames",
     ):
         df = REGISTRY[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
