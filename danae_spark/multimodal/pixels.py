@@ -512,6 +512,10 @@ def decode_pixels(payload: bytes) -> np.ndarray | None:
             from danae_spark.multimodal.tiff import decode_tiff
 
             return decode_tiff(payload)  # baseline strips (r15)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from danae_spark.multimodal.webp import decode_webp_pixels
+
+            return decode_webp_pixels(payload)  # VP8L lossless (r16)
     except (zlib.error, ValueError, struct.error, IndexError):
         return None
     return None
@@ -583,7 +587,12 @@ _RT_FORMATS = (
     "png_gray", "png_rgb", "bmp", "ppm", "pgm", "gif",
     "png16", "png_adam7", "bmp8", "bmp8_rle",
     "tiff_gray", "tiff_pack", "tiff_lzw",
+    "webp",
 )
+# gray-payload rotation slots (decode to 1 channel); everything else
+# decodes to 3 — the oracle CASEs below are GENERATED from these so
+# widening the rotation cannot drift the SQL (r16)
+_RT_GRAY = ("png_gray", "pgm", "png16", "tiff_gray")
 
 
 def _rt_luma(doc_id: int, i: int) -> int:
@@ -896,6 +905,10 @@ def _synth_in_format(lum: np.ndarray, fmt: str) -> bytes:
         from danae_spark.multimodal.tiff import synth_tiff
 
         return synth_tiff(lum, fmt)
+    if fmt == "webp":
+        from danae_spark.multimodal.webp import synth_webp_still
+
+        return synth_webp_still(lum)
     return synth_pnm(lum, rgb=False)
 
 
@@ -997,18 +1010,34 @@ d AS (
   GROUP BY l.doc_id
 )
 SELECT m.doc_id,
-       CASE m.doc_id % 13 WHEN 0 THEN 'png_gray' WHEN 1 THEN 'png_rgb'
-            WHEN 2 THEN 'bmp' WHEN 3 THEN 'ppm' WHEN 4 THEN 'pgm'
-            WHEN 5 THEN 'gif' WHEN 6 THEN 'png16' WHEN 7 THEN 'png_adam7'
-            WHEN 8 THEN 'bmp8' WHEN 9 THEN 'bmp8_rle'
-            WHEN 10 THEN 'tiff_gray' WHEN 11 THEN 'tiff_pack'
-            ELSE 'tiff_lzw' END AS format,
+       __RT_FORMAT_CASE__ AS format,
        8 AS width, 8 AS height,
-       CASE WHEN m.doc_id % 13 IN (0, 4, 6, 10) THEN 1 ELSE 3 END AS channels,
+       __RT_CHANNELS_CASE__ AS channels,
        m.pixel_sum, a.ahash_lo, a.ahash_hi, d.dhash
 FROM m JOIN a USING (doc_id) JOIN d USING (doc_id)
 ORDER BY doc_id
 """
+
+
+def _rt_format_cases_sql() -> tuple[str, str]:
+    """Generate the format and channels CASEs from _RT_FORMATS /
+    _RT_GRAY so the oracle's modulus, names and channel split can
+    never drift from the Python rotation (the triage-oracle fix, r16,
+    applied to the pixel roundtrip too)."""
+    n = len(_RT_FORMATS)
+    whens = " ".join(f"WHEN {i} THEN '{f}'" for i, f in enumerate(_RT_FORMATS))
+    gray = ", ".join(str(i) for i, f in enumerate(_RT_FORMATS) if f in _RT_GRAY)
+    return (
+        f"CASE m.doc_id % {n} {whens} END",
+        f"CASE WHEN m.doc_id % {n} IN ({gray}) THEN 1 ELSE 3 END",
+    )
+
+
+_fmt_case, _ch_case = _rt_format_cases_sql()
+IMAGE_PIXELS_ORACLE = IMAGE_PIXELS_ORACLE.replace(
+    "__RT_FORMAT_CASE__", _fmt_case
+).replace("__RT_CHANNELS_CASE__", _ch_case)
+assert "__RT_" not in IMAGE_PIXELS_ORACLE
 
 
 # ------------------------------------------------- real-pixel near-dup

@@ -77,6 +77,15 @@ def triage_payload(payload: bytes) -> dict | None:
         )
         return {"media_class": "image", "format": fmt, "duration_ms": None}
 
+    if len(p) >= 12 and p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        from danae_spark.multimodal.webp import parse_webp
+
+        wp = parse_webp(p)
+        if wp is None:
+            return None
+        return {"media_class": "image", "format": "webp",
+                "duration_ms": None}
+
     if len(p) >= 12 and p[:4] == b"RIFF" and p[8:12] == b"AVI ":
         from danae_spark.multimodal.avi import parse_avi_mjpeg
 
@@ -128,9 +137,10 @@ def triage_payload(payload: bytes) -> dict | None:
 def synth_media(doc_id: int) -> bytes:
     """Doc-deterministic MIXED payload: doc_id % 10 selects the class
     (wav/flac/mp3/image/ogg/mp4/fmp4/webm/srt/id3-mp3); the image
-    container decorrelates via doc_id // 10 so all THIRTEEN containers
-    (r15: + the three TIFF variants) appear. Every payload is a
-    byte-for-byte real file from the per-format synthesizers."""
+    container decorrelates via doc_id // 10 so the FULL rotation
+    (r15: + the three TIFF variants; r16: + webp) appears. Every
+    payload is a byte-for-byte real file from the per-format
+    synthesizers."""
     import numpy as np
 
     from danae_spark.multimodal.flac import synth_flac_pcm

@@ -1742,3 +1742,33 @@ def gif_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated-frame reject leg
     (multimodal/gifanim.py gif_anim_roundtrip)."""
     return _gifanim.gif_anim_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import webp as _webp  # noqa: E402
+
+
+@register("webp_pixels_roundtrip", oracle=_webp.WEBP_PIXELS_ORACLE)
+def webp_pixels_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP VP8L lossless pixel roundtrip (r16 — the web's most common
+    modern image format, previously censused as corrupt): per doc a
+    REAL VP8L file is encoded in one of SIX coding modes (plain
+    literals, subtract-green, LZ77 + color cache with both plain and
+    2D-map distances, palette with sub-byte bundling, all 14 predictor
+    modes across docs, cross-channel color transform), decoded by the
+    from-spec decoder (multimodal/webp.py — canonical prefix codes
+    with Kraft completeness, generated 120-entry distance map), and
+    luma digests restated as doc_id arithmetic; d % 23 == 9 truncates
+    the container (reject leg)."""
+    return _webp.webp_pixels_roundtrip(spark, sf_dir)
+
+
+@register("webp_census", oracle=_webp.WEBP_CENSUS_ORACLE)
+def webp_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP container census (r16): plain VP8L stills (two coding
+    paths), lossy VP8 keyframe headers (dims census — sample decode is
+    the documented codec boundary), VP8X extended stills with skipped
+    metadata chunks, and VP8X/ANIM animations with per-frame lossless
+    decode (frame rects validated against the canvas, duration summed,
+    dHash XOR-aggregated); truncated-VP8L and lying-RIFF-size reject
+    legs (multimodal/webp.py webp_census_roundtrip)."""
+    return _webp.webp_census_roundtrip(spark, sf_dir)

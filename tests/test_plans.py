@@ -374,6 +374,8 @@ def test_blob_censuses_are_narrow(spark, sf_dir):
         "orc_blob_census",
         "blob_harvest",
         "gif_anim_frames",
+        "webp_pixels_roundtrip",
+        "webp_census",
     ):
         df = REGISTRY[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
