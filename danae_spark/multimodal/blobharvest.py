@@ -2,10 +2,11 @@
 column: the tabular/binary sibling of text_harvest.
 
 An unknown lake prefix holds csv, jsonl, parquet, sqlite, access-log,
-chat-shard, avro, and orc blobs side by side; the first pass an ingest
+chat-shard, avro, orc, and notebook blobs side by side; the first pass an ingest
 planner runs is "which container is each blob, and how big is it".
 This operator routes every payload magic/identity-first (sqlite /
-parquet / orc / avro magics), then by STRICT text grammar in priority
+parquet / orc / avro magics, the notebook nbformat signature), then by
+STRICT text grammar in priority
 order — chat (accepted only when at least one conversation validates,
 so generic JSONL falls through), json, access-log (accepted only when
 at least one line parses as CLF/Combined, so arbitrary text cannot
@@ -14,13 +15,12 @@ via the bare-quote rule, certified by the routing sweep in tests) —
 and emits one normalized row per blob: (container, n_items), where
 n_items is each census's headline count (csv/parquet/orc rows, json
 records, sqlite total rows, access-log parsed requests, chat
-conversations, avro records). A blob no parser accepts — including
+conversations, avro records, notebook cells). A blob no parser accepts — including
 every unit census's own reject leg — yields a NULL row, never a guess.
 
-The oracle COMPOSES the eight unit-census oracles verbatim (the
-text_harvest pattern: compositions restate the same certified
-fragments), selecting each kind's headline count under the d % 8
-rotation — so the capstone can never disagree with the unit entries.
+The oracle COMPOSES the nine unit oracles verbatim (the text_harvest
+pattern: compositions restate the same certified fragments),
+selecting each kind's headline count under the d % 9 rotation — so the capstone can never disagree with the unit entries.
 
 Scale shape: one narrow Arrow map (magic checks + at most four strict
 text parses per blob), no shuffle.
@@ -38,7 +38,8 @@ __all__ = [
     "BLOB_HARVEST_ORACLE",
 ]
 
-_KINDS = ["csv", "json", "parquet", "sqlite", "access_log", "chat", "avro", "orc"]
+_KINDS = ["csv", "json", "parquet", "sqlite", "access_log", "chat",
+          "avro", "orc", "notebook"]
 
 
 def route_blob(payload: bytes) -> Optional[dict]:
@@ -69,6 +70,15 @@ def route_blob(payload: bytes) -> Optional[dict]:
     if p[:4] == b"Obj\x01":
         r = parse_avro_blob(p)
         return {"container": "avro", "n_items": r["n_records"]} if r else None
+    if p.lstrip()[:1] == b"{" and b'"nbformat"' in p:
+        # notebook identity rule (r16): the nbformat signature claims
+        # the notebook grammar — parse it or reject whole, never fall
+        # through to the generic JSON grammar (which would census a
+        # corrupt notebook as one json record)
+        from danae_spark.multimodal.notebook import parse_notebook
+
+        r = parse_notebook(p)
+        return {"container": "notebook", "n_items": r["n_cells"]} if r else None
     r = parse_chat_blob(p)
     if r is not None and r["n_valid"] >= 1:
         return {"container": "chat", "n_items": r["n_convs"]}
@@ -85,12 +95,13 @@ def route_blob(payload: bytes) -> Optional[dict]:
 
 
 def synth_blob(d: int) -> bytes:
-    """d % 8 rotates the container kind; each kind's own synth (and
+    """d % 9 rotates the container kind; each kind's own synth (and
     thus its own reject leg) is reused verbatim."""
     from danae_spark.multimodal.accesslog import synth_access_log
     from danae_spark.multimodal.avroblob import synth_avro
     from danae_spark.multimodal.csvblob import synth_csv
     from danae_spark.multimodal.jsonblob import synth_chat, synth_json
+    from danae_spark.multimodal.notebook import synth_notebook
     from danae_spark.multimodal.orcblob import synth_orc
     from danae_spark.multimodal.parquetblob import synth_parquet
     from danae_spark.multimodal.sqliteblob import synth_sqlite
@@ -98,7 +109,8 @@ def synth_blob(d: int) -> bytes:
     synth = [
         synth_csv, synth_json, synth_parquet, synth_sqlite,
         synth_access_log, synth_chat, synth_avro, synth_orc,
-    ][d % 8]
+        synth_notebook,
+    ][d % 9]
     return synth(d)
 
 
@@ -118,8 +130,8 @@ def blob_harvest_frame(df, id_col: str = "doc_id", payload_col: str = "payload")
 
 def blob_harvest_roundtrip(spark, sf_dir: str):
     """Oracle-checkable roundtrip: per doc one real container file
-    (kind = d % 8, each kind's synth + reject leg verbatim) routed by
-    the dispatcher; the oracle composes the eight certified unit
+    (kind = d % 9, each kind's synth + reject leg verbatim) routed by
+    the dispatcher; the oracle composes the nine certified unit
     oracles and picks each kind's headline count."""
     from danae_spark.multimodal.docframes import synth_roundtrip
 
@@ -131,6 +143,7 @@ def _blob_harvest_oracle() -> str:
     from danae_spark.multimodal.avroblob import AVRO_CENSUS_ORACLE
     from danae_spark.multimodal.csvblob import CSV_CENSUS_ORACLE
     from danae_spark.multimodal.jsonblob import CHAT_CENSUS_ORACLE, JSON_CENSUS_ORACLE
+    from danae_spark.multimodal.notebook import NOTEBOOK_EXTRACT_ORACLE
     from danae_spark.multimodal.orcblob import ORC_CENSUS_ORACLE
     from danae_spark.multimodal.parquetblob import PARQUET_CENSUS_ORACLE
     from danae_spark.multimodal.sqliteblob import SQLITE_CENSUS_ORACLE
@@ -144,21 +157,23 @@ log_u AS (SELECT doc_id, n_requests AS n FROM ({ACCESS_LOG_CENSUS_ORACLE})),
 chat_u AS (SELECT doc_id, n_convs AS n FROM ({CHAT_CENSUS_ORACLE})),
 avro_u AS (SELECT doc_id, n_records AS n FROM ({AVRO_CENSUS_ORACLE})),
 orc_u AS (SELECT doc_id, n_rows AS n FROM ({ORC_CENSUS_ORACLE})),
+nb_u AS (SELECT doc_id, n_cells AS n FROM ({NOTEBOOK_EXTRACT_ORACLE})),
 picked AS (
   SELECT d.doc_id,
-         CASE d.doc_id % 8
+         CASE d.doc_id % 9
            WHEN 0 THEN csv_u.n WHEN 1 THEN json_u.n WHEN 2 THEN parquet_u.n
            WHEN 3 THEN sqlite_u.n WHEN 4 THEN log_u.n WHEN 5 THEN chat_u.n
-           WHEN 6 THEN avro_u.n ELSE orc_u.n END AS n_items,
-         CASE d.doc_id % 8
+           WHEN 6 THEN avro_u.n WHEN 7 THEN orc_u.n ELSE nb_u.n END AS n_items,
+         CASE d.doc_id % 9
            WHEN 0 THEN 'csv' WHEN 1 THEN 'json' WHEN 2 THEN 'parquet'
            WHEN 3 THEN 'sqlite' WHEN 4 THEN 'access_log' WHEN 5 THEN 'chat'
-           WHEN 6 THEN 'avro' ELSE 'orc' END AS kind
+           WHEN 6 THEN 'avro' WHEN 7 THEN 'orc' ELSE 'notebook' END AS kind
   FROM documents d
   JOIN csv_u USING (doc_id) JOIN json_u USING (doc_id)
   JOIN parquet_u USING (doc_id) JOIN sqlite_u USING (doc_id)
   JOIN log_u USING (doc_id) JOIN chat_u USING (doc_id)
   JOIN avro_u USING (doc_id) JOIN orc_u USING (doc_id)
+  JOIN nb_u USING (doc_id)
 )
 SELECT doc_id,
        CASE WHEN n_items IS NULL THEN NULL ELSE kind END AS container,

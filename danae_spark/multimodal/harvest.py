@@ -206,6 +206,23 @@ def harvest_text(
             "text": rtf["text"],
         }
 
+    if p.lstrip()[:1] == b"{" and b'"nbformat"' in p:
+        # notebook identity rule (r16): a payload carrying the
+        # nbformat signature either parses as a notebook or rejects
+        # whole — it must never fall through and ship its JSON
+        # scaffolding as class "text"
+        from danae_spark.multimodal.notebook import parse_notebook
+
+        nb = parse_notebook(p)
+        if nb is None:
+            return None
+        return {
+            "doc_class": "notebook",
+            "format": "ipynb",
+            "title": nb["title"],
+            "text": nb["text"],
+        }
+
     sub = parse_subtitles(p)
     if sub is not None:
         return {
@@ -257,16 +274,18 @@ def harvest_text(
 
 
 def synth_doc(doc_id: int) -> bytes:
-    """Doc-deterministic MIXED document payload: doc_id % 9 selects
+    """Doc-deterministic MIXED document payload: doc_id % 10 selects
     the class (html / pdf / subtitle / plain text / warc / zip-of-
-    subtitles / office docx-or-odt / rtf / epub); every payload is a
-    byte-for-byte real file from the per-format synthesizers. The
-    office / rtf / epub legs reuse their synths verbatim, INCLUDING
-    the truncated/corrupt reject legs (d % 17, d % 13, d % 23) — a
-    corrupt blob must yield a NULL harvest row, never partial text."""
+    subtitles / office docx-or-odt / rtf / epub / notebook); every
+    payload is a byte-for-byte real file from the per-format
+    synthesizers. The office / rtf / epub / notebook legs reuse their
+    synths verbatim, INCLUDING the truncated/corrupt reject legs
+    (d % 17, d % 13, d % 23, and the notebook trio) — a corrupt blob
+    must yield a NULL harvest row, never partial text."""
     from danae_spark.multimodal.archive import _zip_build
     from danae_spark.multimodal.epub import synth_epub
     from danae_spark.multimodal.htmltext import synth_html
+    from danae_spark.multimodal.notebook import synth_notebook
     from danae_spark.multimodal.office import synth_office
     from danae_spark.multimodal.pdf import synth_pdf
     from danae_spark.multimodal.rtf import synth_rtf
@@ -274,7 +293,9 @@ def synth_doc(doc_id: int) -> bytes:
     from danae_spark.multimodal.warc import synth_warc
 
     d = doc_id
-    cls = d % 9
+    cls = d % 10
+    if cls == 9:
+        return synth_notebook(d)
     if cls == 0:
         return synth_html(d)
     if cls == 1:
@@ -332,8 +353,8 @@ def text_harvest_frame(df, id_col: str = "doc_id", payload_col: str = "payload")
 
 def text_harvest_roundtrip(spark, sf_dir: str):
     """Oracle-checkable harvest: per doc a real mixed-class document
-    payload is synthesized (doc_id % 9 cycles html/pdf/subtitle/plain/
-    warc/zip-of-subtitles/office/rtf/epub), dispatched by the real
+    payload is synthesized (doc_id % 10 cycles html/pdf/subtitle/plain/
+    warc/zip-of-subtitles/office/rtf/epub/notebook), dispatched by the real
     magic-first router to the real extractors, and the (doc_class,
     format, title, text) row restated in SQL — each class's text
     arithmetic reuses the SAME parameterized fragment as its unit
@@ -378,27 +399,27 @@ def _harvest_oracle() -> str:
     from danae_spark.multimodal.subtitles import subtitle_text_sql
 
     html_unit = html_text_sql(
-        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 9 = 0"
+        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 10 = 0"
     )
     pdf_unit = pdf_text_sql(
-        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 9 = 1"
+        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 10 = 1"
     )
     sub_unit = subtitle_text_sql(
-        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 9 = 2"
+        "SELECT doc_id, doc_id AS e FROM documents WHERE doc_id % 10 = 2"
     )
     # WARC pages: e = doc_id*4 + p for the HTTP-200 pages (same
     # parameterization as the crawl_html_extract oracle)
     warc_pages = html_text_sql("""
 SELECT d.doc_id, d.doc_id * 4 + p.p AS e
 FROM documents d, generate_series(0, 2) p(p)
-WHERE d.doc_id % 9 = 4 AND p.p < 1 + d.doc_id % 3
+WHERE d.doc_id % 10 = 4 AND p.p < 1 + d.doc_id % 3
   AND (d.doc_id + p.p) % 5 <> 4
 """)
     # zip members: subtitle transcripts at e = doc_id*4 + k, k in (0, 1)
     zip_subs = subtitle_text_sql("""
 SELECT d.doc_id, d.doc_id * 4 + k.k AS e
 FROM documents d, generate_series(0, 1) k(k)
-WHERE d.doc_id % 9 = 5
+WHERE d.doc_id % 10 = 5
 """)
     # office docs (d = doc_id): the synth reject leg (d % 17 == 0,
     # truncated package) is EXCLUDED here and emitted as NULL rows —
@@ -407,22 +428,35 @@ WHERE d.doc_id % 9 = 5
     # fragment's arithmetic, not the space-counting formula.
     office_unit = office_text_sql(
         "SELECT doc_id, doc_id AS d FROM documents "
-        "WHERE doc_id % 9 = 6 AND doc_id % 17 <> 0"
+        "WHERE doc_id % 10 = 6 AND doc_id % 17 <> 0"
     )
     # rtf docs: same pattern (reject leg d % 13 == 0); rtf text carries
     # TABs and escape-derived tokens, so n_words comes from the
     # fragment too
     rtf_unit = rtf_text_sql(
         "SELECT doc_id, doc_id AS d FROM documents "
-        "WHERE doc_id % 9 = 7 AND doc_id % 13 <> 0"
+        "WHERE doc_id % 10 = 7 AND doc_id % 13 <> 0"
     )
     # epub chapters: the SAME html fragment at e = d*5 + k in spine
     # order (reject leg d % 23 == 0)
     epub_chaps = html_text_sql("""
 SELECT d.doc_id, d.doc_id * 5 + k.k AS e
 FROM documents d, generate_series(0, 2) k(k)
-WHERE d.doc_id % 9 = 8 AND d.doc_id % 23 <> 0 AND k.k < 1 + d.doc_id % 3
+WHERE d.doc_id % 10 = 8 AND d.doc_id % 23 <> 0 AND k.k < 1 + d.doc_id % 3
 """)
+    # notebooks (r16): the SAME parameterized fragment as the
+    # notebook_text_extract unit entry; its three reject legs excluded
+    # here and emitted as NULL rows below. Notebook text carries
+    # consecutive newlines, so n_words comes from cell arithmetic
+    # (3 title tokens + 6 per code cell + 10 per extra markdown cell),
+    # not the space-counting default.
+    from danae_spark.multimodal.notebook import notebook_text_sql
+
+    nb_unit = notebook_text_sql(
+        "SELECT doc_id, doc_id AS d FROM documents "
+        "WHERE doc_id % 10 = 9 AND doc_id % 17 <> 3 "
+        "AND doc_id % 19 <> 6 AND doc_id % 23 <> 11"
+    )
     return f"""
 WITH html_u AS ({html_unit}),
 pdf_u AS ({pdf_unit}),
@@ -444,11 +478,12 @@ epub_u AS (
   SELECT doc_id, string_agg(text, chr(10) ORDER BY e) AS text
   FROM epub_p GROUP BY doc_id
 ),
+nb_u AS ({nb_unit}),
 plain_u AS (
   SELECT d.doc_id, string_agg('t' || CAST((d.doc_id * 3 + j.j) % 50 AS VARCHAR),
                               ' ' ORDER BY j.j) AS text
   FROM documents d, generate_series(0, 9) j(j)
-  WHERE d.doc_id % 9 = 3 AND j.j < 5 + d.doc_id % 5
+  WHERE d.doc_id % 10 = 3 AND j.j < 5 + d.doc_id % 5
   GROUP BY d.doc_id
 ),
 unified AS (
@@ -481,16 +516,23 @@ unified AS (
          e.text, NULL
   FROM epub_u e
   UNION ALL
+  SELECT n.doc_id, 'notebook', 'ipynb', n.title, n.text,
+         CAST(3 + 6 * (1 + n.doc_id % 4) + 10 * (n.doc_id % 3) AS INT)
+  FROM nb_u n
+  UNION ALL
   -- reject legs -> NULL rows: truncated office / rtf / epub packages
+  -- + the notebook trio (truncated JSON / nbformat 3 / bad cells)
   SELECT doc_id, NULL, NULL, NULL, NULL, NULL FROM documents
-  WHERE (doc_id % 9 = 6 AND doc_id % 17 = 0)
-     OR (doc_id % 9 = 7 AND doc_id % 13 = 0)
-     OR (doc_id % 9 = 8 AND doc_id % 23 = 0)
+  WHERE (doc_id % 10 = 6 AND doc_id % 17 = 0)
+     OR (doc_id % 10 = 7 AND doc_id % 13 = 0)
+     OR (doc_id % 10 = 8 AND doc_id % 23 = 0)
+     OR (doc_id % 10 = 9 AND (doc_id % 17 = 3 OR doc_id % 19 = 6
+                              OR doc_id % 23 = 11))
   UNION ALL
   -- a WARC whose only captures are the excluded (d+p) % 5 = 4 pages:
   -- no text-bearing records -> the dispatcher yields a NULL row
   SELECT doc_id, NULL, NULL, NULL, NULL, NULL FROM documents
-  WHERE doc_id % 9 = 4 AND doc_id % 5 = 4 AND doc_id % 3 = 0
+  WHERE doc_id % 10 = 4 AND doc_id % 5 = 4 AND doc_id % 3 = 0
 )
 SELECT doc_id, doc_class, format, title, text,
        CAST(length(text) AS INT) AS n_chars,

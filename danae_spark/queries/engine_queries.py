@@ -1720,8 +1720,8 @@ def blob_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (chat with a validated-conversation gate, json, access-log with a
     parsed-line gate, csv), emitting (container, n_items) per blob;
     unroutable blobs — including every unit census's own reject leg —
-    yield NULL rows. The oracle composes the eight certified unit
-    oracles verbatim under the d % 8 rotation
+    yield NULL rows. The oracle composes the nine certified unit
+    oracles verbatim under the d % 9 rotation (r16: + notebook)
     (multimodal/blobharvest.py blob_harvest_roundtrip)."""
     return _blobharvest.blob_harvest_roundtrip(spark, sf_dir)
 
@@ -1772,3 +1772,21 @@ def webp_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     dHash XOR-aggregated); truncated-VP8L and lying-RIFF-size reject
     legs (multimodal/webp.py webp_census_roundtrip)."""
     return _webp.webp_census_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import notebook as _notebook  # noqa: E402
+
+
+@register("notebook_text_extract", oracle=_notebook.NOTEBOOK_EXTRACT_ORACLE)
+def notebook_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jupyter-notebook (.ipynb) text extraction (r16 — the
+    GitHub-scale code+prose corpus class): per doc a real nbformat-4
+    notebook (both source channels, both kernel-metadata channels,
+    execution outputs attached then STRIPPED, raw cells counted but
+    excluded) is synthesized, parsed by the strict extractor, and
+    language / cell counts / title / text restated as doc_id
+    arithmetic; truncated-JSON, nbformat-3 and cells-not-a-list reject
+    legs. Routed in text_harvest AND blob_harvest via the
+    identity-first nbformat-signature rule
+    (multimodal/notebook.py notebook_extract_roundtrip)."""
+    return _notebook.notebook_extract_roundtrip(spark, sf_dir)

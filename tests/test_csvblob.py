@@ -555,14 +555,16 @@ def test_blob_harvest_routing_sweep():
     an access log)."""
     from danae_spark.multimodal.blobharvest import route_blob, synth_blob
 
-    kinds = ["csv", "json", "parquet", "sqlite", "access_log", "chat", "avro", "orc"]
+    kinds = ["csv", "json", "parquet", "sqlite", "access_log", "chat",
+             "avro", "orc", "notebook"]
     rejects = [
         lambda d: d % 19 == 3, lambda d: d % 23 == 7, lambda d: d % 21 == 9,
         lambda d: d % 27 == 11, lambda d: d % 25 == 13, lambda d: d % 29 == 17,
         lambda d: d % 19 == 7, lambda d: d % 17 == 9,
+        lambda d: d % 17 == 3 or d % 19 == 6 or d % 23 == 11,
     ]
-    for d in range(800):
-        k = d % 8
+    for d in range(900):
+        k = d % 9
         r = route_blob(synth_blob(d))
         if rejects[k](d):
             assert r is None, (d, kinds[k], r)
@@ -589,6 +591,7 @@ def test_blob_harvest_frame_and_registered_oracle(spark, sf_dir):
     )
     got = {r["doc_id"]: r for r in blob_harvest_frame(df).collect()}
     assert got[0]["container"] == "csv" and got[7]["container"] == "orc"
+    assert got[8]["container"] == "notebook"
     assert got[99]["container"] is None
     plan = blob_harvest_frame(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # one narrow map, the census contract

@@ -18,22 +18,23 @@ from danae_spark.multimodal.harvest import (
 def test_dispatch_matrix():
     want_cls = [
         "html", "pdf", "subtitle", "text", "warc", "archive",
-        "office", "rtf", "epub",
+        "office", "rtf", "epub", "notebook",
     ]
     for d in range(200):
         c = harvest_text(synth_doc(d))
         if (
-            (d % 9 == 6 and d % 17 == 0)
-            or (d % 9 == 7 and d % 13 == 0)
-            or (d % 9 == 8 and d % 23 == 0)
+            (d % 10 == 6 and d % 17 == 0)
+            or (d % 10 == 7 and d % 13 == 0)
+            or (d % 10 == 8 and d % 23 == 0)
+            or (d % 10 == 9 and (d % 17 == 3 or d % 19 == 6 or d % 23 == 11))
         ):
-            assert c is None, d  # truncated package: reject whole
+            assert c is None, d  # truncated/corrupt package: reject whole
             continue
-        if d % 9 == 4 and d % 5 == 4 and d % 3 == 0:
+        if d % 10 == 4 and d % 5 == 4 and d % 3 == 0:
             assert c is None, d  # WARC whose only captures are excluded
             continue
         assert c is not None, d
-        assert c["doc_class"] == want_cls[d % 9], d
+        assert c["doc_class"] == want_cls[d % 10], d
         assert c["text"], d
 
 
@@ -46,33 +47,40 @@ def test_agrees_with_unit_extractors():
     from danae_spark.multimodal.subtitles import parse_subtitles, synth_subtitles
 
     # html (cls 0)
-    assert harvest_text(synth_doc(9))["text"] == expected_html_row(9)["text"]
-    assert harvest_text(synth_doc(9))["title"] == expected_html_row(9)["title"]
+    assert harvest_text(synth_doc(10))["text"] == expected_html_row(10)["text"]
+    assert harvest_text(synth_doc(10))["title"] == expected_html_row(10)["title"]
     # pdf (cls 1)
-    assert harvest_text(synth_doc(10))["text"] == expected_pdf_row(10)["text"]
+    assert harvest_text(synth_doc(11))["text"] == expected_pdf_row(11)["text"]
     # subtitle (cls 2)
-    assert harvest_text(synth_doc(11))["text"] == parse_subtitles(synth_subtitles(11))["text"]
+    assert harvest_text(synth_doc(12))["text"] == parse_subtitles(synth_subtitles(12))["text"]
     # zip of subtitles (cls 5): both members' transcripts joined
     want = "\n".join(
-        parse_subtitles(synth_subtitles(14 * 4 + k))["text"] for k in range(2)
+        parse_subtitles(synth_subtitles(15 * 4 + k))["text"] for k in range(2)
     )
-    assert harvest_text(synth_doc(14))["text"] == want
+    assert harvest_text(synth_doc(15))["text"] == want
     # office (cls 6): dispatch agrees with the unit extractor, and the
     # package identity wins over the plain-archive route
-    unit = parse_office(synth_office(15))
-    got = harvest_text(synth_doc(15))
+    unit = parse_office(synth_office(16))
+    got = harvest_text(synth_doc(16))
     assert got["doc_class"] == "office" and got["format"] == unit["format"]
     assert got["text"] == unit["text"] and got["title"] == unit["title"]
     # rtf (cls 7)
-    r_unit = parse_rtf(synth_rtf(16))
-    r_got = harvest_text(synth_doc(16))
+    r_unit = parse_rtf(synth_rtf(17))
+    r_got = harvest_text(synth_doc(17))
     assert r_got["doc_class"] == "rtf" and r_got["text"] == r_unit["text"]
     assert r_got["title"] == r_unit["title"]
     # epub (cls 8): spine-ordered chapters via the certified extractor
-    b_unit = parse_epub(synth_epub(17))
-    b_got = harvest_text(synth_doc(17))
+    b_unit = parse_epub(synth_epub(18))
+    b_got = harvest_text(synth_doc(18))
     assert b_got["doc_class"] == "epub" and b_got["text"] == b_unit["text"]
     assert b_got["title"] == b_unit["title"]
+    # notebook (cls 9, r16): markdown+code text, outputs stripped
+    from danae_spark.multimodal.notebook import parse_notebook, synth_notebook
+
+    n_unit = parse_notebook(synth_notebook(19))
+    n_got = harvest_text(synth_doc(19))
+    assert n_got["doc_class"] == "notebook" and n_got["format"] == "ipynb"
+    assert n_got["text"] == n_unit["text"] and n_got["title"] == n_unit["title"]
 
 
 def test_warc_gz_routing():
@@ -284,9 +292,10 @@ def test_corpus_format_census_matches_oracle(spark, sf_dir):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
     want = [tuple(r) for r in con.execute(CORPUS_FORMAT_CENSUS_ORACLE).fetchall()]
-    assert sorted(got, key=str) == sorted(want, key=str) and len(got) >= 12
+    assert sorted(got, key=str) == sorted(want, key=str) and len(got) >= 11
     classes = {r[0] for r in got}
-    assert {"html", "pdf", "office", "rtf", "epub", "warc", None} <= classes
+    assert {"html", "pdf", "office", "rtf", "epub", "warc", "notebook",
+            None} <= classes
 
 
 def test_tar_xz_and_bz2_archives_walk():
