@@ -223,6 +223,22 @@ def harvest_text(
             "text": nb["text"],
         }
 
+    if b"\\documentclass" in p[:65536] or b"\\begin{document}" in p[:65536]:
+        # TeX identity rule (r16): a payload carrying the documentclass
+        # / document-environment signature parses as LaTeX or rejects
+        # whole — macros must not leak into the corpus as class "text"
+        from danae_spark.multimodal.latex import parse_latex
+
+        tex = parse_latex(p)
+        if tex is None:
+            return None
+        return {
+            "doc_class": "latex",
+            "format": "tex",
+            "title": tex["title"],
+            "text": tex["text"],
+        }
+
     sub = parse_subtitles(p)
     if sub is not None:
         return {

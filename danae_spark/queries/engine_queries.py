@@ -1790,3 +1790,24 @@ def notebook_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity-first nbformat-signature rule
     (multimodal/notebook.py notebook_extract_roundtrip)."""
     return _notebook.notebook_extract_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import latex as _latex  # noqa: E402
+
+
+@register("latex_text_extract", oracle=_latex.LATEX_EXTRACT_ORACLE)
+def latex_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LaTeX (.tex) text extraction (r16 — the arXiv corpus class):
+    per doc a real arXiv-style source (comments, wrapper + plumbing
+    macros, \\cite/\\ref, inline + display math as a COUNTED dropped
+    boundary, escaped characters, itemize lists, title/section
+    capture) is synthesized, extracted by the one-pass walker with
+    reject-whole on unbalanced braces / unterminated math or
+    environments, and title / section / math / comment / citation
+    counts plus the normalized paragraph text restated as doc_id
+    arithmetic; d%13==5 (unbalanced brace) and d%19==2 (unterminated
+    equation) reject legs. Routed in text_harvest via the
+    \\documentclass / \\begin{{document}} identity rule, which also
+    covers .tex members inside archives
+    (multimodal/latex.py latex_extract_roundtrip)."""
+    return _latex.latex_extract_roundtrip(spark, sf_dir)
