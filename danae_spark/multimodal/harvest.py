@@ -239,6 +239,23 @@ def harvest_text(
             "text": tex["text"],
         }
 
+    from danae_spark.multimodal.eml import looks_like_mail, parse_mail
+
+    if looks_like_mail(p):
+        # mail identity rule (r16): the mbox `From ` magic or the
+        # header-shape signature claims the RFC 5322/MIME grammar —
+        # parse or reject whole (raw headers/base64 must not ship as
+        # class "text")
+        mail = parse_mail(p)
+        if mail is None:
+            return None
+        return {
+            "doc_class": "email",
+            "format": mail["variant"],
+            "title": mail["subject"],
+            "text": mail["text"],
+        }
+
     sub = parse_subtitles(p)
     if sub is not None:
         return {

@@ -1811,3 +1811,22 @@ def latex_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers .tex members inside archives
     (multimodal/latex.py latex_extract_roundtrip)."""
     return _latex.latex_extract_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import eml as _eml  # noqa: E402
+
+
+@register("mail_text_extract", oracle=_eml.MAIL_EXTRACT_ORACLE)
+def mail_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email (EML/mbox) MIME extraction (r16 — the mailing-list
+    corpus class): per doc a real RFC 5322 message (plain 7bit,
+    base64, quoted-printable incl. soft breaks, multipart/mixed with
+    a text part + an html part routed through the CERTIFIED html
+    extractor + a counted-skipped attachment, or an mbox of several
+    messages), with RFC 2047 encoded-word subjects — parsed by the
+    from-spec MIME walker and subject / sender / part counts / text
+    restated as doc_id arithmetic (the html part reuses the certified
+    html_text_sql fragment); bad-base64, unterminated-multipart and
+    unknown-charset reject legs
+    (multimodal/eml.py mail_extract_roundtrip)."""
+    return _eml.mail_extract_roundtrip(spark, sf_dir)
