@@ -1830,3 +1830,21 @@ def mail_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     unknown-charset reject legs
     (multimodal/eml.py mail_extract_roundtrip)."""
     return _eml.mail_extract_roundtrip(spark, sf_dir)
+
+
+from danae_spark.operators import codestats as _codestats  # noqa: E402
+
+
+@register("code_corpus_stats", oracle=_codestats.CODE_STATS_ORACLE)
+def code_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-corpus operators (r16 — the StarCoder-class curation leg):
+    per doc a real polyglot source file (python / javascript / c / go
+    / rust / java, five license channels) is synthesized and analyzed
+    in one narrow pass — SPDX-tag-first license detection with
+    header-text fallbacks, content-marker language detection,
+    per-language line/comment/blank/code counts (block comments
+    counted per line, unterminated blocks reject whole), and the
+    structural-line code-vs-prose classifier; prose and binary-reject
+    legs; every column restated as doc_id arithmetic
+    (operators/codestats.py code_stats_roundtrip)."""
+    return _codestats.code_stats_roundtrip(spark, sf_dir)
