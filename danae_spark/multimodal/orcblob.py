@@ -22,7 +22,14 @@ little-endian header, low bit = stored-original):
     what you could not read.
 
 Census row: compression, n_rows, n_stripes, n_cols, columns,
-content_bytes (footer contentLength). Reject-whole: bad magic,
+content_bytes (footer contentLength), and (r16) the COLUMN-STATISTICS
+layer a compaction / data-skipping planner reads from the same tail:
+file-level ColumnStatistics (footer field 7 — numberOfValues, hasNull,
+IntegerStatistics min/max/sum as zigzag sint64) surfaced for the first
+data column, plus the Metadata section's per-stripe StripeStatistics
+groups (postscript metadataLength, field 5) parsed and CROSS-CHECKED
+against the file stats (aggregated stripe min/max must reproduce the
+file min/max — stripe_stats_consistent). Reject-whole: bad magic,
 truncated tail, protobuf overruns, codec failures, stripe-row
 mismatch with the footer total.
 """
@@ -280,6 +287,7 @@ def _parse(payload: bytes) -> Optional[dict]:
         return None
     ps = payload[-1 - ps_len : -1]
     footer_len = None
+    meta_len = 0
     kind = 0
     magic = None
     for field, wire, v in _pb_fields(ps):
@@ -287,6 +295,8 @@ def _parse(payload: bytes) -> Optional[dict]:
             footer_len = v
         elif field == 2 and wire == 0:
             kind = v
+        elif field == 5 and wire == 0:
+            meta_len = v  # Metadata section (stripe-level column stats)
         elif field == 8000 and wire == 2:
             magic = v
     if magic != b"ORC" or footer_len is None:
@@ -294,7 +304,7 @@ def _parse(payload: bytes) -> Optional[dict]:
     if kind not in (0, 1, 2, 4, 5):
         return None  # lzo or unknown: not decodable here
     end = len(payload) - 1 - ps_len
-    if footer_len > end:
+    if footer_len + meta_len > end:
         raise _Bad
     footer = _orc_decompress(payload[end - footer_len : end], kind)
 
@@ -303,6 +313,7 @@ def _parse(payload: bytes) -> Optional[dict]:
     stripe_rows: list[int] = []
     root_fields: list[str] = []
     n_types = 0
+    file_stats: list[dict] = []
     for field, wire, v in _pb_fields(footer):
         if field == 2 and wire == 0:
             content_bytes = v
@@ -320,10 +331,40 @@ def _parse(payload: bytes) -> Optional[dict]:
                         root_fields.append(tv.decode("utf-8"))
         elif field == 6 and wire == 0:
             n_rows = v
+        elif field == 7 and wire == 2:  # file-level ColumnStatistics
+            file_stats.append(_column_stats(v))
     if n_rows is None or n_types == 0:
         raise _Bad
     if stripe_rows and sum(stripe_rows) != n_rows:
         raise _Bad  # the stripe list lied about the total
+    # stripe-level column stats from the Metadata section (the same
+    # ~KB tail read): one StripeStatistics group per stripe, each with
+    # one ColumnStatistics per type — the data-skipping planner's
+    # min/max selectivity input (r16)
+    n_stripe_groups = 0
+    stripe_consistent = None
+    if meta_len:
+        meta = _orc_decompress(
+            payload[end - footer_len - meta_len : end - footer_len], kind
+        )
+        stripe_groups: list[list[dict]] = []
+        for field, wire, v in _pb_fields(meta):
+            if field == 1 and wire == 2:  # StripeStatistics
+                stripe_groups.append(
+                    [_column_stats(cv) for cf, cw, cv in _pb_fields(v)
+                     if cf == 1 and cw == 2]
+                )
+        n_stripe_groups = len(stripe_groups)
+        stripe_consistent = True
+        for col_ix, fs in enumerate(file_stats):
+            if fs.get("min") is None:
+                continue
+            per = [g[col_ix] for g in stripe_groups if col_ix < len(g)]
+            mins = [s["min"] for s in per if s.get("min") is not None]
+            maxs = [s["max"] for s in per if s.get("max") is not None]
+            if not mins or min(mins) != fs["min"] or max(maxs) != fs["max"]:
+                stripe_consistent = False
+    c0 = file_stats[1] if len(file_stats) > 1 else {}
     return {
         "compression": _COMPRESSION[kind],
         "n_rows": n_rows,
@@ -331,7 +372,39 @@ def _parse(payload: bytes) -> Optional[dict]:
         "n_cols": len(root_fields),
         "columns": "/".join(root_fields),
         "content_bytes": content_bytes,
+        "n_stat_cols": len(file_stats) or None,
+        "c0_min": c0.get("min"),
+        "c0_max": c0.get("max"),
+        "c0_sum": c0.get("sum"),
+        "has_null": c0.get("has_null"),
+        "n_stripe_stat_groups": n_stripe_groups if meta_len else None,
+        "stripe_stats_consistent": stripe_consistent,
     }
+
+
+def _zigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def _column_stats(buf: bytes) -> dict:
+    """One ColumnStatistics message: numberOfValues, hasNull, and the
+    IntegerStatistics min/max/sum (sint64 zigzag) when present."""
+    out: dict = {"n_values": None, "min": None, "max": None, "sum": None,
+                 "has_null": None}
+    for f, w, v in _pb_fields(buf):
+        if f == 1 and w == 0:
+            out["n_values"] = v
+        elif f == 2 and w == 2:  # IntegerStatistics
+            for f2, w2, v2 in _pb_fields(v):
+                if f2 == 1 and w2 == 0:
+                    out["min"] = _zigzag(v2)
+                elif f2 == 2 and w2 == 0:
+                    out["max"] = _zigzag(v2)
+                elif f2 == 3 and w2 == 0:
+                    out["sum"] = _zigzag(v2)
+        elif f == 10 and w == 0:
+            out["has_null"] = bool(v)
+    return out
 
 
 # ----------------------------------------------------------- synthesis
@@ -378,9 +451,13 @@ def synth_orc(d: int) -> bytes:
 
 _SCHEMA = (
     "doc_id bigint, compression string, n_rows int, n_stripes int, "
-    "n_cols int, columns string"
+    "n_cols int, columns string, n_stat_cols int, c0_min bigint, "
+    "c0_max bigint, c0_sum bigint, has_null boolean, "
+    "n_stripe_stat_groups int, stripe_stats_consistent boolean"
 )
-_COLS = ["compression", "n_rows", "n_stripes", "n_cols", "columns"]
+_COLS = ["compression", "n_rows", "n_stripes", "n_cols", "columns",
+         "n_stat_cols", "c0_min", "c0_max", "c0_sum", "has_null",
+         "n_stripe_stat_groups", "stripe_stats_consistent"]
 
 
 def _parse_census(payload: bytes) -> Optional[dict]:
@@ -410,7 +487,17 @@ def orc_census_roundtrip(spark, sf_dir: str):
 
 
 ORC_CENSUS_ORACLE = """
-WITH d0 AS (SELECT doc_id, doc_id AS d FROM documents)
+WITH d0 AS (SELECT doc_id, doc_id AS d FROM documents),
+-- c0 values are (3d + i) % 100 for i < n_rows: min/max/sum restated
+c0 AS (
+  SELECT d0.doc_id,
+         CAST(min((3 * d0.d + i.i) % 100) AS BIGINT) AS c0_min,
+         CAST(max((3 * d0.d + i.i) % 100) AS BIGINT) AS c0_max,
+         CAST(sum((3 * d0.d + i.i) % 100) AS BIGINT) AS c0_sum
+  FROM d0 JOIN generate_series(0, 16) i(i) ON i.i < 10 + d0.d % 7
+  WHERE d0.d % 17 <> 9
+  GROUP BY d0.doc_id
+)
 SELECT doc_id,
        CASE WHEN d % 17 = 9 THEN NULL
             ELSE (CASE d % 5 WHEN 0 THEN 'none' WHEN 1 THEN 'zlib'
@@ -424,6 +511,12 @@ SELECT doc_id,
             ELSE CAST(2 + d % 2 AS INT) END AS n_cols,
        CASE WHEN d % 17 = 9 THEN NULL
             ELSE 'c0/c1' || CASE WHEN d % 2 = 1 THEN '/c2' ELSE '' END
-            END AS columns
-FROM d0 ORDER BY doc_id
+            END AS columns,
+       CASE WHEN d % 17 = 9 THEN NULL
+            ELSE CAST(3 + d % 2 AS INT) END AS n_stat_cols,
+       c0.c0_min, c0.c0_max, c0.c0_sum,
+       CASE WHEN d % 17 = 9 THEN NULL ELSE FALSE END AS has_null,
+       CASE WHEN d % 17 = 9 THEN NULL ELSE 1 END AS n_stripe_stat_groups,
+       CASE WHEN d % 17 = 9 THEN NULL ELSE TRUE END AS stripe_stats_consistent
+FROM d0 LEFT JOIN c0 USING (doc_id) ORDER BY doc_id
 """

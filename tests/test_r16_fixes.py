@@ -145,3 +145,48 @@ def test_triage_oracle_case_tracks_rt_formats():
     assert f"(b.doc_id // 10) % {len(_RT_FORMATS)}" in MEDIA_TRIAGE_ORACLE
     for i in range(len(_RT_FORMATS)):
         assert f"WHEN {i} THEN '" in MEDIA_TRIAGE_ORACLE
+
+
+# ------------------------------------------- ORC column statistics (r16)
+
+
+def test_orc_column_stats_from_tail():
+    """File-level IntegerStatistics (zigzag sint64, incl. negatives)
+    and the Metadata stripe-stats groups parse from the same tail read
+    and cross-check consistent."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    from danae_spark.multimodal.orcblob import parse_orc_blob
+
+    buf = io.BytesIO()
+    orc.write_table(
+        pa.table({"c0": pa.array([-7, 3, 42, -1, 0], pa.int64()),
+                  "c1": pa.array(list("abcde"))}),
+        buf, compression="ZLIB",
+    )
+    r = parse_orc_blob(buf.getvalue())
+    assert r is not None
+    assert (r["c0_min"], r["c0_max"], r["c0_sum"]) == (-7, 42, 37)
+    assert r["has_null"] is False and r["n_stat_cols"] == 3
+    assert r["n_stripe_stat_groups"] == r["n_stripes"] == 1
+    assert r["stripe_stats_consistent"] is True
+
+
+def test_orc_stats_null_column():
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    from danae_spark.multimodal.orcblob import parse_orc_blob
+
+    buf = io.BytesIO()
+    orc.write_table(
+        pa.table({"c0": pa.array([1, None, 5], pa.int64())}), buf,
+        compression="UNCOMPRESSED",
+    )
+    r = parse_orc_blob(buf.getvalue())
+    assert r["has_null"] is True and (r["c0_min"], r["c0_max"]) == (1, 5)
