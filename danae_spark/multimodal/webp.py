@@ -30,10 +30,11 @@ lossless bitstream spec):
     documented codec boundary of multimodal/binary.py:14;
   - the RIFF walk: plain VP8/VP8L stills, VP8X extended files
     (canvas, feature flags, unknown-chunk skip per RIFF convention)
-    and ANIM/ANMF animations (frame rects validated against the
-    canvas, per-frame lossless decode, duration sum). Animation
-    frames are decoded and digested FRAME-LEVEL; canvas compositing
-    (the gif_anim treatment) is declared out of scope here.
+    and ANIM/ANMF animations: frame rects validated against the
+    canvas, per-frame lossless decode, duration sum, and REAL canvas
+    compositing (r16, the gif_anim treatment) — transparent-black
+    canvas, per-frame alpha-blend or overwrite per the blending flag,
+    dispose-to-background, canvas-level digests.
 
 Reference parity note: the reference engine (see SURVEY §1) has no
 media code at all — this is extension surface for the 100 TB crawl
@@ -943,13 +944,62 @@ def encode_vp8l(rgba: np.ndarray, mode: str = "sg", pred_mode: int = 0,
             pixels = packed
         else:
             pixels = [0xFF000000 | (index_of[p] << 8) for p in pixels]
-    elif mode not in ("lit", "lz"):
+    elif mode not in ("lit", "lz", "meta"):
         raise ValueError(f"unknown mode {mode!r}")
     bw.write(0, 1)  # end of transforms
-    _write_image_data(bw, pixels, cur_w, True,
-                      cache_bits=4 if mode == "lz" else 0,
-                      use_lz=(mode == "lz"), plain_dist=plain_dist)
+    if mode == "meta":
+        _write_image_data_meta(bw, pixels, cur_w, h)
+    else:
+        _write_image_data(bw, pixels, cur_w, True,
+                          cache_bits=4 if mode == "lz" else 0,
+                          use_lz=(mode == "lz"), plain_dist=plain_dist)
     return b"\x2f" + bw.done()
+
+
+def _write_image_data_meta(bw: _BitWriter, pixels: list[int], w: int,
+                           h: int, meta_bits: int = 2) -> None:
+    """Main image with a REAL meta-prefix (entropy) image: two prefix
+    groups in a checkerboard over (1 << meta_bits)-pixel blocks, each
+    group with its own five codes — exercises the decoder's
+    group-switching path, which single-group streams never touch."""
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # meta-prefix present
+    bw.write(meta_bits - 2, 3)
+    mw = _div_up(w, 1 << meta_bits)
+    mh = _div_up(h, 1 << meta_bits)
+    group = [[(bx + by) % 2 for bx in range(mw)] for by in range(mh)]
+    n_groups = 2 if (mw > 1 or mh > 1) else 1
+    meta_px = [0xFF000000 | (group[by][bx] << 8)
+               for by in range(mh) for bx in range(mw)]
+    _write_image_data(bw, meta_px, mw, False)
+    freqs = [
+        {"g": {}, "r": {}, "b": {}, "a": {}} for _ in range(n_groups)
+    ]
+    def gix(pos: int) -> int:
+        y, x = divmod(pos, w)
+        return group[y >> meta_bits][x >> meta_bits]
+    for pos, px in enumerate(pixels):
+        a, r, g, b = _chans(px)
+        f = freqs[gix(pos)]
+        f["g"][g] = f["g"].get(g, 0) + 1
+        f["r"][r] = f["r"].get(r, 0) + 1
+        f["b"][b] = f["b"].get(b, 0) + 1
+        f["a"][a] = f["a"].get(a, 0) + 1
+    codes = []
+    for f in freqs:
+        gc = _write_code(bw, f["g"], 256 + 24)
+        rc = _write_code(bw, f["r"], 256)
+        bc = _write_code(bw, f["b"], 256)
+        ac = _write_code(bw, f["a"], 256)
+        dc = _write_code(bw, {}, 40)
+        codes.append((gc, rc, bc, ac, dc))
+    for pos, px in enumerate(pixels):
+        a, r, g, b = _chans(px)
+        gc, rc, bc, ac, _ = codes[gix(pos)]
+        _write_symbol(bw, gc, g)
+        _write_symbol(bw, rc, r)
+        _write_symbol(bw, bc, b)
+        _write_symbol(bw, ac, a)
 
 
 # ------------------------------------------------- container (RIFF)
@@ -1076,13 +1126,22 @@ def _parse_webp(p: bytes) -> Optional[dict]:
                 }
             # ICCP/ALPH/EXIF/XMP and unknown chunks: skipped per RIFF
         raise _Bad  # extended still with no image chunk
-    # animation: ANIM params then ANMF frames
+    # animation: ANIM params then ANMF frames, COMPOSITED onto the
+    # canvas per the spec (r16 — the gif_anim treatment): canvas
+    # starts transparent black; each frame alpha-blends (flags bit 1
+    # clear) or overwrites (bit 1 set) its rect, is digested at the
+    # CANVAS level, then optionally disposes its rect back to
+    # transparent black (flags bit 0)
     if not rest or rest[0][0] != b"ANIM" or rest[0][2] != 6:
+        raise _Bad
+    if cw * ch > _MAX_PIXELS:
         raise _Bad
     n_frames = 0
     duration = 0
     acc = 0
     all_lossless = True
+    canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+    work_budget = _MAX_PIXELS * 4  # pixels x frames CPU bound
     for fcc, body, size in rest[1:]:
         if fcc != b"ANMF":
             continue  # trailing EXIF/XMP etc.
@@ -1093,6 +1152,7 @@ def _parse_webp(p: bytes) -> Optional[dict]:
         fw = 1 + int.from_bytes(p[body + 6 : body + 9], "little")
         fh = 1 + int.from_bytes(p[body + 9 : body + 12], "little")
         dur = int.from_bytes(p[body + 12 : body + 15], "little")
+        flags = p[body + 15]
         if fx + fw > cw or fy + fh > ch:
             raise _Bad  # frame rect outside the canvas
         img = None
@@ -1109,7 +1169,21 @@ def _parse_webp(p: bytes) -> Optional[dict]:
             px = _vp8l_required(p[sbody : sbody + ssize])
             if px.shape[1] != fw or px.shape[0] != fh:
                 raise _Bad
-            acc ^= _dhash_of(px)
+            work_budget -= cw * ch
+            if work_budget < 0:
+                raise _Bad
+            if px.shape[2] == 3:
+                frame = np.dstack([px, np.full((fh, fw), 255, np.uint8)])
+            else:
+                frame = px
+            region = canvas[fy : fy + fh, fx : fx + fw]
+            if flags & 0x02:  # do-not-blend: overwrite the rect
+                region[:] = frame
+            else:
+                _alpha_blend(region, frame)
+            acc ^= _dhash_of(canvas)
+            if flags & 0x01:  # dispose to (transparent) background
+                canvas[fy : fy + fh, fx : fx + fw] = 0
         else:
             w, h, _v = parse_vp8_header(p[sbody : sbody + ssize])
             if w != fw or h != fh:
@@ -1126,6 +1200,23 @@ def _parse_webp(p: bytes) -> Optional[dict]:
         "lossless": all_lossless, "n_frames": n_frames,
         "duration_ms": duration, "dhash": acc if all_lossless else None,
     }
+
+
+def _alpha_blend(region: np.ndarray, frame: np.ndarray) -> None:
+    """Spec over-compositing in integer form: out_a = fa + ca(255-fa)
+    /255; out_rgb = (rgb_f*fa*255 + rgb_c*ca*(255-fa)) / (out_a*255),
+    divisions truncating (the deterministic integer reading of the
+    spec's real-valued formula)."""
+    fa = frame[:, :, 3].astype(np.int64)
+    ca = region[:, :, 3].astype(np.int64)
+    inv = 255 - fa
+    out_a = fa + (ca * inv) // 255
+    denom = np.maximum(out_a * 255, 1)
+    for c in range(3):
+        num = (frame[:, :, c].astype(np.int64) * fa * 255
+               + region[:, :, c].astype(np.int64) * ca * inv)
+        region[:, :, c] = np.where(out_a > 0, num // denom, 0).astype(np.uint8)
+    region[:, :, 3] = out_a.astype(np.uint8)
 
 
 def decode_webp_pixels(payload: bytes) -> Optional[np.ndarray]:

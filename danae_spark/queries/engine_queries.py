@@ -1767,9 +1767,12 @@ def webp_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebP container census (r16): plain VP8L stills (two coding
     paths), lossy VP8 keyframe headers (dims census — sample decode is
     the documented codec boundary), VP8X extended stills with skipped
-    metadata chunks, and VP8X/ANIM animations with per-frame lossless
-    decode (frame rects validated against the canvas, duration summed,
-    dHash XOR-aggregated); truncated-VP8L and lying-RIFF-size reject
+    metadata chunks, and VP8X/ANIM animations COMPOSITED for real
+    (transparent-black canvas, alpha-blend/overwrite per the blending
+    flag, dispose-to-background, canvas-level dHash XOR; frame rects
+    validated, durations summed — the oracle rotation keeps frames
+    full-rect so digests stay doc arithmetic, partial rects pinned by
+    compositing pytests); truncated-VP8L and lying-RIFF-size reject
     legs (multimodal/webp.py webp_census_roundtrip)."""
     return _webp.webp_census_roundtrip(spark, sf_dir)
 

@@ -169,6 +169,16 @@ OPERATORS = {
     "orc_blob_census": "documents",
     "blob_harvest": "documents",
     "gif_anim_frames": "documents",
+    # r16 additions: the WebP codec family, three corpus-class text
+    # extractors, and the code-corpus leg — all one-pass per-row
+    # synth -> real parse pipelines, embarrassingly parallel; plus
+    # the two rotation-widened entries re-measured (14th format)
+    "webp_pixels_roundtrip": "documents",
+    "webp_census": "documents",
+    "notebook_text_extract": "documents",
+    "latex_text_extract": "documents",
+    "mail_text_extract": "documents",
+    "code_corpus_stats": "documents",
 }
 
 
