@@ -202,6 +202,16 @@ HEADLINE = [
     "orc_blob_census",
     "blob_harvest",
     "gif_anim_frames",
+    # r16: the WebP codec family, three corpus-class extractors, the
+    # code-corpus leg (media_triage/text_harvest carry the widened
+    # rotation/grid through their existing entries)
+    "webp_pixels_roundtrip",
+    "webp_census",
+    "notebook_text_extract",
+    "latex_text_extract",
+    "mail_text_extract",
+    "code_corpus_stats",
+    "corpus_code_report",
 ]
 
 
@@ -345,13 +355,23 @@ def _noise_model(timings: dict, probe: dict, here: str, sf=None) -> dict | None:
     lo = round(min(1.0, jvm_r, py_r) / 1.2, 3)
     floor = 0.3
     outliers = {}
+    n_compared = 0
     for name, t in timings.items():
         p = pq_times.get(name)
         if p is None:
             continue
+        n_compared += 1
         band = (round(p * lo - floor, 3), round(p * hi + floor, 3))
         if not (band[0] <= t <= band[1]):
             outliers[name] = {"prev": p, "cur": t, "band": band}
+    # When MORE comparable entries sit outside the band than the model
+    # can attribute to plan changes, the run itself is the outlier (a
+    # VM burst the probe missed): declare it unusable outright instead
+    # of shipping a partial outlier list that reads like plan deltas
+    # (r15 verdict: 23/50 outliers were reported with a trimmed list).
+    verdict = "ok"
+    if n_compared >= 10 and len(outliers) * 10 > 4 * n_compared:
+        verdict = "unusable"
     return {
         "ref": ref_name,
         "jvm_ratio": jvm_r,
@@ -360,6 +380,8 @@ def _noise_model(timings: dict, probe: dict, here: str, sf=None) -> dict | None:
         "factor_lo": lo,
         "abs_floor_s": floor,
         "outliers": outliers,
+        "n_compared": n_compared,
+        "verdict": verdict,
     }
 
 
@@ -499,6 +521,7 @@ def main() -> None:
             "factor_lo": noise["factor_lo"],
             "factor_hi": noise["factor_hi"],
             "abs_floor_s": noise["abs_floor_s"],
+            "verdict": noise["verdict"],
             "outliers": sorted(noise["outliers"]),
         }
     line = json.dumps(compact, separators=(",", ":"))

@@ -1851,3 +1851,17 @@ def code_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     legs; every column restated as doc_id arithmetic
     (operators/codestats.py code_stats_roundtrip)."""
     return _codestats.code_stats_roundtrip(spark, sf_dir)
+
+
+from danae_spark.operators import codereport as _codereport  # noqa: E402
+
+
+@register("corpus_code_report", oracle=_codereport.CODE_REPORT_ORACLE)
+def corpus_code_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus code report (r16): per (bucket, language, license) file
+    counts and line volumes over the code_corpus_stats layer — the
+    codestats Arrow map + ONE map-side-combined aggregate (the
+    corpus_format_census shape); the oracle aggregates
+    CODE_STATS_ORACLE verbatim so the composition and the unit entry
+    can never drift (operators/codereport.py)."""
+    return _codereport.corpus_code_report(spark, sf_dir)

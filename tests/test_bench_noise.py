@@ -89,3 +89,25 @@ def test_unparsed_previous_round_is_skipped(tmp_path):
     (tmp_path / "BENCH_r02.json").write_text(json.dumps({"parsed": None}))
     nm = bench._noise_model(dict(q), probe, str(tmp_path))
     assert nm is not None and nm["ref"] == "BENCH_r01.json"
+
+
+def test_majority_outliers_mark_run_unusable(tmp_path):
+    """When >40% of comparable entries leave the band, the run itself
+    is the outlier (a VM burst the probe missed) — the model must say
+    'unusable', not ship a trimmed outlier list (r15 verdict nit)."""
+    import json
+
+    import bench
+
+    prev = {q: 1.0 for q in "abcdefghijkl"}
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps({
+        "parsed": {"queries": prev, "sf": 0.1,
+                   "env_probe": {"jvm_job_ms": 100.0, "python_job_ms": 100.0}},
+    }))
+    probe = {"jvm_job_ms": 100.0, "python_job_ms": 100.0}
+    burst = {q: (5.0 if i % 2 == 0 else 1.0) for i, q in enumerate(prev)}
+    nm = bench._noise_model(burst, probe, str(tmp_path), sf=0.1)
+    assert nm["n_compared"] == 12 and len(nm["outliers"]) == 6
+    assert nm["verdict"] == "unusable"
+    calm = {q: 1.05 for q in prev}
+    assert bench._noise_model(calm, probe, str(tmp_path), sf=0.1)["verdict"] == "ok"

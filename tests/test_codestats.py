@@ -115,3 +115,29 @@ def test_frame_api(spark):
     assert out[0]["language"] == "python" and out[0]["license"] == "MIT"
     plan = code_stats_frame(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_corpus_code_report_plan_and_values(spark, sf_dir):
+    """The report is the codestats map + ONE map-side-combined
+    aggregate; bucket accounting matches the grid."""
+    from danae_spark.operators.codereport import corpus_code_report
+
+    df = corpus_code_report(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the deliberate doc_id input repartition + the ONE aggregate
+    # shuffle; the partial HashAggregate below it is the map-side
+    # combine the composition exists to keep
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "partial_count" in plan, plan
+    rows = df.collect()
+    buckets = {}
+    for r in rows:
+        buckets[r["bucket"]] = buckets.get(r["bucket"], 0) + r["n_files"]
+    n_docs = sum(buckets.values())
+    want_rej = sum(1 for d in range(n_docs) if d % 13 == 7)
+    want_prose = sum(1 for d in range(n_docs) if d % 13 != 7 and d % 7 == 2)
+    assert buckets["reject"] == want_rej
+    assert buckets["prose"] == want_prose
+    assert buckets["code"] == n_docs - want_rej - want_prose
+    rej = [r for r in rows if r["bucket"] == "reject"]
+    assert len(rej) == 1 and rej[0]["total_lines"] is None
