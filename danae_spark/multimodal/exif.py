@@ -129,11 +129,30 @@ def _dms_to_degrees(dms: list[tuple[int, int]], ref: str) -> float:
 def parse_exif(payload: bytes) -> dict | None:
     """Walk the JPEG segment stream for APP1/Exif and decode the TIFF
     block — or, for a BARE TIFF payload (r15: .tif files carry the
-    same IFD structure directly, no JPEG wrapper), decode it as-is.
-    Returns the metadata dict, {} for a JPEG without EXIF, None for a
-    malformed EXIF block or an unrecognized payload."""
+    same IFD structure directly, no JPEG wrapper), decode it as-is —
+    or, for a WebP container (r16), the VP8X EXIF chunk's TIFF block
+    (raw or with the JPEG-style "Exif\\0\\0" prefix some writers keep).
+    Returns the metadata dict, {} for a JPEG/WebP without EXIF, None
+    for a malformed EXIF block or an unrecognized payload."""
     if len(payload) >= 8 and payload[:4] in (b"II*\x00", b"MM\x00*"):
         return _parse_tiff_block(payload)
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from danae_spark.multimodal.webp import _Bad, _riff_chunks
+
+        try:
+            (riff,) = struct.unpack_from("<I", payload, 4)
+            end = 8 + riff
+            if riff < 4 or end > len(payload):
+                return None
+            for fcc, body, size in _riff_chunks(payload, 12, end):
+                if fcc == b"EXIF":
+                    blob = payload[body : body + size]
+                    if blob[:6] == b"Exif\x00\x00":
+                        blob = blob[6:]
+                    return _parse_tiff_block(blob)
+        except (_Bad, struct.error):
+            return None
+        return {}  # a recognized WebP without EXIF metadata
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         return None
     pos = 2

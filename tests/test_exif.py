@@ -167,3 +167,45 @@ def test_bare_tiff_payloads_decode():
 
     # truncated bare TIFF rejects
     assert parse_exif(tiff[:10]) is None
+
+
+def test_webp_exif_chunk_routes_to_tiff_parse():
+    """r16: a WebP's VP8X EXIF chunk (raw TIFF or with the Exif\\0\\0
+    prefix) parses to the SAME metadata as the JPEG APP1 carrying the
+    identical block; a WebP without EXIF is {} (recognized, empty)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from danae_spark.multimodal.exif import parse_exif, synth_exif_jpeg
+    from danae_spark.multimodal.webp import (
+        _gray_rgba,
+        _riff,
+        _vp8x_body,
+        encode_vp8l,
+    )
+
+    d = 1  # carries EXIF (d%7 != 6), intact TIFF (d%13 != 12)
+    jpeg = synth_exif_jpeg(d)
+    want = parse_exif(jpeg)
+    assert want and want.get("make")
+    # lift the TIFF block out of the APP1 segment
+    ix = jpeg.find(b"Exif\x00\x00")
+    assert ix > 0
+    (seglen,) = _struct.unpack_from(">H", jpeg, ix - 2)
+    tiff = jpeg[ix + 6 : ix - 2 + seglen]
+    img = encode_vp8l(_gray_rgba(np.zeros((8, 8), np.int64)), mode="sg")
+    for blob in (tiff, b"Exif\x00\x00" + tiff):
+        webp = _riff([(b"VP8X", _vp8x_body(0x08, 8, 8)), (b"VP8L", img),
+                      (b"EXIF", blob)])
+        assert parse_exif(webp) == want
+    # no EXIF chunk: recognized container, no metadata
+    plain = _riff([(b"VP8X", _vp8x_body(0, 8, 8)), (b"VP8L", img)])
+    assert parse_exif(plain) == {}
+    # corrupt TIFF block in the chunk: reject
+    bad = _riff([(b"VP8X", _vp8x_body(0x08, 8, 8)), (b"VP8L", img),
+                 (b"EXIF", tiff[: 6])])
+    assert parse_exif(bad) is None
+    # lying RIFF size: reject
+    lying = plain[:4] + _struct.pack("<I", len(plain) + 64) + plain[8:]
+    assert parse_exif(lying) is None
