@@ -1089,13 +1089,15 @@ def _parse_webp(p: bytes) -> Optional[dict]:
         return {
             "variant": "vp8l", "width": px.shape[1], "height": px.shape[0],
             "lossless": True, "n_frames": 1, "duration_ms": None,
-            "dhash": _dhash_of(px),
+            "dhash": _dhash_of(px), "q_index": None, "filter_level": None,
         }
     if fcc0 == b"VP8 ":
-        w, h, _version = parse_vp8_header(p[body0 : body0 + size0])
+        fh = parse_vp8_frame_header(p[body0 : body0 + size0])
         return {
-            "variant": "vp8", "width": w, "height": h, "lossless": False,
-            "n_frames": 1, "duration_ms": None, "dhash": None,
+            "variant": "vp8", "width": fh["width"], "height": fh["height"],
+            "lossless": False, "n_frames": 1, "duration_ms": None,
+            "dhash": None, "q_index": fh["q_index"],
+            "filter_level": fh["filter_level"],
         }
     if fcc0 != b"VP8X" or size0 != 10:
         raise _Bad
@@ -1113,16 +1115,18 @@ def _parse_webp(p: bytes) -> Optional[dict]:
                 return {
                     "variant": "vp8x-still", "width": cw, "height": ch,
                     "lossless": True, "n_frames": 1, "duration_ms": None,
-                    "dhash": _dhash_of(px),
+                    "dhash": _dhash_of(px), "q_index": None,
+                    "filter_level": None,
                 }
             if fcc == b"VP8 ":
-                w, h, _v = parse_vp8_header(p[body : body + size])
-                if w != cw or h != ch:
+                fh = parse_vp8_frame_header(p[body : body + size])
+                if fh["width"] != cw or fh["height"] != ch:
                     raise _Bad
                 return {
                     "variant": "vp8x-still", "width": cw, "height": ch,
                     "lossless": False, "n_frames": 1, "duration_ms": None,
-                    "dhash": None,
+                    "dhash": None, "q_index": fh["q_index"],
+                    "filter_level": fh["filter_level"],
                 }
             # ICCP/ALPH/EXIF/XMP and unknown chunks: skipped per RIFF
         raise _Bad  # extended still with no image chunk
@@ -1199,6 +1203,7 @@ def _parse_webp(p: bytes) -> Optional[dict]:
         "variant": "vp8x-anim", "width": cw, "height": ch,
         "lossless": all_lossless, "n_frames": n_frames,
         "duration_ms": duration, "dhash": acc if all_lossless else None,
+        "q_index": None, "filter_level": None,
     }
 
 
@@ -1346,14 +1351,13 @@ def synth_webp_census(d: int) -> bytes:
                            plain_dist=bool((d // 7) % 2))
         return _riff([(b"VP8L", data)])
     if v == 2:
-        w = 16 + d % 100
-        h = 16 + d % 80
-        part = 10 + d % 20
-        tag = (0) | ((d % 4) << 1) | (1 << 4) | (part << 5)
-        hdr = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
-        hdr += b"\x9d\x01\x2a"
-        hdr += struct.pack("<HH", w, h)
-        return _riff([(b"VP8 ", hdr + bytes(part))])
+        frame = synth_vp8_keyframe(
+            16 + d % 100, 16 + d % 80, version=d % 4,
+            q_index=d % 128, filter_level=d % 64, sharpness=d % 8,
+            log2_parts=d % 4, segmentation=(d % 5 == 0),
+            lf_adjust=(d % 3 == 0),
+        )
+        return _riff([(b"VP8 ", frame)])
     if v == 3:
         data = encode_vp8l(_gray_rgba(_census_lum(d)), mode="sg")
         return _riff([
@@ -1380,10 +1384,11 @@ def synth_webp_census(d: int) -> bytes:
 # -------------------------------------------------- Spark surfaces
 
 _CENSUS_COLS = ["variant", "width", "height", "lossless", "n_frames",
-                "duration_ms", "dhash"]
+                "duration_ms", "dhash", "q_index", "filter_level"]
 _CENSUS_SCHEMA = (
     "doc_id bigint, variant string, width int, height int, "
-    "lossless boolean, n_frames bigint, duration_ms bigint, dhash bigint"
+    "lossless boolean, n_frames bigint, duration_ms bigint, dhash bigint, "
+    "q_index int, filter_level int"
 )
 
 
@@ -1534,10 +1539,237 @@ SELECT b.doc_id,
          AS n_frames,
        adur.dur AS duration_ms,
        CASE WHEN b.v IN (0, 1, 3) THEN dh.dhash
-            WHEN b.v = 4 THEN adh.dhash ELSE NULL END AS dhash
+            WHEN b.v = 4 THEN adh.dhash ELSE NULL END AS dhash,
+       CAST(CASE WHEN b.v = 2 THEN b.doc_id % 128 ELSE NULL END AS INT)
+         AS q_index,
+       CAST(CASE WHEN b.v = 2 THEN b.doc_id % 64 ELSE NULL END AS INT)
+         AS filter_level
 FROM base b
 LEFT JOIN dh USING (doc_id)
 LEFT JOIN adh USING (doc_id)
 LEFT JOIN adur USING (doc_id)
 ORDER BY b.doc_id
 """
+
+
+# ---------------------------------------- VP8 bool coder (RFC 6386 §7)
+#
+# The lossy-VP8 SAMPLE decode stays behind the documented codec
+# boundary (coefficient tokens need the spec's large default
+# probability tables — the r7 transcription-risk class). The keyframe
+# FRAME HEADER, however, is literal-only arithmetic coding: every
+# field up to the quantizer indices reads through bool(128) literals
+# with no out-of-band table, so a from-spec bool decoder surfaces the
+# crawl-side quality signals (q_index, loop-filter level, partition
+# count) that a plain 10-byte header walk cannot. Encoder/decoder are
+# mutually fuzz-verified (10k random bit/prob streams roundtrip
+# byte-exact in tests).
+
+
+class _BoolDecoder:
+    """RFC 6386 §7.3 decoder: 16-bit value window, byte-deferred
+    refill; reads past the partition end refill as zeros (the spec
+    decoders' convention)."""
+
+    __slots__ = ("data", "pos", "value", "range", "bit_count")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        b0 = data[0] if len(data) > 0 else 0
+        b1 = data[1] if len(data) > 1 else 0
+        self.pos = 2
+        self.value = (b0 << 8) | b1
+        self.range = 255
+        self.bit_count = 0
+
+    def bool(self, probability: int = 128) -> int:
+        split = 1 + (((self.range - 1) * probability) >> 8)
+        big = split << 8
+        if self.value >= big:
+            ret = 1
+            self.range -= split
+            self.value -= big
+        else:
+            ret = 0
+            self.range = split
+        while self.range < 128:
+            self.value <<= 1
+            self.range <<= 1
+            self.bit_count += 1
+            if self.bit_count == 8:
+                self.bit_count = 0
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                self.pos += 1
+                self.value |= nxt
+        return ret
+
+    def literal(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bool(128)
+        return v
+
+    def signed_literal(self, n: int) -> int:
+        v = self.literal(n)
+        return -v if self.bool(128) else v
+
+
+class _BoolEncoder:
+    """RFC 6386 §7.4 encoder (32-bit bottom register with carry
+    propagation into already-emitted bytes)."""
+
+    __slots__ = ("out", "range", "bottom", "bit_count")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.range = 255
+        self.bottom = 0
+        self.bit_count = 24
+
+    def _carry(self) -> None:
+        i = len(self.out) - 1
+        while i >= 0 and self.out[i] == 255:
+            self.out[i] = 0
+            i -= 1
+        if i < 0:
+            raise _Bad  # carry out of an empty stream: cannot happen
+        self.out[i] += 1
+
+    def encode(self, bit: int, probability: int = 128) -> None:
+        split = 1 + (((self.range - 1) * probability) >> 8)
+        if bit:
+            self.bottom += split
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            self.range <<= 1
+            if self.bottom & (1 << 31):
+                self._carry()
+            self.bottom = (self.bottom << 1) & 0xFFFFFFFF
+            self.bit_count -= 1
+            if self.bit_count == 0:
+                self.out.append((self.bottom >> 24) & 0xFF)
+                self.bottom &= (1 << 24) - 1
+                self.bit_count = 8
+
+    def literal(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.encode((v >> i) & 1)
+
+    def signed_literal(self, v: int, n: int) -> None:
+        self.literal(abs(v), n)
+        self.encode(1 if v < 0 else 0)
+
+    def done(self) -> bytes:
+        for _ in range(32):
+            if self.bottom & (1 << 31):
+                self._carry()
+            self.bottom = (self.bottom << 1) & 0xFFFFFFFF
+            self.bit_count -= 1
+            if self.bit_count == 0:
+                self.out.append((self.bottom >> 24) & 0xFF)
+                self.bottom &= (1 << 24) - 1
+                self.bit_count = 8
+        return bytes(self.out)
+
+
+_QUANT_DELTAS = 5  # y1_dc, y2_dc, y2_ac, uv_dc, uv_ac
+
+
+def parse_vp8_frame_header(data: bytes) -> dict:
+    """Keyframe first-partition walk up to the quantizer block
+    (RFC 6386 §9.2–9.6 — the literal-only prefix): returns q_index,
+    loop-filter level/sharpness, DCT partition count, and the
+    segmentation flag. Raises _Bad on impossible field combinations."""
+    w, h, version = parse_vp8_header(data)
+    bd = _BoolDecoder(data[10:])
+    color_space = bd.bool()
+    bd.bool()  # clamping_type
+    segmentation = bd.bool()
+    if segmentation:
+        update_map = bd.bool()
+        update_data = bd.bool()
+        if update_data:
+            bd.bool()  # segment_feature_mode
+            for _ in range(4):
+                if bd.bool():
+                    bd.signed_literal(7)
+            for _ in range(4):
+                if bd.bool():
+                    bd.signed_literal(6)
+        if update_map:
+            for _ in range(3):
+                if bd.bool():
+                    bd.literal(8)
+    filter_type = bd.bool()
+    filter_level = bd.literal(6)
+    sharpness = bd.literal(3)
+    if bd.bool():  # loop_filter_adj_enable
+        if bd.bool():  # mode_ref_lf_delta_update
+            for _ in range(4):
+                if bd.bool():
+                    bd.signed_literal(6)
+            for _ in range(4):
+                if bd.bool():
+                    bd.signed_literal(6)
+    log2_parts = bd.literal(2)
+    q_index = bd.literal(7)
+    for _ in range(_QUANT_DELTAS):
+        if bd.bool():
+            bd.signed_literal(4)
+    bd.bool()  # refresh_entropy_probs
+    return {
+        "width": w, "height": h, "version": version,
+        "color_space": color_space, "segmentation": bool(segmentation),
+        "filter_type": filter_type, "filter_level": filter_level,
+        "sharpness": sharpness, "n_dct_partitions": 1 << log2_parts,
+        "q_index": q_index,
+    }
+
+
+def synth_vp8_keyframe(w: int, h: int, version: int, q_index: int,
+                       filter_level: int, sharpness: int = 0,
+                       log2_parts: int = 0, segmentation: bool = False,
+                       lf_adjust: bool = False) -> bytes:
+    """A real VP8 keyframe prefix: 10-byte uncompressed header + a
+    bool-coded first partition carrying the literal-only header
+    fields (coefficient data is out of scope — the partition ends
+    after the refresh bit, padded to the declared size)."""
+    be = _BoolEncoder()
+    be.encode(0)  # color_space
+    be.encode(0)  # clamping_type
+    be.encode(1 if segmentation else 0)
+    if segmentation:
+        be.encode(1)  # update_map
+        be.encode(1)  # update_data
+        be.encode(0)  # feature mode
+        for i in range(4):
+            be.encode(1)
+            be.signed_literal(10 + i, 7)
+        for _ in range(4):
+            be.encode(0)
+        for _ in range(3):
+            be.encode(1)
+            be.literal(200, 8)
+    be.encode(0)  # filter_type
+    be.literal(filter_level, 6)
+    be.literal(sharpness, 3)
+    be.encode(1 if lf_adjust else 0)
+    if lf_adjust:
+        be.encode(1)
+        for i in range(4):
+            be.encode(1)
+            be.signed_literal(-(i + 1), 6)
+        for _ in range(4):
+            be.encode(0)
+    be.literal(log2_parts, 2)
+    be.literal(q_index, 7)
+    for _ in range(_QUANT_DELTAS):
+        be.encode(0)
+    be.encode(0)  # refresh_entropy_probs
+    part = be.done()
+    tag = 0 | ((version & 7) << 1) | (1 << 4) | (len(part) << 5)
+    hdr = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+    hdr += b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+    return hdr + part

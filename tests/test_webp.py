@@ -214,7 +214,8 @@ def test_census_grid():
         elif v == 2:
             assert r == {"variant": "vp8", "width": 16 + d % 100,
                          "height": 16 + d % 80, "lossless": False,
-                         "n_frames": 1, "duration_ms": None, "dhash": None}
+                         "n_frames": 1, "duration_ms": None, "dhash": None,
+                         "q_index": d % 128, "filter_level": d % 64}
         elif v == 4:
             assert r["variant"] == "vp8x-anim"
             assert r["n_frames"] == 2 + d % 3 and r["lossless"]
@@ -376,3 +377,46 @@ def test_anim_alpha_blend_vs_overwrite():
     assert region[0, 0, 3] == out_a
     assert region[0, 0, 0] == (200 * ca * inv) // (out_a * 255)
     assert region[0, 0, 2] == (200 * fa * 255) // (out_a * 255)
+
+
+# ----------------------------------------- VP8 bool coder + quality
+
+
+def test_bool_coder_fuzz_roundtrip():
+    from danae_spark.multimodal.webp import _BoolDecoder, _BoolEncoder
+
+    rng = random.Random(31)
+    for _ in range(500):
+        seq = [(rng.randrange(2), rng.randrange(1, 255))
+               for _ in range(rng.randrange(1, 100))]
+        be = _BoolEncoder()
+        for bit, prob in seq:
+            be.encode(bit, prob)
+        bd = _BoolDecoder(be.done())
+        assert [bd.bool(p) for _, p in seq] == [b for b, _ in seq]
+
+
+def test_vp8_frame_header_field_matrix():
+    from danae_spark.multimodal.webp import (
+        parse_vp8_frame_header,
+        synth_vp8_keyframe,
+    )
+
+    for q in (0, 1, 100, 127):
+        for seg in (False, True):
+            for lf in (False, True):
+                raw = synth_vp8_keyframe(320, 240, 1, q, 40, sharpness=3,
+                                         log2_parts=2, segmentation=seg,
+                                         lf_adjust=lf)
+                r = parse_vp8_frame_header(raw)
+                assert r["q_index"] == q and r["filter_level"] == 40
+                assert r["n_dct_partitions"] == 4
+                assert r["segmentation"] is seg and r["sharpness"] == 3
+
+
+def test_lossy_census_carries_quality_signals():
+    for d in (2, 9, 16, 23, 30):  # v == 2 docs
+        r = parse_webp(synth_webp_census(d))
+        assert r["q_index"] == d % 128 and r["filter_level"] == d % 64, d
+    r = parse_webp(synth_webp_census(0))  # lossless: no quality row
+    assert r["q_index"] is None and r["filter_level"] is None
