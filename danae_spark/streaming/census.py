@@ -28,6 +28,7 @@ def _frames():
         from danae_spark.multimodal.jsonblob import chat_census_frame, json_census_frame
         from danae_spark.multimodal.notebook import notebook_extract_frame
         from danae_spark.multimodal.orcblob import orc_census_frame
+        from danae_spark.operators.codestats import code_stats_frame
         from danae_spark.multimodal.parquetblob import parquet_census_frame
         from danae_spark.multimodal.sqliteblob import sqlite_census_frame
 
@@ -41,6 +42,7 @@ def _frames():
             "avro": avro_census_frame,
             "orc": orc_census_frame,
             "notebook": notebook_extract_frame,
+            "code": code_stats_frame,
         }
     return _KINDS
 
@@ -54,7 +56,7 @@ def census_stream(
     """Blob-shape census over a landing stream: stateless append via
     the SAME census frame function the batch path runs. `kind` names
     the census: csv | json | parquet | sqlite | access_log | chat |
-    avro | orc | notebook."""
+    avro | orc | notebook | code."""
     frames = _frames()
     if kind not in frames:
         raise ValueError(f"unknown census kind {kind!r}; one of {sorted(frames)}")

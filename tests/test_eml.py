@@ -161,3 +161,16 @@ def test_frame_api(spark):
     assert out[3]["n_attachments"] == 1 and out[9]["variant"] == "mbox"
     plan = mail_extract_frame(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_eml_inside_archive_harvests():
+    """An .eml member routes through the member walk by CONTENT (the
+    header-shape identity), no extension needed."""
+    from danae_spark.multimodal.archive import _zip_build
+    from danae_spark.multimodal.harvest import harvest_text
+
+    z = _zip_build([("mail/msg1.eml", synth_mail(6), 0),
+                    ("notes.txt", b"plain member", 8)])
+    h = harvest_text(z)
+    assert h is not None and h["doc_class"] == "archive"
+    assert "Mail body 6 line 0." in h["text"] and "plain member" in h["text"]

@@ -26,16 +26,25 @@ def _land(spark, tmp_path, rows_by_file):
     return blob_dir
 
 
-@pytest.mark.parametrize("kind", ["avro", "orc"])
+@pytest.mark.parametrize("kind", ["avro", "orc", "notebook", "code"])
 def test_census_stream_matches_batch(spark, tmp_path, kind):
     from danae_spark.multimodal.avroblob import avro_census_frame, synth_avro
+    from danae_spark.multimodal.notebook import (
+        notebook_extract_frame,
+        synth_notebook,
+    )
     from danae_spark.multimodal.orcblob import orc_census_frame, synth_orc
+    from danae_spark.operators.codestats import code_stats_frame, synth_code_doc
 
-    synth = synth_avro if kind == "avro" else synth_orc
-    frame = avro_census_frame if kind == "avro" else orc_census_frame
+    synth, frame = {
+        "avro": (synth_avro, avro_census_frame),
+        "orc": (synth_orc, orc_census_frame),
+        "notebook": (synth_notebook, notebook_extract_frame),
+        "code": (synth_code_doc, code_stats_frame),
+    }[kind]
     rows1 = [(d, bytearray(synth(d))) for d in range(0, 6)]
     rows2 = [(d, bytearray(synth(d))) for d in range(6, 12)] + [
-        (99, bytearray(b"junk payload"))
+        (99, bytearray(b"\x00\x01\x02\xffjunk"))  # rejects under every kind
     ]
     blob_dir = _land(spark, tmp_path, {"f1": rows1, "f2": rows2})
 
