@@ -569,6 +569,22 @@ def _decode_vp8l(data: bytes) -> Optional[np.ndarray]:
     br.read(1)  # alpha hint (informative)
     if br.read(3) != 0:  # version must be 0
         raise _Bad
+    buf = _decode_argb_stream(br, w, h)
+    arr = np.array(buf, dtype=np.uint32).reshape(h, w)
+    a = (arr >> 24).astype(np.uint8)
+    r = ((arr >> 16) & 0xFF).astype(np.uint8)
+    g = ((arr >> 8) & 0xFF).astype(np.uint8)
+    b = (arr & 0xFF).astype(np.uint8)
+    if bool((a == 255).all()):
+        return np.dstack([r, g, b])
+    return np.dstack([r, g, b, a])
+
+
+def _decode_argb_stream(br: _BitReader, w: int, h: int) -> list[int]:
+    """The headerless lossless image stream (transforms + spatially
+    coded data + inverse application) — shared by the VP8L chunk body
+    and the ALPH chunk's lossless-coded alpha plane, whose dimensions
+    come from the frame instead of a stream header."""
     if w * h > _MAX_PIXELS:
         raise _Bad
 
@@ -617,15 +633,7 @@ def _decode_vp8l(data: bytes) -> Optional[np.ndarray]:
             _inv_predictor(buf, cur_w, h, tr[1], tr[3], tr[2])
     if cur_w != w:
         raise _Bad
-
-    arr = np.array(buf, dtype=np.uint32).reshape(h, w)
-    a = (arr >> 24).astype(np.uint8)
-    r = ((arr >> 16) & 0xFF).astype(np.uint8)
-    g = ((arr >> 8) & 0xFF).astype(np.uint8)
-    b = (arr & 0xFF).astype(np.uint8)
-    if bool((a == 255).all()):
-        return np.dstack([r, g, b])
-    return np.dstack([r, g, b, a])
+    return buf
 
 
 # ---------------------------------------------------------- encoder
@@ -1090,6 +1098,7 @@ def _parse_webp(p: bytes) -> Optional[dict]:
             "variant": "vp8l", "width": px.shape[1], "height": px.shape[0],
             "lossless": True, "n_frames": 1, "duration_ms": None,
             "dhash": _dhash_of(px), "q_index": None, "filter_level": None,
+            "alpha_coverage": _alpha_coverage_of(px),
         }
     if fcc0 == b"VP8 ":
         fh = parse_vp8_frame_header(p[body0 : body0 + size0])
@@ -1098,6 +1107,7 @@ def _parse_webp(p: bytes) -> Optional[dict]:
             "lossless": False, "n_frames": 1, "duration_ms": None,
             "dhash": None, "q_index": fh["q_index"],
             "filter_level": fh["filter_level"],
+            "alpha_coverage": 0,  # plain VP8 cannot carry alpha
         }
     if fcc0 != b"VP8X" or size0 != 10:
         raise _Bad
@@ -1107,7 +1117,11 @@ def _parse_webp(p: bytes) -> Optional[dict]:
     ch = 1 + int.from_bytes(p[body0 + 7 : body0 + 10], "little")
     rest = chunks[1:]
     if not anim:
+        alph = None
         for fcc, body, size in rest:
+            if fcc == b"ALPH":
+                alph = (body, size)
+                continue
             if fcc == b"VP8L":
                 px = _vp8l_required(p[body : body + size])
                 if px.shape[1] != cw or px.shape[0] != ch:
@@ -1117,16 +1131,25 @@ def _parse_webp(p: bytes) -> Optional[dict]:
                     "lossless": True, "n_frames": 1, "duration_ms": None,
                     "dhash": _dhash_of(px), "q_index": None,
                     "filter_level": None,
+                    "alpha_coverage": _alpha_coverage_of(px),
                 }
             if fcc == b"VP8 ":
                 fh = parse_vp8_frame_header(p[body : body + size])
                 if fh["width"] != cw or fh["height"] != ch:
                     raise _Bad
+                coverage = 0
+                if alph is not None:
+                    plane = decode_alpha(p[alph[0] : alph[0] + alph[1]],
+                                         cw, ch)
+                    if plane is None:
+                        raise _Bad  # an alpha plane that cannot decode
+                    coverage = int((plane < 255).sum())
                 return {
                     "variant": "vp8x-still", "width": cw, "height": ch,
                     "lossless": False, "n_frames": 1, "duration_ms": None,
                     "dhash": None, "q_index": fh["q_index"],
                     "filter_level": fh["filter_level"],
+                    "alpha_coverage": coverage,
                 }
             # ICCP/ALPH/EXIF/XMP and unknown chunks: skipped per RIFF
         raise _Bad  # extended still with no image chunk
@@ -1203,8 +1226,16 @@ def _parse_webp(p: bytes) -> Optional[dict]:
         "variant": "vp8x-anim", "width": cw, "height": ch,
         "lossless": all_lossless, "n_frames": n_frames,
         "duration_ms": duration, "dhash": acc if all_lossless else None,
-        "q_index": None, "filter_level": None,
+        "q_index": None, "filter_level": None, "alpha_coverage": None,
     }
+
+
+def _alpha_coverage_of(px: np.ndarray) -> int:
+    """Non-opaque pixel count of a decoded still (0 when the decoder
+    collapsed a fully-opaque image to 3 channels)."""
+    if px.shape[2] < 4:
+        return 0
+    return int((px[:, :, 3] < 255).sum())
 
 
 def _alpha_blend(region: np.ndarray, frame: np.ndarray) -> None:
@@ -1269,14 +1300,14 @@ def synth_webp_still(lum: np.ndarray) -> bytes:
     return _riff([(b"VP8L", encode_vp8l(_gray_rgba(lum), mode="sg"))])
 
 
-_RT_MODES = ("lit", "sg", "lz", "pal", "pred", "ct")
+_RT_MODES = ("lit", "sg", "lz", "pal", "pred", "ct", "meta")
 
 
 def wp_luma(d: int, i: int) -> int:
     """Roundtrip luma for doc d, pixel i — per-mode so every coding
     path has material to exercise (row repeats for LZ77, <=16 levels
     for palette bundling). Restated in WEBP_PIXELS_ORACLE."""
-    m = d % 6
+    m = d % 7
     if m == 2:
         return (d * 31 + (i % 8) * 7) % 256
     v = (d * 31 + i * 7) % 256
@@ -1286,13 +1317,13 @@ def wp_luma(d: int, i: int) -> int:
 
 
 def synth_webp_rt(d: int) -> bytes:
-    """Roundtrip doc: mode rotation over all six encoder modes; the
+    """Roundtrip doc: mode rotation over all SEVEN encoder modes (incl. meta-prefix); the
     d % 23 == 9 leg truncates the container (reject)."""
     lum = np.array(
         [[wp_luma(d, y * 8 + x) for x in range(8)] for y in range(8)],
         dtype=np.int64,
     )
-    mode = _RT_MODES[d % 6]
+    mode = _RT_MODES[d % 7]
     kw = {}
     if mode == "pred":
         kw["pred_mode"] = (d // 6) % 14
@@ -1359,6 +1390,24 @@ def synth_webp_census(d: int) -> bytes:
         )
         return _riff([(b"VP8 ", frame)])
     if v == 3:
+        if d % 2 == 1:
+            # lossy still with a REAL decodable alpha plane: 16 opaque
+            # pixels (i % 4 == d % 4), the rest < 255 -> coverage 48
+            alpha = np.array(
+                [[255 if (y * 8 + x) % 4 == d % 4
+                  else (d * 13 + (y * 8 + x) * 5) % 255
+                  for x in range(8)] for y in range(8)],
+                dtype=np.uint8,
+            )
+            frame = synth_vp8_keyframe(8, 8, version=d % 4,
+                                       q_index=d % 128,
+                                       filter_level=d % 64)
+            return _riff([
+                (b"VP8X", _vp8x_body(0x10, 8, 8)),  # ALPHA flag
+                (b"ALPH", encode_alpha(alpha, method=(d // 2) % 4,
+                                       lossless=bool((d // 8) % 2))),
+                (b"VP8 ", frame),
+            ])
         data = encode_vp8l(_gray_rgba(_census_lum(d)), mode="sg")
         return _riff([
             (b"VP8X", _vp8x_body(0x08, 8, 8)),  # EXIF flag set
@@ -1384,11 +1433,12 @@ def synth_webp_census(d: int) -> bytes:
 # -------------------------------------------------- Spark surfaces
 
 _CENSUS_COLS = ["variant", "width", "height", "lossless", "n_frames",
-                "duration_ms", "dhash", "q_index", "filter_level"]
+                "duration_ms", "dhash", "q_index", "filter_level",
+                "alpha_coverage"]
 _CENSUS_SCHEMA = (
     "doc_id bigint, variant string, width int, height int, "
     "lossless boolean, n_frames bigint, duration_ms bigint, dhash bigint, "
-    "q_index int, filter_level int"
+    "q_index int, filter_level int, alpha_coverage int"
 )
 
 
@@ -1426,7 +1476,7 @@ def _parse_rt(d: int) -> Optional[dict]:
         return None
     lum = luma_grid(px)
     return {
-        "mode": _RT_MODES[d % 6],
+        "mode": _RT_MODES[d % 7],
         "width": px.shape[1],
         "height": px.shape[0],
         "channels": px.shape[2],
@@ -1436,7 +1486,7 @@ def _parse_rt(d: int) -> Optional[dict]:
 
 
 def webp_pixels_roundtrip(spark, sf_dir: str):
-    """Lossless pixel roundtrip over ALL SIX encoder modes (the mode
+    """Lossless pixel roundtrip over ALL SEVEN encoder modes (the mode
     comes from doc arithmetic; validity still hinges on the real
     decode — a digest mismatch breaks the value hash)."""
     from danae_spark.multimodal.docframes import synth_roundtrip
@@ -1447,7 +1497,7 @@ def webp_pixels_roundtrip(spark, sf_dir: str):
 
 WEBP_PIXELS_ORACLE = """
 WITH m AS (
-  SELECT doc_id, doc_id % 6 AS md, doc_id % 23 = 9 AS rej FROM documents
+  SELECT doc_id, doc_id % 7 AS md, doc_id % 23 = 9 AS rej FROM documents
 ),
 g AS (
   SELECT m.doc_id, s.i,
@@ -1473,7 +1523,8 @@ SELECT m.doc_id,
        CASE WHEN m.rej THEN NULL
             ELSE (CASE m.md WHEN 0 THEN 'lit' WHEN 1 THEN 'sg'
                   WHEN 2 THEN 'lz' WHEN 3 THEN 'pal'
-                  WHEN 4 THEN 'pred' ELSE 'ct' END) END AS mode,
+                  WHEN 4 THEN 'pred' WHEN 5 THEN 'ct'
+                  ELSE 'meta' END) END AS mode,
        CASE WHEN m.rej THEN NULL ELSE 8 END AS width,
        CASE WHEN m.rej THEN NULL ELSE 8 END AS height,
        CASE WHEN m.rej THEN NULL ELSE 3 END AS channels,
@@ -1490,7 +1541,7 @@ g AS (
          CASE WHEN b.v = 1 THEN (b.doc_id * 31 + (s.i % 8) * 7) % 256
               ELSE (b.doc_id * 31 + s.i * 7) % 256 END AS p
   FROM base b, generate_series(0, 63) s(i)
-  WHERE b.v IN (0, 1, 3)
+  WHERE b.v IN (0, 1) OR (b.v = 3 AND b.doc_id % 2 = 0)
 ),
 dh AS (
   SELECT l.doc_id,
@@ -1532,7 +1583,8 @@ SELECT b.doc_id,
             WHEN b.v = 2 THEN 16 + b.doc_id % 100 ELSE NULL END AS INT) AS width,
        CAST(CASE WHEN b.v IN (0, 1, 3, 4) THEN 8
             WHEN b.v = 2 THEN 16 + b.doc_id % 80 ELSE NULL END AS INT) AS height,
-       CASE WHEN b.v IN (0, 1, 3, 4) THEN TRUE
+       CASE WHEN b.v IN (0, 1, 4) THEN TRUE
+            WHEN b.v = 3 THEN b.doc_id % 2 = 0
             WHEN b.v = 2 THEN FALSE ELSE NULL END AS lossless,
        CAST(CASE WHEN b.v IN (0, 1, 2, 3) THEN 1
             WHEN b.v = 4 THEN 2 + b.doc_id % 3 ELSE NULL END AS BIGINT)
@@ -1540,10 +1592,13 @@ SELECT b.doc_id,
        adur.dur AS duration_ms,
        CASE WHEN b.v IN (0, 1, 3) THEN dh.dhash
             WHEN b.v = 4 THEN adh.dhash ELSE NULL END AS dhash,
-       CAST(CASE WHEN b.v = 2 THEN b.doc_id % 128 ELSE NULL END AS INT)
-         AS q_index,
-       CAST(CASE WHEN b.v = 2 THEN b.doc_id % 64 ELSE NULL END AS INT)
-         AS filter_level
+       CAST(CASE WHEN b.v = 2 OR (b.v = 3 AND b.doc_id % 2 = 1)
+            THEN b.doc_id % 128 ELSE NULL END AS INT) AS q_index,
+       CAST(CASE WHEN b.v = 2 OR (b.v = 3 AND b.doc_id % 2 = 1)
+            THEN b.doc_id % 64 ELSE NULL END AS INT) AS filter_level,
+       CAST(CASE WHEN b.v IN (0, 1, 2) THEN 0
+            WHEN b.v = 3 THEN (CASE WHEN b.doc_id % 2 = 1 THEN 48 ELSE 0 END)
+            ELSE NULL END AS INT) AS alpha_coverage
 FROM base b
 LEFT JOIN dh USING (doc_id)
 LEFT JOIN adh USING (doc_id)
@@ -1773,3 +1828,115 @@ def synth_vp8_keyframe(w: int, h: int, version: int, q_index: int,
     hdr = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
     hdr += b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
     return hdr + part
+
+
+# --------------------------------------------- ALPH alpha plane (r16)
+#
+# Lossy VP8 carries no alpha; extended files ship it in an ALPH chunk
+# that IS decodable without the VP8 codec boundary: one header byte
+# (reserved(2) | preprocessing(2) | filtering(2) | compression(2)),
+# then either the raw w*h plane or a HEADERLESS lossless image stream
+# whose green channel holds the alpha values, followed by one of four
+# prediction filters to invert (the libwebp/spec semantics: first row
+# seeds from 0-then-left; horizontal predicts left with the first
+# column from above; vertical predicts above; gradient clamps
+# left+above-topleft). Preprocessing (level reduction) is an encoder
+# hint with no inverse. Reject-whole: bad header fields, short raw
+# planes, a lossless stream whose dims disagree.
+
+
+def _unfilter_alpha(plane: np.ndarray, method: int) -> np.ndarray:
+    if method == 0:
+        return plane
+    h, w = plane.shape
+    out = np.zeros_like(plane)
+    for y in range(h):
+        prev = out[y - 1] if y > 0 else None
+        row = plane[y]
+        if prev is None or method == 1:  # horizontal (or seed row)
+            pred = 0 if prev is None else int(prev[0])
+            for x in range(w):
+                pred = (pred + int(row[x])) & 0xFF
+                out[y, x] = pred
+        elif method == 2:  # vertical
+            out[y] = (prev.astype(np.int64) + row.astype(np.int64)) & 0xFF
+        else:  # gradient
+            left = tl = int(prev[0])
+            for x in range(w):
+                top = int(prev[x])
+                g = left + top - tl
+                g = 0 if g < 0 else 255 if g > 255 else g
+                left = (int(row[x]) + g) & 0xFF
+                tl = top
+                out[y, x] = left
+    return out
+
+
+def _filter_alpha(plane: np.ndarray, method: int) -> np.ndarray:
+    """Forward filter (encoder side): residuals whose unfilter
+    reproduces the plane exactly."""
+    if method == 0:
+        return plane
+    h, w = plane.shape
+    out = np.zeros_like(plane)
+    for y in range(h):
+        prev = plane[y - 1] if y > 0 else None
+        for x in range(w):
+            if prev is None:
+                pred = 0 if x == 0 else int(plane[y, x - 1])
+            elif method == 1:
+                pred = int(prev[0]) if x == 0 else int(plane[y, x - 1])
+            elif method == 2:
+                pred = int(prev[x])
+            else:
+                if x == 0:
+                    left = tl = int(prev[0])
+                else:
+                    left, tl = int(plane[y, x - 1]), int(prev[x - 1])
+                g = left + int(prev[x]) - tl
+                pred = 0 if g < 0 else 255 if g > 255 else g
+            out[y, x] = (int(plane[y, x]) - pred) & 0xFF
+    return out
+
+
+def decode_alpha(data: bytes, w: int, h: int) -> Optional[np.ndarray]:
+    """ALPH chunk payload -> (h, w) uint8 alpha plane; None on any
+    malformation (reject-whole)."""
+    try:
+        if not data or w * h > _MAX_PIXELS:
+            return None
+        hdr = data[0]
+        if hdr >> 6:
+            raise _Bad  # reserved bits
+        method = (hdr >> 2) & 3
+        compression = hdr & 3
+        if compression == 0:
+            if len(data) - 1 < w * h:
+                raise _Bad
+            plane = np.frombuffer(data, np.uint8, count=w * h,
+                                  offset=1).reshape(h, w)
+        elif compression == 1:
+            buf = _decode_argb_stream(_BitReader(data[1:]), w, h)
+            plane = ((np.array(buf, dtype=np.uint32) >> 8) & 0xFF).astype(
+                np.uint8).reshape(h, w)
+        else:
+            raise _Bad
+        return _unfilter_alpha(plane, method)
+    except (_Bad, ValueError, IndexError, OverflowError, struct.error):
+        return None
+
+
+def encode_alpha(plane: np.ndarray, method: int = 0,
+                 lossless: bool = False) -> bytes:
+    """(h, w) uint8 alpha -> a real ALPH chunk payload (raw or
+    lossless-coded residuals under the chosen prediction filter)."""
+    filtered = _filter_alpha(plane.astype(np.uint8), method)
+    hdr = bytes([(method << 2) | (1 if lossless else 0)])
+    if not lossless:
+        return hdr + filtered.tobytes()
+    h, w = filtered.shape
+    pixels = [0xFF000000 | (int(v) << 8) for v in filtered.reshape(-1)]
+    bw = _BitWriter()
+    bw.write(0, 1)  # no transforms
+    _write_image_data(bw, pixels, w, True)
+    return hdr + bw.done()

@@ -215,7 +215,8 @@ def test_census_grid():
             assert r == {"variant": "vp8", "width": 16 + d % 100,
                          "height": 16 + d % 80, "lossless": False,
                          "n_frames": 1, "duration_ms": None, "dhash": None,
-                         "q_index": d % 128, "filter_level": d % 64}
+                         "q_index": d % 128, "filter_level": d % 64,
+                         "alpha_coverage": 0}
         elif v == 4:
             assert r["variant"] == "vp8x-anim"
             assert r["n_frames"] == 2 + d % 3 and r["lossless"]
@@ -223,7 +224,11 @@ def test_census_grid():
                                            for f in range(2 + d % 3))
         else:
             assert r["variant"] in ("vp8l", "vp8x-still")
-            assert r["dhash"] is not None and r["width"] == 8
+            assert r["width"] == 8
+            if v == 3 and d % 2 == 1:  # lossy-with-alpha still (r16)
+                assert r["dhash"] is None and r["alpha_coverage"] == 48
+            else:
+                assert r["dhash"] is not None and r["alpha_coverage"] == 0
 
 
 def test_rt_grid_matches_luma_arithmetic():
@@ -420,3 +425,38 @@ def test_lossy_census_carries_quality_signals():
         assert r["q_index"] == d % 128 and r["filter_level"] == d % 64, d
     r = parse_webp(synth_webp_census(0))  # lossless: no quality row
     assert r["q_index"] is None and r["filter_level"] is None
+
+
+# ----------------------------------------------- ALPH alpha plane
+
+
+def test_alpha_plane_filter_matrix():
+    from danae_spark.multimodal.webp import decode_alpha, encode_alpha
+
+    rng = np.random.RandomState(23)
+    for method in range(4):
+        for lossless in (False, True):
+            h, w = rng.randint(2, 14), rng.randint(2, 14)
+            plane = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            dec = decode_alpha(encode_alpha(plane, method, lossless), w, h)
+            assert dec is not None and (dec == plane).all(), (method, lossless)
+    assert decode_alpha(bytes([0]) + b"xx", 4, 4) is None   # short raw
+    assert decode_alpha(bytes([0x40]) + bytes(16), 4, 4) is None  # reserved
+    assert decode_alpha(bytes([2]) + bytes(16), 4, 4) is None  # bad compress
+
+
+def test_lossy_still_with_alpha_censuses_coverage():
+    from danae_spark.multimodal.webp import _vp8x_body, encode_alpha, synth_vp8_keyframe
+
+    for d in (3, 17, 31):  # v == 3 odd docs
+        r = parse_webp(synth_webp_census(d))
+        assert r["variant"] == "vp8x-still" and r["lossless"] is False, d
+        assert r["alpha_coverage"] == 48 and r["q_index"] == d % 128, d
+    r = parse_webp(synth_webp_census(10))  # v == 3 even: lossless + EXIF
+    assert r["lossless"] is True and r["alpha_coverage"] == 0
+    # a corrupt alpha plane rejects the file whole
+    frame = synth_vp8_keyframe(8, 8, 0, 50, 10)
+    alpha = encode_alpha(np.zeros((8, 8), np.uint8), method=1, lossless=True)
+    bad = _riff([(b"VP8X", _vp8x_body(0x10, 8, 8)),
+                 (b"ALPH", alpha[:3]), (b"VP8 ", frame)])
+    assert parse_webp(bad) is None
