@@ -41,6 +41,21 @@ def parse_parquet_blob(payload: bytes) -> Optional[dict]:
             md.row_group(0).column(0).compression if n_row_groups else None
         )
         names = f.schema_arrow.names
+        # r16: per-row-group column statistics from the same footer —
+        # the data-skipping selectivity input (the ORC C136 treatment,
+        # here through the canonical reader's metadata object): file
+        # min/max/null-count for the first column aggregated over the
+        # row groups that carry stats
+        c0_min = c0_max = c0_nulls = None
+        stats_groups = 0
+        for g in range(n_row_groups):
+            st = md.row_group(g).column(0).statistics
+            if st is None or not st.has_min_max:
+                continue
+            stats_groups += 1
+            c0_min = st.min if c0_min is None else min(c0_min, st.min)
+            c0_max = st.max if c0_max is None else max(c0_max, st.max)
+            c0_nulls = (c0_nulls or 0) + (st.null_count or 0)
     except Exception:
         return None
     return {
@@ -50,6 +65,10 @@ def parse_parquet_blob(payload: bytes) -> Optional[dict]:
         "first_group_rows": first_rows,
         "compression": compression,
         "columns": "/".join(names),
+        "c0_min": c0_min,
+        "c0_max": c0_max,
+        "c0_nulls": c0_nulls,
+        "stats_groups": stats_groups,
     }
 
 
@@ -99,7 +118,8 @@ def synth_parquet(d: int) -> bytes:
 
 _SCHEMA = (
     "doc_id bigint, n_rows int, n_cols int, n_row_groups int, "
-    "first_group_rows int, compression string, columns string"
+    "first_group_rows int, compression string, columns string, "
+    "c0_min bigint, c0_max bigint, c0_nulls bigint, stats_groups int"
 )
 _COLS = [
     "n_rows",
@@ -108,6 +128,10 @@ _COLS = [
     "first_group_rows",
     "compression",
     "columns",
+    "c0_min",
+    "c0_max",
+    "c0_nulls",
+    "stats_groups",
 ]
 
 
@@ -134,7 +158,15 @@ def parquet_census_roundtrip(spark, sf_dir: str):
 
 
 PARQUET_CENSUS_ORACLE = """
-WITH d0 AS (SELECT doc_id, doc_id AS d FROM documents)
+WITH d0 AS (SELECT doc_id, doc_id AS d FROM documents),
+c0 AS (
+  SELECT d0.doc_id,
+         CAST(min((3 * d0.d + i.i) % 100) AS BIGINT) AS c0_min,
+         CAST(max((3 * d0.d + i.i) % 100) AS BIGINT) AS c0_max
+  FROM d0 JOIN generate_series(0, 16) i(i) ON i.i < 10 + d0.d % 7
+  WHERE d0.d % 21 <> 9
+  GROUP BY d0.doc_id
+)
 SELECT doc_id,
        CASE WHEN d % 21 = 9 THEN NULL
             ELSE CAST(10 + d % 7 AS INT) END AS n_rows,
@@ -149,6 +181,11 @@ SELECT doc_id,
             ELSE CASE d % 3 WHEN 0 THEN 'SNAPPY' WHEN 1 THEN 'GZIP'
                  ELSE 'UNCOMPRESSED' END END AS compression,
        CASE WHEN d % 21 = 9 THEN NULL
-            WHEN d % 2 = 0 THEN 'c0/c1' ELSE 'c0/c1/c2' END AS columns
-FROM d0 ORDER BY doc_id
+            WHEN d % 2 = 0 THEN 'c0/c1' ELSE 'c0/c1/c2' END AS columns,
+       c0.c0_min, c0.c0_max,
+       CAST(CASE WHEN d % 21 = 9 THEN NULL ELSE 0 END AS BIGINT) AS c0_nulls,
+       CASE WHEN d % 21 = 9 THEN NULL
+            ELSE CAST((10 + d % 7 + (4 + d % 3) - 1) // (4 + d % 3) AS INT)
+            END AS stats_groups
+FROM d0 LEFT JOIN c0 USING (doc_id) ORDER BY doc_id
 """

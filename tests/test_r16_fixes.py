@@ -190,3 +190,23 @@ def test_orc_stats_null_column():
     )
     r = parse_orc_blob(buf.getvalue())
     assert r["has_null"] is True and (r["c0_min"], r["c0_max"]) == (1, 5)
+
+
+def test_parquet_column_stats_from_footer():
+    """Parquet per-row-group statistics aggregate to file min/max and
+    null counts — incl. negatives and a null-bearing column."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from danae_spark.multimodal.parquetblob import parse_parquet_blob
+
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"c0": pa.array([-9, 4, None, 77, -2], pa.int64())}),
+        buf, row_group_size=2,
+    )
+    r = parse_parquet_blob(buf.getvalue())
+    assert (r["c0_min"], r["c0_max"], r["c0_nulls"]) == (-9, 77, 1)
+    assert r["stats_groups"] == r["n_row_groups"] == 3
