@@ -20,6 +20,7 @@ from danae_spark.multimodal.mp4 import (
 from danae_spark.multimodal.ogg import parse_ogg, synth_ogg
 from danae_spark.multimodal.subtitles import parse_subtitles, synth_subtitles
 from danae_spark.multimodal.webm import parse_webm, synth_webm
+from danae_spark.multimodal.webp import parse_webp, synth_webp_census
 
 _PARSERS = [
     decode_flac,
@@ -30,6 +31,7 @@ _PARSERS = [
     parse_mp4_fragments,
     parse_subtitles,
     parse_id3,
+    parse_webp,
 ]
 
 _SEEDS = [
@@ -42,6 +44,8 @@ _SEEDS = [
     synth_fmp4(9),
     synth_subtitles(10),
     synth_id3_mp3(11),
+    synth_webp_census(0),   # VP8L lossless still (r16)
+    synth_webp_census(2),   # lossy VP8 keyframe (r16)
 ]
 
 
@@ -75,7 +79,7 @@ def test_cross_format_dispatch_never_confuses():
     # seed index → parser indices that legitimately accept it; the
     # ID3+MPEG seed (8) is BOTH an ID3 tag and a real MP3 stream (the
     # mp3 walker skips the tag by design)
-    owners = [{0}, {1}, {1}, {2}, {3}, {4}, {5}, {6}, {7, 3}]
+    owners = [{0}, {1}, {1}, {2}, {3}, {4}, {5}, {6}, {7, 3}, {8}, {8}]
     for si, seed in enumerate(_SEEDS):
         for pi, parse in enumerate(_PARSERS):
             out = parse(seed)
