@@ -212,6 +212,7 @@ HEADLINE = [
     "mail_text_extract",
     "code_corpus_stats",
     "corpus_code_report",
+    "image_normalize",
 ]
 
 

@@ -1865,3 +1865,19 @@ def corpus_code_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     CODE_STATS_ORACLE verbatim so the composition and the unit entry
     can never drift (operators/codereport.py)."""
     return _codereport.corpus_code_report(spark, sf_dir)
+
+
+from danae_spark.multimodal import normalize as _normalize  # noqa: E402
+
+
+@register("image_normalize", oracle=_normalize.IMAGE_NORMALIZE_ORACLE)
+def image_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image normalization (r16) — the training-data prep step that
+    unifies a mixed image column into canonical PNG: per doc the full
+    14-format rotation image is decoded by its real decoder,
+    re-encoded by the general PNG writer (gray/GA/RGB/RGBA, CRC-exact
+    chunks), RE-DECODED by the real PNG reader, and the final luma
+    digests restated as the SAME doc arithmetic as the source —
+    certifying zero generation loss through decode -> reencode ->
+    redecode (multimodal/normalize.py image_normalize_roundtrip)."""
+    return _normalize.image_normalize_roundtrip(spark, sf_dir)

@@ -380,6 +380,7 @@ def test_blob_censuses_are_narrow(spark, sf_dir):
         "latex_text_extract",
         "mail_text_extract",
         "code_corpus_stats",
+        "image_normalize",
     ):
         df = REGISTRY[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
