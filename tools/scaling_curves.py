@@ -179,6 +179,7 @@ OPERATORS = {
     "latex_text_extract": "documents",
     "mail_text_extract": "documents",
     "code_corpus_stats": "documents",
+    "image_normalize": "documents",
 }
 
 
