@@ -988,3 +988,56 @@ class DataLakeEngine:
         from danae_spark.operators.sampling import mixture_plan_frame
 
         return mixture_plan_frame(docs, budgets, **kw)
+
+    # ------------------------------------------------ r16 operators
+
+    def webp_census(self, df: DataFrame, **kw) -> DataFrame:
+        """WebP container census over any (id, binary) frame: VP8L
+        stills decoded for real, lossy VP8 quality signals (q_index),
+        VP8X stills with decodable ALPH alpha planes, composited
+        animations (multimodal/webp.py parse_webp)."""
+        from danae_spark.multimodal.webp import webp_census_frame
+
+        return webp_census_frame(df, **kw)
+
+    def notebook_text(self, df: DataFrame, **kw) -> DataFrame:
+        """Jupyter-notebook extraction over any (id, binary) frame:
+        markdown+code text, outputs stripped, kernel language
+        (multimodal/notebook.py parse_notebook)."""
+        from danae_spark.multimodal.notebook import notebook_extract_frame
+
+        return notebook_extract_frame(df, **kw)
+
+    def latex_text(self, df: DataFrame, **kw) -> DataFrame:
+        """LaTeX extraction over any (id, binary) frame: macros
+        resolved/dropped, math counted as a boundary, sections and
+        title captured (multimodal/latex.py parse_latex)."""
+        from danae_spark.multimodal.latex import latex_extract_frame
+
+        return latex_extract_frame(df, **kw)
+
+    def mail_text(self, df: DataFrame, **kw) -> DataFrame:
+        """EML/mbox MIME extraction over any (id, binary) frame:
+        encoded-word headers, base64/quoted-printable bodies,
+        multipart walk, html parts through the certified extractor
+        (multimodal/eml.py parse_mail)."""
+        from danae_spark.multimodal.eml import mail_extract_frame
+
+        return mail_extract_frame(df, **kw)
+
+    def code_stats(self, df: DataFrame, **kw) -> DataFrame:
+        """Code-corpus analysis over any (id, binary) frame: SPDX/
+        header license detection, language detection, per-language
+        line stats, code-vs-prose classification
+        (operators/codestats.py parse_code_stats)."""
+        from danae_spark.operators.codestats import code_stats_frame
+
+        return code_stats_frame(df, **kw)
+
+    def normalize_images(self, df: DataFrame, **kw) -> DataFrame:
+        """Image normalization over any (id, binary) frame: every
+        decodable payload re-encoded as canonical PNG with zero
+        generation loss (multimodal/normalize.py normalize_image)."""
+        from danae_spark.multimodal.normalize import image_normalize_frame
+
+        return image_normalize_frame(df, **kw)

@@ -144,3 +144,27 @@ def test_engine_facade_export_and_media_verbs(spark, sf_dir, tmp_path):
     m = engine.shuffle_export(docs, str(tmp_path / "exp"), n_shards=2)
     assert sum(r["n_docs"] for r in m.collect()) == 40
     assert spark.read.parquet(str(tmp_path / "exp")).count() == 40
+
+
+def test_r16_facades_route_to_frames(spark):
+    """The r16 facade methods run end-to-end over a tiny frame."""
+    from danae_spark.multimodal.eml import synth_mail
+    from danae_spark.multimodal.latex import synth_latex
+    from danae_spark.multimodal.notebook import synth_notebook
+    from danae_spark.multimodal.webp import synth_webp_census
+    from danae_spark.operators.codestats import synth_code_doc
+    from danae_spark.multimodal.pixels import synth_image
+
+    eng = DataLakeEngine(spark, "/root/testdata/sf0.001")
+    for method, synth, col, want in [
+        ("webp_census", synth_webp_census, "variant", "vp8l"),
+        ("notebook_text", synth_notebook, "language", "python"),
+        ("latex_text", synth_latex, "title", "Paper 0"),
+        ("mail_text", synth_mail, "variant", "eml"),
+        ("code_stats", synth_code_doc, "language", "python"),
+        ("normalize_images", synth_image, "width", 8),
+    ]:
+        df = spark.createDataFrame([(0, bytearray(synth(0)))],
+                                   "doc_id long, payload binary")
+        row = getattr(eng, method)(df).collect()[0]
+        assert row[col] == want, (method, row)
