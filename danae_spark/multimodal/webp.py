@@ -44,7 +44,7 @@ pipeline, same tier as multimodal/pixels.py.
 from __future__ import annotations
 
 import struct
-from typing import Iterator, Optional
+from typing import Optional
 
 import numpy as np
 
