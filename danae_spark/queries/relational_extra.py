@@ -90,7 +90,8 @@ Q7_ORACLE = f"""
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     """TPC-H Q15: supplier(s) with the maximum quarterly revenue — the
-    revenue view + max via a window (no second scan of the view)."""
+    revenue view + max via a broadcast scalar (the shared groupBy
+    exchange is reused across both branches — no second scan)."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -100,9 +101,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
         l.groupBy("l_suppkey")
         .agg(rnd(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
     )
-    wall = W.partitionBy()
+    # global-max via a broadcast scalar (map-side-partial agg + 1-row
+    # join; the groupBy exchange is reused across both branches) — not
+    # a window over an empty partitioning, which would move every
+    # supplier row to one partition (r16 perf nit).
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
     df = (
-        rev.withColumn("max_rev", F.max("total_revenue").over(wall))
+        rev.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
@@ -495,10 +500,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, st
     held by one nation's suppliers — Σ l_extendedprice·(1−l_discount)
     per part — kept when it exceeds FRACTION of the nation's total.
     Keeps Q11's signature shape: GROUP BY + HAVING against a global
-    scalar aggregate of the same relation. The scalar is a window-agg
-    over the per-part aggregate (one shuffle on partkey, no second
-    scan; at 100 TB the window-over-empty-partitioning collapses to a
-    1-row exchange, equivalent to a broadcast scalar). TPC-H's
+    scalar aggregate of the same relation. The scalar is a broadcast
+    1-row aggregate joined back (one shuffle on partkey; the groupBy
+    exchange is reused, so no second scan and no single-partition
+    window stage). TPC-H's
     sum-share cut (0.0001/SF) is scale-DEPENDENT, so the analogue keeps
     parts above MULT× the mean part value — same shape, SF-stable."""
     nation, mult = Q11_NATION, Q11_MULT
@@ -512,18 +517,18 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, st
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
         .agg(rnd(dsum(val), 2).alias("part_value"))
     )
-    wall = W.partitionBy()
+    # global mean via a broadcast scalar instead of a window over an
+    # empty partitioning (r16 perf nit): part_value is a 2dp double —
+    # aggregate exactly in decimal so the scalar is partition-order
+    # independent (double summation could flip a borderline HAVING).
+    mean = per_part.agg(
+        (
+            F.sum(F.col("part_value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value")
+    )
     df = (
-        per_part.withColumn(
-            "avg_value",
-            # part_value is a 2dp double — aggregate exactly in decimal
-            # so the global scalar is partition-order independent (double
-            # summation could flip a borderline HAVING comparison)
-            F.sum(F.col("part_value").cast("decimal(28,6)"))
-            .over(wall)
-            .cast("double")
-            / F.count(F.lit(1)).over(wall),
-        )
+        per_part.crossJoin(F.broadcast(mean))
         .filter(F.col("part_value") > F.lit(mult) * F.col("avg_value"))
         .select("ps_partkey", "part_value")
         .orderBy(F.desc("part_value"), "ps_partkey")

@@ -23,7 +23,7 @@ from pyspark.sql import Window as W
 
 from danae_spark.catalog import load_table
 from danae_spark.functions import vectors
-from danae_spark.search.metadata import DEFAULT_QUERY, bm25_search, bm25_search_oracle
+from danae_spark.search.metadata import DEFAULT_QUERY, bm25_scores, bm25_search_oracle
 from danae_spark.functions.rounding import rnd
 
 W_CONTENT = 0.6
@@ -55,7 +55,7 @@ def combined_topk(
     k: int = 10,
 ) -> DataFrame:
     content = embedding_content_scores(spark, sf_dir)
-    meta = bm25_search(spark, sf_dir, query, k=10**9).select(
+    meta = bm25_scores(spark, sf_dir, query).select(
         "doc_id", F.col("norm_score").alias("metadata_score")
     )
     joined = (
@@ -74,10 +74,14 @@ def combined_topk(
             ),
         )
     )
+    # top-k WITHOUT a global window (the r16-flagged pattern):
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — a parallel
+    # partial top-k per partition — and rank is derived on the k-row
+    # tail, so no full-corpus single-partition stage exists.
+    top = joined.orderBy(F.desc("overall_score"), F.asc("doc_id")).limit(k)
     w = W.partitionBy().orderBy(F.desc("overall_score"), F.asc("doc_id"))
     return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("doc_id", "content_score", "metadata_score", "overall_score", "rank")
         .orderBy("rank")
     )

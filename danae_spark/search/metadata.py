@@ -56,13 +56,13 @@ def _field_tokens(docs: DataFrame) -> DataFrame:
     return out
 
 
-def bm25_search(
+def _bm25_scored(
     spark: SparkSession,
     sf_dir: str,
     query: str = DEFAULT_QUERY,
-    k: int = 20,
     boosts: dict[str, float] | None = None,
 ) -> DataFrame:
+    """(doc_id, score) for every doc matching ≥1 query term."""
     boosts = dict(FIELD_BOOSTS if boosts is None else boosts)
     terms = sorted(set(query.lower().split()))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source", "lang")
@@ -97,15 +97,57 @@ def bm25_search(
         .groupBy("doc_id")
         .agg(rnd(F.sum("term_score"), 6).alias("score"))
     )
-    wall = W.partitionBy()
-    return (
-        scored.withColumn("max_score", F.max("score").over(wall))
+    return scored
+
+
+def bm25_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = DEFAULT_QUERY,
+    k: int = 20,
+    boosts: dict[str, float] | None = None,
+) -> DataFrame:
+    return _ranked_topk(_bm25_scored(spark, sf_dir, query, boosts), k)
+
+
+def bm25_scores(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = DEFAULT_QUERY,
+    boosts: dict[str, float] | None = None,
+) -> DataFrame:
+    """Unranked (doc_id, score, norm_score) over EVERY matching doc —
+    the full-score surface combined_topk consumes. Normalization uses a
+    broadcast scalar max (map-side-partial agg + 1-row broadcast join),
+    not a global window, so no stage ever collapses to one partition
+    no matter the corpus size."""
+    scored = _bm25_scored(spark, sf_dir, query, boosts)
+    mx = scored.agg(F.max("score").alias("max_score"))
+    return scored.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        "score",
+        rnd(F.col("score") / F.col("max_score"), 6).alias("norm_score"),
+    )
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Top-k of a (doc_id, score) frame WITHOUT a global window: the
+    max-score normalizer is a broadcast scalar, and rank is derived on
+    the post-`limit(k)` frame — `orderBy().limit(k)` compiles to
+    TakeOrderedAndProject (parallel partial top-k per partition), so
+    the only single-partition work is the k-row tail. Replaces the
+    r16-flagged `row_number().over(W.partitionBy().orderBy(...))`
+    pattern, which moved the WHOLE score table to one partition."""
+    mx = scored.agg(F.max("score").alias("max_score"))
+    top = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .crossJoin(F.broadcast(mx))
         .withColumn("norm_score", rnd(F.col("score") / F.col("max_score"), 6))
-        .withColumn(
-            "rank",
-            F.row_number().over(W.partitionBy().orderBy(F.desc("score"), F.asc("doc_id"))),
-        )
-        .filter(F.col("rank") <= k)
+    )
+    w = W.partitionBy().orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
         .select("doc_id", "score", "norm_score", "rank")
         .orderBy("rank")
     )
