@@ -25,8 +25,9 @@ Census row: compression, n_rows, n_stripes, n_cols, columns,
 content_bytes (footer contentLength), and (r16) the COLUMN-STATISTICS
 layer a compaction / data-skipping planner reads from the same tail:
 file-level ColumnStatistics (footer field 7 — numberOfValues, hasNull,
-IntegerStatistics min/max/sum as zigzag sint64) surfaced for the first
-data column, plus the Metadata section's per-stripe StripeStatistics
+Integer/Double/String statistics) surfaced for EVERY data column
+(r17: stat_mins/stat_maxs in canonical text form, matching the parquet
+census), plus the Metadata section's per-stripe StripeStatistics
 groups (postscript metadataLength, field 5) parsed and CROSS-CHECKED
 against the file stats (aggregated stripe min/max must reproduce the
 file min/max — stripe_stats_consistent). Reject-whole: bad magic,
@@ -365,6 +366,18 @@ def _parse(payload: bytes) -> Optional[dict]:
             if not mins or min(mins) != fs["min"] or max(maxs) != fs["max"]:
                 stripe_consistent = False
     c0 = file_stats[1] if len(file_stats) > 1 else {}
+    # r17: the full per-column stats surface (types 1..n are the root
+    # struct's fields in order) — same canonical text form as the
+    # parquet census so the two lake censuses compare like-for-like
+    from danae_spark.multimodal.parquetblob import _fmt_stat
+
+    data_stats = file_stats[1 : 1 + len(root_fields)]
+    stat_mins = ";".join(
+        f"{n}={_fmt_stat(s.get('min'))}" for n, s in zip(root_fields, data_stats)
+    ) if data_stats else None
+    stat_maxs = ";".join(
+        f"{n}={_fmt_stat(s.get('max'))}" for n, s in zip(root_fields, data_stats)
+    ) if data_stats else None
     return {
         "compression": _COMPRESSION[kind],
         "n_rows": n_rows,
@@ -379,6 +392,8 @@ def _parse(payload: bytes) -> Optional[dict]:
         "has_null": c0.get("has_null"),
         "n_stripe_stat_groups": n_stripe_groups if meta_len else None,
         "stripe_stats_consistent": stripe_consistent,
+        "stat_mins": stat_mins,
+        "stat_maxs": stat_maxs,
     }
 
 
@@ -388,7 +403,12 @@ def _zigzag(u: int) -> int:
 
 def _column_stats(buf: bytes) -> dict:
     """One ColumnStatistics message: numberOfValues, hasNull, and the
-    IntegerStatistics min/max/sum (sint64 zigzag) when present."""
+    typed min/max — IntegerStatistics (field 2, sint64 zigzag, + sum),
+    DoubleStatistics (field 3, 64-bit IEEE), StringStatistics (field 4,
+    UTF-8) — whichever the column carries (r17: all three, so the
+    census surfaces every column a data-skipping planner can use)."""
+    import struct as _struct
+
     out: dict = {"n_values": None, "min": None, "max": None, "sum": None,
                  "has_null": None}
     for f, w, v in _pb_fields(buf):
@@ -402,6 +422,18 @@ def _column_stats(buf: bytes) -> dict:
                     out["max"] = _zigzag(v2)
                 elif f2 == 3 and w2 == 0:
                     out["sum"] = _zigzag(v2)
+        elif f == 3 and w == 2:  # DoubleStatistics (fixed64 IEEE 754)
+            for f2, w2, v2 in _pb_fields(v):
+                if f2 == 1 and w2 == 1:
+                    out["min"] = _struct.unpack("<d", v2.to_bytes(8, "little"))[0]
+                elif f2 == 2 and w2 == 1:
+                    out["max"] = _struct.unpack("<d", v2.to_bytes(8, "little"))[0]
+        elif f == 4 and w == 2:  # StringStatistics
+            for f2, w2, v2 in _pb_fields(v):
+                if f2 == 1 and w2 == 2:
+                    out["min"] = v2.decode("utf-8")
+                elif f2 == 2 and w2 == 2:
+                    out["max"] = v2.decode("utf-8")
         elif f == 10 and w == 0:
             out["has_null"] = bool(v)
     return out
@@ -453,11 +485,13 @@ _SCHEMA = (
     "doc_id bigint, compression string, n_rows int, n_stripes int, "
     "n_cols int, columns string, n_stat_cols int, c0_min bigint, "
     "c0_max bigint, c0_sum bigint, has_null boolean, "
-    "n_stripe_stat_groups int, stripe_stats_consistent boolean"
+    "n_stripe_stat_groups int, stripe_stats_consistent boolean, "
+    "stat_mins string, stat_maxs string"
 )
 _COLS = ["compression", "n_rows", "n_stripes", "n_cols", "columns",
          "n_stat_cols", "c0_min", "c0_max", "c0_sum", "has_null",
-         "n_stripe_stat_groups", "stripe_stats_consistent"]
+         "n_stripe_stat_groups", "stripe_stats_consistent",
+         "stat_mins", "stat_maxs"]
 
 
 def _parse_census(payload: bytes) -> Optional[dict]:
@@ -517,6 +551,16 @@ SELECT doc_id,
        c0.c0_min, c0.c0_max, c0.c0_sum,
        CASE WHEN d % 17 = 9 THEN NULL ELSE FALSE END AS has_null,
        CASE WHEN d % 17 = 9 THEN NULL ELSE 1 END AS n_stripe_stat_groups,
-       CASE WHEN d % 17 = 9 THEN NULL ELSE TRUE END AS stripe_stats_consistent
+       CASE WHEN d % 17 = 9 THEN NULL ELSE TRUE END AS stripe_stats_consistent,
+       -- r17: all-column stats (c1 strings cover all of s0..s8 and c2
+       -- doubles all of 0.0..4.0 because n_rows >= 10 > both moduli)
+       CASE WHEN d % 17 = 9 THEN NULL
+            ELSE 'c0=' || CAST(c0.c0_min AS VARCHAR) || ';c1=s0'
+                 || CASE WHEN d % 2 = 1 THEN ';c2=0.0' ELSE '' END
+            END AS stat_mins,
+       CASE WHEN d % 17 = 9 THEN NULL
+            ELSE 'c0=' || CAST(c0.c0_max AS VARCHAR) || ';c1=s8'
+                 || CASE WHEN d % 2 = 1 THEN ';c2=4.0' ELSE '' END
+            END AS stat_maxs
 FROM d0 LEFT JOIN c0 USING (doc_id) ORDER BY doc_id
 """

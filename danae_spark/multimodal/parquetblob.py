@@ -26,6 +26,18 @@ __all__ = [
 ]
 
 
+def _fmt_stat(v) -> str:
+    """Canonical text form for a min/max statistic of any column type —
+    ints as decimal, floats as repr (so '0.0' not '0'), strings as-is."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
 def parse_parquet_blob(payload: bytes) -> Optional[dict]:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -41,34 +53,50 @@ def parse_parquet_blob(payload: bytes) -> Optional[dict]:
             md.row_group(0).column(0).compression if n_row_groups else None
         )
         names = f.schema_arrow.names
-        # r16: per-row-group column statistics from the same footer —
-        # the data-skipping selectivity input (the ORC C136 treatment,
-        # here through the canonical reader's metadata object): file
-        # min/max/null-count for the first column aggregated over the
-        # row groups that carry stats
-        c0_min = c0_max = c0_nulls = None
+        # r16 (widened r17 to ALL columns): per-row-group column
+        # statistics from the same footer — the data-skipping
+        # selectivity input (the ORC C136 treatment, here through the
+        # canonical reader's metadata object): file min/max/null-count
+        # per column aggregated over the row groups that carry stats
+        n_cols = md.num_columns
+        mins: list = [None] * n_cols
+        maxs: list = [None] * n_cols
+        nulls: list = [None] * n_cols
         stats_groups = 0
         for g in range(n_row_groups):
-            st = md.row_group(g).column(0).statistics
-            if st is None or not st.has_min_max:
-                continue
-            stats_groups += 1
-            c0_min = st.min if c0_min is None else min(c0_min, st.min)
-            c0_max = st.max if c0_max is None else max(c0_max, st.max)
-            c0_nulls = (c0_nulls or 0) + (st.null_count or 0)
+            rg = md.row_group(g)
+            any_stats = False
+            for c in range(n_cols):
+                st = rg.column(c).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                any_stats = True
+                mins[c] = st.min if mins[c] is None else min(mins[c], st.min)
+                maxs[c] = st.max if maxs[c] is None else max(maxs[c], st.max)
+                nulls[c] = (nulls[c] or 0) + (st.null_count or 0)
+            stats_groups += 1 if any_stats else 0
     except Exception:
         return None
     return {
         "n_rows": md.num_rows,
-        "n_cols": md.num_columns,
+        "n_cols": n_cols,
         "n_row_groups": n_row_groups,
         "first_group_rows": first_rows,
         "compression": compression,
         "columns": "/".join(names),
-        "c0_min": c0_min,
-        "c0_max": c0_max,
-        "c0_nulls": c0_nulls,
+        "c0_min": mins[0] if n_cols else None,
+        "c0_max": maxs[0] if n_cols else None,
+        "c0_nulls": nulls[0] if n_cols else None,
         "stats_groups": stats_groups,
+        "stat_mins": ";".join(
+            f"{n}={_fmt_stat(v)}" for n, v in zip(names, mins)
+        ),
+        "stat_maxs": ";".join(
+            f"{n}={_fmt_stat(v)}" for n, v in zip(names, maxs)
+        ),
+        "stat_nulls": ";".join(
+            f"{n}={_fmt_stat(v)}" for n, v in zip(names, nulls)
+        ),
     }
 
 
@@ -119,7 +147,8 @@ def synth_parquet(d: int) -> bytes:
 _SCHEMA = (
     "doc_id bigint, n_rows int, n_cols int, n_row_groups int, "
     "first_group_rows int, compression string, columns string, "
-    "c0_min bigint, c0_max bigint, c0_nulls bigint, stats_groups int"
+    "c0_min bigint, c0_max bigint, c0_nulls bigint, stats_groups int, "
+    "stat_mins string, stat_maxs string, stat_nulls string"
 )
 _COLS = [
     "n_rows",
@@ -132,6 +161,9 @@ _COLS = [
     "c0_max",
     "c0_nulls",
     "stats_groups",
+    "stat_mins",
+    "stat_maxs",
+    "stat_nulls",
 ]
 
 
@@ -186,6 +218,22 @@ SELECT doc_id,
        CAST(CASE WHEN d % 21 = 9 THEN NULL ELSE 0 END AS BIGINT) AS c0_nulls,
        CASE WHEN d % 21 = 9 THEN NULL
             ELSE CAST((10 + d % 7 + (4 + d % 3) - 1) // (4 + d % 3) AS INT)
-            END AS stats_groups
+            END AS stats_groups,
+       -- r17: all-column stats (c1 strings cover all of s0..s8 and c2
+       -- doubles all of 0.0..4.0 because n_rows >= 10 > both moduli)
+       -- c2 min is -0.0, not 0.0: parquet-cpp conservatively widens a
+       -- double min of +0.0 to -0.0 under the sign-aware total order
+       CASE WHEN d % 21 = 9 THEN NULL
+            ELSE 'c0=' || CAST(c0.c0_min AS VARCHAR) || ';c1=s0'
+                 || CASE WHEN d % 2 = 1 THEN ';c2=-0.0' ELSE '' END
+            END AS stat_mins,
+       CASE WHEN d % 21 = 9 THEN NULL
+            ELSE 'c0=' || CAST(c0.c0_max AS VARCHAR) || ';c1=s8'
+                 || CASE WHEN d % 2 = 1 THEN ';c2=4.0' ELSE '' END
+            END AS stat_maxs,
+       CASE WHEN d % 21 = 9 THEN NULL
+            ELSE 'c0=0;c1=0'
+                 || CASE WHEN d % 2 = 1 THEN ';c2=0' ELSE '' END
+            END AS stat_nulls
 FROM d0 LEFT JOIN c0 USING (doc_id) ORDER BY doc_id
 """
