@@ -213,6 +213,8 @@ HEADLINE = [
     "code_corpus_stats",
     "corpus_code_report",
     "image_normalize",
+    # r17: ftyp-brand stills + the lake/doc formats of the round
+    "avif_census",
 ]
 
 

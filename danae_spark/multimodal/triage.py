@@ -116,6 +116,21 @@ def triage_payload(payload: bytes) -> dict | None:
         return {"media_class": "video", "format": "webm",
                 "duration_ms": w["duration_ms"]}
 
+    if len(p) >= 16 and p[4:8] == b"ftyp":
+        from danae_spark.multimodal.avif import STILL_BRANDS, parse_avif
+
+        if p[8:12] in STILL_BRANDS:
+            # r17: ftyp-brand STILLS (avif/heic/mif1…) are images with a
+            # meta-box item tree, not a moov/trak movie — route them to
+            # the AVIF/HEIF census instead of the video walk (pre-r17
+            # every AVIF in a crawl censused as unknown/corrupt)
+            a = parse_avif(p)
+            if a is None:
+                return None
+            return {"media_class": "image", "format": "avif"
+                    if a["brand"] in ("avif", "avis") else "heif",
+                    "duration_ms": None}
+
     if len(p) >= 8 and p[4:8] in (b"ftyp", b"styp", b"moov", b"moof"):
         s = parse_mp4_samples(p)
         if s is not None:

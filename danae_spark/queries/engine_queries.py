@@ -1867,6 +1867,26 @@ def corpus_code_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _codereport.corpus_code_report(spark, sf_dir)
 
 
+from danae_spark.multimodal import avif as _avif  # noqa: E402
+
+
+@register("avif_census", oracle=_avif.AVIF_CENSUS_ORACLE)
+def avif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVIF/HEIF still-image census (r17 — the post-WebP crawl format
+    that previously censused as unknown): per doc a real ISOBMFF still
+    is synthesized (plain / irot+imir+Exif / grid-derived / alpha-aux
+    variants; versioned pitm/iinf/iloc/ipma forms; iloc extents
+    addressing the real mdat bytes) and decoded by the from-spec
+    meta-box item walk — ispe/pixi/irot/imir properties, ipma indices
+    validated against the ipco pool, grid descriptors cross-checked
+    against their dimg reference count, Exif items through the
+    certified IFD walker; AV1 sample decode is the documented codec
+    boundary (the lossy-VP8 precedent). d%19==7 (extent past EOF) and
+    d%23==11 (ipma index past the pool) reject whole
+    (multimodal/avif.py avif_census_roundtrip)."""
+    return _avif.avif_census_roundtrip(spark, sf_dir)
+
+
 from danae_spark.multimodal import normalize as _normalize  # noqa: E402
 
 

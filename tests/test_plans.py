@@ -381,6 +381,7 @@ def test_blob_censuses_are_narrow(spark, sf_dir):
         "mail_text_extract",
         "code_corpus_stats",
         "image_normalize",
+        "avif_census",
     ):
         df = REGISTRY[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

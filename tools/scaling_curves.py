@@ -180,6 +180,7 @@ OPERATORS = {
     "mail_text_extract": "documents",
     "code_corpus_stats": "documents",
     "image_normalize": "documents",
+    "avif_census": "documents",
 }
 
 
