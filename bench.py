@@ -215,6 +215,7 @@ HEADLINE = [
     "image_normalize",
     # r17: ftyp-brand stills + the lake/doc formats of the round
     "avif_census",
+    "delta_log_census",
 ]
 
 

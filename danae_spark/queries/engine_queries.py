@@ -1887,6 +1887,26 @@ def avif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _avif.avif_census_roundtrip(spark, sf_dir)
 
 
+from danae_spark.multimodal import deltalog as _deltalog  # noqa: E402
+
+
+@register("delta_log_census", oracle=_deltalog.DELTA_LOG_ORACLE)
+def delta_log_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta transaction-log census (r17 — the lake-native metadata
+    class): per doc a real Delta table (contiguous `_delta_log` JSON
+    commit chain with protocol/metaData/add/remove actions + the
+    referenced parquet data files, shipped as a tar) is REPLAYED —
+    protocol gate, live-set reconciliation, partition values from the
+    log — and cross-checked against the data plane: every live add's
+    size must equal the member's bytes and its stats.numRecords the
+    parquet footer's row count (the compaction / data-skipping story
+    end-to-end). d%17==5 (minReaderVersion 3) and d%13==8 (torn
+    version chain) reject whole, as the Delta spec requires
+    (multimodal/deltalog.py delta_log_census_roundtrip; the on-disk
+    reader twin is sources/delta.py read_delta)."""
+    return _deltalog.delta_log_census_roundtrip(spark, sf_dir)
+
+
 from danae_spark.multimodal import normalize as _normalize  # noqa: E402
 
 

@@ -382,6 +382,7 @@ def test_blob_censuses_are_narrow(spark, sf_dir):
         "code_corpus_stats",
         "image_normalize",
         "avif_census",
+        "delta_log_census",
     ):
         df = REGISTRY[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

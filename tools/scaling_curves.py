@@ -181,6 +181,7 @@ OPERATORS = {
     "code_corpus_stats": "documents",
     "image_normalize": "documents",
     "avif_census": "documents",
+    "delta_log_census": "documents",
 }
 
 
