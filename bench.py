@@ -216,6 +216,7 @@ HEADLINE = [
     # r17: ftyp-brand stills + the lake/doc formats of the round
     "avif_census",
     "delta_log_census",
+    "svg_census",
 ]
 
 

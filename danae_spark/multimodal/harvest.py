@@ -276,6 +276,22 @@ def harvest_text(
             "text": feed["text"],
         }
 
+    from danae_spark.multimodal.svg import looks_like_svg, parse_svg
+
+    if looks_like_svg(p):
+        # SVG identity rule (r17): a payload whose FIRST element is
+        # <svg> claims the SVG grammar — parse or reject whole (path
+        # data and script bodies must not ship as class "text"/"html")
+        sv = parse_svg(p)
+        if sv is None:
+            return None
+        return {
+            "doc_class": "svg",
+            "format": "svg",
+            "title": sv["title"],
+            "text": sv["text"],
+        }
+
     from danae_spark.multimodal.htmltext import _decode_page, _looks_binary
 
     if _looks_binary(p):

@@ -1907,6 +1907,25 @@ def delta_log_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _deltalog.delta_log_census_roundtrip(spark, sf_dir)
 
 
+from danae_spark.multimodal import svg as _svg  # noqa: E402
+
+
+@register("svg_census", oracle=_svg.SVG_CENSUS_ORACLE)
+def svg_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SVG census + text extraction (r17 — the only common web image
+    format that is XML, previously unrouted): per doc a real SVG (xml
+    decl, px-suffixed dims, optional viewBox, shape grid, nested
+    text/tspan with entities, a CDATA script whose '>' must not
+    desynchronize the walk, an anchor) is parsed by the census walk —
+    script/foreignObject counted, never executed or extracted; custom
+    entities never expand (billion-laughs pinned in tests) — and every
+    column restated as doc_id arithmetic. d%11==3 (dropped close tag)
+    and d%29==13 (mid-tag truncation) reject whole. Routed in
+    text_harvest via the first-element-is-svg identity rule
+    (multimodal/svg.py svg_census_roundtrip)."""
+    return _svg.svg_census_roundtrip(spark, sf_dir)
+
+
 from danae_spark.multimodal import normalize as _normalize  # noqa: E402
 
 

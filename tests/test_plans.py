@@ -383,6 +383,7 @@ def test_blob_censuses_are_narrow(spark, sf_dir):
         "image_normalize",
         "avif_census",
         "delta_log_census",
+        "svg_census",
     ):
         df = REGISTRY[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

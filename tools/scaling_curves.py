@@ -182,6 +182,7 @@ OPERATORS = {
     "image_normalize": "documents",
     "avif_census": "documents",
     "delta_log_census": "documents",
+    "svg_census": "documents",
 }
 
 
