@@ -217,6 +217,7 @@ HEADLINE = [
     "avif_census",
     "delta_log_census",
     "svg_census",
+    "cfb_office_extract",
 ]
 
 

@@ -2,7 +2,8 @@
 column: the tabular/binary sibling of text_harvest.
 
 An unknown lake prefix holds csv, jsonl, parquet, sqlite, access-log,
-chat-shard, avro, orc, and notebook blobs side by side; the first pass an ingest
+chat-shard, avro, orc, notebook, and legacy-office (CFB) blobs side by
+side; the first pass an ingest
 planner runs is "which container is each blob, and how big is it".
 This operator routes every payload magic/identity-first (sqlite /
 parquet / orc / avro magics, the notebook nbformat signature), then by
@@ -18,9 +19,10 @@ records, sqlite total rows, access-log parsed requests, chat
 conversations, avro records, notebook cells). A blob no parser accepts — including
 every unit census's own reject leg — yields a NULL row, never a guess.
 
-The oracle COMPOSES the nine unit oracles verbatim (the text_harvest
-pattern: compositions restate the same certified fragments),
-selecting each kind's headline count under the d % 9 rotation — so the capstone can never disagree with the unit entries.
+The oracle COMPOSES the ten unit oracles verbatim (the text_harvest
+pattern: compositions restate the same certified fragments), selecting
+each kind's headline count under the d % 10 rotation — so the capstone
+can never disagree with the unit entries.
 
 Scale shape: one narrow Arrow map (magic checks + at most four strict
 text parses per blob), no shuffle.
@@ -39,7 +41,7 @@ __all__ = [
 ]
 
 _KINDS = ["csv", "json", "parquet", "sqlite", "access_log", "chat",
-          "avro", "orc", "notebook"]
+          "avro", "orc", "notebook", "cfb"]
 
 
 def route_blob(payload: bytes) -> Optional[dict]:
@@ -70,6 +72,18 @@ def route_blob(payload: bytes) -> Optional[dict]:
     if p[:4] == b"Obj\x01":
         r = parse_avro_blob(p)
         return {"container": "avro", "n_items": r["n_records"]} if r else None
+    if p[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        # CFB identity rule (r17): the compound-file signature claims
+        # the OLE2 grammar — parse or reject whole; headline count is
+        # the doc's piece count or the sheet's cell count
+        from danae_spark.multimodal.cfb import parse_cfb_office
+
+        r = parse_cfb_office(p)
+        if r is None:
+            return None
+        n = (r["n_pieces"] if r["kind"] == "doc"
+             else r["n_label_cells"] + r["n_number_cells"])
+        return {"container": "cfb", "n_items": n}
     if p.lstrip()[:1] == b"{" and b'"nbformat"' in p:
         # notebook identity rule (r16): the nbformat signature claims
         # the notebook grammar — parse it or reject whole, never fall
@@ -95,7 +109,7 @@ def route_blob(payload: bytes) -> Optional[dict]:
 
 
 def synth_blob(d: int) -> bytes:
-    """d % 9 rotates the container kind; each kind's own synth (and
+    """d % 10 rotates the container kind; each kind's own synth (and
     thus its own reject leg) is reused verbatim."""
     from danae_spark.multimodal.accesslog import synth_access_log
     from danae_spark.multimodal.avroblob import synth_avro
@@ -106,11 +120,13 @@ def synth_blob(d: int) -> bytes:
     from danae_spark.multimodal.parquetblob import synth_parquet
     from danae_spark.multimodal.sqliteblob import synth_sqlite
 
+    from danae_spark.multimodal.cfb import synth_cfb_office
+
     synth = [
         synth_csv, synth_json, synth_parquet, synth_sqlite,
         synth_access_log, synth_chat, synth_avro, synth_orc,
-        synth_notebook,
-    ][d % 9]
+        synth_notebook, synth_cfb_office,
+    ][d % 10]
     return synth(d)
 
 
@@ -130,8 +146,8 @@ def blob_harvest_frame(df, id_col: str = "doc_id", payload_col: str = "payload")
 
 def blob_harvest_roundtrip(spark, sf_dir: str):
     """Oracle-checkable roundtrip: per doc one real container file
-    (kind = d % 9, each kind's synth + reject leg verbatim) routed by
-    the dispatcher; the oracle composes the nine certified unit
+    (kind = d % 10, each kind's synth + reject leg verbatim) routed by
+    the dispatcher; the oracle composes the ten certified unit
     oracles and picks each kind's headline count."""
     from danae_spark.multimodal.docframes import synth_roundtrip
 
@@ -146,6 +162,7 @@ def _blob_harvest_oracle() -> str:
     from danae_spark.multimodal.notebook import NOTEBOOK_EXTRACT_ORACLE
     from danae_spark.multimodal.orcblob import ORC_CENSUS_ORACLE
     from danae_spark.multimodal.parquetblob import PARQUET_CENSUS_ORACLE
+    from danae_spark.multimodal.cfb import CFB_OFFICE_ORACLE
     from danae_spark.multimodal.sqliteblob import SQLITE_CENSUS_ORACLE
 
     return f"""
@@ -158,22 +175,28 @@ chat_u AS (SELECT doc_id, n_convs AS n FROM ({CHAT_CENSUS_ORACLE})),
 avro_u AS (SELECT doc_id, n_records AS n FROM ({AVRO_CENSUS_ORACLE})),
 orc_u AS (SELECT doc_id, n_rows AS n FROM ({ORC_CENSUS_ORACLE})),
 nb_u AS (SELECT doc_id, n_cells AS n FROM ({NOTEBOOK_EXTRACT_ORACLE})),
+cfb_u AS (SELECT doc_id,
+                 CASE kind WHEN 'doc' THEN n_pieces
+                           ELSE n_label_cells + n_number_cells END AS n
+          FROM ({CFB_OFFICE_ORACLE})),
 picked AS (
   SELECT d.doc_id,
-         CASE d.doc_id % 9
+         CASE d.doc_id % 10
            WHEN 0 THEN csv_u.n WHEN 1 THEN json_u.n WHEN 2 THEN parquet_u.n
            WHEN 3 THEN sqlite_u.n WHEN 4 THEN log_u.n WHEN 5 THEN chat_u.n
-           WHEN 6 THEN avro_u.n WHEN 7 THEN orc_u.n ELSE nb_u.n END AS n_items,
-         CASE d.doc_id % 9
+           WHEN 6 THEN avro_u.n WHEN 7 THEN orc_u.n WHEN 8 THEN nb_u.n
+           ELSE cfb_u.n END AS n_items,
+         CASE d.doc_id % 10
            WHEN 0 THEN 'csv' WHEN 1 THEN 'json' WHEN 2 THEN 'parquet'
            WHEN 3 THEN 'sqlite' WHEN 4 THEN 'access_log' WHEN 5 THEN 'chat'
-           WHEN 6 THEN 'avro' WHEN 7 THEN 'orc' ELSE 'notebook' END AS kind
+           WHEN 6 THEN 'avro' WHEN 7 THEN 'orc' WHEN 8 THEN 'notebook'
+           ELSE 'cfb' END AS kind
   FROM documents d
   JOIN csv_u USING (doc_id) JOIN json_u USING (doc_id)
   JOIN parquet_u USING (doc_id) JOIN sqlite_u USING (doc_id)
   JOIN log_u USING (doc_id) JOIN chat_u USING (doc_id)
   JOIN avro_u USING (doc_id) JOIN orc_u USING (doc_id)
-  JOIN nb_u USING (doc_id)
+  JOIN nb_u USING (doc_id) JOIN cfb_u USING (doc_id)
 )
 SELECT doc_id,
        CASE WHEN n_items IS NULL THEN NULL ELSE kind END AS container,

@@ -96,6 +96,23 @@ def harvest_text(
             "text": r["text"],
         }
 
+    if p[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        # CFB identity rule (r17): the compound-file signature claims
+        # the OLE2 grammar — legacy .doc text / .xls SST strings, or
+        # reject whole (fast-saved docs and non-document CFBs must not
+        # leak bytes into the corpus)
+        from danae_spark.multimodal.cfb import parse_cfb_office
+
+        cfb = parse_cfb_office(p)
+        if cfb is None or cfb["text"] is None:
+            return None
+        return {
+            "doc_class": cfb["kind"],
+            "format": "cfb-" + cfb["kind"],
+            "title": None,
+            "text": cfb["text"],
+        }
+
     def _warc(fmt: str) -> dict | None:
         pages = []
         for _uri, status, ctype, body in iter_warc_responses(p):

@@ -1907,6 +1907,25 @@ def delta_log_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _deltalog.delta_log_census_roundtrip(spark, sf_dir)
 
 
+from danae_spark.multimodal import cfb as _cfb  # noqa: E402
+
+
+@register("cfb_office_extract", oracle=_cfb.CFB_OFFICE_ORACLE)
+def cfb_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLE2/CFB legacy-office extraction (r17 — the pre-2007 .doc/.xls
+    corpus class): per doc a real compound file is synthesized (v3
+    sectors, DIFAT→FAT chains, directory, miniFAT mini stream for
+    sub-4096 streams with d%3==0 docs padded onto regular chains) and
+    walked from spec — .doc via FIB → Clx piece table (cp1252 AND
+    UTF-16 pieces, 0Table/1Table rotation, ccpText cross-check), .xls
+    via BIFF8 BOF/BOUNDSHEET/SST (8-bit + wide strings)/LABELSST/
+    NUMBER/EOF. fComplex fast-saves, SST Continue-spans, FAT cycles
+    and signature corruption reject whole. Routed in text_harvest AND
+    blob_harvest via the CFB signature identity rule
+    (multimodal/cfb.py cfb_office_roundtrip)."""
+    return _cfb.cfb_office_roundtrip(spark, sf_dir)
+
+
 from danae_spark.multimodal import svg as _svg  # noqa: E402
 
 

@@ -26,11 +26,15 @@ def _frames():
         from danae_spark.multimodal.avroblob import avro_census_frame
         from danae_spark.multimodal.csvblob import csv_census_frame
         from danae_spark.multimodal.jsonblob import chat_census_frame, json_census_frame
+        from danae_spark.multimodal.avif import avif_census_frame
+        from danae_spark.multimodal.cfb import cfb_office_frame
+        from danae_spark.multimodal.deltalog import delta_log_census_frame
         from danae_spark.multimodal.notebook import notebook_extract_frame
         from danae_spark.multimodal.orcblob import orc_census_frame
         from danae_spark.operators.codestats import code_stats_frame
         from danae_spark.multimodal.parquetblob import parquet_census_frame
         from danae_spark.multimodal.sqliteblob import sqlite_census_frame
+        from danae_spark.multimodal.svg import svg_census_frame
 
         _KINDS = {
             "csv": csv_census_frame,
@@ -43,6 +47,11 @@ def _frames():
             "orc": orc_census_frame,
             "notebook": notebook_extract_frame,
             "code": code_stats_frame,
+            # r17: the round's four stateless frames, same twin pattern
+            "cfb": cfb_office_frame,
+            "avif": avif_census_frame,
+            "svg": svg_census_frame,
+            "delta": delta_log_census_frame,
         }
     return _KINDS
 
@@ -56,7 +65,7 @@ def census_stream(
     """Blob-shape census over a landing stream: stateless append via
     the SAME census frame function the batch path runs. `kind` names
     the census: csv | json | parquet | sqlite | access_log | chat |
-    avro | orc | notebook | code."""
+    avro | orc | notebook | code | cfb | avif | svg | delta."""
     frames = _frames()
     if kind not in frames:
         raise ValueError(f"unknown census kind {kind!r}; one of {sorted(frames)}")

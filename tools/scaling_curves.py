@@ -183,6 +183,7 @@ OPERATORS = {
     "avif_census": "documents",
     "delta_log_census": "documents",
     "svg_census": "documents",
+    "cfb_office_extract": "documents",
 }
 
 
