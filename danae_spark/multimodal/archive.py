@@ -354,6 +354,11 @@ def _members(payload: bytes) -> tuple[str, list] | None:
     if len(payload) >= 512 and payload[257:265] in (b"ustar\x0000", b"ustar  \x00"):
         m = _tar_members(payload)
         return None if m is None else ("tar", m)
+    if payload[:6] == b"7z\xbc\xaf\x27\x1c":  # r17: .7z from spec
+        from danae_spark.multimodal.sevenzip import sevenzip_members
+
+        m = sevenzip_members(payload)
+        return None if m is None else ("7z", m)
     return None
 
 
@@ -412,7 +417,7 @@ def parse_archive(payload: bytes) -> dict | None:
 
 
 def archive_format(d: int) -> str:
-    return ("zip", "tar", "tar.gz", "tar.xz", "tar.bz2")[d % 5]
+    return ("zip", "tar", "tar.gz", "tar.xz", "tar.bz2", "7z")[d % 6]
 
 
 def archive_n_files(d: int) -> int:
@@ -524,9 +529,10 @@ def _tar_build(entries: list[tuple[str, bytes | None]]) -> bytes:
 
 def synth_archive(doc_id: int) -> bytes:
     """Doc-deterministic archive: zip / tar / tar.gz / tar.xz /
-    tar.bz2 cycling by doc_id % 5 (r15 added the xz and bz2 members
-    via the stdlib codecs, the same canonical-implementation route as
-    zip's zlib), a leading 'sub/' directory, then 2-5 media files whose
+    tar.bz2 / 7z cycling by doc_id % 6 (r15 added the xz and bz2
+    members via the stdlib codecs; r17 the from-spec 7z walk with
+    copy/LZMA folders, solid archives on d%7==3 and LZMA-encoded
+    headers on d%5==2), a leading 'sub/' directory, then 2-5 media files whose
     payloads are real mixed media (triage's synth_media at
     e = doc_id*8 + m). ZIP members alternate stored/deflated; among
     zip docs, doc_id % 6 == 0 emits the STREAMED layout (flag bit 3 +
@@ -545,6 +551,17 @@ def synth_archive(doc_id: int) -> bytes:
         entries = [("sub/", b"", 0)]
         entries += [(name, data, m % 2 * 8) for m, (name, data) in enumerate(files)]
         return _zip_build(entries, dd=d % 6 == 0, zip64=d % 9 == 0)
+    if fmt == "7z":
+        from danae_spark.multimodal.sevenzip import sevenzip_build
+
+        # rotate the 7z-specific structures: coder, solid folders,
+        # LZMA-encoded header — same members, same census
+        return sevenzip_build(
+            [("sub/", None)] + files,
+            coder="lzma" if d % 2 else "copy",
+            solid=d % 7 == 3,
+            encoded_header=d % 5 == 2,
+        )
     tar = _tar_build([("sub/", None)] + files)
     if fmt == "tar":
         return tar
@@ -662,9 +679,9 @@ agg AS (
   FROM cls GROUP BY doc_id
 )
 SELECT g.doc_id,
-       CASE g.doc_id % 5 WHEN 0 THEN 'zip' WHEN 1 THEN 'tar'
+       CASE g.doc_id % 6 WHEN 0 THEN 'zip' WHEN 1 THEN 'tar'
             WHEN 2 THEN 'tar.gz' WHEN 3 THEN 'tar.xz'
-            ELSE 'tar.bz2' END AS format,
+            WHEN 4 THEN 'tar.bz2' ELSE '7z' END AS format,
        CAST(g.n_files + 1 AS INT) AS n_members,
        g.n_files AS n_files,
        CAST(1 AS INT) AS n_dirs,

@@ -207,6 +207,12 @@ def harvest_text(
         census = parse_archive(p)
         return _archive(census) if census is not None else None
 
+    if p[:6] == b"\xfd7zXZ\x00" or p[:3] == b"BZh" or p[:6] == b"7z\xbc\xaf\x27\x1c":
+        # r17: the remaining archive magics (.tar.xz / .tar.bz2 / .7z)
+        # reach the same member walk as zip/tar/tar.gz
+        census = parse_archive(p)
+        return _archive(census) if census is not None else None
+
     if p.startswith(b"{\\rtf"):
         # without this route an RTF file decodes as UTF-8 with no '<'
         # and ships as class "text" — control words leaking into the

@@ -310,8 +310,8 @@ def test_tar_xz_and_bz2_archives_walk():
         synth_archive,
     )
 
-    # d%5==3 -> tar.xz, d%5==4 -> tar.bz2
-    for d in (3, 4, 8, 9, 13, 14):
+    # d%6==3 -> tar.xz, d%6==4 -> tar.bz2 (r17 widened the rotation)
+    for d in (3, 4, 9, 10, 15, 16):
         assert archive_format(d) in ("tar.xz", "tar.bz2")
         r = parse_archive(synth_archive(d))
         assert r is not None, d
