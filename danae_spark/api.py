@@ -1041,3 +1041,48 @@ class DataLakeEngine:
         from danae_spark.multimodal.normalize import image_normalize_frame
 
         return image_normalize_frame(df, **kw)
+
+    # ------------------------------------------------ r17 operators
+
+    def avif_census(self, df: DataFrame, **kw) -> DataFrame:
+        """AVIF/HEIF still census over any (id, binary) frame: the
+        ISOBMFF meta-box item walk — dims, channels, orientation,
+        grids, alpha, Exif via the certified IFD walker
+        (multimodal/avif.py parse_avif)."""
+        from danae_spark.multimodal.avif import avif_census_frame
+
+        return avif_census_frame(df, **kw)
+
+    def delta_log_census(self, df: DataFrame, **kw) -> DataFrame:
+        """Delta transaction-log census over tar-shipped tables:
+        commit-chain replay, protocol gate, live-set reconciliation,
+        log-vs-parquet-footer cross-check
+        (multimodal/deltalog.py parse_delta_table)."""
+        from danae_spark.multimodal.deltalog import delta_log_census_frame
+
+        return delta_log_census_frame(df, **kw)
+
+    def read_delta(self, table_dir: str, version: int | None = None) -> DataFrame:
+        """DataFrame over a Delta table DIRECTORY's live files at the
+        given version (default latest): tombstones excluded, partition
+        values attached from the log (sources/delta.py read_delta)."""
+        from danae_spark.sources.delta import read_delta
+
+        return read_delta(self.spark, table_dir, version)
+
+    def svg_census(self, df: DataFrame, **kw) -> DataFrame:
+        """SVG census + text extraction over any (id, binary) frame:
+        dims/viewBox, element and shape counts, text/tspan content —
+        script counted, never executed; entities never expand
+        (multimodal/svg.py parse_svg)."""
+        from danae_spark.multimodal.svg import svg_census_frame
+
+        return svg_census_frame(df, **kw)
+
+    def cfb_office(self, df: DataFrame, **kw) -> DataFrame:
+        """Legacy OLE2 .doc/.xls extraction over any (id, binary)
+        frame: CFB chain walk, MS-DOC piece-table text, BIFF8 SST
+        census (multimodal/cfb.py parse_cfb_office)."""
+        from danae_spark.multimodal.cfb import cfb_office_frame
+
+        return cfb_office_frame(df, **kw)
