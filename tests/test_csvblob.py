@@ -556,15 +556,16 @@ def test_blob_harvest_routing_sweep():
     from danae_spark.multimodal.blobharvest import route_blob, synth_blob
 
     kinds = ["csv", "json", "parquet", "sqlite", "access_log", "chat",
-             "avro", "orc", "notebook"]
+             "avro", "orc", "notebook", "cfb"]
     rejects = [
         lambda d: d % 19 == 3, lambda d: d % 23 == 7, lambda d: d % 21 == 9,
         lambda d: d % 27 == 11, lambda d: d % 25 == 13, lambda d: d % 29 == 17,
         lambda d: d % 19 == 7, lambda d: d % 17 == 9,
         lambda d: d % 17 == 3 or d % 19 == 6 or d % 23 == 11,
+        lambda d: d % 17 == 4 or d % 13 == 6 or d % 23 == 9,
     ]
-    for d in range(900):
-        k = d % 9
+    for d in range(1000):
+        k = d % 10
         r = route_blob(synth_blob(d))
         if rejects[k](d):
             assert r is None, (d, kinds[k], r)
