@@ -218,6 +218,7 @@ HEADLINE = [
     "delta_log_census",
     "svg_census",
     "cfb_office_extract",
+    "iceberg_census",
 ]
 
 

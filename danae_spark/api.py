@@ -1086,3 +1086,12 @@ class DataLakeEngine:
         from danae_spark.multimodal.cfb import cfb_office_frame
 
         return cfb_office_frame(df, **kw)
+
+    def iceberg_census(self, df: DataFrame, **kw) -> DataFrame:
+        """Iceberg metadata-chain census over tar-shipped tables:
+        snapshot replay, manifest-list/manifest decode via the
+        schema-driven Avro datum codec, footer cross-checks
+        (multimodal/iceberg.py parse_iceberg_table)."""
+        from danae_spark.multimodal.iceberg import iceberg_census_frame
+
+        return iceberg_census_frame(df, **kw)

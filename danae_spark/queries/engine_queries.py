@@ -1926,6 +1926,25 @@ def cfb_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cfb.cfb_office_roundtrip(spark, sf_dir)
 
 
+from danae_spark.multimodal import iceberg as _iceberg  # noqa: E402
+
+
+@register("iceberg_census", oracle=_iceberg.ICEBERG_CENSUS_ORACLE)
+def iceberg_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg metadata-chain census (r17 — the second lake-native
+    table format, the Delta census's sibling): per doc a real Iceberg
+    table (metadata.json with schemas/partition-specs/snapshots, Avro
+    manifest list, Avro manifests decoded by the new schema-driven
+    datum codec, real parquet data files) is replayed from the current
+    snapshot with bottom-up cross-checks — manifest-list counts vs
+    manifest entries, entry file_size vs member bytes, record_count vs
+    parquet footer rows. d%17==2 (format-version 3 — the spec's
+    forward-compat refusal), d%13==4 (missing manifest) and d%23==5
+    (manifest-list count lie) reject whole
+    (multimodal/iceberg.py iceberg_census_roundtrip)."""
+    return _iceberg.iceberg_census_roundtrip(spark, sf_dir)
+
+
 from danae_spark.multimodal import svg as _svg  # noqa: E402
 
 

@@ -29,6 +29,7 @@ def _frames():
         from danae_spark.multimodal.avif import avif_census_frame
         from danae_spark.multimodal.cfb import cfb_office_frame
         from danae_spark.multimodal.deltalog import delta_log_census_frame
+        from danae_spark.multimodal.iceberg import iceberg_census_frame
         from danae_spark.multimodal.notebook import notebook_extract_frame
         from danae_spark.multimodal.orcblob import orc_census_frame
         from danae_spark.operators.codestats import code_stats_frame
@@ -52,6 +53,7 @@ def _frames():
             "avif": avif_census_frame,
             "svg": svg_census_frame,
             "delta": delta_log_census_frame,
+            "iceberg": iceberg_census_frame,
         }
     return _KINDS
 
@@ -65,7 +67,8 @@ def census_stream(
     """Blob-shape census over a landing stream: stateless append via
     the SAME census frame function the batch path runs. `kind` names
     the census: csv | json | parquet | sqlite | access_log | chat |
-    avro | orc | notebook | code | cfb | avif | svg | delta."""
+    avro | orc | notebook | code | cfb | avif | svg | delta |
+    iceberg."""
     frames = _frames()
     if kind not in frames:
         raise ValueError(f"unknown census kind {kind!r}; one of {sorted(frames)}")

@@ -385,6 +385,7 @@ def test_blob_censuses_are_narrow(spark, sf_dir):
         "delta_log_census",
         "svg_census",
         "cfb_office_extract",
+        "iceberg_census",
     ):
         df = REGISTRY[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

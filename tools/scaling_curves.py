@@ -184,6 +184,7 @@ OPERATORS = {
     "delta_log_census": "documents",
     "svg_census": "documents",
     "cfb_office_extract": "documents",
+    "iceberg_census": "documents",
 }
 
 
