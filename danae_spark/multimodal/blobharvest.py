@@ -82,6 +82,7 @@ def route_blob(payload: bytes) -> Optional[dict]:
         if r is None:
             return None
         n = (r["n_pieces"] if r["kind"] == "doc"
+             else r["n_text_atoms"] if r["kind"] == "ppt"
              else r["n_label_cells"] + r["n_number_cells"])
         return {"container": "cfb", "n_items": n}
     if p.lstrip()[:1] == b"{" and b'"nbformat"' in p:
@@ -177,6 +178,7 @@ orc_u AS (SELECT doc_id, n_rows AS n FROM ({ORC_CENSUS_ORACLE})),
 nb_u AS (SELECT doc_id, n_cells AS n FROM ({NOTEBOOK_EXTRACT_ORACLE})),
 cfb_u AS (SELECT doc_id,
                  CASE kind WHEN 'doc' THEN n_pieces
+                           WHEN 'ppt' THEN n_text_atoms
                            ELSE n_label_cells + n_number_cells END AS n
           FROM ({CFB_OFFICE_ORACLE})),
 picked AS (

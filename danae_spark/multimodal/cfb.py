@@ -1,9 +1,9 @@
-"""OLE2 / Compound File Binary (.doc/.xls) extraction — the legacy
-office corpus class.
+"""OLE2 / Compound File Binary (.doc/.xls/.ppt) extraction — the
+legacy office corpus class.
 
 office.py handles zip-based OPC/ODF (post-2007); decades of crawlable
 institutional corpora are in the pre-2007 compound-file binary format.
-All three layers here are public specs:
+All four layers here are public specs:
 
   [MS-CFB]  the container: 512-byte sectors, DIFAT → FAT → chains,
             directory entries (UTF-16LE names, stream/storage types),
@@ -26,8 +26,13 @@ All three layers here are public specs:
             spanning Continue records reject whole (documented
             boundary: the synth never spans, and partial strings must
             not ship).
+  [MS-PPT]  PowerPoint Document: the container-record tree
+            (recVerAndInstance/recType/recLen headers, recVer 0xF =
+            container), SlideContainers counted, text collected from
+            TextCharsAtom (UTF-16LE) and TextBytesAtom (latin-1);
+            a record overrunning its parent rejects whole.
 
-The extracted doc text and the xls SST strings are exactly what
+The extracted doc/ppt text and the xls SST strings are exactly what
 text_harvest ships for this class; the census row carries the
 structural counts a curation pass filters on.
 """
@@ -364,6 +369,59 @@ def _xls_workbook(wb: bytes) -> Optional[dict]:
     }
 
 
+# ------------------------------------------------------ [MS-PPT] text
+
+_PPT_DOCUMENT = 0x03E8
+_PPT_SLIDE = 0x03EE
+_PPT_TEXT_CHARS = 0x0FA0
+_PPT_TEXT_BYTES = 0x0FA8
+
+
+def _ppt_text(stream: bytes) -> Optional[dict]:
+    """[MS-PPT] record tree: every record is (recVerAndInstance u16,
+    recType u16, recLen u32); a recVer nibble of 0xF marks a container
+    whose payload is more records. Text lives in TextCharsAtom
+    (UTF-16LE) and TextBytesAtom (latin-1) anywhere in the tree;
+    slides are SlideContainers. A record overrunning its parent
+    rejects whole."""
+    n_slides = 0
+    atoms: list[str] = []
+
+    def walk(buf: bytes, depth: int) -> None:
+        nonlocal n_slides
+        if depth > 16:
+            raise _Bad
+        pos = 0
+        while pos < len(buf):
+            if pos + 8 > len(buf):
+                raise _Bad
+            ver_inst, rtype, rlen = struct.unpack_from("<HHI", buf, pos)
+            body = buf[pos + 8 : pos + 8 + rlen]
+            if len(body) != rlen:
+                raise _Bad  # overruns the parent container
+            pos += 8 + rlen
+            if rtype == _PPT_SLIDE:
+                n_slides += 1
+            if ver_inst & 0x000F == 0x000F:  # container
+                walk(body, depth + 1)
+            elif rtype == _PPT_TEXT_CHARS:
+                if rlen % 2:
+                    raise _Bad
+                atoms.append(body.decode("utf-16-le"))
+            elif rtype == _PPT_TEXT_BYTES:
+                atoms.append(body.decode("latin-1"))
+
+    walk(stream, 0)
+    if n_slides == 0 and not atoms:
+        raise _Bad  # a PowerPoint stream with no presentation content
+    return {
+        "kind": "ppt",
+        "text": " ".join(" ".join(atoms).split()) or None,
+        "n_slides": n_slides,
+        "n_text_atoms": len(atoms),
+    }
+
+
 def parse_cfb_office(payload: bytes) -> Optional[dict]:
     """Route a CFB container by its streams: WordDocument → [MS-DOC]
     text, Workbook/Book → BIFF8 census. None for non-CFB payloads and
@@ -377,6 +435,9 @@ def parse_cfb_office(payload: bytes) -> Optional[dict]:
         wb = streams.get("Workbook", streams.get("Book"))
         if wb is not None:
             return _xls_workbook(wb)
+        ppt = streams.get("PowerPoint Document")
+        if ppt is not None:
+            return _ppt_text(ppt)
     except (_Bad, struct.error, IndexError, UnicodeDecodeError):
         return None
     return None  # a CFB with neither document class (e.g. .msi)
@@ -385,13 +446,13 @@ def parse_cfb_office(payload: bytes) -> Optional[dict]:
 # ----------------------------------------------------------- synthesis
 #
 # Doc-arithmetic grid (restated verbatim in CFB_OFFICE_ORACLE):
-#   kind = doc (d even) | xls (d odd)
-#   doc: n_pieces = 1 + d % 3; piece i is cp1252 when (d+i) % 2 == 0
+#   kind = [doc, xls, ppt][d % 3] (grids decorrelate via d // 3)
+#   doc: n_pieces = 1 + (d//3) % 3; piece i is cp1252 when (d+i) % 2 == 0
 #        else UTF-16LE with a '→x' suffix (provably beyond cp1252's
 #        repertoire); text chars include the trailing \\r per piece
 #   doc: Table stream is 1Table when d % 4 < 2 else 0Table
 #   xls: n_sheets = 1 + d % 2 (names sh<d%5>_<j>)
-#        strings: 2 + d % 3, string j = 's<(d+j)%9> t<j>' (+'→' when
+#        strings: 2 + (d//3) % 3, string j = 's<(d+j)%9> t<j>' (+'→' when
 #        (d+j) % 2 == 1, stored wide); one LABELSST per string;
 #        numbers: 1 + d % 2 cells of value (d+k) % 10
 #   the WordDocument / Workbook stream is padded past the 4096 mini
@@ -404,13 +465,13 @@ def parse_cfb_office(payload: bytes) -> Optional[dict]:
 
 
 def doc_kind(d: int) -> str:
-    return "doc" if d % 2 == 0 else "xls"
+    return ("doc", "xls", "ppt")[d % 3]
 
 
 def _doc_pieces(d: int) -> list[tuple[str, bool]]:
     """[(piece_text_with_par_mark, compressed)]"""
     out = []
-    for i in range(1 + d % 3):
+    for i in range(1 + (d // 3) % 3):
         compressed = (d + i) % 2 == 0
         t = f"word{(d + i) % 7} p{i}." + ("" if compressed else "→x")
         out.append((t + "\r", compressed))
@@ -418,7 +479,7 @@ def _doc_pieces(d: int) -> list[tuple[str, bool]]:
 
 
 def _xls_grid(d: int) -> dict:
-    n_str = 2 + d % 3
+    n_str = 2 + (d // 3) % 3
     return {
         "sheets": [f"sh{d % 5}_{j}" for j in range(1 + d % 2)],
         "strings": [
@@ -642,11 +703,43 @@ def _cfb_build(
     return bytes(header) + b"".join(order)
 
 
+def _ppt_grid(d: int) -> list[tuple[str, bool]]:
+    """[(slide_text, wide)] — wide atoms are TextCharsAtoms carrying a
+    char beyond latin-1."""
+    out = []
+    for s in range(1 + (d // 3) % 3):
+        wide = (d + s) % 2 == 1
+        out.append((f"slide{s} w{(d + s) % 7}" + ("→" if wide else ""), wide))
+    return out
+
+
+def _build_ppt(d: int) -> bytes:
+    def rec(ver_inst: int, rtype: int, body: bytes) -> bytes:
+        return struct.pack("<HHI", ver_inst, rtype, len(body)) + body
+
+    slides = b""
+    for text, wide in _ppt_grid(d):
+        if wide:
+            atom = rec(0x0000, _PPT_TEXT_CHARS, text.encode("utf-16-le"))
+        else:
+            atom = rec(0x0000, _PPT_TEXT_BYTES, text.encode("latin-1"))
+        slides += rec(0x000F, _PPT_SLIDE, atom)
+    doc = rec(0x000F, _PPT_DOCUMENT, slides)
+    if d % 13 == 6:
+        # the document container claims one more byte than it has:
+        # the walk must reject whole
+        doc = doc[:4] + struct.pack("<I", len(doc) - 8 + 1) + doc[8:]
+    return doc
+
+
 def synth_cfb_office(d: int) -> bytes:
-    if doc_kind(d) == "doc":
+    kind = doc_kind(d)
+    if kind == "doc":
         word, table = _build_word_stream(d)
         tbl_name = "1Table" if d % 4 < 2 else "0Table"
         return _cfb_build([("WordDocument", word), (tbl_name, table)], d)
+    if kind == "ppt":
+        return _cfb_build([("PowerPoint Document", _build_ppt(d))], d)
     return _cfb_build([("Workbook", _build_workbook(d))], d)
 
 
@@ -655,11 +748,12 @@ def synth_cfb_office(d: int) -> bytes:
 _SCHEMA = (
     "doc_id bigint, kind string, text string, n_pieces int, "
     "text_chars int, n_sheets int, n_strings int, n_label_cells int, "
-    "n_number_cells int, num_sum bigint, sheet_names string"
+    "n_number_cells int, num_sum bigint, sheet_names string, "
+    "n_slides int, n_text_atoms int"
 )
 _COLS = ["kind", "text", "n_pieces", "text_chars", "n_sheets",
          "n_strings", "n_label_cells", "n_number_cells", "num_sum",
-         "sheet_names"]
+         "sheet_names", "n_slides", "n_text_atoms"]
 
 
 def cfb_office_frame(df, id_col: str = "doc_id", payload_col: str = "payload"):
@@ -692,11 +786,13 @@ WITH d0 AS (
   SELECT doc_id, doc_id AS d,
          CASE WHEN doc_id % 17 = 4 OR doc_id % 13 = 6 OR doc_id % 23 = 9
               THEN 1 ELSE 0 END AS rej,
-         CASE WHEN doc_id % 2 = 0 THEN 'doc' ELSE 'xls' END AS kind
+         CASE doc_id % 3 WHEN 0 THEN 'doc' WHEN 1 THEN 'xls'
+              ELSE 'ppt' END AS kind
   FROM documents
 ),
--- doc pieces: i < 1 + d%3; text 'word<(d+i)%7> p<i>.' + '→x' on odd
--- (d+i); chars include the trailing \\r (9 + 1, or 9 + 2 + 1)
+-- doc pieces: i < 1 + d%3 (d%3=0 here, so always 1); text
+-- 'word<(d+i)%7> p<i>.' + '→x' on odd (d+i); chars include the
+-- trailing CR (9 + 1, or 9 + 2 + 1)
 dpiece AS (
   SELECT d0.doc_id,
          string_agg('word' || CAST((d0.d + i.i) % 7 AS VARCHAR) || ' p'
@@ -706,7 +802,7 @@ dpiece AS (
          CAST(count(*) AS INT) AS n_pieces,
          CAST(sum(10 + CASE WHEN (d0.d + i.i) % 2 = 1 THEN 2 ELSE 0 END)
               AS INT) AS text_chars
-  FROM d0 JOIN generate_series(0, 2) i(i) ON i.i < 1 + d0.d % 3
+  FROM d0 JOIN generate_series(0, 2) i(i) ON i.i < 1 + (d0.d // 3) % 3
   WHERE d0.rej = 0 AND d0.kind = 'doc'
   GROUP BY d0.doc_id
 ),
@@ -717,7 +813,7 @@ xstr AS (
                     || CASE WHEN (d0.d + j.j) % 2 = 1 THEN '→' ELSE '' END,
                     ' ' ORDER BY j.j) AS text,
          CAST(count(*) AS INT) AS n_strings
-  FROM d0 JOIN generate_series(0, 4) j(j) ON j.j < 2 + d0.d % 3
+  FROM d0 JOIN generate_series(0, 4) j(j) ON j.j < 2 + (d0.d // 3) % 3
   WHERE d0.rej = 0 AND d0.kind = 'xls'
   GROUP BY d0.doc_id
 ),
@@ -736,21 +832,37 @@ xsheet AS (
   FROM d0 JOIN generate_series(0, 1) j(j) ON j.j < 1 + d0.d % 2
   WHERE d0.rej = 0 AND d0.kind = 'xls'
   GROUP BY d0.doc_id
+),
+pslide AS (
+  SELECT d0.doc_id,
+         string_agg('slide' || CAST(s.s AS VARCHAR) || ' w'
+                    || CAST((d0.d + s.s) % 7 AS VARCHAR)
+                    || CASE WHEN (d0.d + s.s) % 2 = 1 THEN '→' ELSE '' END,
+                    ' ' ORDER BY s.s) AS text,
+         CAST(count(*) AS INT) AS n_slides
+  FROM d0 JOIN generate_series(0, 2) s(s) ON s.s < 1 + (d0.d // 3) % 3
+  WHERE d0.rej = 0 AND d0.kind = 'ppt'
+  GROUP BY d0.doc_id
 )
 SELECT d0.doc_id,
        CASE WHEN rej = 1 THEN NULL ELSE kind END AS kind,
        CASE WHEN rej = 1 THEN NULL
-            WHEN kind = 'doc' THEN dpiece.text ELSE xstr.text END AS text,
+            WHEN kind = 'doc' THEN dpiece.text
+            WHEN kind = 'xls' THEN xstr.text
+            ELSE pslide.text END AS text,
        dpiece.n_pieces, dpiece.text_chars,
        xsheet.n_sheets, xstr.n_strings,
        xstr.n_strings AS n_label_cells,
        xnum.n_numbers AS n_number_cells,
        xnum.num_sum,
-       xsheet.names AS sheet_names
+       xsheet.names AS sheet_names,
+       pslide.n_slides,
+       pslide.n_slides AS n_text_atoms
 FROM d0
 LEFT JOIN dpiece USING (doc_id)
 LEFT JOIN xstr USING (doc_id)
 LEFT JOIN xnum USING (doc_id)
 LEFT JOIN xsheet USING (doc_id)
+LEFT JOIN pslide USING (doc_id)
 ORDER BY d0.doc_id
 """

@@ -1,5 +1,6 @@
-"""CFB container walk + [MS-DOC]/[MS-XLS] extraction: roundtrip grid,
-chain-kind coverage, reject matrix, fuzz, harvest/blob routing."""
+"""CFB container walk + [MS-DOC]/[MS-XLS]/[MS-PPT] extraction:
+roundtrip grid, chain-kind coverage, reject matrix, fuzz,
+harvest/blob routing."""
 
 import random
 import struct
@@ -33,13 +34,20 @@ def test_roundtrip_grid():
             assert r["kind"] == "doc" and r["text"] == exp, (d, r)
             assert r["n_pieces"] == len(pieces)
             assert r["text_chars"] == sum(len(t) for t, _ in pieces)
-        else:
+        elif doc_kind(d) == "xls":
             g = _xls_grid(d)
             assert r["kind"] == "xls"
             assert r["text"] == " ".join(g["strings"])
             assert r["n_strings"] == len(g["strings"])
             assert r["num_sum"] == sum(g["numbers"])
             assert r["sheet_names"] == "/".join(g["sheets"])
+        else:
+            from danae_spark.multimodal.cfb import _ppt_grid
+
+            g = _ppt_grid(d)
+            assert r["kind"] == "ppt"
+            assert r["text"] == " ".join(t for t, _w in g)
+            assert r["n_slides"] == r["n_text_atoms"] == len(g)
 
 
 def test_both_chain_kinds_exercised():
@@ -60,8 +68,8 @@ def test_both_chain_kinds_exercised():
 
 
 def test_table_stream_rotation():
-    d1 = next(d for d in range(100) if d % 2 == 0 and d % 4 < 2 and not _rej(d))
-    d0 = next(d for d in range(100) if d % 2 == 0 and d % 4 >= 2 and not _rej(d))
+    d1 = next(d for d in range(100) if d % 3 == 0 and d % 4 < 2 and not _rej(d))
+    d0 = next(d for d in range(100) if d % 3 == 0 and d % 4 >= 2 and not _rej(d))
     assert "1Table" in cfb_streams(synth_cfb_office(d1))
     assert "0Table" in cfb_streams(synth_cfb_office(d0))
 
@@ -74,7 +82,7 @@ def test_reject_matrix():
 
 
 def test_ccp_text_lie_rejects():
-    d = next(d for d in range(100) if d % 2 == 0 and not _rej(d))
+    d = next(d for d in range(100) if d % 3 == 0 and not _rej(d))
     raw = bytearray(synth_cfb_office(d))
     # the FIB's ccpText lives inside the WordDocument stream bytes;
     # find the FIB magic and bump ccpText by one
@@ -86,7 +94,7 @@ def test_ccp_text_lie_rejects():
 
 
 def test_labelsst_dangling_reference_rejects():
-    d = next(d for d in range(100) if d % 2 == 1 and not _rej(d))
+    d = next(d for d in range(100) if d % 3 == 1 and not _rej(d))
     raw = bytearray(synth_cfb_office(d))
     # LABELSST records end with the u32 isst: point one past the SST
     ix = raw.find(struct.pack("<HH", 0x00FD, 10))
@@ -95,13 +103,18 @@ def test_labelsst_dangling_reference_rejects():
     assert parse_cfb_office(bytes(raw)) is None
 
 
+def test_ppt_record_overrun_rejects():
+    d = next(d for d in range(100) if d % 3 == 2 and d % 13 == 6)
+    assert parse_cfb_office(synth_cfb_office(d)) is None
+
+
 def test_difat_sector_chain_path():
     """Big real-world files overflow the header's 109 DIFAT entries;
     the builder's difat_chain form routes every FAT reference through
     a DIFAT sector so the reader's chain walk is pinned."""
     from danae_spark.multimodal.cfb import _build_word_stream, _cfb_build
 
-    d = next(d for d in range(100) if d % 2 == 0 and not _rej(d))
+    d = next(d for d in range(100) if d % 3 == 0 and not _rej(d))
     word, table = _build_word_stream(d)
     tbl = "1Table" if d % 4 < 2 else "0Table"
     raw = _cfb_build([("WordDocument", word), (tbl, table)], d, difat_chain=True)
@@ -109,7 +122,9 @@ def test_difat_sector_chain_path():
     assert struct.unpack_from("<I", raw, 76)[0] == 0xFFFFFFFF
     r = parse_cfb_office(raw)
     assert r is not None and r["kind"] == "doc"
-    assert r["n_pieces"] == 1 + d % 3
+    from danae_spark.multimodal.cfb import _doc_pieces as _dp2
+
+    assert r["n_pieces"] == len(_dp2(d))
 
 
 def test_fuzz_never_raises():
@@ -134,15 +149,20 @@ def test_harvest_and_blob_routing():
     from danae_spark.multimodal.blobharvest import route_blob
     from danae_spark.multimodal.harvest import harvest_text
 
-    d_doc = next(d for d in range(100) if d % 2 == 0 and not _rej(d))
+    d_doc = next(d for d in range(100) if d % 3 == 0 and not _rej(d))
     got = harvest_text(synth_cfb_office(d_doc))
     assert got["doc_class"] == "doc" and got["format"] == "cfb-doc"
     assert got["text"].startswith("word")
-    d_xls = next(d for d in range(100) if d % 2 == 1 and not _rej(d))
+    d_xls = next(d for d in range(100) if d % 3 == 1 and not _rej(d))
     got = harvest_text(synth_cfb_office(d_xls))
     assert got["doc_class"] == "xls"
+    d_ppt = next(d for d in range(100) if d % 3 == 2 and not _rej(d))
+    got = harvest_text(synth_cfb_office(d_ppt))
+    assert got["doc_class"] == "ppt" and got["text"].startswith("slide")
     # corrupt CFB claims the grammar and rejects whole in both routers
     assert harvest_text(synth_cfb_office(4)) is None
     assert route_blob(synth_cfb_office(4)) is None
+    from danae_spark.multimodal.cfb import _doc_pieces as _dp
+
     r = route_blob(synth_cfb_office(d_doc))
-    assert r["container"] == "cfb" and r["n_items"] == 1 + d_doc % 3
+    assert r["container"] == "cfb" and r["n_items"] == len(_dp(d_doc))
