@@ -219,6 +219,7 @@ HEADLINE = [
     "svg_census",
     "cfb_office_extract",
     "iceberg_census",
+    "parquet_skipping_plan",
 ]
 
 

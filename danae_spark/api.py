@@ -1095,3 +1095,14 @@ class DataLakeEngine:
         from danae_spark.multimodal.iceberg import iceberg_census_frame
 
         return iceberg_census_frame(df, **kw)
+
+    def skipping_plan(
+        self, df: DataFrame, column: str, lo, hi, **kw
+    ) -> DataFrame:
+        """Row-group data-skipping plan over any (id, parquet-binary)
+        frame: footer-only min/max pruning for `lo <= column <= hi` —
+        which groups a scan must touch, decided at manifest scale
+        (multimodal/skipping.py plan_parquet_skip)."""
+        from danae_spark.multimodal.skipping import parquet_skip_frame
+
+        return parquet_skip_frame(df, column, lo, hi, **kw)

@@ -1,0 +1,203 @@
+"""Row-group data-skipping planner over parquet footer statistics.
+
+The r17 all-column censuses (parquetblob / orcblob / deltalog /
+iceberg) HARVEST per-column min/max statistics; this module is the
+DECISION side: given a range predicate `lo <= col <= hi`, read only
+the footer (~KB per file regardless of data size) and decide which
+row groups a scan must touch. At lake scale this is the difference
+between a 100 TB scan and the small fraction of row groups whose
+[min, max] interval intersects the predicate band — the same
+arithmetic Spark's parquet reader applies per row group after filter
+pushdown, surfaced at MANIFEST time so a compaction / routing planner
+can cost the scan before any executor opens a data page.
+
+Semantics (conservative, like every stats-based pruner):
+  - a row group with no statistics for the predicate column MUST be
+    scanned — absence of evidence is not exclusion;
+  - a file that does not carry the column at all must be scanned in
+    full (schema evolution: an added column is NULL in old files, and
+    NULL never satisfies a range predicate — but that decision
+    belongs to the reader, not the pruner; `col_present` reports it);
+  - a group is pruned only when max < lo or min > hi;
+  - a file whose every group prunes is skipped entirely
+    (`file_pruned`).
+
+Reject-whole: a corrupt footer yields NULLs — a planner that cannot
+read the manifest must quarantine the file, never guess.
+
+Reference parity: the reference engine has no stats pruner (its
+queries scan Elasticsearch indexes); this is part of the mandated
+100 TB extension surface, composing C128's footer walk into the
+data-skipping story the SURVEY §4 scale design claims.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+__all__ = [
+    "plan_parquet_skip",
+    "parquet_skip_frame",
+    "parquet_skipping_plan",
+    "PARQUET_SKIPPING_ORACLE",
+    "C0_LO",
+    "C0_HI",
+]
+
+# The roundtrip's fixed predicate band on synth_parquet's c0 column
+# (values are (3*doc_id + i) % 100, so a 16-wide band prunes most
+# groups of most files while leaving plenty of partial overlaps).
+C0_LO = 30
+C0_HI = 45
+
+
+def plan_parquet_skip(
+    payload: bytes, column: str, lo, hi
+) -> Optional[dict]:
+    """Footer-only skip plan for `lo <= column <= hi` over one blob."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not payload or len(payload) < 12 or lo > hi:
+        return None
+    try:
+        f = pq.ParquetFile(pa.BufferReader(payload))
+        md = f.metadata
+        names = f.schema_arrow.names
+        ci = names.index(column) if column in names else None
+        n_groups = md.num_row_groups
+        rows_total = 0
+        rows_scanned = 0
+        pruned = 0
+        for g in range(n_groups):
+            rg = md.row_group(g)
+            nr = rg.num_rows
+            rows_total += nr
+            skip = False
+            if ci is not None:
+                st = rg.column(ci).statistics
+                if st is not None and st.has_min_max:
+                    skip = st.max < lo or st.min > hi
+            if skip:
+                pruned += 1
+            else:
+                rows_scanned += nr
+    except Exception:
+        return None
+    return {
+        "n_row_groups": n_groups,
+        "pruned_groups": pruned,
+        "scanned_groups": n_groups - pruned,
+        "rows_total": rows_total,
+        "rows_scanned": rows_scanned,
+        "file_pruned": n_groups > 0 and pruned == n_groups,
+        "col_present": ci is not None,
+    }
+
+
+# ---------------------------------------------------- Spark entry points
+
+_COLS = [
+    "n_row_groups",
+    "pruned_groups",
+    "scanned_groups",
+    "rows_total",
+    "rows_scanned",
+    "file_pruned",
+    "col_present",
+]
+_SCHEMA = (
+    "doc_id bigint, n_row_groups int, pruned_groups int, "
+    "scanned_groups int, rows_total bigint, rows_scanned bigint, "
+    "file_pruned boolean, col_present boolean"
+)
+
+
+def parquet_skip_frame(
+    df,
+    column: str,
+    lo,
+    hi,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+):
+    """Skip plan over any (id, parquet-binary) frame: one Arrow-batched
+    narrow map, no shuffle — manifest-scale planning parallelism."""
+    from danae_spark.multimodal.docframes import blob_extract_frame
+
+    return blob_extract_frame(
+        df,
+        lambda p: plan_parquet_skip(p, column, lo, hi),
+        _COLS,
+        _SCHEMA,
+        id_col,
+        payload_col,
+    )
+
+
+def parquet_skipping_plan(spark, sf_dir: str):
+    """Oracle-checkable roundtrip: per doc the C128 synth parquet file
+    (known row-group layout, c0 = (3d+i) % 100) is planned against the
+    fixed band C0_LO..C0_HI and every pruning decision restated as
+    doc_id arithmetic — each row group covers a consecutive run mod
+    100, so its true [min, max] (and hence the prune bit) is exact SQL."""
+    from danae_spark.multimodal.docframes import synth_roundtrip
+    from danae_spark.multimodal.parquetblob import synth_parquet
+
+    return synth_roundtrip(
+        spark,
+        sf_dir,
+        synth_parquet,
+        lambda p: plan_parquet_skip(p, "c0", C0_LO, C0_HI),
+        _COLS,
+        _SCHEMA,
+    )
+
+
+# Row group g of doc d holds rows i in [g*rg, min(n, (g+1)*rg)) with
+# c0 = (3d+i) % 100 — a consecutive run mod 100 of length <= 6, so:
+#   start = (3d + g*rg) % 100, len = min(n - g*rg, rg)
+#   no wrap (start+len <= 100): min = start, max = start+len-1
+#   wrap: the run covers 99 and 0 -> min = 0, max = 99 (never pruned)
+# Pruned iff max < 30 or min > 45. d % 21 == 9 is C128's reject leg.
+PARQUET_SKIPPING_ORACLE = """
+WITH d0 AS (SELECT doc_id, doc_id AS d FROM documents),
+p AS (
+  SELECT doc_id, d, 10 + d % 7 AS n, 4 + d % 3 AS rg
+  FROM d0 WHERE d % 21 <> 9
+),
+g AS (
+  SELECT p.doc_id,
+         least(p.n - gs.g * p.rg, p.rg) AS glen,
+         (3 * p.d + gs.g * p.rg) % 100 AS gstart
+  FROM p JOIN generate_series(0, 3) gs(g) ON gs.g * p.rg < p.n
+),
+gg AS (
+  SELECT doc_id, glen,
+         CASE WHEN gstart + glen <= 100 THEN gstart ELSE 0 END AS gmin,
+         CASE WHEN gstart + glen <= 100 THEN gstart + glen - 1
+              ELSE 99 END AS gmax
+  FROM g
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS INT) AS n_row_groups,
+         CAST(SUM(CASE WHEN gmax < 30 OR gmin > 45 THEN 1 ELSE 0 END)
+              AS INT) AS pruned_groups,
+         CAST(SUM(glen) AS BIGINT) AS rows_total,
+         CAST(SUM(CASE WHEN gmax < 30 OR gmin > 45 THEN 0 ELSE glen END)
+              AS BIGINT) AS rows_scanned
+  FROM gg GROUP BY doc_id
+)
+SELECT d0.doc_id,
+       agg.n_row_groups,
+       agg.pruned_groups,
+       CAST(agg.n_row_groups - agg.pruned_groups AS INT) AS scanned_groups,
+       agg.rows_total,
+       agg.rows_scanned,
+       CASE WHEN agg.doc_id IS NULL THEN NULL
+            ELSE agg.pruned_groups = agg.n_row_groups END AS file_pruned,
+       CASE WHEN agg.doc_id IS NULL THEN NULL
+            ELSE TRUE END AS col_present
+FROM d0 LEFT JOIN agg USING (doc_id) ORDER BY d0.doc_id
+"""

@@ -1978,3 +1978,21 @@ def image_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifying zero generation loss through decode -> reencode ->
     redecode (multimodal/normalize.py image_normalize_roundtrip)."""
     return _normalize.image_normalize_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import skipping as _skipping  # noqa: E402
+
+
+@register("parquet_skipping_plan", oracle=_skipping.PARQUET_SKIPPING_ORACLE)
+def parquet_skipping_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group data-skipping plan (r17) — the DECISION side of the
+    all-column stats censuses: per doc the C128 synth parquet file is
+    planned against a fixed c0 range predicate from the FOOTER alone
+    (group pruned iff max < lo or min > hi; missing stats force a
+    scan; a file whose every group prunes is skipped whole), and every
+    count — groups pruned/scanned, rows the scan must touch — is
+    restated as doc_id arithmetic, exact because each row group's c0
+    is a consecutive run mod 100. d % 21 == 9 is the corrupted-footer
+    reject leg: a planner that cannot read the manifest quarantines,
+    never guesses (multimodal/skipping.py parquet_skipping_plan)."""
+    return _skipping.parquet_skipping_plan(spark, sf_dir)

@@ -386,6 +386,7 @@ def test_blob_censuses_are_narrow(spark, sf_dir):
         "svg_census",
         "cfb_office_extract",
         "iceberg_census",
+        "parquet_skipping_plan",
     ):
         df = REGISTRY[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -1,0 +1,171 @@
+"""Row-group data-skipping planner (multimodal/skipping.py)."""
+
+import io
+
+import pytest
+
+from danae_spark.multimodal.parquetblob import synth_parquet
+from danae_spark.multimodal.skipping import (
+    C0_HI,
+    C0_LO,
+    plan_parquet_skip,
+)
+
+
+def _write(cols: dict, row_group_size: int, **kw) -> bytes:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(pa.table(cols), buf, row_group_size=row_group_size, **kw)
+    return buf.getvalue()
+
+
+def _expect(d: int):
+    """The oracle arithmetic, restated independently in Python."""
+    if d % 21 == 9:
+        return None
+    n, rg = 10 + d % 7, 4 + d % 3
+    groups = []
+    g = 0
+    while g * rg < n:
+        glen = min(n - g * rg, rg)
+        start = (3 * d + g * rg) % 100
+        if start + glen <= 100:
+            gmin, gmax = start, start + glen - 1
+        else:
+            gmin, gmax = 0, 99
+        groups.append((glen, gmin, gmax))
+        g += 1
+    pruned = sum(1 for _, a, b in groups if b < C0_LO or a > C0_HI)
+    return {
+        "n_row_groups": len(groups),
+        "pruned_groups": pruned,
+        "scanned_groups": len(groups) - pruned,
+        "rows_total": sum(g[0] for g in groups),
+        "rows_scanned": sum(
+            glen for glen, a, b in groups if not (b < C0_LO or a > C0_HI)
+        ),
+        "file_pruned": pruned == len(groups),
+        "col_present": True,
+    }
+
+
+def test_roundtrip_grid_matches_arithmetic():
+    outcomes = {"pruned": 0, "partial": 0, "full_scan": 0}
+    for d in range(200):
+        got = plan_parquet_skip(synth_parquet(d), "c0", C0_LO, C0_HI)
+        assert got == _expect(d), d
+        if got is None:
+            continue
+        if got["file_pruned"]:
+            outcomes["pruned"] += 1
+        elif got["pruned_groups"]:
+            outcomes["partial"] += 1
+        else:
+            outcomes["full_scan"] += 1
+    # the grid must exercise every outcome, or the test proves nothing
+    assert all(v > 0 for v in outcomes.values()), outcomes
+
+
+def test_prune_decision_per_band():
+    import pyarrow as pa
+
+    # three groups: [0..9], [50..59], [90..99]
+    payload = _write(
+        {"x": pa.array(list(range(10)) + list(range(50, 60)) + list(range(90, 100)))},
+        row_group_size=10,
+    )
+    # band hits only the middle group
+    p = plan_parquet_skip(payload, "x", 55, 58)
+    assert (p["pruned_groups"], p["rows_scanned"], p["file_pruned"]) == (2, 10, False)
+    # band below everything: all three prune, file skipped whole
+    p = plan_parquet_skip(payload, "x", -20, -1)
+    assert p["file_pruned"] and p["rows_scanned"] == 0
+    # band spanning all groups: nothing prunes
+    p = plan_parquet_skip(payload, "x", 0, 99)
+    assert p["pruned_groups"] == 0 and p["rows_scanned"] == 30
+    # boundary inclusivity: max == lo / min == hi must NOT prune
+    p = plan_parquet_skip(payload, "x", 9, 9)
+    assert p["pruned_groups"] == 2 and p["rows_scanned"] == 10
+    p = plan_parquet_skip(payload, "x", 99, 150)
+    assert p["pruned_groups"] == 2 and p["rows_scanned"] == 10
+
+
+def test_missing_stats_force_scan():
+    import pyarrow as pa
+
+    payload = _write(
+        {"x": pa.array(list(range(20)))}, row_group_size=5, write_statistics=False
+    )
+    p = plan_parquet_skip(payload, "x", 100, 200)
+    # nothing matches the band, but without stats nothing may prune
+    assert p["pruned_groups"] == 0 and p["rows_scanned"] == 20
+    assert p["col_present"]
+
+
+def test_absent_column_scans_whole_file():
+    import pyarrow as pa
+
+    payload = _write({"x": pa.array(list(range(12)))}, row_group_size=4)
+    p = plan_parquet_skip(payload, "y", 0, 5)
+    assert not p["col_present"]
+    assert p["pruned_groups"] == 0 and p["rows_scanned"] == 12
+
+
+def test_reject_and_degenerate_legs():
+    assert plan_parquet_skip(b"", "c0", 0, 1) is None
+    assert plan_parquet_skip(b"PAR1junk", "c0", 0, 1) is None
+    corrupt = bytearray(synth_parquet(0))
+    corrupt[-1] ^= 0xFF
+    assert plan_parquet_skip(bytes(corrupt), "c0", 0, 1) is None
+    # inverted band is a caller error, not a 0-row scan plan
+    assert plan_parquet_skip(synth_parquet(0), "c0", 5, 4) is None
+
+
+def test_frame_api_and_plan(spark):
+    import pyarrow as pa
+
+    from danae_spark.multimodal.skipping import parquet_skip_frame
+
+    rows = [
+        (0, _write({"x": pa.array(list(range(10)))}, row_group_size=5)),
+        (1, _write({"x": pa.array(list(range(200, 210)))}, row_group_size=5)),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = parquet_skip_frame(df, "x", 0, 50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert got[0]["rows_scanned"] == 10 and not got[0]["file_pruned"]
+    assert got[1]["file_pruned"] and got[1]["rows_scanned"] == 0
+    assert got[2]["n_row_groups"] is None
+
+
+def test_registry_duckdb_parity(spark, sf_dir):
+    """Strict DuckDB compare of the registered entry at test scale."""
+    import duckdb
+
+    from danae_spark.multimodal.skipping import PARQUET_SKIPPING_ORACLE
+    from danae_spark.queries import load_all
+
+    import os
+
+    from danae_spark.catalog import table_path
+
+    sdf = load_all()["parquet_skipping_plan"].fn(spark, sf_dir).toPandas()
+    p = table_path(sf_dir, "documents")
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')"
+    )
+    ddf = con.execute(PARQUET_SKIPPING_ORACLE).fetchdf()
+    assert list(sdf.columns) == list(ddf.columns)
+    assert len(sdf) == len(ddf)
+    for c in sdf.columns:
+        a = sdf[c].tolist()
+        b = ddf[c].tolist()
+        norm = lambda v: None if v is None or (isinstance(v, float) and v != v) else v
+        assert [norm(x) for x in a] == [norm(x) for x in b], c

@@ -185,6 +185,7 @@ OPERATORS = {
     "svg_census": "documents",
     "cfb_office_extract": "documents",
     "iceberg_census": "documents",
+    "parquet_skipping_plan": "documents",
 }
 
 
