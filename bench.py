@@ -220,6 +220,7 @@ HEADLINE = [
     "cfb_office_extract",
     "iceberg_census",
     "parquet_skipping_plan",
+    "wiki_text_extract",
 ]
 
 

@@ -1106,3 +1106,12 @@ class DataLakeEngine:
         from danae_spark.multimodal.skipping import parquet_skip_frame
 
         return parquet_skip_frame(df, column, lo, hi, **kw)
+
+    def wiki_text(self, df: DataFrame, **kw) -> DataFrame:
+        """MediaWiki dump extraction over any (id, binary) frame:
+        article prose with templates/tables/refs stripped and counted,
+        redirects and non-article namespaces excluded
+        (multimodal/wikitext.py parse_wiki_dump)."""
+        from danae_spark.multimodal.wikitext import wiki_extract_frame
+
+        return wiki_extract_frame(df, **kw)

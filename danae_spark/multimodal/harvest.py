@@ -315,6 +315,26 @@ def harvest_text(
             "text": sv["text"],
         }
 
+    from danae_spark.multimodal.wikitext import (
+        looks_like_wiki_dump,
+        parse_wiki_dump,
+    )
+
+    if looks_like_wiki_dump(p):
+        # MediaWiki identity rule (r17): a payload whose first element
+        # is <mediawiki> claims the export grammar — article prose via
+        # the wikitext stripper, or reject whole (markup and
+        # non-article namespaces must not ship as class "html"/"text")
+        wk = parse_wiki_dump(p)
+        if wk is None:
+            return None
+        return {
+            "doc_class": "wiki",
+            "format": "mediawiki",
+            "title": wk["title"],
+            "text": wk["text"],
+        }
+
     from danae_spark.multimodal.htmltext import _decode_page, _looks_binary
 
     if _looks_binary(p):

@@ -1996,3 +1996,23 @@ def parquet_skipping_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     reject leg: a planner that cannot read the manifest quarantines,
     never guesses (multimodal/skipping.py parquet_skipping_plan)."""
     return _skipping.parquet_skipping_plan(spark, sf_dir)
+
+
+from danae_spark.multimodal import wikitext as _wikitext  # noqa: E402
+
+
+@register("wiki_text_extract", oracle=_wikitext.WIKI_EXTRACT_ORACLE)
+def wiki_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MediaWiki dump extraction (r17) — the Wikipedia corpus class:
+    per doc a real XML export (articles carrying templates, refs,
+    internal/external links, lists, headings, comments, categories;
+    a #REDIRECT leg; a ns=10 Template: page leg) is parsed and its
+    wikitext stripped block-structured — templates/tables/refs
+    removed and counted, link labels kept, ns!=0 and redirect pages
+    counted but never extracted — with title and exact prose restated
+    as doc_id arithmetic. d%13==5 (unbalanced template braces),
+    d%19==2 (unterminated comment) and d%29==17 (torn XML tree)
+    reject whole; so does any html-like tag outside the certified
+    inline subset — markup must never leak into the corpus as prose
+    (multimodal/wikitext.py wiki_extract_roundtrip)."""
+    return _wikitext.wiki_extract_roundtrip(spark, sf_dir)

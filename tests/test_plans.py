@@ -387,6 +387,7 @@ def test_blob_censuses_are_narrow(spark, sf_dir):
         "cfb_office_extract",
         "iceberg_census",
         "parquet_skipping_plan",
+        "wiki_text_extract",
     ):
         df = REGISTRY[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

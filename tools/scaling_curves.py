@@ -186,6 +186,7 @@ OPERATORS = {
     "cfb_office_extract": "documents",
     "iceberg_census": "documents",
     "parquet_skipping_plan": "documents",
+    "wiki_text_extract": "documents",
 }
 
 
