@@ -221,6 +221,7 @@ HEADLINE = [
     "iceberg_census",
     "parquet_skipping_plan",
     "wiki_text_extract",
+    "delta_skipping_plan",
 ]
 
 

@@ -1115,3 +1115,14 @@ class DataLakeEngine:
         from danae_spark.multimodal.wikitext import wiki_extract_frame
 
         return wiki_extract_frame(df, **kw)
+
+    def delta_skipping_plan(
+        self, df: DataFrame, column: str, lo, hi, **kw
+    ) -> DataFrame:
+        """Delta file-pruning plan over any (id, tar-binary) frame:
+        live-set replay + log-stats pruning for `lo <= column <= hi`,
+        with a parquet-footer trust audit (stats_consistent)
+        (multimodal/skipping.py plan_delta_skip)."""
+        from danae_spark.multimodal.skipping import delta_skip_frame
+
+        return delta_skip_frame(df, column, lo, hi, **kw)

@@ -220,6 +220,18 @@ def synth_delta_table(d: int) -> bytes:
         blob = _data_file(d, j)
         path = f"part-{j:05d}-{d:08d}.snappy.parquet"
         datafiles[path] = blob
+        # per-column minValues/maxValues, TRUTHFUL from the data the
+        # writer just produced (the Delta data-skipping input) — except
+        # the d % 23 == 7 lying-stats leg, where F0's c0 max claims 999
+        # so the skipping planner's footer cross-check has a live
+        # inconsistency to flag
+        n = delta_file_rows(d, j)
+        c0_vals = [(d + j * 3 + i) % 50 for i in range(n)]
+        c1_vals = [f"v{(d + i) % 4}" for i in range(n)]
+        mins = {"c0": min(c0_vals), "c1": min(c1_vals)}
+        maxs = {"c0": max(c0_vals), "c1": max(c1_vals)}
+        if d % 23 == 7 and j == 0:
+            maxs["c0"] = 999
         return json.dumps({
             "add": {
                 "path": path,
@@ -227,7 +239,11 @@ def synth_delta_table(d: int) -> bytes:
                 "modificationTime": 1700000000000 + j,
                 "dataChange": True,
                 "partitionValues": {"pc": str(j % 2)} if partitioned else {},
-                "stats": json.dumps({"numRecords": delta_file_rows(d, j)}),
+                "stats": json.dumps({
+                    "numRecords": delta_file_rows(d, j),
+                    "minValues": mins,
+                    "maxValues": maxs,
+                }),
             }
         })
 

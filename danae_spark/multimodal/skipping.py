@@ -154,6 +154,249 @@ def parquet_skipping_plan(spark, sf_dir: str):
     )
 
 
+# ------------------------------------------------- Delta file pruning
+#
+# Delta's own data-skipping mechanism: every add action may carry
+# per-column minValues/maxValues in its stats JSON — the planner
+# replays the live set and prunes whole FILES from the log alone,
+# without opening a single parquet footer. The footer cross-check
+# (stats_consistent) is the trust audit: a writer whose log stats lie
+# must be flagged, because a pruned file whose real data overlaps the
+# band silently drops rows from every query.
+
+DELTA_LO = 15
+DELTA_HI = 25
+
+_LOG_DIR = "_delta_log/"
+
+
+def _pq_col_minmax(payload: bytes, column: str):
+    """File-level (min, max) for one column from the parquet footer;
+    (None, None) when absent or stats are missing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        f = pq.ParquetFile(pa.BufferReader(payload))
+        md = f.metadata
+        names = f.schema_arrow.names
+        if column not in names:
+            return None, None
+        ci = names.index(column)
+        lo = hi = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ci).statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        return lo, hi
+    except Exception:
+        return None, None
+
+
+def plan_delta_skip(payload: bytes, column: str, lo, hi) -> Optional[dict]:
+    """File-granular skip plan for `lo <= column <= hi` over a
+    tar-shipped Delta table, from the transaction log's own stats.
+
+    The replay applies the same refusals as the C148 census (torn
+    chain, minReaderVersion > 1, a referenced file the archive lacks
+    -> None); decisions come from the LOG (that is the Delta
+    contract), and `stats_consistent` reports whether every live
+    file's log min/max agrees with its parquet footer."""
+    import json as _json
+
+    from danae_spark.multimodal.archive import iter_archive_members
+
+    if lo > hi:
+        return None
+    commits: dict[int, bytes] = {}
+    files: dict[str, bytes] = {}
+    saw_log = False
+    for name, is_dir, data in iter_archive_members(payload):
+        if is_dir:
+            continue
+        if name.startswith(_LOG_DIR):
+            saw_log = True
+            stem = name[len(_LOG_DIR):]
+            if stem.endswith(".json") and stem[:-5].isdigit():
+                commits[int(stem[:-5])] = data
+            continue
+        files[name] = data
+    if not saw_log or not commits:
+        return None
+    versions = sorted(commits)
+    if versions != list(range(len(versions))):
+        return None  # torn log
+    live: dict[str, dict] = {}
+    try:
+        for v in versions:
+            for ln in commits[v].decode("utf-8").splitlines():
+                if not ln.strip():
+                    continue
+                action = _json.loads(ln)
+                if "protocol" in action:
+                    if int(action["protocol"]["minReaderVersion"]) > 1:
+                        return None
+                elif "add" in action:
+                    a = action["add"]
+                    st = _json.loads(a["stats"]) if a.get("stats") else {}
+                    live[a["path"]] = {
+                        "rows": st.get("numRecords"),
+                        "min": (st.get("minValues") or {}).get(column),
+                        "max": (st.get("maxValues") or {}).get(column),
+                    }
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+    except (KeyError, ValueError, TypeError, UnicodeDecodeError):
+        return None
+
+    pruned = scanned = 0
+    rows_total = rows_scanned = 0
+    consistent = True
+    for path, a in live.items():
+        data = files.get(path)
+        if data is None:
+            return None  # the log references a file the archive lacks
+        rows = int(a["rows"] or 0)
+        rows_total += rows
+        skip = (
+            a["min"] is not None
+            and a["max"] is not None
+            and (a["max"] < lo or a["min"] > hi)
+        )
+        if skip:
+            pruned += 1
+        else:
+            scanned += 1
+            rows_scanned += rows
+        # only a PRESENT log claim can lie; absent stats simply scan
+        if a["min"] is not None:
+            f_lo, f_hi = _pq_col_minmax(data, column)
+            if f_lo is not None and (a["min"], a["max"]) != (f_lo, f_hi):
+                consistent = False
+    return {
+        "n_live_files": len(live),
+        "files_pruned": pruned,
+        "files_scanned": scanned,
+        "rows_total": rows_total,
+        "rows_scanned": rows_scanned,
+        "table_skipped": len(live) > 0 and pruned == len(live),
+        "stats_consistent": consistent,
+    }
+
+
+_DELTA_COLS = [
+    "n_live_files",
+    "files_pruned",
+    "files_scanned",
+    "rows_total",
+    "rows_scanned",
+    "table_skipped",
+    "stats_consistent",
+]
+_DELTA_SCHEMA = (
+    "doc_id bigint, n_live_files int, files_pruned int, "
+    "files_scanned int, rows_total bigint, rows_scanned bigint, "
+    "table_skipped boolean, stats_consistent boolean"
+)
+
+
+def delta_skip_frame(
+    df,
+    column: str,
+    lo,
+    hi,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+):
+    """Delta skip plan over any (id, tar-binary) frame: one narrow
+    Arrow map — log-only pruning at manifest scale."""
+    from danae_spark.multimodal.docframes import blob_extract_frame
+
+    return blob_extract_frame(
+        df,
+        lambda p: plan_delta_skip(p, column, lo, hi),
+        _DELTA_COLS,
+        _DELTA_SCHEMA,
+        id_col,
+        payload_col,
+    )
+
+
+def delta_skipping_plan(spark, sf_dir: str):
+    """Oracle-checkable roundtrip: per doc the C148 synth Delta table
+    (live set {F0} + {F2..Fn}, plus F1 when the chain is 2 commits;
+    c0 = (d + 3j + i) % 50 per file) is planned against the fixed band
+    DELTA_LO..DELTA_HI from the log's minValues/maxValues, with the
+    d % 23 == 7 lying-max leg flagged inconsistent by the footer
+    cross-check."""
+    from danae_spark.multimodal.deltalog import synth_delta_table
+    from danae_spark.multimodal.docframes import synth_roundtrip
+
+    return synth_roundtrip(
+        spark,
+        sf_dir,
+        synth_delta_table,
+        lambda p: plan_delta_skip(p, "c0", DELTA_LO, DELTA_HI),
+        _DELTA_COLS,
+        _DELTA_SCHEMA,
+    )
+
+
+# Live file F_j of doc d holds rows i < 5 + (d+j) % 6 with
+# c0 = (d + 3j + i) % 50, a consecutive run mod 50:
+#   start = (d + 3j) % 50; no wrap: [start, start+len-1]; wrap: [0, 49]
+# Live set: j = 0 and j = 2..n_commits, plus j = 1 when n_commits = 2
+# (even commits v >= 2 remove F_{v-1}, i.e. only F1 ever dies).
+# Decisions come from the LOG stats; the d % 23 == 7 leg lies about
+# F0's max (999), so F0 never prunes there and the doc flags
+# inconsistent. d % 17 == 5 (protocol) and d % 13 == 8 (torn) reject.
+DELTA_SKIPPING_ORACLE = """
+WITH d0 AS (
+  SELECT doc_id, doc_id AS d FROM documents
+  WHERE doc_id % 17 <> 5 AND doc_id % 13 <> 8
+),
+lf AS (
+  SELECT d0.doc_id, d0.d, j.j,
+         5 + (d0.d + j.j) % 6 AS glen,
+         (d0.d + 3 * j.j) % 50 AS gstart
+  FROM d0 JOIN generate_series(0, 5) j(j)
+       ON j.j <= 2 + d0.d % 3
+      AND (j.j <> 1 OR 2 + d0.d % 3 = 2)
+),
+ff AS (
+  SELECT doc_id, d, j, glen,
+         CASE WHEN gstart + glen <= 50 THEN gstart ELSE 0 END AS fmin,
+         CASE WHEN d % 23 = 7 AND j = 0 THEN 999
+              WHEN gstart + glen <= 50 THEN gstart + glen - 1
+              ELSE 49 END AS fmax
+  FROM lf
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS INT) AS n_live_files,
+         CAST(SUM(CASE WHEN fmax < 15 OR fmin > 25 THEN 1 ELSE 0 END)
+              AS INT) AS files_pruned,
+         CAST(SUM(glen) AS BIGINT) AS rows_total,
+         CAST(SUM(CASE WHEN fmax < 15 OR fmin > 25 THEN 0 ELSE glen END)
+              AS BIGINT) AS rows_scanned
+  FROM ff GROUP BY doc_id
+)
+SELECT d.doc_id,
+       agg.n_live_files,
+       agg.files_pruned,
+       CAST(agg.n_live_files - agg.files_pruned AS INT) AS files_scanned,
+       agg.rows_total,
+       agg.rows_scanned,
+       CASE WHEN agg.doc_id IS NULL THEN NULL
+            ELSE agg.files_pruned = agg.n_live_files END AS table_skipped,
+       CASE WHEN agg.doc_id IS NULL THEN NULL
+            ELSE d.doc_id % 23 <> 7 END AS stats_consistent
+FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 # Row group g of doc d holds rows i in [g*rg, min(n, (g+1)*rg)) with
 # c0 = (3d+i) % 100 — a consecutive run mod 100 of length <= 6, so:
 #   start = (3d + g*rg) % 100, len = min(n - g*rg, rg)

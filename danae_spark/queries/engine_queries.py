@@ -2016,3 +2016,19 @@ def wiki_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline subset — markup must never leak into the corpus as prose
     (multimodal/wikitext.py wiki_extract_roundtrip)."""
     return _wikitext.wiki_extract_roundtrip(spark, sf_dir)
+
+
+@register("delta_skipping_plan", oracle=_skipping.DELTA_SKIPPING_ORACLE)
+def delta_skipping_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta file-pruning plan (r17) — the lake format's OWN
+    data-skipping mechanism: per doc the C148 synth Delta table's log
+    is replayed (same refusals: torn chain, protocol, missing data
+    file) and live files pruned for a fixed c0 band from the add
+    actions' minValues/maxValues alone — no parquet footer is opened
+    for the decision, exactly the Delta contract — while the footer
+    cross-check flags the d%23==7 lying-max leg `stats_consistent =
+    false` (a lying writer makes pruning silently drop rows; a
+    planner must surface that, never trust blindly). Every count
+    restated as doc_id arithmetic over the live-set replay
+    (multimodal/skipping.py delta_skipping_plan)."""
+    return _skipping.delta_skipping_plan(spark, sf_dir)

@@ -169,3 +169,130 @@ def test_registry_duckdb_parity(spark, sf_dir):
         b = ddf[c].tolist()
         norm = lambda v: None if v is None or (isinstance(v, float) and v != v) else v
         assert [norm(x) for x in a] == [norm(x) for x in b], c
+
+
+# ------------------------------------------------- Delta file pruning
+
+
+def _delta_expect(d: int):
+    from danae_spark.multimodal.skipping import DELTA_HI, DELTA_LO
+
+    if d % 17 == 5 or d % 13 == 8:
+        return None
+    nc = 2 + d % 3
+    js = [0] + ([1] if nc == 2 else []) + list(range(2, nc + 1))
+    files = []
+    for j in sorted(js):
+        glen = 5 + (d + j) % 6
+        start = (d + 3 * j) % 50
+        fmin, fmax = (start, start + glen - 1) if start + glen <= 50 else (0, 49)
+        if d % 23 == 7 and j == 0:
+            fmax = 999
+        files.append((glen, fmin, fmax))
+    pruned = sum(1 for g, a, b in files if b < DELTA_LO or a > DELTA_HI)
+    return {
+        "n_live_files": len(files),
+        "files_pruned": pruned,
+        "files_scanned": len(files) - pruned,
+        "rows_total": sum(f[0] for f in files),
+        "rows_scanned": sum(
+            g for g, a, b in files if not (b < DELTA_LO or a > DELTA_HI)
+        ),
+        "table_skipped": pruned == len(files),
+        "stats_consistent": d % 23 != 7,
+    }
+
+
+def test_delta_grid_matches_arithmetic():
+    from danae_spark.multimodal.deltalog import synth_delta_table
+    from danae_spark.multimodal.skipping import (
+        DELTA_HI,
+        DELTA_LO,
+        plan_delta_skip,
+    )
+
+    mix = {"skipped": 0, "partial": 0, "lying": 0}
+    for d in range(200):
+        got = plan_delta_skip(synth_delta_table(d), "c0", DELTA_LO, DELTA_HI)
+        assert got == _delta_expect(d), d
+        if got is None:
+            continue
+        mix["skipped"] += got["table_skipped"]
+        mix["partial"] += bool(got["files_pruned"]) and not got["table_skipped"]
+        mix["lying"] += not got["stats_consistent"]
+    assert all(v > 0 for v in mix.values()), mix
+
+
+def test_delta_lying_stats_change_the_decision():
+    """The d%23==7 leg's lying max keeps F0 scanned even when its real
+    data sits entirely below the band — pruning trusts the log, and
+    the footer cross-check is what surfaces the lie."""
+    from danae_spark.multimodal.deltalog import synth_delta_table
+    from danae_spark.multimodal.skipping import plan_delta_skip
+
+    d = 7  # d%23==7: F0 holds c0 in [7..13], log claims max 999
+    honest = plan_delta_skip(synth_delta_table(31), "c0", 200, 300)
+    assert honest["table_skipped"] and honest["stats_consistent"]
+    lying = plan_delta_skip(synth_delta_table(d), "c0", 200, 300)
+    assert not lying["stats_consistent"]
+    assert lying["files_scanned"] == 1  # only the lying file survives
+
+
+def test_delta_skip_rejects():
+    from danae_spark.multimodal.deltalog import synth_delta_table
+    from danae_spark.multimodal.skipping import plan_delta_skip
+
+    assert plan_delta_skip(synth_delta_table(5), "c0", 0, 9) is None  # protocol
+    assert plan_delta_skip(synth_delta_table(8), "c0", 0, 9) is None  # torn
+    assert plan_delta_skip(b"not a tar", "c0", 0, 9) is None
+    assert plan_delta_skip(synth_delta_table(0), "c0", 9, 0) is None
+
+
+def test_delta_missing_stats_force_scan():
+    """Adds without minValues/maxValues (pre-stats writers) must scan."""
+    import io
+    import json
+    import tarfile
+
+    from danae_spark.multimodal.skipping import plan_delta_skip
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(pa.table({"c0": pa.array([1, 2, 3])}), buf)
+    blob = buf.getvalue()
+    commit = "\n".join([
+        json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}),
+        json.dumps({"metaData": {"id": "t", "schemaString": "{}",
+                                 "partitionColumns": []}}),
+        json.dumps({"add": {"path": "f.parquet", "size": len(blob),
+                            "dataChange": True, "partitionValues": {},
+                            "stats": json.dumps({"numRecords": 3})}}),
+    ]) + "\n"
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as tf:
+        for name, data in [("_delta_log/" + "0" * 20 + ".json",
+                            commit.encode()), ("f.parquet", blob)]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    got = plan_delta_skip(tbuf.getvalue(), "c0", 100, 200)
+    assert got["files_pruned"] == 0 and got["rows_scanned"] == 3
+    # no log stats for the column -> nothing to cross-check: consistent
+    assert got["stats_consistent"]
+
+
+def test_delta_frame_api_plan(spark):
+    from danae_spark.multimodal.deltalog import synth_delta_table
+    from danae_spark.multimodal.skipping import delta_skip_frame
+
+    df = spark.createDataFrame(
+        [(0, bytearray(synth_delta_table(0))), (1, None)],
+        "doc_id long, payload binary",
+    )
+    out = delta_skip_frame(df, "c0", 15, 25)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert got[0]["n_live_files"] == 3 and got[1]["n_live_files"] is None

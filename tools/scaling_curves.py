@@ -187,6 +187,7 @@ OPERATORS = {
     "iceberg_census": "documents",
     "parquet_skipping_plan": "documents",
     "wiki_text_extract": "documents",
+    "delta_skipping_plan": "documents",
 }
 
 
