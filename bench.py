@@ -222,6 +222,7 @@ HEADLINE = [
     "parquet_skipping_plan",
     "wiki_text_extract",
     "delta_skipping_plan",
+    "iceberg_skipping_plan",
 ]
 
 

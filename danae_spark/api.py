@@ -1126,3 +1126,14 @@ class DataLakeEngine:
         from danae_spark.multimodal.skipping import delta_skip_frame
 
         return delta_skip_frame(df, column, lo, hi, **kw)
+
+    def iceberg_skipping_plan(
+        self, df: DataFrame, field_id: int, lo, hi, **kw
+    ) -> DataFrame:
+        """Iceberg file-pruning plan over any (id, tar-binary) frame:
+        current-snapshot manifest walk + bounds-map pruning for
+        `lo <= field <= hi`, with the parquet-footer trust audit
+        (multimodal/skipping.py plan_iceberg_skip)."""
+        from danae_spark.multimodal.skipping import iceberg_skip_frame
+
+        return iceberg_skip_frame(df, field_id, lo, hi, **kw)

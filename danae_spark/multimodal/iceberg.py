@@ -236,6 +236,20 @@ MANIFEST_LIST_SCHEMA = {
     ],
 }
 
+# per-column bounds ride the spec's integer-keyed map, which Avro
+# represents as an array of key/value records (field-id -> the
+# single-value binary serialization; longs are 8-byte little-endian)
+_BOUNDS_T = ["null", {
+    "type": "array",
+    "items": {
+        "type": "record", "name": "k_v",
+        "fields": [
+            {"name": "key", "type": "int"},
+            {"name": "value", "type": "bytes"},
+        ],
+    },
+}]
+
 MANIFEST_ENTRY_SCHEMA = {
     "type": "record", "name": "manifest_entry",
     "fields": [
@@ -248,10 +262,17 @@ MANIFEST_ENTRY_SCHEMA = {
                 {"name": "file_format", "type": "string"},
                 {"name": "record_count", "type": "long"},
                 {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "lower_bounds", "type": _BOUNDS_T},
+                {"name": "upper_bounds", "type": _BOUNDS_T},
             ],
         }},
     ],
 }
+
+
+def bound_long(v: int) -> bytes:
+    """Iceberg single-value serialization of a long: 8-byte LE."""
+    return struct.pack("<q", v)
 
 _ST_EXISTING, _ST_ADDED, _ST_DELETED = 0, 1, 2
 
@@ -408,6 +429,27 @@ def synth_iceberg_table(d: int) -> bytes:
                 size = 100  # tombstones reference no shipped file
             counts[status] += 1
             rows[status] += rc
+            # truthful c0/c1 bounds (field ids 1/2) from the same
+            # arithmetic the data writer used; d % 11 == 6 ships no
+            # bounds (a pre-metrics writer — the planner must scan);
+            # d % 31 == 3 lies about (m=0, k=0)'s c0 upper bound so
+            # the skipping planner's footer audit has a live
+            # inconsistency (skipped when that entry is the tombstone)
+            if d % 11 == 6 or status == _ST_DELETED:
+                lower = upper = None
+            else:
+                start = (d + m + k) % 50
+                if start + rc <= 50:
+                    c0_lo, c0_hi = start, start + rc - 1
+                else:
+                    c0_lo, c0_hi = 0, 49
+                if d % 31 == 3 and m == 0 and k == 0:
+                    c0_hi = 999
+                c1_vals = [f"v{(d + i) % 4}" for i in range(rc)]
+                lower = [{"key": 1, "value": bound_long(c0_lo)},
+                         {"key": 2, "value": min(c1_vals).encode()}]
+                upper = [{"key": 1, "value": bound_long(c0_hi)},
+                         {"key": 2, "value": max(c1_vals).encode()}]
             entries.append({
                 "status": status,
                 "snapshot_id": 1000 + d,
@@ -416,6 +458,8 @@ def synth_iceberg_table(d: int) -> bytes:
                     "file_format": "PARQUET",
                     "record_count": rc,
                     "file_size_in_bytes": size,
+                    "lower_bounds": lower,
+                    "upper_bounds": upper,
                 },
             })
         mpath = f"metadata/manifest-{m}-{d}.avro"

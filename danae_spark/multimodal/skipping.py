@@ -397,6 +397,219 @@ FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------- Iceberg file pruning
+#
+# Iceberg's mechanism: every manifest entry's data_file carries
+# integer-keyed lower_bounds/upper_bounds maps (field-id -> the
+# single-value binary serialization). The planner resolves the
+# current snapshot, walks its manifests, and prunes live files from
+# the bounds alone — manifests ARE the skip index; that is why they
+# exist. Footer cross-check as the trust audit, like the Delta leg.
+
+ICE_LO = 15
+ICE_HI = 25
+
+
+def plan_iceberg_skip(payload: bytes, field_id: int, lo, hi) -> Optional[dict]:
+    """File-granular skip plan for `lo <= field <= hi` over a
+    tar-shipped Iceberg table, from the manifests' bounds maps.
+
+    Mirrors the C151 census's refusals (unknown format-version, a
+    missing manifest or data file, an unresolvable current snapshot
+    -> None); bounds decode per the single-value spec (longs are
+    8-byte LE); a file with no bound for the field must be scanned."""
+    import json as _json
+    import struct as _struct
+
+    from danae_spark.multimodal.archive import iter_archive_members
+    from danae_spark.multimodal.iceberg import (
+        _ST_DELETED,
+        avro_file_read,
+    )
+
+    if lo > hi:
+        return None
+    try:
+        files: dict[str, bytes] = {}
+        meta_candidates: list[str] = []
+        for name, is_dir, data in iter_archive_members(payload):
+            if is_dir:
+                continue
+            files[name] = data
+            if name.startswith("metadata/") and name.endswith(".metadata.json"):
+                meta_candidates.append(name)
+        if not meta_candidates:
+            return None
+        md = _json.loads(files[max(meta_candidates)].decode("utf-8"))
+        if int(md["format-version"]) not in (1, 2):
+            return None
+        schemas = {s["schema-id"]: s for s in md.get("schemas", [])}
+        schema = schemas.get(md.get("current-schema-id"))
+        if schema is None:
+            return None
+        col_name = next(
+            (f["name"] for f in schema["fields"] if f["id"] == field_id), None
+        )
+        snapshots = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+        cur = snapshots.get(md.get("current-snapshot-id"))
+        if cur is None or cur["manifest-list"] not in files:
+            return None
+        r = avro_file_read(files[cur["manifest-list"]])
+        if r is None:
+            return None
+        _mls, manifests = r
+        pruned = scanned = 0
+        rows_total = rows_scanned = 0
+        n_live = 0
+        consistent = True
+        for mf in manifests:
+            mdata = files.get(mf["manifest_path"])
+            if mdata is None:
+                return None
+            mr = avro_file_read(mdata)
+            if mr is None:
+                return None
+            _ms, entries = mr
+            for e in entries:
+                if e["status"] == _ST_DELETED:
+                    continue
+                df = e["data_file"]
+                data = files.get(df["file_path"])
+                if data is None:
+                    return None
+                n_live += 1
+                rows = int(df["record_count"])
+                rows_total += rows
+                b_lo = b_hi = None
+                for kv in df.get("lower_bounds") or []:
+                    if kv["key"] == field_id and len(kv["value"]) == 8:
+                        b_lo = _struct.unpack("<q", kv["value"])[0]
+                for kv in df.get("upper_bounds") or []:
+                    if kv["key"] == field_id and len(kv["value"]) == 8:
+                        b_hi = _struct.unpack("<q", kv["value"])[0]
+                skip = (
+                    b_lo is not None
+                    and b_hi is not None
+                    and (b_hi < lo or b_lo > hi)
+                )
+                if skip:
+                    pruned += 1
+                else:
+                    scanned += 1
+                    rows_scanned += rows
+                if b_lo is not None and col_name is not None:
+                    f_lo, f_hi = _pq_col_minmax(data, col_name)
+                    if f_lo is not None and (b_lo, b_hi) != (f_lo, f_hi):
+                        consistent = False
+    except (KeyError, ValueError, TypeError, UnicodeDecodeError):
+        return None
+    return {
+        "n_live_files": n_live,
+        "files_pruned": pruned,
+        "files_scanned": scanned,
+        "rows_total": rows_total,
+        "rows_scanned": rows_scanned,
+        "table_skipped": n_live > 0 and pruned == n_live,
+        "stats_consistent": consistent,
+    }
+
+
+def iceberg_skip_frame(
+    df,
+    field_id: int,
+    lo,
+    hi,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+):
+    """Iceberg skip plan over any (id, tar-binary) frame: one narrow
+    Arrow map — manifest-only pruning at metadata scale."""
+    from danae_spark.multimodal.docframes import blob_extract_frame
+
+    return blob_extract_frame(
+        df,
+        lambda p: plan_iceberg_skip(p, field_id, lo, hi),
+        _DELTA_COLS,
+        _DELTA_SCHEMA,
+        id_col,
+        payload_col,
+    )
+
+
+def iceberg_skipping_plan(spark, sf_dir: str):
+    """Oracle-checkable roundtrip: per doc the C151 synth Iceberg
+    table is planned against the fixed band ICE_LO..ICE_HI from the
+    manifests' c0 bounds (field id 1): the d % 11 == 6 no-bounds leg
+    scans everything, the d % 31 == 3 lying-upper leg keeps its file
+    scanned and flags inconsistent (unless that entry is the d % 4
+    tombstone, which ships no bounds)."""
+    from danae_spark.multimodal.docframes import synth_roundtrip
+    from danae_spark.multimodal.iceberg import synth_iceberg_table
+
+    return synth_roundtrip(
+        spark,
+        sf_dir,
+        synth_iceberg_table,
+        lambda p: plan_iceberg_skip(p, 1, ICE_LO, ICE_HI),
+        _DELTA_COLS,
+        _DELTA_SCHEMA,
+    )
+
+
+# Live file (m, k) of doc d: m < 1 + d%2, k < 1 + (d+m)%3, minus the
+# d%4==1 tombstone at (0,0); rows rc = 5 + (d + 3m + k) % 6 with
+# c0 = (d+m+k+i) % 50 — consecutive run mod 50. Bounds truthful
+# except d%31==3 lying upper 999 at (0,0); d%11==6 ships none (scan).
+# d%17==2 (format-version) and d%13==4 (missing manifest) reject.
+ICEBERG_SKIPPING_ORACLE = """
+WITH d0 AS (
+  SELECT doc_id, doc_id AS d FROM documents
+  WHERE doc_id % 17 <> 2 AND doc_id % 13 <> 4
+),
+lf AS (
+  SELECT d0.doc_id, d0.d, m.m, k.k,
+         5 + (d0.d + 3 * m.m + k.k) % 6 AS glen,
+         (d0.d + m.m + k.k) % 50 AS gstart
+  FROM d0
+  JOIN generate_series(0, 1) m(m) ON m.m < 1 + d0.d % 2
+  JOIN generate_series(0, 2) k(k) ON k.k < 1 + (d0.d + m.m) % 3
+  WHERE NOT (d0.d % 4 = 1 AND m.m = 0 AND k.k = 0)
+),
+ff AS (
+  SELECT doc_id, d, glen,
+         d % 11 = 6 AS nobounds,
+         CASE WHEN gstart + glen <= 50 THEN gstart ELSE 0 END AS fmin,
+         CASE WHEN d % 31 = 3 AND m = 0 AND k = 0 THEN 999
+              WHEN gstart + glen <= 50 THEN gstart + glen - 1
+              ELSE 49 END AS fmax
+  FROM lf
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS INT) AS n_live_files,
+         CAST(SUM(CASE WHEN NOT nobounds AND (fmax < 15 OR fmin > 25)
+                       THEN 1 ELSE 0 END) AS INT) AS files_pruned,
+         CAST(SUM(glen) AS BIGINT) AS rows_total,
+         CAST(SUM(CASE WHEN NOT nobounds AND (fmax < 15 OR fmin > 25)
+                       THEN 0 ELSE glen END) AS BIGINT) AS rows_scanned
+  FROM ff GROUP BY doc_id
+)
+SELECT d.doc_id,
+       agg.n_live_files,
+       agg.files_pruned,
+       CAST(agg.n_live_files - agg.files_pruned AS INT) AS files_scanned,
+       agg.rows_total,
+       agg.rows_scanned,
+       CASE WHEN agg.doc_id IS NULL THEN NULL
+            ELSE agg.files_pruned = agg.n_live_files END AS table_skipped,
+       CASE WHEN agg.doc_id IS NULL THEN NULL
+            ELSE NOT (d.doc_id % 31 = 3 AND d.doc_id % 11 <> 6
+                      AND NOT (d.doc_id % 4 = 1))
+            END AS stats_consistent
+FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 # Row group g of doc d holds rows i in [g*rg, min(n, (g+1)*rg)) with
 # c0 = (3d+i) % 100 — a consecutive run mod 100 of length <= 6, so:
 #   start = (3d + g*rg) % 100, len = min(n - g*rg, rg)

@@ -2032,3 +2032,20 @@ def delta_skipping_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     restated as doc_id arithmetic over the live-set replay
     (multimodal/skipping.py delta_skipping_plan)."""
     return _skipping.delta_skipping_plan(spark, sf_dir)
+
+
+@register("iceberg_skipping_plan", oracle=_skipping.ICEBERG_SKIPPING_ORACLE)
+def iceberg_skipping_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg file-pruning plan (r17) — the third leg of the
+    lake-skipping triptych (parquet row groups / Delta log / Iceberg
+    manifests): the C151 synth table's manifests now carry the spec's
+    integer-keyed lower_bounds/upper_bounds maps (single-value binary
+    serialization, longs 8-byte LE), and the planner prunes the
+    current snapshot's live files from those bounds alone — manifests
+    ARE Iceberg's skip index. The d%11==6 no-bounds leg forces full
+    scans (a bound you don't have cannot exclude anything), the
+    d%31==3 lying-upper leg is flagged by the parquet-footer audit,
+    and the census refusals carry over (format-version, missing
+    manifest/file). Counts restated as doc_id arithmetic over the
+    live-set walk (multimodal/skipping.py iceberg_skipping_plan)."""
+    return _skipping.iceberg_skipping_plan(spark, sf_dir)

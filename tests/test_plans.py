@@ -389,6 +389,7 @@ def test_blob_censuses_are_narrow(spark, sf_dir):
         "parquet_skipping_plan",
         "wiki_text_extract",
         "delta_skipping_plan",
+        "iceberg_skipping_plan",
     ):
         df = REGISTRY[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

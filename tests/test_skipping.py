@@ -296,3 +296,94 @@ def test_delta_frame_api_plan(spark):
     assert "Exchange" not in plan, plan
     got = {r["doc_id"]: r.asDict() for r in out.collect()}
     assert got[0]["n_live_files"] == 3 and got[1]["n_live_files"] is None
+
+
+# ----------------------------------------------- Iceberg file pruning
+
+
+def test_iceberg_grid_matches_arithmetic():
+    from danae_spark.multimodal.iceberg import synth_iceberg_table
+    from danae_spark.multimodal.skipping import (
+        ICE_HI,
+        ICE_LO,
+        plan_iceberg_skip,
+    )
+
+    def expect(d):
+        if d % 17 == 2 or d % 13 == 4:
+            return None
+        files = []
+        for m in range(1 + d % 2):
+            for k in range(1 + (d + m) % 3):
+                if d % 4 == 1 and m == 0 and k == 0:
+                    continue
+                glen = 5 + (d + 3 * m + k) % 6
+                start = (d + m + k) % 50
+                fmin, fmax = (
+                    (start, start + glen - 1) if start + glen <= 50 else (0, 49)
+                )
+                if d % 31 == 3 and m == 0 and k == 0:
+                    fmax = 999
+                files.append((glen, fmin, fmax, d % 11 == 6))
+        pruned = sum(
+            1 for g, a, b, nb in files if not nb and (b < ICE_LO or a > ICE_HI)
+        )
+        return {
+            "n_live_files": len(files),
+            "files_pruned": pruned,
+            "files_scanned": len(files) - pruned,
+            "rows_total": sum(f[0] for f in files),
+            "rows_scanned": sum(
+                g for g, a, b, nb in files
+                if nb or not (b < ICE_LO or a > ICE_HI)
+            ),
+            "table_skipped": len(files) > 0 and pruned == len(files),
+            "stats_consistent": not (
+                d % 31 == 3 and d % 11 != 6 and d % 4 != 1
+            ),
+        }
+
+    mix = {"skipped": 0, "nobounds": 0, "lying": 0}
+    for d in range(200):
+        got = plan_iceberg_skip(synth_iceberg_table(d), 1, ICE_LO, ICE_HI)
+        assert got == expect(d), d
+        if got is None:
+            continue
+        mix["skipped"] += got["table_skipped"]
+        mix["nobounds"] += d % 11 == 6
+        mix["lying"] += not got["stats_consistent"]
+    assert all(v > 0 for v in mix.values()), mix
+
+
+def test_iceberg_skip_bounds_semantics():
+    from danae_spark.multimodal.iceberg import synth_iceberg_table
+    from danae_spark.multimodal.skipping import plan_iceberg_skip
+
+    # d=6: no-bounds leg (6%11==6) — a far band still scans everything
+    got = plan_iceberg_skip(synth_iceberg_table(6), 1, 1000, 2000)
+    assert got["files_pruned"] == 0 and got["rows_scanned"] == got["rows_total"]
+    # d=0: truthful bounds, far band prunes the whole table
+    got = plan_iceberg_skip(synth_iceberg_table(0), 1, 1000, 2000)
+    assert got["table_skipped"] and got["stats_consistent"]
+    # an unknown field id has no bounds anywhere: full scan
+    got = plan_iceberg_skip(synth_iceberg_table(0), 99, 1000, 2000)
+    assert got["files_pruned"] == 0
+    # census refusals carry over
+    assert plan_iceberg_skip(synth_iceberg_table(2), 1, 0, 9) is None
+    assert plan_iceberg_skip(synth_iceberg_table(4), 1, 0, 9) is None
+    assert plan_iceberg_skip(b"junk", 1, 0, 9) is None
+
+
+def test_iceberg_frame_api_plan(spark):
+    from danae_spark.multimodal.iceberg import synth_iceberg_table
+    from danae_spark.multimodal.skipping import iceberg_skip_frame
+
+    df = spark.createDataFrame(
+        [(0, bytearray(synth_iceberg_table(0))), (1, None)],
+        "doc_id long, payload binary",
+    )
+    out = iceberg_skip_frame(df, 1, 15, 25)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert got[0]["n_live_files"] == 1 and got[1]["n_live_files"] is None

@@ -188,6 +188,7 @@ OPERATORS = {
     "parquet_skipping_plan": "documents",
     "wiki_text_extract": "documents",
     "delta_skipping_plan": "documents",
+    "iceberg_skipping_plan": "documents",
 }
 
 
