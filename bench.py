@@ -223,6 +223,9 @@ HEADLINE = [
     "wiki_text_extract",
     "delta_skipping_plan",
     "iceberg_skipping_plan",
+    "safetensors_census",
+    "npy_blob_census",
+    "arrow_blob_census",
 ]
 
 

@@ -1137,3 +1137,27 @@ class DataLakeEngine:
         from danae_spark.multimodal.skipping import iceberg_skip_frame
 
         return iceberg_skip_frame(df, field_id, lo, hi, **kw)
+
+    def safetensors_census(self, df: DataFrame, **kw) -> DataFrame:
+        """safetensors checkpoint census over any (id, binary) frame:
+        layout-validated tensor/param/byte/dtype counts from the
+        header alone (multimodal/tensors.py parse_safetensors)."""
+        from danae_spark.multimodal.tensors import safetensors_census_frame
+
+        return safetensors_census_frame(df, **kw)
+
+    def npy_census(self, df: DataFrame, **kw) -> DataFrame:
+        """NumPy .npy/.npz census over any (id, binary) frame:
+        header-validated array/element/byte counts; .npz members walk
+        the CRC-verified archive layer (multimodal/tensors.py)."""
+        from danae_spark.multimodal.tensors import npy_census_frame
+
+        return npy_census_frame(df, **kw)
+
+    def arrow_census(self, df: DataFrame, **kw) -> DataFrame:
+        """Arrow IPC census over any (id, binary) frame: batch/row/
+        column counts for file- and stream-framed payloads via the
+        canonical reader (multimodal/tensors.py parse_arrow_blob)."""
+        from danae_spark.multimodal.tensors import arrow_census_frame
+
+        return arrow_census_frame(df, **kw)

@@ -2049,3 +2049,47 @@ def iceberg_skipping_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest/file). Counts restated as doc_id arithmetic over the
     live-set walk (multimodal/skipping.py iceberg_skipping_plan)."""
     return _skipping.iceberg_skipping_plan(spark, sf_dir)
+
+
+from danae_spark.multimodal import tensors as _tensors  # noqa: E402
+
+
+@register("safetensors_census", oracle=_tensors.SAFETENSORS_CENSUS_ORACLE)
+def safetensors_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """safetensors checkpoint/shard census (r17) — the tensor-container
+    class a model-data lake holds: per doc a real safetensors file
+    (8-byte LE header length, JSON header, flat byte buffer) with the
+    reference implementation's layout validation — every tensor's span
+    must equal product(shape) x dtype size, offsets must tile the
+    buffer exactly from 0 with no gap or overlap (an offset lie is how
+    a malicious checkpoint reads out of bounds), __metadata__ must be
+    str->str. Tensor/param/byte/dtype/metadata counts restated as
+    doc_id arithmetic; d%17==3 (header-length lie), d%13==6 (shifted
+    layout) and d%23==9 (span/shape lie) reject whole
+    (multimodal/tensors.py safetensors_census_roundtrip)."""
+    return _tensors.safetensors_census_roundtrip(spark, sf_dir)
+
+
+@register("npy_blob_census", oracle=_tensors.NPY_CENSUS_ORACLE)
+def npy_blob_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumPy .npy/.npz census (r17): even docs one real .npy (magic,
+    v1/v2 header forms, literal-dict header, data length validated
+    against dtype x shape — a truncated array rejects whole), odd docs
+    a real .npz walked by the C66 archive layer (CRCs verify; a member
+    that is not an .npy rejects the container whole). Array/element/
+    byte/dtype counts restated as doc_id arithmetic; d%19==7
+    (truncation / stray member) and d%29==11 (corrupted magic) reject
+    (multimodal/tensors.py npy_census_roundtrip)."""
+    return _tensors.npy_census_roundtrip(spark, sf_dir)
+
+
+@register("arrow_blob_census", oracle=_tensors.ARROW_CENSUS_ORACLE)
+def arrow_blob_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC census (r17) — the dataset-shard container (HF
+    datasets ship Arrow): per doc a real IPC payload in BOTH framings
+    (ARROW1 file format on even docs, bare stream on odd), written in
+    sized batches and censused via pyarrow, the format's canonical
+    implementation (the C128 parquet precedent); batch/row/column
+    counts restated as doc_id arithmetic; d%21==11 corrupted leading
+    bytes reject whole (multimodal/tensors.py arrow_census_roundtrip)."""
+    return _tensors.arrow_census_roundtrip(spark, sf_dir)

@@ -390,6 +390,9 @@ def test_blob_censuses_are_narrow(spark, sf_dir):
         "wiki_text_extract",
         "delta_skipping_plan",
         "iceberg_skipping_plan",
+        "safetensors_census",
+        "npy_blob_census",
+        "arrow_blob_census",
     ):
         df = REGISTRY[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

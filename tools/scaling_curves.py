@@ -189,6 +189,9 @@ OPERATORS = {
     "wiki_text_extract": "documents",
     "delta_skipping_plan": "documents",
     "iceberg_skipping_plan": "documents",
+    "safetensors_census": "documents",
+    "npy_blob_census": "documents",
+    "arrow_blob_census": "documents",
 }
 
 
