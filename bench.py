@@ -226,6 +226,7 @@ HEADLINE = [
     "safetensors_census",
     "npy_blob_census",
     "arrow_blob_census",
+    "stackexchange_text_extract",
 ]
 
 

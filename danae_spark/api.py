@@ -1161,3 +1161,12 @@ class DataLakeEngine:
         from danae_spark.multimodal.tensors import arrow_census_frame
 
         return arrow_census_frame(df, **kw)
+
+    def stackexchange_text(self, df: DataFrame, **kw) -> DataFrame:
+        """Stack Exchange Posts.xml extraction over any (id, binary)
+        frame: question/answer text via the real html extractor, with
+        post/score/tag censuses
+        (multimodal/stackexchange.py parse_se_dump)."""
+        from danae_spark.multimodal.stackexchange import se_census_frame
+
+        return se_census_frame(df, **kw)

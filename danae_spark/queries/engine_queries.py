@@ -2093,3 +2093,21 @@ def arrow_blob_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts restated as doc_id arithmetic; d%21==11 corrupted leading
     bytes reject whole (multimodal/tensors.py arrow_census_roundtrip)."""
     return _tensors.arrow_census_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import stackexchange as _se  # noqa: E402
+
+
+@register("stackexchange_text_extract", oracle=_se.SE_EXTRACT_ORACLE)
+def stackexchange_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stack Exchange dump extraction (r17) — the Q&A corpus class of
+    instruction-tuning mixes: per doc a real Posts.xml (question with
+    Title/Tags/Score, answers, a d%7 tag-wiki row counted-not-
+    extracted) parsed attribute-wise with STRICT entity decode, every
+    Body routed through the REAL html extractor (the same rules as the
+    crawl side), question title + bodies joined in document order.
+    Post/score/tag counts, title and exact text restated as doc_id
+    arithmetic; d%19==4 (torn dump) and d%13==2 (unknown entity in the
+    wire bytes) reject whole
+    (multimodal/stackexchange.py se_census_roundtrip)."""
+    return _se.se_census_roundtrip(spark, sf_dir)

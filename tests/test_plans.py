@@ -393,6 +393,7 @@ def test_blob_censuses_are_narrow(spark, sf_dir):
         "safetensors_census",
         "npy_blob_census",
         "arrow_blob_census",
+        "stackexchange_text_extract",
     ):
         df = REGISTRY[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -192,6 +192,7 @@ OPERATORS = {
     "safetensors_census": "documents",
     "npy_blob_census": "documents",
     "arrow_blob_census": "documents",
+    "stackexchange_text_extract": "documents",
 }
 
 
