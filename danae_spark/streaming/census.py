@@ -36,6 +36,13 @@ def _frames():
         from danae_spark.multimodal.parquetblob import parquet_census_frame
         from danae_spark.multimodal.sqliteblob import sqlite_census_frame
         from danae_spark.multimodal.svg import svg_census_frame
+        from danae_spark.multimodal.stackexchange import se_census_frame
+        from danae_spark.multimodal.tensors import (
+            arrow_census_frame,
+            npy_census_frame,
+            safetensors_census_frame,
+        )
+        from danae_spark.multimodal.wikitext import wiki_extract_frame
 
         _KINDS = {
             "csv": csv_census_frame,
@@ -54,6 +61,13 @@ def _frames():
             "svg": svg_census_frame,
             "delta": delta_log_census_frame,
             "iceberg": iceberg_census_frame,
+            # r17 late adds: corpus-class extractors and the
+            # tensor-container censuses, all the same stateless shape
+            "wiki": wiki_extract_frame,
+            "stackexchange": se_census_frame,
+            "safetensors": safetensors_census_frame,
+            "npy": npy_census_frame,
+            "arrow": arrow_census_frame,
         }
     return _KINDS
 
@@ -68,7 +82,7 @@ def census_stream(
     the SAME census frame function the batch path runs. `kind` names
     the census: csv | json | parquet | sqlite | access_log | chat |
     avro | orc | notebook | code | cfb | avif | svg | delta |
-    iceberg."""
+    iceberg | wiki | stackexchange | safetensors | npy | arrow."""
     frames = _frames()
     if kind not in frames:
         raise ValueError(f"unknown census kind {kind!r}; one of {sorted(frames)}")

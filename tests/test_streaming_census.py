@@ -26,7 +26,8 @@ def _land(spark, tmp_path, rows_by_file):
     return blob_dir
 
 
-@pytest.mark.parametrize("kind", ["avro", "orc", "notebook", "code"])
+@pytest.mark.parametrize("kind", ["avro", "orc", "notebook", "code", "wiki",
+                                  "safetensors", "arrow"])
 def test_census_stream_matches_batch(spark, tmp_path, kind):
     from danae_spark.multimodal.avroblob import avro_census_frame, synth_avro
     from danae_spark.multimodal.notebook import (
@@ -34,6 +35,16 @@ def test_census_stream_matches_batch(spark, tmp_path, kind):
         synth_notebook,
     )
     from danae_spark.multimodal.orcblob import orc_census_frame, synth_orc
+    from danae_spark.multimodal.tensors import (
+        arrow_census_frame,
+        safetensors_census_frame,
+        synth_arrow,
+        synth_safetensors,
+    )
+    from danae_spark.multimodal.wikitext import (
+        synth_wiki_dump,
+        wiki_extract_frame,
+    )
     from danae_spark.operators.codestats import code_stats_frame, synth_code_doc
 
     synth, frame = {
@@ -41,6 +52,9 @@ def test_census_stream_matches_batch(spark, tmp_path, kind):
         "orc": (synth_orc, orc_census_frame),
         "notebook": (synth_notebook, notebook_extract_frame),
         "code": (synth_code_doc, code_stats_frame),
+        "wiki": (synth_wiki_dump, wiki_extract_frame),
+        "safetensors": (synth_safetensors, safetensors_census_frame),
+        "arrow": (synth_arrow, arrow_census_frame),
     }[kind]
     rows1 = [(d, bytearray(synth(d))) for d in range(0, 6)]
     rows2 = [(d, bytearray(synth(d))) for d in range(6, 12)] + [
