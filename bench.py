@@ -227,6 +227,7 @@ HEADLINE = [
     "npy_blob_census",
     "arrow_blob_census",
     "stackexchange_text_extract",
+    "gguf_census",
 ]
 
 

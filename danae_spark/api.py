@@ -1170,3 +1170,11 @@ class DataLakeEngine:
         from danae_spark.multimodal.stackexchange import se_census_frame
 
         return se_census_frame(df, **kw)
+
+    def gguf_census(self, df: DataFrame, **kw) -> DataFrame:
+        """GGUF model-container census over any (id, binary) frame:
+        layout-validated tensor/param/quantization counts plus typed
+        metadata (multimodal/tensors.py parse_gguf)."""
+        from danae_spark.multimodal.tensors import gguf_census_frame
+
+        return gguf_census_frame(df, **kw)

@@ -577,3 +577,282 @@ SELECT d.doc_id,
          AS columns
 FROM documents d LEFT JOIN d0 USING (doc_id) ORDER BY d.doc_id
 """
+
+
+# --------------------------------------------------------- GGUF census
+#
+# GGUF (the llama.cpp model container; public spec in the ggml docs):
+# "GGUF" magic, u32 version, u64 tensor_count, u64 metadata_kv_count;
+# metadata kvs (u64-length keys, typed values incl. typed arrays);
+# tensor infos (name, u32 n_dims, u64 dims, u32 ggml type, u64 offset
+# into the data section); data starts at the header end aligned to
+# general.alignment (default 32) and every tensor's offset is
+# RELATIVE to that base, itself aligned.
+#
+# Census with layout validation over the quantization subset
+# [F32, F16, Q8_0, Q4_0] (block sizes 1/1/32/32, type sizes 4/2/34/18
+# bytes per block): offsets must be aligned and tile the data section
+# in order — the safetensors discipline, because a model blob with a
+# lying offset reads out of bounds the same way. Unknown ggml types
+# reject whole (their byte math is unknowable).
+#
+# Grid (restated in GGUF_CENSUS_ORACLE):
+#   T = 1 + d % 4 tensors: dims (32 * (1 + d % 3), 1 + (d + t) % 4),
+#   type [F32, F16, Q8_0, Q4_0][(d + t) % 4]
+#   kv: general.architecture = [llama, gpt2, phi][d % 3],
+#       general.alignment = 32, plus 1 + d % 2 extra string kvs
+#   rejects: d % 13 == 9 misaligned offset; d % 19 == 10 truncated
+#   data; d % 23 == 15 unknown ggml type
+
+_GGUF_MAGIC = b"GGUF"
+# ggml type id -> (block elements, block bytes)
+_GGML_TYPES = {0: (1, 4), 1: (1, 2), 8: (32, 34), 2: (32, 18)}
+_GGML_NAMES = {0: "F32", 1: "F16", 8: "Q8_0", 2: "Q4_0"}
+_GGUF_ALIGN = 32
+
+_GV_U8, _GV_I8, _GV_U16, _GV_I16 = 0, 1, 2, 3
+_GV_U32, _GV_I32, _GV_F32, _GV_BOOL = 4, 5, 6, 7
+_GV_STR, _GV_ARR, _GV_U64, _GV_I64, _GV_F64 = 8, 9, 10, 11, 12
+
+_GV_SCALAR = {
+    _GV_U8: ("<B", 1), _GV_I8: ("<b", 1), _GV_U16: ("<H", 2),
+    _GV_I16: ("<h", 2), _GV_U32: ("<I", 4), _GV_I32: ("<i", 4),
+    _GV_F32: ("<f", 4), _GV_BOOL: ("<B", 1), _GV_U64: ("<Q", 8),
+    _GV_I64: ("<q", 8), _GV_F64: ("<d", 8),
+}
+
+
+def _g_str(buf: bytes, pos: int) -> tuple[str, int]:
+    (n,) = struct.unpack_from("<Q", buf, pos)
+    pos += 8
+    if pos + n > len(buf):
+        raise ValueError("string past EOF")
+    return buf[pos : pos + n].decode("utf-8"), pos + n
+
+
+def _g_value(buf: bytes, pos: int, vtype: int):
+    if vtype == _GV_STR:
+        return _g_str(buf, pos)
+    if vtype == _GV_ARR:
+        (atype,) = struct.unpack_from("<I", buf, pos)
+        (count,) = struct.unpack_from("<Q", buf, pos + 4)
+        pos += 12
+        out = []
+        for _ in range(count):
+            v, pos = _g_value(buf, pos, atype)
+            out.append(v)
+        return out, pos
+    if vtype in _GV_SCALAR:
+        fmt, size = _GV_SCALAR[vtype]
+        (v,) = struct.unpack_from(fmt, buf, pos)
+        if vtype == _GV_BOOL:
+            v = bool(v)
+        return v, pos + size
+    raise ValueError(f"unknown gguf value type {vtype}")
+
+
+def parse_gguf(payload: bytes) -> Optional[dict]:
+    p = bytes(payload) if payload is not None else b""
+    if len(p) < 24 or p[:4] != _GGUF_MAGIC:
+        return None
+    try:
+        (version,) = struct.unpack_from("<I", p, 4)
+        if version not in (2, 3):
+            return None  # v1's 32-bit counts are a different wire format
+        (n_tensors,) = struct.unpack_from("<Q", p, 8)
+        (n_kv,) = struct.unpack_from("<Q", p, 16)
+        if n_tensors > 1_000_000 or n_kv > 1_000_000:
+            return None
+        pos = 24
+        meta: dict = {}
+        for _ in range(n_kv):
+            key, pos = _g_str(p, pos)
+            (vtype,) = struct.unpack_from("<I", p, pos)
+            val, pos = _g_value(p, pos + 4, vtype)
+            meta[key] = val
+        align = meta.get("general.alignment", _GGUF_ALIGN)
+        if not isinstance(align, int) or align <= 0 or align & (align - 1):
+            return None  # alignment must be a positive power of two
+        infos = []
+        total_params = 0
+        qtypes = set()
+        for _ in range(n_tensors):
+            name, pos = _g_str(p, pos)
+            (nd,) = struct.unpack_from("<I", p, pos)
+            pos += 4
+            if nd == 0 or nd > 8:
+                return None
+            dims = struct.unpack_from(f"<{nd}Q", p, pos)
+            pos += 8 * nd
+            (ttype,) = struct.unpack_from("<I", p, pos)
+            (off,) = struct.unpack_from("<Q", p, pos + 4)
+            pos += 12
+            if ttype not in _GGML_TYPES:
+                return None  # unknown quantization: byte math unknowable
+            blk, blk_bytes = _GGML_TYPES[ttype]
+            n = 1
+            for s in dims:
+                n *= s
+            if n % blk:
+                return None  # a quantized tensor must fill whole blocks
+            infos.append((off, n // blk * blk_bytes, name))
+            total_params += n
+            qtypes.add(_GGML_NAMES[ttype])
+        data_start = (pos + align - 1) // align * align
+        infos.sort()
+        expect_off = 0
+        for off, nbytes, _name in infos:
+            if off != expect_off or off % align:
+                return None  # gap/overlap/misalignment in the data plan
+            expect_off = (off + nbytes + align - 1) // align * align
+        data_len = len(p) - data_start
+        used = infos[-1][0] + infos[-1][1] if infos else 0
+        if infos:
+            if data_len < used or data_len > expect_off:
+                return None  # truncated or overlong data section
+        elif data_len != 0:
+            return None
+    except (struct.error, ValueError, UnicodeDecodeError, OverflowError):
+        return None
+    arch = meta.get("general.architecture")
+    return {
+        "version": version,
+        "n_tensors": n_tensors,
+        "n_kv": n_kv,
+        "total_params": total_params,
+        "data_bytes": used,
+        "architecture": arch if isinstance(arch, str) else None,
+        "quant_types": "/".join(sorted(qtypes)) if qtypes else None,
+    }
+
+
+def _g_kv_str(key: str, val: str) -> bytes:
+    k = key.encode()
+    v = val.encode()
+    return (struct.pack("<Q", len(k)) + k + struct.pack("<I", _GV_STR)
+            + struct.pack("<Q", len(v)) + v)
+
+
+def _g_kv_u32(key: str, val: int) -> bytes:
+    k = key.encode()
+    return (struct.pack("<Q", len(k)) + k
+            + struct.pack("<I", _GV_U32) + struct.pack("<I", val))
+
+
+def gguf_arch(d: int) -> str:
+    return ["llama", "gpt2", "phi"][d % 3]
+
+
+def synth_gguf(d: int) -> bytes:
+    T = 1 + d % 4
+    kvs = [_g_kv_str("general.architecture", gguf_arch(d)),
+           _g_kv_u32("general.alignment", _GGUF_ALIGN)]
+    for i in range(1 + d % 2):
+        kvs.append(_g_kv_str(f"meta.k{i}", f"v{d % 7}"))
+    infos = b""
+    off = 0
+    sizes = []
+    for t in range(T):
+        rows, cols = 32 * (1 + d % 3), 1 + (d + t) % 4
+        ttype = [0, 1, 8, 2][(d + t) % 4]
+        if d % 23 == 15 and t == 0:
+            ttype = 77  # a quantization this walk does not know
+        blk, blk_bytes = _GGML_TYPES.get(ttype, (32, 34))
+        nbytes = rows * cols // blk * blk_bytes
+        this_off = off
+        if d % 13 == 9 and t == 0:
+            this_off += 1  # misaligned / overlapping layout
+        name = f"blk.{t}.weight".encode()
+        infos += (struct.pack("<Q", len(name)) + name
+                  + struct.pack("<I", 2) + struct.pack("<QQ", rows, cols)
+                  + struct.pack("<I", ttype) + struct.pack("<Q", this_off))
+        sizes.append(nbytes)
+        off = (off + nbytes + _GGUF_ALIGN - 1) // _GGUF_ALIGN * _GGUF_ALIGN
+    header = (_GGUF_MAGIC + struct.pack("<I", 3)
+              + struct.pack("<Q", T) + struct.pack("<Q", len(kvs))
+              + b"".join(kvs) + infos)
+    data_start = (len(header) + _GGUF_ALIGN - 1) // _GGUF_ALIGN * _GGUF_ALIGN
+    # data section: zero-filled through the LAST tensor's end, unpadded
+    # (the spec pads BETWEEN tensors; the file may end at the last byte)
+    last_start = off - ((sizes[-1] + _GGUF_ALIGN - 1) // _GGUF_ALIGN
+                        * _GGUF_ALIGN) if T else 0
+    last_end = last_start + sizes[-1] if T else 0
+    raw = bytearray(header + bytes(data_start - len(header)) + bytes(last_end))
+    if d % 19 == 10:
+        raw = raw[:-5]  # truncated data section
+    return bytes(raw)
+
+
+# Per-tensor bytes: n = 32*(1+d%3) * (1+(d+t)%4) elements; F32 n*4,
+# F16 n*2, Q8_0 n/32*34, Q4_0 n/32*18. The data section aligns to 32
+# BETWEEN tensors and ends unpadded, so data_bytes = sum of padded
+# sizes for all but the last tensor + the last raw size.
+GGUF_CENSUS_ORACLE = """
+WITH d0 AS (
+  SELECT doc_id, doc_id AS d FROM documents
+  WHERE doc_id % 13 <> 9 AND doc_id % 19 <> 10 AND doc_id % 23 <> 15
+),
+t AS (
+  SELECT d0.doc_id, d0.d, j.t,
+         32 * (1 + d0.d % 3) * (1 + (d0.d + j.t) % 4) AS n,
+         (d0.d + j.t) % 4 AS tt,
+         1 + d0.d % 4 AS tc
+  FROM d0 JOIN generate_series(0, 3) j(t) ON j.t < 1 + d0.d % 4
+),
+tb AS (
+  SELECT doc_id, d, t, n, tc,
+         CASE tt WHEN 0 THEN n * 4 WHEN 1 THEN n * 2
+              WHEN 2 THEN n // 32 * 34 ELSE n // 32 * 18 END AS nb,
+         CASE tt WHEN 0 THEN 'F32' WHEN 1 THEN 'F16'
+              WHEN 2 THEN 'Q8_0' ELSE 'Q4_0' END AS qt
+  FROM t
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(n) AS BIGINT) AS total_params,
+         CAST(SUM(CASE WHEN t < tc - 1
+                       THEN (nb + 31) // 32 * 32 ELSE nb END) AS BIGINT)
+           AS data_bytes,
+         string_agg(DISTINCT qt, '/' ORDER BY qt) AS quant_types
+  FROM tb GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN d0.doc_id IS NULL THEN NULL ELSE 3 END AS INT)
+         AS version,
+       CAST(CASE WHEN d0.doc_id IS NULL THEN NULL
+            ELSE 1 + d.doc_id % 4 END AS INT) AS n_tensors,
+       CAST(CASE WHEN d0.doc_id IS NULL THEN NULL
+            ELSE 3 + d.doc_id % 2 END AS INT) AS n_kv,
+       agg.total_params,
+       agg.data_bytes,
+       CASE WHEN d0.doc_id IS NULL THEN NULL
+            ELSE CASE d.doc_id % 3 WHEN 0 THEN 'llama'
+                 WHEN 1 THEN 'gpt2' ELSE 'phi' END END AS architecture,
+       agg.quant_types
+FROM documents d
+LEFT JOIN d0 USING (doc_id)
+LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+_GG_COLS = ["version", "n_tensors", "n_kv", "total_params", "data_bytes",
+            "architecture", "quant_types"]
+_GG_SCHEMA = (
+    "doc_id bigint, version int, n_tensors int, n_kv int, "
+    "total_params bigint, data_bytes bigint, architecture string, "
+    "quant_types string"
+)
+
+
+def gguf_census_frame(df, id_col="doc_id", payload_col="payload"):
+    from danae_spark.multimodal.docframes import blob_extract_frame
+
+    return blob_extract_frame(df, parse_gguf, _GG_COLS, _GG_SCHEMA,
+                              id_col, payload_col)
+
+
+def gguf_census_roundtrip(spark, sf_dir: str):
+    from danae_spark.multimodal.docframes import synth_roundtrip
+
+    return synth_roundtrip(spark, sf_dir, synth_gguf, parse_gguf,
+                           _GG_COLS, _GG_SCHEMA)

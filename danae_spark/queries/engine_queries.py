@@ -2111,3 +2111,20 @@ def stackexchange_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire bytes) reject whole
     (multimodal/stackexchange.py se_census_roundtrip)."""
     return _se.se_census_roundtrip(spark, sf_dir)
+
+
+@register("gguf_census", oracle=_tensors.GGUF_CENSUS_ORACLE)
+def gguf_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GGUF model-container census (r17) — the llama.cpp checkpoint
+    format, from its public spec: magic/version gate (v1's 32-bit
+    wire format refuses), typed metadata kvs (strings, scalars, typed
+    arrays), tensor infos with dims/ggml-type/offset, and the
+    safetensors layout discipline over the quantization subset
+    F32/F16/Q8_0/Q4_0 (block byte math validated; offsets must be
+    aligned and tile the data section in order; unknown quantizations
+    reject whole — their byte math is unknowable). Tensor/kv/param/
+    byte/architecture/quant columns restated as doc_id arithmetic;
+    d%13==9 (misaligned layout), d%19==10 (truncated data) and
+    d%23==15 (unknown ggml type) reject
+    (multimodal/tensors.py gguf_census_roundtrip)."""
+    return _tensors.gguf_census_roundtrip(spark, sf_dir)

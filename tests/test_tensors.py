@@ -193,3 +193,56 @@ def test_arrow_census_grid_and_frames(spark):
     got = {r["doc_id"]: r.asDict() for r in out.collect()}
     assert got[0]["format"] == "file" and got[1]["format"] == "stream"
     assert got[2]["format"] is None
+
+
+def test_gguf_grid_and_semantics(spark):
+    from danae_spark.multimodal.tensors import (
+        _GGML_NAMES,
+        _GGML_TYPES,
+        gguf_arch,
+        gguf_census_frame,
+        parse_gguf,
+        synth_gguf,
+    )
+
+    def expect(d):
+        if d % 13 == 9 or d % 19 == 10 or d % 23 == 15:
+            return None
+        params = used = off = 0
+        qt = set()
+        for t in range(1 + d % 4):
+            n = 32 * (1 + d % 3) * (1 + (d + t) % 4)
+            ttype = [0, 1, 8, 2][(d + t) % 4]
+            blk, bb = _GGML_TYPES[ttype]
+            params += n
+            qt.add(_GGML_NAMES[ttype])
+            nb = n // blk * bb
+            used = off + nb
+            off = (off + nb + 31) // 32 * 32
+        return {"version": 3, "n_tensors": 1 + d % 4, "n_kv": 3 + d % 2,
+                "total_params": params, "data_bytes": used,
+                "architecture": gguf_arch(d),
+                "quant_types": "/".join(sorted(qt))}
+
+    rejects = 0
+    for d in range(200):
+        got = parse_gguf(synth_gguf(d))
+        assert got == expect(d), d
+        rejects += got is None
+    assert rejects > 10
+
+    # identity and version gates
+    assert parse_gguf(b"GGML old format") is None
+    assert parse_gguf(b"") is None
+    v1 = bytearray(synth_gguf(0))
+    v1[4:8] = (1).to_bytes(4, "little")
+    assert parse_gguf(bytes(v1)) is None  # v1 wire format refuses
+
+    df = spark.createDataFrame(
+        [(0, bytearray(synth_gguf(0))), (1, None)],
+        "doc_id long, payload binary",
+    )
+    out = gguf_census_frame(df)
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert got[0]["architecture"] == "llama" and got[1]["version"] is None

@@ -193,6 +193,7 @@ OPERATORS = {
     "npy_blob_census": "documents",
     "arrow_blob_census": "documents",
     "stackexchange_text_extract": "documents",
+    "gguf_census": "documents",
 }
 
 
