@@ -228,6 +228,7 @@ HEADLINE = [
     "arrow_blob_census",
     "stackexchange_text_extract",
     "gguf_census",
+    "hudi_census",
 ]
 
 

@@ -1178,3 +1178,12 @@ class DataLakeEngine:
         from danae_spark.multimodal.tensors import gguf_census_frame
 
         return gguf_census_frame(df, **kw)
+
+    def hudi_census(self, df: DataFrame, **kw) -> DataFrame:
+        """Hudi COW table census over any (id, tar-binary) frame:
+        timeline replay with latest-slice-wins resolution and the
+        timeline-vs-footer cross-checks
+        (multimodal/hudi.py parse_hudi_table)."""
+        from danae_spark.multimodal.hudi import hudi_census_frame
+
+        return hudi_census_frame(df, **kw)

@@ -2128,3 +2128,25 @@ def gguf_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     d%23==15 (unknown ggml type) reject
     (multimodal/tensors.py gguf_census_roundtrip)."""
     return _tensors.gguf_census_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import hudi as _hudi  # noqa: E402
+
+
+@register("hudi_census", oracle=_hudi.HUDI_CENSUS_ORACLE)
+def hudi_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache Hudi copy-on-write census (r17) — the third lake format,
+    completing the family (C148 Delta, C151 Iceberg): the .hoodie
+    timeline is replayed per the public spec (hoodie.properties gate —
+    MERGE_ON_READ refuses, its log-merging read path is not claimed;
+    completed .commit instants in order; inflight instants counted
+    never read) and per file group the LATEST slice wins — older
+    slices still on disk pre-cleaning are excluded, the tombstone
+    analogue a glob reader double-counts. Cross-checks against the
+    data plane like both siblings: fileSizeInBytes vs member bytes
+    (the d%23 lying-size leg flags inconsistent), numWrites vs the
+    C128 parquet footer, and base-file naming must agree with the
+    stats. d%17 (MOR) and d%13 (the WINNING slice's file missing —
+    a dead slice's absence is legal, cleaning took it) reject whole
+    (multimodal/hudi.py hudi_census_roundtrip)."""
+    return _hudi.hudi_census_roundtrip(spark, sf_dir)

@@ -395,6 +395,7 @@ def test_blob_censuses_are_narrow(spark, sf_dir):
         "arrow_blob_census",
         "stackexchange_text_extract",
         "gguf_census",
+        "hudi_census",
     ):
         df = REGISTRY[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -194,6 +194,7 @@ OPERATORS = {
     "arrow_blob_census": "documents",
     "stackexchange_text_extract": "documents",
     "gguf_census": "documents",
+    "hudi_census": "documents",
 }
 
 
