@@ -85,6 +85,37 @@ def route_blob(payload: bytes) -> Optional[dict]:
              else r["n_text_atoms"] if r["kind"] == "ppt"
              else r["n_label_cells"] + r["n_number_cells"])
         return {"container": "cfb", "n_items": n}
+    if p[:4] == b"GGUF":
+        # r17 tensor containers: magic/identity first, like the rest
+        from danae_spark.multimodal.tensors import parse_gguf
+
+        r = parse_gguf(p)
+        return {"container": "gguf", "n_items": r["n_tensors"]} if r else None
+    if p[:6] == b"\x93NUMPY":
+        from danae_spark.multimodal.tensors import parse_npy
+
+        r = parse_npy(p)
+        return {"container": "npy", "n_items": r["n_elements"]} if r else None
+    if p[:6] == b"ARROW1":
+        from danae_spark.multimodal.tensors import parse_arrow_blob
+
+        r = parse_arrow_blob(p)
+        return {"container": "arrow", "n_items": r["n_rows"]} if r else None
+    if len(p) > 8 and p[8:9] == b"{":
+        # safetensors identity: a plausible LE header length followed
+        # by a JSON object at byte 8 claims the grammar (a bare JSON
+        # blob starts its brace at byte 0, so no collision)
+        import struct as _struct
+
+        (hlen,) = _struct.unpack("<Q", p[:8])
+        if 0 < hlen <= len(p) - 8:
+            from danae_spark.multimodal.tensors import parse_safetensors
+
+            r = parse_safetensors(p)
+            return (
+                {"container": "safetensors", "n_items": r["n_tensors"]}
+                if r else None
+            )
     if p.lstrip()[:1] == b"{" and b'"nbformat"' in p:
         # notebook identity rule (r16): the nbformat signature claims
         # the notebook grammar — parse it or reject whole, never fall

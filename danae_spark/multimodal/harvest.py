@@ -335,6 +335,25 @@ def harvest_text(
             "text": wk["text"],
         }
 
+    from danae_spark.multimodal.stackexchange import (
+        looks_like_se_dump,
+        parse_se_dump,
+    )
+
+    if looks_like_se_dump(p):
+        # Stack Exchange identity rule (r17): a Posts.xml export claims
+        # the dump grammar — Q&A prose via the row walk, or reject
+        # whole (escaped HTML attributes must not ship as class "html")
+        se = parse_se_dump(p)
+        if se is None:
+            return None
+        return {
+            "doc_class": "stackexchange",
+            "format": "posts.xml",
+            "title": se["title"],
+            "text": se["text"],
+        }
+
     from danae_spark.multimodal.htmltext import _decode_page, _looks_binary
 
     if _looks_binary(p):

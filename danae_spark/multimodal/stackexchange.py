@@ -28,6 +28,7 @@ import re
 from typing import Optional
 
 __all__ = [
+    "looks_like_se_dump",
     "parse_se_dump",
     "synth_se_dump",
     "se_body_sql",
@@ -63,6 +64,31 @@ def _unescape(s: str) -> str:
         raise _Bad  # an entity the XML writer would not produce
 
     return re.sub(r"&(#?[0-9a-zA-Z]+);", sub, s)
+
+
+def looks_like_se_dump(payload: bytes) -> bool:
+    """Identity sniff for the harvest router: True iff the FIRST
+    normal element of the payload is <posts> — an XHTML page that
+    merely mentions the dump format stays HTML."""
+    from danae_spark.multimodal.svg import _skip_markup
+
+    head = bytes(payload[:4096]).decode("utf-8", "ignore")
+    pos = 0
+    while pos < len(head):
+        while pos < len(head) and head[pos] in " \t\r\n﻿":
+            pos += 1
+        if pos >= len(head) or head[pos] != "<":
+            return False
+        skip = _skip_markup(head, pos)
+        if skip is None:
+            return False
+        if skip != -1:
+            pos = skip
+            continue
+        return head.startswith("<posts", pos) and (
+            len(head) > pos + 6 and head[pos + 6] in " \t\r\n>"
+        )
+    return False
 
 
 def parse_se_dump(payload: bytes) -> Optional[dict]:

@@ -37,8 +37,10 @@ def _frames():
         from danae_spark.multimodal.sqliteblob import sqlite_census_frame
         from danae_spark.multimodal.svg import svg_census_frame
         from danae_spark.multimodal.stackexchange import se_census_frame
+        from danae_spark.multimodal.hudi import hudi_census_frame
         from danae_spark.multimodal.tensors import (
             arrow_census_frame,
+            gguf_census_frame,
             npy_census_frame,
             safetensors_census_frame,
         )
@@ -68,6 +70,8 @@ def _frames():
             "safetensors": safetensors_census_frame,
             "npy": npy_census_frame,
             "arrow": arrow_census_frame,
+            "gguf": gguf_census_frame,
+            "hudi": hudi_census_frame,
         }
     return _KINDS
 
@@ -82,7 +86,8 @@ def census_stream(
     the SAME census frame function the batch path runs. `kind` names
     the census: csv | json | parquet | sqlite | access_log | chat |
     avro | orc | notebook | code | cfb | avif | svg | delta |
-    iceberg | wiki | stackexchange | safetensors | npy | arrow."""
+    iceberg | wiki | stackexchange | safetensors | npy | arrow |
+    gguf | hudi."""
     frames = _frames()
     if kind not in frames:
         raise ValueError(f"unknown census kind {kind!r}; one of {sorted(frames)}")

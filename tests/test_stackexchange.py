@@ -91,3 +91,20 @@ def test_frame_api_and_plan(spark):
     assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
     got = {r["doc_id"]: r.asDict() for r in out.collect()}
     assert got[0]["n_questions"] == 1 and got[1]["n_posts"] is None
+
+
+def test_harvest_routing():
+    from danae_spark.multimodal.harvest import harvest_text
+    from danae_spark.multimodal.stackexchange import looks_like_se_dump
+
+    got = harvest_text(synth_se_dump(0))
+    assert (got["doc_class"], got["format"]) == ("stackexchange", "posts.xml")
+    assert got["title"] == "Question 0"
+    assert got["text"] == parse_se_dump(synth_se_dump(0))["text"]
+    # claiming the grammar but torn -> reject whole (d%19==4)
+    assert harvest_text(synth_se_dump(4)) is None
+    # an XHTML page mentioning the format stays html
+    page = (b'<?xml version="1.0"?><html xmlns="http://www.w3.org/1999/xhtml">'
+            b"<body><p>about &lt;posts&gt; dumps</p></body></html>")
+    assert not looks_like_se_dump(page)
+    assert harvest_text(page)["doc_class"] == "html"

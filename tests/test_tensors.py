@@ -246,3 +246,29 @@ def test_gguf_grid_and_semantics(spark):
     assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
     got = {r["doc_id"]: r.asDict() for r in out.collect()}
     assert got[0]["architecture"] == "llama" and got[1]["version"] is None
+
+
+def test_blob_harvest_routes_tensor_containers():
+    from danae_spark.multimodal.hudi import synth_hudi_table
+    from danae_spark.multimodal.blobharvest import route_blob
+    from danae_spark.multimodal.tensors import (
+        synth_arrow,
+        synth_gguf,
+        synth_npy,
+        synth_safetensors,
+    )
+
+    assert route_blob(synth_gguf(0)) == {"container": "gguf", "n_items": 1}
+    got = route_blob(synth_npy(0))
+    assert got["container"] == "npy" and got["n_items"] == 6  # (3+0%4)*(2+0%3)
+    assert route_blob(synth_arrow(0))["container"] == "arrow"
+    got = route_blob(synth_safetensors(0))
+    assert got == {"container": "safetensors", "n_items": 1}
+    # identity rule: claiming a magic but corrupt rejects whole,
+    # never falls through to a text grammar
+    assert route_blob(synth_gguf(9)) is None   # 9 % 13 == 9 misaligned
+    assert route_blob(synth_safetensors(3)) is None  # 3 % 17 == 3 hlen lie
+    # streaming twin knows the new kinds
+    from danae_spark.streaming.census import _frames
+
+    assert {"gguf", "hudi", "safetensors", "npy", "arrow"} <= set(_frames())
