@@ -229,6 +229,7 @@ HEADLINE = [
     "stackexchange_text_extract",
     "gguf_census",
     "hudi_census",
+    "tfrecord_census",
 ]
 
 

@@ -1187,3 +1187,11 @@ class DataLakeEngine:
         from danae_spark.multimodal.hudi import hudi_census_frame
 
         return hudi_census_frame(df, **kw)
+
+    def tfrecord_census(self, df: DataFrame, **kw) -> DataFrame:
+        """TFRecord shard census over any (id, binary) frame:
+        masked-CRC32C framing verified, per-record Example feature
+        census (multimodal/tfrecord.py parse_tfrecord)."""
+        from danae_spark.multimodal.tfrecord import tfrecord_census_frame
+
+        return tfrecord_census_frame(df, **kw)

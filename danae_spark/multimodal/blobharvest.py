@@ -85,6 +85,17 @@ def route_blob(payload: bytes) -> Optional[dict]:
              else r["n_text_atoms"] if r["kind"] == "ppt"
              else r["n_label_cells"] + r["n_number_cells"])
         return {"container": "cfb", "n_items": n}
+    if len(p) >= 16:
+        # TFRecord identity: the first frame's masked length-CRC holds
+        # (a 1-in-4-billion accident for anything else) — claim, then
+        # parse or reject whole
+        import struct as _struct
+
+        from danae_spark.multimodal.tfrecord import masked_crc, parse_tfrecord
+
+        if _struct.unpack("<I", p[8:12])[0] == masked_crc(p[:8]):
+            r = parse_tfrecord(p)
+            return {"container": "tfrecord", "n_items": r["n_records"]} if r else None
     if p[:4] == b"GGUF":
         # r17 tensor containers: magic/identity first, like the rest
         from danae_spark.multimodal.tensors import parse_gguf

@@ -2150,3 +2150,24 @@ def hudi_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     a dead slice's absence is legal, cleaning took it) reject whole
     (multimodal/hudi.py hudi_census_roundtrip)."""
     return _hudi.hudi_census_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import tfrecord as _tfrecord  # noqa: E402
+
+
+@register("tfrecord_census", oracle=_tfrecord.TFRECORD_CENSUS_ORACLE)
+def tfrecord_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord census (r17) — the TensorFlow training-shard
+    container: the masked-CRC32C framing verified FROM SPEC (the CRC
+    table generated from the Castagnoli polynomial with spot asserts
+    and the canonical check vector pinned), each record's
+    tf.train.Example walked by the certified protobuf wire reader
+    (orcblob._pb_fields) for a key/type feature census. A CRC mismatch
+    on ANY record, a torn tail or an unwalkable Example rejects whole
+    — TFRecord has no line independence; a bad length desynchronizes
+    every later frame. Record/byte/feature counts restated as doc_id
+    arithmetic with the wire sizes exact (37 + digit count + 18 per
+    score feature); d%17==11 (data CRC), d%23==19 (length CRC) and
+    d%13==12 (torn tail) reject
+    (multimodal/tfrecord.py tfrecord_census_roundtrip)."""
+    return _tfrecord.tfrecord_census_roundtrip(spark, sf_dir)

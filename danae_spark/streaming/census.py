@@ -38,6 +38,7 @@ def _frames():
         from danae_spark.multimodal.svg import svg_census_frame
         from danae_spark.multimodal.stackexchange import se_census_frame
         from danae_spark.multimodal.hudi import hudi_census_frame
+        from danae_spark.multimodal.tfrecord import tfrecord_census_frame
         from danae_spark.multimodal.tensors import (
             arrow_census_frame,
             gguf_census_frame,
@@ -72,6 +73,7 @@ def _frames():
             "arrow": arrow_census_frame,
             "gguf": gguf_census_frame,
             "hudi": hudi_census_frame,
+            "tfrecord": tfrecord_census_frame,
         }
     return _KINDS
 
@@ -87,7 +89,7 @@ def census_stream(
     the census: csv | json | parquet | sqlite | access_log | chat |
     avro | orc | notebook | code | cfb | avif | svg | delta |
     iceberg | wiki | stackexchange | safetensors | npy | arrow |
-    gguf | hudi."""
+    gguf | hudi | tfrecord."""
     frames = _frames()
     if kind not in frames:
         raise ValueError(f"unknown census kind {kind!r}; one of {sorted(frames)}")

@@ -396,6 +396,7 @@ def test_blob_censuses_are_narrow(spark, sf_dir):
         "stackexchange_text_extract",
         "gguf_census",
         "hudi_census",
+        "tfrecord_census",
     ):
         df = REGISTRY[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

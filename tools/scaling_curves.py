@@ -195,6 +195,7 @@ OPERATORS = {
     "stackexchange_text_extract": "documents",
     "gguf_census": "documents",
     "hudi_census": "documents",
+    "tfrecord_census": "documents",
 }
 
 
