@@ -230,6 +230,7 @@ HEADLINE = [
     "gguf_census",
     "hudi_census",
     "tfrecord_census",
+    "tokenizer_census",
 ]
 
 

@@ -1195,3 +1195,11 @@ class DataLakeEngine:
         from danae_spark.multimodal.tfrecord import tfrecord_census_frame
 
         return tfrecord_census_frame(df, **kw)
+
+    def tokenizer_census(self, df: DataFrame, **kw) -> DataFrame:
+        """tokenizer.json census over any (id, binary) frame:
+        loader-validated algorithm/vocab/merge/added-token columns
+        (multimodal/tokenizerjson.py parse_tokenizer_json)."""
+        from danae_spark.multimodal.tokenizerjson import tokenizer_census_frame
+
+        return tokenizer_census_frame(df, **kw)

@@ -2171,3 +2171,21 @@ def tfrecord_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     d%13==12 (torn tail) reject
     (multimodal/tfrecord.py tfrecord_census_roundtrip)."""
     return _tfrecord.tfrecord_census_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import tokenizerjson as _tokjson  # noqa: E402
+
+
+@register("tokenizer_census", oracle=_tokjson.TOKENIZER_CENSUS_ORACLE)
+def tokenizer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tokenizer.json census (r17) — the HF tokenizers config every
+    model repo ships: strict-JSON parse with the loader's validation —
+    model.type must be a known algorithm (guessing a tokenizer's
+    semantics corrupts every downstream token count), BPE merges must
+    be closed over the vocab (a dangling merge is a torn file), vocab
+    ids must be unique, Unigram vocabs are typed [piece, log-prob]
+    pairs. Algorithm/vocab/merge/added-token columns restated as
+    doc_id arithmetic; d%17==13 (truncated JSON), d%13==11 (unknown
+    type) and d%23==21 (dangling BPE merge) reject whole
+    (multimodal/tokenizerjson.py tokenizer_census_roundtrip)."""
+    return _tokjson.tokenizer_census_roundtrip(spark, sf_dir)

@@ -397,6 +397,7 @@ def test_blob_censuses_are_narrow(spark, sf_dir):
         "gguf_census",
         "hudi_census",
         "tfrecord_census",
+        "tokenizer_census",
     ):
         df = REGISTRY[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -196,6 +196,7 @@ OPERATORS = {
     "gguf_census": "documents",
     "hudi_census": "documents",
     "tfrecord_census": "documents",
+    "tokenizer_census": "documents",
 }
 
 
