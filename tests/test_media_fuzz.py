@@ -237,3 +237,83 @@ def test_r10_harvest_never_crashes():
     # harvest as their text-bearing class (srt) or not at all
     for k in range(6, 12):
         assert harvest_text(synth_doc(k)) is not None, k
+
+
+def test_r17_parsers_never_crash():
+    """The r17 surface joins the fuzz gate: corpus-dump extractors,
+    tensor/model containers, lake censuses and the skipping planners
+    must return a value or None on arbitrary bytes, truncations, and
+    byte-flips of every seed — never raise inside an executor task."""
+    from danae_spark.multimodal.blobharvest import route_blob
+    from danae_spark.multimodal.deltalog import synth_delta_table
+    from danae_spark.multimodal.hudi import parse_hudi_table, synth_hudi_table
+    from danae_spark.multimodal.iceberg import synth_iceberg_table
+    from danae_spark.multimodal.skipping import (
+        plan_delta_skip,
+        plan_iceberg_skip,
+        plan_parquet_skip,
+    )
+    from danae_spark.multimodal.stackexchange import parse_se_dump, synth_se_dump
+    from danae_spark.multimodal.tensors import (
+        parse_arrow_blob,
+        parse_gguf,
+        parse_npy,
+        parse_npz,
+        parse_safetensors,
+        synth_arrow,
+        synth_gguf,
+        synth_npy,
+        synth_npz,
+        synth_safetensors,
+    )
+    from danae_spark.multimodal.tfrecord import parse_tfrecord, synth_tfrecord
+    from danae_spark.multimodal.tokenizerjson import (
+        parse_tokenizer_json,
+        synth_tokenizer_json,
+    )
+    from danae_spark.multimodal.wikitext import parse_wiki_dump, synth_wiki_dump
+
+    parsers = [
+        parse_wiki_dump, parse_se_dump, parse_safetensors, parse_npy,
+        parse_npz, parse_arrow_blob, parse_gguf, parse_tfrecord,
+        parse_tokenizer_json, parse_hudi_table, route_blob,
+        lambda p: plan_parquet_skip(p, "c0", 10, 20),
+        lambda p: plan_delta_skip(p, "c0", 10, 20),
+        lambda p: plan_iceberg_skip(p, 1, 10, 20),
+    ]
+    seeds = [
+        synth_wiki_dump(1), synth_se_dump(1), synth_safetensors(1),
+        synth_npy(2), synth_npz(1), synth_arrow(1), synth_gguf(1),
+        synth_tfrecord(1), synth_tokenizer_json(1), synth_hudi_table(0),
+        synth_delta_table(0), synth_iceberg_table(0),
+    ]
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.data())
+    def fuzz(data):
+        mode = data.draw(st.integers(0, 2))
+        if mode == 0:
+            payload = data.draw(st.binary(min_size=0, max_size=400))
+        else:
+            base = bytearray(seeds[data.draw(st.integers(0, len(seeds) - 1))])
+            if mode == 1:
+                payload = bytes(base[: data.draw(st.integers(0, len(base)))])
+            else:
+                for _ in range(data.draw(st.integers(1, 10))):
+                    ix = data.draw(st.integers(0, len(base) - 1))
+                    base[ix] = data.draw(st.integers(0, 255))
+                payload = bytes(base)
+        for parse in parsers:
+            parse(payload)  # value or None, never an exception
+
+    fuzz()
+    # mutual-exclusion sanity on clean seeds within the new set: each
+    # single-format parser accepts exactly its own seed (route_blob and
+    # the lake planners have legitimate multi-format surfaces)
+    singles = {0: parse_wiki_dump, 1: parse_se_dump, 2: parse_safetensors,
+               3: parse_npy, 4: parse_npz, 5: parse_arrow_blob,
+               6: parse_gguf, 7: parse_tfrecord, 8: parse_tokenizer_json,
+               9: parse_hudi_table}
+    for si, seed in enumerate(seeds):
+        for pi, parse in singles.items():
+            assert (parse(seed) is not None) == (pi == si), (si, pi)
