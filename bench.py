@@ -231,6 +231,7 @@ HEADLINE = [
     "hudi_census",
     "tfrecord_census",
     "tokenizer_census",
+    "zarr_census",
 ]
 
 

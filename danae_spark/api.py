@@ -1203,3 +1203,11 @@ class DataLakeEngine:
         from danae_spark.multimodal.tokenizerjson import tokenizer_census_frame
 
         return tokenizer_census_frame(df, **kw)
+
+    def zarr_census(self, df: DataFrame, **kw) -> DataFrame:
+        """Zarr v2 store census over any (id, tar-binary) frame:
+        metadata-vs-data-plane validation with chunk-grid accounting
+        (multimodal/zarrblob.py parse_zarr_store)."""
+        from danae_spark.multimodal.zarrblob import zarr_census_frame
+
+        return zarr_census_frame(df, **kw)

@@ -2189,3 +2189,24 @@ def tokenizer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     type) and d%23==21 (dangling BPE merge) reject whole
     (multimodal/tokenizerjson.py tokenizer_census_roundtrip)."""
     return _tokjson.tokenizer_census_roundtrip(spark, sf_dir)
+
+
+from danae_spark.multimodal import zarrblob as _zarr  # noqa: E402
+
+
+@register("zarr_census", oracle=_zarr.ZARR_CENSUS_ORACLE)
+def zarr_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zarr v2 store census (r17) — the chunked-array lake format, the
+    array-world mirror of the lake censuses: per doc a tar-shipped
+    store whose .zarray metadata is parsed strictly (format gate,
+    positive equal-rank shape/chunks, fixed-width dtype subset) and
+    whose DATA PLANE must honor it — every chunk decodes to exactly
+    prod(chunks) x itemsize (zlib decompressed for real, bomb-capped;
+    v2 pads edge chunks), chunk names must sit inside the declared
+    grid, unknown codecs reject (the GGUF rule). A MISSING chunk is
+    legal (zarr reads fill_value) and reported via chunks_complete —
+    the lazy-written reality a glob completeness check gets wrong.
+    d%17==15 (torn .zarray), d%13==3 (wrong chunk extent) and
+    d%23==6 (unknown codec) reject whole
+    (multimodal/zarrblob.py zarr_census_roundtrip)."""
+    return _zarr.zarr_census_roundtrip(spark, sf_dir)

@@ -398,6 +398,7 @@ def test_blob_censuses_are_narrow(spark, sf_dir):
         "hudi_census",
         "tfrecord_census",
         "tokenizer_census",
+        "zarr_census",
     ):
         df = REGISTRY[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

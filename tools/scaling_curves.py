@@ -197,6 +197,7 @@ OPERATORS = {
     "hudi_census": "documents",
     "tfrecord_census": "documents",
     "tokenizer_census": "documents",
+    "zarr_census": "documents",
 }
 
 
