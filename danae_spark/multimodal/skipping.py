@@ -213,16 +213,19 @@ def plan_delta_skip(payload: bytes, column: str, lo, hi) -> Optional[dict]:
     commits: dict[int, bytes] = {}
     files: dict[str, bytes] = {}
     saw_log = False
-    for name, is_dir, data in iter_archive_members(payload):
-        if is_dir:
-            continue
-        if name.startswith(_LOG_DIR):
-            saw_log = True
-            stem = name[len(_LOG_DIR):]
-            if stem.endswith(".json") and stem[:-5].isdigit():
-                commits[int(stem[:-5])] = data
-            continue
-        files[name] = data
+    try:
+        for name, is_dir, data in iter_archive_members(payload):
+            if is_dir:
+                continue
+            if name.startswith(_LOG_DIR):
+                saw_log = True
+                stem = name[len(_LOG_DIR):]
+                if stem.endswith(".json") and stem[:-5].isdigit():
+                    commits[int(stem[:-5])] = data
+                continue
+            files[name] = data
+    except Exception:
+        return None  # a torn archive quarantines, never crashes a task
     if not saw_log or not commits:
         return None
     versions = sorted(commits)
@@ -420,9 +423,12 @@ def plan_iceberg_skip(payload: bytes, field_id: int, lo, hi) -> Optional[dict]:
     8-byte LE); a file with no bound for the field must be scanned."""
     import json as _json
     import struct as _struct
+    import zlib as _zlib
 
     from danae_spark.multimodal.archive import iter_archive_members
+    from danae_spark.multimodal.avroblob import _Bad as _AvroBad
     from danae_spark.multimodal.iceberg import (
+        _Bad,
         _ST_DELETED,
         avro_file_read,
     )
@@ -501,7 +507,10 @@ def plan_iceberg_skip(payload: bytes, field_id: int, lo, hi) -> Optional[dict]:
                     f_lo, f_hi = _pq_col_minmax(data, col_name)
                     if f_lo is not None and (b_lo, b_hi) != (f_lo, f_hi):
                         consistent = False
-    except (KeyError, ValueError, TypeError, UnicodeDecodeError):
+    except (_Bad, _AvroBad, KeyError, ValueError, TypeError, IndexError,
+            UnicodeDecodeError, _struct.error, _zlib.error):
+        # the census's reject set (fuzz-pinned): a torn archive, Avro
+        # container or metadata tree quarantines, never crashes a task
         return None
     return {
         "n_live_files": n_live,

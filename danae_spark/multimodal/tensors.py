@@ -503,7 +503,9 @@ def parse_arrow_blob(payload: bytes) -> Optional[dict]:
             fmt = "stream"
             batches = list(reader)
             schema = reader.schema
-    except (pa.ArrowInvalid, OSError, ValueError):
+    except (pa.ArrowException, OSError, ValueError):
+        # ArrowException is the base: a mutated stream can surface
+        # Invalid, NotImplemented, or Capacity errors — all quarantine
         return None
     return {
         "format": fmt,
