@@ -196,6 +196,36 @@ def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def _doc_shingle_hashes(docs: DataFrame, n: int = 3) -> DataFrame:
+    """_doc_shingles with each shingle REPLACED by its xxhash64 — the
+    hash is applied inside the map task, before the distinct's
+    exchange, so every downstream shuffle (distinct, df-cap agg,
+    signature agg, verify self-join) moves an 8-byte long instead of a
+    ~20-40 byte string (guide §2.3: narrower shuffle keys). Only legal
+    for the xxhash64 pipeline, whose contract is the VERIFIED PAIR SET
+    (candidate generation + Jaccard over the hashed-shingle sets is
+    pair-identical short of 2^-64 hash collisions — the same accepted
+    collision class as exact_dup_keeper's xxhash64(text) grouping);
+    the md5/oracle pipelines keep string shingles so the DuckDB oracle
+    restates them verbatim. Column is still named `shingle` so
+    _cap_shingles/_verify_jaccard apply unchanged."""
+    from danae_spark.functions.grams import ngram_expr
+
+    toks = widen(docs, force=True).select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')").alias("t"),
+    ).filter(F.size("t") >= n)
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"transform({ngram_expr('t', n)}, g -> xxhash64(g))")
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     tau: float = JACCARD_TAU,
@@ -210,7 +240,10 @@ def ngram_jaccard_pairs(
     sets), so the inverted-index self-join's per-shingle fan-out is
     bounded by cap²."""
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    sh = _cap_shingles(_doc_shingles(docs, n=n), df_cap)
+    # execution-only r17 change (values/oracle untouched): checkpoint the
+    # capped shingle table once — it feeds the df-cap agg, the sizes agg
+    # and both sides of the inverted-index self-join.
+    sh = _cap_shingles(_doc_shingles(docs, n=n), df_cap).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("d1"), "shingle")
     b = sh.select(F.col("doc_id").alias("d2"), "shingle")
@@ -338,8 +371,15 @@ def minhash_pairs(
     """
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     # the cap protects BOTH the signature agg (hot-key groupBy fan-in) and
-    # the verify's intersection self-join downstream
-    sh = _cap_shingles(_doc_shingles(docs), df_cap)
+    # the verify's intersection self-join downstream.
+    # r17 perf: shingles are pre-hashed to longs (narrow shuffles — see
+    # _doc_shingle_hashes) and the capped table is localCheckpoint'ed:
+    # it feeds FIVE consumers (df-cap agg, anti-join, signature agg,
+    # sizes, verify a/b); AQE's stage cache reuses the distinct's
+    # shuffle files but each consumer still re-ran the post-shuffle
+    # aggregation — materializing once removes those re-aggregations
+    # (measured 4.4→2.9 s at sf0.1, pair set identical).
+    sh = _cap_shingles(_doc_shingle_hashes(docs), df_cap).localCheckpoint()
 
     sig = sh.groupBy("doc_id").agg(
         *[
@@ -419,7 +459,12 @@ def dedup_minhash_md5(
     bands → candidates → verified pairs) is reproduced by the DuckDB
     oracle. xxhash64 variant remains the faster scale path."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = _cap_shingles(_doc_shingles(docs), df_cap)
+    # execution-only r17 change: the capped shingle table feeds five
+    # consumers (cap agg, anti-join, signature agg, verify sizes/a/b) —
+    # checkpoint it once instead of re-running the post-shuffle
+    # aggregation per consumer. Values (and the oracle) are untouched:
+    # string shingles stay string.
+    sh = _cap_shingles(_doc_shingles(docs), df_cap).localCheckpoint()
     h = _md5_base_hash()
     sig = sh.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
         *[
@@ -2366,7 +2411,11 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared hash family + df cap at ingest), docs with doc_id % 3 == 0
     stored as the state, the rest arriving as the batch."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = _md5_signatures(docs)
+    # "computed once" made literal (r17, execution-only): state and batch
+    # each feed a band explode AND a wide component join — without the
+    # checkpoint the shingle+signature pipeline re-ran four times. The
+    # signature table is K longs per doc, the cheapest thing to pin.
+    sig = _md5_signatures(docs).localCheckpoint()
     state = sig.filter(F.col("doc_id") % 3 == 0)
     batch = sig.filter(F.col("doc_id") % 3 != 0)
     return minhash_dedup_incremental(state, batch)
