@@ -302,7 +302,6 @@ def lang_id_ngram_frame(
     profiles = F.broadcast(
         spark.createDataFrame(_PROFILES, "lang string, gram string, lrank int")
     )
-    langs = F.broadcast(profiles.select("lang").distinct())
 
     norm = F.expr(
         f"substring({_NORM_SQL.format(t=text_col)}, 1, {_DOC_CAP})"
@@ -325,28 +324,70 @@ def lang_id_ngram_frame(
         .where(F.col("drank") <= _DOC_PROFILE)
         .select(id_col, "gram", "drank")
     )
-    # doc grams x languages, out-of-place distance with miss penalty
-    dists = (
-        doc_prof.crossJoin(langs)
-        .join(profiles, ["lang", "gram"], "left")
+    # Out-of-place distance, HIT-ONLY formulation (r17 perf; output
+    # row-identical to the r12 crossJoin-all-25-languages plan, pinned
+    # by the oracle + the row-wise-twin parity test). For a doc profile
+    # of np grams, a language's distance decomposes as
+    #   dist(lang) = Σ_hits |drank - lrank| + (np - n_hits(lang)) * P
+    # so only actual (gram ∈ lang profile) matches need to flow through
+    # the join — an INNER broadcast join on gram (~2 langs match per
+    # gram) instead of 25 rows per doc-profile gram (the old plan
+    # shuffled and aggregated 12x more rows), and the per-doc argmin
+    # becomes a min(struct(dist, lang)) aggregate instead of a second
+    # row_number window (one shuffle + full sort removed). Languages
+    # with zero hits share dist = np * P; the argmin only needs the
+    # lexicographically FIRST zero-hit language, recovered analytically
+    # via array_except over the sorted language list.
+    np_df = doc_prof.groupBy(id_col).agg(F.count("*").alias("__np"))
+    hit_dists = (
+        doc_prof.join(profiles, "gram")
         .groupBy(id_col, "lang")
         .agg(
-            F.sum(
-                F.coalesce(
-                    F.abs(F.col("drank") - F.col("lrank")),
-                    F.lit(_PROFILE_SIZE),
-                )
-            ).alias("dist"),
-            F.count("*").alias("n_profile"),
+            F.sum(F.abs(F.col("drank") - F.col("lrank"))).alias("__s"),
+            F.count("*").alias("__h"),
         )
     )
-    wbest = W.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("lang"))
-    best = (
-        dists.withColumn("rn", F.row_number().over(wbest))
-        .where(F.col("rn") == 1)
-        .select(id_col, F.col("lang").alias("predicted"),
-                F.col("dist").alias("best_dist"),
-                F.col("n_profile").cast("int").alias("n_profile"))
+    per_doc = hit_dists.groupBy(id_col).agg(
+        # (np - h) * P added after the join with np_df below; min over
+        # (s - h*P, lang) orders identically because np*P is constant
+        # per doc
+        F.min(
+            F.struct(
+                (F.col("__s") - F.col("__h") * F.lit(_PROFILE_SIZE)).alias("d0"),
+                F.col("lang"),
+            )
+        ).alias("__bh"),
+        F.collect_set("lang").alias("__hl"),
+    )
+    all_langs = sorted({l for l, _, _ in _PROFILES})
+    langs_arr = F.array(*[F.lit(l) for l in all_langs])
+    cand = np_df.join(per_doc, id_col, "left")
+    miss_lang = F.get(
+        F.array_except(langs_arr, F.coalesce("__hl", F.array())), F.lit(0)
+    )
+    hit_struct = F.when(
+        F.col("__bh").isNotNull(),
+        F.struct(
+            (F.col("__bh.d0") + F.col("__np") * F.lit(_PROFILE_SIZE)).alias("dist"),
+            F.col("__bh.lang").alias("lang"),
+        ),
+    )
+    miss_struct = F.when(
+        miss_lang.isNotNull(),
+        F.struct(
+            (F.col("__np") * F.lit(_PROFILE_SIZE)).alias("dist"),
+            miss_lang.alias("lang"),
+        ),
+    )
+    # least() skips NULLs: docs where every language hits lose the miss
+    # candidate, docs with zero hits lose the hit candidate — np > 0
+    # guarantees at least one of the two exists
+    best_struct = F.least(hit_struct, miss_struct)
+    best = cand.withColumn("__best", best_struct).select(
+        id_col,
+        F.col("__best.lang").alias("predicted"),
+        F.col("__best.dist").alias("best_dist"),
+        F.col("__np").cast("int").alias("n_profile"),
     )
     out = base.select(id_col, *( [label_col] if label_col else [] )).join(
         best, id_col, "left"
