@@ -1199,6 +1199,12 @@ def image_near_dup(
         "dhash",
         F.explode(F.array(*keys)).alias("bv"),
     ).select("doc_id", "dhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    # r17 (execution-only): the band frame feeds BOTH sides of the
+    # candidate self-join; without the checkpoint the upstream hash
+    # pipeline — for the roundtrip entries a full synth+decode
+    # mapInPandas pass — executed twice (AQE's stage cache does not
+    # unify the two aliased subtrees). The frame is a few longs per doc.
+    bands = bands.localCheckpoint()
     a = bands.select(F.col("doc_id").alias("d1"), F.col("dhash").alias("h1"), "band", "val")
     b = bands.select(F.col("doc_id").alias("d2"), F.col("dhash").alias("h2"), "band", "val")
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))

@@ -665,6 +665,11 @@ def simhash_pairs(
     joins. `skew_salt` → see simhash_signatures."""
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     sigs = simhash_signatures(docs, skew_salt=skew_salt)
+    # r17 (execution-only): the band frame feeds BOTH sides of the
+    # candidate self-join, and AQE's canonicalized stage cache does not
+    # unify the two aliased subtrees — without the checkpoint the whole
+    # tokenize + 48-bit signature pipeline ran twice (measured 6.5-7.7s
+    # -> 3.9-4.3s warm at sf0.1, pair set identical).
     bands = sigs.select(
         "doc_id",
         "simhash",
@@ -681,7 +686,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    ).select("doc_id", "simhash", "bk.band", "bk.key").localCheckpoint()
     l = bands.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "band", "key")
     r = bands.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"), "band", "key")
     pairs = (
