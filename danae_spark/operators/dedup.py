@@ -1118,7 +1118,9 @@ def contamination_check(
     )
     corpus_sh = _doc_shingles(corpus, n=n).withColumn("is_bench", F.lit(0))
     bench_sh = _doc_shingles(benchmark, n=n).withColumn("is_bench", F.lit(1))
-    sh = _cap_shingles(corpus_sh.unionAll(bench_sh), df_cap)
+    # r17 (execution-only): the capped union feeds the df-cap agg plus
+    # both join sides — checkpoint so the two shingle explodes run once
+    sh = _cap_shingles(corpus_sh.unionAll(bench_sh), df_cap).localCheckpoint()
     bench = sh.filter(F.col("is_bench") == 1).select(
         F.col("doc_id").alias("bench_id"), "shingle"
     )
@@ -1417,6 +1419,10 @@ def shared_span_pairs(
             .select("h")
         )
         win = win.join(F.broadcast(hot), "h", "left_anti")
+    # r17 (execution-only): the window-hash frame feeds the df-cap agg
+    # plus both sides of the hash self-join — checkpoint so the
+    # tokenize + posexplode + hash pass runs once, not four times
+    win = win.localCheckpoint()
     a = win.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "h")
     b = win.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "h")
     pairs = (
