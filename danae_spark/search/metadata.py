@@ -68,13 +68,40 @@ def _bm25_scored(
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source", "lang")
     n_docs = docs.agg(F.count("*").alias("n_docs"))
 
-    toks = _field_tokens(docs)
-    dl = toks.groupBy("field", "doc_id").agg(F.count("*").alias("dl"))
+    # r17 perf (values identical, oracle untouched): the long-form token
+    # explode used to feed THREE aggregations (dl, tf, df) — the 3-field
+    # explode over the corpus ran three times. dl is just the token-array
+    # sizes (no explode, no shuffle of token rows; the dl > 0 filter
+    # reproduces the explode semantics exactly — a zero-token field
+    # produced no rows, so it never entered avgdl), and df collapses
+    # from tf (tf has exactly one row per (field, doc, term), so
+    # count(*) == the old count_distinct(doc_id) over raw tokens).
+    # The explode now runs once, pre-filtered to the query terms.
+    body_arr = F.expr(_TOKS.format(src="text"))
+    title_arr = F.slice(body_arr, 1, TITLE_TOKENS)
+    kw_arr = F.expr(_TOKS.format(src="concat_ws(' ', source, lang)"))
+    dl = (
+        docs.select(
+            "doc_id",
+            F.size(title_arr).alias("title"),
+            F.size(kw_arr).alias("keywords"),
+            F.size(body_arr).alias("body"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "stack(3, 'title', title, 'keywords', keywords, 'body', body)"
+                " AS (field, dl)"
+            ),
+        )
+        .filter(F.col("dl") > 0)
+        .select("field", "doc_id", F.col("dl").cast("long").alias("dl"))
+    )
     avgdl = dl.groupBy("field").agg(F.avg("dl").alias("avgdl"))
 
-    qtoks = toks.filter(F.col("term").isin(*terms))
+    qtoks = _field_tokens(docs).filter(F.col("term").isin(*terms))
     tf = qtoks.groupBy("field", "doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = qtoks.groupBy("field", "term").agg(F.count_distinct("doc_id").alias("df"))
+    df_ = tf.groupBy("field", "term").agg(F.count("*").alias("df"))
 
     boost = F.coalesce(
         *[F.when(F.col("field") == f, F.lit(b)) for f, b in boosts.items()]
